@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL. Double-typed outputs are rounded identically
+on both sides (ROUND to a fixed number of decimals) so order-insensitive
+value hashes match despite floating-point summation-order differences
+between engines.
 """
 
 from __future__ import annotations
@@ -12,27 +13,838 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyperustats_spark.operators import dedup as D
+from pyperustats_spark.operators import events as E
+from pyperustats_spark.operators import relational as R
+from pyperustats_spark.operators import similarity as S
+from pyperustats_spark.operators import textops as T
+from pyperustats_spark.operators import timeseries as TS
+from pyperustats_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _round(df: DataFrame, spec: dict[str, int]) -> DataFrame:
+    for col, digits in spec.items():
+        df = df.withColumn(col, F.round(F.col(col), digits))
+    return df
+
+
+def _lt(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+CLEAN_ROWS = [
+    (1, "3,400,841.50"),
+    (2, "1,200"),
+    (3, "abc"),
+    (4, "850,300.00"),
+    (5, "12.5"),
+    (6, ""),
+    (7, "1,2,3"),
+    (8, "2,500,100.75"),
+]
+
+VALIDATE_CODES = [1, 2, 3, 150, 199, 100000, 999999]
+MISSING_CODE_REQ = ["AF", "NO", "XX", "ZZ"]
+KNN_QUERY_IDS = [0, 7, 42, 99, 123]
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    df = R.pricing_summary(_lt(spark, sf_dir, "lineitem"))
+    return _round(df, {"sum_qty": 4, "sum_base_price": 4, "sum_disc_price": 4,
+                       "sum_charge": 4, "avg_qty": 6, "avg_price": 6, "avg_disc": 6})
+
+
+def q3_shipping_priority(spark, sf_dir):
+    df = R.shipping_priority(
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "orders"),
+        _lt(spark, sf_dir, "lineitem"))
+    return _round(df, {"revenue": 4})
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    df = R.local_supplier_volume(
+        _lt(spark, sf_dir, "region"), _lt(spark, sf_dir, "nation"),
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "supplier"),
+        _lt(spark, sf_dir, "orders"), _lt(spark, sf_dir, "lineitem"))
+    return _round(df, {"revenue": 4})
+
+
+def q6_revenue_delta(spark, sf_dir):
+    return _round(R.revenue_delta(_lt(spark, sf_dir, "lineitem")), {"revenue": 4})
+
+
+def q_market_share(spark, sf_dir):
+    df = R.market_share(
+        _lt(spark, sf_dir, "region"), _lt(spark, sf_dir, "nation"),
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "orders"))
+    return _round(df, {"nation_revenue": 4, "share": 6})
+
+
+def q_top_customers(spark, sf_dir):
+    df = R.top_customers(
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "orders"),
+        _lt(spark, sf_dir, "nation"))
+    return _round(df, {"revenue": 4})
+
+
+def catalog_search(spark, sf_dir):
+    return R.catalog_search(_lt(spark, sf_dir, "part"), "red")
+
+
+def catalog_validate_codes(spark, sf_dir):
+    req = spark.createDataFrame([(c,) for c in VALIDATE_CODES], "code bigint")
+    return R.catalog_validate_codes(_lt(spark, sf_dir, "part"), req)
+
+
+def catalog_active_filter(spark, sf_dir):
+    return R.catalog_active_filter(_lt(spark, sf_dir, "orders"))
+
+
+def catalog_freq_counts(spark, sf_dir):
+    return R.catalog_freq_counts(_lt(spark, sf_dir, "part"))
+
+
+def clean_numeric_cast(spark, sf_dir):
+    raw = spark.createDataFrame(CLEAN_ROWS, "id int, raw string")
+    return R.clean_numeric_cast(raw)
+
+
+def ts_pivot_wide(spark, sf_dir):
+    df = TS.pivot_wide(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    return _round(df, {c: 4 for c in TS.SERIES_CODES})
+
+
+def ts_unpivot_long(spark, sf_dir):
+    wide = TS.pivot_wide(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    return _round(TS.unpivot_long(wide), {"value": 4})
+
+
+def ts_resample_monthly(spark, sf_dir):
+    df = TS.resample(TS.series_long(_lt(spark, sf_dir, "lineitem")), "M")
+    return _round(df, {"value_sum": 4, "value_avg": 6})
+
+
+def ts_resample_quarterly(spark, sf_dir):
+    df = TS.resample(TS.series_long(_lt(spark, sf_dir, "lineitem")), "Q")
+    return _round(df, {"value_sum": 4, "value_avg": 6})
+
+
+def ts_gap_fill(spark, sf_dir):
+    df = TS.gap_fill(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    return _round(df, {"value": 4})
+
+
+def ts_lag_pct_change(spark, sf_dir):
+    df = TS.lag_pct_change(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    return _round(df, {"value": 4, "prev_value": 4, "pct_change": 6})
+
+
+def ts_moving_avg(spark, sf_dir):
+    df = TS.moving_avg(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    return _round(df, {"value": 4, "ma7": 4})
+
+
+def ts_running_total(spark, sf_dir):
+    df = TS.running_total(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    return _round(df, {"value": 4, "cum_value": 4})
+
+
+def ts_yoy_growth(spark, sf_dir):
+    monthly = TS.resample(TS.series_long(_lt(spark, sf_dir, "lineitem")), "M").select(
+        "period", "code", "value_sum")
+    return _round(TS.yoy_growth(monthly), {"value_sum": 4, "prev_year": 4, "yoy": 6})
+
+
+def ts_asof_join(spark, sf_dir):
+    long_df = TS.series_long(_lt(spark, sf_dir, "lineitem"))
+    q = (TS.resample(long_df, "Q")
+         .select(F.col("period").alias("date"), "code", "value_sum"))
+    df = TS.asof_join(long_df, q, on="date", key="code",
+                      right_value_cols=["value_sum"])
+    return _round(df.orderBy("date", "code"),
+                  {"value": 4, "asof_value_sum": 4})
+
+
+def ts_date_parse_multi(spark, sf_dir):
+    from pyperustats_spark.functions.dates import parse_period
+    rows = [(1, "15.Ene.23", "D"), (2, "03.Jun.24", "D"), (3, "Dic.2022", "M"),
+            (4, "Set.2021", "M"), (5, "Q1.23", "Q"), (6, "Q4.21", "Q"),
+            (7, "2020", "A"), (8, "28.Ago.19", "D"), (9, "Abr.2023", "M"),
+            (10, "Q3.22", "Q")]
+    raw = spark.createDataFrame(rows, "id int, raw string, freq string")
+    out = raw.select(
+        "id", "raw", "freq",
+        F.when(F.col("freq") == "D", parse_period(F.col("raw"), "D"))
+         .when(F.col("freq") == "M", parse_period(F.col("raw"), "M"))
+         .when(F.col("freq") == "Q", parse_period(F.col("raw"), "Q"))
+         .otherwise(parse_period(F.col("raw"), "A")).alias("parsed"))
+    return out.orderBy("id")
+
+
+def cache_merge_upsert(spark, sf_dir):
+    long_df = TS.series_long(_lt(spark, sf_dir, "lineitem"))
+    incoming = (long_df.where(F.col("date") >= F.lit("2001-01-01").cast("timestamp"))
+                .withColumn("value", F.col("value") * 1.1))
+    df = TS.cache_merge_upsert(long_df, incoming, keys=["date", "code"])
+    return _round(df, {"value": 4}).orderBy("date", "code")
+
+
+def cache_missing_codes(spark, sf_dir):
+    long_df = TS.series_long(_lt(spark, sf_dir, "lineitem"))
+    req = spark.createDataFrame([(c,) for c in MISSING_CODE_REQ], "code string")
+    return TS.cache_missing_codes(req, long_df.select("code"))
+
+
+def ev_tumbling_window(spark, sf_dir):
+    df = E.tumbling_window(_lt(spark, sf_dir, "events"))
+    return _round(df, {"sum_value": 4, "avg_value": 6})
+
+
+def ev_sessionize(spark, sf_dir):
+    df = E.sessionize(_lt(spark, sf_dir, "events"))
+    return _round(df, {"sum_value": 4})
+
+
+def ev_top_users_per_type(spark, sf_dir):
+    df = E.top_users_per_type(_lt(spark, sf_dir, "events"))
+    return _round(df, {"total_value": 4})
+
+
+def text_token_count(spark, sf_dir):
+    return T.token_counts(_lt(spark, sf_dir, "documents"))
+
+
+def text_quality_score(spark, sf_dir):
+    df = T.quality_score(_lt(spark, sf_dir, "documents"))
+    return _round(df, {"mean_word_len": 6, "punct_ratio": 6, "digit_ratio": 6,
+                       "stopword_density": 6, "quality_score": 2})
+
+
+def text_lang_id(spark, sf_dir):
+    return T.lang_id(_lt(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark, sf_dir):
+    return T.fingerprint(_lt(spark, sf_dir, "documents"))
+
+
+def text_ngram_topk(spark, sf_dir):
+    return T.ngram_topk(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_exact(spark, sf_dir):
+    return D.dedup_exact(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_exact_normalized(spark, sf_dir):
+    return D.dedup_exact_normalized(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    df = D.ngram_jaccard_pairs(_lt(spark, sf_dir, "documents"), n=3, threshold=0.15)
+    return _round(df, {"jaccard": 6})
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    df = D.minhash_lsh_pairs(_lt(spark, sf_dir, "documents"))
+    return _round(df, {"est_jaccard": 6})
+
+
+def dedup_simhash(spark, sf_dir):
+    return D.simhash_fingerprints(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    df = D.embedding_cosine_pairs(
+        _lt(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")),
+        threshold=0.2)
+    return _round(df, {"cos": 6})
+
+
+def knn_bruteforce_cosine(spark, sf_dir):
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.knn_bruteforce(emb, q, k=5), {"cos": 6})
+
+
+def ann_lsh_cosine(spark, sf_dir):
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.ann_lsh(emb, q, k=5), {"cos": 6})
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_delta": q6_revenue_delta,
+        "q_market_share": q_market_share,
+        "q_top_customers": q_top_customers,
+        "catalog_search": catalog_search,
+        "catalog_validate_codes": catalog_validate_codes,
+        "catalog_active_filter": catalog_active_filter,
+        "catalog_freq_counts": catalog_freq_counts,
+        "clean_numeric_cast": clean_numeric_cast,
+        "ts_pivot_wide": ts_pivot_wide,
+        "ts_unpivot_long": ts_unpivot_long,
+        "ts_resample_monthly": ts_resample_monthly,
+        "ts_resample_quarterly": ts_resample_quarterly,
+        "ts_gap_fill": ts_gap_fill,
+        "ts_lag_pct_change": ts_lag_pct_change,
+        "ts_moving_avg": ts_moving_avg,
+        "ts_running_total": ts_running_total,
+        "ts_yoy_growth": ts_yoy_growth,
+        "ts_asof_join": ts_asof_join,
+        "ts_date_parse_multi": ts_date_parse_multi,
+        "cache_merge_upsert": cache_merge_upsert,
+        "cache_missing_codes": cache_missing_codes,
+        "ev_tumbling_window": ev_tumbling_window,
+        "ev_sessionize": ev_sessionize,
+        "ev_top_users_per_type": ev_top_users_per_type,
+        "text_token_count": text_token_count,
+        "text_quality_score": text_quality_score,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "text_ngram_topk": text_ngram_topk,
+        "dedup_exact": dedup_exact,
+        "dedup_exact_normalized": dedup_exact_normalized,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "knn_bruteforce_cosine": knn_bruteforce_cosine,
+        "ann_lsh_cosine": ann_lsh_cosine,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_LONG = ("SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS date, "
+         "l_returnflag || l_linestatus AS code, "
+         "sum(l_extendedprice) AS value FROM lineitem GROUP BY 1, 2")
+
+_TOKENS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), "
+           "x -> x != '')")
+
+_SW = {
+    "en": "['the','and','of','to','in','is','that','for','with','was']",
+    "es": "['el','la','de','que','y','en','los','del','las','por']",
+    "de": "['der','die','und','das','ist','nicht','mit','ein','von','zu']",
+    "fr": "['le','la','les','des','est','une','dans','pour','que','sur']",
+}
+
+
+def _sw_hits(lang: str) -> str:
+    return (f"len(list_filter({_TOKENS}, x -> list_contains({_SW[lang]}, x)))")
+
+
+def _values_sql(rows, cols: str) -> str:
+    def fmt(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+    vals = ", ".join("(" + ", ".join(fmt(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {vals}) AS t({cols})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+               round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
+               round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["q3_shipping_priority"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+
+    sql["q5_local_supplier_volume"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """
+
+    sql["q6_revenue_delta"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+    """
+
+    sql["q_market_share"] = """
+        WITH agg AS (
+            SELECT n_name, sum(o_totalprice) AS nation_revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY n_name
+        )
+        SELECT n_name, round(nation_revenue, 4) AS nation_revenue,
+               round(nation_revenue / (SELECT sum(nation_revenue) FROM agg), 6) AS share
+        FROM agg
+        ORDER BY nation_revenue DESC, n_name
+    """
+
+    sql["q_top_customers"] = """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(o_totalprice), 4) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+
+    sql["catalog_search"] = """
+        SELECT p_partkey, p_name, p_brand, p_type
+        FROM part
+        WHERE contains(p_name, 'red') OR contains(lower(p_name), 'red')
+        ORDER BY p_partkey
+    """
+
+    req = ", ".join(f"({c})" for c in VALIDATE_CODES)
+    sql["catalog_validate_codes"] = f"""
+        WITH requested(code) AS (VALUES {req})
+        SELECT CAST(code AS BIGINT) AS code, TRUE AS valid
+        FROM requested WHERE code IN (SELECT p_partkey FROM part)
+        UNION ALL
+        SELECT CAST(code AS BIGINT) AS code, FALSE AS valid
+        FROM requested WHERE code NOT IN (SELECT p_partkey FROM part)
+        ORDER BY code
+    """
+
+    sql["catalog_active_filter"] = """
+        SELECT o_custkey, max(o_orderdate) AS last_update,
+               CAST(max(o_orderdate) >= TIMESTAMP '2000-06-01' AS INT) AS active
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """
+
+    sql["catalog_freq_counts"] = """
+        SELECT p_type, count(*) AS n_codes FROM part GROUP BY p_type ORDER BY p_type
+    """
+
+    sql["clean_numeric_cast"] = f"""
+        SELECT id, raw,
+               CASE WHEN regexp_matches(trim(raw), '^[0-9,]+\\.?[0-9]*$')
+                    THEN CAST(replace(raw, ',', '') AS DOUBLE) END AS value_clean
+        FROM {_values_sql(CLEAN_ROWS, "id, raw")}
+        ORDER BY id
+    """
+
+    pivot_cols = ",\n               ".join(
+        f"round(sum(CASE WHEN code = '{c}' THEN value END), 4) AS \"{c}\""
+        for c in ("AF", "AO", "NF", "NO", "RF", "RO"))
+    sql["ts_pivot_wide"] = f"""
+        WITH long AS ({_LONG})
+        SELECT date,
+               {pivot_cols}
+        FROM long GROUP BY date ORDER BY date
+    """
+
+    sql["ts_unpivot_long"] = f"""
+        WITH long AS ({_LONG})
+        SELECT date, code, round(value, 4) AS value FROM long ORDER BY date, code
+    """
+
+    sql["ts_resample_monthly"] = f"""
+        WITH long AS ({_LONG})
+        SELECT CAST(date_trunc('month', date) AS TIMESTAMP) AS period, code,
+               round(sum(value), 4) AS value_sum,
+               round(round(sum(value), 2) / count(*), 6) AS value_avg,
+               count(*) AS n_obs
+        FROM long GROUP BY 1, 2 ORDER BY period, code
+    """
+
+    sql["ts_resample_quarterly"] = f"""
+        WITH long AS ({_LONG}),
+        agg AS (
+            SELECT CAST(date_trunc('quarter', date) AS TIMESTAMP) AS period, code,
+                   round(sum(value), 4) AS value_sum,
+                   round(round(sum(value), 2) / count(*), 6) AS value_avg,
+                   count(*) AS n_obs
+            FROM long GROUP BY 1, 2
+        )
+        SELECT period, code, value_sum, value_avg, n_obs,
+               CAST(year(period) AS VARCHAR) || 'Q' ||
+                   CAST(quarter(period) AS VARCHAR) AS yq
+        FROM agg ORDER BY period, code
+    """
+
+    sql["ts_gap_fill"] = f"""
+        WITH long AS ({_LONG}),
+        bounds AS (SELECT code, min(date) AS d0, max(date) AS d1 FROM long GROUP BY code),
+        spine AS (
+            SELECT code, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS date
+            FROM bounds
+        )
+        SELECT s.date, s.code, round(l.value, 4) AS value
+        FROM spine s LEFT JOIN long l ON s.code = l.code AND s.date = l.date
+        ORDER BY s.date, s.code
+    """
+
+    sql["ts_lag_pct_change"] = f"""
+        WITH long AS ({_LONG})
+        SELECT date, code, round(value, 4) AS value,
+               round(lag(value) OVER w, 4) AS prev_value,
+               round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS pct_change
+        FROM long
+        WINDOW w AS (PARTITION BY code ORDER BY date)
+        ORDER BY date, code
+    """
+
+    sql["ts_moving_avg"] = f"""
+        WITH long AS ({_LONG})
+        SELECT date, code, round(value, 4) AS value,
+               round(round(sum(value) OVER (PARTITION BY code ORDER BY date
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                     / count(*) OVER (PARTITION BY code ORDER BY date
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        FROM long ORDER BY date, code
+    """
+
+    sql["ts_running_total"] = f"""
+        WITH long AS ({_LONG})
+        SELECT date, code, round(value, 4) AS value,
+               round(sum(value) OVER (PARTITION BY code ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+        FROM long ORDER BY date, code
+    """
+
+    sql["ts_yoy_growth"] = f"""
+        WITH long AS ({_LONG}),
+        monthly AS (
+            SELECT CAST(date_trunc('month', date) AS TIMESTAMP) AS period, code, sum(value) AS value_sum
+            FROM long GROUP BY 1, 2
+        )
+        SELECT period, code, round(value_sum, 4) AS value_sum,
+               round(lag(value_sum, 12) OVER w, 4) AS prev_year,
+               round((value_sum - lag(value_sum, 12) OVER w)
+                     / lag(value_sum, 12) OVER w, 6) AS yoy
+        FROM monthly
+        WINDOW w AS (PARTITION BY code ORDER BY period)
+        ORDER BY period, code
+    """
+
+    sql["ts_asof_join"] = f"""
+        WITH long AS ({_LONG}),
+        q AS (
+            SELECT CAST(date_trunc('quarter', date) AS TIMESTAMP) AS date, code, sum(value) AS value_sum
+            FROM long GROUP BY 1, 2
+        )
+        SELECT l.date, l.code, round(l.value, 4) AS value,
+               round(r.value_sum, 4) AS asof_value_sum
+        FROM long l ASOF LEFT JOIN q r
+          ON l.code = r.code AND l.date >= r.date
+        ORDER BY l.date, l.code
+    """
+
+    date_rows = ", ".join(
+        f"({i}, '{raw}', '{fr}')" for i, raw, fr in [
+            (1, "15.Ene.23", "D"), (2, "03.Jun.24", "D"), (3, "Dic.2022", "M"),
+            (4, "Set.2021", "M"), (5, "Q1.23", "Q"), (6, "Q4.21", "Q"),
+            (7, "2020", "A"), (8, "28.Ago.19", "D"), (9, "Abr.2023", "M"),
+            (10, "Q3.22", "Q")])
+    sql["ts_date_parse_multi"] = f"""
+        WITH raw(id, raw, freq) AS (VALUES {date_rows}),
+        fixed AS (
+            SELECT id, raw, freq,
+                   replace(replace(replace(replace(replace(raw,
+                       'Ene', 'Jan'), 'Abr', 'Apr'), 'Ago', 'Aug'),
+                       'Set', 'Sep'), 'Dic', 'Dec') AS en
+            FROM raw
+        )
+        SELECT id, raw, freq,
+               CASE freq
+                   WHEN 'D' THEN strptime(en, '%d.%b.%y')
+                   WHEN 'M' THEN strptime(en, '%b.%Y')
+                   WHEN 'Q' THEN CAST(
+                       date_trunc('quarter', make_date(
+                           2000 + CAST(substr(en, 4, 2) AS INT),
+                           CAST(substr(en, 2, 1) AS INT) * 3, 1))
+                       + INTERVAL 3 MONTH - INTERVAL 1 DAY AS TIMESTAMP)
+                   ELSE strptime(en, '%Y')
+               END AS parsed
+        FROM fixed ORDER BY id
+    """
+
+    sql["cache_merge_upsert"] = f"""
+        WITH long AS ({_LONG}),
+        incoming AS (
+            SELECT date, code, value * 1.1 AS value
+            FROM long WHERE date >= TIMESTAMP '2001-01-01'
+        )
+        SELECT date, code, round(value, 4) AS value FROM incoming
+        UNION ALL
+        SELECT l.date, l.code, round(l.value, 4) AS value
+        FROM long l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM incoming i WHERE i.date = l.date AND i.code = l.code)
+        ORDER BY date, code
+    """
+
+    missing_req = ", ".join(f"('{c}')" for c in MISSING_CODE_REQ)
+    sql["cache_missing_codes"] = f"""
+        WITH requested(code) AS (VALUES {missing_req})
+        SELECT code FROM requested
+        WHERE code NOT IN (SELECT DISTINCT code FROM ({_LONG}))
+        ORDER BY code
+    """
+
+    sql["ev_tumbling_window"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 6) AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """
+
+    sql["ev_sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM sess GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """
+
+    sql["ev_top_users_per_type"] = """
+        WITH agg AS (
+            SELECT event_type, user_id, sum(value) AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type, user_id, round(total_value, 4) AS total_value,
+               n_events, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rank
+            FROM agg
+        ) WHERE rank <= 3
+        ORDER BY event_type, rank
+    """
+
+    sql["text_token_count"] = f"""
+        SELECT doc_id, length(text) AS n_chars,
+               len({_TOKENS}) AS n_tokens
+        FROM documents ORDER BY doc_id
+    """
+
+    sql["text_quality_score"] = f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE)
+                             / len({_TOKENS})
+                        ELSE 0.0 END AS mean_word_len,
+                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS digit_ratio,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST({_sw_hits("en")} AS DOUBLE) / len({_TOKENS})
+                        ELSE 0.0 END AS stopword_density
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, round(mean_word_len, 6) AS mean_word_len,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(digit_ratio, 6) AS digit_ratio,
+               round(stopword_density, 6) AS stopword_density,
+               round(CAST(
+                   (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN stopword_density >= 0.02 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+        FROM feat ORDER BY doc_id
+    """
+
+    hits_cols = ", ".join(f"{_sw_hits(lg)} AS hits_{lg}" for lg in ("en", "es", "de", "fr"))
+    sql["text_lang_id"] = f"""
+        WITH h AS (
+            SELECT doc_id, text, {hits_cols},
+                   length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+            FROM documents
+        )
+        SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+               CASE
+                   WHEN CAST(cjk AS DOUBLE) / greatest(length(text), 1) > 0.2 THEN 'zh'
+                   WHEN greatest(hits_en, hits_es, hits_de, hits_fr) > 0
+                        AND hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                   WHEN greatest(hits_en, hits_es, hits_de, hits_fr) > 0
+                        AND hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                   WHEN greatest(hits_en, hits_es, hits_de, hits_fr) > 0
+                        AND hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                   WHEN greatest(hits_en, hits_es, hits_de, hits_fr) > 0
+                        AND hits_fr = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'fr'
+                   ELSE 'und'
+               END AS lang_pred
+        FROM h ORDER BY doc_id
+    """
+
+    sql["text_fingerprint"] = """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """
+
+    sql["text_ngram_topk"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        grams AS (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 0) + 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS ngram
+            FROM toks WHERE len(t) >= 2
+        )
+        SELECT ngram, count(*) AS freq FROM grams
+        GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20
+    """
+
+    sql["dedup_exact"] = """
+        SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+        FROM documents GROUP BY md5(text) ORDER BY doc_id
+    """
+
+    sql["dedup_exact_normalized"] = """
+        SELECT min(doc_id) AS doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+        FROM documents GROUP BY 2 ORDER BY doc_id
+    """
+
+    sql["dedup_ngram_jaccard"] = """
+        WITH norm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(length(s) - 2, 1) + 1),
+                       i -> substr(s, CAST(i AS INT), 3)))) AS sh
+            FROM norm
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        df_ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 200),
+        shf AS (SELECT sh.* FROM sh JOIN df_ok USING (sh)),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.15
+        ORDER BY id_a, id_b
+    """
+
+    sql["dedup_embedding_cosine"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+              / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.2
+        ORDER BY id_a, id_b
+    """
+
+    qids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    sql["knn_bruteforce_cosine"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(range(1, len(e.v) + 1),
+                       i -> e.v[i] * q.qv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+            FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+    return sql

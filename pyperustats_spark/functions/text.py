@@ -1,0 +1,104 @@
+"""Text column expressions: normalization, tokenization, n-grams,
+numeric cleaning, slugs, quality features.
+
+Reference analogs: whitespace collapse (`perustats/BCRP/metadata.py:49-53`),
+thousands-comma numeric cleaning (`perustats/MEF/utils/tables.py:59-66`),
+slugify (`perustats/inei/utils/file_utils.py`). All JVM-side expressions —
+no Python UDFs — so they stay inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"[A-Za-z0-9_']+"
+
+# Tiny built-in stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"],
+}
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase + collapse whitespace + trim (reference `_clean_text`)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def collapse_ws(col: Column) -> Column:
+    """Collapse runs of whitespace to one space and trim."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def clean_numeric(col: Column) -> Column:
+    """``'3,400,841.50'`` → 3400841.50; non-numeric → NULL.
+
+    Mirrors the MEF HTML-table numeric cleaning
+    (perustats/MEF/utils/tables.py:59-66): strip thousands commas, cast.
+    """
+    stripped = F.replace(col, F.lit(","), F.lit(""))
+    return F.when(
+        F.regexp_like(F.trim(col), F.lit(r"^[\d,]+\.?\d*$")),
+        stripped.cast("double"),
+    )
+
+
+def slugify(col: Column) -> Column:
+    """Lowercase, non-alphanumeric runs → '-', trimmed of '-'."""
+    s = F.lower(F.trim(col))
+    s = F.regexp_replace(s, r"[^a-z0-9]+", "-")
+    return F.regexp_replace(s, r"(^-+|-+$)", "")
+
+
+def tokens(col: Column) -> Column:
+    """Array of word tokens (alnum/underscore/apostrophe runs)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^a-z0-9_']+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Array of character n-grams of the normalized string.
+
+    Built with sequence+transform (JVM-side); used for shingling in
+    MinHash / Jaccard dedup.
+    """
+    s = normalize(col)
+    length = F.length(s)
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), length - F.lit(n - 1)))
+    return F.transform(starts, lambda i: F.substring(s, i, n))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) from the token array."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(F.lit(0), cnt - F.lit(n)))
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(col: Column) -> Column:
+    no_punct = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(no_punct)) / F.greatest(F.length(col), F.lit(1))
+
+
+def digit_ratio(col: Column) -> Column:
+    no_digit = F.regexp_replace(col, r"[0-9]", "")
+    return (F.length(col) - F.length(no_digit)) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of *lang*."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))

