@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect for small results, count
+for large ones) so the measured time covers the full physical plan, not
+just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pyperustats_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q_market_share",
+    "q_top_customers",
+    "ts_pivot_wide",
+    "ts_resample_monthly",
+    "ts_gap_fill",
+    "ts_asof_join",
+    "ts_moving_avg",
+    "cache_merge_upsert",
+    "ev_sessionize",
+    "ev_tumbling_window",
+    "text_quality_score",
+    "text_ngram_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_bruteforce_cosine",
+]
+
+# results small enough to collect; everything else is counted
+COLLECT_MAX_ROWS = 100_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="pyperustats-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        if n <= COLLECT_MAX_ROWS:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

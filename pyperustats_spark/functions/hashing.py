@@ -87,17 +87,24 @@ def simhash64(toks: Column) -> Column:
     bit if the vote is positive — aggregate over the token array per
     bit, JVM-side, per-row. 63 bits keeps the result non-negative.
     """
-    hashes = F.transform(toks, lambda t: md5_hash64(t))
-    out = F.lit(0).cast("bigint")
-    for bit in range(63):
-        mask = F.lit(1 << bit).cast("bigint")
-        # bind mask via an outer closure: pyspark inspects the lambda's
-        # arity, so a default-arg trick would read as a 3-arg function
-        merge = (lambda mm: lambda acc, h: acc
-                 + F.when(h.bitwiseAND(mm) > 0, F.lit(1)).otherwise(F.lit(-1)))(mask)
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), merge)
-        out = out + F.when(vote > 0, mask).otherwise(F.lit(0).cast("bigint"))
-    return out
+    from pyperustats_spark.functions.text import let
+
+    def body(hashes):
+        out = F.lit(0).cast("bigint")
+        for bit in range(63):
+            mask = F.lit(1 << bit).cast("bigint")
+            # bind mask via an outer closure: pyspark inspects the
+            # lambda's arity, so a default-arg trick would read as a
+            # 3-arg function
+            merge = (lambda mm: lambda acc, h: acc
+                     + F.when(h.bitwiseAND(mm) > 0, F.lit(1)).otherwise(F.lit(-1)))(mask)
+            vote = F.aggregate(hashes, F.lit(0).cast("bigint"), merge)
+            out = out + F.when(vote > 0, mask).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    # let-bind the token-hash array: each of the 63 per-bit aggregates
+    # reads the bound array instead of recomputing n × md5 per bit
+    return let(F.transform(toks, lambda t: md5_hash64(t)), body)
 
 
 def hamming64(a: Column, b: Column) -> Column:

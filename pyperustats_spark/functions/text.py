@@ -23,6 +23,19 @@ STOPWORDS = {
 }
 
 
+def let(expr: Column, body) -> Column:
+    """Bind *expr* to a lambda variable so *body* can reference it many
+    times while it is evaluated ONCE per row.
+
+    Catalyst evaluates each subtree reference independently: an expression
+    like ``transform(seq, i -> element_at(tokens(text), i))`` recomputes
+    the full tokenization per element (O(len²) per row). Wrapping as
+    ``element_at(transform(array(tokens(text)), t -> ...), 1)`` turns
+    the expensive subtree into a bound lambda variable — an array read.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def normalize(col: Column) -> Column:
     """Lowercase + collapse whitespace + trim (reference `_clean_text`)."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
@@ -68,24 +81,35 @@ def char_ngrams(col: Column, n: int) -> Column:
     """Array of character n-grams of the normalized string.
 
     Built with sequence+transform (JVM-side); used for shingling in
-    MinHash / Jaccard dedup.
+    MinHash / Jaccard dedup. The normalized string is let-bound so it
+    is computed once per row, not once per n-gram position.
     """
-    s = normalize(col)
-    length = F.length(s)
-    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), length - F.lit(n - 1)))
-    return F.transform(starts, lambda i: F.substring(s, i, n))
+    def body(s):
+        starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(s) - F.lit(n - 1)))
+        return F.transform(starts, lambda i: F.substring(s, i, n))
+
+    return let(normalize(col), body)
 
 
 def word_ngrams(col: Column, n: int) -> Column:
-    """Array of word n-grams (space-joined) from the token array."""
-    toks = tokens(col)
-    cnt = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(F.lit(0), cnt - F.lit(n)))
-    grams = F.transform(
-        starts,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]),
-    )
-    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+    """Array of word n-grams (space-joined) from the token array.
+
+    The token array is let-bound: element_at against a lambda variable
+    is an array read, while element_at against the raw tokenize
+    expression would re-tokenize per position (O(len²) per row)."""
+    def body(toks):
+        cnt = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(F.lit(0), cnt - F.lit(n)))
+        grams = F.transform(
+            starts,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)],
+            ),
+        )
+        return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(col), body)
 
 
 def punct_ratio(col: Column) -> Column:

@@ -19,9 +19,9 @@ from pyspark.sql import functions as F
 from pyperustats_spark.functions.text import (
     STOPWORDS,
     digit_ratio,
+    let,
     normalize,
     punct_ratio,
-    stopword_hits,
     token_count,
     tokens,
     word_ngrams,
@@ -42,34 +42,47 @@ def quality_score(documents: DataFrame) -> DataFrame:
 
     Features follow the standard pretraining-filter recipe (length,
     mean word length, punctuation/digit ratios, stopword density)."""
-    toks = tokens(F.col("text"))
-    n_toks = F.size(toks)
-    # integer char-sum then a single division: exact cross-engine parity
-    mean_word_len = F.when(
-        n_toks > 0,
-        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-        / n_toks,
-    ).otherwise(F.lit(0.0))
-    sw_density = F.when(
-        n_toks > 0, stopword_hits(F.col("text"), "en") / n_toks
-    ).otherwise(F.lit(0.0))
+    # let-bind the token array: every feature reads it instead of
+    # re-tokenizing (tokens() is the expensive subtree here)
+    def feats(toks):
+        n_toks = F.size(toks)
+        # integer char-sum then a single division: exact cross-engine parity
+        mean_word_len = F.when(
+            n_toks > 0,
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+            / n_toks,
+        ).otherwise(F.lit(0.0))
+        sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        sw_density = F.when(n_toks > 0, hits / n_toks).otherwise(F.lit(0.0))
+        return F.struct(
+            n_toks.alias("n_tokens"),
+            mean_word_len.alias("mean_word_len"),
+            sw_density.alias("stopword_density"),
+        )
+
     pr = punct_ratio(F.col("text"))
     dr = digit_ratio(F.col("text"))
-    score = (
-        F.when((n_toks >= 10) & (n_toks <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(pr <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(sw_density >= 0.02, F.lit(0.25)).otherwise(F.lit(0.0))
-    )
-    return documents.select(
+    base = documents.select(
         "doc_id",
-        n_toks.alias("n_tokens"),
-        mean_word_len.alias("mean_word_len"),
+        let(tokens(F.col("text")), feats).alias("f"),
         pr.alias("punct_ratio"),
         dr.alias("digit_ratio"),
-        sw_density.alias("stopword_density"),
-        score.alias("quality_score"),
-    ).orderBy("doc_id")
+    ).select(
+        "doc_id",
+        F.col("f.n_tokens").alias("n_tokens"),
+        F.col("f.mean_word_len").alias("mean_word_len"),
+        "punct_ratio",
+        "digit_ratio",
+        F.col("f.stopword_density").alias("stopword_density"),
+    )
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_density") >= 0.02, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return base.withColumn("quality_score", score).orderBy("doc_id")
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
@@ -78,14 +91,30 @@ def lang_id(documents: DataFrame) -> DataFrame:
     Picks the language with the most stopword hits; 'zh' when CJK
     characters dominate; 'und' when nothing matches."""
     cjk = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", ""))
-    hits = {lang: stopword_hits(F.col("text"), lang) for lang in STOPWORDS}
+
+    # tokenize once (let-bound), count stopword hits per language
+    def hit_struct(toks):
+        cols = []
+        for lang in ("en", "es", "de", "fr"):
+            sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+            cols.append(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias(lang)
+            )
+        return F.struct(*cols)
+
+    base = documents.select(
+        "doc_id",
+        F.col("text"),
+        let(tokens(F.col("text")), hit_struct).alias("h"),
+        (cjk / F.greatest(F.length("text"), F.lit(1))).alias("cjk_ratio"),
+    )
+    hits = {lang: F.col(f"h.{lang}") for lang in ("en", "es", "de", "fr")}
     best_hits = F.greatest(*hits.values())
-    pred = F.when(cjk / F.greatest(F.length("text"), F.lit(1)) > 0.2, F.lit("zh"))
     # ties resolve in fixed lang order (deterministic, matches oracle)
-    cond = pred
+    cond = F.when(F.col("cjk_ratio") > 0.2, F.lit("zh"))
     for lang in ("en", "es", "de", "fr"):
         cond = cond.when((best_hits > 0) & (hits[lang] == best_hits), F.lit(lang))
-    return documents.select(
+    return base.select(
         "doc_id",
         *[hits[lang].alias(f"hits_{lang}") for lang in ("en", "es", "de", "fr")],
         cond.otherwise(F.lit("und")).alias("lang_pred"),
