@@ -46,11 +46,11 @@ def knn_bruteforce(
     )
 
 
-def _hyperplanes(dim: int, num_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (LCG over md5-free ints so
-    plans are reproducible without RNG state)."""
+def _hyperplanes_seeded(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; reproducible
+    without RNG state, so the same plan hashes identically every run)."""
     planes = []
-    state = 123456789
+    state = seed
     for _ in range(num_planes):
         row = []
         for _ in range(dim):
@@ -58,6 +58,10 @@ def _hyperplanes(dim: int, num_planes: int) -> list[list[float]]:
             row.append((state / float(1 << 31)) * 2.0 - 1.0)
         planes.append(row)
     return planes
+
+
+def _hyperplanes(dim: int, num_planes: int) -> list[list[float]]:
+    return _hyperplanes_seeded(dim, num_planes, 123456789)
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
@@ -72,22 +76,54 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def _bucket_array(vec_col, tables: list[list[list[float]]]):
+    """Array of (table_idx, bucket_key) structs, one per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(vec_col, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
 def ann_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 8,
+    num_tables: int = 12,
+    planes_per_table: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH
-    bucket. One equi-join on bucket key (hash-partitioned, no cross
-    join), then per-query window top-k."""
-    planes = _hyperplanes(dim, num_planes)
-    e = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-    q = queries.withColumn("bucket", lsh_bucket(F.col("q_embedding"), planes))
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    L independent hash tables of p sign-bit planes each: a vector lands
+    in one bucket per table; candidates are the union of the query's
+    buckets over all tables. Equi-join on (table, bucket) — hash
+    partitioned, never a cross join; the corpus is exploded L× but
+    candidates verified with exact cosine stay a vanishing fraction of
+    n. Recall rises as 1-(1-c^p)^L where c is the angular similarity.
+    """
+    # distinct plane sets per table: offset the deterministic generator
+    tables = [
+        _hyperplanes_seeded(dim, planes_per_table, seed=987654321 + t * 7919)
+        for t in range(num_tables)
+    ]
+    e = embeddings.select(
+        "vec_id", "embedding",
+        F.explode(_bucket_array(F.col("embedding"), tables)).alias("bk"),
+    ).select("vec_id", "embedding", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+    q = queries.select(
+        "query_id", "q_embedding",
+        F.explode(_bucket_array(F.col("q_embedding"), tables)).alias("bk"),
+    ).select("query_id", "q_embedding", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
     scored = (
-        e.join(F.broadcast(q), "bucket")
+        e.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding", "q_embedding")
+        .dropDuplicates(["query_id", "vec_id"])
         .select(
             "query_id",
             "vec_id",

@@ -1,0 +1,24 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyperustats_spark.session import get_spark
+from pyperustats_spark.sources.registry import load_tables
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pyperustats-tests", master="local[4]",
+                  shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tables(spark):
+    return load_tables(spark, SF_DIR)

@@ -1,0 +1,174 @@
+"""Semantic unit tests for operators on small synthetic frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyperustats_spark.operators import dedup as D
+from pyperustats_spark.operators import events as E
+from pyperustats_spark.operators import similarity as S
+from pyperustats_spark.operators import timeseries as TS
+
+
+@pytest.fixture()
+def small_long(spark):
+    rows = [
+        ("2020-01-01", "A", 1.0), ("2020-01-03", "A", 2.0),
+        ("2020-01-04", "A", 4.0), ("2020-01-01", "B", 10.0),
+        ("2020-01-02", "B", 20.0),
+    ]
+    return spark.createDataFrame(rows, "date string, code string, value double") \
+        .withColumn("date", F.col("date").cast("timestamp"))
+
+
+def test_pivot_then_unpivot_roundtrip(small_long):
+    wide = TS.pivot_wide(small_long, codes=("A", "B"))
+    assert set(wide.columns) == {"date", "A", "B"}
+    back = TS.unpivot_long(wide, codes=("A", "B"))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in small_long.collect())
+
+
+def test_gap_fill_inserts_missing_days(small_long):
+    out = TS.gap_fill(small_long)
+    a_rows = [r for r in out.collect() if r["code"] == "A"]
+    assert len(a_rows) == 4  # Jan 1..4
+    jan2 = [r for r in a_rows if r["date"].day == 2][0]
+    assert jan2["value"] is None
+
+
+def test_lag_pct_change(small_long):
+    out = {(r["code"], r["date"].day): r["pct_change"]
+           for r in TS.lag_pct_change(small_long).collect()}
+    assert out[("A", 1)] is None
+    assert out[("A", 3)] == pytest.approx(1.0)   # 1 -> 2
+    assert out[("A", 4)] == pytest.approx(1.0)   # 2 -> 4
+    assert out[("B", 2)] == pytest.approx(1.0)   # 10 -> 20
+
+
+def test_running_total(small_long):
+    out = {(r["code"], r["date"].day): r["cum_value"]
+           for r in TS.running_total(small_long).collect()}
+    assert out[("A", 4)] == 7.0
+    assert out[("B", 2)] == 30.0
+
+
+def test_asof_join_picks_latest_earlier(spark, small_long):
+    right = spark.createDataFrame(
+        [("2020-01-01", "A", 100.0), ("2020-01-03", "A", 300.0)],
+        "date string, code string, ref double",
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = TS.asof_join(small_long, right, on="date", key="code",
+                       right_value_cols=["ref"])
+    vals = {(r["code"], r["date"].day): r["asof_ref"] for r in out.collect()}
+    assert vals[("A", 1)] == 100.0
+    assert vals[("A", 3)] == 300.0   # same-date right row included (<=)
+    assert vals[("A", 4)] == 300.0
+    assert vals[("B", 1)] is None    # no B rows on the right
+
+
+def test_cache_merge_upsert_incoming_wins(spark):
+    cached = spark.createDataFrame(
+        [("k1", 1.0), ("k2", 2.0)], "k string, v double")
+    incoming = spark.createDataFrame(
+        [("k2", 20.0), ("k3", 30.0)], "k string, v double")
+    out = {r["k"]: r["v"] for r in
+           TS.cache_merge_upsert(cached, incoming, keys=["k"]).collect()}
+    assert out == {"k1": 1.0, "k2": 20.0, "k3": 30.0}
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, "2020-01-01 00:00:00", 1.0),
+        (1, "2020-01-01 00:10:00", 1.0),   # same session (10 min)
+        (1, "2020-01-01 01:00:00", 1.0),   # new session (50 min gap)
+        (2, "2020-01-01 00:00:00", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = E.sessionize(ev, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert by_user[1][0]["n_events"] == 2
+    assert by_user[1][1]["n_events"] == 1
+    assert len(by_user[2]) == 1
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string")
+    out = D.dedup_exact(docs)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_dedup_exact_normalized_collapses_ws_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "Same   Text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string")
+    out = D.dedup_exact_normalized(docs)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups_and_estimates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy dog", "sleepy dog")
+    other = "completely different content about query engines " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string")
+    out = D.minhash_lsh_pairs(docs, threshold=0.3)
+    rows = out.collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in pairs
+    assert all({"id_a", "id_b"} != {1, 3} for _ in rows)
+    est = [r["est_jaccard"] for r in rows if (r["id_a"], r["id_b"]) == (1, 2)][0]
+    assert est > 0.3
+
+
+def test_minhash_estimates_track_true_jaccard(spark, tables):
+    """On real docs: MinHash estimate within 0.25 of exact word-2-gram
+    Jaccard for every reported pair (32 perms -> sigma ~ 0.09)."""
+    from pyperustats_spark.functions.text import word_ngrams
+    docs = tables["documents"].limit(200)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.4).collect()
+    assert pairs, "expected at least one near-dup pair in testdata"
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), 2)).alias("s"))
+    sets = {r["doc_id"]: set(r["s"]) for r in sh.collect()}
+    for r in pairs[:20]:
+        a, b = sets[r["id_a"]], sets[r["id_b"]]
+        true_j = len(a & b) / len(a | b)
+        assert abs(r["est_jaccard"] - true_j) < 0.25
+
+
+def test_simhash_pairs_on_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base.replace("theta", "iota")
+    other = "one two three four five six seven eight nine ten " * 4
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string")
+    out = D.simhash_pairs(docs, max_hamming=16).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, tables):
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, [0, 7, 42])
+    exact = S.knn_bruteforce(emb, q, k=5).collect()
+    approx = S.ann_lsh(emb, q, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    for r in approx:
+        tot += 1
+        if r["vec_id"] in exact_sets[r["query_id"]]:
+            hits += 1
+    assert tot > 0
+    # LSH returns a subset; whatever it returns should mostly be real
+    # neighbors of the query's bucket — sanity floor, not a guarantee
+    assert hits / tot >= 0.2
