@@ -286,6 +286,59 @@ def ann_lsh_cosine(spark, sf_dir):
     return _round(S.ann_lsh(emb, q, k=5), {"cos": 6})
 
 
+def multimodal_features(spark, sf_dir):
+    """Rows-only: Arrow mapInPandas feature extraction over deterministic
+    synthetic media (payload bytes are the pipeline input; codec decode
+    itself is stubbed — see pyperustats_spark/multimodal/binary_ops.py)."""
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    media = MM.synthesize_media(spark, n=96).repartition(8)
+    return MM.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_entropy_proxy", 6).alias("byte_entropy_proxy"),
+    ).orderBy("media_id")
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Rows-only: 1→N video frame sampling through mapInPandas."""
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    media = MM.synthesize_media(spark, n=96).repartition(8)
+    frames = MM.frame_sample(media, every_n_bytes=128, max_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+    ).orderBy("media_id", "frame_idx")
+
+
+_STREAM_SEQ = [0]
+
+
+def stream_tumbling_window(spark, sf_dir):
+    """Rows-only: Structured Streaming tumbling window (availableNow file
+    replay → memory sink), matched against the batch operator in pytest."""
+    import tempfile
+
+    from pyperustats_spark.streaming import events as SEV
+
+    src = tempfile.mkdtemp(prefix="sg_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="sg_stream_ckpt_")
+    _lt(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).coalesce(4).write.mode("overwrite").parquet(src)
+    stream = SEV.read_events_stream(spark, src, max_files_per_trigger=2)
+    agg = SEV.stream_tumbling_window(stream, window="24 hours", watermark="1 hour")
+    _STREAM_SEQ[0] += 1
+    out = SEV.run_to_memory(
+        agg, f"sg_stream_out_{_STREAM_SEQ[0]}", ckpt, output_mode="complete"
+    )
+    return _round(
+        out.select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type"),
+        {"sum_value": 4},
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -333,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "knn_bruteforce_cosine": knn_bruteforce_cosine,
         "ann_lsh_cosine": ann_lsh_cosine,
+        "multimodal_features": multimodal_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "stream_tumbling_window": stream_tumbling_window,
     }
 
 
@@ -658,6 +714,15 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 4) AS sum_value,
                round(avg(value), 6) AS avg_value,
                count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """
+
+    # streaming variant: 24h epoch-aligned windows == day truncation, so
+    # the continuous query is oracle-checkable against plain SQL
+    sql["stream_tumbling_window"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """
 

@@ -1,0 +1,8 @@
+from pyperustats_spark.plans.checks import (  # noqa: F401
+    explain_str,
+    has_broadcast_join,
+    has_python_eval,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_count,
+)

@@ -1,0 +1,73 @@
+"""Plan introspection helpers: make optimizer behavior testable.
+
+The scale contract of this engine ("filters reach the parquet scan",
+"dim joins broadcast", "no Python eval in hot paths") is asserted in
+tests via these helpers instead of being hoped for. They parse
+``explain("formatted")`` output — the same text a human reads — so a
+regression in pushdown or join strategy fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (PySpark only prints it)."""
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's parquet scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+        inner = m.group(1).strip()
+        if inner:
+            out.extend(s.strip() for s in inner.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (pruning check)."""
+    schemas: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", explain_str(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if ":" in c]
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df)
+
+
+def has_python_eval(df: DataFrame) -> bool:
+    """True if the plan row-evaluates Python (BatchEvalPython) or runs an
+    Arrow-batched Python stage (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas). Hot-path operators should return False;
+    multimodal stages legitimately return True."""
+    text = explain_str(df)
+    return any(
+        tag in text
+        for tag in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+        )
+    )
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans in the FINAL (post-AQE) plan.
+
+    Under AQE the pre-execution plan is just ``AdaptiveSparkPlan
+    isFinalPlan=false`` with no codegen markers, so this runs the query
+    (cheap on test data) and reads the executed plan's ``*(n)`` spans."""
+    df.collect()  # count() would execute a different (re-planned) query
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", executed)))

@@ -1,0 +1,130 @@
+"""Structured Streaming variants of the event operators.
+
+The reference ingests portal feeds batch-wise with resumable progress
+state (INEI fetcher flags downloaded/unzipped/organized per module —
+``/root/reference/perustats/inei/fetcher.py``). The streaming engine is
+the Spark-native generalization: a file/kafka source with checkpointed
+offsets replaces the progress DB, and watermarked windows replace the
+"re-run and upsert" cycle.
+
+Everything here is transformation-only: callers bind a source with
+:func:`read_events_stream` (or any ``readStream``) and a sink of their
+choice; tests drive micro-batches with ``trigger(availableNow=True)``
+into a memory sink.
+
+Scale notes (100 TB/day feed):
+- Watermark bounds state; tumbling-window aggregation state is
+  O(active windows × event types), independent of event volume.
+- ``approx_count_distinct`` (HLL sketch) replaces the exact distinct of
+  the batch variant — exact distinct-per-window is unbounded state on a
+  stream.
+- Session windows use the built-in ``session_window`` (state-store
+  backed, gap-merged at the engine level) rather than
+  ``applyInPandasWithState`` — JVM-side, no Python worker in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    Checkpointed file offsets give exactly-once per file — the streaming
+    analog of the reference's per-module progress flags."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_tumbling_window(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation per event type.
+
+    Mirrors ``operators.events.tumbling_window`` but with bounded state:
+    late events beyond *watermark* are dropped and windows finalize, and
+    user cardinality is an HLL sketch, not an exact distinct."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "n_users_approx",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization on a stream via ``session_window``.
+
+    The engine merges overlapping per-user windows in the state store;
+    a session closes once the watermark passes its end + gap. Batch
+    equivalent: ``operators.events.sessionize`` (lag + cumsum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain all available input into a memory sink and return the
+    result as a batch DataFrame (test/driver helper).
+
+    ``availableNow`` processes everything present, then stops — the
+    streaming equivalent of one reference fetch cycle."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

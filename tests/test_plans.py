@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the scale contract (pushdown, pruning,
+broadcast, JVM-side hot paths) checked against explain output."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import pyperustats_spark.plans as P
+from pyperustats_spark.multimodal import binary_ops as MM
+from pyperustats_spark.operators import relational as R
+from pyperustats_spark.operators import similarity as S
+from pyperustats_spark.operators import textops as TX
+from pyperustats_spark.operators import timeseries as TS
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_filter_pushdown_reaches_scan(spark, tables):
+    df = tables["lineitem"].where(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", "l_quantity"
+    )
+    pushed = P.pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_column_pruning_on_projection(spark, tables):
+    df = tables["lineitem"].select("l_orderkey", "l_extendedprice")
+    schemas = P.read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"l_orderkey", "l_extendedprice"}
+
+
+def test_q5_broadcasts_dims(spark, tables):
+    df = R.local_supplier_volume(
+        tables["region"], tables["nation"], tables["customer"],
+        tables["supplier"], tables["orders"], tables["lineitem"])
+    assert P.has_broadcast_join(df)
+    assert not P.has_python_eval(df)
+
+
+def test_q1_stays_in_codegen(spark, tables):
+    df = R.pricing_summary(tables["lineitem"])
+    assert not P.has_python_eval(df)
+    assert P.wholestage_codegen_count(df) >= 1
+    # the scan should only read the q1 columns, not all 16
+    schemas = P.read_schema_columns(df)
+    assert schemas and len(schemas[0]) <= 7
+
+
+def test_knn_broadcasts_queries_and_stays_jvm(spark, tables):
+    emb = tables["embeddings"]
+    q = S.make_queries(emb, [0, 1, 2])
+    df = S.knn_bruteforce(emb, q, k=3)
+    assert not P.has_python_eval(df), "vector math must stay in zip_with/aggregate"
+    txt = P.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+
+
+def test_text_ops_are_jvm_side(spark, tables):
+    for df in (
+        TX.token_counts(tables["documents"]),
+        TX.quality_score(tables["documents"]),
+        TX.lang_id(tables["documents"]),
+    ):
+        assert not P.has_python_eval(df)
+
+
+def test_asof_join_single_shuffle_per_side(spark, tables):
+    long_df = TS.series_long(tables["lineitem"])
+    q = TS.resample(long_df, "Q").select(
+        F.col("period").alias("date"), "code", "value_sum")
+    df = TS.asof_join(long_df, q, on="date", key="code",
+                      right_value_cols=["value_sum"])
+    txt = P.explain_str(df)
+    assert not P.has_python_eval(df)
+    # union+window strategy: no cartesian/range cross join anywhere
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_multimodal_uses_arrow_python_stage(spark):
+    media = MM.synthesize_media(spark, n=6)
+    df = MM.extract_features(media)
+    # the ONE place Python eval is expected — and it must be the Arrow
+    # mapInPandas operator, not row-at-a-time BatchEvalPython
+    txt = P.explain_str(df)
+    assert "MapInPandas" in txt
+    assert "BatchEvalPython" not in txt

@@ -1,0 +1,68 @@
+"""Structured Streaming variants: drive file-source micro-batches with
+availableNow into a memory sink and compare against the batch operators
+on the same rows."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyperustats_spark.operators import events as EV
+from pyperustats_spark.streaming import events as SEV
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tables, tmp_path_factory):
+    """Batch events re-written as clean µs-timestamp parquet (the raw
+    testdata is TIMESTAMP(NANOS) which the streaming reader's fixed
+    schema can't take directly)."""
+    d = str(tmp_path_factory.mktemp("events_stream_src"))
+    tables["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).coalesce(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_tumbling_window_matches_batch(spark, tables, events_dir, tmp_path):
+    stream = SEV.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    agg = SEV.stream_tumbling_window(stream, window="24 hours", watermark="1 hour")
+    # complete mode: finite replay finalizes every window regardless of
+    # watermark progress at the last micro-batch
+    out = SEV.run_to_memory(
+        agg, "tumbling_out", str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in out.collect()
+    }
+    batch = EV.tumbling_window(tables["events"], hours=24).collect()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_sessionize_bounds(spark, tables, events_dir, tmp_path):
+    stream = SEV.read_events_stream(spark, events_dir)
+    sess = SEV.stream_sessionize(stream, gap="30 minutes", watermark="1 hour")
+    out = SEV.run_to_memory(
+        sess, "sessionize_out", str(tmp_path / "ckpt2"), output_mode="complete"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # session integrity: start <= end, positive event counts, and the
+    # total event count across sessions equals the input count
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+    assert sum(r["n_events"] for r in rows) == tables["events"].count()
+    # per-user session count matches the batch lag+cumsum sessionizer
+    batch_sessions = EV.sessionize(tables["events"], gap_minutes=30)
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch_sessions.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = got.get(r["user_id"], 0) + 1
+    assert got == want
