@@ -54,6 +54,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
+    # warm up JVM/codegen/parquet-reader machinery at the smallest SF so
+    # the first measured query reflects engine throughput, not cold start
+    queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

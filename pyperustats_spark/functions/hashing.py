@@ -34,6 +34,13 @@ def md5_hash31(col: Column) -> Column:
     return md5_hash64(col) % F.lit(P31)
 
 
+def xx_hash31(col: Column) -> Column:
+    """xxHash64 reduced into [0, 2^31-1) — native JVM hash, ~10× cheaper
+    than the md5→hex→conv path. Use for rows-only operators (MinHash,
+    SimHash) where no DuckDB oracle needs to reproduce the hash."""
+    return F.pmod(F.xxhash64(col), F.lit(P31))
+
+
 def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs in [1, P31) for k permutations."""
     coeffs = []
@@ -50,15 +57,31 @@ def minhash_signature_from_hashes(hashes: Column, k: int = 32, seed: int = 7) ->
 
     Splitting hashing from permuting lets callers materialize the hash
     array once (e.g. persist) instead of Catalyst inlining the md5
-    pipeline into all k permutation expressions."""
-    sig = []
-    for a, b in minhash_coeffs(k, seed):
-        sig.append(
-            F.array_min(
-                F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P31))
-            )
-        )
-    return F.array(*sig)
+    pipeline into all k permutation expressions.
+
+    The k permutations iterate over a LITERAL coefficient array inside
+    one nested ``transform`` instead of k unrolled ``array_min`` siblings
+    — same arithmetic, but the expression tree stays tiny. The *hashes*
+    subtree is let-bound FIRST: referenced directly from the permutation
+    lambda, Catalyst would re-evaluate the whole shingle→hash pipeline
+    once per permutation (k× per row)."""
+    from pyperustats_spark.functions.text import let
+
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(a).cast("bigint").alias("a"), F.lit(b).cast("bigint").alias("b"))
+            for a, b in minhash_coeffs(k, seed)
+        ]
+    )
+    return let(
+        hashes,
+        lambda hs: F.transform(
+            coeffs,
+            lambda c: F.array_min(
+                F.transform(hs, lambda h: (h * c["a"] + c["b"]) % F.lit(P31))
+            ),
+        ),
+    )
 
 
 def minhash_signature(shingles: Column, k: int = 32, seed: int = 7) -> Column:
@@ -69,42 +92,43 @@ def minhash_signature(shingles: Column, k: int = 32, seed: int = 7) -> Column:
     ``(a*h + b) mod P31`` — all inside codegen. ``a*h + b`` < 2^62 so
     ANSI-mode int64 arithmetic never overflows.
     """
-    base = F.transform(shingles, lambda s: md5_hash31(s))
-    sig = []
-    for a, b in minhash_coeffs(k, seed):
-        sig.append(
-            F.array_min(
-                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P31))
-            )
-        )
-    return F.array(*sig)
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: md5_hash31(s)), k=k, seed=seed
+    )
 
 
 def simhash64(toks: Column) -> Column:
     """63-bit SimHash of an array-of-string token column.
 
-    For each bit position, sum +1/-1 votes over token hashes and set the
-    bit if the vote is positive — aggregate over the token array per
-    bit, JVM-side, per-row. 63 bits keeps the result non-negative.
+    Single pass over the token hashes: one ``aggregate`` folds each hash
+    into a 63-slot vote array (+1 where the hash bit is set, −1 where
+    clear, via ``zip_with`` against a literal mask array), then positive
+    votes OR their mask into the fingerprint. 63 bits keeps the result
+    non-negative. Compact expression tree — compiles fast, no
+    63-sibling unroll — and everything stays JVM-side per row.
     """
-    from pyperustats_spark.functions.text import let
-
-    def body(hashes):
-        out = F.lit(0).cast("bigint")
-        for bit in range(63):
-            mask = F.lit(1 << bit).cast("bigint")
-            # bind mask via an outer closure: pyspark inspects the
-            # lambda's arity, so a default-arg trick would read as a
-            # 3-arg function
-            merge = (lambda mm: lambda acc, h: acc
-                     + F.when(h.bitwiseAND(mm) > 0, F.lit(1)).otherwise(F.lit(-1)))(mask)
-            vote = F.aggregate(hashes, F.lit(0).cast("bigint"), merge)
-            out = out + F.when(vote > 0, mask).otherwise(F.lit(0).cast("bigint"))
-        return out
-
-    # let-bind the token-hash array: each of the 63 per-bit aggregates
-    # reads the bound array instead of recomputing n × md5 per bit
-    return let(F.transform(toks, lambda t: md5_hash64(t)), body)
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(63)])
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), 63)
+    # xxhash64: native JVM hash; bits 0..62 are uniform and the sign bit
+    # is never read (masks stop at bit 62). SimHash has no SQL oracle,
+    # so the hash need not be reproducible in DuckDB.
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) > 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc + m,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

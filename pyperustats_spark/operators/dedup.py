@@ -24,17 +24,17 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.hashing import (
     hamming64,
-    md5_hash31,
-    md5_hash64,
     minhash_signature_from_hashes,
     simhash64,
+    xx_hash31,
 )
-from pyperustats_spark.functions.text import char_ngrams, normalize, tokens, word_ngrams
+from pyperustats_spark.functions.layout import ensure_parallelism
+from pyperustats_spark.functions.text import char_ngrams, let, normalize, tokens, word_ngrams
 from pyperustats_spark.functions.vectors import cosine
 
 
@@ -66,7 +66,7 @@ def ngram_jaccard_pairs(
     hot shingles are capped by document frequency (df ≤ max_df) exactly
     like a stop-shingle list at corpus scale."""
     max_df = 200
-    sh = documents.select(
+    sh = ensure_parallelism(documents).select(
         "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), n))).alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -103,92 +103,99 @@ def minhash_lsh_pairs(
 
     Stage 1 (zero shuffle): per-row shingle set → 32-perm MinHash
     signature via array transforms.
-    Stage 2: split signature into ``bands`` row-bands, hash each band,
-    groupBy (band_idx, band_hash) → buckets; cap bucket size as a skew
-    guard; emit pairs within buckets.
-    Stage 3: verify candidates with signature-estimated Jaccard ≥
-    threshold. Dedup pairs found in multiple bands."""
+    Stage 2 (ONE shuffle on (band, band-hash)): split the signature into
+    ``bands`` row-bands and gather each LSH bucket with collect_list;
+    singleton buckets are skipped and oversized ones dropped
+    (``max_bucket`` skew guard — a degenerate key can't go O(n²)).
+    Stage 3 (narrow): emit intra-bucket pairs from the gathered array
+    and score signature-estimated Jaccard in the same expression, filter
+    ≥ threshold, then dedup pairs found by multiple bands.
+
+    Signatures ride the explode through the bucket shuffle (bands ×
+    32 ints per doc) — the price of computing them exactly once with no
+    self-join, no persist, and no second scan of the corpus."""
     rows_per_band = num_perm // bands
     # word-2-gram shingles: char n-grams of natural-language text share
     # the global-minimum hashes across nearly all documents (stop-shingle
     # effect) and bias MinHash estimates high; word shingles discriminate
-    # materialize the md5 shingle-hash array first: otherwise Catalyst
-    # inlines the tokenize+md5 pipeline into every one of the k
-    # permutation expressions (k× recompute per row)
-    base = documents.select(
-        "doc_id",
+    sig_expr = minhash_signature_from_hashes(
         F.transform(
             F.array_distinct(word_ngrams(F.col("text"), 2)),
-            lambda s: md5_hash31(s),
-        ).alias("hs"),
-    ).persist()
-    # signatures are reused by both sides of the bucket self-join; persist
-    # them (at 100 TB this is the standard "materialize signatures"
-    # checkpoint)
-    sig = base.select(
-        "doc_id", minhash_signature_from_hashes(F.col("hs"), k=num_perm).alias("sig")
-    ).persist()
-    banded = sig.select(
+            lambda s: xx_hash31(s),
+        ),
+        k=num_perm,
+    )
+
+    # ``let``-bind the signature: the banding projection references it
+    # 30+ times (output column + every band's element_at), and Catalyst's
+    # CollapseProject would otherwise inline — i.e. RECOMPUTE — the full
+    # 32-permutation MinHash per reference (~30× per row)
+    def _band_structs(s):
+        return F.array(
+            *[
+                F.struct(
+                    s.alias("sig"),
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(s, b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    banded = ensure_parallelism(documents).select(
+        "doc_id", F.explode(let(sig_expr, _band_structs)).alias("bk")
+    ).select(
         "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    # skew guard: drop degenerate buckets larger than max_bucket
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bsz"))
-    banded_ok = banded.join(
-        bucket_sizes.where(F.col("bsz") <= max_bucket).select("band", "bh"),
-        ["band", "bh"],
+        F.col("bk.sig").alias("sig"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.bh").alias("bh"),
     )
-    cand = (
-        banded_ok.alias("a")
-        .join(
-            banded_ok.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # ONE shuffle: gather each LSH bucket with collect_list, skip
+    # singleton buckets, cap oversized ones (skew guard), and emit the
+    # intra-bucket pairs from the array — no self-join, so signatures
+    # are computed exactly once and never re-scanned
+    bucketed = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("m"))
+        .where((F.size("m") >= 2) & (F.size("m") <= max_bucket))
+        .select(F.array_sort("m").alias("m"))
     )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
+    est = lambda sa, sb: F.size(  # noqa: E731 — estimated Jaccard from signature agreement
+        F.filter(F.zip_with(sa, sb, lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    ) / F.lit(float(num_perm))
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + F.lit(2), F.size(F.col("m"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    est(x["sig"], y["sig"]).alias("est_jaccard"),
+                ),
+            ),
         )
-    ) / F.lit(float(len(range(num_perm))))
+    )
     return (
-        cand.select("id_a", "id_b", est.alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= threshold)
+        bucketed.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
+        .where(F.col("est_jaccard") >= threshold)  # filter before the dedup shuffle
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """63-bit SimHash per document (token-level)."""
-    return documents.select(
+    return ensure_parallelism(documents).select(
         "doc_id", simhash64(tokens(F.col("text"))).alias("simhash")
     ).orderBy("doc_id")
 
@@ -198,44 +205,60 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
 
     Candidate generation by 16-bit band keys (pigeonhole: distance ≤ 3
     guarantees a shared band of 4; larger distances are best-effort, as
-    in production SimHash dedup). Verification via bit_count(xor)."""
-    fp = simhash_fingerprints(documents)
-    banded = fp.select(
+    in production SimHash dedup). Verification via bit_count(xor).
+
+    Same one-shuffle collect_list shape as MinHash LSH: buckets gather
+    on (band, key), pairs and hamming distances come out of the array —
+    fingerprints are computed once, no self-join, no persist."""
+    max_bucket = 200
+
+    # let-bound: 5 references (output + 4 band keys) to the 63-bit vote
+    # expression would otherwise be 5 full recomputes per row
+    def _band_structs(h):
+        return F.array(
+            *[
+                F.struct(
+                    h.alias("simhash"),
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(h, 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                )
+                for b in range(4)
+            ]
+        )
+
+    banded = ensure_parallelism(documents).select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bh"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        F.explode(let(simhash64(tokens(F.col("text"))), _band_structs)).alias("bk"),
+    ).select(
+        "doc_id",
+        F.col("bk.simhash").alias("simhash"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.bh").alias("bh"),
+    )
+    bucketed = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("m"))
+        .where((F.size("m") >= 2) & (F.size("m") <= max_bucket))
+        .select(F.array_sort("m").alias("m"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + F.lit(2), F.size(F.col("m"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    hamming64(x["simhash"], y["simhash"]).alias("hamming"),
+                ),
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        bucketed.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
@@ -250,7 +273,7 @@ def embedding_cosine_pairs(
     variant; the production-scale path is :func:`ann_lsh` in
     ``similarity.py`` (hyperplane buckets). Here the self-join is exact
     over all pairs — the cosine itself runs JVM-side via zip_with."""
-    e = embeddings.select("vec_id", "embedding")
+    e = ensure_parallelism(embeddings).select("vec_id", "embedding")
     pairs = (
         e.alias("a")
         .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.hashing import P31, minhash_coeffs
+from pyperustats_spark.functions.layout import ensure_parallelism
 from pyperustats_spark.functions.vectors import cosine
 
 
@@ -30,7 +31,7 @@ def knn_bruteforce(
     `queries` has (query_id, q_embedding) and is broadcast; candidates
     exclude self-matches by id."""
     scored = (
-        embeddings.crossJoin(F.broadcast(queries))
+        ensure_parallelism(embeddings).crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -111,7 +112,7 @@ def ann_lsh(
         _hyperplanes_seeded(dim, planes_per_table, seed=987654321 + t * 7919)
         for t in range(num_tables)
     ]
-    e = embeddings.select(
+    e = ensure_parallelism(embeddings).select(
         "vec_id", "embedding",
         F.explode(_bucket_array(F.col("embedding"), tables)).alias("bk"),
     ).select("vec_id", "embedding", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))

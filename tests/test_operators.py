@@ -143,14 +143,18 @@ def test_minhash_estimates_track_true_jaccard(spark, tables):
 
 
 def test_simhash_pairs_on_near_dups(spark):
-    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
-    near = base.replace("theta", "iota")
-    other = "one two three four five six seven eight nine ten " * 4
+    # SimHash discriminates on long documents: with many distinct
+    # tokens, one substitution flips only a few of the 63 bits, so the
+    # near-dup lands within the hamming budget and shares a band
+    base = " ".join(f"tok{i}" for i in range(60)) + " "
+    near = base.replace("tok59 ", "changed ")
+    other = " ".join(f"other{i}" for i in range(60))
     docs = spark.createDataFrame(
-        [(1, base), (2, near), (3, other)], "doc_id long, text string")
+        [(1, base * 3), (2, near * 3), (3, other * 3)], "doc_id long, text string")
     out = D.simhash_pairs(docs, max_hamming=16).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, tables):
