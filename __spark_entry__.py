@@ -311,6 +311,89 @@ def multimodal_frame_sample(spark, sf_dir):
     ).orderBy("media_id", "frame_idx")
 
 
+def org_slugify_rename(spark, sf_dir):
+    from pyperustats_spark.operators import organizer as ORG
+
+    df = ORG.slugify_collision_safe(
+        _lt(spark, sf_dir, "part"), "p_name", ["p_brand"], "p_partkey")
+    return df.select("p_partkey", "p_brand", "slug", "collision_idx",
+                     "final_name").orderBy("p_partkey")
+
+
+def org_inventory_by_group(spark, sf_dir):
+    from pyperustats_spark.operators import organizer as ORG
+
+    orders = _lt(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate"))
+    df = ORG.inventory_by_group(orders, ["o_orderstatus", "order_year"],
+                                "o_totalprice")
+    return _round(df, {"total_size": 4, "max_size": 4})
+
+
+def org_content_dedup_map(spark, sf_dir):
+    from pyperustats_spark.operators import organizer as ORG
+
+    return ORG.content_dedup_map(_lt(spark, sf_dir, "documents"))
+
+
+def mef_filter_rows(spark, sf_dir):
+    df = R.filter_rows_regex(_lt(spark, sf_dir, "part"), "p_type",
+                             ["promo", "economy"])
+    return df.select("p_partkey", "p_name", "p_type").orderBy("p_partkey")
+
+
+def mef_find_row_by_text(spark, sf_dir):
+    df = R.find_row_by_text(_lt(spark, sf_dir, "part"), "p_name",
+                            "p_partkey", "widget")
+    return df.select("p_partkey", "p_name").orderBy("p_partkey")
+
+
+def infogob_candidate_history(spark, sf_dir):
+    return R.candidate_history(_lt(spark, sf_dir, "orders"),
+                               _lt(spark, sf_dir, "customer"))
+
+
+def mtc_paged_concat(spark, sf_dir):
+    df = R.paged_concat_rename(_lt(spark, sf_dir, "orders"))
+    return _round(df, {"amount": 4})
+
+
+def text_rolling_hash(spark, sf_dir):
+    return T.rolling_hash_fingerprint(_lt(spark, sf_dir, "documents"))
+
+
+def ann_ivf_cosine(spark, sf_dir):
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.ann_ivf(emb, q, k=5), {"cos": 6})
+
+
+def stream_sessionize(spark, sf_dir):
+    """Structured Streaming session_window sessionization; FULL oracle:
+    gap-merge semantics equal the batch lag+cumsum sessionizer."""
+    import tempfile
+
+    from pyperustats_spark.streaming import events as SEV
+
+    src = tempfile.mkdtemp(prefix="sg_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sg_sess_ckpt_")
+    _lt(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).coalesce(4).write.mode("overwrite").parquet(src)
+    stream = SEV.read_events_stream(spark, src)
+    sess = SEV.stream_sessionize(stream, gap="30 minutes", watermark="1 hour")
+    _STREAM_SEQ[0] += 1
+    out = SEV.run_to_memory(
+        sess, f"sg_sess_out_{_STREAM_SEQ[0]}", ckpt, output_mode="complete"
+    )
+    return _round(
+        out.select("user_id", "session_start", "session_end", "n_events",
+                   "sum_value").orderBy("user_id", "session_start"),
+        {"sum_value": 4},
+    )
+
+
 _STREAM_SEQ = [0]
 
 
@@ -389,6 +472,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frame_sample,
         "stream_tumbling_window": stream_tumbling_window,
+        "stream_sessionize": stream_sessionize,
+        "org_slugify_rename": org_slugify_rename,
+        "org_inventory_by_group": org_inventory_by_group,
+        "org_content_dedup_map": org_content_dedup_map,
+        "mef_filter_rows": mef_filter_rows,
+        "mef_find_row_by_text": mef_find_row_by_text,
+        "infogob_candidate_history": infogob_candidate_history,
+        "mtc_paged_concat": mtc_paged_concat,
+        "text_rolling_hash": text_rolling_hash,
+        "ann_ivf_cosine": ann_ivf_cosine,
     }
 
 
@@ -715,6 +808,122 @@ def oracle_sql() -> dict[str, str]:
                round(avg(value), 6) AS avg_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """
+
+    sql["org_slugify_rename"] = """
+        WITH slugged AS (
+            SELECT p_partkey, p_brand,
+                   regexp_replace(regexp_replace(lower(trim(p_name)),
+                       '[^a-z0-9]+', '-', 'g'), '(^-+|-+$)', '', 'g') AS slug
+            FROM part
+        ),
+        numbered AS (
+            SELECT p_partkey, p_brand, slug,
+                   row_number() OVER (PARTITION BY p_brand, slug
+                                      ORDER BY p_partkey) - 1 AS collision_idx
+            FROM slugged
+        )
+        SELECT p_partkey, p_brand, slug, collision_idx,
+               CASE WHEN collision_idx = 0 THEN slug
+                    ELSE slug || '_' || CAST(collision_idx AS VARCHAR)
+               END AS final_name
+        FROM numbered ORDER BY p_partkey
+    """
+
+    sql["org_inventory_by_group"] = """
+        SELECT o_orderstatus, EXTRACT(year FROM o_orderdate) AS order_year,
+               count(*) AS n_files,
+               round(sum(o_totalprice), 4) AS total_size,
+               round(max(o_totalprice), 4) AS max_size
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    sql["org_content_dedup_map"] = """
+        WITH hashed AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+            FROM documents
+        ),
+        canon AS (
+            SELECT content_hash, min(doc_id) AS canonical_id
+            FROM hashed GROUP BY 1
+        )
+        SELECT h.doc_id, h.content_hash, c.canonical_id,
+               h.doc_id = c.canonical_id AS is_canonical
+        FROM hashed h JOIN canon c USING (content_hash)
+        ORDER BY h.doc_id
+    """
+
+    sql["mef_filter_rows"] = """
+        SELECT p_partkey, p_name, p_type FROM part
+        WHERE regexp_matches(lower(p_type), 'promo|economy')
+        ORDER BY p_partkey
+    """
+
+    sql["mef_find_row_by_text"] = """
+        SELECT p_partkey, p_name FROM part
+        WHERE contains(lower(p_name), 'widget')
+        ORDER BY p_partkey LIMIT 1
+    """
+
+    sql["infogob_candidate_history"] = """
+        WITH entries AS (
+            SELECT o_custkey,
+                   strftime(o_orderdate, '%Y-%m-%d') || ':' ||
+                   CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus AS entry
+            FROM orders
+        ),
+        hist AS (
+            SELECT o_custkey, count(*) AS n_events,
+                   string_agg(entry, '|' ORDER BY entry) AS history
+            FROM entries GROUP BY o_custkey
+        )
+        SELECT h.o_custkey AS custkey, c.c_name, h.n_events, h.history
+        FROM hist h JOIN customer c ON h.o_custkey = c.c_custkey
+        ORDER BY custkey
+    """
+
+    sql["mtc_paged_concat"] = """
+        SELECT o_orderkey AS n, o_orderstatus AS type, o_custkey AS cust,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               round(o_totalprice, 4) AS amount,
+               CAST(floor(o_orderkey / 1000) AS INTEGER) AS page
+        FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 3000
+        ORDER BY n
+    """
+
+    sql["text_rolling_hash"] = """
+        SELECT doc_id, list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+        FROM documents ORDER BY doc_id
+    """
+
+    # gap-merge session_window semantics == batch lag+cumsum sessionizer
+    sql["stream_sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) AS TIMESTAMP) AS session_end,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM sess GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start
     """
 
     # streaming variant: 24h epoch-aligned windows == day truncation, so

@@ -258,3 +258,96 @@ def clean_numeric_cast(raw_df: DataFrame) -> DataFrame:
         "raw",
         clean_numeric(F.col("raw")).alias("value_clean"),
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# MEF table utils / infogob history / MTC paged-concat semantics
+# ---------------------------------------------------------------------------
+
+
+def filter_rows_regex(df: DataFrame, text_col: str, patterns: list[str]) -> DataFrame:
+    """Multi-pattern case-insensitive row filter (reference MEF
+    ``filter_content``, tables.py:9-17: escaped patterns or-joined into
+    one regex against ``concepto_region``). A single regexp_like, pushed
+    into the scan where the source supports it."""
+    import re as _re
+
+    pattern = "|".join(_re.escape(p) for p in patterns)
+    return df.where(F.regexp_like(F.lower(F.col(text_col)), F.lit(pattern.lower())))
+
+
+def find_row_by_text(df: DataFrame, text_col: str, order_col: str,
+                     search_text: str) -> DataFrame:
+    """First row (by *order_col*) whose *text_col* contains
+    *search_text*, case-insensitive (reference ``find_row_by_text``,
+    tables.py:98-117 — pandas ``idxmax`` over a contains mask).
+
+    Distributed form: filter then global min — a partial-aggregated
+    min, not a sort."""
+    matches = df.where(
+        F.contains(F.lower(F.col(text_col)), F.lit(search_text.lower()))
+    )
+    first_key = matches.agg(F.min(order_col).alias("k"))
+    return matches.join(
+        F.broadcast(first_key), F.col(order_col) == F.col("k")
+    ).drop("k")
+
+
+def candidate_history(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-entity ordered event history, serialized as one pipe-joined
+    string (reference infogob candidate history: afiliaciones +
+    participaciones accumulated per politician,
+    41_candidatos_historial.py; resultados per location,
+    20_resultados.py).
+
+    collect_list is order-nondeterministic across partitions, so the
+    entries embed their sort key and the ARRAY is sorted before joining
+    — deterministic output, one shuffle on the entity key."""
+    entries = orders.select(
+        "o_custkey",
+        F.concat_ws(
+            ":",
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+        ).alias("entry"),
+    )
+    hist = entries.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(F.array_sort(F.collect_list("entry")), "|").alias("history"),
+    )
+    return (
+        hist.join(customer.select(F.col("c_custkey").alias("o_custkey"), "c_name"), "o_custkey")
+        .select(F.col("o_custkey").alias("custkey"), "c_name", "n_events", "history")
+        .orderBy("custkey")
+    )
+
+
+def paged_concat_rename(orders: DataFrame, page_size: int = 1000,
+                        n_pages: int = 3) -> DataFrame:
+    """Paged-fetch concat + positional rename + numeric clean (reference
+    MTC ``TelMTC``: POST per page, concat page tables, assign
+    ``new_names``, homologacion.py:36-60).
+
+    Pages are key-range slices; the union is by name after renaming —
+    Catalyst collapses the union of filters over one scan into a single
+    pass, so "N pages" costs one scan, not N."""
+    pages = []
+    for p in range(n_pages):
+        lo, hi = p * page_size, (p + 1) * page_size
+        page = (
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .select(
+                F.col("o_orderkey").alias("n"),
+                F.col("o_orderstatus").alias("type"),
+                F.col("o_custkey").alias("cust"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                F.col("o_totalprice").alias("amount"),
+            )
+            .withColumn("page", F.lit(p))
+        )
+        pages.append(page)
+    out = pages[0]
+    for page in pages[1:]:
+        out = out.unionByName(page)
+    return out.orderBy("n")

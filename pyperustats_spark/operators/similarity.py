@@ -147,3 +147,85 @@ def make_queries(embeddings: DataFrame, ids: list[int]) -> DataFrame:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
         )
     )
+
+
+def ivf_assign(vec_col, centroids: list[tuple[int, list[float]]], nprobe: int = 1):
+    """Array of the *nprobe* nearest centroid ids for a vector —
+    JVM-side: score every centroid from a literal array, sort by
+    (-score, id), slice. Centroid count is small (√n-ish), so this is a
+    per-row O(K·dim) expression, no shuffle, no UDF."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(-1.0)
+                    * cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+                ).alias("neg"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantize the corpus into centroid cells,
+    probe the query's nearest *nprobe* cells, exact-cosine rescore.
+
+    Centroids are a deterministic sample of the corpus itself (every
+    ``n/k``-th vector by id) — k-means would drift run-to-run; a fixed
+    seed set keeps plans reproducible while preserving the IVF shape.
+    The corpus is assigned ONCE (nprobe=1 → disjoint cells, no row
+    duplication); queries fan out to nprobe cells. Join is equi on
+    cell id: hash-partitioned, broadcast query side, never a cross
+    join. At 100 TB the cell assignment is a write-once partition
+    column (partitionBy(cell)) and each probe prunes to nprobe/k of
+    the corpus."""
+    # deterministic seed sample WITHOUT collecting the corpus: count
+    # (cheap partial agg), then pull only the ~n_centroids rows whose id
+    # hits the stride — the one collect is O(centroids), never O(n)
+    n = embeddings.count()
+    step = max(1, n // n_centroids)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in (
+            embeddings.where(F.col("vec_id") % step == 0)
+            .orderBy("vec_id")
+            .limit(n_centroids)
+            .collect()
+        )
+    ]
+    e = ensure_parallelism(embeddings).select(
+        "vec_id",
+        "embedding",
+        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1), 1).alias("cell"),
+    )
+    q = queries.select(
+        "query_id",
+        "q_embedding",
+        F.explode(ivf_assign(F.col("q_embedding"), cents, nprobe=nprobe)).alias("cell"),
+    )
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

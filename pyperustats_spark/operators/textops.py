@@ -141,3 +141,24 @@ def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.desc("freq"), "ngram")
         .limit(k)
     )
+
+
+def rolling_hash_fingerprint(documents: DataFrame, base: int = 31,
+                             mod: int = 2147483647) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the normalized text:
+    ``h = (h*base + codepoint) % mod`` folded over the characters.
+
+    The brief's "document fingerprinting (rolling hash)" — unlike the
+    md5 fingerprint this is incrementally updatable (sliding windows /
+    chunk re-hash). Pure aggregate over a char array, JVM-side; the
+    DuckDB oracle reproduces it with list_reduce, so it is value-checked
+    cross-engine."""
+    codes = F.transform(
+        F.split(normalize(F.col("text")), ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
+    )
+    return documents.select("doc_id", h.alias("rhash")).orderBy("doc_id")

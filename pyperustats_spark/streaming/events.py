@@ -96,11 +96,15 @@ def stream_sessionize(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
+            # last event ts: sess.end is last-event + gap (engine keeps
+            # the window open one gap past the last event); max(ts) is
+            # what the batch sessionizer calls session_end
+            F.max("ts").alias("session_end"),
         )
         .select(
             "user_id",
             F.col("sess.start").alias("session_start"),
-            F.col("sess.end").alias("session_end"),
+            "session_end",
             "n_events",
             "sum_value",
         )

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from pyperustats_spark.operators import dedup as D
 from pyperustats_spark.operators import events as E
+from pyperustats_spark.operators import relational as R
 from pyperustats_spark.operators import similarity as S
 from pyperustats_spark.operators import timeseries as TS
 
@@ -176,3 +177,63 @@ def test_ann_lsh_recall_vs_bruteforce(spark, tables):
     # LSH returns a subset; whatever it returns should mostly be real
     # neighbors of the query's bucket — sanity floor, not a guarantee
     assert hits / tot >= 0.2
+
+
+def test_slugify_collision_safe(spark):
+    from pyperustats_spark.operators import organizer as ORG
+    rows = [(1, "g1", "My File.txt"), (2, "g1", "my-file txt"),
+            (3, "g1", "MY FILE!txt"), (4, "g2", "my file.txt"),
+            (5, "g1", "other.doc")]
+    df = spark.createDataFrame(rows, "id long, grp string, name string")
+    out = {r["id"]: r for r in
+           ORG.slugify_collision_safe(df, "name", ["grp"], "id").collect()}
+    # identical slugs within g1 get _1, _2 suffixes in id order
+    assert out[1]["final_name"] == "my-file-txt"
+    assert out[2]["final_name"] == "my-file-txt_1"
+    assert out[3]["final_name"] == "my-file-txt_2"
+    # same slug in a different group keeps the bare name
+    assert out[4]["final_name"] == "my-file-txt"
+    assert out[5]["final_name"] == "other-doc"
+
+
+def test_find_row_by_text_first_match(spark, tables):
+    out = R.find_row_by_text(tables["part"], "p_name", "p_partkey", "widget").collect()
+    assert len(out) == 1
+    all_matches = sorted(
+        r["p_partkey"] for r in
+        tables["part"].where(F.lower("p_name").contains("widget")).collect())
+    assert out[0]["p_partkey"] == all_matches[0]
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, tables):
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, [0, 7, 42])
+    exact = S.knn_bruteforce(emb, q, k=5).collect()
+    approx = S.ann_ivf(emb, q, k=5, n_centroids=8, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    for r in approx:
+        tot += 1
+        if r["vec_id"] in exact_sets[r["query_id"]]:
+            hits += 1
+    assert tot > 0
+    # probing half the cells recovers a solid fraction of true neighbors
+    assert hits / tot >= 0.3
+
+
+def test_rolling_hash_incremental_property(spark):
+    from pyperustats_spark.operators import textops as TXO
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abd"), (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["rhash"] for r in
+           TXO.rolling_hash_fingerprint(docs).collect()}
+    assert out[1] == out[2]          # identical text, identical hash
+    assert out[1] != out[3]          # one char off, different hash
+    # closed form for "abc": ((a*31)+b)*31+c
+    a, b, c = ord("a"), ord("b"), ord("c")
+    assert out[1] == ((a * 31 + b) * 31 + c) % 2147483647
