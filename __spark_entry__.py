@@ -311,6 +311,18 @@ def multimodal_frame_sample(spark, sf_dir):
     ).orderBy("media_id", "frame_idx")
 
 
+def ev_json_props_stats(spark, sf_dir):
+    return E.json_props_stats(_lt(spark, sf_dir, "events"))
+
+
+def knn_label_vote(spark, sf_dir):
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return S.knn_label_vote(emb, q, k=5)
+
+
 def org_slugify_rename(spark, sf_dir):
     from pyperustats_spark.operators import organizer as ORG
 
@@ -482,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtc_paged_concat": mtc_paged_concat,
         "text_rolling_hash": text_rolling_hash,
         "ann_ivf_cosine": ann_ivf_cosine,
+        "ev_json_props_stats": ev_json_props_stats,
+        "knn_label_vote": knn_label_vote,
     }
 
 
@@ -1119,6 +1133,44 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 5
         ORDER BY query_id, rank
+    """
+
+    sql["knn_label_vote"] = f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})),
+        scored AS (
+            SELECT q.query_id, e.vec_id, e.label,
+                   list_sum(list_transform(range(1, len(e.v) + 1),
+                       i -> e.v[i] * q.qv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+            FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+        ),
+        topk AS (
+            SELECT query_id, vec_id, label FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        ),
+        votes AS (
+            SELECT query_id, label, count(*) AS votes
+            FROM topk GROUP BY query_id, label
+        )
+        SELECT query_id, label AS pred_label, votes FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+            FROM votes
+        ) WHERE rk = 1
+        ORDER BY query_id
+    """
+
+    sql["ev_json_props_stats"] = """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+               min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+               max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
     """
 
     return sql

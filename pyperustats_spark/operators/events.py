@@ -80,3 +80,22 @@ def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("event_type", "rank")
     )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Parse the JSON ``props`` column and aggregate the extracted field
+    per event type (schema-on-read: ``from_json`` with an explicit
+    schema keeps the parse JVM-side and vectorized; at 100 TB prefer
+    this over schema inference, which costs a full extra scan)."""
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

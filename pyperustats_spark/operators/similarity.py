@@ -229,3 +229,32 @@ def ann_ivf(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def knn_label_vote(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """kNN classification: majority label among the top-k cosine
+    neighbors of each query (ties break toward the smaller label —
+    deterministic, oracle-friendly).
+
+    Pipeline: exact top-k (broadcast queries, corpus never shuffled) →
+    join neighbor labels → per-query label counts → argmax window.
+    At scale, swap :func:`knn_bruteforce` for :func:`ann_lsh` /
+    :func:`ann_ivf` — the vote logic is unchanged."""
+    topk = knn_bruteforce(embeddings, queries, k=k)
+    labeled = topk.join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+        .orderBy("query_id")
+    )
