@@ -315,6 +315,38 @@ def ev_json_props_stats(spark, sf_dir):
     return E.json_props_stats(_lt(spark, sf_dir, "events"))
 
 
+def embedding_centroids(spark, sf_dir):
+    return S.embedding_centroids(_lt(spark, sf_dir, "embeddings"))
+
+
+def text_lang_confusion(spark, sf_dir):
+    return T.lang_confusion(_lt(spark, sf_dir, "documents"))
+
+
+def skew_salted_join(spark, sf_dir):
+    from pyperustats_spark.operators import skew as SK
+
+    df = SK.salted_join(
+        _lt(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), "l_extendedprice"),
+        _lt(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"), "o_orderstatus"),
+        key="k", salt_n=8,
+    )
+    out = df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+    return _round(out, {"sum_price": 2}).orderBy("o_orderstatus")
+
+
+def skew_salted_distinct(spark, sf_dir):
+    from pyperustats_spark.operators import skew as SK
+
+    return SK.salted_distinct_count(
+        _lt(spark, sf_dir, "events"), "event_type", "user_id", salt_n=8)
+
+
 def knn_label_vote(spark, sf_dir):
     emb = _lt(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
@@ -496,6 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cosine": ann_ivf_cosine,
         "ev_json_props_stats": ev_json_props_stats,
         "knn_label_vote": knn_label_vote,
+        "embedding_centroids": embedding_centroids,
+        "text_lang_confusion": text_lang_confusion,
+        "skew_salted_join": skew_salted_join,
+        "skew_salted_distinct": skew_salted_distinct,
     }
 
 
@@ -1170,6 +1206,59 @@ def oracle_sql() -> dict[str, str]:
                sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
                min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
                max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    sql["embedding_centroids"] = """
+        WITH flat AS (
+            SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT label, u.dim AS dim, avg(u.v) AS mean_v, count(*) AS n
+            FROM flat GROUP BY label, u.dim
+        )
+        SELECT label, list(round(mean_v, 6) ORDER BY dim) AS centroid,
+               max(n) AS n_members
+        FROM dims GROUP BY label ORDER BY label
+    """
+
+    sql["text_lang_confusion"] = f"""
+        WITH h AS (
+            SELECT doc_id, lang, text, {hits_cols},
+                   length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+            FROM documents
+        ),
+        pred AS (
+            SELECT doc_id, lang,
+                   CASE
+                       WHEN CAST(cjk AS DOUBLE) / greatest(length(text), 1) > 0.2 THEN 'zh'
+                       WHEN greatest(hits_en, hits_es, hits_de, hits_fr) > 0
+                            AND hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                       WHEN greatest(hits_en, hits_es, hits_de, hits_fr) > 0
+                            AND hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                       WHEN greatest(hits_en, hits_es, hits_de, hits_fr) > 0
+                            AND hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                       WHEN greatest(hits_en, hits_es, hits_de, hits_fr) > 0
+                            AND hits_fr = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'fr'
+                       ELSE 'und'
+                   END AS lang_pred
+            FROM h
+        )
+        SELECT lang, lang_pred, count(*) AS n
+        FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """
+
+    sql["skew_salted_join"] = """
+        SELECT o.o_orderstatus, count(*) AS n,
+               round(sum(l.l_extendedprice), 2) AS sum_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """
+
+    sql["skew_salted_distinct"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY event_type ORDER BY event_type
     """
 

@@ -258,3 +258,33 @@ def knn_label_vote(
         .select("query_id", F.col("label").alias("pred_label"), "votes")
         .orderBy("query_id")
     )
+
+
+def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid (elementwise mean vector) + member count.
+
+    posexplode → groupBy (label, dim) avg → re-assemble sorted — two
+    shuffles, both on small keys; the vectors themselves shuffle once as
+    (label, dim, value) triples, which partial-aggregates map-side (the
+    collect_list alternative would move every raw vector to one task
+    per label)."""
+    dims = (
+        embeddings.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("mean_v"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_v"))
+            ).alias("_dm"),
+            F.max("n").alias("n_members"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("_dm"), lambda s: F.round(s["mean_v"], 6)).alias("centroid"),
+            "n_members",
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,68 @@
+"""Skew-handling join/aggregation patterns.
+
+AQE's skew-join splitter (on in ``session.py``) handles most cases at
+runtime; this module implements the EXPLICIT salting pattern for the
+cases AQE can't fix — a single hot key whose post-shuffle partition
+still exceeds memory, or deterministic layout requirements.
+
+Mechanics of :func:`salted_join`:
+- big side: append a uniform salt in [0, salt_n) — the hot key's rows
+  spread over salt_n partitions instead of one.
+- small side: replicate each row salt_n times (explode over the salt
+  range) so every (key, salt) bucket finds its match.
+- join on (key, salt): same result set as the plain key join, but the
+  max partition size divides by salt_n.
+
+Cost: small side inflates salt_n×. Use when the small side is modest
+and a specific key dominates (classic power-law user/event joins).
+
+The salt must be DETERMINISTIC per row (hash of the row key, not
+rand()): retried tasks must salt identically or shuffle retries
+double-count rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_n: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on *key* with the big side salted over *salt_n* buckets
+    and the small side replicated to match. Result equals
+    ``big.join(small, key, how)`` row-for-row."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key), F.lit(17)), F.lit(salt_n)).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(salt_n)]))
+    )
+    return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
+
+
+def salted_distinct_count(
+    df: DataFrame, group_col: str, distinct_col: str, salt_n: int = 8
+) -> DataFrame:
+    """Two-phase exact distinct count per group: partial distinct within
+    (group, salt) buckets, then merge. Bounds the per-task state for a
+    hot group to ~1/salt_n of its distinct values (plain
+    countDistinct funnels the whole hot group through one task)."""
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(distinct_col), F.lit(23)), F.lit(salt_n)).cast("int"),
+    )
+    partial = salted.groupBy(group_col, "_salt").agg(
+        F.countDistinct(distinct_col).alias("_part")
+    )
+    # salt partitions distinct values disjointly, so partials add up
+    return (
+        partial.groupBy(group_col)
+        .agg(F.sum("_part").alias("n_distinct"))
+        .orderBy(group_col)
+    )

@@ -162,3 +162,17 @@ def rolling_hash_fingerprint(documents: DataFrame, base: int = 31,
         lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
     )
     return documents.select("doc_id", h.alias("rhash")).orderBy("doc_id")
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID evaluation: confusion counts of labeled ``lang`` vs
+    the heuristic's ``lang_pred`` (reference-quality check for the
+    pipeline's language filter). One extra shuffle over lang_id."""
+    pred = lang_id(documents).select("doc_id", "lang_pred")
+    return (
+        documents.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )

@@ -237,3 +237,35 @@ def test_rolling_hash_incremental_property(spark):
     # closed form for "abc": ((a*31)+b)*31+c
     a, b, c = ord("a"), ord("b"), ord("c")
     assert out[1] == ((a * 31 + b) * 31 + c) % 2147483647
+
+
+def test_salted_join_equals_plain_join(spark, tables):
+    from pyperustats_spark.operators import skew as SK
+    big = tables["lineitem"].select(F.col("l_orderkey").alias("k"), "l_extendedprice")
+    small = tables["orders"].select(F.col("o_orderkey").alias("k"), "o_orderstatus")
+    salted = SK.salted_join(big, small, key="k", salt_n=4)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count()
+    s = sorted((r["k"], r["l_extendedprice"], r["o_orderstatus"]) for r in salted.collect())
+    p = sorted((r["k"], r["l_extendedprice"], r["o_orderstatus"]) for r in plain.collect())
+    assert s == p
+
+
+def test_salted_distinct_equals_plain(spark, tables):
+    from pyperustats_spark.operators import skew as SK
+    ev = tables["events"]
+    salted = {r["event_type"]: r["n_distinct"] for r in
+              SK.salted_distinct_count(ev, "event_type", "user_id", salt_n=4).collect()}
+    plain = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert salted == plain
+
+
+def test_embedding_centroids_shape(spark, tables):
+    centro = S.embedding_centroids(tables["embeddings"]).collect()
+    labels = {r["label"] for r in centro}
+    n_rows = tables["embeddings"].count()
+    dim = len(tables["embeddings"].select("embedding").first()["embedding"])
+    assert sum(r["n_members"] for r in centro) == n_rows
+    assert all(len(r["centroid"]) == dim for r in centro)
+    assert len(labels) == len(centro)
