@@ -315,6 +315,11 @@ def ev_json_props_stats(spark, sf_dir):
     return E.json_props_stats(_lt(spark, sf_dir, "events"))
 
 
+def catalog_series_summary(spark, sf_dir):
+    df = TS.catalog_series_summary(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    return _round(df, {"latest_value": 4})
+
+
 def embedding_centroids(spark, sf_dir):
     return S.embedding_centroids(_lt(spark, sf_dir, "embeddings"))
 
@@ -528,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cosine": ann_ivf_cosine,
         "ev_json_props_stats": ev_json_props_stats,
         "knn_label_vote": knn_label_vote,
+        "catalog_series_summary": catalog_series_summary,
         "embedding_centroids": embedding_centroids,
         "text_lang_confusion": text_lang_confusion,
         "skew_salted_join": skew_salted_join,
@@ -1207,6 +1213,15 @@ def oracle_sql() -> dict[str, str]:
                min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
                max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    sql["catalog_series_summary"] = f"""
+        SELECT code,
+               CAST(min(date) AS TIMESTAMP) AS first_date,
+               CAST(max(date) AS TIMESTAMP) AS last_update,
+               count(*) AS n_obs,
+               round(arg_max(value, date), 4) AS latest_value
+        FROM ({_LONG}) GROUP BY code ORDER BY code
     """
 
     sql["embedding_centroids"] = """

@@ -228,3 +228,22 @@ def cache_missing_codes(requested: DataFrame, cached: DataFrame, key: str = "cod
     join cache against broadcast(requested) first, then anti."""
     hits = cached.select(key).join(F.broadcast(requested), key, "left_semi").distinct()
     return requested.join(F.broadcast(hits), key, "left_anti").orderBy(key)
+
+
+def catalog_series_summary(long_df: DataFrame) -> DataFrame:
+    """Derive the per-series catalogue row the reference's metadata
+    table stores (code, date range, observation count, last update,
+    latest value — ``BCRP/metadata.py:252-357``): one partial-aggregated
+    pass over the observations.
+
+    ``max_by`` keeps the latest value without a second window pass."""
+    return (
+        long_df.groupBy("code")
+        .agg(
+            F.min("date").alias("first_date"),
+            F.max("date").alias("last_update"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max_by("value", "date").alias("latest_value"),
+        )
+        .orderBy("code")
+    )

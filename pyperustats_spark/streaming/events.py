@@ -132,3 +132,27 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_into_cache(stream_df: DataFrame, cache, checkpoint_dir: str):
+    """Sink a stream into an :class:`IncrementalParquetCache` via
+    foreachBatch: each micro-batch becomes one cache increment, so the
+    cache's latest-wins read resolves late updates exactly like the
+    reference's re-fetch-and-upsert cycle — but with streaming
+    exactly-once per batch (checkpointed offsets + idempotent-enough
+    append: a replayed batch re-appends and latest-wins still resolves
+    to the same values when increments carry the same keys).
+
+    Returns the started StreamingQuery; callers await/stop it."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cache.append(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -66,3 +66,18 @@ def test_stream_sessionize_bounds(spark, tables, events_dir, tmp_path):
     for r in rows:
         got[r["user_id"]] = got.get(r["user_id"], 0) + 1
     assert got == want
+
+
+def test_stream_into_incremental_cache(spark, tables, events_dir, tmp_path):
+    from pyperustats_spark.sources.cache import IncrementalParquetCache
+    cache = IncrementalParquetCache(
+        spark, str(tmp_path / "evcache"), keys=["event_id"])
+    stream = SEV.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = SEV.stream_into_cache(stream, cache, str(tmp_path / "ckpt3"))
+    q.awaitTermination()
+    cached = cache.load()
+    assert cached.count() == tables["events"].count()
+    # ids survive the trip exactly once
+    a = sorted(r["event_id"] for r in cached.select("event_id").collect())
+    b = sorted(r["event_id"] for r in tables["events"].select("event_id").collect())
+    assert a == b
