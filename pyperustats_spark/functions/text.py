@@ -53,9 +53,12 @@ def clean_numeric(col: Column) -> Column:
     (perustats/MEF/utils/tables.py:59-66): strip thousands commas, cast.
     """
     stripped = F.replace(col, F.lit(","), F.lit(""))
+    # try_cast, not cast: a comma-only string (",,") passes the regex
+    # but strips to "" — ANSI cast would fail the job; the reference
+    # swallows the ValueError (found by hypothesis)
     return F.when(
         F.regexp_like(F.trim(col), F.lit(r"^[\d,]+\.?\d*$")),
-        stripped.cast("double"),
+        stripped.try_cast("double"),
     )
 
 

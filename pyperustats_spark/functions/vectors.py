@@ -25,4 +25,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL for zero-norm vectors.
+
+    ``try_divide`` instead of ``/``: under ANSI mode a single all-zero
+    embedding anywhere in the corpus would otherwise fail the whole job
+    with DIVIDE_BY_ZERO (found by hypothesis in tests/test_properties)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

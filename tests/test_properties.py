@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): Spark column expressions checked
+against plain-Python reference implementations on randomized inputs.
+
+Each property batches its examples into ONE DataFrame so a hypothesis
+run costs a handful of Spark jobs, not one per example."""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyperustats_spark.functions.text import clean_numeric, slugify, tokens
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_slugify(s: str) -> str:
+    s = re.sub(r"[^a-z0-9]+", "-", s.strip().lower())
+    return re.sub(r"(^-+|-+$)", "", s)
+
+
+def _py_clean_numeric(s: str):
+    if re.match(r"^[\d,]+\.?\d*$", s.strip()):
+        try:
+            return float(s.replace(",", ""))
+        except ValueError:
+            return None
+    return None
+
+
+def _py_tokens(s: str):
+    return [t for t in re.split(r"[^a-z0-9_']+", s.lower()) if t != ""]
+
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_slugify_matches_python(spark, xs):
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, s string")
+    got = {r["i"]: r["slug"] for r in
+           df.select("i", slugify(F.col("s")).alias("slug")).collect()}
+    for i, x in enumerate(xs):
+        assert got[i] == _py_slugify(x), repr(x)
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_clean_numeric_matches_python(spark, xs):
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, s string")
+    got = {r["i"]: r["v"] for r in
+           df.select("i", clean_numeric(F.col("s")).alias("v")).collect()}
+    for i, x in enumerate(xs):
+        want = _py_clean_numeric(x)
+        if want is None:
+            assert got[i] is None, repr(x)
+        else:
+            assert got[i] == pytest.approx(want), repr(x)
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_tokens_matches_python(spark, xs):
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, s string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", tokens(F.col("s")).alias("t")).collect()}
+    for i, x in enumerate(xs):
+        assert got[i] == _py_tokens(x), repr(x)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(st.floats(min_value=-10, max_value=10,
+                                   allow_nan=False, allow_infinity=False),
+                         min_size=4, max_size=4),
+                min_size=2, max_size=8))
+def test_cosine_matches_python(spark, vecs):
+    import math
+
+    from pyperustats_spark.functions.vectors import cosine
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "i int, v array<double>")
+    ref = vecs[0]
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", cosine(F.col("v"), F.array(*[F.lit(x) for x in ref])).alias("c")
+    ).collect()}
+    for i, v in enumerate(vecs):
+        dot = sum(a * b for a, b in zip(v, ref))
+        na, nb = math.sqrt(sum(a * a for a in v)), math.sqrt(sum(b * b for b in ref))
+        if na == 0 or nb == 0:
+            continue  # zero vectors: engine-defined, skip
+        assert got[i] == pytest.approx(dot / (na * nb), abs=1e-9), v
