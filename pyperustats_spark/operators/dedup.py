@@ -70,12 +70,23 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), n))).alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
-    sh_f = sh.join(df_cap.select("sh"), "sh")
+    # inverted index via collect_list (ONE shuffle on the shingle): each
+    # posting list ≤ max_df (hot-shingle cap = stop-shingle list), pairs
+    # come out of the sorted array — no self-join, shingles exploded and
+    # hashed exactly once
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= max_df))
+        .select(F.array_sort("docs").alias("docs"))
+    )
+    # pair generation as two chained explodes (codegen Generate
+    # operators beat an interpreted nested transform+slice by ~3×)
     pairs = (
-        sh_f.alias("a")
-        .join(sh_f.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        postings.select(F.explode("docs").alias("id_a"), F.col("docs"))
+        .select("id_a", F.explode("docs").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
