@@ -1,0 +1,120 @@
+"""User-facing facade mirroring the reference's two primary APIs.
+
+* :class:`SeriesClient` ≈ ``BCRPDataSeries.fetch_data`` (fetcher.py:47-107):
+  validate codes against the catalogue → plan the fetch against the
+  cache → pull only missing series from the source → resample to the
+  requested frequency → persist increment → return the wide
+  one-column-per-code frame sorted by date.
+* :class:`DocumentPipeline` ≈ ``INEIFetcher.fetch_modules().download()
+  .organize()`` (inei/fetcher.py:106-252): a chained pipeline whose
+  steps are lazy DataFrame transforms; nothing executes until the
+  caller materializes (the chain builds ONE logical plan Catalyst
+  optimizes end-to-end — chaining never costs extra passes).
+
+A user of the reference switches by swapping pandas frames for the
+returned (lazy) Spark DataFrames; method names and flow match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyperustats_spark.operators import dedup as _dedup
+from pyperustats_spark.operators import textops as _textops
+from pyperustats_spark.operators import timeseries as _ts
+from pyperustats_spark.sources.cache import IncrementalParquetCache
+
+
+class SeriesClient:
+    """Fetch-with-cache for observation series (BCRP semantics).
+
+    *source_long* stands in for the HTTP API: a long (date, code, value)
+    DataFrame the client "fetches" from. At 100 TB it is the raw
+    observation lake; the cache holds the resampled/cleaned series."""
+
+    def __init__(self, spark: SparkSession, source_long: DataFrame, cache_path: str):
+        self.spark = spark
+        self.source_long = source_long
+        self.cache = IncrementalParquetCache(
+            spark, cache_path, keys=["date", "code"])
+
+    def validate_codes(self, codes: list[str]) -> tuple[list[str], list[str]]:
+        """Split requested codes into known/unknown against the source
+        catalogue (reference `validate_codes`, metadata.py:252-306)."""
+        known_rows = (
+            self.source_long.select("code").distinct()
+            .where(F.col("code").isin(codes)).collect()
+        )
+        known = sorted(r["code"] for r in known_rows)
+        unknown = sorted(set(codes) - set(known))
+        return known, unknown
+
+    def fetch(self, codes: list[str], freq: str = "M") -> DataFrame:
+        """Wide one-column-per-code frame at *freq*, served from the
+        cache; only codes missing from the cache touch the source
+        (reference fetch_data flow, fetcher.py:47-107)."""
+        known, _unknown = self.validate_codes(codes)
+        missing = self.cache.missing_codes(known)
+        if missing:
+            fresh = (
+                _ts.resample(
+                    self.source_long.where(F.col("code").isin(missing)), freq)
+                .select(F.col("period").alias("date"), "code",
+                        F.col("value_sum").alias("value"))
+            )
+            self.cache.append(fresh)
+        cached = self.cache.load()
+        long_df = cached.where(F.col("code").isin(known))
+        return _ts.pivot_wide(long_df, codes=tuple(known))
+
+
+class DocumentPipeline:
+    """Chained document-corpus pipeline (INEIFetcher chaining style).
+
+    Every step returns ``self`` with a refined LAZY DataFrame — the full
+    chain is one Catalyst plan. ``df`` exposes the current frame;
+    ``write_cache`` lands it as a cache increment."""
+
+    def __init__(self, spark: SparkSession, documents: DataFrame):
+        self.spark = spark
+        self._df = documents
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def dedup_exact(self) -> "DocumentPipeline":
+        keep = _dedup.dedup_exact_normalized(self._df).select("doc_id")
+        self._df = self._df.join(keep, "doc_id", "left_semi")
+        return self
+
+    def quality_filter(self, min_score: float = 0.5) -> "DocumentPipeline":
+        scored = _textops.quality_score(self._df).select(
+            "doc_id", "quality_score")
+        self._df = (
+            self._df.join(scored, "doc_id")
+            .where(F.col("quality_score") >= min_score)
+            .drop("quality_score")
+        )
+        return self
+
+    def lang_filter(self, langs: list[str]) -> "DocumentPipeline":
+        pred = _textops.lang_id(self._df).select("doc_id", "lang_pred")
+        self._df = (
+            self._df.join(pred, "doc_id")
+            .where(F.col("lang_pred").isin(langs))
+            .drop("lang_pred")
+        )
+        return self
+
+    def with_fingerprint(self) -> "DocumentPipeline":
+        fp = _textops.fingerprint(self._df)
+        self._df = self._df.join(fp, "doc_id")
+        return self
+
+    def write_cache(self, cache_path: str) -> IncrementalParquetCache:
+        cache = IncrementalParquetCache(
+            self.spark, cache_path, keys=["doc_id"])
+        cache.append(self._df)
+        return cache
