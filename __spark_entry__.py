@@ -320,6 +320,24 @@ def catalog_series_summary(spark, sf_dir):
     return _round(df, {"latest_value": 4})
 
 
+def ts_zscore_anomalies(spark, sf_dir):
+    df = TS.rolling_zscore_anomalies(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    return _round(df, {"value": 4, "zscore": 6})
+
+
+def ts_interpolate_linear(spark, sf_dir):
+    # pre-round the series: both engines then interpolate IDENTICAL
+    # doubles (raw sums differ in low bits by summation order, which
+    # flips the final rounding at half boundaries)
+    long_df = TS.series_long(_lt(spark, sf_dir, "lineitem")).withColumn(
+        "value", F.round("value", 4))
+    df = TS.interpolate_linear(long_df)
+    # value_interp stays unrounded: both engines now compute the SAME
+    # double (identical rounded inputs, identical op order), and any
+    # engine-side round(x, 4) would split on exact .00005 midpoints
+    return _round(df, {"observed": 4})
+
+
 def embedding_centroids(spark, sf_dir):
     return S.embedding_centroids(_lt(spark, sf_dir, "embeddings"))
 
@@ -534,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_json_props_stats": ev_json_props_stats,
         "knn_label_vote": knn_label_vote,
         "catalog_series_summary": catalog_series_summary,
+        "ts_zscore_anomalies": ts_zscore_anomalies,
+        "ts_interpolate_linear": ts_interpolate_linear,
         "embedding_centroids": embedding_centroids,
         "text_lang_confusion": text_lang_confusion,
         "skew_salted_join": skew_salted_join,
@@ -747,6 +767,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.date, s.code, round(l.value, 4) AS value
         FROM spine s LEFT JOIN long l ON s.code = l.code AND s.date = l.date
         ORDER BY s.date, s.code
+    """
+
+    sql["ts_zscore_anomalies"] = f"""
+        WITH long AS ({_LONG})
+        SELECT date, code, round(value, 4) AS value,
+               round((value - avg(value) OVER w) / NULLIF(stddev_samp(value) OVER w, 0), 6) AS zscore,
+               abs((value - avg(value) OVER w) / NULLIF(stddev_samp(value) OVER w, 0)) > 3.0 AS is_anomaly
+        FROM long
+        WINDOW w AS (PARTITION BY code ORDER BY date
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                               AND INTERVAL 1 SECOND PRECEDING)
+        ORDER BY date, code
+    """
+
+    sql["ts_interpolate_linear"] = f"""
+        WITH long AS ({_LONG}),
+        bounds AS (SELECT code, min(date) AS d0, max(date) AS d1 FROM long GROUP BY code),
+        spine AS (
+            SELECT code, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS date
+            FROM bounds
+        ),
+        filled AS (
+            SELECT s.date, s.code, round(l.value, 4) AS value
+            FROM spine s LEFT JOIN long l ON s.code = l.code AND s.date = l.date
+        ),
+        ctx AS (
+            SELECT date, code, value,
+                   last_value(value IGNORE NULLS) OVER wp AS prev_v,
+                   first_value(value IGNORE NULLS) OVER wn AS next_v,
+                   last_value(CASE WHEN value IS NOT NULL THEN date END IGNORE NULLS) OVER wp AS prev_d,
+                   first_value(CASE WHEN value IS NOT NULL THEN date END IGNORE NULLS) OVER wn AS next_d
+            FROM filled
+            WINDOW wp AS (PARTITION BY code ORDER BY date
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY code ORDER BY date
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT date, code, round(value, 4) AS observed,
+               CASE
+                   WHEN value IS NOT NULL THEN value
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v) *
+                        (date_diff('day', prev_d, date) * 1.0 /
+                         NULLIF(date_diff('day', prev_d, next_d), 0))
+               END AS value_interp
+        FROM ctx ORDER BY date, code
     """
 
     sql["ts_lag_pct_change"] = f"""

@@ -247,3 +247,71 @@ def catalog_series_summary(long_df: DataFrame) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+def rolling_zscore_anomalies(long_df: DataFrame, window_days: int = 30,
+                             z_threshold: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly flags per series: value vs the trailing
+    *window_days* mean/stddev (exclusive of the current row, so a spike
+    can't mask itself). One shuffle on the series key; the window is a
+    range frame over the sorted partition — linear per series.
+
+    ``stddev_samp`` of fewer than 2 points is NULL → z NULL → those
+    leading rows never flag (matches SQL semantics on both engines)."""
+    w = (
+        Window.partitionBy("code")
+        .orderBy(F.col("date").cast("long"))
+        .rangeBetween(-window_days * 86400, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.try_divide(F.col("value") - mu, sd)
+    return long_df.select(
+        "date", "code", "value",
+        z.alias("zscore"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
+    ).orderBy("date", "code")
+
+
+def interpolate_linear(long_df: DataFrame) -> DataFrame:
+    """Gap-fill then LINEARLY interpolate missing values between the
+    nearest observed neighbors (continuous-series semantics the
+    reference approximates by re-fetching complete ranges).
+
+    Two window passes over one shuffle: last/next non-null value and
+    their dates via ``last/first(ignorenulls)`` over unbounded frames,
+    then the interpolation weight from day distances. Boundary rows
+    (no earlier or no later observation) keep the one-sided value."""
+    filled = gap_fill(long_df)
+    w_prev = (
+        Window.partitionBy("code").orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("code").orderBy("date")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("value", ignorenulls=True).over(w_prev)
+    next_v = F.first("value", ignorenulls=True).over(w_next)
+    prev_d = F.last(
+        F.when(F.col("value").isNotNull(), F.col("date")), ignorenulls=True
+    ).over(w_prev)
+    next_d = F.first(
+        F.when(F.col("value").isNotNull(), F.col("date")), ignorenulls=True
+    ).over(w_next)
+    span = F.unix_date(F.to_date(next_d)) - F.unix_date(F.to_date(prev_d))
+    pos = F.unix_date(F.to_date(F.col("date"))) - F.unix_date(F.to_date(prev_d))
+    interp = F.when(
+        F.col("value").isNotNull(), F.col("value")
+    ).when(
+        prev_v.isNull(), next_v
+    ).when(
+        next_v.isNull(), prev_v
+    ).otherwise(
+        prev_v + (next_v - prev_v) * F.try_divide(pos, span)
+    )
+    return filled.select(
+        "date", "code",
+        F.col("value").alias("observed"),
+        interp.alias("value_interp"),
+    ).orderBy("date", "code")

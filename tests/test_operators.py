@@ -269,3 +269,41 @@ def test_embedding_centroids_shape(spark, tables):
     assert sum(r["n_members"] for r in centro) == n_rows
     assert all(len(r["centroid"]) == dim for r in centro)
     assert len(labels) == len(centro)
+
+
+def test_interpolate_linear_fills_between_neighbors(spark):
+    rows = [("2020-01-01", "A", 10.0), ("2020-01-05", "A", 30.0)]
+    long_df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = {r["date"].day: r for r in TS.interpolate_linear(long_df).collect()}
+    assert out[1]["value_interp"] == 10.0
+    assert out[2]["value_interp"] == pytest.approx(15.0)  # 1/4 of the way
+    assert out[3]["value_interp"] == pytest.approx(20.0)
+    assert out[4]["value_interp"] == pytest.approx(25.0)
+    assert out[5]["value_interp"] == 30.0
+    assert out[3]["observed"] is None
+
+
+def test_rolling_zscore_flags_spike(spark):
+    rows = [(f"2020-01-{d:02d}", "A", 10.0) for d in range(1, 20)]
+    rows.append(("2020-01-20", "A", 1000.0))   # spike
+    long_df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = {r["date"].day: r for r in
+           TS.rolling_zscore_anomalies(long_df, window_days=30).collect()}
+    # constant prefix: sd=0 -> z NULL, never flagged
+    assert out[10]["zscore"] is None and out[10]["is_anomaly"] is None
+    # the spike vs a constant window: sd=0 -> NULL too (can't z-score)
+    # so perturb: day 19 already saw 18 identical values; spike day sees
+    # constant window -> NULL. Use a noisy series instead:
+    rows2 = [(f"2020-01-{d:02d}", "B", 10.0 + (d % 3)) for d in range(1, 20)]
+    rows2.append(("2020-01-20", "B", 1000.0))
+    noisy = spark.createDataFrame(
+        rows2, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out2 = {r["date"].day: r for r in
+            TS.rolling_zscore_anomalies(noisy, window_days=30).collect()}
+    assert out2[20]["is_anomaly"] is True
+    assert all(not out2[d]["is_anomaly"] for d in range(3, 20))
