@@ -106,6 +106,13 @@ def ann_lsh(
     partitioned, never a cross join; the corpus is exploded L× but
     candidates verified with exact cosine stay a vanishing fraction of
     n. Recall rises as 1-(1-c^p)^L where c is the angular similarity.
+
+    Sizing: buckets per table = 2^p, so p should grow with the corpus
+    (p ≈ log2(n / target_bucket_size)); the p=4/L=12 defaults are tuned
+    for recall on the small near-uniform test corpus, where candidates
+    stay a large fraction of n. Real embedding corpora cluster (c → 0.9
+    for true neighbors), which is what lets larger p keep recall while
+    the candidate set collapses.
     """
     # distinct plane sets per table: offset the deterministic generator
     tables = [
@@ -120,16 +127,21 @@ def ann_lsh(
         "query_id", "q_embedding",
         F.explode(_bucket_array(F.col("q_embedding"), tables)).alias("bk"),
     ).select("query_id", "q_embedding", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+    # score INSIDE the bucket join and dedup on the (query, vec, cos)
+    # triple — never shuffle the vectors themselves. (Deduping first and
+    # re-joining embeddings would shuffle ~1 KB/candidate; a candidate
+    # found by several tables re-scores identically, so max() collapses
+    # duplicates at 24 bytes/row with map-side combine.)
     scored = (
         e.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "embedding", "q_embedding")
-        .dropDuplicates(["query_id", "vec_id"])
         .select(
             "query_id",
             "vec_id",
             cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
         )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
     return (
