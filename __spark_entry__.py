@@ -320,6 +320,10 @@ def catalog_series_summary(spark, sf_dir):
     return _round(df, {"latest_value": 4})
 
 
+def stats_profile(spark, sf_dir):
+    return R.stats_profile(_lt(spark, sf_dir, "lineitem"))
+
+
 def ts_zscore_anomalies(spark, sf_dir):
     df = TS.rolling_zscore_anomalies(TS.series_long(_lt(spark, sf_dir, "lineitem")))
     return _round(df, {"value": 4, "zscore": 6})
@@ -552,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_json_props_stats": ev_json_props_stats,
         "knn_label_vote": knn_label_vote,
         "catalog_series_summary": catalog_series_summary,
+        "stats_profile": stats_profile,
         "ts_zscore_anomalies": ts_zscore_anomalies,
         "ts_interpolate_linear": ts_interpolate_linear,
         "embedding_centroids": embedding_centroids,
@@ -767,6 +772,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.date, s.code, round(l.value, 4) AS value
         FROM spine s LEFT JOIN long l ON s.code = l.code AND s.date = l.date
         ORDER BY s.date, s.code
+    """
+
+    sql["stats_profile"] = """
+        SELECT l_returnflag, count(*) AS n,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
 
     sql["ts_zscore_anomalies"] = f"""

@@ -351,3 +351,28 @@ def paged_concat_rename(orders: DataFrame, page_size: int = 1000,
     for page in pages[1:]:
         out = out.unionByName(page)
     return out.orderBy("n")
+
+
+def stats_profile(lineitem: DataFrame) -> DataFrame:
+    """Per-group statistical profile: exact percentiles (sort-based
+    interpolating `percentile`, the quantile_cont semantics), sample
+    stddev, and Pearson correlation — the reference consumers compute
+    these off the fetched frames; here they are one partial-aggregated
+    pass per group.
+
+    At 100 TB swap `percentile` for `approx_percentile` (t-digest
+    sketch, mergeable map-side) — exact percentiles materialize each
+    group's values; the profile below is the oracle-checkable form."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
