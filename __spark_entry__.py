@@ -465,6 +465,31 @@ def stream_sessionize(spark, sf_dir):
     )
 
 
+def stream_dedup_replay(spark, sf_dir):
+    """Full oracle: a twice-replayed feed deduped by event_id must equal
+    the original events table exactly."""
+    import tempfile
+
+    from pyperustats_spark.streaming import events as SEV
+
+    src = tempfile.mkdtemp(prefix="sg_dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="sg_dedup_ckpt_")
+    base = _lt(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    base.coalesce(2).write.mode("overwrite").parquet(src)
+    base.coalesce(2).write.mode("append").parquet(src)
+    stream = SEV.read_events_stream(spark, src)
+    deduped = SEV.stream_dedup(stream, watermark="10 days")
+    _STREAM_SEQ[0] += 1
+    out = SEV.run_to_memory(
+        deduped, f"sg_dedup_out_{_STREAM_SEQ[0]}", ckpt, output_mode="append")
+    return _round(
+        out.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id"),
+        {"value": 6},
+    )
+
+
 _STREAM_SEQ = [0]
 
 
@@ -544,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
+        "stream_dedup_replay": stream_dedup_replay,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -1039,6 +1065,13 @@ def oracle_sql() -> dict[str, str]:
                     c -> CAST(ascii(c) AS BIGINT))),
             (a, b) -> (a * 31 + b) % 2147483647) AS rhash
         FROM documents ORDER BY doc_id
+    """
+
+    # a twice-replayed feed deduped by id == the original events table
+    sql["stream_dedup_replay"] = """
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               round(value, 6) AS value
+        FROM events ORDER BY event_id
     """
 
     # gap-merge session_window semantics == batch lag+cumsum sessionizer

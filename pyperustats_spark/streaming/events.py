@@ -156,3 +156,15 @@ def stream_into_cache(stream_df: DataFrame, cache, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream by id: state-store-backed streaming
+    dedup. ``dropDuplicatesWithinWatermark`` keeps an id's state only
+    until the watermark passes it — bounded state, unlike plain
+    streaming dropDuplicates whose state grows forever. The batch
+    analog is ``dedup_exact``; the reference analog is the progress DB
+    preventing re-downloads (inei/fetcher.py)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -81,3 +81,19 @@ def test_stream_into_incremental_cache(spark, tables, events_dir, tmp_path):
     a = sorted(r["event_id"] for r in cached.select("event_id").collect())
     b = sorted(r["event_id"] for r in tables["events"].select("event_id").collect())
     assert a == b
+
+
+def test_stream_dedup_drops_replayed_events(spark, tables, tmp_path):
+    # source with every file written TWICE (replayed feed)
+    src = str(tmp_path / "dup_src")
+    base = tables["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    base.coalesce(2).write.mode("overwrite").parquet(src)
+    base.coalesce(2).write.mode("append").parquet(src)
+    stream = SEV.read_events_stream(spark, src)
+    deduped = SEV.stream_dedup(stream, watermark="10 days")
+    out = SEV.run_to_memory(
+        deduped, "dedup_out", str(tmp_path / "ckpt4"), output_mode="append")
+    n_unique = base.count()
+    assert out.count() == n_unique
+    ids = [r["event_id"] for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids))
