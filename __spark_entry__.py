@@ -324,6 +324,20 @@ def stats_profile(spark, sf_dir):
     return R.stats_profile(_lt(spark, sf_dir, "lineitem"))
 
 
+def q_customers_no_orders(spark, sf_dir):
+    return R.customers_without_orders(
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "orders"))
+
+
+def q_sales_rollup(spark, sf_dir):
+    return R.sales_rollup(_lt(spark, sf_dir, "orders"))
+
+
+def q_customer_quartiles(spark, sf_dir):
+    return R.customer_value_quartiles(
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "orders"))
+
+
 def ts_zscore_anomalies(spark, sf_dir):
     df = TS.rolling_zscore_anomalies(TS.series_long(_lt(spark, sf_dir, "lineitem")))
     return _round(df, {"value": 4, "zscore": 6})
@@ -583,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": knn_label_vote,
         "catalog_series_summary": catalog_series_summary,
         "stats_profile": stats_profile,
+        "q_customers_no_orders": q_customers_no_orders,
+        "q_sales_rollup": q_sales_rollup,
+        "q_customer_quartiles": q_customer_quartiles,
         "ts_zscore_anomalies": ts_zscore_anomalies,
         "ts_interpolate_linear": ts_interpolate_linear,
         "embedding_centroids": embedding_centroids,
@@ -809,6 +826,36 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    sql["q_customers_no_orders"] = """
+        SELECT c_custkey, c_name, c_nationkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= '2001-01-01')
+        ORDER BY c_custkey
+    """
+
+    sql["q_sales_rollup"] = """
+        SELECT o_orderstatus,
+               EXTRACT(year FROM o_orderdate) AS order_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               GROUPING(o_orderstatus, order_year) AS gid
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, order_year)
+        ORDER BY gid, o_orderstatus NULLS LAST, order_year NULLS LAST
+    """
+
+    sql["q_customer_quartiles"] = """
+        WITH rev AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT r.o_custkey AS custkey, c.c_name, r.revenue,
+               ntile(4) OVER (ORDER BY r.revenue DESC, r.o_custkey) AS quartile
+        FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+        ORDER BY custkey
     """
 
     sql["ts_zscore_anomalies"] = f"""

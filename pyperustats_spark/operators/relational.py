@@ -13,7 +13,7 @@ aggregates are algebraic (map-side partial aggregation for free).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.text import clean_numeric
@@ -375,4 +375,59 @@ def stats_profile(lineitem: DataFrame) -> DataFrame:
             F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame,
+                             since: str = "2001-01-01") -> DataFrame:
+    """Customers with NO orders since *since* (lapsed customers) — the
+    NOT EXISTS anti-join pattern. Shuffles only keys; the date filter
+    pushes into the orders scan, so at scale the anti side is the
+    (small) set of recently active keys."""
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+    return (
+        customer.join(
+            recent.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def sales_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (status, year): per-cell, per-status subtotal, and
+    grand total in ONE pass — grouping sets partial-aggregate map-side;
+    no union of three scans. ``grouping_id`` disambiguates NULL-as-
+    subtotal from NULL data (reference consumers build exactly these
+    pivot-table margins off fetched frames)."""
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("o_orderstatus", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(F.col("gid"), F.col("o_orderstatus").asc_nulls_last(),
+                 F.col("order_year").asc_nulls_last())
+    )
+
+
+def customer_value_quartiles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Quartile assignment by customer revenue (ntile over the global
+    revenue ordering). The single-partition window on the aggregate is
+    fine: it sees one row per customer, not raw orders; for billions of
+    entities switch to percent_rank over range-partitioned sort."""
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy(F.desc("revenue"), F.col("o_custkey").asc())
+    return (
+        rev.withColumn("quartile", F.ntile(4).over(w))
+        .join(customer.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+              "o_custkey")
+        .select(F.col("o_custkey").alias("custkey"), "c_name", "revenue", "quartile")
+        .orderBy("custkey")
     )
