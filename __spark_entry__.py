@@ -324,6 +324,14 @@ def stats_profile(spark, sf_dir):
     return R.stats_profile(_lt(spark, sf_dir, "lineitem"))
 
 
+def q_repeat_customers(spark, sf_dir):
+    return R.repeat_customers(_lt(spark, sf_dir, "orders"))
+
+
+def stats_profile_approx(spark, sf_dir):
+    return R.stats_profile_approx(_lt(spark, sf_dir, "lineitem"))
+
+
 def q_customers_no_orders(spark, sf_dir):
     return R.customers_without_orders(
         _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "orders"))
@@ -598,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_series_summary": catalog_series_summary,
         "stats_profile": stats_profile,
         "q_customers_no_orders": q_customers_no_orders,
+        "q_repeat_customers": q_repeat_customers,
+        "stats_profile_approx": stats_profile_approx,
         "q_sales_rollup": q_sales_rollup,
         "q_customer_quartiles": q_customer_quartiles,
         "ts_zscore_anomalies": ts_zscore_anomalies,
@@ -826,6 +836,13 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    sql["q_repeat_customers"] = """
+        SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 2001
+        ORDER BY custkey
     """
 
     sql["q_customers_no_orders"] = """

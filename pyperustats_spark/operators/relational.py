@@ -431,3 +431,36 @@ def customer_value_quartiles(customer: DataFrame, orders: DataFrame) -> DataFram
         .select(F.col("o_custkey").alias("custkey"), "c_name", "revenue", "quartile")
         .orderBy("custkey")
     )
+
+
+def repeat_customers(orders: DataFrame, year_a: int = 1995,
+                     year_b: int = 2001) -> DataFrame:
+    """Customers active in BOTH years — INTERSECT of the two key sets.
+    Catalyst plans intersect as a semi-join of the two (small) distinct
+    aggregates; at scale both sides partial-aggregate before the
+    shuffle."""
+    a = orders.where(F.year("o_orderdate") == year_a).select("o_custkey")
+    b = orders.where(F.year("o_orderdate") == year_b).select("o_custkey")
+    return a.intersect(b).withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
+
+
+def stats_profile_approx(lineitem: DataFrame) -> DataFrame:
+    """The sketch-based form of :func:`stats_profile` — the actual
+    100 TB path: approx_percentile (t-digest) and HLL distinct are
+    mergeable map-side, so no group ever materializes its raw values.
+    Rows-only (sketch internals differ between engines); pytest bounds
+    the error against the exact profile."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
+            ).alias("p50_price_approx"),
+            F.round(
+                F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)), 4
+            ).alias("p99_price_approx"),
+            F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -307,3 +307,16 @@ def test_rolling_zscore_flags_spike(spark):
             TS.rolling_zscore_anomalies(noisy, window_days=30).collect()}
     assert out2[20]["is_anomaly"] is True
     assert all(not out2[d]["is_anomaly"] for d in range(3, 20))
+
+
+def test_stats_profile_approx_tracks_exact(spark, tables):
+    exact = {r["l_returnflag"]: r for r in R.stats_profile(tables["lineitem"]).collect()}
+    approx = {r["l_returnflag"]: r for r in
+              R.stats_profile_approx(tables["lineitem"]).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a["n"] == e["n"]
+        # t-digest with accuracy 10k on small groups: near-exact
+        assert abs(a["p50_price_approx"] - e["p50_price"]) / e["p50_price"] < 0.02
+        assert abs(a["p99_price_approx"] - e["p99_price"]) / e["p99_price"] < 0.02
