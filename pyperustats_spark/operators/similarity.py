@@ -189,33 +189,24 @@ def ann_ivf(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantize the corpus into centroid cells,
     probe the query's nearest *nprobe* cells, exact-cosine rescore.
 
-    Centroids are a deterministic sample of the corpus itself (every
-    ``n/k``-th vector by id) — k-means would drift run-to-run; a fixed
-    seed set keeps plans reproducible while preserving the IVF shape.
+    Centroids seed from a deterministic stride sample of the corpus
+    (reproducible, O(centroids) driver transfer); *kmeans_iters* > 0
+    runs that many DataFrame-side Lloyd refinements
+    (:func:`kmeans_refine_centroids`) — still fully deterministic.
     The corpus is assigned ONCE (nprobe=1 → disjoint cells, no row
     duplication); queries fan out to nprobe cells. Join is equi on
     cell id: hash-partitioned, broadcast query side, never a cross
     join. At 100 TB the cell assignment is a write-once partition
     column (partitionBy(cell)) and each probe prunes to nprobe/k of
     the corpus."""
-    # deterministic seed sample WITHOUT collecting the corpus: count
-    # (cheap partial agg), then pull only the ~n_centroids rows whose id
-    # hits the stride — the one collect is O(centroids), never O(n)
-    n = embeddings.count()
-    step = max(1, n // n_centroids)
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in (
-            embeddings.where(F.col("vec_id") % step == 0)
-            .orderBy("vec_id")
-            .limit(n_centroids)
-            .collect()
-        )
-    ]
+    cents = seed_centroids(embeddings, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine_centroids(embeddings, cents, iterations=kmeans_iters)
     e = ensure_parallelism(embeddings).select(
         "vec_id",
         "embedding",
@@ -300,3 +291,63 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def kmeans_refine_centroids(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iterations: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means refinement of IVF centroids, fully DataFrame-side.
+
+    Each iteration: assign every vector to its nearest centroid (per-row
+    expression against the literal centroid array — no shuffle), then
+    recompute centroid means via posexplode → (cell, dim) partial agg →
+    regroup. Only the k·dim centroid matrix ever reaches the driver
+    (deterministic: no RNG, fixed seed set, fixed iteration count).
+
+    Spark-first equivalent of MLlib KMeans for this narrow use — the
+    explicit form keeps the oracle/pytest story simple and the plan
+    inspectable."""
+    cents = centroids
+    for _ in range(iterations):
+        assigned = embeddings.select(
+            "embedding",
+            F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1), 1).alias("cell"),
+        )
+        dims = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("mean_v"))
+        )
+        new_rows = (
+            dims.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("dm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("dm"), lambda s: s["mean_v"]).alias("centroid"),
+            )
+            .collect()
+        )
+        moved = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in new_rows}
+        # empty cells keep their previous centroid
+        cents = [(cid, moved.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def seed_centroids(embeddings: DataFrame, n_centroids: int = 16) -> list[tuple[int, list[float]]]:
+    """Deterministic stride sample of the corpus as centroid seeds —
+    O(centroids) driver transfer (count + modulo filter), never O(n)."""
+    n = embeddings.count()
+    step = max(1, n // n_centroids)
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in (
+            embeddings.where(F.col("vec_id") % step == 0)
+            .orderBy("vec_id")
+            .limit(n_centroids)
+            .collect()
+        )
+    ]

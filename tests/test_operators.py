@@ -320,3 +320,32 @@ def test_stats_profile_approx_tracks_exact(spark, tables):
         # t-digest with accuracy 10k on small groups: near-exact
         assert abs(a["p50_price_approx"] - e["p50_price"]) / e["p50_price"] < 0.02
         assert abs(a["p99_price_approx"] - e["p99_price"]) / e["p99_price"] < 0.02
+
+
+def test_kmeans_refinement_reduces_quantization_error(spark, tables):
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    seeds = S.seed_centroids(emb, n_centroids=8)
+    refined = S.kmeans_refine_centroids(emb, seeds, iterations=2)
+    assert len(refined) == len(seeds)
+
+    def mean_best_cos(cents):
+        best = F.array_max(F.array(*[
+            S.cosine(F.col("embedding"),
+                     F.array(*[F.lit(float(x)) for x in c]))
+            for _, c in cents]))
+        return emb.agg(F.avg(best)).collect()[0][0]
+
+    # refined centroids fit the corpus at least as well as the seeds
+    assert mean_best_cos(refined) >= mean_best_cos(seeds) - 1e-9
+
+
+def test_ann_ivf_with_refinement_runs(spark, tables):
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, [0, 7])
+    out = S.ann_ivf(emb, q, k=3, n_centroids=8, nprobe=4, kmeans_iters=1).collect()
+    assert len(out) > 0
+    assert all(r["rank"] <= 3 for r in out)
