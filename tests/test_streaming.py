@@ -97,3 +97,34 @@ def test_stream_dedup_drops_replayed_events(spark, tables, tmp_path):
     assert out.count() == n_unique
     ids = [r["event_id"] for r in out.select("event_id").collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_stateful_running_totals_accumulate_across_batches(
+        spark, tables, events_dir, tmp_path):
+    # 2 files per trigger forces multiple micro-batches over the 4-file
+    # source -> per-user state must carry between batches
+    stream = SEV.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    totals = SEV.stream_user_running_totals(stream)
+    out = SEV.run_to_memory(
+        totals, "running_totals_out", str(tmp_path / "ckpt5"),
+        output_mode="append")
+    rows = out.collect()
+    # several emissions per user (one per batch they appeared in);
+    # the row with the max n_events is the final cumulative state
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    want = {
+        r["user_id"]: r for r in
+        tables["events"].groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("s"),
+            F.max("ts").alias("last_ts")).collect()
+    }
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        got = final[uid]
+        assert got["n_events"] == w["n"], uid
+        assert got["sum_value"] == pytest.approx(w["s"], rel=1e-9)
+        assert got["last_ts"] == w["last_ts"]
