@@ -95,7 +95,8 @@ def ann_lsh(
     queries: DataFrame,
     k: int = 5,
     num_tables: int = 12,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = None,
+    target_bucket_size: int = 256,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
@@ -114,6 +115,14 @@ def ann_lsh(
     for true neighbors), which is what lets larger p keep recall while
     the candidate set collapses.
     """
+    if planes_per_table is None:
+        # adapt buckets to the corpus: 2^p buckets per table sized for
+        # ~target_bucket_size members (one cheap count; p floored at 4
+        # so the small test corpus keeps its tuned recall)
+        import math
+
+        n = embeddings.count()
+        planes_per_table = max(4, int(math.log2(max(2, n / target_bucket_size))))
     # distinct plane sets per table: offset the deterministic generator
     tables = [
         _hyperplanes_seeded(dim, planes_per_table, seed=987654321 + t * 7919)
