@@ -324,6 +324,18 @@ def stats_profile(spark, sf_dir):
     return R.stats_profile(_lt(spark, sf_dir, "lineitem"))
 
 
+def profile_orders(spark, sf_dir):
+    return R.profile_table(
+        _lt(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_totalprice", "o_orderdate", "o_custkey"])
+
+
+def sample_systematic(spark, sf_dir):
+    df = R.systematic_sample(_lt(spark, sf_dir, "orders"), "o_orderkey")
+    return df.select("o_orderkey", "o_orderstatus",
+                     F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
 def q_repeat_customers(spark, sf_dir):
     return R.repeat_customers(_lt(spark, sf_dir, "orders"))
 
@@ -607,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile": stats_profile,
         "q_customers_no_orders": q_customers_no_orders,
         "q_repeat_customers": q_repeat_customers,
+        "profile_orders": profile_orders,
+        "sample_systematic": sample_systematic,
         "stats_profile_approx": stats_profile_approx,
         "q_sales_rollup": q_sales_rollup,
         "q_customer_quartiles": q_customer_quartiles,
@@ -836,6 +850,26 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    profile_cols = ["o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+    profile_selects = [
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+            sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_ratio,
+            count(DISTINCT {c}) AS n_distinct,
+            CAST(min({c}) AS VARCHAR) AS min_str,
+            CAST(max({c}) AS VARCHAR) AS max_str
+            FROM orders"""
+        for c in profile_cols
+    ]
+    sql["profile_orders"] = " UNION ALL ".join(profile_selects) + " ORDER BY col_name"
+
+    sql["sample_systematic"] = """
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) = '0'
+        ORDER BY o_orderkey
     """
 
     sql["q_repeat_customers"] = """

@@ -464,3 +464,58 @@ def stats_profile_approx(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality profile: one row per column with null ratio,
+    distinct count, and min/max (stringified for a uniform schema).
+
+    All columns profile in ONE pass (a single aggregate projection, not
+    one scan per column); the per-column rows come from unpivoting the
+    aggregate with a literal struct array — profiling a 100 TB table
+    costs exactly one partial-aggregated scan."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("_n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in columns
+        ]
+    )
+    return (
+        wide.select(F.col("_n").alias("n_rows"), F.explode(per_col).alias("p"))
+        .select(
+            F.col("p.col_name").alias("col_name"),
+            "n_rows",
+            F.col("p.n_nulls").alias("n_nulls"),
+            F.round(F.col("p.n_nulls") / F.col("n_rows"), 6).alias("null_ratio"),
+            F.col("p.n_distinct").alias("n_distinct"),
+            F.col("p.min_str").alias("min_str"),
+            F.col("p.max_str").alias("max_str"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def systematic_sample(df: DataFrame, key: str, nibbles: int = 1) -> DataFrame:
+    """Deterministic 16^-nibbles systematic sample: keep rows whose
+    md5(key) ends in *nibbles* zero hex digits. Unlike rand() sampling
+    this is reproducible across runs AND engines (md5 is bit-identical
+    in DuckDB, so the sample is oracle-checkable), and re-computable —
+    the reference re-processes deterministically chosen subsets."""
+    tail = F.substring(F.md5(F.col(key).cast("string")), 33 - nibbles, nibbles)
+    return df.where(tail == "0" * nibbles).orderBy(key)
