@@ -324,6 +324,33 @@ def stats_profile(spark, sf_dir):
     return R.stats_profile(_lt(spark, sf_dir, "lineitem"))
 
 
+def text_pii_scrub(spark, sf_dir):
+    return T.pii_scrub(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_keep_latest(spark, sf_dir):
+    """Latest order per customer (current-version dedup); o_orderkey as
+    deterministic tiebreaker for same-date orders."""
+    orders = _lt(spark, sf_dir, "orders").withColumn(
+        "_ord", F.struct(F.col("o_orderdate"), F.col("o_orderkey")))
+    df = TS.keep_latest(orders, ["o_custkey"], "_ord").drop("_ord")
+    return _round(
+        df.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey"),
+        {"o_totalprice": 2},
+    )
+
+
+def ts_align_full_outer(spark, sf_dir):
+    long_df = TS.series_long(_lt(spark, sf_dir, "lineitem"))
+    a = long_df.where(F.col("code") == "AF")
+    b = long_df.where(F.col("code") == "NO")
+    df = TS.align_full_outer(
+        a.select("date", "value"), b.select("date", "value"),
+        on=["date"], left_val="value", right_val="value")
+    return _round(df, {"left_value": 4, "right_value": 4})
+
+
 def profile_orders(spark, sf_dir):
     return R.profile_table(
         _lt(spark, sf_dir, "orders"),
@@ -621,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeat_customers": q_repeat_customers,
         "profile_orders": profile_orders,
         "sample_systematic": sample_systematic,
+        "text_pii_scrub": text_pii_scrub,
+        "dedup_keep_latest": dedup_keep_latest,
+        "ts_align_full_outer": ts_align_full_outer,
         "stats_profile_approx": stats_profile_approx,
         "q_sales_rollup": q_sales_rollup,
         "q_customer_quartiles": q_customer_quartiles,
@@ -850,6 +880,38 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    from pyperustats_spark.operators.textops import PII_PATTERNS
+
+    scrub_expr = "text"
+    for pattern, token in PII_PATTERNS:
+        esc = pattern.replace("'", "''")
+        scrub_expr = f"regexp_replace({scrub_expr}, '{esc}', '{token}', 'g')"
+    sql["text_pii_scrub"] = f"""
+        SELECT doc_id, {scrub_expr} AS text_scrubbed,
+               ({scrub_expr} != text) AS was_scrubbed
+        FROM documents ORDER BY doc_id
+    """
+
+    sql["dedup_keep_latest"] = """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1 ORDER BY o_custkey
+    """
+
+    sql["ts_align_full_outer"] = f"""
+        WITH long AS ({_LONG}),
+        a AS (SELECT date, round(value, 4) AS left_value FROM long WHERE code = 'AF'),
+        b AS (SELECT date, round(value, 4) AS right_value FROM long WHERE code = 'NO')
+        SELECT COALESCE(a.date, b.date) AS date, a.left_value, b.right_value
+        FROM a FULL OUTER JOIN b ON a.date = b.date
+        ORDER BY date
     """
 
     profile_cols = ["o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"]

@@ -176,3 +176,28 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
     )
+
+
+# ORDER MATTERS: the phone pattern is the greediest digit-run matcher,
+# so cards and IPv4 must redact first or phone eats them
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Redact common PII shapes (emails, phone numbers, card-like digit
+    runs, IPv4) — the standard pre-training scrub pass. A fixed chain
+    of regexp_replace, fully JVM-side; pattern order is load-bearing
+    (see PII_PATTERNS). Returns original id, scrubbed text, and a flag."""
+    scrubbed = F.col("text")
+    for pattern, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return documents.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        (scrubbed != F.col("text")).alias("was_scrubbed"),
+    ).orderBy("doc_id")

@@ -315,3 +315,35 @@ def interpolate_linear(long_df: DataFrame) -> DataFrame:
         F.col("value").alias("observed"),
         interp.alias("value_interp"),
     ).orderBy("date", "code")
+
+
+def keep_latest(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep each key's latest row by *order_col* (the "current version"
+    dedup every changelog/cache needs): row_number over a per-key
+    descending window — one shuffle on the key, ties broken stably by
+    the ordering column only if unique; callers add a tiebreaker column
+    when needed."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def align_full_outer(left: DataFrame, right: DataFrame, on: list[str],
+                     left_val: str, right_val: str) -> DataFrame:
+    """Align two series on their keys with FULL OUTER semantics: rows
+    from either side survive, the other side's value NULL — the
+    reference's outer-merge of newly fetched columns into the wide
+    cache (BCRP cache.py:140-169). Shuffles both sides once on the
+    join key."""
+    return (
+        left.select(*on, F.col(left_val).alias("left_value"))
+        .join(
+            right.select(*on, F.col(right_val).alias("right_value")),
+            on,
+            "full_outer",
+        )
+        .orderBy(*on)
+    )

@@ -349,3 +349,21 @@ def test_ann_ivf_with_refinement_runs(spark, tables):
     out = S.ann_ivf(emb, q, k=3, n_centroids=8, nprobe=4, kmeans_iters=1).collect()
     assert len(out) > 0
     assert all(r["rank"] <= 3 for r in out)
+
+
+def test_pii_scrub_redacts_common_shapes(spark):
+    from pyperustats_spark.operators import textops as TXO
+    docs = spark.createDataFrame([
+        (1, "contact alice@example.com or +1 (555) 123-4567 today"),
+        (2, "card 4111 1111 1111 1111 from 192.168.1.10"),
+        (3, "perfectly clean text with nothing sensitive"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TXO.pii_scrub(docs).collect()}
+    assert "<EMAIL>" in out[1]["text_scrubbed"]
+    assert "<PHONE>" in out[1]["text_scrubbed"]
+    assert "alice@example.com" not in out[1]["text_scrubbed"]
+    assert "<CARD>" in out[2]["text_scrubbed"]
+    assert "<IP>" in out[2]["text_scrubbed"]
+    assert out[1]["was_scrubbed"] and out[2]["was_scrubbed"]
+    assert not out[3]["was_scrubbed"]
+    assert out[3]["text_scrubbed"] == "perfectly clean text with nothing sensitive"
