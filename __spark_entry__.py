@@ -160,14 +160,14 @@ def ts_running_total(spark, sf_dir):
 
 
 def ts_yoy_growth(spark, sf_dir):
-    monthly = TS.resample(TS.series_long(_lt(spark, sf_dir, "lineitem")), "M").select(
-        "period", "code", "value_sum")
+    monthly = TS.resample(TS.series_long(_lt(spark, sf_dir, "lineitem")), "M",
+                          sort=False).select("period", "code", "value_sum")
     return _round(TS.yoy_growth(monthly), {"value_sum": 4, "prev_year": 4, "yoy": 6})
 
 
 def ts_asof_join(spark, sf_dir):
     long_df = TS.series_long(_lt(spark, sf_dir, "lineitem"))
-    q = (TS.resample(long_df, "Q")
+    q = (TS.resample(long_df, "Q", sort=False)
          .select(F.col("period").alias("date"), "code", "value_sum"))
     df = TS.asof_join(long_df, q, on="date", key="code",
                       right_value_cols=["value_sum"])

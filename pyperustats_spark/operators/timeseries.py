@@ -71,9 +71,15 @@ def unpivot_long(wide_df: DataFrame, codes: tuple[str, ...] = SERIES_CODES) -> D
     )
 
 
-def resample(long_df: DataFrame, frequency: str = "M") -> DataFrame:
+def resample(long_df: DataFrame, frequency: str = "M",
+             sort: bool = True) -> DataFrame:
     """Roll daily observations up to M/Q/A periods (reference frequency
-    handling, utils.py:147-200). Single partial-aggregated shuffle."""
+    handling, utils.py:147-200). Single partial-aggregated shuffle.
+
+    ``sort=False`` for composition: the presentation orderBy is a
+    GLOBAL range-shuffle + sort that any downstream re-partitioning
+    (as-of union, yoy window) immediately throws away — at scale that
+    is a full wasted pass over the resampled table."""
     unit = {"D": "DAY", "M": "MONTH", "Q": "QUARTER", "A": "YEAR"}[frequency.upper()]
     out = (
         long_df.groupBy(F.date_trunc(unit, F.col("date")).alias("period"), F.col("code"))
@@ -91,7 +97,7 @@ def resample(long_df: DataFrame, frequency: str = "M") -> DataFrame:
     if frequency.upper() == "Q":
         # reference keeps a yq label for quarterly frames (utils.py:183)
         out = out.withColumn("yq", quarter_label(F.col("period")))
-    return out.orderBy("period", "code")
+    return out.orderBy("period", "code") if sort else out
 
 
 def gap_fill(long_df: DataFrame) -> DataFrame:
