@@ -125,7 +125,8 @@ def ts_pivot_wide(spark, sf_dir):
 
 
 def ts_unpivot_long(spark, sf_dir):
-    wide = TS.pivot_wide(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+    wide = TS.pivot_wide(TS.series_long(_lt(spark, sf_dir, "lineitem")),
+                         sort=False)
     return _round(TS.unpivot_long(wide), {"value": 4})
 
 

@@ -49,16 +49,19 @@ def series_long(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def pivot_wide(long_df: DataFrame, codes: tuple[str, ...] = SERIES_CODES) -> DataFrame:
+def pivot_wide(long_df: DataFrame, codes: tuple[str, ...] = SERIES_CODES,
+               sort: bool = True) -> DataFrame:
     """Long → wide, one column per code (reference wide cache tables,
     cache.py:8-12). Explicit `codes` list: Spark skips the extra
-    distinct-values job and the pivot is a single shuffle."""
-    return (
+    distinct-values job and the pivot is a single shuffle.
+    ``sort=False`` when composing (the global sort would be wasted by
+    any downstream re-partitioning)."""
+    out = (
         long_df.groupBy("date")
         .pivot("code", list(codes))
         .agg(F.sum("value"))
-        .orderBy("date")
     )
+    return out.orderBy("date") if sort else out
 
 
 def unpivot_long(wide_df: DataFrame, codes: tuple[str, ...] = SERIES_CODES) -> DataFrame:
