@@ -325,6 +325,13 @@ def stats_profile(spark, sf_dir):
     return R.stats_profile(_lt(spark, sf_dir, "lineitem"))
 
 
+def dedup_clusters(spark, sf_dir):
+    """Fuzzy-dedup clusters: jaccard pairs -> iterative connected
+    components -> canonical per cluster. Full oracle via DuckDB
+    recursive CTE over the same pair SQL."""
+    return D.dedup_clusters(_lt(spark, sf_dir, "documents"))
+
+
 def text_pii_scrub(spark, sf_dir):
     return T.pii_scrub(_lt(spark, sf_dir, "documents"))
 
@@ -651,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_systematic": sample_systematic,
         "text_pii_scrub": text_pii_scrub,
         "dedup_keep_latest": dedup_keep_latest,
+        "dedup_clusters": dedup_clusters,
         "ts_align_full_outer": ts_align_full_outer,
         "stats_profile_approx": stats_profile_approx,
         "q_sales_rollup": q_sales_rollup,
@@ -1418,6 +1426,47 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.15
         ORDER BY id_a, id_b
+    """
+
+    # connected components as a recursive CTE: (node,label) state space
+    # is bounded by nodes × labels, min(label) per node = cluster id
+    sql["dedup_clusters"] = """
+        WITH RECURSIVE norm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(length(s) - 2, 1) + 1),
+                       i -> substr(s, CAST(i AS INT), 3)))) AS sh
+            FROM norm
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        df_ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 200),
+        shf AS (SELECT sh.* FROM sh JOIN df_ok USING (sh)),
+        prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges0 AS (
+            SELECT id_a, id_b FROM prs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.15
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM edges0
+            UNION SELECT id_b, id_a FROM edges0
+        ),
+        cc(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id,
+               node = min(label) AS is_canonical
+        FROM cc GROUP BY node ORDER BY doc_id
     """
 
     sql["dedup_embedding_cosine"] = """

@@ -295,3 +295,72 @@ def embedding_cosine_pairs(
         )
     )
     return pairs.where(F.col("cos") >= threshold).orderBy("id_a", "id_b")
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs: every node gets the
+    MINIMUM id reachable from it (its cluster id) — the step that turns
+    pairwise matches into dedup clusters with one canonical doc each.
+
+    Iterative min-label propagation: each round, every node adopts the
+    smallest label among itself and its neighbors; converged when no
+    label changes (checked with one count per round, iterations ≈ graph
+    diameter — near-dup clusters are shallow). Labels persist per round
+    and the previous round unpersists; only edges and labels shuffle,
+    never documents. Deterministic."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+def dedup_clusters(documents: DataFrame, n: int = 3,
+                   threshold: float = 0.15) -> DataFrame:
+    """End-to-end fuzzy dedup: n-gram Jaccard pairs → connected
+    components → per-doc cluster id + canonical flag (cluster minimum
+    survives — the multi-document generalization of the reference's
+    first-file-wins content dedup, organizer.py:222-231)."""
+    pairs = ngram_jaccard_pairs(documents, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    return cc.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id"))
+    ).orderBy("doc_id")

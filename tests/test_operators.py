@@ -367,3 +367,38 @@ def test_pii_scrub_redacts_common_shapes(spark):
     assert out[1]["was_scrubbed"] and out[2]["was_scrubbed"]
     assert not out[3]["was_scrubbed"]
     assert out[3]["text_scrubbed"] == "perfectly clean text with nothing sensitive"
+
+
+def test_connected_components_matches_union_find(spark, tables):
+    pairs = D.ngram_jaccard_pairs(tables["documents"], threshold=0.15)
+    collected = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert collected, "expected near-dup pairs in testdata"
+    # plain-Python union-find as the oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in collected:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_clusters_canonical_is_cluster_min(spark, tables):
+    out = D.dedup_clusters(tables["documents"].limit(200)).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        assert min(r["doc_id"] for r in rows) == cid
+        canon = [r for r in rows if r["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid
