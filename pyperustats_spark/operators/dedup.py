@@ -24,7 +24,7 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.hashing import (

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyperustats_spark.functions.hashing import P31, minhash_coeffs
 from pyperustats_spark.functions.layout import ensure_parallelism
 from pyperustats_spark.functions.vectors import cosine
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyperustats_spark.functions.dates import parse_period, quarter_label
+from pyperustats_spark.functions.dates import quarter_label
 
 # returnflag+linestatus composites present in the testdata
 SERIES_CODES = ("AF", "AO", "NF", "NO", "RF", "RO")
