@@ -3,9 +3,11 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (collect for small results, count
-for large ones) so the measured time covers the full physical plan, not
-just planning.
+Each query is executed exactly once per run through the ``noop`` sink:
+the full physical plan runs JVM-side with every output column
+materialized (count() would let Catalyst prune projections; collect()
+would add Python-deserialization cost and, combined with count(), used
+to double-execute every query).
 """
 
 from __future__ import annotations
@@ -43,10 +45,6 @@ HEADLINE = [
     "knn_bruteforce_cosine",
 ]
 
-# results small enough to collect; everything else is counted
-COLLECT_MAX_ROWS = 100_000
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -69,9 +67,7 @@ def main() -> None:
         for _ in range(runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
-            if n <= COLLECT_MAX_ROWS:
-                df.collect()
+            df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)

@@ -277,22 +277,35 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
 def embedding_cosine_pairs(
     embeddings: DataFrame, threshold: float = 0.95, block: int = 8
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold.
+    """Embedding near-dup pairs: cosine ≥ threshold — the EXACT all-pairs
+    baseline (the production-scale candidate generator is
+    :func:`~pyperustats_spark.operators.similarity.ann_lsh`).
 
-    Blocked self-join: rows are assigned a coarse block by vector-id
-    range purely to bound the join fan-out in the oracle-checkable exact
-    variant; the production-scale path is :func:`ann_lsh` in
-    ``similarity.py`` (hyperplane buckets). Here the self-join is exact
-    over all pairs — the cosine itself runs JVM-side via zip_with."""
+    Blocked self-join: every vector gets a block ``g = vec_id mod
+    block``; the left side replicates to block-pair keys (g, j≥g), the
+    right side to (i≤g, g), and the join is an EQUI-join on the
+    (i, j) key — so the O(n²) pair work hash-partitions across
+    block·(block+1)/2 tasks instead of a single
+    BroadcastNestedLoopJoin. Each unordered pair surfaces exactly once:
+    cross-block keys pair disjoint row sets, the diagonal filters
+    a.vec_id < b.vec_id. Replication factor ≈ (block+2)/2 on each side
+    — the inherent price of distributing an exact quadratic operator."""
     e = ensure_parallelism(embeddings).select("vec_id", "embedding")
-    pairs = (
-        e.alias("a")
-        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
-        )
+    e = e.withColumn("_g", F.pmod(F.col("vec_id"), F.lit(block)).cast("int"))
+    left = e.withColumn(
+        "_j", F.explode(F.sequence(F.col("_g"), F.lit(block - 1))))
+    right = e.withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.col("_g"))))
+    pairs = left.alias("a").join(
+        right.alias("b"),
+        (F.col("a._g") == F.col("b._i"))
+        & (F.col("a._j") == F.col("b._g"))
+        & ((F.col("a._g") < F.col("b._g"))
+           | (F.col("a.vec_id") < F.col("b.vec_id"))),
+    ).select(
+        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_a"),
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
     )
     return pairs.where(F.col("cos") >= threshold).orderBy("id_a", "id_b")
 

@@ -31,7 +31,9 @@ def tumbling_window(events: DataFrame, hours: int = 24) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
-            F.avg("value").alias("avg_value"),
+            # round(sum,2)/count, never avg(): 2-decimal inputs put plain
+            # avg() on round-half boundaries across engines
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
             # exact distinct keeps oracle parity; at 100 TB swap for
             # approx_count_distinct (HLL) to avoid the distinct shuffle
             F.countDistinct("user_id").alias("n_users"),
@@ -40,11 +42,20 @@ def tumbling_window(events: DataFrame, hours: int = 24) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, tiebreak: str = "event_id"
+) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is idle
     longer than *gap_minutes*. lag + conditional cumsum over a per-user
-    window — one shuffle on user_id, linear within partition."""
-    w = Window.partitionBy("user_id").orderBy("ts")
+    window — one shuffle on user_id, linear within partition.
+
+    *tiebreak* makes the ordering total when two events share a
+    timestamp, and the cumsum uses an explicit ROWS frame: the default
+    RANGE frame sums over timestamp PEERS, which diverges from the
+    row-at-a-time oracle on the first tied (user_id, ts)."""
+    order = [F.col("ts"), F.col(tiebreak)] if tiebreak in events.columns else [F.col("ts")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
     # integer microsecond arithmetic: exact, and bit-identical in the
     # DuckDB oracle (date_diff('microsecond', ...))
@@ -53,7 +64,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_minutes * 60_000_000),
         1,
     ).otherwise(0)
-    with_sess = events.withColumn("session_seq", F.sum(new_sess).over(w))
+    with_sess = events.withColumn("session_seq", F.sum(new_sess).over(w_cum))
     return (
         with_sess.groupBy("user_id", "session_seq")
         .agg(

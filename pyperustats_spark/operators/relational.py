@@ -30,9 +30,17 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "2001-09-02") -> Dat
             F.sum("l_quantity").alias("sum_qty"),
             F.sum("l_extendedprice").alias("sum_base_price"),
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
+            # charge products sit on a 1e-6 decimal grid, so a double sum
+            # can land exactly on a round-4 midpoint (engines then split);
+            # an exact decimal sum rounded AS DECIMAL is order-independent
+            # and bit-identical cross-engine
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * (1 + F.col("l_tax"))).cast("decimal(18,6)")
+                ),
+                4,
+            ).cast("double").alias("sum_charge"),
             F.sum("l_discount").alias("_sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -416,16 +424,69 @@ def sales_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def global_ntile(df: DataFrame, order, n_tiles: int = 4,
+                 num_partitions: int | None = None) -> DataFrame:
+    """Exact ``ntile`` over a GLOBAL ordering without the
+    single-partition window (``Window.orderBy`` with no partition spec
+    funnels every row through one task — the classic scale killer).
+
+    Shape: range-repartition on the order keys + in-partition sort
+    (Spark's normal distributed sort), then read each row's
+    within-partition position straight out of
+    ``monotonically_increasing_id`` (pid*2^33 + arrival seq — after the
+    sort the arrival order IS the sort order). Global rank = position +
+    cumulative count of earlier partitions; the only driver-scale
+    structure is the P-row per-partition count table, whose prefix sums
+    come from a P×P broadcast cross join so the plan stays lazy and
+    window-free. Catalyst reuses the range exchange across the two
+    branches (ReusedExchange), so the data shuffles once.
+
+    Adds a ``_tile`` int column; order keys must be a total order or
+    ranks are nondeterministic."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    mid = F.monotonically_increasing_id()
+    part = (
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.shiftright(mid, 33).cast("int"))
+        .withColumn("_pos", (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1))
+    )
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), how="cross")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.sum(F.when(F.col("b._pid") < F.col("a._pid"),
+                         F.col("b._cnt")).otherwise(F.lit(0))).alias("_off"),
+            F.sum(F.col("b._cnt")).alias("_n"),
+        )
+    )
+    ranked = part.join(F.broadcast(offsets), "_pid")
+    rn = F.col("_off") + F.col("_pos")
+    base = F.floor(F.col("_n") / n_tiles)
+    rem = F.col("_n") % n_tiles
+    cut = rem * (base + 1)
+    tile = F.when(rn <= cut, F.ceil(rn / (base + 1))).otherwise(
+        rem + F.ceil(F.try_divide(rn - cut, base)))
+    return (
+        ranked.withColumn("_tile", tile.cast("int"))
+        .drop("_pid", "_pos", "_off", "_n")
+    )
+
+
 def customer_value_quartiles(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Quartile assignment by customer revenue (ntile over the global
-    revenue ordering). The single-partition window on the aggregate is
-    fine: it sees one row per customer, not raw orders; for billions of
-    entities switch to percent_rank over range-partitioned sort."""
+    """Quartile assignment by customer revenue — exact ntile(4)
+    semantics via :func:`global_ntile` (range-partitioned distributed
+    sort + broadcast offsets), no partition-less window anywhere in the
+    plan even at billions of customers."""
     rev = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-    w = Window.orderBy(F.desc("revenue"), F.col("o_custkey").asc())
+    ranked = global_ntile(
+        rev, [F.col("revenue").desc(), F.col("o_custkey").asc()], n_tiles=4)
     return (
-        rev.withColumn("quartile", F.ntile(4).over(w))
+        ranked.withColumnRenamed("_tile", "quartile")
         .join(customer.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
               "o_custkey")
         .select(F.col("o_custkey").alias("custkey"), "c_name", "revenue", "quartile")

@@ -78,6 +78,50 @@ def test_asof_join_single_shuffle_per_side(spark, tables):
     assert "BroadcastNestedLoopJoin" not in txt
 
 
+def test_customer_quartiles_has_no_window(spark, tables):
+    # global_ntile replaces the partition-less ntile window (the
+    # single-task scale killer) with range partitioning + id math:
+    # the plan must contain NO window operator at all
+    df = R.customer_value_quartiles(tables["customer"], tables["orders"])
+    txt = P.explain_str(df)
+    assert "Window" not in txt, txt
+    assert not P.has_python_eval(df)
+
+
+def test_global_ntile_matches_window_ntile(spark, tables):
+    from pyspark.sql import Window
+
+    rev = tables["orders"].groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    order = [F.col("revenue").desc(), F.col("o_custkey").asc()]
+    for n_tiles in (3, 4, 7):
+        got = {
+            (r["o_custkey"], r["_tile"])
+            for r in R.global_ntile(rev, order, n_tiles=n_tiles).collect()
+        }
+        want = {
+            (r["o_custkey"], r["t"])
+            for r in rev.withColumn(
+                "t", F.ntile(n_tiles).over(Window.orderBy(*order))).collect()
+        }
+        assert got == want
+
+
+def test_embedding_cosine_pairs_is_equi_join(spark, tables):
+    from pyperustats_spark.operators import dedup as D
+
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    df = D.embedding_cosine_pairs(emb, threshold=0.2)
+    txt = P.explain_str(df)
+    # blocked on the (i, j) id-range key: the quadratic work must
+    # hash-partition, never run as one nested-loop task
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    assert not P.has_python_eval(df)
+
+
 def test_multimodal_uses_arrow_python_stage(spark):
     media = MM.synthesize_media(spark, n=6)
     df = MM.extract_features(media)

@@ -70,6 +70,18 @@ def main():
             continue
         ok = True
         msgs = []
+        # HUGEINT/DECIMAL oracle outputs hash differently from Spark's
+        # bigint/double under an Arrow-based comparator even when every
+        # value matches (fetchall() hides this by coercing to Python int)
+        try:
+            tdesc = con.execute("DESCRIBE " + oracles[name]).fetchall()
+        except Exception:
+            tdesc = []
+        bad_types = [(c, ty) for c, ty, *_ in tdesc
+                     if "HUGEINT" in ty or "DECIMAL" in ty]
+        if bad_types:
+            ok = False
+            msgs.append(f"oracle emits non-portable types {bad_types}")
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
