@@ -47,9 +47,46 @@ CLEAN_ROWS = [
     (6, ""),
     (7, "1,2,3"),
     (8, "2,500,100.75"),
+    (9, "5.2%"),
+    (10, "-3.4"),
+    (11, "1,250.5%"),
+    (12, "12%%"),
 ]
 
 VALIDATE_CODES = [1, 2, 3, 150, 199, 100000, 999999]
+
+# synthetic API payloads in the reference's response shape
+# (config.series[].name + periods[].values) incl. "n.d." gaps and
+# out-of-order periods
+JSON_PAYLOADS = [
+    (1, '{"config": {"series": [{"name": "PN01288PM"}, {"name": "PN01289PM"}]},'
+        ' "periods": [{"name": "Ene.2023", "values": ["4.25", "102.3"]},'
+        ' {"name": "Feb.2023", "values": ["n.d.", "103.1"]},'
+        ' {"name": "Mar.2023", "values": ["4.75", "n.d."]}]}'),
+    (2, '{"config": {"series": [{"name": "PN00015MM"}]},'
+        ' "periods": [{"name": "Dic.2022", "values": ["-1.5"]},'
+        ' {"name": "Set.2022", "values": ["0.82"]}]}'),
+]
+
+# accent/case/punctuation variants of canonical location-style names —
+# the reference's infogob location canonicalization flow (strip accents,
+# uppercase, alnum-only, per-key most-common)
+ACCENT_ROWS = [
+    (1, 101, "  Cañete—Sur  "),
+    (2, 101, "CANETE SUR"),
+    (3, 101, "cañete sur"),
+    (4, 101, "Cañete Sur!"),
+    (5, 101, "Canete/sur 2"),
+    (6, 102, "San José de Río"),
+    (7, 102, "SAN JOSE DE RIO"),
+    (8, 102, "san jose de río"),
+    (9, 103, "Máncora–Norte"),
+    (10, 103, "mancora  norte"),
+    (11, 103, "MÁNCORA NORTE?"),
+    (12, 104, "Über-Längen äöü"),
+    (13, 104, "çédille Ça-Va"),
+    (14, None, "Sin región"),
+]
 MISSING_CODE_REQ = ["AF", "NO", "XX", "ZZ"]
 KNN_QUERY_IDS = [0, 7, 42, 99, 123]
 
@@ -118,6 +155,67 @@ def catalog_freq_counts(spark, sf_dir):
 def clean_numeric_cast(spark, sf_dir):
     raw = spark.createDataFrame(CLEAN_ROWS, "id int, raw string")
     return R.clean_numeric_cast(raw)
+
+
+def text_clean_accents(spark, sf_dir):
+    from pyperustats_spark.functions.text import clean_text_es, strip_accents
+
+    raw = spark.createDataFrame(
+        ACCENT_ROWS, "id int, location_id int, raw string")
+    return raw.select(
+        "id", "location_id", "raw",
+        strip_accents(F.col("raw")).alias("no_accents"),
+        clean_text_es(F.col("raw")).alias("cleaned"),
+    ).orderBy("id")
+
+
+def infogob_location_canonical(spark, sf_dir):
+    from pyperustats_spark.functions.text import clean_text_es
+
+    raw = spark.createDataFrame(
+        ACCENT_ROWS, "id int, location_id int, raw string")
+    cleaned = raw.select(
+        "location_id", clean_text_es(F.col("raw")).alias("name"))
+    df = R.most_common_by_group(
+        cleaned, ["location_id"], "name", out_col="canonical_name")
+    return df.orderBy(F.col("location_id").asc_nulls_last())
+
+
+def mode_status_by_customer(spark, sf_dir):
+    df = R.most_common_by_group(
+        _lt(spark, sf_dir, "orders"), ["o_custkey"], "o_orderstatus",
+        out_col="mode_status")
+    return df.orderBy("o_custkey")
+
+
+FORMAT_ROWS = [
+    (1, "2023-06-15", "D"), (2, "2023-06-15", "M"), (3, "2023-06-15", "Q"),
+    (4, "2023-06-15", "A"), (5, "2021-12-31", "Q"), (6, "2020-01-01", "M"),
+    (7, "1999-02-28", "D"), (8, "2024-10-07", "A"), (9, "2022-04-01", "Q"),
+    (10, "2021-07-04", "M"),
+]
+
+
+def ts_format_period(spark, sf_dir):
+    from pyperustats_spark.functions.dates import format_period
+
+    raw = spark.createDataFrame(FORMAT_ROWS, "id int, d string, freq string")
+    ts = F.col("d").cast("timestamp")
+    out = raw.select(
+        "id", "d", "freq",
+        F.when(F.col("freq") == "D", format_period(ts, "D"))
+         .when(F.col("freq") == "M", format_period(ts, "M"))
+         .when(F.col("freq") == "Q", format_period(ts, "Q"))
+         .otherwise(format_period(ts, "A")).alias("period"))
+    return out.orderBy("id")
+
+
+def json_api_observations(spark, sf_dir):
+    from pyperustats_spark.sources.json_api import json_observations
+
+    raw = spark.createDataFrame(JSON_PAYLOADS, "rid int, payload string")
+    df = json_observations(raw, "payload", freq="M", keep=["rid"])
+    return df.orderBy("rid", "date", "code")
 
 
 def ts_pivot_wide(spark, sf_dir):
@@ -666,6 +764,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_confusion": text_lang_confusion,
         "skew_salted_join": skew_salted_join,
         "skew_salted_distinct": skew_salted_distinct,
+        "text_clean_accents": text_clean_accents,
+        "infogob_location_canonical": infogob_location_canonical,
+        "mode_status_by_customer": mode_status_by_customer,
+        "json_api_observations": json_api_observations,
+        "ts_format_period": ts_format_period,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -802,17 +905,20 @@ def oracle_sql() -> dict[str, str]:
     sql["catalog_search"] = """
         SELECT p_partkey, p_name, p_brand, p_type
         FROM part
-        WHERE contains(p_name, 'red') OR contains(lower(p_name), 'red')
+        WHERE contains(lower(p_name), 'red')
         ORDER BY p_partkey
     """
 
     req = ", ".join(f"({c})" for c in VALIDATE_CODES)
     sql["catalog_validate_codes"] = f"""
         WITH requested(code) AS (VALUES {req})
-        SELECT CAST(code AS BIGINT) AS code, TRUE AS valid
-        FROM requested WHERE code IN (SELECT p_partkey FROM part)
+        SELECT CAST(r.code AS BIGINT) AS code,
+               p.p_brand || ' - ' || p.p_name AS display_name,
+               TRUE AS valid
+        FROM requested r JOIN part p ON r.code = p.p_partkey
         UNION ALL
-        SELECT CAST(code AS BIGINT) AS code, FALSE AS valid
+        SELECT CAST(code AS BIGINT) AS code,
+               CAST(NULL AS VARCHAR) AS display_name, FALSE AS valid
         FROM requested WHERE code NOT IN (SELECT p_partkey FROM part)
         ORDER BY code
     """
@@ -829,8 +935,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["clean_numeric_cast"] = f"""
         SELECT id, raw,
-               CASE WHEN regexp_matches(trim(raw), '^[0-9,]+\\.?[0-9]*$')
-                    THEN CAST(replace(raw, ',', '') AS DOUBLE) END AS value_clean
+               CASE WHEN regexp_matches(trim(raw), '^-?[0-9,]+\\.?[0-9]*%?$')
+                    THEN CAST(replace(replace(raw, ',', ''), '%', '') AS DOUBLE)
+               END AS value_clean
         FROM {_values_sql(CLEAN_ROWS, "id, raw")}
         ORDER BY id
     """
@@ -1598,6 +1705,91 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, lang_pred, count(*) AS n
         FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """
+
+    accent_vals = _values_sql(ACCENT_ROWS, "id, location_id, raw")
+    _CLEAN_ES = ("trim(regexp_replace(regexp_replace(upper(strip_accents({c})), "
+                 "'[^A-Z0-9]+', ' ', 'g'), ' +', ' ', 'g'))")
+    sql["text_clean_accents"] = f"""
+        SELECT id, location_id, raw,
+               strip_accents(raw) AS no_accents,
+               {_CLEAN_ES.format(c='raw')} AS cleaned
+        FROM {accent_vals}
+        ORDER BY id
+    """
+
+    sql["infogob_location_canonical"] = f"""
+        WITH cleaned AS (
+            SELECT location_id, {_CLEAN_ES.format(c='raw')} AS name
+            FROM {accent_vals}
+        ),
+        counts AS (
+            SELECT location_id, name, count(*) AS n
+            FROM cleaned GROUP BY location_id, name
+        )
+        SELECT location_id, name AS canonical_name FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY location_id ORDER BY n DESC, name) AS rk
+            FROM counts
+        ) WHERE rk = 1
+        ORDER BY location_id NULLS LAST
+    """
+
+    sql["mode_status_by_customer"] = """
+        WITH counts AS (
+            SELECT o_custkey, o_orderstatus, count(*) AS n
+            FROM orders GROUP BY o_custkey, o_orderstatus
+        )
+        SELECT o_custkey, o_orderstatus AS mode_status FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY n DESC, o_orderstatus) AS rk
+            FROM counts
+        ) WHERE rk = 1
+        ORDER BY o_custkey
+    """
+
+    sql["ts_format_period"] = f"""
+        WITH t AS (
+            SELECT id, d, freq, CAST(d AS TIMESTAMP) AS ts
+            FROM {_values_sql(FORMAT_ROWS, "id, d, freq")}
+        )
+        SELECT id, d, freq,
+               CASE freq
+                   WHEN 'D' THEN strftime(ts, '%Y-%m-%d')
+                   WHEN 'M' THEN strftime(ts, '%Y-%m')
+                   WHEN 'Q' THEN CAST(year(ts) AS VARCHAR) || '-' ||
+                                 CAST(quarter(ts) AS VARCHAR)
+                   ELSE strftime(ts, '%Y')
+               END AS period
+        FROM t ORDER BY id
+    """
+
+    payload_vals = _values_sql(JSON_PAYLOADS, "rid, payload")
+    sql["json_api_observations"] = f"""
+        WITH typed AS (
+            SELECT rid, json_transform(payload,
+                '{{"config": {{"series": [{{"name": "VARCHAR"}}]}},
+                  "periods": [{{"name": "VARCHAR", "values": ["VARCHAR"]}}]}}') AS j
+            FROM {payload_vals}
+        ),
+        per AS (
+            SELECT rid, list_transform(j.config.series, s -> s.name) AS names,
+                   unnest(j.periods) AS p
+            FROM typed
+        ),
+        obs AS (
+            SELECT rid, p.name AS period,
+                   unnest(list_transform(range(1, len(names) + 1),
+                       i -> {{'code': names[i], 'raw': p."values"[i]}})) AS z
+            FROM per
+        )
+        SELECT rid, period,
+               strptime(replace(replace(replace(replace(replace(period,
+                   'Ene','Jan'),'Abr','Apr'),'Ago','Aug'),'Set','Sep'),
+                   'Dic','Dec'), '%b.%Y') AS date,
+               z.code AS code, TRY_CAST(z.raw AS DOUBLE) AS value
+        FROM obs
+        ORDER BY rid, date, code
     """
 
     sql["skew_salted_join"] = """

@@ -55,6 +55,26 @@ def parse_period(col: Column, frequency: str) -> Column:
     raise ValueError(f"Unknown frequency: {frequency!r}")
 
 
+def format_period(ts: Column, frequency: str) -> Column:
+    """Inverse of :func:`parse_period`: timestamp → the API period
+    string for *frequency* (reference ``_format_date_for_frequency``,
+    perustats/BCRP/models.py:89-131).
+
+    D → ``2023-06-15``, M → ``2023-06``, Q → ``2023-2``, A → ``2023``.
+    """
+    frequency = frequency.upper()
+    if frequency == "D":
+        return F.date_format(ts, "yyyy-MM-dd")
+    if frequency == "M":
+        return F.date_format(ts, "yyyy-MM")
+    if frequency == "Q":
+        return F.concat(
+            F.year(ts).cast("string"), F.lit("-"), F.quarter(ts).cast("string"))
+    if frequency == "A":
+        return F.date_format(ts, "yyyy")
+    raise ValueError(f"Unknown frequency: {frequency!r}")
+
+
 def quarter_label(ts: Column) -> Column:
     """``yq`` label like ``2023Q1`` (reference keeps a ``yq`` column for
     quarterly frames, perustats/BCRP/utils.py:183)."""

@@ -41,23 +41,72 @@ def normalize(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def _accent_table() -> tuple[str, str]:
+    # Latin-1 Supplement .. Latin Extended-B chars whose NFD form strips
+    # to one ASCII-range char (á→a, ñ→n, Ç→C, ...): exactly DuckDB's
+    # strip_accents result on that repertoire, precomputed so the Spark
+    # side is a single JVM translate(), not a Python UDF
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x250):
+        c = chr(cp)
+        stripped = "".join(
+            x for x in unicodedata.normalize("NFD", c)
+            if unicodedata.category(x) != "Mn"
+        )
+        if stripped != c and len(stripped) == 1:
+            src.append(c)
+            dst.append(stripped)
+    return "".join(src), "".join(dst)
+
+
+_ACCENT_SRC, _ACCENT_DST = _accent_table()
+
+
+def strip_accents(col: Column) -> Column:
+    """Remove diacritics (á→a, ñ→n) — reference ``strip_accents``
+    (perustats/infogob/11_locations_refs.py:45-48) does NFD + drop
+    combining marks. Here: one ``translate`` over the precomposed Latin
+    repertoire plus a regexp sweep of already-decomposed combining
+    marks, both JVM-side expressions inside codegen."""
+    return F.regexp_replace(
+        F.translate(col, _ACCENT_SRC, _ACCENT_DST), r"[̀-ͯ]", ""
+    )
+
+
+def clean_text_es(col: Column) -> Column:
+    """Spanish-corpus canonical form — reference ``clean_text``
+    (perustats/infogob/11_locations_refs.py:51-63): strip accents,
+    uppercase, non-alphanumerics → space, collapse runs, trim."""
+    s = F.upper(strip_accents(col))
+    s = F.regexp_replace(s, r"[^A-Z0-9]+", " ")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
 def collapse_ws(col: Column) -> Column:
     """Collapse runs of whitespace to one space and trim."""
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
 def clean_numeric(col: Column) -> Column:
-    """``'3,400,841.50'`` → 3400841.50; non-numeric → NULL.
+    """``'3,400,841.50'`` → 3400841.50, ``'-5.2%'`` → -5.2;
+    non-numeric → NULL.
 
     Mirrors the MEF HTML-table numeric cleaning
-    (perustats/MEF/utils/tables.py:59-66): strip thousands commas, cast.
+    (perustats/MEF/utils/tables.py:59-66) plus the infogob percent/sign
+    forms (perustats/infogob/utils.py:1-16 ``to_float``/``to_int``):
+    strip thousands commas and a trailing '%', cast. Like the
+    reference's ``float("5.2%"[:-1])`` the percentage keeps its face
+    value (no /100).
     """
-    stripped = F.replace(col, F.lit(","), F.lit(""))
+    stripped = F.replace(
+        F.replace(col, F.lit(","), F.lit("")), F.lit("%"), F.lit(""))
     # try_cast, not cast: a comma-only string (",,") passes the regex
     # but strips to "" — ANSI cast would fail the job; the reference
     # swallows the ValueError (found by hypothesis)
     return F.when(
-        F.regexp_like(F.trim(col), F.lit(r"^[\d,]+\.?\d*$")),
+        F.regexp_like(F.trim(col), F.lit(r"^-?[\d,]+\.?\d*%?$")),
         stripped.try_cast("double"),
     )
 

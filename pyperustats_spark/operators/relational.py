@@ -211,27 +211,36 @@ def catalog_search(part: DataFrame, query: str) -> DataFrame:
     """Case-insensitive substring search over the catalogue description
     (reference `BCRPMetadata.search`, metadata.py:317-340)."""
     return (
-        part.where(F.col("p_name").contains(query) | F.lower(F.col("p_name")).contains(query.lower()))
+        part.where(F.lower(F.col("p_name")).contains(query.lower()))
         .select("p_partkey", "p_name", "p_brand", "p_type")
         .orderBy("p_partkey")
     )
 
 
-def catalog_validate_codes(part: DataFrame, requested: DataFrame) -> DataFrame:
-    """Split requested codes into valid/invalid against the catalogue
-    (reference `validate_codes`, metadata.py:252-306).
+def catalog_validate_codes(
+    part: DataFrame, requested: DataFrame,
+    name_from: tuple[str, str] = ("p_brand", "p_name"),
+) -> DataFrame:
+    """Split requested codes into valid/invalid against the catalogue,
+    carrying the reference's ``names_codes`` display-name mapping for
+    the valid ones — ``group + " - " + description`` per code
+    (reference `validate_codes`, metadata.py:252-306; the name map is
+    built at metadata.py:285-296). Invalid codes get a NULL name.
 
     Scale shape: the catalogue may be huge, the requested list is tiny —
     so broadcast *requested*, semi-join the catalogue once (one scan, no
     shuffle) to get the hit set (tiny), then anti-join requested against
     the broadcast hit set. Never broadcasts or shuffles the catalogue.
     """
-    cat = part.select(F.col("p_partkey").alias("code"))
+    cat = part.select(
+        F.col("p_partkey").alias("code"),
+        F.concat_ws(" - ", *[F.col(c) for c in name_from]).alias("display_name"),
+    )
     hits = cat.join(F.broadcast(requested), "code", "left_semi").distinct()
     valid = hits.withColumn("valid", F.lit(True))
     invalid = (
-        requested.join(F.broadcast(hits), "code", "left_anti")
-        .select("code")
+        requested.join(F.broadcast(hits.select("code")), "code", "left_anti")
+        .select("code", F.lit(None).cast("string").alias("display_name"))
         .withColumn("valid", F.lit(False))
     )
     return valid.unionByName(invalid).orderBy("code")
@@ -492,6 +501,26 @@ def customer_value_quartiles(customer: DataFrame, orders: DataFrame) -> DataFram
         .select(F.col("o_custkey").alias("custkey"), "c_name", "revenue", "quartile")
         .orderBy("custkey")
     )
+
+
+def most_common_by_group(
+    df: DataFrame, group_cols: list[str], value_col: str,
+    out_col: str = "most_common",
+) -> DataFrame:
+    """Per-group mode with a deterministic tiebreak (highest count wins,
+    ties broken by the lexicographically smallest value) — the reference
+    picks each location's canonical name this way
+    (perustats/infogob/11_locations_refs.py:66-79).
+
+    Two algebraic aggregations — count per (group, value), then
+    ``min_by(value, (-count, value))`` — both partial-aggregate
+    map-side; no window, no per-group value materialization, so group
+    count and value cardinality can both be huge."""
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_n"))
+    pick = F.struct((-F.col("_n")).alias("nn"), F.col(value_col).alias("v"))
+    return counts.groupBy(*group_cols).agg(
+        F.min_by(F.col(value_col), pick).alias(out_col))
 
 
 def repeat_customers(orders: DataFrame, year_a: int = 1995,

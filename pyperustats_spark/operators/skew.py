@@ -36,7 +36,13 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on *key* with the big side salted over *salt_n* buckets
     and the small side replicated to match. Result equals
-    ``big.join(small, key, how)`` row-for-row."""
+    ``big.join(small, key, how)`` row-for-row for inner/left joins ONLY:
+    a right/full-outer join would emit each unmatched small row once per
+    salt replica, so those modes are rejected."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            "salted_join supports inner/left joins only: the salt_n-"
+            f"replicated small side duplicates unmatched rows under {how!r}")
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(key), F.lit(17)), F.lit(salt_n)).cast("int")
     )

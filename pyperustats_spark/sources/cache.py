@@ -31,25 +31,65 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 BATCH_COL = "_batch_id"
+# underscore prefix: parquet readers skip it like _SUCCESS markers
+MANIFEST_FILE = "_MANIFEST"
+
+
+def window_namespace(freq: str, start_date: str | None = None,
+                     end_date: str | None = None) -> str:
+    """Per-(frequency, window) cache namespace — the reference keys one
+    SQLite table per fetch window (``_table_name``, BCRP/cache.py:34-43)
+    so daily and monthly series never collide. Here it is a relative
+    directory under the cache root."""
+    def safe(s: str) -> str:
+        return s.replace("-", "_").replace("/", "_")
+
+    parts = [f"freq={safe(freq)}"]
+    if start_date or end_date:
+        parts.append(f"window={safe(start_date or 'min')}_{safe(end_date or 'max')}")
+    return os.path.join(*parts)
 
 
 class IncrementalParquetCache:
-    """Append-only keyed parquet cache with latest-wins reads."""
+    """Append-only keyed parquet cache with latest-wins reads.
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+    *namespace* (usually :func:`window_namespace`) isolates the cache
+    under ``path/namespace`` so several (freq, window) caches share one
+    root with independent batch logs and latest-wins views.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str],
+                 namespace: str | None = None):
         self.spark = spark
-        self.path = path
+        self.path = os.path.join(path, namespace) if namespace else path
         self.keys = keys
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(self.path, exist_ok=True)
 
     # -- write path ---------------------------------------------------------
 
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST_FILE)
+
     def _next_batch_id(self) -> int:
+        # O(1) sidecar manifest read — scanning max(_batch_id) over the
+        # whole cache would cost O(cache) metadata per append at scale
+        try:
+            with open(self._manifest_path()) as f:
+                return int(f.read().strip()) + 1
+        except (OSError, ValueError):
+            pass
+        # no/corrupt manifest (e.g. pre-manifest cache): rebuild once
         raw = self._read_raw()
         if raw is None:
             return 0
         row = raw.agg(F.max(BATCH_COL).alias("m")).collect()[0]
         return (row["m"] if row["m"] is not None else -1) + 1
+
+    def _write_manifest(self, batch_id: int) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._manifest_path())
 
     def append(self, df: DataFrame) -> int:
         """Write an increment; rows with keys already cached supersede
@@ -61,6 +101,7 @@ class IncrementalParquetCache:
             .write.mode("append")
             .parquet(self.path)
         )
+        self._write_manifest(batch_id)
         return batch_id
 
     # -- read path ----------------------------------------------------------
@@ -86,10 +127,13 @@ class IncrementalParquetCache:
     # -- fetch planning (reference cached_codes / missing semantics) --------
 
     def cached_codes(self, code_col: str = "code") -> list:
-        df = self.load()
-        if df is None:
+        # distinct over RAW batches: superseding a key never removes its
+        # code, so this equals distinct over the resolved view without
+        # paying the latest-wins window shuffle
+        raw = self._read_raw()
+        if raw is None:
             return []
-        return sorted(r[0] for r in df.select(code_col).distinct().collect())
+        return sorted(r[0] for r in raw.select(code_col).distinct().collect())
 
     def missing_codes(self, requested: list, code_col: str = "code") -> list:
         have = set(self.cached_codes(code_col))
@@ -113,3 +157,4 @@ class IncrementalParquetCache:
         shutil.move(self.path, old)
         shutil.move(tmp, self.path)
         shutil.rmtree(old)
+        self._write_manifest(0)

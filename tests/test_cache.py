@@ -50,3 +50,50 @@ def test_cache_compact_preserves_view_and_resets_log(spark, tmp_path):
     assert cache.append(spark.createDataFrame(
         [("A", "2020-01-01", 99.0)], "code string, date string, value double")) == 1
     assert _rows(cache.load()) == [("A", "2020-01-01", 99.0)]
+
+
+def test_cache_namespaces_isolate_frequencies(spark, tmp_path):
+    from pyperustats_spark.sources.cache import window_namespace
+
+    root = str(tmp_path / "c4")
+    monthly = IncrementalParquetCache(
+        spark, root, keys=["code", "date"],
+        namespace=window_namespace("M", "2020-01-01", "2020-12-31"))
+    daily = IncrementalParquetCache(
+        spark, root, keys=["code", "date"],
+        namespace=window_namespace("D", "2020-01-01", "2020-12-31"))
+
+    monthly.append(spark.createDataFrame(
+        [("AF", "2020-01", 1.0)], "code string, date string, value double"))
+    daily.append(spark.createDataFrame(
+        [("AF", "2020-01-15", 9.0), ("NO", "2020-01-16", 2.0)],
+        "code string, date string, value double"))
+    # upsert in ONE namespace must not disturb the other
+    monthly.append(spark.createDataFrame(
+        [("AF", "2020-01", 5.0)], "code string, date string, value double"))
+
+    m = {(r["code"], r["date"]): r["value"] for r in monthly.load().collect()}
+    d = {(r["code"], r["date"]): r["value"] for r in daily.load().collect()}
+    assert m == {("AF", "2020-01"): 5.0}
+    assert d == {("AF", "2020-01-15"): 9.0, ("NO", "2020-01-16"): 2.0}
+    assert monthly.cached_codes() == ["AF"]
+    assert daily.cached_codes() == ["AF", "NO"]
+
+
+def test_cache_manifest_tracks_batches_and_survives_loss(spark, tmp_path):
+    import os
+
+    cache = IncrementalParquetCache(spark, str(tmp_path / "c5"),
+                                    keys=["code", "date"])
+    df = spark.createDataFrame(
+        [("AF", "2020-01", 1.0)], "code string, date string, value double")
+    assert cache.append(df) == 0
+    assert cache.append(df) == 1
+    # manifest is the O(1) source of truth
+    with open(cache._manifest_path()) as f:
+        assert f.read() == "1"
+    # deleted manifest: next id rebuilt from the data, then rewritten
+    os.remove(cache._manifest_path())
+    assert cache.append(df) == 2
+    with open(cache._manifest_path()) as f:
+        assert f.read() == "2"

@@ -99,3 +99,42 @@ def test_vector_ops(spark):
     assert one(spark, norm(a)) == 3.0
     assert one(spark, cosine(a, a)) == pytest.approx(1.0)
     assert one(spark, cosine(a, b)) == pytest.approx(1.0 / 3.0)
+
+
+def test_strip_accents_matches_nfd(spark):
+    import unicodedata
+
+    from pyperustats_spark.functions.text import strip_accents
+
+    samples = ["Cañete", "MÁNCORA", "çédille Ça", "über-Längen äöü",
+               "plain ascii 42", "mixté ś decomposed"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r[0] for r in df.select(strip_accents(F.col("s"))).collect()]
+    want = [
+        "".join(c for c in unicodedata.normalize("NFD", s)
+                if unicodedata.category(c) != "Mn")
+        for s in samples
+    ]
+    assert got == want
+
+
+def test_clean_text_es_reference_semantics(spark):
+    from pyperustats_spark.functions.text import clean_text_es
+
+    df = spark.createDataFrame(
+        [("  Cañete—Sur  ",), ("san josé/de RÍO 2",)], "s string")
+    got = [r[0] for r in df.select(clean_text_es(F.col("s"))).collect()]
+    assert got == ["CANETE SUR", "SAN JOSE DE RIO 2"]
+
+
+def test_most_common_by_group_tiebreak(spark):
+    from pyperustats_spark.operators.relational import most_common_by_group
+
+    rows = [(1, "b"), (1, "b"), (1, "a"), (2, "z"), (2, "y"), (3, "q")]
+    df = spark.createDataFrame(rows, "g int, v string")
+    got = {
+        r["g"]: r["most_common"]
+        for r in most_common_by_group(df, ["g"], "v").collect()
+    }
+    # group 1: clear winner; group 2: tie -> lexicographically smallest
+    assert got == {1: "b", 2: "y", 3: "q"}

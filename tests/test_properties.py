@@ -26,9 +26,9 @@ def _py_slugify(s: str) -> str:
 
 
 def _py_clean_numeric(s: str):
-    if re.match(r"^[\d,]+\.?\d*$", s.strip()):
+    if re.match(r"^-?[\d,]+\.?\d*%?$", s.strip()):
         try:
-            return float(s.replace(",", ""))
+            return float(s.replace(",", "").replace("%", ""))
         except ValueError:
             return None
     return None
