@@ -228,3 +228,53 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same cross-batch per-user running totals on the
+    ``transformWithStateInPandas`` API (Spark 4 arbitrary-state v2):
+    typed per-key ValueState managed by a ``StatefulProcessor`` instead
+    of the applyInPandasWithState tuple-state record.
+
+    Why both exist: v2 composes multiple state variables (value/list/
+    map) per key, supports TTL natively, and sidesteps the 4.1.2
+    ProcessingTimeTimeout+availableNow planner NPE documented on
+    :func:`stream_user_running_totals`. Semantics here are identical —
+    the pytest asserts both operators converge to the same final
+    per-user totals (SKIPPED where ``google.protobuf`` is broken: the
+    TWS state-server worker needs it at runtime; this container's
+    protobuf install cannot import ``descriptor``)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState("totals", USER_TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            n, s, last_us = self.state.get() if self.state.exists() else (0, 0.0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                batch_max_us = int(pdf["ts"].astype("int64").max() // 1000)
+                last_us = max(last_us, batch_max_us)
+            self.state.update((n, s, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=USER_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -128,3 +128,43 @@ def test_stateful_running_totals_accumulate_across_batches(
         assert got["n_events"] == w["n"], uid
         assert got["sum_value"] == pytest.approx(w["s"], rel=1e-9)
         assert got["last_ts"] == w["last_ts"]
+
+
+def _protobuf_ok():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithStateInPandas needs a working google.protobuf "
+           "for its state-server worker; this environment's install "
+           "cannot import descriptor")
+def test_tws_running_totals_match_apply_in_pandas_with_state(
+        spark, tables, events_dir, tmp_path):
+    stream = SEV.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    totals = SEV.stream_user_totals_tws(stream)
+    out = SEV.run_to_memory(
+        totals, "tws_totals_out", str(tmp_path / "ckpt_tws"),
+        output_mode="update")
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    want = {
+        r["user_id"]: r for r in
+        tables["events"].groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("s"),
+            F.max("ts").alias("last_ts")).collect()
+    }
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        got = final[uid]
+        assert got["n_events"] == w["n"], uid
+        assert got["sum_value"] == pytest.approx(w["s"], rel=1e-9)
+        assert got["last_ts"] == w["last_ts"]
