@@ -342,6 +342,18 @@ def text_ngram_topk(spark, sf_dir):
     return T.ngram_topk(_lt(spark, sf_dir, "documents"))
 
 
+def text_chunk_windows(spark, sf_dir):
+    return T.chunk_windows(_lt(spark, sf_dir, "documents"))
+
+
+def text_pack_sequences(spark, sf_dir):
+    return T.pack_sequences(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_filter_apply(spark, sf_dir):
+    return D.dedup_filter(_lt(spark, sf_dir, "documents"))
+
+
 def dedup_exact(spark, sf_dir):
     return D.dedup_exact(_lt(spark, sf_dir, "documents"))
 
@@ -769,6 +781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_status_by_customer": mode_status_by_customer,
         "json_api_observations": json_api_observations,
         "ts_format_period": ts_format_period,
+        "text_chunk_windows": text_chunk_windows,
+        "text_pack_sequences": text_pack_sequences,
+        "dedup_filter_apply": dedup_filter_apply,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -1505,6 +1520,47 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20
     """
 
+    # chunk_windows defaults: chunk_tokens=50, overlap=10 -> stride 40
+    sql["text_chunk_windows"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        st AS (
+            SELECT doc_id, t,
+                   list_filter(range(0, greatest(len(t), 1), 40),
+                               s -> s < len(t)) AS starts
+            FROM toks
+        ),
+        ch AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(starts) + 1),
+                       i -> {{'chunk_id': i - 1,
+                             'chunk_len': least(50, len(t) - starts[i]),
+                             'chunk_text': array_to_string(
+                                 t[starts[i] + 1 : starts[i] + 50], ' ')}})) AS c
+            FROM st
+        )
+        SELECT doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+               CAST(c.chunk_len AS BIGINT) AS chunk_len,
+               c.chunk_text AS chunk_text
+        FROM ch ORDER BY doc_id, chunk_id
+    """
+
+    sql["text_pack_sequences"] = f"""
+        WITH c AS (SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents),
+        o AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+            FROM c
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(floor(start_offset / 256) AS BIGINT) AS bin_start,
+               CAST(floor((start_offset + greatest(n_tokens - 1, 0)) / 256)
+                    AS BIGINT) AS bin_end
+        FROM o ORDER BY doc_id
+    """
+
     sql["dedup_exact"] = """
         SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
         FROM documents GROUP BY md5(text) ORDER BY doc_id
@@ -1545,9 +1601,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # connected components as a recursive CTE: (node,label) state space
-    # is bounded by nodes × labels, min(label) per node = cluster id
-    sql["dedup_clusters"] = """
-        WITH RECURSIVE norm AS (
+    # is bounded by nodes × labels, min(label) per node = cluster id;
+    # the CTE chain is shared with dedup_filter_apply
+    _cc_ctes = """norm AS (
             SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
             FROM documents
         ),
@@ -1579,10 +1635,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, src FROM edges
             UNION
             SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-        )
+        )"""
+
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {_cc_ctes}
         SELECT node AS doc_id, min(label) AS cluster_id,
                node = min(label) AS is_canonical
         FROM cc GROUP BY node ORDER BY doc_id
+    """
+
+    sql["dedup_filter_apply"] = f"""
+        WITH RECURSIVE {_cc_ctes},
+        losers AS (
+            SELECT node AS doc_id FROM cc
+            GROUP BY node HAVING node != min(label)
+        )
+        SELECT d.* FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY d.doc_id
     """
 
     sql["dedup_embedding_cosine"] = """

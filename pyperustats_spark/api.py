@@ -108,6 +108,40 @@ class DocumentPipeline:
         )
         return self
 
+    def dedup_fuzzy(self, threshold: float = 0.15) -> "DocumentPipeline":
+        """Drop non-canonical near-dup cluster members (n-gram Jaccard
+        pairs → connected components; each cluster's min doc_id
+        survives)."""
+        self._df = _dedup.dedup_filter(self._df, threshold=threshold, sort=False)
+        return self
+
+    def pii_scrub(self) -> "DocumentPipeline":
+        scrubbed = _textops.pii_scrub(self._df, sort=False).select(
+            "doc_id", "text_scrubbed")
+        self._df = (
+            self._df.join(scrubbed, "doc_id")
+            .drop("text")
+            .withColumnRenamed("text_scrubbed", "text")
+        )
+        return self
+
+    def chunk(self, chunk_tokens: int = 50, overlap: int = 10) -> "DocumentPipeline":
+        """Re-shape the corpus into overlapping token-window chunks;
+        downstream steps then operate per chunk (the frame's grain
+        changes to (doc_id, chunk_id))."""
+        self._df = _textops.chunk_windows(
+            self._df, chunk_tokens=chunk_tokens, overlap=overlap, sort=False)
+        return self
+
+    def pack(self, budget: int = 256) -> "DocumentPipeline":
+        """Assign each document its context-window span under
+        concat-and-split packing (adds start_offset/bin columns)."""
+        packed = _textops.pack_sequences(self._df, budget=budget,
+                                         sort=False).select(
+            "doc_id", "start_offset", "bin_start", "bin_end")
+        self._df = self._df.join(packed, "doc_id")
+        return self
+
     def with_fingerprint(self) -> "DocumentPipeline":
         fp = _textops.fingerprint(self._df)
         self._df = self._df.join(fp, "doc_id")

@@ -377,3 +377,19 @@ def dedup_clusters(documents: DataFrame, n: int = 3,
     return cc.withColumn(
         "is_canonical", (F.col("doc_id") == F.col("cluster_id"))
     ).orderBy("doc_id")
+
+
+def dedup_filter(documents: DataFrame, n: int = 3,
+                 threshold: float = 0.15, sort: bool = True) -> DataFrame:
+    """APPLY fuzzy dedup: return the corpus with non-canonical near-dup
+    cluster members dropped (each cluster's minimum doc_id survives) —
+    the step that turns :func:`dedup_clusters`' diagnosis into the
+    cleaned training corpus.
+
+    Only cluster members reach the anti-join's broadcast side (near-dup
+    losers are a small fraction of any real corpus), so the corpus
+    itself never shuffles."""
+    clusters = dedup_clusters(documents, n=n, threshold=threshold)
+    losers = clusters.where(~F.col("is_canonical")).select("doc_id")
+    out = documents.join(F.broadcast(losers), "doc_id", "left_anti")
+    return out.orderBy("doc_id") if sort else out

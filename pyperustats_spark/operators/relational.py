@@ -485,6 +485,44 @@ def global_ntile(df: DataFrame, order, n_tiles: int = 4,
     )
 
 
+def global_running_sum(
+    df: DataFrame, order, value_col: str, out_col: str = "cum_sum",
+    exclusive: bool = False, num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of *value_col* over a GLOBAL ordering without a
+    partition-less window — same shape as :func:`global_ntile`:
+    range-repartition + in-partition sort, per-partition cumsum, and
+    the tiny per-partition totals prefix-summed via a P×P broadcast
+    cross join. *exclusive* gives the sum of STRICTLY-preceding rows
+    (the start offset), the natural form for packing/layout problems.
+
+    The order keys must form a total order for deterministic output."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid",
+                    F.shiftright(F.monotonically_increasing_id(), 33).cast("int"))
+    )
+    totals = part.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    prefix = (
+        totals.alias("a")
+        .join(totals.alias("b"), how="cross")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.sum(F.when(F.col("b._pid") < F.col("a._pid"),
+                          F.col("b._tot")).otherwise(F.lit(0))).alias("_base"))
+    )
+    w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1 if exclusive else Window.currentRow)
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    return (
+        part.join(F.broadcast(prefix), "_pid")
+        .withColumn(out_col, F.col("_base") + local)
+        .drop("_pid", "_base")
+    )
+
+
 def customer_value_quartiles(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Quartile assignment by customer revenue — exact ntile(4)
     semantics via :func:`global_ntile` (range-partitioned distributed

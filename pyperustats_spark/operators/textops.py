@@ -188,7 +188,7 @@ PII_PATTERNS = (
 )
 
 
-def pii_scrub(documents: DataFrame) -> DataFrame:
+def pii_scrub(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Redact common PII shapes (emails, phone numbers, card-like digit
     runs, IPv4) — the standard pre-training scrub pass. A fixed chain
     of regexp_replace, fully JVM-side; pattern order is load-bearing
@@ -196,8 +196,81 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     scrubbed = F.col("text")
     for pattern, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
-    return documents.select(
+    out = documents.select(
         "doc_id",
         scrubbed.alias("text_scrubbed"),
         (scrubbed != F.col("text")).alias("was_scrubbed"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def chunk_windows(documents: DataFrame, chunk_tokens: int = 50,
+                  overlap: int = 10, sort: bool = True) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    standard pre-embedding/pre-training chunker (window = chunk_tokens,
+    stride = chunk_tokens - overlap; the final window may be shorter;
+    empty docs yield no chunks).
+
+    The token array is let-bound (computed once per row), windows come
+    from sequence+filter+transform generators inside codegen, and the
+    operator is embarrassingly parallel — one narrow stage, no shuffle,
+    so it runs at scan speed on any corpus size."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def body(toks):
+        n = F.size(toks)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: s < n,
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_id"),
+                F.least(F.lit(chunk_tokens), n - s).alias("chunk_len"),
+                F.concat_ws(
+                    " ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            ),
+        )
+
+    chunks = let(tokens(F.col("text")), body)
+    out = (
+        documents.select("doc_id", F.explode(chunks).alias("_c"))
+        .select("doc_id", "_c.chunk_id", "_c.chunk_len", "_c.chunk_text")
+    )
+    # presentation sort only — pass sort=False when composing
+    return out.orderBy("doc_id", "chunk_id") if sort else out
+
+
+def pack_sequences(documents: DataFrame, budget: int = 256,
+                   sort: bool = True) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid out
+    end-to-end in doc_id order and cut into fixed *budget* token
+    contexts — each doc reports its global start offset and the first/
+    last context window it lands in (GPT-style packing where documents
+    may straddle window boundaries).
+
+    The global layout offset is an exclusive running sum of token
+    counts over the doc_id ordering — computed scale-safely with
+    :func:`~pyperustats_spark.operators.relational.global_running_sum`
+    (range-partitioned, no partition-less window), so packing a
+    trillion-token corpus never funnels through one task."""
+    from pyperustats_spark.operators.relational import global_running_sum
+
+    with_counts = documents.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    laid_out = global_running_sum(
+        with_counts, [F.col("doc_id").asc()], "n_tokens",
+        out_col="start_offset", exclusive=True)
+    out = laid_out.select(
+        "doc_id", "n_tokens",
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        F.floor(F.col("start_offset") / budget).alias("bin_start"),
+        F.floor(
+            (F.col("start_offset")
+             + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / budget
+        ).alias("bin_end"),
+    )
+    return out.orderBy("doc_id") if sort else out

@@ -55,3 +55,32 @@ def test_document_pipeline_chain(spark, tables, tmp_path):
 
     cache = pipe.write_cache(str(tmp_path / "doc_cache"))
     assert cache.load().count() == n
+
+
+def test_document_pipeline_training_prep_chain(spark, tables, tmp_path):
+    docs = tables["documents"]
+    pipe = (
+        DocumentPipeline(spark, docs)
+        .dedup_exact()
+        .dedup_fuzzy(threshold=0.15)
+        .pii_scrub()
+        .pack(budget=256)
+    )
+    out = pipe.df
+    for col in ("text", "start_offset", "bin_start", "bin_end"):
+        assert col in out.columns
+    rows = out.orderBy("doc_id").collect()
+    assert 0 < len(rows) <= docs.count()
+    # packing invariants: offsets strictly increase in doc_id order and
+    # every bin span is well-formed
+    last = -1
+    for r in rows:
+        assert r["start_offset"] > last or r["start_offset"] == 0
+        last = r["start_offset"]
+        assert r["bin_end"] >= r["bin_start"] >= 0
+
+    # chunk grain change: (doc_id, chunk_id) keyed frame
+    chunks = DocumentPipeline(spark, docs).chunk(
+        chunk_tokens=30, overlap=5).df
+    assert {"doc_id", "chunk_id", "chunk_len", "chunk_text"} <= set(chunks.columns)
+    assert chunks.count() >= docs.where(F.length("text") > 0).count()

@@ -130,3 +130,40 @@ def test_multimodal_uses_arrow_python_stage(spark):
     txt = P.explain_str(df)
     assert "MapInPandas" in txt
     assert "BatchEvalPython" not in txt
+
+
+def test_global_running_sum_matches_window_cumsum(spark, tables):
+    from pyspark.sql import Window
+
+    rev = tables["orders"].groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    order = [F.col("o_custkey").asc()]
+    for exclusive in (False, True):
+        got = {
+            r["o_custkey"]: r["cum_sum"]
+            for r in R.global_running_sum(
+                rev, order, "revenue", exclusive=exclusive).collect()
+        }
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, -1 if exclusive else Window.currentRow)
+        want = {
+            r["o_custkey"]: r["c"]
+            for r in rev.withColumn(
+                "c", F.coalesce(F.sum("revenue").over(w), F.lit(0.0))).collect()
+        }
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-6, (k, exclusive)
+
+
+def test_chunk_and_pack_stay_jvm_side(spark, tables):
+    docs = tables["documents"]
+    for df in (TX.chunk_windows(docs), TX.pack_sequences(docs)):
+        assert not P.has_python_eval(df)
+    # packing must not contain a partition-less window (scale
+    # contract): every Window operator in the plan is partitioned by
+    # the range-partition id
+    txt = P.explain_str(TX.pack_sequences(docs), mode="simple")
+    win_lines = [ln for ln in txt.splitlines() if "Window" in ln]
+    assert win_lines, txt
+    assert all("_pid" in ln for ln in win_lines), win_lines
