@@ -451,7 +451,12 @@ def global_ntile(df: DataFrame, order, n_tiles: int = 4,
     branches (ReusedExchange), so the data shuffles once.
 
     Adds a ``_tile`` int column; order keys must be a total order or
-    ranks are nondeterministic."""
+    ranks are nondeterministic.
+
+    The static plan shows the scan→agg→range-shuffle subtree once per
+    branch, but AQE's runtime stage reuse collapses them: the executed
+    plan carries ReusedExchange/ReusedQueryStage nodes, so the data is
+    scanned and range-shuffled once (asserted in tests/test_plans.py)."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     mid = F.monotonically_increasing_id()
@@ -496,7 +501,9 @@ def global_running_sum(
     cross join. *exclusive* gives the sum of STRICTLY-preceding rows
     (the start offset), the natural form for packing/layout problems.
 
-    The order keys must form a total order for deterministic output."""
+    The order keys must form a total order for deterministic output.
+    Like :func:`global_ntile`, branch-duplicated subtrees collapse at
+    runtime via AQE stage reuse."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (

@@ -88,6 +88,18 @@ def test_customer_quartiles_has_no_window(spark, tables):
     assert not P.has_python_eval(df)
 
 
+def test_global_ntile_reuses_exchange_at_runtime(spark, tables):
+    rev = tables["orders"].groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    df = R.global_ntile(
+        rev, [F.col("revenue").desc(), F.col("o_custkey").asc()])
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # AQE stage reuse must collapse the branch-duplicated
+    # scan→agg→range-shuffle subtrees into one materialized stage
+    assert "Reused" in executed, executed
+
+
 def test_global_ntile_matches_window_ntile(spark, tables):
     from pyspark.sql import Window
 
