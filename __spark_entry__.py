@@ -342,6 +342,19 @@ def text_ngram_topk(spark, sf_dir):
     return T.ngram_topk(_lt(spark, sf_dir, "documents"))
 
 
+def split_train_val(spark, sf_dir):
+    df = R.train_val_split(
+        _lt(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+    return df.orderBy("doc_id")
+
+
+def sample_stratified_by_lang(spark, sf_dir):
+    df = R.sample_per_group(
+        _lt(spark, sf_dir, "documents").select("doc_id", "lang"),
+        ["lang"], "doc_id", k=5)
+    return df.orderBy("lang", "doc_id")
+
+
 def text_chunk_windows(spark, sf_dir):
     return T.chunk_windows(_lt(spark, sf_dir, "documents"))
 
@@ -784,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_windows": text_chunk_windows,
         "text_pack_sequences": text_pack_sequences,
         "dedup_filter_apply": dedup_filter_apply,
+        "split_train_val": split_train_val,
+        "sample_stratified_by_lang": sample_stratified_by_lang,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -1518,6 +1533,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT ngram, count(*) AS freq FROM grams
         GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20
+    """
+
+    sql["split_train_val"] = """
+        SELECT doc_id, lang,
+               CASE WHEN CAST('0x' || substring(
+                        md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS INT) % 100 < 10
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents ORDER BY doc_id
+    """
+
+    sql["sample_stratified_by_lang"] = """
+        WITH h AS (
+            SELECT doc_id, lang,
+                   md5('strata:' || CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents
+        )
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+            FROM h
+        ) WHERE rk <= 5
+        ORDER BY lang, doc_id
     """
 
     # chunk_windows defaults: chunk_tokens=50, overlap=10 -> stride 40

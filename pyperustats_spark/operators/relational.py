@@ -646,6 +646,41 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
     )
 
 
+def train_val_split(df: DataFrame, key: str, val_pct: int = 10,
+                    salt: str = "split") -> DataFrame:
+    """Deterministic train/val assignment: rows whose salted
+    md5(key) bucket (mod 100) falls under *val_pct* go to 'val'.
+
+    Hash-cut splitting is the only split that survives distribution:
+    reproducible across runs, engines (md5 — oracle-checkable), and
+    re-shards; membership is a pure row-local expression, so the split
+    costs zero shuffles at any corpus size and new data lands in stable
+    splits without re-assigning old rows."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                      F.col(key).cast("string"))), 1, 4),
+        16, 10).cast("int") % 100
+    return df.withColumn(
+        "split", F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")))
+
+
+def sample_per_group(df: DataFrame, group_cols: list[str], key: str,
+                     k: int = 5) -> DataFrame:
+    """Deterministic k-row sample per group: rank rows inside each
+    group by salted md5(key) and keep the first k — the stratified
+    sample a balanced eval set needs (equal representation per
+    stratum). The window is PARTITIONED by the group, so no
+    single-task funnel; hash ordering makes the choice uniform and
+    reproducible cross-engine."""
+    h = F.md5(F.concat_ws(":", F.lit("strata"), F.col(key).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def systematic_sample(df: DataFrame, key: str, nibbles: int = 1) -> DataFrame:
     """Deterministic 16^-nibbles systematic sample: keep rows whose
     md5(key) ends in *nibbles* zero hex digits. Unlike rand() sampling

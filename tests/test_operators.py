@@ -402,3 +402,37 @@ def test_dedup_clusters_canonical_is_cluster_min(spark, tables):
         assert min(r["doc_id"] for r in rows) == cid
         canon = [r for r in rows if r["is_canonical"]]
         assert len(canon) == 1 and canon[0]["doc_id"] == cid
+
+
+def test_train_val_split_is_deterministic_and_reasonable(spark, tables):
+    from pyperustats_spark.operators.relational import train_val_split
+
+    docs = tables["documents"].select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in train_val_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in train_val_split(docs, "doc_id").collect()}
+    assert a == b  # reproducible
+    n_val = sum(1 for v in a.values() if v == "val")
+    frac = n_val / len(a)
+    assert 0.04 < frac < 0.18, frac  # ~10% within binomial slack
+    # membership is row-local: a subset sees identical assignments
+    sub = {r["doc_id"]: r["split"] for r in train_val_split(
+        docs.where(F.col("doc_id") % 3 == 0), "doc_id").collect()}
+    assert all(a[k] == v for k, v in sub.items())
+
+
+def test_sample_per_group_exact_k_and_stable(spark, tables):
+    from pyperustats_spark.operators.relational import sample_per_group
+
+    docs = tables["documents"].select("doc_id", "lang")
+    got = sample_per_group(docs, ["lang"], "doc_id", k=4).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["lang"], set()).add(r["doc_id"])
+    sizes = {g: len(s) for g, s in per.items()}
+    avail = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for g, n in avail.items():
+        assert sizes.get(g, 0) == min(4, n), (g, sizes.get(g), n)
+    again = sample_per_group(docs, ["lang"], "doc_id", k=4).collect()
+    assert {(r["lang"], r["doc_id"]) for r in got} == \
+           {(r["lang"], r["doc_id"]) for r in again}

@@ -1,7 +1,11 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB, compare rowcount, schema
 (column names), and order-insensitive values (sorted rows, doubles
-rounded). Usage: python tools/parity.py [sf_dir] [query ...]"""
+rounded). Usage: python tools/parity.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_PLAIN=1 to use a vanilla SparkSession (no engine
+configs) like the driver does — catches config-dependence bugs that
+get_spark()'s tuned session would mask."""
 
 from __future__ import annotations
 
@@ -33,7 +37,14 @@ def normalize_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark()
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    else:
+        spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
