@@ -316,12 +316,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     MINIMUM id reachable from it (its cluster id) — the step that turns
     pairwise matches into dedup clusters with one canonical doc each.
 
-    Iterative min-label propagation: each round, every node adopts the
-    smallest label among itself and its neighbors; converged when no
-    label changes (checked with one count per round, iterations ≈ graph
-    diameter — near-dup clusters are shallow). Labels persist per round
-    and the previous round unpersists; only edges and labels shuffle,
-    never documents. Deterministic."""
+    Each round combines ONE hop of min-label propagation (every node
+    adopts the smallest label among itself and its neighbors) with ONE
+    pointer-doubling jump (label ← label-of-label), so the reachable-min
+    horizon roughly doubles per round: rounds ≈ log2(diameter), and
+    ``max_iter=10`` covers diameter ≈ 1000 — the long boilerplate chains
+    templated web text produces. Converged when no label changes
+    (one count per round); if the loop exhausts WITHOUT converging the
+    function raises rather than silently returning split clusters.
+
+    Every round's label table is ``localCheckpoint``-ed: iterative
+    self-joins double the logical plan per round, so without lineage
+    truncation the plan tree grows 2^rounds and the DRIVER dies
+    compiling it long before any executor breaks a sweat. Checkpointing
+    keeps the per-round plan constant-size. (On a real cluster with a
+    configured checkpoint dir, ``DataFrame.checkpoint`` gives the same
+    truncation plus executor-loss resilience.) Only edges and
+    (node, label) pairs shuffle, never documents. Deterministic."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -332,24 +343,37 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        prop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: follow the label's own label. Every label is
+        # itself a node id, so the self-join always matches; the left
+        # join + coalesce is belt-and-braces for a label outside the
+        # node set.
+        parent = prop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            prop.join(parent, prop.label == parent.p_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -357,11 +381,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds (last round changed {changed} labels). The pair graph "
+            f"is deeper than 2^{max_iter}; raise max_iter."
+        )
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id")).orderBy("doc_id")
 
@@ -386,10 +416,13 @@ def dedup_filter(documents: DataFrame, n: int = 3,
     the step that turns :func:`dedup_clusters`' diagnosis into the
     cleaned training corpus.
 
-    Only cluster members reach the anti-join's broadcast side (near-dup
-    losers are a small fraction of any real corpus), so the corpus
-    itself never shuffles."""
+    The anti-join carries only 8-byte doc_ids on the loser side and is
+    left to AQE to plan: at web scale near-dup losers run 30–50% of the
+    corpus (billions of ids), so a forced broadcast would OOM the
+    driver — a shuffled anti-join on doc_id is cheap, and AQE still
+    broadcasts automatically whenever the loser set is genuinely small.
+    Text/vectors never ride the loser side of the shuffle."""
     clusters = dedup_clusters(documents, n=n, threshold=threshold)
     losers = clusters.where(~F.col("is_canonical")).select("doc_id")
-    out = documents.join(F.broadcast(losers), "doc_id", "left_anti")
+    out = documents.join(losers, "doc_id", "left_anti")
     return out.orderBy("doc_id") if sort else out

@@ -1,5 +1,6 @@
 from pyperustats_spark.plans.checks import (  # noqa: F401
     explain_str,
+    has_broadcast_hint,
     has_broadcast_join,
     has_python_eval,
     pushed_filters,

@@ -45,6 +45,16 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 
 
+def has_broadcast_hint(df: DataFrame) -> bool:
+    """True if the ANALYZED logical plan carries an explicit broadcast
+    hint (``F.broadcast``/``/*+ BROADCAST */``). Distinguishes a plan
+    the optimizer *chose* to broadcast (fine — size-based) from one the
+    author *forced* (a driver-OOM risk when the hinted side isn't
+    actually small)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return "ResolvedHint" in analyzed or "UnresolvedHint" in analyzed
+
+
 def has_python_eval(df: DataFrame) -> bool:
     """True if the plan row-evaluates Python (BatchEvalPython) or runs an
     Arrow-batched Python stage (ArrowEvalPython / MapInPandas /

@@ -37,18 +37,28 @@ DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a lazy parquet scan.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as int64 nanos
-    (``nanosAsLong``) and truncate to a microsecond timestamp with
-    integer division (1.7e18 nanos exceeds double precision — float
-    division would corrupt timestamps). DuckDB truncates the same way,
-    so oracles line up exactly.
+    ``events.ts`` has shipped in two physical forms across testdata
+    generations, both needing care:
+
+    * parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+      rejects — read as int64 nanos (``nanosAsLong``) and truncate to
+      microseconds with integer division (1.7e18 nanos exceeds double
+      precision; float division would corrupt timestamps);
+    * parquet TIMESTAMP(MICROS) without UTC adjustment, which Spark 4
+      infers as TIMESTAMP_NTZ — a type half the timestamp builtins
+      (``unix_micros``, ``window`` …) reject. Disable the NTZ
+      inference so the column loads as a plain TIMESTAMP whose stored
+      micros are UTC instants.
+
+    DuckDB reads the same micros as naive timestamps, so oracles line
+    up exactly (sessions run in UTC).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

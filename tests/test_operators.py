@@ -436,3 +436,44 @@ def test_sample_per_group_exact_k_and_stable(spark, tables):
     again = sample_per_group(docs, ["lang"], "doc_id", k=4).collect()
     assert {(r["lang"], r["doc_id"]) for r in got} == \
            {(r["lang"], r["doc_id"]) for r in again}
+
+
+def test_connected_components_chain_graph_one_cluster(spark):
+    # path 1-2-3-...-60: diameter 59 — far beyond what 10 rounds of
+    # plain min-label propagation can cover. Pointer doubling must
+    # collapse it to ONE cluster within the default max_iter=10
+    # (horizon roughly doubles per round).
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long")
+    out = D.connected_components(pairs).collect()
+    assert len(out) == 60
+    assert {r["cluster_id"] for r in out} == {1}
+    assert {r["doc_id"] for r in out} == set(range(1, 61))
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # diameter 39 cannot converge in 2 prop+doubling rounds; the old
+    # code silently returned split clusters — it must raise instead
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=2)
+
+
+def test_dedup_filter_no_forced_broadcast(spark, tables):
+    import pyperustats_spark.plans as P
+
+    docs = tables["documents"].limit(200)
+    surv = D.dedup_filter(docs, sort=False)
+    # loser-side anti-join must be AQE-decided, never author-forced:
+    # at web scale losers are 30-50% of the corpus and a forced
+    # broadcast OOMs the driver
+    assert not P.has_broadcast_hint(surv)
+    # and the apply is still correct: survivors == canonical members
+    # plus documents in no cluster at all
+    clusters = {r["doc_id"]: r["is_canonical"]
+                for r in D.dedup_clusters(docs).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    want = {i for i in all_ids if clusters.get(i, True)}
+    got = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert got == want
