@@ -6,9 +6,14 @@ metadata.py:252-357`` and ``utils.py:92-102``).
 Scale notes
 -----------
 Every query is a declarative DataFrame plan: filters sit next to the
-scan (Catalyst pushes them into parquet), dims are broadcast
-(``F.broadcast``) so fact tables never shuffle for dim joins, and all
-aggregates are algebraic (map-side partial aggregation for free).
+scan (Catalyst pushes them into parquet), and all aggregates are
+algebraic (map-side partial aggregation for free). Broadcast hints are
+reserved for SF-INVARIANT dims (nation: 25 rows, region: 5 rows,
+1-row totals); joins against SF-proportional tables (customer,
+supplier, part) are left unhinted so AQE size-decides — broadcast at
+test SFs, shuffled hash/sort-merge on the integer keys at 100 TB. A
+sweep test (tests/test_plans.py) asserts no query hints a growing
+side.
 """
 
 from __future__ import annotations
@@ -68,8 +73,12 @@ def shipping_priority(
 ) -> DataFrame:
     """TPC-H Q3-style: filtered 3-way join + agg + top-N.
 
-    customer is the small side → broadcast; lineitem↔orders co-shuffle
-    on orderkey once.
+    ``customer`` grows with scale factor, so its join is deliberately
+    UNhinted: AQE broadcasts it while its filtered projection fits under
+    ``autoBroadcastJoinThreshold`` and falls back to a shuffled join on
+    the 8-byte custkey when it doesn't (a forced broadcast of an
+    SF-proportional side is a driver OOM at 100 TB).
+    lineitem↔orders co-shuffle on orderkey once.
     """
     cut = F.lit(cutoff).cast("timestamp")
     c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
@@ -81,7 +90,7 @@ def shipping_priority(
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -103,8 +112,12 @@ def local_supplier_volume(
     date_to: str = "1998-01-01",
 ) -> DataFrame:
     """TPC-H Q5-style: revenue by nation where customer and supplier share
-    the nation. All dims broadcast; the only shuffles are the
-    lineitem↔orders join and the final small groupBy."""
+    the nation.
+
+    Only the FIXED-size dims (region: 5 rows, nation: 25 rows) carry a
+    broadcast hint. ``customer``/``supplier`` are SF-proportional, so
+    their joins stay unhinted — AQE size-decides (broadcast at small SF,
+    shuffled hash/SMJ on the integer keys at cluster scale)."""
     r = region.where(F.col("r_name") == region_name)
     n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
         "n_nationkey", "n_name"
@@ -116,9 +129,9 @@ def local_supplier_volume(
     joined = (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(supplier.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -157,8 +170,11 @@ def market_share(
     region_name: str = "AMERICA",
 ) -> DataFrame:
     """Share of order revenue per nation within a region, vs the region
-    total — conditional aggregation over a single broadcast-joined pass
-    (reference analog: electoral result shares per location)."""
+    total (reference analog: electoral result shares per location).
+
+    nation/region (25/5 rows, SF-invariant) are hinted; the
+    SF-proportional ``customer`` join is AQE-decided — forced broadcast
+    of every customer's (custkey, nationkey) would OOM at 100 TB."""
     r = region.where(F.col("r_name") == region_name)
     n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
         "n_nationkey", "n_name"
@@ -166,7 +182,7 @@ def market_share(
     c = customer.select("c_custkey", "c_nationkey")
     joined = (
         orders.select("o_custkey", "o_totalprice")
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     agg = joined.groupBy("n_name").agg(F.sum("o_totalprice").alias("nation_revenue"))
@@ -188,13 +204,18 @@ def top_customers(
     nation: DataFrame,
     n: int = 20,
 ) -> DataFrame:
-    """TPC-H Q10-flavored: revenue per customer, nation attached, top-N."""
+    """TPC-H Q10-flavored: revenue per customer, nation attached, top-N.
+
+    The per-customer aggregate has the SAME cardinality as ``customer``
+    (both SF-proportional), so that join must never be hinted — AQE
+    picks broadcast at test SFs and a co-partitioned shuffled join at
+    scale. Only the 25-row ``nation`` dim carries a hint."""
     agg = (
         orders.groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
     )
     return (
-        agg.join(F.broadcast(customer), agg.o_custkey == customer.c_custkey)
+        agg.join(customer, agg.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .select("c_custkey", "c_name", "n_name", "revenue", "n_orders")
         .orderBy(F.desc("revenue"), "c_custkey")

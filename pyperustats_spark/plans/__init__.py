@@ -1,4 +1,5 @@
 from pyperustats_spark.plans.checks import (  # noqa: F401
+    broadcast_hint_count,
     explain_str,
     has_broadcast_hint,
     has_broadcast_join,

@@ -50,9 +50,25 @@ def has_broadcast_hint(df: DataFrame) -> bool:
     hint (``F.broadcast``/``/*+ BROADCAST */``). Distinguishes a plan
     the optimizer *chose* to broadcast (fine — size-based) from one the
     author *forced* (a driver-OOM risk when the hinted side isn't
-    actually small)."""
+    actually small). Matches only broadcast-strategy hints — merge /
+    shuffle_hash / repartition hints are not broadcasts and must not
+    trip this check."""
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    return "ResolvedHint" in analyzed or "UnresolvedHint" in analyzed
+    return re.search(
+        r"(?:Un)?[Rr]esolvedHint .*broadcast", analyzed, re.IGNORECASE
+    ) is not None
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of author-forced broadcast hints in the analyzed plan.
+
+    Tighter than :func:`has_broadcast_hint` for queries that
+    legitimately hint fixed-size dims: asserting an exact count catches
+    an accidental extra hint on a growing table even when other hints
+    are expected."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(
+        r"(?:Un)?[Rr]esolvedHint .*broadcast", analyzed, re.IGNORECASE))
 
 
 def has_python_eval(df: DataFrame) -> bool:

@@ -34,8 +34,75 @@ def test_q5_broadcasts_dims(spark, tables):
     df = R.local_supplier_volume(
         tables["region"], tables["nation"], tables["customer"],
         tables["supplier"], tables["orders"], tables["lineitem"])
+    # at this SF the optimizer still CHOOSES broadcast joins...
     assert P.has_broadcast_join(df)
     assert not P.has_python_eval(df)
+    # ...but only the two fixed-size dims (region, nation) are author-
+    # hinted; customer/supplier grow with SF and must stay AQE-decided
+    assert P.broadcast_hint_count(df) == 2
+
+
+def test_q3_customer_join_not_hinted(spark, tables):
+    df = R.shipping_priority(
+        tables["customer"], tables["orders"], tables["lineitem"])
+    # zero hints anywhere: the only dim-ish side (segment-filtered
+    # customer) is SF-proportional — a forced broadcast there is the
+    # r2 loser-set OOM pattern
+    assert P.broadcast_hint_count(df) == 0
+    # the join is still broadcast at this SF because the side is small
+    assert P.has_broadcast_join(df)
+
+
+def test_market_share_and_top_customers_hint_only_fixed_dims(spark, tables):
+    ms = R.market_share(
+        tables["region"], tables["nation"], tables["customer"],
+        tables["orders"])
+    # region + nation + the 1-row grand total — never customer. The
+    # analyzed TREE duplicates the shared agg subtree under the
+    # crossJoin (region+nation appear in both branches): 2 + 2 + 1.
+    assert P.broadcast_hint_count(ms) == 5
+    tc = R.top_customers(
+        tables["customer"], tables["orders"], tables["nation"])
+    # nation only — the per-customer agg has customer's own cardinality
+    assert P.broadcast_hint_count(tc) == 1
+
+
+# queries whose remaining broadcast hints are all on provably O(small)
+# or SF-invariant sides (audited; justification in each operator's
+# docstring). Anything NOT listed here must carry zero broadcast hints.
+BROADCAST_HINT_WHITELIST = {
+    "q5_local_supplier_volume",   # region (5 rows) + nation (25 rows)
+    "q_market_share",             # region + nation + 1-row grand total
+    "q_top_customers",            # nation (25 rows)
+    "catalog_validate_codes",     # user-requested code list (O(request))
+    "knn_bruteforce_cosine",      # query vectors (O(queries))
+    "knn_label_vote",             # query vectors
+    "mef_find_row_by_text",       # 1-row distributed-min result
+    "cache_missing_codes",        # requested code list
+    "q_customer_quartiles",       # n_tiles boundary rows
+    "text_pack_sequences",        # per-partition offset rows (O(parts))
+    "ann_lsh_cosine",             # hyperplanes + query signatures
+    "ann_ivf_cosine",             # k centroid rows
+}
+
+
+def test_no_query_force_broadcasts_a_growing_side(spark):
+    """Sweep EVERY queries() plan: a broadcast hint outside the audited
+    fixed-size whitelist is the 100 TB driver-OOM pattern (r2 loser-set
+    bug, r3 customer/supplier bug) and fails here before it ships."""
+    import __spark_entry__ as EN
+
+    offenders, unused_whitelist = [], set(BROADCAST_HINT_WHITELIST)
+    for key, fn in EN.queries().items():
+        df = fn(spark, SF_DIR)
+        if P.has_broadcast_hint(df):
+            if key in BROADCAST_HINT_WHITELIST:
+                unused_whitelist.discard(key)
+            else:
+                offenders.append(key)
+    assert not offenders, f"unaudited forced broadcasts: {offenders}"
+    # keep the whitelist honest: every entry must still be exercised
+    assert not unused_whitelist, f"stale whitelist rows: {unused_whitelist}"
 
 
 def test_q1_stays_in_codegen(spark, tables):
