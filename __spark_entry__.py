@@ -90,6 +90,65 @@ ACCENT_ROWS = [
 MISSING_CODE_REQ = ["AF", "NO", "XX", "ZZ"]
 KNN_QUERY_IDS = [0, 7, 42, 99, 123]
 
+# electoral-result responses in the reference's procesar_respuesta shape
+# (infogob/utils.py:109-137): Estado + Data.DatosGenerales header +
+# Data.Resultados org array. Edge cases: thousands commas, % suffixes,
+# missing fields, a non-success response, an empty org array, and a
+# malformed payload — the last two must yield header-without-detail and
+# nothing at all, respectively.
+ELECTORAL_PAYLOADS = [
+    (2021, 1, 101,
+     '{"Estado": "success", "Data": {"DatosGenerales": {'
+     '"NuVotosEmi": "18,234,456", "NuElectores": "25,287,954", '
+     '"NuPorcPart": "72.11%", "NuPorcAusen": "27.89%", '
+     '"TxPregunta": null}, "Resultados": ['
+     '{"IdExpediente": "E-1", "IdLocalidad": "140100", "IdOrgPol": "2731", '
+     '"TxOrgPol": "Partido A", "TxRutaOrgPol": "/org/2731", '
+     '"TxRutaPlanGob": "/plan/2731", "TxRutaSimbolo": "/sym/2731.png", '
+     '"NuOrgVotos": "8,835,579", "NuOrgPorc": "50.12", '
+     '"TxArchivoPlanGob": "plan2731.pdf", "TxMetodoHttp": "GET", '
+     '"TxTipoLink": "pdf"}, '
+     '{"IdExpediente": "E-1", "IdLocalidad": "140100", "IdOrgPol": "2840", '
+     '"TxOrgPol": "Partido B", "TxRutaOrgPol": "/org/2840", '
+     '"TxRutaPlanGob": null, "TxRutaSimbolo": null, '
+     '"NuOrgVotos": "8,792,117", "NuOrgPorc": "49.88%", '
+     '"TxArchivoPlanGob": null, "TxMetodoHttp": "POST", '
+     '"TxTipoLink": "web"}]}}'),
+    (2021, 1, 102,
+     '{"Estado": "success", "Data": {"DatosGenerales": {'
+     '"NuVotosEmi": "543", "NuElectores": "1,021", '
+     '"NuPorcPart": "53.18", "NuPorcAusen": "46.82", '
+     '"TxPregunta": "¿Aprueba usted la reforma?"}, "Resultados": ['
+     '{"IdExpediente": "E-2", "IdLocalidad": "150101", "IdOrgPol": "77", '
+     '"TxOrgPol": "Movimiento C", "NuOrgVotos": "543", '
+     '"NuOrgPorc": "100"}]}}'),
+    (2021, 1, 103,
+     '{"Estado": "error", "Data": {"DatosGenerales": {'
+     '"NuVotosEmi": "1", "NuElectores": "2"}, "Resultados": []}}'),
+    (2022, 2, 101,
+     '{"Estado": "success", "Data": {"DatosGenerales": {'
+     '"NuVotosEmi": "99", "NuElectores": "100", "NuPorcPart": "99", '
+     '"NuPorcAusen": "1", "TxPregunta": "Sin candidatos"}, '
+     '"Resultados": []}}'),
+    (2022, 2, 102, '{"Estado": "succ'),  # truncated/malformed payload
+]
+
+# the request log the fetch loop plans from: every payload key above
+# plus one request that never got a response at all
+ELECTORAL_REQUESTS = sorted(
+    {(e, g, l) for (e, g, l, _) in ELECTORAL_PAYLOADS} | {(2022, 2, 103)}
+)
+
+
+def _electoral_frames(spark):
+    from pyperustats_spark.sources.json_api import normalize_electoral_response
+
+    raw = spark.createDataFrame(
+        ELECTORAL_PAYLOADS,
+        "id_eleccion int, id_group_eleccion int, id_location_req int, "
+        "payload string")
+    return normalize_electoral_response(raw)
+
 # ---------------------------------------------------------------------------
 # Spark queries
 # ---------------------------------------------------------------------------
@@ -216,6 +275,28 @@ def json_api_observations(spark, sf_dir):
     raw = spark.createDataFrame(JSON_PAYLOADS, "rid int, payload string")
     df = json_observations(raw, "payload", freq="M", keep=["rid"])
     return df.orderBy("rid", "date", "code")
+
+
+def infogob_normalize_header(spark, sf_dir):
+    return _electoral_frames(spark).header.orderBy(
+        "id_eleccion", "id_group_eleccion", "id_location_req")
+
+
+def infogob_normalize_detail(spark, sf_dir):
+    return _electoral_frames(spark).detail.orderBy(
+        "id_eleccion", "id_group_eleccion", "id_location_req",
+        "id_org_politica")
+
+
+def infogob_pending_requests(spark, sf_dir):
+    from pyperustats_spark.sources.json_api import pending_requests
+
+    requests = spark.createDataFrame(
+        ELECTORAL_REQUESTS,
+        "id_eleccion int, id_group_eleccion int, id_location_req int")
+    return pending_requests(
+        requests, _electoral_frames(spark).processed
+    ).orderBy("id_eleccion", "id_group_eleccion", "id_location_req")
 
 
 def ts_pivot_wide(spark, sf_dir):
@@ -767,6 +848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mef_filter_rows": mef_filter_rows,
         "stats_profile": stats_profile,
         "infogob_candidate_history": infogob_candidate_history,
+        "infogob_normalize_header": infogob_normalize_header,
+        "infogob_normalize_detail": infogob_normalize_detail,
+        "infogob_pending_requests": infogob_pending_requests,
         "mtc_paged_concat": mtc_paged_concat,
         "text_rolling_hash": text_rolling_hash,
         "ev_json_props_stats": ev_json_props_stats,
@@ -1898,6 +1982,91 @@ def oracle_sql() -> dict[str, str]:
                z.code AS code, TRY_CAST(z.raw AS DOUBLE) AS value
         FROM obs
         ORDER BY rid, date, code
+    """
+
+    # --- electoral multi-table normalization (procesar_respuesta) ---
+    # DuckDB reproduces the split with json_transform over the same
+    # typed shape; json_valid() mirrors from_json's NULL-on-malformed.
+    electoral_vals = _values_sql(
+        ELECTORAL_PAYLOADS,
+        "id_eleccion, id_group_eleccion, id_location_req, payload")
+    _ej_schema = (
+        '{"Estado": "VARCHAR", "Data": {'
+        '"DatosGenerales": {"NuVotosEmi": "VARCHAR", '
+        '"NuElectores": "VARCHAR", "NuPorcPart": "VARCHAR", '
+        '"NuPorcAusen": "VARCHAR", "TxPregunta": "VARCHAR"}, '
+        '"Resultados": [{"IdExpediente": "VARCHAR", '
+        '"IdLocalidad": "VARCHAR", "IdOrgPol": "VARCHAR", '
+        '"TxOrgPol": "VARCHAR", "TxRutaOrgPol": "VARCHAR", '
+        '"TxRutaPlanGob": "VARCHAR", "TxRutaSimbolo": "VARCHAR", '
+        '"NuOrgVotos": "VARCHAR", "NuOrgPorc": "VARCHAR", '
+        '"TxArchivoPlanGob": "VARCHAR", "TxMetodoHttp": "VARCHAR", '
+        '"TxTipoLink": "VARCHAR"}]}}'
+    )
+    _electoral_ok = f"""
+        SELECT id_eleccion, id_group_eleccion, id_location_req,
+               json_transform(payload, '{_ej_schema}') AS j
+        FROM {electoral_vals}
+        WHERE json_valid(payload)
+          AND json_extract_string(payload, '$.Estado') = 'success'
+    """
+
+    sql["infogob_normalize_header"] = f"""
+        WITH ok AS ({_electoral_ok})
+        SELECT id_eleccion, id_group_eleccion, id_location_req,
+               TRY_CAST(trim(replace(j.Data.DatosGenerales.NuVotosEmi,
+                   ',', '')) AS BIGINT) AS num_votos_emitidos,
+               TRY_CAST(trim(replace(j.Data.DatosGenerales.NuElectores,
+                   ',', '')) AS BIGINT) AS num_electores,
+               TRY_CAST(trim(replace(j.Data.DatosGenerales.NuPorcPart,
+                   '%', '')) AS DOUBLE) AS num_percent_part,
+               TRY_CAST(trim(replace(j.Data.DatosGenerales.NuPorcAusen,
+                   '%', '')) AS DOUBLE) AS num_percent_ausen,
+               j.Data.DatosGenerales.TxPregunta AS txt_pregunta
+        FROM ok
+        ORDER BY id_eleccion, id_group_eleccion, id_location_req
+    """
+
+    sql["infogob_normalize_detail"] = f"""
+        WITH ok AS ({_electoral_ok}),
+        ex AS (
+            SELECT id_eleccion, id_group_eleccion, id_location_req,
+                   unnest(j.Data.Resultados) AS r
+            FROM ok
+        )
+        SELECT id_eleccion, id_group_eleccion, id_location_req,
+               r.IdExpediente AS id_expediente,
+               r.IdLocalidad AS id_localidad,
+               r.IdOrgPol AS id_org_politica,
+               r.TxOrgPol AS name_org_politica,
+               r.TxRutaOrgPol AS url_org_politica,
+               r.TxRutaPlanGob AS url_ruta_plan_gobierno,
+               r.TxRutaSimbolo AS url_symbol,
+               TRY_CAST(trim(replace(r.NuOrgVotos, ',', ''))
+                   AS BIGINT) AS num_votos,
+               TRY_CAST(trim(replace(r.NuOrgPorc, '%', ''))
+                   AS DOUBLE) AS num_porc,
+               r.TxArchivoPlanGob AS url_archivo_plan_gob,
+               r.TxMetodoHttp AS method_http,
+               r.TxTipoLink AS tipo_link_plan
+        FROM ex
+        ORDER BY id_eleccion, id_group_eleccion, id_location_req,
+                 id_org_politica
+    """
+
+    req_vals = _values_sql(
+        ELECTORAL_REQUESTS,
+        "id_eleccion, id_group_eleccion, id_location_req")
+    sql["infogob_pending_requests"] = f"""
+        WITH ok AS ({_electoral_ok})
+        SELECT t.id_eleccion, t.id_group_eleccion, t.id_location_req
+        FROM {req_vals}
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ok
+            WHERE ok.id_eleccion = t.id_eleccion
+              AND ok.id_group_eleccion = t.id_group_eleccion
+              AND ok.id_location_req = t.id_location_req)
+        ORDER BY t.id_eleccion, t.id_group_eleccion, t.id_location_req
     """
 
     sql["skew_salted_join"] = """
