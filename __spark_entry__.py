@@ -140,6 +140,31 @@ ELECTORAL_REQUESTS = sorted(
 )
 
 
+# INEI module inventory + already-resolved tri-state flag events
+# (inei/utils/db_utils.py:20-44): one all-done module, partial modules
+# at each stage, a reset tombstone (done=0), and an out-of-order flag
+# (organized without downloaded) that must NOT skip earlier stages
+INEI_MODULES = [
+    ("enaho", 2022, "0100"),
+    ("enaho", 2022, "0200"),
+    ("enaho", 2022, "0300"),
+    ("enaho", 2023, "0100"),
+    ("enaho", 2023, "0200"),
+    ("endes", 2023, "0411"),
+]
+INEI_STAGE_EVENTS = [
+    ("enaho", 2022, "0100", "downloaded", 1),
+    ("enaho", 2022, "0100", "unzipped", 1),
+    ("enaho", 2022, "0100", "organized", 1),
+    ("enaho", 2022, "0200", "downloaded", 1),
+    ("enaho", 2022, "0200", "unzipped", 1),
+    ("enaho", 2022, "0300", "downloaded", 1),
+    ("enaho", 2023, "0200", "downloaded", 0),
+    ("endes", 2023, "0411", "organized", 1),
+]
+INEI_KEYS = ["survey", "year", "module_code"]
+
+
 def _electoral_frames(spark):
     from pyperustats_spark.sources.json_api import normalize_electoral_response
 
@@ -286,6 +311,20 @@ def infogob_normalize_detail(spark, sf_dir):
     return _electoral_frames(spark).detail.orderBy(
         "id_eleccion", "id_group_eleccion", "id_location_req",
         "id_org_politica")
+
+
+def inei_stage_plan(spark, sf_dir):
+    from pyperustats_spark.sources.progress import (
+        stage_plan, status_from_events)
+
+    modules = spark.createDataFrame(
+        INEI_MODULES, "survey string, year int, module_code string")
+    events = spark.createDataFrame(
+        INEI_STAGE_EVENTS,
+        "survey string, year int, module_code string, stage string, done int")
+    plan = stage_plan(modules, status_from_events(events, INEI_KEYS),
+                      INEI_KEYS)
+    return plan.orderBy("survey", "year", "module_code")
 
 
 def infogob_pending_requests(spark, sf_dir):
@@ -851,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_normalize_header": infogob_normalize_header,
         "infogob_normalize_detail": infogob_normalize_detail,
         "infogob_pending_requests": infogob_pending_requests,
+        "inei_stage_plan": inei_stage_plan,
         "mtc_paged_concat": mtc_paged_concat,
         "text_rolling_hash": text_rolling_hash,
         "ev_json_props_stats": ev_json_props_stats,
@@ -2067,6 +2107,34 @@ def oracle_sql() -> dict[str, str]:
               AND ok.id_group_eleccion = t.id_group_eleccion
               AND ok.id_location_req = t.id_location_req)
         ORDER BY t.id_eleccion, t.id_group_eleccion, t.id_location_req
+    """
+
+    mod_vals = _values_sql(INEI_MODULES, "survey, year, module_code")
+    ev_vals = _values_sql(INEI_STAGE_EVENTS,
+                          "survey, year, module_code, stage, done")
+    sql["inei_stage_plan"] = f"""
+        WITH st AS (
+            SELECT survey, year, module_code,
+                   max(CASE WHEN stage = 'downloaded' THEN done END)
+                       AS downloaded,
+                   max(CASE WHEN stage = 'unzipped' THEN done END)
+                       AS unzipped,
+                   max(CASE WHEN stage = 'organized' THEN done END)
+                       AS organized
+            FROM {ev_vals} GROUP BY 1, 2, 3
+        )
+        SELECT t.survey, t.year, t.module_code,
+               CAST(COALESCE(st.downloaded, 0) AS INT) AS downloaded,
+               CAST(COALESCE(st.unzipped, 0) AS INT) AS unzipped,
+               CAST(COALESCE(st.organized, 0) AS INT) AS organized,
+               CASE WHEN COALESCE(st.downloaded, 0) = 0 THEN 'download'
+                    WHEN COALESCE(st.unzipped, 0) = 0 THEN 'extract'
+                    WHEN COALESCE(st.organized, 0) = 0 THEN 'organize'
+                    ELSE 'done' END AS next_stage
+        FROM {mod_vals}
+        LEFT JOIN st ON st.survey = t.survey AND st.year = t.year
+                    AND st.module_code = t.module_code
+        ORDER BY t.survey, t.year, t.module_code
     """
 
     sql["skew_salted_join"] = """

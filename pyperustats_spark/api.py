@@ -147,6 +147,39 @@ class DocumentPipeline:
         self._df = self._df.join(fp, "doc_id")
         return self
 
+    def run_stage(self, tracker, stage: str, transform=None) -> "DocumentPipeline":
+        """Resume-aware stage execution (INEIFetcher tri-state chaining,
+        ``inei/fetcher.py:170-252``): apply *transform* ONLY to the
+        documents of items whose next pending stage is *stage*, leave
+        already-processed items untouched, and flip their flag.
+
+        *tracker* is a :class:`~pyperustats_spark.sources.progress.
+        StageProgressTracker` whose keys are columns of this corpus
+        (e.g. a module column). Re-running the same stage is a no-op —
+        the pending set is empty, so nothing is re-transformed (the
+        reference's restart-without-refetch behavior). The flag flips
+        when this method runs, mirroring the reference's mark-as-you-go
+        loop; callers needing mark-after-materialize call
+        ``tracker.mark`` themselves after an action.
+
+        The pending ITEM set is snapshotted to the driver before use:
+        it is metadata-cardinality (survey modules — the reference holds
+        the whole table in one SQLite file), and a lazy pending plan
+        would silently re-evaluate against the post-``mark`` flag state
+        when the returned frame finally materializes. Documents
+        themselves never leave the cluster."""
+        items = self._df.select(*tracker.keys).distinct()
+        pend = tracker.pending(items, stage)
+        rows = pend.collect()  # O(items) metadata snapshot, see docstring
+        if rows:
+            stable = self.spark.createDataFrame(rows, pend.schema)
+            if transform is not None:
+                todo = self._df.join(stable, tracker.keys, "left_semi")
+                rest = self._df.join(stable, tracker.keys, "left_anti")
+                self._df = transform(todo).unionByName(rest)
+            tracker.mark(stage, stable)
+        return self
+
     def write_cache(self, cache_path: str) -> IncrementalParquetCache:
         cache = IncrementalParquetCache(
             self.spark, cache_path, keys=["doc_id"])

@@ -102,6 +102,10 @@ class IncrementalParquetCache:
             .parquet(self.path)
         )
         self._write_manifest(batch_id)
+        # drop Spark's cached file listing for this path so plans built
+        # after the append see the new batch (stale FileStatusCache
+        # entries otherwise hide increments within a session)
+        self.spark.catalog.refreshByPath(self.path)
         return batch_id
 
     # -- read path ----------------------------------------------------------

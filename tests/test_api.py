@@ -84,3 +84,47 @@ def test_document_pipeline_training_prep_chain(spark, tables, tmp_path):
         chunk_tokens=30, overlap=5).df
     assert {"doc_id", "chunk_id", "chunk_len", "chunk_text"} <= set(chunks.columns)
     assert chunks.count() >= docs.where(F.length("text") > 0).count()
+
+
+def test_document_pipeline_resume_without_repeat(spark, tables, tmp_path):
+    """Tri-state resume (INEIFetcher chaining): a re-run of the same
+    stage transforms NOTHING that already completed — only pending
+    items' documents pass through the transform."""
+    from pyperustats_spark.sources.progress import StageProgressTracker
+
+    docs = tables["documents"].limit(40).withColumn(
+        "module", (F.col("doc_id") % 4).cast("string"))
+    tracker = StageProgressTracker(
+        spark, str(tmp_path / "prog"), keys=["module"])
+
+    def tag(df):
+        return df.withColumn("text", F.concat(F.col("text"), F.lit("#D")))
+
+    # first run: all 4 modules pending → every doc tagged once
+    pipe = DocumentPipeline(spark, docs).run_stage(tracker, "downloaded", tag)
+    once = pipe.df.where(F.col("text").endswith("#D")).count()
+    assert once == 40
+
+    # re-run of the SAME stage on a resumed pipeline: pending set is
+    # empty, the transform touches nothing — no doc gets a second tag
+    resumed = DocumentPipeline(spark, pipe.df).run_stage(
+        tracker, "downloaded", tag)
+    assert resumed.df.where(F.col("text").endswith("#D#D")).count() == 0
+    assert resumed.df.where(F.col("text").endswith("#D")).count() == 40
+
+    # a NEW module appears: only its docs flow through the stage
+    extra = tables["documents"].limit(50).subtract(
+        tables["documents"].limit(40)).withColumn("module", F.lit("9"))
+    merged = resumed.df.unionByName(extra)
+    third = DocumentPipeline(spark, merged).run_stage(
+        tracker, "downloaded", tag)
+    tagged_new = third.df.where(
+        (F.col("module") == "9") & F.col("text").endswith("#D")).count()
+    assert tagged_new == 10
+    assert third.df.where(F.col("text").endswith("#D#D")).count() == 0
+
+    # the next stage plans the full completed set exactly once
+    items = third.df.select("module").distinct()
+    pend_extract = {r["module"]
+                    for r in tracker.pending(items, "unzipped").collect()}
+    assert pend_extract == {"0", "1", "2", "3", "9"}
