@@ -313,6 +313,32 @@ def infogob_normalize_detail(spark, sf_dir):
         "id_org_politica")
 
 
+def infogob_participation(spark, sf_dir):
+    """Participation/absenteeism per nation: electors = customers,
+    emitted = customers with ≥1 order in the window (a real
+    ratio-of-sums over SF-proportional tables, not a toy frame)."""
+    customer = _lt(spark, sf_dir, "customer")
+    orders = _lt(spark, sf_dir, "orders")
+    nation = _lt(spark, sf_dir, "nation")
+    voters = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        .select("o_custkey").distinct()
+    )
+    base = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(nation.select("n_nationkey", "n_name"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(voters.withColumn("_voted", F.lit(1)),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("n_name",
+                F.coalesce(F.col("_voted"), F.lit(0)).alias("emitted"),
+                F.lit(1).alias("electors"))
+    )
+    return R.participation_metrics(base, ["n_name"]).orderBy("n_name")
+
+
 def inei_stage_plan(spark, sf_dir):
     from pyperustats_spark.sources.progress import (
         stage_plan, status_from_events)
@@ -890,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_normalize_header": infogob_normalize_header,
         "infogob_normalize_detail": infogob_normalize_detail,
         "infogob_pending_requests": infogob_pending_requests,
+        "infogob_participation": infogob_participation,
         "inei_stage_plan": inei_stage_plan,
         "mtc_paged_concat": mtc_paged_concat,
         "text_rolling_hash": text_rolling_hash,
@@ -2107,6 +2134,33 @@ def oracle_sql() -> dict[str, str]:
               AND ok.id_group_eleccion = t.id_group_eleccion
               AND ok.id_location_req = t.id_location_req)
         ORDER BY t.id_eleccion, t.id_group_eleccion, t.id_location_req
+    """
+
+    sql["infogob_participation"] = """
+        WITH voters AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+        ),
+        base AS (
+            SELECT n.n_name,
+                   CASE WHEN v.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+                       AS emitted,
+                   1 AS electors
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN voters v ON c.c_custkey = v.o_custkey
+        )
+        SELECT n_name,
+               CAST(sum(emitted) AS BIGINT) AS num_votos_emitidos,
+               CAST(sum(electors) AS BIGINT) AS num_electores,
+               100.0 * CAST(sum(emitted) AS BIGINT)
+                   / NULLIF(CAST(sum(electors) AS BIGINT), 0)
+                   AS num_percent_part,
+               100.0 - 100.0 * CAST(sum(emitted) AS BIGINT)
+                   / NULLIF(CAST(sum(electors) AS BIGINT), 0)
+                   AS num_percent_ausen
+        FROM base GROUP BY n_name ORDER BY n_name
     """
 
     mod_vals = _values_sql(INEI_MODULES, "survey, year, module_code")

@@ -279,6 +279,39 @@ def catalog_active_filter(orders: DataFrame, cutoff: str = "2000-06-01") -> Data
     )
 
 
+def participation_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    emitted: str = "emitted",
+    electors: str = "electors",
+) -> DataFrame:
+    """Electoral participation metrics per group (reference
+    ``resultados_generales``'s num_percent_part / num_percent_ausen
+    pair, perustats/infogob/20_resultados.py:50-60 and utils.py:17-45).
+
+    Ratio of SUMS, not average of ratios: emitted and electors
+    aggregate algebraically (map-side partial agg, one shuffle on the
+    group key), then one division per group row. ``try_divide`` keeps a
+    zero-elector group NULL instead of killing the job under ANSI
+    semantics. Both percentages derive from the same bigint sums with
+    identical expression order (100.0 * e / n), so the doubles are
+    bit-identical across engines — no output rounding (midpoint rule).
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(emitted).cast("bigint").alias("num_votos_emitidos"),
+        F.sum(electors).cast("bigint").alias("num_electores"),
+    )
+    part = F.try_divide(
+        F.lit(100.0) * F.col("num_votos_emitidos"), F.col("num_electores"))
+    return agg.select(
+        *group_cols,
+        "num_votos_emitidos",
+        "num_electores",
+        part.alias("num_percent_part"),
+        (F.lit(100.0) - part).alias("num_percent_ausen"),
+    )
+
+
 def catalog_freq_counts(part: DataFrame) -> DataFrame:
     """Count catalogue entries per category (reference
     `codes_for_frequency`, metadata.py:342-357)."""

@@ -477,3 +477,26 @@ def test_dedup_filter_no_forced_broadcast(spark, tables):
     want = {i for i in all_ids if clusters.get(i, True)}
     got = {r["doc_id"] for r in surv.select("doc_id").collect()}
     assert got == want
+
+
+def test_participation_metrics_ratio_of_sums_and_zero_electors(spark):
+    rows = [
+        ("E1", "LIMA", 80, 100), ("E1", "LIMA", 40, 100),
+        ("E1", "CUSCO", 9, 10),
+        ("E1", "VACIO", 0, 0),  # zero electors: NULL pcts, not a crash
+    ]
+    df = spark.createDataFrame(
+        rows, "election string, location string, emitted long, electors long")
+    out = {(r["election"], r["location"]): r
+           for r in R.participation_metrics(
+               df, ["election", "location"]).collect()}
+    lima = out[("E1", "LIMA")]
+    # ratio of SUMS: (80+40)/(100+100), never mean(80/100, 40/100)
+    assert lima["num_votos_emitidos"] == 120
+    assert lima["num_electores"] == 200
+    assert abs(lima["num_percent_part"] - 60.0) < 1e-12
+    assert abs(lima["num_percent_ausen"] - 40.0) < 1e-12
+    assert abs(out[("E1", "CUSCO")]["num_percent_part"] - 90.0) < 1e-12
+    vac = out[("E1", "VACIO")]
+    assert vac["num_percent_part"] is None
+    assert vac["num_percent_ausen"] is None
