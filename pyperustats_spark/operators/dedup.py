@@ -325,25 +325,39 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     (one count per round); if the loop exhausts WITHOUT converging the
     function raises rather than silently returning split clusters.
 
-    Every round's label table is ``localCheckpoint``-ed: iterative
-    self-joins double the logical plan per round, so without lineage
-    truncation the plan tree grows 2^rounds and the DRIVER dies
-    compiling it long before any executor breaks a sweat. Checkpointing
-    keeps the per-round plan constant-size. (On a real cluster with a
-    configured checkpoint dir, ``DataFrame.checkpoint`` gives the same
-    truncation plus executor-loss resilience.) Only edges and
+    Every round's label table has its lineage truncated: iterative
+    self-joins double the logical plan per round, so without truncation
+    the plan tree grows 2^rounds and the DRIVER dies compiling it long
+    before any executor breaks a sweat. When the SparkContext has a
+    checkpoint directory configured (a real cluster run), rounds use
+    reliable ``DataFrame.checkpoint`` — blocks live in the fault-
+    tolerant checkpoint store, so an executor loss mid-iteration
+    recomputes nothing and kills nothing. Without one (local runs,
+    tests) it falls back to executor-resident ``localCheckpoint``.
+    Superseded rounds are explicitly unpersisted, so at most two label
+    tables hold storage at any time; ``prop`` is persisted within the
+    round so the propagation join+agg subtree feeds BOTH pointer-
+    doubling branches without computing twice. Only edges and
     (node, label) pairs shuffle, never documents. Deterministic."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _truncate(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -357,7 +371,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
-        )
+        ).persist()  # consumed twice below — materialize once
         # pointer doubling: follow the label's own label. Every label is
         # itself a node id, so the self-join always matches; the left
         # join + coalesce is belt-and-braces for a label outside the
@@ -365,7 +379,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         parent = prop.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        new_labels = (
+        new_labels = _truncate(
             prop.join(parent, prop.label == parent.p_node, "left")
             .select(
                 "node",
@@ -373,7 +387,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -381,6 +394,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        prop.unpersist()
+        labels.unpersist()  # superseded round: release its blocks now
         labels = new_labels
         if changed == 0:
             converged = True

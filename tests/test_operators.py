@@ -500,3 +500,34 @@ def test_participation_metrics_ratio_of_sums_and_zero_electors(spark):
     vac = out[("E1", "VACIO")]
     assert vac["num_percent_part"] is None
     assert vac["num_percent_ausen"] is None
+
+
+def test_connected_components_uses_reliable_checkpoint_when_configured(
+        spark, tmp_path):
+    """With a configured checkpoint dir (the cluster posture), rounds
+    must go through fault-tolerant DataFrame.checkpoint — files land
+    under the dir — instead of executor-memory localCheckpoint."""
+    import os
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long")
+        out = D.connected_components(pairs).collect()
+        assert {r["cluster_id"] for r in out} == {1}
+        written = [os.path.join(dp, f)
+                   for dp, _, fs in os.walk(ckpt) for f in fs]
+        assert written, "no reliable checkpoint files were written"
+    finally:
+        # restore the shared session to no-checkpoint-dir so other
+        # tests keep the localCheckpoint fast path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty())
+
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iter"):
+        D.connected_components(pairs, max_iter=0)
