@@ -1,0 +1,64 @@
+"""Grouped release exporter — the reference's per-group parquet backup
+as ONE partitioned write.
+
+Reference: ``/root/reference/perustats/BCRP/backup/runner.py:15-27``
+loops over ``grupo_file`` groups, fetches each group's series, and
+writes ``RELEASES/{group}.parquet`` per group. A driver-side loop over
+groups is exactly what doesn't scale, so here the whole release lands
+in one ``write.partitionBy(group)`` pass: every executor writes its
+groups' files concurrently, and a per-group manifest row records what
+shipped. Readers get partition pruning for free — loading one group
+reads only that group's directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# underscore prefix: parquet readers skip it, like _SUCCESS
+MANIFEST_DIR = "_release_manifest"
+
+
+def export_releases(
+    df: DataFrame, group_col: str, path: str,
+) -> DataFrame:
+    """Write one release directory per *group_col* value plus a manifest.
+
+    Single distributed pass (``partitionBy`` — no driver loop, no
+    per-group job like runner.py:15-27); the manifest is computed from
+    the data ACTUALLY written back, not from the input plan, so a row
+    in it certifies rows on disk. Returns the manifest DataFrame
+    (group, n_rows, n_cols)."""
+    df.write.partitionBy(group_col).mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    manifest = (
+        written.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("n_cols", F.lit(len(written.columns)))
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, MANIFEST_DIR))
+    return manifest
+
+
+def load_release(
+    spark: SparkSession, path: str, group_col: str | None = None,
+    group: str | None = None,
+) -> DataFrame:
+    """Read a release back; with *group* given, partition pruning means
+    only that group's files are scanned (the reference reads one
+    ``{group}.parquet`` — same I/O shape, no manual path math)."""
+    df = spark.read.parquet(path)
+    if group is not None:
+        if group_col is None:
+            raise ValueError("group_col is required when filtering by group")
+        df = df.where(F.col(group_col) == group)
+    return df
+
+
+def load_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, MANIFEST_DIR))

@@ -1,0 +1,64 @@
+"""Grouped release exporter (reference BCRP/backup/runner.py:15-27):
+one partitionBy pass per release, per-group manifest, pruned reloads."""
+
+from pyspark.sql import functions as F
+
+import pyperustats_spark.plans as P
+from pyperustats_spark.sources.exporter import (
+    export_releases,
+    load_manifest,
+    load_release,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_export_reload_identical_at_any_parallelism(spark, tables, tmp_path):
+    base = tables["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+
+    p1, p16 = str(tmp_path / "r1"), str(tmp_path / "r16")
+    export_releases(base.repartition(1), "o_orderstatus", p1)
+    export_releases(base.repartition(16), "o_orderstatus", p16)
+
+    want = _rows(base)
+    got1 = _rows(load_release(spark, p1).select(*base.columns))
+    got16 = _rows(load_release(spark, p16).select(*base.columns))
+    # per-group files reload identically regardless of write parallelism
+    assert got1 == want
+    assert got16 == want
+
+
+def test_manifest_certifies_written_rows(spark, tables, tmp_path):
+    base = tables["orders"].select("o_orderkey", "o_orderstatus")
+    path = str(tmp_path / "rel")
+    export_releases(base, "o_orderstatus", path)
+
+    m = {r["o_orderstatus"]: r["n_rows"]
+         for r in load_manifest(spark, path).collect()}
+    want = {r["o_orderstatus"]: r["cnt"]
+            for r in base.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert m == want
+
+    # the manifest dir is underscore-prefixed: a plain read of the
+    # release path must NOT pick the manifest rows up as data
+    assert load_release(spark, path).count() == base.count()
+
+
+def test_single_group_load_prunes_partitions(spark, tables, tmp_path):
+    base = tables["orders"].select("o_orderkey", "o_orderstatus")
+    path = str(tmp_path / "pruned")
+    export_releases(base, "o_orderstatus", path)
+
+    one = load_release(spark, path, group_col="o_orderstatus", group="F")
+    txt = P.explain_str(one)
+    # the group predicate must land in PartitionFilters (directory
+    # pruning), not as a post-scan row filter
+    assert "PartitionFilters" in txt
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "o_orderstatus" in m.group(1), txt
+    assert one.count() == base.where(F.col("o_orderstatus") == "F").count()
