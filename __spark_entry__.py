@@ -1117,7 +1117,8 @@ def oracle_sql() -> dict[str, str]:
     sql["clean_numeric_cast"] = f"""
         SELECT id, raw,
                CASE WHEN regexp_matches(trim(raw), '^-?[0-9,]+\\.?[0-9]*%?$')
-                    THEN CAST(replace(replace(raw, ',', ''), '%', '') AS DOUBLE)
+                    THEN TRY_CAST(replace(replace(raw, ',', ''), '%', '')
+                                  AS DOUBLE)
                END AS value_clean
         FROM {_values_sql(CLEAN_ROWS, "id, raw")}
         ORDER BY id

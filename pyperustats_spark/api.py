@@ -79,17 +79,30 @@ class DocumentPipeline:
     def __init__(self, spark: SparkSession, documents: DataFrame):
         self.spark = spark
         self._df = documents
+        self._grain = "document"
+
+    def _require_document_grain(self, op: str) -> None:
+        # after chunk() the frame is keyed (doc_id, chunk_id): doc_id
+        # is no longer unique, so a doc_id join would fan out rows and
+        # the text column no longer exists — fail loudly, not weirdly
+        if self._grain != "document":
+            raise RuntimeError(
+                f"{op}() operates on document grain but the pipeline is "
+                f"at {self._grain} grain (chunk() was called); run "
+                f"{op}() before chunk(), or start a new pipeline")
 
     @property
     def df(self) -> DataFrame:
         return self._df
 
     def dedup_exact(self) -> "DocumentPipeline":
+        self._require_document_grain("dedup_exact")
         keep = _dedup.dedup_exact_normalized(self._df).select("doc_id")
         self._df = self._df.join(keep, "doc_id", "left_semi")
         return self
 
     def quality_filter(self, min_score: float = 0.5) -> "DocumentPipeline":
+        self._require_document_grain("quality_filter")
         scored = _textops.quality_score(self._df).select(
             "doc_id", "quality_score")
         self._df = (
@@ -100,6 +113,7 @@ class DocumentPipeline:
         return self
 
     def lang_filter(self, langs: list[str]) -> "DocumentPipeline":
+        self._require_document_grain("lang_filter")
         pred = _textops.lang_id(self._df).select("doc_id", "lang_pred")
         self._df = (
             self._df.join(pred, "doc_id")
@@ -112,10 +126,12 @@ class DocumentPipeline:
         """Drop non-canonical near-dup cluster members (n-gram Jaccard
         pairs → connected components; each cluster's min doc_id
         survives)."""
+        self._require_document_grain("dedup_fuzzy")
         self._df = _dedup.dedup_filter(self._df, threshold=threshold, sort=False)
         return self
 
     def pii_scrub(self) -> "DocumentPipeline":
+        self._require_document_grain("pii_scrub")
         scrubbed = _textops.pii_scrub(self._df, sort=False).select(
             "doc_id", "text_scrubbed")
         self._df = (
@@ -126,16 +142,20 @@ class DocumentPipeline:
         return self
 
     def chunk(self, chunk_tokens: int = 50, overlap: int = 10) -> "DocumentPipeline":
-        """Re-shape the corpus into overlapping token-window chunks;
-        downstream steps then operate per chunk (the frame's grain
-        changes to (doc_id, chunk_id))."""
+        """Re-shape the corpus into overlapping token-window chunks:
+        the frame's grain changes to (doc_id, chunk_id), so it is a
+        TERMINAL transform — document-grain steps afterwards raise
+        (their doc_id joins would silently fan out across chunks)."""
+        self._require_document_grain("chunk")
         self._df = _textops.chunk_windows(
             self._df, chunk_tokens=chunk_tokens, overlap=overlap, sort=False)
+        self._grain = "chunk"
         return self
 
     def pack(self, budget: int = 256) -> "DocumentPipeline":
         """Assign each document its context-window span under
         concat-and-split packing (adds start_offset/bin columns)."""
+        self._require_document_grain("pack")
         packed = _textops.pack_sequences(self._df, budget=budget,
                                          sort=False).select(
             "doc_id", "start_offset", "bin_start", "bin_end")
@@ -143,6 +163,7 @@ class DocumentPipeline:
         return self
 
     def with_fingerprint(self) -> "DocumentPipeline":
+        self._require_document_grain("with_fingerprint")
         fp = _textops.fingerprint(self._df)
         self._df = self._df.join(fp, "doc_id")
         return self

@@ -52,8 +52,16 @@ def sessionize(
     *tiebreak* makes the ordering total when two events share a
     timestamp, and the cumsum uses an explicit ROWS frame: the default
     RANGE frame sums over timestamp PEERS, which diverges from the
-    row-at-a-time oracle on the first tied (user_id, ts)."""
-    order = [F.col("ts"), F.col(tiebreak)] if tiebreak in events.columns else [F.col("ts")]
+    row-at-a-time oracle on the first tied (user_id, ts). A missing
+    tiebreak column raises — silently degrading to ts-only ordering
+    made session splits nondeterministic on tied timestamps; pass
+    ``tiebreak=None`` explicitly to accept that."""
+    if tiebreak is not None and tiebreak not in events.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak!r} not in {events.columns}; "
+            "pass tiebreak=None to order by ts alone (nondeterministic "
+            "on tied timestamps)")
+    order = [F.col("ts"), F.col(tiebreak)] if tiebreak else [F.col("ts")]
     w = Window.partitionBy("user_id").orderBy(*order)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)

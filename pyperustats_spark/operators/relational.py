@@ -557,7 +557,17 @@ def global_running_sum(
 
     The order keys must form a total order for deterministic output.
     Like :func:`global_ntile`, branch-duplicated subtrees collapse at
-    runtime via AQE stage reuse."""
+    runtime via AQE stage reuse.
+
+    Cost note: the per-partition window adds one hash exchange + sort
+    on ``_pid`` after the range shuffle — Catalyst cannot prove the
+    range partitioning already clusters ``_pid`` (it is derived from
+    the physical partition id post-shuffle), so it re-distributes to
+    satisfy the window. That is a second full pass over the rows, NOT
+    a scale cliff: ``_pid`` has exactly P balanced values, so no task
+    ever sees more than one range partition's rows. Removing it would
+    require a lower-level operator (mapPartitions cumsum) — rejected
+    to keep the plan declarative and codegen'd."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (

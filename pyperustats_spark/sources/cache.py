@@ -94,14 +94,20 @@ class IncrementalParquetCache:
     def append(self, df: DataFrame) -> int:
         """Write an increment; rows with keys already cached supersede
         them on read (upsert-by-key, reference cache.py:140-169). Never
-        touches existing files."""
+        touches existing files.
+
+        The manifest CLAIMS the batch id before any data lands: a crash
+        mid-write then leaves a claimed-but-empty id (harmless — reads
+        just don't see it), never data on disk under an id a later
+        append could reuse, which would make two different increments
+        ambiguous under latest-wins."""
         batch_id = self._next_batch_id()
+        self._write_manifest(batch_id)
         (
             df.withColumn(BATCH_COL, F.lit(batch_id))
             .write.mode("append")
             .parquet(self.path)
         )
-        self._write_manifest(batch_id)
         # drop Spark's cached file listing for this path so plans built
         # after the append see the new batch (stale FileStatusCache
         # entries otherwise hide increments within a session)
@@ -142,6 +148,28 @@ class IncrementalParquetCache:
     def missing_codes(self, requested: list, code_col: str = "code") -> list:
         have = set(self.cached_codes(code_col))
         return sorted(c for c in requested if c not in have)
+
+    def cached_codes_df(self, code_col: str = "code") -> DataFrame:
+        """Distinct cached codes as a LAZY DataFrame — the scale form of
+        :meth:`cached_codes` for unbounded code domains (billions of
+        doc_ids), where collecting the list to the driver is the OOM.
+        The list-returning variant stays for the SeriesClient path,
+        whose code domain is catalogue-bounded."""
+        raw = self._read_raw()
+        if raw is None:
+            return self.spark.createDataFrame([], f"{code_col} string")
+        return raw.select(code_col).distinct()
+
+    def missing_codes_df(self, requested: DataFrame,
+                         code_col: str = "code") -> DataFrame:
+        """Requested-minus-cached as a DataFrame anti-join (same shape
+        as ``pending_requests``). Unhinted: the cached side grows with
+        the cache, so AQE decides the join strategy."""
+        raw = self._read_raw()
+        if raw is None:  # empty cache: everything requested is missing
+            return requested
+        return requested.join(
+            raw.select(code_col).distinct(), on=code_col, how="left_anti")
 
     # -- maintenance --------------------------------------------------------
 

@@ -128,3 +128,13 @@ def test_document_pipeline_resume_without_repeat(spark, tables, tmp_path):
     pend_extract = {r["module"]
                     for r in tracker.pending(items, "unzipped").collect()}
     assert pend_extract == {"0", "1", "2", "3", "9"}
+
+
+def test_chunk_is_terminal_grain_change(spark, tables):
+    pipe = DocumentPipeline(spark, tables["documents"].limit(20)).chunk(
+        chunk_tokens=30, overlap=5)
+    import pytest
+    for op in ("dedup_exact", "quality_filter", "pii_scrub", "pack",
+               "with_fingerprint", "chunk"):
+        with pytest.raises(RuntimeError, match="grain"):
+            getattr(pipe, op)()

@@ -97,3 +97,59 @@ def test_cache_manifest_tracks_batches_and_survives_loss(spark, tmp_path):
     assert cache.append(df) == 2
     with open(cache._manifest_path()) as f:
         assert f.read() == "2"
+
+
+def test_cache_append_claims_id_before_writing_data(spark, tmp_path):
+    """Manifest-before-data: a crash mid-append leaves a claimed-but-
+    empty batch id, never data under an id a later append could reuse
+    (which would make latest-wins ambiguous)."""
+    cache = IncrementalParquetCache(spark, str(tmp_path / "c6"),
+                                    keys=["code", "date"])
+    good = spark.createDataFrame(
+        [("AF", "2020-01", 1.0)], "code string, date string, value double")
+    assert cache.append(good) == 0
+
+    # an append whose WRITE fails (unwritable type error) must already
+    # have claimed its id in the manifest
+    from pyspark.sql import functions as F
+    bad = good.withColumn(
+        "value", F.udf(lambda v: (_ for _ in ()).throw(RuntimeError("boom")),
+                       "double")("value"))
+    try:
+        cache.append(bad)
+        assert False, "expected the doomed append to raise"
+    except Exception:
+        pass
+    with open(cache._manifest_path()) as f:
+        assert f.read() == "1"  # id 1 claimed by the failed append
+
+    # next increment gets a FRESH id — never reuses the failed one
+    assert cache.append(good) == 2
+    # and the cache still resolves cleanly (failed batch contributed 0 rows)
+    assert cache.load().count() == 1
+
+
+def test_cached_codes_df_and_missing_codes_df(spark, tmp_path):
+    cache = IncrementalParquetCache(spark, str(tmp_path / "c7"),
+                                    keys=["code", "date"])
+    req = spark.createDataFrame(
+        [("AF",), ("NO",), ("ZZ",)], "code string")
+
+    # empty cache: everything is missing, nothing is cached
+    assert cache.cached_codes_df().count() == 0
+    assert {r["code"] for r in cache.missing_codes_df(req).collect()} == \
+        {"AF", "NO", "ZZ"}
+
+    cache.append(spark.createDataFrame(
+        [("AF", "2020-01", 1.0), ("NO", "2020-01", 2.0)],
+        "code string, date string, value double"))
+    assert {r["code"] for r in cache.cached_codes_df().collect()} == \
+        {"AF", "NO"}
+    missing = cache.missing_codes_df(req)
+    assert {r["code"] for r in missing.collect()} == {"ZZ"}
+    # agreement with the collecting variant on a bounded domain
+    assert cache.missing_codes(["AF", "NO", "ZZ"]) == ["ZZ"]
+
+    import pyperustats_spark.plans as P
+    # cached side grows with the cache — the anti-join stays unhinted
+    assert not P.has_broadcast_hint(missing)

@@ -86,7 +86,7 @@ def test_sessionize_gap(spark):
     ]
     ev = spark.createDataFrame(rows, "user_id int, ts string, value double") \
         .withColumn("ts", F.col("ts").cast("timestamp"))
-    out = E.sessionize(ev, gap_minutes=30).collect()
+    out = E.sessionize(ev, gap_minutes=30, tiebreak=None).collect()
     by_user = {}
     for r in out:
         by_user.setdefault(r["user_id"], []).append(r)
@@ -531,3 +531,16 @@ def test_connected_components_rejects_nonpositive_max_iter(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="max_iter"):
         D.connected_components(pairs, max_iter=0)
+
+
+def test_sessionize_missing_tiebreak_raises(spark, tables):
+    ev = tables["events"] if "events" in tables else None
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", 1.0)],
+        "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    with pytest.raises(ValueError, match="tiebreak"):
+        E.sessionize(df)  # default tiebreak column absent
+    # explicit opt-out still works
+    out = E.sessionize(df, tiebreak=None)
+    assert out.count() == 1
