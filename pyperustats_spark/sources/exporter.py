@@ -62,3 +62,38 @@ def load_release(
 
 def load_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, MANIFEST_DIR))
+
+
+# ---------------------------------------------------------------------------
+# Artifact-name sanitization on save
+# (reference ``sanitize_filename``/``filename_save``/``save_dataframe``,
+# perustats/MEF/utils/parse_file.py:8-41)
+# ---------------------------------------------------------------------------
+
+
+def sanitize_filename(text: str) -> str:
+    """Reference ``sanitize_filename`` (parse_file.py:8-21) verbatim
+    semantics: alnum / space / dash / underscore survive, everything
+    else becomes ``_``, then outer whitespace is stripped. Driver-side
+    Python on purpose — it names artifacts (metadata), it never touches
+    rows."""
+    return "".join(
+        c if c.isalnum() or c in (" ", "-", "_") else "_" for c in text
+    ).strip()
+
+
+def artifact_path(save_dir: str, name: str, value: str) -> str:
+    """The reference's ``{name}_{sanitize(value)}`` save convention
+    (``filename_save``, parse_file.py:24-38), with a parquet DIRECTORY
+    instead of a csv file — same naming, Spark-native format."""
+    return os.path.join(save_dir, f"{name}_{sanitize_filename(value)}.parquet")
+
+
+def save_dataframe(df: DataFrame, save_dir: str, name: str,
+                   value: str) -> str:
+    """Persist *df* under the sanitized naming convention and return the
+    path (``save_dataframe``, parse_file.py:41-56). One distributed
+    parquet write; the frame reloads via ``spark.read.parquet(path)``."""
+    path = artifact_path(save_dir, name, value)
+    df.write.mode("overwrite").parquet(path)
+    return path

@@ -62,3 +62,27 @@ def test_single_group_load_prunes_partitions(spark, tables, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
     assert m and "o_orderstatus" in m.group(1), txt
     assert one.count() == base.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_sanitize_filename_reference_semantics():
+    from pyperustats_spark.sources.exporter import sanitize_filename
+
+    # alnum/space/dash/underscore survive; everything else -> '_';
+    # outer whitespace stripped (parse_file.py:8-21)
+    assert sanitize_filename("Gasto: 2023/Q4 (PIM)") == "Gasto_ 2023_Q4 _PIM_"
+    assert sanitize_filename("  ok-name_1  ") == "ok-name_1"
+    # unicode letters are alnum in Python — reference behavior kept
+    assert sanitize_filename("Año Fiscal") == "Año Fiscal"
+
+
+def test_save_dataframe_convention_roundtrip(spark, tables, tmp_path):
+    from pyperustats_spark.sources.exporter import (
+        artifact_path, save_dataframe)
+
+    df = tables["nation"]
+    path = save_dataframe(df, str(tmp_path), "mef", "Gasto: Q4/2023")
+    assert path == artifact_path(str(tmp_path), "mef", "Gasto: Q4/2023")
+    assert path.endswith("mef_Gasto_ Q4_2023.parquet")
+    back = spark.read.parquet(path)
+    assert {tuple(r) for r in back.collect()} == \
+        {tuple(r) for r in df.collect()}

@@ -246,3 +246,41 @@ def test_chunk_and_pack_stay_jvm_side(spark, tables):
     win_lines = [ln for ln in txt.splitlines() if "Window" in ln]
     assert win_lines, txt
     assert all("_pid" in ln for ln in win_lines), win_lines
+
+
+def test_dehinted_joins_degrade_to_shuffled_when_side_is_big(spark, tables):
+    """The 100 TB posture for the formerly force-hinted queries: when
+    the customer/supplier side no longer fits the broadcast threshold,
+    the UNhinted join must re-plan as a shuffled join (SMJ/shuffled
+    hash) — not fail, not force a broadcast — with identical results."""
+    def run(q):
+        if q == "q3":
+            return R.shipping_priority(
+                tables["customer"], tables["orders"], tables["lineitem"])
+        if q == "q5":
+            return R.local_supplier_volume(
+                tables["region"], tables["nation"], tables["customer"],
+                tables["supplier"], tables["orders"], tables["lineitem"])
+        return R.top_customers(
+            tables["customer"], tables["orders"], tables["nation"])
+
+    want = {q: [tuple(r) for r in run(q).collect()] for q in ("q3", "q5", "tc")}
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("q3", "q5", "tc"):
+            df = run(q)
+            df.collect()
+            executed = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in executed \
+                or "ShuffledHashJoin" in executed, (q, executed)
+            if q == "tc":
+                # no hints at all in top_customers' fact join; its one
+                # nation hint still broadcasts (hints override the
+                # threshold) — the point is the BIG side didn't
+                assert [tuple(r) for r in df.collect()] == want[q]
+            else:
+                assert [tuple(r) for r in df.collect()] == want[q]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
