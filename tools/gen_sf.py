@@ -92,9 +92,12 @@ def main() -> None:
     }
 
     for name, df in plans.items():
-        parts = 8 if name in ("lineitem", "orders", "events") else 2
-        if name in ("region", "nation"):
-            parts = 1
+        # file count sets the scan's parallelism floor for small-file
+        # tables (maxPartitionBytes never splits a 4 MB file): the
+        # per-row-heavy tables (documents/embeddings) need real fan-out
+        parts = {"lineitem": 8, "orders": 8, "events": 8,
+                 "documents": 8, "embeddings": 4,
+                 "region": 1, "nation": 1}.get(name, 2)
         (df.drop("_copy") if "_copy" in df.columns else df) \
             .repartition(parts) \
             .write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
