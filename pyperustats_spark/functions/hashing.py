@@ -73,13 +73,17 @@ def minhash_signature_from_hashes(hashes: Column, k: int = 32, seed: int = 7) ->
             for a, b in minhash_coeffs(k, seed)
         ]
     )
+    # permuted values live in [0, P31): store as int32, not int64 — the
+    # signature is what rides the LSH band shuffle (bands × k values per
+    # doc), so element width is shuffle bytes. Arithmetic stays int64
+    # (h*a < 2^62, ANSI-safe); only the final mod-reduced value narrows.
     return let(
         hashes,
         lambda hs: F.transform(
             coeffs,
             lambda c: F.array_min(
                 F.transform(hs, lambda h: (h * c["a"] + c["b"]) % F.lit(P31))
-            ),
+            ).cast("int"),
         ),
     )
 
