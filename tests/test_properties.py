@@ -98,3 +98,42 @@ def test_cosine_matches_python(spark, vecs):
         if na == 0 or nb == 0:
             continue  # zero vectors: engine-defined, skip
         assert got[i] == pytest.approx(dot / (na * nb), abs=1e-9), v
+
+
+def _py_next_stage(flags):
+    # reference tri-state order: first unset flag wins, later flags
+    # never skip ahead (db_utils.py:20-44 defaults + chained pipeline)
+    verbs = {"downloaded": "download", "unzipped": "extract",
+             "organized": "organize"}
+    for s in ("downloaded", "unzipped", "organized"):
+        if not flags.get(s, 0):
+            return verbs[s]
+    return "done"
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["downloaded", "unzipped", "organized"]),
+              st.integers(min_value=0, max_value=1)),
+    max_size=6))
+@settings(**SETTINGS)
+def test_stage_plan_matches_python_reference(spark, events):
+    from pyperustats_spark.sources.progress import (
+        stage_plan, status_from_events)
+
+    ev_rows = [("m", stage, done) for stage, done in events]
+    items = spark.createDataFrame([("m",)], "module string")
+    if ev_rows:
+        ev = spark.createDataFrame(ev_rows, "module string, stage string, done int")
+        status = status_from_events(ev, ["module"])
+    else:
+        status = spark.createDataFrame([], "module string, downloaded int, "
+                                           "unzipped int, organized int")
+    row = stage_plan(items, status, ["module"]).collect()[0]
+
+    # python reference: per stage, max(done) over events, default 0
+    flags = {}
+    for stage, done in events:
+        flags[stage] = max(flags.get(stage, 0), done)
+    assert row["next_stage"] == _py_next_stage(flags)
+    for s in ("downloaded", "unzipped", "organized"):
+        assert row[s] == flags.get(s, 0)
