@@ -531,6 +531,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _round(df, {"est_jaccard": 6})
 
 
+def dedup_minhash_apply(spark, sf_dir):
+    return D.dedup_filter_minhash(_lt(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
 def dedup_simhash(spark, sf_dir):
     return D.simhash_fingerprints(_lt(spark, sf_dir, "documents"))
 
@@ -952,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_by_lang": sample_stratified_by_lang,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_apply": dedup_minhash_apply,
         "dedup_simhash": dedup_simhash,
         "ann_lsh_cosine": ann_lsh_cosine,
         "ann_ivf_cosine": ann_ivf_cosine,

@@ -440,3 +440,33 @@ def dedup_filter(documents: DataFrame, n: int = 3,
     losers = clusters.where(~F.col("is_canonical")).select("doc_id")
     out = documents.join(losers, "doc_id", "left_anti")
     return out.orderBy("doc_id") if sort else out
+
+
+def dedup_clusters_minhash(documents: DataFrame, threshold: float = 0.5,
+                           **lsh_kwargs) -> DataFrame:
+    """:func:`dedup_clusters` with MinHash+LSH candidate pairs instead
+    of exact n-gram Jaccard — the 100 TB path: exact Jaccard scores
+    every candidate against full shingle sets, while the signature
+    estimate costs O(num_perm) per pair and the banded shuffle carries
+    only signatures. Same downstream shape: pairs → pointer-doubling
+    connected components → canonical per cluster. Rows-only (the
+    estimate is probabilistic; pytest bounds it against exact Jaccard).
+    *threshold* applies to the SIGNATURE-estimated Jaccard."""
+    pairs = minhash_lsh_pairs(documents, threshold=threshold, **lsh_kwargs)
+    cc = connected_components(pairs)
+    return cc.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id"))
+    ).orderBy("doc_id")
+
+
+def dedup_filter_minhash(documents: DataFrame, threshold: float = 0.5,
+                         sort: bool = True, **lsh_kwargs) -> DataFrame:
+    """APPLY MinHash dedup: corpus minus non-canonical near-dup cluster
+    members, clusters found via LSH signatures (see
+    :func:`dedup_clusters_minhash`). Anti-join on 8-byte doc_ids,
+    AQE-decided — identical scale posture to :func:`dedup_filter`."""
+    clusters = dedup_clusters_minhash(documents, threshold=threshold,
+                                      **lsh_kwargs)
+    losers = clusters.where(~F.col("is_canonical")).select("doc_id")
+    out = documents.join(losers, "doc_id", "left_anti")
+    return out.orderBy("doc_id") if sort else out

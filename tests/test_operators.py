@@ -544,3 +544,40 @@ def test_sessionize_missing_tiebreak_raises(spark, tables):
     # explicit opt-out still works
     out = E.sessionize(df, tiebreak=None)
     assert out.count() == 1
+
+
+def test_dedup_filter_minhash_consistent_with_clusters(spark, tables):
+    docs = tables["documents"].limit(300)
+    clusters = {r["doc_id"]: r["is_canonical"]
+                for r in D.dedup_clusters_minhash(docs).collect()}
+    surv = {r["doc_id"]
+            for r in D.dedup_filter_minhash(docs, sort=False)
+            .select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # survivors = canonical members + never-clustered docs; every
+    # cluster keeps exactly its minimum id
+    want = {i for i in all_ids if clusters.get(i, True)}
+    assert surv == want
+    assert surv <= all_ids
+    # known near-identical corpus pairs must collapse: any cluster with
+    # >1 member lost its non-min ids
+    losers = all_ids - surv
+    assert losers == {i for i, canon in clusters.items() if not canon}
+
+
+def test_dedup_minhash_apply_tracks_exact_jaccard_apply(spark, tables):
+    """The scale path (signature estimate) and the precision path
+    (exact n-gram Jaccard at a comparable word-2-gram threshold) must
+    agree on the overwhelming majority of keep/drop decisions."""
+    docs = tables["documents"].limit(300)
+    approx = {r["doc_id"] for r in
+              D.dedup_filter_minhash(docs, threshold=0.5, sort=False)
+              .select("doc_id").collect()}
+    exact_clusters = D.dedup_clusters(docs, threshold=0.15)
+    exact = {r["doc_id"] for r in exact_clusters.where(
+        F.col("is_canonical")).select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    exact_surv = exact | (all_ids - {r["doc_id"] for r in
+                                     exact_clusters.select("doc_id").collect()})
+    disagree = len(approx ^ exact_surv)
+    assert disagree / len(all_ids) < 0.1, (disagree, len(all_ids))
