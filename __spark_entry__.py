@@ -513,6 +513,10 @@ def dedup_filter_apply(spark, sf_dir):
     return D.dedup_filter(_lt(spark, sf_dir, "documents"))
 
 
+def text_repetition_metrics(spark, sf_dir):
+    return T.repetition_metrics(_lt(spark, sf_dir, "documents"))
+
+
 def dedup_exact(spark, sf_dir):
     return D.dedup_exact(_lt(spark, sf_dir, "documents"))
 
@@ -955,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_filter_apply": dedup_filter_apply,
         "split_train_val": split_train_val,
         "sample_stratified_by_lang": sample_stratified_by_lang,
+        "text_repetition_metrics": text_repetition_metrics,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -2168,6 +2173,30 @@ def oracle_sql() -> dict[str, str]:
                    / NULLIF(CAST(sum(electors) AS BIGINT), 0)
                    AS num_percent_ausen
         FROM base GROUP BY n_name ORDER BY n_name
+    """
+
+    sql["text_repetition_metrics"] = f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 2 THEN list_transform(
+                            range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])
+                        ELSE [] END AS grams
+            FROM base
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               1.0 - CAST(len(list_distinct(toks)) AS BIGINT)
+                   / NULLIF(CAST(len(toks) AS BIGINT), 0) AS dup_token_frac,
+               CAST(list_max(list_transform(list_distinct(toks),
+                        d -> len(list_filter(toks, t -> t = d)))) AS BIGINT)
+                   / NULLIF(CAST(len(toks) AS BIGINT), 0) AS top_token_frac,
+               1.0 - CAST(len(list_distinct(grams)) AS BIGINT)
+                   / NULLIF(CAST(len(grams) AS BIGINT), 0) AS dup_2gram_frac
+        FROM g ORDER BY doc_id
     """
 
     mod_vals = _values_sql(INEI_MODULES, "survey, year, module_code")

@@ -129,6 +129,53 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def repetition_metrics(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition features per document: repetitive text
+    (boilerplate, keyword stuffing, templated spam) is a standard
+    pretraining-quality drop signal alongside :func:`quality_score`.
+
+    All from ONE let-bound tokenization, pure array expressions in
+    codegen, no shuffle:
+
+    - ``dup_token_frac``  — 1 − distinct/total tokens;
+    - ``top_token_frac``  — share of the single most frequent token
+      (counts via distinct×total array scan: O(d·n) per row on
+      double-digit token counts, never a shuffle);
+    - ``dup_2gram_frac``  — 1 − distinct/total word 2-grams.
+
+    Ratios divide the same bigint pair in the same order in the DuckDB
+    oracle, so the doubles are bit-identical (midpoint rule: never
+    round derived ratios)."""
+    def feats(toks):
+        n_tok = F.size(toks)
+        n_dis = F.size(F.array_distinct(toks))
+        top = F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        ))
+        return F.struct(
+            n_tok.cast("bigint").alias("n_tokens"),  # bigint: oracle schema parity
+            (F.lit(1.0) - F.try_divide(n_dis, n_tok)).alias("dup_token_frac"),
+            F.try_divide(top, n_tok).alias("top_token_frac"),
+        )
+
+    def gram_feats(grams):
+        return (F.lit(1.0) - F.try_divide(
+            F.size(F.array_distinct(grams)), F.size(grams)))
+
+    return documents.select(
+        "doc_id",
+        let(tokens(F.col("text")), feats).alias("f"),
+        let(word_ngrams(F.col("text"), 2), gram_feats).alias("dup_2gram_frac"),
+    ).select(
+        "doc_id",
+        F.col("f.n_tokens").alias("n_tokens"),
+        F.col("f.dup_token_frac").alias("dup_token_frac"),
+        F.col("f.top_token_frac").alias("top_token_frac"),
+        "dup_2gram_frac",
+    ).orderBy("doc_id")
+
+
 def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Global top-K word n-grams: explode → partial-agg count → top-K.
 

@@ -581,3 +581,29 @@ def test_dedup_minhash_apply_tracks_exact_jaccard_apply(spark, tables):
                                      exact_clusters.select("doc_id").collect()})
     disagree = len(approx ^ exact_surv)
     assert disagree / len(all_ids) < 0.1, (disagree, len(all_ids))
+
+
+def test_repetition_metrics_semantics(spark):
+    from pyperustats_spark.operators import textops as TX
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),          # one token repeated: all-dup
+         (2, "a b c d"),          # all distinct
+         (3, "a b a b"),          # half distinct; 2-grams: ab,ba,ab
+         (4, ""),                 # empty: NULL ratios, not a crash
+         (5, "x")],               # single token: no 2-grams -> NULL
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.repetition_metrics(docs).collect()}
+    assert out[1]["dup_token_frac"] == pytest.approx(0.75)
+    assert out[1]["top_token_frac"] == pytest.approx(1.0)
+    assert out[1]["dup_2gram_frac"] == pytest.approx(2 / 3)
+    assert out[2]["dup_token_frac"] == pytest.approx(0.0)
+    assert out[2]["top_token_frac"] == pytest.approx(0.25)
+    assert out[3]["dup_token_frac"] == pytest.approx(0.5)
+    assert out[3]["dup_2gram_frac"] == pytest.approx(1 / 3)
+    assert out[4]["dup_token_frac"] is None
+    assert out[4]["top_token_frac"] is None
+    assert out[5]["n_tokens"] == 1
+    assert out[5]["dup_2gram_frac"] is None
+    # plan contract: pure column expressions, no python
+    import pyperustats_spark.plans as P
+    assert not P.has_python_eval(TX.repetition_metrics(docs))
