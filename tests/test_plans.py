@@ -284,3 +284,35 @@ def test_dehinted_joins_degrade_to_shuffled_when_side_is_big(spark, tables):
                 assert [tuple(r) for r in df.collect()] == want[q]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_electoral_normalize_plans_have_no_exchange(spark):
+    """Header/detail/processed are scan→parse→explode pipelines: any
+    Exchange in the plan means a shuffle snuck into what must stay
+    embarrassingly parallel at a billion responses."""
+    from pyperustats_spark.sources.json_api import (
+        normalize_electoral_response)
+
+    raw = spark.createDataFrame(
+        [(1, 1, 1, '{"Estado": "success", "Data": {"DatosGenerales": '
+          '{"NuVotosEmi": "1"}, "Resultados": []}}')],
+        "id_eleccion int, id_group_eleccion int, id_location_req int, "
+        "payload string")
+    out = normalize_electoral_response(raw)
+    for name, df in (("header", out.header), ("detail", out.detail)):
+        txt = P.explain_str(df)
+        assert "Exchange" not in txt, (name, txt)
+        assert not P.has_python_eval(df)
+    # processed dedups keys — exactly ONE exchange (the distinct)
+    assert P.explain_str(out.processed).count("Exchange hashpartitioning") <= 2
+
+
+def test_participation_pushes_date_filter_to_scan(spark, tables):
+    import __spark_entry__ as EN
+
+    df = EN.queries()["infogob_participation"](spark, SF_DIR)
+    pushed = P.pushed_filters(df)
+    assert any("o_orderdate" in f for f in pushed), pushed
+    assert not P.has_python_eval(df)
+    # SF-proportional joins (customer, voters) unhinted
+    assert P.broadcast_hint_count(df) == 0
