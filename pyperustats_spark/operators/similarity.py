@@ -359,3 +359,55 @@ def seed_centroids(embeddings: DataFrame, n_centroids: int = 16) -> list[tuple[i
             .collect()
         )
     ]
+
+
+def quantize_embeddings_int8(embeddings: DataFrame,
+                             vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: the storage-scale path
+    for an embedding corpus (4× smaller than float32, and int8 dot
+    products SIMD-vectorize downstream).
+
+    Per row: scale = absmax/127, q[i] = round(v[i]/scale) clamped to
+    [-127, 127]. Pure array expressions in one narrow pass — no
+    shuffle, no Python. A zero vector quantizes to zeros with scale 0
+    (``try_divide`` keeps ANSI mode from killing the job — the same
+    degenerate-input hardening as cosine). Reconstruction error is
+    bounded by scale/2 per element (pytest asserts the bound)."""
+    from pyperustats_spark.functions.text import let
+
+    def body(v):
+        absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        scale = (absmax / F.lit(127.0)).alias("scale")
+        q = F.transform(
+            v,
+            # coalesce BEFORE clamping: least/greatest skip NULLs, so a
+            # zero-vector division (try_divide -> NULL) would otherwise
+            # clamp to ±127 instead of quantizing to 0
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127),
+                        F.round(F.coalesce(F.try_divide(x, absmax / 127.0),
+                                           F.lit(0.0))).cast("int")),
+            ).cast("tinyint"),
+        )
+        return F.struct(q.alias("q"), scale)
+
+    out = embeddings.withColumn(
+        "_qs", let(F.transform(F.col(vec_col), lambda x: x.cast("double")), body))
+    return (
+        out.withColumn("q_embedding", F.col("_qs.q"))
+        .withColumn("q_scale", F.coalesce(F.col("_qs.scale"), F.lit(0.0)))
+        .drop("_qs")
+    )
+
+
+def dequantize_embeddings_int8(df: DataFrame,
+                               q_col: str = "q_embedding",
+                               scale_col: str = "q_scale") -> DataFrame:
+    """Inverse of :func:`quantize_embeddings_int8`: v̂[i] = q[i]·scale,
+    as float (the working precision of the original column)."""
+    return df.withColumn(
+        "embedding_deq",
+        F.transform(F.col(q_col),
+                    lambda q: (q.cast("double") * F.col(scale_col)).cast("float")),
+    )

@@ -607,3 +607,31 @@ def test_repetition_metrics_semantics(spark):
     # plan contract: pure column expressions, no python
     import pyperustats_spark.plans as P
     assert not P.has_python_eval(TX.repetition_metrics(docs))
+
+
+def test_int8_quantization_roundtrip_error_bound(spark, tables):
+    emb = tables["embeddings"].limit(300)
+    q = S.quantize_embeddings_int8(emb)
+    deq = S.dequantize_embeddings_int8(q)
+    rows = deq.select("embedding", "q_embedding", "q_scale",
+                      "embedding_deq").collect()
+    assert rows
+    for r in rows[:100]:
+        assert len(r["q_embedding"]) == len(r["embedding"])
+        assert all(-127 <= x <= 127 for x in r["q_embedding"])
+        bound = r["q_scale"] / 2 + 1e-6
+        for orig, rec in zip(r["embedding"], r["embedding_deq"]):
+            assert abs(orig - rec) <= bound, (orig, rec, r["q_scale"])
+
+    # zero vector: scale 0, all-zero codes, no ANSI failure
+    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    zq = S.quantize_embeddings_int8(z).collect()[0]
+    assert zq["q_scale"] == 0.0
+    assert list(zq["q_embedding"]) == [0, 0, 0]
+
+    # plan contract: narrow, JVM-side
+    import pyperustats_spark.plans as P
+    plan = S.quantize_embeddings_int8(emb)
+    assert not P.has_python_eval(plan)
+    assert "Exchange" not in P.explain_str(plan)
