@@ -164,6 +164,19 @@ INEI_STAGE_EVENTS = [
 ]
 INEI_KEYS = ["survey", "year", "module_code"]
 
+# 3-level location tree + district-grain results (infogob
+# 10_locations_ids.py builds region->provincia->distrito level by level)
+LOC_REGIONS = [(1, "LIMA"), (2, "CUSCO")]
+LOC_PROVINCES = [(11, "LIMA", 1), (12, "HUARAL", 1), (21, "CUSCO", 2)]
+LOC_DISTRICTS = [(111, "MIRAFLORES", 11), (112, "SAN ISIDRO", 11),
+                 (121, "CHANCAY", 12), (211, "WANCHAQ", 21),
+                 (212, "SAN JERONIMO", 21)]
+LOC_RESULTS = [
+    (111, "2731", 1500), (111, "2840", 900),
+    (112, "2731", 700), (121, "2731", 300), (121, "2840", 450),
+    (211, "77", 2000), (212, "77", 100), (212, "2731", 50),
+]
+
 
 def _electoral_frames(spark):
     from pyperustats_spark.sources.json_api import normalize_electoral_response
@@ -337,6 +350,28 @@ def infogob_participation(spark, sf_dir):
                 F.lit(1).alias("electors"))
     )
     return R.participation_metrics(base, ["n_name"]).orderBy("n_name")
+
+
+def _loc_frames(spark):
+    regions = spark.createDataFrame(LOC_REGIONS, "id_region int, region string")
+    provinces = spark.createDataFrame(
+        LOC_PROVINCES, "id_provincia int, provincia string, id_region int")
+    districts = spark.createDataFrame(
+        LOC_DISTRICTS, "id_distrito int, distrito string, id_provincia int")
+    return regions, provinces, districts
+
+
+def infogob_location_hierarchy(spark, sf_dir):
+    flat = R.location_hierarchy_flatten(*_loc_frames(spark))
+    return flat.orderBy("id_distrito")
+
+
+def infogob_results_by_region(spark, sf_dir):
+    flat = R.location_hierarchy_flatten(*_loc_frames(spark))
+    results = spark.createDataFrame(
+        LOC_RESULTS, "id_distrito int, id_org_politica string, num_votos int")
+    return R.results_by_location_level(results, flat, "region").orderBy(
+        "id_region")
 
 
 def inei_stage_plan(spark, sf_dir):
@@ -933,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_pending_requests": infogob_pending_requests,
         "infogob_participation": infogob_participation,
         "inei_stage_plan": inei_stage_plan,
+        "infogob_location_hierarchy": infogob_location_hierarchy,
+        "infogob_results_by_region": infogob_results_by_region,
         "mtc_paged_concat": mtc_paged_concat,
         "text_rolling_hash": text_rolling_hash,
         "ev_json_props_stats": ev_json_props_stats,
@@ -2204,6 +2241,31 @@ def oracle_sql() -> dict[str, str]:
                1.0 - CAST(len(list_distinct(grams)) AS BIGINT)
                    / NULLIF(CAST(len(grams) AS BIGINT), 0) AS dup_2gram_frac
         FROM g ORDER BY doc_id
+    """
+
+    loc_flat = f"""
+        SELECT reg.id_region, reg.region, prov.id_provincia, prov.provincia,
+               dist.id_distrito, dist.distrito
+        FROM (SELECT * FROM {_values_sql(LOC_DISTRICTS,
+              "id_distrito, distrito, id_provincia")}) AS dist
+        JOIN (SELECT * FROM {_values_sql(LOC_PROVINCES,
+              "id_provincia, provincia, id_region")}) AS prov USING (id_provincia)
+        JOIN (SELECT * FROM {_values_sql(LOC_REGIONS,
+              "id_region, region")}) AS reg USING (id_region)
+    """
+    sql["infogob_location_hierarchy"] = (
+        loc_flat + " ORDER BY id_distrito")
+
+    sql["infogob_results_by_region"] = f"""
+        WITH flat AS ({loc_flat}),
+        res AS (SELECT * FROM {_values_sql(LOC_RESULTS,
+                "id_distrito, id_org_politica, num_votos")})
+        SELECT flat.id_region, flat.region,
+               CAST(sum(res.num_votos) AS BIGINT) AS total_votos,
+               count(*) AS n_rows
+        FROM res JOIN flat USING (id_distrito)
+        GROUP BY flat.id_region, flat.region
+        ORDER BY flat.id_region
     """
 
     mod_vals = _values_sql(INEI_MODULES, "survey, year, module_code")

@@ -312,6 +312,52 @@ def participation_metrics(
     )
 
 
+def location_hierarchy_flatten(
+    regions: DataFrame, provinces: DataFrame, districts: DataFrame,
+) -> DataFrame:
+    """Flatten the infogob dept→prov→dist location tree into one
+    dimension row per district (reference builds it level by level via
+    ``listar_regiones``/``listar_sub_loc``,
+    perustats/infogob/10_locations_ids.py:50-100, then joins results to
+    it).
+
+    Two chained equi-joins, smallest side first. Unhinted on purpose:
+    real-world location dims are bounded (~2k districts) so AQE
+    broadcasts them anyway, but the operator accepts arbitrary
+    hierarchies and must not hard-code a broadcast of its largest
+    input."""
+    return (
+        districts
+        .join(provinces, "id_provincia")
+        .join(regions, "id_region")
+        .select("id_region", "region", "id_provincia", "provincia",
+                "id_distrito", "distrito")
+    )
+
+
+def results_by_location_level(
+    results: DataFrame, flat_dim: DataFrame, level: str = "region",
+) -> DataFrame:
+    """Aggregate district-grain electoral results at any hierarchy level
+    (the reference stores per-district rows and rolls up when
+    reporting). One dim join + one algebraic groupBy; votes sum as
+    bigint (DuckDB HUGEINT trap)."""
+    keys = {
+        "region": ["id_region", "region"],
+        "provincia": ["id_region", "region", "id_provincia", "provincia"],
+        "distrito": ["id_region", "region", "id_provincia", "provincia",
+                     "id_distrito", "distrito"],
+    }[level]
+    return (
+        results.join(flat_dim, "id_distrito")
+        .groupBy(*keys)
+        .agg(
+            F.sum("num_votos").cast("bigint").alias("total_votos"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def catalog_freq_counts(part: DataFrame) -> DataFrame:
     """Count catalogue entries per category (reference
     `codes_for_frequency`, metadata.py:342-357)."""
