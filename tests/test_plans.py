@@ -316,3 +316,44 @@ def test_participation_pushes_date_filter_to_scan(spark, tables):
     assert not P.has_python_eval(df)
     # SF-proportional joins (customer, voters) unhinted
     assert P.broadcast_hint_count(df) == 0
+
+
+# Scale-smell whitelist: every entry is an AUDITED, justified pattern.
+#   BNLJ — a broadcast of a provably tiny side (query set, 1-row total,
+#          P-row offset table) cross/nested-loop joined by design;
+#   SINGLE_PART — a global aggregate/min whose OUTPUT is ~1 row.
+# Anything new that cartesians, nested-loops, or funnels data through a
+# single partition is a scale regression and fails here.
+PLAN_SMELL_WHITELIST = {
+    "q6_revenue_delta": {"SINGLE_PART"},        # global 1-row aggregate
+    "q_market_share": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
+    "knn_bruteforce_cosine": {"BNLJ"},          # broadcast query set
+    "knn_label_vote": {"BNLJ"},                 # broadcast query set
+    "mef_find_row_by_text": {"SINGLE_PART"},    # distributed-min, 1 row
+    "profile_orders": {"SINGLE_PART"},          # whole-table profile row
+    "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
+    "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
+}
+
+
+def test_no_unaudited_scale_smells_in_any_plan(spark):
+    import __spark_entry__ as EN
+
+    bad = {}
+    for key, fn in EN.queries().items():
+        txt = P.explain_str(fn(spark, SF_DIR), mode="simple")
+        smells = set()
+        if "CartesianProduct" in txt:
+            smells.add("CARTESIAN")  # never whitelisted
+        if "BroadcastNestedLoopJoin" in txt:
+            smells.add("BNLJ")
+        if "Exchange SinglePartition" in txt:
+            smells.add("SINGLE_PART")
+        extra = smells - PLAN_SMELL_WHITELIST.get(key, set())
+        if extra:
+            bad[key] = sorted(extra)
+    assert not bad, f"unaudited scale smells: {bad}"
+    # whitelist hygiene: drop rows whose pattern disappeared
+    stale = {k for k, v in PLAN_SMELL_WHITELIST.items()
+             if not v & {"BNLJ", "SINGLE_PART"}}
+    assert not stale
