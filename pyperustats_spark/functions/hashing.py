@@ -110,6 +110,14 @@ def simhash64(toks: Column) -> Column:
     votes OR their mask into the fingerprint. 63 bits keeps the result
     non-negative. Compact expression tree — compiles fast, no
     63-sibling unroll — and everything stays JVM-side per row.
+
+    Deliberately NOT the explode→groupBy(doc_id) formulation with 63
+    conditional sums: that measured 2.3× faster at sf1 on local[32]
+    (codegen'd aggregates beat interpreted higher-order lambdas) but it
+    converts a ZERO-shuffle narrow projection into a per-document
+    shuffle of 63 partial sums (~0.5 KB/doc on the wire) and silently
+    drops zero-token documents. At corpus scale the shuffle dwarfs the
+    CPU saving; the per-row fold is the 100 TB-right shape.
     """
     masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(63)])
     zeros = F.array_repeat(F.lit(0).cast("bigint"), 63)
