@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.layout import ensure_parallelism
-from pyperustats_spark.functions.vectors import cosine
+from pyperustats_spark.functions.vectors import cosine, dot, norm
 
 
 def knn_bruteforce(
@@ -28,14 +28,21 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors for each query vector.
 
     `queries` has (query_id, q_embedding) and is broadcast; candidates
-    exclude self-matches by id."""
+    exclude self-matches by id. Norms are hoisted to one column per
+    side before the join (corpus norm computed once per vector, not
+    once per query) — same arithmetic as per-pair cosine(), so results
+    and the oracle are bit-identical."""
+    e = ensure_parallelism(embeddings).withColumn(
+        "_nv", norm(F.col("embedding")))
+    qn = queries.withColumn("_nq", norm(F.col("q_embedding")))
     scored = (
-        ensure_parallelism(embeddings).crossJoin(F.broadcast(queries))
+        e.crossJoin(F.broadcast(qn))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+            F.try_divide(dot(F.col("embedding"), F.col("q_embedding")),
+                         F.col("_nv") * F.col("_nq")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
@@ -128,13 +135,13 @@ def ann_lsh(
         for t in range(num_tables)
     ]
     e = ensure_parallelism(embeddings).select(
-        "vec_id", "embedding",
+        "vec_id", "embedding", norm(F.col("embedding")).alias("_nv"),
         F.explode(_bucket_array(F.col("embedding"), tables)).alias("bk"),
-    ).select("vec_id", "embedding", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+    ).select("vec_id", "embedding", "_nv", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
     q = queries.select(
-        "query_id", "q_embedding",
+        "query_id", "q_embedding", norm(F.col("q_embedding")).alias("_nq"),
         F.explode(_bucket_array(F.col("q_embedding"), tables)).alias("bk"),
-    ).select("query_id", "q_embedding", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+    ).select("query_id", "q_embedding", "_nq", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
     # score INSIDE the bucket join and dedup on the (query, vec, cos)
     # triple — never shuffle the vectors themselves. (Deduping first and
     # re-joining embeddings would shuffle ~1 KB/candidate; a candidate
@@ -146,7 +153,8 @@ def ann_lsh(
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+            F.try_divide(dot(F.col("embedding"), F.col("q_embedding")),
+                         F.col("_nv") * F.col("_nq")).alias("cos"),
         )
         .groupBy("query_id", "vec_id")
         .agg(F.max("cos").alias("cos"))
