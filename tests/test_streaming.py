@@ -168,3 +168,61 @@ def test_tws_running_totals_match_apply_in_pandas_with_state(
         assert got["n_events"] == w["n"], uid
         assert got["sum_value"] == pytest.approx(w["s"], rel=1e-9)
         assert got["last_ts"] == w["last_ts"]
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """The state-bounding contract itself: an event arriving AFTER the
+    watermark passed its window must not change that window's result —
+    this is what makes 100 TB streaming state finite."""
+    import glob
+    import time as _time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_batch(sub, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+                  "event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .coalesce(1).write.mode("overwrite").parquet(src + "/_tmp")
+        part = glob.glob(src + "/_tmp/part-*.parquet")[0]
+        dst = os.path.join(src, sub)
+        os.replace(part, dst)
+        return dst
+
+    # batch 1: one event in the 00:00 window, one 3h later that
+    # advances the watermark to 02:00 (3h - 1h watermark delay).
+    # batch 2: an on-time filler — the watermark takes effect and the
+    # 00:00 window is evicted+emitted at this batch's close (Spark
+    # applies the late filter/eviction with the watermark committed by
+    # the PREVIOUS batch, so the drop needs one batch of lag).
+    # batch 3: the LATE event for the finalized 00:00 window plus a
+    # fresh on-time event.
+    f1 = write_batch("b1.parquet", [
+        (1, "2020-01-01 00:10:00", 1, "view", 1.0),
+        (2, "2020-01-01 03:00:00", 1, "view", 1.0)])
+    _time.sleep(0.01)
+    f2 = write_batch("b2.parquet", [
+        (5, "2020-01-01 03:10:00", 3, "view", 1.0)])
+    _time.sleep(0.01)
+    f3 = write_batch("b3.parquet", [
+        (3, "2020-01-01 00:20:00", 2, "view", 100.0),
+        (4, "2020-01-01 03:30:00", 2, "view", 1.0)])
+    os.utime(f1, (1577836800, 1577836800))
+    os.utime(f2, (1577840000, 1577840000))
+    os.utime(f3, (1577843000, 1577843000))
+
+    stream = SEV.read_events_stream(spark, src, max_files_per_trigger=1)
+    agg = SEV.stream_tumbling_window(stream, window="1 hour",
+                                     watermark="1 hour")
+    out = SEV.run_to_memory(agg, "late_out", str(tmp_path / "late_ckpt"),
+                            output_mode="append")
+    rows = {r["window_start"].isoformat(): (r["n_events"],
+                                            r["sum_value"])
+            for r in out.collect()}
+    # append mode emits only finalized windows; the 00:00 window must
+    # contain ONLY the on-time event — the late value=100 row was
+    # dropped by the watermark, not merged
+    assert "2020-01-01T00:00:00" in rows, rows
+    assert rows["2020-01-01T00:00:00"] == (1, 1.0), rows
