@@ -570,6 +570,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _round(df, {"est_jaccard": 6})
 
 
+def dedup_simhash_apply(spark, sf_dir):
+    return D.dedup_filter_simhash(_lt(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
 def embedding_quantize_int8(spark, sf_dir):
     q = S.quantize_embeddings_int8(_lt(spark, sf_dir, "embeddings"))
     return _round(q.select("vec_id", "q_embedding", "q_scale"),
@@ -1006,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
+        "dedup_simhash_apply": dedup_simhash_apply,
         "embedding_quantize_int8": embedding_quantize_int8,
         "dedup_simhash": dedup_simhash,
         "ann_lsh_cosine": ann_lsh_cosine,

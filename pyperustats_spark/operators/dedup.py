@@ -454,6 +454,22 @@ def dedup_filter(documents: DataFrame, n: int = 3,
     return out.orderBy("doc_id") if sort else out
 
 
+def dedup_filter_simhash(documents: DataFrame, max_hamming: int = 8,
+                         sort: bool = True) -> DataFrame:
+    """APPLY SimHash dedup: corpus minus non-canonical members of
+    hamming-≤k clusters (pairs → pointer-doubling CC → AQE-decided
+    anti-join on 8-byte doc_ids). Completes the apply family: exact
+    (:func:`dedup_exact`), n-gram Jaccard (:func:`dedup_filter`),
+    MinHash (:func:`dedup_filter_minhash`), SimHash (this) — one
+    candidate generator per precision/cost point, one shared
+    cluster+apply shape."""
+    pairs = simhash_pairs(documents, max_hamming=max_hamming)
+    cc = connected_components(pairs)
+    losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    out = documents.join(losers, "doc_id", "left_anti")
+    return out.orderBy("doc_id") if sort else out
+
+
 def dedup_clusters_minhash(documents: DataFrame, threshold: float = 0.5,
                            **lsh_kwargs) -> DataFrame:
     """:func:`dedup_clusters` with MinHash+LSH candidate pairs instead

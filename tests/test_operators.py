@@ -635,3 +635,18 @@ def test_int8_quantization_roundtrip_error_bound(spark, tables):
     plan = S.quantize_embeddings_int8(emb)
     assert not P.has_python_eval(plan)
     assert "Exchange" not in P.explain_str(plan)
+
+
+def test_dedup_filter_simhash_consistent_with_pairs(spark, tables):
+    docs = tables["documents"].limit(300)
+    pairs = D.simhash_pairs(docs, max_hamming=8)
+    cc = D.connected_components(pairs)
+    losers = {r["doc_id"] for r in cc.where(
+        F.col("doc_id") != F.col("cluster_id")).collect()}
+    surv = {r["doc_id"] for r in
+            D.dedup_filter_simhash(docs, sort=False).select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert surv == all_ids - losers
+    # every cluster's minimum id survives
+    mins = {r["cluster_id"] for r in cc.collect()}
+    assert mins <= surv
