@@ -86,23 +86,44 @@ BROADCAST_HINT_WHITELIST = {
 }
 
 
-def test_no_query_force_broadcasts_a_growing_side(spark):
-    """Sweep EVERY queries() plan: a broadcast hint outside the audited
-    fixed-size whitelist is the 100 TB driver-OOM pattern (r2 loser-set
-    bug, r3 customer/supplier bug) and fails here before it ships."""
+def test_plan_sweep_hints_and_scale_smells(spark):
+    """ONE pass over every queries() plan checking both contracts:
+
+    1. broadcast hints only on audited fixed-size sides — a hint on a
+       growing table is the 100 TB driver-OOM pattern (r2 loser-set
+       bug, r3 customer/supplier bug);
+    2. no unaudited scale smells — CartesianProduct (never allowed),
+       BroadcastNestedLoopJoin, Exchange SinglePartition outside the
+       justified whitelist below.
+
+    Combined so the 96 query constructions (some of which execute —
+    CC rounds, IVF centroids, streaming replays) run once, not twice."""
     import __spark_entry__ as EN
 
-    offenders, unused_whitelist = [], set(BROADCAST_HINT_WHITELIST)
+    hint_offenders, unused_whitelist = [], set(BROADCAST_HINT_WHITELIST)
+    smell_offenders = {}
     for key, fn in EN.queries().items():
         df = fn(spark, SF_DIR)
         if P.has_broadcast_hint(df):
             if key in BROADCAST_HINT_WHITELIST:
                 unused_whitelist.discard(key)
             else:
-                offenders.append(key)
-    assert not offenders, f"unaudited forced broadcasts: {offenders}"
+                hint_offenders.append(key)
+        txt = P.explain_str(df, mode="simple")
+        smells = set()
+        if "CartesianProduct" in txt:
+            smells.add("CARTESIAN")  # never whitelisted
+        if "BroadcastNestedLoopJoin" in txt:
+            smells.add("BNLJ")
+        if "Exchange SinglePartition" in txt:
+            smells.add("SINGLE_PART")
+        extra = smells - PLAN_SMELL_WHITELIST.get(key, set())
+        if extra:
+            smell_offenders[key] = sorted(extra)
+    assert not hint_offenders, f"unaudited forced broadcasts: {hint_offenders}"
     # keep the whitelist honest: every entry must still be exercised
     assert not unused_whitelist, f"stale whitelist rows: {unused_whitelist}"
+    assert not smell_offenders, f"unaudited scale smells: {smell_offenders}"
 
 
 def test_q1_stays_in_codegen(spark, tables):
@@ -334,26 +355,3 @@ PLAN_SMELL_WHITELIST = {
     "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
     "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
 }
-
-
-def test_no_unaudited_scale_smells_in_any_plan(spark):
-    import __spark_entry__ as EN
-
-    bad = {}
-    for key, fn in EN.queries().items():
-        txt = P.explain_str(fn(spark, SF_DIR), mode="simple")
-        smells = set()
-        if "CartesianProduct" in txt:
-            smells.add("CARTESIAN")  # never whitelisted
-        if "BroadcastNestedLoopJoin" in txt:
-            smells.add("BNLJ")
-        if "Exchange SinglePartition" in txt:
-            smells.add("SINGLE_PART")
-        extra = smells - PLAN_SMELL_WHITELIST.get(key, set())
-        if extra:
-            bad[key] = sorted(extra)
-    assert not bad, f"unaudited scale smells: {bad}"
-    # whitelist hygiene: drop rows whose pattern disappeared
-    stale = {k for k, v in PLAN_SMELL_WHITELIST.items()
-             if not v & {"BNLJ", "SINGLE_PART"}}
-    assert not stale
