@@ -384,18 +384,30 @@ def quantize_embeddings_int8(embeddings: DataFrame,
     from pyperustats_spark.functions.text import let
 
     def body(v):
-        absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        # absmax over FINITE elements only: one NaN or ±Inf otherwise
+        # poisons the scale, and under ANSI mode round(NaN).cast(int)
+        # kills the whole job (CAST_OVERFLOW — found by probing, the
+        # same failure class as the zero-vector cosine)
+        inf = F.lit(float("inf"))
+        finite = F.filter(v, lambda x: ~F.isnan(x) & (F.abs(x) != inf))
+        absmax = F.array_max(F.transform(finite, lambda x: F.abs(x)))
         scale = (absmax / F.lit(127.0)).alias("scale")
         q = F.transform(
             v,
-            # coalesce BEFORE clamping: least/greatest skip NULLs, so a
-            # zero-vector division (try_divide -> NULL) would otherwise
-            # clamp to ±127 instead of quantizing to 0
-            lambda x: F.greatest(
-                F.lit(-127),
-                F.least(F.lit(127),
-                        F.round(F.coalesce(F.try_divide(x, absmax / 127.0),
-                                           F.lit(0.0))).cast("int")),
+            # non-finite elements get deliberate codes (NaN→0, ±Inf
+            # saturate); finite ones coalesce BEFORE clamping —
+            # least/greatest skip NULLs, so a zero-vector division
+            # (try_divide → NULL) would otherwise clamp to ±127
+            lambda x: F.when(F.isnan(x), F.lit(0))
+            .when(x == inf, F.lit(127))
+            .when(x == -inf, F.lit(-127))
+            .otherwise(
+                F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127),
+                            F.round(F.coalesce(F.try_divide(x, absmax / 127.0),
+                                               F.lit(0.0))).try_cast("int")),
+                )
             ).cast("tinyint"),
         )
         return F.struct(q.alias("q"), scale)

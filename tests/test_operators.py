@@ -650,3 +650,23 @@ def test_dedup_filter_simhash_consistent_with_pairs(spark, tables):
     # every cluster's minimum id survives
     mins = {r["cluster_id"] for r in cc.collect()}
     assert mins <= surv
+
+
+def test_int8_quantization_nonfinite_inputs_never_kill_the_job(spark):
+    """One NaN/Inf embedding in a 100 TB corpus must not abort the job
+    under ANSI mode (the naive round().cast(int) raises CAST_OVERFLOW).
+    Non-finite elements get deliberate codes: NaN→0, ±Inf saturate, and
+    the scale comes from the FINITE elements only."""
+    rows = [(1, [float("nan"), 1.0]),
+            (2, [float("inf"), 1.0]),
+            (3, [-float("inf"), 2.0]),
+            (4, [float("nan"), float("nan")])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           S.quantize_embeddings_int8(df).collect()}
+    assert list(out[1]["q_embedding"]) == [0, 127]      # NaN→0, 1.0 = absmax
+    assert out[1]["q_scale"] == pytest.approx(1.0 / 127)
+    assert list(out[2]["q_embedding"]) == [127, 127]    # +Inf saturates
+    assert list(out[3]["q_embedding"]) == [-127, 127]
+    assert list(out[4]["q_embedding"]) == [0, 0]        # all-NaN vector
+    assert out[4]["q_scale"] == 0.0
