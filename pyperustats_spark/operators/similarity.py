@@ -45,6 +45,12 @@ def knn_bruteforce(
                          F.col("_nv") * F.col("_nq")).alias("cos"),
         )
     )
+    # a corrupt (NaN/Inf) embedding yields a non-finite score, and Spark
+    # orders NaN as LARGEST — without this bound one bad vector becomes
+    # the top neighbor of every query. Valid cosines live in [-1, 1];
+    # the predicate is false for NaN/±Inf, so they drop here.
+    scored = scored.where(
+        (F.col("cos") >= -1.0001) & (F.col("cos") <= 1.0001))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -159,6 +165,12 @@ def ann_lsh(
         .groupBy("query_id", "vec_id")
         .agg(F.max("cos").alias("cos"))
     )
+    # a corrupt (NaN/Inf) embedding yields a non-finite score, and Spark
+    # orders NaN as LARGEST — without this bound one bad vector becomes
+    # the top neighbor of every query. Valid cosines live in [-1, 1];
+    # the predicate is false for NaN/±Inf, so they drop here.
+    scored = scored.where(
+        (F.col("cos") >= -1.0001) & (F.col("cos") <= 1.0001))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -242,6 +254,12 @@ def ann_ivf(
             cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
         )
     )
+    # a corrupt (NaN/Inf) embedding yields a non-finite score, and Spark
+    # orders NaN as LARGEST — without this bound one bad vector becomes
+    # the top neighbor of every query. Valid cosines live in [-1, 1];
+    # the predicate is false for NaN/±Inf, so they drop here.
+    scored = scored.where(
+        (F.col("cos") >= -1.0001) & (F.col("cos") <= 1.0001))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -670,3 +670,15 @@ def test_int8_quantization_nonfinite_inputs_never_kill_the_job(spark):
     assert list(out[3]["q_embedding"]) == [-127, 127]
     assert list(out[4]["q_embedding"]) == [0, 0]        # all-NaN vector
     assert out[4]["q_scale"] == 0.0
+
+
+def test_knn_excludes_corrupt_vectors_from_topk(spark):
+    """Spark orders NaN as LARGEST: without the finite-score guard a
+    single corrupt embedding would be the #1 neighbor of EVERY query."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]),
+            (2, [float("nan"), 0.5]), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = S.make_queries(emb, [0])
+    got = [(r["rank"], r["vec_id"]) for r in
+           S.knn_bruteforce(emb, q, k=3).collect()]
+    assert got == [(1, 1), (2, 3)]  # vec 2 (NaN) excluded entirely
