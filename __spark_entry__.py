@@ -139,6 +139,53 @@ ELECTORAL_REQUESTS = sorted(
     {(e, g, l) for (e, g, l, _) in ELECTORAL_PAYLOADS} | {(2022, 2, 103)}
 )
 
+# candidates responses in the reference's ListarDatosCandidatos shape
+# (infogob/21_candidatos_by_eleccion.py:43): {"Data": [candidate objs]},
+# keyed by the 4-part request key pulled from resultados_by_org_politica.
+# Edge cases: thousands commas and "n.d." votes, null fields, an empty
+# Data array (the reference appends nothing → the key stays pending),
+# and a malformed payload.
+CANDIDATE_PAYLOADS = [
+    (2021, 101, 1, "E-1",
+     '{"Data": ['
+     '{"TxOrgPol": "Partido A", "TxCandidato": "ANA LUCIA TORRES", '
+     '"TxRutaPolitico": "/politico/partidario_11", '
+     '"TxRutaFoto": "/foto/11.jpg", "TxEstadoCand": "INSCRITO", '
+     '"TxCargo": "PRESIDENTE DE LA REPUBLICA", "TxCargoElecto": null, '
+     '"TxRutaSimbolo": "/sym/2731.png", "TxRutaOrgPol": "/org/2731", '
+     '"NuVotosCand": "8,835,579"}, '
+     '{"TxOrgPol": "Partido B", "TxCandidato": "JOSE PEREZ ROJAS", '
+     '"TxRutaPolitico": "/politico/partidario_22", '
+     '"TxRutaFoto": null, "TxEstadoCand": "EXCLUIDO", '
+     '"TxCargo": "PRESIDENTE DE LA REPUBLICA", '
+     '"TxCargoElecto": "PRESIDENTE", "TxRutaSimbolo": null, '
+     '"TxRutaOrgPol": "/org/2840", "NuVotosCand": "n.d."}]}'),
+    (2021, 102, 1, "E-2", '{"Data": []}'),
+    (2022, 101, 2, "E-9",
+     '{"Data": [{"TxOrgPol": "Movimiento C", "TxCandidato": "ROSA QUISPE", '
+     '"TxRutaPolitico": "/politico/partidario_33", '
+     '"TxRutaFoto": "/foto/33.jpg", "TxEstadoCand": "INSCRITO", '
+     '"TxCargo": "ALCALDE", "TxCargoElecto": "ALCALDE", '
+     '"TxRutaSimbolo": "/sym/77.png", "TxRutaOrgPol": "/org/77", '
+     '"NuVotosCand": "543"}]}'),
+    (2022, 102, 2, "E-10", '{"Data": ['),  # truncated/malformed payload
+]
+
+# parsed politician detail pages (infogob/40_candidato_details.py:34-41):
+# hoja-de-vida / plan-de-gobierno link lists, incl. an empty page, a page
+# missing one section, and an unparseable page (all → count 0)
+CANDIDATE_DETAIL_PAYLOADS = [
+    ("/politico/partidario_11",
+     '{"hojas_vida": [{"href": "/hv/1", "name_file": "HV 2021"}, '
+     '{"href": "/hv/2", "name_file": "HV 2016"}], '
+     '"planes_gobierno": [{"href": "/pg/1", "nombre": "Plan 2021"}]}'),
+    ("/politico/partidario_22",
+     '{"hojas_vida": [], "planes_gobierno": []}'),
+    ("/politico/partidario_33",
+     '{"hojas_vida": [{"href": "/hv/3", "name_file": "HV"}]}'),
+    ("/politico/partidario_44", "not-json"),
+]
+
 
 # INEI module inventory + already-resolved tri-state flag events
 # (inei/utils/db_utils.py:20-44): one all-done module, partial modules
@@ -397,6 +444,50 @@ def infogob_pending_requests(spark, sf_dir):
     return pending_requests(
         requests, _electoral_frames(spark).processed
     ).orderBy("id_eleccion", "id_group_eleccion", "id_location_req")
+
+
+def _candidate_frame(spark):
+    from pyperustats_spark.sources.json_api import normalize_candidates
+
+    raw = spark.createDataFrame(
+        CANDIDATE_PAYLOADS,
+        "id_eleccion int, id_location_req int, id_group_eleccion int, "
+        "id_expediente string, payload string")
+    return normalize_candidates(raw)
+
+
+def infogob_candidates_by_election(spark, sf_dir):
+    return _candidate_frame(spark).orderBy(
+        "id_eleccion", "id_location_req", "id_group_eleccion",
+        "id_expediente", "name_candidato")
+
+
+def infogob_candidates_pending(spark, sf_dir):
+    """Composite-key pending planning (21_candidatos_by_eleccion.py:
+    50-77): distinct 4-part keys seen in resultados_by_org_politica,
+    minus keys whose candidates response produced rows."""
+    from pyperustats_spark.sources.json_api import (
+        CANDIDATE_KEYS, pending_requests)
+
+    requests = (
+        _electoral_frames(spark).detail.select(*CANDIDATE_KEYS).distinct())
+    processed = _candidate_frame(spark).select(*CANDIDATE_KEYS).distinct()
+    return pending_requests(
+        requests, processed, keys=CANDIDATE_KEYS).orderBy(*CANDIDATE_KEYS)
+
+
+def infogob_candidate_detail_counts(spark, sf_dir):
+    from pyperustats_spark.sources.json_api import candidate_detail_counts
+
+    raw = spark.createDataFrame(
+        CANDIDATE_DETAIL_PAYLOADS, "url_politico string, payload string")
+    df = candidate_detail_counts(raw)
+    return df.select(
+        "url_politico",
+        F.col("num_hojas_vida").cast("bigint").alias("num_hojas_vida"),
+        F.col("num_planes_gobierno").cast("bigint").alias(
+            "num_planes_gobierno"),
+    ).orderBy("url_politico")
 
 
 def ts_pivot_wide(spark, sf_dir):
@@ -918,60 +1009,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Insertion order matters: the driver's correctness gate checks a
-    # window of entries from the front, so every oracle-backed query
-    # comes first and the rows-only (no-oracle) entries go last.
+    # Insertion order matters: the driver's correctness gate checks the
+    # FIRST 50 entries, so every entry there must be oracle-backed and
+    # the rows-only (no-oracle) entries go last. Round-5 rotation: the
+    # 50-slot window now holds every oracle-backed query that had never
+    # been driver-verified (rounds 1-4 only ever saw the same 50) plus
+    # 11 high-risk stalwarts (flagship decimal-grid q1, checkpointing
+    # dedup_clusters, the 3 streaming queries, the historical
+    # ev_sessionize flake, window-heavy ts_*, cosine paths); the
+    # long-stable round-1 queries move past slot 50 where the local
+    # parity gate (tools/parity.py, tests/test_oracle_parity.py) still
+    # value-checks them every run.
     return {
+        # -- slots 1-50: the driver-verified window -----------------------
         "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_revenue_delta": q6_revenue_delta,
-        "q_market_share": q_market_share,
-        "q_top_customers": q_top_customers,
-        "catalog_search": catalog_search,
-        "catalog_validate_codes": catalog_validate_codes,
-        "text_pii_scrub": text_pii_scrub,
-        "catalog_freq_counts": catalog_freq_counts,
-        "ts_interpolate_linear": ts_interpolate_linear,
-        "ts_pivot_wide": ts_pivot_wide,
-        "ts_unpivot_long": ts_unpivot_long,
-        "ts_resample_monthly": ts_resample_monthly,
-        "dedup_clusters": dedup_clusters,
-        "ts_gap_fill": ts_gap_fill,
-        "ts_lag_pct_change": ts_lag_pct_change,
-        "ts_moving_avg": ts_moving_avg,
-        "ts_running_total": ts_running_total,
-        "ts_yoy_growth": ts_yoy_growth,
-        "ts_asof_join": ts_asof_join,
-        "ts_date_parse_multi": ts_date_parse_multi,
-        "cache_merge_upsert": cache_merge_upsert,
-        "q_sales_rollup": q_sales_rollup,
-        "ev_tumbling_window": ev_tumbling_window,
-        "ev_sessionize": ev_sessionize,
-        "ev_top_users_per_type": ev_top_users_per_type,
-        "text_token_count": text_token_count,
-        "text_quality_score": text_quality_score,
-        "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
-        "text_ngram_topk": text_ngram_topk,
-        "dedup_exact": dedup_exact,
-        "dedup_exact_normalized": dedup_exact_normalized,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "knn_bruteforce_cosine": knn_bruteforce_cosine,
-        "stream_tumbling_window": stream_tumbling_window,
-        "stream_sessionize": stream_sessionize,
-        "stream_dedup_replay": stream_dedup_replay,
-        "org_slugify_rename": org_slugify_rename,
-        "org_inventory_by_group": org_inventory_by_group,
-        "org_content_dedup_map": org_content_dedup_map,
-        "mef_filter_rows": mef_filter_rows,
-        "stats_profile": stats_profile,
-        "infogob_candidate_history": infogob_candidate_history,
-        "infogob_normalize_header": infogob_normalize_header,
-        "infogob_normalize_detail": infogob_normalize_detail,
-        "infogob_pending_requests": infogob_pending_requests,
-        "infogob_participation": infogob_participation,
+        "infogob_candidates_by_election": infogob_candidates_by_election,
+        "infogob_candidates_pending": infogob_candidates_pending,
+        "infogob_candidate_detail_counts": infogob_candidate_detail_counts,
         "inei_stage_plan": inei_stage_plan,
         "infogob_location_hierarchy": infogob_location_hierarchy,
         "infogob_results_by_region": infogob_results_by_region,
@@ -1008,6 +1062,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val": split_train_val,
         "sample_stratified_by_lang": sample_stratified_by_lang,
         "text_repetition_metrics": text_repetition_metrics,
+        "dedup_clusters": dedup_clusters,
+        "ev_sessionize": ev_sessionize,
+        "stream_tumbling_window": stream_tumbling_window,
+        "stream_sessionize": stream_sessionize,
+        "stream_dedup_replay": stream_dedup_replay,
+        "ts_interpolate_linear": ts_interpolate_linear,
+        "ts_gap_fill": ts_gap_fill,
+        "knn_bruteforce_cosine": knn_bruteforce_cosine,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "text_quality_score": text_quality_score,
+        # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
+        #    the local parity gate still checks them every run ----------
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_delta": q6_revenue_delta,
+        "q_market_share": q_market_share,
+        "q_top_customers": q_top_customers,
+        "catalog_search": catalog_search,
+        "catalog_validate_codes": catalog_validate_codes,
+        "text_pii_scrub": text_pii_scrub,
+        "catalog_freq_counts": catalog_freq_counts,
+        "ts_pivot_wide": ts_pivot_wide,
+        "ts_unpivot_long": ts_unpivot_long,
+        "ts_resample_monthly": ts_resample_monthly,
+        "ts_lag_pct_change": ts_lag_pct_change,
+        "ts_moving_avg": ts_moving_avg,
+        "ts_running_total": ts_running_total,
+        "ts_yoy_growth": ts_yoy_growth,
+        "ts_asof_join": ts_asof_join,
+        "ts_date_parse_multi": ts_date_parse_multi,
+        "cache_merge_upsert": cache_merge_upsert,
+        "q_sales_rollup": q_sales_rollup,
+        "ev_tumbling_window": ev_tumbling_window,
+        "ev_top_users_per_type": ev_top_users_per_type,
+        "text_token_count": text_token_count,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "text_ngram_topk": text_ngram_topk,
+        "dedup_exact": dedup_exact,
+        "dedup_exact_normalized": dedup_exact_normalized,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "org_slugify_rename": org_slugify_rename,
+        "org_inventory_by_group": org_inventory_by_group,
+        "org_content_dedup_map": org_content_dedup_map,
+        "mef_filter_rows": mef_filter_rows,
+        "stats_profile": stats_profile,
+        "infogob_candidate_history": infogob_candidate_history,
+        "infogob_normalize_header": infogob_normalize_header,
+        "infogob_normalize_detail": infogob_normalize_detail,
+        "infogob_pending_requests": infogob_pending_requests,
+        "infogob_participation": infogob_participation,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -2196,6 +2301,95 @@ def oracle_sql() -> dict[str, str]:
               AND ok.id_group_eleccion = t.id_group_eleccion
               AND ok.id_location_req = t.id_location_req)
         ORDER BY t.id_eleccion, t.id_group_eleccion, t.id_location_req
+    """
+
+    # --- candidates-by-election (post_result + rename_map) ---
+    cand_vals = _values_sql(
+        CANDIDATE_PAYLOADS,
+        "id_eleccion, id_location_req, id_group_eleccion, id_expediente, "
+        "payload")
+    _cj_schema = (
+        '{"Data": [{"TxOrgPol": "VARCHAR", "TxCandidato": "VARCHAR", '
+        '"TxRutaPolitico": "VARCHAR", "TxRutaFoto": "VARCHAR", '
+        '"TxEstadoCand": "VARCHAR", "TxCargo": "VARCHAR", '
+        '"TxCargoElecto": "VARCHAR", "TxRutaSimbolo": "VARCHAR", '
+        '"TxRutaOrgPol": "VARCHAR", "NuVotosCand": "VARCHAR"}]}'
+    )
+    _cand_ex = f"""
+        SELECT id_eleccion, id_location_req, id_group_eleccion,
+               id_expediente,
+               unnest(json_transform(payload, '{_cj_schema}').Data) AS c
+        FROM {cand_vals}
+        WHERE json_valid(payload)
+    """
+    sql["infogob_candidates_by_election"] = f"""
+        WITH ex AS ({_cand_ex})
+        SELECT id_eleccion, id_location_req, id_group_eleccion,
+               id_expediente,
+               c.TxOrgPol AS name_org_politica,
+               c.TxCandidato AS name_candidato,
+               c.TxRutaPolitico AS url_politico,
+               c.TxRutaFoto AS url_foto_candidato,
+               c.TxEstadoCand AS estado_candidatura,
+               c.TxCargo AS cargo_postula,
+               c.TxCargoElecto AS cargo_electo,
+               c.TxRutaSimbolo AS url_simbolo_org_politica,
+               c.TxRutaOrgPol AS url_org_politica,
+               TRY_CAST(trim(replace(c.NuVotosCand, ',', ''))
+                   AS BIGINT) AS num_votos_candidato
+        FROM ex
+        ORDER BY id_eleccion, id_location_req, id_group_eleccion,
+                 id_expediente, name_candidato
+    """
+
+    sql["infogob_candidates_pending"] = f"""
+        WITH ok AS ({_electoral_ok}),
+        req AS (
+            SELECT DISTINCT id_eleccion, id_location_req,
+                   id_group_eleccion, r.IdExpediente AS id_expediente
+            FROM (SELECT id_eleccion, id_group_eleccion, id_location_req,
+                         unnest(j.Data.Resultados) AS r
+                  FROM ok)
+        ),
+        proc AS (
+            SELECT DISTINCT id_eleccion, id_location_req,
+                   id_group_eleccion, id_expediente
+            FROM ({_cand_ex})
+        )
+        SELECT req.id_eleccion, req.id_location_req,
+               req.id_group_eleccion, req.id_expediente
+        FROM req
+        WHERE NOT EXISTS (
+            SELECT 1 FROM proc
+            WHERE proc.id_eleccion = req.id_eleccion
+              AND proc.id_location_req = req.id_location_req
+              AND proc.id_group_eleccion = req.id_group_eleccion
+              AND proc.id_expediente = req.id_expediente)
+        ORDER BY id_eleccion, id_location_req, id_group_eleccion,
+                 id_expediente
+    """
+
+    detail_page_vals = _values_sql(
+        CANDIDATE_DETAIL_PAYLOADS, "url_politico, payload")
+    _cd_schema = (
+        '{"hojas_vida": [{"href": "VARCHAR", "name_file": "VARCHAR"}], '
+        '"planes_gobierno": [{"href": "VARCHAR", "nombre": "VARCHAR"}]}'
+    )
+    sql["infogob_candidate_detail_counts"] = f"""
+        WITH typed AS (
+            SELECT url_politico,
+                   json_transform(CASE WHEN json_valid(payload)
+                                       THEN payload ELSE NULL END,
+                                  '{_cd_schema}') AS j
+            FROM {detail_page_vals}
+        )
+        SELECT url_politico,
+               CAST(coalesce(len(j.hojas_vida), 0) AS BIGINT)
+                   AS num_hojas_vida,
+               CAST(coalesce(len(j.planes_gobierno), 0) AS BIGINT)
+                   AS num_planes_gobierno
+        FROM typed
+        ORDER BY url_politico
     """
 
     sql["infogob_participation"] = """

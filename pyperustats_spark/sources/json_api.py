@@ -170,6 +170,109 @@ def normalize_electoral_response(
     return NormalizedResponse(header, detail, processed)
 
 
+# ---------------------------------------------------------------------------
+# Candidates-by-election normalization
+# (reference ``post_result``, perustats/infogob/21_candidatos_by_eleccion.py)
+# ---------------------------------------------------------------------------
+
+# the reference requests candidates per expediente with a 4-part key
+# pulled from resultados_by_org_politica (21_candidatos_by_eleccion.py:
+# 50-71) and appends the response rows to ``eleccion_candidatos``
+CANDIDATE_KEYS = (
+    "id_eleccion", "id_location_req", "id_group_eleccion", "id_expediente",
+)
+
+# the candidates response shape: ``r.json().get("Data", [])`` — a bare
+# array of candidate objects (21_candidatos_by_eleccion.py:43)
+CANDIDATES_SCHEMA = (
+    "struct<Data: array<struct<TxOrgPol: string, TxCandidato: string, "
+    "TxRutaPolitico: string, TxRutaFoto: string, TxEstadoCand: string, "
+    "TxCargo: string, TxCargoElecto: string, TxRutaSimbolo: string, "
+    "TxRutaOrgPol: string, NuVotosCand: string>>>"
+)
+
+
+def normalize_candidates(
+    df: DataFrame,
+    json_col: str = "payload",
+    keys: tuple[str, ...] = CANDIDATE_KEYS,
+) -> DataFrame:
+    """Explode candidates responses into ``eleccion_candidatos`` rows.
+
+    Mirrors ``post_result`` (perustats/infogob/
+    21_candidatos_by_eleccion.py:34-47): every candidate object in the
+    response's ``Data`` array becomes one row carrying the full 4-part
+    request key (the reference's ``{**row, **cand}`` context merge),
+    with the reference's ``rename_map`` (:20-31) applied. ``NuVotosCand``
+    gets the repo-wide ``to_int`` coercion for ``Nu*`` count columns
+    (thousands commas → NULL-safe bigint). Empty ``Data`` arrays and
+    malformed payloads yield no rows — exactly the responses the
+    reference's append loop silently skips, so they stay pending.
+
+    Scale: explicit-schema ``from_json`` + generator explode, fully
+    inside whole-stage codegen, zero shuffles — a billion responses
+    normalize embarrassingly parallel.
+    """
+    kc = [F.col(k) for k in keys]
+    parsed = df.withColumn("_j", F.from_json(F.col(json_col), CANDIDATES_SCHEMA))
+    c = F.col("_c")
+    return parsed.select(*kc, F.explode("_j.Data").alias("_c")).select(
+        *kc,
+        c["TxOrgPol"].alias("name_org_politica"),
+        c["TxCandidato"].alias("name_candidato"),
+        c["TxRutaPolitico"].alias("url_politico"),
+        c["TxRutaFoto"].alias("url_foto_candidato"),
+        c["TxEstadoCand"].alias("estado_candidatura"),
+        c["TxCargo"].alias("cargo_postula"),
+        c["TxCargoElecto"].alias("cargo_electo"),
+        c["TxRutaSimbolo"].alias("url_simbolo_org_politica"),
+        c["TxRutaOrgPol"].alias("url_org_politica"),
+        _to_int(c["NuVotosCand"]).alias("num_votos_candidato"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-detail link rollup
+# (reference ``get_info_politico``, perustats/infogob/
+# 40_candidato_details.py:22-42)
+# ---------------------------------------------------------------------------
+
+# the parsed detail payload: the reference scrapes the politician page
+# into hoja-de-vida / plan-de-gobierno link lists and keeps their counts
+# (40_candidato_details.py:36-41); HTML parsing is out of scope, so the
+# operator consumes the already-parsed link arrays
+CANDIDATE_DETAIL_SCHEMA = (
+    "struct<hojas_vida: array<struct<href: string, name_file: string>>, "
+    "planes_gobierno: array<struct<href: string, nombre: string>>>"
+)
+
+
+def candidate_detail_counts(
+    df: DataFrame,
+    json_col: str = "payload",
+    key: str = "url_politico",
+) -> DataFrame:
+    """Per-candidate hoja-vida / plan-gobierno link counts.
+
+    Mirrors ``get_info_politico`` (perustats/infogob/
+    40_candidato_details.py:34-41): ``num_hojas_vida`` /
+    ``num_planes_gobierno`` are the lengths of the two link lists; a
+    missing or NULL section counts 0, like ``len([])`` on a page with no
+    list. Narrow no-shuffle plan — one parse per row."""
+    j = F.from_json(F.col(json_col), CANDIDATE_DETAIL_SCHEMA)
+
+    def _count(arr: F.Column) -> F.Column:
+        # explicit NULL branch: size(NULL) is NULL under ANSI but -1
+        # under legacy sizeOfNull — pin 0 under either session posture
+        return F.when(arr.isNull(), F.lit(0)).otherwise(F.size(arr))
+
+    return df.select(
+        F.col(key),
+        _count(j["hojas_vida"]).alias("num_hojas_vida"),
+        _count(j["planes_gobierno"]).alias("num_planes_gobierno"),
+    )
+
+
 def pending_requests(
     requests: DataFrame,
     processed: DataFrame,

@@ -5,6 +5,9 @@ payload column → header + detail + processed-flag frames."""
 from pyspark.sql import functions as F
 
 from pyperustats_spark.sources.json_api import (
+    CANDIDATE_KEYS,
+    candidate_detail_counts,
+    normalize_candidates,
     normalize_electoral_response,
     pending_requests,
 )
@@ -81,6 +84,77 @@ def test_pending_requests_anti_join(spark):
     # re-running the plan after "reprocessing" is idempotent: anti-join
     # against the same processed set yields the same pending rows
     assert pend.count() == 3
+
+
+CAND_OK = (
+    '{"Data": [{"TxOrgPol": "A", "TxCandidato": "X Y", '
+    '"TxRutaPolitico": "/p/1", "TxEstadoCand": "INSCRITO", '
+    '"TxCargo": "ALCALDE", "NuVotosCand": "1,234"}, '
+    '{"TxOrgPol": "B", "TxCandidato": "Z W", "TxRutaPolitico": "/p/2", '
+    '"NuVotosCand": "n.d."}]}'
+)
+
+
+def _cand_raw(spark):
+    rows = [
+        (1, 10, 100, "E-1", CAND_OK),
+        (1, 10, 101, "E-2", '{"Data": []}'),   # fetched but empty
+        (1, 10, 102, "E-3", '{"Data": ['),     # malformed
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id_eleccion int, id_location_req int, id_group_eleccion int, "
+        "id_expediente string, payload string")
+
+
+def test_normalize_candidates_explode_and_rename(spark):
+    out = normalize_candidates(_cand_raw(spark)).orderBy("name_candidato")
+    rows = out.collect()
+    # empty Data and malformed payloads yield NO rows (they stay pending)
+    assert [r["name_candidato"] for r in rows] == ["X Y", "Z W"]
+    # the 4-part request key rides on every exploded candidate
+    for r in rows:
+        assert (r["id_eleccion"], r["id_location_req"],
+                r["id_group_eleccion"], r["id_expediente"]) == (1, 10, 100, "E-1")
+    assert rows[0]["name_org_politica"] == "A"
+    assert rows[0]["url_politico"] == "/p/1"
+    assert rows[0]["estado_candidatura"] == "INSCRITO"
+    assert rows[0]["cargo_postula"] == "ALCALDE"
+    assert rows[0]["num_votos_candidato"] == 1234   # comma stripped
+    # missing / non-numeric fields coerce to NULL, never crash
+    assert rows[1]["num_votos_candidato"] is None
+    assert rows[1]["cargo_electo"] is None
+
+
+def test_candidates_composite_key_pending(spark):
+    raw = _cand_raw(spark)
+    processed = normalize_candidates(raw).select(*CANDIDATE_KEYS).distinct()
+    requests = raw.select(*CANDIDATE_KEYS)
+    pend = pending_requests(requests, processed, keys=CANDIDATE_KEYS)
+    got = {r["id_expediente"] for r in pend.collect()}
+    # only the expediente whose response produced candidate rows drops out
+    assert got == {"E-2", "E-3"}
+
+
+def test_candidate_detail_counts(spark):
+    raw = spark.createDataFrame(
+        [("u1", '{"hojas_vida": [{"href": "/h/1"}, {"href": "/h/2"}], '
+                '"planes_gobierno": [{"href": "/g/1"}]}'),
+         ("u2", '{"hojas_vida": [], "planes_gobierno": []}'),
+         ("u3", '{"planes_gobierno": [{"href": "/g/2"}]}'),  # missing section
+         ("u4", "not-json")],
+        "url_politico string, payload string")
+    rows = {r["url_politico"]: r
+            for r in candidate_detail_counts(raw).collect()}
+    assert (rows["u1"]["num_hojas_vida"],
+            rows["u1"]["num_planes_gobierno"]) == (2, 1)
+    assert (rows["u2"]["num_hojas_vida"],
+            rows["u2"]["num_planes_gobierno"]) == (0, 0)
+    # a missing section and an unparseable page both count 0, like len([])
+    assert (rows["u3"]["num_hojas_vida"],
+            rows["u3"]["num_planes_gobierno"]) == (0, 1)
+    assert (rows["u4"]["num_hojas_vida"],
+            rows["u4"]["num_planes_gobierno"]) == (0, 0)
 
 
 def test_no_python_eval_and_no_forced_broadcast(spark):
