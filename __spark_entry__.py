@@ -2040,7 +2040,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-            FROM scored
+            -- mirror the Spark-side finite-score bound (similarity.py):
+            -- a degenerate vector's NULL/NaN/Inf cosine must rank in
+            -- NEITHER engine (DuckDB sorts NaN largest, like Spark)
+            FROM scored WHERE cos BETWEEN -1.0001 AND 1.0001
         ) WHERE rank <= 5
         ORDER BY query_id, rank
     """
@@ -2060,7 +2063,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, label FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-                FROM scored
+                -- same finite-score bound as the Spark side (similarity.py)
+                FROM scored WHERE cos BETWEEN -1.0001 AND 1.0001
             ) WHERE rank <= 5
         ),
         votes AS (

@@ -408,27 +408,36 @@ def quantize_embeddings_int8(embeddings: DataFrame,
         # same failure class as the zero-vector cosine)
         inf = F.lit(float("inf"))
         finite = F.filter(v, lambda x: ~F.isnan(x) & (F.abs(x) != inf))
-        absmax = F.array_max(F.transform(finite, lambda x: F.abs(x)))
-        scale = (absmax / F.lit(127.0)).alias("scale")
-        q = F.transform(
-            v,
-            # non-finite elements get deliberate codes (NaN→0, ±Inf
-            # saturate); finite ones coalesce BEFORE clamping —
-            # least/greatest skip NULLs, so a zero-vector division
-            # (try_divide → NULL) would otherwise clamp to ±127
-            lambda x: F.when(F.isnan(x), F.lit(0))
-            .when(x == inf, F.lit(127))
-            .when(x == -inf, F.lit(-127))
-            .otherwise(
-                F.greatest(
-                    F.lit(-127),
-                    F.least(F.lit(127),
-                            F.round(F.coalesce(F.try_divide(x, absmax / 127.0),
-                                               F.lit(0.0))).try_cast("int")),
-                )
-            ).cast("tinyint"),
-        )
-        return F.struct(q.alias("q"), scale)
+
+        # absmax is an O(dim) array scan referenced from EVERY element
+        # of the quantize transform — without its own binding Catalyst
+        # re-evaluates it per element (O(dim²) per row), so nest a
+        # second let to pin it once per row
+        def with_absmax(absmax):
+            scale = (absmax / F.lit(127.0)).alias("scale")
+            q = F.transform(
+                v,
+                # non-finite elements get deliberate codes (NaN→0, ±Inf
+                # saturate); finite ones coalesce BEFORE clamping —
+                # least/greatest skip NULLs, so a zero-vector division
+                # (try_divide → NULL) would otherwise clamp to ±127
+                lambda x: F.when(F.isnan(x), F.lit(0))
+                .when(x == inf, F.lit(127))
+                .when(x == -inf, F.lit(-127))
+                .otherwise(
+                    F.greatest(
+                        F.lit(-127),
+                        F.least(F.lit(127),
+                                F.round(F.coalesce(
+                                    F.try_divide(x, absmax / 127.0),
+                                    F.lit(0.0))).try_cast("int")),
+                    )
+                ).cast("tinyint"),
+            )
+            return F.struct(q.alias("q"), scale)
+
+        return let(F.array_max(F.transform(finite, lambda x: F.abs(x))),
+                   with_absmax)
 
     out = embeddings.withColumn(
         "_qs", let(F.transform(F.col(vec_col), lambda x: x.cast("double")), body))

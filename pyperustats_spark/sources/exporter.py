@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_release_manifest"
 
 
+def _read_pinned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned release WITHOUT partition-column type
+    inference: a numeric-looking group value like ``'0100'`` must come
+    back as the string ``'0100'``, never int 100 — inference loses both
+    the written type and (for zero-padded values) the value itself."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force partition discovery while the conf is pinned
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return df
+
+
 def export_releases(
     df: DataFrame, group_col: str, path: str,
 ) -> DataFrame:
@@ -30,11 +49,14 @@ def export_releases(
     Single distributed pass (``partitionBy`` — no driver loop, no
     per-group job like runner.py:15-27); the manifest is computed from
     the data ACTUALLY written back, not from the input plan, so a row
-    in it certifies rows on disk. Returns the manifest DataFrame
-    (group, n_rows, n_cols)."""
+    in it certifies rows on disk. The read-back pins partition-column
+    type inference off and re-applies the INPUT frame's group type, so
+    the manifest records the written values faithfully. Returns the
+    manifest DataFrame (group, n_rows, n_cols)."""
     df.write.partitionBy(group_col).mode("overwrite").parquet(path)
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    written = _read_pinned(spark, path).withColumn(
+        group_col, F.col(group_col).cast(df.schema[group_col].dataType))
     manifest = (
         written.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -51,12 +73,26 @@ def load_release(
 ) -> DataFrame:
     """Read a release back; with *group* given, partition pruning means
     only that group's files are scanned (the reference reads one
-    ``{group}.parquet`` — same I/O shape, no manual path math)."""
-    df = spark.read.parquet(path)
+    ``{group}.parquet`` — same I/O shape, no manual path math).
+
+    The group filter compares the RAW partition string (inference
+    pinned off) before any cast, so directory pruning survives; the
+    written group type is then restored from the manifest when one is
+    present (partition directories themselves only store strings)."""
+    df = _read_pinned(spark, path)
     if group is not None:
         if group_col is None:
             raise ValueError("group_col is required when filtering by group")
-        df = df.where(F.col(group_col) == group)
+        df = df.where(F.col(group_col) == F.lit(group).cast("string"))
+    if group_col is not None:
+        try:
+            written_type = load_manifest(
+                spark, path).schema[group_col].dataType
+        except Exception:
+            written_type = None  # foreign release without a manifest
+        if written_type is not None:
+            df = df.withColumn(
+                group_col, F.col(group_col).cast(written_type))
     return df
 
 

@@ -109,19 +109,32 @@ class StageProgressTracker:
             ev = e if ev is None else ev.unionByName(e)
         return self.cache.append(ev)
 
-    def status(self) -> DataFrame:
-        """Current (keys…, downloaded, unzipped, organized) flags."""
+    def status(self, like: DataFrame | None = None) -> DataFrame:
+        """Current (keys…, downloaded, unzipped, organized) flags.
+
+        *like* supplies the key column types for the empty-log frame
+        (pass the items frame you will join against): hardcoding string
+        keys would make an empty tracker's first ``plan()`` join an int
+        ``year`` to a string column via implicit coercion, with a frame
+        schema that differs between the empty and non-empty paths."""
         resolved = self.cache.load()
         if resolved is None:
-            # empty log: an all-zero frame shaped like the flag table
-            schema = ", ".join([*(f"{k} string" for k in self.keys),
+            # empty log: an all-zero frame shaped like the flag table,
+            # key types taken from the caller's frame when available
+            if like is not None:
+                key_part = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in like.select(*self.keys).schema.fields)
+            else:
+                key_part = ", ".join(f"{k} string" for k in self.keys)
+            schema = ", ".join([key_part,
                                 *(f"{s} int" for s in STAGES)])
             return self.spark.createDataFrame([], schema)
         return status_from_events(resolved, self.keys)
 
     def plan(self, items: DataFrame) -> DataFrame:
         """Every item with its flags and ``next_stage`` verb."""
-        return stage_plan(items, self.status(), self.keys)
+        return stage_plan(items, self.status(like=items), self.keys)
 
     def pending(self, items: DataFrame, stage: str) -> DataFrame:
         """Items whose NEXT stage is *stage* — the work list one re-run

@@ -86,3 +86,39 @@ def test_save_dataframe_convention_roundtrip(spark, tables, tmp_path):
     back = spark.read.parquet(path)
     assert {tuple(r) for r in back.collect()} == \
         {tuple(r) for r in df.collect()}
+
+
+def test_group_value_and_type_fidelity(spark, tmp_path):
+    # a numeric-LOOKING string group ('0100') must survive the
+    # write→manifest→reload round trip verbatim: partition-column type
+    # inference would turn it into int 100, losing the leading zero
+    base = spark.createDataFrame(
+        [(1, "0100"), (2, "0100"), (3, "0411")], "id int, module string")
+    path = str(tmp_path / "zero_padded")
+    manifest = export_releases(base, "module", path)
+
+    m = {r["module"]: r["n_rows"] for r in manifest.collect()}
+    assert m == {"0100": 2, "0411": 1}
+    assert dict(load_manifest(spark, path).dtypes)["module"] == "string"
+
+    back = load_release(spark, path, group_col="module")
+    assert dict(back.dtypes)["module"] == "string"
+    assert _rows(back.select("id", "module")) == _rows(base)
+
+    one = load_release(spark, path, group_col="module", group="0100")
+    assert {r["id"] for r in one.collect()} == {1, 2}
+
+
+def test_int_group_type_restored_from_manifest(spark, tmp_path):
+    # an int group column round-trips as int (the manifest records the
+    # written type; partition dirs themselves only store strings)
+    base = spark.createDataFrame([(1, 2022), (2, 2023)], "id int, year int")
+    path = str(tmp_path / "int_group")
+    manifest = export_releases(base, "year", path)
+    assert dict(manifest.dtypes)["year"] == "int"
+
+    back = load_release(spark, path, group_col="year")
+    assert dict(back.dtypes)["year"] == "int"
+    assert _rows(back.select("id", "year")) == _rows(base)
+    assert {r["id"] for r in load_release(
+        spark, path, group_col="year", group=2023).collect()} == {2}

@@ -88,3 +88,24 @@ def test_plan_is_lazy_and_unhinted(spark, tmp_path):
     # flags join is item-cardinality on both sides — never author-hinted
     assert not P.has_broadcast_hint(plan)
     assert not P.has_python_eval(plan)
+
+
+def test_empty_log_derives_key_schema_from_items(spark, tmp_path):
+    # an EMPTY tracker must plan with the caller's key types: year is
+    # int in the items frame, so the empty status frame's year column
+    # must be int too (a hardcoded string schema would force an implicit
+    # int↔string coercion join and a schema that flips once the log has
+    # rows)
+    tr = _tracker(spark, tmp_path, "empty")
+    mods = _modules(spark)
+    st = tr.status(like=mods)
+    assert dict(st.dtypes)["year"] == "int"
+
+    plan = tr.plan(mods)
+    assert dict(plan.dtypes)["year"] == "int"
+    assert all(r["next_stage"] == "download" for r in plan.collect())
+
+    # after the first mark, the non-empty path must produce the SAME
+    # schema the empty path did
+    tr.mark("downloaded", mods)
+    assert tr.plan(mods).schema == plan.schema
