@@ -17,13 +17,43 @@ returned (lazy) Spark DataFrames; method names and flow match.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyperustats_spark.operators import dedup as _dedup
 from pyperustats_spark.operators import textops as _textops
 from pyperustats_spark.operators import timeseries as _ts
-from pyperustats_spark.sources.cache import IncrementalParquetCache
+from pyperustats_spark.sources.cache import (
+    IncrementalParquetCache,
+    window_namespace,
+)
+
+# the reference's canonical frequency indicators — a code's LAST letter
+# names its frequency (``FREQ_WEB_MAP``, BCRP/models.py:152-160)
+FREQ_SUFFIXES = ("D", "M", "Q", "A")
+
+
+def plan_by_frequency(codes: list[str]) -> dict[str, list[str]]:
+    """Group a mixed code list by frequency suffix.
+
+    Mirrors ``BCRPSeries.__post_init__`` (BCRP/models.py:152-170):
+    codes are uppercased, bucketed by their last letter when it is a
+    known frequency indicator, and codes with no frequency suffix are
+    dropped from the plan (the reference's ``if freq in FREQ_WEB_MAP
+    .values()`` guard). Raises on an empty code list, like the
+    reference (models.py:171-172). Order within a bucket is preserved
+    (first occurrence wins for duplicates)."""
+    if not codes:
+        raise ValueError("codes list must not be empty.")
+    out: dict[str, list[str]] = {}
+    for code in codes:
+        c = code.upper()
+        f = c[-1] if c else ""
+        if f in FREQ_SUFFIXES and c not in out.setdefault(f, []):
+            out[f].append(c)
+    return {f: cs for f, cs in out.items() if cs}
 
 
 class SeriesClient:
@@ -31,13 +61,23 @@ class SeriesClient:
 
     *source_long* stands in for the HTTP API: a long (date, code, value)
     DataFrame the client "fetches" from. At 100 TB it is the raw
-    observation lake; the cache holds the resampled/cleaned series."""
+    observation lake; the cache holds the resampled/cleaned series.
+    Caches are namespaced per (frequency, date window) under one root —
+    the reference keys one SQLite table per fetch window
+    (``_table_name``, BCRP/cache.py:34-43), so daily and monthly
+    series never collide."""
 
     def __init__(self, spark: SparkSession, source_long: DataFrame, cache_path: str):
         self.spark = spark
         self.source_long = source_long
-        self.cache = IncrementalParquetCache(
-            spark, cache_path, keys=["date", "code"])
+        self.cache_path = cache_path
+
+    def cache_for(self, freq: str, start_date: str | None = None,
+                  end_date: str | None = None) -> IncrementalParquetCache:
+        """The per-(frequency, window) cache namespace."""
+        return IncrementalParquetCache(
+            self.spark, self.cache_path, keys=["date", "code"],
+            namespace=window_namespace(freq, start_date, end_date))
 
     def validate_codes(self, codes: list[str]) -> tuple[list[str], list[str]]:
         """Split requested codes into known/unknown against the source
@@ -50,23 +90,74 @@ class SeriesClient:
         unknown = sorted(set(codes) - set(known))
         return known, unknown
 
-    def fetch(self, codes: list[str], freq: str = "M") -> DataFrame:
+    def _window_source(self, start_date: str | None,
+                       end_date: str | None) -> DataFrame:
+        src = self.source_long
+        if start_date is not None:
+            src = src.where(
+                F.col("date") >= F.lit(start_date).cast("timestamp"))
+        if end_date is not None:
+            src = src.where(
+                F.col("date") <= F.lit(end_date).cast("timestamp"))
+        return src
+
+    def fetch(self, codes: list[str], freq: str = "M",
+              start_date: str | None = None,
+              end_date: str | None = None, sort: bool = True) -> DataFrame:
         """Wide one-column-per-code frame at *freq*, served from the
-        cache; only codes missing from the cache touch the source
-        (reference fetch_data flow, fetcher.py:47-107)."""
+        (freq, window) cache namespace; only codes missing from that
+        namespace touch the source (reference fetch_data flow,
+        fetcher.py:47-107: ``cached_codes(freq, start, end)`` →
+        fetch-only-new → save → load). ``sort=False`` when composing —
+        the presentation date sort would be thrown away by any
+        downstream join/shuffle (fetch_multi passes it)."""
         known, _unknown = self.validate_codes(codes)
-        missing = self.cache.missing_codes(known)
+        cache = self.cache_for(freq, start_date, end_date)
+        missing = cache.missing_codes(known)
         if missing:
+            src = self._window_source(start_date, end_date)
             fresh = (
-                _ts.resample(
-                    self.source_long.where(F.col("code").isin(missing)), freq)
+                _ts.resample(src.where(F.col("code").isin(missing)), freq,
+                             sort=False)
                 .select(F.col("period").alias("date"), "code",
                         F.col("value_sum").alias("value"))
             )
-            self.cache.append(fresh)
-        cached = self.cache.load()
+            cache.append(fresh)
+        cached = cache.load()
         long_df = cached.where(F.col("code").isin(known))
-        return _ts.pivot_wide(long_df, codes=tuple(known))
+        return _ts.pivot_wide(long_df, codes=tuple(known), sort=sort)
+
+    def fetch_multi(self, codes: list[str],
+                    start_date: str | None = None,
+                    end_date: str | None = None) -> DataFrame:
+        """One call for a MIXED-frequency code list.
+
+        Mirrors ``BCRPSeries.__post_init__`` + ``fetch_data``
+        (models.py:152-170, fetcher.py:47-107): the codes are grouped
+        by frequency suffix, each group runs the full per-frequency
+        cache plan in its own (freq, window) namespace, and the
+        per-frequency wide frames come back aligned on ``date`` with
+        FULL OUTER semantics (a month-end row carries the monthly
+        values with NULL daily columns — the reference's outer-merge of
+        new columns, cache.py:140-169). Column order follows the
+        request's frequency buckets.
+
+        Scale: one cache plan per distinct frequency (≤4), each a
+        bounded-catalogue fetch; the alignment is a chain of full-outer
+        joins on the compact (date) key."""
+        groups = plan_by_frequency(codes)
+        if not groups:
+            raise ValueError(
+                f"no code carries a frequency suffix {FREQ_SUFFIXES}; "
+                "pass e.g. 'PN01288PM' (M = monthly)")
+        wides = [
+            self.fetch(groups[f], freq=f, start_date=start_date,
+                       end_date=end_date, sort=False)
+            for f in sorted(groups)
+        ]
+        aligned = reduce(
+            lambda a, b: a.join(b, on="date", how="full_outer"), wides)
+        return aligned.orderBy("date")
 
 
 class DocumentPipeline:
@@ -168,7 +259,8 @@ class DocumentPipeline:
         self._df = self._df.join(fp, "doc_id")
         return self
 
-    def run_stage(self, tracker, stage: str, transform=None) -> "DocumentPipeline":
+    def run_stage(self, tracker, stage: str, transform=None,
+                  max_pending_items: int = 100_000) -> "DocumentPipeline":
         """Resume-aware stage execution (INEIFetcher tri-state chaining,
         ``inei/fetcher.py:170-252``): apply *transform* ONLY to the
         documents of items whose next pending stage is *stage*, leave
@@ -188,10 +280,26 @@ class DocumentPipeline:
         the whole table in one SQLite file), and a lazy pending plan
         would silently re-evaluate against the post-``mark`` flag state
         when the returned frame finally materializes. Documents
-        themselves never leave the cluster."""
+        themselves never leave the cluster. *max_pending_items* bounds
+        that snapshot: a tracker keyed at DOCUMENT grain (doc_id) would
+        otherwise pull a corpus-scale key set to the driver — the guard
+        raises before collecting more than the bound (the probe fetches
+        at most bound+1 rows, never the full set). Raise the bound only
+        for keys you know are metadata-cardinality."""
+        if max_pending_items < 1:
+            raise ValueError("max_pending_items must be >= 1")
         items = self._df.select(*tracker.keys).distinct()
         pend = tracker.pending(items, stage)
-        rows = pend.collect()  # O(items) metadata snapshot, see docstring
+        # O(min(items, bound+1)) metadata snapshot, see docstring
+        rows = pend.limit(max_pending_items + 1).collect()
+        if len(rows) > max_pending_items:
+            raise ValueError(
+                f"run_stage pending set exceeds max_pending_items="
+                f"{max_pending_items}: tracker keys {tracker.keys} look "
+                "document-grain, not module-grain — a driver snapshot "
+                "of every pending key would not fit. Track progress at "
+                "a coarser grain (module/partition), or raise "
+                "max_pending_items if this cardinality is intended.")
         if rows:
             stable = self.spark.createDataFrame(rows, pend.schema)
             if transform is not None:

@@ -23,15 +23,80 @@ def test_series_client_fetch_and_cache_reuse(spark, tables, tmp_path):
     assert dates == sorted(dates)
 
     # second fetch: everything cached, no new increment
-    before = client.cache._next_batch_id()
+    cache_m = client.cache_for("M")
+    before = cache_m._next_batch_id()
     wide2 = client.fetch(["AF", "NO"], freq="M")
-    assert client.cache._next_batch_id() == before
+    assert cache_m._next_batch_id() == before
     assert wide2.count() == n
 
     # a new code triggers exactly one increment for the missing series
     client.fetch(["AF", "NO", "RF"], freq="M")
-    assert client.cache._next_batch_id() == before + 1
-    assert "RF" in client.cache.cached_codes()
+    assert cache_m._next_batch_id() == before + 1
+    assert "RF" in cache_m.cached_codes()
+
+
+def test_series_client_multi_frequency_fetch(spark, tables, tmp_path):
+    """Mixed D/M/Q code list in ONE call (reference BCRPSeries groups
+    codes by frequency suffix and runs one cache plan per frequency,
+    models.py:152-170 + fetcher.py:47-107)."""
+    from pyperustats_spark.api import plan_by_frequency
+
+    # give each synthetic series a reference-style frequency suffix
+    long_df = TS.series_long(tables["lineitem"]).withColumn(
+        "code",
+        F.when(F.col("code") == "AF", "AFD")
+        .when(F.col("code") == "NO", "NOM")
+        .when(F.col("code") == "RF", "RFQ")
+        .otherwise(F.concat(F.col("code"), F.lit("M"))))
+    client = SeriesClient(spark, long_df, str(tmp_path / "multi_cache"))
+
+    # suffix grouping mirrors the reference (unknown suffixes dropped,
+    # duplicates collapse, lowercase input uppercased, empty raises)
+    assert plan_by_frequency(["AFD", "nom", "RFQ", "NOM", "BOGUS_X"]) == {
+        "D": ["AFD"], "M": ["NOM"], "Q": ["RFQ"]}
+    import pytest
+    with pytest.raises(ValueError):
+        plan_by_frequency([])
+
+    wide = client.fetch_multi(["AFD", "NOM", "RFQ"])
+    assert set(wide.columns) == {"date", "AFD", "NOM", "RFQ"}
+
+    # per-frequency cache namespaces were each populated by the one call
+    assert client.cache_for("D").cached_codes() == ["AFD"]
+    assert client.cache_for("M").cached_codes() == ["NOM"]
+    assert client.cache_for("Q").cached_codes() == ["RFQ"]
+
+    # output is row-identical to the per-frequency fetches: each code
+    # column restricted to its non-null rows matches its own wide frame
+    def rows(df, col):
+        return {(r["date"], r[col]) for r in
+                df.where(F.col(col).isNotNull()).select("date", col).collect()}
+
+    assert rows(wide, "AFD") == rows(client.fetch(["AFD"], "D"), "AFD")
+    assert rows(wide, "NOM") == rows(client.fetch(["NOM"], "M"), "NOM")
+    assert rows(wide, "RFQ") == rows(client.fetch(["RFQ"], "Q"), "RFQ")
+
+    # alignment is FULL OUTER: every date from every frequency survives
+    n_dates = wide.count()
+    assert n_dates == wide.select("date").distinct().count()
+    for freq, code in (("D", "AFD"), ("M", "NOM"), ("Q", "RFQ")):
+        assert client.fetch([code], freq).count() <= n_dates
+    # dates ascending (reference sorts wide frames by date)
+    dates = [r["date"] for r in wide.select("date").collect()]
+    assert dates == sorted(dates)
+
+    # a repeat call is served fully from the namespaces — no increments
+    befores = {f: client.cache_for(f)._next_batch_id() for f in "DMQ"}
+    client.fetch_multi(["AFD", "NOM", "RFQ"])
+    assert befores == {f: client.cache_for(f)._next_batch_id() for f in "DMQ"}
+
+    # an explicit window lands in its own namespace, filtered to range
+    w = client.fetch_multi(["AFD", "NOM"], start_date="1995-01-01",
+                           end_date="1995-12-31")
+    assert client.cache_for(
+        "M", "1995-01-01", "1995-12-31").cached_codes() == ["NOM"]
+    got = [r["date"] for r in w.select("date").collect()]
+    assert all(d.year == 1995 for d in got)
 
 
 def test_document_pipeline_chain(spark, tables, tmp_path):
@@ -128,6 +193,34 @@ def test_document_pipeline_resume_without_repeat(spark, tables, tmp_path):
     pend_extract = {r["module"]
                     for r in tracker.pending(items, "unzipped").collect()}
     assert pend_extract == {"0", "1", "2", "3", "9"}
+
+
+def test_run_stage_guards_document_grain_snapshot(spark, tables, tmp_path):
+    """A tracker keyed at DOCUMENT grain would pull a corpus-scale key
+    set to the driver — run_stage must refuse above the metadata bound
+    instead of silently collecting it."""
+    import pytest
+
+    from pyperustats_spark.sources.progress import StageProgressTracker
+
+    docs = tables["documents"].limit(40)
+    tracker = StageProgressTracker(
+        spark, str(tmp_path / "docgrain"), keys=["doc_id"])
+
+    with pytest.raises(ValueError, match="max_pending_items"):
+        DocumentPipeline(spark, docs).run_stage(
+            tracker, "downloaded", max_pending_items=10)
+
+    # nothing was marked by the refused run: every item still pending
+    items = docs.select("doc_id").distinct()
+    assert tracker.pending(items, "downloaded").count() == 40
+
+    # an explicitly raised bound lets an intended high-cardinality
+    # tracker through (caller has asserted the cardinality is fine)
+    pipe = DocumentPipeline(spark, docs).run_stage(
+        tracker, "downloaded", max_pending_items=1000)
+    assert tracker.pending(items, "downloaded").count() == 0
+    assert pipe.df.count() == 40
 
 
 def test_chunk_is_terminal_grain_change(spark, tables):
