@@ -188,13 +188,14 @@ class DocumentPipeline:
 
     def dedup_exact(self) -> "DocumentPipeline":
         self._require_document_grain("dedup_exact")
-        keep = _dedup.dedup_exact_normalized(self._df).select("doc_id")
+        keep = _dedup.dedup_exact_normalized(
+            self._df, sort=False).select("doc_id")
         self._df = self._df.join(keep, "doc_id", "left_semi")
         return self
 
     def quality_filter(self, min_score: float = 0.5) -> "DocumentPipeline":
         self._require_document_grain("quality_filter")
-        scored = _textops.quality_score(self._df).select(
+        scored = _textops.quality_score(self._df, sort=False).select(
             "doc_id", "quality_score")
         self._df = (
             self._df.join(scored, "doc_id")
@@ -205,7 +206,8 @@ class DocumentPipeline:
 
     def lang_filter(self, langs: list[str]) -> "DocumentPipeline":
         self._require_document_grain("lang_filter")
-        pred = _textops.lang_id(self._df).select("doc_id", "lang_pred")
+        pred = _textops.lang_id(self._df, sort=False).select(
+            "doc_id", "lang_pred")
         self._df = (
             self._df.join(pred, "doc_id")
             .where(F.col("lang_pred").isin(langs))
@@ -255,7 +257,7 @@ class DocumentPipeline:
 
     def with_fingerprint(self) -> "DocumentPipeline":
         self._require_document_grain("with_fingerprint")
-        fp = _textops.fingerprint(self._df)
+        fp = _textops.fingerprint(self._df, sort=False)
         self._df = self._df.join(fp, "doc_id")
         return self
 

@@ -38,25 +38,30 @@ from pyperustats_spark.functions.text import char_ngrams, let, normalize, tokens
 from pyperustats_spark.functions.vectors import dot, norm
 
 
-def dedup_exact(documents: DataFrame) -> DataFrame:
+def dedup_exact(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Exact dedup on raw text: keep the lowest doc_id per identical
-    text. Returns survivors (doc_id, text_hash)."""
+    text. Returns survivors (doc_id, text_hash). ``sort=False`` when
+    composing — the presentation sort is wasted by any downstream
+    shuffle."""
     hashed = documents.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
     keep = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    return keep.select("doc_id", "text_hash").orderBy("doc_id")
+    out = keep.select("doc_id", "text_hash")
+    return out.orderBy("doc_id") if sort else out
 
 
-def dedup_exact_normalized(documents: DataFrame) -> DataFrame:
+def dedup_exact_normalized(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Exact dedup after lowercase/whitespace normalization."""
     hashed = documents.select(
         "doc_id", F.md5(normalize(F.col("text"))).alias("text_hash")
     )
     keep = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    return keep.select("doc_id", "text_hash").orderBy("doc_id")
+    out = keep.select("doc_id", "text_hash")
+    return out.orderBy("doc_id") if sort else out
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.15
+    documents: DataFrame, n: int = 3, threshold: float = 0.15,
+    sort: bool = True,
 ) -> DataFrame:
     """Char-n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -89,7 +94,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         pairs.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .select(
@@ -98,8 +103,8 @@ def ngram_jaccard_pairs(
             (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def minhash_lsh_pairs(
@@ -109,6 +114,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.4,
     max_bucket: int = 50,
+    sort: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
 
@@ -194,13 +200,13 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    return (
+    out = (
         bucketed.select(F.explode(pairs_arr).alias("p"))
         .select("p.id_a", "p.id_b", "p.est_jaccard")
         .where(F.col("est_jaccard") >= threshold)  # filter before the dedup shuffle
         .dropDuplicates(["id_a", "id_b"])
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
@@ -210,7 +216,8 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(documents: DataFrame, max_hamming: int = 8,
+                  sort: bool = True) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
     Candidate generation by 16-bit band keys (pigeonhole: distance ≤ 3
@@ -264,13 +271,13 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
             ),
         )
     )
-    return (
+    out = (
         bucketed.select(F.explode(pairs_arr).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def embedding_cosine_pairs(
@@ -322,7 +329,8 @@ def embedding_cosine_pairs(
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 10,
+                         sort: bool = True) -> DataFrame:
     """Connected components over near-dup pairs: every node gets the
     MINIMUM id reachable from it (its cluster id) — the step that turns
     pairwise matches into dedup clusters with one canonical doc each.
@@ -418,21 +426,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             f"rounds (last round changed {changed} labels). The pair graph "
             f"is deeper than 2^{max_iter}; raise max_iter."
         )
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("cluster_id")).orderBy("doc_id")
+    out = labels.select(F.col("node").alias("doc_id"),
+                        F.col("label").alias("cluster_id"))
+    return out.orderBy("doc_id") if sort else out
 
 
 def dedup_clusters(documents: DataFrame, n: int = 3,
-                   threshold: float = 0.15) -> DataFrame:
+                   threshold: float = 0.15, sort: bool = True) -> DataFrame:
     """End-to-end fuzzy dedup: n-gram Jaccard pairs → connected
     components → per-doc cluster id + canonical flag (cluster minimum
     survives — the multi-document generalization of the reference's
-    first-file-wins content dedup, organizer.py:222-231)."""
-    pairs = ngram_jaccard_pairs(documents, n=n, threshold=threshold)
-    cc = connected_components(pairs)
-    return cc.withColumn(
-        "is_canonical", (F.col("doc_id") == F.col("cluster_id"))
-    ).orderBy("doc_id")
+    first-file-wins content dedup, organizer.py:222-231). All interior
+    stages run sort-free; only this tail sorts (and only when asked)."""
+    pairs = ngram_jaccard_pairs(documents, n=n, threshold=threshold,
+                                sort=False)
+    cc = connected_components(pairs, sort=False)
+    out = cc.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+    return out.orderBy("doc_id") if sort else out
 
 
 def dedup_filter(documents: DataFrame, n: int = 3,
@@ -448,7 +459,8 @@ def dedup_filter(documents: DataFrame, n: int = 3,
     driver — a shuffled anti-join on doc_id is cheap, and AQE still
     broadcasts automatically whenever the loser set is genuinely small.
     Text/vectors never ride the loser side of the shuffle."""
-    clusters = dedup_clusters(documents, n=n, threshold=threshold)
+    clusters = dedup_clusters(documents, n=n, threshold=threshold,
+                              sort=False)
     losers = clusters.where(~F.col("is_canonical")).select("doc_id")
     out = documents.join(losers, "doc_id", "left_anti")
     return out.orderBy("doc_id") if sort else out
@@ -463,15 +475,15 @@ def dedup_filter_simhash(documents: DataFrame, max_hamming: int = 8,
     MinHash (:func:`dedup_filter_minhash`), SimHash (this) — one
     candidate generator per precision/cost point, one shared
     cluster+apply shape."""
-    pairs = simhash_pairs(documents, max_hamming=max_hamming)
-    cc = connected_components(pairs)
+    pairs = simhash_pairs(documents, max_hamming=max_hamming, sort=False)
+    cc = connected_components(pairs, sort=False)
     losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     out = documents.join(losers, "doc_id", "left_anti")
     return out.orderBy("doc_id") if sort else out
 
 
 def dedup_clusters_minhash(documents: DataFrame, threshold: float = 0.5,
-                           **lsh_kwargs) -> DataFrame:
+                           sort: bool = True, **lsh_kwargs) -> DataFrame:
     """:func:`dedup_clusters` with MinHash+LSH candidate pairs instead
     of exact n-gram Jaccard — the 100 TB path: exact Jaccard scores
     every candidate against full shingle sets, while the signature
@@ -480,11 +492,12 @@ def dedup_clusters_minhash(documents: DataFrame, threshold: float = 0.5,
     connected components → canonical per cluster. Rows-only (the
     estimate is probabilistic; pytest bounds it against exact Jaccard).
     *threshold* applies to the SIGNATURE-estimated Jaccard."""
-    pairs = minhash_lsh_pairs(documents, threshold=threshold, **lsh_kwargs)
-    cc = connected_components(pairs)
-    return cc.withColumn(
-        "is_canonical", (F.col("doc_id") == F.col("cluster_id"))
-    ).orderBy("doc_id")
+    pairs = minhash_lsh_pairs(documents, threshold=threshold, sort=False,
+                              **lsh_kwargs)
+    cc = connected_components(pairs, sort=False)
+    out = cc.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+    return out.orderBy("doc_id") if sort else out
 
 
 def dedup_filter_minhash(documents: DataFrame, threshold: float = 0.5,
@@ -494,7 +507,7 @@ def dedup_filter_minhash(documents: DataFrame, threshold: float = 0.5,
     :func:`dedup_clusters_minhash`). Anti-join on 8-byte doc_ids,
     AQE-decided — identical scale posture to :func:`dedup_filter`."""
     clusters = dedup_clusters_minhash(documents, threshold=threshold,
-                                      **lsh_kwargs)
+                                      sort=False, **lsh_kwargs)
     losers = clusters.where(~F.col("is_canonical")).select("doc_id")
     out = documents.join(losers, "doc_id", "left_anti")
     return out.orderBy("doc_id") if sort else out

@@ -24,6 +24,7 @@ def knn_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    sort: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -52,11 +53,11 @@ def knn_bruteforce(
     scored = scored.where(
         (F.col("cos") >= -1.0001) & (F.col("cos") <= 1.0001))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
+    return out.orderBy("query_id", "rank") if sort else out
 
 
 def _hyperplanes_seeded(dim: int, num_planes: int, seed: int) -> list[list[float]]:
@@ -279,7 +280,7 @@ def knn_label_vote(
     join neighbor labels → per-query label counts → argmax window.
     At scale, swap :func:`knn_bruteforce` for :func:`ann_lsh` /
     :func:`ann_ivf` — the vote logic is unchanged."""
-    topk = knn_bruteforce(embeddings, queries, k=k)
+    topk = knn_bruteforce(embeddings, queries, k=k, sort=False)
     labeled = topk.join(
         embeddings.select("vec_id", "label"), "vec_id"
     )

@@ -28,16 +28,19 @@ from pyperustats_spark.functions.text import (
 )
 
 
-def token_counts(documents: DataFrame) -> DataFrame:
-    """Whitespace/punct-regex token count + char count per doc."""
-    return documents.select(
+def token_counts(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Whitespace/punct-regex token count + char count per doc.
+    ``sort=False`` when composing — the presentation sort is wasted by
+    any downstream shuffle."""
+    out = documents.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         token_count(F.col("text")).alias("n_tokens"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if sort else out
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Heuristic quality features + composite score.
 
     Features follow the standard pretraining-filter recipe (length,
@@ -82,10 +85,11 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(F.col("stopword_density") >= 0.02, F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return base.withColumn("quality_score", score).orderBy("doc_id")
+    out = base.withColumn("quality_score", score)
+    return out.orderBy("doc_id") if sort else out
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
+def lang_id(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Stopword-hit language ID over en/es/de/fr + CJK-ratio shortcut.
 
     Picks the language with the most stopword hits; 'zh' when CJK
@@ -114,19 +118,21 @@ def lang_id(documents: DataFrame) -> DataFrame:
     cond = F.when(F.col("cjk_ratio") > 0.2, F.lit("zh"))
     for lang in ("en", "es", "de", "fr"):
         cond = cond.when((best_hits > 0) & (hits[lang] == best_hits), F.lit(lang))
-    return base.select(
+    out = base.select(
         "doc_id",
         *[hits[lang].alias(f"hits_{lang}") for lang in ("en", "es", "de", "fr")],
         cond.otherwise(F.lit("und")).alias("lang_pred"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if sort else out
 
 
-def fingerprint(documents: DataFrame) -> DataFrame:
+def fingerprint(documents: DataFrame, sort: bool = True) -> DataFrame:
     """md5 fingerprint of the normalized text (reference: SHA-256 file
     dedup key, organizer.py:207-231). Stable across engines."""
-    return documents.select(
+    out = documents.select(
         "doc_id", F.md5(normalize(F.col("text"))).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if sort else out
 
 
 def repetition_metrics(documents: DataFrame) -> DataFrame:
@@ -215,7 +221,7 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
     """Language-ID evaluation: confusion counts of labeled ``lang`` vs
     the heuristic's ``lang_pred`` (reference-quality check for the
     pipeline's language filter). One extra shuffle over lang_id."""
-    pred = lang_id(documents).select("doc_id", "lang_pred")
+    pred = lang_id(documents, sort=False).select("doc_id", "lang_pred")
     return (
         documents.select("doc_id", "lang")
         .join(pred, "doc_id")

@@ -103,12 +103,14 @@ def resample(long_df: DataFrame, frequency: str = "M",
     return out.orderBy("period", "code") if sort else out
 
 
-def gap_fill(long_df: DataFrame) -> DataFrame:
+def gap_fill(long_df: DataFrame, sort: bool = True) -> DataFrame:
     """Fill missing calendar days per series with NULL rows.
 
     Per-series spine via sequence(min,max) + explode — distributed, no
     driver calendar; one groupBy shuffle on code, then a broadcast-able
-    join back (AQE picks the strategy per series count)."""
+    join back (AQE picks the strategy per series count). ``sort=False``
+    when composing (interpolate_linear's windows repartition by code
+    and would throw the global sort away)."""
     spine = (
         long_df.groupBy("code")
         .agg(F.min("date").alias("d0"), F.max("date").alias("d1"))
@@ -119,9 +121,10 @@ def gap_fill(long_df: DataFrame) -> DataFrame:
             ).alias("date"),
         )
     )
-    return spine.join(long_df, ["code", "date"], "left").select(
+    out = spine.join(long_df, ["code", "date"], "left").select(
         "date", "code", "value"
-    ).orderBy("date", "code")
+    )
+    return out.orderBy("date", "code") if sort else out
 
 
 def lag_pct_change(long_df: DataFrame) -> DataFrame:
@@ -291,7 +294,7 @@ def interpolate_linear(long_df: DataFrame) -> DataFrame:
     their dates via ``last/first(ignorenulls)`` over unbounded frames,
     then the interpolation weight from day distances. Boundary rows
     (no earlier or no later observation) keep the one-sided value."""
-    filled = gap_fill(long_df)
+    filled = gap_fill(long_df, sort=False)
     w_prev = (
         Window.partitionBy("code").orderBy("date")
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -1,6 +1,7 @@
 from pyperustats_spark.plans.checks import (  # noqa: F401
     broadcast_hint_count,
     explain_str,
+    global_sort_count,
     has_broadcast_hint,
     has_broadcast_join,
     has_python_eval,

@@ -97,3 +97,17 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     df.collect()  # count() would execute a different (re-planned) query
     executed = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", executed)))
+
+
+def global_sort_count(df: DataFrame) -> int:
+    """Number of GLOBAL sorts surviving in the OPTIMIZED logical plan.
+
+    A composed operator chain should carry at most one — the caller's
+    final presentation sort. Every extra one is a full-data range
+    shuffle + sort the next shuffle immediately destroys; operators
+    meant for composition take ``sort=False`` so their presentation
+    tails never reach a mid-pipeline plan (Catalyst's EliminateSorts
+    catches some of these, but not e.g. sorts feeding unions or
+    Python stages — this counts what actually SURVIVED)."""
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    return len(re.findall(r"Sort \[[^\]]*\], true", opt))

@@ -355,3 +355,53 @@ PLAN_SMELL_WHITELIST = {
     "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
     "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
 }
+
+
+def test_no_midpipeline_global_sorts_in_composed_chains(spark, tables):
+    """Composed operator chains must not carry interior global sorts:
+    each one is a full-data range shuffle the next shuffle destroys.
+    Operators built for composition take sort=False and every internal
+    composition site passes it — these plans prove the discipline
+    end-to-end (the optimizer removes SOME redundant sorts itself; the
+    assertion is on what actually survives)."""
+    from pyperustats_spark.api import DocumentPipeline
+    from pyperustats_spark.operators import dedup as D
+    from pyperustats_spark.operators import similarity as S
+    from pyperustats_spark.operators import textops as T
+    from pyperustats_spark.operators import timeseries as TS
+
+    docs = tables["documents"]
+
+    # full document chain: every stage sort-free (ZERO global sorts —
+    # the pipeline never asks for presentation order)
+    chain = (
+        DocumentPipeline(spark, docs)
+        .dedup_exact()
+        .quality_filter(min_score=0.5)
+        .lang_filter(["en", "es"])
+        .with_fingerprint()
+        .df
+    )
+    assert P.global_sort_count(chain) == 0, \
+        spark._jvm and chain._jdf.queryExecution().optimizedPlan().toString()
+
+    # apply-dedup: pairs → CC → anti-join, interior stages sort-free
+    # even when the caller asks for a sorted result (≤1 = the tail)
+    assert P.global_sort_count(D.dedup_filter(docs, sort=False)) == 0
+    assert P.global_sort_count(D.dedup_filter_simhash(docs, sort=False)) == 0
+    assert P.global_sort_count(D.dedup_clusters(docs, sort=True)) == 1
+
+    # interpolate composes gap_fill sort-free; its own tail is the only
+    # global sort in the plan
+    long_df = TS.series_long(tables["lineitem"])
+    assert P.global_sort_count(TS.interpolate_linear(long_df)) == 1
+
+    # label vote composes knn_bruteforce sort-free
+    emb = tables["embeddings"].select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, [0, 7])
+    assert P.global_sort_count(S.knn_label_vote(emb, q, k=3)) == 1
+
+    # lang_confusion composes lang_id sort-free
+    assert P.global_sort_count(T.lang_confusion(docs)) == 1
