@@ -171,6 +171,10 @@ CANDIDATE_PAYLOADS = [
     (2022, 102, 2, "E-10", '{"Data": ['),  # truncated/malformed payload
 ]
 
+# political orgs already scraped into org_politica — the done set the
+# org fetch loop excludes (infogob/30_organizaciones_politicas.py:34-50)
+ORG_DONE = ["/org/2731"]
+
 # parsed politician detail pages (infogob/40_candidato_details.py:34-41):
 # hoja-de-vida / plan-de-gobierno link lists, incl. an empty page, a page
 # missing one section, and an unparseable page (all → count 0)
@@ -474,6 +478,27 @@ def infogob_candidates_pending(spark, sf_dir):
     processed = _candidate_frame(spark).select(*CANDIDATE_KEYS).distinct()
     return pending_requests(
         requests, processed, keys=CANDIDATE_KEYS).orderBy(*CANDIDATE_KEYS)
+
+
+def infogob_org_pending(spark, sf_dir):
+    """Political-org done-set ingestion (infogob/
+    30_organizaciones_politicas.py:34-50): distinct org urls seen in
+    resultados_by_org_politica, minus orgs already in org_politica —
+    the same anti-join shape as pending_requests on a 1-part key.
+    NULL urls (orgs whose response omitted TxRutaOrgPol) are not
+    fetchable and are excluded up front."""
+    from pyperustats_spark.sources.json_api import pending_requests
+
+    requests = (
+        _electoral_frames(spark).detail
+        .select("url_org_politica")
+        .where(F.col("url_org_politica").isNotNull())
+        .distinct())
+    done = spark.createDataFrame(
+        [(u,) for u in ORG_DONE], "url_org_politica string")
+    return pending_requests(
+        requests, done, keys=("url_org_politica",)).orderBy(
+        "url_org_politica")
 
 
 def infogob_candidate_detail_counts(spark, sf_dir):
@@ -1113,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_normalize_detail": infogob_normalize_detail,
         "infogob_pending_requests": infogob_pending_requests,
         "infogob_participation": infogob_participation,
+        "infogob_org_pending": infogob_org_pending,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -2371,6 +2397,21 @@ def oracle_sql() -> dict[str, str]:
               AND proc.id_expediente = req.id_expediente)
         ORDER BY id_eleccion, id_location_req, id_group_eleccion,
                  id_expediente
+    """
+
+    org_done_vals = _values_sql([(u,) for u in ORG_DONE], "url")
+    sql["infogob_org_pending"] = f"""
+        WITH ok AS ({_electoral_ok}),
+        req AS (
+            SELECT DISTINCT r.TxRutaOrgPol AS url_org_politica
+            FROM (SELECT unnest(j.Data.Resultados) AS r FROM ok)
+            WHERE r.TxRutaOrgPol IS NOT NULL
+        )
+        SELECT url_org_politica FROM req
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {org_done_vals}
+            WHERE t.url = req.url_org_politica)
+        ORDER BY url_org_politica
     """
 
     detail_page_vals = _values_sql(
