@@ -175,6 +175,18 @@ CANDIDATE_PAYLOADS = [
 # org fetch loop excludes (infogob/30_organizaciones_politicas.py:34-50)
 ORG_DONE = ["/org/2731"]
 
+# benchmark/eval snippets for decontamination: one phrase drawn from the
+# synthetic corpus vocabulary (real 5-gram hits) and one from outside it
+# (zero hits) — parity holds for any hit count, the fixture just makes
+# both branches non-trivial
+EVAL_SNIPPETS = [
+    (1, "batch batch batch stream spark window window dup"),
+    (2, "quick brown foxes jump over lazy benchmark sentences"),
+]
+
+# target mixture weights per source (sources absent keep 0)
+SOURCE_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.1, "src3": 0.0}
+
 # parsed politician detail pages (infogob/40_candidato_details.py:34-41):
 # hoja-de-vida / plan-de-gobierno link lists, incl. an empty page, a page
 # missing one section, and an unparseable page (all → count 0)
@@ -478,6 +490,20 @@ def infogob_candidates_pending(spark, sf_dir):
     processed = _candidate_frame(spark).select(*CANDIDATE_KEYS).distinct()
     return pending_requests(
         requests, processed, keys=CANDIDATE_KEYS).orderBy(*CANDIDATE_KEYS)
+
+
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination flags: exact 5-gram overlap between the
+    corpus and a (broadcastable) eval set."""
+    eval_df = spark.createDataFrame(EVAL_SNIPPETS, "eid int, text string")
+    return T.contamination_flags(
+        _lt(spark, sf_dir, "documents"), eval_df, n=5)
+
+
+def text_source_mix_sample(spark, sf_dir):
+    """Deterministic per-source mixture downsampling (hash-cut)."""
+    df = T.sample_source_mix(_lt(spark, sf_dir, "documents"), SOURCE_MIX)
+    return df.select("doc_id", "source", "lang")
 
 
 def infogob_org_pending(spark, sf_dir):
@@ -1139,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_pending_requests": infogob_pending_requests,
         "infogob_participation": infogob_participation,
         "infogob_org_pending": infogob_org_pending,
+        "text_decontaminate": text_decontaminate,
+        "text_source_mix_sample": text_source_mix_sample,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -1886,6 +1914,46 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) % 100 < 10
                     THEN 'val' ELSE 'train' END AS split
         FROM documents ORDER BY doc_id
+    """
+
+    _G5 = ("i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || "
+           "t[i+3] || ' ' || t[i+4]")
+    eval_vals = _values_sql(EVAL_SNIPPETS, "eid, text")
+    sql["text_decontaminate"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        dg AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 4, 0) + 1), {_G5})))
+                       AS gram
+            FROM toks WHERE len(t) >= 5
+        ),
+        et AS (SELECT {_TOKENS} AS t FROM {eval_vals}),
+        eg AS (
+            SELECT DISTINCT unnest(list_transform(
+                       range(1, greatest(len(t) - 4, 0) + 1), {_G5}))
+                       AS gram
+            FROM et WHERE len(t) >= 5
+        ),
+        hits AS (
+            SELECT DISTINCT doc_id FROM dg
+            WHERE gram IN (SELECT gram FROM eg)
+        )
+        SELECT d.doc_id,
+               EXISTS (SELECT 1 FROM hits WHERE hits.doc_id = d.doc_id)
+                   AS is_contaminated
+        FROM documents d ORDER BY doc_id
+    """
+
+    _mix_cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(f * 10000))}"
+        for s, f in SOURCE_MIX.items())
+    sql["text_source_mix_sample"] = f"""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE CAST('0x' || substring(
+                  md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+              % 10000 < CASE source {_mix_cases} ELSE 0 END
+        ORDER BY doc_id
     """
 
     sql["sample_stratified_by_lang"] = """

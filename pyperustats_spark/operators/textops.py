@@ -327,3 +327,78 @@ def pack_sequences(documents: DataFrame, budget: int = 256,
         ).alias("bin_end"),
     )
     return out.orderBy("doc_id") if sort else out
+
+
+def contamination_flags(documents: DataFrame, eval_df: DataFrame,
+                        n: int = 5, text_col: str = "text",
+                        sort: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag every document that shares at
+    least one *n*-token word n-gram with an eval/benchmark set — the
+    standard pretraining hygiene step before training on a scraped
+    corpus (exact n-gram overlap, the GPT-3/Llama-style recipe).
+
+    Scale: the eval side is a BENCHMARK (thousands of rows, bounded) —
+    its distinct grams stay small, so AQE broadcasts the semi-join and
+    the corpus side streams through without shuffling its grams; the
+    only shuffle is the distinct over contaminated 8-byte doc_ids.
+    Grams are compared as strings (md5-free) because the broadcast
+    means they never ride a shuffle; the semi-join is unhinted — if an
+    eval set ever IS huge, AQE falls back to a shuffled semi-join
+    instead of OOMing the driver. Returns (doc_id, is_contaminated)
+    for every input document."""
+    doc_grams = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), n))).alias("gram"),
+    )
+    eval_grams = eval_df.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+    ).distinct()
+    hits = (
+        doc_grams.join(eval_grams, "gram", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    out = (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("_hit"), F.lit(False)).alias("is_contaminated"))
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def decontaminate(documents: DataFrame, eval_df: DataFrame, n: int = 5,
+                  text_col: str = "text", sort: bool = True) -> DataFrame:
+    """APPLY decontamination: the corpus minus contaminated documents
+    (see :func:`contamination_flags`). Anti-join on 8-byte doc_ids,
+    AQE-decided — same scale posture as the dedup apply family."""
+    bad = contamination_flags(documents, eval_df, n=n, text_col=text_col,
+                              sort=False).where(F.col("is_contaminated"))
+    out = documents.join(bad.select("doc_id"), "doc_id", "left_anti")
+    return out.orderBy("doc_id") if sort else out
+
+
+def sample_source_mix(documents: DataFrame, fractions: dict[str, float],
+                      salt: str = "mix", sort: bool = True) -> DataFrame:
+    """Deterministic per-source downsampling to target mixture weights —
+    the data-mixture step of a pretraining pipeline (e.g. keep 100% of
+    curated sources, 10% of crawl). A doc survives iff its salted
+    md5(doc_id) bucket (mod 10000) falls under fraction[source]×10000;
+    sources absent from *fractions* keep weight 0.
+
+    Same hash-cut family as ``train_val_split``: membership is a pure
+    row-local expression — zero shuffles at any corpus size, stable
+    under resharding, and appends land in stable sample membership
+    without re-drawing old rows. md5 keeps it oracle-checkable."""
+    pairs = []
+    for src, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction for {src!r} must be in [0, 1]")
+        pairs += [F.lit(src), F.lit(int(round(frac * 10000)))]
+    cut = F.coalesce(F.create_map(*pairs)[F.col("source")], F.lit(0))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                      F.col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("int") % 10000
+    out = documents.where(bucket < cut)
+    return out.orderBy("doc_id") if sort else out

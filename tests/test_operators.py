@@ -682,3 +682,59 @@ def test_knn_excludes_corrupt_vectors_from_topk(spark):
     got = [(r["rank"], r["vec_id"]) for r in
            S.knn_bruteforce(emb, q, k=3).collect()]
     assert got == [(1, 1), (2, 3)]  # vec 2 (NaN) excluded entirely
+
+
+def test_contamination_flags_and_decontaminate(spark):
+    from pyperustats_spark.operators import textops as T
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta extra words here"),
+         (2, "totally different content with no overlap at all"),
+         (3, "prefix alpha beta gamma delta epsilon suffix"),
+         (4, "alpha beta gamma delta")],  # only 4 tokens: no 5-gram
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "eid int, text string")
+
+    flags = {r["doc_id"]: r["is_contaminated"]
+             for r in T.contamination_flags(docs, eval_df, n=5).collect()}
+    # docs 1 and 3 contain the exact eval 5-gram; doc 4 is a strict
+    # sub-sequence (< n tokens) and must NOT be flagged
+    assert flags == {1: True, 2: False, 3: True, 4: False}
+
+    kept = {r["doc_id"] for r in T.decontaminate(docs, eval_df, n=5).collect()}
+    assert kept == {2, 4}
+
+    # no Python in the plan; the eval side must not be author-hinted
+    import pyperustats_spark.plans as P
+    out = T.contamination_flags(docs, eval_df, n=5, sort=False)
+    assert not P.has_python_eval(out)
+    assert not P.has_broadcast_hint(out)
+
+
+def test_sample_source_mix_semantics(spark, tables):
+    from pyperustats_spark.operators import textops as T
+
+    docs = tables["documents"]
+    mix = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = T.sample_source_mix(docs, mix, sort=False)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    n_src1 = docs.where(F.col("source") == "src1").count()
+    # weight 1.0 keeps everything; 0.0 and unlisted sources keep nothing
+    assert counts.get("src0") == n_src0
+    assert "src2" not in counts
+    assert set(counts) <= {"src0", "src1"}
+    # weight 0.5 keeps roughly half (hash-cut, not exact)
+    assert 0.2 * n_src1 <= counts.get("src1", 0) <= 0.8 * n_src1
+
+    # deterministic and stable under resharding
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         T.sample_source_mix(docs.repartition(7), mix, sort=False).collect()}
+    assert a == b
+
+    with pytest.raises(ValueError):
+        T.sample_source_mix(docs, {"src0": 1.5})
