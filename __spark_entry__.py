@@ -732,6 +732,17 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_fingerprints(_lt(spark, sf_dir, "documents"))
 
 
+def dedup_semantic_apply(spark, sf_dir):
+    """Rows-only: SemDeDup-style apply — IVF-cell cosine pairs → CC →
+    anti-join (precision-exact in-cell scores; recall bounded in
+    pytest vs the exact blocked baseline)."""
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    return D.dedup_filter_semantic(
+        emb, threshold=0.97, n_centroids=16).select("vec_id", "label")
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     df = D.embedding_cosine_pairs(
         _lt(spark, sf_dir, "embeddings").select(
@@ -1171,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
         "dedup_simhash_apply": dedup_simhash_apply,
+        "dedup_semantic_apply": dedup_semantic_apply,
         "embedding_quantize_int8": embedding_quantize_int8,
         "dedup_simhash": dedup_simhash,
         "ann_lsh_cosine": ann_lsh_cosine,

@@ -511,3 +511,96 @@ def dedup_filter_minhash(documents: DataFrame, threshold: float = 0.5,
     losers = clusters.where(~F.col("is_canonical")).select("doc_id")
     out = documents.join(losers, "doc_id", "left_anti")
     return out.orderBy("doc_id") if sort else out
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    kmeans_iters: int = 0,
+    max_cell: int = 500,
+    sort: bool = True,
+) -> DataFrame:
+    """SemDeDup-style near-dup candidate pairs over an embedding corpus:
+    IVF-cell bucketing → exact cosine INSIDE the cell.
+
+    The semantic counterpart of :func:`minhash_lsh_pairs`: instead of
+    text shingles, candidates come from sharing a k-means (IVF) cell —
+    the published SemDeDup recipe (cluster the corpus, prune within
+    clusters). Exactly the repo's one-shuffle gather shape: each cell
+    is collected with ``collect_list`` (vectors ride the shuffle ONCE,
+    with their norms hoisted alongside), pairs and exact cosines come
+    out of the gathered array, no self-join. Recall is bounded by the
+    cell partition (cross-cell near-dups are missed — rows-only, the
+    pytest property bounds it against :func:`embedding_cosine_pairs`);
+    every emitted pair's score is EXACT, so precision is 1.
+
+    Scale: size *n_centroids* ≈ corpus / target cell size so cells stay
+    under *max_cell* (oversized cells are DROPPED — the same skew guard
+    as the LSH buckets, so one degenerate mega-cluster can't go O(n²));
+    the shuffle carries each vector exactly once, keyed by an int cell
+    id. At 100 TB the cell id becomes a write-once partition column."""
+    from pyperustats_spark.operators.similarity import (
+        ivf_assign, kmeans_refine_centroids, seed_centroids)
+
+    cents = seed_centroids(embeddings, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine_centroids(embeddings, cents,
+                                        iterations=kmeans_iters)
+    e = ensure_parallelism(embeddings).select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("_nrm"),
+        F.element_at(
+            ivf_assign(F.col("embedding"), cents, nprobe=1), 1).alias("cell"),
+    )
+    celled = (
+        e.groupBy("cell")
+        .agg(F.collect_list(
+            F.struct("vec_id", "embedding", "_nrm")).alias("m"))
+        .where((F.size("m") >= 2) & (F.size("m") <= max_cell))
+        .select(F.array_sort(F.col("m")).alias("m"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + F.lit(2), F.size(F.col("m"))),
+                lambda y: F.struct(
+                    x["vec_id"].alias("id_a"),
+                    y["vec_id"].alias("id_b"),
+                    F.try_divide(
+                        dot(x["embedding"], y["embedding"]),
+                        x["_nrm"] * y["_nrm"],
+                    ).alias("cos"),
+                ),
+            ),
+        )
+    )
+    out = (
+        celled.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.cos")
+        .where(F.col("cos") >= threshold)
+    )
+    return out.orderBy("id_a", "id_b") if sort else out
+
+
+def dedup_filter_semantic(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    sort: bool = True,
+    **ivf_kwargs,
+) -> DataFrame:
+    """APPLY semantic dedup: the embedding corpus minus non-canonical
+    members of cosine-≥τ clusters found within IVF cells (pairs →
+    pointer-doubling CC → AQE-decided anti-join on 8-byte vec_ids).
+    Completes the apply family across modalities: exact / n-gram /
+    MinHash / SimHash over text, SemDeDup over embeddings — one shared
+    cluster+apply shape."""
+    pairs = semantic_dedup_pairs(embeddings, threshold=threshold,
+                                 sort=False, **ivf_kwargs)
+    cc = connected_components(pairs, sort=False)
+    losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id"))
+    out = embeddings.join(losers, "vec_id", "left_anti")
+    return out.orderBy("vec_id") if sort else out

@@ -738,3 +738,66 @@ def test_sample_source_mix_semantics(spark, tables):
 
     with pytest.raises(ValueError):
         T.sample_source_mix(docs, {"src0": 1.5})
+
+
+def _neardup_embeddings(spark, groups=4, copies=5, dim=8):
+    # one orthogonal direction per group; copies are the base + tiny
+    # deterministic perturbations -> in-group cosine ~1, cross-group ~0
+    rows = []
+    for g in range(groups):
+        for c in range(copies):
+            v = [0.0] * dim
+            v[g] = 1.0
+            v[(g + 4) % dim] = 0.01 * c
+            rows.append((g * copies + c, g, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+
+
+def test_semantic_dedup_pairs_exact_scores_and_recall(spark):
+    from pyperustats_spark.operators import dedup as D
+
+    emb = _neardup_embeddings(spark)
+    got = D.semantic_dedup_pairs(
+        emb, threshold=0.95, n_centroids=4, kmeans_iters=1, sort=False)
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in got.collect()}
+
+    exact = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in D.embedding_cosine_pairs(emb, threshold=0.95).collect()}
+    # precision 1 with EXACT scores: every emitted pair is a true pair
+    # with a bit-identical cosine (same dot/norm arithmetic)
+    for k, cos in pairs.items():
+        assert k in exact and abs(exact[k] - cos) < 1e-12
+    # on cell-separable groups (one seed per group + 1 Lloyd round),
+    # recall is total: all 4*C(5,2)=40 in-group pairs surface
+    assert set(pairs) == set(exact) and len(pairs) == 40
+
+
+def test_dedup_filter_semantic_keeps_one_per_cluster(spark):
+    from pyperustats_spark.operators import dedup as D
+
+    emb = _neardup_embeddings(spark)
+    kept = D.dedup_filter_semantic(
+        emb, threshold=0.95, n_centroids=4, kmeans_iters=1)
+    rows = kept.collect()
+    # each near-dup group collapses to its minimum vec_id
+    assert sorted(r["vec_id"] for r in rows) == [0, 5, 10, 15]
+    # schema passthrough: survivors keep their full rows
+    assert set(kept.columns) == {"vec_id", "label", "embedding"}
+
+    # the max_cell skew guard drops oversized cells instead of going
+    # quadratic: with every vector forced into one cell and the guard
+    # below its size, no pairs (and hence no drops) are produced
+    guarded = D.dedup_filter_semantic(
+        emb, threshold=0.95, n_centroids=1, max_cell=5)
+    assert guarded.count() == emb.count()
+
+
+def test_semantic_dedup_plan_posture(spark):
+    import pyperustats_spark.plans as P
+    from pyperustats_spark.operators import dedup as D
+
+    emb = _neardup_embeddings(spark)
+    out = D.semantic_dedup_pairs(emb, n_centroids=4, sort=False)
+    assert not P.has_python_eval(out)
+    assert not P.has_broadcast_hint(out)
