@@ -694,6 +694,29 @@ def text_repetition_metrics(spark, sf_dir):
     return T.repetition_metrics(_lt(spark, sf_dir, "documents"))
 
 
+def text_vocab_topn(spark, sf_dir):
+    return T.vocab_top_terms(_lt(spark, sf_dir, "documents"), n=100)
+
+
+def text_oov_rate(spark, sf_dir):
+    return T.oov_rate(_lt(spark, sf_dir, "documents"), n=100)
+
+
+def text_boilerplate(spark, sf_dir):
+    return T.boilerplate_segments(_lt(spark, sf_dir, "documents"),
+                                  seg_tokens=8, min_df=2)
+
+
+def doc_epoch_shards(spark, sf_dir):
+    return R.epoch_shards(
+        _lt(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id", num_shards=8)
+
+
+def ev_approx_distinct(spark, sf_dir):
+    return E.approx_distinct_users(_lt(spark, sf_dir, "events"))
+
+
 def dedup_exact(spark, sf_dir):
     return D.dedup_exact(_lt(spark, sf_dir, "documents"))
 
@@ -1129,13 +1152,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
         "stream_dedup_replay": stream_dedup_replay,
+        # round-5 session additions: new oracle-backed ops take the
+        # remaining window slots; the four r4-driver-green queries they
+        # displace (ts_interpolate/gap_fill, knn/cosine pairs) move to
+        # the locally-verified block below
+        "text_vocab_topn": text_vocab_topn,
+        "text_oov_rate": text_oov_rate,
+        "text_boilerplate": text_boilerplate,
+        "doc_epoch_shards": doc_epoch_shards,
+        "text_quality_score": text_quality_score,
+        # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
+        #    the local parity gate still checks them every run ----------
         "ts_interpolate_linear": ts_interpolate_linear,
         "ts_gap_fill": ts_gap_fill,
         "knn_bruteforce_cosine": knn_bruteforce_cosine,
         "dedup_embedding_cosine": dedup_embedding_cosine,
-        "text_quality_score": text_quality_score,
-        # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
-        #    the local parity gate still checks them every run ----------
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_delta": q6_revenue_delta,
@@ -1190,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_approx": stats_profile_approx,
         "multimodal_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "ev_approx_distinct": ev_approx_distinct,
     }
 
 
@@ -2631,6 +2663,89 @@ def oracle_sql() -> dict[str, str]:
     sql["skew_salted_distinct"] = """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    sql["text_vocab_topn"] = f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY freq DESC, token
+        LIMIT 100
+    """
+
+    sql["text_oov_rate"] = f"""
+        WITH vocab AS (
+            SELECT token
+            FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+            GROUP BY token
+            ORDER BY count(*) DESC, token
+            LIMIT 100
+        ),
+        vl AS (SELECT list(token) AS v FROM vocab),
+        t AS (SELECT doc_id, {_TOKENS} AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(t, x -> NOT list_contains(vl.v, x)))
+                    AS BIGINT) AS n_oov,
+               CAST(len(list_filter(t, x -> NOT list_contains(vl.v, x)))
+                    AS DOUBLE) / nullif(len(t), 0) AS oov_rate
+        FROM t, vl
+        ORDER BY doc_id
+    """
+
+    # boilerplate_segments defaults: seg_tokens=8, min_df=2
+    sql["text_boilerplate"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        segs AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(t, i * 8 + 1, i * 8 + 8), ' ')) AS seg_key
+            FROM (
+                SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / 8.0) AS INT))) AS i
+                FROM t WHERE len(t) > 0
+            )
+        ),
+        dfreq AS (
+            SELECT seg_key, count(DISTINCT doc_id) AS df
+            FROM segs GROUP BY seg_key
+        ),
+        per AS (
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boilerplate
+            FROM segs s JOIN dfreq d USING (seg_key)
+            GROUP BY s.doc_id
+        )
+        SELECT doc.doc_id,
+               CAST(coalesce(per.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(per.n_boilerplate, 0) AS BIGINT)
+                   AS n_boilerplate,
+               CAST(per.n_boilerplate AS DOUBLE)
+                   / nullif(per.n_segments, 0) AS boilerplate_share
+        FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        ORDER BY doc.doc_id
+    """
+
+    # epoch_shards defaults: num_shards=8, salt='epoch0'
+    sql["doc_epoch_shards"] = """
+        WITH h AS (
+            SELECT doc_id, source,
+                   md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, source, hh,
+                   CAST(CAST('0x' || substring(hh, 1, 8) AS BIGINT) % 8
+                        AS INT) AS shard
+            FROM h
+        )
+        SELECT doc_id, source, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id) AS INT) AS pos
+        FROM s
+        ORDER BY shard, pos
     """
 
     return sql

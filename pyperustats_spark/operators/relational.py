@@ -799,3 +799,34 @@ def systematic_sample(df: DataFrame, key: str, nibbles: int = 1) -> DataFrame:
     the reference re-processes deterministically chosen subsets."""
     tail = F.substring(F.md5(F.col(key).cast("string")), 33 - nibbles, nibbles)
     return df.where(tail == "0" * nibbles).orderBy(key)
+
+
+def epoch_shards(df: DataFrame, key: str, num_shards: int = 8,
+                 salt: str = "epoch0", sort: bool = True) -> DataFrame:
+    """Deterministic training-epoch shard assignment + in-shard order:
+    shard = salted md5(key) bucket mod *num_shards*, pos = the row's
+    rank inside its shard under the hash ordering — i.e. a reproducible
+    global shuffle of the corpus into shard files, re-derivable for any
+    epoch by changing *salt* (epoch0, epoch1, ...). This is the layout
+    step before writing training shards: hash order within a shard IS
+    the desired de-correlated read order.
+
+    Scale: the window is PARTITIONED by shard — num_shards concurrent
+    in-shard sorts, exactly the per-file sort a shard writer performs
+    anyway; pick num_shards >= cluster parallelism at scale (shards are
+    hash-balanced, so no skew). md5 keeps assignment AND order
+    bit-identical across engines, runs and reshards."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+             % num_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
+                                            F.col(key).asc())
+    out = (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )
+    return out.orderBy("shard", "pos") if sort else out

@@ -402,3 +402,117 @@ def sample_source_mix(documents: DataFrame, fractions: dict[str, float],
         16, 10).cast("int") % 10000
     out = documents.where(bucket < cut)
     return out.orderBy("doc_id") if sort else out
+
+
+def vocab_top_terms(documents: DataFrame, n: int = 100) -> DataFrame:
+    """Corpus vocabulary: the top-*n* tokens by total frequency, ties
+    broken by token text so the cut is deterministic cross-engine —
+    the vocabulary-building step of a tokenizer-training pipeline.
+
+    Scale: one explode + one partially-aggregated count shuffle (only
+    (token, count) pairs ride it); the top-n itself compiles to Spark's
+    TakeOrderedAndProject (per-partition heap, driver merges P heads of
+    n rows), never a full global sort — so building a vocab over a
+    100 TB corpus is one scan + one count shuffle + an O(P·n) merge."""
+    freqs = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return freqs.orderBy(F.desc("freq"), F.asc("token")).limit(n)
+
+
+def oov_rate(documents: DataFrame, n: int = 100,
+             sort: bool = True) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-*n*
+    vocabulary (see :func:`vocab_top_terms`) — the coverage check run
+    before freezing a tokenizer vocab.
+
+    Scale: the vocab side is n rows by construction, so it is hinted
+    broadcast (bounded by a user parameter, same audited class as the
+    IVF centroid table); the corpus side explodes once and aggregates
+    back on 8-byte doc_ids. Empty documents survive via explode_outer
+    (n_tokens 0, rate NULL via try_divide)."""
+    vocab = (vocab_top_terms(documents, n)
+             .select("token", F.lit(1).alias("_in_vocab")))
+    toks = documents.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("token"))
+    out = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.sum(F.when(F.col("token").isNotNull()
+                         & F.col("_in_vocab").isNull(), 1)
+                  .otherwise(0)).cast("bigint").alias("n_oov"),
+        )
+        # raw double, not round-6: an int/int ratio is a correctly-
+        # rounded IEEE division, bit-identical cross-engine, while
+        # round-6 of e.g. p/128 lands on exact midpoints where engines
+        # disagree (see CLAUDE.md derived-doubles rule)
+        .withColumn("oov_rate",
+                    F.try_divide(F.col("n_oov"), F.col("n_tokens")))
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def boilerplate_segments(documents: DataFrame, seg_tokens: int = 8,
+                         min_df: int = 2, sort: bool = True) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate detection: cut each document
+    into consecutive *seg_tokens*-token segments, hash each segment,
+    and flag segments whose corpus-wide DOCUMENT frequency reaches
+    *min_df* (nav bars, cookie banners, license headers — text repeated
+    across many pages). Returns per-doc segment totals and the
+    boilerplate share, the signal a cleaning pass filters on.
+
+    Scale: segments ride shuffles only as md5 keys + 8-byte doc_ids
+    (never the segment text); document frequency is a two-phase
+    distinct+count on the hash; the flag join is plain AQE (the
+    frequent-segment side is usually small but is NOT hinted — a
+    pathological corpus where most segments repeat degrades to a
+    shuffle join instead of OOMing). Empty docs are preserved with
+    n_segments 0 / share NULL."""
+    if seg_tokens < 1:
+        raise ValueError("seg_tokens must be >= 1")
+    seg_expr = let(tokens(F.col("text")), lambda tk: F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(tk) / seg_tokens).cast("int") - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(tk, i * seg_tokens + 1, seg_tokens))),
+    ).otherwise(F.array().cast("array<string>")))
+    segs = documents.select(
+        "doc_id", F.explode(seg_expr).alias("seg")
+    ).select("doc_id", F.md5("seg").alias("seg_key"))
+    dfreq = (
+        segs.distinct()
+        .groupBy("seg_key").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    boiler = dfreq.where(F.col("_df") >= min_df).select(
+        "seg_key", F.lit(1).alias("_boiler"))
+    per_doc = (
+        segs.join(boiler, "seg_key", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("_boiler"), F.lit(0)))
+            .cast("bigint").alias("n_boilerplate"),
+        )
+    )
+    out = (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_segments"), F.lit(0))
+            .cast("bigint").alias("n_segments"),
+            F.coalesce(F.col("n_boilerplate"), F.lit(0))
+            .cast("bigint").alias("n_boilerplate"),
+            # raw double (int/int division is bit-identical cross-
+            # engine; round-6 would split engines on exact midpoints)
+            F.try_divide(F.col("n_boilerplate"), F.col("n_segments"))
+            .alias("boilerplate_share"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out

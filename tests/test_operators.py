@@ -801,3 +801,110 @@ def test_semantic_dedup_plan_posture(spark):
     out = D.semantic_dedup_pairs(emb, n_centroids=4, sort=False)
     assert not P.has_python_eval(out)
     assert not P.has_broadcast_hint(out)
+
+
+# ---------------------------------------------------------------------------
+# vocab / OOV / boilerplate / epoch shards / approx distinct
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def tiny_docs(spark):
+    from pyperustats_spark.operators import textops  # noqa: F401
+    rows = [
+        (1, "the cat sat on the mat", "en", "crawl"),
+        (2, "the dog sat on the mat", "en", "crawl"),
+        (3, "zyx qwv unique words only here", "en", "books"),
+        (4, "", "en", "books"),
+        (5, None, "en", "books"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+
+
+def test_vocab_top_terms_order_and_cut(spark, tiny_docs):
+    from pyperustats_spark.operators import textops as T
+    out = T.vocab_top_terms(tiny_docs, n=3).collect()
+    # 'the' appears 4x, 'mat'/'on'/'sat' 2x each -> tiebreak by token asc
+    assert [(r["token"], r["freq"]) for r in out] == [
+        ("the", 4), ("mat", 2), ("on", 2)]
+
+
+def test_oov_rate_counts_and_empty_docs(spark, tiny_docs):
+    from pyperustats_spark.operators import textops as T
+    out = {r["doc_id"]: r for r in T.oov_rate(tiny_docs, n=3).collect()}
+    # every input doc survives, including empty/NULL text
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1: tokens the,cat,sat,on,the,mat; vocab={the,mat,on} -> oov cat,sat
+    assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 2
+    assert out[1]["oov_rate"] == pytest.approx(2 / 6)
+    # doc 3 is fully OOV
+    assert out[3]["n_oov"] == out[3]["n_tokens"] == 6
+    # empty docs: zero tokens, NULL rate (try_divide)
+    assert out[4]["n_tokens"] == 0 and out[4]["oov_rate"] is None
+    assert out[5]["n_tokens"] == 0 and out[5]["oov_rate"] is None
+
+
+def test_boilerplate_segments_flags_repeats(spark):
+    from pyperustats_spark.operators import textops as T
+    # seg_tokens=3: docs 1 and 2 share their first segment exactly
+    rows = [
+        (1, "cookie banner text alpha beta gamma"),
+        (2, "cookie banner text delta epsilon zeta"),
+        (3, "completely different words here now friend"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r
+           for r in T.boilerplate_segments(docs, seg_tokens=3,
+                                           min_df=2).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_boilerplate"] == 1
+    assert out[1]["boilerplate_share"] == pytest.approx(0.5)
+    assert out[2]["n_boilerplate"] == 1
+    assert out[3]["n_boilerplate"] == 0
+    assert out[4]["n_segments"] == 0
+    assert out[4]["boilerplate_share"] is None
+    # within-doc repetition is NOT boilerplate (document frequency, not
+    # term frequency): one doc repeating its own segment stays clean
+    rep = spark.createDataFrame(
+        [(1, "aa bb cc aa bb cc"), (2, "dd ee ff gg hh ii")],
+        "doc_id bigint, text string")
+    rout = {r["doc_id"]: r
+            for r in T.boilerplate_segments(rep, seg_tokens=3,
+                                            min_df=2).collect()}
+    assert rout[1]["n_boilerplate"] == 0
+
+
+def test_epoch_shards_deterministic_partition(spark, tiny_docs):
+    from pyperustats_spark.operators import relational as RR
+    out = RR.epoch_shards(tiny_docs.select("doc_id"), "doc_id",
+                          num_shards=3).collect()
+    assert len(out) == 5
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 3
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are 1..k dense within each shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic across recomputation; different salt reshuffles order
+    again = RR.epoch_shards(tiny_docs.select("doc_id"), "doc_id",
+                            num_shards=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        RR.epoch_shards(tiny_docs, "doc_id", num_shards=0)
+
+
+def test_approx_distinct_users_error_bound(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(i, "t%d" % (i % 3), rnd.randrange(2000)) for i in range(6000)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, user_id bigint")
+    approx = {r["event_type"]: r["approx_users"]
+              for r in E.approx_distinct_users(ev).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)

@@ -83,6 +83,8 @@ BROADCAST_HINT_WHITELIST = {
     "text_pack_sequences",        # per-partition offset rows (O(parts))
     "ann_lsh_cosine",             # hyperplanes + query signatures
     "ann_ivf_cosine",             # k centroid rows
+    "text_oov_rate",              # top-n vocab rows (n is a parameter,
+                                  # bounded by construction via LIMIT)
 }
 
 
