@@ -717,6 +717,19 @@ def ev_approx_distinct(spark, sf_dir):
     return E.approx_distinct_users(_lt(spark, sf_dir, "events"))
 
 
+def text_boilerplate_apply(spark, sf_dir):
+    return T.boilerplate_apply(_lt(spark, sf_dir, "documents"),
+                               seg_tokens=8, min_df=2)
+
+
+def corpus_summary(spark, sf_dir):
+    return T.corpus_summary(_lt(spark, sf_dir, "documents"))
+
+
+def text_quality_filter(spark, sf_dir):
+    return T.quality_filter(_lt(spark, sf_dir, "documents"), min_score=0.75)
+
+
 def dedup_exact(spark, sf_dir):
     return D.dedup_exact(_lt(spark, sf_dir, "documents"))
 
@@ -1149,20 +1162,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_metrics": text_repetition_metrics,
         "dedup_clusters": dedup_clusters,
         "ev_sessionize": ev_sessionize,
-        "stream_tumbling_window": stream_tumbling_window,
-        "stream_sessionize": stream_sessionize,
         "stream_dedup_replay": stream_dedup_replay,
         # round-5 session additions: new oracle-backed ops take the
-        # remaining window slots; the four r4-driver-green queries they
-        # displace (ts_interpolate/gap_fill, knn/cosine pairs) move to
-        # the locally-verified block below
+        # remaining window slots; the r4-driver-green queries they
+        # displace (ts_interpolate/gap_fill, knn/cosine pairs, two
+        # streaming replays, quality_score) move to the
+        # locally-verified block below
         "text_vocab_topn": text_vocab_topn,
         "text_oov_rate": text_oov_rate,
         "text_boilerplate": text_boilerplate,
+        "text_boilerplate_apply": text_boilerplate_apply,
         "doc_epoch_shards": doc_epoch_shards,
-        "text_quality_score": text_quality_score,
+        "corpus_summary": corpus_summary,
+        "text_quality_filter": text_quality_filter,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
+        "stream_tumbling_window": stream_tumbling_window,
+        "stream_sessionize": stream_sessionize,
+        "text_quality_score": text_quality_score,
         "ts_interpolate_linear": ts_interpolate_linear,
         "ts_gap_fill": ts_gap_fill,
         "knn_bruteforce_cosine": knn_bruteforce_cosine,
@@ -2726,6 +2743,84 @@ def oracle_sql() -> dict[str, str]:
                    / nullif(per.n_segments, 0) AS boilerplate_share
         FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
         ORDER BY doc.doc_id
+    """
+
+    # boilerplate_apply defaults: seg_tokens=8, min_df=2
+    sql["text_boilerplate_apply"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        segs AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(
+                       list_slice(t, i * 8 + 1, i * 8 + 8), ' ') AS seg
+            FROM (
+                SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / 8.0) AS INT))) AS i
+                FROM t WHERE len(t) > 0
+            )
+        ),
+        dfreq AS (
+            SELECT md5(seg) AS k, count(DISTINCT doc_id) AS df
+            FROM segs GROUP BY 1
+        ),
+        kept AS (
+            SELECT s.doc_id,
+                   string_agg(s.seg, ' ' ORDER BY s.pos) AS text_clean
+            FROM segs s JOIN dfreq d ON md5(s.seg) = d.k
+            WHERE d.df < 2
+            GROUP BY s.doc_id
+        )
+        SELECT doc.doc_id,
+               coalesce(kept.text_clean, '') AS text_clean
+        FROM documents doc LEFT JOIN kept ON doc.doc_id = kept.doc_id
+        ORDER BY doc.doc_id
+    """
+
+    sql["corpus_summary"] = f"""
+        WITH per AS (
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY source, lang
+        ),
+        tot AS (
+            SELECT CAST(sum(total_tokens) AS BIGINT) AS ct FROM per
+        )
+        SELECT source, lang, n_docs, total_tokens,
+               CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens_per_doc,
+               CAST(total_tokens AS DOUBLE) / ct AS token_share
+        FROM per, tot ORDER BY source, lang
+    """
+
+    # quality_filter default: min_score=0.75 (score is on an exact 0.25
+    # grid, so the threshold compare cannot straddle engines)
+    sql["text_quality_filter"] = f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE)
+                             / len({_TOKENS})
+                        ELSE 0.0 END AS mean_word_len,
+                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST({_sw_hits("en")} AS DOUBLE) / len({_TOKENS})
+                        ELSE 0.0 END AS stopword_density
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, CAST(
+                   (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN stopword_density >= 0.02 THEN 0.25 ELSE 0.0 END)
+                   AS DOUBLE) AS quality_score
+            FROM feat
+        )
+        SELECT d.doc_id, d.lang, d.source, s.quality_score
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+        WHERE s.quality_score >= 0.75
+        ORDER BY d.doc_id
     """
 
     # epoch_shards defaults: num_shards=8, salt='epoch0'

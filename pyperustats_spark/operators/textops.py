@@ -516,3 +516,100 @@ def boilerplate_segments(documents: DataFrame, seg_tokens: int = 8,
         )
     )
     return out.orderBy("doc_id") if sort else out
+
+
+def boilerplate_apply(documents: DataFrame, seg_tokens: int = 8,
+                      min_df: int = 2, sort: bool = True) -> DataFrame:
+    """APPLY variant of :func:`boilerplate_segments`: rewrite each
+    document with its boilerplate segments removed (the cleaning pass
+    itself, not just the flags). Returns (doc_id, text_clean) for every
+    input document — empty string when everything was boilerplate or
+    the doc was empty.
+
+    Scale: this op REWRITES the corpus, so segment text must ride one
+    shuffle (the reassembly groupBy) — that is the floor for any
+    rewrite; flags are still joined on md5 keys only, and the flag side
+    stays an unhinted AQE join exactly as in the flag op. Segment order
+    is restored via sort_array over (pos, seg) structs inside the
+    aggregate, not a window."""
+    if seg_tokens < 1:
+        raise ValueError("seg_tokens must be >= 1")
+    seg_expr = let(tokens(F.col("text")), lambda tk: F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(tk) / seg_tokens).cast("int") - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(tk, i * seg_tokens + 1, seg_tokens))),
+    ).otherwise(F.array().cast("array<string>")))
+    segs = documents.select(
+        "doc_id", F.posexplode(seg_expr).alias("pos", "seg")
+    ).withColumn("seg_key", F.md5("seg"))
+    dfreq = (
+        segs.select("doc_id", "seg_key").distinct()
+        .groupBy("seg_key").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    boiler = dfreq.where(F.col("_df") >= min_df).select(
+        "seg_key", F.lit(1).alias("_boiler"))
+    kept = (
+        segs.join(boiler, "seg_key", "left")
+        .where(F.col("_boiler").isNull())
+        .groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"]),
+            " ").alias("text_clean"))
+    )
+    out = (
+        documents.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text_clean"), F.lit(""))
+                .alias("text_clean"))
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def corpus_summary(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Data-card rollup: per (source, lang) document counts, token
+    totals, mean doc length, and each cell's share of all corpus
+    tokens — the summary table a dataset release publishes.
+
+    Scale: one partially-aggregated groupBy; the grand total is a
+    1-row aggregate hinted broadcast into the share join (same audited
+    1-row pattern as q_market_share). Shares are raw bigint/bigint
+    doubles — bit-identical cross-engine, no rounding."""
+    per = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint")
+        .alias("total_tokens"),
+    )
+    total = per.agg(
+        F.sum("total_tokens").cast("bigint").alias("_corpus_tokens"))
+    out = (
+        per.join(F.broadcast(total))
+        .select(
+            "source", "lang", "n_docs", "total_tokens",
+            F.try_divide(F.col("total_tokens"), F.col("n_docs"))
+            .alias("mean_tokens_per_doc"),
+            F.try_divide(F.col("total_tokens"), F.col("_corpus_tokens"))
+            .alias("token_share"),
+        )
+    )
+    return out.orderBy("source", "lang") if sort else out
+
+
+def quality_filter(documents: DataFrame, min_score: float = 0.75,
+                   sort: bool = True) -> DataFrame:
+    """APPLY variant of :func:`quality_score`: keep documents whose
+    composite quality score reaches *min_score* (the Gopher-rule
+    cleaning cut). Pure row-local predicate over JVM expressions —
+    zero shuffles, filter runs at scan speed at any corpus size."""
+    scored = quality_score(documents, sort=False)
+    keep = scored.where(F.col("quality_score") >= min_score) \
+                 .select("doc_id", "quality_score")
+    out = documents.join(keep, "doc_id").select(
+        "doc_id", "lang", "source", "quality_score")
+    return out.orderBy("doc_id") if sort else out

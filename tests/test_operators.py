@@ -908,3 +908,51 @@ def test_approx_distinct_users_error_bound(spark):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for t, n in exact.items():
         assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
+
+
+def test_boilerplate_apply_strips_shared_segments(spark):
+    from pyperustats_spark.operators import textops as T
+    rows = [
+        (1, "cookie banner text alpha beta gamma"),
+        (2, "cookie banner text delta epsilon zeta"),
+        (3, "completely different words here now friend"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["text_clean"]
+           for r in T.boilerplate_apply(docs, seg_tokens=3,
+                                        min_df=2).collect()}
+    assert out[1] == "alpha beta gamma"
+    assert out[2] == "delta epsilon zeta"
+    assert out[3] == "completely different words here now friend"
+    assert out[4] == ""
+    # segment order is preserved across >2 segments
+    long = spark.createDataFrame(
+        [(1, "cookie banner text one two three four five six"),
+         (2, "cookie banner text a b c")],
+        "doc_id bigint, text string")
+    lout = {r["doc_id"]: r["text_clean"]
+            for r in T.boilerplate_apply(long, seg_tokens=3,
+                                         min_df=2).collect()}
+    assert lout[1] == "one two three four five six"
+
+
+def test_corpus_summary_shares_sum_to_one(spark, tiny_docs):
+    from pyperustats_spark.operators import textops as T
+    rows = T.corpus_summary(tiny_docs).collect()
+    assert sum(r["n_docs"] for r in rows) == 5
+    shares = [r["token_share"] for r in rows if r["token_share"]]
+    assert sum(shares) == pytest.approx(1.0)
+    crawl = [r for r in rows if r["source"] == "crawl"][0]
+    assert crawl.n_docs == 2 and crawl.total_tokens == 12
+    assert crawl.mean_tokens_per_doc == pytest.approx(6.0)
+
+
+def test_quality_filter_applies_threshold(spark, tables):
+    from pyperustats_spark.operators import textops as T
+    docs = tables["documents"]
+    kept = T.quality_filter(docs, min_score=0.75)
+    scored = T.quality_score(docs, sort=False)
+    n_expected = scored.where(F.col("quality_score") >= 0.75).count()
+    assert kept.count() == n_expected
+    assert kept.where(F.col("quality_score") < 0.75).count() == 0

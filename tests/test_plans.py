@@ -85,6 +85,8 @@ BROADCAST_HINT_WHITELIST = {
     "ann_ivf_cosine",             # k centroid rows
     "text_oov_rate",              # top-n vocab rows (n is a parameter,
                                   # bounded by construction via LIMIT)
+    "corpus_summary",             # 1-row grand-total aggregate (same
+                                  # audited pattern as q_market_share)
 }
 
 
@@ -350,6 +352,7 @@ def test_participation_pushes_date_filter_to_scan(spark, tables):
 PLAN_SMELL_WHITELIST = {
     "q6_revenue_delta": {"SINGLE_PART"},        # global 1-row aggregate
     "q_market_share": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
+    "corpus_summary": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
     "knn_bruteforce_cosine": {"BNLJ"},          # broadcast query set
     "knn_label_vote": {"BNLJ"},                 # broadcast query set
     "mef_find_row_by_text": {"SINGLE_PART"},    # distributed-min, 1 row
