@@ -261,6 +261,50 @@ class DocumentPipeline:
         self._df = self._df.join(fp, "doc_id")
         return self
 
+    def strip_boilerplate(self, seg_tokens: int = 8,
+                          min_df: int = 2) -> "DocumentPipeline":
+        """Rewrite ``text`` with cross-corpus repeated segments removed
+        (:func:`~pyperustats_spark.operators.textops.boilerplate_apply`)."""
+        self._require_document_grain("strip_boilerplate")
+        cleaned = _textops.boilerplate_apply(
+            self._df, seg_tokens=seg_tokens, min_df=min_df, sort=False)
+        self._df = (
+            self._df.join(cleaned, "doc_id")
+            .drop("text")
+            .withColumnRenamed("text_clean", "text")
+        )
+        return self
+
+    def decontaminate(self, eval_df: DataFrame, n: int = 5,
+                      text_col: str = "text") -> "DocumentPipeline":
+        """Drop documents sharing an exact word n-gram with the eval/
+        benchmark set (:func:`~pyperustats_spark.operators.textops.decontaminate`)."""
+        self._require_document_grain("decontaminate")
+        self._df = _textops.decontaminate(
+            self._df, eval_df, n=n, text_col=text_col, sort=False)
+        return self
+
+    def sample_mix(self, fractions: dict[str, float],
+                   salt: str = "mix") -> "DocumentPipeline":
+        """Downsample each source to its target mixture weight
+        (:func:`~pyperustats_spark.operators.textops.sample_source_mix`)."""
+        self._require_document_grain("sample_mix")
+        self._df = _textops.sample_source_mix(
+            self._df, fractions, salt=salt, sort=False)
+        return self
+
+    def shards(self, num_shards: int = 8,
+               salt: str = "epoch0") -> "DocumentPipeline":
+        """Assign each doc its deterministic epoch shard + in-shard
+        position (:func:`~pyperustats_spark.operators.relational.epoch_shards`)
+        — the step right before ``write.partitionBy('shard')``."""
+        self._require_document_grain("shards")
+        from pyperustats_spark.operators import relational as _rel
+        self._df = _rel.epoch_shards(self._df, "doc_id",
+                                     num_shards=num_shards, salt=salt,
+                                     sort=False)
+        return self
+
     def run_stage(self, tracker, stage: str, transform=None,
                   max_pending_items: int = 100_000) -> "DocumentPipeline":
         """Resume-aware stage execution (INEIFetcher tri-state chaining,

@@ -231,3 +231,27 @@ def test_chunk_is_terminal_grain_change(spark, tables):
                "with_fingerprint", "chunk"):
         with pytest.raises(RuntimeError, match="grain"):
             getattr(pipe, op)()
+
+
+def test_document_pipeline_pretraining_hygiene_chain(spark, tables):
+    """The full pretraining-hygiene flow in one lazy plan: boilerplate
+    strip -> decontaminate -> mixture sample -> shard layout."""
+    docs = tables["documents"]
+    eval_df = docs.limit(3).select("text")  # pretend benchmark set
+    pipe = (
+        DocumentPipeline(spark, docs)
+        .strip_boilerplate(seg_tokens=8, min_df=2)
+        .decontaminate(eval_df, n=5)
+        .sample_mix({s[0]: 1.0 for s in
+                     docs.select("source").distinct().collect()})
+        .shards(num_shards=4)
+    )
+    out = pipe.df
+    assert {"doc_id", "text", "shard", "pos"} <= set(out.columns)
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()  # decontamination dropped some
+    assert {r["shard"] for r in rows} <= set(range(4))
+    # grain guard still applies after the new stages
+    import pytest as _pt
+    with _pt.raises(RuntimeError):
+        DocumentPipeline(spark, docs).chunk().strip_boilerplate()
