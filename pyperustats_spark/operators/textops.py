@@ -485,19 +485,26 @@ def boilerplate_segments(documents: DataFrame, seg_tokens: int = 8,
     segs = documents.select(
         "doc_id", F.explode(seg_expr).alias("seg")
     ).select("doc_id", F.md5("seg").alias("seg_key"))
-    dfreq = (
-        segs.distinct()
-        .groupBy("seg_key").agg(F.count(F.lit(1)).alias("_df"))
-    )
+    # aggregate per (doc_id, seg_key) FIRST so the map-side combiner
+    # collapses within-doc repeats before anything shuffles. Document
+    # frequency and the per-doc rollup each re-derive this subtree from
+    # the scan (Catalyst prunes the branches differently, so the
+    # exchange is not reusable): a bounded 2x segment compute, chosen
+    # deliberately over a seg_key count-window (a corpus-wide
+    # boilerplate segment would funnel its whole doc set through one
+    # task) and over persisting a corpus-scale intermediate
+    occ = segs.groupBy("doc_id", "seg_key").agg(
+        F.count(F.lit(1)).alias("_n_occ"))
+    dfreq = occ.groupBy("seg_key").agg(F.count(F.lit(1)).alias("_df"))
     boiler = dfreq.where(F.col("_df") >= min_df).select(
         "seg_key", F.lit(1).alias("_boiler"))
     per_doc = (
-        segs.join(boiler, "seg_key", "left")
+        occ.join(boiler, "seg_key", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.coalesce(F.col("_boiler"), F.lit(0)))
-            .cast("bigint").alias("n_boilerplate"),
+            F.sum("_n_occ").cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("_boiler").isNotNull(), F.col("_n_occ"))
+                  .otherwise(0)).cast("bigint").alias("n_boilerplate"),
         )
     )
     out = (
