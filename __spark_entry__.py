@@ -730,6 +730,11 @@ def text_quality_filter(spark, sf_dir):
     return T.quality_filter(_lt(spark, sf_dir, "documents"), min_score=0.75)
 
 
+def stats_mad_outliers(spark, sf_dir):
+    return R.mad_outliers(_lt(spark, sf_dir, "lineitem"),
+                          "l_returnflag", "l_extendedprice", k=3.5)
+
+
 def dedup_exact(spark, sf_dir):
     return D.dedup_exact(_lt(spark, sf_dir, "documents"))
 
@@ -1175,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_epoch_shards": doc_epoch_shards,
         "corpus_summary": corpus_summary,
         "text_quality_filter": text_quality_filter,
+        "stats_mad_outliers": stats_mad_outliers,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "stream_tumbling_window": stream_tumbling_window,
@@ -2821,6 +2827,31 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN scored s ON d.doc_id = s.doc_id
         WHERE s.quality_score >= 0.75
         ORDER BY d.doc_id
+    """
+
+    # mad_outliers: no rounding — identical IEEE derivations both sides
+    sql["stats_mad_outliers"] = """
+        WITH med AS (
+            SELECT l_returnflag AS g,
+                   quantile_cont(l_extendedprice, 0.5) AS med
+            FROM lineitem GROUP BY 1
+        ),
+        dev AS (
+            SELECT l.l_returnflag AS g, m.med,
+                   abs(l.l_extendedprice - m.med) AS adev
+            FROM lineitem l JOIN med m ON l.l_returnflag = m.g
+        ),
+        mads AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n, min(med) AS med,
+                   quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY g
+        )
+        SELECT d.g AS l_returnflag, min(m.n) AS n, min(m.med) AS med,
+               min(m.mad) AS mad,
+               CAST(sum(CASE WHEN d.adev > 3.5 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mads m ON d.g = m.g
+        GROUP BY d.g ORDER BY d.g
     """
 
     # epoch_shards defaults: num_shards=8, salt='epoch0'

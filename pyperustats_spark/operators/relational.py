@@ -830,3 +830,46 @@ def epoch_shards(df: DataFrame, key: str, num_shards: int = 8,
         .drop("_h")
     )
     return out.orderBy("shard", "pos") if sort else out
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: float = 3.5) -> DataFrame:
+    """Robust per-group outlier profile via Median Absolute Deviation:
+    median, MAD, and the count of values beyond k x 1.4826 x MAD (the
+    consistency-scaled MAD, ~k sigma for normal data). The robust
+    companion to the z-score flags — a few wild points cannot drag the
+    threshold the way they drag mean/stddev.
+
+    Three passes by construction (median -> deviations -> MAD +
+    threshold count): medians cannot merge map-side, so each pass is a
+    grouped exact `percentile`; the joins carry only #groups rows (AQE
+    broadcasts them). At 100 TB swap `percentile` for
+    `approx_percentile` exactly as in :func:`stats_profile`.
+
+    No rounding anywhere: every derived double (median interpolation,
+    |x - med|, the k*1.4826*mad threshold) is computed from identical
+    parquet doubles by identical IEEE ops in the DuckDB oracle, so the
+    bits match without touching the midpoint rules."""
+    g, v = group_col, value_col
+    med = df.groupBy(g).agg(
+        F.percentile(v, F.lit(0.5)).alias("med"))
+    dev = df.join(med, g).select(
+        g, "med", F.abs(F.col(v) - F.col("med")).alias("_adev"))
+    mads = dev.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med").alias("med"),
+        F.percentile("_adev", F.lit(0.5)).alias("mad"),
+    )
+    out = (
+        dev.select(g, "_adev")
+        .join(mads, g)
+        .groupBy(g)
+        .agg(
+            F.min("n").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(F.col("_adev") > k * 1.4826 * F.col("mad"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+    )
+    return out.orderBy(g)

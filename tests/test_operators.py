@@ -956,3 +956,18 @@ def test_quality_filter_applies_threshold(spark, tables):
     n_expected = scored.where(F.col("quality_score") >= 0.75).count()
     assert kept.count() == n_expected
     assert kept.where(F.col("quality_score") < 0.75).count() == 0
+
+
+def test_mad_outliers_robust_to_wild_points(spark):
+    # 20 values near 10 plus two wild points; mean/stddev would move,
+    # median/MAD must not
+    rows = [(1, "g", 10.0 + (i % 5) * 0.1) for i in range(20)]
+    rows += [(100, "g", 1000.0), (101, "g", -1000.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = R.mad_outliers(df, "grp", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 22
+    assert 10.0 <= r["med"] <= 10.4
+    assert r["mad"] <= 0.2
+    assert r["n_outliers"] == 2  # exactly the two wild points
