@@ -735,6 +735,14 @@ def stats_mad_outliers(spark, sf_dir):
                           "l_returnflag", "l_extendedprice", k=3.5)
 
 
+def ev_funnel_steps(spark, sf_dir):
+    return E.funnel_steps(_lt(spark, sf_dir, "events"))
+
+
+def ev_retention_cohorts(spark, sf_dir):
+    return E.retention_cohorts(_lt(spark, sf_dir, "events"))
+
+
 def dedup_exact(spark, sf_dir):
     return D.dedup_exact(_lt(spark, sf_dir, "documents"))
 
@@ -1181,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": corpus_summary,
         "text_quality_filter": text_quality_filter,
         "stats_mad_outliers": stats_mad_outliers,
+        "ev_funnel_steps": ev_funnel_steps,
+        "ev_retention_cohorts": ev_retention_cohorts,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "stream_tumbling_window": stream_tumbling_window,
@@ -2827,6 +2837,48 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN scored s ON d.doc_id = s.doc_id
         WHERE s.quality_score >= 0.75
         ORDER BY d.doc_id
+    """
+
+    sql["ev_funnel_steps"] = """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step_idx, 'view' AS step,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        ORDER BY step_idx
+    """
+
+    sql["ev_retention_cohorts"] = """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        first AS (
+            SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, d.day) AS INT)
+                   AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM days d JOIN first f ON d.user_id = f.user_id
+        GROUP BY f.cohort_day, day_offset
+        ORDER BY f.cohort_day, day_offset
     """
 
     # mad_outliers: no rounding — identical IEEE derivations both sides

@@ -139,3 +139,68 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def funnel_steps(events: DataFrame,
+                 steps: tuple[str, ...] = ("view", "click", "purchase"),
+                 ) -> DataFrame:
+    """Strictly-ordered funnel: how many users reach each step, where a
+    step only counts if it happens AFTER the user's (earliest) previous
+    step — the product-analytics conversion funnel.
+
+    Shape: per-step conditional min-timestamp aggregations chained by
+    equi-joins on the 8-byte user id (len(steps)-1 joins, AQE-decided;
+    each side shrinks monotonically — survivors only). The per-step
+    totals are 1-row aggregates unioned at the end (audited
+    SINGLE_PART, like q6's global aggregate). No windows, no
+    cross-user state."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    cur = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id").agg(F.min("ts").alias("_t"))
+    )
+    reached = [cur]
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(cur, "user_id")
+            .where(F.col("ts") > F.col("_t"))
+            .groupBy("user_id").agg(F.min("ts").alias("_t"))
+        )
+        reached.append(nxt)
+        cur = nxt
+    counts = None
+    for i, (step, df) in enumerate(zip(steps, reached), start=1):
+        c = df.agg(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    return counts.orderBy("step_idx")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Daily cohort retention: cohort = each user's first active day;
+    for every (cohort_day, day_offset) count the users active again
+    that day — the classic retention triangle.
+
+    One distinct over (user, day) — the shuffle carries 12-byte pairs,
+    never events — then the first-day aggregate and an AQE-decided
+    join back on the user id; (user, day) is unique per (cohort,
+    offset), so the final rollup is a plain count, no second
+    distinct."""
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -971,3 +971,44 @@ def test_mad_outliers_robust_to_wild_points(spark):
     assert 10.0 <= r["med"] <= 10.4
     assert r["mad"] <= 0.2
     assert r["n_outliers"] == 2  # exactly the two wild points
+
+
+def test_funnel_steps_strict_ordering(spark):
+    rows = [
+        # u1 completes view -> click -> purchase in order
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:05:00", "click"),
+        (3, 1, "2024-01-01 10:10:00", "purchase"),
+        # u2 clicks BEFORE viewing: click must not count
+        (4, 2, "2024-01-01 09:00:00", "click"),
+        (5, 2, "2024-01-01 10:00:00", "view"),
+        # u3 views only
+        (6, 3, "2024-01-01 10:00:00", "view"),
+        # u4 purchases without viewing: counts nowhere
+        (7, 4, "2024-01-01 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["step"]: r["n_users"] for r in E.funnel_steps(ev).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+    with pytest.raises(ValueError):
+        E.funnel_steps(ev, steps=("view",))
+
+
+def test_retention_cohorts_triangle(spark):
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 11:00:00"),
+        (3, 1, "2024-01-03 10:00:00"),
+        (4, 2, "2024-01-02 10:00:00"), (5, 2, "2024-01-03 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")) \
+     .withColumn("event_type", F.lit("view"))
+    out = {(str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+           for r in E.retention_cohorts(ev).collect()}
+    # u1 cohort Jan-1: day 0 (two events, one day) + day 2
+    # u2 cohort Jan-2: day 0 + day 1
+    assert out == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+                   ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}

@@ -357,6 +357,7 @@ PLAN_SMELL_WHITELIST = {
     "knn_label_vote": {"BNLJ"},                 # broadcast query set
     "mef_find_row_by_text": {"SINGLE_PART"},    # distributed-min, 1 row
     "profile_orders": {"SINGLE_PART"},          # whole-table profile row
+    "ev_funnel_steps": {"SINGLE_PART"},         # k 1-row step totals
     "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
     "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
 }
