@@ -743,6 +743,11 @@ def ev_retention_cohorts(spark, sf_dir):
     return E.retention_cohorts(_lt(spark, sf_dir, "events"))
 
 
+def stats_mad_outliers_approx(spark, sf_dir):
+    return R.mad_outliers_approx(_lt(spark, sf_dir, "lineitem"),
+                                 "l_returnflag", "l_extendedprice", k=3.5)
+
+
 def dedup_exact(spark, sf_dir):
     return D.dedup_exact(_lt(spark, sf_dir, "documents"))
 
@@ -1255,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frame_sample,
         "ev_approx_distinct": ev_approx_distinct,
+        "stats_mad_outliers_approx": stats_mad_outliers_approx,
     }
 
 

@@ -873,3 +873,40 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
         )
     )
     return out.orderBy(g)
+
+
+def mad_outliers_approx(df: DataFrame, group_col: str, value_col: str,
+                        k: float = 3.5, accuracy: int = 10000) -> DataFrame:
+    """The 100 TB path for :func:`mad_outliers`: same median/MAD/
+    threshold-count profile with `approx_percentile` (KLL sketch) in
+    place of exact `percentile`. Exact percentiles materialize every
+    group value in ONE aggregation buffer — with few groups that is a
+    per-group single-task funnel (measured 3.6-4.4x wall for 10x rows
+    at sf1); sketches merge map-side, so each pass is a real
+    partial-aggregated shuffle at any scale. Error is bounded by
+    1/accuracy of rank (property-tested against the exact profile);
+    engine-specific sketch, so rows-only — no cross-engine oracle."""
+    g, v = group_col, value_col
+    med = df.groupBy(g).agg(
+        F.approx_percentile(v, F.lit(0.5), F.lit(accuracy)).alias("med"))
+    dev = df.join(med, g).select(
+        g, "med", F.abs(F.col(v) - F.col("med")).alias("_adev"))
+    mads = dev.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med").alias("med"),
+        F.approx_percentile("_adev", F.lit(0.5), F.lit(accuracy))
+        .alias("mad"),
+    )
+    out = (
+        dev.select(g, "_adev")
+        .join(mads, g)
+        .groupBy(g)
+        .agg(
+            F.min("n").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(F.col("_adev") > k * 1.4826 * F.col("mad"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+    )
+    return out.orderBy(g)

@@ -1012,3 +1012,21 @@ def test_retention_cohorts_triangle(spark):
     # u2 cohort Jan-2: day 0 + day 1
     assert out == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
                    ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
+
+
+def test_mad_outliers_approx_tracks_exact(spark, tables):
+    li = tables["lineitem"]
+    exact = {r["l_returnflag"]: r for r in
+             R.mad_outliers(li, "l_returnflag", "l_extendedprice").collect()}
+    approx = {r["l_returnflag"]: r for r in
+              R.mad_outliers_approx(li, "l_returnflag",
+                                    "l_extendedprice").collect()}
+    assert set(exact) == set(approx)
+    for g, e in exact.items():
+        a = approx[g]
+        assert a["n"] == e["n"]
+        assert abs(a["med"] - e["med"]) / e["med"] < 0.02
+        assert abs(a["mad"] - e["mad"]) / e["mad"] < 0.05
+        # threshold counts are tail counts: allow small relative drift
+        assert abs(a["n_outliers"] - e["n_outliers"]) <= max(
+            3, 0.1 * e["n_outliers"])
