@@ -735,6 +735,14 @@ def stats_mad_outliers(spark, sf_dir):
                           "l_returnflag", "l_extendedprice", k=3.5)
 
 
+def text_unigram_logprob(spark, sf_dir):
+    return T.unigram_logprob(_lt(spark, sf_dir, "documents"), k=0.5)
+
+
+def text_tfidf_top_terms(spark, sf_dir):
+    return T.tfidf_top_terms(_lt(spark, sf_dir, "documents"), top=3)
+
+
 def ev_funnel_steps(spark, sf_dir):
     return E.funnel_steps(_lt(spark, sf_dir, "events"))
 
@@ -1196,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mad_outliers": stats_mad_outliers,
         "ev_funnel_steps": ev_funnel_steps,
         "ev_retention_cohorts": ev_retention_cohorts,
+        "text_unigram_logprob": text_unigram_logprob,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "stream_tumbling_window": stream_tumbling_window,
@@ -2843,6 +2853,67 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN scored s ON d.doc_id = s.doc_id
         WHERE s.quality_score >= 0.75
         ORDER BY d.doc_id
+    """
+
+    # unigram_logprob k=0.5: per-token ln rounded to the 1e-6 grid,
+    # per-doc sum rounded back onto the grid, mean left raw (grid/int)
+    sql["text_unigram_logprob"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        uni AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY token
+        ),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM uni
+        ),
+        per AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(round(ln((u.c + 0.5) / (tot.n + 0.5 * tot.v)),
+                                   6)), 6) AS sum_logprob
+            FROM toks t JOIN uni u ON t.token = u.token, tot
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               per.sum_logprob,
+               per.sum_logprob / per.n_tokens AS avg_logprob
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id
+    """
+
+    # tfidf_top_terms top=3: idf rounded to the 1e-6 grid so tf*idf is
+    # a bit-identical int x grid-double product; ties break on token
+    sql["text_tfidf_top_terms"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, token
+        ),
+        dfreq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY token
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   tf.tf * round(ln(CAST(nd.n AS DOUBLE) / dfreq.df), 6)
+                       AS tfidf
+            FROM tf JOIN dfreq ON tf.token = dfreq.token, nd
+        )
+        SELECT doc_id, token, tf, tfidf, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT)
+                AS rank
+            FROM scored
+        ) WHERE rank <= 3
+        ORDER BY doc_id, rank
     """
 
     sql["ev_funnel_steps"] = """

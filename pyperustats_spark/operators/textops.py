@@ -13,7 +13,7 @@ shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.text import (
@@ -620,3 +620,78 @@ def quality_filter(documents: DataFrame, min_score: float = 0.75,
     out = documents.join(keep, "doc_id").select(
         "doc_id", "lang", "source", "quality_score")
     return out.orderBy("doc_id") if sort else out
+
+
+def unigram_logprob(documents: DataFrame, k: float = 0.5,
+                    sort: bool = True) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    add-k-smoothed unigram model — the cheap perplexity-style quality
+    signal (very low mean log-prob = gibberish / wrong-language /
+    boilerplate relative to the corpus).
+
+    Scale: one explode + one token-count shuffle for the model; the
+    scoring join streams doc tokens against the (token, count) table
+    (AQE-decided — a real vocab is small, a pathological one still
+    shuffle-joins); corpus totals N and V are a 1-row aggregate
+    (audited BNLJ/SINGLE_PART, q_market_share pattern).
+
+    Cross-engine determinism: ln() differs by ulps between engines, so
+    each token's log-prob is rounded to the 1e-6 grid first; the
+    per-doc SUM (error ~1e-12) is rounded back onto that grid, and the
+    mean divides the grid value by the token count raw — every output
+    bit then matches the oracle without midpoint exposure."""
+    toks = documents.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("token"))
+    uni = toks.where(F.col("token").isNotNull()) \
+              .groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    totals = uni.agg(
+        F.sum("_c").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("_v"))
+    lp = F.round(
+        F.log((F.col("_c") + F.lit(k))
+              / (F.col("_n") + F.lit(k) * F.col("_v"))), 6)
+    out = (
+        toks.join(uni, "token", "left")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.round(F.sum(lp), 6).alias("sum_logprob"),
+        )
+        .withColumn("avg_logprob",
+                    F.try_divide(F.col("sum_logprob"), F.col("n_tokens")))
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def tfidf_top_terms(documents: DataFrame, top: int = 3,
+                    sort: bool = True) -> DataFrame:
+    """Top-*top* TF-IDF terms per document (tf × ln(N_docs/df), the
+    classic salience ranking) — what a catalogue search surfaces as
+    per-document keywords.
+
+    Scale: document frequency is a distinct+count on (doc_id, token);
+    the ranking window is PARTITIONED by doc_id (per-doc top-k, no
+    global funnel). idf is rounded to the 1e-6 grid so tf×idf is a
+    bit-identical int×grid-double product cross-engine; ties break on
+    the term text."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("_nd"))
+    idf = F.round(F.log(F.col("_nd") / F.col("_df")), 6)
+    scored = (
+        tf.join(df_tbl, "token")
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "token", "tf",
+                (F.col("tf") * idf).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+    )
+    return out.orderBy("doc_id", "rank") if sort else out

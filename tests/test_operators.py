@@ -1030,3 +1030,41 @@ def test_mad_outliers_approx_tracks_exact(spark, tables):
         # threshold counts are tail counts: allow small relative drift
         assert abs(a["n_outliers"] - e["n_outliers"]) <= max(
             3, 0.1 * e["n_outliers"])
+
+
+def test_unigram_logprob_orders_gibberish_last(spark):
+    from pyperustats_spark.operators import textops as T
+    rows = [
+        (1, "the the the the the the the the"),   # all high-freq tokens
+        (2, "the the the zzqx"),                  # one rare token
+        (3, ""),                                  # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.unigram_logprob(docs).collect()}
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[3]["n_tokens"] == 0 and out[3]["avg_logprob"] is None
+    # mean log-prob of the common-token doc must beat the rare-token doc
+    # and every doc's mean is negative (probabilities < 1)
+    assert out[1]["avg_logprob"] < 0
+
+
+def test_tfidf_top_terms_surfaces_distinctive_tokens(spark):
+    from pyperustats_spark.operators import textops as T
+    rows = [
+        (1, "common common common unique1 unique1 unique1 unique1"),
+        (2, "common common other2"),
+        (3, "common third3 third3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = T.tfidf_top_terms(docs, top=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> never ranks
+    # above a distinctive term
+    assert by_doc[1][0]["token"] == "unique1"
+    assert by_doc[2][0]["token"] == "other2"
+    assert by_doc[3][0]["token"] == "third3"
+    # ranks are dense starting at 1
+    for rows_ in by_doc.values():
+        assert [r["rank"] for r in rows_] == list(range(1, len(rows_) + 1))

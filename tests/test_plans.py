@@ -87,6 +87,8 @@ BROADCAST_HINT_WHITELIST = {
                                   # bounded by construction via LIMIT)
     "corpus_summary",             # 1-row grand-total aggregate (same
                                   # audited pattern as q_market_share)
+    "text_unigram_logprob",       # 1-row (N, V) corpus totals
+    "text_tfidf_top_terms",       # 1-row doc-count aggregate
 }
 
 
@@ -358,6 +360,8 @@ PLAN_SMELL_WHITELIST = {
     "mef_find_row_by_text": {"SINGLE_PART"},    # distributed-min, 1 row
     "profile_orders": {"SINGLE_PART"},          # whole-table profile row
     "ev_funnel_steps": {"SINGLE_PART"},         # k 1-row step totals
+    "text_unigram_logprob": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
+    "text_tfidf_top_terms": {"BNLJ", "SINGLE_PART"},  # 1-row doc count
     "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
     "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
 }
