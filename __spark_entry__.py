@@ -1186,14 +1186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val": split_train_val,
         "sample_stratified_by_lang": sample_stratified_by_lang,
         "text_repetition_metrics": text_repetition_metrics,
-        "dedup_clusters": dedup_clusters,
-        "ev_sessionize": ev_sessionize,
-        "stream_dedup_replay": stream_dedup_replay,
         # round-5 session additions: new oracle-backed ops take the
         # remaining window slots; the r4-driver-green queries they
-        # displace (ts_interpolate/gap_fill, knn/cosine pairs, two
-        # streaming replays, quality_score) move to the
-        # locally-verified block below
+        # displace (ts_interpolate/gap_fill, knn/cosine pairs, the
+        # streaming replays, sessionize, clusters, quality_score) move
+        # to the locally-verified block below where tools/parity.py +
+        # tests/test_oracle_parity.py still value-check them every run
         "text_vocab_topn": text_vocab_topn,
         "text_oov_rate": text_oov_rate,
         "text_boilerplate": text_boilerplate,
@@ -1208,6 +1206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": text_tfidf_top_terms,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
+        "dedup_clusters": dedup_clusters,
+        "ev_sessionize": ev_sessionize,
+        "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
         "text_quality_score": text_quality_score,
