@@ -59,3 +59,40 @@ def test_relational_and_events_survive_degenerates(spark, frames):
     assert R.participation_metrics(
         spark.createDataFrame([], "g string, emitted long, electors long"),
         ["g"]).count() == 0
+
+
+def test_round5_session_ops_survive_degenerates(spark, frames):
+    ed, ev = frames["empty_docs"], frames["empty_ev"]
+    ed_full = ed.withColumn("lang", F.lit("en")) \
+                .withColumn("source", F.lit("crawl")).limit(0)
+    # text family on an empty corpus
+    assert TX.vocab_top_terms(ed).count() == 0
+    assert TX.oov_rate(ed).count() == 0
+    assert TX.boilerplate_segments(ed).count() == 0
+    assert TX.boilerplate_apply(ed).count() == 0
+    assert TX.corpus_summary(ed_full).count() == 0
+    assert TX.quality_filter(ed_full).count() == 0
+    assert TX.unigram_logprob(ed).count() == 0
+    assert TX.tfidf_top_terms(ed).count() == 0
+    # a corpus that is ONLY empty/null text rows: per-doc ops keep
+    # every row, model-building ops see zero tokens
+    nulls = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string")
+    assert TX.vocab_top_terms(nulls).count() == 0
+    assert TX.oov_rate(nulls).count() == 2
+    assert TX.boilerplate_apply(nulls).count() == 2
+    assert TX.unigram_logprob(nulls).count() == 2
+    assert TX.tfidf_top_terms(nulls).count() == 0
+    # events family
+    assert E.approx_distinct_users(ev).count() == 0
+    assert E.funnel_steps(ev).count() == 3      # step rows, all zero
+    assert all(r["n_users"] == 0 for r in E.funnel_steps(ev).collect())
+    assert E.retention_cohorts(ev).count() == 0
+    # relational family
+    assert R.epoch_shards(ed, "doc_id").count() == 0
+    li_empty = spark.createDataFrame(
+        [], "l_returnflag string, l_extendedprice double")
+    assert R.mad_outliers(li_empty, "l_returnflag",
+                          "l_extendedprice").count() == 0
+    assert R.mad_outliers_approx(li_empty, "l_returnflag",
+                                 "l_extendedprice").count() == 0

@@ -137,3 +137,79 @@ def test_stage_plan_matches_python_reference(spark, events):
     assert row["next_stage"] == _py_next_stage(flags)
     for s in ("downloaded", "unzipped", "organized"):
         assert row[s] == flags.get(s, 0)
+
+
+def _py_boilerplate(texts, seg_tokens=3, min_df=2):
+    """Python reference for boilerplate_segments semantics."""
+    segs_per_doc = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t or "")
+        segs = [" ".join(toks[j:j + seg_tokens])
+                for j in range(0, len(toks), seg_tokens)]
+        segs_per_doc[i] = segs
+    df_count = {}
+    for segs in segs_per_doc.values():
+        for s in set(segs):
+            df_count[s] = df_count.get(s, 0) + 1
+    out = {}
+    for i, segs in segs_per_doc.items():
+        boiler = sum(1 for s in segs if df_count[s] >= min_df)
+        out[i] = (len(segs), boiler)
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=15))
+def test_boilerplate_segments_matches_python(spark, xs):
+    from pyperustats_spark.operators import textops as TX
+    ref = _py_boilerplate(xs)
+    docs = spark.createDataFrame(
+        list(enumerate(xs)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_segments"], r["n_boilerplate"])
+           for r in TX.boilerplate_segments(docs, seg_tokens=3,
+                                            min_df=2).collect()}
+    assert got == ref
+
+
+def _py_funnel(events, steps=("view", "click", "purchase")):
+    """Python reference for strictly-ordered funnel counts."""
+    by_user = {}
+    for uid, ts, typ in events:
+        by_user.setdefault(uid, []).append((ts, typ))
+    counts = []
+    for idx, step in enumerate(steps):
+        n = 0
+        for uid, evs in by_user.items():
+            t_prev = None
+            ok = True
+            for s in steps[:idx + 1]:
+                cand = [ts for ts, typ in evs if typ == s
+                        and (t_prev is None or ts > t_prev)]
+                if not cand:
+                    ok = False
+                    break
+                t_prev = min(cand)
+            if ok:
+                n += 1
+        counts.append(n)
+    return counts
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(min_value=1, max_value=5),
+              st.integers(min_value=0, max_value=100),
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    min_size=1, max_size=40))
+def test_funnel_steps_matches_python(spark, events):
+    from pyperustats_spark.operators import events as EV
+    # make timestamps unique per (user, second) irrelevant — seconds since
+    # epoch-2024 are fine; duplicates allowed (strict > handles them)
+    ref = _py_funnel([(u, t, ty) for u, t, ty in events])
+    rows = [(i, u, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}", ty)
+            for i, (u, t, ty) in enumerate(events)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [r["n_users"] for r in EV.funnel_steps(ev).collect()]
+    assert got == ref
