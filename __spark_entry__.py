@@ -743,6 +743,10 @@ def text_tfidf_top_terms(spark, sf_dir):
     return T.tfidf_top_terms(_lt(spark, sf_dir, "documents"), top=3)
 
 
+def text_bigram_logprob(spark, sf_dir):
+    return T.bigram_logprob(_lt(spark, sf_dir, "documents"), k=0.5)
+
+
 def ev_funnel_steps(spark, sf_dir):
     return E.funnel_steps(_lt(spark, sf_dir, "events"))
 
@@ -1204,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_retention_cohorts": ev_retention_cohorts,
         "text_unigram_logprob": text_unigram_logprob,
         "text_tfidf_top_terms": text_tfidf_top_terms,
+        "text_bigram_logprob": text_bigram_logprob,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
@@ -2883,6 +2888,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
                per.sum_logprob,
                per.sum_logprob / per.n_tokens AS avg_logprob
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id
+    """
+
+    # bigram_logprob k=0.5: same grid recipe over conditional bigrams
+    sql["text_bigram_logprob"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ),
+        pw AS (
+            SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(t) - 1, 0) + 1),
+                           i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+                FROM toks WHERE len(t) >= 2
+            )
+        ),
+        c2 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+            FROM pw GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+                SELECT unnest(t) AS w1 FROM toks
+            ) GROUP BY w1
+        ),
+        vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+        model AS (
+            SELECT c2.w1, c2.w2,
+                   round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.v)), 6) AS lp
+            FROM c2 JOIN c1 ON c2.w1 = c1.w1, vv
+        ),
+        per AS (
+            SELECT pw.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(sum(m.lp), 6) AS sum_logprob
+            FROM pw JOIN model m ON pw.w1 = m.w1 AND pw.w2 = m.w2
+            GROUP BY pw.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               per.sum_logprob,
+               per.sum_logprob / per.n_bigrams AS avg_logprob
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         ORDER BY d.doc_id
     """

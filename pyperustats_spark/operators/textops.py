@@ -695,3 +695,65 @@ def tfidf_top_terms(documents: DataFrame, top: int = 3,
         .where(F.col("rank") <= top)
     )
     return out.orderBy("doc_id", "rank") if sort else out
+
+
+def bigram_logprob(documents: DataFrame, k: float = 0.5,
+                   sort: bool = True) -> DataFrame:
+    """Per-document mean conditional bigram log-probability under the
+    corpus's own add-k model, P(w2|w1) = (c(w1 w2)+k)/(c(w1)+k·V) —
+    the step up from :func:`unigram_logprob`: word-ORDER violations
+    (shuffled text, concatenation artifacts, wrong-language spans)
+    score low even when every unigram is common.
+
+    Scale: the model is two count shuffles (bigram, unigram) joined on
+    the first word; scoring joins doc pairs against the model on the
+    raw (w1, w2) strings — tokens are short, so hashing the key would
+    not slim the shuffle. V is a 1-row aggregate (audited pattern).
+    Same cross-engine grid recipe as unigram_logprob: per-pair ln
+    rounded to the 1e-6 grid, per-doc sum rounded back, mean raw."""
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs_expr = let(tokens(F.col("text")), lambda tk: F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"))),
+    ).otherwise(F.array().cast(pair_t)))
+    pw = documents.select(
+        "doc_id", F.explode(pairs_expr).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = pw.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    uni = documents.select(
+        F.explode(tokens(F.col("text"))).alias("w1"))
+    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    v = c1.agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    model = (
+        c2.join(c1, "w1")
+        .join(F.broadcast(v))
+        .select("w1", "w2", F.round(
+            F.log((F.col("_c2") + F.lit(k))
+                  / (F.col("_c1") + F.lit(k) * F.col("_v"))), 6)
+            .alias("_lp"))
+    )
+    per = (
+        pw.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("_lp"), 6).alias("sum_logprob"),
+        )
+    )
+    out = (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint").alias("n_bigrams"),
+            "sum_logprob",
+            F.try_divide(F.col("sum_logprob"), F.col("n_bigrams"))
+            .alias("avg_logprob"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out

@@ -1068,3 +1068,18 @@ def test_tfidf_top_terms_surfaces_distinctive_tokens(spark):
     # ranks are dense starting at 1
     for rows_ in by_doc.values():
         assert [r["rank"] for r in rows_] == list(range(1, len(rows_) + 1))
+
+
+def test_bigram_logprob_flags_order_violations(spark):
+    from pyperustats_spark.operators import textops as T
+    # corpus where "the cat" is a frequent bigram; doc 3 has the same
+    # unigrams in scrambled order -> lower conditional score
+    rows = [
+        (1, "the cat sat"), (2, "the cat ran"), (3, "cat the sat"),
+        (4, "the cat sat"), (5, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.bigram_logprob(docs).collect()}
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    # single-token and empty docs: zero bigrams, NULL score
+    assert out[5]["n_bigrams"] == 0 and out[5]["avg_logprob"] is None

@@ -89,6 +89,7 @@ BROADCAST_HINT_WHITELIST = {
                                   # audited pattern as q_market_share)
     "text_unigram_logprob",       # 1-row (N, V) corpus totals
     "text_tfidf_top_terms",       # 1-row doc-count aggregate
+    "text_bigram_logprob",        # 1-row vocab-size aggregate
 }
 
 
@@ -362,6 +363,7 @@ PLAN_SMELL_WHITELIST = {
     "ev_funnel_steps": {"SINGLE_PART"},         # k 1-row step totals
     "text_unigram_logprob": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
     "text_tfidf_top_terms": {"BNLJ", "SINGLE_PART"},  # 1-row doc count
+    "text_bigram_logprob": {"BNLJ", "SINGLE_PART"},   # 1-row vocab size
     "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
     "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
 }
