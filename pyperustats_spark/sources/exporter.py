@@ -133,3 +133,28 @@ def save_dataframe(df: DataFrame, save_dir: str, name: str,
     path = artifact_path(save_dir, name, value)
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def export_shards(
+    documents: DataFrame, path: str, num_shards: int = 8,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """The training-shard writer: deterministic epoch-shard layout
+    (:func:`~pyperustats_spark.operators.relational.epoch_shards`)
+    materialized as one ``partitionBy('shard')`` release — each shard
+    directory is a self-contained training file set whose row order is
+    the shard's hash order (``pos``).
+
+    One pass: repartition on the shard id so every task owns whole
+    shards, sort within partitions on (shard, pos) so the written file
+    order IS the training read order, then the manifest certifies per-
+    shard row counts from the data actually on disk. Re-running with
+    the same salt reproduces byte-identical shard membership; a new
+    epoch is just a new salt."""
+    from pyperustats_spark.operators.relational import epoch_shards
+
+    laid = epoch_shards(documents, "doc_id", num_shards=num_shards,
+                        salt=salt, sort=False)
+    laid = laid.repartition(num_shards, "shard") \
+               .sortWithinPartitions("shard", "pos")
+    return export_releases(laid, "shard", path)

@@ -122,3 +122,26 @@ def test_int_group_type_restored_from_manifest(spark, tmp_path):
     assert _rows(back.select("id", "year")) == _rows(base)
     assert {r["id"] for r in load_release(
         spark, path, group_col="year", group=2023).collect()} == {2}
+
+
+def test_export_shards_round_trip_and_order(spark, tables, tmp_path):
+    from pyperustats_spark.sources import exporter as X
+    docs = tables["documents"].select("doc_id", "source")
+    path = str(tmp_path / "shards")
+    manifest = X.export_shards(docs, path, num_shards=4)
+    m = {r["shard"]: r["n_rows"] for r in manifest.collect()}
+    assert set(m) == set(range(4))
+    assert sum(m.values()) == docs.count()
+    # one shard loads alone (partition pruning) with dense hash order
+    s0 = X.load_release(spark, path, "shard", "0") \
+        .orderBy("pos").collect()
+    assert len(s0) == m[0]
+    assert [r["pos"] for r in s0] == list(range(1, len(s0) + 1))
+    # same salt -> identical membership on a re-export
+    path2 = str(tmp_path / "shards2")
+    X.export_shards(docs, path2, num_shards=4)
+    a = sorted((r["doc_id"], r["shard"], r["pos"]) for r in
+               X.load_release(spark, path, "shard").collect())
+    b = sorted((r["doc_id"], r["shard"], r["pos"]) for r in
+               X.load_release(spark, path2, "shard").collect())
+    assert a == b
