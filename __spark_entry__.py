@@ -747,6 +747,10 @@ def text_bigram_logprob(spark, sf_dir):
     return T.bigram_logprob(_lt(spark, sf_dir, "documents"), k=0.5)
 
 
+def ts_seasonal_index(spark, sf_dir):
+    return TS.seasonal_index(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ev_funnel_steps(spark, sf_dir):
     return E.funnel_steps(_lt(spark, sf_dir, "events"))
 
@@ -1209,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": text_unigram_logprob,
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "text_bigram_logprob": text_bigram_logprob,
+        "ts_seasonal_index": ts_seasonal_index,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
@@ -1592,6 +1597,27 @@ def oracle_sql() -> dict[str, str]:
                ntile(4) OVER (ORDER BY r.revenue DESC, r.o_custkey) AS quartile
         FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
         ORDER BY custkey
+    """
+
+    # seasonal_index: means are round-2-restored money sums / counts
+    # (the resample rule), so the ratio ships raw — bit-identical
+    sql["ts_seasonal_index"] = f"""
+        WITH long AS ({_LONG}),
+        monthly AS (
+            SELECT code, CAST(month(date) AS INT) AS month,
+                   round(sum(value), 2) AS sum_m,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM long GROUP BY 1, 2
+        ),
+        overall AS (
+            SELECT code, round(sum(value), 2) AS sum_o,
+                   CAST(count(*) AS BIGINT) AS n_o
+            FROM long GROUP BY 1
+        )
+        SELECT m.code, m.month, m.n_obs,
+               (m.sum_m / m.n_obs) / (o.sum_o / o.n_o) AS seasonal_index
+        FROM monthly m JOIN overall o ON m.code = o.code
+        ORDER BY m.code, m.month
     """
 
     sql["ts_zscore_anomalies"] = f"""

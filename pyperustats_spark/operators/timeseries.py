@@ -359,3 +359,37 @@ def align_full_outer(left: DataFrame, right: DataFrame, on: list[str],
         )
         .orderBy(*on)
     )
+
+
+def seasonal_index(long_df: DataFrame, sort: bool = True) -> DataFrame:
+    """Classical multiplicative seasonal index per series: each
+    calendar month's mean over the series' overall mean (>1 = that
+    month runs hot) — the first step of a ratio-to-moving-average
+    seasonal adjustment on economic series.
+
+    Two partial-aggregated shuffles on the series key (monthly and
+    overall means) joined back AQE-decided on ~#codes rows. Parity
+    recipe: both means are round-2-restored money sums divided by
+    counts (the resample rule — never avg()), so the index is a ratio
+    of two bit-identical doubles and ships raw."""
+    monthly = long_df.groupBy(
+        F.col("code"), F.month("date").alias("month")
+    ).agg(
+        F.round(F.sum("value"), 2).alias("_sum_m"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    overall = long_df.groupBy("code").agg(
+        F.round(F.sum("value"), 2).alias("_sum_o"),
+        F.count(F.lit(1)).alias("_n_o"),
+    )
+    out = (
+        monthly.join(overall, "code")
+        .select(
+            "code", "month", "n_obs",
+            F.try_divide(
+                F.col("_sum_m") / F.col("n_obs"),
+                F.col("_sum_o") / F.col("_n_o"),
+            ).alias("seasonal_index"),
+        )
+    )
+    return out.orderBy("code", "month") if sort else out

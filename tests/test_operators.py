@@ -1083,3 +1083,21 @@ def test_bigram_logprob_flags_order_violations(spark):
     assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
     # single-token and empty docs: zero bigrams, NULL score
     assert out[5]["n_bigrams"] == 0 and out[5]["avg_logprob"] is None
+
+
+def test_seasonal_index_detects_hot_month(spark):
+    rows = []
+    # code A: January triple the value of other months
+    for m in range(1, 13):
+        for d in (1, 15):
+            rows.append((f"2020-{m:02d}-{d:02d}", "A",
+                         30.0 if m == 1 else 10.0))
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = {r["month"]: r["seasonal_index"]
+           for r in TS.seasonal_index(df).collect()}
+    # overall mean = (2*30 + 22*10) / 24 = 280/24
+    assert out[1] == pytest.approx(30.0 / (280.0 / 24.0))
+    assert out[6] == pytest.approx(10.0 / (280.0 / 24.0))
+    assert all(r == out[6] for m, r in out.items() if m != 1)
