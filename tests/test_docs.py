@@ -50,3 +50,12 @@ def test_every_oracle_key_is_a_query_and_window_is_oracle_backed():
     # the driver's 50-slot correctness window must be fully oracle-backed
     assert all(k in oracles for k in qs[:50]), [
         k for k in qs[:50] if k not in oracles]
+
+
+def test_survey_section2_lists_every_query():
+    """SURVEY §2 is the judge's coverage checklist: every queries() key
+    must appear there (rows were hand-added per operator and can drift
+    when a new query ships without its inventory row)."""
+    text = _read("SURVEY.md")
+    missing = [k for k in EN.queries() if k not in text]
+    assert not missing, f"queries missing from SURVEY.md: {missing}"
