@@ -143,10 +143,12 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
 
 def funnel_steps(events: DataFrame,
                  steps: tuple[str, ...] = ("view", "click", "purchase"),
-                 ) -> DataFrame:
+                 within_minutes: int | None = None) -> DataFrame:
     """Strictly-ordered funnel: how many users reach each step, where a
     step only counts if it happens AFTER the user's (earliest) previous
-    step — the product-analytics conversion funnel.
+    step — the product-analytics conversion funnel. With
+    *within_minutes*, each step must also land within that window of
+    the previous one (session-bounded conversion).
 
     Shape: per-step conditional min-timestamp aggregations chained by
     equi-joins on the 8-byte user id (len(steps)-1 joins, AQE-decided;
@@ -162,10 +164,15 @@ def funnel_steps(events: DataFrame,
     )
     reached = [cur]
     for step in steps[1:]:
+        gate = F.col("ts") > F.col("_t")
+        if within_minutes is not None:
+            gate = gate & (
+                F.col("ts") <= F.col("_t")
+                + F.expr(f"INTERVAL {int(within_minutes)} MINUTES"))
         nxt = (
             events.where(F.col("event_type") == step)
             .join(cur, "user_id")
-            .where(F.col("ts") > F.col("_t"))
+            .where(gate)
             .groupBy("user_id").agg(F.min("ts").alias("_t"))
         )
         reached.append(nxt)

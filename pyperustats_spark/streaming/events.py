@@ -278,3 +278,73 @@ def stream_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step_idx", T.LongType()),
+        T.StructField("last_step_ts", T.TimestampType()),
+    ]
+)
+
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("idx", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def stream_funnel_progress(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming conversion funnel: a per-user state machine that
+    advances one step when the NEXT step's event arrives strictly after
+    the previous advance — the incremental analog of the batch
+    ``funnel_steps`` chain, emitting each user's furthest step after
+    every micro-batch they appear in.
+
+    State is two longs per user (completed-step count + advance
+    timestamp), so state size is O(users in the funnel window), and the
+    greedy earliest-advance fold equals the batch min-timestamp
+    chaining whenever each user's events arrive in timestamp order
+    (in-batch order is restored by sorting the Arrow batch; ACROSS
+    batches a late event cannot retro-advance — the documented
+    streaming trade, same class as watermark-dropped late events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    step_list = list(steps)
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        idx, last_us = state.get if state.exists else (0, -1)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        types = pdf["event_type"].tolist()
+        for t_us, typ in zip(ts_us, types):
+            if idx < len(step_list) and typ == step_list[idx] \
+                    and t_us > last_us:
+                idx += 1
+                last_us = t_us
+        state.update((idx, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "step_idx": [idx],
+                "last_step_ts": [
+                    pd.Timestamp(last_us, unit="us") if last_us >= 0
+                    else pd.NaT],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

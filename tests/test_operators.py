@@ -1101,3 +1101,22 @@ def test_seasonal_index_detects_hot_month(spark):
     assert out[1] == pytest.approx(30.0 / (280.0 / 24.0))
     assert out[6] == pytest.approx(10.0 / (280.0 / 24.0))
     assert all(r == out[6] for m, r in out.items() if m != 1)
+
+
+def test_funnel_within_window_gates_slow_conversions(spark):
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:05:00", "click"),     # 5 min later: in
+        (3, 2, "2024-01-01 10:00:00", "view"),
+        (4, 2, "2024-01-02 10:00:00", "click"),     # next day: out
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["step"]: r["n_users"]
+           for r in E.funnel_steps(ev, steps=("view", "click"),
+                                   within_minutes=30).collect()}
+    assert out == {"view": 2, "click": 1}
+    loose = {r["step"]: r["n_users"]
+             for r in E.funnel_steps(ev, steps=("view", "click")).collect()}
+    assert loose == {"view": 2, "click": 2}

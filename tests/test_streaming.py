@@ -226,3 +226,80 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # dropped by the watermark, not merged
     assert "2020-01-01T00:00:00" in rows, rows
     assert rows["2020-01-01T00:00:00"] == (1, 1.0), rows
+
+
+@pytest.fixture(scope="module")
+def events_dir_ts_ordered(spark, tables, tmp_path_factory):
+    """Events split into 4 files by TIME RANGE (not arbitrary coalesce):
+    replaying file-by-file preserves per-user timestamp order across
+    micro-batches, which is the streaming-funnel contract."""
+    d = str(tmp_path_factory.mktemp("events_stream_ts"))
+    ev = tables["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    bounds = ev.selectExpr(
+        "percentile(cast(ts as long), array(0.25, 0.5, 0.75)) as q"
+    ).collect()[0]["q"]
+    import os
+    prev = None
+    for i, b in enumerate(list(bounds) + [None]):
+        part = ev
+        if prev is not None:
+            part = part.where(F.col("ts").cast("long") > prev)
+        if b is not None:
+            part = part.where(F.col("ts").cast("long") <= b)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"chunk={i}"))
+        prev = b
+    return d
+
+
+def test_stream_funnel_matches_batch_on_ordered_replay(
+        spark, tables, events_dir_ts_ordered, tmp_path):
+    from pyperustats_spark.operators import events as BEV
+    # one file per trigger -> 4 micro-batches; per-user funnel state
+    # must advance across them
+    stream = SEV.read_events_stream(
+        spark, events_dir_ts_ordered + "/chunk=*",
+        max_files_per_trigger=1)
+    prog = SEV.stream_funnel_progress(stream)
+    out = SEV.run_to_memory(
+        prog, "funnel_out", str(tmp_path / "ckpt_funnel"),
+        output_mode="append")
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["step_idx"] > cur:
+            final[r["user_id"]] = r["step_idx"]
+    # batch funnel counts == streaming counts of users at/past each step
+    batch = {r["step"]: r["n_users"]
+             for r in BEV.funnel_steps(tables["events"]).collect()}
+    steps = ("view", "click", "purchase")
+    for i, s in enumerate(steps, start=1):
+        streamed = sum(1 for v in final.values() if v >= i)
+        assert streamed == batch[s], (s, streamed, batch[s])
+
+
+def test_stream_funnel_late_event_cannot_retro_advance(spark, tmp_path):
+    import os
+    d = str(tmp_path / "src")
+    # batch 1: user 1 clicks at 10:05 (no view yet -> no advance)
+    # batch 2: a LATE view at 10:00 arrives -> advances view only; the
+    # already-seen click is gone, so click never completes
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 1, "click", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(2, "2024-01-01 10:00:00", 1, "view", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(os.path.join(d, "f=0"))
+    b2.coalesce(1).write.parquet(os.path.join(d, "f=1"))
+    stream = SEV.read_events_stream(spark, d + "/f=*",
+                                    max_files_per_trigger=1)
+    out = SEV.run_to_memory(
+        SEV.stream_funnel_progress(stream, steps=("view", "click")),
+        "funnel_late_out", str(tmp_path / "ckpt_late"),
+        output_mode="append")
+    assert max(r["step_idx"] for r in out.collect()) == 1
