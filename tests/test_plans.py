@@ -417,3 +417,24 @@ def test_no_midpipeline_global_sorts_in_composed_chains(spark, tables):
 
     # lang_confusion composes lang_id sort-free
     assert P.global_sort_count(T.lang_confusion(docs)) == 1
+
+
+def test_vocab_topn_uses_takeordered_not_global_sort(spark, tables):
+    """vocab_top_terms' top-n must compile to TakeOrderedAndProject
+    (per-partition heaps, driver merges n-row heads) — a global Sort +
+    limit would range-shuffle the whole token-count table for n rows."""
+    from pyperustats_spark.operators import textops as T
+    df = T.vocab_top_terms(tables["documents"], n=100)
+    plan = P.explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_lm_scoring_plans_are_jvm_side(spark, tables):
+    """The LM / tf-idf model builds and scoring joins must stay in
+    codegen — no Python eval anywhere in these hot paths."""
+    from pyperustats_spark.operators import textops as T
+    docs = tables["documents"]
+    for df in (T.unigram_logprob(docs), T.bigram_logprob(docs),
+               T.tfidf_top_terms(docs)):
+        assert not P.has_python_eval(df)
