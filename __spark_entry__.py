@@ -755,6 +755,11 @@ def ev_funnel_steps(spark, sf_dir):
     return E.funnel_steps(_lt(spark, sf_dir, "events"))
 
 
+def ev_funnel_within(spark, sf_dir):
+    return E.funnel_steps(_lt(spark, sf_dir, "events"),
+                          within_minutes=24 * 60)
+
+
 def ev_retention_cohorts(spark, sf_dir):
     return E.retention_cohorts(_lt(spark, sf_dir, "events"))
 
@@ -1214,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "text_bigram_logprob": text_bigram_logprob,
         "ts_seasonal_index": ts_seasonal_index,
+        "ev_funnel_within": ev_funnel_within,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
@@ -3007,6 +3013,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, min(e.ts) AS t
             FROM events e JOIN s2 ON e.user_id = s2.user_id
             WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step_idx, 'view' AS step,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        ORDER BY step_idx
+    """
+
+    # funnel with a 24h conversion window per step
+    sql["ev_funnel_within"] = """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+                  AND e.ts <= s1.t + INTERVAL 1440 MINUTE
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                  AND e.ts <= s2.t + INTERVAL 1440 MINUTE
             GROUP BY e.user_id
         )
         SELECT 1 AS step_idx, 'view' AS step,

@@ -361,6 +361,7 @@ PLAN_SMELL_WHITELIST = {
     "mef_find_row_by_text": {"SINGLE_PART"},    # distributed-min, 1 row
     "profile_orders": {"SINGLE_PART"},          # whole-table profile row
     "ev_funnel_steps": {"SINGLE_PART"},         # k 1-row step totals
+    "ev_funnel_within": {"SINGLE_PART"},        # k 1-row step totals
     "text_unigram_logprob": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
     "text_tfidf_top_terms": {"BNLJ", "SINGLE_PART"},  # 1-row doc count
     "text_bigram_logprob": {"BNLJ", "SINGLE_PART"},   # 1-row vocab size

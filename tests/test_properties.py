@@ -213,3 +213,81 @@ def test_funnel_steps_matches_python(spark, events):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = [r["n_users"] for r in EV.funnel_steps(ev).collect()]
     assert got == ref
+
+
+def _py_unigram_logprob(texts, k=0.5):
+    import math
+    toks = [_py_tokens(t or "") for t in texts]
+    counts = {}
+    for ts in toks:
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    n = sum(counts.values())
+    v = len(counts)
+    out = {}
+    for i, ts in enumerate(toks):
+        if not ts:
+            out[i] = (0, None)
+            continue
+        s = sum(round(math.log((counts[t] + k) / (n + k * v)), 6)
+                for t in ts)
+        out[i] = (len(ts), round(s, 6))
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=12))
+def test_unigram_logprob_matches_python(spark, xs):
+    from pyperustats_spark.operators import textops as TX
+    ref = _py_unigram_logprob(xs)
+    docs = spark.createDataFrame(
+        list(enumerate(xs)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"],
+                         round(r["sum_logprob"], 6)
+                         if r["sum_logprob"] is not None else None)
+           for r in TX.unigram_logprob(docs).collect()}
+    assert set(got) == set(ref)
+    for i, (n, s) in ref.items():
+        gn, gs = got[i]
+        assert gn == n
+        if s is None:
+            assert gs is None
+        else:
+            assert gs == pytest.approx(s, abs=2e-6)
+
+
+def _py_tfidf_top(texts, top=2):
+    import math
+    tf = []
+    for t in texts:
+        c = {}
+        for tok in _py_tokens(t or ""):
+            c[tok] = c.get(tok, 0) + 1
+        tf.append(c)
+    df_count = {}
+    for c in tf:
+        for tok in c:
+            df_count[tok] = df_count.get(tok, 0) + 1
+    nd = len(texts)
+    out = {}
+    for i, c in enumerate(tf):
+        scored = sorted(
+            ((tok, n * round(math.log(nd / df_count[tok]), 6))
+             for tok, n in c.items()),
+            key=lambda kv: (-kv[1], kv[0]))
+        out[i] = [tok for tok, _ in scored[:top]]
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=12))
+def test_tfidf_top_terms_matches_python(spark, xs):
+    from pyperustats_spark.operators import textops as TX
+    ref = _py_tfidf_top(xs, top=2)
+    docs = spark.createDataFrame(
+        list(enumerate(xs)), "doc_id long, text string")
+    got = {}
+    for r in TX.tfidf_top_terms(docs, top=2).collect():
+        got.setdefault(r["doc_id"], []).append(r["token"])
+    for i, terms in ref.items():
+        assert got.get(i, []) == terms
