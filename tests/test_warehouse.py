@@ -56,3 +56,33 @@ def test_bucketed_agg_skips_exchange(spark, bucketed_tables):
         F.sum("l_extendedprice").alias("s"))
     # aggregation on the bucket key reuses the write-time partitioning
     assert "Exchange hashpartitioning" not in P.explain_str(agg)
+
+
+def test_bucketed_corpus_dedup_apply_streams_corpus_side(spark, tables):
+    """The 100 TB dedup-apply-on-a-lakehouse story: with the corpus
+    bucketed on doc_id, the anti-join that APPLIES a dedup decision
+    shuffles only the (8-byte) drop-id set — the corpus side reads its
+    bucket files with NO exchange at any corpus size."""
+    W.write_bucketed(
+        tables["documents"], "docs_bucketed", ["doc_id"],
+        num_buckets=8, sort_cols=["doc_id"])
+    try:
+        corpus = W.read_table(spark, "docs_bucketed")
+        drop = tables["documents"].where(
+            F.col("doc_id") % 7 == 0).select("doc_id")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            applied = corpus.join(drop, "doc_id", "left_anti")
+            txt = P.explain_str(applied, mode="simple")
+            # exactly ONE hash exchange: the drop set repartitioning to
+            # the corpus's bucket layout; zero on the corpus side
+            assert txt.count("Exchange hashpartitioning") == 1, txt
+            assert "SortMergeJoin" in txt
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        n_drop = drop.count()
+        assert applied.count() == tables["documents"].count() - n_drop
+        assert n_drop > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed")
