@@ -59,3 +59,12 @@ def test_survey_section2_lists_every_query():
     text = _read("SURVEY.md")
     missing = [k for k in EN.queries() if k not in text]
     assert not missing, f"queries missing from SURVEY.md: {missing}"
+
+
+def test_bench_headline_keys_exist():
+    """bench.py's fixed headline set must stay resolvable — a queries()
+    rename/rotation that drops a headline key would break the driver's
+    per-round BENCH run."""
+    import bench
+    missing = [k for k in bench.HEADLINE if k not in EN.queries()]
+    assert not missing, missing
