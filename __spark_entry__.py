@@ -751,6 +751,15 @@ def ts_seasonal_index(spark, sf_dir):
     return TS.seasonal_index(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def stats_winsorize(spark, sf_dir):
+    return R.winsorize_summary(_lt(spark, sf_dir, "lineitem"),
+                               "l_returnflag", "l_extendedprice")
+
+
+def ts_ewma(spark, sf_dir):
+    return TS.ewma(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ev_funnel_steps(spark, sf_dir):
     return E.funnel_steps(_lt(spark, sf_dir, "events"))
 
@@ -1220,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": text_bigram_logprob,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
+        "stats_winsorize": stats_winsorize,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
@@ -1288,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "ev_approx_distinct": ev_approx_distinct,
         "stats_mad_outliers_approx": stats_mad_outliers_approx,
+        "ts_ewma": ts_ewma,
     }
 
 
@@ -3067,6 +3078,27 @@ def oracle_sql() -> dict[str, str]:
         FROM days d JOIN first f ON d.user_id = f.user_id
         GROUP BY f.cohort_day, day_offset
         ORDER BY f.cohort_day, day_offset
+    """
+
+    # winsorize: percentile bounds + integer tail counts only (clipped
+    # SUMS would mix value/bound grids and re-open the midpoint trap)
+    sql["stats_winsorize"] = """
+        WITH bounds AS (
+            SELECT l_returnflag AS g,
+                   quantile_cont(l_extendedprice, 0.01) AS p_lo,
+                   quantile_cont(l_extendedprice, 0.99) AS p_hi
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_returnflag, min(b.p_lo) AS p_lo, min(b.p_hi) AS p_hi,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l.l_extendedprice < b.p_lo
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(sum(CASE WHEN l.l_extendedprice > b.p_hi
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high
+        FROM lineitem l JOIN bounds b ON l.l_returnflag = b.g
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
     """
 
     # mad_outliers: no rounding — identical IEEE derivations both sides

@@ -910,3 +910,38 @@ def mad_outliers_approx(df: DataFrame, group_col: str, value_col: str,
         )
     )
     return out.orderBy(g)
+
+
+def winsorize_summary(df: DataFrame, group_col: str, value_col: str,
+                      lo: float = 0.01, hi: float = 0.99) -> DataFrame:
+    """Winsorization profile per group: the clip bounds (exact
+    percentiles) and how many values each tail would clamp — the
+    outlier-capping companion to :func:`mad_outliers` (clip instead of
+    drop). Returns (group, p_lo, p_hi, n, n_clipped_low,
+    n_clipped_high).
+
+    Outputs are percentile doubles (bit-identical cross-engine: same
+    interpolation over the same parquet doubles) and integer counts —
+    deliberately NOT clipped sums, whose mixed value/bound grid would
+    re-open the round-k midpoint trap. One percentile pass + one
+    #groups-row join + one counting pass; swap approx_percentile at
+    100 TB exactly as in stats_profile."""
+    g, v = group_col, value_col
+    bounds = df.groupBy(g).agg(
+        F.percentile(v, F.lit(lo)).alias("p_lo"),
+        F.percentile(v, F.lit(hi)).alias("p_hi"),
+    )
+    out = (
+        df.join(bounds, g)
+        .groupBy(g)
+        .agg(
+            F.min("p_lo").alias("p_lo"),
+            F.min("p_hi").alias("p_hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(v) < F.col("p_lo"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_low"),
+            F.sum(F.when(F.col(v) > F.col("p_hi"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_high"),
+        )
+    )
+    return out.orderBy(g)

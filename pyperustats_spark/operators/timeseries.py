@@ -393,3 +393,41 @@ def seasonal_index(long_df: DataFrame, sort: bool = True) -> DataFrame:
         )
     )
     return out.orderBy("code", "month") if sort else out
+
+
+def ewma(long_df: DataFrame, alpha: float = 0.3,
+         sort: bool = True) -> DataFrame:
+    """Exponentially weighted moving average per series
+    (pandas ``ewm(adjust=False)`` recursion: s_t = α·x_t + (1−α)·s_{t−1})
+    — the standard smoother on economic series.
+
+    The recursion is inherently sequential PER SERIES, so this is the
+    documented grouped-map escape hatch (``applyInPandas``, Arrow
+    batches, same class as the multimodal stages): one shuffle on the
+    series key, each task folds its series in order. Array-expression
+    folds were rejected — ``aggregate`` copies its accumulator per
+    element (O(n²) per series). Rows-only (no SQL oracle: the fold is
+    orderless SQL's weak spot); property-tested against a plain-Python
+    recursion."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    import pandas as pd
+
+    out_schema = "date timestamp, code string, value double, ewma double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("date")
+        s = None
+        acc = []
+        for x in pdf["value"]:
+            if x is None or pd.isna(x):
+                acc.append(s)  # gaps carry the last smoothed level
+                continue
+            s = x if s is None else alpha * x + (1.0 - alpha) * s
+            acc.append(s)
+        pdf = pdf.assign(ewma=acc)
+        return pdf[["date", "code", "value", "ewma"]]
+
+    out = long_df.select("date", "code", "value") \
+        .groupBy("code").applyInPandas(fold, out_schema)
+    return out.orderBy("code", "date") if sort else out

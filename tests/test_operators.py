@@ -1120,3 +1120,40 @@ def test_funnel_within_window_gates_slow_conversions(spark):
     loose = {r["step"]: r["n_users"]
              for r in E.funnel_steps(ev, steps=("view", "click")).collect()}
     assert loose == {"view": 2, "click": 2}
+
+
+def test_winsorize_summary_counts_tails(spark):
+    rows = [(i, "g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = R.winsorize_summary(df, "grp", "v", lo=0.05, hi=0.95).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 100
+    # exact interpolated percentiles of 1..100
+    assert r["p_lo"] == pytest.approx(1 + 0.05 * 99)
+    assert r["p_hi"] == pytest.approx(1 + 0.95 * 99)
+    assert r["n_clipped_low"] == 5 and r["n_clipped_high"] == 5
+
+
+def test_ewma_matches_python_recursion(spark, small_long):
+    alpha = 0.5
+    out = {(r["code"], r["date"].day): r["ewma"]
+           for r in TS.ewma(small_long, alpha=alpha).collect()}
+    # code A: 1.0 -> 0.5*2+0.5*1=1.5 -> 0.5*4+0.5*1.5=2.75
+    assert out[("A", 1)] == pytest.approx(1.0)
+    assert out[("A", 3)] == pytest.approx(1.5)
+    assert out[("A", 4)] == pytest.approx(2.75)
+    assert out[("B", 2)] == pytest.approx(15.0)
+    with pytest.raises(ValueError):
+        TS.ewma(small_long, alpha=0.0)
+    # NULL gaps carry the last level
+    import datetime
+    gappy = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 1), "A", 2.0),
+         (datetime.datetime(2020, 1, 2), "A", None),
+         (datetime.datetime(2020, 1, 3), "A", 4.0)],
+        "date timestamp, code string, value double")
+    g = {r["date"].day: r["ewma"] for r in TS.ewma(gappy, alpha=0.5).collect()}
+    assert g[1] == pytest.approx(2.0)
+    assert g[2] == pytest.approx(2.0)
+    assert g[3] == pytest.approx(3.0)
