@@ -894,6 +894,20 @@ def dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(_lt(spark, sf_dir, "documents"))
 
 
+def dedup_cluster_sizes(spark, sf_dir):
+    """Dedup-impact diagnostic: how many near-dup clusters exist at
+    each size (the histogram a cleaning report publishes). Derived
+    from the same pairs->CC labels; two tiny count shuffles on top."""
+    cl = D.dedup_clusters(_lt(spark, sf_dir, "documents"), sort=False)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def text_pii_scrub(spark, sf_dir):
     return T.pii_scrub(_lt(spark, sf_dir, "documents"))
 
@@ -1230,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
+        "dedup_cluster_sizes": dedup_cluster_sizes,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
@@ -2234,6 +2249,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, min(label) AS cluster_id,
                node = min(label) AS is_canonical
         FROM cc GROUP BY node ORDER BY doc_id
+    """
+
+    sql["dedup_cluster_sizes"] = f"""
+        WITH RECURSIVE {_cc_ctes},
+        labels AS (
+            SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+        ),
+        csizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM labels GROUP BY cluster_id
+        )
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM csizes GROUP BY cluster_size ORDER BY cluster_size
     """
 
     sql["dedup_filter_apply"] = f"""
