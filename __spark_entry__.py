@@ -751,6 +751,16 @@ def ts_seasonal_index(spark, sf_dir):
     return TS.seasonal_index(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def q4_order_priority(spark, sf_dir):
+    return R.order_priority_counts(_lt(spark, sf_dir, "orders"),
+                                   _lt(spark, sf_dir, "lineitem"))
+
+
+def q12_flag_priority(spark, sf_dir):
+    return R.returnflag_priority_counts(_lt(spark, sf_dir, "orders"),
+                                        _lt(spark, sf_dir, "lineitem"))
+
+
 def stats_winsorize(spark, sf_dir):
     return R.winsorize_summary(_lt(spark, sf_dir, "lineitem"),
                                "l_returnflag", "l_extendedprice")
@@ -1245,6 +1255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
         "dedup_cluster_sizes": dedup_cluster_sizes,
+        "q4_order_priority": q4_order_priority,
+        "q12_flag_priority": q12_flag_priority,
         # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
         #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
@@ -3106,6 +3118,31 @@ def oracle_sql() -> dict[str, str]:
         FROM days d JOIN first f ON d.user_id = f.user_id
         GROUP BY f.cohort_day, day_offset
         ORDER BY f.cohort_day, day_offset
+    """
+
+    sql["q4_order_priority"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= '1996-01-01'
+          AND o.o_orderdate < '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09
+          )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    sql["q12_flag_priority"] = """
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE year(l.l_shipdate) = 1996
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
     """
 
     # winsorize: percentile bounds + integer tail counts only (clipped

@@ -945,3 +945,53 @@ def winsorize_summary(df: DataFrame, group_col: str, value_col: str,
         )
     )
     return out.orderBy(g)
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame,
+                          min_discount: float = 0.09,
+                          start: str = "1996-01-01",
+                          end: str = "1997-01-01") -> DataFrame:
+    """Orders per priority touched by a promotion — at least one line
+    discounted at/above *min_discount* (the EXISTS-semi-join shape,
+    TPC-H Q4 class; complements the NOT-EXISTS anti-join of
+    customers_without_orders).
+
+    left_semi join: the probe side never duplicates orders however many
+    line items match, and only orderkeys cross the shuffle (AQE-decided
+    — both sides are SF-proportional, no hint)."""
+    promo = lineitem.where(
+        F.col("l_discount") >= min_discount).select("l_orderkey")
+    return (
+        orders.where((F.col("o_orderdate") >= start)
+                     & (F.col("o_orderdate") < end))
+        .join(promo, orders.o_orderkey == promo.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returnflag_priority_counts(orders: DataFrame, lineitem: DataFrame,
+                               year: int = 1996) -> DataFrame:
+    """Per return flag: line counts split urgent/high vs other order
+    priority among lines shipped in *year* (conditional-count
+    classification, TPC-H Q12 class re-keyed to this schema).
+
+    One join on the orderkey (AQE-decided) + one partial-aggregated
+    conditional count — the CASE sums combine map-side."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = lineitem.where(
+        F.year("l_shipdate") == year
+    ).select("l_orderkey", "l_returnflag")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1157,3 +1157,33 @@ def test_ewma_matches_python_recursion(spark, small_long):
     assert g[1] == pytest.approx(2.0)
     assert g[2] == pytest.approx(2.0)
     assert g[3] == pytest.approx(3.0)
+
+
+def test_order_priority_exists_semantics(spark):
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT", "1996-02-01"), (2, "5-LOW", "1996-03-01"),
+         (3, "1-URGENT", "1995-01-01")],  # outside window
+        "o_orderkey long, o_orderpriority string, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    li = spark.createDataFrame(
+        [(1, 0.10), (1, 0.10), (2, 0.01), (3, 0.10)],
+        "l_orderkey long, l_discount double")
+    out = {r["o_orderpriority"]: r["order_count"] for r in
+           R.order_priority_counts(orders, li).collect()}
+    # order 1: in window, two promo lines -> counted ONCE (semi-join);
+    # order 2: no promo line; order 3: promo but outside window
+    assert out == {"1-URGENT": 1}
+
+
+def test_returnflag_priority_split(spark):
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT"), (2, "5-LOW")],
+        "o_orderkey long, o_orderpriority string")
+    li = spark.createDataFrame(
+        [(1, "A", "1996-05-01"), (2, "A", "1996-06-01"),
+         (2, "N", "1996-07-01"), (1, "N", "1997-01-01")],  # wrong year
+        "l_orderkey long, l_returnflag string, l_shipdate string"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    out = {r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
+           for r in R.returnflag_priority_counts(orders, li).collect()}
+    assert out == {"A": (1, 1), "N": (0, 1)}
