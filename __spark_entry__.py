@@ -1173,6 +1173,44 @@ def stream_tumbling_window(spark, sf_dir):
     )
 
 
+def dedup_incremental(spark, sf_dir):
+    # recurring-release scenario: even doc_ids = the already-released
+    # corpus snapshot, odd = the new crawl batch (both SF-proportional)
+    docs = _lt(spark, sf_dir, "documents")
+    return D.dedup_incremental(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        prefix_chars=40,
+    )
+
+
+def dedup_stats_by_source(spark, sf_dir):
+    return D.dedup_stats_by_source(_lt(spark, sf_dir, "documents"),
+                                   prefix_chars=40)
+
+
+def dedup_source_overlap(spark, sf_dir):
+    return D.source_overlap(_lt(spark, sf_dir, "documents"),
+                            prefix_chars=40)
+
+
+def split_leakage_safe(spark, sf_dir):
+    return D.split_leakage_safe(_lt(spark, sf_dir, "documents"),
+                                val_pct=10, prefix_chars=40)
+
+
+def ev_transitions(spark, sf_dir):
+    return E.event_transitions(_lt(spark, sf_dir, "events"))
+
+
+def text_length_histogram(spark, sf_dir):
+    return T.length_histogram(_lt(spark, sf_dir, "documents"))
+
+
+def text_drop_short_tail(spark, sf_dir):
+    return T.drop_short_tail(_lt(spark, sf_dir, "documents"), p=0.10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1326,6 +1364,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_approx_distinct": ev_approx_distinct,
         "stats_mad_outliers_approx": stats_mad_outliers_approx,
         "ts_ewma": ts_ewma,
+        "dedup_incremental": dedup_incremental,
+        "dedup_stats_by_source": dedup_stats_by_source,
+        "dedup_source_overlap": dedup_source_overlap,
+        "split_leakage_safe": split_leakage_safe,
+        "ev_transitions": ev_transitions,
+        "text_length_histogram": text_length_histogram,
+        "text_drop_short_tail": text_drop_short_tail,
     }
 
 
@@ -3209,6 +3254,117 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY shard ORDER BY hh, doc_id) AS INT) AS pos
         FROM s
         ORDER BY shard, pos
+    """
+
+    # head fingerprint: md5 of the normalized first-40-chars (substr
+    # BEFORE normalize, matching operators.dedup.content_key)
+    _HFP = ("md5(trim(regexp_replace(lower(substr(text, 1, 40)), "
+            "'\\s+', ' ', 'g')))")
+
+    sql["dedup_incremental"] = f"""
+        WITH b AS (
+            SELECT doc_id, source, {_HFP} AS fp
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        seen AS (
+            SELECT DISTINCT {_HFP} AS fp
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        fresh AS (
+            SELECT b.* FROM b LEFT JOIN seen s ON b.fp = s.fp
+            WHERE s.fp IS NULL
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM fresh
+        )
+        SELECT doc_id, source, fp FROM r WHERE rn = 1 ORDER BY doc_id
+    """
+
+    sql["dedup_stats_by_source"] = f"""
+        WITH keyed AS (SELECT source, {_HFP} AS fp FROM documents),
+        mult AS (SELECT fp, count(*) AS m FROM keyed GROUP BY fp)
+        SELECT k.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT k.fp) AS BIGINT) AS n_unique,
+               CAST(sum(CASE WHEN m.m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_duped,
+               CAST(sum(CASE WHEN m.m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(count(*) AS BIGINT) AS dup_share
+        FROM keyed k JOIN mult m ON k.fp = m.fp
+        GROUP BY k.source ORDER BY k.source
+    """
+
+    sql["dedup_source_overlap"] = f"""
+        WITH f AS (SELECT DISTINCT source, {_HFP} AS fp FROM documents),
+        s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM f GROUP BY source),
+        p AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b, p.n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               p.n_common / (sa.n + sb.n - p.n_common) AS jaccard
+        FROM p JOIN s sa ON p.source_a = sa.source
+               JOIN s sb ON p.source_b = sb.source
+        ORDER BY p.source_a, p.source_b
+    """
+
+    sql["split_leakage_safe"] = f"""
+        WITH f AS (SELECT doc_id, lang, {_HFP} AS fp FROM documents),
+        r AS (
+            SELECT doc_id, lang,
+                   min(doc_id) OVER (PARTITION BY fp) AS rep_id
+            FROM f
+        )
+        SELECT doc_id, lang, rep_id,
+               CASE WHEN CAST('0x' || substring(
+                        md5('split:' || CAST(rep_id AS VARCHAR)), 1, 4)
+                        AS INT) % 100 < 10
+                    THEN 'val' ELSE 'train' END AS split
+        FROM r ORDER BY doc_id
+    """
+
+    sql["ev_transitions"] = """
+        WITH s AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type,
+                   event_type AS next_type
+            FROM events
+        )
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT)
+                   / CAST(sum(count(*)) OVER (PARTITION BY prev_type)
+                          AS BIGINT) AS share
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+    """
+
+    sql["text_length_histogram"] = """
+        SELECT CAST(length(CAST(n_chars AS VARCHAR)) AS INT)
+                   AS len_digits,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) / CAST(count(*) AS BIGINT)
+                   AS mean_chars
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
+
+    sql["text_drop_short_tail"] = """
+        WITH r AS (
+            SELECT doc_id, lang, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT doc_id, lang, source, n_chars FROM r
+        WHERE rk > CAST(floor(0.10 * n) AS BIGINT) ORDER BY doc_id
     """
 
     return sql

@@ -24,7 +24,7 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.hashing import (
@@ -604,3 +604,156 @@ def dedup_filter_semantic(
         F.col("doc_id").alias("vec_id"))
     out = embeddings.join(losers, "vec_id", "left_anti")
     return out.orderBy("vec_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# corpus-snapshot management: incremental dedup, source overlap, leakage-
+# safe splitting. The reference re-processes public-portal snapshots
+# incrementally (done-set anti-joins, inei/utils/db_utils.py progress
+# tables; organizer.py content dedup) — these are the corpus-scale
+# generalizations a recurring pretraining-data release needs.
+# ---------------------------------------------------------------------------
+
+
+def content_key(prefix_chars: int | None = None) -> Column:
+    """md5 of the normalized text — optionally of only its first
+    *prefix_chars* characters (a "head fingerprint" that groups
+    documents sharing lead boilerplate, the common near-dup shape in
+    scraped corpora). Pure row-local expression; md5 so a DuckDB
+    oracle reproduces the key bit-for-bit."""
+    txt = F.col("text")
+    if prefix_chars is not None:
+        txt = F.substring(txt, 1, prefix_chars)
+    return F.md5(normalize(txt))
+
+
+def dedup_incremental(batch: DataFrame, corpus: DataFrame,
+                      prefix_chars: int | None = None,
+                      sort: bool = True) -> DataFrame:
+    """Incremental snapshot dedup: the rows of *batch* that are new
+    relative to an already-released *corpus* (and unique within the
+    batch — lowest doc_id wins a within-batch group).
+
+    The canonical recurring-release shape: yesterday's 100 TB corpus
+    never gets re-deduped; only the new crawl joins against it. Both
+    sides shuffle ONLY 16-byte keys (never text) into one hash
+    anti-join — big-big, so no broadcast; AQE picks the strategy. The
+    within-batch keep is a groupBy min on the (much smaller) surviving
+    batch."""
+    key = content_key(prefix_chars)
+    b = batch.select("doc_id", "source", key.alias("fp"))
+    seen = corpus.select(key.alias("fp")).distinct()
+    fresh = b.join(seen, "fp", "left_anti")
+    keep = fresh.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "source")).alias("s"))
+    out = keep.select(F.col("s.doc_id").alias("doc_id"),
+                      F.col("s.source").alias("source"), "fp")
+    return out.orderBy("doc_id") if sort else out
+
+
+def dedup_stats_by_source(documents: DataFrame,
+                          prefix_chars: int | None = None,
+                          sort: bool = True) -> DataFrame:
+    """Duplication data-card per source: docs, distinct content keys
+    within the source, docs whose key occurs more than once in the
+    WHOLE corpus (cross-source contamination included), and the raw
+    duplicated share (IEEE int/int division — bit-identical in any
+    engine, see working notes).
+
+    Two key-hash shuffles (global key multiplicity, then the per-source
+    rollup), both carrying 16-byte keys + counts only."""
+    key = content_key(prefix_chars)
+    keyed = documents.select("source", key.alias("fp"))
+    mult = keyed.groupBy("fp").agg(F.count(F.lit(1)).alias("_m"))
+    out = (
+        keyed.join(mult, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+            F.sum((F.col("_m") > 1).cast("bigint")).alias("n_duped"),
+        )
+        .withColumn("dup_share", F.col("n_duped") / F.col("n_docs"))
+    )
+    return out.orderBy("source") if sort else out
+
+
+def source_overlap(documents: DataFrame,
+                   prefix_chars: int | None = None,
+                   sort: bool = True) -> DataFrame:
+    """Pairwise content overlap between sources: for every source pair
+    sharing at least one content key, the distinct-key intersection,
+    each side's distinct-key count, and the Jaccard overlap (raw
+    int/int division).
+
+    Candidate generation follows the repo's bucketed-gather rule: keys
+    are grouped once (collect_set of the handful of source names per
+    key — bounded by the source count, NOT by corpus size) and pairs
+    are emitted in-array; there is no fingerprint self-join, so the
+    corpus is scanned once and only (key → source-list) rows shuffle."""
+    key = content_key(prefix_chars)
+    f = documents.select("source", key.alias("fp")).distinct()
+    sizes = f.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    gathered = (
+        f.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    pairs = (
+        gathered.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        pairs
+        .join(sizes.select(F.col("source").alias("source_a"),
+                           F.col("n").alias("n_a")), "source_a")
+        .join(sizes.select(F.col("source").alias("source_b"),
+                           F.col("n").alias("n_b")), "source_b")
+        .select(
+            "source_a", "source_b", "n_common", "n_a", "n_b",
+            (F.col("n_common")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+             ).alias("jaccard"),
+        )
+    )
+    return out.orderBy("source_a", "source_b") if sort else out
+
+
+def split_leakage_safe(documents: DataFrame, val_pct: int = 10,
+                       prefix_chars: int | None = None,
+                       salt: str = "split",
+                       sort: bool = True) -> DataFrame:
+    """Train/val split at content-group granularity: every member of a
+    content-key group inherits the split of the group representative
+    (min doc_id), so near-identical documents can never straddle the
+    split and leak val text into train.
+
+    Same salted-md5 hash cut as :func:`relational.train_val_split` —
+    but keyed on the representative id, which costs exactly one shuffle
+    (the window over the content key). New crawl data lands in stable
+    splits: a group's representative never changes once its lowest id
+    is in the corpus."""
+    key = content_key(prefix_chars)
+    rep = F.min("doc_id").over(Window.partitionBy("_fp"))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                      F.col("rep_id").cast("string"))), 1, 4),
+        16, 10).cast("int") % 100
+    out = (
+        documents.select("doc_id", "lang", key.alias("_fp"))
+        .select("doc_id", "lang", rep.alias("rep_id"))
+        .withColumn("split", F.when(bucket < val_pct,
+                                    F.lit("val")).otherwise(F.lit("train")))
+    )
+    return out.orderBy("doc_id") if sort else out

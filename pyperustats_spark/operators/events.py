@@ -211,3 +211,29 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def event_transitions(events: DataFrame, sort: bool = True) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (prev_type → next_type) step count occurrences
+    and the share of all transitions leaving prev_type (raw int/int
+    division — bit-identical cross-engine).
+
+    The lag window partitions by user — thousands of rows per user at
+    most, never a global sort — and the rollup output is |event types|²
+    rows, so the share window runs on an already-tiny frame. One
+    user-key shuffle + one pair-key shuffle regardless of corpus
+    size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    share = F.col("n") / F.sum("n").over(Window.partitionBy("prev_type"))
+    out = counts.withColumn("share", share)
+    return out.orderBy("prev_type", "next_type") if sort else out

@@ -757,3 +757,56 @@ def bigram_logprob(documents: DataFrame, k: float = 0.5,
         )
     )
     return out.orderBy("doc_id") if sort else out
+
+
+def length_histogram(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Document-length histogram on decimal-digit buckets (bucket =
+    number of digits in n_chars: 2 → tens, 3 → hundreds, ...) with
+    per-bucket count and exact min/max/mean length. Digit-count
+    bucketing is integer-exact in every engine — no log() ulp risk at
+    bucket boundaries (ln/log2 of an exact power can round either way;
+    string length of the integer cannot).
+
+    One partial-aggregated shuffle carrying ≤ 20 bucket rows; the mean
+    is avg of bigint (sum/count of exact ints → identical IEEE division
+    cross-engine)."""
+    bucket = F.length(F.col("n_chars").cast("string"))
+    out = (
+        documents.groupBy(bucket.alias("len_digits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            # explicit exact-int sum / count instead of avg(): both
+            # engines then perform the SAME single IEEE division
+            (F.sum("n_chars") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+    )
+    return out.orderBy("len_digits") if sort else out
+
+
+def drop_short_tail(documents: DataFrame, p: float = 0.10,
+                    sort: bool = True) -> DataFrame:
+    """Adaptive per-language length cut: drop the shortest *p* fraction
+    of each language's documents by (n_chars, doc_id) rank — the
+    data-driven alternative to a fixed min-length filter when length
+    distributions differ by language.
+
+    Rank-based (discrete) on purpose: a continuous quantile threshold
+    interpolates between order statistics and the interpolation
+    arithmetic is engine-specific, while "keep rank > floor(p·n)" is
+    pure integer comparison — deterministic and oracle-exact. The
+    window partitions by lang, so the sort is per-language-partition;
+    at 100 TB swap the exact rank for an approx_percentile threshold
+    exactly as in stats_profile."""
+    w = Window.partitionBy("lang")
+    rk = F.row_number().over(w.orderBy("n_chars", "doc_id"))
+    n = F.count(F.lit(1)).over(w)
+    out = (
+        documents.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("_rk", rk)
+        .withColumn("_n", n)
+        .where(F.col("_rk") > F.floor(F.lit(p) * F.col("_n")))
+        .drop("_rk", "_n")
+    )
+    return out.orderBy("doc_id") if sort else out

@@ -1187,3 +1187,112 @@ def test_returnflag_priority_split(spark):
     out = {r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
            for r in R.returnflag_priority_counts(orders, li).collect()}
     assert out == {"A": (1, 1), "N": (0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# corpus-snapshot management: incremental dedup, source stats/overlap,
+# leakage-safe split; event transitions; length histogram / short-tail cut
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dup_docs(spark):
+    # docs 1, 2, 5 normalize to the same content key; the rest unique
+    rows = [
+        (1, "Shared  Boilerplate", "en", "a"),
+        (2, "shared boilerplate", "en", "b"),
+        (3, "unique one", "en", "a"),
+        (4, "unique two", "en", "b"),
+        (5, "SHARED   BOILERPLATE", "en", "c"),
+        (6, "unique three", "en", "c"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+
+
+def test_dedup_incremental_anti_joins_corpus_and_batch(dup_docs):
+    corpus = dup_docs.where(F.col("doc_id") <= 3)
+    batch = dup_docs.where(F.col("doc_id") >= 4)
+    out = D.dedup_incremental(batch, corpus).collect()
+    # doc 5 duplicates corpus doc 1/2's key; 4 and 6 are new
+    assert [r["doc_id"] for r in out] == [4, 6]
+
+
+def test_dedup_incremental_keeps_min_id_within_batch(dup_docs):
+    corpus = dup_docs.where(F.col("doc_id") == 3)
+    batch = dup_docs.where(F.col("doc_id").isin(1, 2, 5))
+    out = D.dedup_incremental(batch, corpus).collect()
+    # all three batch rows share one key -> lowest doc_id survives
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_dedup_stats_by_source_counts_global_dupes(dup_docs):
+    out = {r["source"]: r for r in D.dedup_stats_by_source(dup_docs).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_unique"] == 2
+    # one of source a's two docs participates in the global dup group
+    assert out["a"]["n_duped"] == 1 and out["a"]["dup_share"] == 0.5
+
+
+def test_source_overlap_jaccard(dup_docs):
+    out = {(r["source_a"], r["source_b"]): r
+           for r in D.source_overlap(dup_docs).collect()}
+    # every source pair shares exactly the boilerplate key; each side
+    # holds 2 distinct keys -> jaccard = 1 / (2 + 2 - 1)
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for r in out.values():
+        assert r["n_common"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
+        assert r["jaccard"] == 1 / 3
+
+
+def test_split_leakage_safe_groups_never_straddle(dup_docs):
+    out = {r["doc_id"]: r for r in
+           D.split_leakage_safe(dup_docs, val_pct=50).collect()}
+    group = [out[1], out[2], out[5]]
+    assert {r["rep_id"] for r in group} == {1}
+    assert len({r["split"] for r in group}) == 1  # inherited, no straddle
+    # representative of a singleton group is the doc itself
+    assert out[3]["rep_id"] == 3
+
+
+def test_event_transitions_counts_and_shares(spark):
+    rows = [
+        (1, "2020-01-01 00:00:00", 1, "view"),
+        (2, "2020-01-01 00:01:00", 1, "click"),
+        (3, "2020-01-01 00:02:00", 1, "purchase"),
+        (4, "2020-01-01 00:00:00", 2, "view"),
+        (5, "2020-01-01 00:05:00", 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["prev_type"], r["next_type"]): r
+           for r in E.event_transitions(ev).collect()}
+    assert out[("view", "click")]["n"] == 1
+    assert out[("view", "view")]["n"] == 1
+    assert out[("view", "click")]["share"] == 0.5
+    assert out[("click", "purchase")]["share"] == 1.0
+    # no cross-user transition (user 2's last view -> user 1's first)
+    assert ("purchase", "view") not in out
+
+
+def test_length_histogram_digit_buckets(spark):
+    from pyperustats_spark.operators import textops as T
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 42), (3, 97), (4, 980)],
+        "doc_id bigint, n_chars bigint")
+    out = {r["len_digits"]: r for r in T.length_histogram(docs).collect()}
+    assert out[1]["n_docs"] == 1 and out[1]["min_chars"] == 5
+    assert out[2]["n_docs"] == 2 and out[2]["mean_chars"] == (42 + 97) / 2
+    assert out[3]["max_chars"] == 980
+
+
+def test_drop_short_tail_per_lang_rank_cut(spark):
+    from pyperustats_spark.operators import textops as T
+    rows = [(i, "en", "s", 100 + i) for i in range(10)] + \
+           [(100, "es", "s", 7)]  # single-doc lang: floor(0.2*1)=0 drops none
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, n_chars bigint")
+    out = T.drop_short_tail(docs, p=0.2).collect()
+    kept = sorted(r["doc_id"] for r in out)
+    # en: floor(0.2*10)=2 shortest dropped (ids 0,1); es survives whole
+    assert kept == [2, 3, 4, 5, 6, 7, 8, 9, 100]
