@@ -1211,6 +1211,24 @@ def text_drop_short_tail(spark, sf_dir):
     return T.drop_short_tail(_lt(spark, sf_dir, "documents"), p=0.10)
 
 
+def q7_nation_volume(spark, sf_dir):
+    return R.nation_volume(
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "supplier"),
+        _lt(spark, sf_dir, "orders"), _lt(spark, sf_dir, "lineitem"),
+        _lt(spark, sf_dir, "nation"))
+
+
+def q10_returned_items(spark, sf_dir):
+    return R.returned_item_revenue(
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "orders"),
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "nation"))
+
+
+def q14_promo_share(spark, sf_dir):
+    return R.promo_revenue_share(_lt(spark, sf_dir, "lineitem"),
+                                 _lt(spark, sf_dir, "part"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1371,6 +1389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_transitions": ev_transitions,
         "text_length_histogram": text_length_histogram,
         "text_drop_short_tail": text_drop_short_tail,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_share": q14_promo_share,
     }
 
 
@@ -3365,6 +3386,58 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, lang, source, n_chars FROM r
         WHERE rk > CAST(floor(0.10 * n) AS BIGINT) ORDER BY doc_id
+    """
+
+    sql["q7_nation_volume"] = """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 4) AS revenue
+        FROM (
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+                   OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18'))
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+
+    sql["q10_returned_items"] = """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """
+
+    sql["q14_promo_share"] = """
+        SELECT promo_revenue, total_revenue,
+               promo_revenue / total_revenue AS promo_share
+        FROM (
+            SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END), 4) AS promo_revenue,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS total_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1996-02-01'
+        )
     """
 
     return sql

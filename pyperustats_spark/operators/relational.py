@@ -995,3 +995,118 @@ def returnflag_priority_counts(orders: DataFrame, lineitem: DataFrame,
         )
         .orderBy("l_returnflag")
     )
+
+
+def nation_volume(customer: DataFrame, supplier: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame,
+                  nation: DataFrame,
+                  nation_a: str = "NATION_18", nation_b: str = "NATION_19",
+                  date_from: str = "1995-01-01",
+                  date_to: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q7-style bilateral volume: shipping revenue between a
+    nation pair, by (supplier nation, customer nation, ship year).
+
+    Only ``nation`` (25 rows, fixed-size by spec) is broadcast-hinted —
+    twice, once per side, each pre-filtered to the pair. The
+    SF-proportional joins (lineitem→orders→customer, lineitem→supplier)
+    stay unhinted for AQE, shuffling on integer keys only; the
+    pair-direction predicate runs after both nation names are attached
+    and prunes to the two directions before the aggregate."""
+    na = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    o = orders.select("o_orderkey", "o_custkey")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    cust = (customer.select("c_custkey", "c_nationkey")
+            .join(F.broadcast(na.select(F.col("n_nationkey").alias("c_nationkey"),
+                                        F.col("n_name").alias("cust_nation"))),
+                  "c_nationkey"))
+    supp = (supplier.select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(na.select(F.col("n_nationkey").alias("s_nationkey"),
+                                        F.col("n_name").alias("supp_nation"))),
+                  "s_nationkey"))
+    joined = (
+        li.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+               | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a)))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+        # 4-decimal grid: 2-dec price x 2-dec (1-discount) -> sums land
+        # on grid points, round(.,4) is midpoint-safe (see q1 notes)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def returned_item_revenue(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, nation: DataFrame,
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1996-04-01",
+                          k: int = 20) -> DataFrame:
+    """TPC-H Q10-style: top-k customers by revenue lost to returned
+    items in a quarter. Returns (custkey, name, nation, revenue).
+
+    lineitem is pre-filtered to returnflag='R' and orders to the
+    quarter BEFORE the joins (predicate pushdown leaves only the
+    problem rows in the shuffles); nation (fixed 25 rows) is hinted,
+    customer/orders stay AQE-decided. Top-k via orderBy+limit compiles
+    to TakeOrderedAndProject — no global sort materializes."""
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    joined = (
+        li.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame,
+                        promo_type: str = "PROMO",
+                        date_from: str = "1996-01-01",
+                        date_to: str = "1996-02-01") -> DataFrame:
+    """TPC-H Q14-style: share of a month's revenue from promotional
+    parts. One row: (promo_revenue, total_revenue, promo_share).
+
+    part is SF-proportional, so the lineitem→part join is unhinted
+    (AQE decides; at cluster scale both sides shuffle on l_partkey).
+    Both revenue sums are rounded onto their 4-decimal grid FIRST and
+    the share is their RAW quotient — dividing identical doubles is
+    bit-identical cross-engine, while rounding the quotient would sit
+    on engine-disagreeing midpoints (working-notes rule)."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    joined = li.join(part.select("p_partkey", "p_type"),
+                     F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = joined.agg(
+        F.round(F.sum(F.when(F.col("p_type") == promo_type, rev)
+                      .otherwise(F.lit(0.0))), 4).alias("promo_revenue"),
+        F.round(F.sum(rev), 4).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        F.try_divide(F.col("promo_revenue"), F.col("total_revenue"))
+        .alias("promo_share"),
+    )

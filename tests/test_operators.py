@@ -1296,3 +1296,61 @@ def test_drop_short_tail_per_lang_rank_cut(spark):
     kept = sorted(r["doc_id"] for r in out)
     # en: floor(0.2*10)=2 shortest dropped (ids 0,1); es survives whole
     assert kept == [2, 3, 4, 5, 6, 7, 8, 9, 100]
+
+
+def test_nation_volume_directions_and_grid(spark):
+    nation = spark.createDataFrame(
+        [(1, "NA", 0), (2, "NB", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    customer = spark.createDataFrame(
+        [(10, 1), (11, 2)], "c_custkey long, c_nationkey int")
+    supplier = spark.createDataFrame(
+        [(20, 1), (21, 2)], "s_suppkey long, s_nationkey int")
+    orders = spark.createDataFrame(
+        [(100, 10), (101, 11)], "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(100, 21, "1996-06-01", 100.0, 0.1),   # NB supplies NA
+         (101, 20, "1996-07-01", 200.0, 0.0),   # NA supplies NB
+         (101, 21, "1996-07-01", 50.0, 0.0)],   # NB->NB: same-side, excluded
+        "l_orderkey long, l_suppkey long, l_shipdate string, "
+        "l_extendedprice double, l_discount double"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    out = {(r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+           for r in R.nation_volume(customer, supplier, orders, li, nation,
+                                    nation_a="NA", nation_b="NB").collect()}
+    assert out == {("NB", "NA", 1996): 90.0, ("NA", "NB", 1996): 200.0}
+
+
+def test_returned_items_filters_and_topk(spark):
+    nation = spark.createDataFrame(
+        [(1, "NA", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    customer = spark.createDataFrame(
+        [(10, "alice", 1), (11, "bob", 1)],
+        "c_custkey long, c_name string, c_nationkey int")
+    orders = spark.createDataFrame(
+        [(100, 10, "1996-02-01"), (101, 11, "1996-03-01"),
+         (102, 10, "1996-06-01")],  # outside the quarter
+        "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    li = spark.createDataFrame(
+        [(100, "R", 100.0, 0.0), (101, "R", 300.0, 0.0),
+         (101, "N", 900.0, 0.0),  # not returned
+         (102, "R", 500.0, 0.0)],  # order outside quarter
+        "l_orderkey long, l_returnflag string, "
+        "l_extendedprice double, l_discount double")
+    out = R.returned_item_revenue(customer, orders, li, nation, k=1).collect()
+    assert len(out) == 1
+    assert (out[0]["c_name"], out[0]["revenue"]) == ("bob", 300.0)
+
+
+def test_promo_share_raw_quotient(spark):
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "ECONOMY")], "p_partkey long, p_type string")
+    li = spark.createDataFrame(
+        [(1, "1996-01-05", 100.0, 0.0), (2, "1996-01-06", 300.0, 0.0),
+         (1, "1996-03-01", 999.0, 0.0)],  # outside month
+        "l_partkey long, l_shipdate string, "
+        "l_extendedprice double, l_discount double"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    r = R.promo_revenue_share(li, part).collect()[0]
+    assert (r["promo_revenue"], r["total_revenue"]) == (100.0, 400.0)
+    assert r["promo_share"] == 0.25

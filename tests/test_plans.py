@@ -90,6 +90,8 @@ BROADCAST_HINT_WHITELIST = {
     "text_unigram_logprob",       # 1-row (N, V) corpus totals
     "text_tfidf_top_terms",       # 1-row doc-count aggregate
     "text_bigram_logprob",        # 1-row vocab-size aggregate
+    "q7_nation_volume",           # nation (25 rows), pre-filtered pair
+    "q10_returned_items",         # nation (25 rows)
 }
 
 
@@ -367,6 +369,7 @@ PLAN_SMELL_WHITELIST = {
     "text_bigram_logprob": {"BNLJ", "SINGLE_PART"},   # 1-row vocab size
     "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
     "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
+    "q14_promo_share": {"SINGLE_PART"},         # global 1-row aggregate
 }
 
 
