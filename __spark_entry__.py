@@ -1211,6 +1211,11 @@ def text_drop_short_tail(spark, sf_dir):
     return T.drop_short_tail(_lt(spark, sf_dir, "documents"), p=0.10)
 
 
+def dedup_source_overlap_sketch(spark, sf_dir):
+    return D.source_overlap_sketch(_lt(spark, sf_dir, "documents"),
+                                   k=256, prefix_chars=40)
+
+
 def q7_nation_volume(spark, sf_dir):
     return R.nation_volume(
         _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "supplier"),
@@ -1392,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
+        "dedup_source_overlap_sketch": dedup_source_overlap_sketch,
     }
 
 

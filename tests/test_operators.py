@@ -1354,3 +1354,27 @@ def test_promo_share_raw_quotient(spark):
     r = R.promo_revenue_share(li, part).collect()[0]
     assert (r["promo_revenue"], r["total_revenue"]) == (100.0, 400.0)
     assert r["promo_share"] == 0.25
+
+
+def test_source_overlap_sketch_tracks_exact(spark):
+    rows = []
+    for i in range(150):
+        rows.append((i, f"doc a {i}", "en", "A"))
+    for i in range(60):                      # B shares 60 keys with A
+        rows.append((1000 + i, f"doc a {i}", "en", "B"))
+    for i in range(90):
+        rows.append((2000 + i, f"doc b {i}", "en", "B"))
+    for i in range(100):                     # C disjoint from both
+        rows.append((3000 + i, f"doc c {i}", "en", "C"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+    exact = {(r["source_a"], r["source_b"]): r["jaccard"]
+             for r in D.source_overlap(docs).collect()}
+    est = {(r["source_a"], r["source_b"]): r["est_jaccard"]
+           for r in D.source_overlap_sketch(docs, k=128).collect()}
+    # A∩B = 60, |A|=150, |B|=150 -> exact J = 0.25
+    assert abs(exact[("A", "B")] - 0.25) < 1e-12
+    # KMV stderr ~ sqrt(J(1-J)/k) ≈ 0.038 -> 0.12 is a 3σ bound
+    assert abs(est[("A", "B")] - exact[("A", "B")]) < 0.12
+    # disjoint pairs estimate exactly zero (no shared hashes at all)
+    assert est[("A", "C")] == 0.0 and est[("B", "C")] == 0.0

@@ -370,6 +370,8 @@ PLAN_SMELL_WHITELIST = {
     "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
     "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
     "q14_promo_share": {"SINGLE_PART"},         # global 1-row aggregate
+    "dedup_source_overlap_sketch": {"SINGLE_PART"},  # bounded gather:
+                                                # #sources × k longs
 }
 
 
