@@ -1211,6 +1211,11 @@ def text_drop_short_tail(spark, sf_dir):
     return T.drop_short_tail(_lt(spark, sf_dir, "documents"), p=0.10)
 
 
+def ts_cusum_changepoint(spark, sf_dir):
+    return TS.cusum_changepoint(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def dedup_source_overlap_sketch(spark, sf_dir):
     return D.source_overlap_sketch(_lt(spark, sf_dir, "documents"),
                                    k=256, prefix_chars=40)
@@ -1398,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
         "dedup_source_overlap_sketch": dedup_source_overlap_sketch,
+        "ts_cusum_changepoint": ts_cusum_changepoint,
     }
 
 
@@ -3429,6 +3435,50 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate < TIMESTAMP '1996-04-01'
         GROUP BY c.c_custkey, c.c_name, n.n_name
         ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """
+
+    sql["ts_cusum_changepoint"] = f"""
+        WITH long AS ({_LONG}),
+        m AS (
+            SELECT date, code, value,
+                   round(sum(value) OVER (PARTITION BY code), 2)
+                       / count(*) OVER (PARTITION BY code) AS mu,
+                   CAST(count(*) OVER (PARTITION BY code) AS BIGINT) AS n
+            FROM long
+        ),
+        c AS (
+            SELECT *, sum(value - mu) OVER (
+                PARTITION BY code ORDER BY date
+                ROWS UNBOUNDED PRECEDING) AS s
+            FROM m
+        ),
+        pick AS (
+            SELECT code, date AS change_date, abs(s) AS cusum_stat, n,
+                   row_number() OVER (
+                       PARTITION BY code
+                       ORDER BY abs(s) DESC, date ASC) AS rk
+            FROM c
+        )
+        SELECT p.code, p.n, p.change_date, p.cusum_stat,
+               round(sum(CASE WHEN l.date <= p.change_date
+                              THEN l.value END), 2)
+                   / sum(CASE WHEN l.date <= p.change_date THEN 1 END)
+                   AS mean_before,
+               round(sum(CASE WHEN l.date > p.change_date
+                              THEN l.value END), 2)
+                   / sum(CASE WHEN l.date > p.change_date THEN 1 END)
+                   AS mean_after,
+               round(sum(CASE WHEN l.date > p.change_date
+                              THEN l.value END), 2)
+                   / sum(CASE WHEN l.date > p.change_date THEN 1 END)
+               - round(sum(CASE WHEN l.date <= p.change_date
+                               THEN l.value END), 2)
+                   / sum(CASE WHEN l.date <= p.change_date THEN 1 END)
+                   AS level_shift
+        FROM long l JOIN (SELECT * FROM pick WHERE rk = 1) p
+             ON l.code = p.code
+        GROUP BY p.code, p.n, p.change_date, p.cusum_stat
+        ORDER BY p.code
     """
 
     sql["q14_promo_share"] = """

@@ -431,3 +431,55 @@ def ewma(long_df: DataFrame, alpha: float = 0.3,
     out = long_df.select("date", "code", "value") \
         .groupBy("code").applyInPandas(fold, out_schema)
     return out.orderBy("code", "date") if sort else out
+
+
+def cusum_changepoint(long_df: DataFrame, sort: bool = True) -> DataFrame:
+    """Offline CUSUM mean-shift locator per series: cumulative sum of
+    deviations from the series mean, changepoint = the date maximizing
+    |S_t| (the classic single-split CUSUM estimator / first step of
+    binary segmentation), with level means before/after the split.
+
+    Cross-engine determinism is engineered, not assumed: the series
+    mean uses round(sum, 2)/count — the 2-decimal-grid sum is recovered
+    exactly by the round in both engines, and dividing identical
+    doubles is bit-identical — so every deviation, every ORDERED
+    cumulative sum (both engines accumulate in the same date order),
+    and the argmax comparison see the same bits. Ties on |S| resolve
+    to the earliest date.
+
+    One shuffle on the series key; every window is partitioned by
+    code (series length per key, never corpus length)."""
+    wp = Window.partitionBy("code")
+    mu = (F.round(F.sum("value").over(wp), 2)
+          / F.count(F.lit(1)).over(wp))
+    base = long_df.select("date", "code", "value",
+                          mu.alias("_mu"),
+                          F.count(F.lit(1)).over(wp).alias("n"))
+    wc = wp.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    c = base.withColumn("_s", F.sum(F.col("value") - F.col("_mu")).over(wc))
+    pick = (
+        c.withColumn(
+            "_rk",
+            F.row_number().over(wp.orderBy(F.abs("_s").desc(), F.col("date").asc())),
+        )
+        .where(F.col("_rk") == 1)
+        .select("code", F.col("date").alias("change_date"),
+                F.abs("_s").alias("cusum_stat"), "n")
+    )
+    split = long_df.join(pick, "code").groupBy(
+        "code", "change_date", "cusum_stat", "n"
+    ).agg(
+        (F.round(F.sum(F.when(F.col("date") <= F.col("change_date"),
+                              F.col("value"))), 2)
+         / F.sum(F.when(F.col("date") <= F.col("change_date"), 1)))
+        .alias("mean_before"),
+        (F.round(F.sum(F.when(F.col("date") > F.col("change_date"),
+                              F.col("value"))), 2)
+         / F.sum(F.when(F.col("date") > F.col("change_date"), 1)))
+        .alias("mean_after"),
+    )
+    out = split.select("code", "n", "change_date", "cusum_stat",
+                       "mean_before", "mean_after",
+                       (F.col("mean_after") - F.col("mean_before"))
+                       .alias("level_shift"))
+    return out.orderBy("code") if sort else out

@@ -1378,3 +1378,21 @@ def test_source_overlap_sketch_tracks_exact(spark):
     assert abs(est[("A", "B")] - exact[("A", "B")]) < 0.12
     # disjoint pairs estimate exactly zero (no shared hashes at all)
     assert est[("A", "C")] == 0.0 and est[("B", "C")] == 0.0
+
+
+def test_cusum_changepoint_locates_level_shift(spark):
+    # series A: level 10 for 5 days then level 50 for 5 days -> the
+    # |cusum| peak sits on the last low day; B is flat (stat ~ 0)
+    rows = ([(f"2020-01-0{d}", "A", 10.0) for d in range(1, 6)]
+            + [(f"2020-01-1{d}", "A", 50.0) for d in range(0, 5)]
+            + [(f"2020-01-0{d}", "B", 7.0) for d in range(1, 5)])
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = {r["code"]: r for r in TS.cusum_changepoint(df).collect()}
+    a = out["A"]
+    assert a["change_date"].day == 5          # last day of the low level
+    assert a["mean_before"] == 10.0 and a["mean_after"] == 50.0
+    assert a["level_shift"] == 40.0
+    assert a["cusum_stat"] == 100.0           # 5 * |10 - 30|
+    assert out["B"]["level_shift"] == 0.0 and out["B"]["cusum_stat"] == 0.0
