@@ -1211,6 +1211,26 @@ def text_drop_short_tail(spark, sf_dir):
     return T.drop_short_tail(_lt(spark, sf_dir, "documents"), p=0.10)
 
 
+def ev_skew_profile(spark, sf_dir):
+    from pyperustats_spark.operators import skew as SK
+    return SK.key_skew_profile(_lt(spark, sf_dir, "events"),
+                               "user_id", k=10)
+
+
+def ev_burst_profile(spark, sf_dir):
+    return E.burst_profile(_lt(spark, sf_dir, "events"),
+                           window_seconds=3600, burst_threshold=5)
+
+
+def text_token_budget_sample(spark, sf_dir):
+    return T.token_budget_sample(_lt(spark, sf_dir, "documents"),
+                                 budget=700)
+
+
+def text_quality_by_source(spark, sf_dir):
+    return T.quality_by_source(_lt(spark, sf_dir, "documents"), cut=0.75)
+
+
 def ts_cusum_changepoint(spark, sf_dir):
     return TS.cusum_changepoint(
         TS.series_long(_lt(spark, sf_dir, "lineitem")))
@@ -1404,6 +1424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "dedup_source_overlap_sketch": dedup_source_overlap_sketch,
         "ts_cusum_changepoint": ts_cusum_changepoint,
+        "ev_skew_profile": ev_skew_profile,
+        "ev_burst_profile": ev_burst_profile,
+        "text_token_budget_sample": text_token_budget_sample,
+        "text_quality_by_source": text_quality_by_source,
     }
 
 
@@ -3479,6 +3503,80 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["ev_skew_profile"] = """
+        WITH c AS (
+            SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT c.key, c.n, c.n / t.total AS share
+        FROM c, t ORDER BY c.n DESC, c.key ASC LIMIT 10
+    """
+
+    sql["ev_burst_profile"] = """
+        WITH w AS (
+            SELECT user_id, count(*) OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS in_w
+            FROM events
+        )
+        SELECT user_id, CAST(max(in_w) AS BIGINT) AS max_burst,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(in_w) >= 5 AS is_burst
+        FROM w GROUP BY user_id ORDER BY user_id
+    """
+
+    sql["text_token_budget_sample"] = f"""
+        WITH b AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                   md5('budget:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM b
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 700 ORDER BY doc_id
+    """
+
+    sql["text_quality_by_source"] = f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE)
+                             / len({_TOKENS})
+                        ELSE 0.0 END AS mean_word_len,
+                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST({_sw_hits("en")} AS DOUBLE) / len({_TOKENS})
+                        ELSE 0.0 END AS stopword_density
+            FROM documents
+        ),
+        s AS (
+            SELECT d.source,
+                   (CASE WHEN f.n_tokens >= 10 AND f.n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN f.mean_word_len >= 2.0 AND f.mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN f.punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN f.stopword_density >= 0.02 THEN 0.25 ELSE 0.0 END) AS score
+            FROM feat f JOIN documents d ON f.doc_id = d.doc_id
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               sum(score) / count(*) AS mean_score,
+               CAST(sum(CASE WHEN score < 0.75 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN score < 0.75 THEN 1 ELSE 0 END)
+                    AS BIGINT) / CAST(count(*) AS BIGINT) AS low_share
+        FROM s GROUP BY source ORDER BY source
     """
 
     sql["q14_promo_share"] = """

@@ -237,3 +237,31 @@ def event_transitions(events: DataFrame, sort: bool = True) -> DataFrame:
     share = F.col("n") / F.sum("n").over(Window.partitionBy("prev_type"))
     out = counts.withColumn("share", share)
     return out.orderBy("prev_type", "next_type") if sort else out
+
+
+def burst_profile(events: DataFrame, window_seconds: int = 3600,
+                  burst_threshold: int = 5,
+                  sort: bool = True) -> DataFrame:
+    """Bot/burst diagnostic per user: the maximum number of events the
+    user fired inside any trailing *window_seconds* window, and a flag
+    at *burst_threshold* — the standard rate-limit / automation signal
+    on an event stream.
+
+    The range-frame count is partitioned by user (per-user rows only,
+    linear per partition after ONE user-key shuffle) and every value
+    is an integer — deterministic cross-engine, no float rounding
+    anywhere."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    per_event = events.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("_in_window"))
+    out = (
+        per_event.groupBy("user_id")
+        .agg(F.max("_in_window").alias("max_burst"),
+             F.count(F.lit(1)).alias("n_events"))
+        .withColumn("is_burst", F.col("max_burst") >= burst_threshold)
+    )
+    return out.orderBy("user_id") if sort else out

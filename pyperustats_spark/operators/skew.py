@@ -72,3 +72,23 @@ def salted_distinct_count(
         .agg(F.sum("_part").alias("n_distinct"))
         .orderBy(group_col)
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 10,
+                     sort: bool = True) -> DataFrame:
+    """Heavy-hitter diagnostic: the k heaviest values of *key_col*
+    with row count and share of the table — the pre-flight check that
+    decides whether a join/aggregate on this key needs salting or can
+    rely on AQE's skew splitter.
+
+    One partial-aggregated count shuffle; top-k via orderBy+limit
+    (TakeOrderedAndProject — never a global sort); the 1-row grand
+    total joins back broadcast (audited q_market_share pattern). The
+    share is a RAW int/int quotient — bit-identical cross-engine."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(k)
+    out = top.join(F.broadcast(total)).select(
+        "key", "n", (F.col("n") / F.col("_total")).alias("share"))
+    return out.orderBy(F.desc("n"), F.asc("key")) if sort else out

@@ -810,3 +810,62 @@ def drop_short_tail(documents: DataFrame, p: float = 0.10,
         .drop("_rk", "_n")
     )
     return out.orderBy("doc_id") if sort else out
+
+
+def token_budget_sample(documents: DataFrame, budget: int = 2000,
+                        salt: str = "budget",
+                        sort: bool = True) -> DataFrame:
+    """Per-source token-budget sampling: walk each source's documents
+    in salted-md5 order (uniform, reproducible, append-stable) and
+    keep documents while the source's cumulative token count stays
+    within *budget* — how a mixture recipe expressed in TOKENS (the
+    unit training actually consumes) gets materialized, where
+    fraction-based sampling (:func:`sample_source_mix`) would over- or
+    under-shoot on sources with skewed document lengths.
+
+    One shuffle on source; the running sum is a per-source ordered
+    window over integers — deterministic cross-engine, linear per
+    partition. The first document that would cross the budget is
+    EXCLUDED (strict ≤ budget semantics)."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")))
+    base = documents.select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    w = (Window.partitionBy("source").orderBy("_h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget)
+        .drop("_h")
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def quality_by_source(documents: DataFrame, cut: float = 0.75,
+                      sort: bool = True) -> DataFrame:
+    """Per-source quality data-card: document count, mean composite
+    quality score, and the count/share of documents under the *cut* —
+    the rollup that decides which sources need cleaning before a
+    release.
+
+    The composite score is a sum of 0.25 steps (exact dyadic doubles:
+    sums are order-independent and bit-identical in any engine), so
+    mean = raw sum/count needs no rounding; the low share is a raw
+    int/int quotient. One AQE-decided join (score frame back to its
+    source label) + one rollup shuffle."""
+    scored = quality_score(documents, sort=False).select(
+        "doc_id", "quality_score")
+    j = documents.select("doc_id", "source").join(scored, "doc_id")
+    out = (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("quality_score") / F.count(F.lit(1))).alias("mean_score"),
+            F.sum((F.col("quality_score") < cut).cast("bigint"))
+            .alias("n_below"),
+        )
+        .withColumn("low_share", F.col("n_below") / F.col("n_docs"))
+    )
+    return out.orderBy("source") if sort else out

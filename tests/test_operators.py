@@ -1396,3 +1396,52 @@ def test_cusum_changepoint_locates_level_shift(spark):
     assert a["level_shift"] == 40.0
     assert a["cusum_stat"] == 100.0           # 5 * |10 - 30|
     assert out["B"]["level_shift"] == 0.0 and out["B"]["cusum_stat"] == 0.0
+
+
+def test_key_skew_profile_orders_heavy_hitters(spark):
+    from pyperustats_spark.operators import skew as SK
+    rows = [(i, "hot") for i in range(8)] + [(100, "warm"), (101, "warm"),
+                                             (102, "cold")]
+    df = spark.createDataFrame(rows, "event_id bigint, k string")
+    out = SK.key_skew_profile(df, "k", k=2).collect()
+    assert [(r["key"], r["n"]) for r in out] == [("hot", 8), ("warm", 2)]
+    assert out[0]["share"] == 8 / 11
+
+
+def test_burst_profile_counts_trailing_window(spark):
+    rows = [
+        (1, "2020-01-01 00:00:00", 1), (2, "2020-01-01 00:00:30", 1),
+        (3, "2020-01-01 00:00:50", 1),           # 3 events inside 60s
+        (4, "2020-01-01 02:00:00", 1),           # isolated
+        (5, "2020-01-01 00:00:00", 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r for r in
+           E.burst_profile(ev, window_seconds=60, burst_threshold=3).collect()}
+    assert out[1]["max_burst"] == 3 and out[1]["is_burst"]
+    assert out[2]["max_burst"] == 1 and not out[2]["is_burst"]
+
+
+def test_token_budget_sample_strict_budget(spark):
+    from pyperustats_spark.operators import textops as T
+    docs = spark.createDataFrame(
+        [(i, "one two three four five", "A") for i in range(10)],
+        "doc_id bigint, text string, source string")  # 5 tokens each
+    out = T.token_budget_sample(docs, budget=12).collect()
+    # 5-token docs: cumulative 5, 10, 15 -> exactly two fit in 12
+    assert len(out) == 2
+    assert all(r["cum_tokens"] <= 12 for r in out)
+
+
+def test_quality_by_source_rollup(spark):
+    from pyperustats_spark.operators import textops as T
+    good = "the cat sat on the mat and then the dog sat too"  # >=10 toks
+    docs = spark.createDataFrame(
+        [(1, good, "A"), (2, good, "A"), (3, "x", "A"), (4, "y", "B")],
+        "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in T.quality_by_source(docs).collect()}
+    assert out["A"]["n_docs"] == 3 and out["A"]["n_below"] == 1
+    assert out["A"]["low_share"] == 1 / 3
+    assert out["B"]["n_below"] == 1 and out["B"]["low_share"] == 1.0

@@ -92,6 +92,7 @@ BROADCAST_HINT_WHITELIST = {
     "text_bigram_logprob",        # 1-row vocab-size aggregate
     "q7_nation_volume",           # nation (25 rows), pre-filtered pair
     "q10_returned_items",         # nation (25 rows)
+    "ev_skew_profile",            # 1-row grand total
 }
 
 
