@@ -373,6 +373,8 @@ PLAN_SMELL_WHITELIST = {
     "q14_promo_share": {"SINGLE_PART"},         # global 1-row aggregate
     "dedup_source_overlap_sketch": {"SINGLE_PART"},  # bounded gather:
                                                 # #sources × k longs
+    "ev_skew_profile": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
+                                                # (q_market_share class)
 }
 
 
