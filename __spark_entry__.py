@@ -1231,6 +1231,27 @@ def text_quality_by_source(spark, sf_dir):
     return T.quality_by_source(_lt(spark, sf_dir, "documents"), cut=0.75)
 
 
+def ev_session_stats(spark, sf_dir):
+    # mean_duration_s is a derived double off exact integer micros —
+    # identical bits cross-engine, ships RAW (never round derived)
+    return E.session_stats(_lt(spark, sf_dir, "events"))
+
+
+def ev_attribution(spark, sf_dir):
+    return E.last_touch_attribution(_lt(spark, sf_dir, "events"))
+
+
+def ts_trend_ma(spark, sf_dir):
+    # only `value` is engine-rounded (its groupBy-sum bits differ and
+    # round-4 recovers the grid); trend/detrended are derived from
+    # grid-recovered inputs — identical bits — and ship RAW per the
+    # never-round-derived-doubles rule
+    return _round(
+        TS.trend_ma(TS.series_long(_lt(spark, sf_dir, "lineitem"))),
+        {"value": 4},
+    )
+
+
 def ts_cusum_changepoint(spark, sf_dir):
     return TS.cusum_changepoint(
         TS.series_long(_lt(spark, sf_dir, "lineitem")))
@@ -1428,6 +1449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_burst_profile": ev_burst_profile,
         "text_token_budget_sample": text_token_budget_sample,
         "text_quality_by_source": text_quality_by_source,
+        "ev_session_stats": ev_session_stats,
+        "ev_attribution": ev_attribution,
+        "ts_trend_ma": ts_trend_ma,
     }
 
 
@@ -3503,6 +3527,63 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["ev_session_stats"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        ),
+        per AS (
+            SELECT user_id, session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   date_diff('microsecond', min(ts), max(ts)) AS dur_us
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(dur_us) AS BIGINT) / CAST(count(*) AS BIGINT)
+                   / 1000000.0 AS mean_duration_s
+        FROM per GROUP BY n_events ORDER BY n_events
+    """
+
+    sql["ev_attribution"] = """
+        WITH t AS (
+            SELECT event_id, user_id, ts, event_type,
+                   max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS touch_ts
+            FROM events
+        )
+        SELECT event_id, user_id, ts AS conv_ts, touch_ts,
+               touch_ts IS NOT NULL
+               AND date_diff('microsecond', touch_ts, ts) <= 86400000000
+                   AS attributed
+        FROM t WHERE event_type = 'purchase' ORDER BY event_id
+    """
+
+    sql["ts_trend_ma"] = f"""
+        WITH long AS ({_LONG})
+        SELECT date, code, round(value, 4) AS value,
+               round(sum(value) OVER w13, 2)
+                   / count(*) OVER w13 AS trend,
+               round(value, 2)
+               - round(sum(value) OVER w13, 2) / count(*) OVER w13
+                   AS detrended
+        FROM long
+        WINDOW w13 AS (PARTITION BY code ORDER BY date
+                       ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        ORDER BY date, code
     """
 
     sql["ev_skew_profile"] = """

@@ -43,7 +43,8 @@ def tumbling_window(events: DataFrame, hours: int = 24) -> DataFrame:
 
 
 def sessionize(
-    events: DataFrame, gap_minutes: int = 30, tiebreak: str = "event_id"
+    events: DataFrame, gap_minutes: int = 30, tiebreak: str = "event_id",
+    sort: bool = True,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is idle
     longer than *gap_minutes*. lag + conditional cumsum over a per-user
@@ -73,7 +74,7 @@ def sessionize(
         1,
     ).otherwise(0)
     with_sess = events.withColumn("session_seq", F.sum(new_sess).over(w_cum))
-    return (
+    out = (
         with_sess.groupBy("user_id", "session_seq")
         .agg(
             F.min("ts").alias("session_start"),
@@ -81,8 +82,8 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
         )
-        .orderBy("user_id", "session_seq")
     )
+    return out.orderBy("user_id", "session_seq") if sort else out
 
 
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
@@ -265,3 +266,63 @@ def burst_profile(events: DataFrame, window_seconds: int = 3600,
         .withColumn("is_burst", F.col("max_burst") >= burst_threshold)
     )
     return out.orderBy("user_id") if sort else out
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30,
+                  sort: bool = True) -> DataFrame:
+    """Session-size distribution over the whole stream: for every
+    session size (events per session) the number of sessions and the
+    mean session duration — the engagement histogram product analytics
+    reads off a sessionized stream.
+
+    Composes :func:`sessionize` with ``sort=False`` (the mid-pipeline
+    presentation sort would be destroyed by the rollup shuffle
+    anyway). Durations aggregate as exact integer microseconds; the
+    mean divides the exact sum by the count and scales by a constant —
+    identical IEEE steps in the oracle."""
+    s = sessionize(events, gap_minutes=gap_minutes, sort=False)
+    dur_us = (F.unix_micros(F.col("session_end"))
+              - F.unix_micros(F.col("session_start")))
+    out = (
+        s.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            (F.sum(dur_us) / F.count(F.lit(1)) / F.lit(1e6))
+            .alias("mean_duration_s"),
+        )
+    )
+    return out.orderBy("n_events") if sort else out
+
+
+def last_touch_attribution(events: DataFrame,
+                           conv_type: str = "purchase",
+                           touch_type: str = "view",
+                           window_minutes: int = 1440,
+                           sort: bool = True) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent *touch_type* event by the same user STRICTLY before it, and
+    whether that touch falls inside the attribution window.
+
+    The carry is a conditional running max over a per-user ordered
+    window (frame ends at 1 PRECEDING, so a same-timestamp touch
+    ordered after the conversion cannot claim it) — one user-key
+    shuffle, linear per partition, integer microsecond comparisons
+    only."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_touch = F.max(
+        F.when(F.col("event_type") == touch_type, F.col("ts"))).over(w)
+    out = (
+        events.select("event_id", "user_id", "ts", "event_type",
+                      last_touch.alias("touch_ts"))
+        .where(F.col("event_type") == conv_type)
+        .select(
+            "event_id", "user_id", F.col("ts").alias("conv_ts"), "touch_ts",
+            (
+                F.col("touch_ts").isNotNull()
+                & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))
+                   <= window_minutes * 60_000_000)
+            ).alias("attributed"),
+        )
+    )
+    return out.orderBy("event_id") if sort else out

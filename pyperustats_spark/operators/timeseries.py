@@ -483,3 +483,29 @@ def cusum_changepoint(long_df: DataFrame, sort: bool = True) -> DataFrame:
                        (F.col("mean_after") - F.col("mean_before"))
                        .alias("level_shift"))
     return out.orderBy("code") if sort else out
+
+
+def trend_ma(long_df: DataFrame, half_window: int = 6,
+             sort: bool = True) -> DataFrame:
+    """Centered moving-average trend per series + the additive
+    detrended residual — the trend half of a classical decomposition
+    (pair with :func:`seasonal_index` for the seasonal half).
+
+    The trend uses the grid-recovery recipe (round(sum, 2)/count —
+    the frame sum of 2-decimal-grid values is recovered exactly by
+    the round in both engines regardless of accumulation order, see
+    moving_avg), so the residual subtraction sees identical bits.
+    One series-key shuffle; the centered ROWS frame is linear per
+    partition."""
+    w = (Window.partitionBy("code").orderBy("date")
+         .rowsBetween(-half_window, half_window))
+    trend = F.round(F.sum("value").over(w), 2) / F.count(F.lit(1)).over(w)
+    out = (
+        long_df.select("date", "code", "value")
+        .withColumn("trend", trend)
+        # detrend from the grid-RECOVERED value (round-2), not the raw
+        # groupBy sum: the raw sum's accumulation-order ulps would land
+        # the residual arbitrarily close to round-4 midpoints
+        .withColumn("detrended", F.round(F.col("value"), 2) - F.col("trend"))
+    )
+    return out.orderBy("date", "code") if sort else out

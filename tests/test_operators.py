@@ -1445,3 +1445,44 @@ def test_quality_by_source_rollup(spark):
     assert out["A"]["n_docs"] == 3 and out["A"]["n_below"] == 1
     assert out["A"]["low_share"] == 1 / 3
     assert out["B"]["n_below"] == 1 and out["B"]["low_share"] == 1.0
+
+
+def test_session_stats_histogram(spark):
+    rows = [
+        (1, "2020-01-01 00:00:00", 1, 1.0), (2, "2020-01-01 00:10:00", 1, 1.0),
+        (3, "2020-01-01 05:00:00", 1, 1.0),   # second session, singleton
+        (4, "2020-01-01 00:00:00", 2, 1.0),   # singleton
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["n_events"]: r for r in E.session_stats(ev).collect()}
+    assert out[1]["n_sessions"] == 2 and out[1]["mean_duration_s"] == 0.0
+    assert out[2]["n_sessions"] == 1 and out[2]["mean_duration_s"] == 600.0
+
+
+def test_last_touch_attribution_window_and_order(spark):
+    rows = [
+        (1, "2020-01-01 00:00:00", 1, "view"),
+        (2, "2020-01-01 00:30:00", 1, "purchase"),   # attributed to 00:00
+        (3, "2020-01-05 00:00:00", 1, "purchase"),   # view too old (1d win)
+        (4, "2020-01-01 00:00:00", 2, "purchase"),   # no view at all
+        (5, "2020-01-01 01:00:00", 2, "view"),       # after the purchase
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r for r in
+           E.last_touch_attribution(ev, window_minutes=1440).collect()}
+    assert out[2]["attributed"] and out[2]["touch_ts"].hour == 0
+    assert not out[3]["attributed"] and out[3]["touch_ts"] is not None
+    assert not out[4]["attributed"] and out[4]["touch_ts"] is None
+
+
+def test_trend_ma_flat_series_zero_residual(spark):
+    rows = [(f"2020-01-{d:02d}", "A", 5.0) for d in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = TS.trend_ma(df, half_window=2).collect()
+    assert all(r["trend"] == 5.0 and r["detrended"] == 0.0 for r in out)
