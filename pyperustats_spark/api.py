@@ -305,6 +305,54 @@ class DocumentPipeline:
                                      sort=False)
         return self
 
+    def dedup_against(self, corpus: DataFrame,
+                      prefix_chars: int | None = None) -> "DocumentPipeline":
+        """Incremental-release step: drop documents whose content key
+        already exists in *corpus* (the previously-released snapshot)
+        or is a within-batch duplicate
+        (:func:`~pyperustats_spark.operators.dedup.dedup_incremental`).
+        Only 16-byte keys shuffle; the corpus is never re-deduped."""
+        self._require_document_grain("dedup_against")
+        keep = _dedup.dedup_incremental(
+            self._df, corpus, prefix_chars=prefix_chars,
+            sort=False).select("doc_id")
+        self._df = self._df.join(keep, "doc_id", "left_semi")
+        return self
+
+    def split(self, val_pct: int = 10,
+              prefix_chars: int | None = None,
+              salt: str = "split") -> "DocumentPipeline":
+        """Leakage-safe train/val assignment: every member of a
+        content-key group inherits the group representative's
+        hash-cut split, so near-dups never straddle the boundary
+        (:func:`~pyperustats_spark.operators.dedup.split_leakage_safe`).
+        Adds a ``split`` column."""
+        self._require_document_grain("split")
+        assigned = _dedup.split_leakage_safe(
+            self._df, val_pct=val_pct, prefix_chars=prefix_chars,
+            salt=salt, sort=False).select("doc_id", "split")
+        self._df = self._df.join(assigned, "doc_id")
+        return self
+
+    def token_budget(self, budget: int,
+                     salt: str = "budget") -> "DocumentPipeline":
+        """Materialize a per-source token budget: keep documents along
+        the salted-hash walk while each source's cumulative token
+        count stays within *budget*
+        (:func:`~pyperustats_spark.operators.textops.token_budget_sample`)."""
+        self._require_document_grain("token_budget")
+        keep = _textops.token_budget_sample(
+            self._df, budget=budget, salt=salt, sort=False).select("doc_id")
+        self._df = self._df.join(keep, "doc_id", "left_semi")
+        return self
+
+    def quality_report(self, cut: float = 0.75) -> DataFrame:
+        """Per-source quality data-card for the CURRENT pipeline state
+        (:func:`~pyperustats_spark.operators.textops.quality_by_source`)
+        — a diagnostic side output, does not advance the chain."""
+        self._require_document_grain("quality_report")
+        return _textops.quality_by_source(self._df, cut=cut, sort=False)
+
     def run_stage(self, tracker, stage: str, transform=None,
                   max_pending_items: int = 100_000) -> "DocumentPipeline":
         """Resume-aware stage execution (INEIFetcher tri-state chaining,

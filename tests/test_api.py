@@ -255,3 +255,40 @@ def test_document_pipeline_pretraining_hygiene_chain(spark, tables):
     import pytest as _pt
     with _pt.raises(RuntimeError):
         DocumentPipeline(spark, docs).chunk().strip_boilerplate()
+
+
+def test_document_pipeline_release_cycle_chain(spark, tables):
+    """The recurring-release flow: dedup a new batch against the
+    released corpus, assign leakage-safe splits, enforce a per-source
+    token budget, and read the quality data-card — one lazy plan per
+    chain output."""
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    p = (
+        DocumentPipeline(spark, batch)
+        .dedup_against(corpus, prefix_chars=40)
+        .split(val_pct=20, prefix_chars=40)
+        .token_budget(400)
+    )
+    out = p.df
+    rows = out.collect()
+    assert rows and set(out.columns) >= {"doc_id", "text", "source", "split"}
+    # survivors are new relative to the corpus at the same content key
+    from pyperustats_spark.operators.dedup import content_key
+    corpus_keys = {r[0] for r in
+                   corpus.select(content_key(40)).distinct().collect()}
+    batch_keys = {r[0] for r in
+                  spark.createDataFrame([(x["text"],) for x in rows],
+                                        "text string")
+                  .select(content_key(40)).collect()}
+    assert not (batch_keys & corpus_keys)
+    assert {r["split"] for r in rows} <= {"train", "val"}
+
+    card = p.quality_report(cut=0.75)
+    assert {"source", "n_docs", "mean_score", "n_below",
+            "low_share"} <= set(card.columns)
+    assert card.count() > 0
+    # pipeline frame unchanged by the diagnostic side output
+    assert p.df.count() == len(rows)
