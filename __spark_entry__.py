@@ -1231,6 +1231,20 @@ def text_quality_by_source(spark, sf_dir):
     return T.quality_by_source(_lt(spark, sf_dir, "documents"), cut=0.75)
 
 
+def q19_disjunctive_revenue(spark, sf_dir):
+    return R.disjunctive_promo_revenue(_lt(spark, sf_dir, "lineitem"),
+                                       _lt(spark, sf_dir, "part"))
+
+
+def catalog_fuzzy_search(spark, sf_dir):
+    return R.catalog_fuzzy_search(_lt(spark, sf_dir, "part"),
+                                  "smal widget", max_dist=4, k=15)
+
+
+def embedding_norm_profile(spark, sf_dir):
+    return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
+
+
 def ev_session_stats(spark, sf_dir):
     # mean_duration_s is a derived double off exact integer micros —
     # identical bits cross-engine, ships RAW (never round derived)
@@ -1452,6 +1466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_session_stats": ev_session_stats,
         "ev_attribution": ev_attribution,
         "ts_trend_ma": ts_trend_ma,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "catalog_fuzzy_search": catalog_fuzzy_search,
+        "embedding_norm_profile": embedding_norm_profile,
     }
 
 
@@ -3527,6 +3544,43 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["q19_disjunctive_revenue"] = """
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          AND ((p.p_type = 'PROMO' AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_type = 'ECONOMY' AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_type = 'SMALL' AND l.l_quantity BETWEEN 20 AND 40))
+    """
+
+    sql["catalog_fuzzy_search"] = """
+        WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part)
+        SELECT name,
+               CAST(levenshtein(name, 'smal widget') AS INT) AS distance
+        FROM names
+        WHERE levenshtein(name, 'smal widget') <= 4
+        ORDER BY distance, name LIMIT 15
+    """
+
+    sql["embedding_norm_profile"] = """
+        WITH n AS (
+            SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+                   sqrt(list_reduce(
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)) AS norm
+            FROM embeddings
+        )
+        SELECT vec_id, dim, norm,
+               norm < 1e-12 AS is_zero,
+               NOT isnan(norm) AND norm != CAST('inf' AS DOUBLE)
+                   AS is_finite
+        FROM n ORDER BY vec_id
     """
 
     sql["ev_session_stats"] = """

@@ -1110,3 +1110,57 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame,
         F.try_divide(F.col("promo_revenue"), F.col("total_revenue"))
         .alias("promo_share"),
     )
+
+
+def disjunctive_promo_revenue(lineitem: DataFrame, part: DataFrame,
+                              date_from: str = "1996-01-01",
+                              date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: one row summing
+    revenue over three (part type × quantity band) OR-branches — the
+    canonical multi-branch predicate shape. Expressed as ONE join +
+    one OR filter so Catalyst keeps a single scan of each side and
+    pushes the common l_shipdate range down to the parquet reader
+    (three separate filtered joins would scan lineitem three times).
+    Audited 1-row global aggregate; grid-4 revenue recipe."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    j = li.join(part.select("p_partkey", "p_type"),
+                F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        ((F.col("p_type") == "PROMO")
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_type") == "ECONOMY")
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_type") == "SMALL")
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def catalog_fuzzy_search(part: DataFrame, query: str,
+                         max_dist: int = 3, k: int = 15) -> DataFrame:
+    """Typo-tolerant catalogue search: part names within *max_dist*
+    edit distance of the query, nearest (then name) first, top-k.
+
+    The reference's catalogue search is exact-substring
+    (metadata.search); users hit it with typos constantly — this is
+    the Levenshtein companion. DISTINCT names first (the distance
+    runs once per distinct name, not per row — at catalogue scale
+    names repeat heavily), then TakeOrderedAndProject for the top-k:
+    integer distances, no float anywhere."""
+    q = query.lower()
+    names = part.select(F.lower(F.col("p_name")).alias("name")).distinct()
+    out = (
+        names.select("name", F.levenshtein(F.col("name"), F.lit(q))
+                     .alias("distance"))
+        .where(F.col("distance") <= max_dist)
+        .orderBy("distance", "name")
+        .limit(k)
+    )
+    return out

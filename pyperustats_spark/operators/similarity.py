@@ -459,3 +459,40 @@ def dequantize_embeddings_int8(df: DataFrame,
         F.transform(F.col(q_col),
                     lambda q: (q.cast("double") * F.col(scale_col)).cast("float")),
     )
+
+
+def norm_profile(embeddings: DataFrame, eps: float = 1e-12,
+                 sort: bool = True) -> DataFrame:
+    """Per-vector norm diagnostics: L2 norm, dimension, and degenerate
+    flags (zero/non-finite vectors) — the pre-flight scan before any
+    cosine-based pipeline stage, since degenerate vectors are exactly
+    what breaks similarity math downstream (see the knn finite-score
+    bound).
+
+    Narrow, zero-shuffle, whole-stage-codegen plan: one ordered
+    fold per row (both engines fold the array sequentially, and
+    IEEE sqrt is correctly rounded — identical bits; the norm ships
+    RAW per the derived-doubles rule)."""
+    from pyperustats_spark.functions.text import let
+
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+
+    # let-bind the O(dim) fold: the projection reads the norm four
+    # times and CollapseProject would re-evaluate it per reference
+    def profile(n):
+        return F.struct(
+            n.alias("norm"),
+            (n < eps).alias("is_zero"),
+            (~F.isnan(n) & (n != F.lit(float("inf")))).alias("is_finite"),
+        )
+
+    out = embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        let(F.sqrt(sq), profile).alias("p"),
+    ).select("vec_id", "dim", "p.norm", "p.is_zero", "p.is_finite")
+    return out.orderBy("vec_id") if sort else out

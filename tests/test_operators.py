@@ -1486,3 +1486,41 @@ def test_trend_ma_flat_series_zero_residual(spark):
     ).withColumn("date", F.col("date").cast("timestamp"))
     out = TS.trend_ma(df, half_window=2).collect()
     assert all(r["trend"] == 5.0 and r["detrended"] == 0.0 for r in out)
+
+
+def test_disjunctive_revenue_branch_semantics(spark):
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "ECONOMY"), (3, "LARGE")],
+        "p_partkey long, p_type string")
+    li = spark.createDataFrame(
+        [(1, 5.0, "1996-02-01", 100.0, 0.0),    # PROMO in band
+         (1, 25.0, "1996-02-01", 100.0, 0.0),   # PROMO out of band
+         (2, 15.0, "1996-02-01", 200.0, 0.5),   # ECONOMY in band
+         (3, 5.0, "1996-02-01", 999.0, 0.0),    # type matches no branch
+         (1, 5.0, "1999-01-01", 999.0, 0.0)],   # outside window
+        "l_partkey long, l_quantity double, l_shipdate string, "
+        "l_extendedprice double, l_discount double"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    r = R.disjunctive_promo_revenue(li, part).collect()[0]
+    assert r["n_lines"] == 2 and r["revenue"] == 200.0
+
+
+def test_catalog_fuzzy_search_orders_by_distance(spark):
+    part = spark.createDataFrame(
+        [(1, "Small Widget"), (2, "small widget"), (3, "large bolt")],
+        "p_partkey long, p_name string")
+    out = R.catalog_fuzzy_search(part, "smal widget", max_dist=2).collect()
+    # case-folded DISTINCT collapses 1 and 2; bolt is > 2 edits away
+    assert [(r["name"], r["distance"]) for r in out] == [("small widget", 1)]
+
+
+def test_norm_profile_flags_degenerate_vectors(spark):
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [float("nan"), 1.0])],
+        "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           __import__("pyperustats_spark.operators.similarity",
+                      fromlist=["x"]).norm_profile(emb).collect()}
+    assert out[1]["norm"] == 5.0 and out[1]["is_finite"] and not out[1]["is_zero"]
+    assert out[2]["is_zero"] and out[2]["is_finite"]
+    assert not out[3]["is_finite"]

@@ -375,6 +375,7 @@ PLAN_SMELL_WHITELIST = {
                                                 # #sources × k longs
     "ev_skew_profile": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
                                                 # (q_market_share class)
+    "q19_disjunctive_revenue": {"SINGLE_PART"},  # global 1-row aggregate
 }
 
 
