@@ -348,3 +348,83 @@ def stream_funnel_progress(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTRIBUTION_OUTPUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("conv_ts", T.TimestampType()),
+        T.StructField("touch_ts", T.TimestampType()),
+        T.StructField("attributed", T.BooleanType()),
+    ]
+)
+
+ATTRIBUTION_STATE = T.StructType(
+    [T.StructField("last_touch_us", T.LongType())]
+)
+
+
+def stream_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_type: str = "view",
+    window_minutes: int = 1440,
+) -> DataFrame:
+    """Streaming last-touch attribution: per-user state carries the
+    latest *touch_type* timestamp; every *conv_type* event emits an
+    attribution row the moment its micro-batch is processed — the
+    incremental analog of the batch
+    :func:`~pyperustats_spark.operators.events.last_touch_attribution`
+    window (equal on ordered replay, asserted in pytest).
+
+    State is ONE long per user (microseconds of the last touch), so
+    state size is O(users), independent of event volume. In-batch
+    order is restored by sorting the Arrow batch on (ts, event_id);
+    ACROSS batches a late-arriving touch cannot claim an
+    already-emitted conversion — the same documented streaming trade
+    as the funnel's no-retro-advance rule."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    window_us = window_minutes * 60_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        (last_us,) = state.get if state.exists else (-1,)
+        out = {k: [] for k in
+               ("event_id", "conv_ts_us", "touch_us", "attributed")}
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        for t_us, typ, eid in zip(ts_us, pdf["event_type"].tolist(),
+                                  pdf["event_id"].tolist()):
+            if typ == touch_type:
+                last_us = max(last_us, t_us)
+            elif typ == conv_type:
+                out["event_id"].append(int(eid))
+                out["conv_ts_us"].append(t_us)
+                out["touch_us"].append(last_us)
+                out["attributed"].append(
+                    last_us >= 0 and t_us - last_us <= window_us)
+        state.update((last_us,))
+        if out["event_id"]:
+            yield pd.DataFrame(
+                {
+                    "event_id": out["event_id"],
+                    "user_id": [user_id] * len(out["event_id"]),
+                    "conv_ts": [pd.Timestamp(u, unit="us")
+                                for u in out["conv_ts_us"]],
+                    "touch_ts": [pd.Timestamp(u, unit="us") if u >= 0
+                                 else pd.NaT for u in out["touch_us"]],
+                    "attributed": out["attributed"],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ATTRIBUTION_OUTPUT,
+        stateStructType=ATTRIBUTION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -303,3 +303,48 @@ def test_stream_funnel_late_event_cannot_retro_advance(spark, tmp_path):
         "funnel_late_out", str(tmp_path / "ckpt_late"),
         output_mode="append")
     assert max(r["step_idx"] for r in out.collect()) == 1
+
+
+def test_stream_attribution_matches_batch_on_ordered_replay(
+        spark, tables, events_dir_ts_ordered, tmp_path):
+    from pyperustats_spark.operators import events as BEV
+    stream = SEV.read_events_stream(
+        spark, events_dir_ts_ordered + "/chunk=*", max_files_per_trigger=1)
+    out = SEV.run_to_memory(
+        SEV.stream_attribution(stream),
+        "attr_out", str(tmp_path / "ckpt_attr"), output_mode="append")
+    streamed = {r["event_id"]: r for r in out.collect()}
+    batch = {r["event_id"]: r for r in
+             BEV.last_touch_attribution(tables["events"]).collect()}
+    assert set(streamed) == set(batch)
+    for eid, b in batch.items():
+        s = streamed[eid]
+        assert s["attributed"] == b["attributed"], eid
+        assert s["touch_ts"] == b["touch_ts"], eid
+
+
+def test_stream_attribution_late_touch_cannot_retro_claim(spark, tmp_path):
+    import os
+    d = str(tmp_path / "src")
+    # batch 1: purchase with no prior view -> unattributed, emitted
+    # batch 2: a LATE view arrives before the purchase in event time —
+    # the already-emitted conversion is not re-claimed (documented)
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 1, "purchase", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(2, "2024-01-01 10:00:00", 1, "view", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(os.path.join(d, "f=0"))
+    b2.coalesce(1).write.parquet(os.path.join(d, "f=1"))
+    stream = SEV.read_events_stream(spark, d + "/f=*",
+                                    max_files_per_trigger=1)
+    out = SEV.run_to_memory(
+        SEV.stream_attribution(stream),
+        "attr_late_out", str(tmp_path / "ckpt_attr_late"),
+        output_mode="append")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert not rows[0]["attributed"] and rows[0]["touch_ts"] is None
