@@ -1245,6 +1245,15 @@ def embedding_norm_profile(spark, sf_dir):
     return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
 
 
+def dedup_impact_report(spark, sf_dir):
+    return D.dedup_impact_report(_lt(spark, sf_dir, "documents"),
+                                 prefix_chars=40)
+
+
+def ev_active_users(spark, sf_dir):
+    return E.active_users(_lt(spark, sf_dir, "events"), window_days=7)
+
+
 def ev_session_stats(spark, sf_dir):
     # mean_duration_s is a derived double off exact integer micros —
     # identical bits cross-engine, ships RAW (never round derived)
@@ -1466,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "catalog_fuzzy_search": catalog_fuzzy_search,
         "embedding_norm_profile": embedding_norm_profile,
+        "dedup_impact_report": dedup_impact_report,
+        "ev_active_users": ev_active_users,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3581,6 +3592,54 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["dedup_impact_report"] = f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars, {_HFP} AS fp FROM documents
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY fp),
+        surv AS (
+            SELECT k.* FROM keyed k JOIN keep ON k.doc_id = keep.doc_id
+        ),
+        b AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs_before,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars_before
+            FROM keyed GROUP BY source
+        ),
+        a AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs_after,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars_after
+            FROM surv GROUP BY source
+        )
+        SELECT b.source, b.n_docs_before,
+               COALESCE(a.n_docs_after, 0) AS n_docs_after,
+               b.n_chars_before,
+               COALESCE(a.n_chars_after, 0) AS n_chars_after,
+               (b.n_docs_before - COALESCE(a.n_docs_after, 0))
+                   / b.n_docs_before AS docs_removed_share
+        FROM b LEFT JOIN a ON b.source = a.source
+        ORDER BY b.source
+    """
+
+    sql["ev_active_users"] = """
+        WITH days AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM days GROUP BY day
+        ),
+        span AS (
+            SELECT DISTINCT user_id, day + to_days(CAST(x AS INT)) AS day
+            FROM days, range(0, 7) r(x)
+        ),
+        wau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS wau
+            FROM span GROUP BY day
+        )
+        SELECT d.day, d.dau, w.wau, d.dau / w.wau AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day ORDER BY d.day
     """
 
     sql["q19_disjunctive_revenue"] = """

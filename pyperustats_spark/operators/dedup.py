@@ -820,3 +820,42 @@ def source_overlap_sketch(documents: DataFrame, k: int = 256,
         .select("p.source_a", "p.source_b", "p.est_jaccard")
     )
     return out.orderBy("source_a", "source_b") if sort else out
+
+
+def dedup_impact_report(documents: DataFrame,
+                        prefix_chars: int | None = None,
+                        sort: bool = True) -> DataFrame:
+    """Cleaning-impact data-card for exact dedup per source: documents
+    and characters before vs after keep-min-id dedup on the content
+    key, and the removed shares (raw int/int quotients) — the
+    before/after table a release report prints next to the dup-rate
+    card.
+
+    Survivors are decided once (groupBy min over 16-byte keys + ids)
+    and joined back as a left_semi on doc_id; both rollups are plain
+    partial-aggregated count/sum shuffles."""
+    key = content_key(prefix_chars)
+    keyed = documents.select("doc_id", "source", "n_chars",
+                             key.alias("fp"))
+    keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = keyed.join(keep.select("doc_id"), "doc_id", "left_semi")
+    before = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_before"),
+        F.sum("n_chars").alias("n_chars_before"))
+    after = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_after"),
+        F.sum("n_chars").alias("n_chars_after"))
+    out = (
+        before.join(after, "source", "left")
+        .select(
+            "source", "n_docs_before",
+            F.coalesce("n_docs_after", F.lit(0)).alias("n_docs_after"),
+            "n_chars_before",
+            F.coalesce("n_chars_after", F.lit(0)).alias("n_chars_after"),
+        )
+        .withColumn(
+            "docs_removed_share",
+            (F.col("n_docs_before") - F.col("n_docs_after"))
+            / F.col("n_docs_before"))
+    )
+    return out.orderBy("source") if sort else out

@@ -326,3 +326,38 @@ def last_touch_attribution(events: DataFrame,
         )
     )
     return out.orderBy("event_id") if sort else out
+
+
+def active_users(events: DataFrame, window_days: int = 7,
+                 sort: bool = True) -> DataFrame:
+    """DAU / rolling-WAU / stickiness per day: daily active users, the
+    distinct users active in the trailing *window_days* window, and
+    DAU/WAU (raw int/int quotient).
+
+    Distinct-in-a-sliding-window cannot be a window aggregate (no
+    DISTINCT over frames) — the scalable shape is the replicate-
+    forward trick: each distinct (user, day) pair fans out onto the
+    *window_days* days it keeps the user active, then one distinct +
+    count per day. The fan-out multiplies 12-byte pairs by a constant
+    — bounded and shuffle-friendly at any event volume (events
+    collapse to distinct pairs FIRST, so the multiplier never touches
+    raw event rows)."""
+    days = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    span = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"),
+                           F.date_add(F.col("day"), window_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    )
+    out = (
+        dau.join(span, "day")
+        .select("day", "dau", "wau",
+                (F.col("dau") / F.col("wau")).alias("stickiness"))
+    )
+    return out.orderBy("day") if sort else out

@@ -1524,3 +1524,32 @@ def test_norm_profile_flags_degenerate_vectors(spark):
     assert out[1]["norm"] == 5.0 and out[1]["is_finite"] and not out[1]["is_zero"]
     assert out[2]["is_zero"] and out[2]["is_finite"]
     assert not out[3]["is_finite"]
+
+
+def test_dedup_impact_report_before_after(dup_docs):
+    docs = dup_docs.withColumn("n_chars", F.length("text").cast("bigint"))
+    out = {r["source"]: r for r in D.dedup_impact_report(docs).collect()}
+    # the shared group's survivor is doc 1 (source a): b and c each
+    # lose their member, a keeps both docs
+    assert out["a"]["n_docs_before"] == 2 and out["a"]["n_docs_after"] == 2
+    assert out["b"]["n_docs_after"] == 1 and out["c"]["n_docs_after"] == 1
+    assert out["b"]["docs_removed_share"] == 0.5
+    assert out["a"]["n_chars_after"] == out["a"]["n_chars_before"]
+
+
+def test_active_users_rolling_window(spark):
+    rows = [
+        (1, "2020-01-01 10:00:00", 1), (2, "2020-01-01 11:00:00", 1),
+        (3, "2020-01-02 10:00:00", 2),
+        (4, "2020-01-10 10:00:00", 1),   # beyond day-2's 7-day reach
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r["day"]): r for r in E.active_users(ev).collect()}
+    assert out["2020-01-01"]["dau"] == 1 and out["2020-01-01"]["wau"] == 1
+    # day 2: user 2 active today, user 1 active within the window
+    assert out["2020-01-02"]["dau"] == 1 and out["2020-01-02"]["wau"] == 2
+    assert out["2020-01-02"]["stickiness"] == 0.5
+    # day 10: only user 1 (both earlier users' windows expired)
+    assert out["2020-01-10"]["wau"] == 1
