@@ -1245,6 +1245,21 @@ def embedding_norm_profile(spark, sf_dir):
     return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
 
 
+def ts_acf(spark, sf_dir):
+    return TS.acf(TS.series_long(_lt(spark, sf_dir, "lineitem")),
+                  lags=(1, 2, 3))
+
+
+def ev_power_users(spark, sf_dir):
+    return E.power_user_concentration(_lt(spark, sf_dir, "events"),
+                                      n_tiles=10)
+
+
+def q15_top_supplier(spark, sf_dir):
+    return R.top_supplier_by_revenue(_lt(spark, sf_dir, "supplier"),
+                                     _lt(spark, sf_dir, "lineitem"))
+
+
 def dedup_impact_report(spark, sf_dir):
     return D.dedup_impact_report(_lt(spark, sf_dir, "documents"),
                                  prefix_chars=40)
@@ -1477,6 +1492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_profile": embedding_norm_profile,
         "dedup_impact_report": dedup_impact_report,
         "ev_active_users": ev_active_users,
+        "ts_acf": ts_acf,
+        "ev_power_users": ev_power_users,
+        "q15_top_supplier": q15_top_supplier,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3592,6 +3610,68 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["ts_acf"] = f"""
+        WITH long AS ({_LONG}),
+        l AS (
+            SELECT code, value,
+                   lag(value, 1) OVER w AS _lag1,
+                   lag(value, 2) OVER w AS _lag2,
+                   lag(value, 3) OVER w AS _lag3
+            FROM long WINDOW w AS (PARTITION BY code ORDER BY date)
+        ),
+        p AS (
+            SELECT code, 1 AS lag_k, value, _lag1 AS prev FROM l
+            UNION ALL SELECT code, 2, value, _lag2 FROM l
+            UNION ALL SELECT code, 3, value, _lag3 FROM l
+        )
+        SELECT code, lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(corr(value, prev), 6) AS acf
+        FROM p WHERE prev IS NOT NULL
+        GROUP BY code, lag_k ORDER BY code, lag_k
+    """
+
+    sql["ev_power_users"] = """
+        WITH pu AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT n_events,
+                   ntile(10) OVER (ORDER BY n_events DESC, user_id ASC)
+                       AS tile
+            FROM pu
+        ),
+        pt AS (
+            SELECT tile, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n_events) AS BIGINT) AS n_events
+            FROM t GROUP BY tile
+        )
+        SELECT CAST(tile AS INT) AS tile, n_users, n_events,
+               n_events / CAST(sum(n_events) OVER () AS BIGINT) AS share,
+               CAST(sum(n_events) OVER (ORDER BY tile
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   / CAST(sum(n_events) OVER () AS BIGINT) AS cum_share
+        FROM pt ORDER BY tile
+    """
+
+    sql["q15_top_supplier"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        ),
+        mx AS (SELECT max(total_revenue) AS m FROM rev)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r CROSS JOIN mx
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = mx.m
+        ORDER BY s.s_suppkey
     """
 
     sql["dedup_impact_report"] = f"""

@@ -361,3 +361,39 @@ def active_users(events: DataFrame, window_days: int = 7,
                 (F.col("dau") / F.col("wau")).alias("stickiness"))
     )
     return out.orderBy("day") if sort else out
+
+
+def power_user_concentration(events: DataFrame, n_tiles: int = 10,
+                             sort: bool = True) -> DataFrame:
+    """Activity concentration (Pareto/Lorenz view): users ranked by
+    event count into *n_tiles* exact global tiles, with each tile's
+    user count, event count, event share, and cumulative share from
+    the heaviest tile down — "the top 10% of users produce X% of
+    events".
+
+    Events first collapse to per-user counts (the only full-volume
+    shuffle); the tile assignment uses the scale-safe
+    :func:`~pyperustats_spark.operators.relational.global_ntile`
+    (range partition + id-derived offsets, NO partition-less window
+    over users); the share windows then run on the n_tiles-row
+    rollup — an audited tiny-frame single partition."""
+    from pyperustats_spark.operators.relational import global_ntile
+
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    tiled = global_ntile(per_user,
+                         [F.desc("n_events"), F.asc("user_id")],
+                         n_tiles=n_tiles)
+    per_tile = tiled.groupBy(F.col("_tile").alias("tile")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"))
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("tile") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    out = per_tile.select(
+        "tile", "n_users", "n_events",
+        (F.col("n_events") / F.sum("n_events").over(w_all)).alias("share"),
+        (F.sum("n_events").over(w_cum) / F.sum("n_events").over(w_all))
+        .alias("cum_share"),
+    )
+    return out.orderBy("tile") if sort else out

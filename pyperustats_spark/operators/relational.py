@@ -1164,3 +1164,32 @@ def catalog_fuzzy_search(part: DataFrame, query: str,
         .limit(k)
     )
     return out
+
+
+def top_supplier_by_revenue(supplier: DataFrame, lineitem: DataFrame,
+                            date_from: str = "1996-01-01",
+                            date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15-style: the supplier(s) with the maximum revenue in a
+    quarter — ALL ties kept (max-equality join, not top-1-by-sort,
+    matching Q15's view semantics).
+
+    Revenue per supplier is one partial-aggregated shuffle on the
+    integer suppkey; the 1-row global max joins back broadcast
+    (audited q_market_share class). Grid-4 revenue recipe, so the
+    equality join compares identical doubles."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    out = (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(supplier.select("s_suppkey", "s_name"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey"), "s_name", "total_revenue")
+    )
+    return out.orderBy("s_suppkey")

@@ -509,3 +509,32 @@ def trend_ma(long_df: DataFrame, half_window: int = 6,
         .withColumn("detrended", F.round(F.col("value"), 2) - F.col("trend"))
     )
     return out.orderBy("date", "code") if sort else out
+
+
+def acf(long_df: DataFrame, lags: tuple[int, ...] = (1, 2, 3),
+        sort: bool = True) -> DataFrame:
+    """Autocorrelation per series at row-lags *lags*: Pearson corr of
+    (x_t, x_{t-k}) over the date-ordered series — the standard
+    persistence diagnostic before any forecasting step.
+
+    ONE window pass computes every lag column (the series shuffles and
+    sorts once, not once per lag), then stack() unpivots to long and a
+    grouped corr aggregates each (series, lag). corr follows the
+    stats_profile recipe: round-6 on both engines (the estimator's
+    unordered sums differ in ulps; round-6 absorbs them — the same
+    accepted class as stats_profile's corr, driver-green since r1)."""
+    w = Window.partitionBy("code").orderBy("date")
+    lagged = long_df.select(
+        "code", "value",
+        *[F.lag("value", k).over(w).alias(f"_lag{k}") for k in lags],
+    )
+    stack_expr = "stack({}, {}) as (lag_k, prev)".format(
+        len(lags), ", ".join(f"{k}, _lag{k}" for k in lags))
+    pairs = lagged.selectExpr("code", "value", stack_expr) \
+        .where(F.col("prev").isNotNull())
+    out = (
+        pairs.groupBy("code", "lag_k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.round(F.corr("value", "prev"), 6).alias("acf"))
+    )
+    return out.orderBy("code", "lag_k") if sort else out

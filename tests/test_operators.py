@@ -1553,3 +1553,42 @@ def test_active_users_rolling_window(spark):
     assert out["2020-01-02"]["stickiness"] == 0.5
     # day 10: only user 1 (both earlier users' windows expired)
     assert out["2020-01-10"]["wau"] == 1
+
+
+def test_acf_detects_alternating_series(spark):
+    # A alternates +1/-1 -> acf(1) = -1, acf(2) = +1
+    rows = [(f"2020-01-{d:02d}", "A", float(1 if d % 2 else -1))
+            for d in range(1, 13)]
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = {(r["code"], r["lag_k"]): r for r in TS.acf(df, lags=(1, 2)).collect()}
+    assert out[("A", 1)]["acf"] == -1.0
+    assert out[("A", 2)]["acf"] == 1.0
+    assert out[("A", 1)]["n_pairs"] == 11
+
+
+def test_power_user_concentration_shares(spark):
+    # 10 users: user 0 fires 91 events, the rest 1 each -> top decile
+    # (1 user) holds 91% of events and cum_share reaches 1.0
+    rows = [(i, 0) for i in range(91)] + [(100 + u, u) for u in range(1, 10)]
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint")
+    out = {r["tile"]: r for r in
+           E.power_user_concentration(ev, n_tiles=10).collect()}
+    assert out[1]["n_users"] == 1 and out[1]["n_events"] == 91
+    assert out[1]["share"] == 0.91
+    assert out[10]["cum_share"] == 1.0
+
+
+def test_top_supplier_keeps_ties(spark):
+    sup = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "s_suppkey long, s_name string")
+    li = spark.createDataFrame(
+        [(1, "1996-02-01", 100.0, 0.0), (2, "1996-02-01", 100.0, 0.0),
+         (3, "1996-02-01", 50.0, 0.0)],
+        "l_suppkey long, l_shipdate string, l_extendedprice double, "
+        "l_discount double"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    out = R.top_supplier_by_revenue(sup, li).collect()
+    assert [(r["s_suppkey"], r["total_revenue"]) for r in out] == [
+        (1, 100.0), (2, 100.0)]

@@ -93,6 +93,8 @@ BROADCAST_HINT_WHITELIST = {
     "q7_nation_volume",           # nation (25 rows), pre-filtered pair
     "q10_returned_items",         # nation (25 rows)
     "ev_skew_profile",            # 1-row grand total
+    "ev_power_users",             # P-row ntile offset table
+    "q15_top_supplier",           # 1-row global max
 }
 
 
@@ -376,6 +378,9 @@ PLAN_SMELL_WHITELIST = {
     "ev_skew_profile": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
                                                 # (q_market_share class)
     "q19_disjunctive_revenue": {"SINGLE_PART"},  # global 1-row aggregate
+    "ev_power_users": {"BNLJ", "SINGLE_PART"},  # P×P ntile offsets +
+                                                # n_tiles-row share window
+    "q15_top_supplier": {"BNLJ", "SINGLE_PART"},  # 1-row global max
 }
 
 
