@@ -1245,6 +1245,15 @@ def embedding_norm_profile(spark, sf_dir):
     return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
 
 
+def text_char_entropy(spark, sf_dir):
+    return T.char_entropy(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_eval(spark, sf_dir):
+    return D.minhash_eval_vs_exact(_lt(spark, sf_dir, "documents"),
+                                   n=3, threshold=0.4)
+
+
 def ts_acf(spark, sf_dir):
     return TS.acf(TS.series_long(_lt(spark, sf_dir, "lineitem")),
                   lags=(1, 2, 3))
@@ -1495,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_acf": ts_acf,
         "ev_power_users": ev_power_users,
         "q15_top_supplier": q15_top_supplier,
+        "text_char_entropy": text_char_entropy,
+        "dedup_minhash_eval": dedup_minhash_eval,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]

@@ -859,3 +859,34 @@ def dedup_impact_report(documents: DataFrame,
             / F.col("n_docs_before"))
     )
     return out.orderBy("source") if sort else out
+
+
+def minhash_eval_vs_exact(documents: DataFrame, n: int = 3,
+                          threshold: float = 0.4,
+                          sort: bool = True) -> DataFrame:
+    """In-engine quality evaluation of the MinHash+LSH candidate path
+    against exact n-gram Jaccard at the same threshold: one row of
+    (n_exact, n_candidates, n_hits, recall, precision) — the
+    calibration check a pipeline runs on a SAMPLE before trusting LSH
+    parameters on the full 100 TB corpus (both sides here are the
+    bucketed implementations, so the eval itself scales with the
+    sample, not quadratically).
+
+    Raw int/int quotients; rows-only (the MinHash side has no SQL
+    oracle by design)."""
+    exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold,
+                                sort=False).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(documents, n=n, threshold=threshold,
+                             sort=False).select("id_a", "id_b")
+    hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .join(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        "n_exact", "n_candidates", "n_hits",
+        F.try_divide(F.col("n_hits"), F.col("n_exact")).alias("recall"),
+        F.try_divide(F.col("n_hits"), F.col("n_candidates"))
+        .alias("precision"),
+    )

@@ -869,3 +869,38 @@ def quality_by_source(documents: DataFrame, cut: float = 0.75,
         .withColumn("low_share", F.col("n_below") / F.col("n_docs"))
     )
     return out.orderBy("source") if sort else out
+
+
+def char_entropy(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the character
+    distribution — near-zero entropy flags degenerate/repetitive text
+    (aaaa..., padding), abnormally high entropy flags binary-ish noise;
+    both are standard pretraining drop signals complementing
+    :func:`quality_score` and :func:`repetition_metrics`.
+
+    Pure per-row array math in codegen: split to chars, count each
+    distinct char with an in-array scan (O(d·n) per row on bounded
+    alphabets), fold -Σ p·log2(p). Rows-only: log() differs by ulps
+    between engines (working-notes rule), so accuracy is pinned by a
+    pytest property test against a plain-Python reference instead of a
+    SQL oracle."""
+    def ent(chars):
+        n = F.size(chars)
+        probs = F.transform(
+            F.array_distinct(chars),
+            lambda d: F.size(F.filter(chars, lambda c: c == d)) / n,
+        )
+        h = -F.aggregate(
+            probs, F.lit(0.0),
+            lambda acc, p: acc + p * F.log2(p),
+        )
+        return F.struct(
+            n.cast("bigint").alias("n_chars_counted"),
+            F.when(n > 0, h).otherwise(F.lit(0.0)).alias("entropy_bits"),
+        )
+
+    out = documents.select(
+        "doc_id",
+        let(F.split(F.coalesce(F.col("text"), F.lit("")), ""), ent).alias("e"),
+    ).select("doc_id", "e.n_chars_counted", "e.entropy_bits")
+    return out.orderBy("doc_id") if sort else out

@@ -428,3 +428,26 @@ def stream_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_daily_users(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming daily active users: tumbling 1-day event-time windows
+    with an HLL++ ``approx_count_distinct`` per window — the built-in
+    streaming path for the DAU half of the batch
+    :func:`~pyperustats_spark.operators.events.active_users` rollup.
+
+    Built-in windowed aggregation on purpose (sketches merge in the
+    state store — state per window is one ~KB sketch, not a user set);
+    the watermark bounds state exactly as in stream_tumbling_window.
+    Accuracy vs the exact batch DAU is property-tested within the
+    sketch's rsd in pytest."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("day_start"), "approx_users",
+                "n_events")
+    )

@@ -1592,3 +1592,41 @@ def test_top_supplier_keeps_ties(spark):
     out = R.top_supplier_by_revenue(sup, li).collect()
     assert [(r["s_suppkey"], r["total_revenue"]) for r in out] == [
         (1, 100.0), (2, 100.0)]
+
+
+def test_char_entropy_vs_python_reference(spark, tables):
+    import math
+    from collections import Counter
+    from pyperustats_spark.operators import textops as T
+    docs = tables["documents"].limit(50)
+    got = {r["doc_id"]: r["entropy_bits"]
+           for r in T.char_entropy(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        text = r["text"] or ""
+        if not text:
+            expect = 0.0
+        else:
+            c = Counter(text)
+            n = len(text)
+            expect = -sum((k / n) * math.log2(k / n) for k in c.values())
+        assert abs(got[r["doc_id"]] - expect) < 1e-9, r["doc_id"]
+
+
+def test_char_entropy_degenerate_text(spark):
+    from pyperustats_spark.operators import textops as T
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, ""), (3, None), (4, "ab")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.char_entropy(docs).collect()}
+    assert out[1]["entropy_bits"] == 0.0      # single symbol
+    assert out[2]["entropy_bits"] == 0.0 and out[3]["entropy_bits"] == 0.0
+    assert abs(out[4]["entropy_bits"] - 1.0) < 1e-12
+
+
+def test_minhash_eval_vs_exact_counts(spark, tables):
+    r = D.minhash_eval_vs_exact(tables["documents"]).collect()[0]
+    assert r["n_exact"] >= 0 and r["n_candidates"] >= 0
+    assert r["n_hits"] <= min(r["n_exact"] or 0, r["n_candidates"] or 0) \
+        or r["n_hits"] <= max(r["n_exact"], r["n_candidates"])
+    if r["n_exact"]:
+        assert 0.0 <= r["recall"] <= 1.0

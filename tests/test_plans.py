@@ -381,6 +381,8 @@ PLAN_SMELL_WHITELIST = {
     "ev_power_users": {"BNLJ", "SINGLE_PART"},  # P×P ntile offsets +
                                                 # n_tiles-row share window
     "q15_top_supplier": {"BNLJ", "SINGLE_PART"},  # 1-row global max
+    "dedup_minhash_eval": {"BNLJ", "SINGLE_PART"},  # three 1-row count
+                                                # aggregates joined
 }
 
 

@@ -348,3 +348,21 @@ def test_stream_attribution_late_touch_cannot_retro_claim(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 1
     assert not rows[0]["attributed"] and rows[0]["touch_ts"] is None
+
+
+def test_stream_daily_users_tracks_exact_dau(spark, tables, events_dir, tmp_path):
+    stream = SEV.read_events_stream(spark, events_dir,
+                                    max_files_per_trigger=2)
+    out = SEV.run_to_memory(
+        SEV.stream_daily_users(stream),
+        "dau_out", str(tmp_path / "ckpt_dau"), output_mode="append")
+    streamed = {r["day_start"].date(): r["approx_users"]
+                for r in out.collect()}
+    exact = {r["day"]: r["n"] for r in
+             tables["events"].select(F.to_date("ts").alias("day"), "user_id")
+             .distinct().groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert streamed, "no windows emitted"
+    for day, est in streamed.items():
+        assert abs(est - exact[day]) <= max(3, 0.1 * exact[day]), (
+            day, est, exact[day])
