@@ -1543,9 +1543,10 @@ _WINDOW = [
     "infogob_candidate_detail_counts", "inei_stage_plan",
     "infogob_location_hierarchy", "infogob_results_by_region",
     "text_vocab_topn", "text_oov_rate", "text_boilerplate",
-    "text_boilerplate_apply", "doc_epoch_shards", "corpus_summary",
-    "text_quality_filter", "stats_mad_outliers", "ev_funnel_steps",
-    "ev_retention_cohorts", "q_customer_quartiles",
+    "text_boilerplate_apply", "stats_mad_outliers",
+    "q_customer_quartiles",
+    "dedup_impact_report", "ev_active_users", "ts_acf",
+    "ev_power_users", "q15_top_supplier",
 ]
 
 
