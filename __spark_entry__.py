@@ -1245,6 +1245,22 @@ def embedding_norm_profile(spark, sf_dir):
     return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
 
 
+def q17_small_qty_revenue(spark, sf_dir):
+    return R.small_quantity_revenue(_lt(spark, sf_dir, "lineitem"),
+                                    _lt(spark, sf_dir, "part"))
+
+
+def q18_large_orders(spark, sf_dir):
+    return R.large_orders(_lt(spark, sf_dir, "customer"),
+                          _lt(spark, sf_dir, "orders"),
+                          _lt(spark, sf_dir, "lineitem"))
+
+
+def ann_ivf_cell_stats(spark, sf_dir):
+    return S.ivf_cell_stats(_lt(spark, sf_dir, "embeddings"),
+                            n_centroids=16)
+
+
 def text_char_entropy(spark, sf_dir):
     return T.char_entropy(_lt(spark, sf_dir, "documents"))
 
@@ -1506,6 +1522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "text_char_entropy": text_char_entropy,
         "dedup_minhash_eval": dedup_minhash_eval,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_orders": q18_large_orders,
+        "ann_ivf_cell_stats": ann_ivf_cell_stats,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3622,6 +3641,38 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["q17_small_qty_revenue"] = """
+        WITH pp AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        lip AS (
+            SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+                   l.l_discount
+            FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+        ),
+        a AS (
+            SELECT l_partkey,
+                   round(sum(l_quantity), 2) / count(*) AS avg_qty
+            FROM lip GROUP BY l_partkey
+        )
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lip l JOIN a ON l.l_partkey = a.l_partkey
+        WHERE l.l_quantity < 0.5 * a.avg_qty
+    """
+
+    sql["q18_large_orders"] = """
+        WITH t AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150
+        )
+        SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_orderdate,
+               t.total_qty
+        FROM t JOIN orders o ON t.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY t.total_qty DESC, o.o_orderkey ASC LIMIT 20
     """
 
     sql["ts_acf"] = f"""

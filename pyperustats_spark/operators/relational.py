@@ -1193,3 +1193,64 @@ def top_supplier_by_revenue(supplier: DataFrame, lineitem: DataFrame,
         .select(F.col("s_suppkey"), "s_name", "total_revenue")
     )
     return out.orderBy("s_suppkey")
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                           part_type: str = "PROMO",
+                           frac: float = 0.5) -> DataFrame:
+    """TPC-H Q17-style: revenue from lineitems of a part class whose
+    quantity falls below *frac* × that part's average quantity — the
+    correlated-aggregate shape (per-part threshold joined back).
+
+    The per-part average uses round(sum,2)/count (l_quantity sits on
+    an integer-ish grid; the rounded sum is recovered exactly in both
+    engines, so the threshold comparison sees identical doubles). The
+    threshold frame is one row per part — the join back is equi on the
+    integer partkey, AQE-decided. Audited 1-row final aggregate."""
+    pp = part.where(F.col("p_type") == part_type).select("p_partkey")
+    li = lineitem.select("l_partkey", "l_quantity",
+                         "l_extendedprice", "l_discount")
+    li_p = li.join(pp, F.col("l_partkey") == F.col("p_partkey")) \
+             .drop("p_partkey")
+    avg_q = li_p.groupBy("l_partkey").agg(
+        (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)))
+        .alias("_avg_qty"))
+    out = (
+        li_p.join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < F.lit(frac) * F.col("_avg_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return out
+
+
+def large_orders(customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame, min_qty: float = 150.0,
+                 k: int = 20) -> DataFrame:
+    """TPC-H Q18-style: the *k* largest orders whose total line
+    quantity exceeds *min_qty*, with the customer attached.
+
+    The quantity rollup is one partial-aggregated shuffle on the
+    integer orderkey (quantities are integer-valued doubles — sums are
+    exact in any accumulation order, so the HAVING threshold and the
+    ordering are deterministic); survivors join orders + customer
+    AQE-decided, and the top-k compiles to TakeOrderedAndProject."""
+    totals = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    out = (
+        totals.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "o_orderdate",
+                "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+    return out

@@ -496,3 +496,33 @@ def norm_profile(embeddings: DataFrame, eps: float = 1e-12,
         let(F.sqrt(sq), profile).alias("p"),
     ).select("vec_id", "dim", "p.norm", "p.is_zero", "p.is_finite")
     return out.orderBy("vec_id") if sort else out
+
+
+def ivf_cell_stats(embeddings: DataFrame, n_centroids: int = 16,
+                   kmeans_iters: int = 0,
+                   sort: bool = True) -> DataFrame:
+    """IVF cell-occupancy diagnostic: vectors per cell plus the
+    occupancy share — the vector-side companion of key_skew_profile.
+    A lopsided histogram means probe cost concentrates in a few cells
+    (the ANN latency tail) and says to refine centroids (Lloyd
+    iterations) or re-seed before writing the cell partition layout
+    at 100 TB.
+
+    Same deterministic seeding (+ optional refinement) as
+    :func:`ann_ivf`; the assignment scan is the only full pass, the
+    rollup is n_centroids rows. Rows-only: shares are raw int/int and
+    the centroid choice is engine-specific."""
+    cents = seed_centroids(embeddings, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine_centroids(embeddings, cents,
+                                        iterations=kmeans_iters)
+    e = ensure_parallelism(embeddings).select(
+        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1), 1)
+        .alias("cell"))
+    n_total = embeddings.count()  # O(1) driver scalar, documented
+    out = (
+        e.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .withColumn("share", F.col("n_vectors") / F.lit(n_total))
+    )
+    return out.orderBy(F.desc("n_vectors"), F.asc("cell")) if sort else out

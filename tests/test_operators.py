@@ -1630,3 +1630,41 @@ def test_minhash_eval_vs_exact_counts(spark, tables):
         or r["n_hits"] <= max(r["n_exact"], r["n_candidates"])
     if r["n_exact"]:
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_small_qty_revenue_per_part_threshold(spark):
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "PROMO"), (3, "LARGE")],
+        "p_partkey long, p_type string")
+    # part 1 avg qty = 10 -> only the qty-4 line is below 0.5*avg;
+    # part 2 avg = 100 -> qty-40 qualifies; part 3 excluded by type
+    li = spark.createDataFrame(
+        [(1, 4.0, 100.0, 0.0), (1, 16.0, 999.0, 0.0),
+         (2, 40.0, 200.0, 0.0), (2, 160.0, 999.0, 0.0),
+         (3, 1.0, 999.0, 0.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double")
+    r = R.small_quantity_revenue(li, part).collect()[0]
+    assert r["n_lines"] == 2 and r["revenue"] == 300.0
+
+
+def test_large_orders_having_and_topk(spark):
+    cust = spark.createDataFrame([(1, "alice")],
+                                 "c_custkey long, c_name string")
+    orders = spark.createDataFrame(
+        [(10, 1, "1996-01-01"), (11, 1, "1996-01-02")],
+        "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    li = spark.createDataFrame(
+        [(10, 100.0), (10, 60.0), (11, 100.0)],
+        "l_orderkey long, l_quantity double")
+    out = R.large_orders(cust, orders, li, min_qty=150.0, k=5).collect()
+    assert [(r["o_orderkey"], r["total_qty"]) for r in out] == [(10, 160.0)]
+
+
+def test_ivf_cell_stats_partitions_whole_corpus(spark, tables):
+    out = S.ivf_cell_stats(tables["embeddings"], n_centroids=8).collect()
+    total = tables["embeddings"].count()
+    assert sum(r["n_vectors"] for r in out) == total
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
+    assert len(out) <= 8

@@ -383,6 +383,7 @@ PLAN_SMELL_WHITELIST = {
     "q15_top_supplier": {"BNLJ", "SINGLE_PART"},  # 1-row global max
     "dedup_minhash_eval": {"BNLJ", "SINGLE_PART"},  # three 1-row count
                                                 # aggregates joined
+    "q17_small_qty_revenue": {"SINGLE_PART"},   # global 1-row aggregate
 }
 
 
