@@ -1245,6 +1245,12 @@ def embedding_norm_profile(spark, sf_dir):
     return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
 
 
+def q22_rich_inactive(spark, sf_dir):
+    return R.above_avg_inactive_customers(_lt(spark, sf_dir, "customer"),
+                                          _lt(spark, sf_dir, "orders"),
+                                          since="1999-01-01")
+
+
 def q17_small_qty_revenue(spark, sf_dir):
     return R.small_quantity_revenue(_lt(spark, sf_dir, "lineitem"),
                                     _lt(spark, sf_dir, "part"))
@@ -1525,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_large_orders": q18_large_orders,
         "ann_ivf_cell_stats": ann_ivf_cell_stats,
+        "q22_rich_inactive": q22_rich_inactive,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3641,6 +3648,24 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["q22_rich_inactive"] = """
+        WITH avg_bal AS (
+            SELECT round(sum(c_acctbal), 2) / count(*) AS a
+            FROM customer WHERE c_acctbal > 0
+        ),
+        active AS (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        )
+        SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c CROSS JOIN avg_bal
+        WHERE c.c_acctbal > avg_bal.a
+          AND NOT EXISTS (SELECT 1 FROM active a
+                          WHERE a.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey ORDER BY c.c_nationkey
     """
 
     sql["q17_small_qty_revenue"] = """

@@ -1254,3 +1254,35 @@ def large_orders(customer: DataFrame, orders: DataFrame,
         .limit(k)
     )
     return out
+
+
+def above_avg_inactive_customers(customer: DataFrame, orders: DataFrame,
+                                 since: str = "2001-01-01") -> DataFrame:
+    """TPC-H Q22-style: per nation, the count and balance total of
+    customers whose account balance exceeds the GLOBAL positive-balance
+    average but who placed no orders since *since* — the
+    scalar-subquery + NOT EXISTS shape.
+
+    The global average is a 1-row aggregate joined back broadcast
+    (audited class); its grid-recovered form (round(sum,2)/count of
+    2-decimal balances) makes the threshold comparison bit-identical
+    cross-engine. The inactivity check is a left_anti on the integer
+    custkey against the date-pruned orders — only keys shuffle."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1)))
+        .alias("_avg_bal"))
+    active = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    rich_idle = (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(active, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich_idle.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("c_nationkey")
+    )

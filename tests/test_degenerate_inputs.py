@@ -96,3 +96,39 @@ def test_round5_session_ops_survive_degenerates(spark, frames):
                           "l_extendedprice").count() == 0
     assert R.mad_outliers_approx(li_empty, "l_returnflag",
                                  "l_extendedprice").count() == 0
+
+
+def test_round5_ops_survive_degenerates(spark, frames):
+    """The round-5 families on empty/degenerate frames: corpus
+    management, pre-flight diagnostics, transitions/attribution, and
+    the series diagnostics must all yield empty results, not errors."""
+    from pyperustats_spark.operators import skew as SK
+
+    ed = frames["empty_docs"].withColumn("source", F.lit("s")) \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("n_chars", F.lit(0).cast("bigint"))
+    ee, el = frames["empty_ev"], frames["empty_long"]
+    assert D.dedup_incremental(ed, ed).count() == 0
+    assert D.dedup_stats_by_source(ed).count() == 0
+    assert D.source_overlap(ed).count() == 0
+    assert D.split_leakage_safe(ed).count() == 0
+    assert D.dedup_impact_report(ed).count() == 0
+    assert E.event_transitions(ee).count() == 0
+    assert E.burst_profile(ee).count() == 0
+    assert E.session_stats(ee).count() == 0
+    assert E.last_touch_attribution(ee).count() == 0
+    assert E.active_users(ee).count() == 0
+    assert E.power_user_concentration(ee).count() == 0
+    assert SK.key_skew_profile(ee, "user_id").count() == 0
+    assert TX.length_histogram(ed).count() == 0
+    assert TX.drop_short_tail(ed).count() == 0
+    assert TX.token_budget_sample(ed).count() == 0
+    assert TX.quality_by_source(ed).count() == 0
+    assert TX.char_entropy(ed).count() == 0
+    assert TS.cusum_changepoint(el).count() == 0
+    assert TS.trend_ma(el).count() == 0
+    assert TS.acf(el).count() == 0
+    # single-row series: changepoint degenerates gracefully
+    one = frames["one_long"]
+    r = TS.cusum_changepoint(one).collect()[0]
+    assert r["n"] == 1 and r["cusum_stat"] == 0.0 and r["mean_after"] is None

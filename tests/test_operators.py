@@ -1668,3 +1668,18 @@ def test_ivf_cell_stats_partitions_whole_corpus(spark, tables):
     assert sum(r["n_vectors"] for r in out) == total
     assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
     assert len(out) <= 8
+
+
+def test_rich_inactive_threshold_and_anti_join(spark):
+    cust = spark.createDataFrame(
+        [(1, 0, 100.0), (2, 0, 300.0), (3, 1, 300.0), (4, 1, -50.0)],
+        "c_custkey long, c_nationkey int, c_acctbal double")
+    orders = spark.createDataFrame(
+        [(10, 3, "2001-06-01")],
+        "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    # positive-balance avg = (100+300+300)/3 = 233.33; custs 2 and 3
+    # exceed it, but 3 ordered since the cutoff -> only 2 survives
+    out = R.above_avg_inactive_customers(cust, orders).collect()
+    assert [(r["c_nationkey"], r["n_custs"], r["total_bal"])
+            for r in out] == [(0, 1, 300.0)]

@@ -95,6 +95,7 @@ BROADCAST_HINT_WHITELIST = {
     "ev_skew_profile",            # 1-row grand total
     "ev_power_users",             # P-row ntile offset table
     "q15_top_supplier",           # 1-row global max
+    "q22_rich_inactive",          # 1-row global average
 }
 
 
