@@ -385,6 +385,7 @@ PLAN_SMELL_WHITELIST = {
     "dedup_minhash_eval": {"BNLJ", "SINGLE_PART"},  # three 1-row count
                                                 # aggregates joined
     "q17_small_qty_revenue": {"SINGLE_PART"},   # global 1-row aggregate
+    "q22_rich_inactive": {"BNLJ", "SINGLE_PART"},  # 1-row global average
 }
 
 
