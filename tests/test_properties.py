@@ -291,3 +291,78 @@ def test_tfidf_top_terms_matches_python(spark, xs):
         got.setdefault(r["doc_id"], []).append(r["token"])
     for i, terms in ref.items():
         assert got.get(i, []) == terms
+
+
+@settings(**SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=16),
+       st.integers(min_value=1, max_value=200))
+def test_token_budget_sample_invariants(spark, xs, budget):
+    """Budget is a hard ceiling per source, the walk is deterministic
+    (same rows -> same survivors regardless of input order), and
+    every kept doc's running total honours the cumulative order."""
+    from pyperustats_spark.operators.textops import token_budget_sample
+    rows = [(i, x, "src%d" % (i % 2)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_budget_sample(df, budget=budget).collect()
+    per_src = {}
+    for r in out:
+        assert r["cum_tokens"] <= budget
+        per_src.setdefault(r["source"], []).append(r)
+    # permutation invariance: reversed input yields the same doc_ids
+    out2 = token_budget_sample(
+        spark.createDataFrame(list(reversed(rows)),
+                              "doc_id long, text string, source string"),
+        budget=budget).collect()
+    assert sorted(r["doc_id"] for r in out) == \
+        sorted(r["doc_id"] for r in out2)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.sampled_from(["aa bb", "aa  BB", "cc dd", "ee ff gg"]),
+                min_size=2, max_size=12))
+def test_leakage_safe_split_group_invariant(spark, xs):
+    """No content group ever straddles the split, for any val_pct, and
+    every member carries the group-minimum doc_id as rep_id."""
+    from pyperustats_spark.operators.dedup import split_leakage_safe
+    rows = [(i, x, "en") for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = split_leakage_safe(df, val_pct=37).collect()
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r["rep_id"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_rep.values())
+    # rep is the min doc_id of its group
+    import re as _re
+    def norm(s):
+        return _re.sub(r"\s+", " ", s.lower()).strip()
+    groups = {}
+    for i, x in enumerate(xs):
+        groups.setdefault(norm(x), []).append(i)
+    expect_rep = {i: min(g) for g in groups.values() for i in g}
+    got_rep = {r["doc_id"]: r["rep_id"] for r in out}
+    assert got_rep == expect_rep
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5)),
+                min_size=2, max_size=20))
+def test_event_transitions_matches_python(spark, steps):
+    """Transition counts equal a plain-Python per-user walk."""
+    from collections import Counter, defaultdict
+    from pyperustats_spark.operators.events import event_transitions
+    rows = [(i, "2020-01-01 00:%02d:00" % (i % 60), u, "t%d" % t)
+            for i, (u, t) in enumerate(steps)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in event_transitions(ev).collect()}
+    per_user = defaultdict(list)
+    for i, (u, t) in enumerate(steps):
+        per_user[u].append((("2020-01-01 00:%02d:00" % (i % 60)), i, "t%d" % t))
+    expect = Counter()
+    for u, evs in per_user.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            expect[(a[2], b[2])] += 1
+    assert got == dict(expect)
