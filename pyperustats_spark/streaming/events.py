@@ -451,3 +451,51 @@ def stream_daily_users(events: DataFrame, watermark: str = "1 hour") -> DataFram
         .select(F.col("w.start").alias("day_start"), "approx_users",
                 "n_events")
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over document parquet files — the arriving
+    crawl in the recurring-release flow."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_new_documents(stream_docs: DataFrame, corpus: DataFrame,
+                         prefix_chars: int | None = None) -> DataFrame:
+    """Streaming incremental dedup: documents arriving on a stream are
+    anti-joined against the RELEASED corpus's content keys (a
+    stream-static left_anti join — Spark broadcasts or re-reads the
+    static side per micro-batch, the stream side never buffers), then
+    deduped within the stream itself by key via dropDuplicates — the
+    streaming analog of
+    :func:`~pyperustats_spark.operators.dedup.dedup_incremental`.
+
+    Exactly-once per arriving file comes from the checkpointed file
+    source; state is the dropDuplicates key set — 16-byte keys only.
+    Unlike the batch form (keep-min-id), the stream keeps the FIRST
+    arrival of each new key — the natural streaming tiebreak
+    (documented; equal when replay order is id order)."""
+    from pyperustats_spark.operators.dedup import content_key
+
+    seen = corpus.select(content_key(prefix_chars).alias("fp")).distinct()
+    keyed = stream_docs.withColumn("fp", content_key(prefix_chars))
+    return (
+        keyed.join(seen, "fp", "left_anti")
+        .dropDuplicates(["fp"])
+        .select("doc_id", "source", "fp")
+    )

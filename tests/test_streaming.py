@@ -366,3 +366,32 @@ def test_stream_daily_users_tracks_exact_dau(spark, tables, events_dir, tmp_path
     for day, est in streamed.items():
         assert abs(est - exact[day]) <= max(3, 0.1 * exact[day]), (
             day, est, exact[day])
+
+
+def test_stream_new_documents_matches_batch_incremental(
+        spark, tables, tmp_path):
+    import os
+    from pyperustats_spark.operators import dedup as BD
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    # replay the batch in doc_id order across 2 files so the stream's
+    # first-arrival tiebreak equals the batch keep-min-id rule
+    d = str(tmp_path / "docs_src")
+    n = batch.count()
+    ids = sorted(r[0] for r in batch.select("doc_id").collect())
+    cut = ids[n // 2]
+    batch.where(F.col("doc_id") <= cut).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=0"))
+    batch.where(F.col("doc_id") > cut).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=1"))
+    stream = SEV.read_documents_stream(spark, d + "/f=*",
+                                       max_files_per_trigger=1)
+    out = SEV.run_to_memory(
+        SEV.stream_new_documents(stream, corpus, prefix_chars=40),
+        "newdocs_out", str(tmp_path / "ckpt_newdocs"),
+        output_mode="append")
+    streamed = {(r["doc_id"], r["fp"]) for r in out.collect()}
+    expect = {(r["doc_id"], r["fp"]) for r in
+              BD.dedup_incremental(batch, corpus, prefix_chars=40).collect()}
+    assert streamed == expect
