@@ -1245,6 +1245,11 @@ def embedding_norm_profile(spark, sf_dir):
     return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
 
 
+def q13_order_distribution(spark, sf_dir):
+    return R.customer_order_distribution(_lt(spark, sf_dir, "customer"),
+                                         _lt(spark, sf_dir, "orders"))
+
+
 def q22_rich_inactive(spark, sf_dir):
     return R.above_avg_inactive_customers(_lt(spark, sf_dir, "customer"),
                                           _lt(spark, sf_dir, "orders"),
@@ -1532,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "ann_ivf_cell_stats": ann_ivf_cell_stats,
         "q22_rich_inactive": q22_rich_inactive,
+        "q13_order_distribution": q13_order_distribution,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3648,6 +3654,18 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["q13_order_distribution"] = """
+        WITH pc AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT COALESCE(pc.c_count, 0) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+        GROUP BY COALESCE(pc.c_count, 0)
+        ORDER BY custdist DESC, c_count DESC
     """
 
     sql["q22_rich_inactive"] = """

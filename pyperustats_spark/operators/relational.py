@@ -1286,3 +1286,27 @@ def above_avg_inactive_customers(customer: DataFrame, orders: DataFrame,
              F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
         .orderBy("c_nationkey")
     )
+
+
+def customer_order_distribution(customer: DataFrame,
+                                orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-style: the distribution of customers by order count,
+    INCLUDING zero-order customers (the left join is the point of the
+    query — an inner join silently drops the inactive majority).
+
+    Two partial-aggregated shuffles: orders roll up per custkey, the
+    left join back is equi on the integer key (AQE-decided), and the
+    histogram is a count-of-counts on at most |distinct order counts|
+    rows. All integers — deterministic everywhere."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("c_count"))
+    joined = (
+        customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        joined.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

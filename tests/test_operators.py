@@ -1683,3 +1683,12 @@ def test_rich_inactive_threshold_and_anti_join(spark):
     out = R.above_avg_inactive_customers(cust, orders).collect()
     assert [(r["c_nationkey"], r["n_custs"], r["total_bal"])
             for r in out] == [(0, 1, 300.0)]
+
+
+def test_order_distribution_includes_zero_order_customers(spark):
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long")
+    out = {r["c_count"]: r["custdist"] for r in
+           R.customer_order_distribution(cust, orders).collect()}
+    assert out == {2: 1, 1: 1, 0: 1}
