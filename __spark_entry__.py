@@ -1245,6 +1245,15 @@ def embedding_norm_profile(spark, sf_dir):
     return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
 
 
+def ts_xcorr(spark, sf_dir):
+    return TS.cross_correlation(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")), "AF", "NO")
+
+
+def dedup_threshold_sweep(spark, sf_dir):
+    return D.jaccard_threshold_sweep(_lt(spark, sf_dir, "documents"))
+
+
 def q13_order_distribution(spark, sf_dir):
     return R.customer_order_distribution(_lt(spark, sf_dir, "customer"),
                                          _lt(spark, sf_dir, "orders"))
@@ -1538,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cell_stats": ann_ivf_cell_stats,
         "q22_rich_inactive": q22_rich_inactive,
         "q13_order_distribution": q13_order_distribution,
+        "ts_xcorr": ts_xcorr,
+        "dedup_threshold_sweep": dedup_threshold_sweep,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3654,6 +3665,76 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["ts_xcorr"] = f"""
+        WITH long AS ({_LONG}),
+        a AS (SELECT date, value AS va FROM long WHERE code = 'AF'),
+        b AS (SELECT date, value AS vb FROM long WHERE code = 'NO'),
+        j AS (SELECT a.date, a.va, b.vb FROM a JOIN b ON a.date = b.date),
+        s AS (
+            SELECT va,
+                   lag(vb, 2) OVER w AS s0,
+                   lag(vb, 1) OVER w AS s1,
+                   vb AS s2,
+                   lead(vb, 1) OVER w AS s3,
+                   lead(vb, 2) OVER w AS s4
+            FROM j WINDOW w AS (ORDER BY date)
+        ),
+        p AS (
+            SELECT -2 AS lag_k, va, s0 AS b_shift FROM s
+            UNION ALL SELECT -1, va, s1 FROM s
+            UNION ALL SELECT 0, va, s2 FROM s
+            UNION ALL SELECT 1, va, s3 FROM s
+            UNION ALL SELECT 2, va, s4 FROM s
+        )
+        SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(corr(va, b_shift), 6) AS xcorr
+        FROM p WHERE b_shift IS NOT NULL
+        GROUP BY lag_k ORDER BY lag_k
+    """
+
+    sql["dedup_threshold_sweep"] = """
+        WITH norm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(length(s) - 2, 1) + 1),
+                       i -> substr(s, CAST(i AS INT), 3)))) AS sh
+            FROM norm
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        df_ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 200),
+        shf AS (SELECT sh.* FROM sh JOIN df_ok USING (sh)),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.15
+        ),
+        c AS (
+            SELECT
+                CAST(sum(CASE WHEN j >= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+                CAST(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+                CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+                CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+            FROM jac
+        )
+        SELECT CAST(0.15 AS DOUBLE) AS threshold, b0 AS n_pairs FROM c
+        UNION ALL SELECT CAST(0.3 AS DOUBLE), b1 FROM c
+        UNION ALL SELECT CAST(0.5 AS DOUBLE), b2 FROM c
+        UNION ALL SELECT CAST(0.7 AS DOUBLE), b3 FROM c
+        UNION ALL SELECT CAST(0.9 AS DOUBLE), b4 FROM c
+        ORDER BY threshold
     """
 
     sql["q13_order_distribution"] = """

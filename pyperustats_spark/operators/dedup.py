@@ -890,3 +890,32 @@ def minhash_eval_vs_exact(documents: DataFrame, n: int = 3,
         F.try_divide(F.col("n_hits"), F.col("n_candidates"))
         .alias("precision"),
     )
+
+
+def jaccard_threshold_sweep(documents: DataFrame, n: int = 3,
+                            bands: tuple[float, ...] = (0.15, 0.3, 0.5,
+                                                        0.7, 0.9),
+                            sort: bool = True) -> DataFrame:
+    """Threshold calibration curve for fuzzy dedup: how many exact
+    n-gram Jaccard pairs fall at-or-above each candidate threshold —
+    computed from ONE pass of the bucketed pair generator (the pairs
+    are scored once; the sweep is a conditional-count rollup, not one
+    pair job per threshold). This is how a pipeline picks τ on a
+    sample before committing the full-corpus dedup run.
+
+    Output: (threshold, n_pairs_at_or_above) — monotone non-increasing
+    by construction."""
+    pairs = ngram_jaccard_pairs(documents, n=n, threshold=min(bands),
+                                sort=False)
+    aggs = [
+        F.sum((F.col("jaccard") >= b).cast("bigint")).alias(f"_b{i}")
+        for i, b in enumerate(bands)
+    ]
+    row = pairs.agg(*aggs)
+    stacked = row.selectExpr(
+        "stack({}, {}) as (threshold, n_pairs)".format(
+            len(bands),
+            ", ".join(f"CAST({b} AS DOUBLE), _b{i}"
+                      for i, b in enumerate(bands)))
+    )
+    return stacked.orderBy("threshold") if sort else stacked

@@ -538,3 +538,44 @@ def acf(long_df: DataFrame, lags: tuple[int, ...] = (1, 2, 3),
              F.round(F.corr("value", "prev"), 6).alias("acf"))
     )
     return out.orderBy("code", "lag_k") if sort else out
+
+
+def cross_correlation(long_df: DataFrame, code_a: str, code_b: str,
+                      lags: tuple[int, ...] = (-2, -1, 0, 1, 2),
+                      sort: bool = True) -> DataFrame:
+    """Lead/lag cross-correlation between two series: corr of
+    (a_t, b_{t+k}) for each k in *lags* — positive-k peaks mean series
+    A LEADS B by k observations (the standard lead-indicator probe on
+    economic series).
+
+    The two series align on date via one inner join (both sides
+    pre-filtered to one code — tiny), then ONE window pass shifts B by
+    every lag and stack() unpivots; corr uses the round-6
+    stats_profile recipe. Row-lags on the joint date spine, so gaps
+    are skipped, not zero-filled (align first with gap_fill if
+    calendar lags are wanted)."""
+    a = long_df.where(F.col("code") == code_a).select(
+        "date", F.col("value").alias("_a"))
+    b = long_df.where(F.col("code") == code_b).select(
+        "date", F.col("value").alias("_b"))
+    joint = a.join(b, "date")
+    w = Window.orderBy("date")
+    # a single global window over ONE pre-joined series pair is the
+    # documented exception to the no-partition-less-window rule: the
+    # frame is |one series| rows (the two-code filter ran first), not
+    # corpus-scale — same audited class as the n_tiles share window
+    shifted = joint.select(
+        "_a",
+        *[F.lag("_b", -k).over(w).alias(f"_s{i}")
+          for i, k in enumerate(lags)],
+    )
+    stack_expr = "stack({}, {}) as (lag_k, b_shift)".format(
+        len(lags), ", ".join(f"{k}, _s{i}" for i, k in enumerate(lags)))
+    pairs = shifted.selectExpr("_a", stack_expr) \
+        .where(F.col("b_shift").isNotNull())
+    out = (
+        pairs.groupBy("lag_k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.round(F.corr("_a", "b_shift"), 6).alias("xcorr"))
+    )
+    return out.orderBy("lag_k") if sort else out

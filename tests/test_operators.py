@@ -1692,3 +1692,27 @@ def test_order_distribution_includes_zero_order_customers(spark):
     out = {r["c_count"]: r["custdist"] for r in
            R.customer_order_distribution(cust, orders).collect()}
     assert out == {2: 1, 1: 1, 0: 1}
+
+
+def test_cross_correlation_detects_lead(spark):
+    # B equals A shifted forward one step: corr peaks at lag_k = +1
+    a_vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0]
+    rows = []
+    for i, v in enumerate(a_vals):
+        rows.append((f"2020-01-{i+1:02d}", "A", v))
+    for i, v in enumerate(a_vals[:-1]):
+        rows.append((f"2020-01-{i+2:02d}", "B", v))  # B_t = A_{t-1}
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = {r["lag_k"]: r["xcorr"] for r in
+           TS.cross_correlation(df, "A", "B", lags=(-1, 0, 1)).collect()}
+    assert out[1] == 1.0            # A leads B by one step
+    assert out[0] < 1.0
+
+
+def test_threshold_sweep_monotone(spark, tables):
+    out = D.jaccard_threshold_sweep(tables["documents"]).collect()
+    counts = [r["n_pairs"] for r in sorted(out, key=lambda r: r["threshold"])]
+    assert counts == sorted(counts, reverse=True)
+    assert len(out) == 5

@@ -386,6 +386,9 @@ PLAN_SMELL_WHITELIST = {
                                                 # aggregates joined
     "q17_small_qty_revenue": {"SINGLE_PART"},   # global 1-row aggregate
     "q22_rich_inactive": {"BNLJ", "SINGLE_PART"},  # 1-row global average
+    "ts_xcorr": {"SINGLE_PART"},                # one pre-joined series
+                                                # pair (documented)
+    "dedup_threshold_sweep": {"SINGLE_PART"},   # 1-row sweep aggregate
 }
 
 
