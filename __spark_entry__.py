@@ -1245,6 +1245,12 @@ def embedding_norm_profile(spark, sf_dir):
     return S.norm_profile(_lt(spark, sf_dir, "embeddings"))
 
 
+def q_orphan_check(spark, sf_dir):
+    return R.referential_orphans(_lt(spark, sf_dir, "orders"),
+                                 _lt(spark, sf_dir, "customer"),
+                                 "o_custkey", "c_custkey")
+
+
 def ts_xcorr(spark, sf_dir):
     return TS.cross_correlation(
         TS.series_long(_lt(spark, sf_dir, "lineitem")), "AF", "NO")
@@ -1549,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_distribution": q13_order_distribution,
         "ts_xcorr": ts_xcorr,
         "dedup_threshold_sweep": dedup_threshold_sweep,
+        "q_orphan_check": q_orphan_check,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3665,6 +3672,20 @@ def oracle_sql() -> dict[str, str]:
              ON l.code = p.code
         GROUP BY p.code, p.n, p.change_date, p.cusum_stat
         ORDER BY p.code
+    """
+
+    sql["q_orphan_check"] = """
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   AS n_orphans,
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+                   / CAST((SELECT count(*) FROM orders) AS BIGINT)
+                   AS orphan_share
     """
 
     sql["ts_xcorr"] = f"""

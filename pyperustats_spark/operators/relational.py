@@ -1310,3 +1310,27 @@ def customer_order_distribution(customer: DataFrame,
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+def referential_orphans(child: DataFrame, parent: DataFrame,
+                        fk: str, pk: str) -> DataFrame:
+    """Referential-integrity data-card: child rows whose foreign key
+    has no parent (orphans), as one row of (n_child, n_orphans,
+    orphan_share) — at 100 TB a silently-dropped upstream partition
+    shows up here before it shows up as wrong joins downstream.
+
+    One anti-join on the integer key (only keys shuffle, AQE-decided)
+    plus two count aggregates; the share is a raw int/int quotient.
+    Audited 1-row output."""
+    orphans = child.select(F.col(fk).alias("_fk")).join(
+        parent.select(F.col(pk).alias("_fk")).distinct(),
+        "_fk", "left_anti")
+    return (
+        child.agg(F.count(F.lit(1)).alias("n_child"))
+        .join(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        .select(
+            "n_child", "n_orphans",
+            F.try_divide(F.col("n_orphans"), F.col("n_child"))
+            .alias("orphan_share"),
+        )
+    )

@@ -1716,3 +1716,12 @@ def test_threshold_sweep_monotone(spark, tables):
     counts = [r["n_pairs"] for r in sorted(out, key=lambda r: r["threshold"])]
     assert counts == sorted(counts, reverse=True)
     assert len(out) == 5
+
+
+def test_referential_orphans_counts(spark):
+    child = spark.createDataFrame([(1, 10), (2, 10), (3, 99)],
+                                  "id long, fk long")
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    r = R.referential_orphans(child, parent, "fk", "pk").collect()[0]
+    assert (r["n_child"], r["n_orphans"]) == (3, 1)
+    assert r["orphan_share"] == 1 / 3

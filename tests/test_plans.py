@@ -389,6 +389,7 @@ PLAN_SMELL_WHITELIST = {
     "ts_xcorr": {"SINGLE_PART"},                # one pre-joined series
                                                 # pair (documented)
     "dedup_threshold_sweep": {"SINGLE_PART"},   # 1-row sweep aggregate
+    "q_orphan_check": {"BNLJ", "SINGLE_PART"},  # two 1-row counts joined
 }
 
 
