@@ -1592,11 +1592,11 @@ _WINDOW = [
     "infogob_candidates_by_election", "infogob_candidates_pending",
     "infogob_candidate_detail_counts", "inei_stage_plan",
     "infogob_location_hierarchy", "infogob_results_by_region",
-    "text_vocab_topn", "text_oov_rate", "text_boilerplate",
-    "text_boilerplate_apply", "stats_mad_outliers",
-    "q_customer_quartiles",
+    "stats_mad_outliers", "q_customer_quartiles",
     "dedup_impact_report", "ev_active_users", "ts_acf",
     "ev_power_users", "q15_top_supplier",
+    "q13_order_distribution", "q22_rich_inactive", "ts_xcorr",
+    "q_orphan_check",
 ]
 
 
