@@ -1251,6 +1251,14 @@ def q_orphan_check(spark, sf_dir):
                                  "o_custkey", "c_custkey")
 
 
+def ts_max_drawdown(spark, sf_dir):
+    return TS.max_drawdown(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def ev_attribution_first(spark, sf_dir):
+    return E.first_touch_attribution(_lt(spark, sf_dir, "events"))
+
+
 def ts_xcorr(spark, sf_dir):
     return TS.cross_correlation(
         TS.series_long(_lt(spark, sf_dir, "lineitem")), "AF", "NO")
@@ -1556,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_xcorr": ts_xcorr,
         "dedup_threshold_sweep": dedup_threshold_sweep,
         "q_orphan_check": q_orphan_check,
+        "ts_max_drawdown": ts_max_drawdown,
+        "ev_attribution_first": ev_attribution_first,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3686,6 +3696,42 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT)
                    / CAST((SELECT count(*) FROM orders) AS BIGINT)
                    AS orphan_share
+    """
+
+    sql["ts_max_drawdown"] = f"""
+        WITH long AS ({_LONG}),
+        g AS (SELECT date, code, round(value, 2) AS v FROM long),
+        r AS (
+            SELECT date, code, v,
+                   max(v) OVER (PARTITION BY code ORDER BY date
+                                ROWS UNBOUNDED PRECEDING) AS peak
+            FROM g
+        ),
+        d AS (
+            SELECT *, v / peak - 1 AS dd,
+                   row_number() OVER (
+                       PARTITION BY code ORDER BY v / peak - 1 ASC,
+                       date ASC) AS rk
+            FROM r
+        )
+        SELECT code, date AS trough_date, peak AS peak_value,
+               v AS trough_value, dd AS max_drawdown
+        FROM d WHERE rk = 1 ORDER BY code
+    """
+
+    sql["ev_attribution_first"] = """
+        WITH t AS (
+            SELECT event_id, user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                       RANGE BETWEEN 86400000000 PRECEDING
+                             AND 1 PRECEDING) AS touch_ts
+            FROM events
+        )
+        SELECT event_id, user_id, ts AS conv_ts, touch_ts,
+               touch_ts IS NOT NULL AS attributed
+        FROM t WHERE event_type = 'purchase' ORDER BY event_id
     """
 
     sql["ts_xcorr"] = f"""

@@ -397,3 +397,36 @@ def power_user_concentration(events: DataFrame, n_tiles: int = 10,
         .alias("cum_share"),
     )
     return out.orderBy("tile") if sort else out
+
+
+def first_touch_attribution(events: DataFrame,
+                            conv_type: str = "purchase",
+                            touch_type: str = "view",
+                            window_minutes: int = 1440,
+                            sort: bool = True) -> DataFrame:
+    """First-touch attribution: for every conversion, the EARLIEST
+    *touch_type* event inside the attribution window before it —
+    credit-to-origin, the complement of
+    :func:`last_touch_attribution`'s credit-to-closer.
+
+    The window-bounded earliest touch is a conditional min over a
+    RANGE frame in integer microseconds ([-window, -1] relative to the
+    conversion — a same-microsecond touch cannot claim it), so the
+    window bound lives in the frame itself rather than a post-filter.
+    One user-key shuffle, integer comparisons only."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-window_minutes * 60_000_000, -1)
+    )
+    first_touch = F.min(
+        F.when(F.col("event_type") == touch_type, F.col("ts"))).over(w)
+    out = (
+        events.select("event_id", "user_id", "ts", "event_type",
+                      first_touch.alias("touch_ts"))
+        .where(F.col("event_type") == conv_type)
+        .select("event_id", "user_id", F.col("ts").alias("conv_ts"),
+                "touch_ts",
+                F.col("touch_ts").isNotNull().alias("attributed"))
+    )
+    return out.orderBy("event_id") if sort else out

@@ -579,3 +579,36 @@ def cross_correlation(long_df: DataFrame, code_a: str, code_b: str,
              F.round(F.corr("_a", "b_shift"), 6).alias("xcorr"))
     )
     return out.orderBy("lag_k") if sort else out
+
+
+def max_drawdown(long_df: DataFrame, sort: bool = True) -> DataFrame:
+    """Maximum drawdown per series: the deepest peak-to-trough fall of
+    the running maximum, with the trough date and the peak level — the
+    standard risk/stress diagnostic on a level series.
+
+    Every input value is grid-recovered FIRST (round-2: the values are
+    money-grid groupBy sums whose raw bits differ by engine ulps), so
+    the running max, the drawdown ratio, and the argmin tiebreak all
+    see identical doubles cross-engine — same determinism recipe as
+    the CUSUM locator. One series-key shuffle; ordered running max is
+    linear per partition."""
+    w = Window.partitionBy("code").orderBy("date") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    v = F.round(F.col("value"), 2)
+    base = long_df.select("date", "code", v.alias("_v")) \
+        .withColumn("_peak", F.max("_v").over(w)) \
+        .withColumn("_dd", F.try_divide(F.col("_v"), F.col("_peak")) - 1)
+    pick = base.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("code").orderBy(F.col("_dd").asc(),
+                                               F.col("date").asc())),
+    ).where(F.col("_rk") == 1)
+    out = pick.select(
+        "code",
+        F.col("date").alias("trough_date"),
+        F.col("_peak").alias("peak_value"),
+        F.col("_v").alias("trough_value"),
+        F.col("_dd").alias("max_drawdown"),
+    )
+    return out.orderBy("code") if sort else out

@@ -1725,3 +1725,34 @@ def test_referential_orphans_counts(spark):
     r = R.referential_orphans(child, parent, "fk", "pk").collect()[0]
     assert (r["n_child"], r["n_orphans"]) == (3, 1)
     assert r["orphan_share"] == 1 / 3
+
+
+def test_max_drawdown_peak_trough(spark):
+    rows = [("2020-01-01", "A", 100.0), ("2020-01-02", "A", 120.0),
+            ("2020-01-03", "A", 60.0),  # trough: 50% off the 120 peak
+            ("2020-01-04", "A", 130.0),
+            ("2020-01-01", "B", 10.0), ("2020-01-02", "B", 11.0)]
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = {r["code"]: r for r in TS.max_drawdown(df).collect()}
+    a = out["A"]
+    assert a["trough_date"].day == 3 and a["peak_value"] == 120.0
+    assert a["max_drawdown"] == 60.0 / 120.0 - 1
+    assert out["B"]["max_drawdown"] == 0.0  # monotone series never draws down
+
+
+def test_first_touch_attribution_window_bound(spark):
+    rows = [
+        (1, "2020-01-01 00:00:00", 1, "view"),
+        (2, "2020-01-01 00:10:00", 1, "view"),
+        (3, "2020-01-01 00:30:00", 1, "purchase"),  # first touch = 00:00
+        (4, "2020-01-05 00:00:00", 1, "purchase"),  # both views too old
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r for r in
+           E.first_touch_attribution(ev, window_minutes=1440).collect()}
+    assert out[3]["attributed"] and out[3]["touch_ts"].minute == 0
+    assert not out[4]["attributed"]
