@@ -1251,6 +1251,19 @@ def q_orphan_check(spark, sf_dir):
                                  "o_custkey", "c_custkey")
 
 
+def ts_beta(spark, sf_dir):
+    return TS.series_beta(TS.series_long(_lt(spark, sf_dir, "lineitem")),
+                          "AF", "NO")
+
+
+def text_lang_purity(spark, sf_dir):
+    return T.lang_purity_by_source(_lt(spark, sf_dir, "documents"))
+
+
+def ev_gap_stats(spark, sf_dir):
+    return E.inter_event_gap_stats(_lt(spark, sf_dir, "events"))
+
+
 def ts_max_drawdown(spark, sf_dir):
     return TS.max_drawdown(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
@@ -1566,6 +1579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orphan_check": q_orphan_check,
         "ts_max_drawdown": ts_max_drawdown,
         "ev_attribution_first": ev_attribution_first,
+        "ts_beta": ts_beta,
+        "text_lang_purity": text_lang_purity,
+        "ev_gap_stats": ev_gap_stats,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3696,6 +3712,79 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT)
                    / CAST((SELECT count(*) FROM orders) AS BIGINT)
                    AS orphan_share
+    """
+
+    sql["ts_beta"] = f"""
+        WITH long AS ({_LONG}),
+        y AS (SELECT date, value AS vy FROM long WHERE code = 'AF'),
+        x AS (SELECT date, value AS vx FROM long WHERE code = 'NO'),
+        j AS (SELECT y.vy, x.vx FROM y JOIN x ON y.date = x.date),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_obs,
+                   round(covar_samp(vy, vx) / var_samp(vx), 6) AS beta,
+                   round(sum(vy), 2) / count(*) AS my,
+                   round(sum(vx), 2) / count(*) AS mx
+            FROM j
+        )
+        SELECT n_obs, beta, my - beta * mx AS intercept FROM a
+    """
+
+    sql["text_lang_purity"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source, lang, {_TOKENS} AS t,
+                   CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                        AS DOUBLE)
+                       / greatest(length(text), 1) AS cjk_ratio
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, source, lang, cjk_ratio,
+                   {_sw_hits("en").replace(_TOKENS, "t")} AS h_en,
+                   {_sw_hits("es").replace(_TOKENS, "t")} AS h_es,
+                   {_sw_hits("de").replace(_TOKENS, "t")} AS h_de,
+                   {_sw_hits("fr").replace(_TOKENS, "t")} AS h_fr
+            FROM toks
+        ),
+        pred AS (
+            SELECT source, lang,
+                   CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+                        WHEN greatest(h_en, h_es, h_de, h_fr) > 0
+                             AND h_en = greatest(h_en, h_es, h_de, h_fr)
+                             THEN 'en'
+                        WHEN greatest(h_en, h_es, h_de, h_fr) > 0
+                             AND h_es = greatest(h_en, h_es, h_de, h_fr)
+                             THEN 'es'
+                        WHEN greatest(h_en, h_es, h_de, h_fr) > 0
+                             AND h_de = greatest(h_en, h_es, h_de, h_fr)
+                             THEN 'de'
+                        WHEN greatest(h_en, h_es, h_de, h_fr) > 0
+                             AND h_fr = greatest(h_en, h_es, h_de, h_fr)
+                             THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM hits
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match,
+               CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                    AS BIGINT) / CAST(count(*) AS BIGINT) AS purity
+        FROM pred GROUP BY source ORDER BY source
+    """
+
+    sql["ev_gap_stats"] = """
+        WITH g AS (
+            SELECT event_type,
+                   date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id),
+                             ts) AS gap
+            FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               quantile_cont(gap, 0.5) AS p50_gap_us,
+               quantile_cont(gap, 0.9) AS p90_gap_us
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
     """
 
     sql["ts_max_drawdown"] = f"""

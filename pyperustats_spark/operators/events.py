@@ -430,3 +430,28 @@ def first_touch_attribution(events: DataFrame,
                 F.col("touch_ts").isNotNull().alias("attributed"))
     )
     return out.orderBy("event_id") if sort else out
+
+
+def inter_event_gap_stats(events: DataFrame,
+                          sort: bool = True) -> DataFrame:
+    """Inter-event gap profile per event type: median and p90 of the
+    within-user gaps (integer microseconds), plus the gap count — the
+    cadence fingerprint that separates organic usage from schedulers.
+
+    Gaps come from one per-user lag window over the SAME (ts,
+    event_id) total order as sessionize; the grouped exact percentiles
+    interpolate INTEGER microsecond values — identical arithmetic in
+    both engines (the stats_profile/mad class; approx_percentile swap
+    at 100 TB)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gaps = events.select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    out = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.percentile("_gap", F.lit(0.5)).alias("p50_gap_us"),
+        F.percentile("_gap", F.lit(0.9)).alias("p90_gap_us"),
+    )
+    return out.orderBy("event_type") if sort else out

@@ -904,3 +904,26 @@ def char_entropy(documents: DataFrame, sort: bool = True) -> DataFrame:
         let(F.split(F.coalesce(F.col("text"), F.lit("")), ""), ent).alias("e"),
     ).select("doc_id", "e.n_chars_counted", "e.entropy_bits")
     return out.orderBy("doc_id") if sort else out
+
+
+def lang_purity_by_source(documents: DataFrame,
+                          sort: bool = True) -> DataFrame:
+    """Per-source language purity: share of documents whose predicted
+    language (:func:`lang_id`) agrees with the labeled ``lang`` column
+    — the mislabeling data-card that decides whether a source's lang
+    metadata can be trusted for routing/splitting.
+
+    Reuses the sort=False lang_id pass; one AQE-decided id join and a
+    count rollup; shares are raw int/int quotients."""
+    pred = lang_id(documents, sort=False).select("doc_id", "lang_pred")
+    j = documents.select("doc_id", "source", "lang").join(pred, "doc_id")
+    out = (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("lang_pred") == F.col("lang")).cast("bigint"))
+            .alias("n_match"),
+        )
+        .withColumn("purity", F.col("n_match") / F.col("n_docs"))
+    )
+    return out.orderBy("source") if sort else out

@@ -612,3 +612,33 @@ def max_drawdown(long_df: DataFrame, sort: bool = True) -> DataFrame:
         F.col("_dd").alias("max_drawdown"),
     )
     return out.orderBy("code") if sort else out
+
+
+def series_beta(long_df: DataFrame, code_y: str, code_x: str,
+                sort: bool = True) -> DataFrame:
+    """Regression beta of series Y on series X (hedge-ratio /
+    sensitivity): slope = covar_samp/var_samp on date-aligned
+    observations, with the intercept and sample size — the scalar
+    companion of :func:`cross_correlation`.
+
+    One inner join on date (both sides pre-filtered to one code), one
+    1-row aggregate. covar/var follow the stats_profile round-6 corr
+    recipe (estimator sums differ by engine ulps; round-6 absorbs
+    them); the intercept derives from the ROUNDED slope and
+    grid-recovered means so both engines compute identical bits."""
+    y = long_df.where(F.col("code") == code_y).select(
+        "date", F.col("value").alias("_y"))
+    x = long_df.where(F.col("code") == code_x).select(
+        "date", F.col("value").alias("_x"))
+    j = y.join(x, "date")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.try_divide(F.covar_samp("_y", "_x"),
+                             F.var_samp("_x")), 6).alias("beta"),
+        (F.round(F.sum("_y"), 2) / F.count(F.lit(1))).alias("_my"),
+        (F.round(F.sum("_x"), 2) / F.count(F.lit(1))).alias("_mx"),
+    )
+    return agg.select(
+        "n_obs", "beta",
+        (F.col("_my") - F.col("beta") * F.col("_mx")).alias("intercept"),
+    )

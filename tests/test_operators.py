@@ -1756,3 +1756,45 @@ def test_first_touch_attribution_window_bound(spark):
            E.first_touch_attribution(ev, window_minutes=1440).collect()}
     assert out[3]["attributed"] and out[3]["touch_ts"].minute == 0
     assert not out[4]["attributed"]
+
+
+def test_series_beta_recovers_linear_relation(spark):
+    # y = 2x + 5 exactly -> beta 2, intercept 5
+    rows = []
+    for i, x in enumerate([1.0, 2.0, 3.0, 4.0, 5.0]):
+        d = f"2020-01-{i+1:02d}"
+        rows.append((d, "X", x))
+        rows.append((d, "Y", 2 * x + 5))
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    r = TS.series_beta(df, "Y", "X").collect()[0]
+    assert r["n_obs"] == 5 and r["beta"] == 2.0 and r["intercept"] == 5.0
+
+
+def test_lang_purity_counts_matches(spark):
+    from pyperustats_spark.operators import textops as T
+    good = "the cat and the dog sat with the mat for the win was it"
+    docs = spark.createDataFrame(
+        [(1, good, "en", "A"), (2, good, "es", "A"), (3, good, "en", "B")],
+        "doc_id bigint, text string, lang string, source string")
+    out = {r["source"]: r for r in T.lang_purity_by_source(docs).collect()}
+    assert out["A"]["n_match"] == 1 and out["A"]["purity"] == 0.5
+    assert out["B"]["purity"] == 1.0
+
+
+def test_inter_event_gap_stats_per_type(spark):
+    rows = [
+        (1, "2020-01-01 00:00:00", 1, "view"),
+        (2, "2020-01-01 00:01:00", 1, "view"),   # 60s gap
+        (3, "2020-01-01 00:04:00", 1, "view"),   # 180s gap
+        (4, "2020-01-01 00:00:00", 2, "click"),  # no gap (single)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_type"]: r for r in
+           E.inter_event_gap_stats(ev).collect()}
+    assert out["view"]["n_gaps"] == 2
+    assert out["view"]["p50_gap_us"] == 120_000_000.0  # midpoint of 60/180s
+    assert "click" not in out

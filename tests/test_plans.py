@@ -390,6 +390,7 @@ PLAN_SMELL_WHITELIST = {
                                                 # pair (documented)
     "dedup_threshold_sweep": {"SINGLE_PART"},   # 1-row sweep aggregate
     "q_orphan_check": {"BNLJ", "SINGLE_PART"},  # two 1-row counts joined
+    "ts_beta": {"SINGLE_PART"},                 # 1-row regression agg
 }
 
 
