@@ -1251,6 +1251,22 @@ def q_orphan_check(spark, sf_dir):
                                  "o_custkey", "c_custkey")
 
 
+def ts_rebase_index(spark, sf_dir):
+    # value engine-rounds to 4 (grid recovery, as in every ts_* query);
+    # index_value is a derived ratio of grid-recovered inputs -> RAW
+    return _round(
+        TS.rebase_index(
+            TS.series_long(_lt(spark, sf_dir, "lineitem")), "1996-01-05"),
+        {"value": 4},
+    )
+
+
+def catalog_coverage(spark, sf_dir):
+    return R.catalog_coverage_report(_lt(spark, sf_dir, "part"),
+                                     _lt(spark, sf_dir, "orders"),
+                                     _lt(spark, sf_dir, "lineitem"))
+
+
 def ts_beta(spark, sf_dir):
     return TS.series_beta(TS.series_long(_lt(spark, sf_dir, "lineitem")),
                           "AF", "NO")
@@ -1582,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_beta": ts_beta,
         "text_lang_purity": text_lang_purity,
         "ev_gap_stats": ev_gap_stats,
+        "ts_rebase_index": ts_rebase_index,
+        "catalog_coverage": catalog_coverage,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3712,6 +3730,44 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT)
                    / CAST((SELECT count(*) FROM orders) AS BIGINT)
                    AS orphan_share
+    """
+
+    sql["ts_rebase_index"] = f"""
+        WITH long AS ({_LONG}),
+        g AS (SELECT date, code, value, round(value, 2) AS v FROM long),
+        b AS (
+            SELECT code, v AS base FROM g
+            WHERE date = TIMESTAMP '1996-01-05'
+        )
+        SELECT g.date, g.code, round(g.value, 4) AS value,
+               100.0 * g.v / b.base AS index_value
+        FROM g LEFT JOIN b ON g.code = b.code
+        ORDER BY g.date, g.code
+    """
+
+    sql["catalog_coverage"] = """
+        WITH pt AS (
+            SELECT p_type, CAST(count(*) AS BIGINT) AS n_codes
+            FROM part GROUP BY p_type
+        ),
+        li AS (
+            SELECT p.p_type, l.l_partkey, l.l_shipdate
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        obs AS (
+            SELECT p_type,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_active,
+                   min(l_shipdate) AS first_obs,
+                   max(l_shipdate) AS last_obs,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM li GROUP BY p_type
+        )
+        SELECT pt.p_type, pt.n_codes,
+               COALESCE(obs.n_active, 0) AS n_active,
+               obs.first_obs, obs.last_obs,
+               COALESCE(obs.n_obs, 0) AS n_obs
+        FROM pt LEFT JOIN obs ON pt.p_type = obs.p_type
+        ORDER BY pt.p_type
     """
 
     sql["ts_beta"] = f"""

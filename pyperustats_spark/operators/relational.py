@@ -1334,3 +1334,40 @@ def referential_orphans(child: DataFrame, parent: DataFrame,
             .alias("orphan_share"),
         )
     )
+
+
+def catalog_coverage_report(part: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame) -> DataFrame:
+    """Catalogue coverage data-card per frequency class: how many
+    codes exist, how many actually have observations, and the span of
+    those observations — the reference's metadata questions ("which
+    codes are alive, over what range?", metadata.py date-range +
+    active_codes) as one rollup.
+
+    The part/lineitem bridge is an integer-key join carrying only
+    (freq, date) pairs into the rollup; code liveness is a distinct
+    count per class (exact here — the classes are few; at catalogue
+    scale swap approx_count_distinct per the HLL rule)."""
+    li = (
+        lineitem.select("l_partkey", "l_shipdate")
+        .join(part.select("p_partkey", "p_type"),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_type = part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_codes"))
+    obs = li.groupBy("p_type").agg(
+        F.count_distinct("l_partkey").alias("n_active"),
+        F.min("l_shipdate").alias("first_obs"),
+        F.max("l_shipdate").alias("last_obs"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return (
+        per_type.join(obs, "p_type", "left")
+        .select(
+            "p_type", "n_codes",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            "first_obs", "last_obs",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+        .orderBy("p_type")
+    )

@@ -642,3 +642,30 @@ def series_beta(long_df: DataFrame, code_y: str, code_x: str,
         "n_obs", "beta",
         (F.col("_my") - F.col("beta") * F.col("_mx")).alias("intercept"),
     )
+
+
+def rebase_index(long_df: DataFrame, base_date: str,
+                 sort: bool = True) -> DataFrame:
+    """Rebase every series to index = 100 at *base_date* — how central-
+    bank series are published and compared (reference frames carry
+    '(índice 2007=100)'-style units); series lacking an observation on
+    the base date get NULL indices rather than a silent drop.
+
+    The per-series base is a one-row-per-code frame joined back
+    (AQE-decided); both sides grid-recover their value (round-2) so
+    the ratio divides identical doubles and ships RAW (never round
+    derived output — working-notes rule)."""
+    v = F.round(F.col("value"), 2)
+    base = long_df.where(
+        F.col("date") == F.lit(base_date).cast("timestamp")
+    ).select("code", v.alias("_base"))
+    out = (
+        long_df.select("date", "code", "value", v.alias("_v"))
+        .join(base, "code", "left")
+        .select(
+            "date", "code", "value",
+            (F.lit(100.0) * F.try_divide(F.col("_v"), F.col("_base")))
+            .alias("index_value"),
+        )
+    )
+    return out.orderBy("date", "code") if sort else out

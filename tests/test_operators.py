@@ -1798,3 +1798,29 @@ def test_inter_event_gap_stats_per_type(spark):
     assert out["view"]["n_gaps"] == 2
     assert out["view"]["p50_gap_us"] == 120_000_000.0  # midpoint of 60/180s
     assert "click" not in out
+
+
+def test_rebase_index_base_100(spark):
+    rows = [("2020-01-01", "A", 50.0), ("2020-01-02", "A", 75.0),
+            ("2020-01-02", "B", 7.0)]  # B has no base-date obs
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = {(r["code"], r["date"].day): r["index_value"]
+           for r in TS.rebase_index(df, "2020-01-01").collect()}
+    assert out[("A", 1)] == 100.0 and out[("A", 2)] == 150.0
+    assert out[("B", 2)] is None  # no silent drop, explicit NULL
+
+
+def test_catalog_coverage_includes_inactive_codes(spark):
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "PROMO"), (3, "GHOST")],
+        "p_partkey long, p_type string")
+    li = spark.createDataFrame(
+        [(1, "1996-01-01"), (1, "1996-03-01")],
+        "l_partkey long, l_shipdate string"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    out = {r["p_type"]: r for r in
+           R.catalog_coverage_report(part, None, li).collect()}
+    assert out["PROMO"]["n_codes"] == 2 and out["PROMO"]["n_active"] == 1
+    assert out["GHOST"]["n_active"] == 0 and out["GHOST"]["first_obs"] is None
