@@ -291,24 +291,35 @@ def interpolate_linear(long_df: DataFrame) -> DataFrame:
     reference approximates by re-fetching complete ranges).
 
     Two window passes over one shuffle: last/next non-null value and
-    their dates via ``last/first(ignorenulls)`` over unbounded frames,
-    then the interpolation weight from day distances. Boundary rows
-    (no earlier or no later observation) keep the one-sided value."""
+    their dates via running ``last(ignorenulls)`` frames, then the
+    interpolation weight from day distances. Boundary rows (no earlier
+    or no later observation) keep the one-sided value.
+
+    The "next" side deliberately uses a REVERSE-ordered running frame
+    (orderBy date DESC, unboundedPreceding→current) instead of the
+    natural ``first() over (current→unboundedFollowing)``: Spark's
+    UnboundedFollowing frame processor re-scans the remainder of the
+    partition for EVERY row — O(n²) per series, measured 85× wall for
+    10× series length on the depth stress set — while both running
+    frames here are incremental O(n) (one extra in-partition sort,
+    same single exchange)."""
     filled = gap_fill(long_df, sort=False)
     w_prev = (
         Window.partitionBy("code").orderBy("date")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # reverse order: "rows preceding" = dates AFTER the current row, so
+    # a running last(ignorenulls) is the nearest at-or-after observation
     w_next = (
-        Window.partitionBy("code").orderBy("date")
-        .rowsBetween(0, Window.unboundedFollowing)
+        Window.partitionBy("code").orderBy(F.desc("date"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     prev_v = F.last("value", ignorenulls=True).over(w_prev)
-    next_v = F.first("value", ignorenulls=True).over(w_next)
+    next_v = F.last("value", ignorenulls=True).over(w_next)
     prev_d = F.last(
         F.when(F.col("value").isNotNull(), F.col("date")), ignorenulls=True
     ).over(w_prev)
-    next_d = F.first(
+    next_d = F.last(
         F.when(F.col("value").isNotNull(), F.col("date")), ignorenulls=True
     ).over(w_next)
     span = F.unix_date(F.to_date(next_d)) - F.unix_date(F.to_date(prev_d))

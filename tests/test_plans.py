@@ -130,6 +130,20 @@ def test_plan_sweep_hints_and_scale_smells(spark):
             smells.add("BNLJ")
         if "Exchange SinglePartition" in txt:
             smells.add("SINGLE_PART")
+        # frames with a MOVING start that end at unboundedfollowing hit
+        # Spark's UnboundedFollowing frame processor, which re-scans the
+        # partition remainder per row — O(n²) per partition
+        # (ts_interpolate_linear measured 85× wall at 10× depth before
+        # its reverse-ordered running-frame rewrite). Whole-partition
+        # frames (unboundedpreceding → unboundedfollowing) evaluate
+        # once per group and are fine.
+        import re as _re
+        low = txt.lower()
+        for m in _re.finditer("unboundedfollowing", low):
+            # the frame's start bound prints just before its end bound
+            if "unboundedpreceding" not in low[max(0, m.start() - 80):
+                                              m.start()]:
+                smells.add("UNBOUNDED_FOLLOWING")
         extra = smells - PLAN_SMELL_WHITELIST.get(key, set())
         if extra:
             smell_offenders[key] = sorted(extra)
