@@ -1251,6 +1251,14 @@ def q_orphan_check(spark, sf_dir):
                                  "o_custkey", "c_custkey")
 
 
+def ts_decompose(spark, sf_dir):
+    return _round(
+        TS.decompose_additive(
+            TS.series_long(_lt(spark, sf_dir, "lineitem"))),
+        {"value": 4},
+    )
+
+
 def ts_rebase_index(spark, sf_dir):
     # value engine-rounds to 4 (grid recovery, as in every ts_* query);
     # index_value is a derived ratio of grid-recovered inputs -> RAW
@@ -1600,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_gap_stats": ev_gap_stats,
         "ts_rebase_index": ts_rebase_index,
         "catalog_coverage": catalog_coverage,
+        "ts_decompose": ts_decompose,
     }
     window = [k for k in _WINDOW if k in q]
     rest = [k for k in q if k not in _WINDOW]
@@ -3730,6 +3739,31 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT)
                    / CAST((SELECT count(*) FROM orders) AS BIGINT)
                    AS orphan_share
+    """
+
+    sql["ts_decompose"] = f"""
+        WITH long AS ({_LONG}),
+        t AS (
+            SELECT date, code, value,
+                   round(sum(value) OVER w13, 2)
+                       / count(*) OVER w13 AS trend,
+                   round(value, 2)
+                   - round(sum(value) OVER w13, 2) / count(*) OVER w13
+                       AS detrended
+            FROM long
+            WINDOW w13 AS (PARTITION BY code ORDER BY date
+                           ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        ),
+        s AS (
+            SELECT code, CAST(month(date) AS INT) AS m,
+                   round(sum(detrended) / count(*), 6) AS seasonal
+            FROM t GROUP BY code, m
+        )
+        SELECT t.date, t.code, round(t.value, 4) AS value, t.trend,
+               s.seasonal, t.detrended - s.seasonal AS residual
+        FROM t JOIN s ON t.code = s.code
+               AND CAST(month(t.date) AS INT) = s.m
+        ORDER BY t.date, t.code
     """
 
     sql["ts_rebase_index"] = f"""

@@ -680,3 +680,37 @@ def rebase_index(long_df: DataFrame, base_date: str,
         )
     )
     return out.orderBy("date", "code") if sort else out
+
+
+def decompose_additive(long_df: DataFrame, half_window: int = 6,
+                       sort: bool = True) -> DataFrame:
+    """Classical additive decomposition per series:
+    value ≈ trend (centered MA) + seasonal (month-of-year mean of the
+    detrended series) + residual — :func:`trend_ma` and a seasonal
+    join composed into the one decomposition table analysts actually
+    read.
+
+    Determinism ladder: trend and detrended are bit-identical
+    cross-engine (grid-recovery, see trend_ma); the seasonal means
+    aggregate those identical doubles in engine-specific order, so
+    they carry round-6 (the corr/stats_profile acceptance class) and
+    the residual then derives from identical post-round inputs and
+    ships raw. Shuffles: one series window + one (code, month) rollup
+    + an AQE-decided join back of the 12-rows-per-code seasonal
+    frame."""
+    base = trend_ma(long_df, half_window=half_window, sort=False)
+    month = F.month("date")
+    seasonal = (
+        base.groupBy("code", month.alias("_m"))
+        .agg(F.round(F.sum("detrended") / F.count(F.lit(1)), 6)
+             .alias("seasonal"))
+    )
+    out = (
+        base.withColumn("_m", month)
+        .join(seasonal, ["code", "_m"])
+        .select(
+            "date", "code", "value", "trend", "seasonal",
+            (F.col("detrended") - F.col("seasonal")).alias("residual"),
+        )
+    )
+    return out.orderBy("date", "code") if sort else out

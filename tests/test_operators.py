@@ -1824,3 +1824,18 @@ def test_catalog_coverage_includes_inactive_codes(spark):
            R.catalog_coverage_report(part, None, li).collect()}
     assert out["PROMO"]["n_codes"] == 2 and out["PROMO"]["n_active"] == 1
     assert out["GHOST"]["n_active"] == 0 and out["GHOST"]["first_obs"] is None
+
+
+def test_decompose_additive_reconstructs(spark):
+    # 13-day flat series + one month boundary: trend == level,
+    # seasonal == 0, residual == 0, and the parts sum back to value
+    rows = [(f"2020-01-{d:02d}", "A", 10.0) for d in range(1, 14)]
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = TS.decompose_additive(df, half_window=2).collect()
+    for r in out:
+        assert r["trend"] == 10.0 and r["seasonal"] == 0.0
+        assert r["residual"] == 0.0
+        assert abs((r["trend"] + r["seasonal"] + r["residual"])
+                   - r["value"]) < 1e-9
