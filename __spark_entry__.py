@@ -3754,11 +3754,18 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w13 AS (PARTITION BY code ORDER BY date
                            ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
         ),
-        s AS (
-            SELECT code, CAST(month(date) AS INT) AS m,
-                   round(sum(detrended) / count(*), 6) AS seasonal
-            FROM t GROUP BY code, m
-        )
+        c AS (
+            SELECT code, CAST(month(date) AS INT) AS m, date, detrended,
+                   sum(detrended) OVER (
+                       PARTITION BY code, month(date) ORDER BY date
+                       ROWS UNBOUNDED PRECEDING) AS cs,
+                   count(*) OVER (PARTITION BY code, month(date)) AS n,
+                   row_number() OVER (
+                       PARTITION BY code, month(date)
+                       ORDER BY date DESC) AS rk
+            FROM t
+        ),
+        s AS (SELECT code, m, cs / n AS seasonal FROM c WHERE rk = 1)
         SELECT t.date, t.code, round(t.value, 4) AS value, t.trend,
                s.seasonal, t.detrended - s.seasonal AS residual
         FROM t JOIN s ON t.code = s.code

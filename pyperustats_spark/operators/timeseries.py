@@ -691,23 +691,32 @@ def decompose_additive(long_df: DataFrame, half_window: int = 6,
     read.
 
     Determinism ladder: trend and detrended are bit-identical
-    cross-engine (grid-recovery, see trend_ma); the seasonal means
-    aggregate those identical doubles in engine-specific order, so
-    they carry round-6 (the corr/stats_profile acceptance class) and
-    the residual then derives from identical post-round inputs and
-    ships raw. Shuffles: one series window + one (code, month) rollup
-    + an AQE-decided join back of the 12-rows-per-code seasonal
-    frame."""
-    base = trend_ma(long_df, half_window=half_window, sort=False)
-    month = F.month("date")
+    cross-engine (grid-recovery, see trend_ma); the seasonal mean sums
+    those identical doubles with an ORDERED cumulative window — both
+    engines accumulate in the same date order, so the sum (and the raw
+    mean, and the residual) is bit-identical too. A plain groupBy sum
+    here was measured FLAKY: Spark's partial-aggregate merge order
+    varies run-to-run, and 3 of 72 seasonal means on the test data sit
+    within 1e-8 of a round-6 midpoint — no output rounding can fix an
+    input that wobbles. Shuffles: one series window + one (code,
+    month) window + an AQE-decided join back of the 12-rows-per-code
+    seasonal frame."""
+    base = trend_ma(long_df, half_window=half_window, sort=False) \
+        .withColumn("_m", F.month("date"))
+    wcm = Window.partitionBy("code", "_m")
+    csum = F.sum("detrended").over(
+        wcm.orderBy("date").rowsBetween(Window.unboundedPreceding, 0))
+    rk = F.row_number().over(wcm.orderBy(F.desc("date")))
     seasonal = (
-        base.groupBy("code", month.alias("_m"))
-        .agg(F.round(F.sum("detrended") / F.count(F.lit(1)), 6)
-             .alias("seasonal"))
+        base.withColumn("_cs", csum)
+        .withColumn("_n", F.count(F.lit(1)).over(wcm))
+        .withColumn("_rk", rk)
+        .where(F.col("_rk") == 1)
+        .select("code", "_m",
+                (F.col("_cs") / F.col("_n")).alias("seasonal"))
     )
     out = (
-        base.withColumn("_m", month)
-        .join(seasonal, ["code", "_m"])
+        base.join(seasonal, ["code", "_m"])
         .select(
             "date", "code", "value", "trend", "seasonal",
             (F.col("detrended") - F.col("seasonal")).alias("residual"),
