@@ -1618,38 +1618,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in [*window, *rest]}
 
 
-# The driver-verified 50-slot window (round-5 second-half rotation):
-# every oracle-backed operator added THIS round — the 21 session
-# additions (corpus-snapshot management, q7/q10/q14/q19, CUSUM + trend,
-# pre-flight diagnostics, session/attribution, fuzzy search, norm
-# profile) and the 12 first-half additions (LM scoring, TF-IDF,
-# seasonal index, windowed funnel, winsorize, cluster sizes, q4/q12,
-# org pending, decontaminate, mix sample) — plus 17 round-4 operators
-# that rounds 1-4 never driver-verified (electoral/INEI normalization,
-# vocab/OOV/boilerplate family, MAD, funnel, retention, quartiles).
-# Everything displaced moves behind the window; the local parity gate
-# still value-checks all 132 oracle-backed queries every run.
+# The driver-verified 50-slot window (round-6 rotation): the 43
+# oracle-backed queries no driver round (r1-r5) ever checked — the
+# late-round-5 additions (ts_decompose/rebase/beta/drawdown, coverage,
+# gap stats, first-touch attribution, lang purity, threshold sweep,
+# q17/q18) plus the round-3/4 middle block (chunk/pack/vocab/OOV/
+# boilerplate, splits/samples, skew demos, funnel/retention, centroids)
+# that always sat behind fresher rotations — followed by the 7
+# oracle-backed queries whose last countersign was round 1/3, oldest
+# first. With this rotation every oracle in the repo has been
+# driver-verified at least once across r4-r6. Everything displaced
+# moves behind the window; the local parity gate still value-checks
+# all oracle-backed queries every run.
 _WINDOW = [
-    "dedup_incremental", "dedup_stats_by_source", "dedup_source_overlap",
-    "split_leakage_safe", "ev_transitions", "text_length_histogram",
-    "text_drop_short_tail", "q7_nation_volume", "q10_returned_items",
-    "q14_promo_share", "ts_cusum_changepoint", "ev_skew_profile",
-    "ev_burst_profile", "text_token_budget_sample",
-    "text_quality_by_source", "ev_session_stats", "ev_attribution",
-    "ts_trend_ma", "q19_disjunctive_revenue", "catalog_fuzzy_search",
-    "embedding_norm_profile",
-    "text_unigram_logprob", "text_tfidf_top_terms", "text_bigram_logprob",
-    "ts_seasonal_index", "ev_funnel_within", "stats_winsorize",
-    "dedup_cluster_sizes", "q4_order_priority", "q12_flag_priority",
-    "infogob_org_pending", "text_decontaminate", "text_source_mix_sample",
-    "infogob_candidates_by_election", "infogob_candidates_pending",
-    "infogob_candidate_detail_counts", "inei_stage_plan",
-    "infogob_location_hierarchy", "infogob_results_by_region",
-    "stats_mad_outliers", "q_customer_quartiles",
-    "dedup_impact_report", "ev_active_users", "ts_acf",
-    "ev_power_users", "q15_top_supplier",
-    "q13_order_distribution", "q22_rich_inactive", "ts_xcorr",
-    "q_orphan_check",
+    "catalog_series_summary", "q_customers_no_orders",
+    "q_repeat_customers", "profile_orders", "sample_systematic",
+    "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
+    "embedding_centroids", "text_lang_confusion", "skew_salted_join",
+    "skew_salted_distinct", "text_clean_accents",
+    "infogob_location_canonical", "mode_status_by_customer",
+    "json_api_observations", "ts_format_period", "text_chunk_windows",
+    "text_pack_sequences", "dedup_filter_apply", "split_train_val",
+    "sample_stratified_by_lang", "text_repetition_metrics",
+    "text_vocab_topn", "text_oov_rate", "text_boilerplate",
+    "text_boilerplate_apply", "doc_epoch_shards", "corpus_summary",
+    "text_quality_filter", "ev_funnel_steps", "ev_retention_cohorts",
+    "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
+    "ts_max_drawdown", "ev_attribution_first", "ts_beta",
+    "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
+    "catalog_coverage", "ts_decompose",
+    "catalog_active_filter", "clean_numeric_cast",
+    "ts_resample_quarterly", "cache_missing_codes",
+    "mef_find_row_by_text", "mtc_paged_concat", "text_rolling_hash",
 ]
 
 
