@@ -1288,6 +1288,15 @@ def ev_gap_stats(spark, sf_dir):
     return E.inter_event_gap_stats(_lt(spark, sf_dir, "events"))
 
 
+def ev_gap_stats_approx(spark, sf_dir):
+    return E.inter_event_gap_stats_approx(_lt(spark, sf_dir, "events"))
+
+
+def stats_winsorize_approx(spark, sf_dir):
+    return R.winsorize_summary_approx(_lt(spark, sf_dir, "lineitem"),
+                                      "l_returnflag", "l_extendedprice")
+
+
 def ts_max_drawdown(spark, sf_dir):
     return TS.max_drawdown(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
@@ -1563,6 +1572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "ev_approx_distinct": ev_approx_distinct,
         "stats_mad_outliers_approx": stats_mad_outliers_approx,
+        "stats_winsorize_approx": stats_winsorize_approx,
+        "ev_gap_stats_approx": ev_gap_stats_approx,
         "ts_ewma": ts_ewma,
         "dedup_incremental": dedup_incremental,
         "dedup_stats_by_source": dedup_stats_by_source,

@@ -441,8 +441,10 @@ def inter_event_gap_stats(events: DataFrame,
     Gaps come from one per-user lag window over the SAME (ts,
     event_id) total order as sessionize; the grouped exact percentiles
     interpolate INTEGER microsecond values — identical arithmetic in
-    both engines (the stats_profile/mad class; approx_percentile swap
-    at 100 TB)."""
+    both engines (the stats_profile/mad class). Exact `percentile`
+    funnels every gap of a type into one aggregation buffer — the
+    100 TB path is :func:`inter_event_gap_stats_approx` (same profile,
+    KLL sketch percentiles)."""
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     gaps = events.select(
@@ -453,5 +455,35 @@ def inter_event_gap_stats(events: DataFrame,
         F.count(F.lit(1)).alias("n_gaps"),
         F.percentile("_gap", F.lit(0.5)).alias("p50_gap_us"),
         F.percentile("_gap", F.lit(0.9)).alias("p90_gap_us"),
+    )
+    return out.orderBy("event_type") if sort else out
+
+
+def inter_event_gap_stats_approx(events: DataFrame,
+                                 accuracy: int = 10000,
+                                 sort: bool = True) -> DataFrame:
+    """The 100 TB path for :func:`inter_event_gap_stats`: identical
+    (event_type, n_gaps, p50_gap_us, p90_gap_us) profile with
+    `approx_percentile` (KLL sketch) in place of exact `percentile`.
+    With ~5 event types the exact form funnels EVERY within-user gap of
+    a type into one aggregation buffer — a per-group single-task funnel
+    that dies long before 100 TB; sketches merge map-side, so the lag
+    window's user-key shuffle stays the only data-sized exchange and
+    the percentile pass is a real partial aggregation at any scale.
+    Rank error ≤ n/accuracy over integer microseconds (property-tested
+    against the exact profile); engine-specific sketch, so rows-only —
+    no cross-engine oracle."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gaps = events.select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    out = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.approx_percentile("_gap", F.lit(0.5), F.lit(accuracy))
+        .cast("double").alias("p50_gap_us"),
+        F.approx_percentile("_gap", F.lit(0.9), F.lit(accuracy))
+        .cast("double").alias("p90_gap_us"),
     )
     return out.orderBy("event_type") if sort else out

@@ -924,12 +924,50 @@ def winsorize_summary(df: DataFrame, group_col: str, value_col: str,
     interpolation over the same parquet doubles) and integer counts —
     deliberately NOT clipped sums, whose mixed value/bound grid would
     re-open the round-k midpoint trap. One percentile pass + one
-    #groups-row join + one counting pass; swap approx_percentile at
-    100 TB exactly as in stats_profile."""
+    #groups-row join + one counting pass. Exact `percentile` funnels
+    every group value into one aggregation buffer — the 100 TB path is
+    :func:`winsorize_summary_approx` (same profile, KLL sketch
+    bounds)."""
     g, v = group_col, value_col
     bounds = df.groupBy(g).agg(
         F.percentile(v, F.lit(lo)).alias("p_lo"),
         F.percentile(v, F.lit(hi)).alias("p_hi"),
+    )
+    out = (
+        df.join(bounds, g)
+        .groupBy(g)
+        .agg(
+            F.min("p_lo").alias("p_lo"),
+            F.min("p_hi").alias("p_hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(v) < F.col("p_lo"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_low"),
+            F.sum(F.when(F.col(v) > F.col("p_hi"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_high"),
+        )
+    )
+    return out.orderBy(g)
+
+
+def winsorize_summary_approx(df: DataFrame, group_col: str,
+                             value_col: str, lo: float = 0.01,
+                             hi: float = 0.99,
+                             accuracy: int = 10000) -> DataFrame:
+    """The 100 TB path for :func:`winsorize_summary`: identical
+    (group, p_lo, p_hi, n, n_clipped_low, n_clipped_high) profile with
+    `approx_percentile` (KLL sketch) computing the clip bounds. Exact
+    percentiles materialize EVERY group value in one aggregation
+    buffer — with the usual handful of flag/status groups that is a
+    per-group single-task funnel that dies long before 100 TB; sketches
+    merge map-side so the bounds pass is a real partial-aggregated
+    shuffle at any scale. The counting pass is unchanged (conditional
+    sums against the joined bounds). Bound error ≤ 1/accuracy of rank
+    (property-tested against the exact profile); engine-specific
+    sketch, so rows-only — no cross-engine oracle."""
+    g, v = group_col, value_col
+    bounds = df.groupBy(g).agg(
+        F.approx_percentile(v, F.lit(lo), F.lit(accuracy)).alias("p_lo"),
+        F.approx_percentile(v, F.lit(hi), F.lit(accuracy)).alias("p_hi"),
     )
     out = (
         df.join(bounds, g)

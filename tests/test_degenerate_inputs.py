@@ -96,6 +96,9 @@ def test_round5_session_ops_survive_degenerates(spark, frames):
                           "l_extendedprice").count() == 0
     assert R.mad_outliers_approx(li_empty, "l_returnflag",
                                  "l_extendedprice").count() == 0
+    assert R.winsorize_summary_approx(li_empty, "l_returnflag",
+                                      "l_extendedprice").count() == 0
+    assert E.inter_event_gap_stats_approx(ev).count() == 0
 
 
 def test_round5_ops_survive_degenerates(spark, frames):

@@ -1032,6 +1032,48 @@ def test_mad_outliers_approx_tracks_exact(spark, tables):
             3, 0.1 * e["n_outliers"])
 
 
+def test_winsorize_approx_tracks_exact(spark, tables):
+    li = tables["lineitem"]
+    exact = {r["l_returnflag"]: r for r in
+             R.winsorize_summary(li, "l_returnflag",
+                                 "l_extendedprice").collect()}
+    approx = {r["l_returnflag"]: r for r in
+              R.winsorize_summary_approx(li, "l_returnflag",
+                                         "l_extendedprice").collect()}
+    assert set(exact) == set(approx)
+    for g, e in exact.items():
+        a = approx[g]
+        assert a["n"] == e["n"]
+        # KLL guarantees RANK error (n/accuracy), and unlike exact
+        # `percentile` it returns an actual data value rather than an
+        # interpolated one — at the sparse 1% tail adjacent order
+        # statistics differ by % in VALUE, so assert on ranks: the
+        # clipped-tail counts (= #values beyond each approx bound)
+        # must sit within sketch error of the nominal tail mass.
+        n = e["n"]
+        tol = 3 + n / 1000
+        assert abs(a["n_clipped_low"] - 0.01 * n) <= tol
+        assert abs(a["n_clipped_high"] - 0.01 * n) <= tol
+        # and the bounds themselves must bracket the bulk correctly
+        assert a["p_lo"] < a["p_hi"]
+        assert e["p_lo"] * 0.9 <= a["p_lo"] <= e["p_hi"]
+        assert e["p_lo"] <= a["p_hi"] <= e["p_hi"] * 1.1
+
+
+def test_gap_stats_approx_tracks_exact(spark, tables):
+    ev = tables["events"]
+    exact = {r["event_type"]: r for r in
+             E.inter_event_gap_stats(ev).collect()}
+    approx = {r["event_type"]: r for r in
+              E.inter_event_gap_stats_approx(ev).collect()}
+    assert set(exact) == set(approx)
+    for t, e in exact.items():
+        a = approx[t]
+        assert a["n_gaps"] == e["n_gaps"]
+        assert abs(a["p50_gap_us"] - e["p50_gap_us"]) / e["p50_gap_us"] < 0.02
+        assert abs(a["p90_gap_us"] - e["p90_gap_us"]) / e["p90_gap_us"] < 0.02
+
+
 def test_unigram_logprob_orders_gibberish_last(spark):
     from pyperustats_spark.operators import textops as T
     rows = [
