@@ -1350,6 +1350,17 @@ def dedup_minhash_eval(spark, sf_dir):
                                    n=3, threshold=0.4)
 
 
+def ann_ivf_recall_eval(spark, sf_dir):
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    df = S.ivf_recall_eval(emb, q, k=5, n_centroids=16,
+                           nprobes=(1, 2, 4, 8))
+    return _round(df, {"recall_at_k": 6, "avg_candidates": 2})
+
+
 def ts_acf(spark, sf_dir):
     return TS.acf(TS.series_long(_lt(spark, sf_dir, "lineitem")),
                   lags=(1, 2, 3))
@@ -1607,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_large_orders": q18_large_orders,
         "ann_ivf_cell_stats": ann_ivf_cell_stats,
+        "ann_ivf_recall_eval": ann_ivf_recall_eval,
         "q22_rich_inactive": q22_rich_inactive,
         "q13_order_distribution": q13_order_distribution,
         "ts_xcorr": ts_xcorr,

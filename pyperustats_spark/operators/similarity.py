@@ -269,6 +269,97 @@ def ann_ivf(
     )
 
 
+def ivf_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """IVF nprobe calibration curve vs exact ground truth: one row per
+    nprobe of (nprobe, recall_at_k, n_truth_pairs, avg_candidates) —
+    the ANN analog of :func:`dedup.minhash_eval_vs_exact`. A pipeline
+    runs this on a SAMPLE to pick the recall/cost point before
+    committing a cell layout to the full 100 TB corpus.
+
+    ONE corpus cell assignment and ONE brute-force truth pass serve
+    every nprobe: IVF's rescoring is exact cosine over the probed
+    cells, so a true top-k neighbor that lands in a probed cell always
+    survives into IVF's top-k (its rank within a candidate SUBSET can
+    only improve) — recall@k per nprobe is therefore a conditional
+    count over the truth pairs' probe ranks, not |nprobes| reruns.
+    Cells are disjoint (corpus assigned at nprobe=1), so each truth
+    vector matches at most one probe row and candidate volume per
+    nprobe is a prefix sum of probed-cell sizes. Only (id, cell,
+    rank) triples and #cells-row size tables shuffle; vectors stay in
+    the scan stage. Raw int/int quotients; rows-only (the sketch side
+    has no SQL oracle by design)."""
+    maxp = max(nprobes)
+    cents = seed_centroids(embeddings, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine_centroids(embeddings, cents,
+                                        iterations=kmeans_iters)
+    e_cells = ensure_parallelism(embeddings).select(
+        "vec_id",
+        F.element_at(
+            ivf_assign(F.col("embedding"), cents, nprobe=1), 1
+        ).alias("cell"),
+    )
+    probes = queries.select(
+        "query_id",
+        F.posexplode(
+            ivf_assign(F.col("q_embedding"), cents, nprobe=maxp)
+        ).alias("_pos", "cell"),
+    ).select("query_id", (F.col("_pos") + 1).alias("probe_rank"), "cell")
+    truth = knn_bruteforce(embeddings, queries, k=k, sort=False).select(
+        "query_id", "vec_id")
+    hits = (
+        truth.join(e_cells, "vec_id")
+        .join(F.broadcast(probes), ["query_id", "cell"], "left")
+    )
+    rec = hits.agg(
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+        *[
+            F.sum((F.col("probe_rank") <= p).cast("bigint")).alias(f"_h{i}")
+            for i, p in enumerate(nprobes)
+        ],
+    )
+    cell_sizes = e_cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cell_n"))
+    cand = (
+        probes.join(cell_sizes, "cell", "left")
+        .agg(
+            F.count_distinct(F.col("query_id")).alias("_nq"),
+            *[
+                F.sum(F.when(F.col("probe_rank") <= p,
+                             F.coalesce(F.col("cell_n"), F.lit(0)))
+                      .otherwise(0)).cast("bigint").alias(f"_c{i}")
+                for i, p in enumerate(nprobes)
+            ],
+        )
+    )
+    row = rec.join(cand)
+    stacked = row.selectExpr(
+        "n_truth_pairs",
+        "stack({}, {}) as (nprobe, n_hits, n_candidates)".format(
+            len(nprobes),
+            ", ".join(
+                f"CAST({p} AS INT), _h{i}, _c{i}"
+                for i, p in enumerate(nprobes)),
+        ),
+        "_nq",
+    )
+    return stacked.select(
+        "nprobe",
+        F.try_divide(F.col("n_hits"), F.col("n_truth_pairs"))
+        .alias("recall_at_k"),
+        "n_truth_pairs",
+        F.try_divide(F.col("n_candidates"), F.col("_nq"))
+        .alias("avg_candidates"),
+    ).orderBy("nprobe")
+
+
 def knn_label_vote(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:

@@ -225,6 +225,36 @@ def test_ann_ivf_recall_vs_bruteforce(spark, tables):
     assert hits / tot >= 0.3
 
 
+def test_ivf_recall_eval_monotone_and_exhaustive(spark, tables):
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, [0, 7, 42])
+    # include nprobe == n_centroids: probing every cell must recover
+    # every true neighbor (the candidate set becomes the whole corpus)
+    out = S.ivf_recall_eval(emb, q, k=5, n_centroids=8,
+                            nprobes=(1, 2, 4, 8)).collect()
+    assert [r["nprobe"] for r in out] == [1, 2, 4, 8]
+    recalls = [r["recall_at_k"] for r in out]
+    cands = [r["avg_candidates"] for r in out]
+    assert all(r["n_truth_pairs"] == 15 for r in out)  # 3 queries x k=5
+    assert recalls == sorted(recalls)       # monotone in nprobe
+    assert cands == sorted(cands)           # cost grows with nprobe
+    assert recalls[-1] == 1.0               # exhaustive probe = exact
+    # and the curve agrees with an independently-run ann_ivf at the
+    # same layout: recall@k of the actual query path equals the eval's
+    # conditional-count shortcut (the subset-rank argument in the doc)
+    nprobe = 2
+    exact = S.knn_bruteforce(emb, q, k=5).collect()
+    approx = S.ann_ivf(emb, q, k=5, n_centroids=8, nprobe=nprobe).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for r in approx if r["vec_id"] in exact_sets[r["query_id"]])
+    eval_recall = [r["recall_at_k"] for r in out if r["nprobe"] == nprobe][0]
+    assert abs(hits / 15 - eval_recall) < 1e-9
+
+
 def test_rolling_hash_incremental_property(spark):
     from pyperustats_spark.operators import textops as TXO
     docs = spark.createDataFrame(

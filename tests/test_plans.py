@@ -83,6 +83,7 @@ BROADCAST_HINT_WHITELIST = {
     "text_pack_sequences",        # per-partition offset rows (O(parts))
     "ann_lsh_cosine",             # hyperplanes + query signatures
     "ann_ivf_cosine",             # k centroid rows
+    "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
     "text_oov_rate",              # top-n vocab rows (n is a parameter,
                                   # bounded by construction via LIMIT)
     "corpus_summary",             # 1-row grand-total aggregate (same
