@@ -399,6 +399,9 @@ PLAN_SMELL_WHITELIST = {
     "q15_top_supplier": {"BNLJ", "SINGLE_PART"},  # 1-row global max
     "dedup_minhash_eval": {"BNLJ", "SINGLE_PART"},  # three 1-row count
                                                 # aggregates joined
+    "ann_ivf_recall_eval": {"BNLJ", "SINGLE_PART"},  # two 1-row count
+                                                # aggregates joined +
+                                                # |nprobes|-row stack
     "q17_small_qty_revenue": {"SINGLE_PART"},   # global 1-row aggregate
     "q22_rich_inactive": {"BNLJ", "SINGLE_PART"},  # 1-row global average
     "ts_xcorr": {"SINGLE_PART"},                # one pre-joined series
