@@ -1062,6 +1062,40 @@ def org_content_dedup_map(spark, sf_dir):
     return ORG.content_dedup_map(_lt(spark, sf_dir, "documents"))
 
 
+def _sim_manifest(docs):
+    """Deterministic simulated ingest manifest over `documents` (the
+    parquet-only stand-in for an INEI archive member list): entries for
+    all docs except doc_id%53==0 (those arrive UNLISTED), a rotted
+    expected hash for doc_id%37==0 (CORRUPT), plus ghost entries at
+    doc_id+10M for doc_id%41==0 (MISSING — listed, never arrived).
+    Every branch is modulo + md5, so the DuckDB oracle rebuilds the
+    identical manifest."""
+    listed = docs.where(F.col("doc_id") % 53 != 0).select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 37 == 0,
+               F.md5(F.concat(F.col("text"), F.lit("!"))))
+        .otherwise(F.md5(F.col("text"))).alias("expected_hash"))
+    ghosts = docs.where(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "source",
+        F.md5(F.col("doc_id").cast("string")).alias("expected_hash"))
+    return listed.unionByName(ghosts)
+
+
+def ingest_manifest_quarantine(spark, sf_dir):
+    from pyperustats_spark.operators import organizer as ORG
+
+    docs = _lt(spark, sf_dir, "documents")
+    df = ORG.manifest_quarantine(docs, _sim_manifest(docs))
+    return df.select("doc_id", "source", "content_hash", "status")
+
+
+def ingest_integrity_card(spark, sf_dir):
+    from pyperustats_spark.operators import organizer as ORG
+
+    docs = _lt(spark, sf_dir, "documents")
+    return ORG.ingest_integrity_card(docs, _sim_manifest(docs))
+
+
 def mef_filter_rows(spark, sf_dir):
     df = R.filter_rows_regex(_lt(spark, sf_dir, "part"), "p_type",
                              ["promo", "economy"])
@@ -1559,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
+        "ingest_manifest_quarantine": ingest_manifest_quarantine,
+        "ingest_integrity_card": ingest_integrity_card,
         "mef_filter_rows": mef_filter_rows,
         "stats_profile": stats_profile,
         "infogob_candidate_history": infogob_candidate_history,
@@ -1670,9 +1706,10 @@ _WINDOW = [
     "ts_max_drawdown", "ev_attribution_first", "ts_beta",
     "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
     "catalog_coverage", "ts_decompose",
+    "ingest_manifest_quarantine", "ingest_integrity_card",
     "catalog_active_filter", "clean_numeric_cast",
     "ts_resample_quarterly", "cache_missing_codes",
-    "mef_find_row_by_text", "mtc_paged_concat", "text_rolling_hash",
+    "mef_find_row_by_text",
 ]
 
 
@@ -2217,6 +2254,69 @@ def oracle_sql() -> dict[str, str]:
                h.doc_id = c.canonical_id AS is_canonical
         FROM hashed h JOIN canon c USING (content_hash)
         ORDER BY h.doc_id
+    """
+
+    _MANIFEST_CTE = """
+        manifest AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 37 = 0 THEN md5(text || '!')
+                        ELSE md5(text) END AS expected_hash
+            FROM documents WHERE doc_id % 53 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, source,
+                   md5(CAST(doc_id AS VARCHAR)) AS expected_hash
+            FROM documents WHERE doc_id % 41 = 0
+        )
+    """
+
+    sql["ingest_manifest_quarantine"] = f"""
+        WITH {_MANIFEST_CTE}
+        SELECT d.doc_id, d.source, md5(d.text) AS content_hash,
+               CASE WHEN m.expected_hash IS NULL THEN 'unlisted'
+                    WHEN md5(d.text) = m.expected_hash THEN 'ok'
+                    ELSE 'corrupt' END AS status
+        FROM documents d LEFT JOIN manifest m USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+    sql["ingest_integrity_card"] = f"""
+        WITH {_MANIFEST_CTE},
+        verdicts AS (
+            SELECT d.source,
+                   CASE WHEN m.expected_hash IS NULL THEN 'unlisted'
+                        WHEN md5(d.text) = m.expected_hash THEN 'ok'
+                        ELSE 'corrupt' END AS status
+            FROM documents d LEFT JOIN manifest m USING (doc_id)
+        ),
+        arrived AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok,
+                   CAST(sum(CASE WHEN status = 'corrupt' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_corrupt,
+                   CAST(sum(CASE WHEN status = 'unlisted' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unlisted
+            FROM verdicts GROUP BY source
+        ),
+        missing AS (
+            SELECT m.source, CAST(count(*) AS BIGINT) AS n_missing
+            FROM manifest m
+            WHERE NOT EXISTS (SELECT 1 FROM documents d
+                              WHERE d.doc_id = m.doc_id)
+            GROUP BY m.source
+        )
+        SELECT COALESCE(a.source, mi.source) AS source,
+               CAST(COALESCE(a.n_items, 0) AS BIGINT) AS n_items,
+               CAST(COALESCE(a.n_ok, 0) AS BIGINT) AS n_ok,
+               CAST(COALESCE(a.n_corrupt, 0) AS BIGINT) AS n_corrupt,
+               CAST(COALESCE(a.n_unlisted, 0) AS BIGINT) AS n_unlisted,
+               CAST(COALESCE(mi.n_missing, 0) AS BIGINT) AS n_missing,
+               CAST(COALESCE(a.n_corrupt, 0) AS BIGINT)
+                   / CAST(COALESCE(a.n_items, 0) AS BIGINT)
+                   AS corrupt_share
+        FROM arrived a FULL OUTER JOIN missing mi ON a.source = mi.source
+        ORDER BY 1
     """
 
     sql["mef_filter_rows"] = """

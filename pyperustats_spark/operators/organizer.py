@@ -76,3 +76,89 @@ def content_dedup_map(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def manifest_quarantine(items: DataFrame, manifest: DataFrame,
+                        id_col: str = "doc_id",
+                        content_col: str = "text",
+                        sort: bool = True) -> DataFrame:
+    """Manifest-checked batch ingest: recompute each item's content
+    hash and check it against the manifest's expected hash — the
+    distributed form of the reference's download→unzip integrity guard
+    (``file_hash`` + ``is_zip_valid``, inei/utils/file_utils.py:26-44),
+    with the same policy as the PERMISSIVE CSV reader: a bad member is
+    QUARANTINED, never a job failure (one rotted archive member must
+    not abort a 1000-executor ingest).
+
+    *manifest* carries (id_col, expected_hash). Output = items keyed
+    by *id_col* with ``content_hash`` and a tri-state ``status``:
+    ``ok`` (hashes match), ``corrupt`` (mismatch → quarantine),
+    ``unlisted`` (no manifest row → provenance unknown, quarantine).
+    Manifest rows with no arriving item are the integrity card's
+    ``n_missing`` (:func:`ingest_integrity_card`) — absent items can't
+    appear in a row-level verdict.
+
+    One equi-join on the id (both sides SF-proportional, AQE-decided);
+    the hash is md5 so a DuckDB oracle reproduces every verdict."""
+    recomputed = items.withColumn("content_hash", F.md5(F.col(content_col)))
+    m = manifest.select(id_col, "expected_hash")
+    out = (
+        recomputed.join(m, id_col, "left")
+        .withColumn(
+            "status",
+            F.when(F.col("expected_hash").isNull(), F.lit("unlisted"))
+            .when(F.col("content_hash") == F.col("expected_hash"),
+                  F.lit("ok"))
+            .otherwise(F.lit("corrupt")),
+        )
+        .drop("expected_hash")
+    )
+    return out.orderBy(id_col) if sort else out
+
+
+def ingest_integrity_card(items: DataFrame, manifest: DataFrame,
+                          id_col: str = "doc_id",
+                          content_col: str = "text",
+                          source_col: str = "source",
+                          sort: bool = True) -> DataFrame:
+    """Per-source ingest integrity card over a manifest-checked batch
+    (the q_orphan_check class): how many arriving items verified ok /
+    corrupt / unlisted, and how many manifest entries never arrived
+    (``n_missing``) — the report a recurring 100 TB ingest publishes
+    before any downstream stage trusts the batch.
+
+    Counts come from ONE pass over :func:`manifest_quarantine`'s
+    verdicts (conditional sums combine map-side) full-outer-joined
+    with the missing-entry counts (manifest anti-join items, key-only
+    — content never shuffles). corrupt_share is a RAW int/int quotient
+    (bit-identical cross-engine; in-engine rounding would split exact
+    p/2^k midpoints)."""
+    verdicts = manifest_quarantine(items, manifest, id_col=id_col,
+                                   content_col=content_col, sort=False)
+    arrived = verdicts.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("status") == "ok").cast("bigint")).alias("n_ok"),
+        F.sum((F.col("status") == "corrupt").cast("bigint"))
+        .alias("n_corrupt"),
+        F.sum((F.col("status") == "unlisted").cast("bigint"))
+        .alias("n_unlisted"),
+    )
+    missing = (
+        manifest.join(items.select(id_col), id_col, "left_anti")
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    out = (
+        arrived.join(missing, source_col, "full_outer")
+        .select(
+            source_col,
+            F.coalesce("n_items", F.lit(0)).alias("n_items"),
+            F.coalesce("n_ok", F.lit(0)).alias("n_ok"),
+            F.coalesce("n_corrupt", F.lit(0)).alias("n_corrupt"),
+            F.coalesce("n_unlisted", F.lit(0)).alias("n_unlisted"),
+            F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+        )
+        .withColumn("corrupt_share",
+                    F.try_divide(F.col("n_corrupt"), F.col("n_items")))
+    )
+    return out.orderBy(source_col) if sort else out

@@ -1911,3 +1911,36 @@ def test_decompose_additive_reconstructs(spark):
         assert r["residual"] == 0.0
         assert abs((r["trend"] + r["seasonal"] + r["residual"])
                    - r["value"]) < 1e-9
+
+
+def test_manifest_quarantine_tri_state_and_card(spark):
+    from pyperustats_spark.operators import organizer as ORG
+    import hashlib
+
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    items = spark.createDataFrame(
+        [(1, "good doc", "A"),
+         (2, "rotted in transit", "A"),   # manifest says otherwise
+         (3, "nobody listed me", "B")],
+        "doc_id bigint, text string, source string")
+    manifest = spark.createDataFrame(
+        [(1, "A", h("good doc")),
+         (2, "A", h("what was uploaded")),   # mismatch -> corrupt
+         (9, "B", h("never arrived"))],      # missing
+        "doc_id bigint, source string, expected_hash string")
+    out = {r["doc_id"]: r for r in
+           ORG.manifest_quarantine(items, manifest).collect()}
+    assert out[1]["status"] == "ok"
+    assert out[2]["status"] == "corrupt"
+    assert out[3]["status"] == "unlisted"
+    # quarantine policy: every item gets a verdict, none is dropped
+    assert len(out) == 3
+
+    card = {r["source"]: r for r in
+            ORG.ingest_integrity_card(items, manifest).collect()}
+    a, b = card["A"], card["B"]
+    assert (a["n_items"], a["n_ok"], a["n_corrupt"],
+            a["n_unlisted"], a["n_missing"]) == (2, 1, 1, 0, 0)
+    assert a["corrupt_share"] == 0.5
+    assert (b["n_items"], b["n_ok"], b["n_corrupt"],
+            b["n_unlisted"], b["n_missing"]) == (1, 0, 0, 1, 1)
