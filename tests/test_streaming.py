@@ -130,19 +130,27 @@ def test_stateful_running_totals_accumulate_across_batches(
         assert got["last_ts"] == w["last_ts"]
 
 
-def _protobuf_ok():
+def _protobuf_probe():
+    """Probe the exact import TWS's state-server worker performs.
+    Returns the failure signature (or None when healthy) so the skip
+    reason records WHY — and the test starts running automatically the
+    round an image update heals the environment (re-probed per session,
+    never pinned to a past observation)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
+        return None
+    except Exception as e:  # ModuleNotFoundError today; keep broad so a
+        return f"{type(e).__name__}: {e}"  # half-installed pkg also skips
+
+
+_PROTOBUF_FAIL = _protobuf_probe()
 
 
 @pytest.mark.skipif(
-    not _protobuf_ok(),
+    _PROTOBUF_FAIL is not None,
     reason="transformWithStateInPandas needs a working google.protobuf "
-           "for its state-server worker; this environment's install "
-           "cannot import descriptor")
+           "for its state-server worker; probe failed with: "
+           f"{_PROTOBUF_FAIL}")
 def test_tws_running_totals_match_apply_in_pandas_with_state(
         spark, tables, events_dir, tmp_path):
     stream = SEV.read_events_stream(spark, events_dir, max_files_per_trigger=2)
