@@ -22,6 +22,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from pyperustats_spark.session import get_spark
 
+# Frozen round-5 per-query baseline at sf0.1 (see BASELINE.md; the 2×
+# gate in BASELINE.json finally has numbers to fail on). bench.py
+# reports ratios against these and tests/test_baseline.py goes red if
+# the latest sf0.1 run exceeds 2× any pinned time.
+BASELINE_SF = 0.1
+BASELINE = {
+    "q1_pricing_summary": 1.240,
+    "q3_shipping_priority": 0.939,
+    "q5_local_supplier_volume": 1.079,
+    "q6_revenue_delta": 0.256,
+    "q_market_share": 0.802,
+    "q_top_customers": 0.398,
+    "ts_pivot_wide": 0.853,
+    "ts_resample_monthly": 0.658,
+    "ts_gap_fill": 0.825,
+    "ts_asof_join": 0.850,
+    "ts_moving_avg": 0.694,
+    "cache_merge_upsert": 0.780,
+    "ev_sessionize": 0.644,
+    "ev_tumbling_window": 0.417,
+    "text_quality_score": 0.782,
+    "text_ngram_topk": 0.485,
+    "dedup_exact": 0.241,
+    "dedup_minhash_lsh": 1.320,
+    "dedup_simhash": 0.765,
+    "knn_bruteforce_cosine": 0.606,
+}
+BASELINE_TOTAL = 14.634
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -73,13 +102,28 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # diff against the frozen BASELINE.md numbers (only meaningful at
+    # the baseline's own scale factor): per-query 2× gate + total ratio
+    if result["sf"] == BASELINE_SF:
+        result["vs_baseline_total"] = round(total / BASELINE_TOTAL, 3)
+        result["regressions"] = sorted(
+            q for q, t in timings.items()
+            if q in BASELINE and t > 2.0 * BASELINE[q])
+        # side artifact for tests/test_baseline.py's regression gate
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass  # read-only checkout: the printed line is the contract
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,60 @@
+"""The frozen-performance gate: BASELINE.md (round-5 sf0.1 numbers) is
+the standing numeric baseline the BASELINE.json 2× criterion grades
+against. Two contracts:
+
+1. doc consistency — the BASELINE.md table and bench.py's pinned dict
+   must agree (either drifting silently would un-freeze the gate);
+2. regression gate — the most recent sf0.1 bench run (BENCH_LATEST.json,
+   written by bench.py) must not exceed 2× any pinned per-query time.
+   Skipped when no local bench has run; the driver's per-round bench
+   refreshes the artifact, so a regressed round fails here.
+"""
+
+import json
+import os
+import re
+
+import pytest
+
+import bench
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _baseline_md_rows():
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        text = f.read()
+    return {m.group(1): float(m.group(2))
+            for m in re.finditer(r"^\| (\w+) \| ([0-9.]+) \|$", text,
+                                 re.MULTILINE)}
+
+
+def test_baseline_md_matches_bench_pins():
+    md = _baseline_md_rows()
+    assert md == pytest.approx(bench.BASELINE), (
+        "BASELINE.md table and bench.BASELINE drifted")
+    assert set(md) == set(bench.HEADLINE)
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        text = f.read()
+    assert f"**Total: {bench.BASELINE_TOTAL} s.**" in text
+    assert round(sum(bench.BASELINE.values()), 3) == bench.BASELINE_TOTAL
+
+
+def test_latest_bench_within_2x_of_baseline():
+    path = os.path.join(ROOT, "BENCH_LATEST.json")
+    if not os.path.exists(path):
+        pytest.skip("no BENCH_LATEST.json — run `python bench.py` "
+                    "(sf0.1) to produce the artifact this gate checks")
+    with open(path) as f:
+        latest = json.load(f)
+    if latest.get("sf") != bench.BASELINE_SF:
+        pytest.skip(f"latest bench ran at sf={latest.get('sf')}, "
+                    f"gate is pinned at sf={bench.BASELINE_SF}")
+    over = {q: (latest["queries"].get(q), bench.BASELINE[q])
+            for q in bench.BASELINE
+            if latest["queries"].get(q) is not None
+            and latest["queries"][q] > 2.0 * bench.BASELINE[q]}
+    assert not over, (
+        f"queries exceeding 2x their frozen BASELINE.md time "
+        f"(got, pinned): {over}")
+    assert latest["value"] <= 2.0 * bench.BASELINE_TOTAL
