@@ -1233,6 +1233,23 @@ def split_leakage_safe(spark, sf_dir):
                                 val_pct=10, prefix_chars=40)
 
 
+def release_rehearsal(spark, sf_dir):
+    """End-to-end recurring-release dress rehearsal as ONE lazy plan:
+    dedup_incremental (odd ids = new crawl vs even ids = released
+    corpus) → quality_filter(0.75) → decontaminate(EVAL_SNIPPETS) →
+    split_leakage_safe(10%). The export_shards landing step is
+    exercised in pytest (tests/test_exporter.py) — queries() returns
+    frames, not directories."""
+    from pyperustats_spark.api import incremental_release
+
+    docs = _lt(spark, sf_dir, "documents")
+    eval_df = spark.createDataFrame(EVAL_SNIPPETS, "eid int, text string")
+    return incremental_release(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        eval_df, val_pct=10, min_score=0.75, prefix_chars=40)
+
+
 def ev_transitions(spark, sf_dir):
     return E.event_transitions(_lt(spark, sf_dir, "events"))
 
@@ -1626,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats_by_source": dedup_stats_by_source,
         "dedup_source_overlap": dedup_source_overlap,
         "split_leakage_safe": split_leakage_safe,
+        "release_rehearsal": release_rehearsal,
         "ev_transitions": ev_transitions,
         "text_length_histogram": text_length_histogram,
         "text_drop_short_tail": text_drop_short_tail,
@@ -1707,9 +1725,9 @@ _WINDOW = [
     "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
     "catalog_coverage", "ts_decompose",
     "ingest_manifest_quarantine", "ingest_integrity_card",
+    "release_rehearsal",
     "catalog_active_filter", "clean_numeric_cast",
     "ts_resample_quarterly", "cache_missing_codes",
-    "mef_find_row_by_text",
 ]
 
 
@@ -3729,6 +3747,95 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) % 100 < 10
                     THEN 'val' ELSE 'train' END AS split
         FROM r ORDER BY doc_id
+    """
+
+    # release_rehearsal composes the four stage oracles verbatim, each
+    # applied to the PREVIOUS stage's survivors (splits are computed
+    # after filtering, matching api.incremental_release's order)
+    sql["release_rehearsal"] = f"""
+        WITH b AS (
+            SELECT doc_id, text, lang, source, {_HFP} AS fp
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        seen AS (
+            SELECT DISTINCT {_HFP} AS fp
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        fresh AS (
+            SELECT b.* FROM b LEFT JOIN seen s ON b.fp = s.fp
+            WHERE s.fp IS NULL
+        ),
+        survivors AS (
+            SELECT doc_id, text, lang, source FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM fresh
+            ) WHERE rn = 1
+        ),
+        feat AS (
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE)
+                             / len({_TOKENS})
+                        ELSE 0.0 END AS mean_word_len,
+                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST({_sw_hits("en")} AS DOUBLE) / len({_TOKENS})
+                        ELSE 0.0 END AS stopword_density
+            FROM survivors
+        ),
+        scored AS (
+            SELECT doc_id, CAST(
+                   (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN stopword_density >= 0.02 THEN 0.25 ELSE 0.0 END)
+                   AS DOUBLE) AS quality_score
+            FROM feat
+        ),
+        q AS (
+            SELECT sv.doc_id, sv.text, sv.lang, sv.source,
+                   sc.quality_score
+            FROM survivors sv JOIN scored sc ON sv.doc_id = sc.doc_id
+            WHERE sc.quality_score >= 0.75
+        ),
+        toks AS (SELECT doc_id, {_TOKENS} AS t FROM q),
+        dg AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 4, 0) + 1), {_G5})))
+                       AS gram
+            FROM toks WHERE len(t) >= 5
+        ),
+        et AS (SELECT {_TOKENS} AS t FROM {eval_vals}),
+        eg AS (
+            SELECT DISTINCT unnest(list_transform(
+                       range(1, greatest(len(t) - 4, 0) + 1), {_G5}))
+                       AS gram
+            FROM et WHERE len(t) >= 5
+        ),
+        hits AS (
+            SELECT DISTINCT doc_id FROM dg
+            WHERE gram IN (SELECT gram FROM eg)
+        ),
+        clean AS (
+            SELECT * FROM q
+            WHERE NOT EXISTS (SELECT 1 FROM hits
+                              WHERE hits.doc_id = q.doc_id)
+        ),
+        reps AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY fp) AS rep_id
+            FROM (SELECT doc_id, {_HFP} AS fp FROM clean)
+        )
+        SELECT c.doc_id, c.source, c.lang, c.quality_score,
+               CASE WHEN CAST('0x' || substring(
+                        md5('split:' || CAST(r.rep_id AS VARCHAR)), 1, 4)
+                        AS INT) % 100 < 10
+                    THEN 'val' ELSE 'train' END AS split
+        FROM clean c JOIN reps r ON c.doc_id = r.doc_id
+        ORDER BY c.doc_id
     """
 
     sql["ev_transitions"] = """

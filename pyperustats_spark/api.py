@@ -408,3 +408,91 @@ class DocumentPipeline:
             self.spark, cache_path, keys=["doc_id"])
         cache.append(self._df)
         return cache
+
+
+def incremental_release(batch: DataFrame, corpus: DataFrame,
+                        eval_df: DataFrame, val_pct: int = 10,
+                        min_score: float = 0.75, ngram_n: int = 5,
+                        prefix_chars: int | None = None,
+                        sort: bool = True) -> DataFrame:
+    """The full recurring-release chain as ONE lazy Catalyst plan —
+    the dress-rehearsal composition a pretraining corpus runs per
+    crawl batch (the reference's fetch→download→organize chaining,
+    inei/fetcher.py:106-252, at corpus scale):
+
+        dedup_incremental → quality_filter → decontaminate →
+        split_leakage_safe
+
+    Returns (doc_id, source, lang, quality_score, split) for the rows
+    of *batch* that survive into the release; feed the result to
+    :func:`~pyperustats_spark.sources.exporter.export_shards` to land
+    training shards.
+
+    Scale shape — every stage references its upstream exactly ONCE.
+    The naive composition (filter-set semi-joins back onto the frame
+    they came from, the operator-at-a-time style) re-references each
+    stage's output 2-3×, and Catalyst does NOT dedupe common subplans:
+    measured 66 executed exchanges with zero ReusedExchange — the
+    whole dedup ran five times. Instead:
+
+    * incremental dedup: anti-join 16-byte content keys (yesterday's
+      corpus never re-deduped), then the within-batch keep is a
+      row_number window over the SAME key partitioning — no
+      keep-set-join-back, and Catalyst elides the window's exchange;
+    * quality cut: :func:`textops.quality_score_col` as a row-local
+      predicate in place (no score-frame self-join);
+    * decontamination: contaminated doc_ids derive from the RAW batch
+      scan (a column-pruned second scan, not a re-execution of the
+      dedup subtree) — flagging an id the dedup already dropped is a
+      no-op in the anti-join, so semantics are unchanged; eval grams
+      broadcast-semi-join as in contamination_flags;
+    * leakage-safe split: the content key is already a column and the
+      dedup window already partitioned by it, so the group
+      representative costs no new exchange (post-dedup each key is
+      unique, making rep_id = doc_id — the split can never straddle a
+      content group by construction).
+
+    Net: 7 executed exchanges at any scale (plan-asserted in
+    tests/test_plans.py), zero interior global sorts, zero Python."""
+    key = _dedup.content_key(prefix_chars)
+    from pyspark.sql import Window
+
+    seen = corpus.select(key.alias("_fp")).distinct()
+    b = batch.withColumn("_fp", key)
+    fresh = b.join(seen, "_fp", "left_anti")
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    df = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("_fp")))
+        .drop("_rn")
+    )
+    df = df.withColumn(
+        "quality_score", _textops.quality_score_col(F.col("text"))
+    ).where(F.col("quality_score") >= min_score)
+    from pyperustats_spark.functions.text import word_ngrams
+
+    doc_grams = batch.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            word_ngrams(F.col("text"), ngram_n))).alias("gram"),
+    )
+    eval_grams = eval_df.select(
+        F.explode(F.array_distinct(
+            word_ngrams(F.col("text"), ngram_n))).alias("gram")
+    ).distinct()
+    contaminated = (
+        doc_grams.join(eval_grams, "gram", "left_semi")
+        .select("doc_id").distinct()
+    )
+    df = df.join(contaminated, "doc_id", "left_anti")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("split"),
+                                      F.col("rep_id").cast("string"))),
+                    1, 4), 16, 10).cast("int") % 100
+    out = df.select(
+        "doc_id", "source", "lang", "quality_score",
+        F.when(bucket < val_pct, F.lit("val"))
+        .otherwise(F.lit("train")).alias("split"),
+    )
+    return out.orderBy("doc_id") if sort else out

@@ -40,6 +40,42 @@ def token_counts(documents: DataFrame, sort: bool = True) -> DataFrame:
     return out.orderBy("doc_id") if sort else out
 
 
+def quality_score_col(text_col) -> "F.Column":
+    """The composite quality score of :func:`quality_score` as ONE
+    row-local Column — for wider projections that must keep their
+    payload columns (the release chain filters on this instead of
+    computing scores in a second frame and self-joining on doc_id,
+    which would double-execute the whole upstream plan; see
+    api.incremental_release). Tokenization and mean word length are
+    let-bound so each evaluates once per row."""
+    def sc(toks):
+        n_toks = F.size(toks)
+        char_sum = F.aggregate(toks, F.lit(0).cast("bigint"),
+                               lambda acc, t: acc + F.length(t))
+
+        def sc_inner(mwl):
+            sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            sw_density = F.when(n_toks > 0, hits / n_toks).otherwise(
+                F.lit(0.0))
+            return (
+                F.when((n_toks >= 10) & (n_toks <= 100000),
+                       F.lit(0.25)).otherwise(F.lit(0.0))
+                + F.when((mwl >= 2.0) & (mwl <= 12.0),
+                         F.lit(0.25)).otherwise(F.lit(0.0))
+                + F.when(punct_ratio(text_col) <= 0.2,
+                         F.lit(0.25)).otherwise(F.lit(0.0))
+                + F.when(sw_density >= 0.02,
+                         F.lit(0.25)).otherwise(F.lit(0.0))
+            )
+
+        mwl_expr = F.when(n_toks > 0, char_sum / n_toks).otherwise(
+            F.lit(0.0))
+        return let(mwl_expr, sc_inner)
+
+    return let(tokens(text_col), sc)
+
+
 def quality_score(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Heuristic quality features + composite score.
 

@@ -1944,3 +1944,17 @@ def test_manifest_quarantine_tri_state_and_card(spark):
     assert a["corrupt_share"] == 0.5
     assert (b["n_items"], b["n_ok"], b["n_corrupt"],
             b["n_unlisted"], b["n_missing"]) == (1, 0, 0, 1, 1)
+
+
+def test_quality_score_col_matches_quality_score_frame(spark, tables):
+    """quality_score_col (the row-local expression the release chain
+    filters on) must score identically to the quality_score frame —
+    they implement one recipe in two shapes."""
+    from pyperustats_spark.operators import textops as T
+
+    docs = tables["documents"]
+    frame = {r["doc_id"]: r["quality_score"]
+             for r in T.quality_score(docs, sort=False).collect()}
+    col = {r["doc_id"]: r["qs"] for r in docs.select(
+        "doc_id", T.quality_score_col(F.col("text")).alias("qs")).collect()}
+    assert frame == col

@@ -481,3 +481,32 @@ def test_lm_scoring_plans_are_jvm_side(spark, tables):
     for df in (T.unigram_logprob(docs), T.bigram_logprob(docs),
                T.tfidf_top_terms(docs)):
         assert not P.has_python_eval(df)
+
+
+def test_release_rehearsal_chain_plan(spark, tables):
+    """The end-to-end recurring-release chain (dedup_incremental →
+    quality_filter → decontaminate → split_leakage_safe) must stay ONE
+    lazy plan with single-reference stages: zero interior global
+    sorts, zero Python, and exactly 7 executed exchanges — the
+    operator-at-a-time composition it replaced executed 66 (Catalyst
+    does not dedupe common subplans, so every filter-set join-back
+    re-ran the whole upstream)."""
+    from pyperustats_spark.api import incremental_release
+
+    docs = tables["documents"]
+    ev = spark.createDataFrame(
+        [(1, "batch batch batch stream spark window window dup")],
+        "eid int, text string")
+    out = incremental_release(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        ev, prefix_chars=40, sort=False)
+    assert P.global_sort_count(out) == 0
+    assert not P.has_python_eval(out)
+    out.write.format("noop").mode("overwrite").save()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = executed.count("Exchange")
+    assert n_exchanges <= 7, (
+        f"release chain grew to {n_exchanges} executed exchanges — a "
+        "stage is re-referencing its upstream (the 66-exchange bug "
+        "class this test exists to catch):\n" + executed)
