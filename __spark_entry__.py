@@ -643,6 +643,25 @@ def ev_top_users_per_type(spark, sf_dir):
     return _round(df, {"total_value": 4})
 
 
+def ev_top_paths(spark, sf_dir):
+    return E.top_session_paths(_lt(spark, sf_dir, "events"),
+                               gap_minutes=30, max_events=8, k=25)
+
+
+def q8_national_market_share(spark, sf_dir):
+    return R.national_market_share(
+        _lt(spark, sf_dir, "region"), _lt(spark, sf_dir, "nation"),
+        _lt(spark, sf_dir, "customer"), _lt(spark, sf_dir, "supplier"),
+        _lt(spark, sf_dir, "orders"), _lt(spark, sf_dir, "lineitem"),
+        _lt(spark, sf_dir, "part"))
+
+
+def q21_sole_blame_supplier(spark, sf_dir):
+    return R.sole_blame_supplier(
+        _lt(spark, sf_dir, "supplier"), _lt(spark, sf_dir, "lineitem"),
+        _lt(spark, sf_dir, "orders"), _lt(spark, sf_dir, "nation"))
+
+
 def text_token_count(spark, sf_dir):
     return T.token_counts(_lt(spark, sf_dir, "documents"))
 
@@ -1570,6 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
         "ev_sessionize": ev_sessionize,
+        "ev_top_paths": ev_top_paths,
+        "q8_national_market_share": q8_national_market_share,
+        "q21_sole_blame_supplier": q21_sole_blame_supplier,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
@@ -1725,9 +1747,9 @@ _WINDOW = [
     "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
     "catalog_coverage", "ts_decompose",
     "ingest_manifest_quarantine", "ingest_integrity_card",
-    "release_rehearsal",
-    "catalog_active_filter", "clean_numeric_cast",
-    "ts_resample_quarterly", "cache_missing_codes",
+    "release_rehearsal", "ev_top_paths",
+    "q8_national_market_share", "q21_sole_blame_supplier",
+    "catalog_active_filter",
 ]
 
 
@@ -4390,6 +4412,93 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.day, d.dau, w.wau, d.dau / w.wau AS stickiness
         FROM dau d JOIN wau w ON d.day = w.day ORDER BY d.day
+    """
+
+    sql["ev_top_paths"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        ),
+        paths AS (
+            SELECT user_id,
+                   array_to_string(list_slice(
+                       list(event_type ORDER BY ts, event_id), 1, 8),
+                       '>') AS path
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT path, count(*) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 25
+    """
+
+    sql["q8_national_market_share"] = """
+        WITH mkt AS (
+            SELECT n_nationkey FROM nation JOIN region
+                ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+        ),
+        j AS (
+            SELECT year(o.o_orderdate) AS o_year,
+                   n2.n_name AS supp_nation,
+                   l.l_extendedprice * (1 - l.l_discount) AS vol
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE p.p_type = 'ECONOMY'
+              AND year(o.o_orderdate) BETWEEN 1996 AND 1997
+              AND c.c_nationkey IN (SELECT n_nationkey FROM mkt)
+        ),
+        agg AS (
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_1'
+                                  THEN vol ELSE 0 END), 4) AS target_volume,
+                   round(sum(vol), 4) AS total_volume
+            FROM j GROUP BY o_year
+        )
+        SELECT o_year, target_volume, total_volume,
+               target_volume / total_volume AS mkt_share
+        FROM agg ORDER BY o_year
+    """
+
+    sql["q21_sole_blame_supplier"] = """
+        WITH l1 AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R'
+        ),
+        blamed AS (
+            SELECT l1.l_suppkey FROM l1
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l1.l_orderkey
+                            AND o.o_orderstatus = 'F')
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+        )
+        SELECT s.s_name, n.n_name,
+               CAST(count(*) AS BIGINT) AS numwait
+        FROM blamed b
+        JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY s.s_name, n.n_name
+        ORDER BY numwait DESC, s.s_name LIMIT 25
     """
 
     sql["q19_disjunctive_revenue"] = """

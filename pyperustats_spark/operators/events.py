@@ -42,6 +42,32 @@ def tumbling_window(events: DataFrame, hours: int = 24) -> DataFrame:
     )
 
 
+def assign_sessions(
+    events: DataFrame, gap_minutes: int = 30, tiebreak: str = "event_id",
+) -> DataFrame:
+    """Events + a per-user ``session_seq`` column (the lag + conditional
+    cumsum recipe :func:`sessionize` aggregates over, exposed so path
+    mining and other per-event session consumers share ONE
+    implementation). One shuffle on user_id; integer-microsecond gap
+    arithmetic, exact and bit-identical in the DuckDB oracle."""
+    if tiebreak is not None and tiebreak not in events.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak!r} not in {events.columns}; "
+            "pass tiebreak=None to order by ts alone (nondeterministic "
+            "on tied timestamps)")
+    order = [F.col("ts"), F.col(tiebreak)] if tiebreak else [F.col("ts")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+           > gap_minutes * 60_000_000),
+        1,
+    ).otherwise(0)
+    return events.withColumn("session_seq", F.sum(new_sess).over(w_cum))
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30, tiebreak: str = "event_id",
     sort: bool = True,
@@ -57,25 +83,9 @@ def sessionize(
     tiebreak column raises — silently degrading to ts-only ordering
     made session splits nondeterministic on tied timestamps; pass
     ``tiebreak=None`` explicitly to accept that."""
-    if tiebreak is not None and tiebreak not in events.columns:
-        raise ValueError(
-            f"tiebreak column {tiebreak!r} not in {events.columns}; "
-            "pass tiebreak=None to order by ts alone (nondeterministic "
-            "on tied timestamps)")
-    order = [F.col("ts"), F.col(tiebreak)] if tiebreak else [F.col("ts")]
-    w = Window.partitionBy("user_id").orderBy(*order)
-    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    # integer microsecond arithmetic: exact, and bit-identical in the
-    # DuckDB oracle (date_diff('microsecond', ...))
-    new_sess = F.when(
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_minutes * 60_000_000),
-        1,
-    ).otherwise(0)
-    with_sess = events.withColumn("session_seq", F.sum(new_sess).over(w_cum))
     out = (
-        with_sess.groupBy("user_id", "session_seq")
+        assign_sessions(events, gap_minutes=gap_minutes, tiebreak=tiebreak)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
@@ -84,6 +94,46 @@ def sessionize(
         )
     )
     return out.orderBy("user_id", "session_seq") if sort else out
+
+
+def top_session_paths(events: DataFrame, gap_minutes: int = 30,
+                      max_events: int = 8, k: int = 25) -> DataFrame:
+    """Session path mining: the k most common in-session event-type
+    sequences (first *max_events* events of each session, joined with
+    '>') — the navigation-pattern rollup a product-analytics pipeline
+    derives from the same sessionization as :func:`sessionize`.
+    Returns (path, n_sessions, n_users).
+
+    Shape: :func:`assign_sessions` (one user-key shuffle) → per-session
+    ordered gather via array_sort over collect_list of (ts, event_id,
+    type) structs — bounded by session length, which the gap definition
+    bounds in practice; *max_events* truncation keeps path cardinality
+    finite so the path rollup's second shuffle carries short strings →
+    count + distinct-user per path → TakeOrderedAndProject top-k (no
+    global sort). Deterministic: the (ts, event_id) total order makes
+    the gathered sequence reproducible, and ties on count break on the
+    path string."""
+    sess = assign_sessions(events, gap_minutes=gap_minutes)
+    paths = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "ts", "event_id", "event_type"))).alias("_seq"))
+        .select(
+            "user_id",
+            F.concat_ws(
+                ">",
+                F.transform(F.slice(F.col("_seq"), 1, max_events),
+                            lambda s: s["event_type"]),
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.count_distinct("user_id").alias("n_users"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )
 
 
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:

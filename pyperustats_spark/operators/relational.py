@@ -1409,3 +1409,111 @@ def catalog_coverage_report(part: DataFrame, orders: DataFrame,
         )
         .orderBy("p_type")
     )
+
+
+def national_market_share(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          part: DataFrame,
+                          market_region: str = "AMERICA",
+                          target_nation: str = "NATION_1",
+                          part_type: str = "ECONOMY",
+                          year_from: int = 1996,
+                          year_to: int = 1997) -> DataFrame:
+    """TPC-H Q8 shape: the target supplier-nation's share of a market
+    region's order volume per year, for one part class — the last
+    TPC-H query expressible without a partsupp table. Returns
+    (o_year, target_volume, total_volume, mkt_share).
+
+    Join order pushes every selective filter below the joins: part is
+    pre-filtered to the class, orders to the year range, and the
+    customer→nation→region chain prunes to the market region before
+    lineitem fans anything out. nation appears TWICE (customer side
+    defines the market, supplier side labels the seller) — both copies
+    plus region are fixed 25/5-row dims and hinted; customer/supplier/
+    orders/lineitem are SF-proportional and stay AQE-decided. Share
+    arithmetic follows the q14 recipe: volumes are 4-decimal-grid
+    products (2-decimal price × 2-decimal discount), so round(sum, 4)
+    recovers the exact grid point in both engines and the share ships
+    as the RAW quotient of the two recovered sums."""
+    r = region.where(F.col("r_name") == market_region)
+    n_mkt = nation.join(
+        F.broadcast(r), nation.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("_mkt_nk"))
+    n_sup = nation.select(F.col("n_nationkey").alias("_sup_nk"),
+                          F.col("n_name").alias("supp_nation"))
+    p = part.where(F.col("p_type") == part_type).select("p_partkey")
+    o = orders.where(
+        (F.year("o_orderdate") >= year_from)
+        & (F.year("o_orderdate") <= year_to)
+    ).select("o_orderkey", "o_custkey",
+             F.year("o_orderdate").alias("o_year"))
+    c = customer.select("c_custkey", "c_nationkey")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                        vol.alias("_vol"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_mkt), c.c_nationkey == F.col("_mkt_nk"),
+              "left_semi")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n_sup), s.s_nationkey == F.col("_sup_nk"))
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.round(F.sum(F.when(F.col("supp_nation") == target_nation,
+                             F.col("_vol")).otherwise(0.0)), 4)
+        .alias("target_volume"),
+        F.round(F.sum("_vol"), 4).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year", "target_volume", "total_volume",
+        F.try_divide(F.col("target_volume"), F.col("total_volume"))
+        .alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def sole_blame_supplier(supplier: DataFrame, lineitem: DataFrame,
+                        orders: DataFrame, nation: DataFrame,
+                        k: int = 25) -> DataFrame:
+    """TPC-H Q21 shape re-keyed to this schema: suppliers who were the
+    ONLY supplier with a returned line ('R', the failure proxy — this
+    lineitem has no receipt/commit dates) on a finalized multi-supplier
+    order. Returns top-k (s_name, n_name, numwait).
+
+    The Q21 topology survives intact: one EXISTS semi-join (another
+    supplier participated in the order) and one NOT-EXISTS anti-join
+    (no OTHER supplier also failed) against second/third scans of
+    lineitem, all equi on the integer orderkey with the suppkey
+    inequality as a join residual — never a cross join. Only
+    (orderkey, suppkey) pairs ride the three shuffles; the probe side
+    semi/anti joins never duplicate rows. nation (25 rows) is hinted;
+    supplier/orders/lineitem stay AQE-decided."""
+    l1 = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey").distinct()
+    okeys = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l2 = lineitem.select(F.col("l_orderkey").alias("_ok2"),
+                         F.col("l_suppkey").alias("_sk2")).distinct()
+    l3 = lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"),
+        F.col("l_suppkey").alias("_sk3")).distinct()
+    blamed = (
+        l1.join(okeys, l1.l_orderkey == okeys.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("_ok2"))
+              & (F.col("l_suppkey") != F.col("_sk2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("_ok3"))
+              & (F.col("l_suppkey") != F.col("_sk3")), "left_anti")
+    )
+    counts = blamed.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait"))
+    return (
+        counts.join(supplier.select("s_suppkey", "s_name", "s_nationkey"),
+                    counts.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )

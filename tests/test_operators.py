@@ -1958,3 +1958,65 @@ def test_quality_score_col_matches_quality_score_frame(spark, tables):
     col = {r["doc_id"]: r["qs"] for r in docs.select(
         "doc_id", T.quality_score_col(F.col("text")).alias("qs")).collect()}
     assert frame == col
+
+
+def test_national_market_share_bounds_and_target(spark, tables):
+    out = R.national_market_share(
+        tables["region"], tables["nation"], tables["customer"],
+        tables["supplier"], tables["orders"], tables["lineitem"],
+        tables["part"]).collect()
+    assert out, "q8 returned no years"
+    assert [r["o_year"] for r in out] == sorted(r["o_year"] for r in out)
+    for r in out:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["target_volume"] <= r["total_volume"]
+
+
+def test_sole_blame_supplier_topology(spark):
+    li = spark.createDataFrame(
+        [  # order 1: two suppliers, only supp 10 returned -> blamed
+         (1, 10, "R"), (1, 20, "N"),
+         # order 2: two suppliers BOTH returned -> nobody blamed
+         (2, 10, "R"), (2, 30, "R"),
+         # order 3: single-supplier order -> no EXISTS, not blamed
+         (3, 10, "R"),
+         # order 4: open order (status O) -> filtered out
+         (4, 20, "R"), (4, 30, "N")],
+        "l_orderkey bigint, l_suppkey bigint, l_returnflag string")
+    orders = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "F"), (4, "O")],
+        "o_orderkey bigint, o_orderstatus string")
+    supplier = spark.createDataFrame(
+        [(10, "S10", 0), (20, "S20", 0), (30, "S30", 1)],
+        "s_suppkey bigint, s_name string, s_nationkey bigint")
+    nation = spark.createDataFrame(
+        [(0, "N0"), (1, "N1")], "n_nationkey bigint, n_name string")
+    out = R.sole_blame_supplier(supplier, li, orders, nation).collect()
+    assert [(r["s_name"], r["numwait"]) for r in out] == [("S10", 1)]
+
+
+def test_top_session_paths_orders_and_truncates(spark):
+    rows = [
+        # user 1, one session: view > click > purchase
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "click"),
+        (3, "2024-01-01 10:02:00", 1, "purchase"),
+        # user 1, second session (2h later): view > click > purchase
+        (4, "2024-01-01 12:30:00", 1, "view"),
+        (5, "2024-01-01 12:31:00", 1, "click"),
+        (6, "2024-01-01 12:32:00", 1, "purchase"),
+        # user 2, one session: view only
+        (7, "2024-01-01 09:00:00", 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = E.top_session_paths(ev, gap_minutes=30, max_events=8,
+                              k=10).collect()
+    assert [(r["path"], r["n_sessions"], r["n_users"]) for r in out] == [
+        ("view>click>purchase", 2, 1), ("view", 1, 1)]
+    # truncation: max_events=2 cuts the tail of every session path
+    out2 = E.top_session_paths(ev, gap_minutes=30, max_events=2,
+                               k=10).collect()
+    assert [(r["path"], r["n_sessions"]) for r in out2] == [
+        ("view>click", 2), ("view", 1)]

@@ -92,6 +92,8 @@ BROADCAST_HINT_WHITELIST = {
     "text_tfidf_top_terms",       # 1-row doc-count aggregate
     "text_bigram_logprob",        # 1-row vocab-size aggregate
     "q7_nation_volume",           # nation (25 rows), pre-filtered pair
+    "q8_national_market_share",   # nation x2 + region (25/5 rows)
+    "q21_sole_blame_supplier",    # nation (25 rows)
     "q10_returned_items",         # nation (25 rows)
     "ev_skew_profile",            # 1-row grand total
     "ev_power_users",             # P-row ntile offset table
