@@ -789,6 +789,10 @@ def ts_ewma(spark, sf_dir):
     return TS.ewma(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_holt_winters(spark, sf_dir):
+    return TS.holt_winters(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ev_funnel_steps(spark, sf_dir):
     return E.funnel_steps(_lt(spark, sf_dir, "events"))
 
@@ -1661,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_winsorize_approx": stats_winsorize_approx,
         "ev_gap_stats_approx": ev_gap_stats_approx,
         "ts_ewma": ts_ewma,
+        "ts_holt_winters": ts_holt_winters,
         "dedup_incremental": dedup_incremental,
         "dedup_stats_by_source": dedup_stats_by_source,
         "dedup_source_overlap": dedup_source_overlap,

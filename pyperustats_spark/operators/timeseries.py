@@ -444,6 +444,62 @@ def ewma(long_df: DataFrame, alpha: float = 0.3,
     return out.orderBy("code", "date") if sort else out
 
 
+def holt_winters(long_df: DataFrame, alpha: float = 0.3,
+                 beta: float = 0.1, sort: bool = True) -> DataFrame:
+    """Holt's double exponential smoothing per series (level + trend):
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    with l_1 = x_1, b_1 = 0, plus the one-step-ahead forecast
+    (l_{t−1} + b_{t−1}) each row — the trending-series companion to
+    :func:`ewma` on economic series (BCRP class). NULL gaps carry the
+    last (level, trend) state and forecast from it.
+
+    Same execution shape as ewma: the recursion is inherently
+    sequential PER SERIES, so it is the documented grouped-map escape
+    hatch (``applyInPandas``, Arrow batches) — ONE shuffle on the
+    series key, linear fold per task, series count bounds parallelism
+    exactly as any per-series statistic does. Rows-only (orderless SQL
+    cannot express the fold); property-tested against a plain-Python
+    recursion."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError("beta must be in [0, 1]")
+    import pandas as pd
+
+    out_schema = ("date timestamp, code string, value double, "
+                  "level double, trend double, forecast double")
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("date")
+        lvl = trend = None
+        levels, trends, fcs = [], [], []
+        for x in pdf["value"]:
+            fc = None if lvl is None else lvl + trend
+            if x is None or pd.isna(x):
+                levels.append(lvl)
+                trends.append(trend)
+                fcs.append(fc)
+                continue
+            if lvl is None:
+                lvl, trend = x, 0.0
+            else:
+                prev = lvl
+                lvl = alpha * x + (1.0 - alpha) * (lvl + trend)
+                trend = beta * (lvl - prev) + (1.0 - beta) * trend
+            levels.append(lvl)
+            trends.append(trend)
+            fcs.append(fc)
+        pdf = pdf.assign(level=levels, trend=trends, forecast=fcs)
+        return pdf[["date", "code", "value", "level", "trend", "forecast"]]
+
+    out = long_df.select("date", "code", "value") \
+        .groupBy("code").applyInPandas(fold, out_schema)
+    return out.orderBy("code", "date") if sort else out
+
+
 def cusum_changepoint(long_df: DataFrame, sort: bool = True) -> DataFrame:
     """Offline CUSUM mean-shift locator per series: cumulative sum of
     deviations from the series mean, changepoint = the date maximizing

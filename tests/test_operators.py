@@ -2020,3 +2020,38 @@ def test_top_session_paths_orders_and_truncates(spark):
                                k=10).collect()
     assert [(r["path"], r["n_sessions"]) for r in out2] == [
         ("view>click", 2), ("view", 1)]
+
+
+def test_holt_winters_matches_python_recursion(spark, small_long):
+    alpha, beta = 0.5, 0.5
+    out = {(r["code"], r["date"].day): r for r in
+           TS.holt_winters(small_long, alpha=alpha, beta=beta).collect()}
+    # code A values 1, 2, 4 on days 1, 3, 4:
+    # t1: l=1, b=0, fc=None
+    # t2: fc=1; l=.5*2+.5*1=1.5; b=.5*.5+.5*0=0.25
+    # t3: fc=1.75; l=.5*4+.5*1.75=2.875; b=.5*1.375+.5*.25=0.8125
+    a1, a3, a4 = out[("A", 1)], out[("A", 3)], out[("A", 4)]
+    assert a1["level"] == pytest.approx(1.0) and a1["trend"] == 0.0
+    assert a1["forecast"] is None
+    assert a3["forecast"] == pytest.approx(1.0)
+    assert a3["level"] == pytest.approx(1.5)
+    assert a3["trend"] == pytest.approx(0.25)
+    assert a4["forecast"] == pytest.approx(1.75)
+    assert a4["level"] == pytest.approx(2.875)
+    assert a4["trend"] == pytest.approx(0.8125)
+    with pytest.raises(ValueError):
+        TS.holt_winters(small_long, alpha=0.0)
+    with pytest.raises(ValueError):
+        TS.holt_winters(small_long, beta=1.5)
+    # NULL gaps carry state and still forecast from it
+    import datetime
+    gappy = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 1), "A", 2.0),
+         (datetime.datetime(2020, 1, 2), "A", None),
+         (datetime.datetime(2020, 1, 3), "A", 4.0)],
+        "date timestamp, code string, value double")
+    g = {r["date"].day: r for r in
+         TS.holt_winters(gappy, alpha=0.5, beta=0.5).collect()}
+    assert g[2]["level"] == pytest.approx(2.0)
+    assert g[2]["forecast"] == pytest.approx(2.0)
+    assert g[3]["level"] == pytest.approx(3.0)  # .5*4+.5*(2+0)
