@@ -145,3 +145,34 @@ def test_export_shards_round_trip_and_order(spark, tables, tmp_path):
     b = sorted((r["doc_id"], r["shard"], r["pos"]) for r in
                X.load_release(spark, path2, "shard").collect())
     assert a == b
+
+
+def test_release_chain_lands_training_shards(spark, tables, tmp_path):
+    """The full dress rehearsal END: api.incremental_release's output
+    feeds export_shards directly — the release lands as self-contained
+    per-shard training files whose manifest certifies on-disk counts,
+    and every landed row is a chain survivor with its split intact."""
+    from pyperustats_spark.api import incremental_release
+    from pyperustats_spark.sources import exporter as X
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    ev = spark.createDataFrame(
+        [(1, "batch batch batch stream spark window window dup")],
+        "eid int, text string")
+    release = incremental_release(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        ev, prefix_chars=40, sort=False)
+    path = str(tmp_path / "release_shards")
+    manifest = X.export_shards(release, path, num_shards=4)
+    m = {r["shard"]: r["n_rows"] for r in manifest.collect()}
+    n_release = release.count()
+    assert sum(m.values()) == n_release > 0
+    back = X.load_release(spark, path, "shard")
+    assert back.count() == n_release
+    assert set(back.select("split").distinct().toPandas()["split"]) \
+        <= {"train", "val"}
+    # landed ids == chain survivor ids (no dup, no loss through export)
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in release.select("doc_id").collect())
