@@ -135,3 +135,67 @@ def test_round5_ops_survive_degenerates(spark, frames):
     one = frames["one_long"]
     r = TS.cusum_changepoint(one).collect()[0]
     assert r["n"] == 1 and r["cusum_stat"] == 0.0 and r["mean_after"] is None
+
+
+def test_round6_ops_survive_degenerates(spark, frames):
+    """Round-6 families on empty frames: the sketch twins, path mining,
+    Q8/Q21 shapes, Holt smoothing, the manifest quarantine, and the
+    full release chain must yield empty results, never errors."""
+    from pyperustats_spark.api import incremental_release
+    from pyperustats_spark.operators import organizer as ORG
+    from pyperustats_spark.operators import similarity as S
+
+    el, ev = frames["empty_long"], frames["empty_ev"]
+    # percentile sketch twins + paths on an empty stream
+    assert E.inter_event_gap_stats_approx(ev).count() == 0
+    assert E.top_session_paths(ev).count() == 0
+    assert TS.holt_winters(el).count() == 0
+    # Q8/Q21 shapes with empty fact tables (dims present)
+    empty_li = spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_extendedprice double, l_discount double, "
+            "l_returnflag string")
+    empty_ord = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_orderdate timestamp")
+    nation = spark.createDataFrame(
+        [(0, "N0", 0)], "n_nationkey long, n_name string, n_regionkey long")
+    region = spark.createDataFrame([(0, "AMERICA")],
+                                   "r_regionkey long, r_name string")
+    cust = spark.createDataFrame([], "c_custkey long, c_nationkey long")
+    supp = spark.createDataFrame(
+        [], "s_suppkey long, s_name string, s_nationkey long")
+    part = spark.createDataFrame([], "p_partkey long, p_type string")
+    assert R.national_market_share(
+        region, nation, cust, supp, empty_ord, empty_li, part).count() == 0
+    assert R.sole_blame_supplier(supp, empty_li, empty_ord,
+                                 nation).count() == 0
+    # manifest quarantine with an empty batch and an empty manifest
+    docs = spark.createDataFrame(
+        [(1, "t", "s")], "doc_id long, text string, source string")
+    empty_docs3 = spark.createDataFrame(
+        [], "doc_id long, text string, source string")
+    empty_manifest = spark.createDataFrame(
+        [], "doc_id long, source string, expected_hash string")
+    assert ORG.manifest_quarantine(empty_docs3, empty_manifest).count() == 0
+    out = {r["doc_id"]: r["status"] for r in
+           ORG.manifest_quarantine(docs, empty_manifest).collect()}
+    assert out == {1: "unlisted"}
+    card = ORG.ingest_integrity_card(docs, empty_manifest).collect()
+    assert card[0]["n_unlisted"] == 1 and card[0]["n_missing"] == 0
+    # full release chain with an empty batch AND an empty corpus
+    full_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string")
+    eval_df = spark.createDataFrame([(1, "a b c d e f")],
+                                    "eid int, text string")
+    assert incremental_release(full_docs, full_docs, eval_df).count() == 0
+    # IVF recall eval with an empty query set
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    no_q = spark.createDataFrame(
+        [], "query_id long, q_embedding array<double>")
+    ev_out = S.ivf_recall_eval(emb, no_q, k=1, n_centroids=2,
+                               nprobes=(1, 2)).collect()
+    assert [r["nprobe"] for r in ev_out] == [1, 2]
+    assert all(r["n_truth_pairs"] == 0 for r in ev_out)
