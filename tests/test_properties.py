@@ -366,3 +366,52 @@ def test_event_transitions_matches_python(spark, steps):
         for a, b in zip(evs, evs[1:]):
             expect[(a[2], b[2])] += 1
     assert got == dict(expect)
+
+
+def _py_holt(xs, alpha, beta):
+    lvl = trend = None
+    out = []
+    for x in xs:
+        fc = None if lvl is None else lvl + trend
+        if x is None:
+            out.append((lvl, trend, fc))
+            continue
+        if lvl is None:
+            lvl, trend = x, 0.0
+        else:
+            prev = lvl
+            lvl = alpha * x + (1.0 - alpha) * (lvl + trend)
+            trend = beta * (lvl - prev) + (1.0 - beta) * trend
+        out.append((lvl, trend, fc))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.one_of(
+        st.none(),
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False)),
+        min_size=1, max_size=25),
+    st.floats(min_value=0.05, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_holt_winters_matches_python(spark, xs, alpha, beta):
+    from datetime import datetime, timedelta
+
+    from pyperustats_spark.operators import timeseries as TS
+
+    rows = [(datetime(2020, 1, 1) + timedelta(days=i), "A", x)
+            for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "date timestamp, code string, value double")
+    got = [(r["level"], r["trend"], r["forecast"]) for r in
+           TS.holt_winters(df, alpha=alpha, beta=beta).collect()]
+    want = _py_holt(xs, alpha, beta)
+    assert len(got) == len(want)
+    for (gl, gt, gf), (wl, wt, wf) in zip(got, want):
+        for g, w in ((gl, wl), (gt, wt), (gf, wf)):
+            if w is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(w, rel=1e-9, abs=1e-9)
