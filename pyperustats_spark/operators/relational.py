@@ -1488,17 +1488,20 @@ def sole_blame_supplier(supplier: DataFrame, lineitem: DataFrame,
     (no OTHER supplier also failed) against second/third scans of
     lineitem, all equi on the integer orderkey with the suppkey
     inequality as a join residual — never a cross join. Only
-    (orderkey, suppkey) pairs ride the three shuffles; the probe side
-    semi/anti joins never duplicate rows. nation (25 rows) is hinted;
-    supplier/orders/lineitem stay AQE-decided."""
+    (orderkey, suppkey) pairs ride the shuffles. l1 is distinct-ed
+    (one blame per order however many lines a supplier returned — the
+    unit numwait counts); the l2/l3 EXISTS sides are deliberately NOT:
+    semi/anti probes never duplicate, so a distinct there is a pure
+    extra shuffle. nation (25 rows) is hinted; supplier/orders/
+    lineitem stay AQE-decided."""
     l1 = lineitem.where(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_suppkey").distinct()
     okeys = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
     l2 = lineitem.select(F.col("l_orderkey").alias("_ok2"),
-                         F.col("l_suppkey").alias("_sk2")).distinct()
+                         F.col("l_suppkey").alias("_sk2"))
     l3 = lineitem.where(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("_ok3"),
-        F.col("l_suppkey").alias("_sk3")).distinct()
+        F.col("l_suppkey").alias("_sk3"))
     blamed = (
         l1.join(okeys, l1.l_orderkey == okeys.o_orderkey, "left_semi")
         .join(l2, (F.col("l_orderkey") == F.col("_ok2"))
