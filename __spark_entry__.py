@@ -648,6 +648,11 @@ def ev_top_paths(spark, sf_dir):
                                gap_minutes=30, max_events=8, k=25)
 
 
+def ev_conversion_lag(spark, sf_dir):
+    return E.conversion_lag_stats(_lt(spark, sf_dir, "events"),
+                                  from_type="view", to_type="purchase")
+
+
 def q8_national_market_share(spark, sf_dir):
     return R.national_market_share(
         _lt(spark, sf_dir, "region"), _lt(spark, sf_dir, "nation"),
@@ -1594,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "ev_sessionize": ev_sessionize,
         "ev_top_paths": ev_top_paths,
+        "ev_conversion_lag": ev_conversion_lag,
         "q8_national_market_share": q8_national_market_share,
         "q21_sole_blame_supplier": q21_sole_blame_supplier,
         "stream_dedup_replay": stream_dedup_replay,
@@ -1754,7 +1760,7 @@ _WINDOW = [
     "ingest_manifest_quarantine", "ingest_integrity_card",
     "release_rehearsal", "ev_top_paths",
     "q8_national_market_share", "q21_sole_blame_supplier",
-    "catalog_active_filter",
+    "ev_conversion_lag",
 ]
 
 
@@ -4504,6 +4510,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         GROUP BY s.s_name, n.n_name
         ORDER BY numwait DESC, s.s_name LIMIT 25
+    """
+
+    sql["ev_conversion_lag"] = """
+        WITH f AS (
+            SELECT user_id, min(ts) AS from_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        l AS (
+            SELECT f.user_id,
+                   date_diff('microsecond', min(f.from_ts), min(e.ts))
+                       AS lag_us
+            FROM f JOIN events e ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= f.from_ts
+            GROUP BY f.user_id
+        ),
+        nf AS (SELECT CAST(count(*) AS BIGINT) AS n_users_from FROM f)
+        SELECT nf.n_users_from,
+               CAST(count(*) AS BIGINT) AS n_converted,
+               CAST(count(*) AS BIGINT) / nf.n_users_from
+                   AS conversion_rate,
+               quantile_cont(l.lag_us, 0.5) AS p50_lag_us,
+               quantile_cont(l.lag_us, 0.9) AS p90_lag_us
+        FROM l, nf GROUP BY nf.n_users_from
     """
 
     sql["q19_disjunctive_revenue"] = """

@@ -136,6 +136,49 @@ def top_session_paths(events: DataFrame, gap_minutes: int = 30,
     )
 
 
+def conversion_lag_stats(events: DataFrame, from_type: str = "view",
+                         to_type: str = "purchase") -> DataFrame:
+    """Time-to-convert profile: for each user, the lag from their FIRST
+    *from_type* event to their first *to_type* event at-or-after it —
+    one audited row of (n_users_from, n_converted, conversion_rate,
+    p50_lag_us, p90_lag_us). The funnel family's "how fast", next to
+    funnel_steps' "how many".
+
+    Two pre-filtered per-user min aggregations (partial, map-side
+    combining) joined on the user key, lag in integer microseconds —
+    exact percentile interpolation over integers is bit-identical
+    cross-engine (the gap-stats class; same single-buffer funnel
+    caveat, same approx_percentile swap at 100 TB). conversion_rate
+    ships as the RAW int/int quotient. Output is ONE row (audited
+    single-partition aggregate, q_orphan_check class)."""
+    first_from = (
+        events.where(F.col("event_type") == from_type)
+        .groupBy("user_id").agg(F.min("ts").alias("_from_ts"))
+    )
+    tos = events.where(F.col("event_type") == to_type).select(
+        "user_id", F.col("ts").alias("_to_ts"))
+    lags = (
+        first_from.join(tos, "user_id")
+        .where(F.col("_to_ts") >= F.col("_from_ts"))
+        .groupBy("user_id")
+        .agg((F.unix_micros(F.min("_to_ts"))
+              - F.unix_micros(F.min("_from_ts"))).alias("_lag_us"))
+    )
+    n_from = first_from.agg(
+        F.count(F.lit(1)).alias("n_users_from"))
+    conv = lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("_lag_us", F.lit(0.5)).alias("p50_lag_us"),
+        F.percentile("_lag_us", F.lit(0.9)).alias("p90_lag_us"),
+    )
+    return n_from.join(conv).select(
+        "n_users_from", "n_converted",
+        F.try_divide(F.col("n_converted"), F.col("n_users_from"))
+        .alias("conversion_rate"),
+        "p50_lag_us", "p90_lag_us",
+    )
+
+
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-K users by total value within each event type — groupBy then
     rank window on the (tiny) aggregate, never on raw events."""

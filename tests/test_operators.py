@@ -2055,3 +2055,28 @@ def test_holt_winters_matches_python_recursion(spark, small_long):
     assert g[2]["level"] == pytest.approx(2.0)
     assert g[2]["forecast"] == pytest.approx(2.0)
     assert g[3]["level"] == pytest.approx(3.0)  # .5*4+.5*(2+0)
+
+
+def test_conversion_lag_first_pair_semantics(spark):
+    rows = [
+        # u1: view@10:00, purchase@10:30 -> lag 30min
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:30:00", 1, "purchase"),
+        # u2: purchase BEFORE any view -> not a conversion
+        (3, "2024-01-01 09:00:00", 2, "purchase"),
+        (4, "2024-01-01 11:00:00", 2, "view"),
+        # u3: view only
+        (5, "2024-01-01 08:00:00", 3, "view"),
+        # u4: two views, purchase after second; lag from FIRST view
+        (6, "2024-01-01 07:00:00", 4, "view"),
+        (7, "2024-01-01 07:50:00", 4, "view"),
+        (8, "2024-01-01 08:00:00", 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = E.conversion_lag_stats(ev).collect()[0]
+    assert r["n_users_from"] == 4 and r["n_converted"] == 2
+    assert r["conversion_rate"] == 0.5
+    # lags: u1=30min, u4=60min -> p50 midpoint 45min
+    assert r["p50_lag_us"] == 45 * 60 * 1_000_000.0

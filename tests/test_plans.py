@@ -410,6 +410,8 @@ PLAN_SMELL_WHITELIST = {
                                                 # pair (documented)
     "dedup_threshold_sweep": {"SINGLE_PART"},   # 1-row sweep aggregate
     "q_orphan_check": {"BNLJ", "SINGLE_PART"},  # two 1-row counts joined
+    "ev_conversion_lag": {"BNLJ", "SINGLE_PART"},  # two 1-row aggregates
+                                                # joined (audited)
     "ts_beta": {"SINGLE_PART"},                 # 1-row regression agg
 }
 
