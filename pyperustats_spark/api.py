@@ -195,12 +195,22 @@ class DocumentPipeline:
 
     def quality_filter(self, min_score: float = 0.5) -> "DocumentPipeline":
         self._require_document_grain("quality_filter")
-        scored = _textops.quality_score(self._df, sort=False).select(
-            "doc_id", "quality_score")
+        # row-local score via explode-of-conditional-array: one scan,
+        # one evaluation (a where() on the score column gets the
+        # expression substituted into the predicate = 2x eval; a
+        # score-frame self-join re-executes the pipeline's upstream —
+        # the single-reference rule, see incremental_release and
+        # textops.quality_filter)
+        from pyperustats_spark.functions.text import let as _let
+
+        keep = _let(
+            _textops.quality_score_col(F.col("text")),
+            lambda qs: F.when(qs >= min_score, F.array(qs))
+            .otherwise(F.array().cast("array<double>")),
+        )
         self._df = (
-            self._df.join(scored, "doc_id")
-            .where(F.col("quality_score") >= min_score)
-            .drop("quality_score")
+            self._df.withColumn("_qs", F.explode(keep))
+            .drop("_qs")
         )
         return self
 
@@ -467,9 +477,18 @@ def incremental_release(batch: DataFrame, corpus: DataFrame,
         .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("_fp")))
         .drop("_rn")
     )
-    df = df.withColumn(
-        "quality_score", _textops.quality_score_col(F.col("text"))
-    ).where(F.col("quality_score") >= min_score)
+    # explode-of-conditional-array: score evaluated ONCE per row, and
+    # the generator drops failing rows in the same pass (a where() on
+    # the score column gets the expression substituted back into the
+    # predicate — 2x evaluation; see textops.quality_filter)
+    from pyperustats_spark.functions.text import let as _let
+
+    _keep = _let(
+        _textops.quality_score_col(F.col("text")),
+        lambda qs: F.when(qs >= min_score, F.array(qs))
+        .otherwise(F.array().cast("array<double>")),
+    )
+    df = df.withColumn("quality_score", F.explode(_keep))
     from pyperustats_spark.functions.text import word_ngrams
 
     doc_grams = batch.select(

@@ -648,8 +648,22 @@ def quality_filter(documents: DataFrame, min_score: float = 0.75,
                    sort: bool = True) -> DataFrame:
     """APPLY variant of :func:`quality_score`: keep documents whose
     composite quality score reaches *min_score* (the Gopher-rule
-    cleaning cut). Pure row-local predicate over JVM expressions —
-    zero shuffles, filter runs at scan speed at any corpus size."""
+    cleaning cut).
+
+    Shape (A/B-measured at sf10bd): the keep-set derives from its OWN
+    scan of (doc_id, text) — score evaluated ONCE inside whole-stage
+    codegen — and semi-joins back onto a text-free (doc_id, lang,
+    source) scan, so the heavy text column is read exactly once and
+    only narrow (doc_id, score) pairs shuffle. The single-reference
+    rule does NOT apply here because the upstream is a LEAF scan: a
+    second differently-pruned parquet scan is cheap, unlike
+    re-executing a computed stage. The two single-scan alternatives
+    both lose: `select(score).where(score >= x)` gets the expression
+    substituted into the predicate (2× evaluation, ~24s); explode-of-
+    conditional-array evaluates once but inside GenerateExec, OUTSIDE
+    whole-stage codegen (interpreted scoring, 13.9s vs 11.7s) — that
+    form is still right mid-chain where upstream re-execution is the
+    bigger cost (api.incremental_release)."""
     scored = quality_score(documents, sort=False)
     keep = scored.where(F.col("quality_score") >= min_score) \
                  .select("doc_id", "quality_score")
