@@ -653,6 +653,12 @@ def ev_conversion_lag(spark, sf_dir):
                                   from_type="view", to_type="purchase")
 
 
+def ev_conversion_lag_approx(spark, sf_dir):
+    return E.conversion_lag_stats_approx(_lt(spark, sf_dir, "events"),
+                                         from_type="view",
+                                         to_type="purchase")
+
+
 def q8_national_market_share(spark, sf_dir):
     return R.national_market_share(
         _lt(spark, sf_dir, "region"), _lt(spark, sf_dir, "nation"),
@@ -1600,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": ev_sessionize,
         "ev_top_paths": ev_top_paths,
         "ev_conversion_lag": ev_conversion_lag,
+        "ev_conversion_lag_approx": ev_conversion_lag_approx,
         "q8_national_market_share": q8_national_market_share,
         "q21_sole_blame_supplier": q21_sole_blame_supplier,
         "stream_dedup_replay": stream_dedup_replay,

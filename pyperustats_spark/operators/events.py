@@ -179,6 +179,48 @@ def conversion_lag_stats(events: DataFrame, from_type: str = "view",
     )
 
 
+def conversion_lag_stats_approx(events: DataFrame,
+                                from_type: str = "view",
+                                to_type: str = "purchase",
+                                accuracy: int = 10000) -> DataFrame:
+    """The 100 TB path for :func:`conversion_lag_stats`: identical
+    profile with `approx_percentile` (KLL sketch) — the exact form
+    funnels EVERY converting user's lag into one aggregation buffer
+    (the whole-population single-group case of the gap-stats funnel);
+    sketches merge map-side so the final 1-row aggregate receives
+    per-partition sketches, not raw lags. Same cluster-shape-not-
+    local-wall trade as the other twins (see working notes). Rank
+    error ≤ n/accuracy; engine-specific sketch, so rows-only."""
+    first_from = (
+        events.where(F.col("event_type") == from_type)
+        .groupBy("user_id").agg(F.min("ts").alias("_from_ts"))
+    )
+    tos = events.where(F.col("event_type") == to_type).select(
+        "user_id", F.col("ts").alias("_to_ts"))
+    lags = (
+        first_from.join(tos, "user_id")
+        .where(F.col("_to_ts") >= F.col("_from_ts"))
+        .groupBy("user_id")
+        .agg((F.unix_micros(F.min("_to_ts"))
+              - F.unix_micros(F.min("_from_ts"))).alias("_lag_us"))
+    )
+    n_from = first_from.agg(
+        F.count(F.lit(1)).alias("n_users_from"))
+    conv = lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.approx_percentile("_lag_us", F.lit(0.5), F.lit(accuracy))
+        .cast("double").alias("p50_lag_us"),
+        F.approx_percentile("_lag_us", F.lit(0.9), F.lit(accuracy))
+        .cast("double").alias("p90_lag_us"),
+    )
+    return n_from.join(conv).select(
+        "n_users_from", "n_converted",
+        F.try_divide(F.col("n_converted"), F.col("n_users_from"))
+        .alias("conversion_rate"),
+        "p50_lag_us", "p90_lag_us",
+    )
+
+
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-K users by total value within each event type — groupBy then
     rank window on the (tiny) aggregate, never on raw events."""

@@ -2080,3 +2080,34 @@ def test_conversion_lag_first_pair_semantics(spark):
     assert r["conversion_rate"] == 0.5
     # lags: u1=30min, u4=60min -> p50 midpoint 45min
     assert r["p50_lag_us"] == 45 * 60 * 1_000_000.0
+
+
+def test_conversion_lag_approx_tracks_exact(spark, tables):
+    ev = tables["events"]
+    e = E.conversion_lag_stats(ev).collect()[0]
+    a = E.conversion_lag_stats_approx(ev).collect()[0]
+    assert a["n_users_from"] == e["n_users_from"]
+    assert a["n_converted"] == e["n_converted"]
+    assert a["conversion_rate"] == e["conversion_rate"]
+    # KLL guarantees RANK error and returns actual data values (no
+    # interpolation) — with few converting users the p90 tail is
+    # sparse, so assert on ranks against an independently computed lag
+    # set, not on relative value error (the winsorize_approx lesson)
+    pdf = ev.select("user_id", "ts", "event_type").toPandas()
+    lags = []
+    for _, g in pdf.groupby("user_id"):
+        views = g[g.event_type == "view"]
+        if views.empty:
+            continue
+        first_view = views.ts.min()
+        buys = g[(g.event_type == "purchase") & (g.ts >= first_view)]
+        if buys.empty:
+            continue
+        lags.append((buys.ts.min() - first_view).value // 1000)
+    lags.sort()
+    n = len(lags)
+    assert n == e["n_converted"]
+    tol = 3 + n / 1000
+    for q, key in ((0.5, "p50_lag_us"), (0.9, "p90_lag_us")):
+        rank = sum(1 for x in lags if x <= a[key])
+        assert abs(rank - q * n) <= tol, (key, rank, q * n)

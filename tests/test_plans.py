@@ -412,6 +412,8 @@ PLAN_SMELL_WHITELIST = {
     "q_orphan_check": {"BNLJ", "SINGLE_PART"},  # two 1-row counts joined
     "ev_conversion_lag": {"BNLJ", "SINGLE_PART"},  # two 1-row aggregates
                                                 # joined (audited)
+    "ev_conversion_lag_approx": {"BNLJ", "SINGLE_PART"},  # same shape,
+                                                # sketch percentiles
     "ts_beta": {"SINGLE_PART"},                 # 1-row regression agg
 }
 
