@@ -673,6 +673,12 @@ def q21_sole_blame_supplier(spark, sf_dir):
         _lt(spark, sf_dir, "orders"), _lt(spark, sf_dir, "nation"))
 
 
+def q16_part_supplier_counts(spark, sf_dir):
+    return R.part_supplier_counts(
+        _lt(spark, sf_dir, "part"), _lt(spark, sf_dir, "lineitem"),
+        _lt(spark, sf_dir, "supplier"))
+
+
 def text_token_count(spark, sf_dir):
     return T.token_counts(_lt(spark, sf_dir, "documents"))
 
@@ -1609,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_conversion_lag_approx": ev_conversion_lag_approx,
         "q8_national_market_share": q8_national_market_share,
         "q21_sole_blame_supplier": q21_sole_blame_supplier,
+        "q16_part_supplier_counts": q16_part_supplier_counts,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
@@ -4540,6 +4547,25 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(l.lag_us, 0.5) AS p50_lag_us,
                quantile_cont(l.lag_us, 0.9) AS p90_lag_us
         FROM l, nf GROUP BY nf.n_users_from
+    """
+
+    sql["q16_part_supplier_counts"] = """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT ps.l_suppkey) AS BIGINT)
+                   AS supplier_cnt
+        FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND ps.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier
+              WHERE regexp_matches(s_name, '00000000[02468]$'))
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        LIMIT 40
     """
 
     sql["q19_disjunctive_revenue"] = """

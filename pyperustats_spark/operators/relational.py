@@ -1520,3 +1520,45 @@ def sole_blame_supplier(supplier: DataFrame, lineitem: DataFrame,
         .orderBy(F.desc("numwait"), "s_name")
         .limit(k)
     )
+
+
+def part_supplier_counts(part: DataFrame, lineitem: DataFrame,
+                         supplier: DataFrame,
+                         exclude_brand: str = "Brand#1",
+                         exclude_type_prefix: str = "PROMO",
+                         sizes: tuple[int, ...] = (1, 4, 9, 14, 19,
+                                                   23, 36, 45),
+                         complaint_pattern: str = "00000000[02468]$",
+                         k: int = 40) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) part class, excluding one brand, one type
+    prefix, and "complaint" suppliers — the supplier-diversity rollup.
+    The canonical Q16 reads partsupp; the observed (l_partkey,
+    l_suppkey) pairs in lineitem ARE that bridge here, so the shape
+    needs no invented table. Returns top-k by (supplier_cnt desc,
+    brand, type, size).
+
+    The pair distinct runs FIRST on the two integer keys (16 bytes per
+    row into one shuffle — never the full lineitem payload); part is
+    pre-filtered by brand/type/size before its join; the complaint
+    exclusion is a NOT-IN on a name-filtered supplier side expressed
+    as left_anti (null-safe, unlike SQL NOT IN). count_distinct
+    partial-aggregates map-side. TakeOrderedAndProject top-k."""
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    p = part.where(
+        (F.col("p_brand") != exclude_brand)
+        & (~F.col("p_type").startswith(exclude_type_prefix))
+        & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complainers = supplier.where(
+        F.col("s_name").rlike(complaint_pattern)).select(
+        F.col("s_suppkey").alias("_bad_sk"))
+    out = (
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(complainers, ps.l_suppkey == F.col("_bad_sk"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(k)
+    )
+    return out
