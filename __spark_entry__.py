@@ -810,6 +810,11 @@ def ts_holt_winters(spark, sf_dir):
     return TS.holt_winters(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_forecast_backtest(spark, sf_dir):
+    return TS.forecast_backtest(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ev_funnel_steps(spark, sf_dir):
     return E.funnel_steps(_lt(spark, sf_dir, "events"))
 
@@ -1686,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_gap_stats_approx": ev_gap_stats_approx,
         "ts_ewma": ts_ewma,
         "ts_holt_winters": ts_holt_winters,
+        "ts_forecast_backtest": ts_forecast_backtest,
         "dedup_incremental": dedup_incremental,
         "dedup_stats_by_source": dedup_stats_by_source,
         "dedup_source_overlap": dedup_source_overlap,

@@ -500,6 +500,43 @@ def holt_winters(long_df: DataFrame, alpha: float = 0.3,
     return out.orderBy("code", "date") if sort else out
 
 
+def forecast_backtest(long_df: DataFrame, alpha: float = 0.3,
+                      beta: float = 0.1, sort: bool = True) -> DataFrame:
+    """Rolling-origin backtest of :func:`holt_winters` against the
+    naive lag-1 baseline: per series, the mean absolute error of each
+    model's one-step-ahead forecast over every row that has both (the
+    walk-forward evaluation a forecasting user runs BEFORE trusting a
+    smoother's parameters — the model-selection companion to the
+    nprobe/threshold calibration evals). Returns (code, n_evaluated,
+    mae_holt, mae_naive, holt_wins).
+
+    One pass over the smoother's output (which already carries the
+    one-step forecast per row — no re-folding); the naive forecast is
+    a lag window on the SAME series-key partitioning, so the rollup
+    adds zero extra shuffles beyond the grouped-map's own. Rows-only
+    (inherits the fold's orderless-SQL gap)."""
+    hw = holt_winters(long_df, alpha=alpha, beta=beta, sort=False)
+    w = Window.partitionBy("code").orderBy("date")
+    naive = F.lag("value").over(w)
+    scored = hw.select(
+        "code", "value", "forecast", naive.alias("_naive")
+    ).where(F.col("value").isNotNull()
+            & F.col("forecast").isNotNull()
+            & F.col("_naive").isNotNull())
+    out = (
+        scored.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_evaluated"),
+            F.avg(F.abs(F.col("value") - F.col("forecast")))
+            .alias("mae_holt"),
+            F.avg(F.abs(F.col("value") - F.col("_naive")))
+            .alias("mae_naive"),
+        )
+        .withColumn("holt_wins", F.col("mae_holt") < F.col("mae_naive"))
+    )
+    return out.orderBy("code") if sort else out
+
+
 def cusum_changepoint(long_df: DataFrame, sort: bool = True) -> DataFrame:
     """Offline CUSUM mean-shift locator per series: cumulative sum of
     deviations from the series mean, changepoint = the date maximizing

@@ -2111,3 +2111,26 @@ def test_conversion_lag_approx_tracks_exact(spark, tables):
     for q, key in ((0.5, "p50_lag_us"), (0.9, "p90_lag_us")):
         rank = sum(1 for x in lags if x <= a[key])
         assert abs(rank - q * n) <= tol, (key, rank, q * n)
+
+
+def test_forecast_backtest_scores_both_models(spark):
+    import datetime
+    # a cleanly trending series: Holt (with trend) must beat naive
+    rows = [(datetime.datetime(2020, 1, 1) + datetime.timedelta(days=i),
+             "UP", 10.0 + 5.0 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, "date timestamp, code string, value double")
+    r = {x["code"]: x for x in
+         TS.forecast_backtest(df, alpha=0.8, beta=0.8).collect()}
+    up = r["UP"]
+    # every row after the first has both forecasts (Holt's one-step
+    # forecast exists from row 2: l1 + b1)
+    assert up["n_evaluated"] == 19
+    assert up["mae_holt"] < up["mae_naive"]
+    assert up["holt_wins"] is True
+    # constant series: naive is perfect; Holt converges to it
+    rows2 = [(datetime.datetime(2020, 1, 1) + datetime.timedelta(days=i),
+              "FLAT", 7.0) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "date timestamp, code string, value double")
+    flat = TS.forecast_backtest(df2).collect()[0]
+    assert flat["mae_naive"] == 0.0
+    assert flat["mae_holt"] == pytest.approx(0.0)
