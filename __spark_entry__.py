@@ -1446,6 +1446,15 @@ def dedup_minhash_eval(spark, sf_dir):
                                    n=3, threshold=0.4)
 
 
+def embedding_pq_profile(spark, sf_dir):
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return _round(S.pq_distortion_profile(emb, m=8, k=16, dim=64),
+                  {"mean_sq_err": 6})
+
+
 def ann_ivf_recall_eval(spark, sf_dir):
     emb = _lt(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1726,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "ann_ivf_cell_stats": ann_ivf_cell_stats,
         "ann_ivf_recall_eval": ann_ivf_recall_eval,
+        "embedding_pq_profile": embedding_pq_profile,
         "q22_rich_inactive": q22_rich_inactive,
         "q13_order_distribution": q13_order_distribution,
         "ts_xcorr": ts_xcorr,

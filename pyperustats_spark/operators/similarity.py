@@ -617,3 +617,133 @@ def ivf_cell_stats(embeddings: DataFrame, n_centroids: int = 16,
         .withColumn("share", F.col("n_vectors") / F.lit(n_total))
     )
     return out.orderBy(F.desc("n_vectors"), F.asc("cell")) if sort else out
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
+                 dim: int = 64,
+                 kmeans_iters: int = 0) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the *dim*-vector into *m*
+    subspaces of dim/m and learn *k* codewords per subspace —
+    deterministic stride-sample seeds (one corpus count, O(m·k·dim/m)
+    driver transfer), optionally Lloyd-refined per subspace via
+    :func:`kmeans_refine_centroids` on the sliced frame. Returns
+    m × k × (dim/m) floats."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    n = embeddings.count()
+    step = max(1, n // k)
+    seeds = (
+        embeddings.where(F.col("vec_id") % step == 0)
+        .orderBy("vec_id").limit(k)
+        .select("vec_id", "embedding").collect()
+    )
+    books: list[list[list[float]]] = []
+    for s_idx in range(m):
+        cents = [
+            (int(r["vec_id"]),
+             [float(x) for x in r["embedding"]][s_idx * d:(s_idx + 1) * d])
+            for r in seeds
+        ]
+        if kmeans_iters > 0:
+            sub = embeddings.select(
+                "vec_id",
+                F.slice("embedding", s_idx * d + 1, d).alias("embedding"))
+            cents = kmeans_refine_centroids(sub, cents,
+                                            iterations=kmeans_iters)
+        books.append([c for _, c in cents])
+    return books
+
+
+def _pq_code(sub, book: list[list[float]]):
+    """Argmin codeword index for one bound subvector (JVM array expr)."""
+    scored = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
+            F.lit(j).alias("j"),
+        )
+        for j, c in enumerate(book)
+    ])
+    return F.element_at(F.array_sort(scored), 1)["j"]
+
+
+def pq_encode(embeddings: DataFrame,
+              codebooks: list[list[list[float]]]) -> DataFrame:
+    """PQ-encode the corpus: (vec_id, codes array<int> of length m) —
+    dim·4 bytes shrink to m codes (m bytes at k ≤ 256), the
+    memory-bounded ANN storage layout (IVF-PQ's fine quantizer).
+
+    Pure row-local array expressions: each subspace slice is let-bound
+    once and compared against its k codewords JVM-side — no shuffle,
+    no Python, scan-speed at any corpus size. Deterministic given the
+    codebooks (which are themselves deterministic)."""
+    from pyperustats_spark.functions.text import let
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+
+    def one(s_idx):
+        return let(F.slice(F.col("embedding"), s_idx * d + 1, d),
+                   lambda sub: _pq_code(sub, codebooks[s_idx]))
+
+    return embeddings.select(
+        "vec_id", F.array(*[one(s) for s in range(m)]).alias("codes"))
+
+
+def pq_distortion_profile(embeddings: DataFrame, m: int = 8,
+                          k: int = 16, dim: int = 64,
+                          kmeans_iters: int = 0,
+                          sort: bool = True) -> DataFrame:
+    """Per-subspace PQ reconstruction distortion: (subspace, n_vectors,
+    mean_sq_err) + the codebook size — the pre-flight a pipeline runs
+    before committing a PQ layout to a 100 TB embedding corpus (the
+    storage analog of :func:`ivf_cell_stats` / the recall analog of
+    :func:`ivf_recall_eval`). Mean squared error per subspace =
+    average squared L2 distance between each subvector and its chosen
+    codeword.
+
+    One encode pass (row-local) + one m-row partial aggregation;
+    vectors never shuffle. Rows-only (distortion doubles; no SQL
+    oracle by design — the property tests pin that distortion shrinks
+    as k grows and is zero when the corpus fits the codebook
+    exactly)."""
+    from pyperustats_spark.functions.text import let
+
+    books = pq_codebooks(embeddings, m=m, k=k, dim=dim,
+                         kmeans_iters=kmeans_iters)
+    d = dim // m
+
+    def err(s_idx):
+        book = books[s_idx]
+
+        def body(sub):
+            best = F.element_at(F.array_sort(F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(sub,
+                                   F.array(*[F.lit(float(x)) for x in c]),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
+                    F.lit(j).alias("j"),
+                )
+                for j, c in enumerate(book)
+            ])), 1)
+            return best["dist"]
+
+        return let(F.slice(F.col("embedding"), s_idx * d + 1, d), body)
+
+    errs = embeddings.select(
+        *[err(s).alias(f"_e{s}") for s in range(m)])
+    agg = errs.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.avg(f"_e{s}").alias(f"_m{s}") for s in range(m)])
+    stacked = agg.selectExpr(
+        "n_vectors",
+        "stack({}, {}) as (subspace, mean_sq_err)".format(
+            m, ", ".join(f"CAST({s} AS INT), _m{s}" for s in range(m))),
+    ).select("subspace", "n_vectors",
+             F.lit(k).alias("k_codewords"), "mean_sq_err")
+    return stacked.orderBy("subspace") if sort else stacked

@@ -2134,3 +2134,31 @@ def test_forecast_backtest_scores_both_models(spark):
     flat = TS.forecast_backtest(df2).collect()[0]
     assert flat["mae_naive"] == 0.0
     assert flat["mae_holt"] == pytest.approx(0.0)
+
+
+def test_pq_encode_and_distortion_properties(spark, tables):
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    # codes: length m, every code within [0, k)
+    books = S.pq_codebooks(emb, m=8, k=16, dim=64)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    codes = S.pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    # encoding is deterministic
+    codes2 = {r["vec_id"]: list(r["codes"]) for r in
+              S.pq_encode(emb, books).collect()}
+    assert {r["vec_id"]: list(r["codes"]) for r in codes} == codes2
+    # distortion shrinks as the codebook grows (monotone in k)
+    p4 = {r["subspace"]: r["mean_sq_err"] for r in
+          S.pq_distortion_profile(emb, m=8, k=4, dim=64).collect()}
+    p16 = {r["subspace"]: r["mean_sq_err"] for r in
+           S.pq_distortion_profile(emb, m=8, k=16, dim=64).collect()}
+    assert set(p4) == set(range(8))
+    assert sum(p16.values()) < sum(p4.values())
+    # a corpus of exactly k vectors IS its own codebook: zero error
+    tiny = emb.orderBy("vec_id").limit(4)
+    z = S.pq_distortion_profile(tiny, m=8, k=4, dim=64).collect()
+    assert all(r["mean_sq_err"] == pytest.approx(0.0) for r in z)

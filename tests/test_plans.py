@@ -404,6 +404,9 @@ PLAN_SMELL_WHITELIST = {
     "ann_ivf_recall_eval": {"BNLJ", "SINGLE_PART"},  # two 1-row count
                                                 # aggregates joined +
                                                 # |nprobes|-row stack
+    "embedding_pq_profile": {"SINGLE_PART"},    # 1-row m-column global
+                                                # distortion aggregate
+                                                # stacked to m rows
     "q17_small_qty_revenue": {"SINGLE_PART"},   # global 1-row aggregate
     "q22_rich_inactive": {"BNLJ", "SINGLE_PART"},  # 1-row global average
     "ts_xcorr": {"SINGLE_PART"},                # one pre-joined series
