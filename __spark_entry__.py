@@ -1446,6 +1446,16 @@ def dedup_minhash_eval(spark, sf_dir):
                                    n=3, threshold=0.4)
 
 
+def ann_pq_rerank_l2(spark, sf_dir):
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.ann_pq_rerank(emb, q, k=5, shortlist=50, m=8,
+                                  n_codewords=16), {"dist": 6})
+
+
 def embedding_pq_profile(spark, sf_dir):
     emb = _lt(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1736,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cell_stats": ann_ivf_cell_stats,
         "ann_ivf_recall_eval": ann_ivf_recall_eval,
         "embedding_pq_profile": embedding_pq_profile,
+        "ann_pq_rerank_l2": ann_pq_rerank_l2,
         "q22_rich_inactive": q22_rich_inactive,
         "q13_order_distribution": q13_order_distribution,
         "ts_xcorr": ts_xcorr,

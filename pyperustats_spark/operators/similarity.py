@@ -747,3 +747,111 @@ def pq_distortion_profile(embeddings: DataFrame, m: int = 8,
     ).select("subspace", "n_vectors",
              F.lit(k).alias("k_codewords"), "mean_sq_err")
     return stacked.orderBy("subspace") if sort else stacked
+
+
+def ann_pq_adc(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               m: int = 8, n_codewords: int = 16, dim: int = 64,
+               kmeans_iters: int = 0) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation: the corpus is
+    scanned as CODES ONLY (m small ints per vector — the float vectors
+    never leave the encode pass), and each query carries a
+    precomputed m × k table of squared L2 distances from its
+    subvectors to every codeword; a vector's approximate distance is
+    m table lookups summed. This is the query half of the IVF-PQ
+    layout: at 100 TB the code table is ~dim·4/m× smaller than the
+    corpus and the scan is memory-bandwidth-bound lookups, not FLOPs.
+    Returns (query_id, vec_id, approx_dist, rank) — top-k ascending.
+
+    Query vectors are collected driver-side to build the literal
+    tables (O(queries·dim), same budget class as make_queries/IVF
+    centroids); ranking reuses the per-query row_number window.
+    Rows-only: approximate distances have no SQL oracle by design —
+    pytest pins recall against exact L2 top-k."""
+    from pyperustats_spark.functions.text import let
+
+    books = pq_codebooks(embeddings, m=m, k=n_codewords, dim=dim,
+                         kmeans_iters=kmeans_iters)
+    codes = pq_encode(ensure_parallelism(embeddings), books)
+    d = dim // m
+    qrows = queries.select("query_id", "q_embedding").collect()
+
+    def dist_expr(qv):
+        # m lookups into this query's literal distance tables
+        def body(cs):
+            parts = []
+            for s in range(m):
+                table = [
+                    sum((float(qv[s * d + i]) - c[i]) ** 2
+                        for i in range(d))
+                    for c in books[s]
+                ]
+                parts.append(F.element_at(
+                    F.array(*[F.lit(x) for x in table]),
+                    F.element_at(cs, s + 1) + 1))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out + p
+            return out
+
+        return let(F.col("codes"), body)
+
+    pairs = F.array(*[
+        F.struct(F.lit(int(r["query_id"])).alias("query_id"),
+                 dist_expr([float(x) for x in r["q_embedding"]])
+                 .alias("approx_dist"))
+        for r in qrows
+    ])
+    scored = (
+        codes.select("vec_id", F.explode(pairs).alias("s"))
+        .select("vec_id", F.col("s.query_id").alias("query_id"),
+                F.col("s.approx_dist").alias("approx_dist"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_pq_rerank(embeddings: DataFrame, queries: DataFrame,
+                  k: int = 5, shortlist: int = 50, m: int = 8,
+                  n_codewords: int = 16, dim: int = 64,
+                  kmeans_iters: int = 0) -> DataFrame:
+    """The production PQ search shape: ADC over codes produces a
+    per-query *shortlist* (cheap, memory-bandwidth-bound —
+    :func:`ann_pq_adc`), then ONLY the shortlist rows join their float
+    vectors back for exact squared-L2 re-ranking. At 100 TB the
+    exact-distance work drops from corpus-sized to
+    O(queries · shortlist), and the vector join moves
+    shortlist·dim·4 bytes — not the corpus. Returns (query_id,
+    vec_id, dist, rank), exact distances, top-k ascending.
+
+    Recall is the shortlist's hit rate (pytest pins it well above the
+    raw ADC top-k); the re-rank itself is exact, so any true neighbor
+    the shortlist contains lands in its exact position."""
+    cand = ann_pq_adc(embeddings, queries, k=shortlist, m=m,
+                      n_codewords=n_codewords, dim=dim,
+                      kmeans_iters=kmeans_iters).select(
+        "query_id", "vec_id")
+    qv = queries.select("query_id", "q_embedding")
+    exact = (
+        cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("embedding"), F.col("q_embedding"),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

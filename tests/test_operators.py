@@ -2162,3 +2162,41 @@ def test_pq_encode_and_distortion_properties(spark, tables):
     tiny = emb.orderBy("vec_id").limit(4)
     z = S.pq_distortion_profile(tiny, m=8, k=4, dim=64).collect()
     assert all(r["mean_sq_err"] == pytest.approx(0.0) for r in z)
+
+
+def test_ann_pq_adc_and_rerank_recall_vs_exact_l2(spark, tables):
+    import numpy as np
+
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, [0, 7, 42])
+    adc = S.ann_pq_adc(emb, q, k=5, m=8, n_codewords=16,
+                       kmeans_iters=1).collect()
+    rr = S.ann_pq_rerank(emb, q, k=5, shortlist=50, m=8,
+                         n_codewords=16, kmeans_iters=1).collect()
+    by_q = lambda rows: {qid: [r["vec_id"] for r in rows
+                               if r["query_id"] == qid]
+                         for qid in (0, 7, 42)}
+    a, b = by_q(adc), by_q(rr)
+    assert all(len(v) == 5 for v in a.values())
+    assert all(len(v) == 5 for v in b.values())
+    # exact L2 ground truth, computed independently
+    pdf = emb.toPandas()
+    mat = np.array([list(v) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    truth = {}
+    for qid in (0, 7, 42):
+        qv = mat[ids == qid][0]
+        dist = ((mat - qv) ** 2).sum(axis=1)
+        truth[qid] = set(
+            [int(i) for i in ids[np.argsort(dist, kind="stable")]
+             if int(i) != qid][:5])
+    rec = lambda found: sum(len(truth[qid] & set(found[qid]))
+                            for qid in truth) / 15
+    # raw ADC on a near-uniform corpus (PQ's hardest case): better
+    # than chance; the production shortlist+exact-rerank path pulls
+    # well clear and can only improve on raw ADC
+    assert rec(a) >= 0.15, a
+    assert rec(b) >= 0.5, b
+    assert rec(b) >= rec(a)

@@ -84,6 +84,7 @@ BROADCAST_HINT_WHITELIST = {
     "ann_lsh_cosine",             # hyperplanes + query signatures
     "ann_ivf_cosine",             # k centroid rows
     "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
+    "ann_pq_rerank_l2",           # query vectors (O(queries))
     "text_oov_rate",              # top-n vocab rows (n is a parameter,
                                   # bounded by construction via LIMIT)
     "corpus_summary",             # 1-row grand-total aggregate (same
