@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_release_manifest"
 
 
-def _read_pinned(spark: SparkSession, path: str) -> DataFrame:
+def _read_pinned(spark: SparkSession, path: str,
+                 fmt: str = "parquet") -> DataFrame:
     """Read a partitioned release WITHOUT partition-column type
     inference: a numeric-looking group value like ``'0100'`` must come
     back as the string ``'0100'``, never int 100 — inference loses both
@@ -31,7 +32,7 @@ def _read_pinned(spark: SparkSession, path: str) -> DataFrame:
     old = spark.conf.get(key, None)
     spark.conf.set(key, "false")
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.format(fmt).load(path)
         df.schema  # force partition discovery while the conf is pinned
     finally:
         if old is None:
@@ -42,7 +43,7 @@ def _read_pinned(spark: SparkSession, path: str) -> DataFrame:
 
 
 def export_releases(
-    df: DataFrame, group_col: str, path: str,
+    df: DataFrame, group_col: str, path: str, fmt: str = "parquet",
 ) -> DataFrame:
     """Write one release directory per *group_col* value plus a manifest.
 
@@ -51,25 +52,29 @@ def export_releases(
     the data ACTUALLY written back, not from the input plan, so a row
     in it certifies rows on disk. The read-back pins partition-column
     type inference off and re-applies the INPUT frame's group type, so
-    the manifest records the written values faithfully. Returns the
-    manifest DataFrame (group, n_rows, n_cols)."""
-    df.write.partitionBy(group_col).mode("overwrite").parquet(path)
+    the manifest records the written values faithfully. *fmt* picks
+    the columnar container ("parquet" default, "orc" for ORC-consuming
+    downstreams — both splittable, compressed, predicate-pushdown
+    formats; the release layout and manifest contract are identical).
+    Returns the manifest DataFrame (group, n_rows, n_cols)."""
+    df.write.partitionBy(group_col).mode("overwrite") \
+        .format(fmt).save(path)
     spark = df.sparkSession
-    written = _read_pinned(spark, path).withColumn(
+    written = _read_pinned(spark, path, fmt).withColumn(
         group_col, F.col(group_col).cast(df.schema[group_col].dataType))
     manifest = (
         written.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("n_cols", F.lit(len(written.columns)))
     )
-    manifest.coalesce(1).write.mode("overwrite").parquet(
+    manifest.coalesce(1).write.mode("overwrite").format(fmt).save(
         os.path.join(path, MANIFEST_DIR))
     return manifest
 
 
 def load_release(
     spark: SparkSession, path: str, group_col: str | None = None,
-    group: str | None = None,
+    group: str | None = None, fmt: str = "parquet",
 ) -> DataFrame:
     """Read a release back; with *group* given, partition pruning means
     only that group's files are scanned (the reference reads one
@@ -79,7 +84,7 @@ def load_release(
     pinned off) before any cast, so directory pruning survives; the
     written group type is then restored from the manifest when one is
     present (partition directories themselves only store strings)."""
-    df = _read_pinned(spark, path)
+    df = _read_pinned(spark, path, fmt)
     if group is not None:
         if group_col is None:
             raise ValueError("group_col is required when filtering by group")
@@ -87,7 +92,7 @@ def load_release(
     if group_col is not None:
         try:
             written_type = load_manifest(
-                spark, path).schema[group_col].dataType
+                spark, path, fmt).schema[group_col].dataType
         except Exception:
             written_type = None  # foreign release without a manifest
         if written_type is not None:
@@ -96,8 +101,9 @@ def load_release(
     return df
 
 
-def load_manifest(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, MANIFEST_DIR))
+def load_manifest(spark: SparkSession, path: str,
+                  fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(os.path.join(path, MANIFEST_DIR))
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +143,7 @@ def save_dataframe(df: DataFrame, save_dir: str, name: str,
 
 def export_shards(
     documents: DataFrame, path: str, num_shards: int = 8,
-    salt: str = "epoch0",
+    salt: str = "epoch0", fmt: str = "parquet",
 ) -> DataFrame:
     """The training-shard writer: deterministic epoch-shard layout
     (:func:`~pyperustats_spark.operators.relational.epoch_shards`)
@@ -157,4 +163,4 @@ def export_shards(
                         salt=salt, sort=False)
     laid = laid.repartition(num_shards, "shard") \
                .sortWithinPartitions("shard", "pos")
-    return export_releases(laid, "shard", path)
+    return export_releases(laid, "shard", path, fmt=fmt)
