@@ -499,3 +499,36 @@ def stream_new_documents(stream_docs: DataFrame, corpus: DataFrame,
         .dropDuplicates(["fp"])
         .select("doc_id", "source", "fp")
     )
+
+
+def stream_manifest_quarantine(stream_docs: DataFrame,
+                               manifest: DataFrame) -> DataFrame:
+    """Streaming ingest integrity: every ARRIVING document gets the
+    tri-state manifest verdict (ok / corrupt / unlisted) as it lands —
+    the streaming form of
+    :func:`~pyperustats_spark.operators.organizer.manifest_quarantine`
+    for the recurring INEI-style ingest (download batches arriving as
+    files). A rotted member is flagged in the micro-batch it arrives
+    in, never fails the stream, and the verdicts can sink into a
+    quarantine cache via :func:`stream_into_cache`.
+
+    Stateless per row after a stream-static left join on the doc id
+    (the static manifest is re-read/broadcast per micro-batch; the
+    stream side never buffers) — no watermark, no state store.
+    ``n_missing`` (listed-but-never-arrived) is inherently a
+    batch-close question; compute it with the batch integrity card at
+    release time."""
+    recomputed = stream_docs.withColumn(
+        "content_hash", F.md5(F.col("text")))
+    m = manifest.select("doc_id", "expected_hash")
+    return (
+        recomputed.join(m, "doc_id", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("expected_hash").isNull(), F.lit("unlisted"))
+            .when(F.col("content_hash") == F.col("expected_hash"),
+                  F.lit("ok"))
+            .otherwise(F.lit("corrupt")),
+        )
+        .select("doc_id", "source", "content_hash", "status")
+    )

@@ -403,3 +403,40 @@ def test_stream_new_documents_matches_batch_incremental(
     expect = {(r["doc_id"], r["fp"]) for r in
               BD.dedup_incremental(batch, corpus, prefix_chars=40).collect()}
     assert streamed == expect
+
+
+def test_stream_manifest_quarantine_matches_batch(spark, tables, tmp_path):
+    """Streaming verdicts == batch manifest_quarantine on the same
+    data, including a deliberately rotted member and an unlisted one;
+    the corrupt row is flagged, the stream never fails."""
+    import os
+
+    from pyperustats_spark.operators import organizer as ORG
+
+    docs = tables["documents"].limit(40)
+    # manifest: everything except one unlisted id; one rotted hash
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    unlisted_id, rotted_id = ids[0], ids[1]
+    manifest = (
+        docs.where(F.col("doc_id") != unlisted_id)
+        .select(
+            "doc_id", "source",
+            F.when(F.col("doc_id") == rotted_id,
+                   F.md5(F.concat(F.col("text"), F.lit("!"))))
+            .otherwise(F.md5(F.col("text"))).alias("expected_hash"),
+        )
+    )
+    d = str(tmp_path / "docs_q")
+    docs.coalesce(1).write.parquet(os.path.join(d, "f=0"))
+    stream = SEV.read_documents_stream(spark, d + "/f=*")
+    out = SEV.run_to_memory(
+        SEV.stream_manifest_quarantine(stream, manifest),
+        "quarantine_out", str(tmp_path / "ckpt_q"),
+        output_mode="append")
+    streamed = {r["doc_id"]: r["status"] for r in out.collect()}
+    batch = {r["doc_id"]: r["status"] for r in
+             ORG.manifest_quarantine(docs, manifest).collect()}
+    assert streamed == batch
+    assert streamed[unlisted_id] == "unlisted"
+    assert streamed[rotted_id] == "corrupt"
+    assert sum(1 for s in streamed.values() if s == "ok") == 38
