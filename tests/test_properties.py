@@ -415,3 +415,32 @@ def test_holt_winters_matches_python(spark, xs, alpha, beta):
                 assert g is None
             else:
                 assert g == pytest.approx(w, rel=1e-9, abs=1e-9)
+
+
+@settings(**SETTINGS)
+@given(st.integers(min_value=0, max_value=3))
+def test_pq_encodes_codewords_to_themselves(spark, which):
+    """Identity property: a vector that IS a codeword must encode to
+    that codeword's index in every subspace (distance 0 beats every
+    other codeword; ties cannot arise against itself)."""
+    from pyperustats_spark.operators import similarity as S
+
+    # 4 deterministic, clearly-separated vectors of dim 8
+    base = [[float(10 * w + i) for i in range(8)] for w in range(4)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>")
+    books = S.pq_codebooks(df, m=2, k=4, dim=8)
+    codes = {r["vec_id"]: list(r["codes"]) for r in
+             S.pq_encode(df, books).collect()}
+    v = base[which]
+    expect = [
+        min(range(4), key=lambda j: sum(
+            (v[s * 4 + i] - books[s][j][i]) ** 2 for i in range(4)))
+        for s in range(2)
+    ]
+    assert codes[which] == expect
+    # and its reconstruction distance is exactly zero when the corpus
+    # seeded the codebook with itself (n == k stride sample)
+    sub_errs = S.pq_distortion_profile(df, m=2, k=4, dim=8).collect()
+    assert all(r["mean_sq_err"] == pytest.approx(0.0) for r in sub_errs)
