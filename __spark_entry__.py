@@ -1446,6 +1446,11 @@ def dedup_minhash_eval(spark, sf_dir):
                                    n=3, threshold=0.4)
 
 
+def dedup_simhash_eval(spark, sf_dir):
+    return D.simhash_eval_vs_exact(_lt(spark, sf_dir, "documents"),
+                                   n=3, threshold=0.4, max_hamming=8)
+
+
 def ann_pq_rerank_l2(spark, sf_dir):
     emb = _lt(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1741,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "text_char_entropy": text_char_entropy,
         "dedup_minhash_eval": dedup_minhash_eval,
+        "dedup_simhash_eval": dedup_simhash_eval,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_large_orders": q18_large_orders,
         "ann_ivf_cell_stats": ann_ivf_cell_stats,

@@ -892,6 +892,39 @@ def minhash_eval_vs_exact(documents: DataFrame, n: int = 3,
     )
 
 
+def simhash_eval_vs_exact(documents: DataFrame, n: int = 3,
+                          threshold: float = 0.4,
+                          max_hamming: int = 8,
+                          sort: bool = True) -> DataFrame:
+    """In-engine quality evaluation of the SimHash candidate path
+    against exact n-gram Jaccard — the SimHash twin of
+    :func:`minhash_eval_vs_exact`, one row of (n_exact, n_candidates,
+    n_hits, recall, precision). SimHash and MinHash trade recall for
+    candidate volume differently (vote-fold vs signature bands); a
+    pipeline runs BOTH evals on a sample before choosing which guards
+    a 100 TB dedup pass (both sides here are the bucketed
+    implementations, so the eval scales with the sample).
+
+    Raw int/int quotients; rows-only (the SimHash side has no SQL
+    oracle by design)."""
+    exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold,
+                                sort=False).select("id_a", "id_b")
+    cand = simhash_pairs(documents, max_hamming=max_hamming,
+                         sort=False).select("id_a", "id_b")
+    hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .join(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        "n_exact", "n_candidates", "n_hits",
+        F.try_divide(F.col("n_hits"), F.col("n_exact")).alias("recall"),
+        F.try_divide(F.col("n_hits"), F.col("n_candidates"))
+        .alias("precision"),
+    )
+
+
 def jaccard_threshold_sweep(documents: DataFrame, n: int = 3,
                             bands: tuple[float, ...] = (0.15, 0.3, 0.5,
                                                         0.7, 0.9),

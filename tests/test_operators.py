@@ -2200,3 +2200,23 @@ def test_ann_pq_adc_and_rerank_recall_vs_exact_l2(spark, tables):
     assert rec(a) >= 0.15, a
     assert rec(b) >= 0.5, b
     assert rec(b) >= rec(a)
+
+
+def test_simhash_eval_counts_and_bounds(spark, tables):
+    out = D.simhash_eval_vs_exact(tables["documents"], n=3,
+                                  threshold=0.4, max_hamming=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_hits"] <= min(r["n_exact"], r["n_candidates"])
+    for m in ("recall", "precision"):
+        assert r[m] is None or 0.0 <= r[m] <= 1.0
+    # a corpus with a planted near-dup pair: simhash must catch it
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today"),
+         (2, "the quick brown fox jumps over the lazy dog again tonight"),
+         (3, "completely different words in this unrelated document here")],
+        "doc_id long, text string")
+    r2 = D.simhash_eval_vs_exact(docs, n=3, threshold=0.4,
+                                 max_hamming=10).collect()[0]
+    assert r2["n_exact"] >= 1 and r2["n_hits"] >= 1
+    assert r2["recall"] == 1.0

@@ -402,6 +402,7 @@ PLAN_SMELL_WHITELIST = {
     "q15_top_supplier": {"BNLJ", "SINGLE_PART"},  # 1-row global max
     "dedup_minhash_eval": {"BNLJ", "SINGLE_PART"},  # three 1-row count
                                                 # aggregates joined
+    "dedup_simhash_eval": {"BNLJ", "SINGLE_PART"},  # same audited shape
     "ann_ivf_recall_eval": {"BNLJ", "SINGLE_PART"},  # two 1-row count
                                                 # aggregates joined +
                                                 # |nprobes|-row stack
