@@ -1043,7 +1043,13 @@ def ts_interpolate_linear(spark, sf_dir):
 
 
 def embedding_centroids(spark, sf_dir):
-    return S.embedding_centroids(_lt(spark, sf_dir, "embeddings"))
+    # flat long form (label, dim, mean_v, n_members): scalar-only
+    # columns — the array<double> centroid of the assembled form cannot
+    # be canonicalized by the driver's pandas-based comparator (r6
+    # 'unhashable type: list'); tests/test_docs.py now guards every
+    # oracle-backed entry against complex output types
+    return S.embedding_centroids(_lt(spark, sf_dir, "embeddings"),
+                                 flat=True)
 
 
 def text_lang_confusion(spark, sf_dir):
@@ -1151,6 +1157,13 @@ def mef_find_row_by_text(spark, sf_dir):
     df = R.find_row_by_text(_lt(spark, sf_dir, "part"), "p_name",
                             "p_partkey", "widget")
     return df.select("p_partkey", "p_name").orderBy("p_partkey")
+
+
+def mef_get_grp_from_row(spark, sf_dir):
+    # positional code extraction (reference MEF get_grp_from_row):
+    # the grp code on row 2 of the part table ordered by its key
+    return R.get_grp_from_row(_lt(spark, sf_dir, "part"), "p_brand",
+                              "p_partkey", row_index=2)
 
 
 def infogob_candidate_history(spark, sf_dir):
@@ -1583,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": knn_label_vote,
         "catalog_series_summary": catalog_series_summary,
         "mef_find_row_by_text": mef_find_row_by_text,
+        "mef_get_grp_from_row": mef_get_grp_from_row,
         "q_customers_no_orders": q_customers_no_orders,
         "q_repeat_customers": q_repeat_customers,
         "profile_orders": profile_orders,
@@ -1775,23 +1789,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in [*window, *rest]}
 
 
-# The driver-verified 50-slot window (round-6 rotation): the 43
-# oracle-backed queries no driver round (r1-r5) ever checked — the
-# late-round-5 additions (ts_decompose/rebase/beta/drawdown, coverage,
-# gap stats, first-touch attribution, lang purity, threshold sweep,
-# q17/q18) plus the round-3/4 middle block (chunk/pack/vocab/OOV/
-# boilerplate, splits/samples, skew demos, funnel/retention, centroids)
-# that always sat behind fresher rotations — followed by the 7
-# oracle-backed queries whose last countersign was round 1/3, oldest
-# first. With this rotation every oracle in the repo has been
-# driver-verified at least once across r4-r6. Everything displaced
-# moves behind the window; the local parity gate still value-checks
+# The driver-verified 50-slot window (round-7 rotation). Priority
+# order per the round-6 verdict: (1) the never-countersigned oracles —
+# q16_part_supplier_counts (landed after the r6 rotation froze) and
+# embedding_centroids (rotated in r6 but the comparator errored on its
+# array column; now flat long-form) — plus (2) queries whose oracle or
+# entry CHANGED this round (ev_conversion_lag's degenerate-case oracle
+# rewrite, new mef_get_grp_from_row), then (3) the r6 window carryover,
+# newest-countersign-last. After this rotation goes green, every oracle
+# in the repo has ≥1 driver countersign across r4-r7. Everything
+# displaced moves behind the window; the local parity gate
+# (tools/parity.py, tests/test_oracle_parity.py) still value-checks
 # all oracle-backed queries every run.
 _WINDOW = [
-    "catalog_series_summary", "q_customers_no_orders",
+    "q16_part_supplier_counts", "embedding_centroids",
+    "mef_get_grp_from_row", "ev_conversion_lag",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
-    "embedding_centroids", "text_lang_confusion", "skew_salted_join",
+    "text_lang_confusion", "skew_salted_join",
     "skew_salted_distinct", "text_clean_accents",
     "infogob_location_canonical", "mode_status_by_customer",
     "json_api_observations", "ts_format_period", "text_chunk_windows",
@@ -1807,7 +1822,6 @@ _WINDOW = [
     "ingest_manifest_quarantine", "ingest_integrity_card",
     "release_rehearsal", "ev_top_paths",
     "q8_national_market_share", "q21_sole_blame_supplier",
-    "ev_conversion_lag",
 ]
 
 
@@ -2429,6 +2443,11 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY p_partkey LIMIT 1
     """
 
+    sql["mef_get_grp_from_row"] = """
+        SELECT p_partkey, p_brand FROM part
+        ORDER BY p_partkey LIMIT 1 OFFSET 2
+    """
+
     sql["infogob_candidate_history"] = """
         WITH entries AS (
             SELECT o_custkey,
@@ -2922,14 +2941,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
                 i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
             FROM embeddings
-        ),
-        dims AS (
-            SELECT label, u.dim AS dim, avg(u.v) AS mean_v, count(*) AS n
-            FROM flat GROUP BY label, u.dim
         )
-        SELECT label, list(round(mean_v, 6) ORDER BY dim) AS centroid,
-               max(n) AS n_members
-        FROM dims GROUP BY label ORDER BY label
+        SELECT label, CAST(u.dim AS INT) AS dim,
+               round(avg(u.v), 6) AS mean_v,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM flat GROUP BY label, u.dim ORDER BY label, dim
     """
 
     sql["text_lang_confusion"] = f"""
@@ -4572,14 +4588,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_type = 'purchase' AND e.ts >= f.from_ts
             GROUP BY f.user_id
         ),
-        nf AS (SELECT CAST(count(*) AS BIGINT) AS n_users_from FROM f)
-        SELECT nf.n_users_from,
-               CAST(count(*) AS BIGINT) AS n_converted,
-               CAST(count(*) AS BIGINT) / nf.n_users_from
-                   AS conversion_rate,
-               quantile_cont(l.lag_us, 0.5) AS p50_lag_us,
-               quantile_cont(l.lag_us, 0.9) AS p90_lag_us
-        FROM l, nf GROUP BY nf.n_users_from
+        c AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_users_from,
+                   (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_converted
+        )
+        -- scalar subqueries (not GROUP BY over a cross join) so the
+        -- zero-conversion degenerate still emits ONE row with
+        -- n_converted=0 + NULL percentiles, matching Spark's 1x1 agg join
+        SELECT n_users_from, n_converted,
+               CASE WHEN n_users_from = 0 THEN NULL
+                    ELSE n_converted / n_users_from END AS conversion_rate,
+               (SELECT quantile_cont(lag_us, 0.5) FROM l) AS p50_lag_us,
+               (SELECT quantile_cont(lag_us, 0.9) FROM l) AS p90_lag_us
+        FROM c
     """
 
     sql["q16_part_supplier_counts"] = """

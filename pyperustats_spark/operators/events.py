@@ -184,7 +184,7 @@ def conversion_lag_stats_approx(events: DataFrame,
                                 to_type: str = "purchase",
                                 accuracy: int = 10000) -> DataFrame:
     """The 100 TB path for :func:`conversion_lag_stats`: identical
-    profile with `approx_percentile` (KLL sketch) — the exact form
+    profile with `approx_percentile` (Greenwald-Khanna quantile summary) — the exact form
     funnels EVERY converting user's lag into one aggregation buffer
     (the whole-population single-group case of the gap-stats funnel);
     sketches merge map-side so the final 1-row aggregate receives
@@ -579,7 +579,7 @@ def inter_event_gap_stats(events: DataFrame,
     both engines (the stats_profile/mad class). Exact `percentile`
     funnels every gap of a type into one aggregation buffer — the
     100 TB path is :func:`inter_event_gap_stats_approx` (same profile,
-    KLL sketch percentiles)."""
+    Greenwald-Khanna approx percentiles)."""
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     gaps = events.select(
@@ -599,7 +599,7 @@ def inter_event_gap_stats_approx(events: DataFrame,
                                  sort: bool = True) -> DataFrame:
     """The 100 TB path for :func:`inter_event_gap_stats`: identical
     (event_type, n_gaps, p50_gap_us, p90_gap_us) profile with
-    `approx_percentile` (KLL sketch) in place of exact `percentile`.
+    `approx_percentile` (Greenwald-Khanna quantile summary) in place of exact `percentile`.
     With ~5 event types the exact form funnels EVERY within-user gap of
     a type into one aggregation buffer — a per-group single-task funnel
     that dies long before 100 TB; sketches merge map-side, so the lag

@@ -99,9 +99,19 @@ def manifest_quarantine(items: DataFrame, manifest: DataFrame,
     appear in a row-level verdict.
 
     One equi-join on the id (both sides SF-proportional, AQE-decided);
-    the hash is md5 so a DuckDB oracle reproduces every verdict."""
+    the hash is md5 so a DuckDB oracle reproduces every verdict.
+
+    The manifest is deduplicated on *id_col* first (min expected_hash
+    wins — deterministic, unlike dropDuplicates): a manifest with two
+    entries for one id would otherwise silently duplicate that item in
+    the verdict frame and double-count it downstream in
+    :func:`ingest_integrity_card`. The reference's per-file hash guard
+    has no duplicate-key channel (one path = one hash), so collapsing
+    is the faithful port of that invariant."""
     recomputed = items.withColumn("content_hash", F.md5(F.col(content_col)))
-    m = manifest.select(id_col, "expected_hash")
+    m = (manifest.select(id_col, "expected_hash")
+         .groupBy(id_col)
+         .agg(F.min("expected_hash").alias("expected_hash")))
     out = (
         recomputed.join(m, id_col, "left")
         .withColumn(
@@ -143,8 +153,14 @@ def ingest_integrity_card(items: DataFrame, manifest: DataFrame,
         F.sum((F.col("status") == "unlisted").cast("bigint"))
         .alias("n_unlisted"),
     )
+    # same duplicate-id collapse as manifest_quarantine (the
+    # min-expected_hash row wins, carrying ITS source) so a doubled
+    # manifest entry can't double-count n_missing either
     missing = (
-        manifest.join(items.select(id_col), id_col, "left_anti")
+        manifest.groupBy(id_col)
+        .agg(F.min(F.struct("expected_hash", source_col)).alias("_w"))
+        .select(id_col, F.col(f"_w.{source_col}").alias(source_col))
+        .join(items.select(id_col), id_col, "left_anti")
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n_missing"))
     )

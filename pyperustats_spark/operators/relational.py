@@ -410,6 +410,38 @@ def find_row_by_text(df: DataFrame, text_col: str, order_col: str,
     ).drop("k")
 
 
+def get_grp_from_row(df: DataFrame, code_col: str, order_col: str,
+                     row_index: int = 0) -> DataFrame:
+    """The row at position *row_index* (0-based, ordered by *order_col*)
+    projected to (*order_col*, *code_col*) — reference
+    ``get_grp_from_row`` (MEF/utils/tables.py:76-96, pandas
+    ``iloc[row_index]["codigo_grp"]``), the positional twin of
+    :func:`find_row_by_text`.
+
+    Error semantics match the reference: ``ValueError`` on an empty
+    frame ("DataFrame vacío") and on an out-of-range index — checked
+    with ONE count over ``df.limit(row_index + 1)`` (the limit pushes
+    into the scan, so the probe short-circuits after row_index+1 rows
+    regardless of table size; never a full count). Extraction is
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k merge), not a global sort shuffle — then
+    row_number inside the ≤ k+1 surviving rows. *order_col* must be a
+    unique key (the usual keyed contract; ties would make the position
+    nondeterministic)."""
+    n_probe = df.limit(row_index + 1).count()
+    if n_probe == 0:
+        raise ValueError("DataFrame vacío")
+    if row_index >= n_probe:
+        raise ValueError(
+            f"Índice {row_index} fuera de rango. DataFrame tiene "
+            f"{n_probe} filas")
+    topk = (df.select(order_col, code_col)
+            .orderBy(order_col).limit(row_index + 1))
+    w = Window.orderBy(order_col)
+    return (topk.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == row_index + 1).drop("_rn"))
+
+
 def candidate_history(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """Per-entity ordered event history, serialized as one pipe-joined
     string (reference infogob candidate history: afiliaciones +
@@ -477,7 +509,7 @@ def stats_profile(lineitem: DataFrame) -> DataFrame:
     these off the fetched frames; here they are one partial-aggregated
     pass per group.
 
-    At 100 TB swap `percentile` for `approx_percentile` (t-digest
+    At 100 TB swap `percentile` for `approx_percentile` (Greenwald-Khanna quantile summary
     sketch, mergeable map-side) — exact percentiles materialize each
     group's values; the profile below is the oracle-checkable form."""
     return (
@@ -691,7 +723,7 @@ def repeat_customers(orders: DataFrame, year_a: int = 1995,
 
 def stats_profile_approx(lineitem: DataFrame) -> DataFrame:
     """The sketch-based form of :func:`stats_profile` — the actual
-    100 TB path: approx_percentile (t-digest) and HLL distinct are
+    100 TB path: approx_percentile (Greenwald-Khanna quantile summary) and HLL distinct are
     mergeable map-side, so no group ever materializes its raw values.
     Rows-only (sketch internals differ between engines); pytest bounds
     the error against the exact profile."""
@@ -878,7 +910,7 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
 def mad_outliers_approx(df: DataFrame, group_col: str, value_col: str,
                         k: float = 3.5, accuracy: int = 10000) -> DataFrame:
     """The 100 TB path for :func:`mad_outliers`: same median/MAD/
-    threshold-count profile with `approx_percentile` (KLL sketch) in
+    threshold-count profile with `approx_percentile` (Greenwald-Khanna quantile summary) in
     place of exact `percentile`. Exact percentiles materialize every
     group value in ONE aggregation buffer — with few groups that is a
     per-group single-task funnel (measured 3.6-4.4x wall for 10x rows
@@ -926,8 +958,8 @@ def winsorize_summary(df: DataFrame, group_col: str, value_col: str,
     re-open the round-k midpoint trap. One percentile pass + one
     #groups-row join + one counting pass. Exact `percentile` funnels
     every group value into one aggregation buffer — the 100 TB path is
-    :func:`winsorize_summary_approx` (same profile, KLL sketch
-    bounds)."""
+    :func:`winsorize_summary_approx` (same profile, Greenwald-Khanna
+    summary bounds)."""
     g, v = group_col, value_col
     bounds = df.groupBy(g).agg(
         F.percentile(v, F.lit(lo)).alias("p_lo"),
@@ -955,7 +987,7 @@ def winsorize_summary_approx(df: DataFrame, group_col: str,
                              accuracy: int = 10000) -> DataFrame:
     """The 100 TB path for :func:`winsorize_summary`: identical
     (group, p_lo, p_hi, n, n_clipped_low, n_clipped_high) profile with
-    `approx_percentile` (KLL sketch) computing the clip bounds. Exact
+    `approx_percentile` (Greenwald-Khanna quantile summary) computing the clip bounds. Exact
     percentiles materialize EVERY group value in one aggregation
     buffer — with the usual handful of flag/status groups that is a
     per-group single-task funnel that dies long before 100 TB; sketches

@@ -389,19 +389,30 @@ def knn_label_vote(
     )
 
 
-def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+def embedding_centroids(embeddings: DataFrame, flat: bool = False) -> DataFrame:
     """Per-label centroid (elementwise mean vector) + member count.
 
     posexplode → groupBy (label, dim) avg → re-assemble sorted — two
     shuffles, both on small keys; the vectors themselves shuffle once as
     (label, dim, value) triples, which partial-aggregates map-side (the
     collect_list alternative would move every raw vector to one task
-    per label)."""
+    per label).
+
+    ``flat=True`` skips the re-assembly shuffle and returns the long
+    form ``(label, dim, mean_v, n_members)`` — one shuffle total, and a
+    scalar-only schema that cross-engine comparators can canonicalize
+    (array output columns break pandas sort_values; the driver's
+    round-6 comparator error on this query)."""
     dims = (
         embeddings.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(F.avg("v").alias("mean_v"), F.count(F.lit(1)).alias("n"))
     )
+    if flat:
+        return dims.select(
+            "label", "dim", F.round("mean_v", 6).alias("mean_v"),
+            F.col("n").alias("n_members"),
+        ).orderBy("label", "dim")
     return (
         dims.groupBy("label")
         .agg(

@@ -301,6 +301,46 @@ def test_embedding_centroids_shape(spark, tables):
     assert len(labels) == len(centro)
 
 
+def test_embedding_centroids_flat_matches_assembled(spark, tables):
+    """flat=True long form carries the same values as the assembled
+    array form (and a scalar-only schema — the driver-comparator-safe
+    shape after the round-6 array-column failure)."""
+    emb = tables["embeddings"]
+    assembled = {r["label"]: (r["centroid"], r["n_members"])
+                 for r in S.embedding_centroids(emb).collect()}
+    flat = S.embedding_centroids(emb, flat=True)
+    assert all(f.dataType.typeName() not in ("array", "map", "struct")
+               for f in flat.schema.fields)
+    by_label = {}
+    for r in flat.collect():
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rows in by_label.items():
+        rows.sort(key=lambda r: r["dim"])
+        cent, n = assembled[label]
+        assert [r["dim"] for r in rows] == list(range(len(cent)))
+        assert all(r["n_members"] == n for r in rows)
+        assert [r["mean_v"] for r in rows] == list(cent)
+
+
+def test_get_grp_from_row_semantics(spark, tables):
+    """Reference MEF get_grp_from_row (tables.py:76-96): positional
+    extraction + the empty / out-of-range ValueError contract."""
+    import pytest
+
+    part = tables["part"]
+    expected = [(r["p_partkey"], r["p_brand"]) for r in
+                part.orderBy("p_partkey").limit(3).collect()]
+    got = R.get_grp_from_row(part, "p_brand", "p_partkey", row_index=2).collect()
+    assert [(got[0]["p_partkey"], got[0]["p_brand"])] == [expected[2]]
+    got0 = R.get_grp_from_row(part, "p_brand", "p_partkey").collect()
+    assert [(got0[0]["p_partkey"], got0[0]["p_brand"])] == [expected[0]]
+    with pytest.raises(ValueError, match="vac"):
+        R.get_grp_from_row(part.where(F.lit(False)), "p_brand", "p_partkey")
+    with pytest.raises(ValueError, match="fuera de rango"):
+        R.get_grp_from_row(part.limit(2), "p_brand", "p_partkey",
+                           row_index=5)
+
+
 def test_interpolate_linear_fills_between_neighbors(spark):
     rows = [("2020-01-01", "A", 10.0), ("2020-01-05", "A", 30.0)]
     long_df = spark.createDataFrame(
@@ -1944,6 +1984,36 @@ def test_manifest_quarantine_tri_state_and_card(spark):
     assert a["corrupt_share"] == 0.5
     assert (b["n_items"], b["n_ok"], b["n_corrupt"],
             b["n_unlisted"], b["n_missing"]) == (1, 0, 0, 1, 1)
+
+
+def test_manifest_quarantine_duplicate_manifest_ids_collapse(spark):
+    """A manifest carrying two entries for one doc_id must not
+    duplicate that item in the verdict frame or double-count it in the
+    integrity card: the min-expected_hash entry wins deterministically
+    (the reference's per-file hash guard has no duplicate-key channel)."""
+    from pyperustats_spark.operators import organizer as ORG
+    import hashlib
+
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    items = spark.createDataFrame(
+        [(1, "good doc", "A")], "doc_id bigint, text string, source string")
+    dup_hashes = sorted([h("good doc"), h("other upload")])
+    manifest = spark.createDataFrame(
+        [(1, "A", dup_hashes[0]), (1, "A", dup_hashes[1]),
+         (9, "A", dup_hashes[0]), (9, "B", dup_hashes[1])],
+        "doc_id bigint, source string, expected_hash string")
+    verdicts = ORG.manifest_quarantine(items, manifest).collect()
+    assert len(verdicts) == 1  # not duplicated by the doubled entry
+    expected_status = ("ok" if dup_hashes[0] == h("good doc")
+                       else "corrupt")  # min hash wins, deterministic
+    assert verdicts[0]["status"] == expected_status
+    card = {r["source"]: r for r in
+            ORG.ingest_integrity_card(items, manifest).collect()}
+    # doc 9 never arrived: exactly ONE n_missing, under the winning
+    # (min-hash) entry's source
+    total_missing = sum(r["n_missing"] for r in card.values())
+    assert total_missing == 1
+    assert card["A"]["n_items"] == 1
 
 
 def test_quality_score_col_matches_quality_score_frame(spark, tables):

@@ -38,6 +38,21 @@ def test_oracle_parity(name, spark, duck):
     if name not in ORACLES:
         assert len(srows) >= 0  # rows-only: clean execution is the gate
         return
+    # oracle-backed output must be scalar-only: ARRAY/MAP/STRUCT columns
+    # break the driver's pandas sort_values canonicalization (round-6
+    # embedding_centroids: 'unhashable type: list'), and HUGEINT/DECIMAL
+    # oracle types hash differently under an Arrow comparator (round-1
+    # ev_sessionize). normalize_rows below masks both locally.
+    complex_cols = [f.name for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")]
+    assert not complex_cols, (
+        f"{name}: complex output columns {complex_cols} are not "
+        "driver-comparator-safe; emit long form or array_join")
+    tdesc = duck.execute("DESCRIBE " + ORACLES[name]).fetchall()
+    bad = [(c, ty) for c, ty, *_ in tdesc
+           if "HUGEINT" in ty or "DECIMAL" in ty
+           or "[]" in ty or "STRUCT(" in ty or "MAP(" in ty]
+    assert not bad, f"{name}: oracle emits non-portable types {bad}"
     res = duck.execute(ORACLES[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()

@@ -93,6 +93,20 @@ def main():
         if bad_types:
             ok = False
             msgs.append(f"oracle emits non-portable types {bad_types}")
+        # ARRAY/MAP/STRUCT output columns break the driver's pandas
+        # sort_values canonicalization ('unhashable type: list' — the
+        # round-6 embedding_centroids failure). normalize_rows here
+        # tuples lists, which the driver comparator cannot do — so gate
+        # BOTH sides on scalar-only output schemas.
+        complex_spark = [f.name for f in sdf.schema.fields
+                         if f.dataType.typeName() in
+                         ("array", "map", "struct")]
+        complex_duck = [(c, ty) for c, ty, *_ in tdesc
+                        if "[]" in ty or "STRUCT(" in ty or "MAP(" in ty]
+        if complex_spark or complex_duck:
+            ok = False
+            msgs.append("complex output columns not comparator-safe: "
+                        f"spark={complex_spark} duck={complex_duck}")
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
