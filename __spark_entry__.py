@@ -1474,6 +1474,20 @@ def ann_pq_rerank_l2(spark, sf_dir):
                                   n_codewords=16), {"dist": 6})
 
 
+def ann_ivf_pq_rerank(spark, sf_dir):
+    # the combined pipeline: IVF cell shortlist -> ADC within probed
+    # cells -> exact re-rank (rows-only; recall pinned in pytest vs
+    # brute force at equal candidate budget)
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.ann_ivf_pq(emb, q, k=5, n_centroids=16, nprobe=4,
+                               shortlist=50, m=8, n_codewords=16),
+                  {"dist": 6})
+
+
 def embedding_pq_profile(spark, sf_dir):
     emb = _lt(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1767,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall_eval": ann_ivf_recall_eval,
         "embedding_pq_profile": embedding_pq_profile,
         "ann_pq_rerank_l2": ann_pq_rerank_l2,
+        "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
         "q22_rich_inactive": q22_rich_inactive,
         "q13_order_distribution": q13_order_distribution,
         "ts_xcorr": ts_xcorr,

@@ -682,7 +682,8 @@ def _pq_code(sub, book: list[list[float]]):
 
 
 def pq_encode(embeddings: DataFrame,
-              codebooks: list[list[list[float]]]) -> DataFrame:
+              codebooks: list[list[list[float]]],
+              keep: tuple = ()) -> DataFrame:
     """PQ-encode the corpus: (vec_id, codes array<int> of length m) —
     dim·4 bytes shrink to m codes (m bytes at k ≤ 256), the
     memory-bounded ANN storage layout (IVF-PQ's fine quantizer).
@@ -701,7 +702,8 @@ def pq_encode(embeddings: DataFrame,
                    lambda sub: _pq_code(sub, codebooks[s_idx]))
 
     return embeddings.select(
-        "vec_id", F.array(*[one(s) for s in range(m)]).alias("codes"))
+        "vec_id", *keep,
+        F.array(*[one(s) for s in range(m)]).alias("codes"))
 
 
 def pq_distortion_profile(embeddings: DataFrame, m: int = 8,
@@ -863,6 +865,123 @@ def ann_pq_rerank(embeddings: DataFrame, queries: DataFrame,
         F.asc("dist"), F.col("vec_id").asc())
     return (
         exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 16, nprobe: int = 4,
+               shortlist: int = 50, m: int = 8, n_codewords: int = 16,
+               dim: int = 64, kmeans_iters: int = 0) -> DataFrame:
+    """The full IVF-PQ search pipeline — both halves of the
+    memory-bounded ANN layout wired together: coarse quantizer (IVF
+    cells, :func:`ivf_assign`) restricts the scan to the query's
+    *nprobe* cells, ADC over PQ codes (:func:`ann_pq_adc`'s distance
+    tables) ranks a per-query *shortlist* inside those cells, and ONLY
+    the shortlist rows join their float vectors back for exact
+    squared-L2 re-ranking. Returns (query_id, vec_id, dist, rank) —
+    exact distances, top-k ascending.
+
+    At 100 TB this is the plan that survives: the corpus persists
+    once as (cell, codes) — m bytes/vector instead of dim·4, cell as
+    a partition column — so a query reads nprobe/n_centroids of a
+    codes-only table (partition-pruned, memory-bandwidth-bound
+    lookups), and the float vectors are touched for
+    O(queries · shortlist) rows, never scanned. Codes quantize the
+    RAW vectors, not cell residuals — the classic residual refinement
+    is a recall/accuracy trade documented here as future work; recall
+    vs brute force at equal candidate budget is pinned in pytest
+    (tests/test_operators.py, clustered + uniform corpora).
+
+    Plan shape: centroid seeding is the one O(n_centroids·dim) driver
+    transfer; cell assignment and PQ encoding are row-local JVM array
+    expressions in ONE projection (no self-join between the coarse
+    and fine quantizer); the query→cell fan-out is a broadcast equi
+    join (nprobe rows per query); ADC distance is a let-bound CASE
+    over the broadcast query id — each row evaluates only its matched
+    query's table lookups. Two shuffles total: the top-shortlist
+    window and the top-k window after re-rank."""
+    from pyperustats_spark.functions.text import let
+
+    cents = seed_centroids(embeddings, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine_centroids(embeddings, cents,
+                                        iterations=kmeans_iters)
+    books = pq_codebooks(embeddings, m=m, k=n_codewords, dim=dim,
+                         kmeans_iters=kmeans_iters)
+    d = dim // m
+    # (cell, codes) in one projection over one scan: the write-once
+    # layout of an IVF-PQ index
+    coded = pq_encode(
+        ensure_parallelism(embeddings).select(
+            "vec_id", "embedding",
+            F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
+                         1).alias("cell")),
+        books, keep=("cell",))
+    qcells = queries.select(
+        "query_id",
+        F.explode(ivf_assign(F.col("q_embedding"), cents,
+                             nprobe=nprobe)).alias("cell"))
+    qrows = queries.select("query_id", "q_embedding").collect()
+
+    def adc_tables(qv):
+        return [
+            [sum((float(qv[s * d + i]) - c[i]) ** 2 for i in range(d))
+             for c in books[s]]
+            for s in range(m)
+        ]
+
+    def dist_for(cs, tables):
+        parts = [
+            F.element_at(F.array(*[F.lit(x) for x in tables[s]]),
+                         F.element_at(cs, s + 1) + 1)
+            for s in range(m)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    def dist_case(cs):
+        expr = None
+        for r in qrows:
+            tables = adc_tables([float(x) for x in r["q_embedding"]])
+            branch = dist_for(cs, tables)
+            cond = F.col("query_id") == int(r["query_id"])
+            expr = F.when(cond, branch) if expr is None else \
+                expr.when(cond, branch)
+        return expr
+
+    scored = (
+        coded.join(F.broadcast(qcells), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                let(F.col("codes"), dist_case).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.col("vec_id").asc())
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qv = queries.select("query_id", "q_embedding")
+    exact = (
+        cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("embedding"), F.col("q_embedding"),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
