@@ -87,8 +87,11 @@ def main() -> None:
 
     # best-of-N: the first execution of a plan pays one-off janino/codegen
     # compilation that a running engine amortizes; the min reflects
-    # steady-state throughput and halves run-to-run noise
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # steady-state throughput and damps run-to-run noise. Default 3:
+    # round 6 showed ~10% uniform drift between a local best-of-2 and
+    # the driver's best-of-2 on code that had not changed — one extra
+    # run tightens the min at ~7s/round cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

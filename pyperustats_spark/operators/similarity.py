@@ -873,7 +873,8 @@ def ann_pq_rerank(embeddings: DataFrame, queries: DataFrame,
 def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                n_centroids: int = 16, nprobe: int = 4,
                shortlist: int = 50, m: int = 8, n_codewords: int = 16,
-               dim: int = 64, kmeans_iters: int = 0) -> DataFrame:
+               dim: int = 64, kmeans_iters: int = 0,
+               residual: bool = False) -> DataFrame:
     """The full IVF-PQ search pipeline — both halves of the
     memory-bounded ANN layout wired together: coarse quantizer (IVF
     cells, :func:`ivf_assign`) restricts the scan to the query's
@@ -888,46 +889,109 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     a partition column — so a query reads nprobe/n_centroids of a
     codes-only table (partition-pruned, memory-bandwidth-bound
     lookups), and the float vectors are touched for
-    O(queries · shortlist) rows, never scanned. Codes quantize the
-    RAW vectors, not cell residuals — the classic residual refinement
-    is a recall/accuracy trade documented here as future work; recall
-    vs brute force at equal candidate budget is pinned in pytest
+    O(queries · shortlist) rows, never scanned. Recall vs brute force
+    at equal candidate budget is pinned in pytest
     (tests/test_operators.py, clustered + uniform corpora).
+
+    ``residual=True`` adds the classic refinement (Jégou et al.'s
+    IVF-ADC): codes quantize ``vector − cell_centroid`` instead of the
+    raw vector — residuals inside a cell have far smaller spread, so
+    the same m×k codebook resolves them more finely on clustered
+    corpora — and each query then carries one ADC table per PROBED
+    CELL (its residual w.r.t. that cell's centroid). Probed cells are
+    computed driver-side with the same fold order as
+    :func:`ivf_assign` so the CASE branches and the broadcast
+    (query, cell) pairs agree exactly.
+
+    Honest local measurement: on the 320-vector pytest corpora,
+    residual codes cut PQ reconstruction MSE ~1.4× (pinned in
+    tests/test_operators.py) but END-TO-END recall ties the raw-code
+    path — a shortlist of 50 over 320 vectors plus exact re-rank
+    absorbs the ADC error either way. The recall win appears when
+    shortlist/corpus is small (the 100 TB regime: shortlist 100 over
+    millions of rows per cell), which a local pin cannot exhibit —
+    mirror of the approx-percentile twins note in CLAUDE.md.
 
     Plan shape: centroid seeding is the one O(n_centroids·dim) driver
     transfer; cell assignment and PQ encoding are row-local JVM array
     expressions in ONE projection (no self-join between the coarse
     and fine quantizer); the query→cell fan-out is a broadcast equi
     join (nprobe rows per query); ADC distance is a let-bound CASE
-    over the broadcast query id — each row evaluates only its matched
-    query's table lookups. Two shuffles total: the top-shortlist
-    window and the top-k window after re-rank."""
+    over the broadcast query id (and cell, when residual) — each row
+    evaluates only its matched branch's table lookups. Two shuffles
+    total: the top-shortlist window and the top-k window after
+    re-rank."""
     from pyperustats_spark.functions.text import let
 
     cents = seed_centroids(embeddings, n_centroids)
     if kmeans_iters > 0:
         cents = kmeans_refine_centroids(embeddings, cents,
                                         iterations=kmeans_iters)
-    books = pq_codebooks(embeddings, m=m, k=n_codewords, dim=dim,
-                         kmeans_iters=kmeans_iters)
     d = dim // m
+    base = ensure_parallelism(embeddings).select(
+        "vec_id", "embedding",
+        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
+                     1).alias("cell"))
+    center_of = {int(cid): c for cid, c in cents}
+    if residual:
+        # residual = vector − its cell's centroid, via a literal
+        # map<cid, array> lookup — still one row-local projection
+        cmap = F.create_map(*[
+            x for cid, c in cents
+            for x in (F.lit(int(cid)),
+                      F.array(*[F.lit(float(v)) for v in c]))])
+        enc_in = base.select(
+            "vec_id", "cell",
+            F.zip_with("embedding", F.element_at(cmap, F.col("cell")),
+                       lambda a, b: a - b).alias("embedding"))
+    else:
+        enc_in = base
+    books = pq_codebooks(enc_in, m=m, k=n_codewords, dim=dim,
+                         kmeans_iters=kmeans_iters)
     # (cell, codes) in one projection over one scan: the write-once
     # layout of an IVF-PQ index
-    coded = pq_encode(
-        ensure_parallelism(embeddings).select(
-            "vec_id", "embedding",
-            F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
-                         1).alias("cell")),
-        books, keep=("cell",))
-    qcells = queries.select(
-        "query_id",
-        F.explode(ivf_assign(F.col("q_embedding"), cents,
-                             nprobe=nprobe)).alias("cell"))
+    coded = pq_encode(enc_in, books, keep=("cell",))
+
     qrows = queries.select("query_id", "q_embedding").collect()
+
+    def _py_probe(qv):
+        # bit-for-bit replica of ivf_assign's scoring: left-to-right
+        # fold for dot and norm, sort by (−cos, cid)
+        import math
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def fold_norm(a):
+            acc = 0.0
+            for v in a:
+                acc = acc + v * v
+            return math.sqrt(acc)
+
+        scored_c = []
+        nq = fold_norm(qv)
+        for cid, c in cents:
+            denom = nq * fold_norm(c)
+            neg = (-1.0 * (fold_dot(qv, c) / denom)
+                   if denom != 0.0 else float("inf"))
+            scored_c.append((neg, int(cid)))
+        scored_c.sort()
+        return [cid for _, cid in scored_c[:nprobe]]
+
+    probes = {int(r["query_id"]):
+              _py_probe([float(x) for x in r["q_embedding"]])
+              for r in qrows}
+    qcells = queries.sparkSession.createDataFrame(
+        [(qid, cid) for qid, cids in sorted(probes.items())
+         for cid in cids],
+        "query_id long, cell long")
 
     def adc_tables(qv):
         return [
-            [sum((float(qv[s * d + i]) - c[i]) ** 2 for i in range(d))
+            [sum((qv[s * d + i] - c[i]) ** 2 for i in range(d))
              for c in books[s]]
             for s in range(m)
         ]
@@ -946,17 +1010,32 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     def dist_case(cs):
         expr = None
         for r in qrows:
-            tables = adc_tables([float(x) for x in r["q_embedding"]])
-            branch = dist_for(cs, tables)
-            cond = F.col("query_id") == int(r["query_id"])
-            expr = F.when(cond, branch) if expr is None else \
-                expr.when(cond, branch)
+            qid = int(r["query_id"])
+            qv = [float(x) for x in r["q_embedding"]]
+            if residual:
+                # one table set per probed cell: the query's residual
+                # w.r.t. that cell's centroid
+                for cid in probes[qid]:
+                    ctr = center_of[cid]
+                    tables = adc_tables([qv[i] - ctr[i]
+                                         for i in range(dim)])
+                    branch = dist_for(cs, tables)
+                    cond = ((F.col("query_id") == qid)
+                            & (F.col("cell") == cid))
+                    expr = (F.when(cond, branch) if expr is None
+                            else expr.when(cond, branch))
+            else:
+                tables = adc_tables(qv)
+                branch = dist_for(cs, tables)
+                cond = F.col("query_id") == qid
+                expr = (F.when(cond, branch) if expr is None
+                        else expr.when(cond, branch))
         return expr
 
     scored = (
         coded.join(F.broadcast(qcells), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id",
+        .select("query_id", "vec_id", "cell",
                 let(F.col("codes"), dist_case).alias("approx_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -2379,6 +2379,68 @@ def test_ann_recall_on_clustered_corpus(spark):
     ivfpq = S.ann_ivf_pq(emb, q, k=5, n_centroids=8, nprobe=2,
                          shortlist=50, m=8, n_codewords=16).collect()
     assert rec(ivfpq, truth_l2) >= 0.8
+    # residual refinement: same pipeline, codes quantize
+    # vector − cell_centroid (measured 1.0 at kmeans_iters=1)
+    ivfpq_r = S.ann_ivf_pq(emb, q, k=5, n_centroids=8, nprobe=2,
+                           shortlist=50, m=8, n_codewords=16,
+                           kmeans_iters=1, residual=True).collect()
+    assert rec(ivfpq_r, truth_l2) >= 0.9
+    by_q = {}
+    for r in ivfpq_r:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows_ in by_q.items():
+        assert len(rows_) == 5
+        rows_.sort(key=lambda r: r["rank"])
+        for r in rows_:
+            # re-rank distances stay exact squared L2 under residual
+            true_d = float(((mat[r["vec_id"]] - mat[qid]) ** 2).sum())
+            assert abs(r["dist"] - true_d) < 1e-6
+
+
+def test_pq_residual_codes_cut_reconstruction_error(spark):
+    """The mechanism behind ann_ivf_pq(residual=True), pinned where a
+    320-vector corpus CAN exhibit it: residuals inside an IVF cell
+    have far smaller spread than raw vectors, so the same m×k
+    codebook reconstructs them more finely. Measured 1.42× lower MSE
+    (0.81 vs 1.15) on the clustered corpus — end-to-end recall pins
+    can't see this locally because shortlist+exact-re-rank absorbs
+    the ADC error at this corpus size (see ann_ivf_pq docstring)."""
+    import numpy as np
+
+    emb, mat = _clustered_corpus(spark)
+    m, k, dim = 8, 16, 64
+    cents = S.seed_centroids(emb, 8)
+    cents = S.kmeans_refine_centroids(emb, cents, iterations=1)
+    base = S.ensure_parallelism(emb).select(
+        "vec_id", "embedding",
+        F.element_at(S.ivf_assign(F.col("embedding"), cents, nprobe=1),
+                     1).alias("cell"))
+    cmap = F.create_map(*[
+        x for cid, c in cents
+        for x in (F.lit(int(cid)),
+                  F.array(*[F.lit(float(v)) for v in c]))])
+    resid = base.select(
+        "vec_id", "cell",
+        F.zip_with("embedding", F.element_at(cmap, F.col("cell")),
+                   lambda a, b: a - b).alias("embedding"))
+    cdict = {int(cid): np.array(c) for cid, c in cents}
+
+    def recon_mse(df, books, add_center):
+        coded = S.pq_encode(df, books, keep=("cell",)).toPandas()
+        errs = []
+        for _, r in coded.iterrows():
+            rec = np.concatenate([np.array(books[s][int(r["codes"][s])])
+                                  for s in range(m)])
+            if add_center:
+                rec = rec + cdict[int(r["cell"])]
+            errs.append(((mat[int(r["vec_id"])] - rec) ** 2).sum())
+        return float(np.mean(errs))
+
+    e_raw = recon_mse(base, S.pq_codebooks(base, m=m, k=k, dim=dim,
+                                           kmeans_iters=1), False)
+    e_res = recon_mse(resid, S.pq_codebooks(resid, m=m, k=k, dim=dim,
+                                            kmeans_iters=1), True)
+    assert e_res < e_raw / 1.15, (e_raw, e_res)
 
 
 def test_simhash_eval_counts_and_bounds(spark, tables):

@@ -135,7 +135,19 @@ def _protobuf_probe():
     Returns the failure signature (or None when healthy) so the skip
     reason records WHY — and the test starts running automatically the
     round an image update heals the environment (re-probed per session,
-    never pinned to a past observation)."""
+    never pinned to a past observation).
+
+    Why not shim it: pyspark's transformWithStateInPandas worker talks
+    to the JVM state server through generated ``StateMessage_pb2``
+    classes, whose wire-format encode/decode needs a FUNCTIONAL
+    protobuf runtime (descriptor pool + serializer), not just an
+    importable name — a stub module would move the failure from a
+    clean skip to a mid-stream worker crash. The only self-contained
+    fix is vendoring the entire pure-Python google.protobuf package,
+    which this repo deliberately does not do (no wholesale third-party
+    vendoring; installs are unavailable in this environment). So: skip
+    with the live signature until the image ships protobuf, at which
+    point this probe passes and the test runs with zero changes."""
     try:
         from google.protobuf import descriptor  # noqa: F401
         return None
