@@ -679,6 +679,33 @@ def q16_part_supplier_counts(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"))
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    return R.min_cost_supplier(
+        _lt(spark, sf_dir, "part"), _lt(spark, sf_dir, "supplier"),
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "nation"),
+        _lt(spark, sf_dir, "region"))
+
+
+def q9_product_type_profit(spark, sf_dir):
+    return R.product_type_profit(
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "part"),
+        _lt(spark, sf_dir, "supplier"), _lt(spark, sf_dir, "orders"),
+        _lt(spark, sf_dir, "nation"))
+
+
+def q11_important_stock(spark, sf_dir):
+    return R.important_stock(
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "supplier"),
+        _lt(spark, sf_dir, "nation"))
+
+
+def q20_dominant_supplier(spark, sf_dir):
+    return R.dominant_supplier(
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "part"),
+        _lt(spark, sf_dir, "supplier"), _lt(spark, sf_dir, "nation"),
+        _lt(spark, sf_dir, "region"))
+
+
 def text_token_count(spark, sf_dir):
     return T.token_counts(_lt(spark, sf_dir, "documents"))
 
@@ -844,6 +871,11 @@ def dedup_exact_normalized(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     df = D.ngram_jaccard_pairs(_lt(spark, sf_dir, "documents"), n=3, threshold=0.15)
     return _round(df, {"jaccard": 6})
+
+
+def dedup_exact_substring(spark, sf_dir):
+    return D.exact_substring_pairs(_lt(spark, sf_dir, "documents"),
+                                   n_tokens=20, winnow=5)
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -1673,6 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_national_market_share": q8_national_market_share,
         "q21_sole_blame_supplier": q21_sole_blame_supplier,
         "q16_part_supplier_counts": q16_part_supplier_counts,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q11_important_stock": q11_important_stock,
+        "q20_dominant_supplier": q20_dominant_supplier,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
@@ -1710,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_exact_normalized": dedup_exact_normalized,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_exact_substring": dedup_exact_substring,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -1819,6 +1856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW = [
     "q16_part_supplier_counts", "embedding_centroids",
     "mef_get_grp_from_row", "ev_conversion_lag",
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_stock", "q20_dominant_supplier",
+    "dedup_exact_substring",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
@@ -1834,9 +1874,7 @@ _WINDOW = [
     "ts_max_drawdown", "ev_attribution_first", "ts_beta",
     "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
     "catalog_coverage", "ts_decompose",
-    "ingest_manifest_quarantine", "ingest_integrity_card",
-    "release_rehearsal", "ev_top_paths",
-    "q8_national_market_share", "q21_sole_blame_supplier",
+    "ingest_manifest_quarantine",
 ]
 
 
@@ -2769,6 +2807,38 @@ def oracle_sql() -> dict[str, str]:
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
         FROM documents GROUP BY 2 ORDER BY doc_id
     """
+
+    sql["dedup_exact_substring"] = """
+        WITH toks AS (
+            SELECT doc_id, {tok} AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(range(0, len(t) - 20 + 1),
+                       i -> md5(array_to_string(
+                                list_slice(t, i + 1, i + 20), ' ')))
+                       AS g
+            FROM toks WHERE len(t) >= 20
+        ),
+        w AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(0, len(g) - 5 + 1),
+                       j -> list_aggregate(list_slice(g, j + 1, j + 5),
+                                           'min')))) AS wh
+            FROM grams WHERE len(g) >= 5
+        ),
+        good AS (
+            SELECT wh FROM w GROUP BY wh
+            HAVING count(*) BETWEEN 2 AND 200
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared_fingerprints
+        FROM w a JOIN good USING (wh) JOIN w b USING (wh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """.format(tok=_TOKENS)
 
     sql["dedup_ngram_jaccard"] = """
         WITH norm AS (
@@ -4635,6 +4705,90 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY p.p_brand, p.p_type, p.p_size
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
         LIMIT 40
+    """
+
+    sql["q2_min_cost_supplier"] = """
+        WITH bridge AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+                   p.p_size, b.unit_cost,
+                   min(b.unit_cost) OVER (PARTITION BY p.p_partkey)
+                       AS min_cost
+            FROM bridge b
+            JOIN part p ON b.l_partkey = p.p_partkey
+            JOIN supplier s ON b.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+              AND p.p_size IN (5, 15, 25, 35, 45)
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_size, unit_cost
+        FROM cand WHERE unit_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+
+    sql["q9_product_type_profit"] = """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(round(sum(CAST(
+                   l.l_extendedprice * (1 - l.l_discount)
+                   - 0.5 * p.p_retailprice * l.l_quantity
+                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%rod%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """
+
+    sql["q11_important_stock"] = """
+        WITH per_part AS (
+            SELECT l.l_partkey,
+                   sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,4))) AS value_d
+            FROM lineitem l
+            WHERE l.l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3')
+            GROUP BY 1
+        )
+        SELECT l_partkey,
+               CAST(round(value_d, 2) AS DOUBLE) AS value
+        FROM per_part
+        WHERE value_d > (SELECT sum(value_d) * CAST(0.001 AS DECIMAL(18,6))
+                         FROM per_part)
+        ORDER BY value DESC, l_partkey
+    """
+
+    sql["q20_dominant_supplier"] = """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_ps,
+                   sum(sum(l_quantity)) OVER (PARTITION BY l_partkey)
+                       AS qty_p
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'blue%')
+            GROUP BY 1, 2
+        )
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND s.s_suppkey IN (SELECT DISTINCT l_suppkey FROM per_ps
+                              WHERE qty_ps > 0.35 * qty_p)
+        ORDER BY s.s_name
     """
 
     sql["q19_disjunctive_revenue"] = """

@@ -1594,3 +1594,202 @@ def part_supplier_counts(part: DataFrame, lineitem: DataFrame,
         .limit(k)
     )
     return out
+
+
+def min_cost_supplier(part: DataFrame, supplier: DataFrame,
+                      lineitem: DataFrame, nation: DataFrame,
+                      region: DataFrame, region_name: str = "EUROPE",
+                      part_type: str = "STANDARD",
+                      sizes: tuple[int, ...] = (5, 15, 25, 35, 45),
+                      k: int = 100) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each qualifying part,
+    the region's suppliers whose observed unit cost equals the
+    region-wide minimum for that part. The canonical Q2 reads
+    partsupp.ps_supplycost; here the observed unit cost is
+    ``min(l_extendedprice / l_quantity)`` over a supplier's shipped
+    lines of that part — the same correlated-min topology
+    (cost = (SELECT min(cost) ... WHERE same part, region suppliers))
+    on the lineitem-derived bridge this schema actually has (the
+    q16 partsupp stand-in, :func:`part_supplier_counts`).
+
+    Plan: the bridge groupBy ships (partkey, suppkey, one double) —
+    never lineitem payload; part is size/type-pruned at its scan;
+    region→nation is the broadcast side of a semi-filter on supplier;
+    the correlated min is a window on p_partkey over the already
+    joined-down candidate set (thousands of rows per part class, not
+    the raw fact table). Ties on the min keep every tied supplier,
+    as canonical Q2 does. Cross-engine: unit_cost is an IEEE double
+    division of bit-identical inputs → bit-identical min/equality in
+    both engines; no rounding anywhere.
+
+    Ref: TPC-H Q2; reference catalogue-min semantics
+    perustats/BCRP/metadata.py:252-357 (cheapest-match search)."""
+    bridge = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+        .alias("unit_cost"))
+    p = part.where(
+        (F.col("p_type") == part_type) & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_type", "p_size")
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    n = (nation.join(F.broadcast(r),
+                     nation.n_regionkey == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    s = (supplier.join(F.broadcast(n),
+                       supplier.s_nationkey == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cand = (bridge.join(p, bridge.l_partkey == p.p_partkey)
+            .join(s, bridge.l_suppkey == F.col("s_suppkey")))
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("_min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_size",
+                "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def product_type_profit(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, orders: DataFrame,
+                        nation: DataFrame, name_contains: str = "rod",
+                        cost_factor: float = 0.5) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year):
+    profit = revenue − cost for every line of a part whose name
+    contains *name_contains*, grouped by the SUPPLIER's nation and
+    the order year. The canonical Q9 costs a line at
+    ps_supplycost·l_quantity; this schema has no partsupp, so cost is
+    ``cost_factor · p_retailprice · l_quantity`` — deterministic,
+    column-derived, and it preserves what Q9 exercises: a 5-table
+    join where the fact row needs BOTH its part dim (cost basis) and
+    its supplier dim (group key) plus the orders dim (year).
+
+    Cross-engine: revenue sits on the 1e-4 grid (2-dec price × 2-dec
+    discount) and cost on 5e-2 (0.5 × 1-dec retailprice × integer
+    qty), so per-row profit is exact on 1e-4 — cast to DECIMAL(18,4)
+    per row, summed as DECIMAL (order-independent), rounded to 2 as
+    DECIMAL, then cast double: the q1 sum_charge recipe.
+
+    Plan: name filter prunes part at its scan; nation broadcast;
+    part/supplier/orders joins AQE-decided; one final groupBy on a
+    (nation, year) key space of a few hundred."""
+    p = part.where(F.col("p_name").contains(name_contains)).select(
+        "p_partkey", "p_retailprice")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    joined = (
+        lineitem.join(p, lineitem.l_partkey == p.p_partkey)
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              lineitem.l_orderkey == F.col("o_orderkey"))
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+                profit.alias("_profit"))
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(F.round(F.sum("_profit"), 2).cast("double")
+             .alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def important_stock(lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, nation_name: str = "NATION_3",
+                    fraction: float = 0.001) -> DataFrame:
+    """TPC-H Q11 shape (important stock): the parts whose observed
+    traded value through one nation's suppliers exceeds *fraction* of
+    that nation's total — the aggregate-vs-global-aggregate HAVING
+    topology. Canonical Q11 values partsupp availability
+    (supplycost·availqty); here a part's value is
+    ``sum(l_extendedprice·(1−l_discount))`` over the nation's
+    supplier lines — same filter, same two-level aggregation.
+
+    Plan: ONE scan of lineitem semi-filtered to the nation's
+    suppliers (supplier×broadcast-nation is the small side), one
+    groupBy on partkey; the global total re-aggregates the per-part
+    sums (tiny) and broadcasts back as a 1-row cross join — the
+    scalar-subquery plan, no second fact scan. Cross-engine: values
+    summed as DECIMAL(18,4) (1e-4 grid), the HAVING comparison runs
+    in decimal on both engines (fraction is an exact decimal
+    literal), output rounded to 2 as DECIMAL then cast double."""
+    n = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    s = (supplier.join(F.broadcast(n),
+                       supplier.s_nationkey == F.col("n_nationkey"))
+         .select(F.col("s_suppkey").alias("_sk")))
+    per_part = (
+        lineitem.join(s, lineitem.l_suppkey == F.col("_sk"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,4)")).alias("_value"))
+    )
+    total = per_part.agg(
+        (F.sum("_value") * F.lit(fraction).cast("decimal(18,6)"))
+        .alias("_threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_value") > F.col("_threshold"))
+        .select("l_partkey",
+                F.round(F.col("_value"), 2).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def dominant_supplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame, name_prefix: str = "blue",
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1997-01-01",
+                      share: float = 0.35,
+                      region_name: str = "EUROPE") -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the region's
+    suppliers who shipped more than *share* of some qualifying
+    part's total volume inside a date window. Canonical Q20 compares
+    ps_availqty against half the shipped quantity; without partsupp
+    the dominance test compares a supplier's own shipped quantity
+    per part against share·(part total) — the same nested
+    quantity-threshold semi-join, derived from the one table that
+    records movement.
+
+    Plan: lineitem is date-pruned at the scan and semi-joined to the
+    name-pruned part keys BEFORE aggregating; per-(part, supplier)
+    sums then a window over partkey give both sides of the dominance
+    test in one shuffle; qualifying supplier keys are distinct-ed
+    (a supplier dominating 3 parts appears once) and semi-join the
+    region's suppliers. Quantities are integer-valued, so sums are
+    exact and order-independent; the share comparison multiplies
+    bit-identical doubles on both engines. Output (s_name,
+    s_acctbal) ordered by name — s_acctbal rides for the analyst,
+    on the 2-dec grid."""
+    pk = part.where(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey")
+    li = (lineitem
+          .where((F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp")))
+          .join(pk, lineitem.l_partkey == pk.p_partkey, "left_semi"))
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_qty_ps"))
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("_qty_p", F.sum("_qty_ps").over(w))
+        .where(F.col("_qty_ps") > F.lit(share) * F.col("_qty_p"))
+        .select("l_suppkey").distinct()
+    )
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    n = (nation.join(F.broadcast(r),
+                     nation.n_regionkey == F.col("r_regionkey"))
+         .select("n_nationkey"))
+    return (
+        supplier.join(F.broadcast(n),
+                      supplier.s_nationkey == F.col("n_nationkey"),
+                      "left_semi")
+        .join(dominant, supplier.s_suppkey == dominant.l_suppkey,
+              "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -158,6 +158,35 @@ def test_simhash_pairs_on_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_exact_substring_guaranteed_recall_and_precision(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a verbatim run of >= n_tokens + winnow - 1 tokens MUST
+    select at least one identical fingerprint regardless of where the
+    run starts in either document (content-defined minima, not
+    stride-phased starts) — plant the run at every prefix offset
+    0..winnow-1 and require the pair each time. Precision side:
+    documents with no n_tokens-token literal overlap must produce no
+    pair."""
+    n_tokens, winnow = 20, 5
+    run = " ".join(f"shared{i}" for i in range(n_tokens + winnow - 1))
+    docs = [(1, "host one intro words " + run + " tail one")]
+    for phase in range(winnow):
+        prefix = " ".join(f"pad{phase}x{j}" for j in range(phase + 1))
+        docs.append((10 + phase, prefix + " " + run + " closing words"))
+    docs.append((99, " ".join(f"uniq{i}" for i in range(80))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = D.exact_substring_pairs(df, n_tokens=n_tokens, winnow=winnow)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    for phase in range(winnow):
+        assert (1, 10 + phase) in pairs, (phase, sorted(pairs))
+    assert not any(99 in p for p in pairs)
+    # shorter-than-gram docs produce no fingerprints and no error
+    tiny = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    assert D.exact_substring_pairs(tiny, n_tokens=n_tokens,
+                                   winnow=winnow).count() == 0
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, tables):
     emb = tables["embeddings"].select(
         "vec_id",

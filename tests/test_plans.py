@@ -85,6 +85,9 @@ BROADCAST_HINT_WHITELIST = {
     "ann_ivf_cosine",             # k centroid rows
     "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
     "ann_pq_rerank_l2",           # query vectors (O(queries))
+    "ann_ivf_pq_rerank",          # (query, probed-cell) pairs — a
+                                  # driver-built O(queries × nprobe)
+                                  # local relation
     "text_oov_rate",              # top-n vocab rows (n is a parameter,
                                   # bounded by construction via LIMIT)
     "corpus_summary",             # 1-row grand-total aggregate (same
@@ -100,6 +103,11 @@ BROADCAST_HINT_WHITELIST = {
     "ev_power_users",             # P-row ntile offset table
     "q15_top_supplier",           # 1-row global max
     "q22_rich_inactive",          # 1-row global average
+    "q2_min_cost_supplier",       # region (5) + region-filtered nation
+    "q9_product_type_profit",     # nation (25 rows)
+    "q11_important_stock",        # nation-filtered supplier keys +
+                                  # 1-row threshold total
+    "q20_dominant_supplier",      # region-filtered nation keys
 }
 
 
@@ -420,6 +428,9 @@ PLAN_SMELL_WHITELIST = {
     "ev_conversion_lag_approx": {"BNLJ", "SINGLE_PART"},  # same shape,
                                                 # sketch percentiles
     "ts_beta": {"SINGLE_PART"},                 # 1-row regression agg
+    "q11_important_stock": {"BNLJ", "SINGLE_PART"},  # 1-row threshold
+                                                # total broadcast back
+                                                # (q_market_share class)
 }
 
 
