@@ -1520,6 +1520,21 @@ def ann_ivf_pq_rerank(spark, sf_dir):
                   {"dist": 6})
 
 
+def ann_ivf_pq_residual(spark, sf_dir):
+    # same pipeline with residual codes (IVF-ADC): codebooks quantize
+    # vector - cell_centroid, one ADC table per probed cell (rows-only;
+    # recall + reconstruction-MSE advantage pinned in pytest)
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.ann_ivf_pq(emb, q, k=5, n_centroids=16, nprobe=4,
+                               shortlist=50, m=8, n_codewords=16,
+                               kmeans_iters=1, residual=True),
+                  {"dist": 6})
+
+
 def embedding_pq_profile(spark, sf_dir):
     emb = _lt(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1819,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_profile": embedding_pq_profile,
         "ann_pq_rerank_l2": ann_pq_rerank_l2,
         "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
+        "ann_ivf_pq_residual": ann_ivf_pq_residual,
         "q22_rich_inactive": q22_rich_inactive,
         "q13_order_distribution": q13_order_distribution,
         "ts_xcorr": ts_xcorr,

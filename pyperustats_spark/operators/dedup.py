@@ -956,6 +956,7 @@ def jaccard_threshold_sweep(documents: DataFrame, n: int = 3,
 
 def exact_substring_pairs(documents: DataFrame, n_tokens: int = 20,
                           winnow: int = 5, max_df: int = 200,
+                          hash_fn: str = "md5",
                           sort: bool = True) -> DataFrame:
     """Exact repeated-substring detection between documents — the
     ExactSubstr dedup family ("Deduplicating Training Data Makes
@@ -991,8 +992,25 @@ def exact_substring_pairs(documents: DataFrame, n_tokens: int = 20,
     the hot-boilerplate cap that stops an O(n²) bucket at corpus
     scale), pairs emitted by two chained explodes. Per-doc
     fingerprints are distinct-ed so within-doc self-repetition can't
-    inflate a pair's count."""
+    inflate a pair's count.
+
+    *hash_fn*: ``"md5"`` (default) when a DuckDB oracle must
+    reproduce the fingerprints; ``"xxhash64"`` for production (8-byte
+    bigints ride the shuffle instead of 32-char hex). Honest A/B at
+    100× docs (sf10bd, 2.1M result pairs): 14.5s vs 16.6s — only ~13%
+    because that corpus is boilerplate-heavy and the posting-list
+    pair explosion dominates, not hashing; the gap widens on clean
+    corpora where fingerprinting is the hot loop. The two variants
+    select slightly different (equally valid) fingerprint samplings —
+    winnowing picks the min BY HASH ORDER, so the guarantee holds for
+    any consistent total order but the sampled positions differ."""
     toks = tokens(F.col("text"))
+    if hash_fn == "md5":
+        elem_t, _hash = "array<string>", F.md5
+    elif hash_fn == "xxhash64":
+        elem_t, _hash = "array<bigint>", F.xxhash64
+    else:  # fail loud: a typo here would silently change fingerprints
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
 
     def _fingerprints(t):
         def _sel(g):
@@ -1001,15 +1019,15 @@ def exact_substring_pairs(documents: DataFrame, n_tokens: int = 20,
                 F.array_distinct(F.transform(
                     F.sequence(F.lit(0), F.size(g) - winnow),
                     lambda j: F.array_min(F.slice(g, j + 1, winnow)))),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast(elem_t))
 
         grams = F.when(
             F.size(t) >= n_tokens,
             F.transform(
                 F.sequence(F.lit(0), F.size(t) - n_tokens),
-                lambda i: F.md5(F.concat_ws(
+                lambda i: _hash(F.concat_ws(
                     " ", F.slice(t, i + 1, n_tokens)))),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast(elem_t))
         return let(grams, _sel)
 
     wh = ensure_parallelism(documents).select(

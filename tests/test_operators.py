@@ -185,6 +185,17 @@ def test_exact_substring_guaranteed_recall_and_precision(spark):
         [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
     assert D.exact_substring_pairs(tiny, n_tokens=n_tokens,
                                    winnow=winnow).count() == 0
+    # the production hash keeps the winnowing guarantee (different —
+    # equally valid — fingerprint sampling, same detection contract)
+    out_xx = D.exact_substring_pairs(df, n_tokens=n_tokens,
+                                     winnow=winnow, hash_fn="xxhash64")
+    pairs_xx = {(r["id_a"], r["id_b"]) for r in out_xx.collect()}
+    for phase in range(winnow):
+        assert (1, 10 + phase) in pairs_xx, (phase, sorted(pairs_xx))
+    assert not any(99 in p for p in pairs_xx)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        D.exact_substring_pairs(df, hash_fn="sha1")
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, tables):

@@ -88,6 +88,7 @@ BROADCAST_HINT_WHITELIST = {
     "ann_ivf_pq_rerank",          # (query, probed-cell) pairs — a
                                   # driver-built O(queries × nprobe)
                                   # local relation
+    "ann_ivf_pq_residual",        # same shape, residual codes
     "text_oov_rate",              # top-n vocab rows (n is a parameter,
                                   # bounded by construction via LIMIT)
     "corpus_summary",             # 1-row grand-total aggregate (same
