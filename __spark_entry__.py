@@ -706,6 +706,13 @@ def q20_dominant_supplier(spark, sf_dir):
         _lt(spark, sf_dir, "region"))
 
 
+def graph_supplier_pagerank(spark, sf_dir):
+    from pyperustats_spark.operators import graph as G
+    return G.supplier_importance(
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "orders"),
+        _lt(spark, sf_dir, "supplier"), iters=6, k=50)
+
+
 def text_token_count(spark, sf_dir):
     return T.token_counts(_lt(spark, sf_dir, "documents"))
 
@@ -1724,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_type_profit": q9_product_type_profit,
         "q11_important_stock": q11_important_stock,
         "q20_dominant_supplier": q20_dominant_supplier,
+        "graph_supplier_pagerank": graph_supplier_pagerank,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
@@ -1861,20 +1869,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # order per the round-6 verdict: (1) the never-countersigned oracles —
 # q16_part_supplier_counts (landed after the r6 rotation froze) and
 # embedding_centroids (rotated in r6 but the comparator errored on its
-# array column; now flat long-form) — plus (2) queries whose oracle or
-# entry CHANGED this round (ev_conversion_lag's degenerate-case oracle
-# rewrite, new mef_get_grp_from_row), then (3) the r6 window carryover,
-# newest-countersign-last. After this rotation goes green, every oracle
-# in the repo has ≥1 driver countersign across r4-r7. Everything
-# displaced moves behind the window; the local parity gate
-# (tools/parity.py, tests/test_oracle_parity.py) still value-checks
-# all oracle-backed queries every run.
+# array column; now flat long-form) — then (2) queries whose oracle or
+# entry is NEW or CHANGED this round (ev_conversion_lag's
+# degenerate-case oracle rewrite, mef_get_grp_from_row, the four
+# partsupp-bridge TPC-H ports, dedup_exact_substring,
+# graph_supplier_pagerank), then (3) the r6 window carryover,
+# newest-countersign-last (the displaced tail — q8/q21/ev_top_paths/
+# release_rehearsal/ingest_* — all countersigned green in r6). After
+# this rotation goes green, every oracle in the repo has ≥1 driver
+# countersign across r4-r7. Everything displaced moves behind the
+# window; the local parity gate (tools/parity.py,
+# tests/test_oracle_parity.py) still value-checks all oracle-backed
+# queries every run.
 _WINDOW = [
     "q16_part_supplier_counts", "embedding_centroids",
     "mef_get_grp_from_row", "ev_conversion_lag",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q20_dominant_supplier",
-    "dedup_exact_substring",
+    "dedup_exact_substring", "graph_supplier_pagerank",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
@@ -1890,7 +1902,6 @@ _WINDOW = [
     "ts_max_drawdown", "ev_attribution_first", "ts_beta",
     "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
     "catalog_coverage", "ts_decompose",
-    "ingest_manifest_quarantine",
 ]
 
 
@@ -4722,6 +4733,54 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
         LIMIT 40
     """
+
+    # Fixed-point PageRank unrolled to K iterations of plain SQL — no
+    # recursion needed for a fixed K, and the integer micro-unit
+    # arithmetic (DIV everywhere) makes every value bit-identical to
+    # the Spark loop regardless of aggregation order
+    _pr_iter = """
+        pr{i} AS (
+            SELECT n.node,
+                   CAST(150000 + 85 * coalesce(c.s, 0) // 100 AS BIGINT)
+                       AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, sum(p.pr * e.w // e.w_out) AS s
+                FROM pr{j} p JOIN edges e ON e.src = p.node
+                GROUP BY e.dst
+            ) c ON c.dst = n.node
+        )"""
+    sql["graph_supplier_pagerank"] = ("""
+        WITH pairs AS (
+            SELECT o.o_custkey * 2 AS c_node,
+                   l.l_suppkey * 2 + 1 AS s_node,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        edges0 AS (
+            SELECT c_node AS src, s_node AS dst, w FROM pairs
+            UNION ALL
+            SELECT s_node AS src, c_node AS dst, w FROM pairs
+        ),
+        edges AS (
+            SELECT src, dst, w,
+                   sum(w) OVER (PARTITION BY src) AS w_out
+            FROM edges0
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM edges0
+            UNION
+            SELECT DISTINCT dst AS node FROM edges0
+        ),
+        pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        """ + ",\n".join(_pr_iter.format(i=i, j=i - 1)
+                         for i in range(1, 7)) + """
+        SELECT s.s_name, p.pr AS rank_micro
+        FROM pr6 p JOIN supplier s ON s.s_suppkey = (p.node - 1) // 2
+        WHERE p.node % 2 = 1
+        ORDER BY rank_micro DESC, s.s_name
+        LIMIT 50
+    """)
 
     sql["q2_min_cost_supplier"] = """
         WITH bridge AS (

@@ -1,0 +1,140 @@
+"""Graph analytics over relationship edges derived from the fact
+tables: fixed-point PageRank (this module) and, for the dedup-cluster
+graph, :func:`pyperustats_spark.operators.dedup.connected_components`.
+
+Reference analog: the reference ranks catalogue entities by simple
+observed counts (``/root/reference/perustats/BCRP/metadata.py``
+frequency rollups); PageRank is the recursive generalization a
+100 TB commerce graph needs — importance flows along weighted edges
+instead of stopping at degree-1 counts.
+
+Scale design
+------------
+* The weighted edge list is built ONCE and persisted for the
+  iteration loop: each round references it, and Catalyst does not
+  dedupe common subplans (CLAUDE.md: zero ReusedExchange even for
+  identical subtrees), so an unpersisted edge subtree would re-run
+  its join+groupBy every round.
+* Rank tables carry (node, bigint) only; each round is one equi-join
+  shuffle on the node id + one groupBy on the destination — the
+  standard distributed PageRank step. The loop stays LAZY: unlike
+  :func:`connected_components` (whose pointer-doubling references
+  the previous label table TWICE, doubling the plan per round —
+  hence its per-round checkpoint), each PageRank round references
+  the previous ranks exactly once, so the plan grows linearly in
+  iters and one deferred job lets AQE plan every stage. The persisted
+  edge/node tables are computed once at first materialization and
+  served from cache for the remaining references. Measured at sf0.01
+  in the driver's plain-session posture: lazy 23.3s vs 30.5s with
+  per-round localCheckpoint (materialization at 200 un-coalesced
+  shuffle partitions per round is pure tiny-task overhead).
+* Determinism is FIXED-POINT: ranks are bigint micro-units and every
+  update is integer arithmetic (per-edge ``pr·w DIV w_out``, summed,
+  then ``damping_pct·s DIV 100``), so partial-aggregate merge order
+  cannot change a single bit and a DuckDB oracle unrolling the same
+  K iterations reproduces every value exactly — doubles here would
+  hit the nondeterministic-double-sum trap (CLAUDE.md) K times over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_UNIT = 1_000_000  # 1.0 in micro-units
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = 6,
+                         damping_pct: int = 85) -> DataFrame:
+    """Weighted PageRank over a directed edge list ``(src, dst, w)``
+    with bigint weights, in fixed-point micro-units.
+
+    pr₀(v) = 1.0; prᵢ₊₁(v) = (1 − d) + d · Σ_{(u,v)} prᵢ(u)·w(u,v) /
+    w_out(u), all in integer micro-units (see module docstring for
+    why). Nodes are the union of sources and destinations; a node
+    with no in-edges settles at the base rank, and dangling nodes
+    (no out-edges) simply leak their mass — acceptable for ranking
+    (relative order is what's consumed) and exactly reproducible by
+    the oracle. Returns (node, rank_micro).
+
+    The edge/node caches outlive the returned lazy frame (they can't
+    be unpersisted before the caller's action); they're
+    MEMORY_AND_DISK and LRU-evicted, so repeated calls in one session
+    cost storage churn, not correctness.
+
+    Raises on non-positive *iters* or a damping outside (0, 100)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    base = RANK_UNIT * (100 - damping_pct) // 100
+
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    # persisted: referenced once PER ROUND, and Catalyst would re-run
+    # the join+agg subtree per reference (see module docstring)
+    e = (edges.join(out_w, "src")
+         .select("src", "dst", "w", "w_out")
+         .persist())
+    # likewise: the no-in-edge left join references nodes every round
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .persist())
+    ranks = nodes.select(
+        "node", F.lit(RANK_UNIT).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst",
+                    F.expr("pr * w DIV w_out").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left") \
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"{damping_pct} * coalesce(s, 0L) DIV 100"))
+                .cast("bigint").alias("pr"))
+    return ranks.withColumnRenamed("pr", "rank_micro")
+
+
+def supplier_importance(lineitem: DataFrame, orders: DataFrame,
+                        supplier: DataFrame, iters: int = 6,
+                        k: int = 50, sort: bool = True) -> DataFrame:
+    """Supplier importance by recursive customer flows: PageRank on
+    the bipartite customer↔supplier interaction graph (edge weight =
+    number of lineitem interactions, both directions), reported for
+    the supplier side. A supplier ranks high when its customers are
+    themselves important — i.e. buy from many important suppliers —
+    which plain order counts (the reference's frequency rollups)
+    cannot express. Returns top-*k* (s_name, rank_micro).
+
+    Node ids pack both partitions into one bigint space (customer →
+    2·key, supplier → 2·key+1) so the generic kernel needs no type
+    column. Edge build is one lineitem⋈orders equi-join aggregated to
+    (custkey, suppkey, n) — interaction counts, integer-exact in both
+    engines."""
+    pairs = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select((F.col("o_custkey") * 2).alias("c_node"),
+                (F.col("l_suppkey") * 2 + 1).alias("s_node"), "w")
+    )
+    edges = pairs.select(F.col("c_node").alias("src"),
+                         F.col("s_node").alias("dst"), "w") \
+        .union(pairs.select(F.col("s_node").alias("src"),
+                            F.col("c_node").alias("dst"), "w"))
+    ranks = pagerank_fixed_point(edges, iters=iters)
+    out = (
+        ranks.where(F.col("node") % 2 == 1)
+        .select(((F.col("node") - 1) / 2).cast("bigint").alias("s_suppkey"),
+                "rank_micro")
+        .join(supplier.select("s_suppkey", "s_name"), "s_suppkey")
+        .select("s_name", "rank_micro")
+        .orderBy(F.desc("rank_micro"), "s_name")
+        .limit(k)
+    )
+    return out if sort else out

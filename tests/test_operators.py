@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from pyperustats_spark.operators import dedup as D
 from pyperustats_spark.operators import events as E
+from pyperustats_spark.operators import graph as G
 from pyperustats_spark.operators import relational as R
 from pyperustats_spark.operators import similarity as S
 from pyperustats_spark.operators import timeseries as TS
@@ -156,6 +157,60 @@ def test_simhash_pairs_on_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def _pagerank_reference(edges, iters=6, damping_pct=85):
+    """Plain-Python replica of the fixed-point update — same integer
+    ops in the same per-edge order-independent form."""
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    pr = {n: 1_000_000 for n in nodes}
+    base = 1_000_000 * (100 - damping_pct) // 100
+    for _ in range(iters):
+        s_in = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            s_in[d] += pr[s] * w // out_w[s]
+        pr = {n: base + damping_pct * s_in[n] // 100 for n in nodes}
+    return pr
+
+
+def test_pagerank_fixed_point_matches_reference_exactly(spark):
+    """Bit-exact agreement with the plain-Python fixed-point model on
+    a graph with a hub, a no-in-edge node, and a dangling node —
+    integer arithmetic means NO tolerance is needed (the property the
+    DuckDB oracle relies on)."""
+    edges = [(1, 2, 3), (2, 1, 1), (1, 3, 2), (3, 2, 5),
+             (4, 1, 1),            # node 4: no in-edges -> base rank
+             (2, 5, 1)]            # node 5: dangling (mass leaks)
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["rank_micro"]
+           for r in G.pagerank_fixed_point(df, iters=6).collect()}
+    want = _pagerank_reference(edges, iters=6)
+    assert got == want
+    assert got[4] == 150_000          # base rank, nothing flows in
+    # rank mass is conserved minus the dangling leak: total <= N units
+    assert sum(got.values()) <= 5 * 1_000_000
+    with pytest.raises(ValueError):
+        G.pagerank_fixed_point(df, iters=0)
+    with pytest.raises(ValueError):
+        G.pagerank_fixed_point(df, damping_pct=100)
+
+
+def test_supplier_importance_ranks_by_flow_not_degree(spark, tables):
+    """The recursive property on real tables: deterministic repeat,
+    top-k shape, and every supplier above base rank (every supplier
+    has in-edges from its customers)."""
+    out = G.supplier_importance(tables["lineitem"], tables["orders"],
+                                tables["supplier"], iters=6, k=10)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    ranks = [r["rank_micro"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 150_000 for r in ranks)
+    again = [r["rank_micro"] for r in out.collect()]
+    assert again == ranks
 
 
 def test_exact_substring_guaranteed_recall_and_precision(spark):
