@@ -885,6 +885,17 @@ def dedup_exact_substring(spark, sf_dir):
                                    n_tokens=20, winnow=5)
 
 
+def dedup_substring_decontaminate(spark, sf_dir):
+    # recurring-release scenario (dedup_incremental's split): odd
+    # doc_ids = the new batch, even = the released corpus it must not
+    # literally overlap
+    docs = _lt(spark, sf_dir, "documents")
+    return D.exact_substring_decontaminate(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        n_tokens=20, winnow=5)
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     df = D.minhash_lsh_pairs(_lt(spark, sf_dir, "documents"))
     return _round(df, {"est_jaccard": 6})
@@ -1770,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_normalized": dedup_exact_normalized,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_exact_substring": dedup_exact_substring,
+        "dedup_substring_decontaminate": dedup_substring_decontaminate,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -1887,6 +1899,7 @@ _WINDOW = [
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q20_dominant_supplier",
     "dedup_exact_substring", "graph_supplier_pagerank",
+    "dedup_substring_decontaminate",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
@@ -1901,7 +1914,7 @@ _WINDOW = [
     "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
     "ts_max_drawdown", "ev_attribution_first", "ts_beta",
     "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
-    "catalog_coverage", "ts_decompose",
+    "catalog_coverage",
 ]
 
 
@@ -2865,6 +2878,42 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """.format(tok=_TOKENS)
+
+    sql["dedup_substring_decontaminate"] = """
+        WITH fp AS (
+            SELECT doc_id, wh FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(0, len(g) - 5 + 1),
+                           j -> list_aggregate(
+                                    list_slice(g, j + 1, j + 5),
+                                    'min')))) AS wh
+                FROM (
+                    SELECT doc_id,
+                           list_transform(range(0, len(t) - 20 + 1),
+                               i -> md5(array_to_string(
+                                        list_slice(t, i + 1, i + 20),
+                                        ' '))) AS g
+                    FROM (SELECT doc_id, {tok} AS t FROM documents)
+                    WHERE len(t) >= 20
+                ) WHERE len(g) >= 5
+            )
+        ),
+        corpus_fp AS (
+            SELECT DISTINCT wh FROM fp WHERE doc_id % 2 = 0
+        ),
+        contaminated AS (
+            SELECT f.doc_id FROM fp f
+            WHERE f.doc_id % 2 = 1
+              AND f.wh IN (SELECT wh FROM corpus_fp)
+            GROUP BY f.doc_id
+            HAVING count(*) >= 1
+        )
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id % 2 = 1
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY d.doc_id
     """.format(tok=_TOKENS)
 
     sql["dedup_ngram_jaccard"] = """

@@ -954,6 +954,46 @@ def jaccard_threshold_sweep(documents: DataFrame, n: int = 3,
     return stacked.orderBy("threshold") if sort else stacked
 
 
+def winnowed_fingerprints(documents: DataFrame, n_tokens: int = 20,
+                          winnow: int = 5,
+                          hash_fn: str = "md5") -> DataFrame:
+    """The fingerprinting stage of :func:`exact_substring_pairs`,
+    exposed for every consumer of literal-overlap detection: hash
+    every *n_tokens*-token gram, winnow-select the minimum per
+    *winnow*-gram window (content-defined, so shared runs of
+    ≥ n_tokens + winnow − 1 tokens fingerprint identically at any
+    alignment), distinct per doc. Returns exploded (doc_id, wh) —
+    one row-local projection, zero shuffles."""
+    toks = tokens(F.col("text"))
+    if hash_fn == "md5":
+        elem_t, _hash = "array<string>", F.md5
+    elif hash_fn == "xxhash64":
+        elem_t, _hash = "array<bigint>", F.xxhash64
+    else:  # fail loud: a typo here would silently change fingerprints
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
+
+    def _fingerprints(t):
+        def _sel(g):
+            return F.when(
+                F.size(g) >= winnow,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(0), F.size(g) - winnow),
+                    lambda j: F.array_min(F.slice(g, j + 1, winnow)))),
+            ).otherwise(F.array().cast(elem_t))
+
+        grams = F.when(
+            F.size(t) >= n_tokens,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n_tokens),
+                lambda i: _hash(F.concat_ws(
+                    " ", F.slice(t, i + 1, n_tokens)))),
+        ).otherwise(F.array().cast(elem_t))
+        return let(grams, _sel)
+
+    return ensure_parallelism(documents).select(
+        "doc_id", F.explode(let(toks, _fingerprints)).alias("wh"))
+
+
 def exact_substring_pairs(documents: DataFrame, n_tokens: int = 20,
                           winnow: int = 5, max_df: int = 200,
                           hash_fn: str = "md5",
@@ -1004,34 +1044,8 @@ def exact_substring_pairs(documents: DataFrame, n_tokens: int = 20,
     select slightly different (equally valid) fingerprint samplings —
     winnowing picks the min BY HASH ORDER, so the guarantee holds for
     any consistent total order but the sampled positions differ."""
-    toks = tokens(F.col("text"))
-    if hash_fn == "md5":
-        elem_t, _hash = "array<string>", F.md5
-    elif hash_fn == "xxhash64":
-        elem_t, _hash = "array<bigint>", F.xxhash64
-    else:  # fail loud: a typo here would silently change fingerprints
-        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
-
-    def _fingerprints(t):
-        def _sel(g):
-            return F.when(
-                F.size(g) >= winnow,
-                F.array_distinct(F.transform(
-                    F.sequence(F.lit(0), F.size(g) - winnow),
-                    lambda j: F.array_min(F.slice(g, j + 1, winnow)))),
-            ).otherwise(F.array().cast(elem_t))
-
-        grams = F.when(
-            F.size(t) >= n_tokens,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - n_tokens),
-                lambda i: _hash(F.concat_ws(
-                    " ", F.slice(t, i + 1, n_tokens)))),
-        ).otherwise(F.array().cast(elem_t))
-        return let(grams, _sel)
-
-    wh = ensure_parallelism(documents).select(
-        "doc_id", F.explode(let(toks, _fingerprints)).alias("wh"))
+    wh = winnowed_fingerprints(documents, n_tokens=n_tokens,
+                               winnow=winnow, hash_fn=hash_fn)
     postings = (
         wh.groupBy("wh")
         .agg(F.collect_list("doc_id").alias("docs"))
@@ -1046,3 +1060,42 @@ def exact_substring_pairs(documents: DataFrame, n_tokens: int = 20,
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
     )
     return out.orderBy("id_a", "id_b") if sort else out
+
+
+def exact_substring_decontaminate(batch: DataFrame, corpus: DataFrame,
+                                  n_tokens: int = 20, winnow: int = 5,
+                                  min_shared: int = 1,
+                                  hash_fn: str = "md5",
+                                  sort: bool = True) -> DataFrame:
+    """Incremental literal-overlap decontamination: the rows of
+    *batch* that share fewer than *min_shared* winnowed fingerprints
+    with an already-released *corpus* (or a benchmark eval set — the
+    ExactSubstr counterpart of :func:`~pyperustats_spark.operators
+    .textops` 13-gram decontamination, catching long verbatim lifts
+    that token-level n-gram hits under-weigh). The recurring-release
+    shape of :func:`dedup_incremental`: the corpus is never
+    re-scanned against itself, only the new batch joins it.
+
+    Plan: both sides fingerprint row-locally
+    (:func:`winnowed_fingerprints`); the corpus ships its DISTINCT
+    fingerprint set (bounded by content volume, never doc count ×
+    df); one semi-join marks batch fingerprint hits, a groupBy counts
+    hits per batch doc, and docs at-or-over the threshold anti-join
+    OUT of the original batch — text never rides any shuffle, only
+    fingerprints and ids. Returns the surviving batch rows
+    (doc_id, source)."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    bw = winnowed_fingerprints(batch, n_tokens=n_tokens, winnow=winnow,
+                               hash_fn=hash_fn)
+    cw = winnowed_fingerprints(corpus, n_tokens=n_tokens, winnow=winnow,
+                               hash_fn=hash_fn).select("wh").distinct()
+    hits = (
+        bw.join(cw, "wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_shared)
+        .select("doc_id")
+    )
+    out = batch.join(hits, "doc_id", "left_anti").select("doc_id", "source")
+    return out.orderBy("doc_id") if sort else out

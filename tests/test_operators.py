@@ -253,6 +253,33 @@ def test_exact_substring_guaranteed_recall_and_precision(spark):
         D.exact_substring_pairs(df, hash_fn="sha1")
 
 
+def test_exact_substring_decontaminate_drops_literal_lifts(spark):
+    """A batch doc lifting a >= n+w-1-token run from the released
+    corpus is dropped AT ANY ALIGNMENT; clean batch docs survive;
+    min_shared raises the evidence bar."""
+    n_tokens, winnow = 20, 5
+    run = " ".join(f"corpus{i}" for i in range(n_tokens + winnow - 1))
+    corpus = spark.createDataFrame(
+        [(100, "released doc preamble " + run + " released tail", "rel")],
+        "doc_id long, text string, source string")
+    batch = spark.createDataFrame(
+        [(1, "thief intro " + run + " thief outro", "crawl"),
+         (2, "x " + run, "crawl"),          # different alignment
+         (3, " ".join(f"clean{i}" for i in range(60)), "crawl")],
+        "doc_id long, text string, source string")
+    kept = {r["doc_id"] for r in D.exact_substring_decontaminate(
+        corpus=corpus, batch=batch, n_tokens=n_tokens,
+        winnow=winnow).collect()}
+    assert kept == {3}
+    # an absurd evidence bar keeps everything
+    kept_hi = {r["doc_id"] for r in D.exact_substring_decontaminate(
+        corpus=corpus, batch=batch, n_tokens=n_tokens, winnow=winnow,
+        min_shared=10_000).collect()}
+    assert kept_hi == {1, 2, 3}
+    with pytest.raises(ValueError):
+        D.exact_substring_decontaminate(batch, corpus, min_shared=0)
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, tables):
     emb = tables["embeddings"].select(
         "vec_id",
