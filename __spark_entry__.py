@@ -713,6 +713,13 @@ def graph_supplier_pagerank(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=6, k=50)
 
 
+def graph_supplier_salsa(spark, sf_dir):
+    from pyperustats_spark.operators import graph as G
+    return G.supplier_authority(
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "orders"),
+        _lt(spark, sf_dir, "supplier"), iters=4, k=50)
+
+
 def text_token_count(spark, sf_dir):
     return T.token_counts(_lt(spark, sf_dir, "documents"))
 
@@ -1743,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q11_important_stock,
         "q20_dominant_supplier": q20_dominant_supplier,
         "graph_supplier_pagerank": graph_supplier_pagerank,
+        "graph_supplier_salsa": graph_supplier_salsa,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
@@ -1899,7 +1907,7 @@ _WINDOW = [
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q20_dominant_supplier",
     "dedup_exact_substring", "graph_supplier_pagerank",
-    "dedup_substring_decontaminate",
+    "dedup_substring_decontaminate", "graph_supplier_salsa",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
@@ -1914,7 +1922,6 @@ _WINDOW = [
     "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
     "ts_max_drawdown", "ev_attribution_first", "ts_beta",
     "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
-    "catalog_coverage",
 ]
 
 
@@ -4828,6 +4835,47 @@ def oracle_sql() -> dict[str, str]:
         FROM pr6 p JOIN supplier s ON s.s_suppkey = (p.node - 1) // 2
         WHERE p.node % 2 = 1
         ORDER BY rank_micro DESC, s.s_name
+        LIMIT 50
+    """)
+
+    # SALSA unrolled to 4 full rounds; degree sums CAST to BIGINT at
+    # the source (DuckDB group sums of BIGINT go HUGEINT) so the DIV
+    # chain stays in bigint like Spark's
+    _salsa_round = """
+        a{i} AS (
+            SELECT e.auth AS node,
+                   CAST(sum(h.score * e.w // e.w_out) AS BIGINT) AS score
+            FROM deg e JOIN h{j} h ON e.hub = h.node
+            GROUP BY 1
+        ),
+        h{i} AS (
+            SELECT e.hub AS node,
+                   CAST(sum(a.score * e.w // e.w_in) AS BIGINT) AS score
+            FROM deg e JOIN a{i} a ON e.auth = a.node
+            GROUP BY 1
+        )"""
+    sql["graph_supplier_salsa"] = ("""
+        WITH edges AS (
+            SELECT o.o_custkey AS hub, l.l_suppkey AS auth,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        wout AS (SELECT hub, CAST(sum(w) AS BIGINT) AS w_out
+                 FROM edges GROUP BY 1),
+        winn AS (SELECT auth, CAST(sum(w) AS BIGINT) AS w_in
+                 FROM edges GROUP BY 1),
+        deg AS (
+            SELECT e.hub, e.auth, e.w, wout.w_out, winn.w_in
+            FROM edges e JOIN wout USING (hub) JOIN winn USING (auth)
+        ),
+        h0 AS (SELECT DISTINCT hub AS node,
+                      CAST(1000000 AS BIGINT) AS score FROM edges),
+        """ + ",\n".join(_salsa_round.format(i=i, j=i - 1)
+                         for i in range(1, 5)) + """
+        SELECT s.s_name, a.score AS authority_micro
+        FROM a4 a JOIN supplier s ON s.s_suppkey = a.node
+        ORDER BY authority_micro DESC, s.s_name
         LIMIT 50
     """)
 

@@ -98,6 +98,86 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 6,
     return ranks.withColumnRenamed("pr", "rank_micro")
 
 
+def salsa_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """SALSA (Lempel & Moran 2000) over a weighted bipartite edge
+    list ``(hub, auth, w)``, in bigint micro-units — the
+    hub/authority factorization HITS computes, but with DEGREE
+    normalization instead of HITS' per-round global max:
+    a(s) ← Σ_{c→s} h(c)·w ÷ w_out(c), h(c) ← Σ_{c→s} a(s)·w ÷ w_in(s).
+
+    The normalization choice is the distributed-determinism point:
+    HITS' max-normalization needs a global scalar computed FROM the
+    frame being normalized mid-round — either a second reference to
+    the aggregate (Catalyst re-executes unpersisted common subtrees,
+    and the double reference compounds 2^rounds) or a per-round
+    materialization. SALSA's divisors are STATIC degree sums
+    (computed once, like PageRank's w_out), so every round is one
+    linear pass, the loop stays lazy, and the column-stochastic
+    updates keep total mass ≈ constant — no overflow, no global
+    scalar, bit-exact against the unrolled-SQL oracle via integer
+    DIV. Returns (node, side('hub'|'auth'), score_micro) for both
+    partitions after *iters* full rounds."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w_out = edges.groupBy("hub").agg(F.sum("w").alias("w_out"))
+    w_in = edges.groupBy("auth").agg(F.sum("w").alias("w_in"))
+    e = (edges.join(w_out, "hub").join(w_in, "auth")
+         .select("hub", "auth", "w", "w_out", "w_in")
+         .persist())
+    h = (e.select(F.col("hub").alias("node")).distinct()
+         .select("node", F.lit(RANK_UNIT).cast("bigint").alias("score")))
+    a = None
+    for _ in range(iters):
+        a = (e.join(h, e.hub == F.col("node"))
+             .select("auth", F.expr("score * w DIV w_out").alias("c"))
+             .groupBy("auth")
+             .agg(F.sum("c").cast("bigint").alias("score"))
+             .withColumnRenamed("auth", "node"))
+        h = (e.join(a, e.auth == F.col("node"))
+             .select("hub", F.expr("score * w DIV w_in").alias("c"))
+             .groupBy("hub")
+             .agg(F.sum("c").cast("bigint").alias("score"))
+             .withColumnRenamed("hub", "node"))
+    return (
+        h.select("node", F.lit("hub").alias("side"),
+                 F.col("score").alias("score_micro"))
+        .union(a.select("node", F.lit("auth").alias("side"),
+                        F.col("score").alias("score_micro")))
+    )
+
+
+def supplier_authority(lineitem: DataFrame, orders: DataFrame,
+                       supplier: DataFrame, iters: int = 4,
+                       k: int = 50, sort: bool = True) -> DataFrame:
+    """Supplier authority via SALSA on the customer→supplier
+    interaction graph: a supplier scores high when bought by
+    customers who concentrate on high-authority suppliers — the
+    bipartite mutual-reinforcement :func:`supplier_importance`'s
+    random-surfer model approximates through packed node ids, here
+    computed natively on the two-sided graph. Returns top-*k*
+    (s_name, authority_micro)."""
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(F.col("o_custkey").alias("hub"),
+                F.col("l_suppkey").alias("auth"), "w")
+    )
+    scores = salsa_fixed_point(edges, iters=iters)
+    out = (
+        scores.where(F.col("side") == "auth")
+        .select(F.col("node").alias("s_suppkey"),
+                F.col("score_micro").alias("authority_micro"))
+        .join(supplier.select("s_suppkey", "s_name"), "s_suppkey")
+        .select("s_name", "authority_micro")
+        .orderBy(F.desc("authority_micro"), "s_name")
+        .limit(k)
+    )
+    return out if sort else out
+
+
 def supplier_importance(lineitem: DataFrame, orders: DataFrame,
                         supplier: DataFrame, iters: int = 6,
                         k: int = 50, sort: bool = True) -> DataFrame:

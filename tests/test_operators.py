@@ -198,6 +198,38 @@ def test_pagerank_fixed_point_matches_reference_exactly(spark):
         G.pagerank_fixed_point(df, damping_pct=100)
 
 
+def test_salsa_fixed_point_matches_reference_exactly(spark):
+    """Bit-exact agreement with the plain-Python SALSA model (degree
+    normalization is static, so every round is pure integer
+    arithmetic), plus the mass-conservation property the
+    column-stochastic updates guarantee: authority mass stays within
+    truncation loss of the initial hub mass — the invariant that
+    makes overflow impossible at any iteration count."""
+    edges = [(1, 10, 2), (1, 11, 1), (2, 10, 5), (3, 11, 1), (3, 12, 4)]
+    df = spark.createDataFrame(edges, "hub long, auth long, w long")
+    out = G.salsa_fixed_point(df, iters=4).collect()
+    got = {(r["node"], r["side"]): r["score_micro"] for r in out}
+    w_out, w_in = {}, {}
+    for c, s, w in edges:
+        w_out[c] = w_out.get(c, 0) + w
+        w_in[s] = w_in.get(s, 0) + w
+    h = {c: 1_000_000 for c in w_out}
+    for _ in range(4):
+        a = {}
+        for c, s, w in edges:
+            a[s] = a.get(s, 0) + h[c] * w // w_out[c]
+        h = {}
+        for c, s, w in edges:
+            h[c] = h.get(c, 0) + a[s] * w // w_in[s]
+    want = {(s, "auth"): v for s, v in a.items()}
+    want.update({(c, "hub"): v for c, v in h.items()})
+    assert got == want
+    mass = sum(v for (n, side), v in got.items() if side == "auth")
+    assert 3 * 1_000_000 - 100 <= mass <= 3 * 1_000_000
+    with pytest.raises(ValueError):
+        G.salsa_fixed_point(df, iters=0)
+
+
 def test_supplier_importance_ranks_by_flow_not_degree(spark, tables):
     """The recursive property on real tables: deterministic repeat,
     top-k shape, and every supplier above base rank (every supplier
