@@ -506,6 +506,30 @@ def test_lm_scoring_plans_are_jvm_side(spark, tables):
         assert not P.has_python_eval(df)
 
 
+def test_graph_iteration_loops_serve_static_tables_from_cache(spark):
+    """The graph kernels' re-execution protection, pinned at the
+    executed plan: every per-round reference to the static edge/node
+    tables must be an InMemoryTableScan (pagerank: edges ×6 rounds +
+    nodes ×7 = 13; salsa: edges ×(2·4) rounds = 8). If someone drops
+    the persist, these counts go to zero and each round silently
+    re-runs the edge build join+agg — the 66-exchange bug class.
+    Python must never appear; AQE additionally reuses identical
+    shuffle stages at runtime (ReusedExchange), which is a bonus on
+    top of, not a substitute for, the cache."""
+    import __spark_entry__ as EN
+
+    expected = {"graph_supplier_pagerank": 13, "graph_supplier_salsa": 8}
+    for name, n_cached in expected.items():
+        df = EN.queries()[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        got = executed.count("InMemoryTableScan")
+        assert got == n_cached, (
+            f"{name}: expected {n_cached} cached static-table scans, "
+            f"saw {got} — a persist was dropped or a reference added")
+        assert "Python" not in executed
+
+
 def test_release_rehearsal_chain_plan(spark, tables):
     """The end-to-end recurring-release chain (dedup_incremental →
     quality_filter → decontaminate → split_leakage_safe) must stay ONE
