@@ -892,6 +892,11 @@ def dedup_exact_substring(spark, sf_dir):
                                    n_tokens=20, winnow=5)
 
 
+def dedup_substring_profile(spark, sf_dir):
+    return D.substring_duplication_profile(_lt(spark, sf_dir, "documents"),
+                                           n_tokens=20, winnow=5)
+
+
 def dedup_substring_decontaminate(spark, sf_dir):
     # recurring-release scenario (dedup_incremental's split): odd
     # doc_ids = the new batch, even = the released corpus it must not
@@ -1790,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_exact_substring": dedup_exact_substring,
         "dedup_substring_decontaminate": dedup_substring_decontaminate,
+        "dedup_substring_profile": dedup_substring_profile,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -1908,6 +1914,7 @@ _WINDOW = [
     "q11_important_stock", "q20_dominant_supplier",
     "dedup_exact_substring", "graph_supplier_pagerank",
     "dedup_substring_decontaminate", "graph_supplier_salsa",
+    "dedup_substring_profile",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
@@ -1921,7 +1928,7 @@ _WINDOW = [
     "text_quality_filter", "ev_funnel_steps", "ev_retention_cohorts",
     "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
     "ts_max_drawdown", "ev_attribution_first", "ts_beta",
-    "text_lang_purity", "ev_gap_stats", "ts_rebase_index",
+    "text_lang_purity", "ev_gap_stats",
 ]
 
 
@@ -2920,6 +2927,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source FROM documents d
         WHERE d.doc_id % 2 = 1
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY d.doc_id
+    """.format(tok=_TOKENS)
+
+    sql["dedup_substring_profile"] = """
+        WITH fp AS (
+            SELECT doc_id, wh FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(0, len(g) - 5 + 1),
+                           j -> list_aggregate(
+                                    list_slice(g, j + 1, j + 5),
+                                    'min')))) AS wh
+                FROM (
+                    SELECT doc_id,
+                           list_transform(range(0, len(t) - 20 + 1),
+                               i -> md5(array_to_string(
+                                        list_slice(t, i + 1, i + 20),
+                                        ' '))) AS g
+                    FROM (SELECT doc_id, {tok} AS t FROM documents)
+                    WHERE len(t) >= 20
+                ) WHERE len(g) >= 5
+            )
+        ),
+        mult AS (SELECT wh, count(*) AS m FROM fp GROUP BY wh),
+        per_doc AS (
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_fingerprints,
+                   CAST(sum(CASE WHEN mult.m >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared
+            FROM fp f JOIN mult USING (wh)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_fingerprints, 0) AS n_fingerprints,
+               coalesce(p.n_shared, 0) AS n_shared,
+               CAST(p.n_shared AS DOUBLE) / p.n_fingerprints
+                   AS shared_frac
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id
     """.format(tok=_TOKENS)
 

@@ -329,6 +329,41 @@ class DocumentPipeline:
         self._df = self._df.join(keep, "doc_id", "left_semi")
         return self
 
+    def decontaminate_substring(self, corpus: DataFrame,
+                                n_tokens: int = 20, winnow: int = 5,
+                                min_shared: int = 1
+                                ) -> "DocumentPipeline":
+        """Drop documents sharing ≥ *min_shared* winnowed fingerprints
+        with *corpus* — long-verbatim-lift decontamination against a
+        released snapshot or benchmark set (:func:`~pyperustats_spark
+        .operators.dedup.exact_substring_decontaminate`); the n-gram
+        :meth:`decontaminate` twin for runs the token-level check
+        under-weighs."""
+        self._require_document_grain("decontaminate_substring")
+        keep = _dedup.exact_substring_decontaminate(
+            self._df, corpus, n_tokens=n_tokens, winnow=winnow,
+            min_shared=min_shared, sort=False).select("doc_id")
+        self._df = self._df.join(keep, "doc_id", "left_semi")
+        return self
+
+    def drop_heavily_duplicated(self, max_shared_frac: float = 0.8,
+                                n_tokens: int = 20, winnow: int = 5
+                                ) -> "DocumentPipeline":
+        """Drop documents whose literal-duplication profile exceeds
+        *max_shared_frac* (:func:`~pyperustats_spark.operators.dedup
+        .substring_duplication_profile`) — the doc-level boilerplate/
+        syndication cut pairwise dedup can't make when no single
+        partner crosses the pair threshold. Docs too short to
+        fingerprint have a NULL fraction and are KEPT (no evidence is
+        not contamination)."""
+        self._require_document_grain("drop_heavily_duplicated")
+        prof = _dedup.substring_duplication_profile(
+            self._df, n_tokens=n_tokens, winnow=winnow, sort=False)
+        drop = prof.where(
+            F.col("shared_frac") > max_shared_frac).select("doc_id")
+        self._df = self._df.join(drop, "doc_id", "left_anti")
+        return self
+
     def split(self, val_pct: int = 10,
               prefix_chars: int | None = None,
               salt: str = "split") -> "DocumentPipeline":

@@ -1062,6 +1062,50 @@ def exact_substring_pairs(documents: DataFrame, n_tokens: int = 20,
     return out.orderBy("id_a", "id_b") if sort else out
 
 
+def substring_duplication_profile(documents: DataFrame,
+                                  n_tokens: int = 20, winnow: int = 5,
+                                  hash_fn: str = "md5",
+                                  sort: bool = True) -> DataFrame:
+    """Per-document literal-duplication profile: of each document's
+    winnowed fingerprints, how many also occur in at least one OTHER
+    document — the doc-level copy-paste contamination score a
+    pretraining filter thresholds on (a doc that is 80% boilerplate/
+    syndication survives pairwise dedup whenever no single partner
+    crosses the pair threshold, but its shared_frac exposes it).
+
+    Output: (doc_id, n_fingerprints, n_shared, shared_frac) for EVERY
+    input doc — short docs fingerprint to nothing and report 0 with a
+    NULL fraction (try_divide). shared_frac is an int/int IEEE
+    division shipped raw (bit-identical cross-engine; CLAUDE.md).
+
+    Plan: one fingerprint multiplicity groupBy (no df cap needed —
+    this counts, it never expands pairs, so a hot boilerplate
+    fingerprint costs one counter), one join back on the fingerprint,
+    one per-doc rollup, one left join to re-attach zero-fingerprint
+    docs. Fingerprints and ids shuffle; text never does."""
+    wh = winnowed_fingerprints(documents, n_tokens=n_tokens,
+                               winnow=winnow, hash_fn=hash_fn)
+    mult = wh.groupBy("wh").agg(F.count(F.lit(1)).alias("_m"))
+    per_doc = (
+        wh.join(mult, "wh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+             F.sum((F.col("_m") >= 2).cast("bigint")).alias("n_shared"))
+    )
+    out = (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.try_divide(F.col("n_shared"), F.col("n_fingerprints"))
+            .alias("shared_frac"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
 def exact_substring_decontaminate(batch: DataFrame, corpus: DataFrame,
                                   n_tokens: int = 20, winnow: int = 5,
                                   min_shared: int = 1,

@@ -257,6 +257,35 @@ def test_document_pipeline_pretraining_hygiene_chain(spark, tables):
         DocumentPipeline(spark, docs).chunk().strip_boilerplate()
 
 
+def test_document_pipeline_substring_hygiene_stages(spark):
+    """The winnowing-family facade stages: decontaminate_substring
+    drops the literal lift and keeps the clean doc;
+    drop_heavily_duplicated cuts the all-boilerplate doc, keeps the
+    mostly-original one, and KEEPS too-short docs (NULL fraction is
+    not evidence)."""
+    run = " ".join(f"rel{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(100, "released " + run + " tail", "rel")],
+        "doc_id long, text string, source string")
+    batch = spark.createDataFrame(
+        [(1, "stolen intro " + run + " outro", "crawl"),
+         (2, " ".join(f"novel{i}" for i in range(40)), "crawl")],
+        "doc_id long, text string, source string")
+    out = (DocumentPipeline(spark, batch)
+           .decontaminate_substring(corpus).df.collect())
+    assert {r["doc_id"] for r in out} == {2}
+
+    dup = " ".join(f"boiler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, dup, "a"), (2, dup, "b"),
+         (3, " ".join(f"own{i}" for i in range(60)), "c"),
+         (4, "too short", "d")],
+        "doc_id long, text string, source string")
+    kept = {r["doc_id"] for r in DocumentPipeline(spark, docs)
+            .drop_heavily_duplicated(max_shared_frac=0.8).df.collect()}
+    assert kept == {3, 4}
+
+
 def test_document_pipeline_release_cycle_chain(spark, tables):
     """The recurring-release flow: dedup a new batch against the
     released corpus, assign leakage-safe splits, enforce a per-source

@@ -198,6 +198,25 @@ def test_pagerank_fixed_point_matches_reference_exactly(spark):
         G.pagerank_fixed_point(df, damping_pct=100)
 
 
+def test_substring_duplication_profile_scores(spark):
+    """Doc-level copy-paste score: a verbatim copy pair scores
+    shared_frac 1.0 on both sides, a unique doc 0.0, and a
+    shorter-than-gram doc reports 0 fingerprints with NULL frac."""
+    long_a = " ".join(f"alpha{i}" for i in range(60))
+    long_b = " ".join(f"beta{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b), (4, "too short")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            D.substring_duplication_profile(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["shared_frac"] == 1.0 == rows[2]["shared_frac"]
+    assert rows[1]["n_fingerprints"] == rows[2]["n_fingerprints"] > 0
+    assert rows[3]["shared_frac"] == 0.0 and rows[3]["n_shared"] == 0
+    assert rows[4]["n_fingerprints"] == 0
+    assert rows[4]["shared_frac"] is None
+
+
 def test_salsa_fixed_point_matches_reference_exactly(spark):
     """Bit-exact agreement with the plain-Python SALSA model (degree
     normalization is static, so every round is pure integer

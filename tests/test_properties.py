@@ -444,3 +444,37 @@ def test_pq_encodes_codewords_to_themselves(spark, which):
     # seeded the codebook with itself (n == k stride sample)
     sub_errs = S.pq_distortion_profile(df, m=2, k=4, dim=8).collect()
     assert all(r["mean_sq_err"] == pytest.approx(0.0) for r in sub_errs)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_winnowing_detection_guarantee(spark, data):
+    """The winnowing guarantee as a property: ANY two documents
+    sharing a verbatim run of >= n_tokens + winnow - 1 tokens produce
+    a pair, for random run contents, random prefix/suffix paddings
+    (random alignments), and random n/winnow parameters. This is the
+    theorem the exact-substring family rests on (Schleimer et al.
+    2003) — a regression here (e.g. reverting to stride sampling)
+    fails fast."""
+    from pyperustats_spark.operators import dedup as D
+
+    n_tokens = data.draw(st.integers(min_value=3, max_value=12))
+    winnow = data.draw(st.integers(min_value=2, max_value=6))
+    run_len = n_tokens + winnow - 1
+    run = " ".join(f"r{data.draw(st.integers(0, 9))}x{i}"
+                   for i in range(run_len))
+    pad_a = data.draw(st.integers(min_value=0, max_value=7))
+    pad_b = data.draw(st.integers(min_value=0, max_value=7))
+    doc_a = " ".join([*(f"a{j}" for j in range(pad_a)), run,
+                      *(f"za{j}" for j in range(data.draw(
+                          st.integers(0, 5))))])
+    doc_b = " ".join([*(f"b{j}" for j in range(pad_b)), run,
+                      *(f"zb{j}" for j in range(data.draw(
+                          st.integers(0, 5))))])
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    pairs = D.exact_substring_pairs(
+        df, n_tokens=n_tokens, winnow=winnow).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs), (
+        n_tokens, winnow, pad_a, pad_b)
