@@ -713,6 +713,10 @@ def graph_supplier_pagerank(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=6, k=50)
 
 
+def q_part_affinity(spark, sf_dir):
+    return R.part_affinity(_lt(spark, sf_dir, "lineitem"))
+
+
 def graph_supplier_salsa(spark, sf_dir):
     from pyperustats_spark.operators import graph as G
     return G.supplier_authority(
@@ -1756,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_supplier": q20_dominant_supplier,
         "graph_supplier_pagerank": graph_supplier_pagerank,
         "graph_supplier_salsa": graph_supplier_salsa,
+        "q_part_affinity": q_part_affinity,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
         "stream_sessionize": stream_sessionize,
@@ -1914,7 +1919,7 @@ _WINDOW = [
     "q11_important_stock", "q20_dominant_supplier",
     "dedup_exact_substring", "graph_supplier_pagerank",
     "dedup_substring_decontaminate", "graph_supplier_salsa",
-    "dedup_substring_profile",
+    "dedup_substring_profile", "q_part_affinity",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
@@ -1928,7 +1933,7 @@ _WINDOW = [
     "text_quality_filter", "ev_funnel_steps", "ev_retention_cohorts",
     "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
     "ts_max_drawdown", "ev_attribution_first", "ts_beta",
-    "text_lang_purity", "ev_gap_stats",
+    "text_lang_purity",
 ]
 
 
@@ -4923,6 +4928,40 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY authority_micro DESC, s.s_name
         LIMIT 50
     """)
+
+    sql["q_part_affinity"] = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        ok AS (
+            SELECT l_orderkey FROM items GROUP BY l_orderkey
+            HAVING count(*) BETWEEN 2 AND 50
+        ),
+        it AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN ok USING (l_orderkey)
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM it a JOIN it b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        pc AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+            FROM it GROUP BY 1
+        )
+        SELECT p.part_a, p.part_b, p.n_both,
+               CAST(p.n_both AS DOUBLE)
+                   / (na.n + nb.n - p.n_both) AS affinity
+        FROM pairs p
+        JOIN pc na ON p.part_a = na.l_partkey
+        JOIN pc nb ON p.part_b = nb.l_partkey
+        ORDER BY n_both DESC, part_a, part_b
+        LIMIT 50
+    """
 
     sql["q2_min_cost_supplier"] = """
         WITH bridge AS (

@@ -1740,6 +1740,58 @@ def important_stock(lineitem: DataFrame, supplier: DataFrame,
     )
 
 
+def part_affinity(lineitem: DataFrame, max_basket: int = 50,
+                  k: int = 50) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing in the
+    same order, with a Jaccard-style affinity — the
+    frequently-bought-together rollup (the retail face of the
+    reference's frequency counts, perustats/BCRP/metadata.py
+    rollups). Returns top-*k* (part_a, part_b, n_both, affinity)
+    where affinity = n_both / (n_a + n_b − n_both) over per-part
+    basket counts.
+
+    Scale shape — the inverted-index bucket idiom
+    (:func:`~pyperustats_spark.operators.dedup.ngram_jaccard_pairs`):
+    distinct (order, part) pairs are the only shuffle payload;
+    baskets gather per order with collect_list, singletons skipped
+    and oversized baskets dropped (*max_basket* — a degenerate
+    mega-order cannot go O(n²)); pairs emit from two chained
+    explodes, never a self-join. The affinity ratio is int/int IEEE
+    division of identical counts — shipped raw, bit-identical
+    cross-engine (CLAUDE.md). Per-part counts come from the SAME
+    capped item set so the denominator matches what generated the
+    pairs."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        items.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("parts"))
+        .where((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
+        .select("l_orderkey", F.array_sort("parts").alias("parts"))
+    )
+    it = baskets.select("l_orderkey", F.explode("parts").alias("pk"))
+    pairs = (
+        baskets.select(F.explode("parts").alias("pa"), F.col("parts"))
+        .select("pa", F.explode("parts").alias("pb"))
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pc = it.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(pc.select(F.col("pk").alias("pa"),
+                             F.col("n").alias("_na")), "pa")
+        .join(pc.select(F.col("pk").alias("pb"),
+                        F.col("n").alias("_nb")), "pb")
+        .select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"),
+                "n_both",
+                (F.col("n_both")
+                 / (F.col("_na") + F.col("_nb") - F.col("n_both")))
+                .alias("affinity"))
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(k)
+    )
+
+
 def dominant_supplier(lineitem: DataFrame, part: DataFrame,
                       supplier: DataFrame, nation: DataFrame,
                       region: DataFrame, name_prefix: str = "blue",
