@@ -963,7 +963,10 @@ def winnowed_fingerprints(documents: DataFrame, n_tokens: int = 20,
     *winnow*-gram window (content-defined, so shared runs of
     ≥ n_tokens + winnow − 1 tokens fingerprint identically at any
     alignment), distinct per doc. Returns exploded (doc_id, wh) —
-    one row-local projection, zero shuffles."""
+    one row-local projection, zero shuffles. Streaming-safe: the
+    parallelism guard needs the batch RDD layout, so streams (whose
+    micro-batches inherit the source's file-split parallelism) pass
+    through untouched."""
     toks = tokens(F.col("text"))
     if hash_fn == "md5":
         elem_t, _hash = "array<string>", F.md5
@@ -990,7 +993,9 @@ def winnowed_fingerprints(documents: DataFrame, n_tokens: int = 20,
         ).otherwise(F.array().cast(elem_t))
         return let(grams, _sel)
 
-    return ensure_parallelism(documents).select(
+    base = documents if documents.isStreaming \
+        else ensure_parallelism(documents)
+    return base.select(
         "doc_id", F.explode(let(toks, _fingerprints)).alias("wh"))
 
 

@@ -501,6 +501,39 @@ def stream_new_documents(stream_docs: DataFrame, corpus: DataFrame,
     )
 
 
+def stream_contaminated_documents(stream_docs: DataFrame,
+                                  corpus: DataFrame,
+                                  n_tokens: int = 20,
+                                  winnow: int = 5) -> DataFrame:
+    """Streaming literal-lift detection: documents arriving on a
+    stream emit their doc_id the moment ANY of their winnowed
+    fingerprints matches the RELEASED corpus' fingerprint set — the
+    streaming form of :func:`~pyperustats_spark.operators.dedup
+    .exact_substring_decontaminate` at ``min_shared=1`` (a quarantine
+    feed: the contaminated ids are the join key for whatever sink
+    holds the docs back from release).
+
+    Plan: fingerprints are a row-local projection on the stream side
+    (explode — stateless), the corpus' DISTINCT fingerprint set is
+    the static side of a stream-static left_semi join (re-read or
+    broadcast per micro-batch; the stream never buffers), and the
+    only state is dropDuplicates on the contaminated doc_id — one id
+    per contaminated doc, not per fingerprint hit. Counting to a
+    min_shared>1 threshold needs a stateful per-doc aggregation;
+    that variant belongs in the batch operator at release time."""
+    from pyperustats_spark.operators.dedup import winnowed_fingerprints
+
+    corpus_fp = winnowed_fingerprints(
+        corpus, n_tokens=n_tokens, winnow=winnow).select("wh").distinct()
+    fp = winnowed_fingerprints(stream_docs, n_tokens=n_tokens,
+                               winnow=winnow)
+    return (
+        fp.join(corpus_fp, "wh", "left_semi")
+        .dropDuplicates(["doc_id"])
+        .select("doc_id")
+    )
+
+
 def stream_manifest_quarantine(stream_docs: DataFrame,
                                manifest: DataFrame) -> DataFrame:
     """Streaming ingest integrity: every ARRIVING document gets the

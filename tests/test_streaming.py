@@ -417,6 +417,39 @@ def test_stream_new_documents_matches_batch_incremental(
     assert streamed == expect
 
 
+def test_stream_contaminated_documents_matches_batch(
+        spark, tables, tmp_path):
+    """Streaming literal-lift ids == the complement of the batch
+    decontaminate survivors on the same replayed batch/corpus split
+    (min_shared=1), replayed across two files to cross micro-batch
+    boundaries."""
+    import os
+    from pyperustats_spark.operators import dedup as BD
+
+    docs = tables["documents"].limit(200)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "contam_src")
+    ids = sorted(r[0] for r in batch.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    batch.where(F.col("doc_id") <= cut).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=0"))
+    batch.where(F.col("doc_id") > cut).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=1"))
+    stream = SEV.read_documents_stream(spark, d + "/f=*",
+                                       max_files_per_trigger=1)
+    out = SEV.run_to_memory(
+        SEV.stream_contaminated_documents(stream, corpus),
+        "contam_out", str(tmp_path / "ckpt_contam"),
+        output_mode="append")
+    streamed = {r["doc_id"] for r in out.collect()}
+    survivors = {r["doc_id"] for r in
+                 BD.exact_substring_decontaminate(batch, corpus).collect()}
+    all_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert streamed == all_ids - survivors
+    assert streamed, "expected at least one contaminated doc in testdata"
+
+
 def test_stream_manifest_quarantine_matches_batch(spark, tables, tmp_path):
     """Streaming verdicts == batch manifest_quarantine on the same
     data, including a deliberately rotted member and an unlisted one;
