@@ -199,3 +199,60 @@ def test_round6_ops_survive_degenerates(spark, frames):
                                nprobes=(1, 2)).collect()
     assert [r["nprobe"] for r in ev_out] == [1, 2]
     assert all(r["n_truth_pairs"] == 0 for r in ev_out)
+
+
+def test_round7_ops_survive_degenerate_inputs(spark, frames):
+    """Empty/degenerate frames through every round-7 family: the
+    partsupp-bridge TPC-H ports, the winnowing trio, market-basket
+    affinity, and both graph kernels."""
+    from pyperustats_spark.operators import graph as G
+
+    empty_li = spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_quantity double, l_extendedprice double, "
+            "l_discount double, l_shipdate timestamp")
+    part = spark.createDataFrame(
+        [(1, "blue rod", "Brand#1", "STANDARD", 15, 900.0)],
+        "p_partkey long, p_name string, p_brand string, "
+        "p_type string, p_size int, p_retailprice double")
+    supplier = spark.createDataFrame(
+        [(1, "S1", 0, 10.0)],
+        "s_suppkey long, s_name string, s_nationkey long, "
+        "s_acctbal double")
+    orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    nation = spark.createDataFrame(
+        [(0, "NATION_3", 0)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    region = spark.createDataFrame(
+        [(0, "EUROPE")], "r_regionkey long, r_name string")
+
+    assert R.min_cost_supplier(part, supplier, empty_li, nation,
+                               region).count() == 0
+    assert R.product_type_profit(empty_li, part, supplier, orders,
+                                 nation).count() == 0
+    assert R.important_stock(empty_li, supplier, nation).count() == 0
+    assert R.dominant_supplier(empty_li, part, supplier, nation,
+                               region).count() == 0
+    assert R.part_affinity(empty_li).count() == 0
+
+    ed = frames["empty_docs"]
+    assert D.exact_substring_pairs(ed).count() == 0
+    assert D.substring_duplication_profile(ed).count() == 0
+    empty_src = spark.createDataFrame(
+        [], "doc_id long, text string, source string")
+    one_doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)), "s")],
+        "doc_id long, text string, source string")
+    # empty batch vs real corpus, and real batch vs empty corpus
+    assert D.exact_substring_decontaminate(empty_src,
+                                           one_doc).count() == 0
+    assert D.exact_substring_decontaminate(
+        one_doc, empty_src).count() == 1
+
+    empty_edges = spark.createDataFrame([], "src long, dst long, w long")
+    assert G.pagerank_fixed_point(empty_edges, iters=3).count() == 0
+    empty_bip = spark.createDataFrame([], "hub long, auth long, w long")
+    assert G.salsa_fixed_point(empty_bip, iters=2).count() == 0
+    assert G.supplier_importance(empty_li, orders, supplier).count() == 0
+    assert G.supplier_authority(empty_li, orders, supplier).count() == 0
