@@ -633,6 +633,29 @@ def ev_tumbling_window(spark, sf_dir):
     return _round(df, {"sum_value": 4, "avg_value": 6})
 
 
+def ev_incident_windows(spark, sf_dir):
+    # keyless range join: the 20 busiest hours become [hour, hour+1h)
+    # incident windows and EVERY event is range-joined into them via
+    # the bucketed equi plan (R.range_join) — no BNLJ
+    ev = _lt(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("start"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), "start").limit(20)
+        .select("start",
+                (F.col("start") + F.expr("INTERVAL 1 HOUR")).alias("wend"))
+    )
+    joined = R.range_join(ev.select("ts", "user_id"), hours,
+                          point_col="ts", start_col="start",
+                          end_col="wend", bucket_seconds=3600)
+    return (
+        joined.groupBy("start")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count_distinct("user_id").alias("n_users"))
+        .orderBy("start")
+    )
+
+
 def ev_sessionize(spark, sf_dir):
     df = E.sessionize(_lt(spark, sf_dir, "events"))
     return _round(df, {"sum_value": 4})
@@ -1790,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_merge_upsert": cache_merge_upsert,
         "q_sales_rollup": q_sales_rollup,
         "ev_tumbling_window": ev_tumbling_window,
+        "ev_incident_windows": ev_incident_windows,
         "ev_top_users_per_type": ev_top_users_per_type,
         "text_token_count": text_token_count,
         "text_lang_id": text_lang_id,
@@ -1920,6 +1944,7 @@ _WINDOW = [
     "dedup_exact_substring", "graph_supplier_pagerank",
     "dedup_substring_decontaminate", "graph_supplier_salsa",
     "dedup_substring_profile", "q_part_affinity",
+    "ev_incident_windows",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
@@ -1933,7 +1958,6 @@ _WINDOW = [
     "text_quality_filter", "ev_funnel_steps", "ev_retention_cohorts",
     "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
     "ts_max_drawdown", "ev_attribution_first", "ts_beta",
-    "text_lang_purity",
 ]
 
 
@@ -2425,6 +2449,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT code FROM requested
         WHERE code NOT IN (SELECT DISTINCT code FROM ({_LONG}))
         ORDER BY code
+    """
+
+    sql["ev_incident_windows"] = """
+        WITH hours AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS start,
+                   count(*) AS n
+            FROM events GROUP BY 1
+            ORDER BY n DESC, start LIMIT 20
+        ),
+        iv AS (
+            SELECT start, start + INTERVAL 1 HOUR AS wend FROM hours
+        )
+        SELECT i.start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN iv i
+          ON e.ts >= i.start AND e.ts < i.wend
+        GROUP BY 1 ORDER BY 1
     """
 
     sql["ev_tumbling_window"] = """

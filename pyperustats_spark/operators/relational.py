@@ -1740,6 +1740,51 @@ def important_stock(lineitem: DataFrame, supplier: DataFrame,
     )
 
 
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str = "ts", start_col: str = "start",
+               end_col: str = "end",
+               bucket_seconds: int = 3600) -> DataFrame:
+    """Keyless point-in-interval range join, bucketed: each interval
+    explodes to the time buckets it covers and each point hashes to
+    its bucket, so the join is EQUI on the bucket id with the
+    ``start ≤ p < end`` predicate as a residual — the blocking that
+    turns what Spark would otherwise plan as a
+    BroadcastNestedLoopJoin (every point × every interval) into a
+    shuffle-partitionable hash join (plan-asserted in
+    tests/test_plans.py). When an equi key EXISTS (e.g. user-session
+    assignment), a plain equi join with a range residual is already
+    fine — this operator is for the keyless case: global incident /
+    maintenance / calendar windows against the full fact stream.
+
+    Semantics: half-open ``[start, end)``; a point landing in
+    overlapping intervals matches each of them. All input columns of
+    both sides survive. Bucket sizing is the scale knob: intervals
+    spanning b buckets replicate b times (choose *bucket_seconds*
+    near the typical interval length; a pathological years-long
+    interval against an hour bucket replicates 10⁴× — size the
+    bucket, don't salt after the fact). Bucket ids derive from
+    integer micros (cross-engine-safe per the working notes)."""
+    b = bucket_seconds * 1_000_000
+    p = points.withColumn(
+        "_bk", F.floor(F.unix_micros(F.col(point_col)) / F.lit(b)))
+    iv = (
+        intervals
+        .withColumn(
+            "_bk",
+            F.explode(F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(b)),
+                # end is exclusive: a boundary-aligned end owns no bucket
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(b)),
+            )))
+    )
+    return (
+        p.join(iv, "_bk")
+        .where((F.col(point_col) >= F.col(start_col))
+               & (F.col(point_col) < F.col(end_col)))
+        .drop("_bk")
+    )
+
+
 def part_affinity(lineitem: DataFrame, max_basket: int = 50,
                   k: int = 50) -> DataFrame:
     """Market-basket co-occurrence: pairs of parts appearing in the

@@ -198,6 +198,33 @@ def test_pagerank_fixed_point_matches_reference_exactly(spark):
         G.pagerank_fixed_point(df, damping_pct=100)
 
 
+def test_range_join_semantics(spark):
+    """Half-open [start, end) boundaries, overlapping-interval
+    multi-match, multi-bucket-spanning intervals, and empty result on
+    disjoint ranges — checked against a brute-force double loop."""
+    from datetime import datetime
+
+    pts = [(i, datetime(2024, 1, 1, h, m)) for i, (h, m) in enumerate(
+        [(0, 0), (0, 30), (1, 0), (2, 15), (5, 0), (23, 59)])]
+    ivs = [(100, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0)),
+           (101, datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 2, 30)),
+           # spans 4 buckets at bucket_seconds=3600
+           (102, datetime(2024, 1, 1, 1, 0), datetime(2024, 1, 1, 5, 0)),
+           (103, datetime(2024, 1, 2, 0, 0), datetime(2024, 1, 2, 1, 0))]
+    p = spark.createDataFrame(pts, "pid long, ts timestamp")
+    iv = spark.createDataFrame(ivs, "wid long, start timestamp, end timestamp")
+    got = {(r["pid"], r["wid"]) for r in
+           R.range_join(p, iv, bucket_seconds=3600).collect()}
+    want = {(pid, wid) for pid, ts in pts for wid, s, e in ivs
+            if s <= ts < e}
+    assert got == want
+    # boundary facts: end exclusive (01:00 ∉ [00:00, 01:00)),
+    # start inclusive (01:00 ∈ [01:00, 05:00))
+    assert (2, 100) not in got and (2, 101) in got and (2, 102) in got
+    assert (4, 102) not in got  # 05:00 excluded from [01:00, 05:00)
+    assert not any(wid == 103 for _, wid in got)
+
+
 def test_substring_duplication_profile_scores(spark):
     """Doc-level copy-paste score: a verbatim copy pair scores
     shared_frac 1.0 on both sides, a unique doc 0.0, and a

@@ -506,6 +506,37 @@ def test_lm_scoring_plans_are_jvm_side(spark, tables):
         assert not P.has_python_eval(df)
 
 
+def test_range_join_plans_as_equi_join_not_bnlj(spark):
+    """The point of range_join's bucketing: a keyless point-in-
+    interval join over a NON-broadcastable interval set must plan as
+    a hash/sort-merge equi join on the bucket id with the range
+    predicate as a residual — a plain inequality join would go
+    BroadcastNestedLoopJoin (points × intervals). Asserted on 50k
+    synthetic intervals with the broadcast threshold floored so size
+    can't hide the shape."""
+    from pyspark.sql import functions as F
+    from pyperustats_spark.operators import relational as R
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        iv = spark.range(50_000).select(
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(hours=F.col("id"))).alias("start"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(hours=F.col("id") + 2)).alias("end"))
+        pts = spark.range(10_000).select(
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(mins=F.col("id") * 7)).alias("ts"))
+        out = R.range_join(pts, iv, bucket_seconds=3600)
+        txt = P.explain_str(out, mode="simple")
+        assert "BroadcastNestedLoopJoin" not in txt, txt
+        assert "CartesianProduct" not in txt, txt
+        assert "Join" in txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_graph_iteration_loops_serve_static_tables_from_cache(spark):
     """The graph kernels' re-execution protection, pinned at the
     executed plan: every per-round reference to the static edge/node
