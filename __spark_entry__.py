@@ -1577,6 +1577,17 @@ def ann_ivf_pq_rerank(spark, sf_dir):
                   {"dist": 6})
 
 
+def embedding_pca_variance(spark, sf_dir):
+    # rows-only: the PCA scree profile (eigendecomposition isn't SQL);
+    # moment stats computed distributed, only the 64x64 matrix reaches
+    # the driver; pinned against numpy PCA in pytest
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return S.pca_variance_profile(emb, dim=64, k=16)
+
+
 def ann_ivf_pq_residual(spark, sf_dir):
     # same pipeline with residual codes (IVF-ADC): codebooks quantize
     # vector - cell_centroid, one ADC table per probed cell (rows-only;
@@ -1898,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank_l2": ann_pq_rerank_l2,
         "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
         "ann_ivf_pq_residual": ann_ivf_pq_residual,
+        "embedding_pca_variance": embedding_pca_variance,
         "q22_rich_inactive": q22_rich_inactive,
         "q13_order_distribution": q13_order_distribution,
         "ts_xcorr": ts_xcorr,

@@ -1064,3 +1064,97 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def pca_model(embeddings: DataFrame, dim: int = 64,
+              k: int = 16) -> tuple[list[float], list[float],
+                                    list[list[float]]]:
+    """Fit a PCA rotation on the embedding corpus — the
+    preprocessing step that makes product quantization's independent-
+    subspace assumption honest (the OPQ insight, Ge et al.: PQ codes
+    anisotropic correlated dims poorly; decorrelate first). Returns
+    ``(mean, eigenvalues, components)`` with *k* orthonormal
+    components in descending-eigenvalue order.
+
+    Scale shape: the moment statistics are computed DISTRIBUTED by
+    Spark ML's JVM aggregators (``Summarizer`` mean/std +
+    ``Correlation.corr`` — one pass each, vector-typed partial
+    aggregation); only the dim×dim correlation matrix (O(dim²)
+    floats, 32 KB at dim=64) ever reaches the driver, where numpy's
+    symmetric eigensolver runs on a matrix this small in
+    microseconds. Covariance is reconstructed as corr·σσᵀ;
+    zero-variance dims yield NaN correlations which are zeroed (they
+    carry no signal and must not poison the eigensolver). Component
+    signs are canonicalized (largest-|entry| positive) so repeated
+    fits are bit-stable."""
+    import numpy as np
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Correlation, Summarizer
+
+    v = embeddings.select(array_to_vector("embedding").alias("features"))
+    row = v.select(Summarizer.mean(F.col("features")).alias("mu"),
+                   Summarizer.std(F.col("features")).alias("sd")).collect()[0]
+    mu = np.array(list(row["mu"]))
+    sd = np.array(list(row["sd"]))
+    C = Correlation.corr(v, "features").collect()[0][0].toArray()
+    C = np.nan_to_num(C, nan=0.0)
+    cov = C * np.outer(sd, sd)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return ([float(x) for x in mu],
+            [float(vals[i]) for i in order], comps)
+
+
+def pca_project(embeddings: DataFrame, dim: int = 64, k: int = 16,
+                model: tuple | None = None) -> DataFrame:
+    """Project embeddings onto their top-*k* principal components:
+    (vec_id, pca array<double>). The rotation is a literal-matrix
+    row-local expression (k dot products of dim terms per row — the
+    ivf_assign pattern, whole-stage codegen, zero shuffles); pass a
+    prefit *model* from :func:`pca_model` to reuse one fit across
+    splits (fitting on train and projecting val through the SAME
+    rotation is the leakage-correct workflow)."""
+    from pyperustats_spark.functions.text import let
+
+    mu, _, comps = model if model is not None else \
+        pca_model(embeddings, dim=dim, k=k)
+    mu_lit = F.array(*[F.lit(x) for x in mu])
+
+    def _proj(centered):
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(centered, F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for c in comps
+        ])
+
+    centered = F.zip_with("embedding", mu_lit, lambda a, b: a - b)
+    return ensure_parallelism(embeddings).select(
+        "vec_id", let(centered, _proj).alias("pca"))
+
+
+def pca_variance_profile(embeddings: DataFrame, dim: int = 64,
+                         k: int = 16) -> DataFrame:
+    """The analyst's view of :func:`pca_model`: one row per retained
+    component with its eigenvalue, variance share, and cumulative
+    share — how a pipeline picks k before committing the projection
+    (rows-only: eigendecompositions aren't SQL)."""
+    import numpy as np
+
+    _, vals, _ = pca_model(embeddings, dim=dim, k=dim)
+    total = float(np.sum(vals)) if vals else 0.0
+    rows, cum = [], 0.0
+    for i, v in enumerate(vals[:k]):
+        share = v / total if total > 0 else None
+        cum += share if share else 0.0
+        rows.append((i, float(v), share, cum))
+    return embeddings.sparkSession.createDataFrame(
+        rows, "component int, eigenvalue double, var_share double, "
+              "cum_share double")

@@ -2597,6 +2597,40 @@ def test_ann_recall_on_clustered_corpus(spark):
             assert abs(r["dist"] - true_d) < 1e-6
 
 
+def test_pca_matches_numpy_and_projects_exactly(spark, tables):
+    """The distributed PCA fit (Summarizer moments + Correlation.corr,
+    only the dim×dim matrix driver-side) must agree with numpy PCA on
+    the collected corpus: orthonormal components, identical
+    eigenvalues (both use ddof=1 sample covariance), and a row-local
+    projection identical to the numpy matrix product. Variance
+    profile shares must be positive, descending, and sum ≤ 1."""
+    import numpy as np
+
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    mu, vals, comps = S.pca_model(emb, dim=64, k=8)
+    W = np.array(comps)
+    assert np.allclose(W @ W.T, np.eye(8), atol=1e-8)
+    assert all(vals[i] >= vals[i + 1] for i in range(7))
+    pdf = emb.toPandas()
+    X = np.array([list(v) for v in pdf["embedding"]])
+    cov = np.cov(X - X.mean(axis=0), rowvar=False, ddof=1)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    assert np.allclose(vals, ev, rtol=1e-6)
+    proj = {r["vec_id"]: np.array(r["pca"]) for r in
+            S.pca_project(emb, k=8, model=(mu, vals, comps)).collect()}
+    ref = (X - np.array(mu)) @ W.T
+    for j, i in enumerate(pdf["vec_id"].to_numpy()):
+        assert np.allclose(proj[int(i)], ref[j], atol=1e-9)
+    vp = S.pca_variance_profile(emb, k=6).collect()
+    shares = [r["var_share"] for r in vp]
+    assert all(s > 0 for s in shares)
+    assert shares == sorted(shares, reverse=True)
+    assert vp[-1]["cum_share"] <= 1.0 + 1e-9
+
+
 def test_pq_residual_codes_cut_reconstruction_error(spark):
     """The mechanism behind ann_ivf_pq(residual=True), pinned where a
     320-vector corpus CAN exhibit it: residuals inside an IVF cell
