@@ -2631,6 +2631,27 @@ def test_pca_matches_numpy_and_projects_exactly(spark, tables):
     assert vp[-1]["cum_share"] <= 1.0 + 1e-9
 
 
+def test_pca_rotation_cuts_pq_distortion(spark):
+    """The OPQ claim demonstrated in-engine: a full-rank PCA rotation
+    (distance-preserving, so ADC scores transfer unchanged) aligns
+    the clustered corpus' variance with the PQ subspace grid and cuts
+    total reconstruction MSE — measured 1.33× (1.15 vs 0.87) at
+    m=8/k=16. Floor at 1.1× with headroom."""
+    emb, _ = _clustered_corpus(spark)
+
+    def total_mse(df):
+        prof = S.pq_distortion_profile(df, m=8, k=16, dim=64,
+                                       kmeans_iters=1).collect()
+        return sum(r["mean_sq_err"] for r in prof)
+
+    raw = total_mse(emb)
+    model = S.pca_model(emb, dim=64, k=64)
+    rotated = total_mse(
+        S.pca_project(emb, dim=64, k=64, model=model)
+        .withColumnRenamed("pca", "embedding"))
+    assert rotated < raw / 1.1, (raw, rotated)
+
+
 def test_pq_residual_codes_cut_reconstruction_error(spark):
     """The mechanism behind ann_ivf_pq(residual=True), pinned where a
     320-vector corpus CAN exhibit it: residuals inside an IVF cell
