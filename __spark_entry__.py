@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pyperustats_spark.operators import dedup as D
 from pyperustats_spark.operators import events as E
+from pyperustats_spark.operators import layout as LAY
 from pyperustats_spark.operators import relational as R
 from pyperustats_spark.operators import similarity as S
 from pyperustats_spark.operators import textops as T
@@ -1588,6 +1589,44 @@ def embedding_pca_variance(spark, sf_dir):
     return S.pca_variance_profile(emb, dim=64, k=16)
 
 
+def ann_opq_rerank(spark, sf_dir):
+    # OPQ-style PQ search: full-rank PCA rotation (distance-preserving
+    # orthonormal basis, fit distributed — only the 64x64 matrix
+    # reaches the driver) before PQ encode/ADC/exact re-rank; rows-only
+    # (rotation-invariance + recall pinned in pytest vs exact L2)
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.ann_opq_rerank(emb, q, k=5, shortlist=50, m=8,
+                                   n_codewords=16), {"dist": 6})
+
+
+ZORDER_COLS = ["l_partkey", "l_suppkey"]
+ZORDER_TIEBREAK = ("l_orderkey", "l_linenumber")
+
+
+def layout_zorder_files(spark, sf_dir):
+    # per-file footer stats (n_rows, min/max per clustered column) of
+    # the 32-file equal-count Z-ordered layout of lineitem — the
+    # statistics a min/max-pruning reader would skip files on
+    return LAY.file_stats(
+        LAY.zorder_fileplan(_lt(spark, sf_dir, "lineitem"),
+                            ZORDER_COLS, n_files=32, bits=8,
+                            tiebreak=ZORDER_TIEBREAK),
+        ZORDER_COLS)
+
+
+def layout_pruning_compare(spark, sf_dir):
+    # natural vs linear vs zorder layouts scored against per-column
+    # band predicates + their conjunction: files/rows a pruning
+    # reader actually scans under each layout (integers end-to-end)
+    return LAY.layout_pruning_compare(
+        _lt(spark, sf_dir, "lineitem"), ZORDER_COLS, ZORDER_TIEBREAK,
+        n_files=32, bits=8)
+
+
 def ann_ivf_pq_residual(spark, sf_dir):
     # same pipeline with residual codes (IVF-ADC): codebooks quantize
     # vector - cell_centroid, one ADC table per probed cell (rows-only;
@@ -1851,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_org_pending": infogob_org_pending,
         "text_decontaminate": text_decontaminate,
         "text_source_mix_sample": text_source_mix_sample,
+        "layout_zorder_files": layout_zorder_files,
+        "layout_pruning_compare": layout_pruning_compare,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -1909,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank_l2": ann_pq_rerank_l2,
         "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
         "ann_ivf_pq_residual": ann_ivf_pq_residual,
+        "ann_opq_rerank": ann_opq_rerank,
         "embedding_pca_variance": embedding_pca_variance,
         "q22_rich_inactive": q22_rich_inactive,
         "q13_order_distribution": q13_order_distribution,
@@ -1937,10 +1979,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # q16_part_supplier_counts (landed after the r6 rotation froze) and
 # embedding_centroids (rotated in r6 but the comparator errored on its
 # array column; now flat long-form) — then (2) queries whose oracle or
-# entry is NEW or CHANGED this round (ev_conversion_lag's
-# degenerate-case oracle rewrite, mef_get_grp_from_row, the four
-# partsupp-bridge TPC-H ports, dedup_exact_substring,
-# graph_supplier_pagerank), then (3) the r6 window carryover,
+# entry is NEW or CHANGED this round (the Z-order layout audits,
+# ev_conversion_lag's degenerate-case oracle rewrite,
+# mef_get_grp_from_row, the four partsupp-bridge TPC-H ports,
+# dedup_exact_substring, graph_supplier_pagerank), then (3) the r6
+# window carryover (ts_beta / ev_attribution_first — countersigned
+# green in r6 — were displaced for the layout slots),
 # newest-countersign-last (the displaced tail — q8/q21/ev_top_paths/
 # release_rehearsal/ingest_* — all countersigned green in r6). After
 # this rotation goes green, every oracle in the repo has ≥1 driver
@@ -1950,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # queries every run.
 _WINDOW = [
     "q16_part_supplier_counts", "embedding_centroids",
+    "layout_zorder_files", "layout_pruning_compare",
     "mef_get_grp_from_row", "ev_conversion_lag",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q20_dominant_supplier",
@@ -1969,7 +2014,7 @@ _WINDOW = [
     "text_boilerplate_apply", "doc_epoch_shards", "corpus_summary",
     "text_quality_filter", "ev_funnel_steps", "ev_retention_cohorts",
     "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
-    "ts_max_drawdown", "ev_attribution_first", "ts_beta",
+    "ts_max_drawdown",
 ]
 
 
@@ -5283,5 +5328,94 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate < TIMESTAMP '1996-02-01'
         )
     """
+
+    # -- Z-order layout audits: pure integer arithmetic end-to-end, so
+    # the Morton key, the min/max buckets, and the equal-count ntile
+    # file split reproduce bit-for-bit in DuckDB (buckets via `//`,
+    # the same shift/mask interleave terms, standard ntile over the
+    # same total order). All sums CAST to BIGINT (DuckDB sum(BIGINT)
+    # is HUGEINT, which the driver comparator hashes differently).
+    _zc = ZORDER_COLS
+    _zbits = 8
+
+    def _zkey_terms(bcols):
+        n = len(bcols)
+        return " + ".join(
+            f"((({b} >> {i}) & 1) * {1 << (i * n + j)})"
+            for i in range(_zbits) for j, b in enumerate(bcols))
+
+    _zb = ", ".join(
+        f"min({c}) AS lo_{c}, max({c}) AS hi_{c}" for c in _zc)
+    _zbuckets = ", ".join(
+        f"CAST(((({c} - lo_{c}) * {1 << _zbits}) "
+        f"// (hi_{c} - lo_{c} + 1)) AS BIGINT) AS b_{c}" for c in _zc)
+    _zstats = ", ".join(
+        f"min({c}) AS min_{c}, max({c}) AS max_{c}" for c in _zc)
+    _zfiles = f"""
+        bounds AS (SELECT {_zb} FROM lineitem),
+        bkt AS (
+            SELECT l_orderkey, l_linenumber, {', '.join(_zc)},
+                   {_zbuckets}
+            FROM lineitem, bounds
+        ),
+        zk AS (
+            SELECT *, CAST({_zkey_terms([f'b_{c}' for c in _zc])}
+                           AS BIGINT) AS zkey
+            FROM bkt
+        ),
+        zfile AS (
+            SELECT {', '.join(_zc)},
+                   ntile(32) OVER (ORDER BY zkey, l_orderkey,
+                                   l_linenumber) AS file_id
+            FROM zk
+        ),
+        zstats AS (
+            SELECT CAST(file_id AS BIGINT) AS file_id,
+                   count(*) AS n_rows, {_zstats}
+            FROM zfile GROUP BY file_id
+        )"""
+
+    sql["layout_zorder_files"] = f"""
+        WITH {_zfiles}
+        SELECT * FROM zstats ORDER BY file_id
+    """
+
+    _layout_orders = {
+        "natural": "l_orderkey, l_linenumber",
+        "linear": f"{_zc[0]}, l_orderkey, l_linenumber",
+    }
+    _lstats = []
+    for _lname, _lorder in _layout_orders.items():
+        _lstats.append(f"""
+        {_lname}_stats AS (
+            SELECT count(*) AS n_rows, {_zstats}
+            FROM (SELECT {', '.join(_zc)},
+                         ntile(32) OVER (ORDER BY {_lorder}) AS file_id
+                  FROM lineitem)
+            GROUP BY file_id
+        )""")
+    _preds = [(c, [c]) for c in _zc] + [("all", _zc)]
+    _scans = []
+    for _lname in ("natural", "linear", "zorder"):
+        _src = "zstats" if _lname == "zorder" else f"{_lname}_stats"
+        for _pname, _pcols in _preds:
+            _hit = " AND ".join(
+                f"min_{c} <= lo_{c} + ((hi_{c} - lo_{c} + 1) // 10)"
+                for c in _pcols)
+            _scans.append(f"""
+        SELECT '{_lname}' AS layout, '{_pname}' AS predicate,
+               count(*) AS n_files,
+               CAST(sum(CASE WHEN {_hit} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS files_scanned,
+               CAST(sum(CASE WHEN {_hit} THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_scanned
+        FROM {_src}, bounds""")
+
+    sql["layout_pruning_compare"] = (
+        "WITH " + _zfiles + "," + ",".join(_lstats)
+        + "\nSELECT * FROM ("
+        + "\nUNION ALL".join(_scans)
+        + "\n) ORDER BY layout, predicate"
+    )
 
     return sql

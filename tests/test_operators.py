@@ -2652,6 +2652,45 @@ def test_pca_rotation_cuts_pq_distortion(spark):
     assert rotated < raw / 1.1, (raw, rotated)
 
 
+def test_ann_opq_rerank_rotation_invariance_and_recall(spark):
+    """The OPQ query path end-to-end: PQ search in the PCA-rotated
+    basis. Two pins: (1) the exact re-rank distances returned are the
+    ORIGINAL-space squared L2 (orthonormal rotation preserves them —
+    fp-tight, not approximate); (2) with shortlist ≥ corpus the
+    shortlist is total, so the result IS exact kNN (recall 1.0); at
+    the production shortlist (50/320) recall on the clustered corpus
+    stays ≥ the plain-PQ pin."""
+    import numpy as np
+
+    emb, mat = _clustered_corpus(spark)
+    qids = [0, 45, 170]
+    q = S.make_queries(emb, qids)
+    truth = {}
+    for qid in qids:
+        d = ((mat - mat[qid]) ** 2).sum(axis=1)
+        truth[qid] = set([int(i) for i in np.argsort(d, kind="stable")
+                          if i != qid][:5])
+
+    def rec(rows_):
+        by_q = {}
+        for r in rows_:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(truth[qid] & by_q.get(qid, set()))
+                   for qid in truth) / (5 * len(truth))
+
+    # total shortlist → exact kNN, distances = original-space L2
+    full = S.ann_opq_rerank(emb, q, k=5, shortlist=320, m=8,
+                            n_codewords=16, kmeans_iters=1).collect()
+    assert rec(full) == 1.0
+    for r in full:
+        true_d = float(((mat[r["vec_id"]] - mat[r["query_id"]]) ** 2).sum())
+        assert abs(r["dist"] - true_d) < 1e-6
+    # production shortlist: at least the plain-PQ clustered-corpus pin
+    prod = S.ann_opq_rerank(emb, q, k=5, shortlist=50, m=8,
+                            n_codewords=16, kmeans_iters=1).collect()
+    assert rec(prod) >= 0.9, rec(prod)
+
+
 def test_pq_residual_codes_cut_reconstruction_error(spark):
     """The mechanism behind ann_ivf_pq(residual=True), pinned where a
     320-vector corpus CAN exhibit it: residuals inside an IVF cell

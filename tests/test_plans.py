@@ -109,6 +109,12 @@ BROADCAST_HINT_WHITELIST = {
     "q11_important_stock",        # nation-filtered supplier keys +
                                   # 1-row threshold total
     "q20_dominant_supplier",      # region-filtered nation keys
+    "ann_opq_rerank",             # query vectors (O(queries)), same
+                                  # budget class as ann_pq_rerank_l2
+    "layout_zorder_files",        # 1-row min/max bounds + the
+                                  # bucket-histogram prefix table
+                                  # (≤ 2^(bits·cols) rows)
+    "layout_pruning_compare",     # same bounded sides × 3 layouts
 }
 
 
@@ -432,6 +438,15 @@ PLAN_SMELL_WHITELIST = {
     "q11_important_stock": {"BNLJ", "SINGLE_PART"},  # 1-row threshold
                                                 # total broadcast back
                                                 # (q_market_share class)
+    "layout_zorder_files": {"BNLJ", "SINGLE_PART"},  # 1-row bounds
+                                                # crossJoin + prefix
+                                                # window over the
+                                                # bucket-histogram side
+                                                # table (≤ 2^(bits·cols)
+                                                # rows — bounded by key
+                                                # space, never data)
+    "layout_pruning_compare": {"BNLJ", "SINGLE_PART"},  # same audited
+                                                # shapes × 3 layouts
 }
 
 
