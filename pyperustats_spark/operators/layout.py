@@ -191,6 +191,34 @@ def file_stats(plan: DataFrame, cols: list[str],
     return agg.orderBy("file_id") if sort else agg
 
 
+def zorder_write(df: DataFrame, path: str, cols: list[str],
+                 n_files: int = 32, bits: int = 8,
+                 tiebreak: tuple = (), fmt: str = "parquet") -> None:
+    """The PRODUCTION Z-order write path — what a 1000-executor job
+    actually runs, with none of the audit machinery: compute the
+    Morton key row-locally, ``repartitionByRange(n_files, zkey, …)``
+    (Spark's sample-based range partitioner — distributed, no exact
+    rank pass, no equal-count guarantee) + ``sortWithinPartitions``
+    so each output file covers a contiguous Morton range, then drop
+    the key and write. The audit operators above predict the pruning
+    benefit; tests/test_layout.py closes the loop by reading the
+    files this writes and checking their REAL per-file min/max
+    ranges tighten on every clustered column."""
+    b = df.crossJoin(F.broadcast(_bounds(df, cols)))
+    buckets = [
+        _bucket(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
+        for c in cols
+    ]
+    z = b.select(*df.columns, zorder_key(buckets, bits).alias("_zkey"))
+    (
+        z.repartitionByRange(n_files, F.col("_zkey"),
+                             *[F.col(t) for t in tiebreak])
+        .sortWithinPartitions("_zkey", *tiebreak)
+        .drop("_zkey")
+        .write.format(fmt).mode("overwrite").save(path)
+    )
+
+
 def layout_pruning_compare(df: DataFrame, cols: list[str],
                            tiebreak: tuple, n_files: int = 32,
                            bits: int = 8,

@@ -131,6 +131,38 @@ def test_histogram_ntile_degenerate_inputs(spark):
         .count() == 0
 
 
+def test_zorder_write_tightens_real_file_ranges(spark, tables, tmp_path):
+    """Close the audit→reality loop: write lineitem twice through the
+    PRODUCTION path (repartitionByRange on the Morton key vs natural
+    insertion order), read the ACTUAL files back, and check the
+    written files' per-column ranges — the stats a parquet reader
+    prunes on — are materially tighter under Z-order on BOTH
+    clustered columns."""
+    li = tables["lineitem"]
+    cols = ["l_partkey", "l_suppkey"]
+    zp, np_ = str(tmp_path / "z"), str(tmp_path / "n")
+    L.zorder_write(li, zp, cols, n_files=8, bits=8,
+                   tiebreak=("l_orderkey", "l_linenumber"))
+    (li.repartitionByRange(8, "l_orderkey", "l_linenumber")
+     .write.parquet(np_))
+
+    def mean_width(path, col):
+        df = spark.read.parquet(path).withColumn(
+            "_f", F.input_file_name())
+        st = df.groupBy("_f").agg(
+            (F.max(col) - F.min(col)).alias("w")).collect()
+        assert len(st) >= 4, f"expected several files at {path}"
+        return sum(r["w"] for r in st) / len(st)
+
+    for c in cols:
+        zw, nw = mean_width(zp, c), mean_width(np_, c)
+        # natural order stripes each column across the full range per
+        # file; z-ordered files must cover well under 3/4 of it
+        assert zw < 0.75 * nw, (c, zw, nw)
+    # round-trip integrity: same rows, nothing dropped or duplicated
+    assert spark.read.parquet(zp).count() == li.count()
+
+
 def test_zorder_constant_column_degenerate(spark):
     # zero-range column: bucket collapses to 0, plan still assigns
     # every row a file deterministically
