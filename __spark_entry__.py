@@ -1589,6 +1589,17 @@ def embedding_pca_variance(spark, sf_dir):
     return S.pca_variance_profile(emb, dim=64, k=16)
 
 
+def ev_heavy_hitters_sketch(spark, sf_dir):
+    # count-min sketch calibration eval: exact top-k user counts
+    # re-priced from the depth x width counter table (the mergeable
+    # point-frequency sketch beside HLL/KMV/GK); rows-only — sketch
+    # internals have no SQL oracle; never-underestimates + epsilon-N
+    # bound + shard-mergeability pinned in pytest
+    return E.heavy_hitters_sketch_eval(
+        _lt(spark, sf_dir, "events"), key_col="user_id", k=10,
+        depth=4, width=256)
+
+
 def ann_opq_rerank(spark, sf_dir):
     # OPQ-style PQ search: full-rank PCA rotation (distance-preserving
     # orthonormal basis, fit distributed — only the 64x64 matrix
@@ -1905,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_frame_sample": multimodal_frame_sample,
         "ev_approx_distinct": ev_approx_distinct,
+        "ev_heavy_hitters_sketch": ev_heavy_hitters_sketch,
         "stats_mad_outliers_approx": stats_mad_outliers_approx,
         "stats_winsorize_approx": stats_winsorize_approx,
         "ev_gap_stats_approx": ev_gap_stats_approx,

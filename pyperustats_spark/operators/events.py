@@ -622,3 +622,102 @@ def inter_event_gap_stats_approx(events: DataFrame,
         .cast("double").alias("p90_gap_us"),
     )
     return out.orderBy("event_type") if sort else out
+
+
+def cms_build(events: DataFrame, key_col: str = "user_id",
+              depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch of *key_col* frequencies: a depth×width
+    counter table — the point-frequency member of the mergeable-
+    sketch family (HLL for distinct counts, KMV for set overlap, GK
+    for quantiles, CMS for per-key counts). Returns (row, bucket, c).
+
+    Each input row increments one bucket per hash row
+    (``xxhash64(key, row) mod width`` — row-local JVM expressions);
+    the groupBy's map-side partial aggregation collapses every task's
+    contribution to ≤ depth·width counters before the shuffle, so the
+    ONLY thing that ever moves is the fixed-size counter table — no
+    per-key state anywhere, which is the 100 TB point: frequency
+    estimates over an unbounded key domain in O(depth·width) memory,
+    and sketches of corpus shards union+groupBy-merge exactly.
+    Estimates via :func:`cms_estimate` are biased UP only:
+    true ≤ est ≤ true + εN with ε ≈ e/width at confidence
+    1 − e^−depth (Cormode & Muthukrishnan)."""
+    pairs = events.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(r)),
+                   F.lit(width)).alias("bucket"))
+        for r in range(depth)
+    ])).alias("p")).select("p.row", "p.bucket")
+    return pairs.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-frequency estimates for *keys* from a :func:`cms_build`
+    sketch: est = min over hash rows of the key's counter. The sketch
+    (≤ depth·width rows) broadcasts; only the key list shuffles for
+    the final min-groupBy. Same (depth, width) as the build or the
+    bucket addressing is garbage."""
+    probes = keys.select(key_col, F.explode(F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(r)),
+                   F.lit(width)).alias("bucket"))
+        for r in range(depth)
+    ])).alias("p")).select(key_col, "p.row", "p.bucket")
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"],
+                         "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+
+
+def heavy_hitters_sketch_eval(events: DataFrame,
+                              key_col: str = "user_id", k: int = 10,
+                              depth: int = 4,
+                              width: int = 256) -> DataFrame:
+    """In-engine CMS calibration (the dedup_minhash_eval pattern):
+    take the exact top-*k* keys, re-estimate their counts from the
+    sketch, and report per-key (key, exact_count, est_count,
+    overestimate) plus the ε·N error budget the CMS guarantee allows.
+    At 100 TB the exact pass is the expensive baseline this eval
+    exists to retire: candidate keys would come from a cheap coarse
+    pass and ONLY the sketch would price them. Rows-only (sketch
+    internals have no SQL oracle); the overestimate-within-budget and
+    never-underestimates invariants are pinned in pytest."""
+    exact = (
+        events.groupBy(F.col(key_col)).agg(
+            F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.col(key_col))
+        .limit(k)
+    )
+    # the sketch is depth·width counters — an O(small) driver transfer
+    # (the IVF-centroid budget class), turned into per-hash-row literal
+    # maps so the estimate is a row-local expression and the exact
+    # aggregate is referenced exactly ONCE (a DataFrame-join estimate
+    # would re-execute it as its own probe source — the CLAUDE.md
+    # common-subplan rule)
+    sk = cms_build(events, key_col, depth=depth, width=width).collect()
+    by_row: dict[int, dict[int, int]] = {}
+    for r in sk:
+        by_row.setdefault(int(r["row"]), {})[int(r["bucket"])] = int(r["c"])
+    est = F.least(*[
+        F.coalesce(
+            F.element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(b) for b in sorted(by_row.get(r, {0: 0}))]),
+                    F.array(*[F.lit(by_row.get(r, {0: 0})[b])
+                              for b in sorted(by_row.get(r, {0: 0}))])),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(r)),
+                       F.lit(width)).cast("int")),
+            F.lit(0))
+        for r in range(depth)
+    ]).cast("bigint")
+    return (
+        exact.select(
+            key_col, "exact_count", est.alias("est_count"),
+            (est - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), F.col(key_col))
+    )

@@ -1180,6 +1180,59 @@ def test_approx_distinct_users_error_bound(spark):
         assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
 
 
+def test_cms_never_underestimates_and_bounds_overestimate(spark):
+    """Count-min guarantees, pinned on a skewed key distribution with
+    a DELIBERATELY narrow sketch (width=16 forces collisions): every
+    estimate ≥ the true count (CMS is biased up only), and the
+    overestimate stays within a generous multiple of the ε·N = e·N/w
+    budget (hashes are deterministic, so this is a fixed measurement,
+    not a probabilistic flake)."""
+    import random
+    rnd = random.Random(11)
+    # zipf-ish: key k appears ~ 3000/k times
+    rows = [(i, rnd.choice([k for k in range(1, 40) for _ in range(40 // k)]))
+            for i in range(6000)]
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint")
+    out = E.heavy_hitters_sketch_eval(ev, key_col="user_id", k=15,
+                                      depth=4, width=16).collect()
+    assert len(out) == 15
+    n = len(rows)
+    for r in out:
+        assert r["overestimate"] >= 0, r  # never under
+        assert r["est_count"] - r["exact_count"] <= 3 * n / 16, r
+    # ranking of true heavy hitters survives the sketch: the top key's
+    # estimate dominates the 15th's
+    assert out[0]["est_count"] > out[-1]["exact_count"]
+
+
+def test_cms_sketch_merges_exactly_across_shards(spark):
+    """The mergeability that makes CMS a 100 TB citizen: sketches of
+    disjoint shards, unioned and groupBy-summed, equal the sketch of
+    the whole — counter-for-counter (linear sketch, exact identity,
+    not approximate)."""
+    rows = [(i, i % 37) for i in range(4000)]
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint")
+    a = ev.where(F.col("event_id") < 2000)
+    b = ev.where(F.col("event_id") >= 2000)
+    whole = {(r["row"], r["bucket"]): r["c"]
+             for r in E.cms_build(ev, "user_id", 4, 64).collect()}
+    merged = {(r["row"], r["bucket"]): r["c"] for r in (
+        E.cms_build(a, "user_id", 4, 64)
+        .unionByName(E.cms_build(b, "user_id", 4, 64))
+        .groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+        .collect())}
+    assert whole == merged
+    # and the DataFrame estimate path agrees with the literal-map path
+    keys = ev.select("user_id").distinct()
+    est = {r["user_id"]: r["est_count"] for r in E.cms_estimate(
+        E.cms_build(ev, "user_id", 4, 64), keys, "user_id",
+        4, 64).collect()}
+    exact = {r["user_id"]: r["n"] for r in ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, n_true in exact.items():
+        assert est[k] >= n_true
+
+
 def test_boilerplate_apply_strips_shared_segments(spark):
     from pyperustats_spark.operators import textops as T
     rows = [
