@@ -1170,6 +1170,34 @@ def skew_salted_distinct(spark, sf_dir):
         _lt(spark, sf_dir, "events"), "event_type", "user_id", salt_n=8)
 
 
+def q_bloom_pruned_join(spark, sf_dir):
+    # explicit Bloom-prefiltered join: the small side's key set becomes
+    # a 16 KB bitmap (one agg over the SMALL side), the big side is
+    # row-locally prefiltered before anything shuffles; result is
+    # row-for-row the plain join (no false negatives; the join kills
+    # the false positives) so the oracle is the plain join's SQL
+    from pyperustats_spark.operators import skew as SK
+
+    li = _lt(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = (
+        _lt(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= "1995-01-01")
+               & (F.col("o_orderdate") < "1995-04-01"))
+        .select(F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderpriority")
+    )
+    j = SK.bloom_prefilter_join(li, o, "l_orderkey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def knn_label_vote(spark, sf_dir):
     emb = _lt(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
@@ -1792,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_confusion": text_lang_confusion,
         "skew_salted_join": skew_salted_join,
         "skew_salted_distinct": skew_salted_distinct,
+        "q_bloom_pruned_join": q_bloom_pruned_join,
         "text_clean_accents": text_clean_accents,
         "infogob_location_canonical": infogob_location_canonical,
         "mode_status_by_customer": mode_status_by_customer,
@@ -2007,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW = [
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
+    "q_bloom_pruned_join",
     "mef_get_grp_from_row", "ev_conversion_lag",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q20_dominant_supplier",
@@ -2026,7 +2056,6 @@ _WINDOW = [
     "text_boilerplate_apply", "doc_epoch_shards", "corpus_summary",
     "text_quality_filter", "ev_funnel_steps", "ev_retention_cohorts",
     "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
-    "ts_max_drawdown",
 ]
 
 
@@ -5339,6 +5368,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1996-02-01'
         )
+    """
+
+    # Bloom-prefiltered join: the prefilter is semantically invisible
+    # (no false negatives; join discards false positives), so the
+    # oracle is simply the PLAIN join — value parity proves exactly
+    # the "result unchanged" contract the operator makes.
+    sql["q_bloom_pruned_join"] = """
+        SELECT o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1995-04-01'
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
     """
 
     # -- Z-order layout audits: pure integer arithmetic end-to-end, so

@@ -491,6 +491,52 @@ def test_salted_distinct_equals_plain(spark, tables):
     assert salted == plain
 
 
+def test_bloom_prefilter_join_equals_plain_and_prunes(spark, tables):
+    from pyperustats_spark.operators import skew as SK
+    big = tables["lineitem"].select(F.col("l_orderkey").alias("k"),
+                                    "l_extendedprice")
+    small = (tables["orders"]
+             .where(F.col("o_orderdate") < "1995-07-01")
+             .select(F.col("o_orderkey").alias("k"), "o_orderstatus"))
+    bloomed = SK.bloom_prefilter_join(big, small, "k")
+    plain = big.join(small, "k")
+    b = sorted((r["k"], r["l_extendedprice"], r["o_orderstatus"])
+               for r in bloomed.collect())
+    p = sorted((r["k"], r["l_extendedprice"], r["o_orderstatus"])
+               for r in plain.collect())
+    assert b == p and len(b) > 0
+    # the prefilter actually prunes: strictly fewer big rows enter the
+    # join than the scan produced, and never fewer than the matches
+    bm = SK.bloom_build(small.select("k"), "k")
+    passed = big.where(SK.bloom_member(F.col("k"), bm)).count()
+    matches = plain.count()
+    assert matches <= passed < big.count()
+    # semantics guard: modes that must keep unmatched big rows refuse
+    with pytest.raises(ValueError):
+        SK.bloom_prefilter_join(big, small, "k", how="left")
+
+
+def test_bloom_filter_has_no_false_negatives_and_bounded_fp(spark):
+    from pyperustats_spark.operators import skew as SK
+    keys = spark.createDataFrame([(i,) for i in range(0, 4000, 2)],
+                                 "k bigint")  # evens only
+    bm = SK.bloom_build(keys, "k", m_bits=1 << 14, k=3)
+    probe = spark.createDataFrame([(i,) for i in range(4000)], "k bigint")
+    hits = {r["k"] for r in
+            probe.where(SK.bloom_member(F.col("k"), bm,
+                                        m_bits=1 << 14)).collect()}
+    members = set(range(0, 4000, 2))
+    assert members <= hits  # no false negatives, ever
+    # fp rate ≈ occupancy^3; 2000 keys × 3 bits in 16384 → ~5%
+    fp = len(hits - members) / 2000
+    assert fp < 0.15, fp
+    # empty key set: nothing passes
+    empty_bm = SK.bloom_build(keys.where(F.lit(False)), "k",
+                              m_bits=1 << 14)
+    assert probe.where(SK.bloom_member(F.col("k"), empty_bm,
+                                       m_bits=1 << 14)).count() == 0
+
+
 def test_embedding_centroids_shape(spark, tables):
     centro = S.embedding_centroids(tables["embeddings"]).collect()
     labels = {r["label"] for r in centro}
