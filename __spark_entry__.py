@@ -501,6 +501,16 @@ def text_decontaminate(spark, sf_dir):
         _lt(spark, sf_dir, "documents"), eval_df, n=5)
 
 
+def text_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination flags: corpus grams row-locally
+    pruned by the eval-gram bitmap before the semi-join (the
+    non-broadcastable-eval-side posture). Result provably equals the
+    plain contamination_flags, so the oracle IS its SQL."""
+    eval_df = spark.createDataFrame(EVAL_SNIPPETS, "eid int, text string")
+    return T.contamination_flags_bloom(
+        _lt(spark, sf_dir, "documents"), eval_df, n=5)
+
+
 def text_source_mix_sample(spark, sf_dir):
     """Deterministic per-source mixture downsampling (hash-cut)."""
     df = T.sample_source_mix(_lt(spark, sf_dir, "documents"), SOURCE_MIX)
@@ -1394,6 +1404,20 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
+def dedup_incremental_bloom(spark, sf_dir):
+    """Incremental dedup with the released corpus Bloom-pruned before
+    its distinct+anti-join (batch keys → 16 KB bitmap → row-local
+    corpus prefilter): the corpus-proportional key shuffle becomes
+    batch-proportional. Same split as dedup_incremental; the result is
+    provably identical, so the oracle IS the plain form's SQL."""
+    docs = _lt(spark, sf_dir, "documents")
+    return D.dedup_incremental_bloom(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        prefix_chars=40,
+    )
+
+
 def dedup_stats_by_source(spark, sf_dir):
     return D.dedup_stats_by_source(_lt(spark, sf_dir, "documents"),
                                    prefix_chars=40)
@@ -1929,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_participation": infogob_participation,
         "infogob_org_pending": infogob_org_pending,
         "text_decontaminate": text_decontaminate,
+        "text_decontaminate_bloom": text_decontaminate_bloom,
         "text_source_mix_sample": text_source_mix_sample,
         "layout_zorder_files": layout_zorder_files,
         "layout_pruning_compare": layout_pruning_compare,
@@ -1953,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_winters": ts_holt_winters,
         "ts_forecast_backtest": ts_forecast_backtest,
         "dedup_incremental": dedup_incremental,
+        "dedup_incremental_bloom": dedup_incremental_bloom,
         "dedup_stats_by_source": dedup_stats_by_source,
         "dedup_source_overlap": dedup_source_overlap,
         "split_leakage_safe": split_leakage_safe,
@@ -2036,7 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW = [
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
-    "q_bloom_pruned_join",
+    "q_bloom_pruned_join", "dedup_incremental_bloom",
+    "text_decontaminate_bloom",
     "mef_get_grp_from_row", "ev_conversion_lag",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q20_dominant_supplier",
@@ -2055,7 +2082,7 @@ _WINDOW = [
     "text_vocab_topn", "text_oov_rate", "text_boilerplate",
     "text_boilerplate_apply", "doc_epoch_shards", "corpus_summary",
     "text_quality_filter", "ev_funnel_steps", "ev_retention_cohorts",
-    "q17_small_qty_revenue", "q18_large_orders", "dedup_threshold_sweep",
+    "dedup_threshold_sweep",
 ]
 
 
@@ -2928,6 +2955,9 @@ def oracle_sql() -> dict[str, str]:
                    AS is_contaminated
         FROM documents d ORDER BY doc_id
     """
+
+    # same "prefilter is invisible" argument as dedup_incremental_bloom
+    sql["text_decontaminate_bloom"] = sql["text_decontaminate"]
 
     _mix_cases = " ".join(
         f"WHEN '{s}' THEN {int(round(f * 10000))}"
@@ -4155,6 +4185,12 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, fp FROM r WHERE rn = 1 ORDER BY doc_id
     """
+
+    # Bloom prefilter is semantically invisible (no false negatives;
+    # the anti-join ignores the false positives it lets through), so
+    # the bloomed variant's oracle IS the plain form's SQL — the value
+    # parity is exactly the "result unchanged" proof.
+    sql["dedup_incremental_bloom"] = sql["dedup_incremental"]
 
     sql["dedup_stats_by_source"] = f"""
         WITH keyed AS (SELECT source, {_HFP} AS fp FROM documents),

@@ -651,6 +651,45 @@ def dedup_incremental(batch: DataFrame, corpus: DataFrame,
     return out.orderBy("doc_id") if sort else out
 
 
+def dedup_incremental_bloom(batch: DataFrame, corpus: DataFrame,
+                            prefix_chars: int | None = None,
+                            m_bits: int = 1 << 16, k: int = 3,
+                            sort: bool = True) -> DataFrame:
+    """:func:`dedup_incremental` with the released corpus Bloom-pruned
+    BEFORE its distinct+anti-join shuffle — same result, row for row.
+
+    The plain form's one real cost at 100 TB is `seen`: the FULL
+    released corpus shuffles its 16-byte keys into a distinct. But the
+    anti-join only needs corpus keys that collide with a batch key —
+    a corpus key matching no batch key can't kill anything. So: build
+    a Bloom bitmap from the batch's keys (one agg over the SMALL side,
+    O(m/32) driver collect — see :mod:`..functions.bloom`), and
+    row-locally prefilter the corpus scan. The distinct then shuffles
+    ~|batch|·(1+fp) keys instead of |corpus| keys — the shuffle shrinks
+    from corpus-proportional to batch-proportional. No false negatives
+    → every key that could suppress a batch row survives; false
+    positives only let harmless extra keys through, and the anti-join
+    ignores them. Hence the oracle is the PLAIN incremental dedup's SQL.
+
+    bloom_build is an action: the batch side is scanned twice (once
+    for the bitmap, once lazily into the join) — by construction the
+    batch is the small side, so that is the cheap double-scan."""
+    from pyperustats_spark.functions.bloom import bloom_build, bloom_member
+
+    key = content_key(prefix_chars)
+    b = batch.select("doc_id", "source", key.alias("fp"))
+    bitmap = bloom_build(b.select("fp"), "fp", m_bits=m_bits, k=k)
+    seen = (corpus.select(key.alias("fp"))
+            .where(bloom_member(F.col("fp"), bitmap, m_bits=m_bits, k=k))
+            .distinct())
+    fresh = b.join(seen, "fp", "left_anti")
+    keep = fresh.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "source")).alias("s"))
+    out = keep.select(F.col("s.doc_id").alias("doc_id"),
+                      F.col("s.source").alias("source"), "fp")
+    return out.orderBy("doc_id") if sort else out
+
+
 def dedup_stats_by_source(documents: DataFrame,
                           prefix_chars: int | None = None,
                           sort: bool = True) -> DataFrame:

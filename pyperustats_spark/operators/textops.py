@@ -403,6 +403,56 @@ def contamination_flags(documents: DataFrame, eval_df: DataFrame,
     return out.orderBy("doc_id") if sort else out
 
 
+def contamination_flags_bloom(documents: DataFrame, eval_df: DataFrame,
+                              n: int = 5, text_col: str = "text",
+                              m_bits: int = 1 << 16, k: int = 3,
+                              sort: bool = True) -> DataFrame:
+    """:func:`contamination_flags` with corpus grams Bloom-prefiltered
+    before the semi-join — same flags, row for row.
+
+    When the eval side is genuinely benchmark-sized, AQE broadcasts the
+    semi-join and the plain form is already shuffle-free on the corpus
+    side — use that one. This variant is for the 100 TB posture where
+    the eval side ISN'T broadcastable (every benchmark ever published,
+    unioned — tens of millions of distinct grams): the semi-join then
+    shuffles EVERY corpus gram. Here the eval grams aggregate into a
+    Bloom bitmap (one agg over the eval side, O(m/32) driver collect),
+    and each corpus gram is tested row-locally at the explode — only
+    grams that might match (plus fp_rate ≈ occupancy^k) enter the
+    semi-join exchange, cutting it from corpus-gram-proportional to
+    hit-proportional. No false negatives → no contaminated doc is ever
+    missed; false positives are discarded by the confirming semi-join
+    → no clean doc is ever flagged. Result provably identical, so the
+    oracle is the PLAIN contamination_flags SQL.
+
+    bloom_build is an action: the eval side is scanned twice (bitmap,
+    then lazily into the semi-join) — it is the small side by premise."""
+    from pyperustats_spark.functions.bloom import bloom_build, bloom_member
+
+    eval_grams = eval_df.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+    ).distinct()
+    bitmap = bloom_build(eval_grams, "gram", m_bits=m_bits, k=k)
+    doc_grams = (
+        documents.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), n))).alias("gram"))
+        .where(bloom_member(F.col("gram"), bitmap, m_bits=m_bits, k=k))
+    )
+    hits = (
+        doc_grams.join(eval_grams, "gram", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    out = (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("_hit"), F.lit(False)).alias("is_contaminated"))
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
 def decontaminate(documents: DataFrame, eval_df: DataFrame, n: int = 5,
                   text_col: str = "text", sort: bool = True) -> DataFrame:
     """APPLY decontamination: the corpus minus contaminated documents

@@ -1637,6 +1637,36 @@ def test_dedup_incremental_keeps_min_id_within_batch(dup_docs):
     assert [r["doc_id"] for r in out] == [1]
 
 
+def test_dedup_incremental_bloom_equals_plain(spark, tables):
+    docs = tables["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    plain = D.dedup_incremental(batch, corpus, prefix_chars=40).collect()
+    bloomed = D.dedup_incremental_bloom(
+        batch, corpus, prefix_chars=40).collect()
+    assert [tuple(r) for r in bloomed] == [tuple(r) for r in plain]
+    assert len(plain) > 0
+    # tiny bitmap (high fp rate) must still be exact — fp only costs
+    # shuffle volume, never correctness
+    tiny = D.dedup_incremental_bloom(
+        batch, corpus, prefix_chars=40, m_bits=1 << 8).collect()
+    assert [tuple(r) for r in tiny] == [tuple(r) for r in plain]
+
+
+def test_contamination_flags_bloom_equals_plain(spark, tables):
+    from pyperustats_spark.operators import textops as T
+    docs = tables["documents"]
+    eval_df = docs.where(F.col("doc_id") % 17 == 3) \
+        .select(F.col("doc_id").alias("eid"), "text")
+    plain = T.contamination_flags(docs, eval_df, n=5).collect()
+    bloomed = T.contamination_flags_bloom(docs, eval_df, n=5).collect()
+    assert [tuple(r) for r in bloomed] == [tuple(r) for r in plain]
+    assert any(r["is_contaminated"] for r in plain)
+    tiny = T.contamination_flags_bloom(docs, eval_df, n=5,
+                                       m_bits=1 << 8).collect()
+    assert [tuple(r) for r in tiny] == [tuple(r) for r in plain]
+
+
 def test_dedup_stats_by_source_counts_global_dupes(dup_docs):
     out = {r["source"]: r for r in D.dedup_stats_by_source(dup_docs).collect()}
     assert out["a"]["n_docs"] == 2 and out["a"]["n_unique"] == 2
