@@ -1406,14 +1406,17 @@ def dedup_incremental(spark, sf_dir):
 
 def dedup_incremental_bloom(spark, sf_dir):
     """Incremental dedup with the released corpus Bloom-pruned before
-    its distinct+anti-join (batch keys → 16 KB bitmap → row-local
+    its distinct+anti-join (batch keys → 8 KB bitmap → row-local
     corpus prefilter): the corpus-proportional key shuffle becomes
-    batch-proportional. Same split as dedup_incremental; the result is
-    provably identical, so the oracle IS the plain form's SQL."""
+    batch-proportional. The split is the bloom's actual sweet spot —
+    a 1% "daily crawl" batch vs the 99% released history (the plain
+    dedup_incremental entry keeps the 50/50 split where the bitmap
+    would saturate). Result provably equals the plain anti-join, so
+    the oracle is the plain incremental-dedup SQL on this split."""
     docs = _lt(spark, sf_dir, "documents")
     return D.dedup_incremental_bloom(
-        docs.where(F.col("doc_id") % 2 == 1),
-        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 100 == 1),
+        docs.where(F.col("doc_id") % 100 != 1),
         prefix_chars=40,
     )
 
@@ -4188,9 +4191,29 @@ def oracle_sql() -> dict[str, str]:
 
     # Bloom prefilter is semantically invisible (no false negatives;
     # the anti-join ignores the false positives it lets through), so
-    # the bloomed variant's oracle IS the plain form's SQL — the value
+    # the bloomed variant's oracle is the PLAIN incremental dedup on
+    # its split (1% crawl batch vs 99% released history) — the value
     # parity is exactly the "result unchanged" proof.
-    sql["dedup_incremental_bloom"] = sql["dedup_incremental"]
+    sql["dedup_incremental_bloom"] = f"""
+        WITH b AS (
+            SELECT doc_id, source, {_HFP} AS fp
+            FROM documents WHERE doc_id % 100 = 1
+        ),
+        seen AS (
+            SELECT DISTINCT {_HFP} AS fp
+            FROM documents WHERE doc_id % 100 != 1
+        ),
+        fresh AS (
+            SELECT b.* FROM b LEFT JOIN seen s ON b.fp = s.fp
+            WHERE s.fp IS NULL
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM fresh
+        )
+        SELECT doc_id, source, fp FROM r WHERE rn = 1 ORDER BY doc_id
+    """
 
     sql["dedup_stats_by_source"] = f"""
         WITH keyed AS (SELECT source, {_HFP} AS fp FROM documents),
