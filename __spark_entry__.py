@@ -925,6 +925,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return _round(df, {"jaccard": 6})
 
 
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric containment pairs (|A∩B|/|A| per direction) — catches
+    subset duplication (quote/excerpt) that Jaccard's union denominator
+    washes out; raw int/int fractions ship bit-identical cross-engine."""
+    df = D.ngram_containment_pairs(_lt(spark, sf_dir, "documents"),
+                                   n=3, threshold=0.25)
+    return df
+
+
 def dedup_exact_substring(spark, sf_dir):
     return D.exact_substring_pairs(_lt(spark, sf_dir, "documents"),
                                    n_tokens=20, winnow=5)
@@ -995,6 +1004,45 @@ def knn_bruteforce_cosine(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     q = S.make_queries(emb, KNN_QUERY_IDS)
     return _round(S.knn_bruteforce(emb, q, k=5), {"cos": 6})
+
+
+def emb_radius_search(spark, sf_dir):
+    """Exact threshold (radius) search: all corpus vectors with
+    cosine ≥ 0.2 to each query — zero data-sized shuffles (queries
+    broadcast, hits emitted per-partition)."""
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.radius_search(emb, q, threshold=0.2), {"cos": 6})
+
+
+def emb_radius_search_ivf(spark, sf_dir):
+    """IVF-probed radius search (scale path): same contract, corpus
+    restricted to the query's nprobe cells; recall pinned in pytest."""
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.radius_search_ivf(emb, q, threshold=0.2, nprobe=4),
+                  {"cos": 6})
+
+
+def ann_mips_dot(spark, sf_dir):
+    """Exact top-k by raw inner product (MIPS) — recommendation-style
+    retrieval where vector length carries signal; oracle-backed (same
+    left-fold dot as knn, bit-identical to DuckDB list_sum)."""
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.mips_bruteforce(emb, q, k=5), {"ip": 6})
+
+
+def ann_mips_ivf(spark, sf_dir):
+    """Rows-only: norm-augmented IVF MIPS (reduction to cosine cells;
+    exhaustive-probe==exact and partial-probe recall pinned in pytest)."""
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.mips_ivf(emb, q, k=5, nprobe=4), {"ip": 6})
 
 
 def ann_lsh_cosine(spark, sf_dir):
@@ -1908,6 +1956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_interpolate_linear": ts_interpolate_linear,
         "ts_gap_fill": ts_gap_fill,
         "knn_bruteforce_cosine": knn_bruteforce_cosine,
+        "emb_radius_search": emb_radius_search,
+        "emb_radius_search_ivf": emb_radius_search_ivf,
+        "ann_mips_dot": ann_mips_dot,
+        "ann_mips_ivf": ann_mips_ivf,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1939,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_exact_normalized": dedup_exact_normalized,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_ngram_containment": dedup_ngram_containment,
         "dedup_exact_substring": dedup_exact_substring,
         "dedup_substring_decontaminate": dedup_substring_decontaminate,
         "dedup_substring_profile": dedup_substring_profile,
@@ -2045,7 +2098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The driver-verified 50-slot window (round-7 rotation). Priority
-# order per the round-6 verdict: (1) the never-countersigned oracles —
+# order: (0) oracles added this round and so never countersigned —
+# emb_radius_search (exact radius similarity), ann_mips_dot (exact
+# MIPS), dedup_ngram_containment (asymmetric containment pairs) —
+# then per the round-6 verdict: (1) the never-countersigned oracles —
 # q16_part_supplier_counts (landed after the r6 rotation froze) and
 # embedding_centroids (rotated in r6 but the comparator errored on its
 # array column; now flat long-form) — then (2) queries whose oracle or
@@ -2063,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_oracle_parity.py) still value-checks all oracle-backed
 # queries every run.
 _WINDOW = [
+    "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2084,8 +2141,7 @@ _WINDOW = [
     "sample_stratified_by_lang", "text_repetition_metrics",
     "text_vocab_topn", "text_oov_rate", "text_boilerplate",
     "text_boilerplate_apply", "doc_epoch_shards", "corpus_summary",
-    "text_quality_filter", "ev_funnel_steps", "ev_retention_cohorts",
-    "dedup_threshold_sweep",
+    "text_quality_filter",
 ]
 
 
@@ -3174,6 +3230,37 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
 
+    sql["dedup_ngram_containment"] = """
+        WITH norm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(length(s) - 2, 1) + 1),
+                       i -> substr(s, CAST(i AS INT), 3)))) AS sh
+            FROM norm
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        df_ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 200),
+        shf AS (SELECT sh.* FROM sh JOIN df_ok USING (sh)),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        -- raw int/int fractions: bit-identical IEEE division cross-engine
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / sa.sz AS cont_a,
+               CAST(inter AS DOUBLE) / sb.sz AS cont_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.25
+           OR CAST(inter AS DOUBLE) / sb.sz >= 0.25
+        ORDER BY id_a, id_b
+    """
+
     # connected components as a recursive CTE: (node,label) state space
     # is bounded by nodes × labels, min(label) per node = cluster id;
     # the CTE chain is shared with dedup_filter_apply
@@ -3257,6 +3344,24 @@ def oracle_sql() -> dict[str, str]:
     """
 
     qids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    sql["emb_radius_search"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids}))
+        SELECT q.query_id, e.vec_id,
+               round(list_sum(list_transform(range(1, len(e.v) + 1),
+                         i -> e.v[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6)
+                   AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+          AND list_sum(list_transform(range(1, len(e.v) + 1),
+                  i -> e.v[i] * q.qv[i]))
+              / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) >= 0.2
+        ORDER BY q.query_id, e.vec_id
+    """
+
     sql["knn_bruteforce_cosine"] = f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})),
@@ -3275,6 +3380,25 @@ def oracle_sql() -> dict[str, str]:
             -- a degenerate vector's NULL/NaN/Inf cosine must rank in
             -- NEITHER engine (DuckDB sorts NaN largest, like Spark)
             FROM scored WHERE cos BETWEEN -1.0001 AND 1.0001
+        ) WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+    sql["ann_mips_dot"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(range(1, len(e.v) + 1),
+                       i -> e.v[i] * q.qv[i])) AS ip
+            FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, round(ip, 6) AS ip, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank
+            -- mirror the Spark-side finiteness predicate: an unnormalized
+            -- score has no [-1,1] band, so NaN/Inf are dropped explicitly
+            FROM scored WHERE isfinite(ip)
         ) WHERE rank <= 5
         ORDER BY query_id, rank
     """

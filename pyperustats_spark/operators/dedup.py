@@ -59,6 +59,36 @@ def dedup_exact_normalized(documents: DataFrame, sort: bool = True) -> DataFrame
     return out.orderBy("doc_id") if sort else out
 
 
+def _shingle_pair_counts(
+    documents: DataFrame, n: int, max_df: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index core for the set-overlap dedup family:
+    (pairs with |A∩B|, per-doc distinct-shingle sizes).
+
+    ONE shuffle on the shingle, collect_list posting lists capped at
+    df ≤ max_df (a stop-shingle list at corpus scale), pairs emitted by
+    two chained explodes (codegen Generate beats an interpreted nested
+    transform+slice by ~3×) — never a shingle self-join."""
+    sh = ensure_parallelism(documents).select(
+        "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), n))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= max_df))
+        .select(F.array_sort("docs").alias("docs"))
+    )
+    pairs = (
+        postings.select(F.explode("docs").alias("id_a"), F.col("docs"))
+        .select("id_a", F.explode("docs").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return pairs, sizes
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.15,
     sort: bool = True,
@@ -70,30 +100,7 @@ def ngram_jaccard_pairs(
     classic inverted-index self-join — shuffle keys are shingles, and
     hot shingles are capped by document frequency (df ≤ max_df) exactly
     like a stop-shingle list at corpus scale."""
-    max_df = 200
-    sh = ensure_parallelism(documents).select(
-        "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), n))).alias("sh")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # inverted index via collect_list (ONE shuffle on the shingle): each
-    # posting list ≤ max_df (hot-shingle cap = stop-shingle list), pairs
-    # come out of the sorted array — no self-join, shingles exploded and
-    # hashed exactly once
-    postings = (
-        sh.groupBy("sh")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .where((F.size("docs") >= 2) & (F.size("docs") <= max_df))
-        .select(F.array_sort("docs").alias("docs"))
-    )
-    # pair generation as two chained explodes (codegen Generate
-    # operators beat an interpreted nested transform+slice by ~3×)
-    pairs = (
-        postings.select(F.explode("docs").alias("id_a"), F.col("docs"))
-        .select("id_a", F.explode("docs").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    pairs, sizes = _shingle_pair_counts(documents, n, max_df=200)
     out = (
         pairs.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -103,6 +110,40 @@ def ngram_jaccard_pairs(
             (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+    return out.orderBy("id_a", "id_b") if sort else out
+
+
+def ngram_containment_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5,
+    sort: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC set containment pairs: C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses subset duplication — a paragraph quoted inside a
+    10× longer page scores |A∩B|/|A∪B| ≈ 0.1 but C(small→big) ≈ 1.0.
+    Containment is the standard contract for excerpt/quote detection
+    and containment-style decontamination (a benchmark document fully
+    inside a training page). Emits pairs where EITHER direction ≥
+    *threshold*, with both direction fractions (``cont_a`` = how much
+    of A is inside B, ``cont_b`` vice versa) so callers can tell
+    subset-dup (one high, one low) from near-dup (both high).
+
+    Same one-shuffle inverted-index core as :func:`ngram_jaccard_pairs`
+    (shared :func:`_shingle_pair_counts`). Fractions ship as RAW int/int
+    doubles — IEEE division of identical ints is bit-identical
+    cross-engine (CLAUDE.md oracle rule)."""
+    pairs, sizes = _shingle_pair_counts(documents, n, max_df=200)
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / F.col("sz_a")).alias("cont_a"),
+            (F.col("inter") / F.col("sz_b")).alias("cont_b"),
+        )
+        .where((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
     )
     return out.orderBy("id_a", "id_b") if sort else out
 

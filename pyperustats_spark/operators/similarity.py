@@ -60,6 +60,207 @@ def knn_bruteforce(
     return out.orderBy("query_id", "rank") if sort else out
 
 
+def radius_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.2,
+    sort: bool = True,
+) -> DataFrame:
+    """Exact radius (threshold) similarity search: every corpus vector
+    whose cosine with a query is ≥ *threshold* — the "find everything
+    similar enough" counterpart of :func:`knn_bruteforce` (dedup
+    candidate mining, safety/contamination sweeps, labeling by
+    prototype), where top-k's fixed cut is the wrong contract.
+
+    Scale: STRICTLY better than top-k — top-k needs a per-query window
+    (one rank shuffle of all scored rows); radius search is
+    embarrassingly parallel. Queries broadcast, each corpus partition
+    emits its hits independently, and NOTHING data-sized ever
+    shuffles — the only exchange is the presentation sort, removable
+    via sort=False. The 100 TB plan is exactly one scan. Same hoisted
+    norms + same fold order as knn_bruteforce, so the DuckDB oracle is
+    bit-identical; the [-1.0001, 1.0001] band drops NaN/Inf scores
+    from corrupt vectors (predicate false for non-finite)."""
+    e = ensure_parallelism(embeddings).withColumn(
+        "_nv", norm(F.col("embedding")))
+    qn = queries.withColumn("_nq", norm(F.col("q_embedding")))
+    out = (
+        e.crossJoin(F.broadcast(qn))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.try_divide(dot(F.col("embedding"), F.col("q_embedding")),
+                         F.col("_nv") * F.col("_nq")).alias("cos"),
+        )
+        .where((F.col("cos") >= F.lit(float(threshold)))
+               & (F.col("cos") <= 1.0001))
+    )
+    return out.orderBy("query_id", "vec_id") if sort else out
+
+
+def radius_search_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.2,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 0,
+    sort: bool = True,
+) -> DataFrame:
+    """Approximate radius search: :func:`radius_search` restricted to
+    the query's *nprobe* nearest IVF cells — the scale path when even
+    one full corpus scan per query batch is too much and the corpus is
+    already cell-partitioned (``partitionBy(cell)`` at write time →
+    probing prunes to nprobe/n_centroids of the files).
+
+    Recall < 1 by construction (a hit living in an unprobed cell is
+    missed — pinned vs the exact baseline in pytest); precision stays
+    exact because every emitted cosine is exactly rescored. Same cell
+    machinery as :func:`ann_ivf`: disjoint corpus assignment (no row
+    duplication), query fan-out to nprobe cells, equi-join on cell id
+    with the query side broadcast."""
+    cents = seed_centroids(embeddings, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine_centroids(embeddings, cents,
+                                        iterations=kmeans_iters)
+    e = ensure_parallelism(embeddings).select(
+        "vec_id",
+        "embedding",
+        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
+                     1).alias("cell"),
+    )
+    q = queries.select(
+        "query_id",
+        "q_embedding",
+        F.explode(ivf_assign(F.col("q_embedding"), cents,
+                             nprobe=nprobe)).alias("cell"),
+    )
+    out = (
+        e.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+        )
+        .where((F.col("cos") >= F.lit(float(threshold)))
+               & (F.col("cos") <= 1.0001))
+    )
+    return out.orderBy("query_id", "vec_id") if sort else out
+
+
+def mips_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    sort: bool = True,
+) -> DataFrame:
+    """Exact top-k by RAW inner product (maximum inner product search)
+    — the retrieval contract of recommender / dual-encoder scoring,
+    where vector length carries signal (popularity, confidence) and
+    cosine's normalization would erase it.
+
+    Same broadcast-queries / one-corpus-scan shape as
+    :func:`knn_bruteforce`, same left-fold ``dot`` — so the DuckDB
+    oracle's ``list_sum`` reproduces every score bit-for-bit and raw
+    ranking is deterministic cross-engine. There is no [-1, 1] band for
+    an unnormalized score, so corrupt vectors are dropped with an
+    explicit finiteness predicate instead (NaN would otherwise sort
+    LARGEST and top every query)."""
+    e = ensure_parallelism(embeddings)
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dot(F.col("embedding"), F.col("q_embedding")).alias("ip"),
+        )
+        .where(F.col("ip").isNotNull() & ~F.isnan("ip")
+               & (F.abs("ip") < F.lit(float("inf"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"),
+                                               F.col("vec_id").asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    return out.orderBy("query_id", "rank") if sort else out
+
+
+def mips_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sort: bool = True,
+) -> DataFrame:
+    """Approximate MIPS via the norm-augmentation reduction to cosine
+    ANN (Bachrach et al., RecSys 2014 "Speeding up the Xbox recommender";
+    the asymmetric-transform family of Shrivastava & Li, NeurIPS 2014):
+    corpus x → [x, sqrt(M² − ‖x‖²)] with M = max corpus norm puts every
+    augmented vector on the radius-M sphere; query q → [q, 0] gives
+    cos(x̂, q̂) = ⟨x, q⟩ / (M·‖q‖) — rank-equivalent to inner product per
+    query — so the EXISTING IVF cell machinery chases the right
+    geometry without any new index code.
+
+    M is one scalar aggregate (O(1) driver transfer, like the centroid
+    seeds). Candidates from the probed cells are re-scored with the
+    exact inner product on the augmented arrays — the appended
+    components contribute exactly s·0.0 = +0.0 to the left fold, so
+    scores are bit-identical to :func:`mips_bruteforce` on the raw
+    vectors (exhaustive probe == exact top-k, pinned in pytest;
+    partial-probe recall pinned there too; precision always exact)."""
+    row = embeddings.agg(
+        F.max(norm(F.col("embedding"))).alias("m")).collect()[0]
+    m = float(row["m"] or 0.0)
+    # squared norm via one fold (NOT norm()² — that would double-eval
+    # the fold under CollapseProject and round through a sqrt)
+    sq = F.aggregate(F.col("embedding"), F.lit(0.0),
+                     lambda acc, v: acc + v * v)
+    aug = ensure_parallelism(embeddings).select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.array(F.sqrt(F.greatest(F.lit(0.0), F.lit(m * m) - sq))),
+        ).alias("embedding"),
+    )
+    cents = seed_centroids(aug, n_centroids)
+    e = aug.select(
+        "vec_id",
+        "embedding",
+        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
+                     1).alias("cell"),
+    )
+    q = queries.select(
+        "query_id",
+        F.concat(F.col("q_embedding"), F.array(F.lit(0.0))).alias("q_embedding"),
+        F.explode(ivf_assign(
+            F.concat(F.col("q_embedding"), F.array(F.lit(0.0))),
+            cents, nprobe=nprobe)).alias("cell"),
+    )
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dot(F.col("embedding"), F.col("q_embedding")).alias("ip"),
+        )
+        .where(F.col("ip").isNotNull() & ~F.isnan("ip")
+               & (F.abs("ip") < F.lit(float("inf"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"),
+                                               F.col("vec_id").asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    return out.orderBy("query_id", "rank") if sort else out
+
+
 def _hyperplanes_seeded(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG; reproducible
     without RNG state, so the same plan hashes identically every run)."""

@@ -1,5 +1,6 @@
 from pyperustats_spark.plans.checks import (  # noqa: F401
     broadcast_hint_count,
+    count_exchanges,
     explain_str,
     global_sort_count,
     has_broadcast_hint,

@@ -99,6 +99,19 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", executed)))
 
 
+def count_exchanges(df: DataFrame) -> int:
+    """Number of SHUFFLE exchanges (hash / range / single-partition) in
+    the pre-execution physical plan. BroadcastExchange is deliberately
+    excluded — broadcasting an O(small) side moves no data-sized rows,
+    so "zero exchanges" here means "nothing proportional to the input
+    ever crosses the network". The embarrassingly-parallel operators
+    (radius_search with sort=False) pin this at 0."""
+    txt = explain_str(df, "simple")
+    return len(re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+        txt))
+
+
 def global_sort_count(df: DataFrame) -> int:
     """Number of GLOBAL sorts surviving in the OPTIMIZED logical plan.
 

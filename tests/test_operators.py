@@ -425,6 +425,95 @@ def test_ann_ivf_recall_vs_bruteforce(spark, tables):
     assert hits / tot >= 0.3
 
 
+def test_radius_search_exact_and_ivf_recall(spark, tables):
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, [0, 7, 42])
+    exact = S.radius_search(emb, q, threshold=0.2).collect()
+    assert len(exact) > 0
+    # radius contract: exactly the scored pairs at-or-over threshold,
+    # cross-checked against the brute-force scorer with a huge k
+    all_scored = S.knn_bruteforce(emb, q, k=10**6).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in all_scored
+            if r["cos"] >= 0.2}
+    assert {(r["query_id"], r["vec_id"]) for r in exact} == want
+    # IVF-probed variant: a subset (precision exact), recall pinned
+    approx = S.radius_search_ivf(emb, q, threshold=0.2,
+                                 n_centroids=8, nprobe=4).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert got <= want and len(got) > 0
+    assert len(got) / len(want) >= 0.3
+    # exhaustive probe == exact (every cell probed => no missed hit)
+    full = S.radius_search_ivf(emb, q, threshold=0.2,
+                               n_centroids=8, nprobe=8).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in full} == want
+    # scale contract: sort=False radius plan has no exchange at all
+    import pyperustats_spark.plans as P
+    lazy = S.radius_search(emb, q, threshold=0.2, sort=False)
+    assert P.count_exchanges(lazy) == 0
+
+
+def test_mips_bruteforce_and_ivf(spark, tables):
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = S.make_queries(emb, [0, 7, 42])
+    exact = S.mips_bruteforce(emb, q, k=5).collect()
+    assert len(exact) == 15
+    # MIPS ranks by raw inner product — NOT the cosine order: verify
+    # against a python recompute of the top-1 per query
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for qid in (0, 7, 42):
+        best = max(
+            ((vid, sum(a * b for a, b in zip(v, vecs[qid])))
+             for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (t[1], -t[0]))
+        got = [r for r in exact if r["query_id"] == qid and r["rank"] == 1][0]
+        assert got["vec_id"] == best[0]
+    # exhaustive probe == exact (augmented fold appends s*0.0 = +0.0,
+    # so scores are bit-identical and the ranking cannot diverge)
+    full = S.mips_ivf(emb, q, k=5, n_centroids=8, nprobe=8).collect()
+    assert ([(r["query_id"], r["rank"], r["vec_id"]) for r in full]
+            == [(r["query_id"], r["rank"], r["vec_id"]) for r in exact])
+    # partial probe: precision exact (subset of scored pairs), recall pinned
+    part = S.mips_ivf(emb, q, k=5, n_centroids=8, nprobe=3).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    got = {(r["query_id"], r["vec_id"]) for r in part}
+    assert len(got & want) / len(want) >= 0.3
+
+
+def test_ngram_containment_pairs(spark, tables):
+    import pyperustats_spark.operators.dedup as D
+    docs = tables["documents"]
+    out = D.ngram_containment_pairs(docs, n=3, threshold=0.25).collect()
+    assert len(out) > 0
+    # direction semantics: cont_a = |A∩B|/|A| — recompute one pair in python
+    import re as _re
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def grams(t):
+        s = _re.sub(r"\s+", " ", t.lower()).strip()
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    r = out[0]
+    ga, gb = grams(texts[r["id_a"]]), grams(texts[r["id_b"]])
+    inter = len(ga & gb)
+    # the operator caps shingle df at 200; on this corpus no shared
+    # shingle of this pair should be that hot for the exact recompute —
+    # allow the cap to only LOWER the operator's inter
+    assert r["cont_a"] <= inter / len(ga) + 1e-9
+    assert r["cont_b"] <= inter / len(gb) + 1e-9
+    assert max(r["cont_a"], r["cont_b"]) >= 0.25
+    # containment ≥ jaccard for every pair both emit
+    jac = {(p["id_a"], p["id_b"]): p["jaccard"]
+           for p in D.ngram_jaccard_pairs(docs, n=3, threshold=0.15).collect()}
+    for p in out:
+        if (p["id_a"], p["id_b"]) in jac:
+            j = jac[(p["id_a"], p["id_b"])]
+            assert max(p["cont_a"], p["cont_b"]) >= j - 1e-9
+
+
 def test_ivf_recall_eval_monotone_and_exhaustive(spark, tables):
     emb = tables["embeddings"].select(
         "vec_id",
