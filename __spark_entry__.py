@@ -1582,6 +1582,21 @@ def ts_beta(spark, sf_dir):
                           "AF", "NO")
 
 
+def ts_ols_trend(spark, sf_dir):
+    """Per-series OLS time trend in exact fixed-point sums — slope/
+    intercept/r2 are derived doubles from identical integer bits and
+    ship RAW (never round derived)."""
+    return TS.ols_trend(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def ev_rfm_scores(spark, sf_dir):
+    """RFM quartile segmentation over purchase events; integer-cents
+    monetary + user_id tiebreaks make every tile deterministic;
+    histogram_ntile (value-derived rank) avoids the global-ntile
+    exchange-reuse trap on this wide frame."""
+    return E.rfm_scores(_lt(spark, sf_dir, "events"))
+
+
 def text_lang_purity(spark, sf_dir):
     return T.lang_purity_by_source(_lt(spark, sf_dir, "documents"))
 
@@ -2083,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_max_drawdown": ts_max_drawdown,
         "ev_attribution_first": ev_attribution_first,
         "ts_beta": ts_beta,
+        "ts_ols_trend": ts_ols_trend,
+        "ev_rfm_scores": ev_rfm_scores,
         "text_lang_purity": text_lang_purity,
         "ev_gap_stats": ev_gap_stats,
         "ts_rebase_index": ts_rebase_index,
@@ -2120,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # queries every run.
 _WINDOW = [
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
+    "ts_ols_trend", "ev_rfm_scores",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2140,8 +2158,7 @@ _WINDOW = [
     "text_pack_sequences", "dedup_filter_apply", "split_train_val",
     "sample_stratified_by_lang", "text_repetition_metrics",
     "text_vocab_topn", "text_oov_rate", "text_boilerplate",
-    "text_boilerplate_apply", "doc_epoch_shards", "corpus_summary",
-    "text_quality_filter",
+    "text_boilerplate_apply", "doc_epoch_shards",
 ]
 
 
@@ -4691,6 +4708,74 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         )
         SELECT n_obs, beta, my - beta * mx AS intercept FROM a
+    """
+
+    sql["ts_ols_trend"] = f"""
+        WITH long AS ({_LONG}),
+        xr AS (
+            SELECT code,
+                   CAST(row_number() OVER (PARTITION BY code ORDER BY date)
+                        AS BIGINT) AS x,
+                   CAST(round(value * 100) AS BIGINT) AS yc
+            FROM long
+        ),
+        s AS (
+            SELECT code, CAST(count(*) AS HUGEINT) AS n,
+                   sum(x) AS sx, sum(x * x) AS sxx,
+                   sum(yc) AS sy, sum(x * yc) AS sxy,
+                   sum(CAST(yc AS HUGEINT) * yc) AS syy
+            FROM xr GROUP BY code
+        ),
+        c AS (
+            -- each normal-equation term is an EXACT integer (HUGEINT),
+            -- converted to double once — identical bits to Spark's
+            -- DECIMAL(38,0) route; slope/intercept/r2 then ship raw
+            SELECT code, CAST(n AS BIGINT) AS n_obs,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(n AS DOUBLE) AS nd
+            FROM s
+        )
+        SELECT code, n_obs,
+               CASE WHEN denx != 0 THEN num / denx / 100.0 END AS slope,
+               syd / (100.0 * nd)
+                   - (CASE WHEN denx != 0 THEN num / denx / 100.0 END)
+                     * (sxd / nd) AS intercept,
+               CASE WHEN denx != 0 AND deny != 0
+                    THEN num * num / (denx * deny) END AS r2
+        FROM c ORDER BY code
+    """
+
+    sql["ev_rfm_scores"] = """
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        u AS (
+            SELECT user_id,
+                   CAST(date_diff('day', max(CAST(ts AS DATE)),
+                        (SELECT max(CAST(ts AS DATE)) FROM p))
+                        AS BIGINT) AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS mc
+            FROM p GROUP BY user_id
+        ),
+        t AS (
+            SELECT user_id, recency_days, frequency, mc,
+                   CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id)
+                        AS BIGINT) AS r_score,
+                   CAST(ntile(4) OVER (ORDER BY frequency, user_id)
+                        AS BIGINT) AS f_score,
+                   CAST(ntile(4) OVER (ORDER BY mc, user_id)
+                        AS BIGINT) AS m_score
+            FROM u
+        )
+        SELECT user_id, recency_days, frequency,
+               CAST(mc AS DOUBLE) / 100.0 AS monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS rfm
+        FROM t ORDER BY user_id
     """
 
     sql["text_lang_purity"] = f"""

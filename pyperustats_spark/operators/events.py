@@ -534,6 +534,74 @@ def power_user_concentration(events: DataFrame, n_tiles: int = 10,
     return out.orderBy("tile") if sort else out
 
 
+def rfm_scores(events: DataFrame, event_type: str = "purchase",
+               n_tiles: int = 4, sort: bool = True) -> DataFrame:
+    """Classic RFM segmentation: per purchasing user, recency (days
+    since last purchase, vs the corpus max purchase date), frequency
+    (purchase count), monetary (total spend), each scored into exact
+    global quartiles (1..n_tiles, 4 = best: most recent / most
+    frequent / highest spend) plus the concatenated "444"-style
+    segment label.
+
+    Determinism: monetary accumulates as integer CENTS (bigint — the
+    2-decimal grid recovery), recency/frequency are integers, and every
+    tile order carries user_id as the total-order tiebreak, so both
+    engines rank identical bits. Tile assignment uses
+    :func:`~pyperustats_spark.operators.layout.histogram_ntile`
+    (rank derived from VALUES) — NOT global_ntile, whose two exchange
+    references mis-rank under AQE when the frame carries payload
+    columns beyond the sort keys (the CLAUDE.md exchange-reuse trap;
+    this frame carries all three metrics at once). Scale shape: one
+    full-volume shuffle (events → per-user aggregate), then three
+    histogram-ntile passes over the per-user frame, each one hash
+    shuffle with a bucket-space-bounded broadcast side table."""
+    from pyperustats_spark.operators.layout import histogram_ntile
+
+    p = events.where(F.col("event_type") == event_type)
+    ref = p.agg(F.max(F.to_date("ts")).alias("_ref"))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("_mc"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff(F.col("_ref"), F.col("_last")).cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "_mc",
+        )
+        .withColumn("_negr", -F.col("recency_days"))
+    )
+    # buckets are monotone coarsenings of each tile's leading sort key
+    # (recency/frequency: the bounded integer itself; cents: $100 bins)
+    t = histogram_ntile(per_user, F.col("_negr"),
+                        [F.col("_negr"), F.col("user_id")],
+                        n_tiles, out_col="r_score")
+    t = histogram_ntile(t, F.col("frequency"),
+                        [F.col("frequency"), F.col("user_id")],
+                        n_tiles, out_col="f_score")
+    t = histogram_ntile(t, F.floor(F.col("_mc") / 10000),
+                        [F.col("_mc"), F.col("user_id")],
+                        n_tiles, out_col="m_score")
+    out = t.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        (F.col("_mc").cast("double") / F.lit(100.0)).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")).alias("rfm"),
+    )
+    return out.orderBy("user_id") if sort else out
+
+
 def first_touch_attribution(events: DataFrame,
                             conv_type: str = "purchase",
                             touch_type: str = "view",

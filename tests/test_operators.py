@@ -514,6 +514,62 @@ def test_ngram_containment_pairs(spark, tables):
             assert max(p["cont_a"], p["cont_b"]) >= j - 1e-9
 
 
+def test_ols_trend_matches_numpy(spark, tables):
+    import numpy as np
+    import pyperustats_spark.operators.timeseries as TS
+    long_df = TS.series_long(tables["lineitem"])
+    out = {r["code"]: r for r in TS.ols_trend(long_df).collect()}
+    assert out
+    rows = long_df.orderBy("code", "date").collect()
+    by_code = {}
+    for r in rows:
+        by_code.setdefault(r["code"], []).append(round(r["value"] * 100) / 100)
+    for code, ys in by_code.items():
+        x = np.arange(1, len(ys) + 1, dtype=float)
+        slope, intercept = np.polyfit(x, np.array(ys), 1)
+        got = out[code]
+        assert got["n_obs"] == len(ys)
+        assert abs(got["slope"] - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(got["intercept"] - intercept) < 1e-4 * max(1.0, abs(intercept))
+        r = np.corrcoef(x, np.array(ys))[0, 1]
+        assert abs(got["r2"] - r * r) < 1e-9
+    # degenerate: a single-observation series yields NULL slope/r2
+    one = spark.createDataFrame(
+        [("2020-01-01", "ZZ", 5.0)], "date string, code string, value double"
+    ).select(F.to_timestamp("date").alias("date"), "code", "value")
+    row = TS.ols_trend(one).collect()[0]
+    assert row["slope"] is None and row["r2"] is None
+
+
+def test_rfm_scores_semantics(spark, tables):
+    import pyperustats_spark.operators.events as E
+    ev = tables["events"]
+    out = E.rfm_scores(ev).collect()
+    purchases = [r for r in ev.collect() if r["event_type"] == "purchase"]
+    users = {r["user_id"] for r in purchases}
+    assert {r["user_id"] for r in out} == users
+    n = len(users)
+    for col in ("r_score", "f_score", "m_score"):
+        scores = sorted(r[col] for r in out)
+        assert set(scores) <= {1, 2, 3, 4}
+        # SQL ntile distribution: first (n % 4) tiles get one extra row
+        base, rem = divmod(n, 4)
+        sizes = [scores.count(t) for t in (1, 2, 3, 4)]
+        assert sorted(sizes, reverse=True) == sorted(
+            [base + 1] * rem + [base] * (4 - rem), reverse=True)
+    # monetary = exact cents total; top spender holds m_score 4
+    cents = {}
+    for r in purchases:
+        cents[r["user_id"]] = cents.get(r["user_id"], 0) + round(r["value"] * 100)
+    top = max(cents, key=lambda u: (cents[u], u))
+    got = {r["user_id"]: r for r in out}
+    assert got[top]["m_score"] == 4
+    for u, c in cents.items():
+        assert abs(got[u]["monetary"] - c / 100.0) < 1e-9
+    assert all(r["rfm"] == f'{r["r_score"]}{r["f_score"]}{r["m_score"]}'
+               for r in out)
+
+
 def test_ivf_recall_eval_monotone_and_exhaustive(spark, tables):
     emb = tables["embeddings"].select(
         "vec_id",
