@@ -1601,6 +1601,12 @@ def text_lang_purity(spark, sf_dir):
     return T.lang_purity_by_source(_lt(spark, sf_dir, "documents"))
 
 
+def text_zipf_fit(spark, sf_dir):
+    """Per-language Zipf exponent via the exact fixed-point OLS core
+    (ln values on the 1e-6 micro grid); slope/intercept/r2 ship RAW."""
+    return T.zipf_fit(_lt(spark, sf_dir, "documents"))
+
+
 def ev_gap_stats(spark, sf_dir):
     return E.inter_event_gap_stats(_lt(spark, sf_dir, "events"))
 
@@ -2101,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ols_trend": ts_ols_trend,
         "ev_rfm_scores": ev_rfm_scores,
         "text_lang_purity": text_lang_purity,
+        "text_zipf_fit": text_zipf_fit,
         "ev_gap_stats": ev_gap_stats,
         "ts_rebase_index": ts_rebase_index,
         "catalog_coverage": catalog_coverage,
@@ -2137,7 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # queries every run.
 _WINDOW = [
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
-    "ts_ols_trend", "ev_rfm_scores",
+    "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2158,7 +2165,7 @@ _WINDOW = [
     "text_pack_sequences", "dedup_filter_apply", "split_train_val",
     "sample_stratified_by_lang", "text_repetition_metrics",
     "text_vocab_topn", "text_oov_rate", "text_boilerplate",
-    "text_boilerplate_apply", "doc_epoch_shards",
+    "text_boilerplate_apply",
 ]
 
 
@@ -4746,6 +4753,58 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN denx != 0 AND deny != 0
                     THEN num * num / (denx * deny) END AS r2
         FROM c ORDER BY code
+    """
+
+    sql["text_zipf_fit"] = f"""
+        WITH toks AS (
+            SELECT lang, unnest({_TOKENS}) AS token FROM documents
+        ),
+        f AS (
+            SELECT lang, token, CAST(count(*) AS BIGINT) AS freq
+            FROM toks GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT lang, freq,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY freq DESC, token)
+                        AS BIGINT) AS rnk
+            FROM f
+        ),
+        -- ln rounded onto the 1e-6 micro grid -> exact integers; the
+        -- whole regression then runs in HUGEINT, mirroring Spark's
+        -- DECIMAL(38,0) fixed-point OLS core bit-for-bit
+        m AS (
+            SELECT lang,
+                   CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS x,
+                   CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS y
+            FROM r
+        ),
+        s AS (
+            SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                   sum(x) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(y) AS sy, sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM m GROUP BY lang
+        ),
+        c AS (
+            SELECT lang, CAST(n AS BIGINT) AS n_types,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(n AS DOUBLE) AS nd
+            FROM s
+        )
+        SELECT lang, n_types,
+               CASE WHEN denx != 0 THEN num / denx / 1.0 END AS slope,
+               syd / (1000000.0 * nd)
+                   - (CASE WHEN denx != 0 THEN num / denx / 1.0 END)
+                     * (sxd / (1000000.0 * nd)) AS intercept,
+               CASE WHEN denx != 0 AND deny != 0
+                    THEN num * num / (denx * deny) END AS r2
+        FROM c ORDER BY lang
     """
 
     sql["ev_rfm_scores"] = """

@@ -507,6 +507,59 @@ def vocab_top_terms(documents: DataFrame, n: int = 100) -> DataFrame:
     return freqs.orderBy(F.desc("freq"), F.asc("token")).limit(n)
 
 
+def zipf_fit(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Per-language Zipf's-law fit: OLS of ln(freq) on ln(rank) over
+    the language's vocabulary — slope ≈ −1 for natural text, so
+    deviations flag template/boilerplate floods (flatter head) or
+    over-aggressive dedup (truncated tail): a corpus health check run
+    before tokenizer training.
+
+    Determinism (CLAUDE.md ln rule + the fixed-point OLS core): each
+    ln is rounded to the 1e-6 grid → integer MICROS (bigint), so every
+    regression sum is exact and the fit is bit-identical cross-engine;
+    slope/intercept/r2 ship RAW.
+
+    Scale: vocab = one explode + partially-aggregated count shuffle.
+    Ranks are derived from VALUES, not one language-sized window: a
+    prefix-count side table over the bounded distinct-frequency space
+    plus row_number within (lang, freq) — the histogram-rank idiom of
+    ``layout.histogram_ntile``. The largest single task is the hapax
+    bucket (freq = 1, roughly half the vocab of one language), already
+    far smaller than a whole-language rank window."""
+    from pyperustats_spark.functions.stats import ols_exact
+
+    freqs = (
+        documents.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    counts = freqs.groupBy("lang", "freq").agg(F.count(F.lit(1)).alias("_cnt"))
+    wf = Window.partitionBy("lang").orderBy(F.desc("freq"))
+    side = counts.select(
+        "lang", "freq",
+        F.coalesce(
+            F.sum("_cnt").over(wf.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("_off"),
+    )
+    wr = Window.partitionBy("lang", "freq").orderBy("token")
+    micro = (
+        freqs.withColumn("_pos", F.row_number().over(wr))
+        .join(F.broadcast(side), ["lang", "freq"])
+        .select(
+            "lang",
+            F.round(F.log((F.col("_off") + F.col("_pos")).cast("double"))
+                    * 1e6).cast("bigint").alias("_x"),
+            F.round(F.log(F.col("freq").cast("double"))
+                    * 1e6).cast("bigint").alias("_y"),
+        )
+    )
+    fit = ols_exact(micro, ["lang"], x="_x", y="_y",
+                    x_scale=1e6, y_scale=1e6)
+    out = fit.select("lang", F.col("n_obs").alias("n_types"),
+                     "slope", "intercept", "r2")
+    return out.orderBy("lang") if sort else out
+
+
 def oov_rate(documents: DataFrame, n: int = 100,
              sort: bool = True) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus top-*n*

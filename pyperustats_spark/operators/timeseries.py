@@ -769,52 +769,16 @@ def ols_trend(long_df: DataFrame, sort: bool = True) -> DataFrame:
     ONE shuffle on the series code — the groupBy reuses the
     row_number window's hash partitioning. Degenerate series (n = 1,
     or zero y-variance for r2) yield NULL via guarded division."""
+    from pyperustats_spark.functions.stats import ols_exact
+
     w = Window.partitionBy("code").orderBy("date")
     y = long_df.select(
         "code",
         F.row_number().over(w).cast("bigint").alias("_x"),
         F.round(F.col("value") * 100).cast("bigint").alias("_yc"),
     )
-    s = y.groupBy("code").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
-        F.sum("_x").alias("_sx"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.sum("_yc").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_yc")).alias("_sxy"),
-        F.sum(F.col("_yc").cast("decimal(38,0)") * F.col("_yc")).alias("_syy"),
-    )
-
-    def dec(c):
-        return c.cast("decimal(38,0)")
-
-    n = dec(F.col("n_obs"))
-    c = s.select(
-        "code",
-        "n_obs",
-        (n * dec(F.col("_sxy")) - dec(F.col("_sx")) * dec(F.col("_sy")))
-        .cast("double").alias("_num"),
-        (n * dec(F.col("_sxx")) - dec(F.col("_sx")) * dec(F.col("_sx")))
-        .cast("double").alias("_denx"),
-        (n * F.col("_syy") - dec(F.col("_sy")) * dec(F.col("_sy")))
-        .cast("double").alias("_deny"),
-        F.col("_sx").cast("double").alias("_sxd"),
-        F.col("_sy").cast("double").alias("_syd"),
-        F.col("n_obs").cast("double").alias("_nd"),
-    )
-    # expression ORDER mirrors the oracle exactly (num/denx/100.0 — two
-    # divisions in sequence) so every double op sees identical bits
-    slope = F.when(F.col("_denx") != 0.0,
-                   F.col("_num") / F.col("_denx") / F.lit(100.0))
-    out = c.select(
-        "code",
-        "n_obs",
-        slope.alias("slope"),
-        (F.col("_syd") / (F.lit(100.0) * F.col("_nd"))
-         - slope * (F.col("_sxd") / F.col("_nd"))).alias("intercept"),
-        F.when((F.col("_denx") != 0.0) & (F.col("_deny") != 0.0),
-               F.col("_num") * F.col("_num")
-               / (F.col("_denx") * F.col("_deny"))).alias("r2"),
-    )
+    out = ols_exact(y, ["code"], x="_x", y="_yc",
+                    x_scale=1.0, y_scale=100.0)
     return out.orderBy("code") if sort else out
 
 

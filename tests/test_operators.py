@@ -541,6 +541,38 @@ def test_ols_trend_matches_numpy(spark, tables):
     assert row["slope"] is None and row["r2"] is None
 
 
+def test_zipf_fit_matches_python_ols(spark, tables):
+    import math
+    import re as _re
+    import pyperustats_spark.operators.textops as T
+    docs = tables["documents"]
+    out = {r["lang"]: r for r in T.zipf_fit(docs).collect()}
+    assert out
+    # python recompute with plain rank (freq desc, token asc) — pins the
+    # histogram-rank construction AND the micro-grid OLS end to end
+    from collections import Counter
+    by_lang = {}
+    for r in docs.collect():
+        toks = [t for t in _re.split(r"[^a-z0-9_']+", r["text"].lower()) if t]
+        by_lang.setdefault(r["lang"], Counter()).update(toks)
+    for lang, cnt in by_lang.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        xs = [round(math.log(i + 1) * 1e6) for i in range(len(ranked))]
+        ys = [round(math.log(f) * 1e6) for _, f in ranked]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num, denx = n * sxy - sx * sy, n * sxx - sx * sx
+        want_slope = float(num) / float(denx) / 1.0
+        got = out[lang]
+        assert got["n_types"] == n
+        assert abs(got["slope"] - want_slope) < 1e-12
+        # natural-ish synthetic text: decaying rank-frequency curve
+        assert -3.0 < got["slope"] < -0.1
+        assert 0.0 < got["r2"] <= 1.0
+
+
 def test_rfm_scores_semantics(spark, tables):
     import pyperustats_spark.operators.events as E
     ev = tables["events"]
