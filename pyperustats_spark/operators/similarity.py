@@ -119,7 +119,15 @@ def radius_search_ivf(
     exact because every emitted cosine is exactly rescored. Same cell
     machinery as :func:`ann_ivf`: disjoint corpus assignment (no row
     duplication), query fan-out to nprobe cells, equi-join on cell id
-    with the query side broadcast."""
+    with the query side broadcast.
+
+    NOT a local-wall win (measured 20.7s vs 2.1s exact at 100× bench
+    scale with |Q| = 5): per-row assignment costs K = n_centroids
+    fold-evals vs |Q| for the exact scan. The 100 TB shape amortizes
+    assignment at WRITE time (partitionBy(cell) → probing prunes to
+    nprobe/K of the files) and serves query batches ≫ K — same class
+    as the approx-percentile twins; don't "optimize" it away on local
+    numbers (BENCH_SCALING.md, seventh batch)."""
     cents = seed_centroids(embeddings, n_centroids)
     if kmeans_iters > 0:
         cents = kmeans_refine_centroids(embeddings, cents,
@@ -212,7 +220,13 @@ def mips_ivf(
     components contribute exactly s·0.0 = +0.0 to the left fold, so
     scores are bit-identical to :func:`mips_bruteforce` on the raw
     vectors (exhaustive probe == exact top-k, pinned in pytest;
-    partial-probe recall pinned there too; precision always exact)."""
+    partial-probe recall pinned there too; precision always exact).
+
+    Like :func:`radius_search_ivf`, NOT a local-wall win at small
+    query counts (30.6s vs 1.7s exact at 100× bench scale, |Q| = 5:
+    K-centroid assignment + the max-norm pass + seed collect dominate);
+    it exists for the write-time-partitioned corpus serving query
+    batches ≫ n_centroids (BENCH_SCALING.md, seventh batch)."""
     row = embeddings.agg(
         F.max(norm(F.col("embedding"))).alias("m")).collect()[0]
     m = float(row["m"] or 0.0)
