@@ -758,6 +758,24 @@ def graph_supplier_salsa(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=4, k=50)
 
 
+def ev_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-behavior event-type chain:
+    per-user lag transitions → weighted edge list → power iteration in
+    fixed-point micro-units (bit-exact vs the unrolled-CTE oracle);
+    share is an int/int double and ships raw."""
+    from pyspark.sql import Window
+    from pyperustats_spark.operators import graph as G
+    ev = _lt(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (ev.select(F.lag("event_type").over(w).alias("src"),
+                       F.col("event_type").alias("dst"))
+             .where(F.col("src").isNotNull()))
+    edges = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return (G.markov_stationary_fixed_point(edges, iters=6)
+            .withColumnRenamed("node", "event_type")
+            .orderBy("event_type"))
+
+
 def text_token_count(spark, sf_dir):
     return T.token_counts(_lt(spark, sf_dir, "documents"))
 
@@ -1969,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_supplier": q20_dominant_supplier,
         "graph_supplier_pagerank": graph_supplier_pagerank,
         "graph_supplier_salsa": graph_supplier_salsa,
+        "ev_markov_stationary": ev_markov_stationary,
         "q_part_affinity": q_part_affinity,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
@@ -2145,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW = [
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
+    "ev_markov_stationary",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2165,7 +2185,6 @@ _WINDOW = [
     "text_pack_sequences", "dedup_filter_apply", "split_train_val",
     "sample_stratified_by_lang", "text_repetition_metrics",
     "text_vocab_topn", "text_oov_rate", "text_boilerplate",
-    "text_boilerplate_apply",
 ]
 
 
@@ -5371,6 +5390,48 @@ def oracle_sql() -> dict[str, str]:
             FROM deg e JOIN a{i} a ON e.auth = a.node
             GROUP BY 1
         )"""
+    # Markov power iteration unrolled to 6 rounds: same fixed-point DIV
+    # discipline as PageRank, no teleport term
+    _mk_iter = """
+        p{i} AS (
+            SELECT n.node,
+                   CAST(coalesce(c.s, 0) AS BIGINT) AS pi
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, sum(p.pi * e.w // e.w_out) AS s
+                FROM p{j} p JOIN edges e ON e.src = p.node
+                GROUP BY e.dst
+            ) c ON c.dst = n.node
+        )"""
+    sql["ev_markov_stationary"] = ("""
+        WITH steps AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS src,
+                   event_type AS dst
+            FROM events
+        ),
+        edges0 AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+            FROM steps WHERE src IS NOT NULL GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT src, dst, w,
+                   CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS w_out
+            FROM edges0
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM edges0
+            UNION
+            SELECT DISTINCT dst AS node FROM edges0
+        ),
+        p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pi FROM nodes),
+        """ + ",\n".join(_mk_iter.format(i=i, j=i - 1)
+                         for i in range(1, 7)) + """
+        SELECT node AS event_type, pi AS pi_micro,
+               pi / (SELECT CAST(sum(pi) AS BIGINT) FROM p6) AS share
+        FROM p6 ORDER BY event_type
+    """)
+
     sql["graph_supplier_salsa"] = ("""
         WITH edges AS (
             SELECT o.o_custkey AS hub, l.l_suppkey AS auth,

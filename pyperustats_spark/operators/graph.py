@@ -38,7 +38,7 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 RANK_UNIT = 1_000_000  # 1.0 in micro-units
 
@@ -143,6 +143,54 @@ def salsa_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
                  F.col("score").alias("score_micro"))
         .union(a.select("node", F.lit("auth").alias("side"),
                         F.col("score").alias("score_micro")))
+    )
+
+
+def markov_stationary_fixed_point(edges: DataFrame,
+                                  iters: int = 6) -> DataFrame:
+    """Stationary distribution of a first-order Markov chain by power
+    iteration over a weighted edge list ``(src, dst, w)`` (bigint
+    weights): πᵢ₊₁(j) = Σ_src πᵢ(src)·w(src,j) DIV w_out(src), in
+    integer micro-units — PageRank's loop without the teleport term
+    (same fixed-point determinism rationale, module docstring).
+
+    π₀ = 1.0 per state. Mass is conserved up to DIV truncation (≤ 1
+    micro leaked per (state, round)) when every state has out-edges;
+    an absorbing state (no out-edges) accumulates and leaks mass
+    exactly as the unrolled-SQL oracle reproduces. Returns
+    (node, pi_micro, share) where share = pi_micro over the summed
+    mass — an int/int double, bit-identical cross-engine. Each round
+    is one equi-join + one groupBy on the state key; the edge/node
+    tables are persisted (referenced every round)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    e = (edges.join(out_w, "src")
+         .select("src", "dst", "w", "w_out")
+         .persist())
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .persist())
+    pi = nodes.select(
+        "node", F.lit(RANK_UNIT).cast("bigint").alias("pi"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pi, e.src == pi.node)
+            .select("dst", F.expr("pi * w DIV w_out").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pi = nodes.join(contrib, nodes.node == contrib.dst, "left") \
+            .select("node",
+                    F.coalesce(F.col("s"), F.lit(0)).cast("bigint")
+                    .alias("pi"))
+    total = Window.partitionBy()
+    return pi.select(
+        "node",
+        F.col("pi").alias("pi_micro"),
+        # |states|-row frame: the partition-less window is audited tiny
+        (F.col("pi") / F.sum("pi").over(total)).alias("share"),
     )
 
 

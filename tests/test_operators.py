@@ -198,6 +198,34 @@ def test_pagerank_fixed_point_matches_reference_exactly(spark):
         G.pagerank_fixed_point(df, damping_pct=100)
 
 
+def test_markov_stationary_matches_reference_exactly(spark):
+    """Bit-exact agreement with the plain-Python power iteration
+    (integer DIV), including an absorbing state that accumulates all
+    the mass — no tolerance, same property the oracle relies on."""
+    edges = [("a", "b", 3), ("b", "a", 1), ("a", "c", 2),
+             ("c", "c", 5),            # c: near-absorbing self-loop
+             ("b", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    out = {r["event_type"] if "event_type" in r.__fields__ else r["node"]: r
+           for r in G.markov_stationary_fixed_point(df, iters=6).collect()}
+    pi = {n: 1_000_000 for n in ("a", "b", "c")}
+    w_out = {"a": 5, "b": 2, "c": 5}
+    w = {(s, d): x for s, d, x in edges}
+    for _ in range(6):
+        nxt = {n: 0 for n in pi}
+        for (s, d), x in w.items():
+            nxt[d] += pi[s] * x // w_out[s]
+        pi = nxt
+    assert {n: r["pi_micro"] for n, r in out.items()} == pi
+    total = sum(pi.values())
+    for n, r in out.items():
+        assert r["share"] == pi[n] / total
+    # the self-loop state holds the bulk of the mass after 6 rounds
+    assert pi["c"] == max(pi.values())
+    with pytest.raises(ValueError):
+        G.markov_stationary_fixed_point(df, iters=0)
+
+
 def test_range_join_semantics(spark):
     """Half-open [start, end) boundaries, overlapping-interval
     multi-match, multi-bucket-spanning intervals, and empty result on
