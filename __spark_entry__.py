@@ -758,6 +758,19 @@ def graph_supplier_salsa(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=4, k=50)
 
 
+def ev_volume_anomalies(spark, sf_dir):
+    """Per-type daily-volume control chart: the anomaly flag is an
+    EXACT integer comparison ((cx−S)² vs s²(cQ−S²)) that cannot flake
+    on a rounding boundary; z ships raw (derived from exact ints)."""
+    return E.volume_anomalies(_lt(spark, sf_dir, "events"))
+
+
+def ev_status_scd2(spark, sf_dir):
+    """SCD type-2 status history (gaps-and-islands): consecutive
+    same-type runs per user collapse to [valid_from, valid_to)."""
+    return E.status_history_scd2(_lt(spark, sf_dir, "events"))
+
+
 def ev_markov_stationary(spark, sf_dir):
     """Stationary distribution of the user-behavior event-type chain:
     per-user lag transitions → weighted edge list → power iteration in
@@ -1988,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_supplier_pagerank": graph_supplier_pagerank,
         "graph_supplier_salsa": graph_supplier_salsa,
         "ev_markov_stationary": ev_markov_stationary,
+        "ev_volume_anomalies": ev_volume_anomalies,
+        "ev_status_scd2": ev_status_scd2,
         "q_part_affinity": q_part_affinity,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_tumbling_window": stream_tumbling_window,
@@ -2164,7 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW = [
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
-    "ev_markov_stationary",
+    "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2184,7 +2199,7 @@ _WINDOW = [
     "json_api_observations", "ts_format_period", "text_chunk_windows",
     "text_pack_sequences", "dedup_filter_apply", "split_train_val",
     "sample_stratified_by_lang", "text_repetition_metrics",
-    "text_vocab_topn", "text_oov_rate", "text_boilerplate",
+    "text_vocab_topn",
 ]
 
 
@@ -5390,6 +5405,64 @@ def oracle_sql() -> dict[str, str]:
             FROM deg e JOIN a{i} a ON e.auth = a.node
             GROUP BY 1
         )"""
+    sql["ev_volume_anomalies"] = """
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS date,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type, date, n,
+                   CAST(count(*) OVER w AS HUGEINT) AS c,
+                   CAST(sum(n) OVER w AS HUGEINT) AS sw,
+                   CAST(sum(n * n) OVER w AS HUGEINT) AS q
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY date
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        -- flag = exact integer comparison; z = derived double from the
+        -- same exact integers (HUGEINT here, DECIMAL(38,0) in Spark)
+        SELECT event_type, date, n,
+               CASE WHEN c = 7 AND c * q - sw * sw != 0
+                    THEN CAST(c * n - sw AS DOUBLE)
+                         / sqrt(CAST(c * q - sw * sw AS DOUBLE)) END AS z,
+               CASE WHEN c = 7
+                    THEN CAST((c * n - sw) * (c * n - sw)
+                              > 9 * (c * q - sw * sw) AS BIGINT) END
+                   AS is_anomaly
+        FROM s ORDER BY event_type, date
+    """
+
+    sql["ev_status_scd2"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type AS status,
+                   CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, ts, status,
+                   CAST(sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS run_seq
+            FROM flagged
+        ),
+        iv AS (
+            SELECT user_id, run_seq, status, min(ts) AS valid_from,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM runs GROUP BY 1, 2, 3
+        )
+        SELECT user_id, run_seq, status, valid_from,
+               lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY run_seq) AS valid_to,
+               n_events
+        FROM iv ORDER BY user_id, run_seq
+    """
+
     # Markov power iteration unrolled to 6 rounds: same fixed-point DIV
     # discipline as PageRank, no teleport term
     _mk_iter = """

@@ -534,6 +534,96 @@ def power_user_concentration(events: DataFrame, n_tiles: int = 10,
     return out.orderBy("tile") if sort else out
 
 
+def volume_anomalies(events: DataFrame, trailing: int = 7,
+                     sigmas: int = 3, sort: bool = True) -> DataFrame:
+    """Per-type daily-volume control chart: flag days whose event
+    count deviates more than *sigmas* standard deviations from the
+    trailing *trailing*-day window — the ops-monitoring primitive for
+    ingest feeds (a collapsed crawler or a bot flood both trip it).
+
+    The flag is computed WITHOUT ever materializing μ or σ: with
+    integer daily counts, c = window size, S = Σx, Q = Σx²,
+    (x−μ)² > s²σ²  ⇔  (c·x − S)² > s²·(c·Q − S²) — an EXACT integer
+    comparison (DECIMAL(38,0) here, HUGEINT in the oracle), so the
+    flag can never flake on a boundary the way a rounded z-score
+    would. The reported z-score (cx−S)/sqrt(cQ−S²) is a derived
+    double from those exact integers and ships RAW. Days with an
+    incomplete trailing window (first *trailing* days of a type) emit
+    NULL flag/z. One shuffle on event_type; the per-type day frame is
+    bounded by the date range."""
+    d = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("DAY", F.col("ts")).alias("date"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (Window.partitionBy("event_type").orderBy("date")
+         .rowsBetween(-trailing, -1))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    stats = d.select(
+        "event_type", "date", "n",
+        F.count(F.lit(1)).over(w).alias("_c"),
+        F.sum("n").over(w).alias("_s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("_q"),
+    )
+    dev = dec(F.col("_c")) * F.col("n") - dec(F.col("_s"))
+    var_c2 = (dec(F.col("_c")) * F.col("_q")
+              - dec(F.col("_s")) * F.col("_s"))
+    out = stats.select(
+        "event_type", "date", "n",
+        # explicit zero-variance guard in BOTH engines (DuckDB's
+        # double-by-zero semantics differ from try_divide's NULL)
+        F.when((F.col("_c") == trailing) & (var_c2 != F.lit(0)),
+               dev.cast("double")
+               / F.sqrt(var_c2.cast("double"))).alias("z"),
+        F.when(F.col("_c") == trailing,
+               (dev * dev > F.lit(sigmas * sigmas) * var_c2)
+               .cast("bigint")).alias("is_anomaly"),
+    )
+    return out.orderBy("event_type", "date") if sort else out
+
+
+def status_history_scd2(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history of each user's event
+    status: consecutive same-type events collapse into one validity
+    interval [valid_from, valid_to) with the next run's start as the
+    exclusive end (NULL = current) — the gaps-and-islands build every
+    warehouse needs to turn an event feed into a dimension table
+    (cache_merge_upsert is the SCD1 counterpart).
+
+    Run boundaries via lag ≠ current; run ids via an ordered
+    cumulative sum of the 0/1 change flags (integer, deterministic);
+    intervals via min(ts) per run + lead over runs. Everything rides
+    the user-key partitioning: one shuffle, three windows and a
+    groupBy all on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("status"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")), 1
+        ).otherwise(0).alias("_chg"),
+    )
+    wc = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    runs = flagged.select(
+        "user_id", "ts", "status",
+        F.sum("_chg").over(wc).alias("run_seq"),
+    )
+    iv = runs.groupBy("user_id", "run_seq", "status").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_seq")
+    out = iv.select(
+        "user_id", "run_seq", "status", "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events",
+    )
+    return out.orderBy("user_id", "run_seq") if sort else out
+
+
 def rfm_scores(events: DataFrame, event_type: str = "purchase",
                n_tiles: int = 4, sort: bool = True) -> DataFrame:
     """Classic RFM segmentation: per purchasing user, recency (days

@@ -198,6 +198,59 @@ def test_pagerank_fixed_point_matches_reference_exactly(spark):
         G.pagerank_fixed_point(df, damping_pct=100)
 
 
+def test_volume_anomalies_flags_spike(spark):
+    """Constant 10/day baseline with one 100-event spike: the spike
+    day flags, warm-up days emit NULL, and the zero-variance window
+    gives NULL z but a definite flag (exact integer comparison)."""
+    from datetime import datetime
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        n = 100 if day == 9 else 10
+        for i in range(n):
+            rows.append((eid, datetime(2024, 1, day, 12, 0, i % 60),
+                         eid % 7, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["date"].day: r for r in E.volume_anomalies(ev).collect()}
+    assert len(out) == 10
+    for day in range(1, 8):          # incomplete trailing window
+        assert out[day]["is_anomaly"] is None and out[day]["z"] is None
+    assert out[8]["is_anomaly"] == 0          # steady day
+    assert out[9]["is_anomaly"] == 1          # spike over a flat window
+    assert out[9]["z"] is None                # σ = 0: z undefined, flag firm
+    # day 10: the spike inflates the trailing σ (≈31.5), so the return
+    # to baseline is NOT 3σ out — the control chart self-dampens
+    assert out[10]["is_anomaly"] == 0 and out[10]["z"] < 0
+
+
+def test_status_history_scd2_intervals(spark):
+    from datetime import datetime
+    rows = [
+        (1, datetime(2024, 1, 1, 0), 7, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 1), 7, "view", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 2), 7, "purchase", 0.0, "{}"),
+        (4, datetime(2024, 1, 1, 3), 7, "view", 0.0, "{}"),
+        (5, datetime(2024, 1, 1, 0), 8, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = E.status_history_scd2(ev).collect()
+    u7 = [r for r in out if r["user_id"] == 7]
+    assert [(r["run_seq"], r["status"], r["n_events"]) for r in u7] == [
+        (1, "view", 2), (2, "purchase", 1), (3, "view", 1)]
+    # intervals chain: valid_to == next valid_from, last is open (NULL)
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[1]["valid_to"] == u7[2]["valid_from"]
+    assert u7[2]["valid_to"] is None
+    assert sum(r["n_events"] for r in out) == len(rows)
+    u8 = [r for r in out if r["user_id"] == 8]
+    assert len(u8) == 1 and u8[0]["valid_to"] is None
+
+
 def test_markov_stationary_matches_reference_exactly(spark):
     """Bit-exact agreement with the plain-Python power iteration
     (integer DIV), including an absorbing state that accumulates all
