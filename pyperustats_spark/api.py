@@ -398,6 +398,15 @@ class DocumentPipeline:
         self._require_document_grain("quality_report")
         return _textops.quality_by_source(self._df, cut=cut, sort=False)
 
+    def zipf_report(self) -> DataFrame:
+        """Per-language Zipf fit for the CURRENT pipeline state
+        (:func:`~pyperustats_spark.operators.textops.zipf_fit`) — a
+        corpus-health diagnostic (slope drift from ≈ −1 flags template
+        floods or over-dedup); side output, does not advance the
+        chain."""
+        self._require_document_grain("zipf_report")
+        return _textops.zipf_fit(self._df, sort=False)
+
     def run_stage(self, tracker, stage: str, transform=None,
                   max_pending_items: int = 100_000) -> "DocumentPipeline":
         """Resume-aware stage execution (INEIFetcher tri-state chaining,

@@ -321,3 +321,10 @@ def test_document_pipeline_release_cycle_chain(spark, tables):
     assert card.count() > 0
     # pipeline frame unchanged by the diagnostic side output
     assert p.df.count() == len(rows)
+
+    zipf = p.zipf_report()
+    assert {"lang", "n_types", "slope", "intercept", "r2"} \
+        <= set(zipf.columns)
+    zrows = zipf.collect()
+    assert zrows and all(r["slope"] < 0 for r in zrows)
+    assert p.df.count() == len(rows)

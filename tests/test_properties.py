@@ -478,3 +478,48 @@ def test_winnowing_detection_guarantee(spark, data):
         df, n_tokens=n_tokens, winnow=winnow).collect()
     assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs), (
         n_tokens, winnow, pad_a, pad_b)
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),      # group
+              st.integers(min_value=-10**6, max_value=10**6)),  # y int
+    min_size=1, max_size=40))
+def test_ols_exact_matches_python(spark, pts):
+    """The fixed-point OLS core against a pure-python exact-integer
+    reference on random integer data: slope/intercept/r2 must be
+    BIT-equal (no tolerance — that's the determinism contract the
+    ts_ols_trend / text_zipf_fit oracles rely on), including NULL for
+    degenerate groups (n = 1, constant y for r2)."""
+    from pyperustats_spark.functions.stats import ols_exact
+
+    rows = [(g, i + 1, y) for i, (g, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in
+           ols_exact(df, ["g"], x="x", y="y",
+                     x_scale=1.0, y_scale=1.0).collect()}
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, xy in by_g.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        sxy = sum(x * y for x, y in xy)
+        syy = sum(y * y for _, y in xy)
+        num, denx, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        r = got[g]
+        assert r["n_obs"] == n
+        if denx == 0:
+            assert r["slope"] is None and r["r2"] is None
+            continue
+        slope = float(num) / float(denx) / 1.0
+        assert r["slope"] == slope
+        assert r["intercept"] == (float(sy) / (1.0 * float(n))
+                                  - slope * (float(sx) / (1.0 * float(n))))
+        if deny == 0:
+            assert r["r2"] is None
+        else:
+            assert r["r2"] == (float(num) * float(num)
+                               / (float(denx) * float(deny)))
