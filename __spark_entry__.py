@@ -758,6 +758,12 @@ def graph_supplier_salsa(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=4, k=50)
 
 
+def ev_peak_concurrency(spark, sf_dir):
+    """Daily peak concurrent sessions via the day-partitioned sweep
+    (bounded carry table, never a partition-less global window)."""
+    return E.peak_concurrency(_lt(spark, sf_dir, "events"))
+
+
 def ev_volume_anomalies(spark, sf_dir):
     """Per-type daily-volume control chart: the anomaly flag is an
     EXACT integer comparison ((cx−S)² vs s²(cQ−S²)) that cannot flake
@@ -2002,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_supplier_salsa": graph_supplier_salsa,
         "ev_markov_stationary": ev_markov_stationary,
         "ev_volume_anomalies": ev_volume_anomalies,
+        "ev_peak_concurrency": ev_peak_concurrency,
         "ev_status_scd2": ev_status_scd2,
         "q_part_affinity": q_part_affinity,
         "stream_dedup_replay": stream_dedup_replay,
@@ -2180,6 +2187,7 @@ _WINDOW = [
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
+    "ev_peak_concurrency",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2199,7 +2207,6 @@ _WINDOW = [
     "json_api_observations", "ts_format_period", "text_chunk_windows",
     "text_pack_sequences", "dedup_filter_apply", "split_train_val",
     "sample_stratified_by_lang", "text_repetition_metrics",
-    "text_vocab_topn",
 ]
 
 
@@ -5405,6 +5412,52 @@ def oracle_sql() -> dict[str, str]:
             FROM deg e JOIN a{i} a ON e.auth = a.node
             GROUP BY 1
         )"""
+    sql["ev_peak_concurrency"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        ),
+        iv AS (
+            SELECT min(ts) AS session_start, max(ts) AS session_end
+            FROM sess GROUP BY user_id, session_seq
+        ),
+        d1 AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, d
+            FROM (
+                SELECT session_start AS ts, 1 AS d FROM iv
+                UNION ALL
+                SELECT session_end AS ts, -1 AS d FROM iv
+            )
+        ),
+        net AS (SELECT day, CAST(sum(d) AS BIGINT) AS net FROM d1 GROUP BY day),
+        carry AS (
+            SELECT day,
+                   CAST(coalesce(sum(net) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS c
+            FROM net
+        ),
+        run AS (
+            SELECT d1.day,
+                   CAST(sum(d) OVER (PARTITION BY d1.day ORDER BY ts, d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) + c.c AS r
+            FROM d1 JOIN carry c ON c.day = d1.day
+        )
+        SELECT day AS date, CAST(max(r) AS BIGINT) AS peak_concurrency
+        FROM run GROUP BY day ORDER BY date
+    """
+
     sql["ev_volume_anomalies"] = """
         WITH d AS (
             SELECT event_type,

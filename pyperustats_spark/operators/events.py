@@ -534,6 +534,48 @@ def power_user_concentration(events: DataFrame, n_tiles: int = 10,
     return out.orderBy("tile") if sort else out
 
 
+def peak_concurrency(events: DataFrame, gap_minutes: int = 30,
+                     sort: bool = True) -> DataFrame:
+    """Daily peak concurrent sessions (the capacity-planning number):
+    sessionize, explode each session into ±1 boundary deltas, and run
+    the classic sweep-line — but NOT as one global ordered window (a
+    partition-less window executes on a single task at ANY data size).
+    Instead day-partitioned with a bounded carry table: per-day running
+    sum of deltas plus the cumulative net of all PRECEDING days (a side
+    frame bounded by the date range — the same prefix-table idiom as
+    ``layout.histogram_ntile``). All integer arithmetic, deterministic
+    under ties (equal (ts, d) rows are interchangeable in a cumsum).
+
+    Closed-interval semantics: a session ending at t overlaps one
+    starting at t (+1 sorts before −1 on timestamp ties). Days with no
+    session boundary are absent from the output — their concurrency is
+    flat at the carry level."""
+    s = sessionize(events, gap_minutes=gap_minutes, sort=False)
+    deltas = (
+        s.select(F.col("session_start").alias("ts"), F.lit(1).alias("d"))
+        .unionAll(
+            s.select(F.col("session_end").alias("ts"), F.lit(-1).alias("d")))
+        .withColumn("day", F.date_trunc("DAY", F.col("ts")))
+    )
+    day_net = deltas.groupBy("day").agg(F.sum("d").alias("_net"))
+    wd = Window.orderBy("day")
+    carry = day_net.select(
+        "day",
+        F.coalesce(
+            F.sum("_net").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("_carry"),
+    )
+    wr = (Window.partitionBy("day").orderBy(F.col("ts"), F.desc("d"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    running = (
+        deltas.join(F.broadcast(carry), "day")
+        .select("day", (F.sum("d").over(wr) + F.col("_carry")).alias("_run"))
+    )
+    out = running.groupBy(F.col("day").alias("date")).agg(
+        F.max("_run").cast("bigint").alias("peak_concurrency"))
+    return out.orderBy("date") if sort else out
+
+
 def volume_anomalies(events: DataFrame, trailing: int = 7,
                      sigmas: int = 3, sort: bool = True) -> DataFrame:
     """Per-type daily-volume control chart: flag days whose event

@@ -251,6 +251,45 @@ def test_status_history_scd2_intervals(spark):
     assert len(u8) == 1 and u8[0]["valid_to"] is None
 
 
+def test_peak_concurrency_brute_force(spark):
+    """Sweep result == brute-force overlap counting at every session
+    boundary, including a midnight-crossing session (carry across the
+    day partition) and a closed-interval tie (end == start counts
+    both)."""
+    from datetime import datetime, timedelta
+    # sessions (gap 30min): per user a burst of events; user 3 spans
+    # midnight; user 4 starts exactly when user 1 ends
+    bursts = [
+        (1, datetime(2024, 1, 1, 10, 0), 3),    # 10:00..10:10
+        (2, datetime(2024, 1, 1, 10, 5), 2),    # 10:05..10:10
+        (4, datetime(2024, 1, 1, 10, 10), 2),   # 10:10..10:15 (tie)
+        (3, datetime(2024, 1, 1, 23, 50), 5),   # 23:50..00:10 next day
+        (5, datetime(2024, 1, 2, 0, 5), 2),     # 00:05..00:10
+    ]
+    rows, eid = [], 0
+    sessions = []
+    for uid, start, n in bursts:
+        for i in range(n):
+            rows.append((eid, start + timedelta(minutes=5 * i), uid,
+                         "click", 1.0, "{}"))
+            eid += 1
+        sessions.append((start, start + timedelta(minutes=5 * (n - 1))))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["date"].day: r["peak_concurrency"]
+           for r in E.peak_concurrency(ev).collect()}
+    # brute force: closed-interval overlap count at every boundary
+    bounds = sorted({t for s, e in sessions for t in (s, e)})
+    want = {}
+    for t in bounds:
+        c = sum(1 for s, e in sessions if s <= t <= e)
+        want[t.day] = max(want.get(t.day, 0), c)
+    assert got == want
+    assert got[1] == 3          # the 10:10 tie: users 1, 2, 4 all active
+    assert got[2] == 2          # user 3's carry + user 5
+
+
 def test_markov_stationary_matches_reference_exactly(spark):
     """Bit-exact agreement with the plain-Python power iteration
     (integer DIV), including an absorbing state that accumulates all
