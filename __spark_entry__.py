@@ -1638,6 +1638,19 @@ def text_lang_purity(spark, sf_dir):
     return T.lang_purity_by_source(_lt(spark, sf_dir, "documents"))
 
 
+def text_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid per doc from pure-regexp counts; the
+    two ratios are int/int raw doubles, the formulas literal
+    arithmetic on identical bits in oracle-mirrored order."""
+    return T.readability(_lt(spark, sf_dir, "documents"))
+
+
+def ev_bot_regularity(spark, sf_dir):
+    """Metronomic-user flag: cv of inter-event gaps compared in exact
+    integer arithmetic (10000·(cQ−S²) ≤ cv²·S²); cv ships raw."""
+    return E.bot_regularity(_lt(spark, sf_dir, "events"))
+
+
 def text_zipf_fit(spark, sf_dir):
     """Per-language Zipf exponent via the exact fixed-point OLS core
     (ln values on the 1e-6 micro grid); slope/intercept/r2 ship RAW."""
@@ -2149,6 +2162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rfm_scores": ev_rfm_scores,
         "text_lang_purity": text_lang_purity,
         "text_zipf_fit": text_zipf_fit,
+        "text_readability": text_readability,
+        "ev_bot_regularity": ev_bot_regularity,
         "ev_gap_stats": ev_gap_stats,
         "ts_rebase_index": ts_rebase_index,
         "catalog_coverage": catalog_coverage,
@@ -2187,7 +2202,7 @@ _WINDOW = [
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
-    "ev_peak_concurrency",
+    "ev_peak_concurrency", "text_readability", "ev_bot_regularity",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2206,7 +2221,6 @@ _WINDOW = [
     "infogob_location_canonical", "mode_status_by_customer",
     "json_api_observations", "ts_format_period", "text_chunk_windows",
     "text_pack_sequences", "dedup_filter_apply", "split_train_val",
-    "sample_stratified_by_lang", "text_repetition_metrics",
 ]
 
 
@@ -4846,6 +4860,58 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN denx != 0 AND deny != 0
                     THEN num * num / (denx * deny) END AS r2
         FROM c ORDER BY lang
+    """
+
+    sql["text_readability"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_words,
+                   CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syllables
+            FROM documents
+        ),
+        r AS (
+            SELECT *,
+                   CAST(n_words AS DOUBLE) / n_sentences AS wps,
+                   CAST(n_syllables AS DOUBLE) / greatest(n_words, 1) AS spw
+            FROM base
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               wps AS words_per_sentence, spw AS syllables_per_word,
+               206.835 - 1.015 * wps - 84.6 * spw AS flesch,
+               0.39 * wps + 11.8 * spw - 15.59 AS fk_grade
+        FROM r ORDER BY doc_id
+    """
+
+    sql["ev_bot_regularity"] = """
+        WITH g0 AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) AS BIGINT)
+                   - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                       AS dus
+            FROM events
+        ),
+        g AS (SELECT user_id, dus // 1000000 AS gp
+              FROM g0 WHERE dus IS NOT NULL),
+        s AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gp) AS BIGINT) AS sg,
+                   sum(CAST(gp AS HUGEINT) * gp) AS q
+            FROM g GROUP BY user_id HAVING count(*) >= 20
+        )
+        SELECT user_id, n_gaps,
+               CAST(sg AS DOUBLE) / n_gaps AS mean_gap_s,
+               CASE WHEN sg != 0
+                    THEN sqrt(CAST(CAST(n_gaps AS HUGEINT) * q
+                                   - CAST(sg AS HUGEINT) * sg AS DOUBLE))
+                         / CAST(sg AS DOUBLE) END AS cv,
+               CAST(10000 * (CAST(n_gaps AS HUGEINT) * q
+                             - CAST(sg AS HUGEINT) * sg)
+                    <= 100 * CAST(sg AS HUGEINT) * sg AS BIGINT) AS is_bot
+        FROM s ORDER BY user_id
     """
 
     sql["ev_rfm_scores"] = """

@@ -534,6 +534,54 @@ def power_user_concentration(events: DataFrame, n_tiles: int = 10,
     return out.orderBy("tile") if sort else out
 
 
+def bot_regularity(events: DataFrame, min_gaps: int = 20,
+                   cv_pct: int = 10, sort: bool = True) -> DataFrame:
+    """Automation/bot heuristic: flag users whose inter-event gaps are
+    suspiciously REGULAR — coefficient of variation ≤ *cv_pct*% over at
+    least *min_gaps* gaps (human traffic is bursty, cron-like traffic
+    is metronomic) — a standard crawl-hygiene filter for training-data
+    event feeds.
+
+    The flag never touches a float: with c gaps (whole seconds),
+    S = Σg, Q = Σg², cv ≤ τ ⇔ 10000·(c·Q − S²) ≤ cv_pct²·S², compared
+    in DECIMAL(38,0) (HUGEINT in the oracle) — ≤ so the all-equal-gaps
+    chain (σ = 0, including all-zero gaps) flags. The reported cv
+    sqrt(cQ−S²)/S is a derived double from those exact integers and
+    ships RAW (NULL when S = 0). One shuffle on user_id; the gap
+    window shares the groupBy's partitioning."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (
+        events.select(
+            "user_id",
+            (us - F.lag(us).over(w)).alias("_dus"),
+        )
+        .where(F.col("_dus").isNotNull())
+        .select("user_id", F.expr("_dus DIV 1000000").alias("g"))
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    s = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("g").alias("_s"),
+        F.sum(dec(F.col("g")) * F.col("g")).alias("_q"),
+    ).where(F.col("n_gaps") >= min_gaps)
+    var_c2 = dec(F.col("n_gaps")) * F.col("_q") - dec(F.col("_s")) * F.col("_s")
+    out = s.select(
+        "user_id", "n_gaps",
+        (F.col("_s") / F.col("n_gaps")).alias("mean_gap_s"),
+        F.when(F.col("_s") != 0,
+               F.sqrt(var_c2.cast("double"))
+               / F.col("_s").cast("double")).alias("cv"),
+        (F.lit(10000) * var_c2
+         <= F.lit(cv_pct * cv_pct) * dec(F.col("_s")) * F.col("_s"))
+        .cast("bigint").alias("is_bot"),
+    )
+    return out.orderBy("user_id") if sort else out
+
+
 def peak_concurrency(events: DataFrame, gap_minutes: int = 30,
                      sort: bool = True) -> DataFrame:
     """Daily peak concurrent sessions (the capacity-planning number):

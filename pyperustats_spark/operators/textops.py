@@ -507,6 +507,45 @@ def vocab_top_terms(documents: DataFrame, n: int = 100) -> DataFrame:
     return freqs.orderBy(F.desc("freq"), F.asc("token")).limit(n)
 
 
+def readability(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document from
+    three pure-regexp counts — words (the shared tokenizer), sentences
+    (``[.!?]+`` runs, floored at 1), and syllables (vowel-group runs
+    ``[aeiouy]+`` in the lowercased text, the standard heuristic) — a
+    quality-filter feature for training corpora (OCR garbage and
+    boilerplate score far off the natural-text band).
+
+    Determinism: the two ratios are int/int IEEE divisions (bit-
+    identical cross-engine, ship RAW per the CLAUDE.md rule) and the
+    Flesch formulas are literal-coefficient arithmetic on those bits
+    in oracle-mirrored order. One narrow scan, zero shuffles, all
+    whole-stage codegen."""
+    n_words = F.size(tokens(F.col("text")))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1))
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+    base = documents.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.greatest(F.col("n_words"), F.lit(1))
+    out = base.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        .alias("flesch"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+        .alias("fk_grade"),
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
 def zipf_fit(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Per-language Zipf's-law fit: OLS of ln(freq) on ln(rank) over
     the language's vocabulary — slope ≈ −1 for natural text, so

@@ -251,6 +251,61 @@ def test_status_history_scd2_intervals(spark):
     assert len(u8) == 1 and u8[0]["valid_to"] is None
 
 
+def test_readability_matches_python(spark):
+    import re as _re
+    from pyperustats_spark.operators import textops as T
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The cat ran! Did it?"),
+         (2, "no punctuation here just words"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.readability(docs).collect()}
+    for did, text in [(1, "The cat sat. The cat ran! Did it?"),
+                      (2, "no punctuation here just words"), (3, "")]:
+        words = [t for t in _re.split(r"[^a-z0-9_']+", text.lower()) if t]
+        sents = max(len(_re.findall(r"[.!?]+", text)), 1)
+        syll = len(_re.findall(r"[aeiouy]+", text.lower()))
+        r = out[did]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) \
+            == (len(words), sents, syll)
+        wps = len(words) / sents
+        spw = syll / max(len(words), 1)
+        assert r["flesch"] == 206.835 - 1.015 * wps - 84.6 * spw
+        assert r["fk_grade"] == 0.39 * wps + 11.8 * spw - 15.59
+    assert out[3]["n_words"] == 0 and out[3]["flesch"] == 206.835
+
+
+def test_bot_regularity_flags_metronome(spark):
+    from datetime import datetime, timedelta
+    rows, eid = [], 0
+    t0 = datetime(2024, 1, 1)
+    # user 1: metronomic 60s gaps (cv = 0) -> bot
+    for i in range(30):
+        rows.append((eid, t0 + timedelta(seconds=60 * i), 1,
+                     "click", 1.0, "{}")); eid += 1
+    # user 2: bursty gaps (alternating 1s / 600s) -> human
+    t = t0
+    for i in range(30):
+        t += timedelta(seconds=1 if i % 2 else 600)
+        rows.append((eid, t, 2, "click", 1.0, "{}")); eid += 1
+    # user 3: all events at the SAME timestamp (gaps all 0) -> bot
+    for i in range(25):
+        rows.append((eid, t0, 3, "click", 1.0, "{}")); eid += 1
+    # user 4: too few events -> absent
+    for i in range(5):
+        rows.append((eid, t0 + timedelta(seconds=7 * i), 4,
+                     "click", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["user_id"]: r for r in E.bot_regularity(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["is_bot"] == 1 and out[1]["cv"] == 0.0
+    assert out[1]["mean_gap_s"] == 60.0
+    assert out[2]["is_bot"] == 0 and out[2]["cv"] > 0.5
+    assert out[3]["is_bot"] == 1 and out[3]["cv"] is None
+
+
 def test_peak_concurrency_brute_force(spark):
     """Sweep result == brute-force overlap counting at every session
     boundary, including a midnight-crossing session (carry across the
