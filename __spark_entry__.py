@@ -751,6 +751,12 @@ def q_part_affinity(spark, sf_dir):
     return R.part_affinity(_lt(spark, sf_dir, "lineitem"))
 
 
+def q_customer_migration(spark, sf_dir):
+    """Year-over-year spend-quartile migration matrix (integer-cents
+    spend, histogram_ntile tiers, NULL = inactive that year)."""
+    return R.customer_tier_migration(_lt(spark, sf_dir, "orders"))
+
+
 def graph_supplier_salsa(spark, sf_dir):
     from pyperustats_spark.operators import graph as G
     return G.supplier_authority(
@@ -2160,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_beta": ts_beta,
         "ts_ols_trend": ts_ols_trend,
         "ev_rfm_scores": ev_rfm_scores,
+        "q_customer_migration": q_customer_migration,
         "text_lang_purity": text_lang_purity,
         "text_zipf_fit": text_zipf_fit,
         "text_readability": text_readability,
@@ -2203,6 +2210,7 @@ _WINDOW = [
     "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
     "ev_peak_concurrency", "text_readability", "ev_bot_regularity",
+    "q_customer_migration",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2220,7 +2228,7 @@ _WINDOW = [
     "skew_salted_distinct", "text_clean_accents",
     "infogob_location_canonical", "mode_status_by_customer",
     "json_api_observations", "ts_format_period", "text_chunk_windows",
-    "text_pack_sequences", "dedup_filter_apply", "split_train_val",
+    "text_pack_sequences", "dedup_filter_apply",
 ]
 
 
@@ -4860,6 +4868,37 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN denx != 0 AND deny != 0
                     THEN num * num / (denx * deny) END AS r2
         FROM c ORDER BY lang
+    """
+
+    sql["q_customer_migration"] = """
+        WITH sa AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+        ),
+        ta AS (
+            SELECT o_custkey,
+                   CAST(ntile(4) OVER (ORDER BY cents, o_custkey)
+                        AS BIGINT) AS tier_from
+            FROM sa
+        ),
+        sb AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+        ),
+        tb AS (
+            SELECT o_custkey,
+                   CAST(ntile(4) OVER (ORDER BY cents, o_custkey)
+                        AS BIGINT) AS tier_to
+            FROM sb
+        )
+        SELECT tier_from, tier_to, CAST(count(*) AS BIGINT) AS n_customers
+        FROM ta FULL OUTER JOIN tb USING (o_custkey)
+        GROUP BY 1, 2
+        ORDER BY tier_from NULLS FIRST, tier_to NULLS FIRST
     """
 
     sql["text_readability"] = f"""

@@ -1890,3 +1890,46 @@ def dominant_supplier(lineitem: DataFrame, part: DataFrame,
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+def customer_tier_migration(orders: DataFrame, year_from: int = 1996,
+                            year_to: int = 1997, n_tiles: int = 4,
+                            sort: bool = True) -> DataFrame:
+    """Year-over-year spend-quartile migration matrix: customers are
+    tiered by total spend in *year_from* and again in *year_to*
+    (4 = top quartile), and the matrix counts customers per
+    (tier_from, tier_to) cell — NULL tier = not active that year
+    (acquisition row / churn column). The classic cohort-health BI
+    rollup.
+
+    Determinism: spend accumulates as integer CENTS (the 2-decimal
+    grid recovery) with custkey tiebreaks; tiers come from
+    :func:`~pyperustats_spark.operators.layout.histogram_ntile`
+    per year (value-derived ranks — the wide-frame-safe exact ntile;
+    see CLAUDE.md on the global-ntile exchange-reuse trap). Scale: one
+    shuffle to per-(customer, year) aggregates, one histogram-ntile
+    pass per year ($100-bucket side tables), a full-outer join on
+    custkey, and a |tiles|²-row rollup."""
+    from pyperustats_spark.operators.layout import histogram_ntile
+
+    def tiers(year: int, out_col: str) -> DataFrame:
+        spend = (
+            orders.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")).alias("_cents"))
+        )
+        t = histogram_ntile(spend, F.floor(F.col("_cents") / 10000),
+                            [F.col("_cents"), F.col("o_custkey")],
+                            n_tiles, out_col=out_col)
+        return t.select("o_custkey", out_col)
+
+    a = tiers(year_from, "tier_from")
+    b = tiers(year_to, "tier_to")
+    out = (
+        a.join(b, "o_custkey", "full_outer")
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return out.orderBy(F.asc_nulls_first("tier_from"),
+                       F.asc_nulls_first("tier_to")) if sort else out

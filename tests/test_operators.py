@@ -251,6 +251,32 @@ def test_status_history_scd2_intervals(spark):
     assert len(u8) == 1 and u8[0]["valid_to"] is None
 
 
+def test_customer_tier_migration_conserves_customers(spark, tables):
+    orders = tables["orders"]
+    out = R.customer_tier_migration(orders).collect()
+    tiers_f = {r["tier_from"] for r in out}
+    tiers_t = {r["tier_to"] for r in out}
+    assert tiers_f <= {None, 1, 2, 3, 4} and tiers_t <= {None, 1, 2, 3, 4}
+    # every customer active in either year lands in exactly one cell
+    active = orders.where(F.year("o_orderdate").isin(1996, 1997)) \
+        .select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in out) == active
+    # no (NULL, NULL) cell can exist
+    assert not any(r["tier_from"] is None and r["tier_to"] is None
+                   for r in out)
+    # quartile sizes per year follow the SQL ntile distribution
+    per_year = orders.where(F.year("o_orderdate") == 1996) \
+        .select("o_custkey").distinct().count()
+    base, rem = divmod(per_year, 4)
+    from collections import Counter
+    sizes = Counter()
+    for r in out:
+        if r["tier_from"] is not None:
+            sizes[r["tier_from"]] += r["n_customers"]
+    assert sorted(sizes.values(), reverse=True) == sorted(
+        [base + 1] * rem + [base] * (4 - rem), reverse=True)
+
+
 def test_readability_matches_python(spark):
     import re as _re
     from pyperustats_spark.operators import textops as T
