@@ -751,6 +751,12 @@ def q_part_affinity(spark, sf_dir):
     return R.part_affinity(_lt(spark, sf_dir, "lineitem"))
 
 
+def q_cohort_ltv(spark, sf_dir):
+    """Acquisition-cohort LTV curves (integer-cents revenue, integer
+    month index, ordered-window cumulative; derived doubles raw)."""
+    return R.cohort_ltv(_lt(spark, sf_dir, "orders"))
+
+
 def q_customer_migration(spark, sf_dir):
     """Year-over-year spend-quartile migration matrix (integer-cents
     spend, histogram_ntile tiers, NULL = inactive that year)."""
@@ -2167,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ols_trend": ts_ols_trend,
         "ev_rfm_scores": ev_rfm_scores,
         "q_customer_migration": q_customer_migration,
+        "q_cohort_ltv": q_cohort_ltv,
         "text_lang_purity": text_lang_purity,
         "text_zipf_fit": text_zipf_fit,
         "text_readability": text_readability,
@@ -2210,7 +2217,7 @@ _WINDOW = [
     "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
     "ev_peak_concurrency", "text_readability", "ev_bot_regularity",
-    "q_customer_migration",
+    "q_customer_migration", "q_cohort_ltv",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2228,7 +2235,7 @@ _WINDOW = [
     "skew_salted_distinct", "text_clean_accents",
     "infogob_location_canonical", "mode_status_by_customer",
     "json_api_observations", "ts_format_period", "text_chunk_windows",
-    "text_pack_sequences", "dedup_filter_apply",
+    "text_pack_sequences",
 ]
 
 
@@ -4868,6 +4875,47 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN denx != 0 AND deny != 0
                     THEN num * num / (denx * deny) END AS r2
         FROM c ORDER BY lang
+    """
+
+    sql["q_cohort_ltv"] = """
+        WITH first AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP)
+                       AS cohort
+            FROM orders GROUP BY 1
+        ),
+        enriched AS (
+            SELECT o.o_custkey, f.cohort,
+                   CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                        + (month(o.o_orderdate) - month(f.cohort))
+                        AS BIGINT) AS month_index,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN first f USING (o_custkey)
+        ),
+        sizes AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+            FROM first GROUP BY 1
+        ),
+        cells AS (
+            SELECT cohort, month_index,
+                   CAST(sum(cents) AS BIGINT) AS rev_cents
+            FROM enriched GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort, month_index, rev_cents,
+                   CAST(sum(rev_cents) OVER (PARTITION BY cohort
+                       ORDER BY month_index
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_cents
+            FROM cells
+        )
+        SELECT c.cohort, c.month_index, s.n_customers,
+               CAST(c.rev_cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+               (CAST(c.cum_cents AS DOUBLE) / 100.0) / s.n_customers
+                   AS ltv_per_customer
+        FROM cum c JOIN sizes s USING (cohort)
+        ORDER BY c.cohort, c.month_index
     """
 
     sql["q_customer_migration"] = """

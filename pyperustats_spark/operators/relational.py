@@ -1933,3 +1933,56 @@ def customer_tier_migration(orders: DataFrame, year_from: int = 1996,
     )
     return out.orderBy(F.asc_nulls_first("tier_from"),
                        F.asc_nulls_first("tier_to")) if sort else out
+
+
+def cohort_ltv(orders: DataFrame, sort: bool = True) -> DataFrame:
+    """Acquisition-cohort LTV curves: customers are cohorted by their
+    FIRST order month; each cohort's revenue is laid out by months
+    since acquisition with a running cumulative and a per-customer
+    LTV — the standard growth-accounting rollup (revenue retention /
+    payback curves fall out of it).
+
+    Determinism: revenue accumulates as integer CENTS; the month index
+    is pure integer arithmetic ((Δyear)·12 + Δmonth — months_between
+    would return engine-specific doubles); the cumulative is an
+    ORDERED window cumsum of bigints over the bounded per-cohort month
+    frame; ltv_per_customer is one deterministic double chain from
+    exact integers, shipped RAW. Scale: one shuffle to per-customer
+    first-order rows, one to (cohort, month) cells; windows run on the
+    cohort×month rollup (bounded by the date range squared), never on
+    raw orders."""
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("MONTH", F.min("o_orderdate")).alias("cohort"))
+    enriched = (
+        orders.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            ((F.year(F.date_trunc("MONTH", F.col("o_orderdate")))
+              - F.year(F.col("cohort"))) * 12
+             + (F.month(F.col("o_orderdate")) - F.month(F.col("cohort"))))
+            .cast("bigint").alias("month_index"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("_cents"),
+        )
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+    cells = enriched.groupBy("cohort", "month_index").agg(
+        F.sum("_cents").alias("_rev_cents"))
+    wc = (Window.partitionBy("cohort").orderBy("month_index")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    out = (
+        cells.withColumn("_cum_cents", F.sum("_rev_cents").over(wc))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "month_index", "n_customers",
+            (F.col("_rev_cents").cast("double") / F.lit(100.0))
+            .alias("revenue"),
+            (F.col("_cum_cents").cast("double") / F.lit(100.0))
+            .alias("cum_revenue"),
+            ((F.col("_cum_cents").cast("double") / F.lit(100.0))
+             / F.col("n_customers")).alias("ltv_per_customer"),
+        )
+    )
+    return out.orderBy("cohort", "month_index") if sort else out

@@ -251,6 +251,34 @@ def test_status_history_scd2_intervals(spark):
     assert len(u8) == 1 and u8[0]["valid_to"] is None
 
 
+def test_cohort_ltv_invariants(spark, tables):
+    orders = tables["orders"]
+    out = R.cohort_ltv(orders).collect()
+    assert out
+    # month_index 0 exists for every cohort (the acquisition month)
+    by_cohort = {}
+    for r in out:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for rows in by_cohort.values():
+        idx = [r["month_index"] for r in rows]
+        assert min(idx) == 0
+        # cumulative is the running sum of revenue in index order
+        rows = sorted(rows, key=lambda r: r["month_index"])
+        run = 0.0
+        for r in rows:
+            run = round(run + r["revenue"], 2)
+            assert abs(r["cum_revenue"] - run) < 1e-6
+            assert r["ltv_per_customer"] == r["cum_revenue"] / r["n_customers"]
+    # cohort sizes partition the customer base
+    assert (sum({r["cohort"]: r["n_customers"] for r in out}.values())
+            == orders.select("o_custkey").distinct().count())
+    # total revenue conserved (cents-exact)
+    total = round(sum(r["revenue"] for r in out), 2)
+    want = round(sum(round(r["o_totalprice"] * 100)
+                     for r in orders.collect()) / 100.0, 2)
+    assert abs(total - want) < 1e-6
+
+
 def test_customer_tier_migration_conserves_customers(spark, tables):
     orders = tables["orders"]
     out = R.customer_tier_migration(orders).collect()
