@@ -751,6 +751,12 @@ def q_part_affinity(spark, sf_dir):
     return R.part_affinity(_lt(spark, sf_dir, "lineitem"))
 
 
+def q_sales_cube(spark, sf_dir):
+    """Full CUBE over (returnflag, linestatus, ship year) with SQL
+    grouping ids; cents-exact revenue."""
+    return R.sales_cube(_lt(spark, sf_dir, "lineitem"))
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Acquisition-cohort LTV curves (integer-cents revenue, integer
     month index, ordered-window cumulative; derived doubles raw)."""
@@ -2174,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rfm_scores": ev_rfm_scores,
         "q_customer_migration": q_customer_migration,
         "q_cohort_ltv": q_cohort_ltv,
+        "q_sales_cube": q_sales_cube,
         "text_lang_purity": text_lang_purity,
         "text_zipf_fit": text_zipf_fit,
         "text_readability": text_readability,
@@ -2217,7 +2224,7 @@ _WINDOW = [
     "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
     "ev_peak_concurrency", "text_readability", "ev_bot_regularity",
-    "q_customer_migration", "q_cohort_ltv",
+    "q_customer_migration", "q_cohort_ltv", "q_sales_cube",
     "q16_part_supplier_counts", "embedding_centroids",
     "layout_zorder_files", "layout_pruning_compare",
     "q_bloom_pruned_join", "dedup_incremental_bloom",
@@ -2235,7 +2242,6 @@ _WINDOW = [
     "skew_salted_distinct", "text_clean_accents",
     "infogob_location_canonical", "mode_status_by_customer",
     "json_api_observations", "ts_format_period", "text_chunk_windows",
-    "text_pack_sequences",
 ]
 
 
@@ -4875,6 +4881,20 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN denx != 0 AND deny != 0
                     THEN num * num / (denx * deny) END AS r2
         FROM c ORDER BY lang
+    """
+
+    sql["q_sales_cube"] = """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(GROUPING(l_returnflag, l_linestatus, year(l_shipdate))
+                    AS BIGINT) AS grp_id,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus, year(l_shipdate))
+        ORDER BY grp_id, returnflag NULLS FIRST, linestatus NULLS FIRST,
+                 ship_year NULLS FIRST
     """
 
     sql["q_cohort_ltv"] = """

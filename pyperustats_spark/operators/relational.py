@@ -1986,3 +1986,38 @@ def cohort_ltv(orders: DataFrame, sort: bool = True) -> DataFrame:
         )
     )
     return out.orderBy("cohort", "month_index") if sort else out
+
+
+def sales_cube(lineitem: DataFrame, sort: bool = True) -> DataFrame:
+    """Full OLAP CUBE over (returnflag, linestatus, ship year): item
+    count and revenue at EVERY aggregation level, tagged with the SQL
+    grouping id — the one-query answer to a BI tool's drill-up/-down
+    matrix, and the GROUPING SETS surface of the engine (q_sales_rollup
+    covers the hierarchical ROLLUP case).
+
+    Spark expands the cube map-side into 2³ grouping sets feeding ONE
+    partial-aggregated shuffle — not 8 scans. Revenue accumulates as
+    integer cents (exact, merge-order-free) and converts to currency
+    once; grouping_id bit order (left = most significant) matches
+    DuckDB's GROUPING(a, b, c)."""
+    base = lineitem.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("_cents"),
+    )
+    out = (
+        base.cube("returnflag", "linestatus", "ship_year")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+    return out.orderBy(
+        "grp_id",
+        F.asc_nulls_first("returnflag"),
+        F.asc_nulls_first("linestatus"),
+        F.asc_nulls_first("ship_year"),
+    ) if sort else out

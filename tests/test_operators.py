@@ -251,6 +251,31 @@ def test_status_history_scd2_intervals(spark):
     assert len(u8) == 1 and u8[0]["valid_to"] is None
 
 
+def test_sales_cube_levels(spark, tables):
+    li = tables["lineitem"]
+    out = R.sales_cube(li).collect()
+    # all 8 grouping sets of a 3-column cube are present
+    assert {r["grp_id"] for r in out} == set(range(8))
+    # the grand total row (everything aggregated away)
+    gt = [r for r in out if r["grp_id"] == 7]
+    assert len(gt) == 1
+    assert gt[0]["n_items"] == li.count()
+    want = round(sum(round(r["l_extendedprice"] * 100)
+                     for r in li.collect()) / 100.0, 2)
+    assert abs(gt[0]["revenue"] - want) < 1e-6
+    # every level's revenue reconciles to the grand total (cube
+    # consistency) and NULL pattern matches the grouping bits
+    from collections import defaultdict
+    lvl = defaultdict(float)
+    for r in out:
+        lvl[r["grp_id"]] += r["revenue"]
+        for bit, col in ((4, "returnflag"), (2, "linestatus"),
+                         (1, "ship_year")):
+            assert (r[col] is None) == bool(r["grp_id"] & bit)
+    for g, tot in lvl.items():
+        assert abs(tot - want) < 1e-6, g
+
+
 def test_cohort_ltv_invariants(spark, tables):
     orders = tables["orders"]
     out = R.cohort_ltv(orders).collect()
