@@ -604,6 +604,9 @@ def peak_concurrency(events: DataFrame, gap_minutes: int = 30,
         .unionAll(
             s.select(F.col("session_end").alias("ts"), F.lit(-1).alias("d")))
         .withColumn("day", F.date_trunc("DAY", F.col("ts")))
+        # referenced by the carry table AND the running sweep —
+        # persist so sessionization runs once (2 rows per session)
+        .persist()
     )
     day_net = deltas.groupBy("day").agg(F.sum("d").alias("_net"))
     wd = Window.orderBy("day")
@@ -755,6 +758,11 @@ def rfm_scores(events: DataFrame, event_type: str = "purchase",
             "_mc",
         )
         .withColumn("_negr", -F.col("recency_days"))
+        # persisted: histogram_ntile references its input TWICE (counts
+        # side table + ranked join) and three chained passes would
+        # otherwise re-execute the events aggregate up to 2^3 times —
+        # Catalyst does not dedupe common subplans (CLAUDE.md)
+        .persist()
     )
     # buckets are monotone coarsenings of each tile's leading sort key
     # (recency/frequency: the bounded integer itself; cents: $100 bins)

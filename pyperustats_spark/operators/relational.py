@@ -1918,6 +1918,9 @@ def customer_tier_migration(orders: DataFrame, year_from: int = 1996,
             .groupBy("o_custkey")
             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
                        .cast("bigint")).alias("_cents"))
+            # histogram_ntile references its input twice — persist the
+            # per-customer aggregate so the orders scan runs once/year
+            .persist()
         )
         t = histogram_ntile(spend, F.floor(F.col("_cents") / 10000),
                             [F.col("_cents"), F.col("o_custkey")],
@@ -1951,8 +1954,10 @@ def cohort_ltv(orders: DataFrame, sort: bool = True) -> DataFrame:
     first-order rows, one to (cohort, month) cells; windows run on the
     cohort×month rollup (bounded by the date range squared), never on
     raw orders."""
+    # persisted: referenced by the enrichment join AND the cohort-size
+    # aggregate — unpersisted, the orders scan+agg would run twice
     first = orders.groupBy("o_custkey").agg(
-        F.date_trunc("MONTH", F.min("o_orderdate")).alias("cohort"))
+        F.date_trunc("MONTH", F.min("o_orderdate")).alias("cohort")).persist()
     enriched = (
         orders.join(first, "o_custkey")
         .select(

@@ -571,6 +571,9 @@ def zipf_fit(documents: DataFrame, sort: bool = True) -> DataFrame:
         documents.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("freq"))
+        # referenced by the frequency histogram AND the ranked join —
+        # persist the vocab so the corpus explode+count runs once
+        .persist()
     )
     counts = freqs.groupBy("lang", "freq").agg(F.count(F.lit(1)).alias("_cnt"))
     wf = Window.partitionBy("lang").orderBy(F.desc("freq"))

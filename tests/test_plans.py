@@ -115,6 +115,21 @@ BROADCAST_HINT_WHITELIST = {
                                   # bucket-histogram prefix table
                                   # (≤ 2^(bits·cols) rows)
     "layout_pruning_compare",     # same bounded sides × 3 layouts
+    "emb_radius_search",          # query vectors (O(queries))
+    "emb_radius_search_ivf",      # query-cell probe rows (O(q × nprobe))
+    "ann_mips_dot",               # query vectors (O(queries))
+    "ann_mips_ivf",               # query-cell probe rows (O(q × nprobe))
+    "ev_rfm_scores",              # 1-row max-date + three histogram-
+                                  # ntile prefix tables (bucket-space
+                                  # bounded, never data-sized)
+    "text_zipf_fit",              # distinct-frequency prefix table
+                                  # (bounded by the frequency value
+                                  # space, Heaps-sublinear in corpus)
+    "ev_peak_concurrency",        # per-day carry table (date-range
+                                  # bounded)
+    "q_customer_migration",       # two histogram-ntile prefix tables
+    "q_cohort_ltv",               # cohort-size table (month-range
+                                  # bounded)
 }
 
 
@@ -447,6 +462,23 @@ PLAN_SMELL_WHITELIST = {
                                                 # space, never data)
     "layout_pruning_compare": {"BNLJ", "SINGLE_PART"},  # same audited
                                                 # shapes × 3 layouts
+    "emb_radius_search": {"BNLJ"},              # broadcast query set
+                                                # (knn_bruteforce class)
+    "ann_mips_dot": {"BNLJ"},                   # broadcast query set
+    "ev_rfm_scores": {"BNLJ", "SINGLE_PART"},   # 1-row max-date cross
+                                                # join + histogram-ntile
+                                                # prefix windows over the
+                                                # bucket-space-bounded
+                                                # side frames
+    "ev_markov_stationary": {"SINGLE_PART"},    # share window over the
+                                                # |event-types| state
+                                                # frame (audited tiny)
+    "ev_peak_concurrency": {"SINGLE_PART"},     # carry prefix window
+                                                # over the date-range-
+                                                # bounded day frame
+    "q_customer_migration": {"SINGLE_PART"},    # histogram-ntile prefix
+                                                # windows ($100-bucket
+                                                # side frames)
 }
 
 
