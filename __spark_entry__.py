@@ -1637,6 +1637,12 @@ def ts_beta(spark, sf_dir):
                           "AF", "NO")
 
 
+def ts_rolling_median(spark, sf_dir):
+    """Exact centered rolling median (robust smoother); explicit
+    two-element median formula mirrored in the oracle."""
+    return TS.rolling_median(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_ols_trend(spark, sf_dir):
     """Per-series OLS time trend in exact fixed-point sums — slope/
     intercept/r2 are derived doubles from identical integer bits and
@@ -2177,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_attribution_first": ev_attribution_first,
         "ts_beta": ts_beta,
         "ts_ols_trend": ts_ols_trend,
+        "ts_rolling_median": ts_rolling_median,
         "ev_rfm_scores": ev_rfm_scores,
         "q_customer_migration": q_customer_migration,
         "q_cohort_ltv": q_cohort_ltv,
@@ -2221,7 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # queries every run.
 _WINDOW = [
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
-    "ts_ols_trend", "ev_rfm_scores", "text_zipf_fit",
+    "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
     "ev_peak_concurrency", "text_readability", "ev_bot_regularity",
     "q_customer_migration", "q_cohort_ltv", "q_sales_cube",
@@ -2241,7 +2248,7 @@ _WINDOW = [
     "text_lang_confusion", "skew_salted_join",
     "skew_salted_distinct", "text_clean_accents",
     "infogob_location_canonical", "mode_status_by_customer",
-    "json_api_observations", "ts_format_period", "text_chunk_windows",
+    "json_api_observations", "ts_format_period",
 ]
 
 
@@ -4791,6 +4798,23 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         )
         SELECT n_obs, beta, my - beta * mx AS intercept FROM a
+    """
+
+    sql["ts_rolling_median"] = f"""
+        WITH long AS ({_LONG}),
+        v AS (SELECT date, code, round(value, 4) AS value FROM long),
+        wv AS (
+            SELECT date, code, value,
+                   list_sort(list(value) OVER w) AS s,
+                   CAST(count(*) OVER w AS BIGINT) AS n
+            FROM v
+            WINDOW w AS (PARTITION BY code ORDER BY date
+                         ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)
+        )
+        SELECT date, code, value,
+               (s[CAST((n + 1) // 2 AS INT)]
+                + s[CAST(n // 2 + 1 AS INT)]) / 2 AS roll_median
+        FROM wv ORDER BY code, date
     """
 
     sql["ts_ols_trend"] = f"""

@@ -748,6 +748,42 @@ def series_beta(long_df: DataFrame, code_y: str, code_x: str,
     )
 
 
+def rolling_median(long_df: DataFrame, half_window: int = 7,
+                   sort: bool = True) -> DataFrame:
+    """Exact centered rolling median per series — the robust smoother
+    (spikes that drag a moving AVERAGE leave a rolling median
+    untouched), companion to :func:`trend_ma`.
+
+    Spark has no median window function, so the window's values ride a
+    ``collect_list`` + ``array_sort`` (bounded by 2·half_window+1 per
+    row — a constant, never data-sized) and the median is the explicit
+    two-element formula ((s[(n+1) DIV 2] + s[n DIV 2 + 1]) / 2, exact
+    for odd n) — spelled the SAME way in the oracle so even-n averages
+    see identical bits. Values grid-recover to 4 decimals first (the
+    ts_* convention); the median of grid values ships RAW. One shuffle
+    on the series key."""
+    w = (Window.partitionBy("code").orderBy("date")
+         .rowsBetween(-half_window, half_window))
+    vals = long_df.select(
+        "date", "code",
+        F.round(F.col("value"), 4).alias("value"),
+    ).select(
+        "date", "code", "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("_s"),
+    ).select(
+        "date", "code", "value", "_s",
+        F.size("_s").cast("bigint").alias("_n"),
+    )
+    lo = F.element_at(F.col("_s"), ((F.col("_n") + 1) / 2)
+                      .cast("int"))
+    hi = F.element_at(F.col("_s"), (F.col("_n") / 2 + 1).cast("int"))
+    out = vals.select(
+        "date", "code", "value",
+        ((lo + hi) / 2).alias("roll_median"),
+    )
+    return out.orderBy("code", "date") if sort else out
+
+
 def ols_trend(long_df: DataFrame, sort: bool = True) -> DataFrame:
     """Per-series OLS time trend — slope, intercept, R² of value on the
     observation index — in EXACT fixed-point arithmetic so Spark and a

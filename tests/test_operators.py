@@ -768,6 +768,34 @@ def test_ngram_containment_pairs(spark, tables):
             assert max(p["cont_a"], p["cont_b"]) >= j - 1e-9
 
 
+def test_rolling_median_matches_python(spark, tables):
+    import statistics
+    import pyperustats_spark.operators.timeseries as TS
+    long_df = TS.series_long(tables["lineitem"])
+    out = TS.rolling_median(long_df, half_window=3).collect()
+    series = {}
+    for r in long_df.collect():
+        series.setdefault(r["code"], []).append(
+            (r["date"], round(r["value"], 4)))
+    for code in series:
+        series[code].sort()
+    got = {(r["code"], r["date"]): r["roll_median"] for r in out}
+    for code, pts in series.items():
+        vals = [v for _, v in pts]
+        for i, (d, _) in enumerate(pts):
+            win = vals[max(0, i - 3): i + 4]
+            assert got[(code, d)] == statistics.median(sorted(win))
+    # a spike the moving average would absorb leaves the median flat
+    one = spark.createDataFrame(
+        [(f"2020-01-{d:02d}", "ZZ", 10.0 if d != 5 else 1000.0)
+         for d in range(1, 10)],
+        "date string, code string, value double"
+    ).select(F.to_timestamp("date").alias("date"), "code", "value")
+    meds = [r["roll_median"]
+            for r in TS.rolling_median(one, half_window=3).collect()]
+    assert all(m == 10.0 for m in meds)
+
+
 def test_ols_trend_matches_numpy(spark, tables):
     import numpy as np
     import pyperustats_spark.operators.timeseries as TS
