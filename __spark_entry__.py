@@ -776,6 +776,39 @@ def graph_supplier_salsa(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=4, k=50)
 
 
+def graph_part_triangles(spark, sf_dir):
+    """Triangle census of the part co-purchase graph (degree-ordered
+    node-iterator; one summary row, clustering coefficient raw)."""
+    from pyperustats_spark.operators import graph as G
+    return G.copurchase_triangle_stats(_lt(spark, sf_dir, "lineitem"))
+
+
+def er_customer_name_pairs(spark, sf_dir):
+    """Blocked Levenshtein entity-resolution pairs (nation blocks,
+    distance <= 1; edit distances oracle-exact)."""
+    return R.fuzzy_name_pairs(_lt(spark, sf_dir, "customer"))
+
+
+def sample_weighted_orders(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample of orders by totalprice
+    (md5-uniform, grid-snapped ln — deterministic cross-engine)."""
+    return R.weighted_sample(_lt(spark, sf_dir, "orders"),
+                             key="o_orderkey", weight_col="o_totalprice",
+                             k=100)
+
+
+def ev_hll_rollup(spark, sf_dir):
+    """Monthly distinct users via merged daily HLL sketches vs the
+    exact re-scan (rows-only: sketch registers have no SQL oracle)."""
+    return E.hll_distinct_rollup(_lt(spark, sf_dir, "events"))
+
+
+def ev_kll_quantiles(spark, sf_dir):
+    """Per-type value quantiles from folded daily KLL sketches, with
+    exact in-engine rank-error calibration (rows-only)."""
+    return E.kll_value_quantiles(_lt(spark, sf_dir, "events"))
+
+
 def ev_peak_concurrency(spark, sf_dir):
     """Daily peak concurrent sessions via the day-partitioned sweep
     (bounded carry table, never a partition-less global window)."""
@@ -2043,6 +2076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_supplier": q20_dominant_supplier,
         "graph_supplier_pagerank": graph_supplier_pagerank,
         "graph_supplier_salsa": graph_supplier_salsa,
+        "graph_part_triangles": graph_part_triangles,
+        "er_customer_name_pairs": er_customer_name_pairs,
+        "sample_weighted_orders": sample_weighted_orders,
+        "ev_hll_rollup": ev_hll_rollup,
+        "ev_kll_quantiles": ev_kll_quantiles,
         "ev_markov_stationary": ev_markov_stationary,
         "ev_volume_anomalies": ev_volume_anomalies,
         "ev_peak_concurrency": ev_peak_concurrency,
@@ -2227,6 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_oracle_parity.py) still value-checks all oracle-backed
 # queries every run.
 _WINDOW = [
+    "graph_part_triangles", "er_customer_name_pairs",
+    "sample_weighted_orders",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2247,8 +2287,7 @@ _WINDOW = [
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
     "skew_salted_distinct", "text_clean_accents",
-    "infogob_location_canonical", "mode_status_by_customer",
-    "json_api_observations", "ts_format_period",
+    "infogob_location_canonical",
 ]
 
 
@@ -5812,6 +5851,88 @@ def oracle_sql() -> dict[str, str]:
         JOIN pc nb ON p.part_b = nb.l_partkey
         ORDER BY n_both DESC, part_a, part_b
         LIMIT 50
+    """
+
+    # same basket -> edge -> degree-orientation -> wedge-close pipeline
+    # as the Spark side; every count integer-exact, clustering int/int raw
+    sql["graph_part_triangles"] = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        ok AS (
+            SELECT l_orderkey FROM items GROUP BY l_orderkey
+            HAVING count(*) BETWEEN 2 AND 50
+        ),
+        it AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN ok USING (l_orderkey)
+        ),
+        edges AS (
+            SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM it a JOIN it b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 1
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS node FROM edges
+                  UNION ALL SELECT b AS node FROM edges)
+            GROUP BY node
+        ),
+        ori AS (
+            SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS u,
+                   CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS v
+            FROM edges e
+            JOIN deg da ON e.a = da.node
+            JOIN deg db ON e.b = db.node
+        ),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM ori e1
+            JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
+            JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg)
+                   AS n_wedges,
+               n_triangles,
+               3 * n_triangles
+                   / (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg)
+                   AS global_clustering
+        FROM tri
+    """
+
+    sql["er_customer_name_pairs"] = """
+        WITH blk AS (
+            SELECT c_nationkey FROM customer GROUP BY c_nationkey
+            HAVING count(*) BETWEEN 2 AND 10000
+        )
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        JOIN blk ON a.c_nationkey = blk.c_nationkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY key_a, key_b
+    """
+
+    # md5-uniform + grid-snapped ln: every rank-determining bit
+    # identical cross-engine (CLAUDE.md ln-recipe)
+    sql["sample_weighted_orders"] = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS weight,
+               -round(ln((CAST('0x' || substring(
+                              md5('wsample:' || CAST(o_orderkey AS VARCHAR)),
+                              1, 8) AS BIGINT) + 0.5) / 4294967296), 6)
+                   / round(o_totalprice, 2) AS es_key
+        FROM orders
+        WHERE o_totalprice > 0
+        ORDER BY es_key ASC, o_orderkey ASC
+        LIMIT 100
     """
 
     sql["q2_min_cost_supplier"] = """

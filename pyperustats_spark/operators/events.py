@@ -977,3 +977,121 @@ def heavy_hitters_sketch_eval(events: DataFrame,
         )
         .orderBy(F.desc("exact_count"), F.col(key_col))
     )
+
+
+def hll_distinct_rollup(events: DataFrame, lg_k: int = 12,
+                        sort: bool = True) -> DataFrame:
+    """Monthly distinct users per event type via MERGED daily HLL
+    sketches (Apache DataSketches, `hll_sketch_agg`/`hll_union_agg`),
+    reported against the exact re-scan: (month, event_type, est_users,
+    exact_users, rel_err).
+
+    This is the re-aggregation contract that makes sketches the 100 TB
+    distinct-count path: daily shards each keep an O(2^lg_k) register
+    table, months (quarters, years, all-time) derive by UNIONING the
+    stored sketches — no re-scan of raw events, and union is exact on
+    the register level (element-wise max), so rolling up daily
+    sketches yields the IDENTICAL estimate the month-level sketch
+    would give (pinned in pytest — the mergeability invariant). Std
+    error ≈ 1.04/√2^lg_k ≈ 1.6 % at the default lg_k = 12.
+
+    The exact side re-groups the raw events (the expensive baseline
+    this operator exists to retire); both sides are leaf-table scans,
+    so the double reference re-reads the parquet, never a computed
+    chain. rel_err = (est − exact)/exact, int/int IEEE division
+    shipped raw. Rows-only (sketch registers have no SQL oracle)."""
+    day = F.date_trunc("day", F.col("ts"))
+    month = F.date_trunc("month", F.col("_day"))
+    daily = (
+        events.select("event_type", day.alias("_day"), "user_id")
+        .groupBy("event_type", "_day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("_sk"))
+    )
+    merged = (
+        daily.groupBy("event_type", month.alias("month"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+             .alias("est_users"))
+    )
+    exact = (
+        events.groupBy("event_type",
+                       F.date_trunc("month", F.col("ts")).alias("month"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    out = (
+        merged.join(exact, ["event_type", "month"])
+        .select(
+            "month", "event_type", "est_users", "exact_users",
+            ((F.col("est_users") - F.col("exact_users"))
+             / F.col("exact_users")).alias("rel_err"),
+        )
+    )
+    return out.orderBy("month", "event_type") if sort else out
+
+
+def kll_value_quantiles(events: DataFrame, k: int = 200,
+                        qs: tuple = (0.05, 0.5, 0.9, 0.99),
+                        sort: bool = True) -> DataFrame:
+    """Per-event-type value quantiles from MERGED daily KLL sketches
+    (Apache DataSketches — the real KLL, unlike `approx_percentile`
+    which is a Greenwald-Khanna summary), self-calibrated against the
+    raw data: (event_type, quantile, est_value, rank_abs_err).
+
+    Rollup shape: each (type, day) keeps one O(k) sketch;
+    the per-type sketch derives by folding the stored daily sketches
+    with `kll_sketch_merge_double` (pyspark exposes merge as a BINARY
+    scalar, not an aggregate, so the fold is `F.aggregate` over the
+    collected sketch array — bounded by days-per-type, a few KB each,
+    never by row count). At 100 TB the daily sketches are the stored
+    artifact and quantiles over any date range are a driver-side fold —
+    no raw re-scan.
+
+    Calibration is in-engine (the heavy_hitters_sketch_eval pattern):
+    the tiny (type, q, est) frame broadcast-joins back to events and
+    rank_abs_err = |count(value ≤ est)/count − q| — the exact rank
+    error, whose ≤ ~1.65 %·(2-sided) bound at k = 200 is pinned in
+    pytest. int/int division ships raw. Rows-only."""
+    day = F.date_trunc("day", F.col("ts"))
+    daily = (
+        events.select("event_type", day.alias("_day"), "value")
+        .groupBy("event_type", "_day")
+        .agg(F.kll_sketch_agg_double("value", F.lit(k)).alias("_sk"))
+    )
+    merged = (
+        daily.groupBy("event_type")
+        .agg(F.collect_list("_sk").alias("_sks"))
+        .select(
+            "event_type",
+            F.aggregate(
+                F.slice("_sks", 2, F.size("_sks")),
+                F.element_at("_sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("_sk"),
+        )
+    )
+    est = merged.select(
+        "event_type",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(float(q)).alias("quantile"),
+                F.kll_sketch_get_quantile_double("_sk", F.lit(float(q)))
+                .alias("est_value"))
+            for q in qs
+        ])).alias("_e"),
+    ).select("event_type", "_e.quantile", "_e.est_value")
+    ranked = (
+        events.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "quantile", "est_value")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("est_value"), 1)
+                  .otherwise(0)).alias("_n_le"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "event_type", "quantile", "est_value",
+            F.abs(F.col("_n_le") / F.col("_n") - F.col("quantile"))
+            .alias("rank_abs_err"),
+        )
+    )
+    return (ranked.orderBy("event_type", "quantile")
+            if sort else ranked)

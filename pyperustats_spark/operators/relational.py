@@ -2026,3 +2026,83 @@ def sales_cube(lineitem: DataFrame, sort: bool = True) -> DataFrame:
         F.asc_nulls_first("linestatus"),
         F.asc_nulls_first("ship_year"),
     ) if sort else out
+
+
+def fuzzy_name_pairs(df: DataFrame, block_col: str = "c_nationkey",
+                     key: str = "c_custkey", name: str = "c_name",
+                     max_dist: int = 1,
+                     max_block: int = 10_000) -> DataFrame:
+    """Blocked entity-resolution candidate pairs: rows in the same
+    *block_col* block whose *name* values sit within Levenshtein
+    distance *max_dist* — the dedup-by-similarity step of record
+    linkage (the reference's catalogue reconciliation,
+    perustats/infogob location canonicalization, generalized from
+    exact-match to edit-distance). Returns (key_a, key_b, name_a,
+    name_b, dist) for every candidate pair, ordered.
+
+    Scale shape: blocking IS the algorithm — all-pairs edit distance
+    is O(n²) and does not distribute; pairs are only ever generated
+    INSIDE a block, via the collect_list gather + in-array explode
+    idiom (one shuffle on the block key, never a self-join —
+    CLAUDE.md). Blocks above *max_block* are dropped, so a degenerate
+    block cannot go quadratic (same guard as minhash_lsh_pairs'
+    max_bucket); real linkage picks blocks that bound n per block
+    (here: nation — swap in phonetic keys / name prefixes for looser
+    data). ``levenshtein`` is a JVM built-in with identical
+    unit-cost semantics in DuckDB, so the distances (and therefore
+    the pair set) are oracle-exact."""
+    rows = df.select(F.col(block_col).alias("_blk"),
+                     F.struct(F.col(key).alias("k"),
+                              F.col(name).alias("nm")).alias("_r"))
+    blocks = (
+        rows.groupBy("_blk")
+        .agg(F.collect_list("_r").alias("_rs"))
+        .where((F.size("_rs") >= 2) & (F.size("_rs") <= max_block))
+        .select("_rs")
+    )
+    pairs = (
+        blocks.select(F.explode("_rs").alias("a"), F.col("_rs"))
+        .select("a", F.explode("_rs").alias("b"))
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"),
+            F.col("a.nm").alias("name_a"), F.col("b.nm").alias("name_b"),
+            F.levenshtein("a.nm", "b.nm").cast("bigint").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+    return pairs.orderBy("key_a", "key_b")
+
+
+def weighted_sample(df: DataFrame, key: str, weight_col: str,
+                    k: int = 100, salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, size *k*:
+    the Efraimidis–Spirakis A-ES scheme — each row draws uniform u
+    from a salted md5 of its key and the k rows with the largest
+    u^(1/w) win, which is exactly probability-proportional-to-weight
+    sampling without replacement. The training-data use: sample a
+    corpus proportional to per-document quality/importance weights,
+    reproducibly (same salt → same sample across runs, engines and
+    reshards — rand() gives none of that).
+
+    Determinism ladder (CLAUDE.md ln-recipe): u derives from md5 hex
+    → bigint, +0.5, /2³² — every step exact in both engines; ranking
+    by u^(1/w) is equivalent to ranking by es_key = −ln(u)/w
+    ascending, so ln(u) (engines differ by ulps) is snapped to the
+    1e-6 grid and the division by the 2-decimal-grid weight ships
+    raw — identical bits, identical ranks; ties (impossible in
+    practice, astronomically unlikely by construction) break on the
+    key. The scan is row-local + one global top-k (TakeOrdered — a
+    per-partition heap then a k-row driver merge, never a full
+    sort). Non-positive weights are excluded (u^(1/w) undefined)."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") + 0.5)
+         / F.lit(4294967296.0))
+    w = F.round(F.col(weight_col), 2)
+    es_key = -F.round(F.log(u), 6) / w
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(key), w.alias("weight"), es_key.alias("es_key"))
+        .orderBy(F.col("es_key").asc(), F.col(key).asc())
+        .limit(k)
+    )

@@ -3343,3 +3343,128 @@ def test_simhash_eval_counts_and_bounds(spark, tables):
                                  max_hamming=10).collect()[0]
     assert r2["n_exact"] >= 1 and r2["n_hits"] >= 1
     assert r2["recall"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round 7 batch 2: triangles, ER pairs, weighted sample, sketch rollups
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_on_known_graph(spark):
+    """K4 plus a pendant vertex: 4 triangles, 4+... exact census known
+    in closed form (K4 has 4 triangles, 6 edges; pendant adds 1 edge)."""
+    from pyperustats_spark.operators.graph import copurchase_triangle_stats
+    # orders: one basket per edge of K4 {1,2,3,4} + pendant edge (4,5)
+    rows = []
+    oid = 0
+    for a, b in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]:
+        oid += 1
+        rows += [(oid, a), (oid, b)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = copurchase_triangle_stats(li).collect()[0]
+    assert out["n_nodes"] == 5
+    assert out["n_edges"] == 7
+    # degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 1 => wedges = 3*3 + 6 + 0 = 15
+    assert out["n_wedges"] == 15
+    assert out["n_triangles"] == 4
+    assert abs(out["global_clustering"] - 12 / 15) < 1e-12
+
+
+def test_triangle_stats_no_triangles_and_empty(spark):
+    from pyperustats_spark.operators.graph import copurchase_triangle_stats
+    # a path graph 1-2-3: wedges but zero triangles
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3)], ["l_orderkey", "l_partkey"])
+    out = copurchase_triangle_stats(li).collect()[0]
+    assert out["n_triangles"] == 0 and out["n_wedges"] == 1
+    assert out["global_clustering"] == 0.0
+    # singleton baskets only -> empty graph, NULL clustering
+    li2 = spark.createDataFrame([(1, 1), (2, 2)],
+                                ["l_orderkey", "l_partkey"])
+    out2 = copurchase_triangle_stats(li2).collect()[0]
+    assert out2["n_edges"] == 0 and out2["n_triangles"] == 0
+    assert out2["global_clustering"] is None
+
+
+def test_fuzzy_name_pairs_blocks_and_distance(spark):
+    from pyperustats_spark.operators.relational import fuzzy_name_pairs
+    df = spark.createDataFrame(
+        [(1, 1, "alpha"), (2, 1, "alphb"), (3, 1, "zzzzz"),
+         (4, 2, "alpha"),          # other block: never pairs with 1
+         (5, 3, "lonely")],        # singleton block: dropped
+        ["c_custkey", "c_nationkey", "c_name"])
+    out = fuzzy_name_pairs(df).collect()
+    assert [(r["key_a"], r["key_b"], r["dist"]) for r in out] == [(1, 2, 1)]
+
+
+def test_fuzzy_name_pairs_max_block_guard(spark):
+    from pyperustats_spark.operators.relational import fuzzy_name_pairs
+    df = spark.createDataFrame(
+        [(i, 1, "same") for i in range(10)],
+        ["c_custkey", "c_nationkey", "c_name"])
+    assert fuzzy_name_pairs(df, max_block=5).count() == 0
+    assert fuzzy_name_pairs(df, max_block=100).count() == 45
+
+
+def test_weighted_sample_is_ppswor(spark):
+    """Higher-weight rows must win more often across salts (the ES
+    property), and the sample is exactly k distinct keys."""
+    from pyperustats_spark.operators.relational import weighted_sample
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["o_orderkey", "o_totalprice"])
+    heavy_hits = 0
+    for salt in ("s0", "s1", "s2"):
+        got = weighted_sample(df, "o_orderkey", "o_totalprice",
+                              k=20, salt=salt).collect()
+        keys = [r["o_orderkey"] for r in got]
+        assert len(keys) == len(set(keys)) == 20
+        heavy_hits += sum(1 for k in keys if k < 10)
+    # 10 rows carry 1000x the weight of the other 190: with k=20 they
+    # are near-certain picks; >= 25 of 30 across salts is loose
+    assert heavy_hits >= 25
+    # determinism: same salt -> identical sample
+    a = weighted_sample(df, "o_orderkey", "o_totalprice", k=20).collect()
+    b = weighted_sample(df, "o_orderkey", "o_totalprice", k=20).collect()
+    assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from pyperustats_spark.operators.relational import weighted_sample
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 2.0)], ["o_orderkey", "o_totalprice"])
+    keys = [r["o_orderkey"]
+            for r in weighted_sample(df, "o_orderkey", "o_totalprice",
+                                     k=10).collect()]
+    assert keys == [3]
+
+
+def test_hll_rollup_merge_equals_direct_and_bounded(spark, tables):
+    """Mergeability: unioning daily sketches must give the IDENTICAL
+    estimate a direct month-level sketch gives (registers merge by
+    max); and the estimate sits within the lg_k=12 error budget."""
+    from pyspark.sql import functions as F
+    from pyperustats_spark.operators.events import hll_distinct_rollup
+    ev = tables["events"]
+    out = hll_distinct_rollup(ev).collect()
+    assert out, "no months"
+    for r in out:
+        assert abs(r["rel_err"]) <= 0.05  # ~3 sigma at lg_k=12
+    direct = (
+        ev.groupBy("event_type",
+                   F.date_trunc("month", F.col("ts")).alias("month"))
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))).alias("direct"))
+        .collect()
+    )
+    dmap = {(r["event_type"], r["month"]): r["direct"] for r in direct}
+    for r in out:
+        assert r["est_users"] == dmap[(r["event_type"], r["month"])]
+
+
+def test_kll_quantiles_rank_error_within_bound(spark, tables):
+    from pyperustats_spark.operators.events import kll_value_quantiles
+    out = kll_value_quantiles(tables["events"]).collect()
+    assert len(out) >= 4
+    for r in out:
+        # k=200 normalized rank error ~1.65% (two-sided); pin loose 3%
+        assert r["rank_abs_err"] <= 0.03, r
