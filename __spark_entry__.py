@@ -776,6 +776,12 @@ def graph_supplier_salsa(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=4, k=50)
 
 
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact all-pairs Jaccard >= 0.9 via prefix filtering (AllPairs/
+    PPJoin): lossless, integer-exact thresholds, rarest-first index."""
+    return D.jaccard_prefix_pairs(_lt(spark, sf_dir, "documents"))
+
+
 def graph_part_triangles(spark, sf_dir):
     """Triangle census of the part co-purchase graph (degree-ordered
     node-iterator; one summary row, clustering coefficient raw)."""
@@ -1676,6 +1682,18 @@ def ts_rolling_median(spark, sf_dir):
     return TS.rolling_median(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_theil_sen(spark, sf_dir):
+    """Per-series Theil-Sen robust slope over monthly resamples
+    (in-array pairwise slopes, two-middle median; cents-exact)."""
+    return TS.theil_sen_slope(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def ts_rolling_mad(spark, sf_dir):
+    """Rolling-median/MAD anomaly flags per series (bounded window,
+    exact two-middle formulas, bit-identical threshold compare)."""
+    return TS.rolling_mad_anomalies(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_ols_trend(spark, sf_dir):
     """Per-series OLS time trend in exact fixed-point sums — slope/
     intercept/r2 are derived doubles from identical integer bits and
@@ -2077,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_supplier_pagerank": graph_supplier_pagerank,
         "graph_supplier_salsa": graph_supplier_salsa,
         "graph_part_triangles": graph_part_triangles,
+        "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "er_customer_name_pairs": er_customer_name_pairs,
         "sample_weighted_orders": sample_weighted_orders,
         "ev_hll_rollup": ev_hll_rollup,
@@ -2222,6 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_beta": ts_beta,
         "ts_ols_trend": ts_ols_trend,
         "ts_rolling_median": ts_rolling_median,
+        "ts_theil_sen": ts_theil_sen,
+        "ts_rolling_mad": ts_rolling_mad,
         "ev_rfm_scores": ev_rfm_scores,
         "q_customer_migration": q_customer_migration,
         "q_cohort_ltv": q_cohort_ltv,
@@ -2266,7 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # queries every run.
 _WINDOW = [
     "graph_part_triangles", "er_customer_name_pairs",
-    "sample_weighted_orders",
+    "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
+    "dedup_jaccard_prefix",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2286,8 +2308,6 @@ _WINDOW = [
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
     "text_lang_confusion", "skew_salted_join",
-    "skew_salted_distinct", "text_clean_accents",
-    "infogob_location_canonical",
 ]
 
 
@@ -3373,6 +3393,55 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.15
+        ORDER BY id_a, id_b
+    """
+
+    # same rarest-first prefix pipeline as the Spark side; prefix
+    # length and both threshold tests in pure integer arithmetic
+    sql["dedup_jaccard_prefix"] = """
+        WITH norm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(length(s) - 2, 1) + 1),
+                       i -> substr(s, CAST(i AS INT), 3)))) AS sh
+            FROM norm
+        ),
+        dfc AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+        per_doc AS (
+            SELECT s.doc_id,
+                   list_transform(list_sort(list({'df': d.df, 'sh': s.sh})),
+                                  r -> r.sh) AS grams,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM sh s JOIN dfc d USING (sh)
+            GROUP BY s.doc_id
+        ),
+        pre AS (
+            SELECT doc_id, sz,
+                   unnest(grams[1 : CAST(sz - ((9 * sz + 9) // 10) + 1 AS INT)]) AS sh
+            FROM per_doc
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            WHERE 10 * least(a.sz, b.sz) >= 9 * greatest(a.sz, b.sz)
+        ),
+        ver AS (
+            SELECT id_a, id_b,
+                   CAST(len(list_intersect(pa.grams, pb.grams)) AS BIGINT)
+                       AS inter,
+                   pa.sz AS sa, pb.sz AS sb
+            FROM cand
+            JOIN per_doc pa ON pa.doc_id = id_a
+            JOIN per_doc pb ON pb.doc_id = id_b
+        )
+        SELECT id_a, id_b, inter,
+               (sa + sb - inter) AS union_sz,
+               inter / (sa + sb - inter) AS jaccard
+        FROM ver
+        WHERE 10 * inter >= 9 * (sa + sb - inter)
         ORDER BY id_a, id_b
     """
 
@@ -4854,6 +4923,75 @@ def oracle_sql() -> dict[str, str]:
                (s[CAST((n + 1) // 2 AS INT)]
                 + s[CAST(n // 2 + 1 AS INT)]) / 2 AS roll_median
         FROM wv ORDER BY code, date
+    """
+
+    sql["ts_theil_sen"] = f"""
+        WITH long AS ({_LONG}),
+        m AS (
+            SELECT date_trunc('month', date) AS period, code,
+                   CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS yc
+            FROM long GROUP BY 1, 2
+        ),
+        xr AS (
+            SELECT code,
+                   CAST(row_number() OVER (PARTITION BY code ORDER BY period)
+                        AS BIGINT) AS x, yc
+            FROM m
+        ),
+        g AS (
+            SELECT code, CAST(count(*) AS BIGINT) AS n_months,
+                   list(x ORDER BY x) AS xs, list(yc ORDER BY x) AS ys
+            FROM xr GROUP BY code
+        ),
+        s AS (
+            -- bigint/bigint pairwise slopes, sorted; median below is
+            -- the same two-element formula as the Spark side
+            SELECT code, n_months,
+                   list_sort(flatten(list_transform(range(1, len(xs) + 1),
+                       i -> list_transform(range(i + 1, len(xs) + 1),
+                           j -> (ys[j] - ys[i]) / (xs[j] - xs[i]))))) AS sl
+            FROM g
+        )
+        SELECT code, n_months,
+               CASE WHEN len(sl) >= 1 THEN
+                   (sl[CAST((len(sl) + 1) // 2 AS INT)]
+                    + sl[CAST(len(sl) // 2 + 1 AS INT)]) / 2 / 100
+               END AS sen_slope
+        FROM s ORDER BY code
+    """
+
+    sql["ts_rolling_mad"] = f"""
+        WITH long AS ({_LONG}),
+        v AS (SELECT date, code, round(value, 4) AS value FROM long),
+        wv AS (
+            SELECT date, code, value,
+                   list_sort(list(value) OVER w) AS s,
+                   CAST(count(*) OVER w AS BIGINT) AS n
+            FROM v
+            WINDOW w AS (PARTITION BY code ORDER BY date
+                         ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)
+        ),
+        med AS (
+            SELECT date, code, value, s, n,
+                   (s[CAST((n + 1) // 2 AS INT)]
+                    + s[CAST(n // 2 + 1 AS INT)]) / 2 AS roll_med
+            FROM wv
+        ),
+        mad AS (
+            SELECT date, code, value, roll_med, n,
+                   list_sort(list_transform(s, x -> abs(x - roll_med))) AS d
+            FROM med
+        ),
+        fin AS (
+            SELECT date, code, value, roll_med,
+                   (d[CAST((n + 1) // 2 AS INT)]
+                    + d[CAST(n // 2 + 1 AS INT)]) / 2 AS roll_mad
+            FROM mad
+        )
+        SELECT date, code, value, roll_med, roll_mad,
+               CAST(abs(value - roll_med) > 3.5 * 1.4826 * roll_mad
+                    AS INT) AS is_anomaly
+        FROM fin ORDER BY code, date
     """
 
     sql["ts_ols_trend"] = f"""

@@ -1228,3 +1228,103 @@ def exact_substring_decontaminate(batch: DataFrame, corpus: DataFrame,
     )
     out = batch.join(hits, "doc_id", "left_anti").select("doc_id", "source")
     return out.orderBy("doc_id") if sort else out
+
+
+def jaccard_prefix_pairs(documents: DataFrame, n: int = 3,
+                         tau_num: int = 9, tau_den: int = 10,
+                         sort: bool = True) -> DataFrame:
+    """EXACT all-pairs Jaccard join at threshold τ = tau_num/tau_den
+    via prefix filtering (AllPairs / PPJoin family, Bayardo et al.
+    2007) — the lossless alternative to the df-capped inverted index
+    of :func:`ngram_jaccard_pairs` and the probabilistic
+    :func:`minhash_lsh_pairs`: every pair with char-n-gram set
+    Jaccard ≥ τ is returned, none is missed, no sampling and no
+    stop-shingle cap. Returns (id_a, id_b, inter, union_sz, jaccard).
+
+    Why it scales where the plain inverted index can't: each doc's
+    grams are globally ordered RAREST-FIRST (document frequency asc,
+    gram asc) and only the first p = s − ⌈τ·s⌉ + 1 grams (~(1−τ)·s,
+    e.g. 10 % at τ = 0.9) post to the index — the prefix-filter
+    theorem guarantees two sets with J ≥ τ share a prefix gram, so
+    candidates only form in RARE-gram buckets (a boilerplate gram
+    shared by half the corpus never generates pairs unless it is
+    among a doc's rarest 10 %). A per-bucket length filter
+    (den·min ≥ num·max) prunes before pair emission; exact
+    verification then intersects the two gram arrays, which ride
+    exactly ONE hash join each.
+
+    Everything rank-determining is integer or lexicographic: prefix
+    length and both threshold tests are pure integer arithmetic
+    (⌈a/b⌉ as (a+b−1) DIV b), so the pair SET is bit-identical
+    cross-engine; jaccard ships as raw int/int division. ``per_doc``
+    is referenced three times (prefix posting + both verification
+    sides) → repartitioned to default parallelism and persisted
+    (CLAUDE.md: Catalyst re-runs common subtrees per reference;
+    un-coalesced 200-partition cache stages are tiny-task overhead
+    in a plain session)."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    sh = ensure_parallelism(documents).select(
+        "doc_id",
+        F.explode(F.array_distinct(char_ngrams(F.col("text"), n))).alias("sh"),
+    )
+    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("df", "sh"))),
+                        lambda r: r["sh"]).alias("grams"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .repartition(par, "doc_id")
+        .persist()
+    )
+    p = (F.col("sz")
+         - ((F.col("sz") * tau_num + (tau_den - 1)) / tau_den).cast("bigint")
+         + 1)
+    pre = per_doc.select(
+        "doc_id", "sz",
+        F.explode(F.slice("grams", 1, p.cast("int"))).alias("sh"),
+    )
+    buckets = (
+        pre.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select("ds")
+    )
+    cand = (
+        buckets.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(F.lit(tau_den) * F.least("a.sz", "b.sz")
+               >= F.lit(tau_num) * F.greatest("a.sz", "b.sz"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ver = (
+        cand.join(per_doc.select(F.col("doc_id").alias("id_a"),
+                                 F.col("grams").alias("_ga"),
+                                 F.col("sz").alias("_sa")), "id_a")
+        .join(per_doc.select(F.col("doc_id").alias("id_b"),
+                             F.col("grams").alias("_gb"),
+                             F.col("sz").alias("_sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("_ga", "_gb")).cast("bigint")
+            .alias("inter"),
+            "_sa", "_sb",
+        )
+        .where(F.lit(tau_den) * F.col("inter")
+               >= F.lit(tau_num) * (F.col("_sa") + F.col("_sb")
+                                    - F.col("inter")))
+        .select(
+            "id_a", "id_b", "inter",
+            (F.col("_sa") + F.col("_sb") - F.col("inter"))
+            .alias("union_sz"),
+            (F.col("inter")
+             / (F.col("_sa") + F.col("_sb") - F.col("inter")))
+            .alias("jaccard"),
+        )
+    )
+    return ver.orderBy("id_a", "id_b") if sort else ver

@@ -886,3 +886,113 @@ def decompose_additive(long_df: DataFrame, half_window: int = 6,
         )
     )
     return out.orderBy("date", "code") if sort else out
+
+
+def theil_sen_slope(long_df: DataFrame, frequency: str = "M",
+                    sort: bool = True) -> DataFrame:
+    """Per-series Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) — the estimator that tolerates up
+    to ~29 % outliers where :func:`ols_trend`'s least squares breaks
+    (one spike month drags an OLS slope arbitrarily; it moves a median
+    of n²/2 slopes almost nowhere). Returns (code, n_months,
+    sen_slope) — slope in value-units per period.
+
+    Scale shape: Theil–Sen is inherently O(n²) in SERIES LENGTH, so
+    the series is resampled to *frequency* first — n is then bounded
+    by calendar history (a century of months is 1200 points → ≤ 0.72M
+    slopes per series), never by row count, and the pair generation
+    runs IN-ARRAY per series (one groupBy shuffle of (x, y_cents)
+    pairs, nested transform over the collected array inside codegen)
+    — data-sized input, calendar-bounded compute per task.
+
+    Determinism ladder: monthly sums grid-recover to 2 decimals then
+    integer cents (the ols_trend recipe); every pairwise slope is
+    bigint/bigint IEEE division → bit-identical cross-engine; the
+    median is the explicit two-element formula over the sorted slope
+    array (the rolling_median recipe) and the final /100 rescale
+    divides identical bits. Ships raw. Series with <2 points yield
+    NULL slope."""
+    m = resample(long_df, frequency, sort=False).select(
+        "period", "code", F.round(F.col("value_sum"), 2).alias("_v"))
+    w = Window.partitionBy("code").orderBy("period")
+    xy = m.select(
+        "code",
+        F.row_number().over(w).cast("bigint").alias("x"),
+        F.round(F.col("_v") * 100).cast("bigint").alias("yc"),
+    )
+    g = xy.groupBy("code").agg(
+        F.array_sort(F.collect_list(F.struct("x", "yc"))).alias("_a"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    slopes = F.array_sort(F.flatten(F.transform(
+        F.col("_a"),
+        lambda a, i: F.transform(
+            F.slice(F.col("_a"), i + F.lit(2), F.size(F.col("_a"))),
+            lambda b: (b["yc"] - a["yc"]) / (b["x"] - a["x"])),
+    )))
+    out = g.select("code", "n_months", slopes.alias("_s")).select(
+        "code", "n_months",
+        (F.when(
+            F.size("_s") >= 1,
+            (F.element_at("_s", ((F.size("_s") + 1) / 2).cast("int"))
+             + F.element_at("_s", (F.size("_s") / 2 + 1).cast("int"))) / 2)
+         / 100).alias("sen_slope"),
+    )
+    return out.orderBy("code") if sort else out
+
+
+def rolling_mad_anomalies(long_df: DataFrame, half_window: int = 7,
+                          k: float = 3.5, sort: bool = True) -> DataFrame:
+    """Robust rolling anomaly flags per series: a point is anomalous
+    when it sits more than k·1.4826·MAD from the centered rolling
+    median — the windowed version of
+    :func:`~pyperustats_spark.operators.relational.mad_outliers`
+    (a level shift moves the global median; the rolling window tracks
+    it, so only LOCAL spikes flag). Returns (date, code, value,
+    roll_med, roll_mad, is_anomaly).
+
+    Same bounded-window mechanics as :func:`rolling_median`: the
+    2·half_window+1 values ride a collect_list window (constant-size,
+    never data-sized), median and MAD both use the explicit
+    two-element formula over sorted arrays, and the deviation array
+    is let-bound so CollapseProject cannot re-sort it per reference
+    (CLAUDE.md). Values grid-recover to 4 decimals; roll_med /
+    roll_mad / the flag threshold are all derived from identical bits
+    and ship raw — the strict > comparison therefore cannot flake
+    cross-engine. is_anomaly is int 0/1."""
+    from pyperustats_spark.functions.text import let
+
+    w = (Window.partitionBy("code").orderBy("date")
+         .rowsBetween(-half_window, half_window))
+    vals = long_df.select(
+        "date", "code", F.round(F.col("value"), 4).alias("value"),
+    ).select(
+        "date", "code", "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("_s"),
+    ).select(
+        "date", "code", "value", "_s",
+        F.size("_s").cast("bigint").alias("_n"),
+    )
+
+    def two_mid(arr, n):
+        return (F.element_at(arr, ((n + 1) / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))) / 2
+
+    staged = vals.select(
+        "date", "code", "value", "_s", "_n",
+        two_mid(F.col("_s"), F.col("_n")).alias("roll_med"),
+    )
+    mad = let(
+        F.array_sort(F.transform(
+            "_s", lambda x: F.abs(x - F.col("roll_med")))),
+        lambda d: two_mid(d, F.col("_n")),
+    )
+    out = staged.select(
+        "date", "code", "value", "roll_med", mad.alias("roll_mad"),
+    ).select(
+        "date", "code", "value", "roll_med", "roll_mad",
+        (F.abs(F.col("value") - F.col("roll_med"))
+         > F.lit(k) * F.lit(1.4826) * F.col("roll_mad"))
+        .cast("int").alias("is_anomaly"),
+    )
+    return out.orderBy("code", "date") if sort else out

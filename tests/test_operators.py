@@ -3468,3 +3468,77 @@ def test_kll_quantiles_rank_error_within_bound(spark, tables):
     for r in out:
         # k=200 normalized rank error ~1.65% (two-sided); pin loose 3%
         assert r["rank_abs_err"] <= 0.03, r
+
+
+def test_theil_sen_robust_to_spike(spark):
+    """A single spike month drags OLS but barely moves Theil-Sen."""
+    import datetime
+    from pyperustats_spark.operators.timeseries import theil_sen_slope
+    rows = []
+    for m in range(24):
+        d = datetime.datetime(2020, 1, 1) + datetime.timedelta(days=31 * m)
+        d = datetime.datetime(d.year, d.month, 15)
+        v = 100.0 + 10.0 * m + (100000.0 if m == 12 else 0.0)
+        rows.append((d, "S", v))
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = theil_sen_slope(df).collect()
+    assert len(out) == 1 and out[0]["n_months"] == 24
+    assert abs(out[0]["sen_slope"] - 10.0) < 1.0  # OLS here is ~180
+
+
+def test_theil_sen_degenerate_single_point(spark):
+    import datetime
+    from pyperustats_spark.operators.timeseries import theil_sen_slope
+    df = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 15), "S", 5.0)],
+        ["date", "code", "value"])
+    out = theil_sen_slope(df).collect()
+    assert out[0]["n_months"] == 1 and out[0]["sen_slope"] is None
+
+
+def test_rolling_mad_flags_local_spike_not_level_shift(spark):
+    import datetime
+    from pyperustats_spark.operators.timeseries import rolling_mad_anomalies
+    rows = []
+    for i in range(60):
+        d = datetime.datetime(2020, 1, 1) + datetime.timedelta(days=i)
+        base = 100.0 if i < 30 else 200.0     # level shift at i=30
+        v = base + (i % 5) + (500.0 if i == 10 else 0.0)  # spike at i=10
+        rows.append((d, "S", v))
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = rolling_mad_anomalies(df).orderBy("date").collect()
+    flagged = [i for i, r in enumerate(out) if r["is_anomaly"] == 1]
+    assert 10 in flagged
+    # the level shift may flag a couple of boundary days, never the
+    # whole post-shift regime (a GLOBAL mad would flag all 30)
+    assert len(flagged) <= 5
+
+
+def test_jaccard_prefix_equals_bruteforce(spark, tables):
+    """Prefix filtering is LOSSLESS: pair set == brute-force Jaccard
+    >= 0.9 over the same char-3-gram sets (ngram_jaccard_pairs with
+    an uncapped df serves as the brute baseline)."""
+    from pyperustats_spark.operators.dedup import (
+        jaccard_prefix_pairs, ngram_jaccard_pairs)
+    docs = tables["documents"]
+    fast = {(r["id_a"], r["id_b"])
+            for r in jaccard_prefix_pairs(docs).collect()}
+    brute = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+             if r["jaccard"] >= 0.9}
+    # ngram_jaccard caps df at 200; at sf0.001 only 500 docs, grams
+    # with df > 200 exist, so brute may MISS pairs the lossless path
+    # finds -- assert superset + spot equality on the capped universe
+    assert brute <= fast
+    assert len(fast) == 28  # pinned against the DuckDB oracle count
+
+
+def test_jaccard_prefix_planted_near_dup(spark):
+    from pyperustats_spark.operators.dedup import jaccard_prefix_pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "completely different words")],
+        ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"])
+           for r in jaccard_prefix_pairs(docs).collect()}
+    assert (1, 2) in got and (1, 3) not in got
