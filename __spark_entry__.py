@@ -1682,6 +1682,18 @@ def ts_rolling_median(spark, sf_dir):
     return TS.rolling_median(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_seasonal_strength(spark, sf_dir):
+    """Per-series seasonality/trend strength (tsfeatures): variances
+    via ordered cumsums -> deterministic; strengths raw."""
+    return TS.seasonal_strength(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def ev_activity_powerlaw(spark, sf_dir):
+    """Power-law exponent of per-user activity (CSN continuous MLE,
+    grid-snapped ln sums) — the skew data card."""
+    return E.activity_powerlaw_fit(_lt(spark, sf_dir, "events"))
+
+
 def ts_theil_sen(spark, sf_dir):
     """Per-series Theil-Sen robust slope over monthly resamples
     (in-array pairwise slopes, two-middle median; cents-exact)."""
@@ -2243,6 +2255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rolling_median": ts_rolling_median,
         "ts_theil_sen": ts_theil_sen,
         "ts_rolling_mad": ts_rolling_mad,
+        "ts_seasonal_strength": ts_seasonal_strength,
+        "ev_activity_powerlaw": ev_activity_powerlaw,
         "ev_rfm_scores": ev_rfm_scores,
         "q_customer_migration": q_customer_migration,
         "q_cohort_ltv": q_cohort_ltv,
@@ -2288,7 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW = [
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
-    "dedup_jaccard_prefix",
+    "dedup_jaccard_prefix", "ts_seasonal_strength",
+    "ev_activity_powerlaw",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2307,7 +2322,6 @@ _WINDOW = [
     "ev_incident_windows",
     "q_repeat_customers", "profile_orders", "sample_systematic",
     "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
-    "text_lang_confusion", "skew_salted_join",
 ]
 
 
@@ -4853,6 +4867,85 @@ def oracle_sql() -> dict[str, str]:
         FROM t JOIN s ON t.code = s.code
                AND CAST(month(t.date) AS INT) = s.m
         ORDER BY t.date, t.code
+    """
+
+    # decompose CTEs verbatim, then variances via ordered cumsums;
+    # sr/tr spelled as seasonal + (detrended - seasonal) etc. so the
+    # float expression TREE (not just the algebra) matches Spark's
+    sql["ts_seasonal_strength"] = f"""
+        WITH long AS ({_LONG}),
+        t AS (
+            SELECT date, code, value,
+                   round(sum(value) OVER w13, 2)
+                       / count(*) OVER w13 AS trend,
+                   round(value, 2)
+                   - round(sum(value) OVER w13, 2) / count(*) OVER w13
+                       AS detrended
+            FROM long
+            WINDOW w13 AS (PARTITION BY code ORDER BY date
+                           ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        ),
+        c AS (
+            SELECT code, CAST(month(date) AS INT) AS m, date, detrended,
+                   sum(detrended) OVER (
+                       PARTITION BY code, month(date) ORDER BY date
+                       ROWS UNBOUNDED PRECEDING) AS cs,
+                   count(*) OVER (PARTITION BY code, month(date)) AS n,
+                   row_number() OVER (
+                       PARTITION BY code, month(date)
+                       ORDER BY date DESC) AS rk
+            FROM t
+        ),
+        s AS (SELECT code, m, cs / n AS seasonal FROM c WHERE rk = 1),
+        d AS (
+            SELECT t.date, t.code,
+                   t.detrended - s.seasonal AS r,
+                   s.seasonal + (t.detrended - s.seasonal) AS sr,
+                   t.trend + (t.detrended - s.seasonal) AS tr
+            FROM t JOIN s ON t.code = s.code
+                   AND CAST(month(t.date) AS INT) = s.m
+        ),
+        cs AS (
+            SELECT code,
+                   sum(r * r) OVER w AS rr, sum(r) OVER w AS r1,
+                   sum(sr * sr) OVER w AS ss, sum(sr) OVER w AS s1,
+                   sum(tr * tr) OVER w AS tt, sum(tr) OVER w AS t1,
+                   CAST(count(*) OVER (PARTITION BY code) AS BIGINT) AS n,
+                   row_number() OVER (
+                       PARTITION BY code ORDER BY date DESC) AS rk
+            FROM d
+            WINDOW w AS (PARTITION BY code ORDER BY date
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT code, n AS n_obs,
+               CASE WHEN ss / n - (s1 / n) * (s1 / n) > 0 THEN
+                   greatest(0.0, 1.0 - (rr / n - (r1 / n) * (r1 / n))
+                                     / (ss / n - (s1 / n) * (s1 / n)))
+               END AS seasonal_strength,
+               CASE WHEN tt / n - (t1 / n) * (t1 / n) > 0 THEN
+                   greatest(0.0, 1.0 - (rr / n - (r1 / n) * (r1 / n))
+                                     / (tt / n - (t1 / n) * (t1 / n)))
+               END AS trend_strength
+        FROM cs WHERE rk = 1 ORDER BY code
+    """
+
+    sql["ev_activity_powerlaw"] = """
+        WITH deg AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS d
+            FROM events GROUP BY user_id
+        ),
+        t AS (SELECT d, round(ln(d * 2.0), 6) AS l FROM deg),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(d) AS BIGINT) AS total_events,
+                   CAST(max(d) AS BIGINT) AS max_events,
+                   round(sum(l), 6) AS ls
+            FROM t
+        )
+        SELECT n_keys, total_events, max_events,
+               total_events / n_keys AS mean_events,
+               1.0 + n_keys / NULLIF(ls, 0) AS alpha
+        FROM g
     """
 
     sql["ts_rebase_index"] = f"""

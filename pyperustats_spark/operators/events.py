@@ -1095,3 +1095,44 @@ def kll_value_quantiles(events: DataFrame, k: int = 200,
     )
     return (ranked.orderBy("event_type", "quantile")
             if sort else ranked)
+
+
+def activity_powerlaw_fit(events: DataFrame, key_col: str = "user_id",
+                          dmin: int = 1) -> DataFrame:
+    """Discrete power-law exponent of the per-key activity
+    distribution via the Clauset–Shalizi–Newman continuous-MLE
+    approximation on the tail d ≥ *dmin*:
+    α = 1 + n_tail / Σᵢ ln(dᵢ / (d_min − ½)) — the one-row data card
+    that says whether activity is heavy-tailed (α ≲ 2.5: a few whales
+    dominate → plan for skew: salting, max-bucket guards) or
+    light-tailed. Returns (n_keys, total_events, max_events,
+    mean_events, alpha); n_keys/totals describe the TAIL that was fit.
+    The continuous approximation carries a known positive bias of
+    O(1/dmin) at small dmin (pytest pins recovery within ±0.15 at
+    dmin = 10 on a planted α = 2.5 tail); dmin = 1 is still the useful
+    whole-distribution skew summary, just not an unbiased exponent.
+
+    Determinism: per-key counts are exact integers; each ln is
+    snapped to the 1e-6 grid and the grid sum is itself re-rounded to
+    the grid (fp error ~1e-12 ≪ 5e-7 recovers the grid point — the
+    CLAUDE.md unigram-logprob recipe), so α divides identical bits
+    and ships raw; mean_events is raw int/int. One groupBy shuffle on
+    the key + a one-row global aggregate."""
+    deg = events.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("d")).where(F.col("d") >= dmin)
+    terms = deg.select(
+        "d",
+        F.round(F.log(F.col("d") / F.lit(dmin - 0.5)), 6).alias("_l"),
+    )
+    g = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("d").cast("bigint").alias("total_events"),
+        F.max("d").cast("bigint").alias("max_events"),
+        F.round(F.sum("_l"), 6).alias("_ls"),
+    )
+    return g.select(
+        "n_keys", "total_events", "max_events",
+        (F.col("total_events") / F.col("n_keys")).alias("mean_events"),
+        (F.lit(1.0) + F.try_divide(F.col("n_keys"), F.col("_ls")))
+        .alias("alpha"),
+    )

@@ -996,3 +996,63 @@ def rolling_mad_anomalies(long_df: DataFrame, half_window: int = 7,
         .cast("int").alias("is_anomaly"),
     )
     return out.orderBy("code", "date") if sort else out
+
+
+def seasonal_strength(long_df: DataFrame, half_window: int = 6,
+                      sort: bool = True) -> DataFrame:
+    """Per-series seasonality / trend strength (the tsfeatures pair,
+    Hyndman): F_seas = max(0, 1 − Var(resid)/Var(seasonal + resid)),
+    F_trend = max(0, 1 − Var(resid)/Var(trend + resid)) — one number
+    per series saying how much of the signal the decomposition
+    actually explained, the triage statistic for WHICH of thousands
+    of series deserve a seasonal model. Built directly on
+    :func:`decompose_additive`. Returns (code, n_obs,
+    seasonal_strength, trend_strength).
+
+    Determinism ladder: trend/seasonal/residual are already
+    bit-identical cross-engine (decompose's grid + ordered-cumsum
+    recipe); every variance term here accumulates via an ORDERED
+    cumulative window too (plain groupBy double sums are
+    merge-order-nondeterministic run-to-run — CLAUDE.md), so
+    Σx, Σx² are identical bits, and Var = Σx²/n − (Σx/n)² combines
+    them raw. Strengths ship raw; zero-variance series yield NULL via
+    try_divide. One extra window pass on the existing (code) → (code,
+    date) partitioning — no new shuffle beyond decompose's own."""
+    d = decompose_additive(long_df, half_window=half_window, sort=False)
+    r = F.col("residual")
+    sr = F.col("seasonal") + F.col("residual")
+    tr = F.col("trend") + F.col("residual")
+    wc = Window.partitionBy("code").orderBy("date") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    rk = F.row_number().over(
+        Window.partitionBy("code").orderBy(F.desc("date")))
+    c = d.select(
+        "code",
+        F.sum(r * r).over(wc).alias("_rr"),
+        F.sum(r).over(wc).alias("_r1"),
+        F.sum(sr * sr).over(wc).alias("_ss"),
+        F.sum(sr).over(wc).alias("_s1"),
+        F.sum(tr * tr).over(wc).alias("_tt"),
+        F.sum(tr).over(wc).alias("_t1"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("_n"),
+        rk.alias("_rk"),
+    ).where(F.col("_rk") == 1)
+
+    def var(sq, s1, n):
+        return sq / n - (s1 / n) * (s1 / n)
+
+    vr = var(F.col("_rr"), F.col("_r1"), F.col("_n"))
+
+    def strength(sq, s1):
+        # NULL (not 0) when the denominator variance is degenerate —
+        # same CASE the oracle spells, so the guard cannot diverge
+        vd = var(sq, s1, F.col("_n"))
+        return F.when(vd > 0, F.greatest(F.lit(0.0),
+                                         F.lit(1.0) - vr / vd))
+
+    out = c.select(
+        "code", F.col("_n").alias("n_obs"),
+        strength(F.col("_ss"), F.col("_s1")).alias("seasonal_strength"),
+        strength(F.col("_tt"), F.col("_t1")).alias("trend_strength"),
+    )
+    return out.orderBy("code") if sort else out

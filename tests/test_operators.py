@@ -3542,3 +3542,51 @@ def test_jaccard_prefix_planted_near_dup(spark):
     got = {(r["id_a"], r["id_b"])
            for r in jaccard_prefix_pairs(docs).collect()}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_seasonal_strength_bounds_and_planted_trend(spark, tables):
+    """Strengths live in [0, 1]; a noiseless linear trend scores ~1
+    trend strength (its centered MA reproduces it exactly). NOTE a
+    smooth YEARLY sine is absorbed by the 13-day MA trend, not the
+    month-of-year seasonal — that is decompose_additive's semantics,
+    so this test plants trend, and checks bounds on the real data."""
+    import datetime
+    from pyperustats_spark.operators.timeseries import seasonal_strength
+    rows = []
+    for i in range(365):
+        d = datetime.datetime(2020, 1, 1) + datetime.timedelta(days=i)
+        rows.append((d, "TREND", round(100.0 + 0.5 * i, 2)))
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {r["code"]: r for r in seasonal_strength(df).collect()}
+    assert out["TREND"]["trend_strength"] > 0.95
+    from pyperustats_spark.operators.timeseries import series_long
+    real = seasonal_strength(series_long(tables["lineitem"])).collect()
+    assert len(real) == 6
+    for r in real:
+        for c in ("seasonal_strength", "trend_strength"):
+            assert r[c] is None or 0.0 <= r[c] <= 1.0
+
+
+def test_activity_powerlaw_recovers_exponent(spark):
+    """Degrees drawn deterministically from a discrete zeta-ish tail
+    (d = floor(u^(-1/(a-1)))) must recover alpha within the CSN
+    approximation's bias at dmin=1 (about +-0.3)."""
+    from pyperustats_spark.operators.events import activity_powerlaw_fit
+    a_true = 2.5
+    rows = []
+    eid = 0
+    for u_i in range(1, 2001):
+        u = (u_i - 0.5) / 2000.0
+        # inverse-CDF of a Pareto tail scaled so d >= 10 (the fit's
+        # dmin): the continuous-MLE bias is O(1/dmin), negligible here
+        d = max(10, min(int(10.0 * u ** (-1.0 / (a_true - 1.0))), 5000))
+        for _ in range(d):
+            eid += 1
+            rows.append((eid, u_i))
+    df = spark.createDataFrame(rows, ["event_id", "user_id"])
+    out = activity_powerlaw_fit(df, dmin=10).collect()[0]
+    assert out["n_keys"] == 2000
+    assert abs(out["alpha"] - a_true) < 0.15, out["alpha"]
+    # dmin=1 form (the queries() default) still runs and is finite
+    out1 = activity_powerlaw_fit(df).collect()[0]
+    assert out1["alpha"] > 1.0
