@@ -1268,14 +1268,20 @@ def jaccard_prefix_pairs(documents: DataFrame, n: int = 3,
         F.explode(F.array_distinct(char_ngrams(F.col("text"), n))).alias("sh"),
     )
     dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # intern grams to dense int ids in rarest-first (df, gram) order:
+    # ascending-id arrays ARE the prefix order, int intersects run ~3x
+    # faster than string intersects, and the per-doc shuffle carries
+    # 4-byte ids instead of (bigint, string) structs. The rank window
+    # is one task over the GRAM TABLE, which is alphabet-bounded
+    # (|Σ|^n, ≤ ~8M for 3-grams), never corpus-sized.
+    gid = dfc.select(
+        "sh",
+        F.row_number().over(Window.orderBy("df", "sh")).alias("g"))
     per_doc = (
-        sh.join(dfc, "sh")
+        sh.join(F.broadcast(gid), "sh")
         .groupBy("doc_id")
-        .agg(
-            F.transform(F.array_sort(F.collect_list(F.struct("df", "sh"))),
-                        lambda r: r["sh"]).alias("grams"),
-            F.count(F.lit(1)).alias("sz"),
-        )
+        .agg(F.array_sort(F.collect_list("g")).alias("grams"),
+             F.count(F.lit(1)).alias("sz"))
         .repartition(par, "doc_id")
         .persist()
     )
@@ -1284,23 +1290,49 @@ def jaccard_prefix_pairs(documents: DataFrame, n: int = 3,
          + 1)
     pre = per_doc.select(
         "doc_id", "sz",
-        F.explode(F.slice("grams", 1, p.cast("int"))).alias("sh"),
-    )
+        F.posexplode(F.slice("grams", 1, p.cast("int")))
+        .alias("_p0", "g"),
+    ).select("doc_id", "sz", (F.col("_p0") + 1).alias("pos"), "g")
     buckets = (
-        pre.groupBy("sh")
-        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
+        pre.groupBy("g")
+        .agg(F.collect_list(F.struct("doc_id", "sz", "pos")).alias("ds"))
         .where(F.size("ds") >= 2)
         .select("ds")
     )
+    # PPJoin positional filter: the shared gram sits at 1-based
+    # position pos in each doc's rarest-first order, so the overlap
+    # can be at most o_max = 1 + min(sz_a − pos_a, sz_b − pos_b);
+    # prune unless that best case still clears τ. A J ≥ τ pair always
+    # survives via its FIRST shared prefix gram (the bound is valid
+    # there), so the filter is lossless — it cut candidates 2.46M →
+    # 1.07M at sf0.1 where the plain length filter alone let the
+    # low-diversity gram space (377 grams) go quadratic in buckets.
+    o_max = 1 + F.least(F.col("a.sz") - F.col("a.pos"),
+                        F.col("b.sz") - F.col("b.pos"))
     cand = (
         buckets.select(F.explode("ds").alias("a"), F.col("ds"))
         .select("a", F.explode("ds").alias("b"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .where(F.lit(tau_den) * F.least("a.sz", "b.sz")
                >= F.lit(tau_num) * F.greatest("a.sz", "b.sz"))
+        .where(F.lit(tau_den) * o_max
+               >= F.lit(tau_num) * (F.col("a.sz") + F.col("b.sz") - o_max))
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+    # verification: |A∩B| must be evaluated ONCE per candidate — a
+    # select+where on the computed column gets the intersect
+    # SUBSTITUTED into the predicate (2× evaluation of the hot
+    # expression — CLAUDE.md); the let-bound conditional-array explode
+    # evaluates it once (GenerateExec is outside codegen, the right
+    # trade mid-chain where the intersect dominates)
+    hit = let(
+        F.size(F.array_intersect("_ga", "_gb")).cast("bigint"),
+        lambda i: F.when(
+            F.lit(tau_den) * i
+            >= F.lit(tau_num) * (F.col("_sa") + F.col("_sb") - i),
+            F.array(i)).otherwise(F.array().cast("array<bigint>")),
     )
     ver = (
         cand.join(per_doc.select(F.col("doc_id").alias("id_a"),
@@ -1309,15 +1341,8 @@ def jaccard_prefix_pairs(documents: DataFrame, n: int = 3,
         .join(per_doc.select(F.col("doc_id").alias("id_b"),
                              F.col("grams").alias("_gb"),
                              F.col("sz").alias("_sb")), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.size(F.array_intersect("_ga", "_gb")).cast("bigint")
-            .alias("inter"),
-            "_sa", "_sb",
-        )
-        .where(F.lit(tau_den) * F.col("inter")
-               >= F.lit(tau_num) * (F.col("_sa") + F.col("_sb")
-                                    - F.col("inter")))
+        .select("id_a", "id_b", "_sa", "_sb",
+                F.explode(hit).alias("inter"))
         .select(
             "id_a", "id_b", "inter",
             (F.col("_sa") + F.col("_sb") - F.col("inter"))

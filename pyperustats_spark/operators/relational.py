@@ -2032,42 +2032,74 @@ def fuzzy_name_pairs(df: DataFrame, block_col: str = "c_nationkey",
                      key: str = "c_custkey", name: str = "c_name",
                      max_dist: int = 1,
                      max_block: int = 10_000) -> DataFrame:
-    """Blocked entity-resolution candidate pairs: rows in the same
-    *block_col* block whose *name* values sit within Levenshtein
-    distance *max_dist* — the dedup-by-similarity step of record
-    linkage (the reference's catalogue reconciliation,
-    perustats/infogob location canonicalization, generalized from
-    exact-match to edit-distance). Returns (key_a, key_b, name_a,
-    name_b, dist) for every candidate pair, ordered.
+    """Blocked entity-resolution pairs: rows in the same *block_col*
+    block whose *name* values sit within Levenshtein distance
+    *max_dist* — the dedup-by-similarity step of record linkage (the
+    reference's catalogue reconciliation, perustats/infogob location
+    canonicalization, generalized from exact-match to edit-distance).
+    Returns (key_a, key_b, name_a, name_b, dist), ordered, EXACT:
+    every within-block pair at distance ≤ max_dist, none missed.
 
-    Scale shape: blocking IS the algorithm — all-pairs edit distance
-    is O(n²) and does not distribute; pairs are only ever generated
-    INSIDE a block, via the collect_list gather + in-array explode
-    idiom (one shuffle on the block key, never a self-join —
-    CLAUDE.md). Blocks above *max_block* are dropped, so a degenerate
-    block cannot go quadratic (same guard as minhash_lsh_pairs'
-    max_bucket); real linkage picks blocks that bound n per block
-    (here: nation — swap in phonetic keys / name prefixes for looser
-    data). ``levenshtein`` is a JVM built-in with identical
-    unit-cost semantics in DuckDB, so the distances (and therefore
-    the pair set) are oracle-exact."""
-    rows = df.select(F.col(block_col).alias("_blk"),
-                     F.struct(F.col(key).alias("k"),
-                              F.col(name).alias("nm")).alias("_r"))
-    blocks = (
-        rows.groupBy("_blk")
+    Scale shape — deletion-neighbourhood blocking (FastSS, Bocek et
+    al.): each name posts its ≤ max_dist single-character-deletion
+    variants (L+1 variants at k=1, O(L^k) at k — max_dist ≤ 2
+    enforced), and two names within Levenshtein distance k ALWAYS
+    share a variant, so candidates form only in (block, variant)
+    buckets that are near-singleton on real name data. The first cut
+    gathered whole nation blocks and ran levenshtein on every in-block
+    pair — O(block²) DP evals, measured 28 s at sf0.1 and headed for
+    ~30 min at the 100× depth set; FastSS replaces that with
+    |buckets| ≈ n·L postings and levenshtein only on bucket
+    co-members. Buckets above *max_block* are dropped (skew guard);
+    it can only bite when ≥ max_block rows share a variant — i.e.
+    ≥ max_block near-copies of one string, where the TRUE answer is
+    itself quadratic. The gather + in-array explode idiom as
+    everywhere (never a self-join); candidate pairs are distinct-ed
+    BEFORE the single levenshtein verification per pair, whose
+    unit-cost semantics match DuckDB exactly — the oracle is the
+    plain all-in-block-pairs SQL, which the lossless candidate
+    generation must reproduce verbatim."""
+    if not 1 <= max_dist <= 2:
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    nm = F.col(name)
+    # all strings obtained by deleting exactly one char at position i
+    # (1-based); dedup via array_distinct (repeated chars collide)
+    del1 = F.transform(
+        F.sequence(F.lit(1), F.length(nm)),
+        lambda i: F.concat(F.substring(nm, 1, i - 1),
+                           nm.substr(i + 1, F.length(nm))))
+    variants = F.concat(F.array(nm), del1)
+    if max_dist == 2:
+        del2 = F.flatten(F.transform(del1, lambda v: F.transform(
+            F.sequence(F.lit(1), F.length(v)),
+            lambda i: F.concat(F.substring(v, 1, i - 1),
+                               v.substr(i + 1, F.length(v))))))
+        variants = F.concat(variants, del2)
+    posts = df.select(
+        F.col(block_col).alias("_blk"),
+        F.struct(F.col(key).alias("k"), nm.alias("nm")).alias("_r"),
+        F.explode(F.array_distinct(variants)).alias("_v"),
+    )
+    buckets = (
+        posts.groupBy("_blk", "_v")
         .agg(F.collect_list("_r").alias("_rs"))
         .where((F.size("_rs") >= 2) & (F.size("_rs") <= max_block))
         .select("_rs")
     )
-    pairs = (
-        blocks.select(F.explode("_rs").alias("a"), F.col("_rs"))
+    cand = (
+        buckets.select(F.explode("_rs").alias("a"), F.col("_rs"))
         .select("a", F.explode("_rs").alias("b"))
         .where(F.col("a.k") < F.col("b.k"))
         .select(
             F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"),
             F.col("a.nm").alias("name_a"), F.col("b.nm").alias("name_b"),
-            F.levenshtein("a.nm", "b.nm").cast("bigint").alias("dist"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.select(
+            "key_a", "key_b", "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
         )
         .where(F.col("dist") <= max_dist)
     )
