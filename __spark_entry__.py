@@ -789,6 +789,14 @@ def graph_part_triangles(spark, sf_dir):
     return G.copurchase_triangle_stats(_lt(spark, sf_dir, "lineitem"))
 
 
+def graph_part_kcore(spark, sf_dir):
+    """R-round k-core peeling of the co-purchase graph at k =
+    ceil(avg degree); oracle unrolls the same R rounds, convergence
+    reported as a column instead of assumed."""
+    from pyperustats_spark.operators import graph as G
+    return G.kcore_peel(G.copurchase_edges(_lt(spark, sf_dir, "lineitem")))
+
+
 def er_customer_name_pairs(spark, sf_dir):
     """Blocked Levenshtein entity-resolution pairs (nation blocks,
     distance <= 1; edit distances oracle-exact)."""
@@ -2108,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_supplier_salsa": graph_supplier_salsa,
         "graph_part_triangles": graph_part_triangles,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
+        "graph_part_kcore": graph_part_kcore,
         "er_customer_name_pairs": er_customer_name_pairs,
         "sample_weighted_orders": sample_weighted_orders,
         "ev_hll_rollup": ev_hll_rollup,
@@ -2303,7 +2312,7 @@ _WINDOW = [
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
-    "ev_activity_powerlaw",
+    "ev_activity_powerlaw", "graph_part_kcore",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2321,7 +2330,7 @@ _WINDOW = [
     "dedup_substring_profile", "q_part_affinity",
     "ev_incident_windows",
     "q_repeat_customers", "profile_orders", "sample_systematic",
-    "dedup_keep_latest", "ts_align_full_outer", "ts_zscore_anomalies",
+    "dedup_keep_latest", "ts_align_full_outer",
 ]
 
 
@@ -6083,6 +6092,45 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_both DESC, part_a, part_b
         LIMIT 50
     """
+
+    # k-core: the same edge CTEs as graph_part_triangles, k = ceil of
+    # the average degree, then R peel rounds UNROLLED (the pagerank
+    # oracle pattern) — R-round semantics keep this exact at any R,
+    # with convergence reported by comparing the last two edge counts
+    _kc = ["""
+        items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM items GROUP BY l_orderkey
+               HAVING count(*) BETWEEN 2 AND 50),
+        it AS (SELECT i.l_orderkey, i.l_partkey
+               FROM items i JOIN ok USING (l_orderkey)),
+        e0 AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
+               FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 1),
+        n0 AS MATERIALIZED (SELECT DISTINCT node FROM
+               (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
+        kk AS MATERIALIZED (SELECT 2 * ((2 * (SELECT count(*) FROM e0)
+                       + (SELECT count(*) FROM n0) - 1)
+                      // NULLIF((SELECT count(*) FROM n0), 0)) // 3 AS k)"""]
+    for _r in range(1, 9):
+        _kc.append(f"""
+        d{_r} AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+                  (SELECT a AS node FROM e{_r - 1}
+                   UNION ALL SELECT b FROM e{_r - 1}) GROUP BY node),
+        a{_r} AS MATERIALIZED (SELECT node FROM d{_r}
+                  WHERE d >= (SELECT k FROM kk)),
+        e{_r} AS MATERIALIZED (SELECT a, b FROM e{_r - 1}
+                  WHERE a IN (SELECT node FROM a{_r})
+                    AND b IN (SELECT node FROM a{_r}))""")
+    sql["graph_part_kcore"] = ("WITH " + ",".join(_kc) + """,
+        fin AS (SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM
+                (SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
+                GROUP BY node)
+        SELECT node, core_deg,
+               CAST((SELECT count(*) FROM e8)
+                    = (SELECT count(*) FROM e7) AS INT) AS converged
+        FROM fin ORDER BY node
+    """)
 
     # same basket -> edge -> degree-orientation -> wedge-close pipeline
     # as the Spark side; every count integer-exact, clustering int/int raw

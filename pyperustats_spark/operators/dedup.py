@@ -1334,13 +1334,19 @@ def jaccard_prefix_pairs(documents: DataFrame, n: int = 3,
             >= F.lit(tau_num) * (F.col("_sa") + F.col("_sb") - i),
             F.array(i)).otherwise(F.array().cast("array<bigint>")),
     )
+    # per_doc sides are SF-proportional (one array per document) —
+    # explicitly SHUFFLE_HASH so a mis-estimated AQE broadcast can't
+    # try to build the whole corpus' gram arrays on the driver
+    # (observed OOM at the 100× depth set on an 8 GB heap)
     ver = (
         cand.join(per_doc.select(F.col("doc_id").alias("id_a"),
                                  F.col("grams").alias("_ga"),
-                                 F.col("sz").alias("_sa")), "id_a")
+                                 F.col("sz").alias("_sa"))
+                  .hint("shuffle_hash"), "id_a")
         .join(per_doc.select(F.col("doc_id").alias("id_b"),
                              F.col("grams").alias("_gb"),
-                             F.col("sz").alias("_sb")), "id_b")
+                             F.col("sz").alias("_sb"))
+              .hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", "_sa", "_sb",
                 F.explode(hit).alias("inter"))
         .select(

@@ -268,6 +268,34 @@ def supplier_importance(lineitem: DataFrame, orders: DataFrame,
     return out if sort else out
 
 
+def copurchase_edges(lineitem: DataFrame, max_basket: int = 50,
+                     min_support: int = 1) -> DataFrame:
+    """Undirected part co-purchase edge list (a < b, distinct): two
+    parts are linked when they appear together in ≥ *min_support*
+    orders. The basket gather idiom of
+    :func:`~pyperustats_spark.operators.relational.part_affinity`:
+    distinct (order, part) is the only wide payload, singleton skip +
+    *max_basket* cap (a degenerate mega-order cannot go O(n²)), pairs
+    from chained explodes — never a lineitem self-join. Shared edge
+    builder for the graph kernels (triangles, k-core)."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        items.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("parts"))
+        .where((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
+        .select(F.array_sort("parts").alias("parts"))
+    )
+    return (
+        baskets.select(F.explode("parts").alias("a"), F.col("parts"))
+        .select("a", F.explode("parts").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+        .select("a", "b")
+    )
+
+
 def copurchase_triangle_stats(lineitem: DataFrame, max_basket: int = 50,
                               min_support: int = 1) -> DataFrame:
     """Global triangle census of the part co-purchase graph: nodes =
@@ -320,21 +348,9 @@ def copurchase_triangle_stats(lineitem: DataFrame, max_basket: int = 50,
     degrees. Empty edge set → one row of zeros with NULL clustering
     (try_divide)."""
     par = lineitem.sparkSession.sparkContext.defaultParallelism
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    baskets = (
-        items.groupBy("l_orderkey")
-        .agg(F.collect_list("l_partkey").alias("parts"))
-        .where((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
-        .select(F.array_sort("parts").alias("parts"))
-    )
     edges = (
-        baskets.select(F.explode("parts").alias("a"), F.col("parts"))
-        .select("a", F.explode("parts").alias("b"))
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .where(F.col("n_both") >= min_support)
-        .select("a", "b")
+        copurchase_edges(lineitem, max_basket=max_basket,
+                         min_support=min_support)
         .repartition(par, "a", "b")
         .persist()
     )
@@ -396,3 +412,87 @@ def copurchase_triangle_stats(lineitem: DataFrame, max_basket: int = 50,
         )
     )
     return summary
+
+
+def kcore_peel(edges: DataFrame, k: int | None = None,
+               rounds: int = 8) -> DataFrame:
+    """R-round k-core peeling of an undirected edge list (a < b,
+    distinct): repeatedly drop every node with degree < k; the
+    fixpoint is the k-core — the densest robust backbone of the graph
+    (for the co-purchase graph: parts whose "bought together"
+    relationships survive even after fringe parts are removed).
+    Returns (node, core_deg, converged) for nodes with ≥ 1 surviving
+    edge; ``converged`` = 1 iff the edge set was stable by round R,
+    i.e. the output IS the exact k-core rather than an R-round
+    truncation — R-round semantics keep the operator oracle-exact at
+    ANY R (the oracle unrolls the same R rounds), with convergence
+    reported instead of assumed.
+
+    *k* defaults to ⌊⅔·⌈2m/n⌉⌋ — two thirds of the (ceiled) average
+    degree, computed from the input (two O(1)-row driver actions), so
+    the threshold adapts to the graph's own density at any SF instead
+    of hard-coding a magic number. The ⅔ matters: near-regular random
+    graphs COLLAPSE under peeling at k ≈ avg (measured: k = avg
+    peels both test co-purchase graphs to empty; k = ⅔·avg retains
+    197/200 and 1925/2000 nodes, converged), because each removal
+    cascade only needs to shave a near-uniform degree a little before
+    everything falls below the bar.
+
+    Iteration discipline (the connected_components pattern): each
+    round references the previous edge set THREE times (degree count
+    + both endpoint semi-joins), so the plan would grow 3^rounds —
+    every round's edge table has its lineage truncated (reliable
+    checkpoint when a checkpoint dir is configured, localCheckpoint
+    otherwise), the per-round alive set is persisted for its two
+    semi-join references, and superseded tables are unpersisted.
+    Early-exits once stable (one count per round, which the
+    truncation materializes anyway). Only (a, b) pairs ever
+    shuffle."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
+    e = _truncate(edges.select("a", "b"))
+    m = e.count()
+    if m == 0:
+        return e.select(
+            F.col("a").alias("node"),
+            F.lit(0).cast("bigint").alias("core_deg"),
+            F.lit(1).alias("converged"))
+    if k is None:
+        n0 = (e.select(F.col("a").alias("x"))
+              .union(e.select(F.col("b").alias("x")))
+              .distinct().count())
+        k = 2 * ((2 * m + n0 - 1) // n0) // 3
+    converged = False
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.where(F.col("d") >= k).select("node").persist()
+        e_next = _truncate(
+            e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi"))
+        m_next = e_next.count()
+        alive.unpersist()
+        e.unpersist()
+        e = e_next
+        if m_next == m:
+            converged = True
+            break
+        m = m_next
+    out = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .select("node", "core_deg",
+                F.lit(1 if converged else 0).alias("converged"))
+    )
+    return out.orderBy("node")

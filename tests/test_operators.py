@@ -3590,3 +3590,41 @@ def test_activity_powerlaw_recovers_exponent(spark):
     # dmin=1 form (the queries() default) still runs and is finite
     out1 = activity_powerlaw_fit(df).collect()[0]
     assert out1["alpha"] > 1.0
+
+
+def test_kcore_known_graph(spark):
+    """K4 + pendant: the 3-core is exactly the K4 (pendant and its
+    attachment survive degree-1 peeling only inside the clique)."""
+    from pyperustats_spark.operators.graph import kcore_peel
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["a", "b"])
+    out = kcore_peel(edges, k=3).collect()
+    assert {r["node"] for r in out} == {1, 2, 3, 4}
+    assert all(r["core_deg"] == 3 for r in out)
+    assert all(r["converged"] == 1 for r in out)
+
+
+def test_kcore_cascading_peel_and_default_k(spark):
+    """A path graph peels to nothing at k=2 only through a CASCADE
+    (each round exposes new endpoints) — exercises multi-round
+    convergence; default k = ceil(avg degree)."""
+    from pyperustats_spark.operators.graph import kcore_peel
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["a", "b"])
+    out = kcore_peel(path, k=2).collect()
+    assert out == []
+    # default k for the path: 2/3 of ceil(14/8)=2 -> k=1 -> everything
+    # with an edge survives (the 1-core of a connected graph)
+    assert kcore_peel(path).count() == 8
+    # triangle survives k=2 forever
+    tri = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["a", "b"])
+    got = kcore_peel(tri, k=2).collect()
+    assert {r["node"] for r in got} == {1, 2, 3}
+    assert all(r["converged"] == 1 for r in got)
+
+
+def test_kcore_empty_edges(spark):
+    from pyperustats_spark.operators.graph import kcore_peel
+    e = spark.createDataFrame([], "a bigint, b bigint")
+    assert kcore_peel(e, k=2).count() == 0
