@@ -811,6 +811,24 @@ def sample_weighted_orders(spark, sf_dir):
                              k=100)
 
 
+def text_source_jsd(spark, sf_dir):
+    """Per-source unigram Jensen-Shannon drift vs the whole corpus
+    (grid-snapped ln, ordered cumsum — deterministic)."""
+    return T.source_unigram_jsd(_lt(spark, sf_dir, "documents"))
+
+
+def ev_decay_value(spark, sf_dir):
+    """Top users by time-decay purchase value (2^(-age/half-life),
+    grid-snapped pow, ordered per-user cumsum)."""
+    return E.decay_weighted_value(_lt(spark, sf_dir, "events"))
+
+
+def ev_weekday_profile(spark, sf_dir):
+    """Day-of-week profile per type with an integer-exact chi-square
+    uniformity statistic."""
+    return E.weekday_profile(_lt(spark, sf_dir, "events"))
+
+
 def ev_hll_rollup(spark, sf_dir):
     """Monthly distinct users via merged daily HLL sketches vs the
     exact re-scan (rows-only: sketch registers have no SQL oracle)."""
@@ -2119,6 +2137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_part_kcore": graph_part_kcore,
         "er_customer_name_pairs": er_customer_name_pairs,
         "sample_weighted_orders": sample_weighted_orders,
+        "text_source_jsd": text_source_jsd,
+        "ev_decay_value": ev_decay_value,
+        "ev_weekday_profile": ev_weekday_profile,
         "ev_hll_rollup": ev_hll_rollup,
         "ev_kll_quantiles": ev_kll_quantiles,
         "ev_markov_stationary": ev_markov_stationary,
@@ -2313,6 +2334,7 @@ _WINDOW = [
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
     "ev_activity_powerlaw", "graph_part_kcore",
+    "text_source_jsd", "ev_decay_value", "ev_weekday_profile",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2329,8 +2351,6 @@ _WINDOW = [
     "dedup_substring_decontaminate", "graph_supplier_salsa",
     "dedup_substring_profile", "q_part_affinity",
     "ev_incident_windows",
-    "q_repeat_customers", "profile_orders", "sample_systematic",
-    "dedup_keep_latest", "ts_align_full_outer",
 ]
 
 
@@ -4936,6 +4956,91 @@ def oracle_sql() -> dict[str, str]:
                                      / (tt / n - (t1 / n) * (t1 / n)))
                END AS trend_strength
         FROM cs WHERE rk = 1 ORDER BY code
+    """
+
+    sql["text_source_jsd"] = f"""
+        WITH tok AS (SELECT source, unnest({_TOKENS}) AS t FROM documents),
+        ps AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY 1, 2),
+        st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+               FROM ps GROUP BY source),
+        vc AS (SELECT t, CAST(sum(c) AS BIGINT) AS gc FROM ps GROUP BY t),
+        gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS gt FROM vc),
+        spine AS (
+            SELECT st.source, vc.t, st.n_tokens,
+                   CAST(coalesce(ps.c, 0) AS BIGINT) AS c, vc.gc, gtot.gt
+            FROM st CROSS JOIN vc CROSS JOIN gtot
+            LEFT JOIN ps ON ps.source = st.source AND ps.t = vc.t
+        ),
+        terms AS (
+            SELECT source, t, n_tokens,
+                   CASE WHEN c > 0 THEN
+                       (c / n_tokens) * round(ln((c / n_tokens)
+                           / (((c / n_tokens) + (gc / gt)) / 2)), 6)
+                   ELSE 0.0 END AS pt,
+                   (gc / gt) * round(ln((gc / gt)
+                       / (((c / n_tokens) + (gc / gt)) / 2)), 6) AS gterm
+            FROM spine
+        ),
+        cs AS (
+            SELECT source, n_tokens,
+                   sum(pt) OVER w AS sp, sum(gterm) OVER w AS sg,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY t DESC) AS rk
+            FROM terms
+            WINDOW w AS (PARTITION BY source ORDER BY t
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT source, n_tokens, 0.5 * sp + 0.5 * sg AS jsd
+        FROM cs WHERE rk = 1 ORDER BY source
+    """
+
+    sql["ev_decay_value"] = """
+        WITH ev AS (SELECT user_id, ts, event_id, round(value, 2) AS v
+                    FROM events WHERE event_type = 'purchase'),
+        mx AS (SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS m
+               FROM ev),
+        aged AS (
+            SELECT user_id, ts, event_id,
+                   v * round(pow(2.0, -CAST(datediff('day',
+                           CAST(date_trunc('day', ts) AS TIMESTAMP), mx.m)
+                           AS BIGINT) / 30.0), 6) AS dv
+            FROM ev, mx
+        ),
+        cs AS (
+            SELECT user_id,
+                   sum(dv) OVER w AS decayed_value,
+                   CAST(count(*) OVER w AS BIGINT) AS n_events,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rk
+            FROM aged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id, n_events, decayed_value
+        FROM cs WHERE rk = 1
+        ORDER BY decayed_value DESC, user_id LIMIT 100
+    """
+
+    # DuckDB dayofweek is 0=Sunday..6; Spark is 1..7 — +1 aligns
+    sql["ev_weekday_profile"] = """
+        WITH base AS (
+            SELECT event_type, CAST(dayofweek(ts) AS INT) + 1 AS dow,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        w1 AS (SELECT event_type, dow, n,
+                      CAST(sum(n) OVER (PARTITION BY event_type)
+                           AS BIGINT) AS tn
+               FROM base),
+        w2 AS (SELECT event_type, dow, n, tn,
+                      CAST(sum((7 * n - tn) * (7 * n - tn))
+                           OVER (PARTITION BY event_type) AS BIGINT) AS s2
+               FROM w1)
+        SELECT event_type, dow, n,
+               n / tn AS share,
+               s2 / (7 * tn) AS chi2
+        FROM w2 ORDER BY event_type, dow
     """
 
     sql["ev_activity_powerlaw"] = """

@@ -1136,3 +1136,86 @@ def activity_powerlaw_fit(events: DataFrame, key_col: str = "user_id",
         (F.lit(1.0) + F.try_divide(F.col("n_keys"), F.col("_ls")))
         .alias("alpha"),
     )
+
+
+def decay_weighted_value(events: DataFrame, half_life_days: int = 30,
+                         event_type: str = "purchase",
+                         k: int = 100) -> DataFrame:
+    """Time-decay user value: score(u) = Σ value·2^(−age/half_life)
+    over the user's *event_type* events, age in whole days behind the
+    corpus' latest event — recency-weighted LTV, the ranking signal
+    retention teams actually use (yesterday's purchase counts ~2×
+    a month-old one at the default half-life). Returns the top-*k*
+    (user_id, n_events, decayed_value), ties on user_id.
+
+    Determinism: age is an exact integer day count against the global
+    max timestamp (a one-row broadcast aggregate); each decay factor
+    2^(−age/hl) is snapped to the 1e-6 grid (pow differs by ulps
+    cross-engine — the CLAUDE.md ln recipe applied to exp2) and
+    multiplies the 2-decimal-grid value raw; the per-user sum runs
+    through an ORDERED cumulative window (ts, event_id) so
+    partial-aggregate merge order can never wobble a bit. Top-k is a
+    TakeOrdered, not a global sort."""
+    ev = events.where(F.col("event_type") == event_type)
+    mx = ev.agg(F.max(F.date_trunc("day", F.col("ts"))).alias("_mx"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id", "ts", "event_id",
+        (F.round(F.col("value"), 2)
+         * F.round(F.pow(F.lit(2.0),
+                         -F.datediff(F.col("_mx"),
+                                     F.date_trunc("day", F.col("ts")))
+                         / F.lit(float(half_life_days))), 6))
+        .alias("_dv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id")))
+    per_user = (
+        aged.select(
+            "user_id",
+            F.sum("_dv").over(w).alias("decayed_value"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+            rk.alias("_rk"))
+        .where(F.col("_rk") == 1)
+        .select("user_id", "n_events", "decayed_value")
+    )
+    return per_user.orderBy(F.desc("decayed_value"), "user_id").limit(k)
+
+
+def weekday_profile(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Day-of-week activity profile per event type with a chi-square
+    uniformity statistic: (event_type, dow, n, share, chi2) — the
+    weekly-seasonality card (is traffic calendar-driven?), and the
+    integer-exact sibling of the volume control chart. dow is
+    1 = Sunday … 7 = Saturday (Spark dayofweek == DuckDB's
+    dayofweek + 1, aligned in the oracle).
+
+    chi2 = Σ_d (o_d − n/7)²/(n/7) is carried per row (same value for
+    all 7 rows of a type) and computed from exact integer counts:
+    Σ (7·o_d − n)² / (7·n) in pure integer arithmetic divided ONCE as
+    int/int — bit-identical cross-engine, no double sums anywhere.
+    share = o_d/n raw int/int."""
+    base = (
+        events.groupBy("event_type",
+                       F.dayofweek("ts").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    w1 = base.select(
+        "event_type", "dow", "n",
+        F.sum("n").over(wt).cast("bigint").alias("_tn"),
+    )
+    w2 = w1.select(
+        "event_type", "dow", "n", "_tn",
+        F.sum((7 * F.col("n") - F.col("_tn"))
+              * (7 * F.col("n") - F.col("_tn"))).over(wt)
+        .cast("bigint").alias("_s2"),
+    )
+    out = w2.select(
+        "event_type", "dow", "n",
+        (F.col("n") / F.col("_tn")).alias("share"),
+        (F.col("_s2") / (F.lit(7) * F.col("_tn"))).alias("chi2"),
+    )
+    return out.orderBy("event_type", "dow") if sort else out

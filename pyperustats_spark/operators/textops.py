@@ -1122,3 +1122,70 @@ def lang_purity_by_source(documents: DataFrame,
         .withColumn("purity", F.col("n_match") / F.col("n_docs"))
     )
     return out.orderBy("source") if sort else out
+
+
+def source_unigram_jsd(documents: DataFrame,
+                       sort: bool = True) -> DataFrame:
+    """Per-source corpus-drift data card: Jensen–Shannon divergence
+    between each source's unigram distribution and the whole-corpus
+    distribution — the statistic a mixture pipeline watches to catch a
+    source whose content has drifted (or was swapped) before it
+    poisons a training run. Returns (source, n_tokens, jsd); JSD is in
+    nats, 0 = identical, ln 2 = disjoint.
+
+    JSD(P‖G) = ½·Σₜ p·ln(p/m) + ½·Σₜ g·ln(g/m), m = (p+g)/2, summed
+    over the GLOBAL vocabulary per source (a token the source lacks
+    still contributes g·ln 2 mass on the G side — dropping those rows
+    would understate drift for small sources), via a
+    |sources| × |vocab| spine — bounded by vocabulary size, never by
+    corpus rows; token counting is the one corpus-sized pass.
+
+    Determinism ladder (CLAUDE.md ln recipe): p and g are raw int/int
+    divisions of exact counts (bit-identical); each ln is snapped to
+    the 1e-6 grid before multiplying by the raw probability; the
+    per-source sum runs through an ORDERED cumulative window over the
+    token spine (plain double groupBy sums are merge-order-
+    nondeterministic), and the ½-weights combine raw."""
+    tok = documents.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t"))
+    per_src = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("c"))
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"))
+    vocab = per_src.groupBy("t").agg(F.sum("c").alias("gc"))
+    g_tot = vocab.agg(F.sum("gc").alias("gt"))
+    spine = (
+        src_tot.crossJoin(F.broadcast(vocab.crossJoin(g_tot)))
+        .join(per_src, ["source", "t"], "left")
+        .select(
+            "source", "t", "n_tokens",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "gc", "gt",
+        )
+    )
+    p = F.col("c") / F.col("n_tokens")
+    g = F.col("gc") / F.col("gt")
+    m = (p + g) / 2
+    terms = spine.select(
+        "source", "t", "n_tokens",
+        F.when(F.col("c") > 0,
+               p * F.round(F.log(p / m), 6)).otherwise(F.lit(0.0))
+        .alias("_pt"),
+        (g * F.round(F.log(g / m), 6)).alias("_gt"),
+    )
+    w = Window.partitionBy("source").orderBy("t") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("t")))
+    out = (
+        terms.select(
+            "source", "n_tokens",
+            F.sum("_pt").over(w).alias("_sp"),
+            F.sum("_gt").over(w).alias("_sg"),
+            rk.alias("_rk"))
+        .where(F.col("_rk") == 1)
+        .select("source", "n_tokens",
+                (F.lit(0.5) * F.col("_sp") + F.lit(0.5) * F.col("_sg"))
+                .alias("jsd"))
+    )
+    return out.orderBy("source") if sort else out

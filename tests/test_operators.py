@@ -3628,3 +3628,74 @@ def test_kcore_empty_edges(spark):
     from pyperustats_spark.operators.graph import kcore_peel
     e = spark.createDataFrame([], "a bigint, b bigint")
     assert kcore_peel(e, k=2).count() == 0
+
+
+def test_source_jsd_detects_drifted_source(spark):
+    """A source whose vocabulary is disjoint from the rest scores near
+    ln(2); an identical-mixture source scores near 0."""
+    import math
+    docs = []
+    did = 0
+    for i in range(20):
+        did += 1
+        docs.append((did, "alpha beta gamma delta " * 10, "normal1"))
+        did += 1
+        docs.append((did, "alpha beta gamma delta " * 10, "normal2"))
+        did += 1
+        docs.append((did, "zork quux fnord blarg " * 10, "drifted"))
+    from pyperustats_spark.operators.textops import source_unigram_jsd
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    out = {r["source"]: r["jsd"] for r in source_unigram_jsd(df).collect()}
+    # drifted shares no tokens with 2/3 of the corpus — but the GLOBAL
+    # mixture contains drifted's own 1/3 mass, so its JSD-vs-global is
+    # ~0.32, not ln 2 (measured exactly; the divergence is vs the
+    # mixture, the right reference for a drift monitor)
+    # ...and the clean sources diverge from the polluted mixture too
+    # (their exact JSD here is 0.132) — the ranking is what matters
+    assert out["drifted"] > 0.25
+    assert out["normal1"] < 0.2 and out["normal2"] < 0.2
+    assert out["drifted"] > 2 * out["normal1"]
+    assert all(0.0 <= v <= math.log(2) + 1e-9 for v in out.values())
+
+
+def test_decay_value_prefers_recent(spark):
+    """Same spend, fresher timestamps -> higher decayed value."""
+    import datetime
+    from pyperustats_spark.operators.events import decay_weighted_value
+    t0 = datetime.datetime(2024, 6, 1)
+    rows = [
+        (1, t0, 1, "purchase", 100.0, "{}"),
+        (2, t0 - datetime.timedelta(days=60), 2, "purchase", 100.0, "{}"),
+        (3, t0, 3, "view", 999.0, "{}"),   # wrong type: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type", "value", "props"])
+    out = decay_weighted_value(df).collect()
+    assert [r["user_id"] for r in out] == [1, 2]
+    assert abs(out[0]["decayed_value"] - 100.0) < 1e-6
+    assert abs(out[1]["decayed_value"] - 25.0) < 1e-3  # 2 half-lives
+
+
+def test_weekday_profile_chi2_zero_iff_uniform(spark):
+    import datetime
+    from pyperustats_spark.operators.events import weekday_profile
+    rows = []
+    eid = 0
+    # "flat": one event per weekday; "spiky": all on one day
+    for d in range(7):
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 6, 2) +
+                     datetime.timedelta(days=d), 1, "flat", 1.0, "{}"))
+    for _ in range(7):
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 6, 2), 1, "spiky", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = weekday_profile(df).collect()
+    flat = [r for r in out if r["event_type"] == "flat"]
+    spiky = [r for r in out if r["event_type"] == "spiky"]
+    assert len(flat) == 7 and all(r["chi2"] == 0.0 for r in flat)
+    # all mass on one of 7 days: chi2 = (7n-n)^2/(7n) = 36n/7... for the
+    # single observed row; expected-count terms for absent days are not
+    # emitted (profile rows exist only for observed days) — pin exact
+    assert len(spiky) == 1 and abs(spiky[0]["chi2"] - 36.0 * 7 / 7) < 1e-9
