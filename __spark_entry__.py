@@ -829,6 +829,12 @@ def ev_weekday_profile(spark, sf_dir):
     return E.weekday_profile(_lt(spark, sf_dir, "events"))
 
 
+def ev_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution over truncated session paths
+    (fixed-point micro-units, 12 unrolled rounds in the oracle)."""
+    return E.markov_removal_attribution(_lt(spark, sf_dir, "events"))
+
+
 def ev_hll_rollup(spark, sf_dir):
     """Monthly distinct users via merged daily HLL sketches vs the
     exact re-scan (rows-only: sketch registers have no SQL oracle)."""
@@ -2140,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_jsd": text_source_jsd,
         "ev_decay_value": ev_decay_value,
         "ev_weekday_profile": ev_weekday_profile,
+        "ev_markov_attribution": ev_markov_attribution,
         "ev_hll_rollup": ev_hll_rollup,
         "ev_kll_quantiles": ev_kll_quantiles,
         "ev_markov_stationary": ev_markov_stationary,
@@ -2335,6 +2342,7 @@ _WINDOW = [
     "dedup_jaccard_prefix", "ts_seasonal_strength",
     "ev_activity_powerlaw", "graph_part_kcore",
     "text_source_jsd", "ev_decay_value", "ev_weekday_profile",
+    "ev_markov_attribution",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -4957,6 +4965,117 @@ def oracle_sql() -> dict[str, str]:
                END AS trend_strength
         FROM cs WHERE rk = 1 ORDER BY code
     """
+
+    # Markov removal-effect attribution: truncated session paths →
+    # edge counts, then 12 absorption rounds UNROLLED over a
+    # (state × removed-channel) grid in bigint micro-units — the
+    # pagerank/kcore oracle pattern, MATERIALIZED so CTEs expand once
+    _ma = ["""
+        flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('microsecond', lag(ts) OVER w, ts)
+                           > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sq
+            FROM flagged
+        ),
+        rn AS (
+            SELECT user_id, sq, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, sq ORDER BY ts, event_id)
+                       AS rn
+            FROM sess
+        ),
+        cp AS (SELECT user_id, sq, min(rn) AS cp FROM rn
+               WHERE event_type = 'purchase' GROUP BY 1, 2),
+        r2 AS MATERIALIZED (
+            SELECT rn.user_id, rn.sq, rn.rn, rn.event_type
+            FROM rn LEFT JOIN cp
+              ON rn.user_id = cp.user_id AND rn.sq = cp.sq
+            WHERE cp.cp IS NULL OR rn.rn <= cp.cp
+        ),
+        inner_e AS (
+            SELECT coalesce(lag(event_type) OVER (
+                       PARTITION BY user_id, sq ORDER BY rn),
+                       '__START__') AS src,
+                   event_type AS dst
+            FROM r2
+        ),
+        last_e AS (
+            SELECT event_type AS src,
+                   CASE WHEN event_type = 'purchase' THEN '__CONV__'
+                        ELSE '__NULL__' END AS dst
+            FROM (SELECT user_id, sq, rn, event_type,
+                         max(rn) OVER (PARTITION BY user_id, sq) AS mx
+                  FROM r2)
+            WHERE rn = mx
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT * FROM inner_e UNION ALL SELECT * FROM last_e)
+            GROUP BY 1, 2
+        ),
+        ch AS MATERIALIZED (
+            SELECT DISTINCT event_type AS removed FROM r2
+            WHERE event_type <> 'purchase'
+            UNION ALL SELECT '__none__'
+        ),
+        etot AS (SELECT src, CAST(sum(c) AS BIGINT) AS ct
+                 FROM edges GROUP BY src),
+        ge AS MATERIALIZED (
+            SELECT e.src,
+                   CASE WHEN e.dst = ch.removed THEN '__NULL__'
+                        ELSE e.dst END AS dst_eff,
+                   e.c, t.ct, ch.removed
+            FROM edges e JOIN etot t ON e.src = t.src CROSS JOIN ch
+        ),
+        sg AS MATERIALIZED (
+            SELECT state, removed FROM
+                (SELECT DISTINCT state FROM
+                    (SELECT src AS state FROM edges
+                     UNION ALL SELECT dst FROM edges))
+            CROSS JOIN ch
+        ),
+        p0 AS MATERIALIZED (
+            SELECT state, removed,
+                   CAST(CASE WHEN state = '__CONV__' THEN 1000000
+                             ELSE 0 END AS BIGINT) AS p
+            FROM sg
+        )"""]
+    for _r in range(1, 13):
+        _ma.append(f"""
+        p{_r} AS MATERIALIZED (
+            SELECT sg.state, sg.removed,
+                   CAST(CASE WHEN sg.state = '__CONV__' THEN 1000000
+                             WHEN sg.state = '__NULL__' THEN 0
+                             ELSE coalesce(cb.pn, 0) END AS BIGINT) AS p
+            FROM sg LEFT JOIN (
+                SELECT ge.src AS state, ge.removed,
+                       CAST(sum(ge.c * pv.p // ge.ct) AS BIGINT) AS pn
+                FROM ge JOIN p{_r - 1} pv
+                  ON pv.state = ge.dst_eff AND pv.removed = ge.removed
+                GROUP BY 1, 2) cb
+              ON cb.state = sg.state AND cb.removed = sg.removed
+        )""")
+    sql["ev_markov_attribution"] = ("WITH " + ",".join(_ma) + """
+        SELECT r.removed AS channel,
+               b.p AS p_base_micro, r.p AS p_removed_micro,
+               CASE WHEN b.p > 0 THEN 1.0 - r.p / b.p END
+                   AS removal_effect
+        FROM p12 r, p12 b
+        WHERE r.state = '__START__' AND r.removed <> '__none__'
+          AND b.state = '__START__' AND b.removed = '__none__'
+        ORDER BY channel
+    """)
 
     sql["text_source_jsd"] = f"""
         WITH tok AS (SELECT source, unnest({_TOKENS}) AS t FROM documents),

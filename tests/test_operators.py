@@ -3699,3 +3699,36 @@ def test_weekday_profile_chi2_zero_iff_uniform(spark):
     # single observed row; expected-count terms for absent days are not
     # emitted (profile rows exist only for observed days) — pin exact
     assert len(spiky) == 1 and abs(spiky[0]["chi2"] - 36.0 * 7 / 7) < 1e-9
+
+
+def test_markov_attribution_credits_assisting_channel(spark):
+    """click assists most conversions; error only appears on
+    non-converting paths -> removal effect(click) >> effect(error)=0."""
+    import datetime
+    from pyperustats_spark.operators.events import markov_removal_attribution
+    rows, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def path(uid, types):
+        nonlocal eid
+        for i, et in enumerate(types):
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(minutes=i), uid,
+                         et, 1.0, "{}"))
+    u = 0
+    for _ in range(8):
+        u += 1; path(u, ["view", "click", "purchase"])
+    for _ in range(2):
+        u += 1; path(u, ["view", "purchase"])
+    for _ in range(5):
+        u += 1; path(u, ["view", "error"])
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = {r["channel"]: r for r in markov_removal_attribution(df).collect()}
+    assert set(out) == {"view", "click", "error"}
+    assert out["click"]["removal_effect"] > 0.5
+    assert abs(out["error"]["removal_effect"]) < 1e-9
+    # removing 'view' kills every path (all start with view)
+    assert out["view"]["removal_effect"] > 0.99
+    base = out["click"]["p_base_micro"]
+    assert all(r["p_base_micro"] == base for r in out.values())
