@@ -829,6 +829,25 @@ def ev_weekday_profile(spark, sf_dir):
     return E.weekday_profile(_lt(spark, sf_dir, "events"))
 
 
+def ev_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier session-duration survival curve with
+    right-censoring at the corpus horizon; survival shipped in LOG
+    space (ln-grid + ordered cumsum)."""
+    return E.kaplan_meier_sessions(_lt(spark, sf_dir, "events"))
+
+
+def q_revenue_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue (exact integer cents,
+    rank-weighted sum in DECIMAL, one raw division)."""
+    return R.revenue_gini(_lt(spark, sf_dir, "orders"))
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford first-digit profile of order totals with chi-square
+    (digits from integer cents — engine-stable string formatting)."""
+    return R.benford_first_digit(_lt(spark, sf_dir, "orders"))
+
+
 def ev_markov_attribution(spark, sf_dir):
     """Markov removal-effect attribution over truncated session paths
     (fixed-point micro-units, 12 unrolled rounds in the oracle)."""
@@ -2147,6 +2166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_decay_value": ev_decay_value,
         "ev_weekday_profile": ev_weekday_profile,
         "ev_markov_attribution": ev_markov_attribution,
+        "ev_kaplan_meier": ev_kaplan_meier,
+        "q_revenue_gini": q_revenue_gini,
+        "q_benford_digits": q_benford_digits,
         "ev_hll_rollup": ev_hll_rollup,
         "ev_kll_quantiles": ev_kll_quantiles,
         "ev_markov_stationary": ev_markov_stationary,
@@ -2342,7 +2364,8 @@ _WINDOW = [
     "dedup_jaccard_prefix", "ts_seasonal_strength",
     "ev_activity_powerlaw", "graph_part_kcore",
     "text_source_jsd", "ev_decay_value", "ev_weekday_profile",
-    "ev_markov_attribution",
+    "ev_markov_attribution", "ev_kaplan_meier", "q_revenue_gini",
+    "q_benford_digits",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2357,8 +2380,7 @@ _WINDOW = [
     "q11_important_stock", "q20_dominant_supplier",
     "dedup_exact_substring", "graph_supplier_pagerank",
     "dedup_substring_decontaminate", "graph_supplier_salsa",
-    "dedup_substring_profile", "q_part_affinity",
-    "ev_incident_windows",
+    "dedup_substring_profile",
 ]
 
 
@@ -4964,6 +4986,123 @@ def oracle_sql() -> dict[str, str]:
                                      / (tt / n - (t1 / n) * (t1 / n)))
                END AS trend_strength
         FROM cs WHERE rk = 1 ORDER BY code
+    """
+
+    sql["ev_kaplan_meier"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('microsecond', lag(ts) OVER w, ts)
+                           > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sq,
+                   ts
+            FROM flagged
+        ),
+        spans AS (
+            SELECT min(ts) AS s0, max(ts) AS s1
+            FROM sess GROUP BY user_id, sq
+        ),
+        hz AS (SELECT max(ts) AS h FROM events),
+        obs AS (
+            SELECT CAST(date_diff('microsecond', s0, s1) // 60000000
+                        AS BIGINT) AS t_minutes,
+                   CAST(date_diff('microsecond', s1, hz.h)
+                        >= 1800000000 AS INT) AS completed
+            FROM spans, hz
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),
+        per_t AS (
+            SELECT t_minutes, CAST(sum(completed) AS BIGINT) AS n_ended,
+                   CAST(count(*) AS BIGINT) AS leftc
+            FROM obs GROUP BY t_minutes
+        ),
+        curve AS (
+            SELECT t_minutes, n_ended,
+                   nt.n - CAST(coalesce(sum(leftc) OVER (
+                       ORDER BY t_minutes
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_at_risk
+            FROM per_t, nt
+        ),
+        terms AS (
+            SELECT t_minutes, n_at_risk, n_ended,
+                   CASE WHEN n_ended > 0 AND n_ended < n_at_risk THEN
+                       round(ln(1.0 - n_ended / n_at_risk), 6)
+                   END AS term
+            FROM curve
+        )
+        SELECT t_minutes, n_at_risk, n_ended,
+               CASE WHEN n_ended < n_at_risk THEN
+                   sum(term) OVER (ORDER BY t_minutes
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               END AS log_survival
+        FROM terms
+        WHERE n_ended > 0
+        ORDER BY t_minutes
+    """
+
+    sql["q_revenue_gini"] = """
+        WITH cents AS (
+            SELECT o_custkey,
+                   CAST(round(round(sum(o_totalprice), 2) * 100)
+                        AS BIGINT) AS c
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT c, CAST(row_number() OVER (ORDER BY c, o_custkey)
+                           AS BIGINT) AS i
+            FROM cents
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(c) AS BIGINT) AS total_cents,
+                   sum(CAST(i * c AS HUGEINT)) AS iw
+            FROM ranked
+        )
+        SELECT n_customers, total_cents,
+               (2.0 * CAST(iw AS DOUBLE)
+                - CAST(n_customers + 1 AS DOUBLE)
+                  * CAST(total_cents AS DOUBLE))
+               / (CAST(n_customers AS DOUBLE)
+                  * CAST(total_cents AS DOUBLE)) AS gini
+        FROM g
+    """
+
+    sql["q_benford_digits"] = """
+        WITH d AS (
+            SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        base AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                 FROM d GROUP BY digit),
+        w1 AS (
+            SELECT digit, n,
+                   CAST(sum(n) OVER () AS BIGINT) AS tn,
+                   round(log10(1 + 1.0 / digit), 6) AS p
+            FROM base
+        ),
+        staged AS (
+            SELECT digit, n, tn, p,
+                   sum((n - tn * p) * (n - tn * p) / (tn * p)) OVER (
+                       ORDER BY digit
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c2,
+                   row_number() OVER (ORDER BY digit DESC) AS rk
+            FROM w1
+        ),
+        chi AS (SELECT c2 AS chi2 FROM staged WHERE rk = 1)
+        SELECT digit, n, n / tn AS share, p AS benford_share, chi.chi2
+        FROM w1, chi ORDER BY digit
     """
 
     # Markov removal-effect attribution: truncated session paths →

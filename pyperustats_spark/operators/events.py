@@ -1330,3 +1330,232 @@ def markov_removal_attribution(events: DataFrame,
         data.append((chn, base, rem, eff))
     return (events.sparkSession.createDataFrame(data, schema)
             .orderBy("channel"))
+
+
+def kaplan_meier_sessions(events: DataFrame, gap_minutes: int = 30,
+                          sort: bool = True) -> DataFrame:
+    """Kaplan–Meier survival curve of SESSION duration (whole minutes),
+    right-censored: a session ending within *gap_minutes* of the
+    corpus horizon may still be open, so its true duration is unknown
+    — THE estimator for "how long do sessions last", because a naive
+    mean silently treats every cut-off session as finished. (User-
+    lifetime churn was the obvious unit, but on this corpus every
+    user is active through the final day — zero uncensored
+    observations; sessions genuinely end.) Returns one row per
+    duration with ≥ 1 completed session: (t_minutes, n_at_risk,
+    n_ended, log_survival).
+
+    Survival ships in LOG space: S(t) = Π(1 − dᵢ/nᵢ) is a product of
+    rationals whose float exp differs by ulps cross-engine, but
+    log S(t) = Σ ln(1 − dᵢ/nᵢ) follows the CLAUDE.md ln recipe — each
+    ln of a bit-identical int/int ratio snaps to the 1e-6 grid, the
+    running sum is an ORDERED cumulative window (deterministic
+    accumulation), shipped raw; consumers exp() locally. Durations
+    and censor tests are integer-microsecond arithmetic. One
+    user-key shuffle (sessionize) + tiny per-duration frames."""
+    sess = sessionize(events, gap_minutes=gap_minutes, sort=False)
+    hz = events.agg(F.max("ts").alias("_hz"))
+    obs = sess.crossJoin(F.broadcast(hz)).select(
+        ((F.unix_micros(F.col("session_end"))
+          - F.unix_micros(F.col("session_start")))
+         / F.lit(60_000_000)).cast("bigint").alias("t_minutes"),
+        ((F.unix_micros(F.col("_hz"))
+          - F.unix_micros(F.col("session_end")))
+         >= gap_minutes * 60_000_000).cast("int").alias("_completed"),
+    )
+    n_total = obs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    per_t = (obs.groupBy("t_minutes")
+             .agg(F.sum("_completed").alias("n_ended"),
+                  F.count(F.lit(1)).alias("_left")))
+    w = Window.orderBy("t_minutes").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t_minutes").rowsBetween(
+        Window.unboundedPreceding, 0)
+    curve = (per_t.crossJoin(F.broadcast(n_total))
+             .select(
+                 "t_minutes", "n_ended", "_left",
+                 (F.col("_n") - F.coalesce(F.sum("_left").over(w),
+                                           F.lit(0)))
+                 .cast("bigint").alias("n_at_risk")))
+    # the cumsum must see EVERY duration's term (censored-only rows
+    # shrink the risk set), so filter to ended>0 only at the end
+    term = F.when(
+        (F.col("n_ended") > 0)
+        & (F.col("n_ended") < F.col("n_at_risk")),
+        F.round(F.log(F.lit(1.0) - F.col("n_ended")
+                      / F.col("n_at_risk")), 6))
+    out = (curve.select(
+        "t_minutes", "n_at_risk", "n_ended",
+        F.when(F.col("n_ended") < F.col("n_at_risk"),
+               F.sum(term).over(wc)).alias("log_survival"))
+        .where(F.col("n_ended") > 0))
+    return out.orderBy("t_minutes") if sort else out
+
+
+def markov_removal_attribution(events: DataFrame,
+                               conv_type: str = "purchase",
+                               gap_minutes: int = 30,
+                               iters: int = 12) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al.): model
+    session paths START → e₁ → … → CONV/NULL as a first-order chain,
+    then credit each channel by how much the conversion probability
+    DROPS when that channel's inbound edges are redirected to NULL —
+    the principled successor of first/last-touch (already ported),
+    because it credits assisting touchpoints a position rule can't
+    see. Returns (channel, p_base_micro, p_removed_micro,
+    removal_effect), one row per non-conversion event type.
+
+    Path model: sessions (assign_sessions, 30-min gap) truncated at
+    their FIRST *conv_type* event; consecutive events are edges,
+    START precedes the first event, the conversion event absorbs to
+    __CONV__, a session without one absorbs its last event to
+    __NULL__. Absorption probabilities come from *iters* rounds of
+    p ← T·p with p(CONV) = 1, p(NULL) = 0 — R-round semantics, exact
+    at any R (the oracle unrolls the same rounds; conversion paths are
+    session-bounded, so 12 rounds is far past convergence here).
+
+    Distribution + determinism: ALL data-sized work is the one
+    distributed pass that sessionizes and counts edges; the chain
+    itself is |event types|² rows — an O(small) driver transfer (the
+    IVF-centroid / CMS-sketch budget class) — and the absorption
+    recurrence solves in exact Python integers with per-edge
+    ``c·p // c_tot`` (bit-equal to the oracle's unrolled integer SQL;
+    a first cut iterated the ~40-row grid as 12 distributed joins and
+    spent 40.8s on pure tiny-task overhead in driver posture). The
+    removal effect 1 − p_removed/p_base divides identical integers
+    under IEEE and ships raw; a zero base yields NULL in both
+    engines."""
+    UNIT = 1_000_000
+    sess = assign_sessions(events, gap_minutes=gap_minutes)
+    wsess = Window.partitionBy("user_id", "session_seq") \
+        .orderBy("ts", "event_id")
+    rows = sess.select("user_id", "session_seq", "ts", "event_id",
+                       "event_type",
+                       F.row_number().over(wsess).alias("rn"))
+    convpos = (rows.where(F.col("event_type") == conv_type)
+               .groupBy("user_id", "session_seq")
+               .agg(F.min("rn").alias("_cp")))
+    r2 = (rows.join(convpos, ["user_id", "session_seq"], "left")
+          .where(F.col("_cp").isNull() | (F.col("rn") <= F.col("_cp"))))
+    wl = Window.partitionBy("user_id", "session_seq").orderBy("rn")
+    inner = r2.select(
+        F.coalesce(F.lag("event_type").over(wl), F.lit("__START__"))
+        .alias("src"),
+        F.col("event_type").alias("dst"))
+    last = (r2.withColumn("_mx", F.max("rn").over(
+                Window.partitionBy("user_id", "session_seq")))
+            .where(F.col("rn") == F.col("_mx"))
+            .select(F.col("event_type").alias("src"),
+                    F.when(F.col("event_type") == conv_type,
+                           F.lit("__CONV__"))
+                    .otherwise(F.lit("__NULL__")).alias("dst")))
+    edges = (inner.union(last).groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("c")))
+    # the chain itself is O(|event types|2) rows — an O(small) driver
+    # transfer (the IVF-centroid / CMS-sketch budget class); solving
+    # the absorption recurrence in exact Python integers is bit-equal
+    # to the oracle's unrolled integer SQL and replaces a 12-round
+    # distributed join chain over a ~40-row grid (measured 40.8s of
+    # pure tiny-task overhead in driver posture → sub-second)
+    e_rows = edges.collect()
+    out_edges: dict[str, list[tuple[str, int]]] = {}
+    ct: dict[str, int] = {}
+    states: set[str] = set()
+    for r in e_rows:
+        out_edges.setdefault(r["src"], []).append((r["dst"], int(r["c"])))
+        ct[r["src"]] = ct.get(r["src"], 0) + int(r["c"])
+        states.add(r["src"])
+        states.add(r["dst"])
+    channels = sorted(
+        t for t in states
+        if t not in ("__START__", "__CONV__", "__NULL__", conv_type))
+
+    def absorb(removed: str | None) -> int:
+        p = {s: (UNIT if s == "__CONV__" else 0) for s in states}
+        for _ in range(iters):
+            nxt = {}
+            for s in states:
+                if s == "__CONV__":
+                    nxt[s] = UNIT
+                elif s == "__NULL__" or s not in out_edges:
+                    nxt[s] = 0
+                else:
+                    tot = ct[s]
+                    acc = 0
+                    for dst, c in out_edges[s]:
+                        eff = "__NULL__" if dst == removed else dst
+                        acc += c * p[eff] // tot
+                    nxt[s] = acc
+            p = nxt
+        return p.get("__START__", 0)
+
+    schema = ("channel string, p_base_micro long, "
+              "p_removed_micro long, removal_effect double")
+    if not e_rows:
+        return events.sparkSession.createDataFrame([], schema)
+    base = absorb(None)
+    data = []
+    for chn in channels:
+        rem = absorb(chn)
+        eff = (1.0 - rem / base) if base > 0 else None
+        data.append((chn, base, rem, eff))
+    return (events.sparkSession.createDataFrame(data, schema)
+            .orderBy("channel"))
+
+
+def kaplan_meier_churn(events: DataFrame, censor_days: int = 14,
+                       sort: bool = True) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (days from first
+    to last activity), with right-censoring: users still active within
+    *censor_days* of the corpus horizon are censored (their true
+    lifetime is unknown, not ended) — THE estimator for "how long do
+    users stay", because naive mean-lifetime silently treats every
+    still-active user as churned. Returns one row per observed churn
+    time: (t_days, n_at_risk, n_churned, log_survival).
+
+    Survival is shipped in LOG space: S(t) = Π(1 − dᵢ/nᵢ) is a product
+    of rationals whose float exp differs by ulps cross-engine, but
+    log S(t) = Σ ln(1 − dᵢ/nᵢ) follows the CLAUDE.md ln recipe exactly
+    — each ln of a bit-identical int/int ratio snaps to the 1e-6 grid,
+    and the running sum is an ORDERED cumulative window over churn
+    times (deterministic accumulation) shipped raw. Consumers exp()
+    it locally. One shuffle per-user, one tiny per-time frame."""
+    span = events.agg(F.max(F.date_trunc("day", F.col("ts")))
+                      .alias("_hz"))
+    users = (events.groupBy("user_id")
+             .agg(F.date_trunc("day", F.min("ts")).alias("_first"),
+                  F.date_trunc("day", F.max("ts")).alias("_last")))
+    obs = users.crossJoin(F.broadcast(span)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("t_days"),
+        (F.datediff(F.col("_hz"), F.col("_last")) >= censor_days)
+        .cast("int").alias("_churned"),
+    )
+    n_total = obs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    per_t = (obs.groupBy("t_days")
+             .agg(F.sum("_churned").alias("n_churned"),
+                  F.count(F.lit(1)).alias("_ended")))
+    w = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0)
+    curve = (per_t.crossJoin(F.broadcast(n_total))
+             .select(
+                 "t_days", "n_churned", "_ended",
+                 (F.col("_n") - F.coalesce(F.sum("_ended").over(w),
+                                           F.lit(0)))
+                 .cast("bigint").alias("n_at_risk"))
+             .where(F.col("n_churned") > 0))
+    # d == n_at_risk means the curve hits S = 0 (ln 0): Spark's log
+    # NULLs there while DuckDB returns -inf — both sides spell the
+    # same CASE instead: the term is NULL and the row's log_survival
+    # is NULL (curve terminated), never a silent engine divergence
+    term = F.when(
+        F.col("n_churned") < F.col("n_at_risk"),
+        F.round(F.log(F.lit(1.0) - F.col("n_churned")
+                      / F.col("n_at_risk")), 6))
+    out = curve.select(
+        "t_days", "n_at_risk", "n_churned",
+        F.when(F.col("n_churned") < F.col("n_at_risk"),
+               F.sum(term).over(wc)).alias("log_survival"),
+    )
+    return out.orderBy("t_days") if sort else out

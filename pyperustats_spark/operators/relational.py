@@ -2138,3 +2138,104 @@ def weighted_sample(df: DataFrame, key: str, weight_col: str,
         .orderBy(F.col("es_key").asc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    one-row inequality card ("do 1 % of customers carry half the
+    revenue?") that decides whether per-customer partitions need skew
+    handling. Returns (n_customers, total_cents, gini).
+
+    Exact integer arithmetic end to end: per-customer revenue in
+    cents (2-decimal grid recovery), customers ranked by
+    (cents, custkey) — a total order, so the rank-weighted sum
+    Σ i·xᵢ is well-defined and identical cross-engine — and
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) computed as one division
+    of exact integers (shipped raw). The rank window is a single
+    global sort of the CUSTOMER aggregate (one row per customer —
+    the same bounded frame every rank-based operator here accepts);
+    Σ i·xᵢ accumulates in DECIMAL(38,0): at 1e9 customers × 1e13
+    max-rank·cents products a bigint would overflow."""
+    cents = (orders.groupBy("o_custkey")
+             .agg(F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+                  .cast("bigint").alias("_c")))
+    w = Window.orderBy("_c", "o_custkey")
+    ranked = cents.select(
+        "_c", F.row_number().over(w).cast("bigint").alias("_i"))
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("_c").cast("bigint").alias("total_cents"),
+        F.sum((F.col("_i") * F.col("_c")).cast("decimal(38,0)"))
+        .alias("_iw"),
+    )
+    # every factor cast to double EXPLICITLY (and identically in the
+    # oracle): n*total as bigint would overflow at ~1e9 customers, and
+    # the decimal→double conversions round the same exact integer to
+    # the same bits in both engines (ols_exact precedent)
+    return g.select(
+        "n_customers", "total_cents",
+        ((F.lit(2.0) * F.col("_iw").cast("double")
+          - (F.col("n_customers") + 1).cast("double")
+          * F.col("total_cents").cast("double"))
+         / (F.col("n_customers").cast("double")
+            * F.col("total_cents").cast("double")))
+        .alias("gini"),
+    )
+
+
+def benford_first_digit(orders: DataFrame,
+                        value_col: str = "o_totalprice",
+                        sort: bool = True) -> DataFrame:
+    """Benford's-law first-digit profile of *value_col* — the
+    data-forensics card (fabricated or unit-mangled amounts bend the
+    first-digit curve long before totals look wrong). Returns
+    (digit, n, share, benford_share, chi2) with the chi-square
+    against the Benford expectation carried per row.
+
+    Counts are exact integers; share is raw int/int; the Benford
+    expectation log10(1+1/d) is a LITERAL (both engines constant-fold
+    the same double); chi2 sums (o_d − n·p_d)²/(n·p_d) over the 9
+    digits via an ordered cumulative window (deterministic double
+    accumulation) — every input to it bit-identical cross-engine."""
+    import math
+
+    # first digit from INTEGER cents: integer→string formatting is
+    # identical cross-engine, double→string is not (scientific
+    # notation thresholds differ); shifting by 100 never changes the
+    # leading digit
+    d = orders.where(F.col(value_col) > 0).select(
+        F.substring(F.round(F.col(value_col) * 100).cast("bigint")
+                    .cast("string"), 1, 1)
+        .cast("int").alias("digit"))
+    base = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    # expectations snapped to the 1e-6 grid in BOTH engines (all nine
+    # constants sit >= 9.4e-9 from a round-6 midpoint — measured — so
+    # libm ulp differences can't flip the grid point)
+    probs = F.create_map(*[
+        x for dd in range(1, 10)
+        for x in (F.lit(dd), F.lit(round(math.log10(1 + 1 / dd), 6)))])
+    w1 = base.select(
+        "digit", "n",
+        F.sum("n").over(tot).cast("bigint").alias("_tn"),
+        probs[F.col("digit")].alias("_p"),
+    )
+    dev = ((F.col("n") - F.col("_tn") * F.col("_p"))
+           * (F.col("n") - F.col("_tn") * F.col("_p"))
+           / (F.col("_tn") * F.col("_p")))
+    wc = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, 0)
+    rk = F.row_number().over(Window.orderBy(F.desc("digit")))
+    staged = w1.select(
+        "digit", "n", "_tn", "_p",
+        F.sum(dev).over(wc).alias("_c2"),
+        rk.alias("_rk"),
+    )
+    chi2 = staged.where(F.col("_rk") == 1).select(
+        F.col("_c2").alias("chi2"))
+    out = (w1.crossJoin(F.broadcast(chi2))
+           .select("digit", "n",
+                   (F.col("n") / F.col("_tn")).alias("share"),
+                   F.col("_p").alias("benford_share"),
+                   "chi2"))
+    return out.orderBy("digit") if sort else out

@@ -3732,3 +3732,52 @@ def test_markov_attribution_credits_assisting_channel(spark):
     assert out["view"]["removal_effect"] > 0.99
     base = out["click"]["p_base_micro"]
     assert all(r["p_base_micro"] == base for r in out.values())
+
+
+def test_kaplan_meier_monotone_and_censoring(spark):
+    """Survival is non-increasing; censored-only durations shrink the
+    risk set without a curve row; risk sets are consistent."""
+    import math
+    from pyperustats_spark.operators.events import kaplan_meier_sessions
+    from pyperustats_spark.sources.registry import load_table
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = kaplan_meier_sessions(ev).collect()
+    assert out, "curve empty"
+    prev = 0.0
+    for r in out:
+        assert r["n_ended"] >= 1
+        assert r["n_at_risk"] >= r["n_ended"]
+        if r["log_survival"] is not None:
+            assert r["log_survival"] <= prev + 1e-12
+            prev = r["log_survival"]
+    # survival after the first row is below 1
+    assert math.exp(out[0]["log_survival"]) < 1.0
+
+
+def test_revenue_gini_extremes(spark):
+    from pyperustats_spark.operators.relational import revenue_gini
+    # perfectly equal: gini ~ 0
+    eq = spark.createDataFrame(
+        [(i, i, 100.0) for i in range(1, 101)],
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+    g0 = revenue_gini(eq).collect()[0]
+    assert abs(g0["gini"]) < 0.02
+    # one whale: gini -> (n-1)/n
+    wh = spark.createDataFrame(
+        [(i, i, 0.01) for i in range(1, 100)] + [(100, 100, 1e6)],
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+    g1 = revenue_gini(wh).collect()[0]
+    assert g1["gini"] > 0.97
+
+
+def test_benford_profile_shape(spark, tables):
+    import math
+    from pyperustats_spark.operators.relational import benford_first_digit
+    out = benford_first_digit(tables["orders"]).collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
+    for r in out:
+        assert abs(r["benford_share"]
+                   - round(math.log10(1 + 1 / r["digit"]), 6)) < 1e-12
+    # chi2 identical on every row and non-negative
+    assert len({r["chi2"] for r in out}) == 1 and out[0]["chi2"] >= 0.0
