@@ -2338,24 +2338,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The driver-verified 50-slot window (round-7 rotation). Priority
-# order: (0) oracles added this round and so never countersigned —
-# emb_radius_search (exact radius similarity), ann_mips_dot (exact
-# MIPS), dedup_ngram_containment (asymmetric containment pairs) —
-# then per the round-6 verdict: (1) the never-countersigned oracles —
-# q16_part_supplier_counts (landed after the r6 rotation froze) and
-# embedding_centroids (rotated in r6 but the comparator errored on its
-# array column; now flat long-form) — then (2) queries whose oracle or
-# entry is NEW or CHANGED this round (the Z-order layout audits,
-# ev_conversion_lag's degenerate-case oracle rewrite,
-# mef_get_grp_from_row, the four partsupp-bridge TPC-H ports,
-# dedup_exact_substring, graph_supplier_pagerank), then (3) the r6
-# window carryover (ts_beta / ev_attribution_first — countersigned
-# green in r6 — were displaced for the layout slots),
-# newest-countersign-last (the displaced tail — q8/q21/ev_top_paths/
-# release_rehearsal/ingest_* — all countersigned green in r6). After
-# this rotation goes green, every oracle in the repo has ≥1 driver
-# countersign across r4-r7. Everything displaced moves behind the
-# window; the local parity gate (tools/parity.py,
+# order: newest-oracle-first (the CLAUDE.md rotation rule). The
+# second round-7 session added 18 new oracle-backed queries — the
+# graph kernels (triangles, k-core), the exact prefix-filtered
+# Jaccard join, blocked-Levenshtein ER pairs, weighted sampling,
+# robust time-series stats (Theil-Sen, rolling MAD, seasonal
+# strength), the data cards (power-law, source JSD, weekday chi2,
+# decay value, Gini, Benford), Markov removal-effect attribution and
+# the Kaplan-Meier session curve — which lead the window since no
+# driver has ever countersigned them. The first round-7 session's
+# additions follow (countersign-pending as of r6), then carryover
+# slots countersigned green in earlier rounds. Everything displaced
+# moves behind the window; the local parity gate (tools/parity.py,
 # tests/test_oracle_parity.py) still value-checks all oracle-backed
 # queries every run.
 _WINDOW = [
