@@ -2151,17 +2151,40 @@ def revenue_gini(orders: DataFrame) -> DataFrame:
     (cents, custkey) — a total order, so the rank-weighted sum
     Σ i·xᵢ is well-defined and identical cross-engine — and
     G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) computed as one division
-    of exact integers (shipped raw). The rank window is a single
-    global sort of the CUSTOMER aggregate (one row per customer —
-    the same bounded frame every rank-based operator here accepts);
+    of exact values (shipped raw). Ranks are NOT a partition-less
+    window (a global sort of the per-customer frame — the plan-sweep
+    single-partition smell, corpus-proportional at 1e9 customers):
+    they come from the histogram-rank core the layout family uses —
+    value-bucket offsets (a ≤2^bits side table) + in-bucket
+    row_number, parallel across buckets, identical to the global
+    (cents, custkey) order because the bucket is monotone in cents.
     Σ i·xᵢ accumulates in DECIMAL(38,0): at 1e9 customers × 1e13
     max-rank·cents products a bigint would overflow."""
+    from pyperustats_spark.operators.layout import _bounds, _bucket
+
+    # persisted: feeds the bounds row, the bucket-count side table and
+    # the ranked pass — the CLAUDE.md histogram_ntile rule (Catalyst
+    # re-runs the orders aggregate per reference otherwise)
     cents = (orders.groupBy("o_custkey")
              .agg(F.round(F.round(F.sum("o_totalprice"), 2) * 100)
-                  .cast("bigint").alias("_c")))
-    w = Window.orderBy("_c", "o_custkey")
-    ranked = cents.select(
-        "_c", F.row_number().over(w).cast("bigint").alias("_i"))
+                  .cast("bigint").alias("_c"))
+             .persist())
+    b = cents.crossJoin(F.broadcast(_bounds(cents, ["_c"])))
+    z = b.select("o_custkey", "_c",
+                 _bucket(F.col("_c"), F.col("_lo__c"), F.col("_hi__c"),
+                         12).alias("_hb"))
+    counts = z.groupBy("_hb").agg(F.count(F.lit(1)).alias("_cnt"))
+    ws = Window.orderBy("_hb")
+    side = counts.select(
+        "_hb",
+        F.coalesce(F.sum("_cnt").over(
+            ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("_off"))
+    wp = Window.partitionBy("_hb").orderBy("_c", "o_custkey")
+    ranked = (z.withColumn("_pos", F.row_number().over(wp))
+              .join(F.broadcast(side), "_hb")
+              .select("_c", (F.col("_off") + F.col("_pos"))
+                      .cast("bigint").alias("_i")))
     g = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("_c").cast("bigint").alias("total_cents"),

@@ -105,6 +105,15 @@ BROADCAST_HINT_WHITELIST = {
     "q15_top_supplier",           # 1-row global max
     "q22_rich_inactive",          # 1-row global average
     "q2_min_cost_supplier",       # region (5) + region-filtered nation
+    "dedup_jaccard_prefix",       # gram-id table — alphabet-bounded
+                                  # (|charset|^n, never corpus-sized)
+    "text_source_jsd",            # vocab x global-total spine —
+                                  # vocabulary-bounded
+    "ev_decay_value",             # 1-row global max-timestamp
+    "ev_kaplan_meier",            # 1-row horizon + 1-row session total
+    "q_benford_digits",           # 1-row chi-square scalar
+    "ev_kll_quantiles",           # (type x quantile) estimate rows —
+                                  # bounded by type cardinality
     "q9_product_type_profit",     # nation (25 rows)
     "q11_important_stock",        # nation-filtered supplier keys +
                                   # 1-row threshold total
@@ -447,6 +456,26 @@ PLAN_SMELL_WHITELIST = {
     "q_orphan_check": {"BNLJ", "SINGLE_PART"},  # two 1-row counts joined
     "ev_conversion_lag": {"BNLJ", "SINGLE_PART"},  # two 1-row aggregates
                                                 # joined (audited)
+    "graph_part_triangles": {"BNLJ", "SINGLE_PART"},  # three 1-row
+                                                # census aggregates
+                                                # cross-joined (audited)
+    "dedup_jaccard_prefix": {"SINGLE_PART"},    # gram-id rank window —
+                                                # alphabet-bounded table
+    "ev_activity_powerlaw": {"SINGLE_PART"},    # global 1-row MLE agg
+    "text_source_jsd": {"BNLJ", "SINGLE_PART"},  # 1-row global token
+                                                # total; vocab spine
+    "ev_decay_value": {"BNLJ", "SINGLE_PART"},  # 1-row horizon max
+    "ev_kaplan_meier": {"BNLJ", "SINGLE_PART"},  # 1-row horizon +
+                                                # 1-row session total;
+                                                # curve windows ordered
+                                                # over per-duration rows
+                                                # (bounded by distinct
+                                                # durations)
+    "q_revenue_gini": {"SINGLE_PART"},          # histogram-rank side
+                                                # table (<=2^12 rows) +
+                                                # 1-row final aggregate
+    "q_benford_digits": {"BNLJ", "SINGLE_PART"},  # 9-digit frame: chi2
+                                                # scalar + digit windows
     "ev_conversion_lag_approx": {"BNLJ", "SINGLE_PART"},  # same shape,
                                                 # sketch percentiles
     "ts_beta": {"SINGLE_PART"},                 # 1-row regression agg
