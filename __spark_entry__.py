@@ -776,6 +776,13 @@ def graph_supplier_salsa(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=4, k=50)
 
 
+def dedup_keep_best(spark, sf_dir):
+    """Quality-canonical exact dedup: keep the highest-quality copy
+    per normalized-content cluster (quarter-grid quality, total
+    order)."""
+    return D.keep_best_per_cluster(_lt(spark, sf_dir, "documents"))
+
+
 def dedup_jaccard_prefix(spark, sf_dir):
     """Exact all-pairs Jaccard >= 0.9 via prefix filtering (AllPairs/
     PPJoin): lossless, integer-exact thresholds, rarest-first index."""
@@ -2159,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_supplier_salsa": graph_supplier_salsa,
         "graph_part_triangles": graph_part_triangles,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
+        "dedup_keep_best": dedup_keep_best,
         "graph_part_kcore": graph_part_kcore,
         "er_customer_name_pairs": er_customer_name_pairs,
         "sample_weighted_orders": sample_weighted_orders,
@@ -2359,7 +2367,7 @@ _WINDOW = [
     "ev_activity_powerlaw", "graph_part_kcore",
     "text_source_jsd", "ev_decay_value", "ev_weekday_profile",
     "ev_markov_attribution", "ev_kaplan_meier", "q_revenue_gini",
-    "q_benford_digits",
+    "q_benford_digits", "dedup_keep_best",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2374,7 +2382,6 @@ _WINDOW = [
     "q11_important_stock", "q20_dominant_supplier",
     "dedup_exact_substring", "graph_supplier_pagerank",
     "dedup_substring_decontaminate", "graph_supplier_salsa",
-    "dedup_substring_profile",
 ]
 
 
@@ -3321,6 +3328,49 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact"] = """
         SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
         FROM documents GROUP BY md5(text) ORDER BY doc_id
+    """
+
+    sql["dedup_keep_best"] = f"""
+        WITH feat AS (
+            SELECT doc_id, lang, source, n_chars,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS k,
+                   len({_TOKENS}) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST(list_sum(list_transform({_TOKENS},
+                                 x -> length(x))) AS DOUBLE)
+                             / len({_TOKENS})
+                        ELSE 0.0 END AS mwl,
+                   CAST(length(text) - length(regexp_replace(text,
+                            '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS pr,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST({_sw_hits("en")} AS DOUBLE)
+                             / len({_TOKENS})
+                        ELSE 0.0 END AS swd
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, lang, source, n_chars, k,
+                   CAST((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                              THEN 0.25 ELSE 0.0 END)
+                      + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                              THEN 0.25 ELSE 0.0 END)
+                      + (CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END)
+                      + (CASE WHEN swd >= 0.02 THEN 0.25 ELSE 0.0 END)
+                     AS DOUBLE) AS quality_score
+            FROM feat
+        ),
+        r AS (
+            SELECT doc_id, lang, source, n_chars, quality_score,
+                   row_number() OVER (PARTITION BY k
+                       ORDER BY quality_score DESC, doc_id) AS rk,
+                   CAST(count(*) OVER (PARTITION BY k) AS BIGINT)
+                       AS n_members
+            FROM q
+        )
+        SELECT doc_id, lang, source, n_chars, quality_score, n_members
+        FROM r WHERE rk = 1 ORDER BY doc_id
     """
 
     sql["dedup_exact_normalized"] = """

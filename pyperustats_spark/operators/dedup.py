@@ -1359,3 +1359,41 @@ def jaccard_prefix_pairs(documents: DataFrame, n: int = 3,
         )
     )
     return ver.orderBy("id_a", "id_b") if sort else ver
+
+
+def keep_best_per_cluster(documents: DataFrame,
+                          sort: bool = True) -> DataFrame:
+    """Quality-canonical exact dedup: within each normalized-content
+    cluster keep the HIGHEST-quality copy (ties on quality → lowest
+    doc_id) — the keep policy production dedup actually wants.
+    Min-id/keep-latest (both ported) are arbitrary; near-identical
+    copies that differ only in casing/whitespace can still differ in
+    punctuation density, and a training corpus should retain the
+    cleanest one. Returns kept rows (doc_id, lang, source, n_chars,
+    quality_score, n_members).
+
+    Row-local everything except ONE content-key shuffle: the cluster
+    key is md5(normalized text) (:func:`content_key`), quality is the
+    let-bound composite of
+    :func:`~pyperustats_spark.operators.textops.quality_score_col`
+    (quarter-grid values — exact doubles, so the (quality desc,
+    doc_id) order is total and bit-identical cross-engine), and both
+    the winner rank and the cluster size ride the same window
+    partitioning."""
+    from pyperustats_spark.operators.textops import quality_score_col
+
+    base = documents.select(
+        "doc_id", "lang", "source", "n_chars",
+        content_key().alias("_k"),
+        quality_score_col(F.col("text")).alias("quality_score"),
+    )
+    w = Window.partitionBy("_k")
+    ranked = base.select(
+        "doc_id", "lang", "source", "n_chars", "quality_score",
+        F.row_number().over(
+            w.orderBy(F.desc("quality_score"), F.col("doc_id")))
+        .alias("_rk"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+    )
+    out = ranked.where(F.col("_rk") == 1).drop("_rk")
+    return out.orderBy("doc_id") if sort else out
