@@ -256,3 +256,44 @@ def test_round7_ops_survive_degenerate_inputs(spark, frames):
     assert G.salsa_fixed_point(empty_bip, iters=2).count() == 0
     assert G.supplier_importance(empty_li, orders, supplier).count() == 0
     assert G.supplier_authority(empty_li, orders, supplier).count() == 0
+
+
+def test_round7_batch2_ops_survive_degenerates(spark, frames):
+    """Empty/one-row frames through the second-session operators."""
+    el, ol = frames["empty_long"], frames["one_long"]
+    eev = frames["empty_ev"]
+    ed = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+    eli = spark.createDataFrame([], "l_orderkey long, l_partkey long")
+    eor = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_totalprice double")
+    from pyperustats_spark.operators import graph as G
+
+    # graph kernels
+    assert G.copurchase_triangle_stats(eli).collect()[0]["n_edges"] == 0
+    assert G.kcore_peel(G.copurchase_edges(eli), k=2).count() == 0
+    # similarity/ER/sampling
+    assert D.jaccard_prefix_pairs(ed).count() == 0
+    assert D.keep_best_per_cluster(ed).count() == 0
+    assert R.fuzzy_name_pairs(spark.createDataFrame(
+        [], "c_custkey long, c_nationkey int, c_name string")).count() == 0
+    assert R.weighted_sample(eor, "o_orderkey", "o_totalprice").count() == 0
+    assert R.revenue_gini(eor).collect()[0]["gini"] is None
+    assert R.benford_first_digit(eor).count() == 0
+    # robust ts stats
+    assert TS.theil_sen_slope(el).count() == 0
+    assert TS.theil_sen_slope(ol).collect()[0]["sen_slope"] is None
+    assert TS.rolling_mad_anomalies(el).count() == 0
+    one_mad = TS.rolling_mad_anomalies(ol).collect()
+    assert len(one_mad) == 1 and one_mad[0]["roll_mad"] == 0.0
+    assert TS.seasonal_strength(el).count() == 0
+    # events cards
+    assert E.activity_powerlaw_fit(eev).collect()[0]["n_keys"] == 0
+    assert E.hll_distinct_rollup(eev).count() == 0
+    assert E.kll_value_quantiles(eev).count() == 0
+    assert E.weekday_profile(eev).count() == 0
+    assert E.decay_weighted_value(eev).count() == 0
+    assert E.kaplan_meier_sessions(eev).count() == 0
+    assert E.markov_removal_attribution(eev).count() == 0
+    assert TX.source_unigram_jsd(ed).count() == 0
