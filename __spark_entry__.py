@@ -836,6 +836,12 @@ def ev_weekday_profile(spark, sf_dir):
     return E.weekday_profile(_lt(spark, sf_dir, "events"))
 
 
+def ev_cuped_ab(spark, sf_dir):
+    """CUPED-adjusted A/B readout: hash-assigned variants, pre-period
+    covariate, all moments exact integer sums (one pass)."""
+    return E.cuped_ab_readout(_lt(spark, sf_dir, "events"))
+
+
 def ev_kaplan_meier(spark, sf_dir):
     """Kaplan-Meier session-duration survival curve with
     right-censoring at the corpus horizon; survival shipped in LOG
@@ -2175,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_weekday_profile": ev_weekday_profile,
         "ev_markov_attribution": ev_markov_attribution,
         "ev_kaplan_meier": ev_kaplan_meier,
+        "ev_cuped_ab": ev_cuped_ab,
         "q_revenue_gini": q_revenue_gini,
         "q_benford_digits": q_benford_digits,
         "ev_hll_rollup": ev_hll_rollup,
@@ -2367,7 +2374,7 @@ _WINDOW = [
     "ev_activity_powerlaw", "graph_part_kcore",
     "text_source_jsd", "ev_decay_value", "ev_weekday_profile",
     "ev_markov_attribution", "ev_kaplan_meier", "q_revenue_gini",
-    "q_benford_digits", "dedup_keep_best",
+    "q_benford_digits", "dedup_keep_best", "ev_cuped_ab",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2381,7 +2388,7 @@ _WINDOW = [
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q20_dominant_supplier",
     "dedup_exact_substring", "graph_supplier_pagerank",
-    "dedup_substring_decontaminate", "graph_supplier_salsa",
+    "dedup_substring_decontaminate",
 ]
 
 
@@ -5031,6 +5038,76 @@ def oracle_sql() -> dict[str, str]:
                END AS trend_strength
         FROM cs WHERE rk = 1 ORDER BY code
     """
+
+    sql["ev_cuped_ab"] = """
+        WITH span AS (
+            SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+                   CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+            FROM events
+        ),
+        ev AS (
+            SELECT user_id,
+                   datediff('day', span.d0,
+                            CAST(date_trunc('day', ts) AS TIMESTAMP))
+                       < floor(datediff('day', span.d0, span.d1) / 2) + 1
+                       AS pre,
+                   round(value, 2) AS v
+            FROM events, span WHERE event_type = 'purchase'
+        ),
+        pu AS (
+            SELECT user_id,
+                   CAST(round(sum(CASE WHEN pre THEN v ELSE 0.0 END)
+                              * 100) AS BIGINT) AS x,
+                   CAST(round(sum(CASE WHEN NOT pre THEN v ELSE 0.0 END)
+                              * 100) AS BIGINT) AS y
+            FROM ev GROUP BY user_id
+        ),
+        pv0 AS (
+            SELECT CASE WHEN CAST('0x' || substring(
+                           md5('exp1:' || CAST(user_id AS VARCHAR)),
+                           1, 4) AS INT) % 2 = 0
+                        THEN 'control' ELSE 'treatment' END AS variant,
+                   x, y
+            FROM pu
+        ),
+        pv AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM pv0 GROUP BY variant
+        ),
+        pooled AS (
+            SELECT variant, n_users, sx, sy,
+                   sum(CAST(n_users AS HUGEINT)) OVER () AS n,
+                   sum(sx) OVER () AS tsx, sum(sxx) OVER () AS tsxx,
+                   sum(sy) OVER () AS tsy, sum(sxy) OVER () AS tsxy,
+                   sum(syy) OVER () AS tsyy
+            FROM pooled_src
+        ),
+        calc AS (
+            SELECT variant, n_users,
+                   CAST(sy AS DOUBLE)
+                       / (100.0 * CAST(n_users AS DOUBLE)) AS mean_y,
+                   CAST(sx AS DOUBLE)
+                       / (100.0 * CAST(n_users AS DOUBLE)) AS mean_x,
+                   (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+                       AS xbar_all,
+                   CAST(n * tsxy - tsx * tsy AS DOUBLE) AS num,
+                   CAST(n * tsxx - tsx * tsx AS DOUBLE) AS denx,
+                   CAST(n * tsyy - tsy * tsy AS DOUBLE) AS deny
+            FROM pooled
+        )
+        SELECT variant, n_users, mean_y,
+               mean_y - (CASE WHEN denx <> 0.0 THEN num / denx END)
+                   * (mean_x - xbar_all) AS mean_y_adj,
+               CASE WHEN denx <> 0.0 THEN num / denx END AS theta,
+               CASE WHEN denx <> 0.0 AND deny <> 0.0
+                    THEN num * num / (denx * deny) END AS var_reduction
+        FROM calc ORDER BY variant
+    """.replace("pooled_src", "pv")
 
     sql["ev_kaplan_meier"] = """
         WITH flagged AS (

@@ -1559,3 +1559,97 @@ def kaplan_meier_churn(events: DataFrame, censor_days: int = 14,
                F.sum(term).over(wc)).alias("log_survival"),
     )
     return out.orderBy("t_days") if sort else out
+
+
+def cuped_ab_readout(events: DataFrame, event_type: str = "purchase",
+                     salt: str = "exp1") -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng et al. 2013): deterministic
+    50/50 hash assignment of users, pre-period spend as the covariate,
+    and the variance-reduced post-period means an experimentation
+    platform actually ships — Y_adj = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X) cuts readout variance by exactly ρ² without
+    biasing the treatment effect. Returns one row per variant:
+    (variant, n_users, mean_y, mean_y_adj, theta, var_reduction).
+
+    Pre/post split at the midpoint of the corpus' day span; X and Y
+    are per-user *event_type* value sums in integer cents. Everything
+    is ONE distributed pass: per-variant Σx, Σx², Σy, Σxy, Σy²
+    accumulate as DECIMAL(38,0) (exact, merge-order-free), pooled
+    sums are window-sums over the 2-row variant frame (integer
+    arithmetic — order can't matter), and θ / means / the adjusted
+    means come from the normal-equation identities
+    (mean Y_adj per variant = ȳ_v − θ(x̄_v − x̄)) — so no per-user
+    double ever enters a nondeterministic sum. var_reduction = ρ²
+    (pooled), the exact CUPED variance saving. All derived doubles
+    ship raw from identical integer bits."""
+    span = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("_d0"),
+        F.date_trunc("day", F.max("ts")).alias("_d1"))
+    ev = (events.where(F.col("event_type") == event_type)
+          .crossJoin(F.broadcast(span))
+          .select(
+              "user_id",
+              (F.datediff(F.date_trunc("day", F.col("ts")), F.col("_d0"))
+               < F.floor(F.datediff(F.col("_d1"), F.col("_d0")) / 2) + 1)
+              .alias("_pre"),
+              F.round(F.col("value"), 2).alias("_v")))
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.when(F.col("_pre"), F.col("_v"))
+                      .otherwise(F.lit(0.0))) * 100)
+        .cast("bigint").alias("_x"),
+        F.round(F.sum(F.when(~F.col("_pre"), F.col("_v"))
+                      .otherwise(F.lit(0.0))) * 100)
+        .cast("bigint").alias("_y"),
+    ).select(
+        "_x", "_y",
+        F.when(F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(salt), F.col("user_id").cast("string"))), 1, 4),
+            16, 10).cast("int") % 2 == 0,
+            F.lit("control")).otherwise(F.lit("treatment"))
+        .alias("variant"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    pv = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_x")) * F.col("_x")).alias("_sxx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x")) * F.col("_y")).alias("_sxy"),
+        F.sum(dec(F.col("_y")) * F.col("_y")).alias("_syy"),
+    )
+    wall = Window.partitionBy()
+    pooled = pv.select(
+        "variant", "n_users", "_sx", "_sy",
+        F.sum(dec(F.col("n_users"))).over(wall).alias("_n"),
+        F.sum("_sx").over(wall).alias("_tsx"),
+        F.sum("_sxx").over(wall).alias("_tsxx"),
+        F.sum("_sy").over(wall).alias("_tsy"),
+        F.sum("_sxy").over(wall).alias("_tsxy"),
+        F.sum("_syy").over(wall).alias("_tsyy"),
+    )
+    num = (F.col("_n") * F.col("_tsxy")
+           - F.col("_tsx") * F.col("_tsy")).cast("double")
+    denx = (F.col("_n") * F.col("_tsxx")
+            - F.col("_tsx") * F.col("_tsx")).cast("double")
+    deny = (F.col("_n") * F.col("_tsyy")
+            - F.col("_tsy") * F.col("_tsy")).cast("double")
+    theta = F.when(denx != 0.0, num / denx)
+    xbar_all = (F.col("_tsx").cast("double")
+                / F.col("_n").cast("double"))
+    mean_y = (F.col("_sy").cast("double")
+              / (F.lit(100.0) * F.col("n_users").cast("double")))
+    mean_x = (F.col("_sx").cast("double")
+              / (F.lit(100.0) * F.col("n_users").cast("double")))
+    out = pooled.select(
+        "variant", "n_users",
+        mean_y.alias("mean_y"),
+        (mean_y - theta * (mean_x - xbar_all / F.lit(100.0)))
+        .alias("mean_y_adj"),
+        theta.alias("theta"),
+        F.when((denx != 0.0) & (deny != 0.0),
+               num * num / (denx * deny)).alias("var_reduction"),
+    )
+    return out.orderBy("variant")

@@ -3823,3 +3823,31 @@ def test_keep_best_picks_higher_quality_when_it_differs(spark):
         ["doc_id", "text", "lang", "source", "n_chars"])
     out = keep_best_per_cluster(docs).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 4
+
+
+def test_cuped_reduces_variance_and_preserves_effect(spark):
+    """Planted A/B: post = 2*pre + lift(treatment) + noise-free ->
+    adjusted means remove the pre-period imbalance, var_reduction ~1."""
+    import datetime
+    from pyperustats_spark.operators.events import cuped_ab_readout
+    rows, eid = [], 0
+    t_pre = datetime.datetime(2024, 1, 2)
+    t_post = datetime.datetime(2024, 1, 28)
+    for uid in range(1, 201):
+        pre = float(10 + (uid % 37))
+        eid += 1
+        rows.append((eid, t_pre, uid, "purchase", pre, "{}"))
+        eid += 1
+        rows.append((eid, t_post, uid, "purchase", 2 * pre, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = {r["variant"]: r for r in cuped_ab_readout(df).collect()}
+    assert set(out) == {"control", "treatment"}
+    c, t = out["control"], out["treatment"]
+    # exact linear relation -> theta == 2, rho^2 == 1
+    assert abs(c["theta"] - 2.0) < 1e-9
+    assert abs(c["var_reduction"] - 1.0) < 1e-9
+    # adjusted means equal across variants (no true lift, only
+    # covariate imbalance from the hash split)
+    assert abs(c["mean_y_adj"] - t["mean_y_adj"]) < 1e-6
+    assert c["n_users"] + t["n_users"] == 200
