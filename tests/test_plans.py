@@ -114,6 +114,9 @@ BROADCAST_HINT_WHITELIST = {
     "q_benford_digits",           # 1-row chi-square scalar
     "ev_kll_quantiles",           # (type x quantile) estimate rows —
                                   # bounded by type cardinality
+    "ev_cuped_ab",                # 1-row corpus day-span
+    "q_revenue_gini",             # 1-row cents bounds + <=2^12-row
+                                  # histogram-rank offset table
     "q9_product_type_profit",     # nation (25 rows)
     "q11_important_stock",        # nation-filtered supplier keys +
                                   # 1-row threshold total
@@ -471,11 +474,15 @@ PLAN_SMELL_WHITELIST = {
                                                 # over per-duration rows
                                                 # (bounded by distinct
                                                 # durations)
-    "q_revenue_gini": {"SINGLE_PART"},          # histogram-rank side
-                                                # table (<=2^12 rows) +
-                                                # 1-row final aggregate
+    "q_revenue_gini": {"BNLJ", "SINGLE_PART"},  # 1-row bounds cross
+                                                # join; histogram-rank
+                                                # side table (<=2^12
+                                                # rows) + 1-row final
     "q_benford_digits": {"BNLJ", "SINGLE_PART"},  # 9-digit frame: chi2
                                                 # scalar + digit windows
+    "ev_cuped_ab": {"BNLJ", "SINGLE_PART"},     # 1-row span cross join;
+                                                # pooled window over the
+                                                # 2-row variant frame
     "ev_conversion_lag_approx": {"BNLJ", "SINGLE_PART"},  # same shape,
                                                 # sketch percentiles
     "ts_beta": {"SINGLE_PART"},                 # 1-row regression agg
