@@ -1039,9 +1039,10 @@ def kll_value_quantiles(events: DataFrame, k: int = 200,
     Rollup shape: each (type, day) keeps one O(k) sketch;
     the per-type sketch derives by folding the stored daily sketches
     with `kll_sketch_merge_double` (pyspark exposes merge as a BINARY
-    scalar, not an aggregate, so the fold is `F.aggregate` over the
-    collected sketch array — bounded by days-per-type, a few KB each,
-    never by row count). At 100 TB the daily sketches are the stored
+    scalar, not an aggregate, so the fold is `F.aggregate` over a
+    collected sketch array — TWO-LEVEL, day → month → total, bounding
+    every array at ≤31 or months-of-history entries of a few KB each,
+    never row-count- or days-sized). At 100 TB the daily sketches are the stored
     artifact and quantiles over any date range are a driver-side fold —
     no raw re-scan.
 
@@ -1056,18 +1057,30 @@ def kll_value_quantiles(events: DataFrame, k: int = 200,
         .groupBy("event_type", "_day")
         .agg(F.kll_sketch_agg_double("value", F.lit(k)).alias("_sk"))
     )
-    merged = (
-        daily.groupBy("event_type")
-        .agg(F.collect_list("_sk").alias("_sks"))
-        .select(
-            "event_type",
+
+    def fold(df, keys):
+        # binary merge via F.aggregate over the collected array — the
+        # fold is TWO-LEVEL (day → month → total) so no collected
+        # array ever exceeds 31 entries at level 1 or months-of-
+        # history at level 2 (a single-level fold would gather one
+        # array of ALL days per type: ~36k sketches × O(k) bytes per
+        # century — a per-row memory hazard, not a shuffle one)
+        g = df.groupBy(*keys).agg(F.collect_list("_sk").alias("_sks"))
+        return g.select(
+            *keys,
             F.aggregate(
                 F.slice("_sks", 2, F.size("_sks")),
                 F.element_at("_sks", 1),
                 lambda acc, x: F.kll_sketch_merge_double(acc, x),
             ).alias("_sk"),
         )
-    )
+
+    monthly = fold(
+        daily.select("event_type",
+                     F.date_trunc("month", "_day").alias("_month"),
+                     "_sk"),
+        ["event_type", "_month"])
+    merged = fold(monthly, ["event_type"])
     est = merged.select(
         "event_type",
         F.explode(F.array(*[
