@@ -1358,6 +1358,12 @@ def embedding_centroids(spark, sf_dir):
                                  flat=True)
 
 
+def embedding_separation(spark, sf_dir):
+    """Per-label cluster tightness vs nearest-centroid distance
+    (centroid silhouette simplification; scalar-only output)."""
+    return S.label_separation(_lt(spark, sf_dir, "embeddings"))
+
+
 def text_lang_confusion(spark, sf_dir):
     return T.lang_confusion(_lt(spark, sf_dir, "documents"))
 
@@ -2182,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_markov_attribution": ev_markov_attribution,
         "ev_kaplan_meier": ev_kaplan_meier,
         "ev_cuped_ab": ev_cuped_ab,
+        "embedding_separation": embedding_separation,
         "q_revenue_gini": q_revenue_gini,
         "q_benford_digits": q_benford_digits,
         "ev_hll_rollup": ev_hll_rollup,
@@ -2375,6 +2382,7 @@ _WINDOW = [
     "text_source_jsd", "ev_decay_value", "ev_weekday_profile",
     "ev_markov_attribution", "ev_kaplan_meier", "q_revenue_gini",
     "q_benford_digits", "dedup_keep_best", "ev_cuped_ab",
+    "embedding_separation",
     "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
     "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
     "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
@@ -2388,7 +2396,6 @@ _WINDOW = [
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q20_dominant_supplier",
     "dedup_exact_substring", "graph_supplier_pagerank",
-    "dedup_substring_decontaminate",
 ]
 
 
@@ -3788,6 +3795,58 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_obs,
                round(arg_max(value, date), 4) AS latest_value
         FROM ({_LONG}) GROUP BY code ORDER BY code
+    """
+
+    sql["embedding_separation"] = """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        flat AS (
+            SELECT label, unnest(list_transform(range(1, len(v) + 1),
+                i -> {'dim': i - 1, 'x': v[i]})) AS u
+            FROM e
+        ),
+        cent AS (
+            SELECT label, u.dim AS dim, round(avg(u.x), 6) AS c
+            FROM flat GROUP BY 1, 2
+        ),
+        cvec AS (
+            SELECT label, list_transform(list_sort(
+                       list({'dim': dim, 'c': c})), r -> r.c) AS carr
+            FROM cent GROUP BY label
+        ),
+        nmem AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+                 FROM e GROUP BY label),
+        own AS (
+            SELECT e.label,
+                   sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+                       i -> (e.v[i] - cv.carr[i])
+                            * (e.v[i] - cv.carr[i])))) AS d
+            FROM e JOIN cvec cv ON e.label = cv.label
+        ),
+        intra AS (SELECT label, avg(d) AS mean_intra
+                  FROM own GROUP BY label),
+        pd AS (
+            SELECT a.label AS label, b.label AS other,
+                   sqrt(list_sum(list_transform(
+                       range(1, len(a.carr) + 1),
+                       i -> (a.carr[i] - b.carr[i])
+                            * (a.carr[i] - b.carr[i])))) AS cd
+            FROM cvec a JOIN cvec b ON a.label <> b.label
+        ),
+        near AS (
+            SELECT label, other AS nearest_label, cd AS nearest_dist,
+                   row_number() OVER (
+                       PARTITION BY label ORDER BY cd, other) AS rk
+            FROM pd
+        )
+        SELECT n.label, n.n_members, i.mean_intra,
+               r.nearest_label, r.nearest_dist,
+               r.nearest_dist / NULLIF(i.mean_intra, 0)
+                   AS separation
+        FROM nmem n
+        JOIN intra i ON n.label = i.label
+        JOIN near r ON n.label = r.label AND r.rk = 1
+        ORDER BY n.label
     """
 
     sql["embedding_centroids"] = """

@@ -1420,3 +1420,70 @@ def ann_opq_rerank(embeddings: DataFrame, queries: DataFrame,
     return ann_pq_rerank(rot, qrot, k=k, shortlist=shortlist, m=m,
                          n_codewords=n_codewords, dim=dim,
                          kmeans_iters=kmeans_iters)
+
+
+def label_separation(embeddings: DataFrame,
+                     sort: bool = True) -> DataFrame:
+    """Embedding-space health card per label: how TIGHT each label's
+    cluster is versus how FAR its nearest neighboring centroid sits —
+    (label, n_members, mean_intra, nearest_label, nearest_dist,
+    separation = nearest_dist / mean_intra). separation ≲ 1 means the
+    label bleeds into a neighbor (a mislabeled shard, a collapsed
+    embedding model); ≫ 1 means clean structure. The centroid-based
+    simplification of silhouette — O(n·d + L²·d), never the O(n²)
+    pairwise silhouette.
+
+    Shapes: one flat (label, dim) aggregate builds centroids
+    (round-6 grid like embedding_centroids, so both engines feed
+    identical centroid bits downstream); per-vector own-centroid
+    distances ride ONE broadcast join of the L-row centroid frame
+    (persisted — referenced three times); centroid-pair distances are
+    an L×L broadcast cross join, bounded by label cardinality. Means
+    are plain avgs of ulp-stable doubles (the knn-family posture: the
+    comparator's round-6 absorbs fold-order ulps); separation divides
+    two such scalars and ships raw. Output is scalar-only
+    (comparator-safe)."""
+    flat = embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "_v0"),
+    ).select("label", "dim", F.col("_v0").cast("double").alias("v"))
+    cent = flat.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("c"))
+    cvec = (cent.groupBy("label")
+            .agg(F.transform(F.array_sort(F.collect_list(
+                F.struct("dim", "c"))), lambda r: r["c"]).alias("carr"))
+            .persist())
+    nmem = embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+
+    def d2(a, b):
+        return F.sqrt(F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    own = (embeddings.join(F.broadcast(cvec), "label")
+           .select("label",
+                   d2(F.transform("embedding",
+                                  lambda x: x.cast("double")),
+                      F.col("carr")).alias("_d")))
+    intra = own.groupBy("label").agg(F.avg("_d").alias("mean_intra"))
+    a = cvec.select(F.col("label").alias("label"),
+                    F.col("carr").alias("_ca"))
+    b = cvec.select(F.col("label").alias("_other"),
+                    F.col("carr").alias("_cb"))
+    pairs = (a.crossJoin(F.broadcast(b))
+             .where(F.col("label") != F.col("_other"))
+             .select("label", "_other",
+                     d2(F.col("_ca"), F.col("_cb")).alias("_cd")))
+    near = (pairs.withColumn(
+        "_rk", F.row_number().over(
+            Window.partitionBy("label").orderBy("_cd", "_other")))
+        .where(F.col("_rk") == 1)
+        .select("label", F.col("_other").alias("nearest_label"),
+                F.col("_cd").alias("nearest_dist")))
+    out = (nmem.join(intra, "label").join(near, "label")
+           .select("label", "n_members", "mean_intra",
+                   "nearest_label", "nearest_dist",
+                   F.try_divide(F.col("nearest_dist"),
+                                F.col("mean_intra")).alias("separation")))
+    return out.orderBy("label") if sort else out

@@ -3851,3 +3851,25 @@ def test_cuped_reduces_variance_and_preserves_effect(spark):
     # covariate imbalance from the hash split)
     assert abs(c["mean_y_adj"] - t["mean_y_adj"]) < 1e-6
     assert c["n_users"] + t["n_users"] == 200
+
+
+def test_label_separation_flags_planted_bleed(spark):
+    """Two far clusters + one label split INSIDE another's cluster:
+    the bleeding label's separation collapses toward ~1, clean labels
+    score high."""
+    from pyperustats_spark.operators.similarity import label_separation
+    rows = []
+    vid = 0
+    for i in range(30):
+        vid += 1
+        rows.append((vid, [10.0 + (i % 5) * 0.01, 0.0], 0))   # cluster A
+        vid += 1
+        rows.append((vid, [-10.0 - (i % 5) * 0.01, 0.0], 1))  # cluster B
+        vid += 1
+        rows.append((vid, [10.0, 0.02 + (i % 5) * 0.01], 2))  # inside A
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in label_separation(df).collect()}
+    assert out[1]["separation"] > 50           # B is far from everyone
+    assert out[2]["separation"] < 5            # planted bleed into A
+    assert out[0]["nearest_label"] == 2 and out[2]["nearest_label"] == 0
+    assert all(r["n_members"] == 30 for r in out.values())

@@ -117,6 +117,8 @@ BROADCAST_HINT_WHITELIST = {
     "ev_cuped_ab",                # 1-row corpus day-span
     "q_revenue_gini",             # 1-row cents bounds + <=2^12-row
                                   # histogram-rank offset table
+    "embedding_separation",       # L-row centroid frame (label
+                                  # cardinality, never corpus-sized)
     "q9_product_type_profit",     # nation (25 rows)
     "q11_important_stock",        # nation-filtered supplier keys +
                                   # 1-row threshold total
@@ -483,6 +485,8 @@ PLAN_SMELL_WHITELIST = {
     "ev_cuped_ab": {"BNLJ", "SINGLE_PART"},     # 1-row span cross join;
                                                 # pooled window over the
                                                 # 2-row variant frame
+    "embedding_separation": {"BNLJ"},           # L x L centroid cross
+                                                # join (label-bounded)
     "ev_conversion_lag_approx": {"BNLJ", "SINGLE_PART"},  # same shape,
                                                 # sketch percentiles
     "ts_beta": {"SINGLE_PART"},                 # 1-row regression agg
