@@ -804,6 +804,19 @@ def graph_part_kcore(spark, sf_dir):
     return G.kcore_peel(G.copurchase_edges(_lt(spark, sf_dir, "lineitem")))
 
 
+def graph_part_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (4 rounds,
+    smallest-label tiebreak) on the min_support=3 co-purchase graph;
+    the oracle unrolls the identical rounds."""
+    from pyperustats_spark.operators import graph as G
+    return (G.label_propagation(
+                G.copurchase_edges(_lt(spark, sf_dir, "lineitem"),
+                                   min_support=3),
+                iters=4)
+            .withColumnRenamed("node", "part")
+            .orderBy("part"))
+
+
 def er_customer_name_pairs(spark, sf_dir):
     """Blocked Levenshtein entity-resolution pairs (nation blocks,
     distance <= 1; edit distances oracle-exact)."""
@@ -1100,6 +1113,14 @@ def dedup_exact_substring(spark, sf_dir):
 def dedup_substring_profile(spark, sf_dir):
     return D.substring_duplication_profile(_lt(spark, sf_dir, "documents"),
                                            n_tokens=20, winnow=5)
+
+
+def dedup_paragraph(spark, sf_dir):
+    # the synthetic corpus has no blank-line breaks, so split on the
+    # ' a ' token separator to genuinely exercise multi-paragraph
+    # splitting + corpus-first-occurrence dedup on this data
+    return D.paragraph_dedup(_lt(spark, sf_dir, "documents"),
+                             delim=" a ", joiner=" a ")
 
 
 def dedup_substring_decontaminate(spark, sf_dir):
@@ -2180,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "dedup_keep_best": dedup_keep_best,
         "graph_part_kcore": graph_part_kcore,
+        "graph_part_communities": graph_part_communities,
         "er_customer_name_pairs": er_customer_name_pairs,
         "sample_weighted_orders": sample_weighted_orders,
         "text_source_jsd": text_source_jsd,
@@ -2244,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substring": dedup_exact_substring,
         "dedup_substring_decontaminate": dedup_substring_decontaminate,
         "dedup_substring_profile": dedup_substring_profile,
+        "dedup_paragraph": dedup_paragraph,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -2375,6 +2398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_oracle_parity.py) still value-checks all oracle-backed
 # queries every run.
 _WINDOW = [
+    # r8 rotation: the 5 oracle-backed queries never driver-
+    # countersigned across r1-r7 (VERDICT r7 item 1) + this round's
+    # new oracle-backed operators lead the window
+    "graph_supplier_salsa", "q_part_affinity", "ev_incident_windows",
+    "dedup_substring_decontaminate", "dedup_substring_profile",
+    "dedup_paragraph", "graph_part_communities",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -3460,6 +3489,47 @@ def oracle_sql() -> dict[str, str]:
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
         ORDER BY d.doc_id
     """.format(tok=_TOKENS)
+
+    # keep = corpus-first occurrence by (doc_id, pos): row_number over
+    # the paragraph partition reproduces Spark's min-struct winner
+    sql["dedup_paragraph"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, ' a '),
+                       p -> trim(p)), p -> p != '') AS ps
+            FROM documents
+        ),
+        paras AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ps) + 1),
+                       i -> struct_pack(pos := i, para := ps[i]))) AS s
+            FROM base WHERE len(ps) > 0
+        ),
+        occ AS (
+            SELECT doc_id, s.pos AS pos, s.para AS para,
+                   row_number() OVER (PARTITION BY s.para
+                                      ORDER BY doc_id, s.pos) AS rn
+            FROM paras
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paragraphs,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       ' a ' ORDER BY pos), '')
+                       AS text_clean
+            FROM occ GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+               CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+    """
 
     sql["dedup_substring_profile"] = """
         WITH fp AS (
@@ -6382,6 +6452,42 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY e.dst
             ) c ON c.dst = n.node
         )"""
+    # label propagation: most-frequent neighbour label, smallest-label
+    # tiebreak — row_number ORDER BY count DESC, lbl reproduces Spark's
+    # min-struct((-count), lbl) argmin exactly (all-integer rounds)
+    _lp_iter = """
+        l{i} AS MATERIALIZED (
+            SELECT node, lbl FROM (
+                SELECT n.node, p.lbl,
+                       row_number() OVER (PARTITION BY n.node
+                                          ORDER BY count(*) DESC, p.lbl)
+                           AS rn
+                FROM nbr n JOIN l{j} p ON n.nb = p.node
+                GROUP BY n.node, p.lbl
+            ) WHERE rn = 1
+        )"""
+    sql["graph_part_communities"] = ("""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM items GROUP BY l_orderkey
+               HAVING count(*) BETWEEN 2 AND 50),
+        it AS (SELECT i.l_orderkey, i.l_partkey
+               FROM items i JOIN ok USING (l_orderkey)),
+        e AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
+               FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+        nbr AS MATERIALIZED (
+            SELECT a AS node, b AS nb FROM e
+            UNION ALL SELECT b AS node, a AS nb FROM e),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM nbr),
+        """ + ",".join(_lp_iter.format(i=i, j=i - 1)
+                       for i in range(1, 5)) + """
+        SELECT node AS part, CAST(lbl AS BIGINT) AS community,
+               CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
+                   AS community_size
+        FROM l4 ORDER BY part
+    """)
+
     sql["graph_supplier_pagerank"] = ("""
         WITH pairs AS (
             SELECT o.o_custkey * 2 AS c_node,
@@ -6718,7 +6824,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
                (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-               (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg)
+               (SELECT CAST(coalesce(sum(d * (d - 1)) / 2, 0) AS BIGINT)
+                    FROM deg)
                    AS n_wedges,
                n_triangles,
                3 * n_triangles
@@ -6729,8 +6836,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["er_customer_name_pairs"] = """
         WITH blk AS (
+            -- >= 2 only: the Spark side's max_block caps the
+            -- per-(block, deletion-variant) BUCKET, not the whole
+            -- nation block, and FastSS is lossless until a single
+            -- variant bucket exceeds it — so the oracle must not
+            -- drop large nation blocks wholesale (ADVICE r7)
             SELECT c_nationkey FROM customer GROUP BY c_nationkey
-            HAVING count(*) BETWEEN 2 AND 10000
+            HAVING count(*) >= 2
         )
         SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
                a.c_name AS name_a, b.c_name AS name_b,

@@ -1397,3 +1397,78 @@ def keep_best_per_cluster(documents: DataFrame,
     )
     out = ranked.where(F.col("_rk") == 1).drop("_rk")
     return out.orderBy("doc_id") if sort else out
+
+
+def paragraph_dedup(documents: DataFrame, delim: str = r"\n\s*\n",
+                    joiner: str = "\n\n",
+                    sort: bool = True) -> DataFrame:
+    """Paragraph-grain exact dedup (Gopher / CCNet clean at BOTH doc
+    and paragraph level): split every document into paragraphs on the
+    *delim* regex, and keep each distinct paragraph only at its
+    corpus-FIRST occurrence — the (doc_id, pos)-minimal one — dropping
+    every later repeat (including within-doc repeats). Rewrites the
+    corpus: returns one row per input document,
+    (doc_id, n_paragraphs, n_dropped, text_clean) where text_clean is
+    the kept paragraphs re-joined with *joiner* in original order
+    ('' when the doc was empty or everything was a repeat).
+
+    This is the between-docs complement of
+    :func:`~pyperustats_spark.operators.textops.boilerplate_apply`
+    (which drops segments by document frequency): here the FIRST
+    occurrence always survives, so corpus content is preserved exactly
+    once — the Gopher paragraph-dedup contract.
+
+    Reference analog: SHA-256 content dedup of files
+    (``/root/reference/perustats/inei/organizer.py:199-248``),
+    re-grained from whole files to paragraphs.
+
+    Scale shape: paragraphs are trimmed and empties dropped row-local;
+    the winner per paragraph is a partial-aggregated groupBy
+    ``min(struct(doc_id, pos))`` over the md5 key — only (16-byte
+    hash, 16-byte struct) ride that shuffle, never paragraph text, and
+    a corpus-wide hot paragraph combines map-side instead of funneling
+    its occurrences through one window task. The winner join back is
+    unhinted AQE (the winner side is #distinct-paragraphs —
+    SF-proportional). The occurrence stream references the scan twice
+    (winner branch prunes to hashes only) — the same bounded 2×
+    segment-compute trade boilerplate_segments documents, chosen over
+    persisting a corpus-scale exploded intermediate. Reassembly is the
+    ONE shuffle that carries paragraph text (groupBy doc_id,
+    sort_array over (pos, para) structs) — the floor for any rewrite.
+    """
+    plist = F.filter(
+        F.transform(F.split(F.col("text"), delim),
+                    lambda p: F.trim(p)),
+        lambda p: p != "")
+    keyed = documents.select(
+        "doc_id", F.posexplode(plist).alias("pos", "para")
+    ).withColumn("_pk", F.md5("para"))
+    winners = keyed.groupBy("_pk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_w"))
+    occ = keyed.join(winners, "_pk").select(
+        "doc_id", "pos", "para",
+        (F.struct("doc_id", "pos") == F.col("_w")).alias("_keep"))
+    agg = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("_keep"), F.struct("pos", "para")))),
+                lambda s: s["para"]),
+            joiner).alias("text_clean"),
+    )
+    out = (
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_paragraphs"), F.lit(0))
+            .cast("bigint").alias("n_paragraphs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0))
+            .cast("bigint").alias("n_dropped"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out

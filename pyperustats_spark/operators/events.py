@@ -1209,7 +1209,17 @@ def weekday_profile(events: DataFrame, sort: bool = True) -> DataFrame:
     all 7 rows of a type) and computed from exact integer counts:
     Σ (7·o_d − n)² / (7·n) in pure integer arithmetic divided ONCE as
     int/int — bit-identical cross-engine, no double sums anywhere.
-    share = o_d/n raw int/int."""
+    share = o_d/n raw int/int.
+
+    OBSERVED-DAYS-ONLY semantics: the sum runs over weekdays that
+    have at least one event — the (0 − n/7)²/(n/7) terms for absent
+    days are NOT added (a type concentrated on one day scores 36n/7,
+    not the textbook 6n with all seven terms). This understates the
+    statistic when days are missing entirely; it is deliberate — the
+    output carries one row per OBSERVED (type, dow) and the statistic
+    is a per-row annotation of exactly those rows, not a 7-row spine.
+    Rank order across types is preserved for the common case where
+    every type has all 7 days."""
     base = (
         events.groupBy("event_type",
                        F.dayofweek("ts").alias("dow"))
@@ -1233,116 +1243,6 @@ def weekday_profile(events: DataFrame, sort: bool = True) -> DataFrame:
     )
     return out.orderBy("event_type", "dow") if sort else out
 
-
-def markov_removal_attribution(events: DataFrame,
-                               conv_type: str = "purchase",
-                               gap_minutes: int = 30,
-                               iters: int = 12) -> DataFrame:
-    """Markov-chain removal-effect attribution (Anderl et al.): model
-    session paths START → e₁ → … → CONV/NULL as a first-order chain,
-    then credit each channel by how much the conversion probability
-    DROPS when that channel's inbound edges are redirected to NULL —
-    the principled successor of first/last-touch (already ported),
-    because it credits assisting touchpoints a position rule can't
-    see. Returns (channel, p_base_micro, p_removed_micro,
-    removal_effect), one row per non-conversion event type.
-
-    Path model: sessions (assign_sessions, 30-min gap) truncated at
-    their FIRST *conv_type* event; consecutive events are edges,
-    START precedes the first event, the conversion event absorbs to
-    __CONV__, a session without one absorbs its last event to
-    __NULL__. Absorption probabilities come from *iters* rounds of
-    p ← T·p with p(CONV) = 1, p(NULL) = 0 — R-round semantics, exact
-    at any R (the oracle unrolls the same rounds; conversion paths are
-    session-bounded, so 12 rounds is far past convergence here).
-
-    Distribution + determinism: ALL data-sized work is the one
-    distributed pass that sessionizes and counts edges; the chain
-    itself is |event types|² rows — an O(small) driver transfer (the
-    IVF-centroid / CMS-sketch budget class) — and the absorption
-    recurrence solves in exact Python integers with per-edge
-    ``c·p // c_tot`` (bit-equal to the oracle's unrolled integer SQL;
-    a first cut iterated the ~40-row grid as 12 distributed joins and
-    spent 40.8s on pure tiny-task overhead in driver posture). The
-    removal effect 1 − p_removed/p_base divides identical integers
-    under IEEE and ships raw; a zero base yields NULL in both
-    engines."""
-    UNIT = 1_000_000
-    sess = assign_sessions(events, gap_minutes=gap_minutes)
-    wsess = Window.partitionBy("user_id", "session_seq") \
-        .orderBy("ts", "event_id")
-    rows = sess.select("user_id", "session_seq", "ts", "event_id",
-                       "event_type",
-                       F.row_number().over(wsess).alias("rn"))
-    convpos = (rows.where(F.col("event_type") == conv_type)
-               .groupBy("user_id", "session_seq")
-               .agg(F.min("rn").alias("_cp")))
-    r2 = (rows.join(convpos, ["user_id", "session_seq"], "left")
-          .where(F.col("_cp").isNull() | (F.col("rn") <= F.col("_cp"))))
-    wl = Window.partitionBy("user_id", "session_seq").orderBy("rn")
-    inner = r2.select(
-        F.coalesce(F.lag("event_type").over(wl), F.lit("__START__"))
-        .alias("src"),
-        F.col("event_type").alias("dst"))
-    last = (r2.withColumn("_mx", F.max("rn").over(
-                Window.partitionBy("user_id", "session_seq")))
-            .where(F.col("rn") == F.col("_mx"))
-            .select(F.col("event_type").alias("src"),
-                    F.when(F.col("event_type") == conv_type,
-                           F.lit("__CONV__"))
-                    .otherwise(F.lit("__NULL__")).alias("dst")))
-    edges = (inner.union(last).groupBy("src", "dst")
-             .agg(F.count(F.lit(1)).alias("c")))
-    # the chain itself is O(|event types|2) rows — an O(small) driver
-    # transfer (the IVF-centroid / CMS-sketch budget class); solving
-    # the absorption recurrence in exact Python integers is bit-equal
-    # to the oracle's unrolled integer SQL and replaces a 12-round
-    # distributed join chain over a ~40-row grid (measured 40.8s of
-    # pure tiny-task overhead in driver posture → sub-second)
-    e_rows = edges.collect()
-    out_edges: dict[str, list[tuple[str, int]]] = {}
-    ct: dict[str, int] = {}
-    states: set[str] = set()
-    for r in e_rows:
-        out_edges.setdefault(r["src"], []).append((r["dst"], int(r["c"])))
-        ct[r["src"]] = ct.get(r["src"], 0) + int(r["c"])
-        states.add(r["src"])
-        states.add(r["dst"])
-    channels = sorted(
-        t for t in states
-        if t not in ("__START__", "__CONV__", "__NULL__", conv_type))
-
-    def absorb(removed: str | None) -> int:
-        p = {s: (UNIT if s == "__CONV__" else 0) for s in states}
-        for _ in range(iters):
-            nxt = {}
-            for s in states:
-                if s == "__CONV__":
-                    nxt[s] = UNIT
-                elif s == "__NULL__" or s not in out_edges:
-                    nxt[s] = 0
-                else:
-                    tot = ct[s]
-                    acc = 0
-                    for dst, c in out_edges[s]:
-                        eff = "__NULL__" if dst == removed else dst
-                        acc += c * p[eff] // tot
-                    nxt[s] = acc
-            p = nxt
-        return p.get("__START__", 0)
-
-    schema = ("channel string, p_base_micro long, "
-              "p_removed_micro long, removal_effect double")
-    if not e_rows:
-        return events.sparkSession.createDataFrame([], schema)
-    base = absorb(None)
-    data = []
-    for chn in channels:
-        rem = absorb(chn)
-        eff = (1.0 - rem / base) if base > 0 else None
-        data.append((chn, base, rem, eff))
-    return (events.sparkSession.createDataFrame(data, schema)
-            .orderBy("channel"))
 
 
 def kaplan_meier_sessions(events: DataFrame, gap_minutes: int = 30,

@@ -399,8 +399,10 @@ def copurchase_triangle_stats(lineitem: DataFrame, max_basket: int = 50,
     summary = (
         deg.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
-            .cast("bigint").alias("n_wedges"),
+            F.coalesce(
+                (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+                .cast("bigint"),
+                F.lit(0).cast("bigint")).alias("n_wedges"),
         )
         .crossJoin(edges.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_edges")))
@@ -496,3 +498,63 @@ def kcore_peel(edges: DataFrame, k: int | None = None,
                 F.lit(1 if converged else 0).alias("converged"))
     )
     return out.orderBy("node")
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over an undirected edge list ``(a, b)`` (a < b,
+    distinct): every node starts labeled with its own id, and each
+    round adopts the most frequent label among its neighbours, ties
+    broken by the SMALLEST label — the deterministic variant (classic
+    LPA breaks ties randomly; random ties are irreproducible across
+    engines AND runs, so the fixed tiebreak is the distributed-
+    determinism choice, same reasoning as the fixed-point kernels in
+    this module). Runs exactly *iters* synchronous rounds (synchronous
+    LPA can 2-cycle on bipartite structure, so a fixed round count is
+    the well-defined contract; label ids are integers throughout — no
+    doubles anywhere). Returns (node, community, community_size).
+
+    Reference analog: the reference groups catalogue entities by
+    explicit keys (``perustats/inei/organizer.py`` module/year
+    grouping); LPA is the structural generalization — groups emerge
+    from the co-occurrence graph itself.
+
+    Iteration discipline (CLAUDE.md): each round references the
+    previous label table ONCE (join onto the static neighbour table),
+    so the plan grows linearly and the loop stays LAZY for AQE, like
+    pagerank (23.3s lazy vs 30.5s checkpointed at sf0.01) — NOT like
+    connected_components' pointer doubling. The neighbour table is
+    static and referenced every round, hence persisted. Per round:
+    one equi-join shuffle on the neighbour id + two partial-aggregated
+    groupBys ((node, lbl) count, then argmin by (-count, lbl) as a
+    min-struct) — only (node, lbl, count) integers ride any shuffle.
+    community_size is a count window over the final labels (16-byte
+    rows, bounded by node count; at extreme scale swap for a
+    groupBy+join off a persisted label table)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    nbr = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .union(edges.select(F.col("b").alias("node"),
+                            F.col("a").alias("nb")))
+        .persist()
+    )
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("lbl"))
+    for _ in range(iters):
+        prev = labels.select(F.col("node").alias("_pn"), "lbl")
+        cnt = (
+            nbr.join(prev, nbr["nb"] == F.col("_pn"))
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("lbl").alias("l"))).alias("m"))
+            .select("node", F.col("m.l").alias("lbl"))
+        )
+    return labels.select(
+        "node", F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(Window.partitionBy("lbl"))
+        .cast("bigint").alias("community_size"))

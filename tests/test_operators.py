@@ -3873,3 +3873,60 @@ def test_label_separation_flags_planted_bleed(spark):
     assert out[2]["separation"] < 5            # planted bleed into A
     assert out[0]["nearest_label"] == 2 and out[2]["nearest_label"] == 0
     assert all(r["n_members"] == 30 for r in out.values())
+
+
+def test_paragraph_dedup_keeps_corpus_first_occurrence(spark):
+    from pyperustats_spark.operators.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "alpha beta\n\ngamma delta\n\nalpha beta", "en", "s", 10),
+         (2, "gamma delta\n\nepsilon zeta", "en", "s", 10),
+         (3, "", "en", "s", 0),
+         (4, "alpha beta", "en", "s", 10)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert len(out) == 4
+    # doc 1: within-doc repeat of 'alpha beta' dropped
+    assert out[1]["n_paragraphs"] == 3 and out[1]["n_dropped"] == 1
+    assert out[1]["text_clean"] == "alpha beta\n\ngamma delta"
+    # doc 2: 'gamma delta' already seen in doc 1 (lower doc_id)
+    assert out[2]["n_paragraphs"] == 2 and out[2]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "epsilon zeta"
+    # doc 3: empty doc preserved as an empty row
+    assert out[3]["n_paragraphs"] == 0 and out[3]["n_dropped"] == 0
+    assert out[3]["text_clean"] == ""
+    # doc 4: everything was a repeat -> empty rewrite
+    assert out[4]["n_paragraphs"] == 1 and out[4]["n_dropped"] == 1
+    assert out[4]["text_clean"] == ""
+
+
+def test_paragraph_dedup_trims_and_drops_blank_paragraphs(spark):
+    from pyperustats_spark.operators.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "  one two  \n\n   \n\nthree four", "en", "s", 10)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    out = paragraph_dedup(docs).collect()
+    assert out[0]["n_paragraphs"] == 2
+    assert out[0]["text_clean"] == "one two\n\nthree four"
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    from pyperustats_spark.operators.graph import label_propagation
+    # two 4-cliques joined by a single bridge edge
+    cliq1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cliq2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    edges = spark.createDataFrame(cliq1 + cliq2 + [(4, 11)], ["a", "b"])
+    out = {r["node"]: r for r in label_propagation(edges, iters=4).collect()}
+    # within each clique every node converges to the clique's min label
+    assert len({out[n]["community"] for n in range(1, 5)}) == 1
+    assert len({out[n]["community"] for n in range(11, 15)}) == 1
+    assert (out[1]["community"] != out[12]["community"]
+            or out[4]["community"] != out[13]["community"])
+    assert out[1]["community_size"] >= 4
+
+
+def test_label_propagation_rejects_bad_iters(spark):
+    import pytest as _pt
+    from pyperustats_spark.operators.graph import label_propagation
+    edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with _pt.raises(ValueError):
+        label_propagation(edges, iters=0)
