@@ -672,6 +672,15 @@ def ev_sessionize(spark, sf_dir):
     return _round(df, {"sum_value": 4})
 
 
+def ev_sessionize_skew(spark, sf_dir):
+    """sessionize on the two-phase skew-split assigner
+    (assign_sessions_chunked): identical semantics to ev_sessionize —
+    same oracle — but the biggest window task holds one user-DAY, not
+    one user (the mega-user answer at 100 TB)."""
+    df = E.sessionize(_lt(spark, sf_dir, "events"), chunked=True)
+    return _round(df, {"sum_value": 4})
+
+
 def ev_top_users_per_type(spark, sf_dir):
     df = E.top_users_per_type(_lt(spark, sf_dir, "events"))
     return _round(df, {"total_value": 4})
@@ -2185,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
         "ev_sessionize": ev_sessionize,
+        "ev_sessionize_skew": ev_sessionize_skew,
         "ev_top_paths": ev_top_paths,
         "ev_conversion_lag": ev_conversion_lag,
         "ev_conversion_lag_approx": ev_conversion_lag_approx,
@@ -2403,7 +2413,7 @@ _WINDOW = [
     # new oracle-backed operators lead the window
     "graph_supplier_salsa", "q_part_affinity", "ev_incident_windows",
     "dedup_substring_decontaminate", "dedup_substring_profile",
-    "dedup_paragraph", "graph_part_communities",
+    "dedup_paragraph", "graph_part_communities", "ev_sessionize_skew",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -3169,6 +3179,9 @@ def oracle_sql() -> dict[str, str]:
         FROM sess GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
     """
+
+    # identical semantics, skew-split execution
+    sql["ev_sessionize_skew"] = sql["ev_sessionize"]
 
     sql["ev_top_users_per_type"] = """
         WITH agg AS (

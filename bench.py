@@ -51,6 +51,29 @@ BASELINE = {
 }
 BASELINE_TOTAL = 14.634
 
+# Cohort 2 (round 8): the heaviest operators that landed AFTER the
+# round-1 headline set froze — without a pin, a regression in the new
+# surface hides outside the gate. Same tighten-only rule as BASELINE.
+# Numbers measured round 8 at sf0.1, best-of-3, quiet machine.
+COHORT2_BASELINE = {
+    "dedup_jaccard_prefix": 6.966,
+    "ev_markov_attribution": 1.862,
+    "layout_zorder_files": 5.681,
+    "ann_ivf_pq_rerank": 7.345,
+    "release_rehearsal": 1.144,
+    "graph_supplier_pagerank": 3.675,
+    "dedup_exact_substring": 0.847,
+    "ev_rfm_scores": 1.601,
+    "text_quality_filter": 0.725,
+    "q_revenue_gini": 0.863,
+    "graph_part_kcore": 4.804,
+    "ev_peak_concurrency": 1.363,
+    "text_decontaminate_bloom": 1.749,
+    "er_customer_name_pairs": 1.206,
+}
+COHORT2 = list(COHORT2_BASELINE)
+COHORT2_TOTAL = 39.831
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -92,24 +115,32 @@ def main() -> None:
     # the driver's best-of-2 on code that had not changed — one extra
     # run tightens the min at ~7s/round cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        best = None
-        for _ in range(runs):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
 
+    def _time(names):
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            best = None
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            out[name] = round(best, 3)
+        return out
+
+    timings = _time(HEADLINE)
     total = round(sum(timings.values()), 3)
+    c2 = _time(COHORT2)
+    c2_total = round(sum(c2.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cohort2": c2,
+        "cohort2_total": c2_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # diff against the frozen BASELINE.md numbers (only meaningful at
@@ -119,6 +150,12 @@ def main() -> None:
         result["regressions"] = sorted(
             q for q, t in timings.items()
             if q in BASELINE and t > 2.0 * BASELINE[q])
+        if COHORT2_TOTAL is not None:
+            result["vs_cohort2_total"] = round(c2_total / COHORT2_TOTAL, 3)
+            result["cohort2_regressions"] = sorted(
+                q for q, t in c2.items()
+                if COHORT2_BASELINE.get(q) is not None
+                and t > 2.0 * COHORT2_BASELINE[q])
         # side artifact for tests/test_baseline.py's regression gate
         try:
             here = os.path.dirname(os.path.abspath(__file__))

@@ -68,9 +68,92 @@ def assign_sessions(
     return events.withColumn("session_seq", F.sum(new_sess).over(w_cum))
 
 
+def assign_sessions_chunked(
+    events: DataFrame, gap_minutes: int = 30, tiebreak: str = "event_id",
+) -> DataFrame:
+    """Skew-split form of :func:`assign_sessions` — identical output
+    (property-pinned row-for-row equal), different partitioning: the
+    plain form puts EVERY event of a user in one window task, so a
+    single mega-user (bot feed, load-test account) is one straggler
+    task at any cluster size. Here the per-key linear scan runs in two
+    phases, mirroring :func:`peak_concurrency`'s day-partitioned
+    carry:
+
+    1. within-(user_id, day) window — the local lag + conditional
+       cumsum, so the biggest task holds one user-DAY, not one user;
+    2. a per-(user, day) summary table (first_ts, last_ts, local new-
+       session count — ONE row per user-day) gets the cross-chunk
+       carry: whether each day's first event truly starts a session
+       (gap from the PREVIOUS day's last_ts) and the cumulative
+       session count of all preceding days, via a window over the
+       summary rows only.
+
+    An event's session_seq = local cumsum + (carry − 1 +
+    first_is_new): when the day's first event continues yesterday's
+    session its provisional local flag collapses, shifting the whole
+    day down by one. All integer arithmetic — bit-identical to the
+    plain form, tiebreak contract identical (raises on a missing
+    column).
+
+    Cost: one extra shuffle of the summary table (tiny) + the join
+    back on (user_id, day) — the phase-1 partitioning, so AQE plans a
+    co-partitioned join. The phase-1 frame is persisted for its two
+    references (event stream + summaries), same discipline as
+    peak_concurrency's deltas. Use when the depth axis is skewed (one
+    key ≫ others); the plain form wins when keys are uniform."""
+    if tiebreak is not None and tiebreak not in events.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak!r} not in {events.columns}; "
+            "pass tiebreak=None to order by ts alone (nondeterministic "
+            "on tied timestamps)")
+    order = [F.col("ts"), F.col(tiebreak)] if tiebreak else [F.col("ts")]
+    gap_us = gap_minutes * 60_000_000
+    base = events.withColumn("_chunk", F.date_trunc("DAY", F.col("ts")))
+    w = Window.partitionBy("user_id", "_chunk").orderBy(*order)
+    prev_ts = F.lag("ts").over(w)
+    new_local = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us),
+        1).otherwise(0)
+    loc = base.withColumn(
+        "_s_local",
+        F.sum(new_local).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).persist()
+    summ = loc.groupBy("user_id", "_chunk").agg(
+        F.min(F.col("ts")).alias("_first_ts"),
+        F.max(F.col("ts")).alias("_last_ts"),
+        F.max("_s_local").alias("_n_local"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("_chunk")
+    prev_last = F.lag("_last_ts").over(wu)
+    first_new = F.when(
+        prev_last.isNull()
+        | (F.unix_micros(F.col("_first_ts")) - F.unix_micros(prev_last)
+           > gap_us),
+        1).otherwise(0)
+    adj = summ.select(
+        "user_id", "_chunk",
+        (F.col("_n_local") - 1 + first_new).alias("_adj"),
+        first_new.alias("_first_new"),
+    )
+    offsets = adj.select(
+        "user_id", "_chunk",
+        (F.coalesce(
+            F.sum("_adj").over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)) - 1 + F.col("_first_new")).alias("_offset"),
+    )
+    return (
+        loc.join(offsets, ["user_id", "_chunk"])
+        .withColumn("session_seq", F.col("_s_local") + F.col("_offset"))
+        .drop("_chunk", "_s_local", "_offset")
+    )
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30, tiebreak: str = "event_id",
-    sort: bool = True,
+    sort: bool = True, chunked: bool = False,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is idle
     longer than *gap_minutes*. lag + conditional cumsum over a per-user
@@ -82,9 +165,14 @@ def sessionize(
     row-at-a-time oracle on the first tied (user_id, ts). A missing
     tiebreak column raises — silently degrading to ts-only ordering
     made session splits nondeterministic on tied timestamps; pass
-    ``tiebreak=None`` explicitly to accept that."""
+    ``tiebreak=None`` explicitly to accept that.
+
+    ``chunked=True`` swaps the per-user window for the two-phase
+    skew-split assigner (:func:`assign_sessions_chunked`) — identical
+    output, mega-user-proof partitioning."""
+    assign = assign_sessions_chunked if chunked else assign_sessions
     out = (
-        assign_sessions(events, gap_minutes=gap_minutes, tiebreak=tiebreak)
+        assign(events, gap_minutes=gap_minutes, tiebreak=tiebreak)
         .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts").alias("session_start"),

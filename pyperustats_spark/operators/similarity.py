@@ -977,9 +977,37 @@ def pq_distortion_profile(embeddings: DataFrame, m: int = 8,
     return stacked.orderBy("subspace") if sort else stacked
 
 
+def _adc_flat_table(qv, books, m, d):
+    """Flattened per-query ADC table: entry s·k + j = squared L2
+    distance from the query's subvector s to codeword j — the SAME
+    Python float computation as the literal-expression path, so the
+    two forms are bit-identical."""
+    flat = []
+    for s in range(m):
+        flat.extend(
+            sum((qv[s * d + i] - c[i]) ** 2 for i in range(d))
+            for c in books[s])
+    return flat
+
+
+def _adc_join_dist(cs, adc, m, k):
+    """ADC distance as m lookups into a flattened table COLUMN
+    (element_at index = s·k + code + 1), summed in the same
+    left-to-right order as the literal path."""
+    parts = [
+        F.element_at(adc, F.lit(s * k + 1) + F.element_at(cs, s + 1))
+        for s in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
 def ann_pq_adc(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                m: int = 8, n_codewords: int = 16, dim: int = 64,
-               kmeans_iters: int = 0) -> DataFrame:
+               kmeans_iters: int = 0,
+               adc_join: bool = False) -> DataFrame:
     """PQ search via Asymmetric Distance Computation: the corpus is
     scanned as CODES ONLY (m small ints per vector — the float vectors
     never leave the encode pass), and each query carries a
@@ -990,11 +1018,21 @@ def ann_pq_adc(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     corpus and the scan is memory-bandwidth-bound lookups, not FLOPs.
     Returns (query_id, vec_id, approx_dist, rank) — top-k ascending.
 
-    Query vectors are collected driver-side to build the literal
-    tables (O(queries·dim), same budget class as make_queries/IVF
+    Query vectors are collected driver-side to build the tables
+    (O(queries·dim), same budget class as make_queries/IVF
     centroids); ranking reuses the per-query row_number window.
     Rows-only: approximate distances have no SQL oracle by design —
-    pytest pins recall against exact L2 top-k."""
+    pytest pins recall against exact L2 top-k.
+
+    Two table shippings, bit-identical results (pytest-pinned):
+    the default bakes each query's m×k table into the plan as literal
+    array expressions — fine for the documented broadcast-query
+    posture (tens-hundreds of queries) but plan size grows
+    O(n_queries·m·k) and thousands of queries would blow up codegen
+    before data size matters. ``adc_join=True`` ships the flattened
+    tables as a BROADCAST DataFrame column instead and the distance
+    becomes m element_at lookups — plan size flat in n_queries (the
+    scale path; A/B in BENCH_SCALING.md)."""
     from pyperustats_spark.functions.text import let
 
     books = pq_codebooks(embeddings, m=m, k=n_codewords, dim=dim,
@@ -1002,6 +1040,29 @@ def ann_pq_adc(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     codes = pq_encode(ensure_parallelism(embeddings), books)
     d = dim // m
     qrows = queries.select("query_id", "q_embedding").collect()
+
+    if adc_join:
+        qadc = queries.sparkSession.createDataFrame(
+            [(int(r["query_id"]),
+              _adc_flat_table([float(x) for x in r["q_embedding"]],
+                              books, m, d))
+             for r in qrows],
+            "query_id long, adc array<double>")
+        scored = (
+            codes.crossJoin(F.broadcast(qadc))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("vec_id", "query_id",
+                    _adc_join_dist(F.col("codes"), F.col("adc"),
+                                   m, n_codewords).alias("approx_dist"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("approx_dist"), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "approx_dist", "rank")
+            .orderBy("query_id", "rank")
+        )
 
     def dist_expr(qv):
         # m lookups into this query's literal distance tables
@@ -1047,7 +1108,8 @@ def ann_pq_adc(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 def ann_pq_rerank(embeddings: DataFrame, queries: DataFrame,
                   k: int = 5, shortlist: int = 50, m: int = 8,
                   n_codewords: int = 16, dim: int = 64,
-                  kmeans_iters: int = 0) -> DataFrame:
+                  kmeans_iters: int = 0,
+                  adc_join: bool = False) -> DataFrame:
     """The production PQ search shape: ADC over codes produces a
     per-query *shortlist* (cheap, memory-bandwidth-bound —
     :func:`ann_pq_adc`), then ONLY the shortlist rows join their float
@@ -1062,7 +1124,8 @@ def ann_pq_rerank(embeddings: DataFrame, queries: DataFrame,
     the shortlist contains lands in its exact position."""
     cand = ann_pq_adc(embeddings, queries, k=shortlist, m=m,
                       n_codewords=n_codewords, dim=dim,
-                      kmeans_iters=kmeans_iters).select(
+                      kmeans_iters=kmeans_iters,
+                      adc_join=adc_join).select(
         "query_id", "vec_id")
     qv = queries.select("query_id", "q_embedding")
     exact = (
@@ -1089,7 +1152,8 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                n_centroids: int = 16, nprobe: int = 4,
                shortlist: int = 50, m: int = 8, n_codewords: int = 16,
                dim: int = 64, kmeans_iters: int = 0,
-               residual: bool = False) -> DataFrame:
+               residual: bool = False,
+               adc_join: bool = False) -> DataFrame:
     """The full IVF-PQ search pipeline — both halves of the
     memory-bounded ANN layout wired together: coarse quantizer (IVF
     cells, :func:`ivf_assign`) restricts the scan to the query's
@@ -1247,12 +1311,37 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                         else expr.when(cond, branch))
         return expr
 
-    scored = (
-        coded.join(F.broadcast(qcells), "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "cell",
-                let(F.col("codes"), dist_case).alias("approx_dist"))
-    )
+    if adc_join:
+        # scale form (see ann_pq_adc docstring): one flattened table
+        # per (query, probed cell) rides a broadcast DataFrame — the
+        # same (cell) broadcast equi-join qcells used, now carrying
+        # the table column too, so plan size stays flat in n_queries.
+        # Non-residual queries get nprobe copies of one table (tiny).
+        rows = []
+        for r in qrows:
+            qid = int(r["query_id"])
+            qv = [float(x) for x in r["q_embedding"]]
+            for cid in probes[qid]:
+                src = ([qv[i] - center_of[cid][i] for i in range(dim)]
+                       if residual else qv)
+                rows.append((qid, cid, _adc_flat_table(src, books, m,
+                                                       d)))
+        qadc = queries.sparkSession.createDataFrame(
+            rows, "query_id long, cell long, adc array<double>")
+        scored = (
+            coded.join(F.broadcast(qadc), "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "cell",
+                    _adc_join_dist(F.col("codes"), F.col("adc"),
+                                   m, n_codewords).alias("approx_dist"))
+        )
+    else:
+        scored = (
+            coded.join(F.broadcast(qcells), "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "cell",
+                    let(F.col("codes"), dist_case).alias("approx_dist"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.col("vec_id").asc())
     cand = (

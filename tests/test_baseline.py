@@ -31,13 +31,17 @@ def _baseline_md_rows():
 
 def test_baseline_md_matches_bench_pins():
     md = _baseline_md_rows()
-    assert md == pytest.approx(bench.BASELINE), (
-        "BASELINE.md table and bench.BASELINE drifted")
-    assert set(md) == set(bench.HEADLINE)
+    both = {**bench.BASELINE, **bench.COHORT2_BASELINE}
+    assert md == pytest.approx(both), (
+        "BASELINE.md tables and bench pins drifted")
+    assert set(md) == set(bench.HEADLINE) | set(bench.COHORT2)
     with open(os.path.join(ROOT, "BASELINE.md")) as f:
         text = f.read()
     assert f"**Total: {bench.BASELINE_TOTAL} s.**" in text
     assert round(sum(bench.BASELINE.values()), 3) == bench.BASELINE_TOTAL
+    assert f"**Cohort-2 total: {bench.COHORT2_TOTAL} s.**" in text
+    assert (round(sum(bench.COHORT2_BASELINE.values()), 3)
+            == bench.COHORT2_TOTAL)
 
 
 def test_latest_bench_within_2x_of_baseline():
@@ -58,3 +62,12 @@ def test_latest_bench_within_2x_of_baseline():
         f"queries exceeding 2x their frozen BASELINE.md time "
         f"(got, pinned): {over}")
     assert latest["value"] <= 2.0 * bench.BASELINE_TOTAL
+    # cohort-2 gate (absent from pre-round-8 artifacts)
+    c2 = latest.get("cohort2", {})
+    over2 = {q: (c2.get(q), bench.COHORT2_BASELINE[q])
+             for q in bench.COHORT2_BASELINE
+             if c2.get(q) is not None
+             and c2[q] > 2.0 * bench.COHORT2_BASELINE[q]}
+    assert not over2, (
+        f"cohort-2 queries exceeding 2x their pinned time "
+        f"(got, pinned): {over2}")
