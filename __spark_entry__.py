@@ -826,6 +826,18 @@ def graph_part_communities(spark, sf_dir):
             .orderBy("part"))
 
 
+def graph_part_modularity(spark, sf_dir):
+    """Newman modularity of the 4-round LPA partition on the same
+    min_support=3 co-purchase graph — exact integer q_num/q_den plus
+    the raw int/int quotient; oracle unrolls the identical rounds."""
+    from pyperustats_spark.operators import graph as G
+    edges = G.copurchase_edges(_lt(spark, sf_dir, "lineitem"),
+                               min_support=3)
+    labels = G.label_propagation(edges, iters=4).select(
+        "node", "community")
+    return G.modularity_score(edges, labels)
+
+
 def er_customer_name_pairs(spark, sf_dir):
     """Blocked Levenshtein entity-resolution pairs (nation blocks,
     distance <= 1; edit distances oracle-exact)."""
@@ -1042,6 +1054,13 @@ def text_bigram_logprob(spark, sf_dir):
     return T.bigram_logprob(_lt(spark, sf_dir, "documents"), k=0.5)
 
 
+def text_pmi_collocations(spark, sf_dir):
+    """Top-20 adjacent-token collocations by PMI (grid-snapped ln
+    five-term sum — bit-identical cross-engine)."""
+    return T.pmi_collocations(_lt(spark, sf_dir, "documents"),
+                              min_count=5, k=20)
+
+
 def ts_seasonal_index(spark, sf_dir):
     return TS.seasonal_index(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
@@ -1130,6 +1149,12 @@ def dedup_paragraph(spark, sf_dir):
     # splitting + corpus-first-occurrence dedup on this data
     return D.paragraph_dedup(_lt(spark, sf_dir, "documents"),
                              delim=" a ", joiner=" a ")
+
+
+def dedup_paragraph_stats(spark, sf_dir):
+    # same ' a ' paragraph split as dedup_paragraph (see that entry)
+    return D.paragraph_dup_stats(_lt(spark, sf_dir, "documents"),
+                                 delim=" a ", by="source")
 
 
 def dedup_substring_decontaminate(spark, sf_dir):
@@ -1934,8 +1959,12 @@ def ann_ivf_pq_rerank(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
     q = S.make_queries(emb, KNN_QUERY_IDS)
+    # adc_join=True: the scale form (tables as a broadcast relation,
+    # plan flat in query count) — bit-identical to the literal form
+    # (pytest-pinned) and measured >= as fast at sf0.1
     return _round(S.ann_ivf_pq(emb, q, k=5, n_centroids=16, nprobe=4,
-                               shortlist=50, m=8, n_codewords=16),
+                               shortlist=50, m=8, n_codewords=16,
+                               adc_join=True),
                   {"dist": 6})
 
 
@@ -2010,7 +2039,8 @@ def ann_ivf_pq_residual(spark, sf_dir):
     q = S.make_queries(emb, KNN_QUERY_IDS)
     return _round(S.ann_ivf_pq(emb, q, k=5, n_centroids=16, nprobe=4,
                                shortlist=50, m=8, n_codewords=16,
-                               kmeans_iters=1, residual=True),
+                               kmeans_iters=1, residual=True,
+                               adc_join=True),
                   {"dist": 6})
 
 
@@ -2184,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": text_unigram_logprob,
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "text_bigram_logprob": text_bigram_logprob,
+        "text_pmi_collocations": text_pmi_collocations,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
@@ -2212,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "graph_part_kcore": graph_part_kcore,
         "graph_part_communities": graph_part_communities,
+        "graph_part_modularity": graph_part_modularity,
         "er_customer_name_pairs": er_customer_name_pairs,
         "sample_weighted_orders": sample_weighted_orders,
         "text_source_jsd": text_source_jsd,
@@ -2277,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_decontaminate": dedup_substring_decontaminate,
         "dedup_substring_profile": dedup_substring_profile,
         "dedup_paragraph": dedup_paragraph,
+        "dedup_paragraph_stats": dedup_paragraph_stats,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -2414,6 +2447,8 @@ _WINDOW = [
     "graph_supplier_salsa", "q_part_affinity", "ev_incident_windows",
     "dedup_substring_decontaminate", "dedup_substring_profile",
     "dedup_paragraph", "graph_part_communities", "ev_sessionize_skew",
+    "graph_part_modularity", "text_pmi_collocations",
+    "dedup_paragraph_stats",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -3544,6 +3579,37 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
+    sql["dedup_paragraph_stats"] = """
+        WITH base AS (
+            SELECT doc_id, source,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, ' a '),
+                       p -> trim(p)), p -> p != '') AS ps
+            FROM documents
+        ),
+        paras AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(1, len(ps) + 1),
+                       i -> struct_pack(pos := i, para := ps[i]))) AS s
+            FROM base WHERE len(ps) > 0
+        ),
+        occ AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY s.para
+                                      ORDER BY doc_id, s.pos) AS rn
+            FROM paras
+        )
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_paragraphs,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(count(*) AS BIGINT) AS drop_share
+        FROM occ GROUP BY source ORDER BY source
+    """
+
     sql["dedup_substring_profile"] = """
         WITH fp AS (
             SELECT doc_id, wh FROM (
@@ -4574,6 +4640,34 @@ def oracle_sql() -> dict[str, str]:
                per.sum_logprob / per.n_bigrams AS avg_logprob
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         ORDER BY d.doc_id
+    """
+
+    # PMI: five grid-snapped ln(int) terms summed in the same order as
+    # the Spark side -> bit-identical double, total (pmi desc, w1, w2)
+    # rank stable for the LIMIT cut
+    sql["text_pmi_collocations"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+               FROM uni GROUP BY w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+        pw AS (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 0) + 1),
+                       i -> struct_pack(w1 := t[i], w2 := t[i + 1])))
+                       AS p
+            FROM toks WHERE len(t) >= 2),
+        c2 AS (SELECT p.w1 AS w1, p.w2 AS w2,
+                      CAST(count(*) AS BIGINT) AS n_pair
+               FROM pw GROUP BY 1, 2 HAVING count(*) >= 5),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM pw)
+        SELECT c2.w1, c2.w2, n_pair,
+               round(ln(n_pair), 6) + 2 * round(ln(n.n), 6)
+               - round(ln(b.b), 6) - round(ln(ca.c), 6)
+               - round(ln(cb.c), 6) AS pmi
+        FROM c2 JOIN c1 ca ON c2.w1 = ca.w
+                JOIN c1 cb ON c2.w2 = cb.w, n, b
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
     """
 
     # tfidf_top_terms top=3: idf rounded to the 1e-6 grid so tf*idf is
@@ -6499,6 +6593,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
                    AS community_size
         FROM l4 ORDER BY part
+    """)
+
+    # modularity of the same unrolled LPA partition: all-integer
+    # (q_num = 4*m*Σe_c − Σd_c², q_den = 4m²), quotient raw int/int
+    sql["graph_part_modularity"] = ("""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM items GROUP BY l_orderkey
+               HAVING count(*) BETWEEN 2 AND 50),
+        it AS (SELECT i.l_orderkey, i.l_partkey
+               FROM items i JOIN ok USING (l_orderkey)),
+        e AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
+               FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+        nbr AS MATERIALIZED (
+            SELECT a AS node, b AS nb FROM e
+            UNION ALL SELECT b AS node, a AS nb FROM e),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM nbr),
+        """ + ",".join(_lp_iter.format(i=i, j=i - 1)
+                       for i in range(1, 5)) + """,
+        within AS (
+            SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS e_c
+            FROM e JOIN l4 la ON e.a = la.node
+                   JOIN l4 lb ON e.b = lb.node
+            WHERE la.lbl = lb.lbl GROUP BY 1),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+            (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+        dc AS (
+            SELECT l.lbl AS c, CAST(sum(d) AS BIGINT) AS d_c
+            FROM deg JOIN l4 l USING (node) GROUP BY 1),
+        per_c AS (
+            SELECT dc.c, coalesce(w.e_c, 0) AS e_c, dc.d_c
+            FROM dc LEFT JOIN within w USING (c)),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                   CAST(sum(e_c) AS BIGINT) AS se,
+                   CAST(sum(d_c * d_c) AS BIGINT) AS sd2
+            FROM per_c),
+        fin AS (
+            SELECT n_edges, n_communities,
+                   CAST(4 * n_edges * se - sd2 AS BIGINT) AS q_num,
+                   CAST(4 * n_edges * n_edges AS BIGINT) AS q_den
+            FROM agg, m)
+        SELECT n_edges, n_communities, q_num, q_den,
+               q_num / q_den AS modularity
+        FROM fin
     """)
 
     sql["graph_supplier_pagerank"] = ("""

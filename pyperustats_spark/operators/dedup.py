@@ -1472,3 +1472,46 @@ def paragraph_dedup(documents: DataFrame, delim: str = r"\n\s*\n",
         )
     )
     return out.orderBy("doc_id") if sort else out
+
+
+def paragraph_dup_stats(documents: DataFrame, delim: str = r"\n\s*\n",
+                        by: str = "source",
+                        sort: bool = True) -> DataFrame:
+    """Per-*by* paragraph-duplication data card — the reporting twin
+    of :func:`paragraph_dedup` (same corpus-first-occurrence winner
+    rule): for each source (or lang, …), how many paragraph
+    occurrences it contributes and how many of those are REPEATS of
+    an earlier (doc_id, pos) occurrence anywhere in the corpus — the
+    per-source dup pressure a mixture designer reads before weighting
+    sources. Returns (by, n_docs, n_paragraphs, n_dropped,
+    drop_share), drop_share = raw int/int (bit-identical
+    cross-engine; round-6 would split engines on exact midpoints).
+
+    Unlike the apply twin, NO paragraph text rides any shuffle here:
+    occurrences are (md5, doc_id, pos, group) tuples end-to-end, the
+    winner is the same partial-aggregated min-struct groupBy, and the
+    card is one more partial-aggregated groupBy on the group key."""
+    plist = F.filter(
+        F.transform(F.split(F.col("text"), delim),
+                    lambda p: F.trim(p)),
+        lambda p: p != "")
+    keyed = documents.select(
+        F.col(by).alias("_g"), "doc_id",
+        F.posexplode(plist).alias("pos", "para")
+    ).select("_g", "doc_id", "pos", F.md5("para").alias("_pk"))
+    winners = keyed.groupBy("_pk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_w"))
+    occ = keyed.join(winners, "_pk").select(
+        "_g", "doc_id",
+        (F.struct("doc_id", "pos") == F.col("_w")).alias("_keep"))
+    out = occ.groupBy(F.col("_g").alias(by)).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("bigint").alias("n_dropped"),
+    ).select(
+        by, "n_docs", "n_paragraphs", "n_dropped",
+        F.try_divide(F.col("n_dropped"), F.col("n_paragraphs"))
+        .alias("drop_share"),
+    )
+    return out.orderBy(by) if sort else out

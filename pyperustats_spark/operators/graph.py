@@ -558,3 +558,72 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         "node", F.col("lbl").alias("community"),
         F.count(F.lit(1)).over(Window.partitionBy("lbl"))
         .cast("bigint").alias("community_size"))
+
+
+def modularity_score(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected edge
+    list ``(a, b)`` (a < b, distinct) — the quality score that makes
+    :func:`label_propagation` auditable (did the rounds find real
+    structure, or dissolve into one blob?):
+
+        Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+
+    (e_c = within-community edges, d_c = total degree of community c,
+    m = edges). Computed EXACTLY in integers: Q = q_num / q_den with
+    q_num = 4·m·Σe_c − Σd_c² and q_den = 4m², both bigint; the shipped
+    ``modularity`` double is the raw int/int quotient (bit-identical
+    cross-engine, CLAUDE.md ratio rule). Returns ONE row
+    (n_edges, n_communities, q_num, q_den, modularity).
+
+    Plan: labels is referenced three times (two endpoint joins + the
+    degree join) and edges three times (m, degrees, within-edges) —
+    both persisted, per the module's static-table discipline, so the
+    upstream chains (LPA's iterative rounds!) run once. Everything
+    that shuffles is (node/community, bigint) pairs; the final
+    combine is two 1-row aggregates cross-joined (audited
+    q_market_share class). Empty edge set → NULL modularity
+    (try_divide)."""
+    e = edges.persist()
+    lab = labels.select("node", "community").persist()
+    within = (
+        e.join(lab.select(F.col("node").alias("a"),
+                          F.col("community").alias("_ca")), "a")
+        .join(lab.select(F.col("node").alias("b"),
+                         F.col("community").alias("_cb")), "b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    per_c = (
+        deg.join(lab, "node")
+        .groupBy("community").agg(F.sum("d").alias("d_c"))
+        .join(within, "community", "left")
+        .select("community",
+                F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"), "d_c")
+    )
+    agg = per_c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("e_c").cast("bigint").alias("_se"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("bigint").alias("_sd2"),
+    )
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        agg.crossJoin(m)
+        .select(
+            "n_edges", "n_communities",
+            (4 * F.col("n_edges") * F.col("_se") - F.col("_sd2"))
+            .cast("bigint").alias("q_num"),
+            (4 * F.col("n_edges") * F.col("n_edges"))
+            .cast("bigint").alias("q_den"),
+        )
+        .select(
+            "n_edges", "n_communities", "q_num", "q_den",
+            F.try_divide(F.col("q_num"), F.col("q_den"))
+            .alias("modularity"),
+        )
+    )

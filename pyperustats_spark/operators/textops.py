@@ -1189,3 +1189,64 @@ def source_unigram_jsd(documents: DataFrame,
                 .alias("jsd"))
     )
     return out.orderBy("source") if sort else out
+
+
+def pmi_collocations(documents: DataFrame, min_count: int = 5,
+                     k: int = 20) -> DataFrame:
+    """Top-*k* adjacent-token collocations by pointwise mutual
+    information — the phrase-mining primitive (Church & Hanks 1990):
+    PMI(w1,w2) = ln P(w1,w2) − ln P(w1) − ln P(w2) over the corpus's
+    own unigram/bigram counts, so multiword units ("new york") rank
+    above frequent-but-independent pairs ("of the"). The corpus-card
+    companion of :func:`bigram_logprob` (same count shuffles, opposite
+    consumer: model quality there, vocabulary discovery here).
+    Returns (w1, w2, n_pair, pmi), PMI descending.
+
+    Cross-engine determinism (CLAUDE.md ln-recipe): every ln() is of
+    an INTEGER count, rounded onto the 1e-6 grid before the signed
+    sum — ln ulp differences vanish at the grid, the five-term sum of
+    grid values is bit-identical in both engines, and the (pmi desc,
+    w1, w2) rank is therefore total and stable. PMI is computed from
+    counts as ln c₁₂ + ln N·ln... precisely: round6(ln c12) +
+    2·round6(ln N) − round6(ln B) − round6(ln c1) − round6(ln c2)
+    with N = total tokens, B = total bigrams — no integer products
+    that could overflow at corpus scale.
+
+    Scale: two partial-aggregated count shuffles (unigrams, bigrams),
+    the *min_count* filter prunes the bigram table BEFORE its two
+    unigram joins, N/B are 1-row aggregates (audited crossJoin
+    class), TakeOrderedAndProject for the top-k — no global sort."""
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs_expr = let(tokens(F.col("text")), lambda tk: F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"))),
+    ).otherwise(F.array().cast(pair_t)))
+    pw = documents.select(F.explode(pairs_expr).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = (pw.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+          .where(F.col("n_pair") >= min_count))
+    uni = documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("_c1"))
+    totals = uni.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    btot = pw.agg(F.count(F.lit(1)).cast("bigint").alias("_b"))
+    scored = (
+        c2.join(c1.select(F.col("w").alias("w1"),
+                          F.col("_c1").alias("_ca")), "w1")
+        .join(c1.select(F.col("w").alias("w2"),
+                        F.col("_c1").alias("_cb")), "w2")
+        .join(F.broadcast(totals))
+        .join(F.broadcast(btot))
+        .select(
+            "w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"),
+            (F.round(F.log("n_pair"), 6)
+             + 2 * F.round(F.log("_n"), 6)
+             - F.round(F.log("_b"), 6)
+             - F.round(F.log("_ca"), 6)
+             - F.round(F.log("_cb"), 6)).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)

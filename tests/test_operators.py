@@ -4031,3 +4031,62 @@ def test_assign_sessions_chunked_planted_cross_chunk_cases(spark):
     out = {r["event_id"]: r["session_seq"]
            for r in assign_sessions_chunked(ev).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1, 6: 2}
+
+
+def test_modularity_positive_on_planted_communities(spark):
+    from pyperustats_spark.operators.graph import (
+        label_propagation, modularity_score)
+    cliq1 = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    cliq2 = [(a, b) for a in range(11, 16) for b in range(11, 16) if a < b]
+    edges = spark.createDataFrame(cliq1 + cliq2 + [(5, 11)], ["a", "b"])
+    labels = label_propagation(edges, iters=4).select("node", "community")
+    row = modularity_score(edges, labels).collect()[0]
+    assert row["n_edges"] == 21 and row["n_communities"] == 2
+    # two clean communities -> strongly positive Q; exact integer check
+    assert row["q_num"] * 2 > row["q_den"] * 0  # sanity: ints present
+    assert row["modularity"] > 0.4
+    assert row["modularity"] == row["q_num"] / row["q_den"]
+
+
+def test_modularity_near_zero_on_random_labels(spark):
+    from pyperustats_spark.operators.graph import modularity_score
+    import itertools
+    # complete graph on 8 nodes, split into 2 arbitrary halves:
+    # within-edges = expected share -> Q ~ -1/... small
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(8), 2)],
+        ["a", "b"])
+    labels = spark.createDataFrame(
+        [(n, n % 2) for n in range(8)], ["node", "community"])
+    row = modularity_score(edges, labels).collect()[0]
+    assert abs(row["modularity"]) < 0.25
+
+
+def test_paragraph_dup_stats_counts(spark):
+    from pyperustats_spark.operators.dedup import paragraph_dup_stats
+    docs = spark.createDataFrame(
+        [(1, "aa bb\n\ncc dd", "en", "s1", 10),
+         (2, "cc dd\n\nee ff", "en", "s2", 10),
+         (3, "aa bb", "en", "s2", 5)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["source"]: r for r in paragraph_dup_stats(docs).collect()}
+    assert out["s1"]["n_docs"] == 1 and out["s1"]["n_paragraphs"] == 2
+    assert out["s1"]["n_dropped"] == 0
+    # s2: 'cc dd' and 'aa bb' both first appeared in doc 1 (s1)
+    assert out["s2"]["n_docs"] == 2 and out["s2"]["n_paragraphs"] == 3
+    assert out["s2"]["n_dropped"] == 2
+    assert out["s2"]["drop_share"] == 2 / 3
+
+
+def test_pmi_collocations_ranks_planted_phrase(spark):
+    from pyperustats_spark.operators.textops import pmi_collocations
+    # 'zz qq' always adjacent (perfect collocation); filler words mixed
+    rows = []
+    for i in range(30):
+        rows.append((i, f"zz qq w{i % 3} w{(i + 1) % 3} w{(i + 2) % 3}",
+                     "en", "s", 20))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = pmi_collocations(docs, min_count=5, k=5).collect()
+    assert (out[0]["w1"], out[0]["w2"]) == ("zz", "qq")
+    assert out[0]["pmi"] > 0

@@ -466,6 +466,12 @@ PLAN_SMELL_WHITELIST = {
                                                 # cross-joined (audited)
     "dedup_jaccard_prefix": {"SINGLE_PART"},    # gram-id rank window —
                                                 # alphabet-bounded table
+    "graph_part_modularity": {"BNLJ", "SINGLE_PART"},  # two 1-row
+                                                # aggregates (m + Σ)
+                                                # cross-joined (audited)
+    "text_pmi_collocations": {"BNLJ", "SINGLE_PART"},  # 1-row N/B
+                                                # totals broadcast
+                                                # (unigram_logprob class)
     "ev_activity_powerlaw": {"SINGLE_PART"},    # global 1-row MLE agg
     "text_source_jsd": {"BNLJ", "SINGLE_PART"},  # 1-row global token
                                                 # total; vocab spine
