@@ -533,10 +533,15 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     groupBy+join off a persisted label table)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    # both directions via ONE explode, not a union of two selects: the
+    # union's branches each re-run the (unpersisted) edge-building
+    # subtree during nbr's materialization — explode scans it once
     nbr = (
-        edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
-        .union(edges.select(F.col("b").alias("node"),
-                            F.col("a").alias("nb")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col("a").alias("node"), F.col("b").alias("nb")),
+            F.struct(F.col("b").alias("node"), F.col("a").alias("nb")),
+        )).alias("_e"))
+        .select("_e.node", "_e.nb")
         .persist()
     )
     labels = nbr.select("node").distinct().select(

@@ -523,3 +523,47 @@ def test_ols_exact_matches_python(spark, pts):
         else:
             assert r["r2"] == (float(num) * float(num)
                                / (float(denx) * float(deny)))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # user_id
+        st.integers(min_value=0, max_value=5 * 86_400),   # offset sec
+    ),
+    min_size=1, max_size=40))
+def test_chunked_sessionizer_matches_plain_python_model(spark, rows):
+    """assign_sessions_chunked == assign_sessions == a row-at-a-time
+    Python model, on random multi-day event sets (cross-midnight
+    continuations, long gaps, tied timestamps all reachable)."""
+    import datetime as dt
+
+    from pyperustats_spark.operators.events import (
+        assign_sessions, assign_sessions_chunked)
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(seconds=off), i, 1.0, "t")
+        for i, (u, off) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, value double,"
+              " event_type string")
+    # python model: per user, order by (ts, event_id), gap > 30 min
+    model = {}
+    per_user = {}
+    for u, ts, eid, _v, _t in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        prev, seq = per_user.get(u, (None, 0))
+        if prev is None or (ts - prev).total_seconds() > 1800:
+            seq += 1
+        per_user[u] = (ts, seq)
+        model[eid] = seq
+    plain = {r["event_id"]: r["session_seq"]
+             for r in assign_sessions(ev).select(
+                 "event_id", "session_seq").collect()}
+    chunk = {r["event_id"]: r["session_seq"]
+             for r in assign_sessions_chunked(ev).select(
+                 "event_id", "session_seq").collect()}
+    assert plain == model
+    assert chunk == model
