@@ -297,3 +297,37 @@ def test_round7_batch2_ops_survive_degenerates(spark, frames):
     assert E.kaplan_meier_sessions(eev).count() == 0
     assert E.markov_removal_attribution(eev).count() == 0
     assert TX.source_unigram_jsd(ed).count() == 0
+
+
+def test_round8_ops_survive_degenerate_inputs(spark, frames):
+    from pyperustats_spark.operators import graph as G
+
+    ed = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+    eev = frames["empty_ev"]
+    eedges = spark.createDataFrame([], "a long, b long")
+
+    # paragraph family: empty corpus -> empty output (left join base)
+    assert D.paragraph_dedup(ed).count() == 0
+    assert D.paragraph_dup_stats(ed).count() == 0
+    # doc with empty text still yields its row
+    one = spark.createDataFrame(
+        [(1, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    r = D.paragraph_dedup(one).collect()[0]
+    assert r["n_paragraphs"] == 0 and r["text_clean"] == ""
+
+    # LPA + modularity on an empty graph
+    assert G.label_propagation(eedges).count() == 0
+    mrow = G.modularity_score(eedges, G.label_propagation(eedges)
+                              .select("node", "community")).collect()[0]
+    assert mrow["n_edges"] == 0 and mrow["modularity"] is None
+
+    # chunked sessionizer on empty events
+    assert E.assign_sessions_chunked(eev).count() == 0
+    assert E.sessionize(eev, chunked=True).count() == 0
+
+    # PMI on empty corpus
+    assert TX.pmi_collocations(ed).count() == 0
