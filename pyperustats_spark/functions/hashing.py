@@ -119,7 +119,7 @@ def simhash64(toks: Column) -> Column:
     drops zero-token documents. At corpus scale the shuffle dwarfs the
     CPU saving; the per-row fold is the 100 TB-right shape.
     """
-    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(63)])
+    masks = F.lit([1 << b for b in range(63)])  # one array<bigint> literal
     zeros = F.array_repeat(F.lit(0).cast("bigint"), 63)
     # xxhash64: native JVM hash; bits 0..62 are uniform and the sign bit
     # is never read (masks stop at bit 62). SimHash has no SQL oracle,
