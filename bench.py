@@ -59,7 +59,7 @@ COHORT2_BASELINE = {
     "dedup_jaccard_prefix": 6.966,
     "ev_markov_attribution": 1.862,
     "layout_zorder_files": 5.681,
-    "ann_ivf_pq_rerank": 7.345,
+    "ann_ivf_pq_rerank": 3.833,
     "release_rehearsal": 1.144,
     "graph_supplier_pagerank": 3.675,
     "dedup_exact_substring": 0.847,
@@ -72,7 +72,7 @@ COHORT2_BASELINE = {
     "er_customer_name_pairs": 1.206,
 }
 COHORT2 = list(COHORT2_BASELINE)
-COHORT2_TOTAL = 39.831
+COHORT2_TOTAL = 36.319
 
 HEADLINE = [
     "q1_pricing_summary",
