@@ -93,9 +93,11 @@ def bloom_member(col, bitmap: list[int], m_bits: int = 1 << 16,
     CollapseProject duplication doesn't apply to constants), and the
     whole test is integer arithmetic inside whole-stage codegen; see
     the module docstring for why this is deliberately let-free."""
-    # ONE array<bigint> literal, not m/64 F.lit py4j round-trips (the
-    # per-element form measured whole seconds of driver time at 16 KB)
-    arr = F.lit([int(w) for w in bitmap])
+    # ONE array<bigint> literal expression string, not m/64 F.lit py4j
+    # round-trips (the per-element form measured whole seconds of
+    # driver time at 16 KB)
+    from pyperustats_spark.functions.vectors import lit_longs
+    arr = lit_longs(bitmap)
     out = None
     for r in range(k):
         p = _bloom_pos(col, r, m_bits)

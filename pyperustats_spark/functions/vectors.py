@@ -31,3 +31,46 @@ def cosine(a: Column, b: Column) -> Column:
     embedding anywhere in the corpus would otherwise fail the whole job
     with DIVIDE_BY_ZERO (found by hypothesis in tests/test_properties)."""
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def lit_doubles(xs) -> Column:
+    """array<double> literal built as ONE SQL expression string.
+
+    ``F.lit(list)`` converts element-by-element over py4j (~0.03 s per
+    64-float array, ~0.2 s per nested list — measured); a driver that
+    embeds codebooks/centroids/hyperplanes as literals pays that per
+    OPERATOR CALL, which dominated the similarity family's wall time
+    at small SF. ``repr(float)`` is shortest-round-trip decimal and
+    both Python and the JVM parse it correctly rounded, so the doubles
+    are bit-identical to the F.lit form. Raises on non-finite values
+    (SQL literals can't express nan/inf; upstream data is finite by
+    construction)."""
+    parts = []
+    for x in xs:
+        x = float(x)
+        if x != x or x in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite literal {x!r}")
+        parts.append(repr(x) + "D")
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def lit_double_matrix(mat) -> Column:
+    """array<array<double>> literal as ONE SQL expression string (see
+    :func:`lit_doubles`)."""
+    rows = []
+    for r in mat:
+        parts = []
+        for x in r:
+            x = float(x)
+            if x != x or x in (float("inf"), float("-inf")):
+                raise ValueError(f"non-finite literal {x!r}")
+            parts.append(repr(x) + "D")
+        rows.append("array(" + ",".join(parts) + ")")
+    return F.expr("array(" + ",".join(rows) + ")")
+
+
+def lit_longs(xs) -> Column:
+    """array<bigint> literal as ONE SQL expression string (see
+    :func:`lit_doubles`)."""
+    return F.expr(
+        "array(" + ",".join(str(int(x)) + "L" for x in xs) + ")")

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.layout import ensure_parallelism
-from pyperustats_spark.functions.vectors import cosine, dot, norm
+from pyperustats_spark.functions.vectors import (
+    cosine, dot, lit_double_matrix, lit_doubles, lit_longs, norm)
 
 
 def knn_bruteforce(
@@ -248,12 +249,19 @@ def mips_ivf(
         F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
                      1).alias("cell"),
     )
-    q = queries.select(
+    # two-step select: the one-select form made the cell expression a
+    # LATERAL alias reference to the augmented q_embedding, which
+    # Spark's alias resolution cannot push through a transform-with-
+    # index lambda (INTERNAL_ERROR LateralColumnAliasReference on
+    # Spark 4.1) — and the split also evaluates the concat once
+    qa = queries.select(
         "query_id",
-        F.concat(F.col("q_embedding"), F.array(F.lit(0.0))).alias("q_embedding"),
-        F.explode(ivf_assign(
-            F.concat(F.col("q_embedding"), F.array(F.lit(0.0))),
-            cents, nprobe=nprobe)).alias("cell"),
+        F.concat(F.col("q_embedding"), F.array(F.lit(0.0)))
+        .alias("q_embedding"))
+    q = qa.select(
+        "query_id", "q_embedding",
+        F.explode(ivf_assign(F.col("q_embedding"), cents,
+                             nprobe=nprobe)).alias("cell"),
     )
     scored = (
         e.join(F.broadcast(q), "cell")
@@ -294,15 +302,16 @@ def _hyperplanes(dim: int, num_planes: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Bucket id = sign-bit string across hyperplanes, JVM-side."""
-    bits = []
-    for p in planes:
-        arr = F.lit([float(x) for x in p])
-        dp = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
-        )
-        bits.append(F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    """Bucket id = sign-bit string across hyperplanes, JVM-side. The
+    planes ship as ONE 2-D literal scored by a runtime transform (one
+    lambda tree, not one per plane — see _pq_scored rationale); the
+    per-plane dot-product fold and the bit string are unchanged."""
+    planes_lit = lit_double_matrix(planes)
+    bits = F.transform(planes_lit, lambda pl: F.when(
+        F.aggregate(F.zip_with(vec_col, pl, lambda x, y: x * y),
+                    F.lit(0.0), lambda a, v: a + v) >= 0,
+        F.lit("1")).otherwise(F.lit("0")))
+    return F.array_join(bits, "")
 
 
 def _bucket_array(vec_col, tables: list[list[list[float]]]):
@@ -413,8 +422,8 @@ def ivf_assign(vec_col, centroids: list[tuple[int, list[float]]], nprobe: int = 
     # one 2-D centroid literal + runtime transform — one cosine lambda
     # tree built in Python, not K of them (see _pq_scored rationale);
     # scoring arithmetic and the (-cos, cid) sort are unchanged
-    cids = F.lit([int(cid) for cid, _ in centroids])
-    mats = F.lit([[float(x) for x in c] for _, c in centroids])
+    cids = lit_longs([cid for cid, _ in centroids])
+    mats = lit_double_matrix([c for _, c in centroids])
     scored = F.transform(mats, lambda cw, j: F.struct(
         (F.lit(-1.0) * cosine(vec_col, cw)).alias("neg"),
         F.element_at(cids, j + 1).alias("cid"),
@@ -897,7 +906,7 @@ def _pq_scored(sub, book: list[list[float]]):
     operator at k=16, m=8 (zero Spark jobs; py4j round-trips), vs
     milliseconds for this form. Runtime arithmetic and fold order are
     identical, so codes and distances are bit-for-bit unchanged."""
-    books_lit = F.lit([[float(x) for x in c] for c in book])
+    books_lit = lit_double_matrix(book)
     return F.transform(books_lit, lambda cw, j: F.struct(
         F.aggregate(
             F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
@@ -1080,7 +1089,7 @@ def ann_pq_adc(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     for c in books[s]
                 ]
                 parts.append(F.element_at(
-                    F.lit([float(x) for x in table]),
+                    lit_doubles(table),
                     F.element_at(cs, s + 1) + 1))
             out = parts[0]
             for p in parts[1:]:
@@ -1223,7 +1232,7 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         cmap = F.create_map(*[
             x for cid, c in cents
             for x in (F.lit(int(cid)),
-                      F.lit([float(v) for v in c]))])
+                      lit_doubles(c))])
         enc_in = base.select(
             "vec_id", "cell",
             F.zip_with("embedding", F.element_at(cmap, F.col("cell")),
@@ -1282,7 +1291,7 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     def dist_for(cs, tables):
         parts = [
-            F.element_at(F.lit([float(x) for x in tables[s]]),
+            F.element_at(lit_doubles(tables[s]),
                          F.element_at(cs, s + 1) + 1)
             for s in range(m)
         ]
@@ -1433,12 +1442,12 @@ def pca_project(embeddings: DataFrame, dim: int = 64, k: int = 16,
 
     mu, _, comps = model if model is not None else \
         pca_model(embeddings, dim=dim, k=k)
-    mu_lit = F.lit([float(x) for x in mu])
+    mu_lit = lit_doubles(mu)
 
     def _proj(centered):
         # one 2-D component literal + runtime transform, not per-
         # component Python-built lambdas (see _pq_scored rationale)
-        comps_lit = F.lit([[float(x) for x in c] for c in comps])
+        comps_lit = lit_double_matrix(comps)
         return F.transform(comps_lit, lambda cw: F.aggregate(
             F.zip_with(centered, cw, lambda a, b: a * b),
             F.lit(0.0), lambda acc, x: acc + x))
