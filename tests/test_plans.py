@@ -83,6 +83,7 @@ BROADCAST_HINT_WHITELIST = {
     "text_pack_sequences",        # per-partition offset rows (O(parts))
     "ann_lsh_cosine",             # hyperplanes + query signatures
     "ann_ivf_cosine",             # k centroid rows
+    "text_pmi_collocations",      # two 1-row totals (N tokens, B pairs)
     "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
     "ann_pq_rerank_l2",           # query vectors (O(queries))
     "ann_ivf_pq_rerank",          # (query, probed-cell) pairs — a
