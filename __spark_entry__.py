@@ -838,6 +838,23 @@ def graph_part_modularity(spark, sf_dir):
     return G.modularity_score(edges, labels)
 
 
+def q_supplier_hhi(spark, sf_dir):
+    """Per-nation HHI supplier concentration — exact integers, raw
+    int/int quotient."""
+    return R.supplier_hhi(_lt(spark, sf_dir, "lineitem"),
+                          _lt(spark, sf_dir, "supplier"),
+                          _lt(spark, sf_dir, "nation"))
+
+
+def q_supplier_skyline(spark, sf_dir):
+    """Per-nation supplier Pareto front on (revenue up, line count
+    down) — integer dominance via two range-frame windows; oracle is
+    the NOT-EXISTS dominance SQL."""
+    return R.supplier_skyline(_lt(spark, sf_dir, "lineitem"),
+                              _lt(spark, sf_dir, "supplier"),
+                              _lt(spark, sf_dir, "nation"))
+
+
 def er_customer_name_pairs(spark, sf_dir):
     """Blocked Levenshtein entity-resolution pairs (nation blocks,
     distance <= 1; edit distances oracle-exact)."""
@@ -2244,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_part_kcore": graph_part_kcore,
         "graph_part_communities": graph_part_communities,
         "graph_part_modularity": graph_part_modularity,
+        "q_supplier_hhi": q_supplier_hhi,
+        "q_supplier_skyline": q_supplier_skyline,
         "er_customer_name_pairs": er_customer_name_pairs,
         "sample_weighted_orders": sample_weighted_orders,
         "text_source_jsd": text_source_jsd,
@@ -2448,7 +2467,7 @@ _WINDOW = [
     "dedup_substring_decontaminate", "dedup_substring_profile",
     "dedup_paragraph", "graph_part_communities", "ev_sessionize_skew",
     "graph_part_modularity", "text_pmi_collocations",
-    "dedup_paragraph_stats",
+    "dedup_paragraph_stats", "q_supplier_hhi", "q_supplier_skyline",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -6594,6 +6613,54 @@ def oracle_sql() -> dict[str, str]:
                    AS community_size
         FROM l4 ORDER BY part
     """)
+
+    # exact-integer HHI: per-supplier quantity sums are integer-grid,
+    # hhi = bigint/bigint raw (both engines divide via double)
+    sql["q_supplier_hhi"] = """
+        WITH per AS (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   CAST(round(sum(l_quantity), 0) AS BIGINT) AS s
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT s_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(s) AS BIGINT) AS total_qty,
+                   CAST(sum(s * s) AS BIGINT) AS s2
+            FROM per GROUP BY 1
+        )
+        SELECT n.n_name AS nation, n_suppliers, total_qty,
+               s2 / (total_qty * total_qty) AS hhi
+        FROM agg JOIN nation n ON agg.s_nationkey = n.n_nationkey
+        ORDER BY nation
+    """
+
+    # skyline: the window form must reproduce this NOT-EXISTS dominance
+    # predicate exactly (all-integer metrics; DECIMAL revenue sums)
+    sql["q_supplier_skyline"] = """
+        WITH per AS (
+            SELECT s.s_nationkey, s.s_suppkey, s.s_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                       AS rev_dm,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2, 3
+        ),
+        sky AS (
+            SELECT a.* FROM per a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM per b
+                WHERE b.s_nationkey = a.s_nationkey
+                  AND b.rev_dm >= a.rev_dm AND b.n_lines <= a.n_lines
+                  AND (b.rev_dm > a.rev_dm OR b.n_lines < a.n_lines))
+        )
+        SELECT n.n_name AS nation, sky.s_name,
+               sky.rev_dm / 10000.0 AS revenue, sky.n_lines
+        FROM sky JOIN nation n ON sky.s_nationkey = n.n_nationkey
+        ORDER BY nation, s_name
+    """
 
     # modularity of the same unrolled LPA partition: all-integer
     # (q_num = 4*m*Σe_c − Σd_c², q_den = 4m²), quotient raw int/int

@@ -2262,3 +2262,112 @@ def benford_first_digit(orders: DataFrame,
                    F.col("_p").alias("benford_share"),
                    "chi2"))
     return out.orderBy("digit") if sort else out
+
+
+def supplier_hhi(lineitem: DataFrame, supplier: DataFrame,
+                 nation: DataFrame, sort: bool = True) -> DataFrame:
+    """Herfindahl–Hirschman concentration of shipped quantity across
+    each nation's suppliers: HHI = Σᵢ sᵢ² / (Σᵢ sᵢ)² ∈ (0, 1] — the
+    market-concentration card (1 = monopoly, 1/n = perfectly even),
+    the recursive-free sibling of the share-of-total queries
+    (reference analog: result-share aggregation,
+    perustats/infogob/20_resultados.py).
+
+    EXACT integers end-to-end: l_quantity is integer-valued, so the
+    per-supplier sum is on the integer grid (double partial-agg merge
+    order cannot move it) and rounds to bigint losslessly; Σs² and
+    (Σs)² are bigint products, and the shipped hhi is their RAW
+    quotient (IEEE division of identical ints is bit-identical
+    cross-engine). Two partial-aggregated shuffles (supplier grain,
+    nation grain); nation is a broadcast dim."""
+    per = (
+        lineitem.select("l_suppkey", "l_quantity")
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 0).cast("bigint").alias("s"))
+    )
+    agg = per.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("s").cast("bigint").alias("total_qty"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("_s2"),
+    )
+    out = (
+        agg.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"), "n_suppliers", "total_qty",
+            F.try_divide(F.col("_s2"),
+                         F.col("total_qty") * F.col("total_qty"))
+            .alias("hhi"),
+        )
+    )
+    return out.orderBy("nation") if sort else out
+
+
+def supplier_skyline(lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, sort: bool = True) -> DataFrame:
+    """Per-nation supplier SKYLINE (Pareto front, Börzsönyi et al.
+    2001): suppliers not DOMINATED on (revenue ↑ better, shipment
+    line count ↓ better — the efficiency frontier: same revenue with
+    fewer shipments wins) — another supplier dominates when its
+    revenue is ≥ AND its line count is ≤ with at least one strict.
+    The classic multi-criteria shortlist operator (pick suppliers
+    where no alternative is better on both axes at once).
+
+    Exact arithmetic: revenue is summed as DECIMAL(18,4) (the 4-grid
+    extendedprice·(1−discount) products — the q1 sum_charge recipe;
+    round-2 of a 4-grid sum CAN land on engine-splitting midpoints)
+    and carried as integer ten-thousandths; line counts are ints. So
+    dominance is pure integer comparison, bit-identical cross-engine.
+
+    Scale shape — no O(n²) dominance join AND no O(n²) window frame:
+    dominance collapses to a RUNNING PREFIX MIN. Group suppliers to
+    one row per (nation, revenue) carrying the level's min line count,
+    run min() over rev-descending ROWS(unbounded, −1) — the linear
+    running-aggregate frame, one row per level so "preceding rows" IS
+    "strictly higher revenue" — and join back on (nation, revenue).
+    dominated ⇔ prefix-min over strictly-higher revenue ≤ own count,
+    OR the level's peer-min < own count; equal (revenue, count) pairs
+    dominate neither way and are all kept — reproduces the NOT-EXISTS
+    oracle exactly. (A rangeBetween(1, unboundedFollowing) frame is
+    the same semantics but hits Spark's per-row re-scanning
+    UnboundedFollowing processor — the O(n²)-per-partition smell the
+    plan sweep exists to catch, and it caught this one.) The level
+    branch re-derives the supplier aggregate (Catalyst re-runs common
+    subtrees) but prunes to 3 integer columns — the documented bounded
+    2× trade."""
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)"))
+    per = (
+        lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(supplier.select("s_suppkey", "s_nationkey", "s_name"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey", "s_name")
+        .agg((rev * 10_000).cast("bigint").alias("rev_dm"),
+             F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    level = per.groupBy("s_nationkey", "rev_dm").agg(
+        F.min("n_lines").alias("_ml_peer"))
+    w_pref = (Window.partitionBy("s_nationkey")
+              .orderBy(F.desc("rev_dm"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    lvl = level.select(
+        "s_nationkey", "rev_dm", "_ml_peer",
+        F.min("_ml_peer").over(w_pref).alias("_ml_strict"))
+    flagged = per.join(lvl, ["s_nationkey", "rev_dm"])
+    kept = flagged.where(
+        (F.col("_ml_strict").isNull()
+         | (F.col("_ml_strict") > F.col("n_lines")))
+        & (F.col("_ml_peer") >= F.col("n_lines")))
+    out = (
+        kept.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"), "s_name",
+            (F.col("rev_dm") / 10_000.0).alias("revenue"),
+            "n_lines",
+        )
+    )
+    return out.orderBy("nation", "s_name") if sort else out

@@ -4090,3 +4090,45 @@ def test_pmi_collocations_ranks_planted_phrase(spark):
     out = pmi_collocations(docs, min_count=5, k=5).collect()
     assert (out[0]["w1"], out[0]["w2"]) == ("zz", "qq")
     assert out[0]["pmi"] > 0
+
+
+def test_supplier_skyline_prunes_dominated(spark):
+    from pyperustats_spark.operators.relational import supplier_skyline
+    import datetime as dt
+    # nation 1: s1 (high rev, 2 lines), s2 (dominated: lower rev, more
+    # lines), s3 (pareto: lower rev but fewer lines), s4 ties s1 on
+    # both -> kept (neither dominates)
+    li = []
+    def lines(supp, n, price):
+        for i in range(n):
+            li.append((supp, price, 0.0))
+    lines(1, 2, 500.0); lines(2, 3, 100.0); lines(3, 1, 200.0)
+    lines(4, 2, 500.0)
+    lineitem = spark.createDataFrame(
+        li, "l_suppkey long, l_extendedprice double, l_discount double")
+    supplier = spark.createDataFrame(
+        [(i, 1, f"S{i}") for i in (1, 2, 3, 4)],
+        "s_suppkey long, s_nationkey long, s_name string")
+    nation = spark.createDataFrame(
+        [(1, "N1")], "n_nationkey long, n_name string")
+    out = {r["s_name"]: r for r in
+           supplier_skyline(lineitem, supplier, nation).collect()}
+    assert set(out) == {"S1", "S3", "S4"}          # S2 dominated
+    assert out["S1"]["revenue"] == 1000.0
+    assert out["S3"]["n_lines"] == 1
+
+
+def test_supplier_hhi_monopoly_and_even_split(spark):
+    from pyperustats_spark.operators.relational import supplier_hhi
+    lineitem = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 5.0)],
+        "l_suppkey long, l_quantity double")
+    supplier = spark.createDataFrame(
+        [(1, 1, "A"), (2, 2, "B"), (3, 2, "C")],
+        "s_suppkey long, s_nationkey long, s_name string")
+    nation = spark.createDataFrame(
+        [(1, "MONO"), (2, "DUO")], "n_nationkey long, n_name string")
+    out = {r["nation"]: r for r in
+           supplier_hhi(lineitem, supplier, nation).collect()}
+    assert out["MONO"]["hhi"] == 1.0
+    assert out["DUO"]["hhi"] == 0.5 and out["DUO"]["n_suppliers"] == 2

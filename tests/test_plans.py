@@ -84,6 +84,8 @@ BROADCAST_HINT_WHITELIST = {
     "ann_lsh_cosine",             # hyperplanes + query signatures
     "ann_ivf_cosine",             # k centroid rows
     "text_pmi_collocations",      # two 1-row totals (N tokens, B pairs)
+    "q_supplier_hhi",             # nation (25 rows)
+    "q_supplier_skyline",         # nation (25 rows)
     "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
     "ann_pq_rerank_l2",           # query vectors (O(queries))
     "ann_ivf_pq_rerank",          # (query, probed-cell) pairs — a
