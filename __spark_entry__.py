@@ -1071,6 +1071,14 @@ def text_bigram_logprob(spark, sf_dir):
     return T.bigram_logprob(_lt(spark, sf_dir, "documents"), k=0.5)
 
 
+def text_temperature_mixture(spark, sf_dir):
+    """alpha=1/2 temperature-smoothed source mixture sample (sqrt is
+    correctly-rounded IEEE, so the weights are bit-identical
+    cross-engine; all-integer output)."""
+    return T.temperature_mixture_sample(_lt(spark, sf_dir, "documents"),
+                                        token_budget=10_000)
+
+
 def text_pmi_collocations(spark, sf_dir):
     """Top-20 adjacent-token collocations by PMI (grid-snapped ln
     five-term sum — bit-identical cross-engine)."""
@@ -2232,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "text_bigram_logprob": text_bigram_logprob,
         "text_pmi_collocations": text_pmi_collocations,
+        "text_temperature_mixture": text_temperature_mixture,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
@@ -2468,6 +2477,7 @@ _WINDOW = [
     "dedup_paragraph", "graph_part_communities", "ev_sessionize_skew",
     "graph_part_modularity", "text_pmi_collocations",
     "dedup_paragraph_stats", "q_supplier_hhi", "q_supplier_skyline",
+    "text_temperature_mixture",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -4659,6 +4669,39 @@ def oracle_sql() -> dict[str, str]:
                per.sum_logprob / per.n_bigrams AS avg_logprob
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         ORDER BY d.doc_id
+    """
+
+    # sqrt is correctly-rounded IEEE (unlike pow/exp), the denominator
+    # is an ordered running cumsum read back via max, the cut is
+    # integer basis points vs md5 — every keep decision bit-identical
+    sql["text_temperature_mixture"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKENS}) AS BIGINT) AS doc_tokens
+            FROM documents
+        ),
+        tot AS (SELECT source, CAST(sum(doc_tokens) AS BIGINT) AS ns
+                FROM toks GROUP BY source),
+        csum AS (
+            SELECT source, ns,
+                   sum(sqrt(CAST(ns AS DOUBLE)))
+                       OVER (ORDER BY source ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cs
+            FROM tot),
+        den AS (SELECT max(cs) AS denom FROM csum),
+        rates AS (
+            SELECT source,
+                   CAST(least(10000,
+                              floor(10000 * 10000.0
+                                    * sqrt(CAST(ns AS DOUBLE))
+                                    / denom / ns)) AS BIGINT) AS keep_bp
+            FROM csum, den)
+        SELECT t.doc_id, t.source, t.doc_tokens
+        FROM toks t JOIN rates r USING (source)
+        WHERE CAST('0x' || substring(
+                  md5('tmix:' || CAST(t.doc_id AS VARCHAR)), 1, 4)
+                  AS INT) % 10000 < r.keep_bp
+        ORDER BY t.doc_id
     """
 
     # PMI: five grid-snapped ln(int) terms summed in the same order as

@@ -1250,3 +1250,68 @@ def pmi_collocations(documents: DataFrame, min_count: int = 5,
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+
+
+def temperature_mixture_sample(documents: DataFrame,
+                               token_budget: int = 100_000,
+                               salt: str = "tmix",
+                               sort: bool = True) -> DataFrame:
+    """Temperature-smoothed source mixing at α = 1/2 (the pretraining
+    mixture-reweighting primitive: sample source s with probability
+    ∝ n_s^α instead of ∝ n_s, so giant sources stop drowning small
+    ones — the multilingual/multi-domain smoothing rule of mBERT/
+    mT5-style pipelines): per-source token totals n_s give weights
+    w_s = √n_s / Σ√n_t, per-source keep rates
+    min(1, token_budget · w_s / n_s), and a deterministic salted-md5
+    basis-point cut keeps each document row-locally. Returns the kept
+    documents (doc_id, source, doc_tokens), ALL-INTEGER output.
+
+    α is pinned to 1/2 deliberately: n^α for arbitrary α needs
+    exp/pow, which differ by ulps between engines — but IEEE sqrt is
+    CORRECTLY ROUNDED, so √n_s is bit-identical cross-engine, the
+    denominator is a running cumsum in source order (the CLAUDE.md
+    deterministic-double-sum recipe; groupBy sums of doubles are
+    merge-order-nondeterministic) read back via max(), and every
+    subsequent multiply/divide/floor runs on identical bits. The
+    keep decision is integer basis points vs md5 (split_train_val's
+    engine-reproducible cut).
+
+    Scale: tokenization is row-local; totals are one partial-
+    aggregated shuffle; the rate table is #sources rows (the
+    source-count-bounded window is the audited ev_power_users class);
+    the keep filter joins rates back on source (broadcast-sized) —
+    the corpus itself never shuffles."""
+    toks = documents.select(
+        "doc_id", "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("doc_tokens"))
+    tot = toks.groupBy("source").agg(
+        F.sum("doc_tokens").cast("bigint").alias("_ns"))
+    wc = (Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    csum = tot.select(
+        "source", "_ns",
+        F.sum(F.sqrt(F.col("_ns").cast("double"))).over(wc).alias("_cs"))
+    den = csum.agg(F.max("_cs").alias("_denom"))
+    rates = (
+        csum.crossJoin(F.broadcast(den))
+        .select(
+            "source",
+            F.least(
+                F.lit(10_000),
+                F.floor(F.lit(10_000) * F.lit(float(token_budget))
+                        * F.sqrt(F.col("_ns").cast("double"))
+                        / F.col("_denom") / F.col("_ns")))
+            .cast("bigint").alias("_keep_bp"),
+        )
+    )
+    bp = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                      F.col("doc_id").cast("string"))),
+                    1, 4),
+        16, 10).cast("int") % 10_000
+    out = (
+        toks.join(F.broadcast(rates), "source")
+        .where(bp < F.col("_keep_bp"))
+        .select("doc_id", "source", "doc_tokens")
+    )
+    return out.orderBy("doc_id") if sort else out

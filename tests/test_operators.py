@@ -4132,3 +4132,34 @@ def test_supplier_hhi_monopoly_and_even_split(spark):
            supplier_hhi(lineitem, supplier, nation).collect()}
     assert out["MONO"]["hhi"] == 1.0
     assert out["DUO"]["hhi"] == 0.5 and out["DUO"]["n_suppliers"] == 2
+
+
+def test_temperature_mixture_flattens_source_shares(spark):
+    """alpha=1/2 mixing must boost the SMALL source's share relative
+    to proportional sampling, and each source's kept tokens must land
+    near its sqrt-weighted target."""
+    from pyperustats_spark.operators.textops import temperature_mixture_sample
+    rows = []
+    did = 0
+    for _ in range(400):                       # big: ~4000 tokens
+        rows.append((did, "w x y z a b c d e f", "en", "big", 10)); did += 1
+    for _ in range(25):                        # small: ~250 tokens
+        rows.append((did, "w x y z a b c d e f", "en", "small", 10)); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    kept = temperature_mixture_sample(docs, token_budget=1000).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r["source"], 0)
+        by[r["source"]] += r["doc_tokens"]
+    import math
+    n_big, n_small = 4000, 250
+    denom = math.sqrt(n_big) + math.sqrt(n_small)
+    tgt_big = 1000 * math.sqrt(n_big) / denom     # ~800
+    tgt_small = 1000 * math.sqrt(n_small) / denom  # ~200
+    # temperature target for small (20%) >> proportional share (5.9%)
+    assert abs(by["big"] - tgt_big) < 0.35 * tgt_big
+    assert abs(by.get("small", 0) - tgt_small) < 0.5 * tgt_small
+    total = sum(by.values())
+    assert by.get("small", 0) / total > 0.10

@@ -86,6 +86,7 @@ BROADCAST_HINT_WHITELIST = {
     "text_pmi_collocations",      # two 1-row totals (N tokens, B pairs)
     "q_supplier_hhi",             # nation (25 rows)
     "q_supplier_skyline",         # nation (25 rows)
+    "text_temperature_mixture",   # #sources-row rate table + 1-row denom
     "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
     "ann_pq_rerank_l2",           # query vectors (O(queries))
     "ann_ivf_pq_rerank",          # (query, probed-cell) pairs — a
@@ -475,6 +476,9 @@ PLAN_SMELL_WHITELIST = {
     "text_pmi_collocations": {"BNLJ", "SINGLE_PART"},  # 1-row N/B
                                                 # totals broadcast
                                                 # (unigram_logprob class)
+    "text_temperature_mixture": {"BNLJ", "SINGLE_PART"},  # #sources-
+                                                # bounded rate window +
+                                                # 1-row denominator
     "ev_activity_powerlaw": {"SINGLE_PART"},    # global 1-row MLE agg
     "text_source_jsd": {"BNLJ", "SINGLE_PART"},  # 1-row global token
                                                 # total; vocab spine
