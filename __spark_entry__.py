@@ -838,6 +838,12 @@ def graph_part_modularity(spark, sf_dir):
     return G.modularity_score(edges, labels)
 
 
+def q_revenue_lorenz(spark, sf_dir):
+    """Lorenz curve (10 deciles) of customer revenue — histogram-rank
+    deciles == SQL ntile, integer cumsums, raw cum_share."""
+    return R.revenue_lorenz(_lt(spark, sf_dir, "orders"))
+
+
 def q_supplier_hhi(spark, sf_dir):
     """Per-nation HHI supplier concentration — exact integers, raw
     int/int quotient."""
@@ -2270,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_part_kcore": graph_part_kcore,
         "graph_part_communities": graph_part_communities,
         "graph_part_modularity": graph_part_modularity,
+        "q_revenue_lorenz": q_revenue_lorenz,
         "q_supplier_hhi": q_supplier_hhi,
         "q_supplier_skyline": q_supplier_skyline,
         "er_customer_name_pairs": er_customer_name_pairs,
@@ -2477,7 +2484,7 @@ _WINDOW = [
     "dedup_paragraph", "graph_part_communities", "ev_sessionize_skew",
     "graph_part_modularity", "text_pmi_collocations",
     "dedup_paragraph_stats", "q_supplier_hhi", "q_supplier_skyline",
-    "text_temperature_mixture",
+    "text_temperature_mixture", "q_revenue_lorenz",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -6656,6 +6663,38 @@ def oracle_sql() -> dict[str, str]:
                    AS community_size
         FROM l4 ORDER BY part
     """)
+
+    # the histogram-rank decile formula IS SQL ntile, so the oracle
+    # can use the plain window; everything else integer + raw share
+    sql["q_revenue_lorenz"] = """
+        WITH cents AS (
+            SELECT o_custkey,
+                   CAST(round(round(sum(o_totalprice), 2) * 100)
+                        AS BIGINT) AS c
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT c, CAST(ntile(10) OVER (ORDER BY c, o_custkey)
+                           AS BIGINT) AS decile
+            FROM cents
+        ),
+        per AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(c) AS BIGINT) AS tile_cents
+            FROM tiled GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n_customers, tile_cents,
+                   CAST(sum(tile_cents) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                        ROW) AS BIGINT) AS cum_cents
+            FROM per
+        ),
+        tot AS (SELECT max(cum_cents) AS total FROM cum)
+        SELECT decile, n_customers, tile_cents, cum_cents,
+               cum_cents / total AS cum_share
+        FROM cum, tot ORDER BY decile
+    """
 
     # exact-integer HHI: per-supplier quantity sums are integer-grid,
     # hhi = bigint/bigint raw (both engines divide via double)

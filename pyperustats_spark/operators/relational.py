@@ -2371,3 +2371,52 @@ def supplier_skyline(lineitem: DataFrame, supplier: DataFrame,
         )
     )
     return out.orderBy("nation", "s_name") if sort else out
+
+
+def revenue_lorenz(orders: DataFrame, n_tiles: int = 10) -> DataFrame:
+    """Lorenz curve of customer revenue concentration in *n_tiles*
+    points — the curve behind :func:`revenue_gini`'s scalar ("the
+    bottom 50 % of customers carry X % of revenue"): customers ranked
+    by exact revenue cents, cut into SQL-ntile deciles, each decile's
+    cumulative revenue share reported. Returns (decile, n_customers,
+    tile_cents, cum_cents, cum_share) — integers plus one raw
+    bigint/bigint share (bit-identical cross-engine).
+
+    Same scale shape as revenue_gini: the global (cents, custkey)
+    rank comes from the histogram-rank core
+    (:func:`~pyperustats_spark.operators.layout.histogram_ntile` —
+    value-bucket offsets + in-bucket row_number, parallel across
+    buckets, NO partition-less data-sized window; the oracle's plain
+    ntile window reproduces it exactly because the formula IS SQL
+    ntile). The decile rollup is an n_tiles-row frame; its ordered
+    cumsum is integer (deterministic by type, not by luck)."""
+    from pyperustats_spark.operators.layout import (
+        _bounds, _bucket, histogram_ntile)
+
+    cents = (orders.groupBy("o_custkey")
+             .agg(F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+                  .cast("bigint").alias("_c"))
+             .persist())
+    b = cents.crossJoin(F.broadcast(_bounds(cents, ["_c"])))
+    tiled = histogram_ntile(
+        b, _bucket(F.col("_c"), F.col("_lo__c"), F.col("_hi__c"), 12),
+        order=[F.col("_c"), F.col("o_custkey")],
+        n_tiles=n_tiles, out_col="decile")
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("_c").cast("bigint").alias("tile_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        "decile", "n_customers", "tile_cents",
+        F.sum("tile_cents").over(wc).cast("bigint").alias("cum_cents"),
+    )
+    total = cum.agg(F.max("cum_cents").alias("_total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select("decile", "n_customers", "tile_cents", "cum_cents",
+                F.try_divide(F.col("cum_cents"), F.col("_total"))
+                .alias("cum_share"))
+        .orderBy("decile")
+    )

@@ -87,6 +87,8 @@ BROADCAST_HINT_WHITELIST = {
     "q_supplier_hhi",             # nation (25 rows)
     "q_supplier_skyline",         # nation (25 rows)
     "text_temperature_mixture",   # #sources-row rate table + 1-row denom
+    "q_revenue_lorenz",           # cents bounds row + bucket prefix
+                                  # table + 1-row total (gini class)
     "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
     "ann_pq_rerank_l2",           # query vectors (O(queries))
     "ann_ivf_pq_rerank",          # (query, probed-cell) pairs — a
@@ -479,6 +481,9 @@ PLAN_SMELL_WHITELIST = {
     "text_temperature_mixture": {"BNLJ", "SINGLE_PART"},  # #sources-
                                                 # bounded rate window +
                                                 # 1-row denominator
+    "q_revenue_lorenz": {"BNLJ", "SINGLE_PART"},  # bucket-space prefix
+                                                # table + n_tiles-row
+                                                # cum frame (gini class)
     "ev_activity_powerlaw": {"SINGLE_PART"},    # global 1-row MLE agg
     "text_source_jsd": {"BNLJ", "SINGLE_PART"},  # 1-row global token
                                                 # total; vocab spine
