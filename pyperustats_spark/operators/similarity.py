@@ -1162,6 +1162,36 @@ def ann_pq_rerank(embeddings: DataFrame, queries: DataFrame,
     )
 
 
+def py_probe_cells(qv, cents, nprobe: int):
+    """Driver-side replica of :func:`ivf_assign`'s scoring for a query
+    vector: left-to-right fold for dot and norm, sort by (−cos, cid) —
+    bit-for-bit the JVM expression's choices, so driver-built
+    (query, cell) fan-outs agree exactly with in-plan assignment."""
+    import math
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for v in a:
+            acc = acc + v * v
+        return math.sqrt(acc)
+
+    scored_c = []
+    nq = fold_norm(qv)
+    for cid, c in cents:
+        denom = nq * fold_norm(c)
+        neg = (-1.0 * (fold_dot(qv, c) / denom)
+               if denom != 0.0 else float("inf"))
+        scored_c.append((neg, int(cid)))
+    scored_c.sort()
+    return [cid for _, cid in scored_c[:nprobe]]
+
+
 def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                n_centroids: int = 16, nprobe: int = 4,
                shortlist: int = 50, m: int = 8, n_codewords: int = 16,
@@ -1247,35 +1277,9 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     qrows = queries.select("query_id", "q_embedding").collect()
 
-    def _py_probe(qv):
-        # bit-for-bit replica of ivf_assign's scoring: left-to-right
-        # fold for dot and norm, sort by (−cos, cid)
-        import math
-
-        def fold_dot(a, b):
-            acc = 0.0
-            for x, y in zip(a, b):
-                acc = acc + x * y
-            return acc
-
-        def fold_norm(a):
-            acc = 0.0
-            for v in a:
-                acc = acc + v * v
-            return math.sqrt(acc)
-
-        scored_c = []
-        nq = fold_norm(qv)
-        for cid, c in cents:
-            denom = nq * fold_norm(c)
-            neg = (-1.0 * (fold_dot(qv, c) / denom)
-                   if denom != 0.0 else float("inf"))
-            scored_c.append((neg, int(cid)))
-        scored_c.sort()
-        return [cid for _, cid in scored_c[:nprobe]]
-
     probes = {int(r["query_id"]):
-              _py_probe([float(x) for x in r["q_embedding"]])
+              py_probe_cells([float(x) for x in r["q_embedding"]],
+                             cents, nprobe)
               for r in qrows}
     qcells = queries.sparkSession.createDataFrame(
         [(qid, cid) for qid, cids in sorted(probes.items())

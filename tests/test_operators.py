@@ -4163,3 +4163,34 @@ def test_temperature_mixture_flattens_source_shares(spark):
     assert abs(by.get("small", 0) - tgt_small) < 0.5 * tgt_small
     total = sum(by.values())
     assert by.get("small", 0) / total > 0.10
+
+
+def test_ivf_pq_index_roundtrip_matches_inmemory_and_prunes(spark, tables,
+                                                            tmp_path):
+    """The persisted IVF-PQ index must return bit-for-bit the same
+    top-k as the in-memory ann_ivf_pq with identical parameters, and
+    its search scan must carry a cell PARTITION filter (only probed
+    cell directories are read)."""
+    import pyperustats_spark.plans as P
+    from pyperustats_spark.sources.ann_index import (
+        ivf_pq_index_search, ivf_pq_index_write)
+
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    path = str(tmp_path / "ivfpq")
+    meta = ivf_pq_index_write(emb, path, n_centroids=8, m=8,
+                              n_codewords=16, dim=64)
+    assert len(meta["centroids"]) == 8 and len(meta["codebooks"]) == 8
+
+    q = S.make_queries(emb, [0, 7, 42])
+    got = ivf_pq_index_search(spark, path, q, k=5, nprobe=2,
+                              shortlist=50)
+    txt = P.explain_str(got, mode="simple")
+    assert "PartitionFilters" in txt and "cell" in txt
+    key = lambda rows: [(r["query_id"], r["rank"], r["vec_id"], r["dist"])
+                        for r in rows]
+    want = S.ann_ivf_pq(emb, q, k=5, n_centroids=8, nprobe=2,
+                        shortlist=50, m=8, n_codewords=16,
+                        adc_join=True).collect()
+    assert key(got.collect()) == key(want)
