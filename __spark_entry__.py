@@ -756,6 +756,15 @@ def graph_supplier_pagerank(spark, sf_dir):
         _lt(spark, sf_dir, "supplier"), iters=6, k=50)
 
 
+def graph_supplier_ppr(spark, sf_dir):
+    """Personalized PageRank seeded on nation-0's suppliers (teleport
+    to the seed set; fixed-point integers, unrolled-CTE oracle)."""
+    from pyperustats_spark.operators import graph as G
+    return G.supplier_ppr(
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "orders"),
+        _lt(spark, sf_dir, "supplier"), seed_nationkey=0, iters=6, k=50)
+
+
 def q_part_affinity(spark, sf_dir):
     return R.part_affinity(_lt(spark, sf_dir, "lineitem"))
 
@@ -2276,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_part_kcore": graph_part_kcore,
         "graph_part_communities": graph_part_communities,
         "graph_part_modularity": graph_part_modularity,
+        "graph_supplier_ppr": graph_supplier_ppr,
         "q_revenue_lorenz": q_revenue_lorenz,
         "q_supplier_hhi": q_supplier_hhi,
         "q_supplier_skyline": q_supplier_skyline,
@@ -2485,6 +2495,7 @@ _WINDOW = [
     "graph_part_modularity", "text_pmi_collocations",
     "dedup_paragraph_stats", "q_supplier_hhi", "q_supplier_skyline",
     "text_temperature_mixture", "q_revenue_lorenz",
+    "graph_supplier_ppr",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -6791,6 +6802,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_edges, n_communities, q_num, q_den,
                q_num / q_den AS modularity
         FROM fin
+    """)
+
+    # personalized pagerank: base term and pr0 live only on the seed
+    # nodes — otherwise pagerank's exact unrolled-integer recipe
+    _ppr_iter = """
+        pr{i} AS (
+            SELECT n.node,
+                   CAST(n.bv + 85 * coalesce(c.s, 0) // 100 AS BIGINT)
+                       AS pr
+            FROM nodes_b n LEFT JOIN (
+                SELECT e.dst, sum(p.pr * e.w // e.w_out) AS s
+                FROM pr{j} p JOIN edges e ON e.src = p.node
+                GROUP BY e.dst
+            ) c ON c.dst = n.node
+        )"""
+    sql["graph_supplier_ppr"] = ("""
+        WITH pairs AS (
+            SELECT o.o_custkey * 2 AS c_node,
+                   l.l_suppkey * 2 + 1 AS s_node,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        edges0 AS (
+            SELECT c_node AS src, s_node AS dst, w FROM pairs
+            UNION ALL
+            SELECT s_node AS src, c_node AS dst, w FROM pairs
+        ),
+        edges AS (
+            SELECT src, dst, w,
+                   sum(w) OVER (PARTITION BY src) AS w_out
+            FROM edges0
+        ),
+        seeds AS (
+            SELECT s_suppkey * 2 + 1 AS node FROM supplier
+            WHERE s_nationkey = 0
+        ),
+        nodes_b AS (
+            SELECT node,
+                   CASE WHEN node IN (SELECT node FROM seeds)
+                        THEN 150000 ELSE 0 END AS bv
+            FROM (SELECT DISTINCT src AS node FROM edges0
+                  UNION SELECT DISTINCT dst AS node FROM edges0)
+        ),
+        pr0 AS (
+            SELECT node,
+                   CAST(CASE WHEN bv > 0 THEN 1000000 ELSE 0 END
+                        AS BIGINT) AS pr
+            FROM nodes_b),
+        """ + ",\n".join(_ppr_iter.format(i=i, j=i - 1)
+                         for i in range(1, 7)) + """
+        SELECT s.s_name, p.pr AS rank_micro
+        FROM pr6 p JOIN supplier s ON s.s_suppkey = (p.node - 1) // 2
+        WHERE p.node % 2 = 1
+        ORDER BY rank_micro DESC, s.s_name
+        LIMIT 50
     """)
 
     sql["graph_supplier_pagerank"] = ("""

@@ -632,3 +632,104 @@ def modularity_score(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .alias("modularity"),
         )
     )
+
+
+def ppr_fixed_point(edges: DataFrame, seeds: DataFrame,
+                    iters: int = 6,
+                    damping_pct: int = 85) -> DataFrame:
+    """Personalized PageRank (teleport to a SEED SET instead of
+    everywhere) over a weighted directed edge list ``(src, dst, w)``,
+    in bigint micro-units — the recommendation kernel: scores measure
+    proximity to the seeds through weighted flows, so "suppliers
+    relevant to THIS customer segment" instead of global importance.
+
+    π₀(v) = 1.0 for seeds else 0; πᵢ₊₁(v) = seed_base(v) +
+    d · Σ πᵢ(u)·w/w_out(u), with seed_base = (1−d) only on seeds —
+    the same fixed-point integer arithmetic as
+    :func:`pagerank_fixed_point` (module docstring: doubles would hit
+    the nondeterministic-sum trap K times), same lazy linear-growth
+    loop (previous ranks referenced ONCE per round), same persisted
+    static tables — here edges, nodes AND the seed-base column
+    (referenced every round). *seeds* is a DataFrame with a ``node``
+    column; unknown seed ids simply get no mass. Returns
+    (node, rank_micro)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    base = RANK_UNIT * (100 - damping_pct) // 100
+
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    e = (edges.join(out_w, "src")
+         .select("src", "dst", "w", "w_out")
+         .persist())
+    sd = seeds.select("node").distinct().withColumn(
+        "_seed", F.lit(1))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(sd, "node", "left")
+        .select("node",
+                F.when(F.col("_seed").isNotNull(), F.lit(base))
+                .otherwise(F.lit(0)).cast("bigint").alias("_bv"))
+        .persist()
+    )
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_bv") > 0, F.lit(RANK_UNIT))
+        .otherwise(F.lit(0)).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", F.expr("pr * w DIV w_out").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left") \
+            .select(
+                "node",
+                (F.col("_bv")
+                 + F.expr(f"{damping_pct} * coalesce(s, 0L) DIV 100"))
+                .cast("bigint").alias("pr"))
+    return ranks.withColumnRenamed("pr", "rank_micro")
+
+
+def supplier_ppr(lineitem: DataFrame, orders: DataFrame,
+                 supplier: DataFrame, seed_nationkey: int = 0,
+                 iters: int = 6, k: int = 50,
+                 sort: bool = True) -> DataFrame:
+    """Suppliers relevant to ONE nation's supplier ecosystem:
+    personalized PageRank seeded on nation *seed_nationkey*'s
+    suppliers over the bipartite customer↔supplier interaction graph
+    (same packed-node build as :func:`supplier_importance`) — the
+    recommendation view ("which suppliers does this segment's demand
+    flow reach?") that global PageRank cannot give. Returns top-*k*
+    (s_name, rank_micro); zero-score nodes (unreachable from the
+    seeds within *iters* hops) naturally sort last."""
+    pairs = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select((F.col("o_custkey") * 2).alias("c_node"),
+                (F.col("l_suppkey") * 2 + 1).alias("s_node"), "w")
+    )
+    edges = pairs.select(F.col("c_node").alias("src"),
+                         F.col("s_node").alias("dst"), "w") \
+        .union(pairs.select(F.col("s_node").alias("src"),
+                            F.col("c_node").alias("dst"), "w"))
+    seeds = (supplier.where(F.col("s_nationkey") == seed_nationkey)
+             .select((F.col("s_suppkey") * 2 + 1).alias("node")))
+    ranks = ppr_fixed_point(edges, seeds, iters=iters)
+    out = (
+        ranks.where(F.col("node") % 2 == 1)
+        .select(((F.col("node") - 1) / 2).cast("bigint")
+                .alias("s_suppkey"), "rank_micro")
+        .join(supplier.select("s_suppkey", "s_name"), "s_suppkey")
+        .select("s_name", "rank_micro")
+        .orderBy(F.desc("rank_micro"), "s_name")
+        .limit(k)
+    )
+    return out

@@ -4194,3 +4194,15 @@ def test_ivf_pq_index_roundtrip_matches_inmemory_and_prunes(spark, tables,
                         shortlist=50, m=8, n_codewords=16,
                         adc_join=True).collect()
     assert key(got.collect()) == key(want)
+
+
+def test_ppr_concentrates_mass_near_seeds(spark):
+    from pyperustats_spark.operators.graph import ppr_fixed_point
+    # chain 1 -> 2 -> 3, island 9 -> 10; seed = {1}
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (9, 10, 1)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["rank_micro"]
+           for r in ppr_fixed_point(edges, seeds, iters=6).collect()}
+    assert out[1] > out[2] > out[3] > 0       # mass decays with hops
+    assert out[9] == 0 and out[10] == 0      # unreachable island: zero
