@@ -1197,6 +1197,17 @@ def dedup_paragraph_stats(spark, sf_dir):
                                  delim=" a ", by="source")
 
 
+def dedup_paragraph_incremental(spark, sf_dir):
+    # same recurring-release split as dedup_incremental: odd doc_ids =
+    # new batch, even = released corpus; same ' a ' paragraph split as
+    # dedup_paragraph
+    docs = _lt(spark, sf_dir, "documents")
+    return D.paragraph_dedup_incremental(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        delim=" a ", joiner=" a ")
+
+
 def dedup_substring_decontaminate(spark, sf_dir):
     # recurring-release scenario (dedup_incremental's split): odd
     # doc_ids = the new batch, even = the released corpus it must not
@@ -2355,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_profile": dedup_substring_profile,
         "dedup_paragraph": dedup_paragraph,
         "dedup_paragraph_stats": dedup_paragraph_stats,
+        "dedup_paragraph_incremental": dedup_paragraph_incremental,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -2495,7 +2507,7 @@ _WINDOW = [
     "graph_part_modularity", "text_pmi_collocations",
     "dedup_paragraph_stats", "q_supplier_hhi", "q_supplier_skyline",
     "text_temperature_mixture", "q_revenue_lorenz",
-    "graph_supplier_ppr",
+    "graph_supplier_ppr", "dedup_paragraph_incremental",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -3655,6 +3667,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
                    / CAST(count(*) AS BIGINT) AS drop_share
         FROM occ GROUP BY source ORDER BY source
+    """
+
+    # corpus paragraphs always win; batch-internal repeats keep only
+    # the first (doc_id, pos) occurrence — same rn logic as
+    # dedup_paragraph with an extra corpus-membership veto
+    sql["dedup_paragraph_incremental"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, ' a '),
+                       p -> trim(p)), p -> p != '') AS ps
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        paras AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ps) + 1),
+                       i -> struct_pack(pos := i, para := ps[i]))) AS s
+            FROM base WHERE len(ps) > 0
+        ),
+        ckeys AS (
+            SELECT DISTINCT unnest(list_filter(list_transform(
+                       regexp_split_to_array(text, ' a '),
+                       p -> trim(p)), p -> p != '')) AS para
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        occ AS (
+            SELECT doc_id, s.pos AS pos, s.para AS para,
+                   row_number() OVER (PARTITION BY s.para
+                                      ORDER BY doc_id, s.pos) AS rn,
+                   s.para IN (SELECT para FROM ckeys) AS in_corpus
+            FROM paras
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paragraphs,
+                   CAST(sum(CASE WHEN rn > 1 OR in_corpus
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped,
+                   coalesce(string_agg(
+                       CASE WHEN rn = 1 AND NOT in_corpus THEN para END,
+                       ' a ' ORDER BY pos), '') AS text_clean
+            FROM occ GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_paragraphs, 0) AS BIGINT)
+                   AS n_paragraphs,
+               CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
     """
 
     sql["dedup_substring_profile"] = """

@@ -1515,3 +1515,73 @@ def paragraph_dup_stats(documents: DataFrame, delim: str = r"\n\s*\n",
         .alias("drop_share"),
     )
     return out.orderBy(by) if sort else out
+
+
+def paragraph_dedup_incremental(batch: DataFrame, corpus: DataFrame,
+                                delim: str = r"\n\s*\n",
+                                joiner: str = "\n\n",
+                                sort: bool = True) -> DataFrame:
+    """Recurring-release form of :func:`paragraph_dedup` (the
+    paragraph-grain sibling of ``dedup_incremental``): rewrite each
+    NEW-batch document dropping every paragraph that already exists in
+    the RELEASED corpus — the corpus always wins, yesterday's 100 TB
+    is never rewritten — plus every repeat of a batch-internal
+    paragraph after its first (doc_id, pos) occurrence. Returns one
+    row per batch document (doc_id, n_paragraphs, n_dropped,
+    text_clean).
+
+    Scale shape: the corpus side reduces to DISTINCT md5 keys (16
+    bytes/paragraph — its text never moves) for a big-big LEFT ANTI
+    semantics implemented as a left join + null test so the kept/
+    dropped COUNTS survive; the batch-internal winner is the same
+    partial-aggregated min-struct groupBy as paragraph_dedup; the one
+    text shuffle is the batch-sized reassembly. Batch paragraphs hit
+    corpus keys via an AQE-decided hash join (both sides
+    SF-proportional — no hint)."""
+    plist = F.filter(
+        F.transform(F.split(F.col("text"), delim),
+                    lambda p: F.trim(p)),
+        lambda p: p != "")
+    keyed = batch.select(
+        "doc_id", F.posexplode(plist).alias("pos", "para")
+    ).withColumn("_pk", F.md5("para"))
+    corpus_keys = (
+        corpus.select(F.explode(plist).alias("para"))
+        .select(F.md5("para").alias("_pk")).distinct()
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    winners = keyed.groupBy("_pk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_w"))
+    occ = (
+        keyed.join(winners, "_pk")
+        .join(corpus_keys, "_pk", "left")
+        .select(
+            "doc_id", "pos", "para",
+            (F.col("_in_corpus").isNull()
+             & (F.struct("doc_id", "pos") == F.col("_w")))
+            .alias("_keep"))
+    )
+    agg = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("_keep"), F.struct("pos", "para")))),
+                lambda s: s["para"]),
+            joiner).alias("text_clean"),
+    )
+    out = (
+        batch.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_paragraphs"), F.lit(0))
+            .cast("bigint").alias("n_paragraphs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0))
+            .cast("bigint").alias("n_dropped"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out

@@ -4206,3 +4206,21 @@ def test_ppr_concentrates_mass_near_seeds(spark):
            for r in ppr_fixed_point(edges, seeds, iters=6).collect()}
     assert out[1] > out[2] > out[3] > 0       # mass decays with hops
     assert out[9] == 0 and out[10] == 0      # unreachable island: zero
+
+
+def test_paragraph_dedup_incremental_corpus_wins(spark):
+    from pyperustats_spark.operators.dedup import paragraph_dedup_incremental
+    batch = spark.createDataFrame(
+        [(1, "seen before\n\nbrand new", "en", "s", 10),
+         (3, "brand new\n\nanother one", "en", "s", 10)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    corpus = spark.createDataFrame(
+        [(2, "seen before", "en", "s", 10)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r
+           for r in paragraph_dedup_incremental(batch, corpus).collect()}
+    # doc 1: 'seen before' vetoed by the corpus; 'brand new' kept
+    assert out[1]["n_dropped"] == 1 and out[1]["text_clean"] == "brand new"
+    # doc 3: 'brand new' already used by doc 1 (batch-internal first
+    # occurrence wins); 'another one' kept
+    assert out[3]["n_dropped"] == 1 and out[3]["text_clean"] == "another one"
