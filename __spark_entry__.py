@@ -1101,6 +1101,13 @@ def text_pmi_collocations(spark, sf_dir):
                               min_count=5, k=20)
 
 
+def ts_bollinger_bands(spark, sf_dir):
+    """20-day Bollinger bands per series — integer-cents window sums,
+    correctly-rounded sqrt sigma, raw band doubles."""
+    return TS.bollinger_bands(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")), window=20)
+
+
 def ts_seasonal_index(spark, sf_dir):
     return TS.seasonal_index(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
@@ -2229,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_missing_codes": cache_missing_codes,
         "q_customer_quartiles": q_customer_quartiles,
         "ts_zscore_anomalies": ts_zscore_anomalies,
+        "ts_bollinger_bands": ts_bollinger_bands,
         "clean_numeric_cast": clean_numeric_cast,
         "embedding_centroids": embedding_centroids,
         "text_lang_confusion": text_lang_confusion,
@@ -2508,6 +2516,7 @@ _WINDOW = [
     "dedup_paragraph_stats", "q_supplier_hhi", "q_supplier_skyline",
     "text_temperature_mixture", "q_revenue_lorenz",
     "graph_supplier_ppr", "dedup_paragraph_incremental",
+    "ts_bollinger_bands",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -6769,6 +6778,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT decile, n_customers, tile_cents, cum_cents,
                cum_cents / total AS cum_share
         FROM cum, tot ORDER BY decile
+    """
+
+    # integer-cents window sums, CR sqrt sigma, raw band doubles —
+    # every emitted value derives from identical bits in both engines
+    sql["ts_bollinger_bands"] = """
+        WITH longd AS (
+            SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
+                       AS date,
+                   l_returnflag || l_linestatus AS code,
+                   sum(l_extendedprice) AS value
+            FROM lineitem GROUP BY 1, 2
+        ),
+        staged AS (
+            SELECT date, code, value,
+                   CAST(sum(CAST(round(round(value, 2) * 100)
+                                 AS BIGINT))
+                        OVER w AS BIGINT) AS s,
+                   CAST(sum(CAST(round(round(value, 2) * 100)
+                                 AS BIGINT)
+                            * CAST(round(round(value, 2) * 100)
+                                   AS BIGINT))
+                        OVER w AS BIGINT) AS q,
+                   row_number() OVER (PARTITION BY code
+                                      ORDER BY date) AS rn
+            FROM longd
+            WINDOW w AS (PARTITION BY code ORDER BY date
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT date, code, value,
+               s / 2000.0 AS ma,
+               s / 2000.0 - 2 * (sqrt(CAST(20 * CAST(q AS HUGEINT)
+                                           - CAST(s AS HUGEINT) * s
+                                           AS DOUBLE))
+                                 / 2000.0) AS lower,
+               s / 2000.0 + 2 * (sqrt(CAST(20 * CAST(q AS HUGEINT)
+                                           - CAST(s AS HUGEINT) * s
+                                           AS DOUBLE))
+                                 / 2000.0) AS upper,
+               CAST(value < s / 2000.0
+                        - 2 * (sqrt(CAST(20 * CAST(q AS HUGEINT)
+                                         - CAST(s AS HUGEINT) * s
+                                         AS DOUBLE))
+                               / 2000.0)
+                    OR value > s / 2000.0
+                        + 2 * (sqrt(CAST(20 * CAST(q AS HUGEINT)
+                                         - CAST(s AS HUGEINT) * s
+                                         AS DOUBLE))
+                               / 2000.0) AS INT) AS outside
+        FROM staged WHERE rn >= 20
+        ORDER BY code, date
     """
 
     # exact-integer HHI: per-supplier quantity sums are integer-grid,

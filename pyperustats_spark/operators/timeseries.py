@@ -1056,3 +1056,63 @@ def seasonal_strength(long_df: DataFrame, half_window: int = 6,
         strength(F.col("_tt"), F.col("_t1")).alias("trend_strength"),
     )
     return out.orderBy("code") if sort else out
+
+
+def bollinger_bands(long_df: DataFrame, window: int = 20,
+                    n_sigmas: int = 2, sort: bool = True) -> DataFrame:
+    """Bollinger bands over each series' daily values: trailing
+    *window*-row moving average ± *n_sigmas* rolling standard
+    deviations, plus an outside-band flag — the volatility envelope
+    companion of ts_zscore_anomalies (global σ there, LOCAL rolling σ
+    here, so regime changes move the band with the series). Emitted
+    once a full window exists (row *window* onward). Returns
+    (date, code, value, ma, lower, upper, outside).
+
+    Cross-engine exactness: values snap to integer CENTS (2-grid
+    money), window sums S and Q = Σx² are exact bigint window
+    aggregates (ROWS frame, integer arithmetic — merge order cannot
+    matter), ma = S/(100·w) raw, and the population σ uses
+    σ·100·w = sqrt(w·Q − S²) where sqrt is CORRECTLY ROUNDED IEEE —
+    every band value derives from identical bits in both engines, no
+    rounding recipe needed anywhere. One shuffle on the series key;
+    per-partition rows = series length (the depth-axis scaling study's
+    window family)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    cents = F.round(F.round(F.col("value"), 2) * 100).cast("bigint")
+    w = (Window.partitionBy("code").orderBy("date")
+         .rowsBetween(-(window - 1), 0))
+    wn = Window.partitionBy("code").orderBy("date")
+    staged = long_df.select(
+        "date", "code", "value",
+        cents.alias("_c"),
+    ).select(
+        "date", "code", "value",
+        F.sum("_c").over(w).cast("bigint").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).over(w).cast("bigint")
+        .alias("_q"),
+        F.row_number().over(wn).alias("_rn"),
+    ).where(F.col("_rn") >= window)
+    ma = F.col("_s") / F.lit(100.0 * window)
+    # w·Q − S² in DECIMAL(38,0): S² overflows bigint once a window's
+    # cents sum passes ~3e9 (observed within reach at sf0.1 already);
+    # the exact wide integer casts to the same double in both engines
+    # (ols_exact precedent; oracle uses HUGEINT)
+    s19 = F.col("_s").cast("decimal(19,0)")
+    q19 = F.col("_q").cast("decimal(19,0)")
+    sigma = (F.sqrt((F.lit(window) * q19 - s19 * s19).cast("double"))
+             / F.lit(100.0 * window))
+    out = staged.select(
+        "date", "code", "value",
+        ma.alias("ma"),
+        (ma - n_sigmas * sigma).alias("lower"),
+        (ma + n_sigmas * sigma).alias("upper"),
+        # raw double comparisons: value is a grid-exact money sum and
+        # the bands derive from identical bits in both engines, so the
+        # predicate is deterministic without any rounding (round-2 of
+        # a DERIVED band would reopen the midpoint trap)
+        ((F.col("value") < ma - n_sigmas * sigma)
+         | (F.col("value") > ma + n_sigmas * sigma))
+        .cast("int").alias("outside"),
+    )
+    return out.orderBy("code", "date") if sort else out
