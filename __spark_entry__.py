@@ -681,6 +681,11 @@ def ev_sessionize_skew(spark, sf_dir):
     return _round(df, {"sum_value": 4})
 
 
+def ev_bounce_rate(spark, sf_dir):
+    """Daily single-event-session share (raw int/int bounce rate)."""
+    return E.bounce_rate_daily(_lt(spark, sf_dir, "events"))
+
+
 def ev_top_users_per_type(spark, sf_dir):
     df = E.top_users_per_type(_lt(spark, sf_dir, "events"))
     return _round(df, {"total_value": 4})
@@ -820,6 +825,14 @@ def graph_part_kcore(spark, sf_dir):
     reported as a column instead of assumed."""
     from pyperustats_spark.operators import graph as G
     return G.kcore_peel(G.copurchase_edges(_lt(spark, sf_dir, "lineitem")))
+
+
+def graph_part_degrees(spark, sf_dir):
+    """Degree distribution of the co-purchase graph (counts + raw
+    shares)."""
+    from pyperustats_spark.operators import graph as G
+    return G.degree_distribution(
+        G.copurchase_edges(_lt(spark, sf_dir, "lineitem")))
 
 
 def graph_part_communities(spark, sf_dir):
@@ -2286,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "ev_sessionize": ev_sessionize,
         "ev_sessionize_skew": ev_sessionize_skew,
+        "ev_bounce_rate": ev_bounce_rate,
         "ev_top_paths": ev_top_paths,
         "ev_conversion_lag": ev_conversion_lag,
         "ev_conversion_lag_approx": ev_conversion_lag_approx,
@@ -2303,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "graph_part_kcore": graph_part_kcore,
         "graph_part_communities": graph_part_communities,
+        "graph_part_degrees": graph_part_degrees,
         "graph_part_modularity": graph_part_modularity,
         "graph_supplier_ppr": graph_supplier_ppr,
         "q_revenue_lorenz": q_revenue_lorenz,
@@ -2516,7 +2531,7 @@ _WINDOW = [
     "dedup_paragraph_stats", "q_supplier_hhi", "q_supplier_skyline",
     "text_temperature_mixture", "q_revenue_lorenz",
     "graph_supplier_ppr", "dedup_paragraph_incremental",
-    "ts_bollinger_bands",
+    "ts_bollinger_bands", "ev_bounce_rate", "graph_part_degrees",
     "graph_part_triangles", "er_customer_name_pairs",
     "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
     "dedup_jaccard_prefix", "ts_seasonal_strength",
@@ -3285,6 +3300,39 @@ def oracle_sql() -> dict[str, str]:
 
     # identical semantics, skew-split execution
     sql["ev_sessionize_skew"] = sql["ev_sessionize"]
+
+    sql["ev_bounce_rate"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('microsecond', lag(ts) OVER w, ts)
+                           > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS session_seq,
+                   ts
+            FROM flagged
+        ),
+        per AS (
+            SELECT user_id, session_seq,
+                   CAST(min(ts) AS DATE) AS date,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT date, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) / CAST(count(*) AS BIGINT)
+                   AS bounce_rate
+        FROM per GROUP BY date ORDER BY date
+    """
 
     sql["ev_top_users_per_type"] = """
         WITH agg AS (
@@ -6726,6 +6774,26 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY n.node, p.lbl
             ) WHERE rn = 1
         )"""
+    sql["graph_part_degrees"] = """
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM items GROUP BY l_orderkey
+               HAVING count(*) BETWEEN 2 AND 50),
+        it AS (SELECT i.l_orderkey, i.l_partkey
+               FROM items i JOIN ok USING (l_orderkey)),
+        e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 1),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+                (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY node),
+        hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+                 FROM deg GROUP BY degree),
+        tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n FROM hist)
+        SELECT degree, n_nodes, n_nodes / n AS share
+        FROM hist, tot ORDER BY degree
+    """
+
     sql["graph_part_communities"] = ("""
         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         ok AS (SELECT l_orderkey FROM items GROUP BY l_orderkey

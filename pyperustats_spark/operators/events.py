@@ -1654,3 +1654,29 @@ def cuped_ab_readout(events: DataFrame, event_type: str = "purchase",
                num * num / (denx * deny)).alias("var_reduction"),
     )
     return out.orderBy("variant")
+
+
+def bounce_rate_daily(events: DataFrame, gap_minutes: int = 30,
+                      sort: bool = True) -> DataFrame:
+    """Daily bounce rate: share of sessions (by session-START day)
+    consisting of a single event — the engagement-quality card next
+    to session_stats' duration percentiles. Returns (date,
+    n_sessions, n_bounces, bounce_rate) with bounce_rate a raw
+    int/int quotient (bit-identical cross-engine).
+
+    One pass over :func:`sessionize`'s aggregate (already one shuffle
+    on user_id) + one day-grain partial-aggregated rollup — counts
+    only, nothing wide rides any shuffle."""
+    s = sessionize(events, gap_minutes=gap_minutes, sort=False)
+    out = (
+        s.groupBy(F.to_date("session_start").alias("date"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_bounces"),
+        )
+        .select("date", "n_sessions", "n_bounces",
+                F.try_divide(F.col("n_bounces"), F.col("n_sessions"))
+                .alias("bounce_rate"))
+    )
+    return out.orderBy("date") if sort else out

@@ -733,3 +733,33 @@ def supplier_ppr(lineitem: DataFrame, orders: DataFrame,
         .limit(k)
     )
     return out
+
+
+def degree_distribution(edges: DataFrame, sort: bool = True) -> DataFrame:
+    """Degree distribution of an undirected edge list (a < b,
+    distinct): (degree, n_nodes, share) — the first diagnostic read on
+    any graph (hub-dominated vs near-regular decides salting and
+    max-bucket guards downstream; the graph-side sibling of
+    ev_activity_powerlaw's per-key fit). Two partial-aggregated
+    integer shuffles; share is a raw int/int quotient. The node count
+    for the share is an ordered-window-free 1-row aggregate (integer
+    sums are merge-order-safe)."""
+    deg = (
+        edges.select(F.explode(F.array(
+            F.struct(F.col("a").alias("node")),
+            F.struct(F.col("b").alias("node")),
+        )).alias("_e"))
+        .select("_e.node")
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    total = hist.agg(F.sum("n_nodes").cast("bigint").alias("_n"))
+    out = (
+        hist.crossJoin(F.broadcast(total))
+        .select(F.col("degree").cast("bigint").alias("degree"),
+                "n_nodes",
+                F.try_divide(F.col("n_nodes"), F.col("_n"))
+                .alias("share"))
+    )
+    return out.orderBy("degree") if sort else out

@@ -89,6 +89,7 @@ BROADCAST_HINT_WHITELIST = {
     "text_temperature_mixture",   # #sources-row rate table + 1-row denom
     "q_revenue_lorenz",           # cents bounds row + bucket prefix
                                   # table + 1-row total (gini class)
+    "graph_part_degrees",         # 1-row node total
     "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
     "ann_pq_rerank_l2",           # query vectors (O(queries))
     "ann_ivf_pq_rerank",          # (query, probed-cell) pairs — a
@@ -484,6 +485,8 @@ PLAN_SMELL_WHITELIST = {
     "q_revenue_lorenz": {"BNLJ", "SINGLE_PART"},  # bucket-space prefix
                                                 # table + n_tiles-row
                                                 # cum frame (gini class)
+    "graph_part_degrees": {"BNLJ", "SINGLE_PART"},  # 1-row node total
+                                                # (q_market_share class)
     "ev_activity_powerlaw": {"SINGLE_PART"},    # global 1-row MLE agg
     "text_source_jsd": {"BNLJ", "SINGLE_PART"},  # 1-row global token
                                                 # total; vocab spine
