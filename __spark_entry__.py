@@ -2223,7 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate (tools/parity.py, tests/test_oracle_parity.py) still
     # value-checks it every run.
     q = {
-        # -- slots 1-50: the driver-verified window -----------------------
+        # grouped authoring order (slot order is decided by _WINDOW below)
         "q1_pricing_summary": q1_pricing_summary,
         "infogob_candidates_by_election": infogob_candidates_by_election,
         "infogob_candidates_pending": infogob_candidates_pending,
@@ -2294,8 +2294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "q4_order_priority": q4_order_priority,
         "q12_flag_priority": q12_flag_priority,
-        # -- slots 51+: oracle-backed, driver-verified green in r1-r4;
-        #    the local parity gate still checks them every run ----------
         "dedup_clusters": dedup_clusters,
         "ev_sessionize": ev_sessionize,
         "ev_sessionize_skew": ev_sessionize_skew,
@@ -2505,54 +2503,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in [*window, *rest]}
 
 
-# The driver-verified 50-slot window (round-7 rotation). Priority
-# order: newest-oracle-first (the CLAUDE.md rotation rule). The
-# second round-7 session added 18 new oracle-backed queries — the
-# graph kernels (triangles, k-core), the exact prefix-filtered
-# Jaccard join, blocked-Levenshtein ER pairs, weighted sampling,
-# robust time-series stats (Theil-Sen, rolling MAD, seasonal
-# strength), the data cards (power-law, source JSD, weekday chi2,
-# decay value, Gini, Benford), Markov removal-effect attribution and
-# the Kaplan-Meier session curve — which lead the window since no
-# driver has ever countersigned them. The first round-7 session's
-# additions follow (countersign-pending as of r6), then carryover
-# slots countersigned green in earlier rounds. Everything displaced
-# moves behind the window; the local parity gate (tools/parity.py,
+# The driver-verified 50-slot window (round-9 rotation): exactly the
+# 50 entries the driver checks — no trailing names beyond slot 50
+# (VERDICT r8 / ADVICE low item). Rotation rule this round
+# (VERDICT r8 item 1): every oracle has now been countersigned at
+# least once, so the window leads with the 50 OLDEST-countersigned
+# oracles — queries last driver-verified in r1/r3/r4, i.e. before the
+# r6-r8 rewrites (tokenizer, expression construction, ordered-cumsum
+# determinism) — computed from CORRECTNESS_r0*.json latest-green
+# rounds, sorted (round, key). Everything displaced moves behind the
+# window; the local parity gate (tools/parity.py,
 # tests/test_oracle_parity.py) still value-checks all oracle-backed
-# queries every run.
+# queries every run. Next rotation: the 9 remaining r4-era keys
+# (ts_gap_fill, ts_interpolate_linear, ts_lag_pct_change,
+# ts_moving_avg, ts_pivot_wide, ts_resample_monthly, ts_running_total,
+# ts_unpivot_long, ts_yoy_growth) + the oldest r5 cohort.
 _WINDOW = [
-    # r8 rotation: the 5 oracle-backed queries never driver-
-    # countersigned across r1-r7 (VERDICT r7 item 1) + this round's
-    # new oracle-backed operators lead the window
-    "graph_supplier_salsa", "q_part_affinity", "ev_incident_windows",
-    "dedup_substring_decontaminate", "dedup_substring_profile",
-    "dedup_paragraph", "graph_part_communities", "ev_sessionize_skew",
-    "graph_part_modularity", "text_pmi_collocations",
-    "dedup_paragraph_stats", "q_supplier_hhi", "q_supplier_skyline",
-    "text_temperature_mixture", "q_revenue_lorenz",
-    "graph_supplier_ppr", "dedup_paragraph_incremental",
-    "ts_bollinger_bands", "ev_bounce_rate", "graph_part_degrees",
-    "graph_part_triangles", "er_customer_name_pairs",
-    "sample_weighted_orders", "ts_theil_sen", "ts_rolling_mad",
-    "dedup_jaccard_prefix", "ts_seasonal_strength",
-    "ev_activity_powerlaw", "graph_part_kcore",
-    "text_source_jsd", "ev_decay_value", "ev_weekday_profile",
-    "ev_markov_attribution", "ev_kaplan_meier", "q_revenue_gini",
-    "q_benford_digits", "dedup_keep_best", "ev_cuped_ab",
-    "embedding_separation",
-    "emb_radius_search", "ann_mips_dot", "dedup_ngram_containment",
-    "ts_ols_trend", "ts_rolling_median", "ev_rfm_scores", "text_zipf_fit",
-    "ev_markov_stationary", "ev_volume_anomalies", "ev_status_scd2",
-    "ev_peak_concurrency", "text_readability", "ev_bot_regularity",
-    "q_customer_migration", "q_cohort_ltv", "q_sales_cube",
-    "q16_part_supplier_counts", "embedding_centroids",
-    "layout_zorder_files", "layout_pruning_compare",
-    "q_bloom_pruned_join", "dedup_incremental_bloom",
-    "text_decontaminate_bloom",
-    "mef_get_grp_from_row", "ev_conversion_lag",
-    "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_stock", "q20_dominant_supplier",
-    "dedup_exact_substring", "graph_supplier_pagerank",
+    # r1/r3-era countersigns (oldest 9)
+    "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
+    "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
+    "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
+    # r4-era countersigns (41 of 50; remainder queued for r10)
+    "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
+    "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
+    "ev_sessionize", "ev_top_users_per_type", "ev_tumbling_window",
+    "infogob_candidate_history", "infogob_normalize_detail",
+    "infogob_normalize_header", "infogob_participation",
+    "infogob_pending_requests", "knn_bruteforce_cosine", "mef_filter_rows",
+    "org_content_dedup_map", "org_inventory_by_group", "org_slugify_rename",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_delta", "q_market_share",
+    "q_sales_rollup", "q_top_customers", "stats_profile",
+    "stream_dedup_replay", "stream_sessionize", "stream_tumbling_window",
+    "text_fingerprint", "text_lang_id", "text_ngram_topk", "text_pii_scrub",
+    "text_quality_score", "text_token_count", "ts_asof_join",
+    "ts_date_parse_multi",
 ]
 
 

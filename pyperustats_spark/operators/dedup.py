@@ -1377,9 +1377,16 @@ def keep_best_per_cluster(documents: DataFrame,
     let-bound composite of
     :func:`~pyperustats_spark.operators.textops.quality_score_col`
     (quarter-grid values — exact doubles, so the (quality desc,
-    doc_id) order is total and bit-identical cross-engine), and both
-    the winner rank and the cluster size ride the same window
-    partitioning."""
+    doc_id) order is total and bit-identical cross-engine). The winner
+    is an argmin aggregate — min over struct((-quality, doc_id),
+    payload) plus count — NOT a row_number/count window partitioned by
+    the cluster key: the aggregate partial-combines map-side (a
+    boilerplate mega-cluster reduces to one struct per map task before
+    the shuffle), while the window form held each cluster's full row
+    set on one task — the GROUP_SIZE_WINDOW straggler class the plan
+    sweep now rejects (VERDICT r8). Negated quality keeps the struct
+    comparison a single ascending min; doc_id is unique, so payload
+    fields after it never decide the order."""
     from pyperustats_spark.operators.textops import quality_score_col
 
     base = documents.select(
@@ -1387,15 +1394,19 @@ def keep_best_per_cluster(documents: DataFrame,
         content_key().alias("_k"),
         quality_score_col(F.col("text")).alias("quality_score"),
     )
-    w = Window.partitionBy("_k")
-    ranked = base.select(
-        "doc_id", "lang", "source", "n_chars", "quality_score",
-        F.row_number().over(
-            w.orderBy(F.desc("quality_score"), F.col("doc_id")))
-        .alias("_rk"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+    agg = base.groupBy("_k").agg(
+        F.min(F.struct(
+            (-F.col("quality_score")).alias("nq"),
+            F.col("doc_id").alias("doc_id"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+            F.col("quality_score").alias("quality_score"),
+        )).alias("_m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
-    out = ranked.where(F.col("_rk") == 1).drop("_rk")
+    out = agg.select("_m.doc_id", "_m.lang", "_m.source", "_m.n_chars",
+                     "_m.quality_score", "n_members")
     return out.orderBy("doc_id") if sort else out
 
 

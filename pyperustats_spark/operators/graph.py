@@ -528,9 +528,18 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     one equi-join shuffle on the neighbour id + two partial-aggregated
     groupBys ((node, lbl) count, then argmin by (-count, lbl) as a
     min-struct) — only (node, lbl, count) integers ride any shuffle.
-    community_size is a count window over the final labels (16-byte
-    rows, bounded by node count; at extreme scale swap for a
-    groupBy+join off a persisted label table)."""
+    community_size comes from groupBy(lbl).count() joined back onto
+    the final label table — NOT a count().over(partitionBy(lbl))
+    window: LPA is exactly the algorithm that produces epidemic
+    mega-communities, and a window partitioned by an unbounded-
+    cardinality label makes the dominant community ONE straggler task
+    holding all its rows at 100× (VERDICT r8 watch item; the plan
+    sweep now rejects the window form class-wide). The groupBy is
+    partial-aggregated map-side and the count table is tiny
+    (|communities| rows), so AQE broadcasts the join back. The final
+    label table is persisted because it is referenced twice (counts
+    branch + join branch) and Catalyst would otherwise re-run the
+    whole iterative chain per reference (CLAUDE.md)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     # both directions via ONE explode, not a union of two selects: the
@@ -559,10 +568,11 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
                                 F.col("lbl").alias("l"))).alias("m"))
             .select("node", F.col("m.l").alias("lbl"))
         )
-    return labels.select(
-        "node", F.col("lbl").alias("community"),
-        F.count(F.lit(1)).over(Window.partitionBy("lbl"))
-        .cast("bigint").alias("community_size"))
+    labels = labels.persist()
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        "node", F.col("lbl").alias("community"), "community_size")
 
 
 def modularity_score(edges: DataFrame, labels: DataFrame) -> DataFrame:

@@ -199,6 +199,25 @@ def test_plan_sweep_hints_and_scale_smells(spark):
             if "unboundedpreceding" not in low[max(0, m.start() - 80):
                                               m.start()]:
                 smells.add("UNBOUNDED_FOLLOWING")
+        # group-size-via-window: count() over a full-partition frame
+        # (partitionBy, no orderBy) computes each group's size on ONE
+        # task holding the whole group — partitioned by an unbounded-
+        # cardinality key that is the LPA community_size straggler
+        # (VERDICT r8 watch item; fixed to groupBy+join in graph.py).
+        # Whitelisted only where the key is cardinality-bounded or the
+        # op already sorts the same partition for its core semantics.
+        for m in _re.finditer(r"count\([^()]*\) windowspecdefinition\(",
+                              low):
+            spec = low[m.end():m.end() + 400].split(
+                "specifiedwindowframe", 1)
+            if len(spec) != 2:
+                continue
+            part = spec[0].strip(" ,")
+            has_order = " asc" in part or " desc" in part
+            full = spec[1][:90].count("unboundedpreceding$()") == 1 and \
+                "unboundedfollowing$()" in spec[1][:90]
+            if part and not has_order and full:
+                smells.add("GROUP_SIZE_WINDOW")
         extra = smells - PLAN_SMELL_WHITELIST.get(key, set())
         if extra:
             smell_offenders[key] = sorted(extra)
@@ -540,6 +559,16 @@ PLAN_SMELL_WHITELIST = {
     "q_customer_migration": {"SINGLE_PART"},    # histogram-ntile prefix
                                                 # windows ($100-bucket
                                                 # side frames)
+    # GROUP_SIZE_WINDOW whitelist: full-partition count windows whose
+    # partition key is cardinality-BOUNDED (lang) or whose op already
+    # sorts the same per-series partition for its core semantics (the
+    # count adds no new straggler; the depth-skew twin is the named
+    # scale route for mega-series). dedup_keep_best was the one
+    # data-sized-key case and is rewritten to a map-side argmin agg.
+    "text_drop_short_tail": {"GROUP_SIZE_WINDOW"},   # lang (~4 values)
+    "ts_cusum_changepoint": {"GROUP_SIZE_WINDOW"},   # per-code series
+    "ts_seasonal_strength": {"GROUP_SIZE_WINDOW"},   # per (code, month)
+    "ts_decompose": {"GROUP_SIZE_WINDOW"},           # per (code, month)
 }
 
 
