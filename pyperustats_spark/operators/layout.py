@@ -94,38 +94,58 @@ def _bounds(df: DataFrame, cols: list[str]) -> DataFrame:
                     for tag, f in (("lo", F.min), ("hi", F.max))])
 
 
-def histogram_ntile(df: DataFrame, bucket: Column, order,
-                    n_tiles: int, out_col: str = "_file") -> DataFrame:
-    """Exact SQL ``ntile(n_tiles)`` over the total order (bucket,
-    *order*) — adds *out_col* (1..n_tiles, bigint) — computed as
-    histogram rank: ``row_number`` within each bucket partition (one
-    hash shuffle, parallel across buckets) plus the prefix count of
-    smaller buckets from a side table bounded by the bucket-space
-    cardinality (≤ 2^bits per column — never data-sized; its
-    partition-less prefix window is over that bounded frame only).
-    *bucket* must be a deterministic row-local expression and
-    (bucket, *order*) a total order; skew note: one bucket's rows are
-    ranked by one task, so pick bucket granularity (bits) to bound
-    the largest bucket, exactly like the LSH ``max_bucket`` guard."""
+def histogram_rank(df: DataFrame, bucket: Column, order,
+                   out_col: str = "_rn",
+                   total_col: str | None = None) -> DataFrame:
+    """Exact global ``row_number`` over the total order (bucket,
+    *order*) — adds *out_col* (1..N, bigint) — computed as histogram
+    rank: ``row_number`` within each bucket partition (one hash
+    shuffle, parallel across buckets) plus the prefix count of smaller
+    buckets from a side table bounded by the bucket-space cardinality
+    (never data-sized; its partition-less prefix window is over that
+    bounded frame only). *bucket* must be a deterministic row-local
+    expression and (bucket, *order*) a total order; skew note: one
+    bucket's rows are ranked by one task, so pick bucket granularity
+    to bound the largest bucket, exactly like the LSH ``max_bucket``
+    guard. With *total_col* set, also attaches the global row count
+    (for tile math). This is the repo's replacement for ANY
+    partition-less rank window — the single-task global sort the plan
+    sweep rejects."""
     z = df.withColumn("_hb", bucket)
     counts = z.groupBy("_hb").agg(F.count(F.lit(1)).alias("_cnt"))
     ws = Window.orderBy("_hb")
-    side = counts.select(
-        "_hb",
+    side_cols = [
+        F.col("_hb"),
         F.coalesce(
             F.sum("_cnt").over(
                 ws.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(
-            ws.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing)).alias("_n"),
-    )
+    ]
+    if total_col is not None:
+        side_cols.append(
+            F.sum("_cnt").over(
+                ws.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+            .alias(total_col))
+    side = counts.select(*side_cols)
     wp = Window.partitionBy("_hb").orderBy(*order)
-    ranked = (
+    return (
         z.withColumn("_pos", F.row_number().over(wp))
         .join(F.broadcast(side), "_hb")
+        .withColumn(out_col,
+                    (F.col("_off") + F.col("_pos")).cast("bigint"))
+        .drop("_hb", "_pos", "_off")
     )
-    rn = F.col("_off") + F.col("_pos")
+
+
+def histogram_ntile(df: DataFrame, bucket: Column, order,
+                    n_tiles: int, out_col: str = "_file") -> DataFrame:
+    """Exact SQL ``ntile(n_tiles)`` over the total order (bucket,
+    *order*) — adds *out_col* (1..n_tiles, bigint) — tile math over
+    :func:`histogram_rank` (see its scale/skew contract)."""
+    ranked = histogram_rank(df, bucket, order, out_col="_hrn",
+                            total_col="_n")
+    rn = F.col("_hrn")
     base = F.floor(F.col("_n") / n_tiles)
     rem = F.col("_n") % n_tiles
     cut = rem * (base + 1)
@@ -133,7 +153,7 @@ def histogram_ntile(df: DataFrame, bucket: Column, order,
         rem + F.ceil(F.try_divide(rn - cut, base)))
     return (
         ranked.withColumn(out_col, tile.cast("bigint"))
-        .drop("_hb", "_pos", "_off", "_n")
+        .drop("_hrn", "_n")
     )
 
 

@@ -114,6 +114,7 @@ BROADCAST_HINT_WHITELIST = {
     "q2_min_cost_supplier",       # region (5) + region-filtered nation
     "dedup_jaccard_prefix",       # gram-id table — alphabet-bounded
                                   # (|charset|^n, never corpus-sized)
+                                  # + histogram_rank count side table
     "text_source_jsd",            # vocab x global-total spine —
                                   # vocabulary-bounded
     "ev_decay_value",             # 1-row global max-timestamp
@@ -490,8 +491,10 @@ PLAN_SMELL_WHITELIST = {
     "graph_part_triangles": {"BNLJ", "SINGLE_PART"},  # three 1-row
                                                 # census aggregates
                                                 # cross-joined (audited)
-    "dedup_jaccard_prefix": {"SINGLE_PART"},    # gram-id rank window —
-                                                # alphabet-bounded table
+    "dedup_jaccard_prefix": {"SINGLE_PART"},    # histogram_rank prefix
+                                                # window over the tiny
+                                                # distinct-(df, c0)
+                                                # count table only
     "graph_part_modularity": {"BNLJ", "SINGLE_PART"},  # two 1-row
                                                 # aggregates (m + Σ)
                                                 # cross-joined (audited)
