@@ -4824,8 +4824,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.doc_id, t.source, t.doc_tokens
         FROM toks t JOIN rates r USING (source)
         WHERE CAST('0x' || substring(
-                  md5('tmix:' || CAST(t.doc_id AS VARCHAR)), 1, 4)
-                  AS INT) % 10000 < r.keep_bp
+                  md5('tmix:' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 < r.keep_bp
         ORDER BY t.doc_id
     """
 
@@ -6846,6 +6846,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         staged AS (
             SELECT date, code, value,
+                   CAST(round(round(value, 2) * 100) AS BIGINT) AS c,
                    CAST(sum(CAST(round(round(value, 2) * 100)
                                  AS BIGINT))
                         OVER w AS BIGINT) AS s,
@@ -6870,12 +6871,12 @@ def oracle_sql() -> dict[str, str]:
                                            - CAST(s AS HUGEINT) * s
                                            AS DOUBLE))
                                  / 2000.0) AS upper,
-               CAST(value < s / 2000.0
+               CAST(c / 100.0 < s / 2000.0
                         - 2 * (sqrt(CAST(20 * CAST(q AS HUGEINT)
                                          - CAST(s AS HUGEINT) * s
                                          AS DOUBLE))
                                / 2000.0)
-                    OR value > s / 2000.0
+                    OR c / 100.0 > s / 2000.0
                         + 2 * (sqrt(CAST(20 * CAST(q AS HUGEINT)
                                          - CAST(s AS HUGEINT) * s
                                          AS DOUBLE))
@@ -6897,11 +6898,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey,
                    CAST(count(*) AS BIGINT) AS n_suppliers,
                    CAST(sum(s) AS BIGINT) AS total_qty,
-                   CAST(sum(s * s) AS BIGINT) AS s2
+                   sum(CAST(s AS DECIMAL(19,0)) * s) AS s2
             FROM per GROUP BY 1
         )
         SELECT n.n_name AS nation, n_suppliers, total_qty,
-               s2 / (total_qty * total_qty) AS hhi
+               CAST(s2 AS DOUBLE)
+                   / CAST(CAST(total_qty AS DECIMAL(19,0))
+                          * total_qty AS DOUBLE) AS hhi
         FROM agg JOIN nation n ON agg.s_nationkey = n.n_nationkey
         ORDER BY nation
     """

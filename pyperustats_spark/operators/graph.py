@@ -707,8 +707,7 @@ def ppr_fixed_point(edges: DataFrame, seeds: DataFrame,
 
 def supplier_ppr(lineitem: DataFrame, orders: DataFrame,
                  supplier: DataFrame, seed_nationkey: int = 0,
-                 iters: int = 6, k: int = 50,
-                 sort: bool = True) -> DataFrame:
+                 iters: int = 6, k: int = 50) -> DataFrame:
     """Suppliers relevant to ONE nation's supplier ecosystem:
     personalized PageRank seeded on nation *seed_nationkey*'s
     suppliers over the bipartite customer↔supplier interaction graph
@@ -716,7 +715,9 @@ def supplier_ppr(lineitem: DataFrame, orders: DataFrame,
     recommendation view ("which suppliers does this segment's demand
     flow reach?") that global PageRank cannot give. Returns top-*k*
     (s_name, rank_micro); zero-score nodes (unreachable from the
-    seeds within *iters* hops) naturally sort last."""
+    seeds within *iters* hops) naturally sort last. No ``sort=False``
+    path: the ordering is load-bearing (it defines the top-k cut),
+    not presentation."""
     pairs = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"),

@@ -2276,9 +2276,12 @@ def supplier_hhi(lineitem: DataFrame, supplier: DataFrame,
     EXACT integers end-to-end: l_quantity is integer-valued, so the
     per-supplier sum is on the integer grid (double partial-agg merge
     order cannot move it) and rounds to bigint losslessly; Σs² and
-    (Σs)² are bigint products, and the shipped hhi is their RAW
-    quotient (IEEE division of identical ints is bit-identical
-    cross-engine). Two partial-aggregated shuffles (supplier grain,
+    (Σs)² are squared via DECIMAL(19,0) — a bigint square silently
+    WRAPS in Spark once a nation's total passes ~3.04e9 (reachable at
+    large SF) while DuckDB raises, diverging the engines (ADVICE r8)
+    — and both wide integers cast to double (correctly rounded in
+    both engines) before the RAW quotient, which is then bit-identical
+    cross-engine. Two partial-aggregated shuffles (supplier grain,
     nation grain); nation is a broadcast dim."""
     per = (
         lineitem.select("l_suppkey", "l_quantity")
@@ -2290,15 +2293,18 @@ def supplier_hhi(lineitem: DataFrame, supplier: DataFrame,
     agg = per.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
         F.sum("s").cast("bigint").alias("total_qty"),
-        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("_s2"),
+        F.sum(F.col("s").cast("decimal(19,0)") * F.col("s"))
+        .cast("decimal(38,0)").alias("_s2"),
     )
     out = (
         agg.join(F.broadcast(nation.select("n_nationkey", "n_name")),
                  F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"), "n_suppliers", "total_qty",
-            F.try_divide(F.col("_s2"),
-                         F.col("total_qty") * F.col("total_qty"))
+            F.try_divide(
+                F.col("_s2").cast("double"),
+                (F.col("total_qty").cast("decimal(19,0)")
+                 * F.col("total_qty")).cast("double"))
             .alias("hhi"),
         )
     )

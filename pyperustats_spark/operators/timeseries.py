@@ -1087,7 +1087,7 @@ def bollinger_bands(long_df: DataFrame, window: int = 20,
         "date", "code", "value",
         cents.alias("_c"),
     ).select(
-        "date", "code", "value",
+        "date", "code", "value", "_c",
         F.sum("_c").over(w).cast("bigint").alias("_s"),
         F.sum(F.col("_c") * F.col("_c")).over(w).cast("bigint")
         .alias("_q"),
@@ -1107,12 +1107,15 @@ def bollinger_bands(long_df: DataFrame, window: int = 20,
         ma.alias("ma"),
         (ma - n_sigmas * sigma).alias("lower"),
         (ma + n_sigmas * sigma).alias("upper"),
-        # raw double comparisons: value is a grid-exact money sum and
-        # the bands derive from identical bits in both engines, so the
-        # predicate is deterministic without any rounding (round-2 of
-        # a DERIVED band would reopen the midpoint trap)
-        ((F.col("value") < ma - n_sigmas * sigma)
-         | (F.col("value") > ma + n_sigmas * sigma))
+        # the flag compares the GRID-EXACT value (_c / 100.0) against
+        # the bands — not the raw double sum, which is merge-order-
+        # nondeterministic at the ulp level: in a zero-variance window
+        # lower == ma == upper and an ulp flips the flag (ADVICE r8).
+        # Both predicate sides now derive from identical bits in both
+        # engines; no rounding anywhere (round-2 of a DERIVED band
+        # would reopen the midpoint trap).
+        ((F.col("_c") / 100.0 < ma - n_sigmas * sigma)
+         | (F.col("_c") / 100.0 > ma + n_sigmas * sigma))
         .cast("int").alias("outside"),
     )
     return out.orderBy("code", "date") if sort else out
