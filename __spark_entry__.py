@@ -1814,6 +1814,16 @@ def ev_burst_profile(spark, sf_dir):
                            window_seconds=3600, burst_threshold=5)
 
 
+def ev_burst_skew(spark, sf_dir):
+    """burst_profile on the ghost-row chunked counter
+    (burst_profile_chunked): identical output to ev_burst_profile —
+    same oracle — but the biggest window task holds one user-DAY of
+    events (+ the boundary ghosts), not one user."""
+    return E.burst_profile_chunked(_lt(spark, sf_dir, "events"),
+                                   window_seconds=3600,
+                                   burst_threshold=5)
+
+
 def text_token_budget_sample(spark, sf_dir):
     return T.token_budget_sample(_lt(spark, sf_dir, "documents"),
                                  budget=700)
@@ -2185,6 +2195,16 @@ def ts_cusum_changepoint(spark, sf_dir):
         TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_cusum_skew(spark, sf_dir):
+    """cusum_changepoint on the two-phase chunked prefix
+    (cusum_changepoint_chunked): identical output — same oracle —
+    but the biggest ordered-window task holds one series-YEAR, not
+    one series (the mega-series answer; exactness comes from the
+    integer-cents cumsum, which re-associates bit-identically)."""
+    return TS.cusum_changepoint_chunked(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def dedup_source_overlap_sketch(spark, sf_dir):
     return D.source_overlap_sketch(_lt(spark, sf_dir, "documents"),
                                    k=256, prefix_chars=40)
@@ -2440,8 +2460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "dedup_source_overlap_sketch": dedup_source_overlap_sketch,
         "ts_cusum_changepoint": ts_cusum_changepoint,
+        "ts_cusum_skew": ts_cusum_skew,
         "ev_skew_profile": ev_skew_profile,
         "ev_burst_profile": ev_burst_profile,
+        "ev_burst_skew": ev_burst_skew,
         "text_token_budget_sample": text_token_budget_sample,
         "text_quality_by_source": text_quality_by_source,
         "ev_session_stats": ev_session_stats,
@@ -5312,49 +5334,66 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY revenue DESC, c.c_custkey LIMIT 20
     """
 
+    # fixed-point CUSUM: S_num = n*cumsum_cents - t*total_cents in
+    # wide integers (HUGEINT here, DECIMAL(38,0) in Spark) so argmax +
+    # tiebreak are exact; cusum_stat = S_num/(100n), means divide the
+    # grid double (cents/100.0) by the side count
     sql["ts_cusum_changepoint"] = f"""
         WITH long AS ({_LONG}),
-        m AS (
-            SELECT date, code, value,
-                   round(sum(value) OVER (PARTITION BY code), 2)
-                       / count(*) OVER (PARTITION BY code) AS mu,
-                   CAST(count(*) OVER (PARTITION BY code) AS BIGINT) AS n
+        v AS (
+            SELECT date, code,
+                   CAST(round(round(value, 2) * 100) AS BIGINT) AS c
             FROM long
         ),
-        c AS (
-            SELECT *, sum(value - mu) OVER (
-                PARTITION BY code ORDER BY date
-                ROWS UNBOUNDED PRECEDING) AS s
-            FROM m
+        tot AS (
+            SELECT code, CAST(sum(c) AS HUGEINT) AS tc,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM v GROUP BY code
+        ),
+        cum AS (
+            SELECT date, code,
+                   CAST(sum(c) OVER (PARTITION BY code ORDER BY date
+                        ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumc,
+                   CAST(row_number() OVER (PARTITION BY code
+                        ORDER BY date) AS BIGINT) AS t
+            FROM v
+        ),
+        s AS (
+            SELECT cum.date, cum.code, tot.n,
+                   abs(tot.n * cum.cumc - cum.t * tot.tc) AS abs_s
+            FROM cum JOIN tot USING (code)
         ),
         pick AS (
-            SELECT code, date AS change_date, abs(s) AS cusum_stat, n,
+            SELECT code, date AS change_date, abs_s, n,
                    row_number() OVER (
                        PARTITION BY code
-                       ORDER BY abs(s) DESC, date ASC) AS rk
-            FROM c
+                       ORDER BY abs_s DESC, date ASC) AS rk
+            FROM s
         )
-        SELECT p.code, p.n, p.change_date, p.cusum_stat,
-               round(sum(CASE WHEN l.date <= p.change_date
-                              THEN l.value END), 2)
-                   / sum(CASE WHEN l.date <= p.change_date THEN 1 END)
+        SELECT p.code, p.n, p.change_date,
+               CAST(p.abs_s AS DOUBLE) / (100.0 * p.n) AS cusum_stat,
+               (CAST(sum(CASE WHEN v.date <= p.change_date
+                              THEN v.c END) AS BIGINT) / 100.0)
+                   / sum(CASE WHEN v.date <= p.change_date THEN 1 END)
                    AS mean_before,
-               round(sum(CASE WHEN l.date > p.change_date
-                              THEN l.value END), 2)
-                   / sum(CASE WHEN l.date > p.change_date THEN 1 END)
+               (CAST(sum(CASE WHEN v.date > p.change_date
+                              THEN v.c END) AS BIGINT) / 100.0)
+                   / sum(CASE WHEN v.date > p.change_date THEN 1 END)
                    AS mean_after,
-               round(sum(CASE WHEN l.date > p.change_date
-                              THEN l.value END), 2)
-                   / sum(CASE WHEN l.date > p.change_date THEN 1 END)
-               - round(sum(CASE WHEN l.date <= p.change_date
-                               THEN l.value END), 2)
-                   / sum(CASE WHEN l.date <= p.change_date THEN 1 END)
+               (CAST(sum(CASE WHEN v.date > p.change_date
+                              THEN v.c END) AS BIGINT) / 100.0)
+                   / sum(CASE WHEN v.date > p.change_date THEN 1 END)
+               - (CAST(sum(CASE WHEN v.date <= p.change_date
+                               THEN v.c END) AS BIGINT) / 100.0)
+                   / sum(CASE WHEN v.date <= p.change_date THEN 1 END)
                    AS level_shift
-        FROM long l JOIN (SELECT * FROM pick WHERE rk = 1) p
-             ON l.code = p.code
-        GROUP BY p.code, p.n, p.change_date, p.cusum_stat
+        FROM v JOIN (SELECT * FROM pick WHERE rk = 1) p
+             ON v.code = p.code
+        GROUP BY p.code, p.n, p.change_date, p.abs_s
         ORDER BY p.code
     """
+    # the depth-skew twins reproduce their plain siblings bit-for-bit
+    sql["ts_cusum_skew"] = sql["ts_cusum_changepoint"]
 
     sql["q_orphan_check"] = """
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
@@ -7622,6 +7661,8 @@ def oracle_sql() -> dict[str, str]:
                max(in_w) >= 5 AS is_burst
         FROM w GROUP BY user_id ORDER BY user_id
     """
+    # ghost-row chunked twin: identical output, same oracle
+    sql["ev_burst_skew"] = sql["ev_burst_profile"]
 
     sql["text_token_budget_sample"] = f"""
         WITH b AS (

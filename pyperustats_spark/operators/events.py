@@ -491,6 +491,66 @@ def burst_profile(events: DataFrame, window_seconds: int = 3600,
     return out.orderBy("user_id") if sort else out
 
 
+def burst_profile_chunked(events: DataFrame, window_seconds: int = 3600,
+                          burst_threshold: int = 5,
+                          sort: bool = True) -> DataFrame:
+    """Depth-skew twin of :func:`burst_profile` — identical output
+    (property-pinned row-for-row equal), different partitioning: the
+    plain form's trailing range-count puts a user's EVERY event in one
+    window task, so a single mega-user (bot feed) is one straggler at
+    any cluster size. Here the scan chunks on the time axis with
+    GHOST rows instead of a carry (the trailing count needs the raw
+    events in [t−W, t], not a summable prefix, so the sessionize
+    summary-carry shape doesn't apply):
+
+    1. events partition into (user, chunk) with chunk_seconds =
+       max(W, 86400) — a frame [t−W, t] therefore spans at most ONE
+       chunk boundary;
+    2. each chunk's trailing W seconds of events are duplicated into
+       the NEXT chunk as ghosts — frame fillers that are never emitted
+       (the one boundary a frame can cross is now materialized
+       locally);
+    3. the same integer range-frame count runs within (user, chunk)
+       on the augmented rows; ghosts are dropped after counting.
+
+    Exactness: counting is order-insensitive integer work, and
+    real ∪ ghost rows of a chunk are exactly the events a frame
+    rooted in that chunk can see, so every per-event count is
+    identical to the plain form's. Ghost volume is bounded by the
+    per-(user, day) event count in the trailing W seconds — the same
+    factor the biggest task shrinks by. Use when the depth axis is
+    skewed; the plain form wins when keys are uniform."""
+    chunk_s = max(window_seconds, 86_400)
+    sec = F.col("ts").cast("long")
+    base = events.select(
+        "user_id", sec.alias("_sec"),
+        F.floor(sec / chunk_s).alias("_chunk"))
+    ghosts = (
+        base.where(F.col("_sec")
+                   >= (F.col("_chunk") + 1) * chunk_s - window_seconds)
+        .select("user_id", "_sec",
+                (F.col("_chunk") + 1).alias("_chunk"))
+        .withColumn("_ghost", F.lit(1)))
+    aug = base.withColumn("_ghost", F.lit(0)).unionByName(ghosts)
+    w = (
+        Window.partitionBy("user_id", "_chunk")
+        .orderBy("_sec")
+        .rangeBetween(-window_seconds, 0)
+    )
+    per_event = (
+        aug.select("user_id", "_ghost",
+                   F.count(F.lit(1)).over(w).alias("_in_window"))
+        .where(F.col("_ghost") == 0)
+    )
+    out = (
+        per_event.groupBy("user_id")
+        .agg(F.max("_in_window").alias("max_burst"),
+             F.count(F.lit(1)).alias("n_events"))
+        .withColumn("is_burst", F.col("max_burst") >= burst_threshold)
+    )
+    return out.orderBy("user_id") if sort else out
+
+
 def session_stats(events: DataFrame, gap_minutes: int = 30,
                   sort: bool = True) -> DataFrame:
     """Session-size distribution over the whole stream: for every

@@ -543,42 +543,90 @@ def cusum_changepoint(long_df: DataFrame, sort: bool = True) -> DataFrame:
     |S_t| (the classic single-split CUSUM estimator / first step of
     binary segmentation), with level means before/after the split.
 
-    Cross-engine determinism is engineered, not assumed: the series
-    mean uses round(sum, 2)/count — the 2-decimal-grid sum is recovered
-    exactly by the round in both engines, and dividing identical
-    doubles is bit-identical — so every deviation, every ORDERED
-    cumulative sum (both engines accumulate in the same date order),
-    and the argmax comparison see the same bits. Ties on |S| resolve
-    to the earliest date.
+    Cross-engine determinism is engineered, not assumed — EXACT
+    fixed-point throughout: values snap to integer cents, and the
+    CUSUM statistic is computed as the wide integer
 
-    One shuffle on the series key; every window is partitioned by
-    code (series length per key, never corpus length)."""
-    wp = Window.partitionBy("code")
-    mu = (F.round(F.sum("value").over(wp), 2)
-          / F.count(F.lit(1)).over(wp))
-    base = long_df.select("date", "code", "value",
-                          mu.alias("_mu"),
-                          F.count(F.lit(1)).over(wp).alias("n"))
-    wc = wp.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
-    c = base.withColumn("_s", F.sum(F.col("value") - F.col("_mu")).over(wc))
-    pick = (
-        c.withColumn(
-            "_rk",
-            F.row_number().over(wp.orderBy(F.abs("_s").desc(), F.col("date").asc())),
-        )
-        .where(F.col("_rk") == 1)
-        .select("code", F.col("date").alias("change_date"),
-                F.abs("_s").alias("cusum_stat"), "n")
+        S_num(t) = n·cumsum_cents(t) − t·total_cents
+
+    (DECIMAL(38,0) — ≡ (100·n)·S_t, since S_t = Σ_{τ≤t}(v_τ − mu) =
+    cumsum(t) − t·total/n in cents) so the argmax comparison and the
+    date tiebreak are pure integer arithmetic, identical in any
+    engine at any scale; the shipped cusum_stat is
+    CAST(S_num AS DOUBLE)/(100·n) — decimal→double is correctly
+    rounded in both engines. Ties on |S| resolve to the earliest
+    date. The per-series mean/count come from a groupBy+join (NOT a
+    full-partition count window — the GROUP_SIZE_WINDOW smell), the
+    cumsum is the one ordered per-code window (integer, so any
+    chunked re-accumulation is bit-identical — see
+    :func:`cusum_changepoint_chunked` for the depth-skew twin), and
+    the winner is a map-side min-struct argmax, not a ranked window.
+
+    One shuffle on the series key; the ordered window is per-code
+    (series length per key, never corpus length) — for mega-series
+    use the chunked twin."""
+    vals = long_df.select("date", "code", _cents().alias("_c")).persist()
+    wc = (Window.partitionBy("code").orderBy("date")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy("code").orderBy("date")
+    cum = vals.select(
+        "date", "code",
+        F.sum("_c").over(wc).alias("_cum"),
+        F.row_number().over(wn).cast("bigint").alias("_t"))
+    return _cusum_finish(vals, cum, sort)
+
+
+def _cents():
+    """Integer-cents snap of the 2-grid money column ``value``."""
+    return F.round(F.round(F.col("value"), 2) * 100).cast("bigint")
+
+
+def _cusum_finish(vals: DataFrame, cum: DataFrame,
+                  sort: bool) -> DataFrame:
+    """Shared CUSUM tail: wide-integer statistic off a (date, code,
+    _cum, _t) running-prefix frame, map-side min-struct argmax, and
+    the before/after level means. Both the plain and the chunked
+    prefix builders feed this — their _cum/_t are identical bigints,
+    so every downstream row is identical too. *vals* (date, code, _c)
+    is referenced twice (series totals + the level-mean split) and
+    must arrive persisted (CLAUDE.md: Catalyst re-runs common
+    subtrees per reference — here the upstream is the series_long
+    aggregate). Level means divide the grid double (cents/100.0 —
+    bit-equal to round(sum(value), 2) in both engines) by the side
+    count."""
+    tot = vals.groupBy("code").agg(
+        F.sum("_c").alias("_tc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    c = (
+        cum.join(tot, "code")
+        .select(
+            "date", "code", "n",
+            F.abs(F.col("n").cast("decimal(19,0)") * F.col("_cum")
+                  - F.col("_t").cast("decimal(19,0)") * F.col("_tc"))
+            .cast("decimal(38,0)").alias("_abs_s"))
     )
-    split = long_df.join(pick, "code").groupBy(
+    pick = (
+        c.groupBy("code")
+        .agg(F.min(F.struct(
+            (-F.col("_abs_s")).alias("ns"),
+            F.col("date").alias("change_date"),
+            F.col("n").alias("n"))).alias("_m"))
+        .select(
+            "code", F.col("_m.change_date").alias("change_date"),
+            F.try_divide((-F.col("_m.ns")).cast("double"),
+                         F.lit(100.0) * F.col("_m.n"))
+            .alias("cusum_stat"),
+            F.col("_m.n").alias("n"))
+    )
+    split = vals.join(pick, "code").groupBy(
         "code", "change_date", "cusum_stat", "n"
     ).agg(
-        (F.round(F.sum(F.when(F.col("date") <= F.col("change_date"),
-                              F.col("value"))), 2)
+        ((F.sum(F.when(F.col("date") <= F.col("change_date"),
+                       F.col("_c"))) / 100.0)
          / F.sum(F.when(F.col("date") <= F.col("change_date"), 1)))
         .alias("mean_before"),
-        (F.round(F.sum(F.when(F.col("date") > F.col("change_date"),
-                              F.col("value"))), 2)
+        ((F.sum(F.when(F.col("date") > F.col("change_date"),
+                       F.col("_c"))) / 100.0)
          / F.sum(F.when(F.col("date") > F.col("change_date"), 1)))
         .alias("mean_after"),
     )
@@ -587,6 +635,60 @@ def cusum_changepoint(long_df: DataFrame, sort: bool = True) -> DataFrame:
                        (F.col("mean_after") - F.col("mean_before"))
                        .alias("level_shift"))
     return out.orderBy("code") if sort else out
+
+
+def cusum_changepoint_chunked(long_df: DataFrame,
+                              sort: bool = True) -> DataFrame:
+    """Depth-skew twin of :func:`cusum_changepoint` — identical output
+    (property-pinned row-for-row equal), different partitioning: the
+    plain form's running prefix puts a series' EVERY row in one
+    ordered-window task, so a single mega-series (tick-level feed) is
+    one straggler at any cluster size. Here the prefix runs in two
+    phases, the :func:`~pyperustats_spark.operators.events.
+    assign_sessions_chunked` recipe on the year axis:
+
+    1. within-(code, year) ordered window — local cents cumsum and
+       local row_number, so the biggest task holds one series-YEAR;
+    2. a per-(code, year) summary (chunk cents sum, chunk row count —
+       ONE row per chunk) carries the prior-chunk totals via a window
+       over summary rows only; global cumsum/position = local +
+       carried offsets.
+
+    Everything is bigint, so re-associating the accumulation is EXACT
+    — the chunked _cum/_t equal the plain ones bit-for-bit (this is
+    why cusum_changepoint computes in integer cents rather than a
+    double running sum: doubles would make any chunked re-association
+    diverge in ulps and flip argmax ties). The phase-1 frame is
+    persisted for its two references (rows + summaries). Use when the
+    depth axis is skewed; the plain form wins when series are
+    uniform."""
+    vals = long_df.select("date", "code", _cents().alias("_c"))
+    base = vals.withColumn("_chunk", F.year("date"))
+    w = Window.partitionBy("code", "_chunk").orderBy("date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    loc = base.select(
+        "date", "code", "_chunk", "_c",
+        F.sum("_c").over(wcum).alias("_lcum"),
+        F.row_number().over(w).cast("bigint").alias("_lt"),
+    ).persist()
+    summ = loc.groupBy("code", "_chunk").agg(
+        F.sum("_c").alias("_cs"),
+        F.count(F.lit(1)).cast("bigint").alias("_cn"))
+    wu = Window.partitionBy("code").orderBy("_chunk") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = summ.select(
+        "code", "_chunk",
+        F.coalesce(F.sum("_cs").over(wu), F.lit(0)).alias("_ocum"),
+        F.coalesce(F.sum("_cn").over(wu), F.lit(0)).alias("_ot"))
+    cum = (
+        loc.join(offsets, ["code", "_chunk"])
+        .select("date", "code",
+                (F.col("_lcum") + F.col("_ocum")).alias("_cum"),
+                (F.col("_lt") + F.col("_ot")).alias("_t"))
+    )
+    # loc is the persisted frame — feed its (date, code, _c) columns
+    # to the shared tail so totals/means reuse the phase-1 compute
+    return _cusum_finish(loc.select("date", "code", "_c"), cum, sort)
 
 
 def trend_ma(long_df: DataFrame, half_window: int = 6,

@@ -4033,6 +4033,60 @@ def test_assign_sessions_chunked_planted_cross_chunk_cases(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1, 6: 2}
 
 
+def test_burst_chunked_equals_plain_on_real_events(spark, tables):
+    """The ghost-row chunked burst counter must be row-for-row equal
+    to the plain per-user range window on the real events table
+    (cross-midnight frames and tied seconds present at sf0.001)."""
+    from pyperustats_spark.operators.events import (
+        burst_profile, burst_profile_chunked)
+    ev = tables["events"]
+    plain = {r["user_id"]: (r["max_burst"], r["n_events"], r["is_burst"])
+             for r in burst_profile(ev).collect()}
+    chunk = {r["user_id"]: (r["max_burst"], r["n_events"], r["is_burst"])
+             for r in burst_profile_chunked(ev).collect()}
+    assert plain == chunk
+
+
+def test_burst_chunked_planted_cross_chunk_frame(spark):
+    """A burst straddling midnight must count across the chunk
+    boundary via the ghost rows: user 1 fires 3 events within one
+    hour around midnight (max_burst 3 only visible cross-chunk);
+    user 2's events are 2h apart (never bursts)."""
+    from pyperustats_spark.operators.events import burst_profile_chunked
+    import datetime as dt
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 23, 30), 1, 1.0, "a"),
+        (1, T(2024, 1, 1, 23, 50), 2, 1.0, "a"),
+        (1, T(2024, 1, 2, 0, 10), 3, 1.0, "a"),   # frame spans midnight
+        (2, T(2024, 1, 1, 10, 0), 4, 1.0, "a"),
+        (2, T(2024, 1, 1, 12, 0), 5, 1.0, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double,"
+              " event_type string")
+    out = {r["user_id"]: (r["max_burst"], r["is_burst"])
+           for r in burst_profile_chunked(
+               ev, window_seconds=3600, burst_threshold=3).collect()}
+    assert out == {1: (3, True), 2: (1, False)}
+
+
+def test_cusum_chunked_equals_plain_on_real_series(spark, tables):
+    """The two-phase chunked CUSUM must be row-for-row equal to the
+    plain per-code running prefix (exact: both accumulate the same
+    integer cents, so re-association cannot move any bit)."""
+    from pyperustats_spark.operators.timeseries import (
+        cusum_changepoint, cusum_changepoint_chunked, series_long)
+    long_df = series_long(tables["lineitem"])
+    cols = ("code", "n", "change_date", "cusum_stat",
+            "mean_before", "mean_after", "level_shift")
+    plain = [tuple(r[c] for c in cols)
+             for r in cusum_changepoint(long_df).collect()]
+    chunk = [tuple(r[c] for c in cols)
+             for r in cusum_changepoint_chunked(long_df).collect()]
+    assert plain == chunk
+
+
 def test_modularity_positive_on_planted_communities(spark):
     from pyperustats_spark.operators.graph import (
         label_propagation, modularity_score)

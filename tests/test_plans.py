@@ -569,7 +569,6 @@ PLAN_SMELL_WHITELIST = {
     # scale route for mega-series). dedup_keep_best was the one
     # data-sized-key case and is rewritten to a map-side argmin agg.
     "text_drop_short_tail": {"GROUP_SIZE_WINDOW"},   # lang (~4 values)
-    "ts_cusum_changepoint": {"GROUP_SIZE_WINDOW"},   # per-code series
     "ts_seasonal_strength": {"GROUP_SIZE_WINDOW"},   # per (code, month)
     "ts_decompose": {"GROUP_SIZE_WINDOW"},           # per (code, month)
 }
