@@ -1,0 +1,107 @@
+"""Persistent corpus ledger: ledger-backed release runs must equal the
+raw-corpus operators row-for-row, and the ledger side of every
+recurring join must plan with ZERO exchanges (the whole point — a
+release run's shuffle volume is batch-proportional, never
+corpus-proportional)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import pyperustats_spark.plans as P
+from pyperustats_spark.operators.dedup import (
+    dedup_incremental, exact_substring_decontaminate)
+from pyperustats_spark.sources.ledger import CorpusLedger
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark, tables):
+    """documents split into two 'releases' + a 'batch' that overlaps
+    both (batch rows ARE corpus rows, so dedup/decontamination have
+    real hits to find)."""
+    docs = tables["documents"]
+    rel_a = docs.where(F.col("doc_id") % 3 == 0)
+    rel_b = docs.where(F.col("doc_id") % 3 == 1)
+    batch = docs.where(F.col("doc_id") % 2 == 0)  # overlaps rel_a AND rel_b
+    return rel_a, rel_b, batch
+
+
+@pytest.fixture(scope="module")
+def ledger(spark, split_docs):
+    rel_a, rel_b, _ = split_docs
+    led = CorpusLedger(spark, "test_corpus_ledger", num_buckets=8)
+    led.drop()
+    led.append_release(rel_a)
+    led.append_release(rel_b)  # second append: the incremental path
+    yield led
+    led.drop()
+
+
+def test_ledger_keys_stay_globally_distinct(spark, ledger, split_docs):
+    rel_a, rel_b, _ = split_docs
+    n = ledger.seen_keys().count()
+    assert n == ledger.seen_keys().select("fp").distinct().count()
+    # and they equal the rescan-derived set over the union
+    from pyperustats_spark.operators.dedup import content_key
+    expect = (rel_a.unionByName(rel_b)
+              .select(content_key().alias("fp")).distinct().count())
+    assert n == expect
+
+
+def test_ledger_dedup_equals_rescan(spark, ledger, split_docs):
+    rel_a, rel_b, batch = split_docs
+    corpus = rel_a.unionByName(rel_b)
+    expect = sorted(map(tuple, dedup_incremental(batch, corpus).collect()))
+    got = sorted(map(tuple, ledger.dedup_incremental(batch).collect()))
+    assert got == expect
+    assert len(got) > 0  # the split leaves genuinely new batch rows
+
+
+def test_ledger_decontaminate_equals_rescan(spark, ledger, split_docs):
+    rel_a, rel_b, batch = split_docs
+    corpus = rel_a.unionByName(rel_b)
+    expect = sorted(map(tuple, exact_substring_decontaminate(
+        batch, corpus).collect()))
+    got = sorted(map(tuple, ledger.decontaminate(batch).collect()))
+    assert got == expect
+
+
+def test_ledger_dedup_single_batch_side_exchange(spark, ledger,
+                                                 split_docs):
+    """The recurring join's contract: ONE exchange total (the batch
+    shuffling into the ledger's bucket layout) — the ledger side
+    streams from bucket files with no exchange, and the within-batch
+    keep reuses the join's fp partitioning. The raw-corpus form pays
+    corpus-side exchanges on the same data (asserted strictly more)."""
+    _, _, batch = split_docs
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        led_plan = ledger.dedup_incremental(batch, sort=False)
+        assert P.count_exchanges(led_plan) == 1, P.explain_str(led_plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ledger_decontaminate_corpus_side_exchange_free(spark, ledger,
+                                                        split_docs):
+    """Decontamination: exchanges exist only on batch-derived frames
+    (fingerprints into the bucket layout + the per-doc rollup/anti-
+    join); the ledger's fingerprint table contributes none. Pinned as
+    strictly fewer exchanges than the raw-corpus form on identical
+    inputs."""
+    rel_a, rel_b, batch = split_docs
+    corpus = rel_a.unionByName(rel_b)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        led_n = P.count_exchanges(ledger.decontaminate(batch, sort=False))
+        raw_n = P.count_exchanges(exact_substring_decontaminate(
+            batch, corpus, sort=False))
+        assert led_n < raw_n, (led_n, raw_n)
+        # and the ledger plan never aggregates the ledger scan (the
+        # distinct() that the raw form pays corpus-side is pre-paid at
+        # write time)
+        txt = P.explain_str(ledger.decontaminate(batch, sort=False))
+        assert "test_corpus_ledger_fps" in txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
