@@ -74,6 +74,34 @@ COHORT2_BASELINE = {
 COHORT2 = list(COHORT2_BASELINE)
 COHORT2_TOTAL = 36.319
 
+# Cohort 3 (round 9): the frozen 100× gate. BENCH_SCALING.md numbers
+# were regenerated per round on gitignored data and never gated — a
+# depth regression would only be caught by eyeball (VERDICT r8 item
+# 6). These pins were measured round 9 at .testdata/sf10bd (the
+# PINNED deterministic 100× set — recipe in tools/gen_sf.py and
+# BASELINE.md; no RNG anywhere, so a rebuild is bit-identical),
+# best-of-2, quiet machine. Gated under the same tighten-only 2× rule
+# whenever the scaled dir exists (the dir is gitignored, so a fresh
+# checkout skips cohort-3 until it rebuilds the set).
+COHORT3_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SF100_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".testdata", "sf10bd"))
+COHORT3_BASELINE = {
+    "dedup_paragraph": 4.879,
+    "graph_part_communities": 1.510,
+    "ev_sessionize_skew": 5.089,
+    "ev_burst_skew": 1.905,
+    "q_supplier_hhi": 1.348,
+    "q_supplier_skyline": 7.120,
+    "ann_ivf_pq_rerank": 21.572,
+    "ann_lsh_cosine": 10.697,
+    "dedup_exact_substring": 18.735,
+    "text_temperature_mixture": 2.497,
+}
+COHORT3 = list(COHORT3_BASELINE)
+COHORT3_TOTAL = 75.352
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -116,23 +144,23 @@ def main() -> None:
     # run tightens the min at ~7s/round cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    def _time(names):
+    def _time(names, data_dir, n_runs):
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
             best = None
-            for _ in range(runs):
+            for _ in range(n_runs):
                 t0 = time.time()
-                df = fn(spark, sf_dir)
+                df = fn(spark, data_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.time() - t0
                 best = elapsed if best is None else min(best, elapsed)
             out[name] = round(best, 3)
         return out
 
-    timings = _time(HEADLINE)
+    timings = _time(HEADLINE, sf_dir, runs)
     total = round(sum(timings.values()), 3)
-    c2 = _time(COHORT2)
+    c2 = _time(COHORT2, sf_dir, runs)
     c2_total = round(sum(c2.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
@@ -156,7 +184,22 @@ def main() -> None:
                 q for q, t in c2.items()
                 if COHORT2_BASELINE.get(q) is not None
                 and t > 2.0 * COHORT2_BASELINE[q])
-        # side artifact for tests/test_baseline.py's regression gate
+    # cohort-3: the frozen 100× gate — runs against its own pinned
+    # scaled dir (independent of this invocation's sf) when it exists;
+    # best-of-2 caps the added wall cost (~90 s single-run set)
+    if os.path.isdir(COHORT3_SF_DIR):
+        c3 = _time(COHORT3, COHORT3_SF_DIR, min(runs, 2))
+        c3_total = round(sum(c3.values()), 3)
+        result["cohort3"] = c3
+        result["cohort3_total"] = c3_total
+        result["vs_cohort3_total"] = round(c3_total / COHORT3_TOTAL, 3)
+        result["cohort3_regressions"] = sorted(
+            q for q, t in c3.items()
+            if COHORT3_BASELINE.get(q) is not None
+            and t > 2.0 * COHORT3_BASELINE[q])
+    # side artifact for tests/test_baseline.py's regression gate (only
+    # meaningful when the headline/cohort-2 sets ran at the gate SF)
+    if result["sf"] == BASELINE_SF:
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:

@@ -31,10 +31,12 @@ def _baseline_md_rows():
 
 def test_baseline_md_matches_bench_pins():
     md = _baseline_md_rows()
-    both = {**bench.BASELINE, **bench.COHORT2_BASELINE}
-    assert md == pytest.approx(both), (
+    pinned = {**bench.BASELINE, **bench.COHORT2_BASELINE,
+              **bench.COHORT3_BASELINE}
+    assert md == pytest.approx(pinned), (
         "BASELINE.md tables and bench pins drifted")
-    assert set(md) == set(bench.HEADLINE) | set(bench.COHORT2)
+    assert set(md) == (set(bench.HEADLINE) | set(bench.COHORT2)
+                       | set(bench.COHORT3))
     with open(os.path.join(ROOT, "BASELINE.md")) as f:
         text = f.read()
     assert f"**Total: {bench.BASELINE_TOTAL} s.**" in text
@@ -42,6 +44,9 @@ def test_baseline_md_matches_bench_pins():
     assert f"**Cohort-2 total: {bench.COHORT2_TOTAL} s.**" in text
     assert (round(sum(bench.COHORT2_BASELINE.values()), 3)
             == bench.COHORT2_TOTAL)
+    assert f"**Cohort-3 total: {bench.COHORT3_TOTAL} s.**" in text
+    assert (round(sum(bench.COHORT3_BASELINE.values()), 3)
+            == bench.COHORT3_TOTAL)
 
 
 def test_latest_bench_within_2x_of_baseline():
@@ -71,3 +76,13 @@ def test_latest_bench_within_2x_of_baseline():
     assert not over2, (
         f"cohort-2 queries exceeding 2x their pinned time "
         f"(got, pinned): {over2}")
+    # cohort-3 gate (present only when the pinned 100× dir existed at
+    # bench time — a fresh checkout skips it until the set rebuilds)
+    c3 = latest.get("cohort3", {})
+    over3 = {q: (c3.get(q), bench.COHORT3_BASELINE[q])
+             for q in bench.COHORT3_BASELINE
+             if c3.get(q) is not None
+             and c3[q] > 2.0 * bench.COHORT3_BASELINE[q]}
+    assert not over3, (
+        f"cohort-3 queries exceeding 2x their pinned 100x time "
+        f"(got, pinned): {over3}")

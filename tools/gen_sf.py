@@ -24,6 +24,13 @@ occupancy — and the max_bucket skew guards — get a real copies× load.
 
 Deterministic: no randomness anywhere.
 
+PINNED canonical 100x set (the cohort-3 gate in BASELINE.md/bench.py
+depends on these EXACT two commands — determinism makes any rebuild
+bit-identical to the round-9 set the pins were measured on):
+
+    python tools/gen_sf.py /root/testdata/sf0.1 .testdata/sf1    10 breadth
+    python tools/gen_sf.py .testdata/sf1        .testdata/sf10bd 10 depth
+
 Usage: python tools/gen_sf.py [src_dir] [dst_dir] [copies] [breadth|depth]
 """
 
