@@ -438,6 +438,62 @@ def infogob_results_by_region(spark, sf_dir):
         "id_region")
 
 
+def inei_module_listing(spark, sf_dir):
+    """Round-trip proof of the INEI module-listing normalizer
+    (sources/html_listing.py, the reference html_to_dataframe port):
+    synthesize a portal page row-locally from the nation dim — every
+    reference branch exercised (markup inside text cells, non-numeric
+    year -> NULL, missing info link, title- vs href-classified format
+    links, non-matching links) — parse it back with the real regex
+    pipeline, and let the oracle state the expected records DIRECTLY
+    from nation. A parser bug anywhere breaks value parity."""
+    from pyperustats_spark.sources.html_listing import module_listing
+
+    k = F.col("n_nationkey")
+    ks = k.cast("string")
+
+    def td(c):
+        return F.concat(F.lit("<td>"), c, F.lit("</td>"))
+
+    year_txt = F.when(k % 5 == 0, F.lit("n/a")) \
+        .otherwise((k + 2000).cast("string"))
+    info = F.when(
+        k % 3 != 0,
+        F.concat(F.lit('<a href="/doc/'), ks, F.lit('">ficha</a>'))
+    ).otherwise(F.lit("<span>-</span>"))
+    c_spss = F.when(
+        k % 2 == 0,
+        F.concat(F.lit('<a title="Descarga SPSS" href="/files/'), ks,
+                 F.lit('.sav">d</a>'))
+    ).otherwise(F.lit('<a title="zip archive" href="/misc/x.zip">d</a>'))
+    c_stata = F.when(
+        k % 4 == 1,
+        F.concat(F.lit('<a href="/files/STATA/'), ks,
+                 F.lit('.dta">d</a>'))
+    ).otherwise(F.lit(""))
+    c_csv = F.concat(F.lit('<a href="/files/CSV/'), ks,
+                     F.lit('.csv">d</a>'))
+    row = F.concat(
+        F.lit("<tr>"), td(ks), td(year_txt), td(F.lit("Anual")),
+        td(F.lit("ENAHO")),
+        td(F.concat(F.lit("<b>"), F.col("n_name"), F.lit("</b>"))),
+        td((k + 100).cast("string")),
+        td(F.concat(F.lit("Modulo "), F.col("n_name"))),
+        td(info), td(c_spss), td(c_stata), td(c_csv), F.lit("</tr>"))
+    page = (
+        _lt(spark, sf_dir, "nation")
+        .select(F.struct(k.alias("k"), row.alias("r")).alias("_s"))
+        .agg(F.concat(
+            F.lit('<html><table class="outer"><tr><td>chrome</td></tr>'
+                  "<table><tr><th>No</th></tr>"),
+            F.array_join(F.transform(
+                F.array_sort(F.collect_list("_s")), lambda s: s["r"]),
+                ""),
+            F.lit("</table></table></html>")).alias("html"))
+    )
+    return module_listing(page, id_cols=()).orderBy("number")
+
+
 def inei_stage_plan(spark, sf_dir):
     from pyperustats_spark.sources.progress import (
         stage_plan, status_from_events)
@@ -2249,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_candidates_pending": infogob_candidates_pending,
         "infogob_candidate_detail_counts": infogob_candidate_detail_counts,
         "inei_stage_plan": inei_stage_plan,
+        "inei_module_listing": inei_module_listing,
         "infogob_location_hierarchy": infogob_location_hierarchy,
         "infogob_results_by_region": infogob_results_by_region,
         "mtc_paged_concat": mtc_paged_concat,
@@ -4565,6 +4622,34 @@ def oracle_sql() -> dict[str, str]:
     mod_vals = _values_sql(INEI_MODULES, "survey, year, module_code")
     ev_vals = _values_sql(INEI_STAGE_EVENTS,
                           "survey, year, module_code, stage, done")
+    # round-trip oracle: the expected records stated DIRECTLY from
+    # nation — the Spark side must recover exactly these through the
+    # synthesized-HTML parse (a parser bug anywhere breaks parity)
+    sql["inei_module_listing"] = """
+        SELECT CAST(n_nationkey AS VARCHAR) AS number,
+               CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                    ELSE CAST(n_nationkey + 2000 AS BIGINT) END
+                   AS year_ref,
+               'Anual' AS period_ref,
+               'ENAHO' AS survey_code,
+               n_name AS survey_name,
+               CAST(n_nationkey + 100 AS BIGINT) AS module_code,
+               'Modulo ' || n_name AS module_name,
+               CASE WHEN n_nationkey % 3 <> 0
+                    THEN '/doc/' || CAST(n_nationkey AS VARCHAR) END
+                   AS info_sheet,
+               CASE WHEN n_nationkey % 2 = 0
+                    THEN '/files/' || CAST(n_nationkey AS VARCHAR)
+                         || '.sav' END AS spss,
+               CASE WHEN n_nationkey % 4 = 1
+                    THEN '/files/STATA/' || CAST(n_nationkey AS VARCHAR)
+                         || '.dta' END AS stata,
+               '/files/CSV/' || CAST(n_nationkey AS VARCHAR) || '.csv'
+                   AS csv,
+               CAST(NULL AS VARCHAR) AS dbf
+        FROM nation ORDER BY number
+    """
+
     sql["inei_stage_plan"] = f"""
         WITH st AS (
             SELECT survey, year, module_code,

@@ -562,6 +562,11 @@ PLAN_SMELL_WHITELIST = {
     "q_customer_migration": {"SINGLE_PART"},    # histogram-ntile prefix
                                                 # windows ($100-bucket
                                                 # side frames)
+    "inei_module_listing": {"SINGLE_PART"},     # 25-row nation dim
+                                                # concatenated into ONE
+                                                # synthetic page (the
+                                                # round-trip input), by
+                                                # construction 1 row
     # GROUP_SIZE_WINDOW whitelist: full-partition count windows whose
     # partition key is cardinality-BOUNDED (lang) or whose op already
     # sorts the same per-series partition for its core semantics (the
