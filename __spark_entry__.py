@@ -2584,25 +2584,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The driver-verified 50-slot window (round-9 rotation): exactly the
 # 50 entries the driver checks — no trailing names beyond slot 50
-# (VERDICT r8 / ADVICE low item). Rotation rule this round
-# (VERDICT r8 item 1): every oracle has now been countersigned at
-# least once, so the window leads with the 50 OLDEST-countersigned
-# oracles — queries last driver-verified in r1/r3/r4, i.e. before the
-# r6-r8 rewrites (tokenizer, expression construction, ordered-cumsum
-# determinism) — computed from CORRECTNESS_r0*.json latest-green
-# rounds, sorted (round, key). Everything displaced moves behind the
-# window; the local parity gate (tools/parity.py,
-# tests/test_oracle_parity.py) still value-checks all oracle-backed
-# queries every run. Next rotation: the 9 remaining r4-era keys
-# (ts_gap_fill, ts_interpolate_linear, ts_lag_pct_change,
-# ts_moving_avg, ts_pivot_wide, ts_resample_monthly, ts_running_total,
-# ts_unpivot_long, ts_yoy_growth) + the oldest r5 cohort.
+# (VERDICT r8 / ADVICE low item). Two rotation inputs this round:
+# (a) the 10 round-9 NEW or semantics-changed oracles lead (twins,
+#     the html-listing round trip, the fixed-point CUSUM + grid-exact
+#     bollinger + decimal HHI + 8-hex tmix + argmin keep_best oracle
+#     rewrites, and the two structurally-rewritten plans whose
+#     oracles are unchanged) — none has a driver countersign in its
+#     current form;
+# (b) then the OLDEST-countersigned oracles (VERDICT r8 item 1) —
+#     last driver-verified r1/r3/r4, before the r6-r8 rewrites —
+#     computed from CORRECTNESS_r0*.json latest-green rounds, sorted
+#     (round, key); 40 fit this round.
+# Everything displaced moves behind the window; the local parity gate
+# (tools/parity.py, tests/test_oracle_parity.py) still value-checks
+# all oracle-backed queries every run. Queued for r10: the remaining
+# 19 r4-era keys (stream_sessionize, stream_tumbling_window,
+# text_fingerprint, text_lang_id, text_ngram_topk, text_pii_scrub,
+# text_quality_score, text_token_count, ts_asof_join,
+# ts_date_parse_multi, ts_gap_fill, ts_interpolate_linear,
+# ts_lag_pct_change, ts_moving_avg, ts_pivot_wide, ts_resample_monthly,
+# ts_running_total, ts_unpivot_long, ts_yoy_growth) + the oldest r5
+# cohort.
 _WINDOW = [
+    # round-9 new / semantics-changed oracles (never countersigned in
+    # current form)
+    "ts_cusum_changepoint", "ts_cusum_skew", "ev_burst_skew",
+    "inei_module_listing", "ts_bollinger_bands", "q_supplier_hhi",
+    "text_temperature_mixture", "dedup_keep_best",
+    "dedup_jaccard_prefix", "graph_part_communities",
     # r1/r3-era countersigns (oldest 9)
     "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
     "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
     "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
-    # r4-era countersigns (41 of 50; remainder queued for r10)
+    # r4-era countersigns (31 of 50; remaining 19 queued for r10)
     "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
     "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
@@ -2614,10 +2628,7 @@ _WINDOW = [
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_revenue_delta", "q_market_share",
     "q_sales_rollup", "q_top_customers", "stats_profile",
-    "stream_dedup_replay", "stream_sessionize", "stream_tumbling_window",
-    "text_fingerprint", "text_lang_id", "text_ngram_topk", "text_pii_scrub",
-    "text_quality_score", "text_token_count", "ts_asof_join",
-    "ts_date_parse_multi",
+    "stream_dedup_replay",
 ]
 
 
