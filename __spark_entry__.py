@@ -1859,6 +1859,25 @@ def text_drop_short_tail(spark, sf_dir):
     return T.drop_short_tail(_lt(spark, sf_dir, "documents"), p=0.10)
 
 
+def text_drop_short_tail_approx(spark, sf_dir):
+    """GK-threshold twin of text_drop_short_tail (rows-only: the
+    per-language quantile threshold is a sketch estimate; keep-rate
+    and threshold-ordering properties pinned in pytest)."""
+    return T.drop_short_tail_approx(_lt(spark, sf_dir, "documents"),
+                                    p=0.10)
+
+
+def dedup_substring_novelty(spark, sf_dir):
+    """Graded novelty card on the recurring-release split (odd ids =
+    batch, even = released corpus) — the score whose binary cut is
+    dedup_substring_decontaminate."""
+    docs = _lt(spark, sf_dir, "documents")
+    return D.substring_novelty_profile(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        n_tokens=20, winnow=5)
+
+
 def ev_skew_profile(spark, sf_dir):
     from pyperustats_spark.operators import skew as SK
     return SK.key_skew_profile(_lt(spark, sf_dir, "events"),
@@ -2461,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_containment": dedup_ngram_containment,
         "dedup_exact_substring": dedup_exact_substring,
         "dedup_substring_decontaminate": dedup_substring_decontaminate,
+        "dedup_substring_novelty": dedup_substring_novelty,
         "dedup_substring_profile": dedup_substring_profile,
         "dedup_paragraph": dedup_paragraph,
         "dedup_paragraph_stats": dedup_paragraph_stats,
@@ -2512,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_transitions": ev_transitions,
         "text_length_histogram": text_length_histogram,
         "text_drop_short_tail": text_drop_short_tail,
+        "text_drop_short_tail_approx": text_drop_short_tail_approx,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "q14_promo_share": q14_promo_share,
@@ -3727,6 +3748,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source FROM documents d
         WHERE d.doc_id % 2 = 1
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY d.doc_id
+    """.format(tok=_TOKENS)
+
+    # graded novelty card: same winnowing CTE as the decontaminate
+    # oracle; novelty_frac is the raw int/int division (CLAUDE.md)
+    sql["dedup_substring_novelty"] = """
+        WITH fp AS (
+            SELECT doc_id, wh FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(0, len(g) - 5 + 1),
+                           j -> list_aggregate(
+                                    list_slice(g, j + 1, j + 5),
+                                    'min')))) AS wh
+                FROM (
+                    SELECT doc_id,
+                           list_transform(range(0, len(t) - 20 + 1),
+                               i -> md5(array_to_string(
+                                        list_slice(t, i + 1, i + 20),
+                                        ' '))) AS g
+                    FROM (SELECT doc_id, {tok} AS t FROM documents)
+                    WHERE len(t) >= 20
+                ) WHERE len(g) >= 5
+            )
+        ),
+        corpus_fp AS (
+            SELECT DISTINCT wh FROM fp WHERE doc_id % 2 = 0
+        ),
+        per_doc AS (
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_fingerprints,
+                   CAST(sum(CASE WHEN f.wh IN (SELECT wh FROM corpus_fp)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+            FROM fp f WHERE f.doc_id % 2 = 1
+            GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_fingerprints, 0) AS n_fingerprints,
+               COALESCE(p.n_seen, 0) AS n_seen,
+               CASE WHEN COALESCE(p.n_fingerprints, 0) > 0
+                    THEN CAST(p.n_fingerprints - p.n_seen AS DOUBLE)
+                         / p.n_fingerprints END AS novelty_frac
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        WHERE d.doc_id % 2 = 1
         ORDER BY d.doc_id
     """.format(tok=_TOKENS)
 

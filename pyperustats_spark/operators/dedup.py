@@ -1231,6 +1231,62 @@ def exact_substring_decontaminate(batch: DataFrame, corpus: DataFrame,
     return out.orderBy("doc_id") if sort else out
 
 
+def substring_novelty_profile(batch: DataFrame, corpus: DataFrame,
+                              n_tokens: int = 20, winnow: int = 5,
+                              hash_fn: str = "md5",
+                              sort: bool = True) -> DataFrame:
+    """Per-document NOVELTY card against an already-released corpus:
+    of each batch doc's winnowed fingerprints, how many are already in
+    the corpus — the graded sibling of the binary
+    :func:`exact_substring_decontaminate` cut (curation wants the
+    score, not just the verdict: a 0.95-novel doc extends the corpus,
+    a 0.05-novel doc is a near-reprint even if no single overlap
+    crosses a drop threshold; same motivation as
+    :func:`substring_duplication_profile` but CROSS-corpus rather
+    than within-corpus). Returns one row per batch doc
+    (doc_id, n_fingerprints, n_seen, novelty_frac) — zero-fingerprint
+    (short) docs report 0/0 with NULL fraction (try_divide);
+    novelty_frac = (n_fingerprints − n_seen)/n_fingerprints ships as
+    the raw int/int IEEE division (bit-identical cross-engine).
+
+    Plan: both sides fingerprint row-locally; the corpus ships its
+    DISTINCT fingerprint set into one hash join keyed on the 16-byte
+    hash (a left join carrying a 1-flag — both counts come from ONE
+    pass), then a per-doc rollup and the zero-doc reattach. Text never
+    rides a shuffle. At 100 TB read the corpus side from a
+    :class:`~pyperustats_spark.sources.ledger.CorpusLedger` (its
+    fingerprint table is pre-distinct and bucket-join-free)."""
+    bw = winnowed_fingerprints(batch, n_tokens=n_tokens, winnow=winnow,
+                               hash_fn=hash_fn)
+    cw = (winnowed_fingerprints(corpus, n_tokens=n_tokens,
+                                winnow=winnow, hash_fn=hash_fn)
+          .select("wh").distinct())
+    return _novelty_from_fps(batch, bw, cw, sort)
+
+
+def _novelty_from_fps(batch: DataFrame, bw: DataFrame, cw: DataFrame,
+                      sort: bool) -> DataFrame:
+    """Shared novelty tail over (doc_id, wh) batch fingerprints and a
+    distinct corpus fingerprint set (raw-scan or ledger-backed)."""
+    marked = bw.join(cw.withColumn("_hit", F.lit(1)), "wh", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint")
+        .alias("n_seen"))
+    out = (
+        batch.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.try_divide(F.col("n_fingerprints") - F.col("n_seen"),
+                         F.col("n_fingerprints")).alias("novelty_frac"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
 def jaccard_prefix_pairs(documents: DataFrame, n: int = 3,
                          tau_num: int = 9, tau_den: int = 10,
                          sort: bool = True) -> DataFrame:

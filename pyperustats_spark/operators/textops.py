@@ -1007,6 +1007,40 @@ def drop_short_tail(documents: DataFrame, p: float = 0.10,
     return out.orderBy("doc_id") if sort else out
 
 
+def drop_short_tail_approx(documents: DataFrame, p: float = 0.10,
+                           accuracy: int = 10_000,
+                           sort: bool = True) -> DataFrame:
+    """GK twin of :func:`drop_short_tail` — the 100 TB shape its
+    docstring names: per-language p-quantile length thresholds from
+    ``approx_percentile`` (Greenwald–Khanna quantile
+    summary — mergeable map-side partial sketches, NO per-language
+    sort task holding corpus/|langs| rows), broadcast back as an
+    O(|langs|)-row table, and the keep test becomes a row-local
+    ``n_chars >= threshold`` comparison.
+
+    Semantics differ from the exact twin at the boundary ON PURPOSE:
+    the rank form drops exactly floor(p·n) docs with (n_chars, doc_id)
+    tiebreaks inside a tied length, while a threshold keeps or drops a
+    tied length as a block (± the GK ε·n rank error) — so this is
+    rows-only, pinned by property tests (keep rate within ε+tie-mass
+    of 1−p; every kept doc at least as long as every dropped doc of
+    its language). Like the other GK twins this is NOT a local[32]
+    wall win — the exact form's per-lang sort is cheap on 32 threads —
+    it exists for the 1000-executor shape where one language holds a
+    data-sized partition (CLAUDE.md: don't "optimize" it away on
+    local numbers)."""
+    thr = documents.groupBy("lang").agg(
+        F.approx_percentile("n_chars", F.lit(float(p)),
+                            F.lit(accuracy)).alias("_thr"))
+    out = (
+        documents.select("doc_id", "lang", "source", "n_chars")
+        .join(F.broadcast(thr), "lang")
+        .where(F.col("n_chars") >= F.col("_thr"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
 def token_budget_sample(documents: DataFrame, budget: int = 2000,
                         salt: str = "budget",
                         sort: bool = True) -> DataFrame:

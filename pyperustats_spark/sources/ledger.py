@@ -144,6 +144,20 @@ class CorpusLedger:
             .select("doc_id", "source")
         return out.orderBy("doc_id") if sort else out
 
+    def novelty_profile(self, batch: DataFrame,
+                        sort: bool = True) -> DataFrame:
+        """:func:`~pyperustats_spark.operators.dedup
+        .substring_novelty_profile` against the ledger's fingerprint
+        table — the graded curation card with zero corpus-side scan
+        or exchange."""
+        from pyperustats_spark.operators.dedup import _novelty_from_fps
+
+        bw = winnowed_fingerprints(
+            batch, n_tokens=self.n_tokens, winnow=self.winnow,
+            hash_fn=self.hash_fn)
+        return _novelty_from_fps(batch, bw, self.seen_fingerprints(),
+                                 sort)
+
     def drop(self) -> None:
         """Remove both ledger tables (test teardown / rebuild)."""
         for t in (self.keys_table, self.fps_table):

@@ -65,6 +65,18 @@ def test_ledger_decontaminate_equals_rescan(spark, ledger, split_docs):
     assert got == expect
 
 
+def test_ledger_novelty_equals_rescan(spark, ledger, split_docs):
+    from pyperustats_spark.operators.dedup import substring_novelty_profile
+    rel_a, rel_b, batch = split_docs
+    corpus = rel_a.unionByName(rel_b)
+    expect = sorted(map(tuple, substring_novelty_profile(
+        batch, corpus).collect()))
+    got = sorted(map(tuple, ledger.novelty_profile(batch).collect()))
+    assert got == expect
+    # the split plants real overlap: some doc must be non-novel
+    assert any(r[2] > 0 for r in got)
+
+
 def test_ledger_dedup_single_batch_side_exchange(spark, ledger,
                                                  split_docs):
     """The recurring join's contract: ONE exchange total (the batch

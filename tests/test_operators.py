@@ -2198,6 +2198,56 @@ def test_drop_short_tail_per_lang_rank_cut(spark):
     assert kept == [2, 3, 4, 5, 6, 7, 8, 9, 100]
 
 
+def test_drop_short_tail_approx_properties(spark, tables):
+    """GK twin pins: (a) per-language keep rate within sketch error +
+    tie mass of the exact form's 1-p, (b) threshold semantics — every
+    kept doc is at least as long as every dropped doc of its
+    language (the block-at-tied-length contract)."""
+    from pyspark.sql import functions as F
+    from pyperustats_spark.operators import textops as T
+    docs = tables["documents"]
+    p = 0.10
+    out = T.drop_short_tail_approx(docs, p=p, sort=False)
+    base = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    kept = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min("n_chars").alias("min_kept"))
+    dropped = (
+        docs.join(out.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("lang").agg(F.max("n_chars").alias("max_dropped")))
+    rows = (base.join(kept, "lang").join(dropped, "lang", "left")
+            .collect())
+    assert rows
+    for r in rows:
+        share_kept = r["k"] / r["n"]
+        # the high-accuracy sketch lands within a few percent of 1-p
+        # on this data (ties at a single length can move the block)
+        assert 0.80 <= share_kept <= 0.97, (r["lang"], share_kept)
+        if r["max_dropped"] is not None:
+            assert r["min_kept"] >= r["max_dropped"], r
+
+
+def test_substring_novelty_consistent_with_decontaminate(spark, tables):
+    """The graded card and the binary cut must agree: a batch doc
+    survives exact_substring_decontaminate(min_shared=1) iff its
+    n_seen is 0."""
+    from pyspark.sql import functions as F
+    from pyperustats_spark.operators.dedup import (
+        exact_substring_decontaminate, substring_novelty_profile)
+    docs = tables["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    surv = {r["doc_id"] for r in exact_substring_decontaminate(
+        batch, corpus).collect()}
+    card = substring_novelty_profile(batch, corpus).collect()
+    assert {r["doc_id"] for r in card} == {
+        r["doc_id"] for r in batch.select("doc_id").collect()}
+    for r in card:
+        assert (r["doc_id"] in surv) == (r["n_seen"] == 0), r
+        if r["n_fingerprints"] == 0:
+            assert r["novelty_frac"] is None
+
+
 def test_nation_volume_directions_and_grid(spark):
     nation = spark.createDataFrame(
         [(1, "NA", 0), (2, "NB", 0)], "n_nationkey int, n_name string, n_regionkey int")

@@ -98,6 +98,7 @@ BROADCAST_HINT_WHITELIST = {
     "ann_ivf_pq_residual",        # same shape, residual codes
     "text_oov_rate",              # top-n vocab rows (n is a parameter,
                                   # bounded by construction via LIMIT)
+    "text_drop_short_tail_approx",  # |langs|-row GK threshold table
     "corpus_summary",             # 1-row grand-total aggregate (same
                                   # audited pattern as q_market_share)
     "text_unigram_logprob",       # 1-row (N, V) corpus totals
