@@ -1546,6 +1546,15 @@ def embedding_separation(spark, sf_dir):
     return S.label_separation(_lt(spark, sf_dir, "embeddings"))
 
 
+def emb_kcenter_sample(spark, sf_dir):
+    """Greedy k-center coreset selection + nearest-center assignment
+    (rows-only: the greedy pick sequence is defined by floating-point
+    argmaxes with no SQL analog worth unrolling; bit-equality vs a
+    Python greedy model and cover-radius properties pinned in
+    pytest)."""
+    return S.kcenter_sample(_lt(spark, sf_dir, "embeddings"), k=8)
+
+
 def text_lang_confusion(spark, sf_dir):
     return T.lang_confusion(_lt(spark, sf_dir, "documents"))
 
@@ -2426,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_kaplan_meier": ev_kaplan_meier,
         "ev_cuped_ab": ev_cuped_ab,
         "embedding_separation": embedding_separation,
+        "emb_kcenter_sample": emb_kcenter_sample,
         "q_revenue_gini": q_revenue_gini,
         "q_benford_digits": q_benford_digits,
         "ev_hll_rollup": ev_hll_rollup,

@@ -1593,3 +1593,80 @@ def label_separation(embeddings: DataFrame,
                    F.try_divide(F.col("nearest_dist"),
                                 F.col("mean_intra")).alias("separation")))
     return out.orderBy("label") if sort else out
+
+
+def kcenter_sample(embeddings: DataFrame, k: int = 8,
+                   sort: bool = True) -> DataFrame:
+    """Diversity-aware coreset selection: greedy k-center (farthest-
+    point traversal, Gonzalez 1985 — the classic 2-approximation to
+    the k-center cover) over the embedding corpus, then every vector
+    assigned to its nearest selected center. The training-data
+    DIVERSITY tool that pairs with dedup: dedup removes redundancy
+    pairwise, k-center picks a maximally-spread representative subset
+    (coreset sampling / SemDeDup's diversity half). Returns one row
+    per corpus vector (vec_id, center, center_vec_id, dist2) where
+    ``center`` is the pick ORDER (1..k) of its nearest center —
+    deterministic end to end (seed = smallest vec_id; argmax ties
+    break to the smallest vec_id; squared-L2 arithmetic is a fixed
+    left-fold, so the Spark doubles equal a Python model's bit for
+    bit, pinned in pytest).
+
+    Scale shape: k rounds, each ONE narrow pass updating the running
+    min-distance column (row-local zip_with/aggregate against the
+    round's center literal — whole-stage codegen, no shuffle) plus a
+    1-row min-struct argmax (map-side partial agg). Only k·dim floats
+    plus k (vec_id, dist) rows ever reach the driver (the documented
+    O(small) collect class — same budget as IVF centroid seeding).
+    The frame is persisted per round because each round's argmax is
+    an ACTION on the chain (k cached generations, prior one evicted —
+    pagerank's lazy-linear rule does not apply across actions)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def d2(vec, center_lit):
+        return F.aggregate(
+            F.zip_with(vec, center_lit,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    base = embeddings.select("vec_id", "embedding")
+    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(seed["vec_id"]),
+                [float(x) for x in seed["embedding"]])]
+    state = base.select(
+        "vec_id", "embedding",
+        d2(F.col("embedding"), lit_doubles(centers[0][2])).alias("_mind")
+    ).persist()
+    state.count()
+    for rank in range(2, k + 1):
+        far = state.agg(F.min(F.struct(
+            (-F.col("_mind")).alias("nd"),
+            F.col("vec_id").alias("vid"))).alias("m")).collect()[0]["m"]
+        picked = (state.where(F.col("vec_id") == int(far["vid"]))
+                  .select("embedding").collect()[0]["embedding"])
+        cvec = [float(x) for x in picked]
+        centers.append((rank, int(far["vid"]), cvec))
+        prev = state
+        state = state.select(
+            "vec_id", "embedding",
+            F.least(F.col("_mind"),
+                    d2(F.col("embedding"), lit_doubles(cvec)))
+            .alias("_mind")).persist()
+        state.count()
+        prev.unpersist()
+    # final assignment: nearest selected center by (dist2, pick order)
+    ranks = lit_longs([r for r, _, _ in centers])
+    vids = lit_longs([v for _, v, _ in centers])
+    mats = lit_double_matrix([c for _, _, c in centers])
+    scored = F.transform(mats, lambda cw, j: F.struct(
+        d2(F.col("embedding"), cw).alias("d"),
+        F.element_at(ranks, j + 1).alias("r"),
+        F.element_at(vids, j + 1).alias("v")))
+    best = F.element_at(F.array_sort(scored), 1)
+    out = state.select(
+        "vec_id",
+        best["r"].alias("center"),
+        best["v"].alias("center_vec_id"),
+        best["d"].alias("dist2"))
+    return out.orderBy("vec_id") if sort else out

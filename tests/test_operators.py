@@ -2198,6 +2198,57 @@ def test_drop_short_tail_per_lang_rank_cut(spark):
     assert kept == [2, 3, 4, 5, 6, 7, 8, 9, 100]
 
 
+def test_kcenter_sample_matches_python_greedy(spark):
+    """Spark greedy k-center == a row-at-a-time Python model, bit for
+    bit: seed = smallest vec_id, farthest-point argmax with
+    smallest-vec_id tiebreak, squared-L2 as the same left-fold."""
+    from pyperustats_spark.operators.similarity import kcenter_sample
+    vecs = {
+        1: [0.0, 0.0], 2: [0.1, 0.0], 3: [10.0, 0.0],
+        4: [10.0, 0.2], 5: [0.0, 9.0], 6: [5.0, 5.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v, "x") for i, v in vecs.items()],
+        "vec_id long, embedding array<double>, label string")
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    centers = [(1, 1)]
+    mind = {i: d2(v, vecs[1]) for i, v in vecs.items()}
+    for rank in range(2, 4):
+        far = min(((-d, i) for i, d in mind.items()))[1]
+        centers.append((rank, far))
+        for i, v in vecs.items():
+            mind[i] = min(mind[i], d2(v, vecs[far]))
+    expect = {}
+    for i, v in vecs.items():
+        best = min((d2(v, vecs[cv]), r, cv) for r, cv in centers)
+        expect[i] = (best[1], best[2], best[0])
+    got = {r["vec_id"]: (r["center"], r["center_vec_id"], r["dist2"])
+           for r in kcenter_sample(df, k=3).collect()}
+    assert got == expect
+
+
+def test_kcenter_sample_cover_properties(spark, tables):
+    """k-center on real embeddings: k distinct centers, each center
+    assigned to itself at distance 0, and the cover radius shrinks as
+    k grows (greedy monotonicity)."""
+    from pyspark.sql import functions as F
+    from pyperustats_spark.operators.similarity import kcenter_sample
+    emb = tables["embeddings"]
+    out4 = kcenter_sample(emb, k=4, sort=False)
+    out8 = kcenter_sample(emb, k=8, sort=False)
+    c8 = out8.where(F.col("vec_id") == F.col("center_vec_id")).collect()
+    assert len(c8) == 8 and all(r["dist2"] == 0.0 for r in c8)
+    r4 = out4.agg(F.max("dist2")).collect()[0][0]
+    r8 = out8.agg(F.max("dist2")).collect()[0][0]
+    assert r8 <= r4
+
+
 def test_drop_short_tail_approx_properties(spark, tables):
     """GK twin pins: (a) per-language keep rate within sketch error +
     tie mass of the exact form's 1-p, (b) threshold semantics — every
