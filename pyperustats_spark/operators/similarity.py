@@ -1643,6 +1643,11 @@ def kcenter_sample(embeddings: DataFrame, k: int = 8,
         far = state.agg(F.min(F.struct(
             (-F.col("_mind")).alias("nd"),
             F.col("vec_id").alias("vid"))).alias("m")).collect()[0]["m"]
+        if -float(far["nd"]) <= 0.0:
+            # every vector already sits ON a center (k exceeds the
+            # number of distinct embeddings) — further rounds would
+            # re-pick covered points as duplicate centers
+            break
         picked = (state.where(F.col("vec_id") == int(far["vid"]))
                   .select("embedding").collect()[0]["embedding"])
         cvec = [float(x) for x in picked]

@@ -2233,6 +2233,21 @@ def test_kcenter_sample_matches_python_greedy(spark):
     assert got == expect
 
 
+def test_kcenter_stops_when_all_points_are_centers(spark):
+    """k beyond the distinct-embedding count must stop early, never
+    emit duplicate centers (the guard on a zero max min-distance)."""
+    from pyspark.sql import functions as F
+    from pyperustats_spark.operators.similarity import kcenter_sample
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], "x"), (2, [1.0, 0.0], "x"),
+         (3, [1.0, 0.0], "x")],  # 3 rows, 2 distinct points
+        "vec_id long, embedding array<double>, label string")
+    out = kcenter_sample(df, k=5).collect()
+    assert len(out) == 3
+    assert {r["center_vec_id"] for r in out} == {1, 2}
+    assert all(r["dist2"] == 0.0 for r in out)
+
+
 def test_kcenter_sample_cover_properties(spark, tables):
     """k-center on real embeddings: k distinct centers, each center
     assigned to itself at distance 0, and the cover radius shrinks as
