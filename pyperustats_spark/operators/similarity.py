@@ -1631,7 +1631,17 @@ def kcenter_sample(embeddings: DataFrame, k: int = 8,
             F.lit(0.0), lambda acc, x: acc + x)
 
     base = embeddings.select("vec_id", "embedding")
-    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = base.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        # empty corpus: empty result with the output schema (the
+        # degenerate-input contract — a filtered-to-zero slice must
+        # never abort the job)
+        return base.select(
+            "vec_id",
+            F.lit(None).cast("bigint").alias("center"),
+            F.lit(None).cast("bigint").alias("center_vec_id"),
+            F.lit(None).cast("double").alias("dist2"))
+    seed = seed_rows[0]
     centers = [(1, int(seed["vec_id"]),
                 [float(x) for x in seed["embedding"]])]
     state = base.select(

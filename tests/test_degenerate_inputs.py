@@ -331,3 +331,42 @@ def test_round8_ops_survive_degenerate_inputs(spark, frames):
 
     # PMI on empty corpus
     assert TX.pmi_collocations(ed).count() == 0
+
+
+def test_round9_ops_survive_degenerate_inputs(spark, frames):
+    from pyperustats_spark.operators import similarity as S
+
+    ed = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+    eev = frames["empty_ev"]
+    el, ol = frames["empty_long"], frames["one_long"]
+    eemb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string")
+
+    # depth-skew twins on empty / single-row inputs
+    assert E.burst_profile_chunked(eev).count() == 0
+    assert TS.cusum_changepoint_chunked(el).count() == 0
+    assert TS.cusum_changepoint(el).count() == 0
+    assert TS.cusum_changepoint_chunked(ol).count() == 1
+    assert TS.cusum_changepoint(ol).count() == 1
+
+    # novelty card: empty batch -> empty; empty corpus -> all novel
+    assert D.substring_novelty_profile(ed, ed).count() == 0
+    one = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)), "en", "s", 200)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    r = D.substring_novelty_profile(one, ed).collect()[0]
+    assert r["n_seen"] == 0 and r["novelty_frac"] == 1.0
+
+    # GK tail twin on empty docs
+    assert TX.drop_short_tail_approx(ed).count() == 0
+
+    # k-center on an empty corpus and a single vector
+    assert S.kcenter_sample(eemb, k=4).count() == 0
+    onev = spark.createDataFrame(
+        [(7, [1.0, 2.0], "x")],
+        "vec_id long, embedding array<double>, label string")
+    row = S.kcenter_sample(onev, k=4).collect()[0]
+    assert row["center"] == 1 and row["dist2"] == 0.0
