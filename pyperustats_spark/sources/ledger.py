@@ -94,6 +94,14 @@ class CorpusLedger:
         (new.write.mode(mode)
          .bucketBy(self.num_buckets, col)
          .saveAsTable(table))
+        # the write may run on a CLONED session (streaming foreachBatch
+        # hands micro-batch frames a session clone), whose append
+        # invalidates the CLONE's relation cache only — this session's
+        # cached file index would keep serving the pre-append listing
+        # (observed: 61 of 120 keys visible until refresh). Refresh on
+        # OUR session unconditionally; in plain batch use it is a
+        # harmless metadata no-op.
+        self.spark.catalog.refreshTable(table)
 
     # -- read path ------------------------------------------------------
 

@@ -501,6 +501,38 @@ def stream_new_documents(stream_docs: DataFrame, corpus: DataFrame,
     )
 
 
+def stream_append_ledger(stream_docs: DataFrame, ledger,
+                         checkpoint_dir: str):
+    """Sink an arriving document stream into a
+    :class:`~pyperustats_spark.sources.ledger.CorpusLedger` via
+    foreachBatch: each micro-batch folds its distinct content keys and
+    winnowed fingerprints into the bucketed ledger tables, so the
+    release-chain dedup state stays current AS the crawl lands instead
+    of being rebuilt at release time.
+
+    Exactly-once at the ARTIFACT level, stronger than at-least-once
+    delivery needs: the ledger's append path anti-joins new keys
+    against the table before writing, so a replayed micro-batch
+    re-derives keys that are already present and appends nothing —
+    idempotent by construction (the streaming sibling of
+    stream_into_cache, whose latest-wins read achieves the same end
+    for value tables).
+
+    Returns the started StreamingQuery; callers await/stop it."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ledger.append_release(batch_df)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_contaminated_documents(stream_docs: DataFrame,
                                   corpus: DataFrame,
                                   n_tokens: int = 20,

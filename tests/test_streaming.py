@@ -426,7 +426,7 @@ def test_stream_contaminated_documents_matches_batch(
     import os
     from pyperustats_spark.operators import dedup as BD
 
-    docs = tables["documents"].limit(200)
+    docs = tables["documents"].where(F.col("doc_id") < 200)
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
     d = str(tmp_path / "contam_src")
@@ -458,7 +458,7 @@ def test_stream_manifest_quarantine_matches_batch(spark, tables, tmp_path):
 
     from pyperustats_spark.operators import organizer as ORG
 
-    docs = tables["documents"].limit(40)
+    docs = tables["documents"].where(F.col("doc_id") < 40)
     # manifest: everything except one unlisted id; one rotted hash
     ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     unlisted_id, rotted_id = ids[0], ids[1]
@@ -485,3 +485,45 @@ def test_stream_manifest_quarantine_matches_batch(spark, tables, tmp_path):
     assert streamed[unlisted_id] == "unlisted"
     assert streamed[rotted_id] == "corrupt"
     assert sum(1 for s in streamed.values() if s == "ok") == 38
+
+
+def test_stream_append_ledger_matches_batch_build(spark, tables, tmp_path):
+    """Streaming ledger ingest == batch-built ledger on the same docs
+    (replayed across two files to cross micro-batch boundaries), and a
+    replayed batch appends nothing (idempotent at the artifact level)."""
+    import os
+    from pyperustats_spark.operators.dedup import (
+        content_key, winnowed_fingerprints)
+    from pyperustats_spark.sources.ledger import CorpusLedger
+
+    docs = tables["documents"].where(F.col("doc_id") < 120)
+    d = str(tmp_path / "led_src")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    docs.where(F.col("doc_id") <= cut).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=0"))
+    docs.where(F.col("doc_id") > cut).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=1"))
+
+    led = CorpusLedger(spark, "test_stream_ledger", num_buckets=4)
+    led.drop()
+    try:
+        stream = SEV.read_documents_stream(spark, d + "/f=*",
+                                           max_files_per_trigger=1)
+        q = SEV.stream_append_ledger(stream, led,
+                                     str(tmp_path / "ckpt_led"))
+        q.awaitTermination(120)
+        keys = {r["fp"] for r in led.seen_keys().collect()}
+        fps = {r["wh"] for r in led.seen_fingerprints().collect()}
+        expect_keys = {r["fp"] for r in docs.select(
+            content_key().alias("fp")).distinct().collect()}
+        expect_fps = {r["wh"] for r in winnowed_fingerprints(docs)
+                      .select("wh").distinct().collect()}
+        assert keys == expect_keys
+        assert fps == expect_fps
+        # replay: appending the same docs adds nothing
+        led.append_release(docs)
+        assert led.seen_keys().count() == len(expect_keys)
+        assert led.seen_fingerprints().count() == len(expect_fps)
+    finally:
+        led.drop()
