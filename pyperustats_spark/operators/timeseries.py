@@ -562,9 +562,11 @@ def cusum_changepoint(long_df: DataFrame, sort: bool = True) -> DataFrame:
     :func:`cusum_changepoint_chunked` for the depth-skew twin), and
     the winner is a map-side min-struct argmax, not a ranked window.
 
-    One shuffle on the series key; the ordered window is per-code
-    (series length per key, never corpus length) — for mega-series
-    use the chunked twin."""
+    All shuffles are keyed on code (the persisted cents frame feeds
+    the window, the totals groupBy, and the level-mean split — three
+    partial-aggregated code-key exchanges over 16-byte rows, the
+    heavy window one); per-partition rows = series length, never
+    corpus length — for mega-series use the chunked twin."""
     vals = long_df.select("date", "code", _cents().alias("_c")).persist()
     wc = (Window.partitionBy("code").orderBy("date")
           .rowsBetween(Window.unboundedPreceding, 0))
