@@ -567,3 +567,79 @@ def test_chunked_sessionizer_matches_plain_python_model(spark, rows):
                  "event_id", "session_seq").collect()}
     assert plain == model
     assert chunk == model
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # user_id
+        st.integers(min_value=0, max_value=3 * 86_400),   # offset sec
+    ),
+    min_size=1, max_size=40))
+def test_chunked_burst_matches_plain_and_python_model(spark, rows):
+    """burst_profile_chunked == burst_profile == a brute-force Python
+    model on random multi-day event sets (frames straddling midnight
+    and tied seconds reachable)."""
+    import datetime as dt
+
+    from pyperustats_spark.operators.events import (
+        burst_profile, burst_profile_chunked)
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(seconds=off), i, 1.0, "t")
+        for i, (u, off) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, value double,"
+              " event_type string")
+    W = 3600
+    # python model: per user, count events in [t-W, t] (whole seconds)
+    per_user = {}
+    for u, ts, _i, _v, _t in data:
+        per_user.setdefault(u, []).append(int(ts.timestamp()))
+    model = {}
+    for u, secs in per_user.items():
+        mx = max(sum(1 for s2 in secs if t - W <= s2 <= t) for t in secs)
+        model[u] = (mx, len(secs), mx >= 5)
+    plain = {r["user_id"]: (r["max_burst"], r["n_events"], r["is_burst"])
+             for r in burst_profile(ev).collect()}
+    chunk = {r["user_id"]: (r["max_burst"], r["n_events"], r["is_burst"])
+             for r in burst_profile_chunked(ev).collect()}
+    assert plain == model
+    assert chunk == model
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),                       # code
+        st.integers(min_value=0, max_value=1500),          # day offset
+        st.integers(min_value=-10_000, max_value=10_000),  # cents
+    ),
+    min_size=1, max_size=40, unique_by=lambda r: (r[0], r[1])))
+def test_chunked_cusum_matches_plain_rowforrow(spark, rows):
+    """cusum_changepoint_chunked == cusum_changepoint on random
+    multi-year series (chunk boundaries and negative values reachable)
+    — the integer fixed-point statistic makes the equality exact."""
+    import datetime as dt
+
+    from pyperustats_spark.operators.timeseries import (
+        cusum_changepoint, cusum_changepoint_chunked)
+
+    base = dt.datetime(2020, 1, 1)
+    data = [
+        (code, base + dt.timedelta(days=day), cents / 100.0)
+        for code, day, cents in rows
+    ]
+    long_df = spark.createDataFrame(
+        data, "code string, date timestamp, value double")
+    cols = ("code", "n", "change_date", "cusum_stat",
+            "mean_before", "mean_after", "level_shift")
+    plain = sorted(tuple(r[c] for c in cols)
+                   for r in cusum_changepoint(long_df).collect())
+    chunk = sorted(tuple(r[c] for c in cols)
+                   for r in cusum_changepoint_chunked(long_df).collect())
+    assert plain == chunk
