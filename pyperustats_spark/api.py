@@ -464,11 +464,12 @@ class DocumentPipeline:
         return cache
 
 
-def incremental_release(batch: DataFrame, corpus: DataFrame,
+def incremental_release(batch: DataFrame, corpus: DataFrame | None,
                         eval_df: DataFrame, val_pct: int = 10,
                         min_score: float = 0.75, ngram_n: int = 5,
                         prefix_chars: int | None = None,
-                        sort: bool = True) -> DataFrame:
+                        sort: bool = True,
+                        corpus_keys: DataFrame | None = None) -> DataFrame:
     """The full recurring-release chain as ONE lazy Catalyst plan —
     the dress-rehearsal composition a pretraining corpus runs per
     crawl batch (the reference's fetch→download→organize chaining,
@@ -507,11 +508,21 @@ def incremental_release(batch: DataFrame, corpus: DataFrame,
       content group by construction).
 
     Net: 7 executed exchanges at any scale (plan-asserted in
-    tests/test_plans.py), zero interior global sorts, zero Python."""
+    tests/test_plans.py), zero interior global sorts, zero Python.
+
+    Pass *corpus_keys* — a pre-distinct (fp) frame, e.g.
+    ``CorpusLedger.seen_keys()`` — instead of *corpus* to skip the
+    released corpus' text scan AND its distinct shuffle entirely: the
+    anti-join then zips ledger buckets with zero corpus-side exchange
+    (row-for-row equal, pinned in tests/test_ledger.py)."""
+    if (corpus is None) == (corpus_keys is None):
+        raise ValueError("pass exactly one of corpus / corpus_keys")
     key = _dedup.content_key(prefix_chars)
     from pyspark.sql import Window
 
-    seen = corpus.select(key.alias("_fp")).distinct()
+    seen = (corpus_keys.select(F.col(corpus_keys.columns[0]).alias("_fp"))
+            if corpus_keys is not None
+            else corpus.select(key.alias("_fp")).distinct())
     b = batch.withColumn("_fp", key)
     fresh = b.join(seen, "_fp", "left_anti")
     w = Window.partitionBy("_fp").orderBy("doc_id")

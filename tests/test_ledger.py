@@ -77,6 +77,33 @@ def test_ledger_novelty_equals_rescan(spark, ledger, split_docs):
     assert any(r[2] > 0 for r in got)
 
 
+def test_ledger_backed_release_chain_equals_corpus_form(spark, ledger,
+                                                        split_docs):
+    """incremental_release(corpus_keys=ledger.seen_keys()) must equal
+    the corpus-DataFrame form row-for-row, with no more exchanges."""
+    import pyperustats_spark.plans as P
+    from pyperustats_spark.api import incremental_release
+    rel_a, rel_b, batch = split_docs
+    corpus = rel_a.unionByName(rel_b)
+    eval_df = batch.limit(0)  # empty eval set: decontamination no-op
+    expect = sorted(map(tuple, incremental_release(
+        batch, corpus, eval_df).collect()))
+    got = sorted(map(tuple, incremental_release(
+        batch, None, eval_df,
+        corpus_keys=ledger.seen_keys()).collect()))
+    assert got == expect and len(got) > 0
+    led_n = P.count_exchanges(incremental_release(
+        batch, None, eval_df, corpus_keys=ledger.seen_keys(),
+        sort=False))
+    raw_n = P.count_exchanges(incremental_release(
+        batch, corpus, eval_df, sort=False))
+    assert led_n <= raw_n, (led_n, raw_n)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        incremental_release(batch, corpus, eval_df,
+                            corpus_keys=ledger.seen_keys())
+
+
 def test_ledger_dedup_single_batch_side_exchange(spark, ledger,
                                                  split_docs):
     """The recurring join's contract: ONE exchange total (the batch
