@@ -1170,6 +1170,40 @@ def text_pmi_collocations(spark, sf_dir):
                               min_count=5, k=20)
 
 
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-fertility card per (lang, source): chars/bytes per
+    token — all-bigint sums, raw int/int ratios."""
+    return T.tokenizer_fertility(_lt(spark, sf_dir, "documents"))
+
+
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail perplexity terciles
+    over the corpus's own unigram LM (histogram-rank tiles, no
+    per-lang global window)."""
+    return T.perplexity_buckets(_lt(spark, sf_dir, "documents"),
+                                k=0.5, n_buckets=3)
+
+
+def text_quality_logit(spark, sf_dir):
+    """Frozen linear quality classifier: integer basis-point features
+    x micro-unit weights -> exact bigint margin, keep = margin >= 0."""
+    return T.quality_logit(_lt(spark, sf_dir, "documents"))
+
+
+def text_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve over 10 equal-count
+    ingestion-order checkpoints (histogram_ntile tiles)."""
+    return T.heaps_curve(_lt(spark, sf_dir, "documents"), checkpoints=10)
+
+
+def text_dsir_sample(spark, sf_dir):
+    """DSIR importance sampling toward the lang='en' target slice:
+    hashed-unigram log-ratio importance, top-200 docs."""
+    return T.dsir_importance_sample(_lt(spark, sf_dir, "documents"),
+                                    target_lang="en", n_feat=1024,
+                                    top=200)
+
+
 def ts_bollinger_bands(spark, sf_dir):
     """20-day Bollinger bands per series — integer-cents window sums,
     correctly-rounded sqrt sigma, raw band doubles."""
@@ -2393,6 +2427,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": text_bigram_logprob,
         "text_pmi_collocations": text_pmi_collocations,
         "text_temperature_mixture": text_temperature_mixture,
+        "text_tokenizer_fertility": text_tokenizer_fertility,
+        "text_perplexity_buckets": text_perplexity_buckets,
+        "text_quality_logit": text_quality_logit,
+        "text_heaps_curve": text_heaps_curve,
+        "text_dsir_sample": text_dsir_sample,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
@@ -2616,38 +2655,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The driver-verified 50-slot window (round-9 rotation): exactly the
 # 50 entries the driver checks — no trailing names beyond slot 50
 # (VERDICT r8 / ADVICE low item). Two rotation inputs this round:
-# (a) the 10 round-9 NEW or semantics-changed oracles lead (twins,
-#     the html-listing round trip, the fixed-point CUSUM + grid-exact
-#     bollinger + decimal HHI + 8-hex tmix + argmin keep_best oracle
-#     rewrites, and the two structurally-rewritten plans whose
-#     oracles are unchanged) — none has a driver countersign in its
-#     current form;
+# (a) the 16 round-9 NEW or semantics-changed oracles lead (the five
+#     late-round-9 text ops — fertility, CCNet buckets, quality
+#     logit, Heaps curve, DSIR — plus the twins, the novelty card,
+#     the html-listing round trip, and the fixed-point CUSUM +
+#     grid-exact bollinger + decimal HHI + 8-hex tmix + argmin
+#     keep_best oracle rewrites and the two structurally-rewritten
+#     plans) — none has a driver countersign in its current form;
 # (b) then the OLDEST-countersigned oracles (VERDICT r8 item 1) —
 #     last driver-verified r1/r3/r4, before the r6-r8 rewrites —
 #     computed from CORRECTNESS_r0*.json latest-green rounds, sorted
-#     (round, key); 40 fit this round.
+#     (round, key); 34 fit this round (tools/rotate_window.py
+#     recomputes this mechanically).
 # Everything displaced moves behind the window; the local parity gate
 # (tools/parity.py, tests/test_oracle_parity.py) still value-checks
-# all oracle-backed queries every run. Queued for r10: the remaining
-# 19 r4-era keys (stream_sessionize, stream_tumbling_window,
-# text_fingerprint, text_lang_id, text_ngram_topk, text_pii_scrub,
-# text_quality_score, text_token_count, ts_asof_join,
-# ts_date_parse_multi, ts_gap_fill, ts_interpolate_linear,
-# ts_lag_pct_change, ts_moving_avg, ts_pivot_wide, ts_resample_monthly,
-# ts_running_total, ts_unpivot_long, ts_yoy_growth) + the oldest r5
-# cohort.
+# all oracle-backed queries every run. Queued for r10: q6_revenue_delta,
+# q_market_share, q_sales_rollup, q_top_customers, stats_profile,
+# stream_dedup_replay + the remaining 19 r4-era keys
+# (stream_sessionize, stream_tumbling_window, text_fingerprint,
+# text_lang_id, text_ngram_topk, text_pii_scrub, text_quality_score,
+# text_token_count, ts_asof_join, ts_date_parse_multi, ts_gap_fill,
+# ts_interpolate_linear, ts_lag_pct_change, ts_moving_avg,
+# ts_pivot_wide, ts_resample_monthly, ts_running_total,
+# ts_unpivot_long, ts_yoy_growth) + the oldest r5 cohort.
 _WINDOW = [
-    # round-9 new / semantics-changed oracles (never countersigned in
+    # round-9 new operators (never countersigned)
+    "text_tokenizer_fertility", "text_perplexity_buckets",
+    "text_quality_logit", "text_heaps_curve", "text_dsir_sample",
+    "dedup_substring_novelty", "ev_burst_skew", "inei_module_listing",
+    "ts_cusum_skew",
+    # round-9 semantics-changed oracles (never countersigned in
     # current form)
-    "ts_cusum_changepoint", "ts_cusum_skew", "ev_burst_skew",
-    "inei_module_listing", "ts_bollinger_bands", "q_supplier_hhi",
+    "ts_cusum_changepoint", "ts_bollinger_bands", "q_supplier_hhi",
     "text_temperature_mixture", "dedup_keep_best",
     "dedup_jaccard_prefix", "graph_part_communities",
     # r1/r3-era countersigns (oldest 9)
     "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
     "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
     "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
-    # r4-era countersigns (31 of 50; remaining 19 queued for r10)
+    # r4-era countersigns (25 of 50; remaining 25 queued for r10)
     "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
     "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
@@ -2657,9 +2703,7 @@ _WINDOW = [
     "infogob_pending_requests", "knn_bruteforce_cosine", "mef_filter_rows",
     "org_content_dedup_map", "org_inventory_by_group", "org_slugify_rename",
     "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_delta", "q_market_share",
-    "q_sales_rollup", "q_top_customers", "stats_profile",
-    "stream_dedup_replay",
+    "q5_local_supplier_volume",
 ]
 
 
@@ -5048,6 +5092,203 @@ def oracle_sql() -> dict[str, str]:
         FROM c2 JOIN c1 ca ON c2.w1 = ca.w
                 JOIN c1 cb ON c2.w2 = cb.w, n, b
         ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """
+
+    # fertility card: all-bigint sums (strlen = UTF-8 bytes), raw
+    # int/int ratios (bit-identical IEEE division, the oov_rate rule)
+    sql["text_tokenizer_fertility"] = f"""
+        WITH agg AS (
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+            FROM documents GROUP BY lang, source
+        )
+        SELECT lang, source, n_docs, n_tokens, n_chars, n_bytes,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_chars AS DOUBLE) / n_tokens
+               END AS chars_per_token,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_bytes AS DOUBLE) / n_tokens
+               END AS bytes_per_token,
+               CASE WHEN n_chars > 0
+                    THEN CAST(n_bytes AS DOUBLE) / n_chars
+               END AS bytes_per_char,
+               CAST(n_tokens AS DOUBLE) / n_docs AS tokens_per_doc
+        FROM agg ORDER BY lang, source
+    """
+
+    # CCNet terciles: avg_logprob bits from the unigram grid recipe;
+    # the plain per-lang row_number here equals the Spark side's
+    # histogram-rank decomposition by construction (floor(score*16)
+    # is monotone in score); tile math is integer division
+    sql["text_perplexity_buckets"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest({_TOKENS}) AS token
+            FROM documents
+        ),
+        uni AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY token
+        ),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM uni
+        ),
+        per AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(round(ln((u.c + 0.5) / (tot.n + 0.5 * tot.v)),
+                                   6)), 6) AS slp
+            FROM toks t JOIN uni u USING (token), tot
+            GROUP BY t.doc_id, t.lang
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_tokens, slp / n_tokens AS avg_logprob,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY slp / n_tokens DESC, doc_id) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+            FROM per
+        )
+        SELECT doc_id, lang, n_tokens, avg_logprob,
+               CAST(1 + (3 * (rnk - 1)) // nl AS BIGINT) AS bucket,
+               CASE 1 + (3 * (rnk - 1)) // nl
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM ranked ORDER BY doc_id
+    """
+
+    # frozen linear scorer: every feature integer floor-division
+    # fixed-point, margin exact bigint -> no double anywhere
+    sql["text_quality_logit"] = f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform({_TOKENS},
+                        x -> length(x))) AS BIGINT) AS char_sum,
+                   CAST({_sw_hits("en")} AS BIGINT) AS sw_hits,
+                   CAST(length(text) AS BIGINT) AS nc,
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS pc,
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[0-9]', '', 'g')) AS BIGINT) AS dc
+            FROM documents
+        ),
+        fx AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens > 0
+                        THEN (100 * char_sum) // n_tokens
+                        ELSE 0 END AS mwl_c,
+                   (10000 * pc) // greatest(nc, 1) AS punct_bp,
+                   (10000 * dc) // greatest(nc, 1) AS digit_bp,
+                   CASE WHEN n_tokens > 0
+                        THEN (10000 * sw_hits) // n_tokens
+                        ELSE 0 END AS sw_bp
+            FROM feat
+        )
+        SELECT doc_id, n_tokens,
+               CAST(mwl_c AS BIGINT) AS mwl_c,
+               CAST(punct_bp AS BIGINT) AS punct_bp,
+               CAST(digit_bp AS BIGINT) AS digit_bp,
+               CAST(sw_bp AS BIGINT) AS sw_bp,
+               CAST(-500000 + 150 * least(n_tokens, 2000)
+                    + 800 * least(sw_bp, 3000)
+                    - 900 * punct_bp - 700 * digit_bp
+                    + CASE WHEN mwl_c BETWEEN 200 AND 1200
+                           THEN 400000 ELSE 0 END AS BIGINT)
+                   AS margin_micro,
+               (-500000 + 150 * least(n_tokens, 2000)
+                    + 800 * least(sw_bp, 3000)
+                    - 900 * punct_bp - 700 * digit_bp
+                    + CASE WHEN mwl_c BETWEEN 200 AND 1200
+                           THEN 400000 ELSE 0 END) >= 0 AS keep
+        FROM fx ORDER BY doc_id
+    """
+
+    # Heaps curve: SQL ntile == histogram_ntile's integer tile math;
+    # window sums CAST from HUGEINT; ln on identical bigints -> grid
+    sql["text_heaps_curve"] = f"""
+        WITH tiled AS (
+            SELECT doc_id, text,
+                   ntile(10) OVER (ORDER BY doc_id) AS tile
+            FROM documents
+        ),
+        toks AS (SELECT tile, unnest({_TOKENS}) AS token FROM tiled),
+        docs_per AS (
+            SELECT tile, CAST(count(*) AS BIGINT) AS docs
+            FROM tiled GROUP BY tile
+        ),
+        occ_per AS (
+            SELECT tile, CAST(count(*) AS BIGINT) AS occ
+            FROM toks GROUP BY tile
+        ),
+        firstt AS (SELECT token, min(tile) AS tile FROM toks GROUP BY token),
+        new_per AS (
+            SELECT tile, CAST(count(*) AS BIGINT) AS newv
+            FROM firstt GROUP BY tile
+        ),
+        cur AS (
+            SELECT d.tile,
+                   CAST(sum(d.docs) OVER w AS BIGINT) AS n_docs,
+                   CAST(sum(coalesce(o.occ, 0)) OVER w AS BIGINT)
+                       AS n_tokens,
+                   CAST(sum(coalesce(nv.newv, 0)) OVER w AS BIGINT)
+                       AS vocab
+            FROM docs_per d
+            LEFT JOIN occ_per o USING (tile)
+            LEFT JOIN new_per nv USING (tile)
+            WINDOW w AS (ORDER BY d.tile
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT CAST(tile AS BIGINT) AS checkpoint, n_docs, n_tokens,
+               vocab,
+               CASE WHEN n_tokens > 0
+                    THEN round(ln(n_tokens), 6) END AS ln_tokens,
+               CASE WHEN vocab > 0
+                    THEN round(ln(vocab), 6) END AS ln_vocab
+        FROM cur ORDER BY checkpoint
+    """
+
+    # DSIR: md5 bucket exact cross-engine; the two-ln difference
+    # stays on the 1e-6 grid, per-doc sum rounded back, mean raw
+    sql["text_dsir_sample"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substring(md5(token), 1, 8) AS BIGINT)
+                       % 1024 AS b
+            FROM (SELECT doc_id, lang, unnest({_TOKENS}) AS token
+                  FROM documents)
+        ),
+        raw AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS cr,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ct
+            FROM toks GROUP BY b
+        ),
+        tot AS (
+            SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(ct) AS BIGINT) AS nt
+            FROM raw
+        ),
+        w AS (
+            SELECT b,
+                   round(ln((ct + 0.5) / (nt + 0.5 * 1024)), 6)
+                   - round(ln((cr + 0.5) / (nr + 0.5 * 1024)), 6) AS w
+            FROM raw, tot
+        ),
+        per AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(w.w), 6) AS slr
+            FROM toks t JOIN w USING (b)
+            GROUP BY t.doc_id, t.lang
+        )
+        SELECT doc_id, lang, n_tokens, slr / n_tokens AS importance
+        FROM per ORDER BY importance DESC, doc_id LIMIT 200
     """
 
     # tfidf_top_terms top=3: idf rounded to the 1e-6 grid so tf*idf is

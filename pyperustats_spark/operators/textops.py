@@ -1355,3 +1355,315 @@ def temperature_mixture_sample(documents: DataFrame,
         .select("doc_id", "source", "doc_tokens")
     )
     return out.orderBy("doc_id") if sort else out
+
+
+def tokenizer_fertility(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Tokenizer-fertility / compression card per (lang, source): how
+    many characters and UTF-8 bytes one token "costs" in each corpus
+    slice — the standard pre-tokenizer audit before budgeting a
+    multilingual mixture (a slice whose bytes-per-token is 2× the
+    corpus mean eats 2× the storage/compute per training token).
+
+    All bigint sums in one partial-aggregated shuffle over a bounded
+    (lang, source) key space; the ratios are raw int/int divisions
+    (IEEE division of identical ints is bit-identical cross-engine —
+    the oov_rate rule, CLAUDE.md)."""
+    base = documents.select(
+        "lang", "source",
+        F.length("text").cast("bigint").alias("_chars"),
+        F.octet_length("text").cast("bigint").alias("_bytes"),
+        token_count(F.col("text")).cast("bigint").alias("_toks"),
+    )
+    out = base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_toks").cast("bigint").alias("n_tokens"),
+        F.sum("_chars").cast("bigint").alias("n_chars"),
+        F.sum("_bytes").cast("bigint").alias("n_bytes"),
+    ).select(
+        "lang", "source", "n_docs", "n_tokens", "n_chars", "n_bytes",
+        F.try_divide(F.col("n_chars"), F.col("n_tokens"))
+        .alias("chars_per_token"),
+        F.try_divide(F.col("n_bytes"), F.col("n_tokens"))
+        .alias("bytes_per_token"),
+        F.try_divide(F.col("n_bytes"), F.col("n_chars"))
+        .alias("bytes_per_char"),
+        F.try_divide(F.col("n_tokens"), F.col("n_docs"))
+        .alias("tokens_per_doc"),
+    )
+    return out.orderBy("lang", "source") if sort else out
+
+
+def perplexity_buckets(documents: DataFrame, k: float = 0.5,
+                       n_buckets: int = 3,
+                       sort: bool = True) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every doc
+    by mean unigram log-prob under the corpus's own add-k model (the
+    :func:`unigram_logprob` recipe), then split each language into
+    *n_buckets* equal-count tiles by score — head (most fluent),
+    middle, tail. CCNet keeps head+middle per language and drops the
+    tail; downstream mixture ops consume the bucket label.
+
+    Docs with zero tokens are excluded (they have no perplexity).
+
+    Scale: the per-lang rank is NOT a per-lang global window (a
+    language is a data-sized group — the GROUP_SIZE_WINDOW straggler
+    class). Rank = row_number within (lang, score-bucket) + the
+    broadcast prefix count of better buckets in the same lang — the
+    histogram_rank decomposition with a compound bucket; the bucket
+    alphabet is bounded (score is a mean log-prob, floor(score·16)
+    spans a few hundred cells), so the side table is never data-sized
+    and the largest single task is one (lang, cell).
+
+    Cross-engine: avg_logprob bits are identical by the ln-grid
+    recipe; tiles are integer math on (rank, n) with (score DESC,
+    doc_id) a total order; the oracle uses the plain per-lang
+    row_number formulation — same rank by construction."""
+    toks = documents.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    totals = uni.agg(
+        F.sum("_c").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("_v"))
+    lp = F.round(
+        F.log((F.col("_c") + F.lit(k))
+              / (F.col("_n") + F.lit(k) * F.col("_v"))), 6)
+    per = (
+        toks.join(uni, "token")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum(lp), 6).alias("_slp"),
+        )
+        .withColumn("avg_logprob",
+                    F.try_divide(F.col("_slp"), F.col("n_tokens")))
+    )
+    # negate the cell index so ascending cell order == descending score
+    scored = per.withColumn(
+        "_vb", (-F.floor(F.col("avg_logprob") * 16)).cast("bigint"))
+    counts = scored.groupBy("lang", "_vb").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    ws = Window.partitionBy("lang").orderBy("_vb")
+    side = counts.select(
+        "lang", "_vb",
+        F.coalesce(
+            F.sum("_cnt").over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(
+            ws.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)).alias("_nl"),
+    )
+    wp = Window.partitionBy("lang", "_vb").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id"))
+    ranked = (
+        scored.withColumn("_pos", F.row_number().over(wp))
+        .join(F.broadcast(side), ["lang", "_vb"])
+        .withColumn("_rnk", F.col("_off") + F.col("_pos"))
+    )
+    idx = (F.lit(1) + F.expr(
+        f"({n_buckets} * (_rnk - 1)) div _nl")).cast("bigint")
+    label = (
+        F.when(F.lit(n_buckets) == 3,
+               F.element_at(F.array(F.lit("head"), F.lit("middle"),
+                                    F.lit("tail")), idx.cast("int")))
+        .otherwise(F.concat(F.lit("b"), idx.cast("string")))
+    )
+    out = ranked.select(
+        "doc_id", "lang", "n_tokens", "avg_logprob",
+        idx.alias("bucket"), label.alias("ppl_bucket"))
+    return out.orderBy("doc_id") if sort else out
+
+
+def quality_logit(documents: DataFrame,
+                  sort: bool = True) -> DataFrame:
+    """Frozen linear quality classifier (the fastText-style scoring
+    step of a pretraining filter, run with pinned weights): integer
+    basis-point features × integer micro-unit weights → an exact
+    bigint margin, keep = margin ≥ 0. Where :func:`quality_score` is
+    a 4-rule checklist, this is the weighted-margin form a trained
+    linear model produces — the weights here are frozen illustrative
+    values calibrated on the synthetic corpus (a real deployment
+    swaps in its trained vector; the plumbing — feature extraction,
+    fixed-point margin, thresholding — is the operator).
+
+    Every feature is integer floor-division fixed-point (mean word
+    length in centi-chars, punct/digit/stopword rates in basis
+    points), so the margin is exact bigint arithmetic — bit-identical
+    cross-engine at any scale, no double midpoints anywhere. One
+    row-local projection inside whole-stage codegen; zero shuffles."""
+    def feats(toks):
+        n_toks = F.size(toks).cast("bigint")
+        char_sum = F.aggregate(toks, F.lit(0).cast("bigint"),
+                               lambda acc, t: acc + F.length(t))
+        sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        hits = F.size(F.filter(
+            toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+        return F.struct(
+            n_toks.alias("n_tokens"),
+            char_sum.alias("char_sum"),
+            hits.alias("sw_hits"),
+        )
+
+    n_chars = F.length("text").cast("bigint")
+    punct_chars = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    ).cast("bigint")
+    digit_chars = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
+    ).cast("bigint")
+    base = documents.select(
+        "doc_id",
+        let(tokens(F.col("text")), feats).alias("f"),
+        n_chars.alias("_nc"),
+        punct_chars.alias("_pc"),
+        digit_chars.alias("_dc"),
+    ).select(
+        "doc_id",
+        F.col("f.n_tokens").alias("n_tokens"),
+        F.when(F.col("f.n_tokens") > 0,
+               F.expr("(100 * f.char_sum) div f.n_tokens"))
+        .otherwise(F.lit(0)).cast("bigint").alias("mwl_c"),
+        F.expr("(10000 * _pc) div greatest(_nc, 1)")
+        .cast("bigint").alias("punct_bp"),
+        F.expr("(10000 * _dc) div greatest(_nc, 1)")
+        .cast("bigint").alias("digit_bp"),
+        F.when(F.col("f.n_tokens") > 0,
+               F.expr("(10000 * f.sw_hits) div f.n_tokens"))
+        .otherwise(F.lit(0)).cast("bigint").alias("sw_bp"),
+    )
+    margin = (
+        F.lit(-500_000).cast("bigint")
+        + F.lit(150) * F.least(F.col("n_tokens"), F.lit(2000))
+        + F.lit(800) * F.least(F.col("sw_bp"), F.lit(3000))
+        - F.lit(900) * F.col("punct_bp")
+        - F.lit(700) * F.col("digit_bp")
+        + F.when((F.col("mwl_c") >= 200) & (F.col("mwl_c") <= 1200),
+                 F.lit(400_000)).otherwise(F.lit(0))
+    ).cast("bigint")
+    out = base.select(
+        "doc_id", "n_tokens", "mwl_c", "punct_bp", "digit_bp", "sw_bp",
+        margin.alias("margin_micro"),
+        (margin >= 0).alias("keep"),
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def heaps_curve(documents: DataFrame, checkpoints: int = 10,
+                sort: bool = True) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: split the corpus into
+    *checkpoints* equal-count prefixes in ingestion (doc_id) order and
+    report, at each checkpoint, cumulative docs, cumulative token
+    occurrences N, cumulative distinct vocabulary V, plus grid-rounded
+    ln(N) and ln(V) ready for an OLS fit of Heaps' V ≈ k·N^β (compose
+    with ts_ols_trend on (ln_tokens, ln_vocab); β ≈ 0.4-0.6 for
+    natural language — a β near 1 flags ID-like/gibberish token
+    streams, near 0 flags templated text).
+
+    Scale: tile assignment is layout.histogram_ntile over doc_id (no
+    partition-less rank window); V per tile is "tokens whose FIRST
+    tile is t" — one min-aggregate over the (token) shuffle — so the
+    cumulative curve is a window over *checkpoints* rows, never data.
+    Oracle: ntile(k) OVER (ORDER BY doc_id) is the exact same integer
+    tile math (histogram_ntile's contract); ln values land on the
+    1e-6 grid in both engines."""
+    from pyperustats_spark.operators.layout import histogram_ntile
+
+    tiled = histogram_ntile(
+        documents.select("doc_id", "text"),
+        F.col("doc_id"), [F.col("doc_id")], checkpoints,
+        out_col="_tile")
+    toks = tiled.select(
+        "_tile", F.explode(tokens(F.col("text"))).alias("token"))
+    docs_per = tiled.groupBy("_tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_docs"))
+    occ_per = toks.groupBy("_tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_occ"))
+    first = toks.groupBy("token").agg(F.min("_tile").alias("_tile"))
+    new_per = first.groupBy("_tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_new"))
+    wc = Window.orderBy("_tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    out = (
+        docs_per.join(occ_per, "_tile", "left")
+        .join(new_per, "_tile", "left")
+        .select(
+            F.col("_tile").cast("bigint").alias("checkpoint"),
+            F.sum("_docs").over(wc).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_occ"), F.lit(0)))
+            .over(wc).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_new"), F.lit(0)))
+            .over(wc).cast("bigint").alias("vocab"),
+        )
+        .select(
+            "checkpoint", "n_docs", "n_tokens", "vocab",
+            F.when(F.col("n_tokens") > 0,
+                   F.round(F.log("n_tokens"), 6)).alias("ln_tokens"),
+            F.when(F.col("vocab") > 0,
+                   F.round(F.log("vocab"), 6)).alias("ln_vocab"),
+        )
+    )
+    return out.orderBy("checkpoint") if sort else out
+
+
+def dsir_importance_sample(documents: DataFrame, target_lang: str = "en",
+                           n_feat: int = 1024, k: float = 0.5,
+                           top: int = 200) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its hashed-unigram features are under a TARGET slice's
+    bag-of-words distribution than under the RAW corpus distribution,
+    and keep the top scorers. Here the target slice is
+    ``lang = target_lang`` (a real pipeline points it at a trusted
+    high-quality subset); features are md5-hashed unigrams in
+    *n_feat* buckets, per-bucket weight
+    w[b] = ln p̂_target(b) − ln p̂_raw(b) (add-k smoothed), per-doc
+    importance = mean token weight, selection = top-*top* by
+    (importance DESC, doc_id).
+
+    Scale: both distributions are ONE token→bucket count shuffle off
+    the same exploded frame; the weight table is n_feat rows —
+    broadcast back, so scoring is a map-side join; top-k is the
+    standard funnel. Cross-engine: the md5 bucket is exact; each
+    ln is grid-rounded and the two-ln difference stays on the grid,
+    the per-doc sum is rounded back (fp error ≪ grid), the mean
+    divides the grid value by the int count raw (unigram_logprob
+    recipe)."""
+    toks = documents.select(
+        "doc_id", "lang",
+        F.explode(tokens(F.col("text"))).alias("token"),
+    ).withColumn(
+        "_b",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("bigint") % n_feat)
+    raw = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cr"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+        .cast("bigint").alias("_ct"),
+    )
+    tot = raw.agg(
+        F.sum("_cr").cast("bigint").alias("_nr"),
+        F.sum("_ct").cast("bigint").alias("_nt"))
+    w = raw.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (F.round(F.log((F.col("_ct") + F.lit(k))
+                       / (F.col("_nt") + F.lit(k) * F.lit(n_feat))), 6)
+         - F.round(F.log((F.col("_cr") + F.lit(k))
+                         / (F.col("_nr") + F.lit(k) * F.lit(n_feat))), 6)
+         ).alias("_w"),
+    )
+    per = (
+        toks.join(F.broadcast(w), "_b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("_w"), 6).alias("sum_logratio"),
+        )
+        .withColumn("importance",
+                    F.try_divide(F.col("sum_logratio"),
+                                 F.col("n_tokens")))
+    )
+    return (per.select("doc_id", "lang", "n_tokens", "importance")
+            .orderBy(F.desc("importance"), "doc_id").limit(top))

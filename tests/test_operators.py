@@ -4412,3 +4412,120 @@ def test_paragraph_dedup_incremental_corpus_wins(spark):
     # doc 3: 'brand new' already used by doc 1 (batch-internal first
     # occurrence wins); 'another one' kept
     assert out[3]["n_dropped"] == 1 and out[3]["text_clean"] == "another one"
+
+
+def test_quality_logit_matches_python_model(spark):
+    import re
+    from pyperustats_spark.operators.textops import quality_logit
+    docs = [
+        (1, "The cat and the dog went to the market in the morning."),
+        (2, "!!! ??? ... ;;; ::: @@@ ###"),
+        (3, "a1 b2 c3 1234 5678 90 42 7 999 000"),
+        (4, ""),
+        (5, "word " * 50),
+    ]
+    out = {r["doc_id"]: r for r in quality_logit(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    sw = {"the", "and", "of", "to", "in", "is", "that", "for",
+          "with", "was"}
+    for doc_id, text in docs:
+        toks = re.findall(r"[a-z0-9_']+", text.lower())
+        nt = len(toks)
+        cs = sum(len(t) for t in toks)
+        nc = len(text)
+        pc = nc - len(re.sub(r"[^\w\s]", "", text))
+        dc = nc - len(re.sub(r"[0-9]", "", text))
+        swh = sum(1 for t in toks if t in sw)
+        mwl_c = (100 * cs) // nt if nt else 0
+        punct_bp = (10000 * pc) // max(nc, 1)
+        digit_bp = (10000 * dc) // max(nc, 1)
+        sw_bp = (10000 * swh) // nt if nt else 0
+        margin = (-500_000 + 150 * min(nt, 2000) + 800 * min(sw_bp, 3000)
+                  - 900 * punct_bp - 700 * digit_bp
+                  + (400_000 if 200 <= mwl_c <= 1200 else 0))
+        r = out[doc_id]
+        assert (r["mwl_c"], r["punct_bp"], r["digit_bp"], r["sw_bp"]) == \
+            (mwl_c, punct_bp, digit_bp, sw_bp), doc_id
+        assert r["margin_micro"] == margin and r["keep"] == (margin >= 0)
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark, tables):
+    from pyperustats_spark.operators.textops import perplexity_buckets
+    out = perplexity_buckets(tables["documents"]).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rows in by_lang.items():
+        sizes = {}
+        for r in rows:
+            sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        # equal-count tiles: sizes differ by at most 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, lang
+        # head scores at least as fluent as tail
+        head = [r["avg_logprob"] for r in rows if r["bucket"] == 1]
+        tail = [r["avg_logprob"] for r in rows if r["bucket"] == 3]
+        if head and tail:
+            assert min(head) >= max(tail), lang
+
+
+def test_heaps_curve_monotone_and_totals(spark, tables):
+    from pyperustats_spark.functions.text import tokens
+    from pyperustats_spark.operators.textops import heaps_curve
+    docs = tables["documents"]
+    rows = heaps_curve(docs).collect()
+    assert [r["checkpoint"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] >= a["n_docs"]
+        assert b["n_tokens"] >= a["n_tokens"]
+        assert b["vocab"] >= a["vocab"]
+    exploded = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    assert rows[-1]["n_docs"] == docs.count()
+    assert rows[-1]["n_tokens"] == exploded.count()
+    assert rows[-1]["vocab"] == exploded.distinct().count()
+
+
+def test_tokenizer_fertility_totals(spark, tables):
+    from pyperustats_spark.functions.text import token_count
+    from pyperustats_spark.operators.textops import tokenizer_fertility
+    docs = tables["documents"]
+    rows = tokenizer_fertility(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    total_toks = docs.select(
+        F.sum(token_count(F.col("text")))).first()[0]
+    assert sum(r["n_tokens"] for r in rows) == total_toks
+    for r in rows:
+        if r["n_tokens"]:
+            assert r["chars_per_token"] == r["n_chars"] / r["n_tokens"]
+            # UTF-8 is at least one byte per char
+            assert r["n_bytes"] >= r["n_chars"]
+
+
+def test_dsir_prefers_target_language_tokens(spark):
+    from pyperustats_spark.operators.textops import dsir_importance_sample
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en", "s") for i in range(6)]
+        + [(10 + i, "zug bahn strasse haus", "de", "s") for i in range(6)]
+        + [(20, "alpha beta zug bahn", "de", "s")],
+        ["doc_id", "text", "lang", "source"])
+    out = dsir_importance_sample(docs, target_lang="en", n_feat=64,
+                                 top=20).collect()
+    imp = {r["doc_id"]: r["importance"] for r in out}
+    # pure target-token docs outrank pure non-target docs; the mixed
+    # doc sits strictly between
+    assert min(imp[i] for i in range(6)) > imp[20]
+    assert imp[20] > max(imp[10 + i] for i in range(6))
+    # ranked presentation: importance non-increasing
+    vals = [r["importance"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_round9_text_ops_survive_empty_corpus(spark):
+    from pyperustats_spark.operators import textops as TX
+    ed = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string")
+    assert TX.tokenizer_fertility(ed).count() == 0
+    assert TX.perplexity_buckets(ed).count() == 0
+    assert TX.quality_logit(ed).count() == 0
+    assert TX.heaps_curve(ed).count() == 0
+    assert TX.dsir_importance_sample(ed).count() == 0

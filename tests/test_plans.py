@@ -153,6 +153,16 @@ BROADCAST_HINT_WHITELIST = {
     "q_customer_migration",       # two histogram-ntile prefix tables
     "q_cohort_ltv",               # cohort-size table (month-range
                                   # bounded)
+    "text_perplexity_buckets",    # 1-row (N, V) corpus totals + the
+                                  # (lang x score-cell) prefix table
+                                  # (score is a mean log-prob: the
+                                  # cell alphabet spans a few hundred
+                                  # values, never data-sized)
+    "text_heaps_curve",           # histogram_ntile prefix table
+                                  # (doc_id bucket space, <= 2^bits)
+    "text_dsir_sample",           # 1-row (Nr, Nt) totals + the
+                                  # n_feat-row bucket-weight table
+                                  # (fixed hash alphabet)
 }
 
 
@@ -577,6 +587,21 @@ PLAN_SMELL_WHITELIST = {
     "text_drop_short_tail": {"GROUP_SIZE_WINDOW"},   # lang (~4 values)
     "ts_seasonal_strength": {"GROUP_SIZE_WINDOW"},   # per (code, month)
     "ts_decompose": {"GROUP_SIZE_WINDOW"},           # per (code, month)
+    "text_perplexity_buckets": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
+                                                # totals (unigram class)
+                                                # + prefix window over
+                                                # the (lang × score-
+                                                # cell) count table only
+    "text_heaps_curve": {"BNLJ", "SINGLE_PART"},  # histogram_ntile
+                                                # prefix window (bucket-
+                                                # space side table) +
+                                                # the cumulative curve
+                                                # window over exactly
+                                                # `checkpoints` rows
+    "text_dsir_sample": {"BNLJ", "SINGLE_PART"},  # 1-row (Nr, Nt)
+                                                # totals cross-joined
+                                                # into the n_feat-row
+                                                # weight table
 }
 
 
