@@ -1204,6 +1204,27 @@ def text_dsir_sample(spark, sf_dir):
                                     top=200)
 
 
+def ev_user_entropy(spark, sf_dir):
+    """Per-user event-type Shannon entropy + evenness (integer
+    micro-nat Σ c·ln c — merge-order-proof, bit-identical)."""
+    return E.user_entropy(_lt(spark, sf_dir, "events"))
+
+
+def sample_stratified_exact_k(spark, sf_dir):
+    """Exact-k hash sample per language via the histogram-rank
+    decomposition (no per-lang single-task window)."""
+    df = R.sample_per_group_hist(
+        _lt(spark, sf_dir, "documents").select("doc_id", "lang"),
+        ["lang"], "doc_id", k=25, nibbles=2)
+    return df.orderBy("lang", "doc_id")
+
+
+def text_ccnet_filter(spark, sf_dir):
+    """CCNet keep rule applied: head+middle perplexity tiles per
+    language survive, tail dropped."""
+    return T.ccnet_filter(_lt(spark, sf_dir, "documents"))
+
+
 def ts_bollinger_bands(spark, sf_dir):
     """20-day Bollinger bands per series — integer-cents window sums,
     correctly-rounded sqrt sigma, raw band doubles."""
@@ -2432,6 +2453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_logit": text_quality_logit,
         "text_heaps_curve": text_heaps_curve,
         "text_dsir_sample": text_dsir_sample,
+        "ev_user_entropy": ev_user_entropy,
+        "sample_stratified_exact_k": sample_stratified_exact_k,
+        "text_ccnet_filter": text_ccnet_filter,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
@@ -2655,23 +2679,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The driver-verified 50-slot window (round-9 rotation): exactly the
 # 50 entries the driver checks — no trailing names beyond slot 50
 # (VERDICT r8 / ADVICE low item). Two rotation inputs this round:
-# (a) the 16 round-9 NEW or semantics-changed oracles lead (the five
-#     late-round-9 text ops — fertility, CCNet buckets, quality
-#     logit, Heaps curve, DSIR — plus the twins, the novelty card,
-#     the html-listing round trip, and the fixed-point CUSUM +
-#     grid-exact bollinger + decimal HHI + 8-hex tmix + argmin
-#     keep_best oracle rewrites and the two structurally-rewritten
-#     plans) — none has a driver countersign in its current form;
+# (a) the 19 round-9 NEW or semantics-changed oracles lead (the eight
+#     late-round-9 ops — fertility, CCNet buckets + filter, quality
+#     logit, Heaps curve, DSIR, user entropy, exact-k sampler — plus
+#     the twins, the novelty card, the html-listing round trip, and
+#     the fixed-point CUSUM + grid-exact bollinger + decimal HHI +
+#     8-hex tmix + argmin keep_best oracle rewrites and the two
+#     structurally-rewritten plans) — none has a driver countersign
+#     in its current form;
 # (b) then the OLDEST-countersigned oracles (VERDICT r8 item 1) —
 #     last driver-verified r1/r3/r4, before the r6-r8 rewrites —
 #     computed from CORRECTNESS_r0*.json latest-green rounds, sorted
-#     (round, key); 34 fit this round (tools/rotate_window.py
+#     (round, key); 31 fit this round (tools/rotate_window.py
 #     recomputes this mechanically).
 # Everything displaced moves behind the window; the local parity gate
 # (tools/parity.py, tests/test_oracle_parity.py) still value-checks
-# all oracle-backed queries every run. Queued for r10: q6_revenue_delta,
-# q_market_share, q_sales_rollup, q_top_customers, stats_profile,
-# stream_dedup_replay + the remaining 19 r4-era keys
+# all oracle-backed queries every run. Queued for r10:
+# q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
+# q6_revenue_delta, q_market_share, q_sales_rollup, q_top_customers,
+# stats_profile, stream_dedup_replay + the remaining 19 r4-era keys
 # (stream_sessionize, stream_tumbling_window, text_fingerprint,
 # text_lang_id, text_ngram_topk, text_pii_scrub, text_quality_score,
 # text_token_count, ts_asof_join, ts_date_parse_multi, ts_gap_fill,
@@ -2682,6 +2708,7 @@ _WINDOW = [
     # round-9 new operators (never countersigned)
     "text_tokenizer_fertility", "text_perplexity_buckets",
     "text_quality_logit", "text_heaps_curve", "text_dsir_sample",
+    "ev_user_entropy", "sample_stratified_exact_k", "text_ccnet_filter",
     "dedup_substring_novelty", "ev_burst_skew", "inei_module_listing",
     "ts_cusum_skew",
     # round-9 semantics-changed oracles (never countersigned in
@@ -2693,7 +2720,7 @@ _WINDOW = [
     "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
     "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
     "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
-    # r4-era countersigns (25 of 50; remaining 25 queued for r10)
+    # r4-era countersigns (22 of 50; remaining 28 queued for r10)
     "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
     "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
@@ -2702,8 +2729,6 @@ _WINDOW = [
     "infogob_normalize_header", "infogob_participation",
     "infogob_pending_requests", "knn_bruteforce_cosine", "mef_filter_rows",
     "org_content_dedup_map", "org_inventory_by_group", "org_slugify_rename",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume",
 ]
 
 
@@ -5289,6 +5314,85 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, lang, n_tokens, slr / n_tokens AS importance
         FROM per ORDER BY importance DESC, doc_id LIMIT 200
+    """
+
+    # user entropy: Σ c·ln(c) carried as an exact bigint of micro-nats
+    # (merge-order-proof), the division/subtraction then deterministic
+    sql["ev_user_entropy"] = """
+        WITH tc AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        per AS (
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                        AS BIGINT) AS slc
+            FROM tc GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_types,
+               round(ln(n_events), 6) - (slc / n_events) / 1000000.0
+                   AS type_entropy,
+               CASE WHEN n_types > 1 THEN
+                   (round(ln(n_events), 6) - (slc / n_events) / 1000000.0)
+                   / round(ln(n_types), 6) END AS evenness
+        FROM per ORDER BY user_id
+    """
+
+    # exact-k per-lang hash sample: the plain per-lang row_number here
+    # equals the Spark histogram-rank decomposition by construction
+    # (the nibble bucket IS the hash prefix, so (bucket, hash, key)
+    # refines the same total order)
+    sql["sample_stratified_exact_k"] = """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('strata:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 25
+        ORDER BY lang, doc_id
+    """
+
+    # CCNet keep rule: perplexity tercile CTEs + bucket <= 2 filter,
+    # source joined back from the raw table
+    sql["text_ccnet_filter"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest({_TOKENS}) AS token
+            FROM documents
+        ),
+        uni AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY token
+        ),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM uni
+        ),
+        per AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(round(ln((u.c + 0.5) / (tot.n + 0.5 * tot.v)),
+                                   6)), 6) AS slp
+            FROM toks t JOIN uni u USING (token), tot
+            GROUP BY t.doc_id, t.lang
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_tokens, slp / n_tokens AS avg_logprob,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY slp / n_tokens DESC, doc_id) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+            FROM per
+        )
+        SELECT r.doc_id, r.lang, d.source, r.n_tokens, r.avg_logprob,
+               CASE 1 + (3 * (rnk - 1)) // nl
+                    WHEN 1 THEN 'head' ELSE 'middle' END AS ppl_bucket
+        FROM ranked r JOIN documents d USING (doc_id)
+        WHERE 1 + (3 * (rnk - 1)) // nl <= 2
+        ORDER BY r.doc_id
     """
 
     # tfidf_top_terms top=3: idf rounded to the 1e-6 grid so tf*idf is

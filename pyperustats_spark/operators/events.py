@@ -1740,3 +1740,41 @@ def bounce_rate_daily(events: DataFrame, gap_minutes: int = 30,
                 .alias("bounce_rate"))
     )
     return out.orderBy("date") if sort else out
+
+
+def user_entropy(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Behavioral-diversity profile per user: Shannon entropy of the
+    user's event-type distribution plus its evenness (entropy / ln of
+    the type count). Bots and scrapers concentrate on one or two event
+    types (evenness → 0 or exactly one type), engaged humans spread
+    across the catalog — the frequency-domain complement of
+    :func:`bot_regularity`'s time-domain metronome test.
+
+    Cross-engine determinism: H = ln n − (Σ c·ln c)/n. Each ln(c) is
+    snapped to the 1e-6 grid AS AN INTEGER of micro-nats, so
+    Σ c·round_micro(ln c) is an exact bigint — merge-order-proof where
+    a double Σ c·ln(c) would be run-to-run nondeterministic (the
+    CLAUDE.md groupBy-sum rule). The division and subtraction then run
+    on identical bits in both engines; the output ships raw.
+
+    Scale: two partial-aggregated shuffles — (user, type) counts, then
+    per-user rollup. No windows, no data-sized groups on one task."""
+    tc = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    lnc_micro = F.round(F.log("_c") * 1e6).cast("bigint")
+    per = tc.groupBy("user_id").agg(
+        F.sum("_c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("_c") * lnc_micro).cast("bigint").alias("_slc"),
+    )
+    # divide by n BEFORE the 1e6 de-scaling: for a single-type user
+    # slc/n is the integer micro-ln exactly (c = n), so H lands on a
+    # hard 0.0 instead of an ulp residue; order mirrored in the oracle
+    h = (F.round(F.log("n_events"), 6)
+         - (F.col("_slc") / F.col("n_events")) / F.lit(1e6))
+    out = per.select(
+        "user_id", "n_events", "n_types",
+        h.alias("type_entropy"),
+        F.try_divide(h, F.round(F.log("n_types"), 6)).alias("evenness"),
+    )
+    return out.orderBy("user_id") if sort else out

@@ -823,6 +823,46 @@ def sample_per_group(df: DataFrame, group_cols: list[str], key: str,
     )
 
 
+def sample_per_group_hist(df: DataFrame, group_cols: list[str], key: str,
+                          k: int = 5, nibbles: int = 2) -> DataFrame:
+    """Depth-clean twin of :func:`sample_per_group`: same deterministic
+    k-row hash sample per group, but the per-group rank is the
+    histogram-rank decomposition — row_number within (group, hash
+    nibble-prefix) + the broadcast prefix count of smaller nibbles —
+    instead of one window task holding the whole group. The nibble
+    buckets are md5-uniform BY CONSTRUCTION (16^nibbles even slices,
+    no skew guard needed), so a 10M-row language costs 16^nibbles
+    parallel partial sorts instead of one straggler. Row-for-row equal
+    to sample_per_group (pinned): (bucket, hash, key) refines the same
+    (hash, key) total order because the bucket IS the hash prefix.
+
+    The broadcast side table is O(|groups| · 16^nibbles) rows — use
+    this twin for bounded-cardinality strata (lang, source, shard);
+    for unbounded group keys whose per-group depth is small,
+    sample_per_group's plain partitioned window is already right."""
+    h = F.md5(F.concat_ws(":", F.lit("strata"), F.col(key).cast("string")))
+    z = df.withColumn("_h", h).withColumn(
+        "_hb", F.substring(F.col("_h"), 1, nibbles))
+    counts = z.groupBy(*group_cols, "_hb").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    ws = Window.partitionBy(*group_cols).orderBy("_hb")
+    side = counts.select(
+        *group_cols, "_hb",
+        F.coalesce(
+            F.sum("_cnt").over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("_off"),
+    ).where(F.col("_off") < k)  # buckets fully past rank k never match
+    wp = Window.partitionBy(*group_cols, "_hb").orderBy(
+        F.col("_h").asc(), F.col(key).asc())
+    return (
+        z.join(F.broadcast(side), [*group_cols, "_hb"])
+        .withColumn("_rk", F.col("_off") + F.row_number().over(wp))
+        .where(F.col("_rk") <= k)
+        .drop("_h", "_hb", "_off", "_rk")
+    )
+
+
 def systematic_sample(df: DataFrame, key: str, nibbles: int = 1) -> DataFrame:
     """Deterministic 16^-nibbles systematic sample: keep rows whose
     md5(key) ends in *nibbles* zero hex digits. Unlike rand() sampling

@@ -1667,3 +1667,26 @@ def dsir_importance_sample(documents: DataFrame, target_lang: str = "en",
     )
     return (per.select("doc_id", "lang", "n_tokens", "importance")
             .orderBy(F.desc("importance"), "doc_id").limit(top))
+
+
+def ccnet_filter(documents: DataFrame, k: float = 0.5,
+                 keep_buckets: int = 2, sort: bool = True) -> DataFrame:
+    """The CCNet keep rule applied: score + bucket every doc with
+    :func:`perplexity_buckets` and keep the *keep_buckets* most fluent
+    tiles per language (default head+middle, dropping the tail third —
+    CCNet's published recipe). Returns the kept docs with their
+    (lang, source, n_tokens, avg_logprob, ppl_bucket) so the next
+    mixture stage can weight by bucket.
+
+    Composition note: source comes from a second PRUNED leaf scan of
+    documents joined on doc_id — the keep-set semi-join-back idiom
+    (the scored frame derives from the tokens branch; flagging rows
+    in-branch would drag the whole scoring subtree into a second
+    reference, which Catalyst re-executes per reference)."""
+    scored = perplexity_buckets(documents, k=k, n_buckets=3, sort=False)
+    kept = scored.where(F.col("bucket") <= keep_buckets)
+    src = documents.select("doc_id", "source")
+    out = kept.join(src, "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "avg_logprob",
+        "ppl_bucket")
+    return out.orderBy("doc_id") if sort else out

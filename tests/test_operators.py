@@ -4529,3 +4529,74 @@ def test_round9_text_ops_survive_empty_corpus(spark):
     assert TX.quality_logit(ed).count() == 0
     assert TX.heaps_curve(ed).count() == 0
     assert TX.dsir_importance_sample(ed).count() == 0
+
+
+def test_sample_per_group_hist_equals_plain(spark, tables):
+    from pyperustats_spark.operators.relational import (
+        sample_per_group, sample_per_group_hist)
+    docs = tables["documents"].select("doc_id", "lang")
+    for k in (1, 5, 40):
+        plain = {(r["lang"], r["doc_id"])
+                 for r in sample_per_group(docs, ["lang"], "doc_id",
+                                           k=k).collect()}
+        hist = {(r["lang"], r["doc_id"])
+                for r in sample_per_group_hist(docs, ["lang"], "doc_id",
+                                               k=k).collect()}
+        assert hist == plain, k
+
+
+def test_user_entropy_matches_python_model(spark):
+    import math
+    from pyperustats_spark.operators.events import user_entropy
+    rows = [(i, "2020-01-01 00:00:00", u, t, 1.0)
+            for i, (u, t) in enumerate(
+                [(1, "a")] * 5
+                + [(2, "a"), (2, "b"), (2, "a"), (2, "b")]
+                + [(3, "a"), (3, "b"), (3, "c"), (3, "a")])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r for r in user_entropy(ev).collect()}
+    # user 1: single type -> H = 0 exactly, evenness NULL
+    assert out[1]["type_entropy"] == 0.0 and out[1]["evenness"] is None
+    # user 2: 2+2 of two types -> H = ln 2, evenness = 1
+    assert abs(out[2]["type_entropy"] - math.log(2)) < 1e-5
+    assert abs(out[2]["evenness"] - 1.0) < 1e-5
+    # user 3 model: H = ln n - (sum c*round_micro(ln c))/1e6/n
+    slc = sum(c * round(math.log(c) * 1e6) for c in (2, 1, 1))
+    h = round(math.log(4), 6) - (slc / 4) / 1e6
+    assert abs(out[3]["type_entropy"] - h) < 1e-12
+    assert out[3]["n_types"] == 3 and out[3]["n_events"] == 4
+
+
+def test_ccnet_filter_keeps_head_and_middle(spark, tables):
+    from pyperustats_spark.operators.textops import (
+        ccnet_filter, perplexity_buckets)
+    docs = tables["documents"]
+    kept = {r["doc_id"]: r for r in ccnet_filter(docs).collect()}
+    buckets = perplexity_buckets(docs).collect()
+    expect = {r["doc_id"] for r in buckets if r["bucket"] <= 2}
+    assert set(kept) == expect
+    for r in buckets:
+        if r["doc_id"] in kept:
+            assert kept[r["doc_id"]]["ppl_bucket"] == r["ppl_bucket"]
+    # source column faithfully joined back
+    src = {r["doc_id"]: r["source"]
+           for r in docs.select("doc_id", "source").collect()}
+    assert all(v["source"] == src[d] for d, v in kept.items())
+
+
+def test_round9_batch2_survive_empty_inputs(spark):
+    from pyperustats_spark.operators.events import user_entropy
+    from pyperustats_spark.operators.relational import sample_per_group_hist
+    from pyperustats_spark.operators.textops import ccnet_filter
+    ed = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string")
+    ee = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double")
+    assert user_entropy(ee).count() == 0
+    assert sample_per_group_hist(
+        ed.select("doc_id", "lang"), ["lang"], "doc_id").count() == 0
+    assert ccnet_filter(ed).count() == 0

@@ -163,6 +163,12 @@ BROADCAST_HINT_WHITELIST = {
     "text_dsir_sample",           # 1-row (Nr, Nt) totals + the
                                   # n_feat-row bucket-weight table
                                   # (fixed hash alphabet)
+    "sample_stratified_exact_k",  # offset side table: |langs| ×
+                                  # 16^nibbles rows, pruned to
+                                  # offsets < k before broadcast
+    "text_ccnet_filter",          # perplexity_buckets' audited sides
+                                  # (1-row totals + lang × score-cell
+                                  # prefix table)
 }
 
 
@@ -602,6 +608,9 @@ PLAN_SMELL_WHITELIST = {
                                                 # totals cross-joined
                                                 # into the n_feat-row
                                                 # weight table
+    "text_ccnet_filter": {"BNLJ", "SINGLE_PART"},  # perplexity_buckets'
+                                                # audited 1-row totals
+                                                # + prefix-table shapes
 }
 
 
