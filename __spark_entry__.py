@@ -1225,6 +1225,36 @@ def text_ccnet_filter(spark, sf_dir):
     return T.ccnet_filter(_lt(spark, sf_dir, "documents"))
 
 
+def doc_length_drift(spark, sf_dir):
+    """Per-source KS-style L-inf drift of the doc-length distribution
+    vs the rest of the corpus (two-significant-digit integer cells)."""
+    return T.length_drift_by_source(_lt(spark, sf_dir, "documents"))
+
+
+def text_filter_funnel(spark, sf_dir):
+    """Per-rule quality-filter attribution funnel (marginal +
+    cumulative drops per rule; all-integer)."""
+    return T.filter_funnel(_lt(spark, sf_dir, "documents"))
+
+
+def ev_stickiness(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness per observed day, all three counts
+    from one exploded (day, user) pass."""
+    return E.stickiness(_lt(spark, sf_dir, "events"))
+
+
+def emb_matryoshka_eval(spark, sf_dir):
+    """Dimension-truncation recall curve (Matryoshka): recall@5 of
+    each embedding prefix vs full-dim exact truth. Rows-only."""
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    df = S.matryoshka_eval(emb, q, k=5, dims=(4, 8, 16, 32, 64))
+    return _round(df, {"recall_at_k": 6})
+
+
 def ts_bollinger_bands(spark, sf_dir):
     """20-day Bollinger bands per series — integer-cents window sums,
     correctly-rounded sqrt sigma, raw band doubles."""
@@ -2456,6 +2486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_user_entropy": ev_user_entropy,
         "sample_stratified_exact_k": sample_stratified_exact_k,
         "text_ccnet_filter": text_ccnet_filter,
+        "doc_length_drift": doc_length_drift,
+        "emb_matryoshka_eval": emb_matryoshka_eval,
+        "text_filter_funnel": text_filter_funnel,
+        "ev_stickiness": ev_stickiness,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
@@ -2679,9 +2713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The driver-verified 50-slot window (round-9 rotation): exactly the
 # 50 entries the driver checks — no trailing names beyond slot 50
 # (VERDICT r8 / ADVICE low item). Two rotation inputs this round:
-# (a) the 19 round-9 NEW or semantics-changed oracles lead (the eight
-#     late-round-9 ops — fertility, CCNet buckets + filter, quality
-#     logit, Heaps curve, DSIR, user entropy, exact-k sampler — plus
+# (a) the 22 round-9 NEW or semantics-changed oracles lead (the
+#     eleven late-round-9 ops — fertility, CCNet buckets + filter,
+#     quality logit, Heaps curve, DSIR, user entropy, exact-k
+#     sampler, length-drift KS card, filter funnel, stickiness — plus
 #     the twins, the novelty card, the html-listing round trip, and
 #     the fixed-point CUSUM + grid-exact bollinger + decimal HHI +
 #     8-hex tmix + argmin keep_best oracle rewrites and the two
@@ -2690,11 +2725,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (b) then the OLDEST-countersigned oracles (VERDICT r8 item 1) —
 #     last driver-verified r1/r3/r4, before the r6-r8 rewrites —
 #     computed from CORRECTNESS_r0*.json latest-green rounds, sorted
-#     (round, key); 31 fit this round (tools/rotate_window.py
+#     (round, key); 28 fit this round (tools/rotate_window.py
 #     recomputes this mechanically).
 # Everything displaced moves behind the window; the local parity gate
 # (tools/parity.py, tests/test_oracle_parity.py) still value-checks
 # all oracle-backed queries every run. Queued for r10:
+# org_content_dedup_map, org_inventory_by_group, org_slugify_rename,
 # q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
 # q6_revenue_delta, q_market_share, q_sales_rollup, q_top_customers,
 # stats_profile, stream_dedup_replay + the remaining 19 r4-era keys
@@ -2709,6 +2745,7 @@ _WINDOW = [
     "text_tokenizer_fertility", "text_perplexity_buckets",
     "text_quality_logit", "text_heaps_curve", "text_dsir_sample",
     "ev_user_entropy", "sample_stratified_exact_k", "text_ccnet_filter",
+    "doc_length_drift", "text_filter_funnel", "ev_stickiness",
     "dedup_substring_novelty", "ev_burst_skew", "inei_module_listing",
     "ts_cusum_skew",
     # round-9 semantics-changed oracles (never countersigned in
@@ -2720,7 +2757,7 @@ _WINDOW = [
     "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
     "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
     "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
-    # r4-era countersigns (22 of 50; remaining 28 queued for r10)
+    # r4-era countersigns (19 of 50; remaining 31 queued for r10)
     "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
     "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
@@ -2728,7 +2765,6 @@ _WINDOW = [
     "infogob_candidate_history", "infogob_normalize_detail",
     "infogob_normalize_header", "infogob_participation",
     "infogob_pending_requests", "knn_bruteforce_cosine", "mef_filter_rows",
-    "org_content_dedup_map", "org_inventory_by_group", "org_slugify_rename",
 ]
 
 
@@ -5393,6 +5429,180 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked r JOIN documents d USING (doc_id)
         WHERE 1 + (3 * (rnk - 1)) // nl <= 2
         ORDER BY r.doc_id
+    """
+
+    # length drift: two-significant-digit integer cells (leading
+    # digits from the decimal STRING — pow(10,k) is ulp-unsafe),
+    # dense grid cumsums exact bigints, ECDFs raw int/int
+    sql["doc_length_drift"] = """
+        WITH base AS (
+            SELECT source,
+                   CASE WHEN length(CAST(n_chars AS VARCHAR)) >= 2
+                        THEN CAST(length(CAST(n_chars AS VARCHAR))
+                                  AS BIGINT) * 100
+                             + CAST(substring(CAST(n_chars AS VARCHAR),
+                                              1, 2) AS BIGINT)
+                        ELSE 100 + n_chars END AS cell
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, cell, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ),
+        src_tot AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS ns
+            FROM counts GROUP BY 1
+        ),
+        cells AS (SELECT DISTINCT cell FROM counts),
+        tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM src_tot),
+        grid AS (
+            SELECT s.source, s.ns, x.cell,
+                   CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM src_tot s CROSS JOIN cells x
+            LEFT JOIN counts c ON c.source = s.source AND c.cell = x.cell
+        ),
+        cum AS (
+            SELECT source, ns, cell,
+                   CAST(sum(c) OVER (PARTITION BY source ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM grid
+        ),
+        gcum AS (
+            SELECT cell,
+                   CAST(sum(g) OVER (ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS gcum
+            FROM (SELECT cell, CAST(sum(c) AS BIGINT) AS g
+                  FROM counts GROUP BY cell)
+        ),
+        d AS (
+            SELECT cum.source, cum.ns,
+                   abs(cum.cum / cum.ns
+                       - CASE WHEN tot.n - cum.ns > 0
+                              THEN (gcum.gcum - cum.cum)
+                                   / (tot.n - cum.ns) END) AS dd
+            FROM cum JOIN gcum USING (cell), tot
+        )
+        SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+               max(dd) AS ks_stat
+        FROM d GROUP BY source ORDER BY source
+    """
+
+    # filter funnel: every fail flag compares bit-identical int/int
+    # doubles, counts exact bigints; cumulative = OR of flags 1..i,
+    # stacked to 7 rows with an explicit UNION ALL over the 1-row agg
+    sql["text_filter_funnel"] = f"""
+        WITH feat AS (
+            SELECT {_TOKENS} AS toks,
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS pc,
+                   greatest(length(text), 1) AS nc
+            FROM documents
+        ),
+        fl AS (
+            SELECT
+                CASE WHEN len(toks) < 10 THEN 1 ELSE 0 END AS f1,
+                CASE WHEN len(toks) > 100000 THEN 1 ELSE 0 END AS f2,
+                CASE WHEN len(toks) > 0 AND (
+                         CAST(list_sum(list_transform(toks,
+                              x -> length(x))) AS BIGINT)
+                         / CAST(len(toks) AS BIGINT) < 2.0
+                      OR CAST(list_sum(list_transform(toks,
+                              x -> length(x))) AS BIGINT)
+                         / CAST(len(toks) AS BIGINT) > 12.0)
+                     THEN 1 ELSE 0 END AS f3,
+                CASE WHEN CAST(pc AS DOUBLE) / nc > 0.2
+                     THEN 1 ELSE 0 END AS f4,
+                CASE WHEN len(toks) > 0 AND
+                          CAST(len(list_filter(toks,
+                               x -> list_contains({_SW["en"]}, x)))
+                               AS BIGINT)
+                          / CAST(len(toks) AS BIGINT) < 0.02
+                     THEN 1 ELSE 0 END AS f5,
+                CASE WHEN 1.0 - CAST(len(list_distinct(toks)) AS BIGINT)
+                          / CAST(len(toks) AS BIGINT) > 0.3
+                     THEN 1 ELSE 0 END AS f6,
+                CASE WHEN CAST(list_max(list_transform(list_distinct(toks),
+                               d -> len(list_filter(toks, t -> t = d))))
+                               AS BIGINT)
+                          / CAST(len(toks) AS BIGINT) > 0.2
+                     THEN 1 ELSE 0 END AS f7
+            FROM feat
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(f1), 0) AS BIGINT) AS m1,
+                   CAST(coalesce(sum(f2), 0) AS BIGINT) AS m2,
+                   CAST(coalesce(sum(f3), 0) AS BIGINT) AS m3,
+                   CAST(coalesce(sum(f4), 0) AS BIGINT) AS m4,
+                   CAST(coalesce(sum(f5), 0) AS BIGINT) AS m5,
+                   CAST(coalesce(sum(f6), 0) AS BIGINT) AS m6,
+                   CAST(coalesce(sum(f7), 0) AS BIGINT) AS m7,
+                   CAST(coalesce(sum(f1), 0) AS BIGINT) AS s1,
+                   CAST(coalesce(sum(greatest(f1, f2)), 0) AS BIGINT) AS s2,
+                   CAST(coalesce(sum(greatest(f1, f2, f3)), 0) AS BIGINT)
+                       AS s3,
+                   CAST(coalesce(sum(greatest(f1, f2, f3, f4)), 0)
+                        AS BIGINT) AS s4,
+                   CAST(coalesce(sum(greatest(f1, f2, f3, f4, f5)), 0)
+                        AS BIGINT) AS s5,
+                   CAST(coalesce(sum(greatest(f1, f2, f3, f4, f5, f6)), 0)
+                        AS BIGINT) AS s6,
+                   CAST(coalesce(sum(greatest(f1, f2, f3, f4, f5, f6, f7)),
+                                 0) AS BIGINT) AS s7
+            FROM fl
+        )
+        SELECT CAST(1 AS BIGINT) AS rule_no, 'min_tokens' AS rule,
+               m1 AS n_fail, s1 AS n_dropped_cum,
+               n_docs - s1 AS n_pass_cum FROM agg
+        UNION ALL SELECT 2, 'max_tokens', m2, s2, n_docs - s2 FROM agg
+        UNION ALL SELECT 3, 'mean_word_len', m3, s3, n_docs - s3 FROM agg
+        UNION ALL SELECT 4, 'punct_ratio', m4, s4, n_docs - s4 FROM agg
+        UNION ALL SELECT 5, 'stopword_density', m5, s5, n_docs - s5
+            FROM agg
+        UNION ALL SELECT 6, 'dup_token_frac', m6, s6, n_docs - s6
+            FROM agg
+        UNION ALL SELECT 7, 'top_token_frac', m7, s7, n_docs - s7
+            FROM agg
+        ORDER BY rule_no
+    """
+
+    # stickiness: one 30-offset explode serves DAU/WAU/MAU; day spine
+    # recovered as offset-0 days; ratio raw int/int
+    sql["ev_stickiness"] = """
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        cov AS (
+            SELECT user_id, s['off'] AS off, s['cday'] AS cday FROM (
+                SELECT user_id,
+                       unnest(list_transform(range(0, 30),
+                           i -> struct_pack(
+                               off := i,
+                               -- DATE + INTERVAL yields TIMESTAMP in
+                               -- DuckDB; cast back to DATE
+                               cday := CAST(day + to_days(CAST(i AS INT))
+                                            AS DATE))))
+                           AS s
+                FROM du
+            )
+        ),
+        peru AS (
+            SELECT cday, user_id, min(off) AS mo
+            FROM cov GROUP BY 1, 2
+        ),
+        per_day AS (
+            SELECT cday AS day,
+                   CAST(sum(CASE WHEN mo = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dau,
+                   CAST(sum(CASE WHEN mo <= 6 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wau,
+                   CAST(count(*) AS BIGINT) AS mau
+            FROM peru GROUP BY 1
+        )
+        SELECT day, dau, wau, mau, dau / mau AS stickiness
+        FROM per_day WHERE dau > 0 ORDER BY day
     """
 
     # tfidf_top_terms top=3: idf rounded to the 1e-6 grid so tf*idf is

@@ -1778,3 +1778,45 @@ def user_entropy(events: DataFrame, sort: bool = True) -> DataFrame:
         F.try_divide(h, F.round(F.log("n_types"), 6)).alias("evenness"),
     )
     return out.orderBy("user_id") if sort else out
+
+
+def stickiness(events: DataFrame, sort: bool = True) -> DataFrame:
+    """DAU/WAU/MAU + stickiness (DAU/MAU) per observed day — the
+    engagement card every event feed publishes. Windows are trailing:
+    WAU(d) = distinct users active in [d-6, d], MAU(d) in [d-29, d].
+
+    ONE pass serves all three: each (user, activity-day) row explodes
+    into the 30 trailing cover-days it can contribute to with its
+    offset; per (cover-day, user) the MIN offset says which windows
+    the user falls in (0 → DAU, ≤6 → WAU, any → MAU), so one
+    (day, user) aggregate + one per-day rollup produce all three
+    counts — no three separate distinct-count passes, and the
+    observed-day spine is recovered from the same frame (a day is
+    observed iff some user has offset 0) instead of a second
+    reference Catalyst would re-execute.
+
+    Scale: the explode is a fixed 30× fan-out into a partial-
+    aggregated (day, user) shuffle — exact counts; at 100 TB swap the
+    explode for the mergeable HLL path (ev_hll_rollup) when ±2% is
+    acceptable. Stickiness ships as a raw int/int double."""
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id").distinct()
+    cov = du.select(
+        "user_id",
+        F.posexplode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 29)))
+        .alias("off", "cday"))
+    peru = cov.groupBy("cday", "user_id").agg(
+        F.min("off").alias("_mo"))
+    per_day = peru.groupBy("cday").agg(
+        F.sum(F.when(F.col("_mo") == 0, 1).otherwise(0))
+        .cast("bigint").alias("dau"),
+        F.sum(F.when(F.col("_mo") <= 6, 1).otherwise(0))
+        .cast("bigint").alias("wau"),
+        F.count(F.lit(1)).cast("bigint").alias("mau"),
+    )
+    out = per_day.where(F.col("dau") > 0).select(
+        F.col("cday").alias("day"), "dau", "wau", "mau",
+        F.try_divide(F.col("dau"), F.col("mau")).alias("stickiness"),
+    )
+    return out.orderBy("day") if sort else out

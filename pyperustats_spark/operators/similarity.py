@@ -1685,3 +1685,97 @@ def kcenter_sample(embeddings: DataFrame, k: int = 8,
         best["v"].alias("center_vec_id"),
         best["d"].alias("dist2"))
     return out.orderBy("vec_id") if sort else out
+
+
+def matryoshka_eval(embeddings: DataFrame, queries: DataFrame,
+                    k: int = 5, dims: tuple[int, ...] = (4, 8, 16, 32, 64),
+                    ) -> DataFrame:
+    """Dimension-truncation calibration curve (Matryoshka-style
+    retrieval, Kusupati et al. 2022, arXiv:2205.13147): recall@k of
+    cosine top-k computed on each PREFIX of the embedding versus the
+    full-dimension exact truth — one row (dim, recall_at_k,
+    n_truth_pairs) per prefix. A pipeline runs this on a sample to
+    pick the shortest prefix that holds recall before shrinking the
+    ANN index / shuffle payloads by dim/D.
+
+    ONE corpus×queries scoring pass serves every prefix: per pair,
+    prefix dots and prefix norms come from a single transform over
+    the dims literal (each slice re-aggregates — |dims| small terms,
+    all row-local JVM expressions), then one explode and ONE rank
+    shuffle partitioned by (dim, query_id). The full-dim truth is the
+    dim = max(dims) slice of the same pass when max(dims) equals the
+    true dimension — recall at that row pins 1.0 as a self-check.
+
+    Rows-only by design (approximate-retrieval quality, no SQL
+    oracle); recall monotonicity and the full-dim fixpoint are pinned
+    in pytest."""
+    dim_lits = lit_longs(sorted(dims))
+    full = max(dims)
+
+    def pair_scores(e_col, q_col):
+        return F.transform(dim_lits, lambda d: F.struct(
+            d.alias("dim"),
+            F.try_divide(
+                dot(F.slice(e_col, 1, d.cast("int")),
+                    F.slice(q_col, 1, d.cast("int"))),
+                norm(F.slice(e_col, 1, d.cast("int")))
+                * norm(F.slice(q_col, 1, d.cast("int")))).alias("cos")))
+
+    scored = (
+        ensure_parallelism(embeddings)
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.explode(pair_scores(
+                F.col("embedding"), F.col("q_embedding"))).alias("s"))
+        .select("query_id", "vec_id",
+                F.col("s.dim").alias("dim"), F.col("s.cos").alias("cos"))
+        .where((F.col("cos") >= -1.0001) & (F.col("cos") <= 1.0001))
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cos"), F.col("vec_id").asc())
+    topk = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("dim", "query_id", "vec_id")
+    )
+    # the heavy corpus×queries subtree is referenced ONCE (Catalyst
+    # re-executes per reference — CLAUDE.md): fold each pair's dim
+    # memberships into one row, keep truth pairs (in the top-k at the
+    # full prefix), and count hits per dim in one aggregate. The truth
+    # total is the dim = full row of the SAME |dims|-row result, read
+    # back via a bounded partition-less window (temperature_mixture
+    # class), never a second pass.
+    pair_flags = (
+        topk.groupBy("query_id", "vec_id")
+        .agg(
+            F.max(F.when(F.col("dim") == full, 1).otherwise(0)).alias("_t"),
+            F.collect_set("dim").alias("_ds"),
+        )
+        .where(F.col("_t") == 1)
+        .select(F.explode("_ds").alias("dim"))
+    )
+    rec = pair_flags.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    # a prefix with ZERO truth hits would simply vanish from the
+    # aggregate — join a |dims|-row spine so it reports recall 0
+    spine = embeddings.sparkSession.createDataFrame(
+        [(int(d),) for d in sorted(dims)], "dim bigint")
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    out = spine.join(
+        rec.select(F.col("dim").cast("bigint").alias("dim"), "n_hits"),
+        "dim", "left",
+    ).select(
+        "dim",
+        F.max(F.when(F.col("dim") == full, F.col("n_hits")))
+        .over(wt).cast("bigint").alias("n_truth_pairs"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+        .alias("n_hits"),
+    ).select(
+        "dim", "n_truth_pairs",
+        F.try_divide(F.col("n_hits"), F.col("n_truth_pairs"))
+        .alias("recall_at_k"),
+    )
+    return out.orderBy("dim")

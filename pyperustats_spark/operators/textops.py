@@ -1690,3 +1690,155 @@ def ccnet_filter(documents: DataFrame, k: float = 0.5,
         "doc_id", "lang", "source", "n_tokens", "avg_logprob",
         "ppl_bucket")
     return out.orderBy("doc_id") if sort else out
+
+
+def length_drift_by_source(documents: DataFrame,
+                           sort: bool = True) -> DataFrame:
+    """Distribution-drift card: for every source, the KS-style L∞
+    distance between ITS document-length distribution and the rest of
+    the corpus — the standard "did this crawl/source shift?" monitor
+    (a new boilerplate template or truncation bug shows up as a length
+    distribution jump long before eyeballing text does).
+
+    Lengths are bucketed to two significant decimal digits (bucket =
+    digits·100 + leading-two-digits — pure integer math, log-spaced,
+    ≤ ~90 cells per decade), so the statistic is the exact L∞ gap of
+    the bucketed ECDFs: max over cells |F_s − F_rest|. The docstring
+    calls it KS-style deliberately: it is the KS statistic OF THE
+    BUCKETED distribution (the honest bounded-grid form — an exact
+    per-value ECDF needs the full distinct-length universe, which is
+    data-sized; two-digit cells keep the grid ≤ sources × ~700 rows
+    at ANY corpus size).
+
+    Cross-engine: cumulative counts are exact bigints on a dense
+    (source × cell) grid; the two ECDFs are int/int divisions
+    (bit-identical), the max of identical doubles is deterministic.
+
+    Scale: one (source, cell) count shuffle + two bounded side
+    aggregates; the window cumsum runs over the bounded grid, never
+    over data."""
+    # leading-two-digits via the decimal string, NOT n div pow(10, d-2):
+    # pow is not correctly rounded IEEE (CLAUDE.md), and an off-by-ulp
+    # 10^k truncated to bigint silently shifts every cell boundary
+    b_digits = F.length(F.col("n_chars").cast("string")).cast("bigint")
+    f2 = F.expr("cast(substring(cast(n_chars as string), 1, 2) as bigint)")
+    cell = F.when(b_digits >= 2, b_digits * 100 + f2) \
+            .otherwise(F.lit(100) + F.col("n_chars")).cast("bigint")
+    base = documents.select("source", cell.alias("_cell"))
+    counts = base.groupBy("source", "_cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    src_tot = counts.groupBy("source").agg(
+        F.sum("_c").cast("bigint").alias("_ns"))
+    cells = counts.select("_cell").distinct()
+    tot = src_tot.agg(F.sum("_ns").cast("bigint").alias("_n"))
+    grid = (
+        src_tot.select("source", "_ns").crossJoin(F.broadcast(cells))
+        .join(counts, ["source", "_cell"], "left")
+        .select("source", "_ns", "_cell",
+                F.coalesce(F.col("_c"), F.lit(0)).alias("_c"))
+    )
+    wc = Window.partitionBy("source").orderBy("_cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        "source", "_ns", "_cell",
+        F.sum("_c").over(wc).cast("bigint").alias("_cum"))
+    gcum_w = Window.orderBy("_cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    gcum = (
+        counts.groupBy("_cell").agg(F.sum("_c").cast("bigint").alias("_g"))
+        .select("_cell", F.sum("_g").over(gcum_w).cast("bigint")
+                .alias("_gcum"))
+    )
+    d = (
+        cum.join(F.broadcast(gcum), "_cell")
+        .join(F.broadcast(tot))
+        .select(
+            "source", "_ns",
+            F.abs(
+                (F.col("_cum") / F.col("_ns"))
+                - F.try_divide(F.col("_gcum") - F.col("_cum"),
+                               F.col("_n") - F.col("_ns"))
+            ).alias("_d"))
+        .groupBy("source")
+        .agg(F.max("_ns").alias("n_docs"), F.max("_d").alias("ks_stat"))
+    )
+    out = d.select("source", F.col("n_docs").cast("bigint").alias("n_docs"),
+                   "ks_stat")
+    return out.orderBy("source") if sort else out
+
+
+def filter_funnel(documents: DataFrame) -> DataFrame:
+    """Per-rule attribution funnel for the Gopher-style quality filter
+    cascade: for each rule, how many docs fail IT (marginal) and how
+    many are dropped by the cascade up to and including it
+    (cumulative) — the card a curation run publishes so a rule that
+    silently eats a corpus slice is visible BEFORE training (the
+    "which filter did the damage" question quality_filter's single
+    score cannot answer).
+
+    Seven row-local rules reusing the quality/repetition features
+    (length bounds, mean word length, punctuation, stopword density,
+    Gopher dup-token and top-token fractions). One scan, one 1-row
+    aggregate (audited q_market_share class), stacked to 7 rows.
+    All-integer output; ratio comparisons happen on bit-identical
+    int/int doubles in both engines, so every fail flag matches."""
+    def flags(toks):
+        n = F.size(toks).cast("bigint")
+        char_sum = F.aggregate(toks, F.lit(0).cast("bigint"),
+                               lambda acc, t: acc + F.length(t))
+        mwl = F.try_divide(char_sum, n)
+        sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        swd = F.try_divide(hits, n)
+        dis = F.size(F.array_distinct(toks)).cast("bigint")
+        dup = F.lit(1.0) - F.try_divide(dis, n)
+        top = F.try_divide(
+            F.array_max(F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)))), n)
+        pr = punct_ratio(F.col("text"))
+        return F.struct(
+            (n < 10).cast("bigint").alias("f1"),
+            (n > 100000).cast("bigint").alias("f2"),
+            ((n > 0) & ((mwl < 2.0) | (mwl > 12.0)))
+            .cast("bigint").alias("f3"),
+            (pr > 0.2).cast("bigint").alias("f4"),
+            ((n > 0) & (swd < 0.02)).cast("bigint").alias("f5"),
+            (dup > 0.3).cast("bigint").alias("f6"),
+            (top > 0.2).cast("bigint").alias("f7"),
+        )
+
+    RULES = ("min_tokens", "max_tokens", "mean_word_len",
+             "punct_ratio", "stopword_density", "dup_token_frac",
+             "top_token_frac")
+    base = documents.select(let(tokens(F.col("text")), flags).alias("f"))
+    cums = []
+    acc = None
+    for i in range(1, 8):
+        fi = F.col(f"f.f{i}")
+        acc = fi if acc is None else F.greatest(acc, fi)
+        cums.append(acc.alias(f"c{i}"))
+    per = base.select("f", *cums)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[F.coalesce(F.sum(f"f.f{i}"), F.lit(0)).cast("bigint")
+          .alias(f"m{i}") for i in range(1, 8)],
+        *[F.coalesce(F.sum(f"c{i}"), F.lit(0)).cast("bigint")
+          .alias(f"s{i}") for i in range(1, 8)],
+    )
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).cast("bigint").alias("rule_no"),
+            F.lit(RULES[i - 1]).alias("rule"),
+            F.col(f"m{i}").alias("n_fail"),
+            F.col(f"s{i}").alias("n_dropped_cum"),
+            (F.col("n_docs") - F.col(f"s{i}")).alias("n_pass_cum"),
+        )
+        for i in range(1, 8)
+    ])
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.rule_no", "r.rule", "r.n_fail", "r.n_dropped_cum",
+                "r.n_pass_cum")
+        .orderBy("rule_no")
+    )

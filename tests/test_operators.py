@@ -4600,3 +4600,118 @@ def test_round9_batch2_survive_empty_inputs(spark):
     assert sample_per_group_hist(
         ed.select("doc_id", "lang"), ["lang"], "doc_id").count() == 0
     assert ccnet_filter(ed).count() == 0
+
+
+def test_length_drift_detects_planted_shift(spark):
+    from pyperustats_spark.operators.textops import length_drift_by_source
+    rows = (
+        [(i, "x", "steady", 100 + (i % 7)) for i in range(60)]
+        + [(100 + i, "x", "steady2", 100 + (i % 7)) for i in range(60)]
+        + [(200 + i, "x", "shifted", 90000 + i) for i in range(60)]
+    )
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "source", "n_chars"])
+    out = {r["source"]: r for r in length_drift_by_source(docs).collect()}
+    # the shifted source's lengths are disjoint from the rest: D = 1
+    assert out["shifted"]["ks_stat"] == 1.0
+    # two identically-distributed sources barely drift from the rest
+    assert out["steady"]["ks_stat"] < 0.55
+    assert out["steady2"]["ks_stat"] < 0.55
+    assert all(r["n_docs"] == 60 for r in out.values())
+
+
+def test_matryoshka_recall_monotone_with_full_dim_fixpoint(spark, tables):
+    from pyperustats_spark.operators.similarity import (
+        make_queries, matryoshka_eval)
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = make_queries(emb, [0, 7, 42, 99, 123])
+    rows = matryoshka_eval(emb, q, k=5, dims=(4, 8, 16, 32, 64)).collect()
+    assert [r["dim"] for r in rows] == [4, 8, 16, 32, 64]
+    recs = [r["recall_at_k"] for r in rows]
+    # truncation can only lose information: recall monotone in dim
+    assert all(a <= b + 1e-12 for a, b in zip(recs, recs[1:]))
+    # the full-dimension prefix IS the exact truth
+    assert recs[-1] == 1.0
+    assert all(r["n_truth_pairs"] == rows[0]["n_truth_pairs"] for r in rows)
+
+
+def test_filter_funnel_counts_match_python_model(spark):
+    import re
+    from pyperustats_spark.operators.textops import filter_funnel
+    docs = [
+        (1, "The cat and the dog went to the market in the morning "
+            "with a basket of fresh fruit for the whole family."),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "!!!! ???? ;;;; @@@@ #### %%%% &&&&"),
+        (4, "tiny"),
+        (5, "the " + " ".join(f"w{i}" for i in range(40)) + " of"),
+    ]
+    out = {r["rule_no"]: r for r in filter_funnel(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    sw = {"the", "and", "of", "to", "in", "is", "that", "for",
+          "with", "was"}
+    fails = []
+    for _, text in docs:
+        toks = re.findall(r"[a-z0-9_']+", text.lower())
+        n = len(toks)
+        mwl = sum(map(len, toks)) / n if n else None
+        pr = (len(text) - len(re.sub(r"[^\w\s]", "", text))) / max(len(text), 1)
+        swd = sum(1 for t in toks if t in sw) / n if n else None
+        dup = 1 - len(set(toks)) / n if n else None
+        top = max(toks.count(d) for d in set(toks)) / n if n else None
+        fails.append((
+            n < 10, n > 100000,
+            n > 0 and (mwl < 2.0 or mwl > 12.0),
+            pr > 0.2,
+            n > 0 and swd < 0.02,
+            n > 0 and dup > 0.3,
+            n > 0 and top > 0.2,
+        ))
+    for i in range(7):
+        marg = sum(1 for f in fails if f[i])
+        cum = sum(1 for f in fails if any(f[:i + 1]))
+        assert out[i + 1]["n_fail"] == marg, (i, out[i + 1])
+        assert out[i + 1]["n_dropped_cum"] == cum, (i, out[i + 1])
+        assert out[i + 1]["n_pass_cum"] == len(docs) - cum
+    # cascade is monotone
+    cums = [out[i]["n_dropped_cum"] for i in range(1, 8)]
+    assert cums == sorted(cums)
+
+
+def test_stickiness_windows_and_spine(spark):
+    from pyperustats_spark.operators.events import stickiness
+    rows = []
+    eid = 0
+    # user 1 active on day 1 only; user 2 active on days 1 and 10
+    for u, d in [(1, 1), (2, 1), (2, 10)]:
+        rows.append((eid, f"2024-01-{d:02d} 12:00:00", u, "view", 1.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r["day"]): r for r in stickiness(ev).collect()}
+    # only OBSERVED days appear (trailing-window phantom days dropped)
+    assert set(out) == {"2024-01-01", "2024-01-10"}
+    d1, d10 = out["2024-01-01"], out["2024-01-10"]
+    assert (d1["dau"], d1["wau"], d1["mau"]) == (2, 2, 2)
+    # on day 10: only user 2 active that day; day-1 activity is inside
+    # the 30-day window but outside the 7-day window
+    assert (d10["dau"], d10["wau"], d10["mau"]) == (1, 1, 2)
+    assert d10["stickiness"] == 0.5
+
+
+def test_round9_batch4_survive_empty_inputs(spark):
+    from pyperustats_spark.operators.events import stickiness
+    from pyperustats_spark.operators.textops import filter_funnel
+    ed = spark.createDataFrame([], "doc_id long, text string")
+    ee = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double")
+    # the funnel still reports its 7 rules on an empty corpus
+    rows = filter_funnel(ed).collect()
+    assert len(rows) == 7 and all(r["n_fail"] == 0 for r in rows)
+    assert stickiness(ee).count() == 0

@@ -169,6 +169,10 @@ BROADCAST_HINT_WHITELIST = {
     "text_ccnet_filter",          # perplexity_buckets' audited sides
                                   # (1-row totals + lang × score-cell
                                   # prefix table)
+    "doc_length_drift",           # bounded sides: distinct two-digit
+                                  # cells (≤ ~700), global cum table,
+                                  # 1-row corpus total
+    "emb_matryoshka_eval",        # broadcast query set (knn class)
 }
 
 
@@ -611,6 +615,18 @@ PLAN_SMELL_WHITELIST = {
     "text_ccnet_filter": {"BNLJ", "SINGLE_PART"},  # perplexity_buckets'
                                                 # audited 1-row totals
                                                 # + prefix-table shapes
+    "doc_length_drift": {"BNLJ", "SINGLE_PART"},  # source × cell dense
+                                                # grid cross join
+                                                # (bounded both sides)
+                                                # + global-cum window
+                                                # over the cell table
+    "text_filter_funnel": {"SINGLE_PART"},      # one 1-row cascade
+                                                # aggregate stacked to
+                                                # 7 rows (q_market_share
+                                                # class)
+    "emb_matryoshka_eval": {"BNLJ", "SINGLE_PART"},  # broadcast query
+                                                # set + |dims|-row
+                                                # spine/fixpoint window
 }
 
 
