@@ -1231,6 +1231,18 @@ def doc_length_drift(spark, sf_dir):
     return T.length_drift_by_source(_lt(spark, sf_dir, "documents"))
 
 
+def text_script_mix(spark, sf_dir):
+    """Unicode script-class profile per doc (Latin/Cyrillic/CJK/
+    Arabic/digit counts, dominant script, letter share)."""
+    return T.script_mix(_lt(spark, sf_dir, "documents"))
+
+
+def q_price_index(spark, sf_dir):
+    """Laspeyres/Paasche monthly price indexes over the part
+    catalogue (matched-sample basket, fixed-point integer sums)."""
+    return R.price_index_monthly(_lt(spark, sf_dir, "lineitem"))
+
+
 def text_filter_funnel(spark, sf_dir):
     """Per-rule quality-filter attribution funnel (marginal +
     cumulative drops per rule; all-integer)."""
@@ -2490,6 +2502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka_eval": emb_matryoshka_eval,
         "text_filter_funnel": text_filter_funnel,
         "ev_stickiness": ev_stickiness,
+        "text_script_mix": text_script_mix,
+        "q_price_index": q_price_index,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
@@ -2713,10 +2727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The driver-verified 50-slot window (round-9 rotation): exactly the
 # 50 entries the driver checks — no trailing names beyond slot 50
 # (VERDICT r8 / ADVICE low item). Two rotation inputs this round:
-# (a) the 22 round-9 NEW or semantics-changed oracles lead (the
-#     eleven late-round-9 ops — fertility, CCNet buckets + filter,
+# (a) the 24 round-9 NEW or semantics-changed oracles lead (the
+#     thirteen late-round-9 ops — fertility, CCNet buckets + filter,
 #     quality logit, Heaps curve, DSIR, user entropy, exact-k
-#     sampler, length-drift KS card, filter funnel, stickiness — plus
+#     sampler, length-drift KS card, filter funnel, stickiness,
+#     script mix, price index — plus
 #     the twins, the novelty card, the html-listing round trip, and
 #     the fixed-point CUSUM + grid-exact bollinger + decimal HHI +
 #     8-hex tmix + argmin keep_best oracle rewrites and the two
@@ -2725,15 +2740,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (b) then the OLDEST-countersigned oracles (VERDICT r8 item 1) —
 #     last driver-verified r1/r3/r4, before the r6-r8 rewrites —
 #     computed from CORRECTNESS_r0*.json latest-green rounds, sorted
-#     (round, key); 28 fit this round (tools/rotate_window.py
+#     (round, key); 26 fit this round (tools/rotate_window.py
 #     recomputes this mechanically).
 # Everything displaced moves behind the window; the local parity gate
 # (tools/parity.py, tests/test_oracle_parity.py) still value-checks
 # all oracle-backed queries every run. Queued for r10:
-# org_content_dedup_map, org_inventory_by_group, org_slugify_rename,
-# q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
-# q6_revenue_delta, q_market_share, q_sales_rollup, q_top_customers,
-# stats_profile, stream_dedup_replay + the remaining 19 r4-era keys
+# knn_bruteforce_cosine, mef_filter_rows, org_content_dedup_map,
+# org_inventory_by_group, org_slugify_rename, q1_pricing_summary,
+# q3_shipping_priority, q5_local_supplier_volume, q6_revenue_delta,
+# q_market_share, q_sales_rollup, q_top_customers, stats_profile,
+# stream_dedup_replay + the remaining 19 r4-era keys
 # (stream_sessionize, stream_tumbling_window, text_fingerprint,
 # text_lang_id, text_ngram_topk, text_pii_scrub, text_quality_score,
 # text_token_count, ts_asof_join, ts_date_parse_multi, ts_gap_fill,
@@ -2746,6 +2762,7 @@ _WINDOW = [
     "text_quality_logit", "text_heaps_curve", "text_dsir_sample",
     "ev_user_entropy", "sample_stratified_exact_k", "text_ccnet_filter",
     "doc_length_drift", "text_filter_funnel", "ev_stickiness",
+    "text_script_mix", "q_price_index",
     "dedup_substring_novelty", "ev_burst_skew", "inei_module_listing",
     "ts_cusum_skew",
     # round-9 semantics-changed oracles (never countersigned in
@@ -2757,14 +2774,14 @@ _WINDOW = [
     "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
     "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
     "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
-    # r4-era countersigns (19 of 50; remaining 31 queued for r10)
+    # r4-era countersigns (17 of 50; remaining 33 queued for r10)
     "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
     "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
     "ev_sessionize", "ev_top_users_per_type", "ev_tumbling_window",
     "infogob_candidate_history", "infogob_normalize_detail",
     "infogob_normalize_header", "infogob_participation",
-    "infogob_pending_requests", "knn_bruteforce_cosine", "mef_filter_rows",
+    "infogob_pending_requests",
 ]
 
 
@@ -5603,6 +5620,79 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT day, dau, wau, mau, dau / mau AS stickiness
         FROM per_day WHERE dau > 0 ORDER BY day
+    """
+
+    # script mix: exact class counts (length-after-removal idiom),
+    # shares raw int/int, dominant ties in fixed class order
+    sql["text_script_mix"] = """
+        WITH c AS (
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk,
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic,
+               n_digit,
+               CASE
+                   WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic) = 0
+                        THEN 'none'
+                   WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk,
+                                           n_arabic) THEN 'latin'
+                   WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk,
+                                              n_arabic) THEN 'cyrillic'
+                   WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk,
+                                         n_arabic) THEN 'cjk'
+                   ELSE 'arabic' END AS dominant_script,
+               CASE WHEN n_chars > 0 THEN
+                   CAST(n_latin + n_cyrillic + n_cjk + n_arabic AS DOUBLE)
+                   / n_chars END AS letter_share
+        FROM c ORDER BY doc_id
+    """
+
+    # price index: everything integer/decimal until one double/double
+    # division of exact sums (int->double conversion correctly
+    # rounded in both engines)
+    sql["q_price_index"] = """
+        WITH pm AS (
+            SELECT l_partkey AS part,
+                   CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                       AS month,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1, 2
+        ),
+        pmp AS (
+            SELECT part, month, qty, (cents * 10000) // qty AS p_micro
+            FROM pm
+        ),
+        bm AS (SELECT min(month) AS bmonth FROM pmp),
+        base AS (
+            SELECT part, qty AS q0, p_micro AS p0_micro
+            FROM pmp, bm WHERE pmp.month = bm.bmonth
+        ),
+        idx AS (
+            SELECT pmp.month,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   sum(CAST(pmp.p_micro AS HUGEINT) * base.q0) AS lnum,
+                   sum(CAST(base.p0_micro AS HUGEINT) * base.q0) AS lden,
+                   sum(CAST(pmp.p_micro AS HUGEINT) * pmp.qty) AS pnum,
+                   sum(CAST(base.p0_micro AS HUGEINT) * pmp.qty) AS pden
+            FROM pmp JOIN base USING (part)
+            GROUP BY 1
+        )
+        SELECT month, n_parts,
+               CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE) AS laspeyres,
+               CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE) AS paasche
+        FROM idx ORDER BY month
     """
 
     # tfidf_top_terms top=3: idf rounded to the 1e-6 grid so tf*idf is

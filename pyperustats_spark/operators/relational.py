@@ -2466,3 +2466,77 @@ def revenue_lorenz(orders: DataFrame, n_tiles: int = 10) -> DataFrame:
                 .alias("cum_share"))
         .orderBy("decile")
     )
+
+
+def price_index_monthly(lineitem: DataFrame) -> DataFrame:
+    """Laspeyres and Paasche monthly price indexes over the part
+    catalogue — the INEI/BCRP-style CPI primitive this engine's
+    reference domain publishes (index = how much the base-period
+    basket costs at current prices). Base period = the first month;
+    for each later month the basket is the parts traded in BOTH
+    months (matched-sample index).
+
+    Everything is fixed-point integer until the final division:
+    per-(part, month) revenue in exact cents and integer quantities,
+    unit price as micro-cents-per-unit via bigint floor-division,
+    index numerators/denominators as Σ price·quantity in DECIMAL(38,0)
+    — so the sums are merge-order-proof and both engines produce
+    identical bits; the published index is one raw decimal/decimal
+    division (comparator-rounded).
+
+    Scale: one (part, month) partial-agg shuffle + a broadcast-sized
+    base-month side (|parts| rows); the per-(part,month) frame is
+    persisted because base extraction and the index join both read it
+    (Catalyst re-executes unpersisted subtrees per reference — the
+    rfm_scores lesson)."""
+    pm = (
+        lineitem.select(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+            F.col("l_quantity").cast("bigint").alias("_q"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            .alias("_cents"),
+        )
+        .groupBy("part", "month")
+        .agg(F.sum("_q").cast("bigint").alias("qty"),
+             F.sum("_cents").cast("bigint").alias("cents"))
+        .withColumn("p_micro", F.expr("(cents * 10000) div qty"))
+        .persist()
+    )
+    base_month = pm.agg(F.min("month").alias("_bm"))
+    base = (
+        pm.join(F.broadcast(base_month), pm["month"] == F.col("_bm"))
+        .select(F.col("part"), F.col("qty").alias("q0"),
+                F.col("p_micro").alias("p0_micro"))
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    # the base basket is |parts-traded-in-base-month| rows — small at
+    # gate SFs but part is a growing dimension, so the join is left
+    # unhinted for AQE to pick broadcast vs shuffle by actual size
+    out = (
+        pm.join(base, "part")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(dec(F.col("p_micro")) * F.col("q0")).alias("_lnum"),
+            F.sum(dec(F.col("p0_micro")) * F.col("q0")).alias("_lden"),
+            F.sum(dec(F.col("p_micro")) * F.col("qty")).alias("_pnum"),
+            F.sum(dec(F.col("p0_micro")) * F.col("qty")).alias("_pden"),
+        )
+        .select(
+            "month", "n_parts",
+            # divide as DOUBLES, not decimals: Spark's decimal/decimal
+            # quotient scale rules differ from DuckDB's, while exact-
+            # integer → double conversion is correctly rounded in both
+            # engines (identical bits even past 2^53)
+            F.try_divide(F.col("_lnum").cast("double"),
+                         F.col("_lden").cast("double")).alias("laspeyres"),
+            F.try_divide(F.col("_pnum").cast("double"),
+                         F.col("_pden").cast("double")).alias("paasche"),
+        )
+        .orderBy("month")
+    )
+    return out

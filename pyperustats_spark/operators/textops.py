@@ -1842,3 +1842,48 @@ def filter_funnel(documents: DataFrame) -> DataFrame:
                 "r.n_pass_cum")
         .orderBy("rule_no")
     )
+
+
+def script_mix(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Unicode script-class profile per document: counts of Latin,
+    Cyrillic, CJK, Arabic and digit characters (regexp class sweeps —
+    one JVM pass each, no tokenization) plus the dominant script
+    label. The cheap precursor to :func:`lang_id`: a mixed-script doc
+    (spam, encoding damage, code-switching) is flagged before any
+    stopword model runs, and script shares feed multilingual mixture
+    planning.
+
+    Counts are exact ints (length minus length-after-removal — the
+    punct_ratio idiom); shares are raw int/int doubles. Dominant
+    label ties resolve in fixed class order. Zero shuffles."""
+    def cnt(cls):
+        return (F.length("text")
+                - F.length(F.regexp_replace(F.col("text"),
+                                            f"[{cls}]", ""))).cast("bigint")
+
+    classes = [
+        ("latin", "A-Za-z"),
+        ("cyrillic", "Ѐ-ӿ"),
+        ("cjk", "一-鿿"),
+        ("arabic", "؀-ۿ"),
+        ("digit", "0-9"),
+    ]
+    base = documents.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        *[cnt(cls).alias(f"n_{name}") for name, cls in classes],
+    )
+    best = F.greatest(*[F.col(f"n_{name}") for name, _ in classes[:4]])
+    label = F.when(best == 0, F.lit("none"))
+    for name, _ in classes[:4]:
+        label = label.when(F.col(f"n_{name}") == best, F.lit(name))
+    out = base.select(
+        "doc_id", "n_chars",
+        *[f"n_{name}" for name, _ in classes],
+        label.alias("dominant_script"),
+        F.try_divide(
+            F.col("n_latin") + F.col("n_cyrillic") + F.col("n_cjk")
+            + F.col("n_arabic"),
+            F.col("n_chars")).alias("letter_share"),
+    )
+    return out.orderBy("doc_id") if sort else out

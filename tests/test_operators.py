@@ -4715,3 +4715,66 @@ def test_round9_batch4_survive_empty_inputs(spark):
     rows = filter_funnel(ed).collect()
     assert len(rows) == 7 and all(r["n_fail"] == 0 for r in rows)
     assert stickiness(ee).count() == 0
+
+
+def test_price_index_matches_hand_computation(spark):
+    from pyperustats_spark.operators.relational import price_index_monthly
+    # part 1: 100.00 -> 110.00 per unit; part 2: 50.00 -> 45.00;
+    # part 3 trades only in month 2 (excluded from the matched basket)
+    rows = [
+        # (partkey, qty, extendedprice, shipdate)
+        (1, 2.0, 200.00, "2024-01-05"),
+        (2, 4.0, 200.00, "2024-01-09"),
+        (1, 1.0, 110.00, "2024-02-03"),
+        (2, 2.0, 90.00, "2024-02-07"),
+        (3, 5.0, 500.00, "2024-02-11"),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_quantity double, "
+              "l_extendedprice double, l_shipdate string"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    out = {str(r["month"])[:7]: r
+           for r in price_index_monthly(li).collect()}
+    # base month: index exactly 1, both formulas, all base parts
+    assert out["2024-01"]["laspeyres"] == 1.0
+    assert out["2024-01"]["paasche"] == 1.0
+    assert out["2024-01"]["n_parts"] == 2
+    # month 2 basket: q0 = (2, 4); p0 = (100, 50); p1 = (110, 45)
+    m2 = out["2024-02"]
+    assert m2["n_parts"] == 2
+    assert abs(m2["laspeyres"] - (110 * 2 + 45 * 4) / (100 * 2 + 50 * 4)) < 1e-12
+    # paasche weights by current-month quantities (1, 2)
+    assert abs(m2["paasche"] - (110 * 1 + 45 * 2) / (100 * 1 + 50 * 2)) < 1e-12
+
+
+def test_script_mix_counts_and_dominance(spark):
+    from pyperustats_spark.operators.textops import script_mix
+    docs = [
+        (1, "hello world 123"),
+        (2, "привет мир"),
+        (3, "你好世界 hello"),
+        (4, "مرحبا بالعالم"),
+        (5, "!!! ???"),
+    ]
+    out = {r["doc_id"]: r for r in script_mix(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[1]["n_latin"] == 10 and out[1]["n_digit"] == 3
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["n_cyrillic"] == 9
+    # doc 3: 4 CJK vs 5 latin -> latin dominates
+    assert out[3]["n_cjk"] == 4 and out[3]["dominant_script"] == "latin"
+    assert out[4]["dominant_script"] == "arabic"
+    assert out[5]["dominant_script"] == "none"
+    assert out[5]["letter_share"] == 0.0
+
+
+def test_round9_batch5_survive_empty_inputs(spark):
+    from pyperustats_spark.operators.relational import price_index_monthly
+    from pyperustats_spark.operators.textops import script_mix
+    ed = spark.createDataFrame([], "doc_id long, text string")
+    el = spark.createDataFrame(
+        [], "l_partkey long, l_quantity double, "
+            "l_extendedprice double, l_shipdate timestamp")
+    assert script_mix(ed).count() == 0
+    assert price_index_monthly(el).count() == 0

@@ -173,6 +173,9 @@ BROADCAST_HINT_WHITELIST = {
                                   # cells (≤ ~700), global cum table,
                                   # 1-row corpus total
     "emb_matryoshka_eval",        # broadcast query set (knn class)
+    "q_price_index",              # 1-row base-month aggregate; the
+                                  # parts-sized basket join is
+                                  # deliberately UNhinted (AQE)
 }
 
 
@@ -624,6 +627,9 @@ PLAN_SMELL_WHITELIST = {
                                                 # aggregate stacked to
                                                 # 7 rows (q_market_share
                                                 # class)
+    "q_price_index": {"SINGLE_PART"},           # 1-row base-month min
+                                                # aggregate broadcast
+                                                # back (q15 class)
     "emb_matryoshka_eval": {"BNLJ", "SINGLE_PART"},  # broadcast query
                                                 # set + |dims|-row
                                                 # spine/fixpoint window

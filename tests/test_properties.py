@@ -643,3 +643,62 @@ def test_chunked_cusum_matches_plain_rowforrow(spark, rows):
     chunk = sorted(tuple(r[c] for c in cols)
                    for r in cusum_changepoint_chunked(long_df).collect())
     assert plain == chunk
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=1, max_value=6),   # user
+              st.sampled_from(["a", "b", "c", "d"])),  # event type
+    min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_user_entropy_matches_python(spark, pairs):
+    """user_entropy's integer micro-nat recurrence equals the Python
+    model bit-for-bit on random (user, type) multisets."""
+    import math
+
+    from pyperustats_spark.operators.events import user_entropy
+
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", u, t, 1.0)
+         for i, (u, t) in enumerate(pairs)],
+        "event_id long, ts string, user_id long, "
+        "event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in user_entropy(ev).collect()}
+
+    by_user = {}
+    for u, t in pairs:
+        by_user.setdefault(u, {}).setdefault(t, 0)
+        by_user[u][t] += 1
+    for u, cnts in by_user.items():
+        n = sum(cnts.values())
+        slc = sum(c * round(math.log(c) * 1e6) for c in cnts.values())
+        h = round(math.log(n), 6) - (slc / n) / 1e6
+        r = got[u]
+        assert (r["n_events"], r["n_types"]) == (n, len(cnts))
+        assert r["type_entropy"] == h, (u, cnts)
+        if len(cnts) > 1:
+            assert r["evenness"] == h / round(math.log(len(cnts)), 6)
+        else:
+            assert r["evenness"] is None
+
+
+@given(st.lists(st.tuples(st.sampled_from(["x", "y", "z"]),
+                          st.integers(min_value=0, max_value=50)),
+                min_size=2, max_size=40))
+@settings(**SETTINGS)
+def test_sample_per_group_hist_equals_plain_random(spark, rows):
+    """The histogram-rank sampler is row-for-row the plain windowed
+    sampler on random (group, key) frames (keys deduped per group)."""
+    from pyperustats_spark.operators.relational import (
+        sample_per_group, sample_per_group_hist)
+
+    uniq = list({(g, k) for g, k in rows})
+    df = spark.createDataFrame(uniq, ["lang", "doc_id"])
+    for k in (1, 3):
+        plain = {(r["lang"], r["doc_id"])
+                 for r in sample_per_group(
+                     df, ["lang"], "doc_id", k=k).collect()}
+        hist = {(r["lang"], r["doc_id"])
+                for r in sample_per_group_hist(
+                    df, ["lang"], "doc_id", k=k, nibbles=1).collect()}
+        assert hist == plain
