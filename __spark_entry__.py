@@ -1231,6 +1231,18 @@ def doc_length_drift(spark, sf_dir):
     return T.length_drift_by_source(_lt(spark, sf_dir, "documents"))
 
 
+def ts_seasonal_anomalies(spark, sf_dir):
+    """Seasonal-adjusted robust anomalies: decompose residual vs
+    k·1.4826·MAD per series. value round-4 as in ts_decompose (the
+    daily sum is a groupBy double sum; residual itself derives from
+    the grid-recovered trend/seasonal chain)."""
+    return _round(
+        TS.seasonal_anomalies(
+            TS.series_long(_lt(spark, sf_dir, "lineitem")), k=3.5),
+        {"value": 4},
+    )
+
+
 def text_script_mix(spark, sf_dir):
     """Unicode script-class profile per doc (Latin/Cyrillic/CJK/
     Arabic/digit counts, dominant script, letter share)."""
@@ -2504,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stickiness": ev_stickiness,
         "text_script_mix": text_script_mix,
         "q_price_index": q_price_index,
+        "ts_seasonal_anomalies": ts_seasonal_anomalies,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
@@ -2727,11 +2740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The driver-verified 50-slot window (round-9 rotation): exactly the
 # 50 entries the driver checks — no trailing names beyond slot 50
 # (VERDICT r8 / ADVICE low item). Two rotation inputs this round:
-# (a) the 24 round-9 NEW or semantics-changed oracles lead (the
-#     thirteen late-round-9 ops — fertility, CCNet buckets + filter,
+# (a) the 25 round-9 NEW or semantics-changed oracles lead (the
+#     fourteen late-round-9 ops — fertility, CCNet buckets + filter,
 #     quality logit, Heaps curve, DSIR, user entropy, exact-k
 #     sampler, length-drift KS card, filter funnel, stickiness,
-#     script mix, price index — plus
+#     script mix, price index, seasonal anomalies — plus
 #     the twins, the novelty card, the html-listing round trip, and
 #     the fixed-point CUSUM + grid-exact bollinger + decimal HHI +
 #     8-hex tmix + argmin keep_best oracle rewrites and the two
@@ -2740,11 +2753,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (b) then the OLDEST-countersigned oracles (VERDICT r8 item 1) —
 #     last driver-verified r1/r3/r4, before the r6-r8 rewrites —
 #     computed from CORRECTNESS_r0*.json latest-green rounds, sorted
-#     (round, key); 26 fit this round (tools/rotate_window.py
+#     (round, key); 25 fit this round (tools/rotate_window.py
 #     recomputes this mechanically).
 # Everything displaced moves behind the window; the local parity gate
 # (tools/parity.py, tests/test_oracle_parity.py) still value-checks
 # all oracle-backed queries every run. Queued for r10:
+# infogob_pending_requests,
 # knn_bruteforce_cosine, mef_filter_rows, org_content_dedup_map,
 # org_inventory_by_group, org_slugify_rename, q1_pricing_summary,
 # q3_shipping_priority, q5_local_supplier_volume, q6_revenue_delta,
@@ -2762,7 +2776,7 @@ _WINDOW = [
     "text_quality_logit", "text_heaps_curve", "text_dsir_sample",
     "ev_user_entropy", "sample_stratified_exact_k", "text_ccnet_filter",
     "doc_length_drift", "text_filter_funnel", "ev_stickiness",
-    "text_script_mix", "q_price_index",
+    "text_script_mix", "q_price_index", "ts_seasonal_anomalies",
     "dedup_substring_novelty", "ev_burst_skew", "inei_module_listing",
     "ts_cusum_skew",
     # round-9 semantics-changed oracles (never countersigned in
@@ -2774,14 +2788,13 @@ _WINDOW = [
     "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
     "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
     "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
-    # r4-era countersigns (17 of 50; remaining 33 queued for r10)
+    # r4-era countersigns (16 of 50; remaining 34 queued for r10)
     "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
     "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
     "ev_sessionize", "ev_top_users_per_type", "ev_tumbling_window",
     "infogob_candidate_history", "infogob_normalize_detail",
     "infogob_normalize_header", "infogob_participation",
-    "infogob_pending_requests",
 ]
 
 
@@ -5693,6 +5706,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE) AS laspeyres,
                CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE) AS paasche
         FROM idx ORDER BY month
+    """
+
+    # seasonal anomalies: decompose CTEs verbatim, then the
+    # stats_mad_outliers quantile_cont pairing over the residuals
+    sql["ts_seasonal_anomalies"] = f"""
+        WITH long AS ({_LONG}),
+        t AS (
+            SELECT date, code, value,
+                   round(sum(value) OVER w13, 2)
+                       / count(*) OVER w13 AS trend,
+                   round(value, 2)
+                   - round(sum(value) OVER w13, 2) / count(*) OVER w13
+                       AS detrended
+            FROM long
+            WINDOW w13 AS (PARTITION BY code ORDER BY date
+                           ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        ),
+        c AS (
+            SELECT code, CAST(month(date) AS INT) AS m, date, detrended,
+                   sum(detrended) OVER (
+                       PARTITION BY code, month(date) ORDER BY date
+                       ROWS UNBOUNDED PRECEDING) AS cs,
+                   count(*) OVER (PARTITION BY code, month(date)) AS n,
+                   row_number() OVER (
+                       PARTITION BY code, month(date)
+                       ORDER BY date DESC) AS rk
+            FROM t
+        ),
+        s AS (SELECT code, m, cs / n AS seasonal FROM c WHERE rk = 1),
+        res AS (
+            SELECT t.date, t.code, round(t.value, 4) AS value,
+                   t.detrended - s.seasonal AS residual
+            FROM t JOIN s ON t.code = s.code
+                   AND CAST(month(t.date) AS INT) = s.m
+        ),
+        med AS (
+            SELECT code, quantile_cont(residual, 0.5) AS med
+            FROM res GROUP BY code
+        ),
+        dev AS (
+            SELECT res.code, res.date, res.value, res.residual, med.med,
+                   abs(res.residual - med.med) AS adev
+            FROM res JOIN med USING (code)
+        ),
+        mads AS (
+            SELECT code, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY code
+        )
+        SELECT d.code, d.date, d.value, d.residual,
+               (d.residual - d.med) / (1.4826 * m.mad) AS robust_z
+        FROM dev d JOIN mads m USING (code)
+        WHERE m.mad > 0 AND d.adev > 3.5 * 1.4826 * m.mad
+        ORDER BY d.code, d.date
     """
 
     # tfidf_top_terms top=3: idf rounded to the 1e-6 grid so tf*idf is

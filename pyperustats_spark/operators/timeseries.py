@@ -1223,3 +1223,46 @@ def bollinger_bands(long_df: DataFrame, window: int = 20,
         .cast("int").alias("outside"),
     )
     return out.orderBy("code", "date") if sort else out
+
+
+def seasonal_anomalies(long_df: DataFrame, half_window: int = 6,
+                       k: float = 3.5, sort: bool = True) -> DataFrame:
+    """Seasonal-adjusted anomaly detection: decompose each series
+    (:func:`decompose_additive`), then flag dates whose RESIDUAL sits
+    more than k robust sigmas (1.4826·MAD) from the per-series
+    residual median — the anomaly test that ignores both trend drift
+    and the seasonal shape, where a raw z-score
+    (:func:`zscore_anomalies`) re-alarms every December.
+
+    Determinism ladder: residuals are bit-identical cross-engine (the
+    decompose recipe); the median/MAD are exact `percentile` over
+    those identical doubles (quantile_cont in the oracle — the
+    stats_mad_outliers pairing); the flag and the robust z divide and
+    compare identical bits, ship raw. Zero-MAD series (constant
+    residual) flag nothing by construction.
+
+    Scale: decompose's windows + two per-code exact medians (medians
+    cannot merge map-side — the mad_outliers three-pass contract; at
+    100 TB swap percentile for approx_percentile as stats_profile
+    does). The decomposed frame is persisted — the median pass and
+    the flag join both read it, and Catalyst re-executes unpersisted
+    subtrees per reference."""
+    res = decompose_additive(long_df, half_window=half_window,
+                             sort=False).persist()
+    med = res.groupBy("code").agg(
+        F.percentile("residual", F.lit(0.5)).alias("_med"))
+    dev = res.join(med, "code").withColumn(
+        "_adev", F.abs(F.col("residual") - F.col("_med"))).persist()
+    mad = dev.groupBy("code").agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad"))
+    out = (
+        dev.join(mad, "code")
+        .where((F.col("_mad") > 0)
+               & (F.col("_adev") > k * 1.4826 * F.col("_mad")))
+        .select(
+            "code", "date", "value", "residual",
+            F.try_divide(F.col("residual") - F.col("_med"),
+                         1.4826 * F.col("_mad")).alias("robust_z"),
+        )
+    )
+    return out.orderBy("code", "date") if sort else out

@@ -4778,3 +4778,36 @@ def test_round9_batch5_survive_empty_inputs(spark):
             "l_extendedprice double, l_shipdate timestamp")
     assert script_mix(ed).count() == 0
     assert price_index_monthly(el).count() == 0
+
+
+def test_seasonal_anomalies_flags_planted_spike(spark):
+    from pyperustats_spark.operators.timeseries import seasonal_anomalies
+    # 36 months: seasonal shape + deterministic noise (a perfectly
+    # regular series collapses the MAD to ~0 and everything flags —
+    # realistic residual scale is part of the scenario) + one spike
+    rows = []
+    for i in range(36):
+        y, m = 2020 + i // 12, 1 + i % 12
+        v = 100.0 + 10.0 * (m % 3) + ((i * 37) % 11 - 5) * 0.8
+        if (y, m) == (2021, 5):
+            v += 500.0                       # the anomaly
+        rows.append((f"{y}-{m:02d}-01", "A", v))
+    df = spark.createDataFrame(
+        rows, "date string, code string, value double"
+    ).withColumn("date", F.col("date").cast("timestamp"))
+    out = seasonal_anomalies(df, k=3.5).collect()
+    assert any(str(r["date"])[:7] == "2021-05" for r in out)
+    # the spike leaks into its +-6 trend window and into the other
+    # Mays via the month-mean seasonal (inherent to classical
+    # decomposition); it must still be the TOP-scoring flag, flags
+    # must stay a minority of the series, and every flag must clear k
+    top = max(out, key=lambda r: abs(r["robust_z"]))
+    assert str(top["date"])[:7] == "2021-05"
+    assert len(out) < 18
+    for r in out:
+        assert abs(r["robust_z"]) > 3.5
+        m = str(r["date"])[5:7]
+        in_window = abs(
+            (int(str(r["date"])[:4]) - 2021) * 12
+            + int(m) - 5) <= 6
+        assert in_window or m == "05", r

@@ -630,6 +630,11 @@ PLAN_SMELL_WHITELIST = {
     "q_price_index": {"SINGLE_PART"},           # 1-row base-month min
                                                 # aggregate broadcast
                                                 # back (q15 class)
+    "ts_seasonal_anomalies": {"GROUP_SIZE_WINDOW"},  # inherits
+                                                # decompose's per
+                                                # (code, month) count
+                                                # window (ts_decompose
+                                                # class)
     "emb_matryoshka_eval": {"BNLJ", "SINGLE_PART"},  # broadcast query
                                                 # set + |dims|-row
                                                 # spine/fixpoint window
