@@ -1267,6 +1267,12 @@ def ev_stickiness(spark, sf_dir):
     return E.stickiness(_lt(spark, sf_dir, "events"))
 
 
+def emb_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift between two deterministic
+    halves (exact micro-unit integer sums; cosine + norm ratio)."""
+    return S.centroid_drift(_lt(spark, sf_dir, "embeddings"))
+
+
 def emb_matryoshka_eval(spark, sf_dir):
     """Dimension-truncation recall curve (Matryoshka): recall@5 of
     each embedding prefix vs full-dim exact truth. Rows-only."""
@@ -2517,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_mix": text_script_mix,
         "q_price_index": q_price_index,
         "ts_seasonal_anomalies": ts_seasonal_anomalies,
+        "emb_centroid_drift": emb_centroid_drift,
         "ts_seasonal_index": ts_seasonal_index,
         "ev_funnel_within": ev_funnel_within,
         "stats_winsorize": stats_winsorize,
@@ -2740,11 +2747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The driver-verified 50-slot window (round-9 rotation): exactly the
 # 50 entries the driver checks — no trailing names beyond slot 50
 # (VERDICT r8 / ADVICE low item). Two rotation inputs this round:
-# (a) the 25 round-9 NEW or semantics-changed oracles lead (the
-#     fourteen late-round-9 ops — fertility, CCNet buckets + filter,
-#     quality logit, Heaps curve, DSIR, user entropy, exact-k
-#     sampler, length-drift KS card, filter funnel, stickiness,
-#     script mix, price index, seasonal anomalies — plus
+# (a) the 26 round-9 NEW or semantics-changed oracles lead (the
+#     fifteen late-round-9 oracle-backed ops — fertility, CCNet
+#     buckets + filter, quality logit, Heaps curve, DSIR, user
+#     entropy, exact-k sampler, length-drift KS card, filter funnel,
+#     stickiness, script mix, price index, seasonal anomalies,
+#     centroid drift — plus
 #     the twins, the novelty card, the html-listing round trip, and
 #     the fixed-point CUSUM + grid-exact bollinger + decimal HHI +
 #     8-hex tmix + argmin keep_best oracle rewrites and the two
@@ -2753,12 +2761,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (b) then the OLDEST-countersigned oracles (VERDICT r8 item 1) —
 #     last driver-verified r1/r3/r4, before the r6-r8 rewrites —
 #     computed from CORRECTNESS_r0*.json latest-green rounds, sorted
-#     (round, key); 25 fit this round (tools/rotate_window.py
+#     (round, key); 24 fit this round (tools/rotate_window.py
 #     recomputes this mechanically).
 # Everything displaced moves behind the window; the local parity gate
 # (tools/parity.py, tests/test_oracle_parity.py) still value-checks
 # all oracle-backed queries every run. Queued for r10:
-# infogob_pending_requests,
+# infogob_participation, infogob_pending_requests,
 # knn_bruteforce_cosine, mef_filter_rows, org_content_dedup_map,
 # org_inventory_by_group, org_slugify_rename, q1_pricing_summary,
 # q3_shipping_priority, q5_local_supplier_volume, q6_revenue_delta,
@@ -2777,6 +2785,7 @@ _WINDOW = [
     "ev_user_entropy", "sample_stratified_exact_k", "text_ccnet_filter",
     "doc_length_drift", "text_filter_funnel", "ev_stickiness",
     "text_script_mix", "q_price_index", "ts_seasonal_anomalies",
+    "emb_centroid_drift",
     "dedup_substring_novelty", "ev_burst_skew", "inei_module_listing",
     "ts_cusum_skew",
     # round-9 semantics-changed oracles (never countersigned in
@@ -2788,13 +2797,13 @@ _WINDOW = [
     "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
     "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
     "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
-    # r4-era countersigns (16 of 50; remaining 34 queued for r10)
+    # r4-era countersigns (15 of 50; remaining 35 queued for r10)
     "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
     "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
     "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
     "ev_sessionize", "ev_top_users_per_type", "ev_tumbling_window",
     "infogob_candidate_history", "infogob_normalize_detail",
-    "infogob_normalize_header", "infogob_participation",
+    "infogob_normalize_header",
 ]
 
 
@@ -5759,6 +5768,60 @@ def oracle_sql() -> dict[str, str]:
         FROM dev d JOIN mads m USING (code)
         WHERE m.mad > 0 AND d.adev > 3.5 * 1.4826 * m.mad
         ORDER BY d.code, d.date
+    """
+
+    # centroid drift: micro-unit integer coordinate sums, HUGEINT
+    # dot/norm accumulations (exact, merge-order-proof), one
+    # correctly-rounded sqrt/division pair
+    sql["emb_centroid_drift"] = """
+        WITH halves AS (
+            SELECT label, vec_id % 2 AS h, u.d AS d,
+                   CAST(round(CAST(u.v AS DOUBLE) * 1000000) AS BIGINT)
+                       AS vm
+            FROM (
+                SELECT label, vec_id,
+                       unnest(list_transform(
+                           range(1, len(embedding) + 1),
+                           i -> struct_pack(d := i,
+                                            v := embedding[i]))) AS u
+                FROM embeddings
+            )
+        ),
+        sums AS (
+            SELECT label, h, d, CAST(sum(vm) AS BIGINT) AS s
+            FROM halves GROUP BY 1, 2, 3
+        ),
+        wide AS (
+            SELECT label, d,
+                   CAST(sum(CASE WHEN h = 0 THEN s END) AS BIGINT) AS s0,
+                   CAST(sum(CASE WHEN h = 1 THEN s END) AS BIGINT) AS s1
+            FROM sums GROUP BY 1, 2
+            HAVING sum(CASE WHEN h = 0 THEN s END) IS NOT NULL
+               AND sum(CASE WHEN h = 1 THEN s END) IS NOT NULL
+        ),
+        counts AS (
+            SELECT label,
+                   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM embeddings GROUP BY 1
+        ),
+        acc AS (
+            SELECT label,
+                   sum(CAST(s0 AS HUGEINT) * s1) AS dot,
+                   sum(CAST(s0 AS HUGEINT) * s0) AS q0,
+                   sum(CAST(s1 AS HUGEINT) * s1) AS q1
+            FROM wide GROUP BY 1
+        )
+        SELECT acc.label, counts.n_a, counts.n_b,
+               CAST(dot AS DOUBLE)
+               / (sqrt(CAST(q0 AS DOUBLE)) * sqrt(CAST(q1 AS DOUBLE)))
+                   AS centroid_cosine,
+               (counts.n_b * sqrt(CAST(q0 AS DOUBLE)))
+               / (counts.n_a * sqrt(CAST(q1 AS DOUBLE))) AS norm_ratio
+        FROM acc JOIN counts USING (label)
+        ORDER BY acc.label
     """
 
     # tfidf_top_terms top=3: idf rounded to the 1e-6 grid so tf*idf is

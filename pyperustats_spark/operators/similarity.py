@@ -1779,3 +1779,77 @@ def matryoshka_eval(embeddings: DataFrame, queries: DataFrame,
         .alias("recall_at_k"),
     )
     return out.orderBy("dim")
+
+
+def centroid_drift(embeddings: DataFrame,
+                   sort: bool = True) -> DataFrame:
+    """Embedding-distribution drift card per label: split the corpus
+    into two deterministic halves (vec_id parity — in production the
+    two sides are two releases/batches) and report, per label, the
+    COSINE between the two half-centroids plus the centroid-norm
+    ratio — the embedding-side companion of the doc-length drift
+    monitor (an embedding-model change, a source shift, or an
+    ingestion bug moves a label's centroid long before recall evals
+    notice).
+
+    Exactness ladder: each float coordinate is snapped to integer
+    micro-units (round(x·1e6) — float32 inputs are exact in double,
+    the rounding is identical cross-engine), so the per-(label, half,
+    dim) sums are exact integers; cosine needs only the SUM vectors
+    (scale-invariance: cos(s0/n0, s1/n1) = cos(s0, s1)), and the
+    dot/norm accumulations run in DECIMAL(38,0) (HUGEINT in the
+    oracle) — exact and merge-order-proof — with one correctly-
+    rounded sqrt/division pair at the end. The norm ratio
+    (|c0|/|c1| = n1·√Σs0² / (n0·√Σs1²)) divides the same exact
+    quantities.
+
+    Scale: one posexplode shuffle to (label, half, dim) — a bounded
+    key space (labels × 2 × dims) — then a |labels|-row rollup.
+    Vectors never ride a join."""
+    halves = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("_h"),
+        F.posexplode(F.col("embedding")).alias("_d", "_v"),
+    ).withColumn("_vm", F.round(F.col("_v").cast("double") * 1e6)
+                 .cast("bigint"))
+    sums = halves.groupBy("label", "_h", "_d").agg(
+        F.sum("_vm").cast("bigint").alias("_s"))
+    wide = (
+        sums.groupBy("label", "_d")
+        .agg(
+            F.sum(F.when(F.col("_h") == 0, F.col("_s"))).alias("_s0"),
+            F.sum(F.when(F.col("_h") == 1, F.col("_s"))).alias("_s1"),
+        )
+        .where(F.col("_s0").isNotNull() & F.col("_s1").isNotNull())
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    counts = embeddings.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+    )
+    acc = wide.groupBy("label").agg(
+        F.sum(dec(F.col("_s0")) * F.col("_s1")).alias("_dot"),
+        F.sum(dec(F.col("_s0")) * F.col("_s0")).alias("_q0"),
+        F.sum(dec(F.col("_s1")) * F.col("_s1")).alias("_q1"),
+    )
+    out = (
+        acc.join(counts, "label")
+        .select(
+            "label", "n_a", "n_b",
+            F.try_divide(
+                F.col("_dot").cast("double"),
+                F.sqrt(F.col("_q0").cast("double"))
+                * F.sqrt(F.col("_q1").cast("double")))
+            .alias("centroid_cosine"),
+            F.try_divide(
+                F.col("n_b") * F.sqrt(F.col("_q0").cast("double")),
+                F.col("n_a") * F.sqrt(F.col("_q1").cast("double")))
+            .alias("norm_ratio"),
+        )
+    )
+    return out.orderBy("label") if sort else out

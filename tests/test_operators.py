@@ -4811,3 +4811,37 @@ def test_seasonal_anomalies_flags_planted_spike(spark):
             (int(str(r["date"])[:4]) - 2021) * 12
             + int(m) - 5) <= 6
         assert in_window or m == "05", r
+
+
+def test_centroid_drift_identical_halves_and_planted_shift(spark):
+    from pyperustats_spark.operators.similarity import centroid_drift
+    rows = []
+    # label 0: both halves the same direction -> cosine 1, ratio 1
+    for i in range(8):
+        rows.append((i, [1.0, 2.0, 3.0, 4.0], 0))
+    # label 1: odd half orthogonal to even half
+    for i in range(8):
+        v = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((100 + i, v, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in centroid_drift(emb).collect()}
+    # sqrt(x)**2 != x exactly in IEEE — identical halves land within
+    # an ulp of 1, deterministically (the oracle computes the same bits)
+    assert abs(out[0]["centroid_cosine"] - 1.0) < 1e-12
+    assert abs(out[0]["norm_ratio"] - 1.0) < 1e-12
+    assert out[0]["n_a"] == 4 and out[0]["n_b"] == 4
+    # 100+i parity: even vec_ids hold [1,0,0,0], odd hold [0,1,0,0]
+    assert out[1]["centroid_cosine"] == 0.0
+    assert abs(out[1]["norm_ratio"] - 1.0) < 1e-12
+
+
+def test_centroid_drift_empty_and_single_half(spark):
+    from pyperustats_spark.operators.similarity import centroid_drift
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    assert centroid_drift(empty).count() == 0
+    # a label present in only ONE half has no drift row (no pair)
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0], 7)], "vec_id long, embedding array<float>, label int")
+    assert centroid_drift(one).count() == 0
