@@ -1412,7 +1412,13 @@ def perplexity_buckets(documents: DataFrame, k: float = 0.5,
     histogram_rank decomposition with a compound bucket; the bucket
     alphabet is bounded (score is a mean log-prob, floor(score·16)
     spans a few hundred cells), so the side table is never data-sized
-    and the largest single task is one (lang, cell).
+    and the largest single task is one (lang, cell). Honest local
+    A/B (sf10bd, 206k-row dominant lang): the naive per-lang window
+    measured 5.7 s vs 6.3 s here — groups that small don't straggle
+    on 32 threads and the decomposition pays two extra bounded
+    joins. Like the GK twins, this shape exists for the real corpus
+    (one language IS most of a crawl; a 10B-doc 'en' group on one
+    rank task is a non-starter), not for the local wall clock.
 
     Cross-engine: avg_logprob bits are identical by the ln-grid
     recipe; tiles are integer math on (rank, n) with (score DESC,
