@@ -196,14 +196,15 @@ def markov_stationary_fixed_point(edges: DataFrame,
 
 def supplier_authority(lineitem: DataFrame, orders: DataFrame,
                        supplier: DataFrame, iters: int = 4,
-                       k: int = 50, sort: bool = True) -> DataFrame:
+                       k: int = 50) -> DataFrame:
     """Supplier authority via SALSA on the customer→supplier
     interaction graph: a supplier scores high when bought by
     customers who concentrate on high-authority suppliers — the
     bipartite mutual-reinforcement :func:`supplier_importance`'s
     random-surfer model approximates through packed node ids, here
     computed natively on the two-sided graph. Returns top-*k*
-    (s_name, authority_micro)."""
+    (s_name, authority_micro). No ``sort=False`` path: the ordering
+    is load-bearing (it defines the top-k cut), not presentation."""
     edges = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"),
@@ -223,19 +224,21 @@ def supplier_authority(lineitem: DataFrame, orders: DataFrame,
         .orderBy(F.desc("authority_micro"), "s_name")
         .limit(k)
     )
-    return out if sort else out
+    return out
 
 
 def supplier_importance(lineitem: DataFrame, orders: DataFrame,
                         supplier: DataFrame, iters: int = 6,
-                        k: int = 50, sort: bool = True) -> DataFrame:
+                        k: int = 50) -> DataFrame:
     """Supplier importance by recursive customer flows: PageRank on
     the bipartite customer↔supplier interaction graph (edge weight =
     number of lineitem interactions, both directions), reported for
     the supplier side. A supplier ranks high when its customers are
     themselves important — i.e. buy from many important suppliers —
     which plain order counts (the reference's frequency rollups)
-    cannot express. Returns top-*k* (s_name, rank_micro).
+    cannot express. Returns top-*k* (s_name, rank_micro). No
+    ``sort=False`` path: the ordering is load-bearing (it defines
+    the top-k cut), not presentation.
 
     Node ids pack both partitions into one bigint space (customer →
     2·key, supplier → 2·key+1) so the generic kernel needs no type
@@ -265,7 +268,7 @@ def supplier_importance(lineitem: DataFrame, orders: DataFrame,
         .orderBy(F.desc("rank_micro"), "s_name")
         .limit(k)
     )
-    return out if sort else out
+    return out
 
 
 def copurchase_edges(lineitem: DataFrame, max_basket: int = 50,

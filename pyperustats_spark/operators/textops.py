@@ -1445,8 +1445,13 @@ def perplexity_buckets(documents: DataFrame, k: float = 0.5,
                     F.try_divide(F.col("_slp"), F.col("n_tokens")))
     )
     # negate the cell index so ascending cell order == descending score
+    # persist: counts + ranked both reference this frame, and Catalyst
+    # re-executes the whole scoring subtree (explode + unigram join +
+    # per-doc agg) per reference (the histogram_ntile persist rule);
+    # ccnet_filter inherits the single execution
     scored = per.withColumn(
-        "_vb", (-F.floor(F.col("avg_logprob") * 16)).cast("bigint"))
+        "_vb", (-F.floor(F.col("avg_logprob") * 16)).cast("bigint")
+    ).persist()
     counts = scored.groupBy("lang", "_vb").agg(
         F.count(F.lit(1)).alias("_cnt"))
     ws = Window.partitionBy("lang").orderBy("_vb")
@@ -1568,19 +1573,29 @@ def heaps_curve(documents: DataFrame, checkpoints: int = 10,
     natural language — a β near 1 flags ID-like/gibberish token
     streams, near 0 flags templated text).
 
-    Scale: tile assignment is layout.histogram_ntile over doc_id (no
-    partition-less rank window); V per tile is "tokens whose FIRST
-    tile is t" — one min-aggregate over the (token) shuffle — so the
+    Scale: tile assignment is layout.histogram_ntile over the
+    min/max-scaled doc_id BUCKET (the fileplan_linear idiom, ≤2^bits
+    cells — raw doc_id as the bucket would make histogram_rank's side
+    table one row per document, the data-sized-broadcast class the
+    primitive's contract bans; the bucket is monotone in doc_id so
+    tile math is unchanged); V per tile is "tokens whose FIRST tile
+    is t" — one min-aggregate over the (token) shuffle — so the
     cumulative curve is a window over *checkpoints* rows, never data.
     Oracle: ntile(k) OVER (ORDER BY doc_id) is the exact same integer
     tile math (histogram_ntile's contract); ln values land on the
     1e-6 grid in both engines."""
-    from pyperustats_spark.operators.layout import histogram_ntile
+    from pyperustats_spark.operators.layout import (
+        _bounds, _bucket, histogram_ntile)
 
+    base = documents.select("doc_id", "text")
+    b = base.crossJoin(F.broadcast(_bounds(base, ["doc_id"])))
+    z = b.select(
+        "doc_id", "text",
+        _bucket(F.col("doc_id"), F.col("_lo_doc_id"),
+                F.col("_hi_doc_id"), 8).alias("_db"))
     tiled = histogram_ntile(
-        documents.select("doc_id", "text"),
-        F.col("doc_id"), [F.col("doc_id")], checkpoints,
-        out_col="_tile")
+        z, F.col("_db"), [F.col("doc_id")], checkpoints,
+        out_col="_tile").drop("_db")
     toks = tiled.select(
         "_tile", F.explode(tokens(F.col("text"))).alias("token"))
     docs_per = tiled.groupBy("_tile").agg(

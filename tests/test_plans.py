@@ -158,8 +158,10 @@ BROADCAST_HINT_WHITELIST = {
                                   # (score is a mean log-prob: the
                                   # cell alphabet spans a few hundred
                                   # values, never data-sized)
-    "text_heaps_curve",           # histogram_ntile prefix table
-                                  # (doc_id bucket space, <= 2^bits)
+    "text_heaps_curve",           # 1-row doc_id (min,max) bounds +
+                                  # histogram_ntile prefix table over
+                                  # the min/max-scaled doc_id bucket
+                                  # (<= 2^8 cells by construction)
     "text_dsir_sample",           # 1-row (Nr, Nt) totals + the
                                   # n_feat-row bucket-weight table
                                   # (fixed hash alphabet)
@@ -605,9 +607,11 @@ PLAN_SMELL_WHITELIST = {
                                                 # + prefix window over
                                                 # the (lang × score-
                                                 # cell) count table only
-    "text_heaps_curve": {"BNLJ", "SINGLE_PART"},  # histogram_ntile
-                                                # prefix window (bucket-
-                                                # space side table) +
+    "text_heaps_curve": {"BNLJ", "SINGLE_PART"},  # 1-row bounds cross
+                                                # join + histogram_ntile
+                                                # prefix window over the
+                                                # <=2^8-cell scaled
+                                                # doc_id bucket table +
                                                 # the cumulative curve
                                                 # window over exactly
                                                 # `checkpoints` rows
