@@ -1521,6 +1521,25 @@ def multimodal_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def multimodal_image_dims(spark, sf_dir):
+    """REAL stdlib image decode, oracle-backed: synthesize one
+    spec-conformant PNG/JPEG/GIF/BMP header payload per document id
+    (dimensions/bit depth are integer arithmetic on doc_id, with a
+    planted truncated payload every 23rd id), then parse the binary
+    column back with pyperustats_spark.multimodal.binary_ops.
+    parse_image_header inside Arrow mapInPandas. The DuckDB oracle
+    recomputes the expected (format, width, height, bit_depth)
+    arithmetically — an encode→parse round trip where a bug in either
+    half breaks value parity."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.image_dims(MM.synthesize_corpus_images(docs)) \
+        .orderBy("doc_id")
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Rows-only: 1→N video frame sampling through mapInPandas."""
     from pyperustats_spark.multimodal import binary_ops as MM
@@ -2644,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_mix_sample": text_source_mix_sample,
         "layout_zorder_files": layout_zorder_files,
         "layout_pruning_compare": layout_pruning_compare,
+        "multimodal_image_dims": multimodal_image_dims,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -8778,5 +8798,32 @@ def oracle_sql() -> dict[str, str]:
         + "\nUNION ALL".join(_scans)
         + "\n) ORDER BY layout, predicate"
     )
+
+    # Round-trip oracle for the REAL stdlib image decode: the Spark
+    # side ENCODES spec-conformant PNG/JPEG/GIF/BMP header bytes from
+    # doc_id arithmetic and PARSES them back (binary_ops.
+    # parse_image_header); the oracle recomputes the same
+    # (format, width, height, bit_depth) arithmetically — identical
+    # integer mod/index math to _corpus_image_spec, NULLs for the
+    # planted truncated payloads.
+    sql["multimodal_image_dims"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 23 = 0 THEN NULL
+                    ELSE ['png','jpeg','gif','bmp'][(doc_id % 4) + 1]
+               END AS format,
+               CASE WHEN doc_id % 23 = 0 THEN NULL
+                    ELSE 16 + (doc_id * 7) % 2033 END AS width,
+               CASE WHEN doc_id % 23 = 0 THEN NULL
+                    ELSE 16 + (doc_id * 13) % 1525 END AS height,
+               CASE WHEN doc_id % 23 = 0 THEN NULL
+                    WHEN doc_id % 4 = 0 THEN
+                         CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
+                    WHEN doc_id % 4 = 1 THEN 8
+                    WHEN doc_id % 4 = 2 THEN (doc_id % 8) + 1
+                    ELSE [1,4,8,24,32][CAST(doc_id % 5 AS INT) + 1]
+               END AS bit_depth
+        FROM documents
+        ORDER BY doc_id
+    """
 
     return sql

@@ -4,14 +4,19 @@ A 100 TB training-data pipeline carries media as parquet ``binary``
 columns next to typed metadata, and runs decode / feature-extract /
 resize / frame-sample as Arrow-batched Python stages (``mapInPandas``).
 This module implements that plumbing for real — schema, partitioning,
-UDF signatures, batch iteration — while the codec step itself is
-STUBBED: the image/audio libraries are not in this container, so
-``decode_media`` raises ``NotImplementedError`` and tests exercise the
-pipeline through :func:`fake_decode`, a deterministic pure-bytes stand-in.
+UDF signatures, batch iteration. IMAGE decode is real too:
+:func:`parse_image_header` reads dimensions + bit depth straight from
+PNG/JPEG/GIF/BMP header bytes (public file-format specs, stdlib only
+— no PIL), surfaced as the :func:`image_dims` operator with a DuckDB
+round-trip oracle. Only the audio/video codec step remains STUBBED:
+those need soundfile/ffmpeg, absent from this container, so
+``decode_media`` raises ``NotImplementedError`` for non-image kinds
+and tests exercise that path through :func:`fake_decode`, a
+deterministic pure-bytes stand-in.
 
 Swap-in point for production: replace ``fake_decode`` with a real
-decoder (PIL/ffmpeg) inside the same ``mapInPandas`` functions — the
-Spark-side plan is unchanged.
+pixel/sample decoder (PIL/ffmpeg) inside the same ``mapInPandas``
+functions — the Spark-side plan is unchanged.
 
 Scale notes:
 - ``mapInPandas`` streams Arrow record batches; peak executor memory is
@@ -79,14 +84,134 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_media(payload: bytes, kind: str, codec: str) -> Any:
-    """Real codec decode — intentionally stubbed in this environment.
-
-    Production: dispatch on (kind, codec) to PIL / soundfile / ffmpeg
-    inside the mapInPandas worker. The container has none of those."""
+    """Media decode dispatch. Images decode for REAL — stdlib header
+    parsing via :func:`parse_image_header` (PNG IHDR / JPEG SOF / GIF
+    screen descriptor / BMP info header), no PIL required. Audio and
+    video remain the stubbed path: their codecs (wav is feasible but
+    the synthetic payloads aren't wav; h264 needs ffmpeg) are not in
+    this container — production swaps this branch for soundfile /
+    ffmpeg inside the same mapInPandas worker."""
+    if kind == "image":
+        return parse_image_header(payload)
     raise NotImplementedError(
         f"no codec libraries in this environment (kind={kind}, codec={codec}); "
         "tests use fake_decode"
     )
+
+
+# JPEG frame-header (SOFn) markers that carry precision/height/width —
+# all of C0-CF except DHT (C4), JPG (C8) and DAC (CC), per ITU T.81
+# Table B.1.
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes):
+    """Real stdlib image decode: (format, width, height, bit_depth)
+    from the first bytes of PNG / JPEG / GIF / BMP payloads, or
+    (None, None, None, None) for anything unrecognized/truncated.
+    Pure bytes → deterministic cross-engine, so a DuckDB oracle can
+    countersign a synthesize→parse round trip exactly.
+
+    Formats (public file-format specs, no codec library needed):
+
+    * PNG: 8-byte signature, then the IHDR chunk (must be first, per
+      the spec): width/height uint32 BE at offsets 16/20, bit depth
+      (bits per sample) at 24.
+    * GIF (87a/89a): logical screen descriptor — width/height uint16
+      LE at offsets 6/8; colour-resolution bits = ((packed>>4)&7)+1
+      at offset 10.
+    * BMP: 'BM' + 14-byte file header, then BITMAPINFOHEADER: width
+      int32 LE at 18, height int32 LE at 22 (negative = top-down →
+      abs), bits-per-pixel uint16 LE at 28.
+    * JPEG: walk FF-marker segments from offset 2 until a SOFn frame
+      header (precision uint8, height/width uint16 BE); standalone
+      markers (RST/TEM) have no length field and are skipped.
+    """
+    n = len(payload)
+    if n >= 29 and payload[:8] == b"\x89PNG\r\n\x1a\n" \
+            and payload[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+            payload[24],
+        )
+    if n >= 13 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+            ((payload[10] >> 4) & 0x7) + 1,
+        )
+    if n >= 30 and payload[:2] == b"BM" \
+            and int.from_bytes(payload[14:18], "little") >= 40:
+        return (
+            "bmp",
+            abs(int.from_bytes(payload[18:22], "little", signed=True)),
+            abs(int.from_bytes(payload[22:26], "little", signed=True)),
+            int.from_bytes(payload[28:30], "little"),
+        )
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker == 0xFF:      # fill byte before a marker
+                i += 1
+                continue
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 <= n:
+                    return (
+                        "jpeg",
+                        int.from_bytes(payload[i + 7:i + 9], "big"),
+                        int.from_bytes(payload[i + 5:i + 7], "big"),
+                        payload[i + 4],
+                    )
+                break
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                i += 2              # standalone marker, no length
+                continue
+            i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")
+    return (None, None, None, None)
+
+
+def encode_image_header(fmt: str, width: int, height: int,
+                        bit_depth: int) -> bytes:
+    """Build a REAL, spec-conformant image header for *fmt* with the
+    given dimensions (synthesis half of the round-trip oracle; also
+    the shape a test fixture uses). The payload is a valid file
+    prefix — signature + dimension-bearing header — not pixel data."""
+    if fmt == "png":
+        ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                + bytes([bit_depth, 2, 0, 0, 0]))   # truecolor
+        return (b"\x89PNG\r\n\x1a\n"
+                + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+                + b"\x00\x00\x00\x00")              # CRC placeholder
+    if fmt == "gif":
+        packed = 0x80 | (((bit_depth - 1) & 0x7) << 4) | 0x07
+        return (b"GIF89a"
+                + width.to_bytes(2, "little")
+                + height.to_bytes(2, "little")
+                + bytes([packed, 0, 0]))
+    if fmt == "bmp":
+        info = ((40).to_bytes(4, "little")
+                + width.to_bytes(4, "little", signed=True)
+                + height.to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little")
+                + bit_depth.to_bytes(2, "little")
+                + bytes(24))
+        return (b"BM" + (14 + 40).to_bytes(4, "little")
+                + bytes(4) + (14 + 40).to_bytes(4, "little") + info)
+    if fmt == "jpeg":
+        app0 = (b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+                + b"\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
+        sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big")
+                + bytes([bit_depth])
+                + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+                + bytes([3,
+                         1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    raise ValueError(f"unknown format {fmt!r}")
 
 
 def fake_decode(payload: bytes, n_dims: int = 8) -> list[float]:
@@ -154,6 +279,101 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
             yield out
 
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+    ]
+)
+
+IMAGE_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _corpus_image_spec(doc_id: int):
+    """Deterministic (format, width, height, bit_depth) for a doc id —
+    the arithmetic contract shared with the DuckDB oracle (every term
+    is integer mod/index math so SQL reproduces it exactly). Returns
+    None for the planted-corrupt ids (doc_id % 23 == 0): those get a
+    truncated payload the parser must reject."""
+    if doc_id % 23 == 0:
+        return None
+    fmt = ("png", "jpeg", "gif", "bmp")[doc_id % 4]
+    width = 16 + (doc_id * 7) % 2033
+    height = 16 + (doc_id * 13) % 1525
+    if fmt == "png":
+        bit_depth = 8 if doc_id % 2 == 0 else 16
+    elif fmt == "jpeg":
+        bit_depth = 8
+    elif fmt == "gif":
+        bit_depth = (doc_id % 8) + 1
+    else:
+        bit_depth = (1, 4, 8, 24, 32)[doc_id % 5]
+    return fmt, width, height, bit_depth
+
+
+def synthesize_corpus_images(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """One REAL image payload per document id: spec-conformant
+    PNG/JPEG/GIF/BMP header bytes (format and dimensions derived from
+    the id by `_corpus_image_spec`'s integer arithmetic), with a
+    planted truncated payload every 23rd id. Arrow `mapInPandas`
+    over the pruned id column — this is the synthesis half of the
+    encode→parse round trip that `multimodal_image_dims`'s DuckDB
+    oracle countersigns arithmetically."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                spec = _corpus_image_spec(int(doc_id))
+                if spec is None:
+                    payloads.append(b"\x89PNG\r\n")    # truncated sig
+                else:
+                    payloads.append(encode_image_header(*spec))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def image_dims(media: DataFrame, id_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """REAL image metadata decode over a binary column: per row,
+    (format, width, height, bit_depth) via the stdlib header parser
+    :func:`parse_image_header` — NULLs for unrecognized or truncated
+    payloads. Arrow-batched `mapInPandas`, narrow (zero shuffles);
+    payloads stream through one Arrow batch at a time, so peak
+    executor memory is a batch of headers, not a partition of
+    images."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_image_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed],
+                                      dtype="Int64"),
+                    "height": pd.array([p[2] for p in parsed],
+                                       dtype="Int64"),
+                    "bit_depth": pd.array([p[3] for p in parsed],
+                                          dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_batches, IMAGE_DIMS_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 128, max_frames: int = 8) -> DataFrame:

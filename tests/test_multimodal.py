@@ -72,6 +72,72 @@ def test_media_stats(media):
     assert all(r["n"] == 16 for r in rows.values())
 
 
-def test_decode_media_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM.decode_media(b"\x89PNG", "image", "png")
+def test_decode_media_stub_is_video_audio_only():
+    """Image decode is real now; the NotImplementedError gate remains
+    only for the codec-library kinds (audio/video)."""
+    for kind, codec in (("audio", "wav"), ("video", "h264")):
+        with pytest.raises(NotImplementedError):
+            MM.decode_media(b"\x00\x01", kind, codec)
+    fmt, w, h, bd = MM.decode_media(
+        MM.encode_image_header("png", 640, 480, 8), "image", "png")
+    assert (fmt, w, h, bd) == ("png", 640, 480, 8)
+
+
+def test_parse_image_header_round_trip_all_formats():
+    cases = [
+        ("png", 1, 1, 1), ("png", 65535, 3, 16), ("png", 640, 480, 8),
+        ("jpeg", 77, 99, 12), ("jpeg", 65535, 65535, 8),
+        ("gif", 320, 200, 8), ("gif", 1, 65535, 1),
+        ("bmp", 1024, 768, 24), ("bmp", 7, 5, 1),
+    ]
+    for fmt, w, h, bd in cases:
+        payload = MM.encode_image_header(fmt, w, h, bd)
+        assert MM.parse_image_header(payload) == (fmt, w, h, bd)
+
+
+def test_parse_image_header_rejects_garbage():
+    bad = [
+        b"", b"\x00" * 64, b"\x89PNG\r\n",          # truncated sig
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,          # no IHDR
+        b"GIF89a" + b"\x01",                         # truncated LSD
+        b"BM" + b"\x00" * 40,                        # info header size 0
+        b"\xff\xd8\xff\xd9",                         # jpeg without SOF
+        b"\xff\xd8\xff\xe0\x00\x04\x00\x00",         # APP0 only, EOF
+        b"PK\x03\x04" + b"\x00" * 32,                # zip, not an image
+    ]
+    for payload in bad:
+        assert MM.parse_image_header(payload) == (None, None, None, None)
+
+
+def test_parse_jpeg_skips_standalone_markers():
+    # RST/TEM markers carry no length field; a parser that reads a
+    # bogus length there would desync and miss the SOF
+    j = (b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0"
+         + b"\xff\xc1" + (11).to_bytes(2, "big") + bytes([10])
+         + (256).to_bytes(2, "big") + (512).to_bytes(2, "big")
+         + bytes([1, 1, 0x11, 0]))
+    assert MM.parse_image_header(j) == ("jpeg", 512, 256, 10)
+
+
+def test_bmp_topdown_negative_height():
+    payload = bytearray(MM.encode_image_header("bmp", 64, 32, 8))
+    payload[22:26] = (-32).to_bytes(4, "little", signed=True)
+    assert MM.parse_image_header(bytes(payload)) == ("bmp", 64, 32, 8)
+
+
+def test_image_dims_operator_matches_local_parse(spark):
+    """The distributed mapInPandas decode equals the local parser on
+    every row, including the planted-corrupt ids (NULL row)."""
+    ids = spark.range(0, 120).selectExpr("id AS doc_id")
+    media = MM.synthesize_corpus_images(ids)
+    out = {r["doc_id"]: r for r in MM.image_dims(media).collect()}
+    assert len(out) == 120
+    for i in range(120):
+        spec = MM._corpus_image_spec(i)
+        row = out[i]
+        got = (row["format"], row["width"], row["height"],
+               row["bit_depth"])
+        if spec is None:
+            assert got == (None, None, None, None)
+        else:
+            assert got == spec
