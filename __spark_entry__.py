@@ -494,6 +494,185 @@ def inei_module_listing(spark, sf_dir):
     return module_listing(page, id_cols=()).orderBy("number")
 
 
+def bcrp_catalog_listing(spark, sf_dir):
+    """Round-trip proof of the BCRP catalogue-page normalizer
+    (sources/bcrp_catalog.py — the reference _scrape_metadata/
+    _parse_series_table port, perustats/BCRP/metadata.py:48-141):
+    synthesize the four frequency pages row-locally from the nation
+    dim — every reference branch exercised (messy whitespace + the
+    '- (N series)' h2 suffix, sections without a fuente paragraph
+    (source NULL), an empty dropdown section (skipped), rows without
+    a code link (code/url NULL) or description link (NULL), markup
+    inside description text) — parse them back with the real regex
+    pipeline, and let the oracle state the expected catalogue rows
+    DIRECTLY from nation. A parser bug anywhere breaks value parity."""
+    from pyperustats_spark.sources.bcrp_catalog import (
+        FREQ_WEB_MAP, catalog_listing)
+
+    k = F.col("n_nationkey")
+    ks = k.cast("string")
+    r = F.col("n_regionkey")
+    rs = r.cast("string")
+
+    def td(c):
+        return F.concat(F.lit("<td>"), c, F.lit("</td>"))
+
+    code_txt = F.concat(F.lit("PN"), ks, F.col("_fc"))
+    code_a = F.when(
+        k % 7 != 3,
+        F.concat(F.lit('<a href="/series/'), code_txt, F.lit('">'),
+                 code_txt, F.lit("</a>"))
+    ).otherwise(F.lit("<span>x</span>"))
+    desc_a = F.when(
+        k % 5 != 4,
+        F.concat(F.lit('<a href="#"><b>'), F.col("n_name"),
+                 F.lit("</b>  series</a>"))
+    ).otherwise(F.lit("sin enlace"))
+    fin = F.when(k % 2 == 0, F.lit("2024")).otherwise(F.lit("n/a"))
+    row = F.concat(
+        F.lit("<tr>"), td(ks), td(code_a), td(desc_a),
+        td(F.lit(" 1990 ")), td(fin),
+        td(F.lit("  12  - Ene -  2024 ")), F.lit("</tr>"))
+
+    labeled = (
+        _lt(spark, sf_dir, "nation")
+        .select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.explode(F.array(*[
+                F.struct(F.lit(lbl).alias("l"), F.lit(c).alias("c"))
+                for lbl, c in FREQ_WEB_MAP.items()])).alias("_f"))
+        .select("n_nationkey", "n_name", "n_regionkey",
+                F.col("_f.l").alias("_fl"), F.col("_f.c").alias("_fc"))
+    )
+    fuente = F.when(
+        r % 2 == 0,
+        F.concat(F.lit('<p class="fuente">Fuente: BCRP area '), rs,
+                 F.lit("</p>"))
+    ).otherwise(F.lit(""))
+    section_rows = (
+        labeled
+        .select("_fl", "n_regionkey",
+                F.struct(k.alias("k"), row.alias("r")).alias("_s"))
+        .groupBy("_fl", "n_regionkey")
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list("_s")), lambda s: s["r"]), "")
+            .alias("_rows"))
+        .select(
+            "_fl", "n_regionkey",
+            F.struct(
+                F.col("n_regionkey").alias("r"),
+                F.concat(
+                    F.lit('<div class="tcg-elevator"><h2>  Grupo   R'),
+                    F.col("n_regionkey").cast("string"),
+                    F.lit("  - (3 series) anexo </h2>"), fuente,
+                    F.lit('<table class="series"><tr><th>Codigo</th>'
+                          "</tr>"),
+                    F.col("_rows"),
+                    F.lit("</table></div>")).alias("h")).alias("_sec"))
+    )
+    pages = (
+        section_rows.groupBy("_fl")
+        .agg(F.concat(
+            F.lit('<html><body><div class="tcg-elevator">'
+                  "<h2>Seccion vacia</h2></div>"),
+            F.array_join(F.transform(
+                F.array_sort(F.collect_list("_sec")),
+                lambda s: s["h"]), ""),
+            F.lit("</body></html>")).alias("html"))
+        .select(F.col("_fl").alias("freq_label"), "html")
+    )
+    return catalog_listing(pages).orderBy(
+        "freq_label", "group", "fecha_fin", "code")
+
+
+def infogob_proceso_elections(spark, sf_dir):
+    """Round-trip proof of the electoral-process metadata normalizer
+    (sources/infogob_procesos.py — the reference
+    00_procesos_electorales_metadata.py port): synthesize the
+    pre-fetched inputs from region/nation — the #IdTipoProceso
+    options page (placeholder skipped, one process per region, one
+    name missing from istr_map), the per-process listar_elecciones
+    JSON (placeholder entry skipped, names lowercased to exercise
+    title-casing), and the per-election ficha responses (redirect
+    Location + resultados page with the IdGrupoEleccion input and a
+    varying <select> cascade count) — run the real option-parse →
+    JSON-explode → enrich pipeline, and let the oracle state the
+    expected table DIRECTLY from nation arithmetic."""
+    from pyperustats_spark.sources.infogob_procesos import (
+        elections_from_json, enrich_elections, proceso_options)
+
+    k = F.col("n_nationkey")
+    r = F.col("n_regionkey")
+    proc_name = (
+        F.when(r == 0, F.lit("ELECCIONES PRESIDENCIALES"))
+        .when(r == 1, F.lit("ELECCIONES CONGRESALES"))
+        .when(r == 2, F.lit("ELECCIONES REGIONALES"))
+        .when(r == 3, F.lit("ELECCIONES MUNICIPALES DISTRITALES"))
+        .otherwise(F.lit("PROCESO DESCONOCIDO")))
+
+    nation = _lt(spark, sf_dir, "nation")
+    region_procs = (
+        nation.select("n_regionkey").distinct()
+        .select(
+            "n_regionkey",
+            F.struct(
+                F.col("n_regionkey").alias("r"),
+                F.concat(
+                    F.lit('<option value="P'),
+                    F.col("n_regionkey").cast("string"), F.lit('"> '),
+                    proc_name,
+                    F.lit(" </option>")).alias("h")).alias("_o"))
+    )
+    page = region_procs.agg(F.concat(
+        F.lit('<html><select id="IdTipoProceso">'
+              '<option value="">Seleccione</option>'),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list("_o")), lambda s: s["h"]), ""),
+        F.lit("</select></html>")).alias("html"))
+    procs = proceso_options(page)
+
+    entry_ = F.struct(
+        F.lower(F.col("n_name")).alias("Text"),
+        (k + 100).cast("string").alias("Value"))
+    json_by_region = (
+        nation.select("n_regionkey",
+                      F.struct(k.alias("k"), entry_.alias("e"))
+                      .alias("_s"))
+        .groupBy("n_regionkey")
+        .agg(F.to_json(F.struct(
+            F.concat(
+                F.array(F.struct(F.lit("Seleccione").alias("Text"),
+                                 F.lit("").alias("Value"))),
+                F.transform(F.array_sort(F.collect_list("_s")),
+                            lambda s: s["e"])).alias("Data")))
+            .alias("json"))
+        .select(F.concat(F.lit("P"),
+                         F.col("n_regionkey").cast("string"))
+                .alias("id_proceso"), "json")
+    )
+    responses = procs.join(json_by_region, "id_proceso")
+    elections = elections_from_json(responses)
+
+    fichas = nation.select(
+        (k + 100).cast("string").alias("id_eleccion"),
+        F.concat(F.lit("/Eleccion/_normativa_/ficha"),
+                 (k + 100).cast("string")).alias("location"),
+        F.concat(
+            F.lit('<html><input type="hidden" id="IdGrupoEleccion" '
+                  'value="G'),
+            (k * 7).cast("string"), F.lit('"/>'),
+            F.lit('<div id="CandidatosResultados">'),
+            F.repeat(F.lit('<select class="c"></select>'),
+                     (F.lit(1) + k % 3).cast("int")),
+            F.lit("</div></html>")).alias("resultados_html"))
+    out = enrich_elections(elections, fichas,
+                           base_url="https://infogob.jne.pe")
+    return out.select(
+        "id_proceso", "proceso_electoral", "name_eleccion",
+        "id_eleccion", "url_redirect", "id_group_eleccion", "n_level",
+        "istr_value", "istr").orderBy("id_proceso", "id_eleccion")
+
+
 def inei_stage_plan(spark, sf_dir):
     from pyperustats_spark.sources.progress import (
         stage_plan, status_from_events)
@@ -2664,6 +2843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_files": layout_zorder_files,
         "layout_pruning_compare": layout_pruning_compare,
         "multimodal_image_dims": multimodal_image_dims,
+        "bcrp_catalog_listing": bcrp_catalog_listing,
+        "infogob_proceso_elections": infogob_proceso_elections,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -8798,6 +8979,81 @@ def oracle_sql() -> dict[str, str]:
         + "\nUNION ALL".join(_scans)
         + "\n) ORDER BY layout, predicate"
     )
+
+    # Round-trip oracle for the BCRP catalogue normalizer: the Spark
+    # side SYNTHESIZES the four frequency pages from nation (messy
+    # whitespace, '- (N series)' suffixes, missing fuente/links, an
+    # empty section) and PARSES them back with sources/bcrp_catalog;
+    # the oracle states the expected catalogue rows directly from
+    # nation — same branch arithmetic, no HTML.
+    sql["bcrp_catalog_listing"] = """
+        SELECT f.freq_label,
+               f.freq,
+               'Grupo R' || CAST(n_regionkey AS VARCHAR) AS "group",
+               CASE WHEN n_regionkey % 2 = 0
+                    THEN 'BCRP area ' || CAST(n_regionkey AS VARCHAR)
+               END AS source,
+               CASE WHEN n_nationkey % 7 != 3
+                    THEN 'PN' || CAST(n_nationkey AS VARCHAR) || f.freq
+               END AS code,
+               CASE WHEN n_nationkey % 5 != 4
+                    THEN n_name || ' series' END AS description,
+               '1990' AS fecha_inicio,
+               CASE WHEN n_nationkey % 2 = 0 THEN '2024'
+                    ELSE 'n/a' END AS fecha_fin,
+               CASE WHEN n_nationkey % 7 != 3
+                    THEN '/series/PN' || CAST(n_nationkey AS VARCHAR)
+                         || f.freq
+               END AS url,
+               '12 - Ene - 2024' AS last_update
+        FROM nation
+        CROSS JOIN (VALUES ('diarias','D'), ('mensuales','M'),
+                    ('trimestrales','Q'), ('anuales','A'))
+             AS f(freq_label, freq)
+        ORDER BY freq_label, "group", fecha_fin, code
+    """
+
+    # Round-trip oracle for the electoral-process metadata pipeline:
+    # the Spark side SYNTHESIZES the options page / per-process JSON /
+    # per-election ficha responses from region+nation and runs the
+    # real parse→explode→enrich chain; the oracle states the expected
+    # process → elections table directly from nation arithmetic.
+    sql["infogob_proceso_elections"] = """
+        SELECT 'P' || CAST(n_regionkey AS VARCHAR) AS id_proceso,
+               CASE n_regionkey
+                    WHEN 0 THEN 'ELECCIONES PRESIDENCIALES'
+                    WHEN 1 THEN 'ELECCIONES CONGRESALES'
+                    WHEN 2 THEN 'ELECCIONES REGIONALES'
+                    WHEN 3 THEN 'ELECCIONES MUNICIPALES DISTRITALES'
+                    ELSE 'PROCESO DESCONOCIDO'
+               END AS proceso_electoral,
+               array_to_string(list_transform(
+                   string_split(lower(n_name), ' '),
+                   w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+                   AS name_eleccion,
+               CAST(n_nationkey + 100 AS VARCHAR) AS id_eleccion,
+               'https://infogob.jne.pe/Eleccion/'
+                   || '_candidatos-y-resultados_/ficha'
+                   || CAST(n_nationkey + 100 AS VARCHAR)
+                   AS url_redirect,
+               'G' || CAST(n_nationkey * 7 AS VARCHAR)
+                   AS id_group_eleccion,
+               CAST(1 + n_nationkey % 3 AS BIGINT) AS n_level,
+               CAST(CASE n_regionkey
+                    WHEN 0 THEN 1001 WHEN 1 THEN 5111
+                    WHEN 2 THEN 2001 WHEN 3 THEN 4001
+               END AS BIGINT) AS istr_value,
+               CASE WHEN n_regionkey <= 3 THEN
+                    CAST(CASE n_regionkey
+                         WHEN 0 THEN 1001 WHEN 1 THEN 5111
+                         WHEN 2 THEN 2001 WHEN 3 THEN 4001
+                    END AS VARCHAR)
+                    || CAST(n_nationkey + 100 AS VARCHAR)
+                    || '@G' || CAST(n_nationkey * 7 AS VARCHAR)
+               END AS istr
+        FROM nation
+        ORDER BY id_proceso, id_eleccion
+    """
 
     # Round-trip oracle for the REAL stdlib image decode: the Spark
     # side ENCODES spec-conformant PNG/JPEG/GIF/BMP header bytes from

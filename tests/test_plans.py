@@ -593,6 +593,12 @@ PLAN_SMELL_WHITELIST = {
                                                 # synthetic page (the
                                                 # round-trip input), by
                                                 # construction 1 row
+    "infogob_proceso_elections": {"SINGLE_PART"},  # |regions|-row (5)
+                                                # options dropdown
+                                                # concatenated into ONE
+                                                # synthetic page (the
+                                                # round-trip input), by
+                                                # construction 1 row
     # GROUP_SIZE_WINDOW whitelist: full-partition count windows whose
     # partition key is cardinality-BOUNDED (lang) or whose op already
     # sorts the same per-series partition for its core semantics (the
