@@ -1197,7 +1197,8 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                shortlist: int = 50, m: int = 8, n_codewords: int = 16,
                dim: int = 64, kmeans_iters: int = 0,
                residual: bool = False,
-               adc_join: bool = False) -> DataFrame:
+               adc_join: bool = False,
+               adc_matrix: bool = False) -> DataFrame:
     """The full IVF-PQ search pipeline — both halves of the
     memory-bounded ANN layout wired together: coarse quantizer (IVF
     cells, :func:`ivf_assign`) restricts the scan to the query's
@@ -1329,7 +1330,43 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                         else expr.when(cond, branch))
         return expr
 
-    if adc_join:
+    if adc_matrix:
+        # r9-verdict probe: ALL flattened ADC tables as ONE literal
+        # matrix (functions/vectors.lit_double_matrix — a single
+        # parsed expression string, the expression-construction
+        # rule), with the broadcast (query, cell) join carrying only
+        # a compact row index into it; distance = let-bound
+        # element_at(MATRIX, idx) then m lookups. Plan size grows
+        # O(n_queries·m·k) like the literal-CASE form but without
+        # the per-row CASE chain, and the broadcast rows carry one
+        # int instead of an m·k double array.
+        tables, idx_rows = [], []
+        for r in qrows:
+            qid = int(r["query_id"])
+            qv = [float(x) for x in r["q_embedding"]]
+            if residual:
+                for cid in probes[qid]:
+                    src = [qv[i] - center_of[cid][i]
+                           for i in range(dim)]
+                    tables.append(_adc_flat_table(src, books, m, d))
+                    idx_rows.append((qid, cid, len(tables)))
+            else:
+                tables.append(_adc_flat_table(qv, books, m, d))
+                for cid in probes[qid]:
+                    idx_rows.append((qid, cid, len(tables)))
+        qidx = queries.sparkSession.createDataFrame(
+            idx_rows, "query_id long, cell long, qi int")
+        mat = lit_double_matrix(tables)
+        scored = (
+            coded.join(F.broadcast(qidx), "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "cell",
+                    let(F.element_at(mat, F.col("qi")),
+                        lambda adc: _adc_join_dist(
+                            F.col("codes"), adc, m, n_codewords))
+                    .alias("approx_dist"))
+        )
+    elif adc_join:
         # scale form (see ann_pq_adc docstring): one flattened table
         # per (query, probed cell) rides a broadcast DataFrame — the
         # same (cell) broadcast equi-join qcells used, now carrying

@@ -4097,6 +4097,13 @@ def test_adc_join_form_bit_identical_and_plan_flat(spark, tables):
                            kmeans_iters=1, residual=res,
                            adc_join=True).collect()
         assert key(litv) == key(jnv), f"residual={res}"
+        # third form (r9-verdict probe): single literal matrix +
+        # compact index — same tables, same lookup-sum order
+        mtv = S.ann_ivf_pq(emb, q3, k=5, n_centroids=8, nprobe=2,
+                           shortlist=50, m=8, n_codewords=16,
+                           kmeans_iters=1, residual=res,
+                           adc_matrix=True).collect()
+        assert key(litv) == key(mtv), f"residual={res} (matrix)"
 
     # plan-size scaling: 3 queries vs 30 queries
     ids30 = [0, 7, 42, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14,
