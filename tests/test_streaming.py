@@ -130,47 +130,47 @@ def test_stateful_running_totals_accumulate_across_batches(
         assert got["last_ts"] == w["last_ts"]
 
 
-def _protobuf_probe():
-    """Probe the exact import TWS's state-server worker performs.
-    Returns the failure signature (or None when healthy) so the skip
-    reason records WHY — and the test starts running automatically the
-    round an image update heals the environment (re-probed per session,
-    never pinned to a past observation).
-
-    Why not shim it: pyspark's transformWithStateInPandas worker talks
-    to the JVM state server through generated ``StateMessage_pb2``
-    classes, whose wire-format encode/decode needs a FUNCTIONAL
-    protobuf runtime (descriptor pool + serializer), not just an
-    importable name — a stub module would move the failure from a
-    clean skip to a mid-stream worker crash. The only self-contained
-    fix is vendoring the entire pure-Python google.protobuf package,
-    which this repo deliberately does not do (no wholesale third-party
-    vendoring; installs are unavailable in this environment). So: skip
-    with the live signature until the image ships protobuf, at which
-    point this probe passes and the test runs with zero changes."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return None
-    except Exception as e:  # ModuleNotFoundError today; keep broad so a
-        return f"{type(e).__name__}: {e}"  # half-installed pkg also skips
-
-
-_PROTOBUF_FAIL = _protobuf_probe()
+# Resolved at conftest import, BEFORE the session JVM starts (workers
+# inherit the wiring from the JVM environment). r8/r9 this was a
+# signature-pinned skip ("no google.protobuf in the container");
+# protobuf_compat now finds the on-disk vendored pure-Python runtime
+# and the test runs for real. The skip branch remains live for images
+# without any copy — it records the probe signature as before.
+from tests.conftest import PROTOBUF_MODE
 
 
 @pytest.mark.skipif(
-    _PROTOBUF_FAIL is not None,
+    PROTOBUF_MODE is None,
     reason="transformWithStateInPandas needs a working google.protobuf "
-           "for its state-server worker; probe failed with: "
-           f"{_PROTOBUF_FAIL}")
+           "for its state-server worker; no system install and no "
+           "on-disk vendor copy importable (see "
+           "streaming/protobuf_compat.py)")
 def test_tws_running_totals_match_apply_in_pandas_with_state(
         spark, tables, events_dir, tmp_path):
-    stream = SEV.read_events_stream(spark, events_dir, max_files_per_trigger=2)
-    totals = SEV.stream_user_totals_tws(stream)
-    out = SEV.run_to_memory(
-        totals, "tws_totals_out", str(tmp_path / "ckpt_tws"),
-        output_mode="update")
-    rows = out.collect()
+    from pyperustats_spark.streaming.protobuf_compat import (
+        ROCKSDB_PROVIDER)
+
+    # TWS state variables are column families — supported by the
+    # RocksDB provider only (HDFS-backed raises
+    # STATE_STORE_MULTIPLE_COLUMN_FAMILIES). Session conf is read at
+    # query start; restore after so other streaming tests keep the
+    # default provider.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = SEV.read_events_stream(spark, events_dir,
+                                        max_files_per_trigger=2)
+        totals = SEV.stream_user_totals_tws(stream)
+        out = SEV.run_to_memory(
+            totals, "tws_totals_out", str(tmp_path / "ckpt_tws"),
+            output_mode="update")
+        rows = out.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     final = {}
     for r in rows:
         cur = final.get(r["user_id"])
