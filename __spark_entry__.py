@@ -1719,6 +1719,27 @@ def multimodal_image_dims(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def multimodal_wav_stats(spark, sf_dir):
+    """REAL stdlib audio decode, oracle-backed: synthesize one PCM16
+    WAV payload per document id (channels/rate/frames and the sample
+    recurrence are integer arithmetic on doc_id; a truncated RIFF
+    container planted every 19th id), then parse the binary column
+    back END TO END — container walk, fmt fields, and the actual
+    int16 samples (sum of |amplitude| + peak) — with
+    pyperustats_spark.multimodal.binary_ops.parse_wav inside Arrow
+    mapInPandas. The DuckDB oracle recomputes every field, including
+    the per-sample stats via a lateral generate_series over the same
+    recurrence — a bug in the encoder, the container walk, or the
+    sample decode breaks value parity."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.wav_stats(MM.synthesize_corpus_wavs(docs)) \
+        .orderBy("doc_id")
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Rows-only: 1→N video frame sampling through mapInPandas."""
     from pyperustats_spark.multimodal import binary_ops as MM
@@ -2843,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_files": layout_zorder_files,
         "layout_pruning_compare": layout_pruning_compare,
         "multimodal_image_dims": multimodal_image_dims,
+        "multimodal_wav_stats": multimodal_wav_stats,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
         # ---- rows-only entries (no SQL oracle by design) last ----
@@ -8979,6 +9001,48 @@ def oracle_sql() -> dict[str, str]:
         + "\nUNION ALL".join(_scans)
         + "\n) ORDER BY layout, predicate"
     )
+
+    # Round-trip oracle for the REAL WAV audio decode: the Spark side
+    # ENCODES a PCM16 WAV per doc_id (samples from an integer
+    # recurrence) and PARSES it back including the sample data; the
+    # oracle recomputes container fields arithmetically and the
+    # sample stats via a lateral generate_series over the SAME
+    # recurrence — positive-operand integer mod, identical bits.
+    sql["multimodal_wav_stats"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+                   CAST([8000,16000,22050,44100]
+                        [CAST(doc_id % 4 AS INT) + 1] AS BIGINT)
+                       AS sample_rate,
+                   CAST(32 + doc_id % 33 AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id % 19 != 0
+        ), exploded AS (
+            -- lateral generate_series doesn't take column args in
+            -- DuckDB; the scalar list range() + unnest does
+            SELECT doc_id, channels, sample_rate, n_frames,
+                   unnest(range(0, n_frames * channels)) AS j
+            FROM base
+        ), stats AS (
+            SELECT doc_id, channels, sample_rate, n_frames,
+                   CAST(sum(abs(((doc_id*31 + j*17 + 7) % 65536)
+                                - 32768)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(((doc_id*31 + j*17 + 7) % 65536)
+                                - 32768)) AS BIGINT) AS peak
+            FROM exploded
+            GROUP BY doc_id, channels, sample_rate, n_frames
+        )
+        SELECT doc_id, channels, sample_rate,
+               CAST(16 AS BIGINT) AS bits, n_frames,
+               CAST((n_frames * 1000) // sample_rate AS BIGINT)
+                   AS duration_ms,
+               sum_abs, peak
+        FROM stats
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 19 = 0
+        ORDER BY doc_id
+    """
 
     # Round-trip oracle for the BCRP catalogue normalizer: the Spark
     # side SYNTHESIZES the four frequency pages from nation (messy

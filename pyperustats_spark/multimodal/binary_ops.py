@@ -93,6 +93,8 @@ def decode_media(payload: bytes, kind: str, codec: str) -> Any:
     ffmpeg inside the same mapInPandas worker."""
     if kind == "image":
         return parse_image_header(payload)
+    if kind == "audio" and codec == "wav":
+        return parse_wav(payload)
     raise NotImplementedError(
         f"no codec libraries in this environment (kind={kind}, codec={codec}); "
         "tests use fake_decode"
@@ -173,6 +175,82 @@ def parse_image_header(payload: bytes):
                 continue
             i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")
     return (None, None, None, None)
+
+
+def parse_wav(payload: bytes):
+    """Real stdlib AUDIO decode: a PCM WAV payload parsed end to end —
+    RIFF/WAVE container walk, ``fmt `` chunk fields, and the ``data``
+    chunk's actual int16 samples (not just the header). Returns
+    ``(channels, sample_rate, bits, n_frames, duration_ms, sum_abs,
+    peak)`` or an all-None tuple for unrecognized/truncated/non-PCM16
+    payloads. Pure bytes + integer arithmetic → deterministic
+    cross-engine, so a DuckDB oracle can recompute the sample stats
+    from the synthesis recurrence exactly.
+
+    Container layout (public RIFF/WAVE spec): 'RIFF' + u32 size +
+    'WAVE', then chunks of ('id', u32 size, body) — ``fmt `` carries
+    (audio_format u16 =1 for PCM, channels u16, sample_rate u32,
+    byte_rate u32, block_align u16, bits u16); ``data`` carries the
+    interleaved samples. duration_ms = n_frames·1000 DIV sample_rate
+    (integer floor, matching SQL DIV)."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return (None,) * 7
+    i = 12
+    fmt_fields = data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + size]
+        if len(body) < size:
+            return (None,) * 7          # truncated chunk
+        if cid == b"fmt " and size >= 16:
+            fmt_fields = (
+                int.from_bytes(body[0:2], "little"),    # audio format
+                int.from_bytes(body[2:4], "little"),    # channels
+                int.from_bytes(body[4:8], "little"),    # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits
+            )
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)      # chunks are word-aligned
+    if fmt_fields is None or data is None:
+        return (None,) * 7
+    afmt, channels, rate, bits = fmt_fields
+    if afmt != 1 or bits != 16 or channels < 1 or rate < 1:
+        return (None,) * 7              # PCM16 only in this container
+    n_samples = len(data) // 2
+    samples = [
+        int.from_bytes(data[2 * j:2 * j + 2], "little", signed=True)
+        for j in range(n_samples)
+    ]
+    n_frames = n_samples // channels
+    return (
+        channels, rate, bits, n_frames,
+        n_frames * 1000 // rate,
+        sum(abs(s) for s in samples),
+        max((abs(s) for s in samples), default=0),
+    )
+
+
+def encode_wav(channels: int, sample_rate: int,
+               samples: list[int]) -> bytes:
+    """Build a real PCM16 WAV file (synthesis half of the audio
+    round-trip oracle): RIFF/WAVE container, canonical ``fmt `` chunk,
+    ``data`` chunk of int16 LE *samples* (interleaved, length must be
+    a multiple of *channels*)."""
+    data = b"".join(
+        int(s).to_bytes(2, "little", signed=True) for s in samples)
+    block_align = channels * 2
+    fmt_body = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    chunks = (b"fmt " + (16).to_bytes(4, "little") + fmt_body
+              + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") \
+        + b"WAVE" + chunks
 
 
 def encode_image_header(fmt: str, width: int, height: int,
@@ -345,6 +423,83 @@ def synthesize_corpus_images(docs: DataFrame,
 
     return docs.select(F.col(id_col).cast("long").alias(id_col)) \
         .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def _corpus_wav_spec(doc_id: int):
+    """Deterministic (channels, sample_rate, n_frames) per doc id —
+    the arithmetic contract shared with the DuckDB oracle. Sample j
+    (interleaved, 0-based) is ``((doc_id·31 + j·17 + 7) mod 65536) −
+    32768`` — pure positive-operand integer mod, identical in SQL.
+    None for the planted-corrupt ids (doc_id % 19 == 0): those get a
+    truncated container the parser must reject."""
+    if doc_id % 19 == 0:
+        return None
+    return (1 + doc_id % 2, _WAV_RATES[doc_id % 4], 32 + doc_id % 33)
+
+
+def synthesize_corpus_wavs(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """One REAL PCM16 WAV payload per document id (spec from
+    `_corpus_wav_spec`), truncated container every 19th id — the
+    synthesis half of the encode→parse audio round trip."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_wav_spec(doc_id)
+                if spec is None:
+                    payloads.append(b"RIFF\x00\x00")
+                    continue
+                channels, rate, n_frames = spec
+                samples = [
+                    ((doc_id * 31 + j * 17 + 7) % 65536) - 32768
+                    for j in range(n_frames * channels)
+                ]
+                payloads.append(encode_wav(channels, rate, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def wav_stats(media: DataFrame, id_col: str = "doc_id",
+              payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode over a binary column: per row, container
+    fields AND actual int16 sample statistics via :func:`parse_wav`
+    — NULLs for unrecognized/truncated/non-PCM16 payloads. Arrow-
+    batched `mapInPandas`, narrow (zero shuffles)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("channels", "sample_rate", "bits", "n_frames",
+                "duration_ms", "sum_abs", "peak")
+        for pdf in it:
+            parsed = [parse_wav(p) for p in pdf[payload_col]]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, cname in enumerate(cols):
+                out[cname] = pd.array([p[ci] for p in parsed],
+                                      dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, WAV_STATS_SCHEMA)
 
 
 def image_dims(media: DataFrame, id_col: str = "doc_id",

@@ -72,15 +72,74 @@ def test_media_stats(media):
     assert all(r["n"] == 16 for r in rows.values())
 
 
-def test_decode_media_stub_is_video_audio_only():
-    """Image decode is real now; the NotImplementedError gate remains
-    only for the codec-library kinds (audio/video)."""
-    for kind, codec in (("audio", "wav"), ("video", "h264")):
+def test_decode_media_stub_is_video_only():
+    """Image and PCM-WAV audio decode are real now; the
+    NotImplementedError gate remains only for codec-library kinds
+    (video, non-wav audio)."""
+    for kind, codec in (("audio", "mp3"), ("video", "h264")):
         with pytest.raises(NotImplementedError):
             MM.decode_media(b"\x00\x01", kind, codec)
     fmt, w, h, bd = MM.decode_media(
         MM.encode_image_header("png", 640, 480, 8), "image", "png")
     assert (fmt, w, h, bd) == ("png", 640, 480, 8)
+    ch, rate, bits, nf, dur, sa, pk = MM.decode_media(
+        MM.encode_wav(2, 16000, [100, -100, 50, -50]), "audio", "wav")
+    assert (ch, rate, bits, nf) == (2, 16000, 16, 2)
+    assert (dur, sa, pk) == (0, 300, 100)
+
+
+def test_parse_wav_round_trip_and_rejects():
+    for ch, rate, samples in [
+        (1, 8000, [0]), (2, 44100, [32767, -32768, 1, -1]),
+        (1, 22050, list(range(-50, 50))),
+    ]:
+        got = MM.parse_wav(MM.encode_wav(ch, rate, samples))
+        nf = len(samples) // ch
+        assert got == (ch, rate, 16, nf, nf * 1000 // rate,
+                       sum(abs(s) for s in samples),
+                       max(abs(s) for s in samples))
+    bad = [
+        b"", b"RIFF\x00\x00", b"RIFF\x10\x00\x00\x00WAVE",
+        b"OggS" + b"\x00" * 40,
+    ]
+    for payload in bad:
+        assert MM.parse_wav(payload) == (None,) * 7
+    # IEEE-float WAV (audio format 3) is rejected, not misparsed
+    w = bytearray(MM.encode_wav(1, 8000, [0, 1]))
+    w[20] = 3
+    assert MM.parse_wav(bytes(w)) == (None,) * 7
+
+
+def test_parse_wav_skips_odd_sized_extra_chunks():
+    # word-aligned chunk walk: a 3-byte LIST chunk (padded to 4)
+    # before fmt must not desync the parser
+    w = MM.encode_wav(1, 8000, [5, -5])
+    mid = b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"
+    payload = w[:12] + mid + w[12:]
+    payload = (b"RIFF" + (len(payload) - 8).to_bytes(4, "little")
+               + payload[8:])
+    assert MM.parse_wav(payload) == (1, 8000, 16, 2, 0, 10, 5)
+
+
+def test_wav_stats_operator_matches_local_parse(spark):
+    ids = spark.range(0, 100).selectExpr("id AS doc_id")
+    media = MM.synthesize_corpus_wavs(ids)
+    out = {r["doc_id"]: r for r in MM.wav_stats(media).collect()}
+    assert len(out) == 100
+    for i in range(100):
+        spec = MM._corpus_wav_spec(i)
+        row = out[i]
+        if spec is None:
+            assert row["channels"] is None and row["sum_abs"] is None
+            continue
+        ch, rate, nf = spec
+        samples = [((i * 31 + j * 17 + 7) % 65536) - 32768
+                   for j in range(nf * ch)]
+        assert (row["channels"], row["sample_rate"], row["bits"],
+                row["n_frames"]) == (ch, rate, 16, nf)
+        assert row["duration_ms"] == nf * 1000 // rate
+        assert row["sum_abs"] == sum(abs(s) for s in samples)
+        assert row["peak"] == max(abs(s) for s in samples)
 
 
 def test_parse_image_header_round_trip_all_formats():
