@@ -1740,6 +1740,27 @@ def multimodal_wav_stats(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def multimodal_png_pixel_stats(spark, sf_dir):
+    """FULL stdlib image decode, oracle-backed: synthesize one
+    spec-conformant RGB PNG per document id (pixel recurrence on
+    doc_id, ALL FIVE PNG filter types cycled across rows, a
+    CRC-flipped payload planted every 29th id), then decode the
+    binary column for real — chunk walk + CRC verify + zlib inflate
+    + scanline unfiltering — and aggregate per-channel pixel sums and
+    peak, all inside Arrow mapInPandas
+    (pyperustats_spark.multimodal.binary_ops.decode_png_pixels). The
+    DuckDB oracle recomputes the stats from the same recurrence via
+    unnest(range(...)) — a bug anywhere in the encoder, the filters,
+    the inflate plumbing, or the integrity check breaks parity."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.png_pixel_stats(MM.synthesize_corpus_pngs(docs)) \
+        .orderBy("doc_id")
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Rows-only: 1→N video frame sampling through mapInPandas."""
     from pyperustats_spark.multimodal import binary_ops as MM
@@ -2865,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pruning_compare": layout_pruning_compare,
         "multimodal_image_dims": multimodal_image_dims,
         "multimodal_wav_stats": multimodal_wav_stats,
+        "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
         # ---- rows-only entries (no SQL oracle by design) last ----
@@ -9001,6 +9023,47 @@ def oracle_sql() -> dict[str, str]:
         + "\nUNION ALL".join(_scans)
         + "\n) ORDER BY layout, predicate"
     )
+
+    # Round-trip oracle for the FULL PNG pixel decode: the Spark side
+    # ENCODES a conformant RGB PNG per doc_id (filters cycled) and
+    # DECODES it back — CRC verify, inflate, unfilter — aggregating
+    # actual pixel bytes; the oracle recomputes the stats from the
+    # shared recurrence. CRC-flipped payloads must come back NULL.
+    sql["multimodal_png_pixel_stats"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 13 AS BIGINT) AS width,
+                   CAST(5 + doc_id % 11 AS BIGINT) AS height
+            FROM documents WHERE doc_id % 29 != 0
+        ), exploded AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, width * height * 3)) AS p
+            FROM base
+        ), stats AS (
+            SELECT doc_id, width, height,
+                   CAST(sum(CASE WHEN p % 3 = 0
+                            THEN (doc_id*7 + p*11 + 13) % 256 END)
+                        AS BIGINT) AS sum_r,
+                   CAST(sum(CASE WHEN p % 3 = 1
+                            THEN (doc_id*7 + p*11 + 13) % 256 END)
+                        AS BIGINT) AS sum_g,
+                   CAST(sum(CASE WHEN p % 3 = 2
+                            THEN (doc_id*7 + p*11 + 13) % 256 END)
+                        AS BIGINT) AS sum_b,
+                   CAST(max((doc_id*7 + p*11 + 13) % 256)
+                        AS BIGINT) AS peak
+            FROM exploded
+            GROUP BY doc_id, width, height
+        )
+        SELECT doc_id, width, height,
+               CAST(width * height AS BIGINT) AS n_pixels,
+               sum_r, sum_g, sum_b, peak
+        FROM stats
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 29 = 0
+        ORDER BY doc_id
+    """
 
     # Round-trip oracle for the REAL WAV audio decode: the Spark side
     # ENCODES a PCM16 WAV per doc_id (samples from an integer

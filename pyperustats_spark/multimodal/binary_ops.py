@@ -233,6 +233,155 @@ def parse_wav(payload: bytes):
     )
 
 
+def decode_png_pixels(payload: bytes):
+    """FULL stdlib PNG decode — not just the header: chunk walk with
+    CRC-32 verification, IDAT concatenation, zlib inflate, and
+    scanline UNFILTERING (all five PNG filter types: None/Sub/Up/
+    Average/Paeth, per the PNG spec's reconstruction functions).
+    Supports non-interlaced 8-bit greyscale (colour type 0) and
+    truecolour (type 2) — the shapes :func:`encode_png` produces.
+    Returns ``(width, height, channels, pixels)`` with *pixels* the
+    row-major interleaved bytes, or ``None`` for anything truncated,
+    CRC-corrupt, interlaced, or outside the supported shapes.
+
+    Everything is stdlib (``zlib`` ships inflate + crc32); the pixel
+    bytes are exact, so a DuckDB oracle can recompute aggregate pixel
+    statistics from a synthesis recurrence bit-for-bit."""
+    import zlib
+
+    n = len(payload)
+    if n < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    idat = b""
+    w = h = ct = None
+    saw_iend = False
+    while i + 12 <= n:
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        cid = payload[i + 4:i + 8]
+        if i + 12 + ln > n:
+            return None                      # truncated chunk
+        body = payload[i + 8:i + 8 + ln]
+        crc = int.from_bytes(payload[i + 8 + ln:i + 12 + ln], "big")
+        if zlib.crc32(cid + body) & 0xFFFFFFFF != crc:
+            return None                      # corrupt chunk
+        if cid == b"IHDR":
+            if ln != 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, ct = body[8], body[9]
+            if bit_depth != 8 or ct not in (0, 2) or body[12] != 0:
+                return None                  # unsupported shape
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            saw_iend = True
+            break
+        i += 12 + ln
+    if w is None or not idat or not saw_iend:
+        return None                      # IEND is mandatory per spec
+    ch = 3 if ct == 2 else 1
+    stride = w * ch
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + stride):
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(h):
+        base = r * (1 + stride)
+        ft = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ft == 1:      # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:    # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:    # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+        elif ft == 4:    # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif ft != 0:
+            return None
+        out += line
+        prev = line
+    return (w, h, ch, bytes(out))
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               channels: int = 3) -> bytes:
+    """Build a real, fully-conformant PNG (synthesis half of the
+    pixel-decode round trip): IHDR/IDAT/IEND with correct CRCs,
+    zlib-compressed scanlines, and the FILTER TYPE CYCLING row % 5 —
+    every row is forward-filtered (Sub/Up/Average/Paeth per spec)
+    before compression, so the decoder's unfiltering of all five
+    types is genuinely exercised on every image taller than 4 rows."""
+    import zlib
+
+    ch = channels
+    stride = width * ch
+    assert len(pixels) == height * stride
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (len(body).to_bytes(4, "big") + cid + body
+                + (zlib.crc32(cid + body) & 0xFFFFFFFF)
+                .to_bytes(4, "big"))
+
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, 2 if ch == 3 else 0, 0, 0, 0]))
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = pixels[r * stride:(r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:    # Sub
+            raw += bytes(
+                (line[x] - (line[x - ch] if x >= ch else 0)) & 0xFF
+                for x in range(stride))
+        elif ft == 2:    # Up
+            raw += bytes((line[x] - prev[x]) & 0xFF
+                         for x in range(stride))
+        elif ft == 3:    # Average
+            raw += bytes(
+                (line[x] - ((line[x - ch] if x >= ch else 0)
+                            + prev[x]) // 2) & 0xFF
+                for x in range(stride))
+        else:            # Paeth
+            flt = bytearray()
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                flt.append((line[x] - pr) & 0xFF)
+            raw += flt
+        prev = line
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
 def encode_wav(channels: int, sample_rate: int,
                samples: list[int]) -> bytes:
     """Build a real PCM16 WAV file (synthesis half of the audio
@@ -423,6 +572,96 @@ def synthesize_corpus_images(docs: DataFrame,
 
     return docs.select(F.col(id_col).cast("long").alias(id_col)) \
         .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def _corpus_png_spec(doc_id: int):
+    """Deterministic (width, height) per doc id — the arithmetic
+    contract shared with the DuckDB oracle. Interleaved RGB byte p
+    (0-based) is ``(doc_id·7 + p·11 + 13) mod 256``. height ≥ 5 so
+    the row % 5 filter cycling exercises every PNG filter type on
+    every image. None for the planted-corrupt ids (doc_id % 29 == 0):
+    those get a CRC-flipped payload the decoder must reject."""
+    if doc_id % 29 == 0:
+        return None
+    return (4 + doc_id % 13, 5 + doc_id % 11)
+
+
+def synthesize_corpus_pngs(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """One REAL fully-conformant RGB PNG per document id (pixels from
+    `_corpus_png_spec`'s recurrence, all five filters cycled). The
+    planted-corrupt ids get a VALID png with one CRC byte flipped —
+    the decoder's integrity check, not just its length check, must
+    catch it."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_png_spec(doc_id)
+                if spec is None:
+                    good = encode_png(3, 5, bytes(
+                        (doc_id + p) % 256 for p in range(45)))
+                    bad = bytearray(good)
+                    bad[-5] ^= 0xFF       # inside IEND's CRC
+                    payloads.append(bytes(bad))
+                    continue
+                w, h = spec
+                pix = bytes((doc_id * 7 + p * 11 + 13) % 256
+                            for p in range(w * h * 3))
+                payloads.append(encode_png(w, h, pix))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def png_pixel_stats(media: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """FULL image decode over a binary column: inflate + unfilter the
+    PNG pixel data (:func:`decode_png_pixels`) and aggregate it —
+    per-channel byte sums and peak — per row. NULLs for undecodable
+    payloads. Arrow-batched `mapInPandas`, narrow."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("width", "height", "n_pixels",
+                                    "sum_r", "sum_g", "sum_b", "peak")}
+            for p in pdf[payload_col]:
+                dec = decode_png_pixels(p)
+                if dec is None or dec[2] != 3:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                w, h, _, pix = dec
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                for c, k in enumerate(("sum_r", "sum_g", "sum_b")):
+                    rows[k].append(sum(pix[c::3]))
+                rows["peak"].append(max(pix))
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for k, v in rows.items():
+                out[k] = pd.array(v, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, PNG_STATS_SCHEMA)
 
 
 WAV_STATS_SCHEMA = T.StructType(

@@ -121,6 +121,58 @@ def test_parse_wav_skips_odd_sized_extra_chunks():
     assert MM.parse_wav(payload) == (1, 8000, 16, 2, 0, 10, 5)
 
 
+def test_png_pixel_round_trip_all_filters():
+    """Decode(encode(x)) == x for RGB and greyscale, with the encoder
+    cycling all five PNG filter types across rows — each inverse
+    reconstruction function is exercised."""
+    for w, h, ch in [(4, 5, 3), (13, 11, 3), (1, 7, 3), (7, 6, 1)]:
+        pix = bytes((p * 11 + 13) % 256 for p in range(w * h * ch))
+        got = MM.decode_png_pixels(MM.encode_png(w, h, pix, channels=ch))
+        assert got == (w, h, ch, pix), (w, h, ch)
+
+
+def test_png_decode_rejects_corruption():
+    good = MM.encode_png(3, 5, bytes(45))
+    # CRC flip anywhere → None (integrity check, not just lengths)
+    for off in (-5, 20, len(good) // 2):
+        bad = bytearray(good)
+        bad[off] ^= 0xFF
+        assert MM.decode_png_pixels(bytes(bad)) is None, off
+    assert MM.decode_png_pixels(b"\x89PNG\r\n\x1a\n") is None
+    assert MM.decode_png_pixels(good[:-8]) is None      # truncated
+    assert MM.decode_png_pixels(b"JFIF" + b"\x00" * 40) is None
+    # interlaced flag rejected (unsupported shape, not misparsed)
+    inter = bytearray(good)
+    inter[28] = 1                 # IHDR interlace byte
+    import zlib
+    body = bytes(inter[12:29])
+    inter[29:33] = (zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF) \
+        .to_bytes(4, "big")
+    assert MM.decode_png_pixels(bytes(inter)) is None
+
+
+def test_png_pixel_stats_operator_matches_local_decode(spark):
+    ids = spark.range(0, 60).selectExpr("id AS doc_id")
+    out = {r["doc_id"]: r for r in MM.png_pixel_stats(
+        MM.synthesize_corpus_pngs(ids)).collect()}
+    assert len(out) == 60
+    for i in range(60):
+        spec = MM._corpus_png_spec(i)
+        row = out[i]
+        if spec is None:
+            assert row["width"] is None and row["sum_r"] is None
+            continue
+        w, h = spec
+        pix = bytes((i * 7 + p * 11 + 13) % 256
+                    for p in range(w * h * 3))
+        assert (row["width"], row["height"], row["n_pixels"]) == \
+            (w, h, w * h)
+        assert row["sum_r"] == sum(pix[0::3])
+        assert row["sum_g"] == sum(pix[1::3])
+        assert row["sum_b"] == sum(pix[2::3])
+        assert row["peak"] == max(pix)
+
+
 def test_wav_stats_operator_matches_local_parse(spark):
     ids = spark.range(0, 100).selectExpr("id AS doc_id")
     media = MM.synthesize_corpus_wavs(ids)
