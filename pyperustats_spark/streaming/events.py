@@ -280,6 +280,88 @@ def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+TYPE_PROFILE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("top_type", T.StringType()),
+        T.StructField("top_n", T.LongType()),
+    ]
+)
+
+
+def stream_user_type_profile_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user event-type distribution on the arbitrary-
+    state v2 API, COMPOSING two state variables per key — the shape
+    ``applyInPandasWithState`` cannot express (its state is one tuple
+    record): a ``MapState`` event_type → count (point-updatable: a
+    batch touches only the types it contains, never rewriting the
+    whole distribution — at 100 TB a user's type map updates
+    O(types-in-batch), not O(types-ever)) plus a ``ValueState`` total.
+    Emits, per user per batch they appear in, the updated cumulative
+    (n_events, n_types, top_type, top_n) with ties broken by type
+    ascending — a live per-user behavioural profile card.
+
+    Requires the RocksDB state store provider (state variables are
+    column families) and a working google.protobuf for the TWS
+    state-server worker — see streaming/protobuf_compat.py; pytest
+    asserts convergence with the batch groupBy(user, type) counts."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    key_schema = T.StructType([T.StructField("event_type", T.StringType())])
+    count_schema = T.StructType([T.StructField("n", T.LongType())])
+    total_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    class TypeProfile(StatefulProcessor):
+        def init(self, handle):
+            self.counts = handle.getMapState(
+                "type_counts", key_schema, count_schema)
+            self.total = handle.getValueState("total", total_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            delta: dict[str, int] = {}
+            n_new = 0
+            for pdf in rows:
+                n_new += len(pdf)
+                for t, c in pdf["event_type"].value_counts().items():
+                    delta[t] = delta.get(t, 0) + int(c)
+            for t, c in delta.items():
+                cur = (self.counts.getValue((t,))[0]
+                       if self.counts.containsKey((t,)) else 0)
+                self.counts.updateValue((t,), (cur + c,))
+            total = (self.total.get()[0]
+                     if self.total.exists() else 0) + n_new
+            self.total.update((total,))
+            n_types, top_type, top_n = 0, None, -1
+            for (t,), (c,) in self.counts.iterator():
+                n_types += 1
+                if c > top_n or (c == top_n and (top_type is None
+                                                 or t < top_type)):
+                    top_type, top_n = t, c
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [total],
+                    "n_types": [n_types],
+                    "top_type": [top_type],
+                    "top_n": [top_n],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeProfile(),
+        outputStructType=TYPE_PROFILE_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 FUNNEL_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

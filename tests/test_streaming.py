@@ -190,6 +190,52 @@ def test_tws_running_totals_match_apply_in_pandas_with_state(
         assert got["last_ts"] == w["last_ts"]
 
 
+@pytest.mark.skipif(
+    PROTOBUF_MODE is None,
+    reason="transformWithStateInPandas needs a working google.protobuf")
+def test_tws_type_profile_composes_map_and_value_state(
+        spark, tables, events_dir, tmp_path):
+    """Two state variables per key (MapState type→count + ValueState
+    total) — the v2-only composition — must converge to the batch
+    groupBy(user, type) truth across multiple micro-batches."""
+    from pyperustats_spark.streaming.protobuf_compat import (
+        ROCKSDB_PROVIDER)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = SEV.read_events_stream(spark, events_dir,
+                                        max_files_per_trigger=2)
+        prof = SEV.stream_user_type_profile_tws(stream)
+        out = SEV.run_to_memory(
+            prof, "tws_type_profile_out", str(tmp_path / "ckpt_tp"),
+            output_mode="update")
+        rows = out.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    per_type = {}
+    for r in tables["events"].groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n")).collect():
+        per_type.setdefault(r["user_id"], {})[r["event_type"]] = r["n"]
+    assert set(final) == set(per_type)
+    for uid, dist in per_type.items():
+        got = final[uid]
+        assert got["n_events"] == sum(dist.values()), uid
+        assert got["n_types"] == len(dist), uid
+        top_n = max(dist.values())
+        top_type = min(t for t, c in dist.items() if c == top_n)
+        assert (got["top_type"], got["top_n"]) == (top_type, top_n), uid
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """The state-bounding contract itself: an event arriving AFTER the
     watermark passed its window must not change that window's result —
