@@ -3024,31 +3024,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ts_pivot_wide, ts_resample_monthly, ts_running_total,
 # ts_unpivot_long, ts_yoy_growth) + the oldest r5 cohort.
 _WINDOW = [
-    # round-9 new operators (never countersigned)
-    "text_tokenizer_fertility", "text_perplexity_buckets",
-    "text_quality_logit", "text_heaps_curve", "text_dsir_sample",
-    "ev_user_entropy", "sample_stratified_exact_k", "text_ccnet_filter",
-    "doc_length_drift", "text_filter_funnel", "ev_stickiness",
-    "text_script_mix", "q_price_index", "ts_seasonal_anomalies",
-    "emb_centroid_drift",
-    "dedup_substring_novelty", "ev_burst_skew", "inei_module_listing",
-    "ts_cusum_skew",
-    # round-9 semantics-changed oracles (never countersigned in
-    # current form)
-    "ts_cusum_changepoint", "ts_bollinger_bands", "q_supplier_hhi",
-    "text_temperature_mixture", "dedup_keep_best",
-    "dedup_jaccard_prefix", "graph_part_communities",
-    # r1/r3-era countersigns (oldest 9)
-    "cache_missing_codes", "catalog_active_filter", "clean_numeric_cast",
-    "mef_find_row_by_text", "ts_resample_quarterly", "ev_json_props_stats",
-    "knn_label_vote", "mtc_paged_concat", "text_rolling_hash",
-    # r4-era countersigns (15 of 50; remaining 35 queued for r10)
-    "cache_merge_upsert", "catalog_freq_counts", "catalog_search",
-    "catalog_validate_codes", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
-    "ev_sessionize", "ev_top_users_per_type", "ev_tumbling_window",
-    "infogob_candidate_history", "infogob_normalize_detail",
-    "infogob_normalize_header",
+    # round-10 new oracles (never countersigned)
+    "multimodal_image_dims", "multimodal_wav_stats",
+    "multimodal_png_pixel_stats", "bcrp_catalog_listing",
+    "infogob_proceso_elections",
+    # oldest countersigns (r1/r4-era, rotated in per policy)
+    "infogob_participation",
+    "infogob_pending_requests", "knn_bruteforce_cosine",
+    "mef_filter_rows", "org_content_dedup_map",
+    "org_inventory_by_group", "org_slugify_rename",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_delta", "q_market_share",
+    "q_sales_rollup", "q_top_customers", "stats_profile",
+    "stream_dedup_replay", "stream_sessionize",
+    "stream_tumbling_window", "text_fingerprint", "text_lang_id",
+    "text_ngram_topk", "text_pii_scrub", "text_quality_score",
+    "text_token_count", "ts_asof_join", "ts_date_parse_multi",
+    "ts_gap_fill", "ts_interpolate_linear", "ts_lag_pct_change",
+    "ts_moving_avg", "ts_pivot_wide", "ts_resample_monthly",
+    "ts_running_total", "ts_unpivot_long", "ts_yoy_growth",
+    "catalog_fuzzy_search", "dedup_cluster_sizes",
+    "dedup_impact_report", "dedup_incremental", "dedup_source_overlap",
+    "dedup_stats_by_source", "embedding_norm_profile",
+    "ev_active_users", "ev_attribution", "ev_burst_profile",
 ]
 
 
