@@ -1761,6 +1761,26 @@ def multimodal_png_pixel_stats(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def multimodal_mp4_meta(spark, sf_dir):
+    """REAL stdlib video-container decode, oracle-backed: synthesize
+    one minimal ISO BMFF (MP4) payload per document id — ftyp brand,
+    mvhd timescale/duration, one tkhd per track with 16.16
+    fixed-point dimensions, audio (0×0) tracks planted on odd ids,
+    a mid-moov truncation every 31st id — then box-walk the binary
+    column back with pyperustats_spark.multimodal.binary_ops.
+    parse_mp4 inside Arrow mapInPandas. The DuckDB oracle recomputes
+    (brand, duration_ms, n_tracks, width, height) arithmetically.
+    Frame decode stays behind the codec gate (needs ffmpeg); this is
+    the container-metadata half a routing/stats pipeline needs."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.mp4_meta(MM.synthesize_corpus_mp4s(docs)) \
+        .orderBy("doc_id")
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Rows-only: 1→N video frame sampling through mapInPandas."""
     from pyperustats_spark.multimodal import binary_ops as MM
@@ -2887,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dims": multimodal_image_dims,
         "multimodal_wav_stats": multimodal_wav_stats,
         "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
+        "multimodal_mp4_meta": multimodal_mp4_meta,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
         # ---- rows-only entries (no SQL oracle by design) last ----
@@ -9021,6 +9042,35 @@ def oracle_sql() -> dict[str, str]:
         + "\nUNION ALL".join(_scans)
         + "\n) ORDER BY layout, predicate"
     )
+
+    # Round-trip oracle for the MP4 container decode: the Spark side
+    # builds minimal ISO BMFF files per doc_id and box-walks them
+    # back (ftyp brand, mvhd duration math, tkhd fixed-point dims);
+    # the oracle restates the fields arithmetically.
+    sql["multimodal_mp4_meta"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN NULL
+                    ELSE ['isom','mp42','avc1']
+                         [CAST(doc_id % 3 AS INT) + 1]
+               END AS brand,
+               CASE WHEN doc_id % 31 = 0 THEN NULL
+                    ELSE CAST(((1000 + doc_id * 37) * 1000)
+                              // ([600,1000,90000]
+                                  [CAST(doc_id % 3 AS INT) + 1])
+                         AS BIGINT)
+               END AS duration_ms,
+               CASE WHEN doc_id % 31 = 0 THEN NULL
+                    ELSE CAST(1 + doc_id % 2 AS BIGINT)
+               END AS n_tracks,
+               CASE WHEN doc_id % 31 = 0 THEN NULL
+                    ELSE CAST(160 + (doc_id * 3) % 1761 AS BIGINT)
+               END AS width,
+               CASE WHEN doc_id % 31 = 0 THEN NULL
+                    ELSE CAST(90 + (doc_id * 5) % 991 AS BIGINT)
+               END AS height
+        FROM documents
+        ORDER BY doc_id
+    """
 
     # Round-trip oracle for the FULL PNG pixel decode: the Spark side
     # ENCODES a conformant RGB PNG per doc_id (filters cycled) and

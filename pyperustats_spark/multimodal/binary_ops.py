@@ -382,6 +382,95 @@ def encode_png(width: int, height: int, pixels: bytes,
             + chunk(b"IEND", b""))
 
 
+def parse_mp4(payload: bytes):
+    """Real stdlib VIDEO-CONTAINER decode: an ISO BMFF (MP4) box walk
+    — ``ftyp`` gate, recursive descent into ``moov``, ``mvhd`` v0
+    (timescale + duration), and every ``trak``'s ``tkhd`` v0 (track
+    id, 16.16 fixed-point width/height). Returns ``(major_brand,
+    duration_ms, n_tracks, width, height)`` — width/height from the
+    first track with nonzero dimensions (the video track; audio
+    tracks carry 0×0) — or an all-None tuple for unrecognized/
+    truncated payloads. duration_ms = duration·1000 DIV timescale.
+
+    This is container METADATA decode (what a pipeline needs for
+    routing/stats); frame decode stays behind the ``decode_media``
+    codec gate — that genuinely needs ffmpeg."""
+    n = len(payload)
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i:i + 4], "big")
+            if size < 8 or i + size > hi:
+                return          # malformed/truncated — stop scanning
+            yield payload[i + 4:i + 8], i + 8, i + size
+            i += size
+
+    top = {}
+    brand = None
+    for btype, lo, hi in boxes(0, n):
+        if btype == b"ftyp" and brand is None:
+            if hi - lo < 8:
+                return (None,) * 5
+            brand = payload[lo:lo + 4].decode("ascii", "replace")
+        top.setdefault(btype, (lo, hi))
+    if brand is None or b"moov" not in top:
+        return (None,) * 5
+    duration_ms = None
+    tracks = []
+    mlo, mhi = top[b"moov"]
+    for btype, lo, hi in boxes(mlo, mhi):
+        if btype == b"mvhd" and hi - lo >= 20 and payload[lo] == 0:
+            timescale = int.from_bytes(payload[lo + 12:lo + 16], "big")
+            duration = int.from_bytes(payload[lo + 16:lo + 20], "big")
+            if timescale:
+                duration_ms = duration * 1000 // timescale
+        elif btype == b"trak":
+            for ttype, tlo, thi in boxes(lo, hi):
+                if ttype == b"tkhd" and thi - tlo >= 84 \
+                        and payload[tlo] == 0:
+                    w = int.from_bytes(
+                        payload[thi - 8:thi - 4], "big") >> 16
+                    h = int.from_bytes(
+                        payload[thi - 4:thi], "big") >> 16
+                    tracks.append((w, h))
+    if duration_ms is None:
+        return (None,) * 5
+    vdims = next(((w, h) for w, h in tracks if w and h), (None, None))
+    return (brand, duration_ms, len(tracks), vdims[0], vdims[1])
+
+
+def encode_mp4(brand: str, timescale: int, duration: int,
+               tracks: list[tuple[int, int]]) -> bytes:
+    """Build a minimal spec-shaped ISO BMFF file (synthesis half of
+    the container round trip): ftyp + moov(mvhd v0 + one trak/tkhd v0
+    per (width, height) — 0×0 marks a non-video track) + an empty
+    mdat. Dimensions are stored 16.16 fixed-point as the spec
+    requires."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    mvhd = box(b"mvhd", bytes(4)                      # v0 + flags
+               + bytes(8)                             # ctime/mtime
+               + timescale.to_bytes(4, "big")
+               + duration.to_bytes(4, "big")
+               + bytes(80))                           # rate…matrix…
+    traks = b""
+    for tid, (w, h) in enumerate(tracks, start=1):
+        tkhd = box(b"tkhd", bytes(4) + bytes(8)
+                   + tid.to_bytes(4, "big") + bytes(4)
+                   + duration.to_bytes(4, "big")
+                   + bytes(52)                        # reserved…matrix
+                   + (w << 16).to_bytes(4, "big")
+                   + (h << 16).to_bytes(4, "big"))
+        traks += box(b"trak", tkhd)
+    return (box(b"ftyp", brand.encode("ascii") + bytes(4)
+                + brand.encode("ascii"))
+            + box(b"moov", mvhd + traks)
+            + box(b"mdat", b""))
+
+
 def encode_wav(channels: int, sample_rate: int,
                samples: list[int]) -> bytes:
     """Build a real PCM16 WAV file (synthesis half of the audio
@@ -662,6 +751,88 @@ def png_pixel_stats(media: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_batches, PNG_STATS_SCHEMA)
+
+
+MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+_MP4_BRANDS = ("isom", "mp42", "avc1")
+_MP4_TIMESCALES = (600, 1000, 90000)
+
+
+def _corpus_mp4_spec(doc_id: int):
+    """Deterministic (brand, timescale, duration_units, tracks) per
+    doc id — the arithmetic contract shared with the DuckDB oracle.
+    Odd ids carry a leading 0×0 (audio) track before the video track.
+    None for the planted-corrupt ids (doc_id % 31 == 0): those get a
+    truncated container the parser must reject."""
+    if doc_id % 31 == 0:
+        return None
+    i3 = doc_id % 3
+    video = (160 + (doc_id * 3) % 1761, 90 + (doc_id * 5) % 991)
+    tracks = ([(0, 0), video] if doc_id % 2 == 1 else [video])
+    return (_MP4_BRANDS[i3], _MP4_TIMESCALES[i3],
+            1000 + doc_id * 37, tracks)
+
+
+def synthesize_corpus_mp4s(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """One minimal spec-shaped ISO BMFF payload per document id
+    (`_corpus_mp4_spec`), truncated mid-moov every 31st id."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_mp4_spec(doc_id)
+                if spec is None:
+                    good = encode_mp4("isom", 600, 1200, [(64, 64)])
+                    payloads.append(good[:30])       # mid-moov cut
+                    continue
+                brand, ts, dur, tracks = spec
+                payloads.append(encode_mp4(brand, ts, dur, tracks))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def mp4_meta(media: DataFrame, id_col: str = "doc_id",
+             payload_col: str = "payload") -> DataFrame:
+    """REAL video-container decode over a binary column: per row,
+    (brand, duration_ms, n_tracks, width, height) via
+    :func:`parse_mp4` — NULLs for unrecognized/truncated payloads.
+    Arrow-batched `mapInPandas`, narrow."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_mp4(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "brand": [p[0] for p in parsed],
+                    "duration_ms": pd.array([p[1] for p in parsed],
+                                            dtype="Int64"),
+                    "n_tracks": pd.array([p[2] for p in parsed],
+                                         dtype="Int64"),
+                    "width": pd.array([p[3] for p in parsed],
+                                      dtype="Int64"),
+                    "height": pd.array([p[4] for p in parsed],
+                                       dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_batches, MP4_META_SCHEMA)
 
 
 WAV_STATS_SCHEMA = T.StructType(

@@ -173,6 +173,53 @@ def test_png_pixel_stats_operator_matches_local_decode(spark):
         assert row["peak"] == max(pix)
 
 
+def test_mp4_round_trip_and_rejects():
+    cases = [
+        ("isom", 600, 3600, [(1920, 1080)]),
+        ("mp42", 1000, 98765, [(0, 0), (640, 480)]),
+        ("avc1", 90000, 90000 * 7 + 123, [(320, 240), (0, 0),
+                                          (1280, 720)]),
+        ("isom", 600, 0, [(16, 16)]),
+        ("mp42", 1000, 500, [(0, 0)]),        # audio-only: no dims
+    ]
+    for brand, ts, dur, tracks in cases:
+        got = MM.parse_mp4(MM.encode_mp4(brand, ts, dur, tracks))
+        vd = next(((w, h) for w, h in tracks if w and h),
+                  (None, None))
+        assert got == (brand, dur * 1000 // ts, len(tracks),
+                       vd[0], vd[1]), (brand, got)
+    good = MM.encode_mp4("isom", 600, 1200, [(64, 64)])
+    bad = [b"", b"\x00\x00\x00\x08ftyp", b"RIFF" + b"\x00" * 30,
+           good[:30],                          # truncated mid-moov
+           good[len(good) - (len(good) - 8):]]  # no ftyp first
+    for payload in bad:
+        assert MM.parse_mp4(payload) == (None,) * 5
+    # size-field corruption must not over-read: inflate moov's size
+    # past EOF → treated as truncated, not parsed
+    corrupt = bytearray(good)
+    moov_off = good.index(b"moov") - 4
+    corrupt[moov_off:moov_off + 4] = (len(good) * 2).to_bytes(4, "big")
+    assert MM.parse_mp4(bytes(corrupt)) == (None,) * 5
+
+
+def test_mp4_meta_operator_matches_local_parse(spark):
+    ids = spark.range(0, 100).selectExpr("id AS doc_id")
+    out = {r["doc_id"]: r for r in MM.mp4_meta(
+        MM.synthesize_corpus_mp4s(ids)).collect()}
+    assert len(out) == 100
+    for i in range(100):
+        spec = MM._corpus_mp4_spec(i)
+        row = out[i]
+        if spec is None:
+            assert row["brand"] is None and row["width"] is None
+            continue
+        brand, ts, dur, tracks = spec
+        vd = next(((w, h) for w, h in tracks if w and h))
+        assert (row["brand"], row["duration_ms"], row["n_tracks"],
+                row["width"], row["height"]) == \
+            (brand, dur * 1000 // ts, len(tracks), vd[0], vd[1])
+
+
 def test_wav_stats_operator_matches_local_parse(spark):
     ids = spark.range(0, 100).selectExpr("id AS doc_id")
     media = MM.synthesize_corpus_wavs(ids)
