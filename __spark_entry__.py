@@ -3047,8 +3047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW = [
     # round-10 new oracles (never countersigned)
     "multimodal_image_dims", "multimodal_wav_stats",
-    "multimodal_png_pixel_stats", "bcrp_catalog_listing",
-    "infogob_proceso_elections",
+    "multimodal_png_pixel_stats", "multimodal_mp4_meta",
+    "bcrp_catalog_listing", "infogob_proceso_elections",
     # oldest countersigns (r1/r4-era, rotated in per policy)
     "infogob_participation",
     "infogob_pending_requests", "knn_bruteforce_cosine",
@@ -3067,7 +3067,7 @@ _WINDOW = [
     "catalog_fuzzy_search", "dedup_cluster_sizes",
     "dedup_impact_report", "dedup_incremental", "dedup_source_overlap",
     "dedup_stats_by_source", "embedding_norm_profile",
-    "ev_active_users", "ev_attribution", "ev_burst_profile",
+    "ev_active_users", "ev_attribution",
 ]
 
 
