@@ -95,6 +95,8 @@ def decode_media(payload: bytes, kind: str, codec: str) -> Any:
         return parse_image_header(payload)
     if kind == "audio" and codec == "wav":
         return parse_wav(payload)
+    if kind == "video" and codec == "mp4":
+        return parse_mp4(payload)          # container metadata decode
     raise NotImplementedError(
         f"no codec libraries in this environment (kind={kind}, codec={codec}); "
         "tests use fake_decode"

@@ -79,6 +79,9 @@ def test_decode_media_stub_is_video_only():
     for kind, codec in (("audio", "mp3"), ("video", "h264")):
         with pytest.raises(NotImplementedError):
             MM.decode_media(b"\x00\x01", kind, codec)
+    assert MM.decode_media(
+        MM.encode_mp4("isom", 600, 1200, [(64, 48)]), "video", "mp4"
+    ) == ("isom", 2000, 1, 64, 48)
     fmt, w, h, bd = MM.decode_media(
         MM.encode_image_header("png", 640, 480, 8), "image", "png")
     assert (fmt, w, h, bd) == ("png", 640, 480, 8)
