@@ -236,6 +236,124 @@ def test_tws_type_profile_composes_map_and_value_state(
         assert (got["top_type"], got["top_n"]) == (top_type, top_n), uid
 
 
+@pytest.mark.skipif(
+    PROTOBUF_MODE is None,
+    reason="transformWithStateInPandas needs a working google.protobuf")
+def test_tws_topk_list_state_converges(spark, tables, events_dir,
+                                       tmp_path):
+    """ListState (the third v2 state kind): incremental per-user
+    top-k must converge to the batch top-k truth regardless of how
+    events split across micro-batches (order-insensitive merge)."""
+    from pyperustats_spark.streaming.protobuf_compat import (
+        ROCKSDB_PROVIDER)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = SEV.read_events_stream(spark, events_dir,
+                                        max_files_per_trigger=1)
+        out = SEV.run_to_memory(
+            SEV.stream_user_topk_tws(stream, k=5),
+            "tws_topk_out", str(tmp_path / "ckpt_topk"),
+            output_mode="update")
+        rows = out.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # last emission per user (largest topk_sum: sums only grow as
+    # better values arrive; ties resolved by n_kept)
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or (r["n_kept"], r["topk_sum"]) >= \
+                (cur["n_kept"], cur["topk_sum"]):
+            final[r["user_id"]] = r
+    import pytest as _pytest
+    want = {}
+    for r in tables["events"].select("user_id", "value").collect():
+        want.setdefault(r["user_id"], []).append(r["value"])
+    assert set(final) == set(want)
+    for uid, vals in want.items():
+        top = sorted(vals, reverse=True)[:5]
+        got = final[uid]
+        assert got["n_kept"] == len(top), uid
+        assert got["topk_sum"] == _pytest.approx(sum(top), rel=1e-9)
+        assert got["kth_value"] == _pytest.approx(top[-1], rel=1e-9)
+
+
+@pytest.mark.skipif(
+    PROTOBUF_MODE is None,
+    reason="transformWithStateInPandas needs a working google.protobuf")
+def test_tws_processing_time_mode_and_ttl_run_green(spark, tmp_path):
+    """The v1 environment bug (applyInPandasWithState +
+    ProcessingTimeTimeout + availableNow → planner NPE, pinned in
+    CLAUDE.md) does NOT afflict the v2 API: a TTL-enabled ValueState
+    under timeMode=ProcessingTime completes an availableNow run and
+    produces correct output. Pins the recipe so TTL-based state
+    expiry is known-usable here."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql import types as T
+
+    from pyperustats_spark.streaming.protobuf_compat import (
+        ROCKSDB_PROVIDER)
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.StringType()),
+        T.StructField("total", T.LongType())])
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    class Totals(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState(
+                "n", state_schema, ttlDurationMs=3_600_000)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self.state.get()[0] if self.state.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.state.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "total": [n]})
+
+        def close(self):
+            pass
+
+    src = str(tmp_path / "ttl_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for rec in ({"user_id": "u1", "v": 1},
+                    {"user_id": "u1", "v": 2},
+                    {"user_id": "u2", "v": 3}):
+            f.write(_json.dumps(rec) + "\n")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = spark.readStream.schema(
+            "user_id string, v long").json(src)
+        q = (stream.groupBy("user_id").transformWithStateInPandas(
+                Totals(), outputStructType=out_schema,
+                outputMode="Update", timeMode="ProcessingTime")
+             .writeStream.format("memory").queryName("tws_ttl_out")
+             .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+        rows = {r["user_id"]: r["total"] for r in
+                spark.sql("SELECT * FROM tws_ttl_out").collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rows == {"u1": 2, "u2": 1}
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """The state-bounding contract itself: an event arriving AFTER the
     watermark passed its window must not change that window's result —
