@@ -1494,6 +1494,13 @@ def ts_ewma(spark, sf_dir):
     return TS.ewma(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_ewma_exact(spark, sf_dir):
+    """Exact-integer EWMA (α = 1/4) in cents — the sequential fold
+    made oracle-checkable: a DuckDB recursive CTE replays the same
+    integer recurrence row by row per series."""
+    return TS.ewma_exact(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_holt_winters(spark, sf_dir):
     return TS.holt_winters(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
@@ -2910,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_meta": multimodal_mp4_meta,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
+        "ts_ewma_exact": ts_ewma_exact,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -9042,6 +9050,40 @@ def oracle_sql() -> dict[str, str]:
         + "\nUNION ALL".join(_scans)
         + "\n) ORDER BY layout, predicate"
     )
+
+    # Exact-integer EWMA: the sequential per-series fold replayed by
+    # a recursive CTE — identical integer recurrence in both engines
+    # (positive operands, so truncating and flooring division agree);
+    # cents recovered from the double sum by the 2-decimal grid rule.
+    sql["ts_ewma_exact"] = """
+        WITH RECURSIVE base AS (
+            SELECT date, code, cents,
+                   row_number() OVER (PARTITION BY code
+                                      ORDER BY date) AS rn
+            FROM (
+                SELECT CAST(date_trunc('day', l_shipdate)
+                            AS TIMESTAMP) AS date,
+                       l_returnflag || l_linestatus AS code,
+                       CAST(round(sum(l_extendedprice) * 100, 0)
+                            AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1, 2
+            )
+        ), rec AS (
+            SELECT code, rn, date, cents, cents AS s
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.code, b.rn, b.date, b.cents,
+                   (r.s * 3 + b.cents) // 4
+            FROM rec r JOIN base b
+              ON b.code = r.code AND b.rn = r.rn + 1
+        )
+        SELECT date, code,
+               CAST(cents AS DOUBLE) / 100 AS value,
+               s AS ewma_cents,
+               CAST(s AS DOUBLE) / 100 AS ewma
+        FROM rec
+        ORDER BY code, date
+    """
 
     # Round-trip oracle for the MP4 container decode: the Spark side
     # builds minimal ISO BMFF files per doc_id and box-walks them

@@ -444,6 +444,60 @@ def ewma(long_df: DataFrame, alpha: float = 0.3,
     return out.orderBy("code", "date") if sort else out
 
 
+def ewma_exact(long_df: DataFrame, k: int = 2,
+               sort: bool = True) -> DataFrame:
+    """Oracle-backed exact-integer twin of :func:`ewma`, for the
+    α = 2^-k family: the recursion runs in integer CENTS —
+    s_0 = x_0, s_t = (s_{t-1}·(2^k − 1) + x_t) DIV 2^k — so the
+    sequential fold is bit-reproducible and a DuckDB recursive CTE
+    replays it exactly (the fixed-point iterative-oracle rule from
+    graph_supplier_pagerank, applied to a per-row recurrence; plain
+    double EWMA can never be value-pinned cross-engine because fp
+    rounding compounds per step). All operands are positive, so
+    Python/Spark truncating division equals DuckDB's flooring `//`.
+
+    The per-(date, code) cents come from round(sum·100): each input
+    sits on the 2-decimal grid, so the double sum lands within 1e-9
+    of a grid point and the round recovers it deterministically
+    despite merge-order variance (the CLAUDE.md grid rule). Outputs
+    ship the exact cents (bigint) plus value/ewma as cents→double/100
+    — int→double conversion and division by 100 are correctly rounded
+    IEEE in both engines, identical bits.
+
+    Same execution shape as :func:`ewma`: one shuffle on the series
+    key, each task folds its series in order (the documented
+    grouped-map escape hatch); parallel across series, which is the
+    real-world layout (millions of series, each of bounded length)."""
+    import pandas as pd  # noqa: F401
+
+    prep = long_df.select(
+        "date", "code",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    out_schema = "date timestamp, code string, cents bigint, " \
+                 "ewma_cents bigint"
+    denom = 1 << k
+    mul = denom - 1
+
+    def fold(pdf):
+        pdf = pdf.sort_values("date")
+        s = None
+        acc = []
+        for c in pdf["cents"]:
+            c = int(c)
+            s = c if s is None else (s * mul + c) // denom
+            acc.append(s)
+        return pdf.assign(ewma_cents=acc)[
+            ["date", "code", "cents", "ewma_cents"]]
+
+    folded = prep.groupBy("code").applyInPandas(fold, out_schema)
+    out = folded.select(
+        "date", "code",
+        (F.col("cents").cast("double") / 100).alias("value"),
+        "ewma_cents",
+        (F.col("ewma_cents").cast("double") / 100).alias("ewma"))
+    return out.orderBy("code", "date") if sort else out
+
+
 def holt_winters(long_df: DataFrame, alpha: float = 0.3,
                  beta: float = 0.1, sort: bool = True) -> DataFrame:
     """Holt's double exponential smoothing per series (level + trend):

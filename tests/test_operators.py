@@ -2029,6 +2029,42 @@ def test_ewma_matches_python_recursion(spark, small_long):
     assert g[3] == pytest.approx(3.0)
 
 
+def test_ewma_exact_matches_integer_model(spark):
+    """The oracle-backed integer twin: bit-equality with a plain-
+    Python integer recursion, and the cents/100 doubles are exact."""
+    import datetime
+    rows = [(datetime.datetime(2020, 1, d), "A", v)
+            for d, v in ((1, 10.00), (2, 2.37), (3, 99.99), (4, 0.01),
+                         (5, 55.55))]
+    rows += [(datetime.datetime(2020, 1, d), "B", v)
+             for d, v in ((1, 7.77), (3, 1.23))]
+    df = spark.createDataFrame(rows, "date timestamp, code string, "
+                                     "value double")
+    out = {(r["code"], r["date"].day): r
+           for r in TS.ewma_exact(df, k=2).collect()}
+
+    def model(vals, k=2):
+        s, acc = None, []
+        for v in vals:
+            c = round(v * 100)
+            s = c if s is None else (s * ((1 << k) - 1) + c) >> k
+            acc.append(s)
+        return acc
+
+    a = model([10.00, 2.37, 99.99, 0.01, 55.55])
+    for i, day in enumerate((1, 2, 3, 4, 5)):
+        r = out[("A", day)]
+        assert r["ewma_cents"] == a[i], day
+        assert r["ewma"] == a[i] / 100
+    b = model([7.77, 1.23])
+    assert out[("B", 1)]["ewma_cents"] == b[0]
+    assert out[("B", 3)]["ewma_cents"] == b[1]
+    # empty input → empty output
+    empty = spark.createDataFrame([], "date timestamp, code string, "
+                                      "value double")
+    assert TS.ewma_exact(empty).count() == 0
+
+
 def test_order_priority_exists_semantics(spark):
     orders = spark.createDataFrame(
         [(1, "1-URGENT", "1996-02-01"), (2, "5-LOW", "1996-03-01"),
