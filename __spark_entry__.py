@@ -1505,6 +1505,13 @@ def ts_holt_winters(spark, sf_dir):
     return TS.holt_winters(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_holt_exact(spark, sf_dir):
+    """Exact-integer Holt level+trend (α = 1/4, β = 1/8) in cents —
+    both coupled recurrences replayed by a DuckDB recursive CTE
+    (floored integer division on both sides, signed trend safe)."""
+    return TS.holt_exact(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_forecast_backtest(spark, sf_dir):
     return TS.forecast_backtest(
         TS.series_long(_lt(spark, sf_dir, "lineitem")))
@@ -2918,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
         "ts_ewma_exact": ts_ewma_exact,
+        "ts_holt_exact": ts_holt_exact,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -9081,6 +9089,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(cents AS DOUBLE) / 100 AS value,
                s AS ewma_cents,
                CAST(s AS DOUBLE) / 100 AS ewma
+        FROM rec
+        ORDER BY code, date
+    """
+
+    # Exact-integer Holt level+trend: both coupled recurrences in the
+    # recursive CTE; Python // and DuckDB // both FLOOR, so the
+    # signed trend reconciles bit-for-bit.
+    sql["ts_holt_exact"] = """
+        WITH RECURSIVE base AS (
+            SELECT date, code, cents,
+                   row_number() OVER (PARTITION BY code
+                                      ORDER BY date) AS rn
+            FROM (
+                SELECT CAST(date_trunc('day', l_shipdate)
+                            AS TIMESTAMP) AS date,
+                       l_returnflag || l_linestatus AS code,
+                       CAST(round(sum(l_extendedprice) * 100, 0)
+                            AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1, 2
+            )
+        ), rec AS (
+            SELECT code, rn, date, cents,
+                   cents AS l, CAST(0 AS BIGINT) AS b,
+                   CAST(NULL AS BIGINT) AS fc
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b2.code, b2.rn, b2.date, b2.cents,
+                   (b2.cents + 3 * (r.l + r.b)) // 4 AS l,
+                   (((b2.cents + 3 * (r.l + r.b)) // 4 - r.l)
+                    + 7 * r.b) // 8 AS b,
+                   r.l + r.b AS fc
+            FROM rec r JOIN base b2
+              ON b2.code = r.code AND b2.rn = r.rn + 1
+        )
+        SELECT date, code,
+               CAST(cents AS DOUBLE) / 100 AS value,
+               l AS level_cents, b AS trend_cents, fc AS forecast_cents,
+               CAST(l AS DOUBLE) / 100 AS level,
+               CAST(b AS DOUBLE) / 100 AS trend,
+               CAST(fc AS DOUBLE) / 100 AS forecast
         FROM rec
         ORDER BY code, date
     """

@@ -444,6 +444,74 @@ def ewma(long_df: DataFrame, alpha: float = 0.3,
     return out.orderBy("code", "date") if sort else out
 
 
+def holt_exact(long_df: DataFrame, k: int = 2, m: int = 3,
+               sort: bool = True) -> DataFrame:
+    """Oracle-backed exact-integer twin of :func:`holt_winters`
+    (Holt's level+trend smoothing) for the α = 2^-k, β = 2^-m family
+    — both coupled recurrences in integer CENTS:
+
+        l_t = (x_t + (2^k − 1)·(l_{t−1} + b_{t−1})) DIV 2^k
+        b_t = ((l_t − l_{t−1}) + (2^m − 1)·b_{t−1}) DIV 2^m
+
+    with l_1 = x_1, b_1 = 0, where DIV TRUNCATES TOWARD ZERO. The
+    trend is SIGNED, and the two engines' integer divisions disagree
+    there: DuckDB ``//`` truncates (-7//2 = -3) while Python ``//``
+    floors (-7//2 = -4) — measured on this exact operator (one-cent
+    trend drift on the first negative delta). So the fold uses an
+    explicit truncating division, the semantics DuckDB ``//`` and
+    Spark SQL ``div`` share; see ewma_exact for the cents-grid
+    recovery and the exact int→double shipping. Each row also
+    carries the one-step forecast l_{t−1} + b_{t−1} (NULL on the
+    first row), the backtest-ready column."""
+    import pandas as pd  # noqa: F401
+
+    prep = long_df.select(
+        "date", "code",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    out_schema = ("date timestamp, code string, cents bigint, "
+                  "level_cents bigint, trend_cents bigint, "
+                  "forecast_cents bigint")
+    dk, dm = 1 << k, 1 << m
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero (DuckDB // and Spark SQL div);
+        # Python // floors and would drift one cent on negatives
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    def fold(pdf):
+        pdf = pdf.sort_values("date")
+        lvl = trend = None
+        levels, trends, fcs = [], [], []
+        for c in pdf["cents"]:
+            c = int(c)
+            fc = None if lvl is None else lvl + trend
+            if lvl is None:
+                lvl, trend = c, 0
+            else:
+                prev = lvl
+                lvl = tdiv(c + (dk - 1) * (lvl + trend), dk)
+                trend = tdiv((lvl - prev) + (dm - 1) * trend, dm)
+            levels.append(lvl)
+            trends.append(trend)
+            fcs.append(fc)
+        return pdf.assign(level_cents=levels, trend_cents=trends,
+                          forecast_cents=fcs)[
+            ["date", "code", "cents", "level_cents", "trend_cents",
+             "forecast_cents"]]
+
+    folded = prep.groupBy("code").applyInPandas(fold, out_schema)
+    out = folded.select(
+        "date", "code",
+        (F.col("cents").cast("double") / 100).alias("value"),
+        "level_cents", "trend_cents", "forecast_cents",
+        (F.col("level_cents").cast("double") / 100).alias("level"),
+        (F.col("trend_cents").cast("double") / 100).alias("trend"),
+        (F.col("forecast_cents").cast("double") / 100)
+        .alias("forecast"))
+    return out.orderBy("code", "date") if sort else out
+
+
 def ewma_exact(long_df: DataFrame, k: int = 2,
                sort: bool = True) -> DataFrame:
     """Oracle-backed exact-integer twin of :func:`ewma`, for the

@@ -2065,6 +2065,40 @@ def test_ewma_exact_matches_integer_model(spark):
     assert TS.ewma_exact(empty).count() == 0
 
 
+def test_holt_exact_truncating_division_on_negative_trend(spark):
+    """A falling series drives the trend negative — the exact spot
+    where Python floor-div and DuckDB/Spark trunc-div disagree by one
+    cent (measured). Pin the truncating model."""
+    import datetime
+    vals = [100.00, 50.00, 20.37, 10.01, 5.55]
+    rows = [(datetime.datetime(2020, 1, d + 1), "A", v)
+            for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "date timestamp, code string, "
+                                     "value double")
+    out = {r["date"].day: r for r in TS.holt_exact(df, k=2, m=3)
+           .collect()}
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    lvl = trend = None
+    for d, v in enumerate(vals):
+        c = round(v * 100)
+        fc = None if lvl is None else lvl + trend
+        if lvl is None:
+            lvl, trend = c, 0
+        else:
+            prev = lvl
+            lvl = tdiv(c + 3 * (lvl + trend), 4)
+            trend = tdiv((lvl - prev) + 7 * trend, 8)
+        r = out[d + 1]
+        assert (r["level_cents"], r["trend_cents"]) == (lvl, trend), d
+        assert r["forecast_cents"] == fc, d
+        assert r["level"] == lvl / 100 and r["trend"] == trend / 100
+    assert out[2]["trend_cents"] < 0  # the negative branch really ran
+
+
 def test_order_priority_exists_semantics(spark):
     orders = spark.createDataFrame(
         [(1, "1-URGENT", "1996-02-01"), (2, "5-LOW", "1996-03-01"),
