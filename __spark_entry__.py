@@ -1508,8 +1508,18 @@ def ts_holt_winters(spark, sf_dir):
 def ts_holt_exact(spark, sf_dir):
     """Exact-integer Holt level+trend (α = 1/4, β = 1/8) in cents —
     both coupled recurrences replayed by a DuckDB recursive CTE
-    (floored integer division on both sides, signed trend safe)."""
+    (explicit truncating division — DuckDB // truncates on the
+    signed trend where Python // floors)."""
     return TS.holt_exact(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def ts_backtest_exact(spark, sf_dir):
+    """One-step-ahead backtest of the exact-integer Holt forecasts:
+    per-series n/MAE/RMSE with bigint-cents errors, MAE as a raw
+    int/int quotient and RMSE via correctly-rounded sqrt — fully
+    value-pinned by the same recursive-CTE oracle plus an aggregate."""
+    return TS.backtest_exact(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
 def ts_forecast_backtest(spark, sf_dir):
@@ -2926,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infogob_proceso_elections": infogob_proceso_elections,
         "ts_ewma_exact": ts_ewma_exact,
         "ts_holt_exact": ts_holt_exact,
+        "ts_backtest_exact": ts_backtest_exact,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -9131,6 +9142,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(fc AS DOUBLE) / 100 AS forecast
         FROM rec
         ORDER BY code, date
+    """
+
+    # Backtest over the exact Holt recursion: same CTE + an error
+    # aggregate; MAE = raw int/int quotient then /100, RMSE = sqrt of
+    # one — correctly rounded ops only, identical bits.
+    sql["ts_backtest_exact"] = """
+        WITH RECURSIVE base AS (
+            SELECT date, code, cents,
+                   row_number() OVER (PARTITION BY code
+                                      ORDER BY date) AS rn
+            FROM (
+                SELECT CAST(date_trunc('day', l_shipdate)
+                            AS TIMESTAMP) AS date,
+                       l_returnflag || l_linestatus AS code,
+                       CAST(round(sum(l_extendedprice) * 100, 0)
+                            AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1, 2
+            )
+        ), rec AS (
+            SELECT code, rn, date, cents,
+                   cents AS l, CAST(0 AS BIGINT) AS b,
+                   CAST(NULL AS BIGINT) AS fc
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b2.code, b2.rn, b2.date, b2.cents,
+                   (b2.cents + 3 * (r.l + r.b)) // 4 AS l,
+                   (((b2.cents + 3 * (r.l + r.b)) // 4 - r.l)
+                    + 7 * r.b) // 8 AS b,
+                   r.l + r.b AS fc
+            FROM rec r JOIN base b2
+              ON b2.code = r.code AND b2.rn = r.rn + 1
+        )
+        SELECT code,
+               CAST(count(*) AS BIGINT) AS n_forecasts,
+               CAST(sum(abs(cents - fc)) AS BIGINT)
+                   AS sum_abs_err_cents,
+               CAST(sum(abs(cents - fc)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 100 AS mae,
+               sqrt(CAST(sum((cents - fc) * (cents - fc)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) / 100 AS rmse
+        FROM rec WHERE fc IS NOT NULL
+        GROUP BY code
+        ORDER BY code
     """
 
     # Round-trip oracle for the MP4 container decode: the Spark side

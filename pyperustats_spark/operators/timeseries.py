@@ -512,6 +512,41 @@ def holt_exact(long_df: DataFrame, k: int = 2, m: int = 3,
     return out.orderBy("code", "date") if sort else out
 
 
+def backtest_exact(long_df: DataFrame, k: int = 2, m: int = 3,
+                   sort: bool = True) -> DataFrame:
+    """Oracle-backed one-step-ahead forecast backtest over
+    :func:`holt_exact`: per series, the error of forecasting each
+    observation with the previous row's l + b — n_forecasts, total
+    absolute error in integer cents, MAE and RMSE. The exact-integer
+    recurrence makes the whole evaluation value-pinnable: errors are
+    bigint cents, MAE ships as the raw int/int IEEE quotient and
+    RMSE as sqrt of one (only sqrt and arithmetic are correctly
+    rounded cross-engine — the CLAUDE.md rule — so both land on
+    identical bits). This is :func:`forecast_backtest`'s rows-only
+    evaluation made oracle-checkable for the α,β = 2^-k,2^-m family."""
+    h = holt_exact(long_df, k=k, m=m, sort=False) \
+        .where(F.col("forecast_cents").isNotNull())
+    err = F.abs(F.round(F.col("value") * 100, 0).cast("bigint")
+                - F.col("forecast_cents"))
+    out = (
+        h.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+            F.sum(err).cast("bigint").alias("sum_abs_err_cents"),
+            F.sum(err * err).cast("bigint").alias("_ss"),
+        )
+        .select(
+            "code", "n_forecasts", "sum_abs_err_cents",
+            (F.col("sum_abs_err_cents").cast("double")
+             / F.col("n_forecasts").cast("double") / 100).alias("mae"),
+            (F.sqrt(F.col("_ss").cast("double")
+                    / F.col("n_forecasts").cast("double")) / 100)
+            .alias("rmse"),
+        )
+    )
+    return out.orderBy("code") if sort else out
+
+
 def ewma_exact(long_df: DataFrame, k: int = 2,
                sort: bool = True) -> DataFrame:
     """Oracle-backed exact-integer twin of :func:`ewma`, for the
