@@ -85,6 +85,37 @@ def ivf_pq_index_write(embeddings: DataFrame, path: str,
     return meta
 
 
+def ivf_pq_index_append(embeddings: DataFrame, path: str) -> None:
+    """Incremental index maintenance: encode a NEW vector batch
+    against the index's FROZEN sidecar artifacts (centroids +
+    codebooks) and append it into the existing cell partitions — no
+    rebuild, no retraining. This is the standard IVF maintenance
+    contract: quantizers stay fixed so already-written partitions
+    remain valid and a search sees old and new vectors through one
+    consistent geometry; quantizer staleness under distribution shift
+    is a MONITORED quantity, not an append-time concern
+    (operators/similarity.py centroid_drift — emb_centroid_drift —
+    is the companion card that tells you when a rebuild is due).
+
+    Scale shape: one row-local assign+encode projection over the
+    batch, one ``append``-mode partitioned write touching only the
+    cells the batch lands in — batch-proportional work, never
+    corpus-proportional (the CorpusLedger append rule applied to the
+    ANN layout). Path-based parquet reads list files per search, so
+    no relation-cache refresh is needed on any session."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cents = [(int(cid), c) for cid, c in meta["centroids"]]
+    books = meta["codebooks"]
+    base = ensure_parallelism(embeddings).select(
+        "vec_id", "embedding",
+        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
+                     1).alias("cell"))
+    coded = pq_encode(base, books, keep=("cell", "embedding"))
+    coded.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "data"))
+
+
 def ivf_pq_index_search(spark: SparkSession, path: str,
                         queries: DataFrame, k: int = 5,
                         nprobe: int = 4,
