@@ -1513,6 +1513,15 @@ def ts_holt_exact(spark, sf_dir):
     return TS.holt_exact(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_hw_seasonal_exact(spark, sf_dir):
+    """Exact-integer additive Holt-Winters (α=1/4, β=1/8, γ=1/4,
+    weekly period) — three coupled recurrences incl. a rotating
+    7-slot seasonal ring, replayed by a recursive CTE whose state
+    carries a BIGINT[] list."""
+    return TS.hw_seasonal_exact(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_backtest_exact(spark, sf_dir):
     """One-step-ahead backtest of the exact-integer Holt forecasts:
     per-series n/MAE/RMSE with bigint-cents errors, MAE as a raw
@@ -2937,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma_exact": ts_ewma_exact,
         "ts_holt_exact": ts_holt_exact,
         "ts_backtest_exact": ts_backtest_exact,
+        "ts_hw_seasonal_exact": ts_hw_seasonal_exact,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -9139,6 +9149,53 @@ def oracle_sql() -> dict[str, str]:
                l AS level_cents, b AS trend_cents, fc AS forecast_cents,
                CAST(l AS DOUBLE) / 100 AS level,
                CAST(b AS DOUBLE) / 100 AS trend,
+               CAST(fc AS DOUBLE) / 100 AS forecast
+        FROM rec
+        ORDER BY code, date
+    """
+
+    # Exact-integer additive Holt-Winters: the seasonal ring rides
+    # the recursion as a BIGINT[] rotated per step; lateral aliases
+    # (fresh names) thread l_new/s_new through the coupled updates;
+    # // truncation matches the fold's explicit tdiv.
+    sql["ts_hw_seasonal_exact"] = """
+        WITH RECURSIVE base AS (
+            SELECT date, code, cents,
+                   row_number() OVER (PARTITION BY code
+                                      ORDER BY date) AS rn
+            FROM (
+                SELECT CAST(date_trunc('day', l_shipdate)
+                            AS TIMESTAMP) AS date,
+                       l_returnflag || l_linestatus AS code,
+                       CAST(round(sum(l_extendedprice) * 100, 0)
+                            AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1, 2
+            )
+        ), rec AS (
+            SELECT code, rn, date, cents,
+                   cents AS l, CAST(0 AS BIGINT) AS b,
+                   CAST(0 AS BIGINT) AS s_new,
+                   [0,0,0,0,0,0,0]::BIGINT[] AS seas,
+                   CAST(NULL AS BIGINT) AS fc
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b2.code, b2.rn, b2.date, b2.cents,
+                   (b2.cents - r.seas[1] + 3 * (r.l + r.b)) // 4
+                       AS lnew,
+                   ((lnew - r.l) + 7 * r.b) // 8,
+                   ((b2.cents - lnew) + 3 * r.seas[1]) // 4 AS snew,
+                   list_concat(r.seas[2:], [snew]),
+                   r.l + r.b + r.seas[1]
+            FROM rec r JOIN base b2
+              ON b2.code = r.code AND b2.rn = r.rn + 1
+        )
+        SELECT date, code,
+               CAST(cents AS DOUBLE) / 100 AS value,
+               l AS level_cents, b AS trend_cents,
+               s_new AS seasonal_cents, fc AS forecast_cents,
+               CAST(l AS DOUBLE) / 100 AS level,
+               CAST(b AS DOUBLE) / 100 AS trend,
+               CAST(s_new AS DOUBLE) / 100 AS seasonal,
                CAST(fc AS DOUBLE) / 100 AS forecast
         FROM rec
         ORDER BY code, date

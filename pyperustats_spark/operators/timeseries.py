@@ -512,6 +512,84 @@ def holt_exact(long_df: DataFrame, k: int = 2, m: int = 3,
     return out.orderBy("code", "date") if sort else out
 
 
+def hw_seasonal_exact(long_df: DataFrame, k: int = 2, m: int = 3,
+                      g: int = 2, period: int = 7,
+                      sort: bool = True) -> DataFrame:
+    """Oracle-backed exact-integer ADDITIVE Holt-Winters (level +
+    trend + seasonality) for the α,β,γ = 2^-k,2^-m,2^-g family —
+    three coupled recurrences in integer cents with a rotating
+    *period*-slot seasonal state:
+
+        l_t = (x_t − s_{t−p} + (2^k − 1)·(l_{t−1} + b_{t−1})) DIV 2^k
+        b_t = ((l_t − l_{t−1}) + (2^m − 1)·b_{t−1})           DIV 2^m
+        s_t = ((x_t − l_t) + (2^g − 1)·s_{t−p})               DIV 2^g
+
+    (DIV truncating toward zero — the holt_exact rule: DuckDB ``//``
+    truncates where Python ``//`` floors, and level deltas and
+    seasonal indices are signed). Initial state: l_1 = x_1, b_1 = 0,
+    all seasonal slots 0. Each row also carries the seasonal one-step
+    forecast l + b + s_{t−p} (NULL on the first row).
+
+    The oracle is a recursive CTE whose per-row state includes a
+    BIGINT[] seasonal ring rotated with ``list_concat(seas[2:],
+    [s_new])`` — list-valued recursion state, exercised and
+    supported in DuckDB. Same grouped-map execution shape as the
+    other exact twins; weekly period by default on the daily series."""
+    import pandas as pd  # noqa: F401
+
+    prep = long_df.select(
+        "date", "code",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    out_schema = ("date timestamp, code string, cents bigint, "
+                  "level_cents bigint, trend_cents bigint, "
+                  "seasonal_cents bigint, forecast_cents bigint")
+    dk, dm, dg = 1 << k, 1 << m, 1 << g
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    def fold(pdf):
+        pdf = pdf.sort_values("date")
+        lvl = trend = None
+        seas = [0] * period
+        levels, trends, snews, fcs = [], [], [], []
+        for c in pdf["cents"]:
+            c = int(c)
+            sl = seas[0]
+            fc = None if lvl is None else lvl + trend + sl
+            if lvl is None:
+                lvl, trend, s_new = c, 0, 0
+            else:
+                prev = lvl
+                lvl = tdiv(c - sl + (dk - 1) * (lvl + trend), dk)
+                trend = tdiv((lvl - prev) + (dm - 1) * trend, dm)
+                s_new = tdiv((c - lvl) + (dg - 1) * sl, dg)
+            seas = seas[1:] + [s_new]
+            levels.append(lvl)
+            trends.append(trend)
+            snews.append(s_new)
+            fcs.append(fc)
+        return pdf.assign(level_cents=levels, trend_cents=trends,
+                          seasonal_cents=snews, forecast_cents=fcs)[
+            ["date", "code", "cents", "level_cents", "trend_cents",
+             "seasonal_cents", "forecast_cents"]]
+
+    folded = prep.groupBy("code").applyInPandas(fold, out_schema)
+    out = folded.select(
+        "date", "code",
+        (F.col("cents").cast("double") / 100).alias("value"),
+        "level_cents", "trend_cents", "seasonal_cents",
+        "forecast_cents",
+        (F.col("level_cents").cast("double") / 100).alias("level"),
+        (F.col("trend_cents").cast("double") / 100).alias("trend"),
+        (F.col("seasonal_cents").cast("double") / 100)
+        .alias("seasonal"),
+        (F.col("forecast_cents").cast("double") / 100)
+        .alias("forecast"))
+    return out.orderBy("code", "date") if sort else out
+
+
 def backtest_exact(long_df: DataFrame, k: int = 2, m: int = 3,
                    sort: bool = True) -> DataFrame:
     """Oracle-backed one-step-ahead forecast backtest over

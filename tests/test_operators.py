@@ -2099,6 +2099,49 @@ def test_holt_exact_truncating_division_on_negative_trend(spark):
     assert out[2]["trend_cents"] < 0  # the negative branch really ran
 
 
+def test_hw_seasonal_exact_matches_integer_model(spark):
+    """Three coupled integer recurrences + the rotating seasonal ring,
+    pinned against a plain-Python model on a series whose trend AND
+    seasonal indices go negative (the trunc-div branches)."""
+    import datetime
+    vals = [100.00, 40.00, 120.00, 30.00, 110.00, 20.00, 90.00,
+            10.00, 95.00, 5.00, 80.00]
+    rows = [(datetime.datetime(2020, 1, d + 1), "A", v)
+            for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "date timestamp, code string, "
+                                     "value double")
+    out = {r["date"].day: r
+           for r in TS.hw_seasonal_exact(df, k=2, m=3, g=2, period=3)
+           .collect()}
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    lvl = trend = None
+    seas = [0, 0, 0]
+    saw_negative_seasonal = False
+    for d, v in enumerate(vals):
+        c = round(v * 100)
+        sl = seas[0]
+        fc = None if lvl is None else lvl + trend + sl
+        if lvl is None:
+            lvl, trend, s_new = c, 0, 0
+        else:
+            prev = lvl
+            lvl = tdiv(c - sl + 3 * (lvl + trend), 4)
+            trend = tdiv((lvl - prev) + 7 * trend, 8)
+            s_new = tdiv((c - lvl) + 3 * sl, 4)
+        seas = seas[1:] + [s_new]
+        saw_negative_seasonal |= s_new < 0
+        r = out[d + 1]
+        assert (r["level_cents"], r["trend_cents"],
+                r["seasonal_cents"], r["forecast_cents"]) == \
+            (lvl, trend, s_new, fc), d
+        assert r["seasonal"] == s_new / 100
+    assert saw_negative_seasonal  # the signed branch really ran
+
+
 def test_order_priority_exists_semantics(spark):
     orders = spark.createDataFrame(
         [(1, "1-URGENT", "1996-02-01"), (2, "5-LOW", "1996-03-01"),
