@@ -3087,6 +3087,7 @@ _WINDOW = [
     "multimodal_png_pixel_stats", "multimodal_mp4_meta",
     "bcrp_catalog_listing", "infogob_proceso_elections",
     "ts_ewma_exact", "ts_holt_exact", "ts_backtest_exact",
+    "ts_hw_seasonal_exact",
     # oldest countersigns (r1/r4-era, rotated in per policy)
     "infogob_participation",
     "infogob_pending_requests", "knn_bruteforce_cosine",
@@ -3104,7 +3105,6 @@ _WINDOW = [
     "ts_running_total", "ts_unpivot_long", "ts_yoy_growth",
     "catalog_fuzzy_search", "dedup_cluster_sizes",
     "dedup_impact_report", "dedup_incremental", "dedup_source_overlap",
-    "dedup_stats_by_source",
 ]
 
 
