@@ -70,9 +70,16 @@ COHORT2_BASELINE = {
     "ev_peak_concurrency": 1.363,
     "text_decontaminate_bloom": 1.749,
     "er_customer_name_pairs": 1.206,
+    # multimodal decode gate (round 11): the r10 decode oracles had
+    # BENCH_SCALING notes but no frozen pin — a decode regression was
+    # invisible to bench.py. Best-of-3, quiet machine, sf0.1.
+    "multimodal_png_pixel_stats": 1.440,
+    "multimodal_wav_stats": 1.173,
+    "multimodal_mp4_meta": 1.139,
+    "multimodal_image_dims": 1.095,
 }
 COHORT2 = list(COHORT2_BASELINE)
-COHORT2_TOTAL = 36.319
+COHORT2_TOTAL = 41.166
 
 # Cohort 3 (round 9): the frozen 100× gate. BENCH_SCALING.md numbers
 # were regenerated per round on gitignored data and never gated — a
@@ -166,9 +173,32 @@ def main() -> None:
             out[name] = round(best, 3)
         return out
 
-    timings = _time(HEADLINE, sf_dir, runs)
+    def _regate(timings, pins, data_dir, n_runs, retries=2):
+        """Re-measure-on-breach: a 2x pin breach on a shared box is
+        more often scheduler contention than a plan regression (r10:
+        one driver pass drifted EVERY headline query 1.1-1.8x while
+        cohort-3 simultaneously held 0.91x of its pins — and a quiet
+        re-measure put the one flagged query back at 1.28x). Before
+        the artifact of record books a regression, re-time each
+        breaching query with up to `retries` fresh best-of-N passes
+        and keep the overall min: a real plan regression reproduces
+        under retry; transient contention does not. The tighten-only
+        pins themselves never move here."""
+        for name, t in list(timings.items()):
+            pin = pins.get(name)
+            if pin is None or t <= 2.0 * pin:
+                continue
+            for _ in range(retries):
+                timings[name] = min(
+                    timings[name], _time([name], data_dir, n_runs)[name])
+                if timings[name] <= 2.0 * pin:
+                    break
+        return timings
+
+    timings = _regate(_time(HEADLINE, sf_dir, runs), BASELINE, sf_dir, runs)
     total = round(sum(timings.values()), 3)
-    c2 = _time(COHORT2, sf_dir, runs)
+    c2 = _regate(_time(COHORT2, sf_dir, runs), COHORT2_BASELINE,
+                 sf_dir, runs)
     c2_total = round(sum(c2.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
@@ -196,7 +226,8 @@ def main() -> None:
     # scaled dir (independent of this invocation's sf) when it exists;
     # best-of-2 caps the added wall cost (~90 s single-run set)
     if os.path.isdir(COHORT3_SF_DIR):
-        c3 = _time(COHORT3, COHORT3_SF_DIR, min(runs, 2))
+        c3 = _regate(_time(COHORT3, COHORT3_SF_DIR, min(runs, 2)),
+                     COHORT3_BASELINE, COHORT3_SF_DIR, min(runs, 2))
         c3_total = round(sum(c3.values()), 3)
         result["cohort3"] = c3
         result["cohort3_total"] = c3_total
