@@ -291,6 +291,22 @@ def decode_png_pixels(payload: bytes):
         return None
     if len(raw) != h * (1 + stride):
         return None
+    # Two bit-identical unfilter bodies. The numpy one exists for
+    # production-sized scanlines (None/Up fully vectorized, Sub an
+    # exact per-channel cumsum-mod-256, Average/Paeth a per-PIXEL loop
+    # with channel-vector steps — the left dependency makes a full
+    # vectorization impossible by construction); per-line array
+    # overhead makes it SLOWER than plain byte loops on the tiny
+    # synthetic payloads, so it engages only when stride is wide
+    # enough to amortize (measured crossover ~64-128B; see
+    # BENCH_SCALING.md large-image A/B and the bit-equality pin in
+    # tests/test_multimodal.py). Production codec frames still go to
+    # PIL/libpng — this narrows that caveat to codec frames only.
+    if stride >= _NUMPY_UNFILTER_MIN_STRIDE:
+        try:
+            return _unfilter_numpy(raw, w, h, ch, stride)
+        except ImportError:
+            pass
     out = bytearray()
     prev = bytearray(stride)
     for r in range(h):
@@ -322,6 +338,70 @@ def decode_png_pixels(payload: bytes):
         out += line
         prev = line
     return (w, h, ch, bytes(out))
+
+
+# crossover where per-line numpy array overhead is amortized by the
+# vectorized None/Up/Sub rows (measured A/B in BENCH_SCALING.md:
+# 0.95× at 192B strides, 1.15× at 384B, 1.37× at 3KB; the synthetic
+# corpus strides are ≤48B and stay on the byte-loop path)
+_NUMPY_UNFILTER_MIN_STRIDE = 256
+
+
+def _unfilter_numpy(raw: bytes, w: int, h: int, ch: int, stride: int):
+    """Hybrid numpy unfilter, bit-identical to the byte-loop path
+    (pinned in tests): integer arithmetic only, mod-256 applied
+    exactly where the spec's reconstruction functions apply it.
+
+    What vectorizes EXACTLY vectorizes fully: None (copy), Up (one
+    vector add — prev row is already reconstructed), Sub (a
+    per-channel prefix sum, exact because mod 256 distributes over
+    cumsum). Average/Paeth have a hard left dependency (recon[x-ch]
+    feeds recon[x]) with non-linear steps (floor-half, min-predictor)
+    — no exact scan exists, and an A/B showed ch-wide numpy steps run
+    ~10× SLOWER than plain byte ops (per-tiny-array overhead), so
+    those rows keep the byte loop, reading the previous row as
+    ``bytes`` for cheap scalar indexing. Real-world photographic PNGs
+    are Up/Paeth-heavy; the synthetic corpus cycles row %% 5 so 3/5 of
+    rows ride the vector path."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    fts = arr[:, 0]
+    if (fts > 4).any():
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev_b = bytes(stride)               # previous row for byte loops
+    prev_np = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = fts[r]
+        if ft == 0:      # None
+            out[r] = arr[r, 1:]
+        elif ft == 2:    # Up
+            out[r] = (arr[r, 1:].astype(np.int64) + prev_np) & 0xFF
+        elif ft == 1:    # Sub: per-channel prefix sum mod 256
+            out[r] = (np.cumsum(
+                arr[r, 1:].astype(np.int64).reshape(-1, ch), axis=0)
+                & 0xFF).reshape(stride)
+        else:            # Average / Paeth: exact-sequential byte loop
+            line = bytearray(arr[r, 1:].tobytes())
+            if ft == 3:
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + (a + prev_b[x]) // 2) & 0xFF
+            else:
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    b = prev_b[x]
+                    c = prev_b[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    line[x] = (line[x] + pr) & 0xFF
+            out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev_b = out[r].tobytes()
+        prev_np = out[r].astype(np.int64)
+    return (w, h, ch, out.tobytes())
 
 
 def encode_png(width: int, height: int, pixels: bytes,

@@ -134,6 +134,29 @@ def test_png_pixel_round_trip_all_filters():
         assert got == (w, h, ch, pix), (w, h, ch)
 
 
+def test_png_numpy_unfilter_bit_equal_to_byte_loop():
+    """The stride-gated numpy unfilter path must reconstruct the exact
+    same pixel bytes as the pure byte loop, on every filter type, for
+    RGB + greyscale, tiny and wide scanlines (including widths that
+    cross the gate either way)."""
+    import random
+
+    rng = random.Random(42)
+    orig = MM._NUMPY_UNFILTER_MIN_STRIDE
+    try:
+        for w, h, ch in [(4, 5, 3), (16, 15, 3), (7, 9, 1),
+                         (300, 12, 3), (257, 11, 1)]:
+            pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            png = MM.encode_png(w, h, pix, channels=ch)
+            MM._NUMPY_UNFILTER_MIN_STRIDE = 1 << 30   # force byte loop
+            a = MM.decode_png_pixels(png)
+            MM._NUMPY_UNFILTER_MIN_STRIDE = 0         # force numpy
+            b = MM.decode_png_pixels(png)
+            assert a == b == (w, h, ch, pix), (w, h, ch)
+    finally:
+        MM._NUMPY_UNFILTER_MIN_STRIDE = orig
+
+
 def test_png_decode_rejects_corruption():
     good = MM.encode_png(3, 5, bytes(45))
     # CRC flip anywhere → None (integrity check, not just lengths)
