@@ -673,6 +673,112 @@ def infogob_proceso_elections(spark, sf_dir):
         "istr_value", "istr").orderBy("id_proceso", "id_eleccion")
 
 
+def _affiliation_ficha_pages(cust):
+    """Synthesize one pre-fetched HistorialPartidario ficha page per
+    customer from pure key arithmetic — the contract the affiliation
+    oracles restate directly. k%2==0 plants a leading 'Afiliación
+    Vigente' section; k%3 'Historial de Afiliaciones' sections follow
+    (so odd keys with k%3==0 yield an empty container — zero rows).
+    Per section j the org block cycles absent → no-anchor →
+    no-data-val → full on (k+j) mod classes, an 'Estado' etiqueta
+    loses its control span on (k+j)%13==0 (the reference's continue),
+    values carry nested tags (get_text-parity through
+    strip_tags_text), and the label keeps its accents (folding
+    exercise). All HTML is built by row-local concat/transform —
+    whole-stage codegen, no Python."""
+    k = F.col("c_custkey").cast("bigint")
+    n_sections = (F.when(k % 2 == 0, F.lit(1)).otherwise(F.lit(0))
+                  + k % 3).cast("int")
+
+    def sec(j):
+        vig = (k % 2 == 0) & (j == 0)
+        m = ((k * 3 + j) % 20).cast("string")
+        x = ((k * 5 + j) % 100).cast("string")
+        org = (
+            F.when((k + j) % 7 == 0, F.lit(""))
+            .when((k + j) % 11 == 0, F.concat(
+                F.lit('<span class="linkOrgPol" data-val="OP'), m,
+                F.lit('">sin enlace</span>')))
+            .when((k + j) % 5 == 0, F.concat(
+                F.lit('<span class="linkOrgPol"><a href="/Org/ficha'),
+                m, F.lit('">Partido '), m, F.lit("</a></span>")))
+            .otherwise(F.concat(
+                F.lit('<span class="linkOrgPol" data-val="OP'), m,
+                F.lit('"><a href="/Org/ficha'), m,
+                F.lit('">Partido '), m, F.lit("</a></span>"))))
+        titulo = F.when(vig, F.lit(" Afiliación Vigente ")) \
+            .otherwise(F.lit(" Historial de Afiliaciones "))
+        estado = (
+            F.when((k + j) % 13 == 0,
+                   F.lit('<span class="etiqueta">Estado:</span>'))
+            .otherwise(F.concat(
+                F.lit('<span class="etiqueta">Estado:</span>'
+                      "<em>al corte</em>"
+                      '<span class="control">'),
+                F.when(vig, F.lit("VIGENTE"))
+                .otherwise(F.lit("CONCLUIDO")),
+                F.lit("</span>"))))
+        renuncia = F.when(vig, F.lit("")).otherwise(F.concat(
+            F.lit('<span class="etiqueta">Fecha de Renuncia:</span>'
+                  '<span class="control">R'), x,
+            F.lit("<i>del</i>2020</span>")))
+        return F.concat(
+            F.lit("<h5>"), titulo, F.lit("</h5><p>nota</p>"),
+            F.lit('<div class="content">'), org,
+            F.lit('<span class="etiqueta"> Fecha de Afiliación: '
+                  '</span> <span class="control"><b>F'), x,
+            F.lit("</b></span>"), renuncia, estado, F.lit("</div>"))
+
+    # guard: Spark sequence(0, -1) would COUNT DOWN ([0, -1]); an
+    # empty container needs an explicit empty array
+    idxs = F.when(n_sections > 0,
+                  F.sequence(F.lit(0), n_sections - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    html = F.concat(
+        F.lit('<html><h3>Ficha</h3>'
+              '<div id="HistorialPartidario" class="box">'),
+        F.array_join(F.transform(idxs, sec), ""),
+        F.lit("</div></html>"))
+    return cust.select(
+        F.concat(F.lit("PER"), k.cast("string")).alias("id_persona"),
+        F.concat(F.lit("/Politico/ficha"), k.cast("string"))
+        .alias("url_politico"),
+        html.alias("html"))
+
+
+def infogob_candidate_affiliations(spark, sf_dir):
+    """Round-trip proof of the affiliation-history normalizer's
+    section walk (sources/infogob_historial.affiliation_sections —
+    the reference 41_candidatos_historial.py join_afiliaciones port):
+    synthesize the pre-fetched ficha pages from customer arithmetic,
+    run the real h5-section explode + org-link extraction, and let
+    the oracle state the expected table directly from the same
+    arithmetic."""
+    from pyperustats_spark.sources.infogob_historial import (
+        affiliation_sections)
+
+    pages = _affiliation_ficha_pages(_lt(spark, sf_dir, "customer"))
+    return affiliation_sections(pages).select(
+        "id_persona", "url_politico", "seccion", "titulo", "activa",
+        "organizacion_politica", "url_organizacion",
+        "id_organizacion").orderBy("id_persona", "seccion")
+
+
+def infogob_affiliation_fields(spark, sf_dir):
+    """Round-trip proof of the normalizer's etiqueta→control walk
+    (sources/infogob_historial.affiliation_fields — the reference's
+    parse_content_block dynamic-key half, long-form): accent-folded
+    snake_case campo, space-joined stripped valor, control-less
+    etiquetas skipped."""
+    from pyperustats_spark.sources.infogob_historial import (
+        affiliation_fields, affiliation_sections)
+
+    pages = _affiliation_ficha_pages(_lt(spark, sf_dir, "customer"))
+    return affiliation_fields(affiliation_sections(pages)).select(
+        "id_persona", "seccion", "campo", "valor"
+    ).orderBy("id_persona", "seccion", "campo")
+
+
 def inei_stage_plan(spark, sf_dir):
     from pyperustats_spark.sources.progress import (
         stage_plan, status_from_events)
@@ -1503,6 +1609,15 @@ def ts_ewma_exact(spark, sf_dir):
 
 def ts_holt_winters(spark, sf_dir):
     return TS.holt_winters(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def ts_series_depth_profile(spark, sf_dir):
+    """Series-depth pre-flight card for the per-series folds (VERDICT
+    r10 item 4): rows-per-code + share + depth_vs_max — one series =
+    one task in the exact twins, so the deepest series bounds their
+    wall clock; this is the measured check."""
+    return TS.series_depth_profile(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
 def ts_holt_exact(spark, sf_dir):
@@ -2943,10 +3058,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_meta": multimodal_mp4_meta,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
+        "infogob_candidate_affiliations": infogob_candidate_affiliations,
+        "infogob_affiliation_fields": infogob_affiliation_fields,
         "ts_ewma_exact": ts_ewma_exact,
         "ts_holt_exact": ts_holt_exact,
         "ts_backtest_exact": ts_backtest_exact,
         "ts_hw_seasonal_exact": ts_hw_seasonal_exact,
+        "ts_series_depth_profile": ts_series_depth_profile,
         # ---- rows-only entries (no SQL oracle by design) last ----
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_apply": dedup_minhash_apply,
@@ -3047,64 +3165,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in [*window, *rest]}
 
 
-# The driver-verified 50-slot window (round-9 rotation): exactly the
-# 50 entries the driver checks — no trailing names beyond slot 50
-# (VERDICT r8 / ADVICE low item). Two rotation inputs this round:
-# (a) the 26 round-9 NEW or semantics-changed oracles lead (the
-#     fifteen late-round-9 oracle-backed ops — fertility, CCNet
-#     buckets + filter, quality logit, Heaps curve, DSIR, user
-#     entropy, exact-k sampler, length-drift KS card, filter funnel,
-#     stickiness, script mix, price index, seasonal anomalies,
-#     centroid drift — plus
-#     the twins, the novelty card, the html-listing round trip, and
-#     the fixed-point CUSUM + grid-exact bollinger + decimal HHI +
-#     8-hex tmix + argmin keep_best oracle rewrites and the two
-#     structurally-rewritten plans) — none has a driver countersign
-#     in its current form;
-# (b) then the OLDEST-countersigned oracles (VERDICT r8 item 1) —
-#     last driver-verified r1/r3/r4, before the r6-r8 rewrites —
-#     computed from CORRECTNESS_r0*.json latest-green rounds, sorted
-#     (round, key); 24 fit this round (tools/rotate_window.py
-#     recomputes this mechanically).
-# Everything displaced moves behind the window; the local parity gate
-# (tools/parity.py, tests/test_oracle_parity.py) still value-checks
-# all oracle-backed queries every run. Queued for r10:
-# infogob_participation, infogob_pending_requests,
-# knn_bruteforce_cosine, mef_filter_rows, org_content_dedup_map,
-# org_inventory_by_group, org_slugify_rename, q1_pricing_summary,
-# q3_shipping_priority, q5_local_supplier_volume, q6_revenue_delta,
-# q_market_share, q_sales_rollup, q_top_customers, stats_profile,
-# stream_dedup_replay + the remaining 19 r4-era keys
-# (stream_sessionize, stream_tumbling_window, text_fingerprint,
-# text_lang_id, text_ngram_topk, text_pii_scrub, text_quality_score,
-# text_token_count, ts_asof_join, ts_date_parse_multi, ts_gap_fill,
-# ts_interpolate_linear, ts_lag_pct_change, ts_moving_avg,
-# ts_pivot_wide, ts_resample_monthly, ts_running_total,
-# ts_unpivot_long, ts_yoy_growth) + the oldest r5 cohort.
+# The driver-verified 50-slot window (round-11 rotation,
+# tools/rotate_window.py): exactly the 50 entries the driver checks.
+# Leads: the three r11 new oracles (the affiliation-history
+# normalizer round trips closing the last reference parser gap, and
+# the series-depth pre-flight card) — none driver-countersigned; then
+# the OLDEST-countersigned oracles fill the remaining 47 slots
+# (computed mechanically from CORRECTNESS_r*.json latest-green
+# rounds, sorted (round, key)). The r10 leads (multimodal decodes,
+# source normalizers, exact smoothing twins) were countersigned 50/50
+# green in CORRECTNESS_r10.json and rotate out — which also drops the
+# window's single heaviest oracle (ts_hw_seasonal_exact's recursive
+# list-state CTE, the marginal wall-time driver flagged in VERDICT
+# r10 item 6) without weakening any pin: every oracle-backed query
+# stays under the local parity gate (tools/parity.py,
+# tests/test_oracle_parity.py) each run.
+# Queued next (oldest 10 beyond slot 50): dedup_filter_apply,
+# dedup_keep_latest, dedup_threshold_sweep, doc_epoch_shards,
+# ev_attribution_first, ev_funnel_steps, ev_gap_stats,
+# ev_retention_cohorts, ev_top_paths, infogob_location_canonical.
 _WINDOW = [
-    # round-10 new oracles (never countersigned)
-    "multimodal_image_dims", "multimodal_wav_stats",
-    "multimodal_png_pixel_stats", "multimodal_mp4_meta",
-    "bcrp_catalog_listing", "infogob_proceso_elections",
-    "ts_ewma_exact", "ts_holt_exact", "ts_backtest_exact",
-    "ts_hw_seasonal_exact",
-    # oldest countersigns (r1/r4-era, rotated in per policy)
-    "infogob_participation",
-    "infogob_pending_requests", "knn_bruteforce_cosine",
-    "mef_filter_rows", "org_content_dedup_map",
-    "org_inventory_by_group", "org_slugify_rename",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_delta", "q_market_share",
-    "q_sales_rollup", "q_top_customers", "stats_profile",
-    "stream_dedup_replay", "stream_sessionize",
-    "stream_tumbling_window", "text_fingerprint", "text_lang_id",
-    "text_ngram_topk", "text_pii_scrub", "text_quality_score",
-    "text_token_count", "ts_asof_join", "ts_date_parse_multi",
-    "ts_gap_fill", "ts_interpolate_linear", "ts_lag_pct_change",
-    "ts_moving_avg", "ts_pivot_wide", "ts_resample_monthly",
-    "ts_running_total", "ts_unpivot_long", "ts_yoy_growth",
-    "catalog_fuzzy_search", "dedup_cluster_sizes",
-    "dedup_impact_report", "dedup_incremental", "dedup_source_overlap",
+    # round-11 new oracles (never countersigned)
+    "infogob_candidate_affiliations", "infogob_affiliation_fields",
+    "ts_series_depth_profile",
+    # oldest countersigns, rotated in per policy
+    "dedup_stats_by_source",
+    "embedding_norm_profile", "ev_active_users", "ev_attribution",
+    "ev_burst_profile", "ev_funnel_within", "ev_power_users",
+    "ev_session_stats", "ev_skew_profile", "ev_transitions",
+    "inei_stage_plan", "infogob_candidate_detail_counts",
+    "infogob_candidates_by_election", "infogob_candidates_pending",
+    "infogob_location_hierarchy", "infogob_org_pending",
+    "infogob_results_by_region", "q10_returned_items",
+    "q12_flag_priority", "q13_order_distribution", "q14_promo_share",
+    "q15_top_supplier", "q19_disjunctive_revenue", "q22_rich_inactive",
+    "q4_order_priority", "q7_nation_volume", "q_customer_quartiles",
+    "q_orphan_check", "split_leakage_safe", "stats_mad_outliers",
+    "stats_winsorize", "text_bigram_logprob", "text_decontaminate",
+    "text_drop_short_tail", "text_length_histogram",
+    "text_quality_by_source", "text_source_mix_sample",
+    "text_tfidf_top_terms", "text_token_budget_sample",
+    "text_unigram_logprob", "ts_acf", "ts_seasonal_index",
+    "ts_trend_ma", "ts_xcorr", "catalog_coverage",
+    "catalog_series_summary", "corpus_summary",
 ]
 
 
@@ -9115,8 +9218,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # Exact-integer Holt level+trend: both coupled recurrences in the
-    # recursive CTE; Python // and DuckDB // both FLOOR, so the
-    # signed trend reconciles bit-for-bit.
+    # recursive CTE. DuckDB // TRUNCATES toward zero on signed
+    # operands; the Spark-side Python fold uses an explicit truncating
+    # division (plain Python // would FLOOR and drift one cent on a
+    # negative trend — see CLAUDE.md and the holt_exact regression
+    # test), so both engines truncate and the signed trend reconciles
+    # bit-for-bit.
     sql["ts_holt_exact"] = """
         WITH RECURSIVE base AS (
             SELECT date, code, cents,
@@ -9429,6 +9536,106 @@ def oracle_sql() -> dict[str, str]:
                END AS istr
         FROM nation
         ORDER BY id_proceso, id_eleccion
+    """
+
+    # Round-trip oracles for the affiliation-history normalizer
+    # (sources/infogob_historial.py, reference
+    # 41_candidatos_historial.py): the Spark side synthesizes ficha
+    # HTML from customer-key arithmetic and PARSES it back; the
+    # oracle restates the expected rows from the same arithmetic.
+    # Section count = (k even) + k%3; org block cycles absent (%7) →
+    # no-anchor (%11) → no-data-val (%5) → full, evaluated in that
+    # ELIF order.
+    # Series-depth pre-flight card: counts per code over the daily
+    # series frame; share/depth ship as RAW int/int doubles (the
+    # CLAUDE.md rule — bit-identical cross-engine). The sums are
+    # CAST to BIGINT before the division (DuckDB sum → HUGEINT).
+    sql["ts_series_depth_profile"] = """
+        WITH s AS (
+            SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
+                       AS date,
+                   l_returnflag || l_linestatus AS code
+            FROM lineitem GROUP BY 1, 2
+        ), c AS (
+            SELECT code, CAST(count(*) AS BIGINT) AS n_obs,
+                   min(date) AS first_date, max(date) AS last_date
+            FROM s GROUP BY code
+        ), t AS (
+            SELECT CAST(sum(n_obs) AS BIGINT) AS total,
+                   CAST(max(n_obs) AS BIGINT) AS deepest
+            FROM c
+        )
+        SELECT code, n_obs, first_date, last_date,
+               n_obs / total AS share,
+               n_obs / deepest AS depth_vs_max
+        FROM c, t
+        ORDER BY n_obs DESC, code ASC
+    """
+
+    sql["infogob_candidate_affiliations"] = """
+        WITH c AS (
+            SELECT c_custkey AS k,
+                   (CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END
+                    + c_custkey % 3) AS ns
+            FROM customer
+        ), s AS (
+            SELECT k, UNNEST(range(ns)) AS j FROM c
+        )
+        SELECT 'PER' || CAST(k AS VARCHAR) AS id_persona,
+               '/Politico/ficha' || CAST(k AS VARCHAR)
+                   AS url_politico,
+               CAST(j AS BIGINT) AS seccion,
+               CASE WHEN k % 2 = 0 AND j = 0
+                    THEN 'Afiliación Vigente'
+                    ELSE 'Historial de Afiliaciones' END AS titulo,
+               CAST(CASE WHEN k % 2 = 0 AND j = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS activa,
+               CASE WHEN (k + j) % 7 = 0 THEN NULL
+                    WHEN (k + j) % 11 = 0 THEN NULL
+                    ELSE 'Partido ' || CAST((k*3 + j) % 20 AS VARCHAR)
+               END AS organizacion_politica,
+               CASE WHEN (k + j) % 7 = 0 THEN NULL
+                    WHEN (k + j) % 11 = 0 THEN NULL
+                    ELSE '/Org/ficha' || CAST((k*3 + j) % 20 AS VARCHAR)
+               END AS url_organizacion,
+               CASE WHEN (k + j) % 7 = 0 THEN NULL
+                    WHEN (k + j) % 11 = 0
+                         THEN 'OP' || CAST((k*3 + j) % 20 AS VARCHAR)
+                    WHEN (k + j) % 5 = 0 THEN NULL
+                    ELSE 'OP' || CAST((k*3 + j) % 20 AS VARCHAR)
+               END AS id_organizacion
+        FROM s
+        ORDER BY id_persona, seccion
+    """
+
+    sql["infogob_affiliation_fields"] = """
+        WITH c AS (
+            SELECT c_custkey AS k,
+                   (CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END
+                    + c_custkey % 3) AS ns
+            FROM customer
+        ), s AS (
+            SELECT k, UNNEST(range(ns)) AS j FROM c
+        ), b AS (
+            SELECT k, j, CAST((k*5 + j) % 100 AS VARCHAR) AS x,
+                   (k % 2 = 0 AND j = 0) AS vig
+            FROM s
+        )
+        SELECT 'PER' || CAST(k AS VARCHAR) AS id_persona,
+               CAST(j AS BIGINT) AS seccion, campo, valor
+        FROM (
+            SELECT k, j, 'fecha_de_afiliacion' AS campo,
+                   'F' || x AS valor
+            FROM b
+            UNION ALL
+            SELECT k, j, 'fecha_de_renuncia', 'R' || x || ' del 2020'
+            FROM b WHERE NOT vig
+            UNION ALL
+            SELECT k, j, 'estado',
+                   CASE WHEN vig THEN 'VIGENTE' ELSE 'CONCLUIDO' END
+            FROM b WHERE (k + j) % 13 <> 0
+        )
+        ORDER BY id_persona, seccion, campo
     """
 
     # Round-trip oracle for the REAL stdlib image decode: the Spark

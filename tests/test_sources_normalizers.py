@@ -140,3 +140,108 @@ def test_enrich_elections_derivations(spark):
     r15 = out["15"]
     assert r15["istr_value"] is None and r15["istr"] is None
     assert r15["url_redirect"] is None and r15["n_level"] is None
+
+
+# ---------------------------------------------------------------------------
+# infogob affiliation history (41_candidatos_historial.py semantics)
+# ---------------------------------------------------------------------------
+
+from pyperustats_spark.sources.infogob_historial import (  # noqa: E402
+    affiliation_fields, affiliation_sections)
+
+
+def _pages(spark, html):
+    df = spark.createDataFrame([("PER9", "/Politico/ficha9", html)],
+                               "id_persona string, url_politico string, "
+                               "html string")
+    return affiliation_sections(df)
+
+
+def _wrap(sections_html):
+    return ('<html><h3>Ficha</h3><div id="HistorialPartidario">'
+            + sections_html + "</div><footer>x</footer></html>")
+
+
+def test_affiliation_sections_walk_and_activa(spark):
+    html = _wrap(
+        '<h5> Afiliación Vigente </h5><div class="content">'
+        '<span class="linkOrgPol" data-val="OP1">'
+        '<a href="/Org/1"><b>Partido</b>  Uno </a></span></div>'
+        "<h5>historial de afiliaciones 2010</h5>"
+        '<p>nota intermedia</p><div class="content"></div>'
+        "<h5>OTRA SECCION</h5>"
+        '<div class="content"><span class="etiqueta">E:</span></div>')
+    rows = _pages(spark, html).orderBy("seccion").collect()
+    assert [r["seccion"] for r in rows] == [0, 1, 2]
+    # metadata carries through (the reference's {**metadata, ...})
+    assert rows[0]["id_persona"] == "PER9"
+    assert rows[0]["url_politico"] == "/Politico/ficha9"
+    assert rows[0]["titulo"] == "Afiliación Vigente"
+    assert rows[0]["activa"] == 1
+    # title match is on the UPPERCASED text (reference .upper())
+    assert rows[1]["activa"] == 0
+    # any non-historial header is the live affiliation (the
+    # reference's else branch, not an explicit VIGENTE check)
+    assert rows[2]["activa"] == 1
+    # org link: text tags stripped + ws collapsed, href, data-val
+    assert rows[0]["organizacion_politica"] == "Partido Uno"
+    assert rows[0]["url_organizacion"] == "/Org/1"
+    assert rows[0]["id_organizacion"] == "OP1"
+    # section without any org span → all three NULL
+    assert rows[1]["organizacion_politica"] is None
+    assert rows[1]["id_organizacion"] is None
+
+
+def test_affiliation_sections_org_variants_and_skips(spark):
+    html = _wrap(
+        # h5 with NO content sibling before the next h5 → no row
+        "<h5>Sin contenido</h5>"
+        # org span missing the <a> → name/url NULL, id kept
+        '<h5>Historial de Afiliaciones</h5><div class="content">'
+        '<span class="linkOrgPol" data-val="OP7">sin enlace</span>'
+        "</div>"
+        # org span with <a> but no data-val → id NULL
+        '<h5>Historial de Afiliaciones</h5><div class="content">'
+        '<span class="linkOrgPol"><a href="/Org/3">P3</a></span>'
+        "</div>")
+    rows = _pages(spark, html).orderBy("seccion").collect()
+    assert len(rows) == 2                      # content-less h5 skipped
+    assert rows[0]["organizacion_politica"] is None
+    assert rows[0]["url_organizacion"] is None
+    assert rows[0]["id_organizacion"] == "OP7"
+    assert rows[1]["organizacion_politica"] == "P3"
+    assert rows[1]["id_organizacion"] is None
+
+
+def test_affiliation_sections_no_container_no_rows(spark):
+    out = _pages(spark, "<html><h5>t</h5><div class='content'></div>"
+                        "</html>")
+    assert out.count() == 0
+
+
+def test_affiliation_fields_folding_pairing_and_skips(spark):
+    html = _wrap(
+        '<h5>Historial de Afiliaciones</h5><div class="content">'
+        # all five folded vowels + colon stripped + spaces → _
+        '<span class="etiqueta"> Ubicación Geográfica Vé Í Ú: </span>'
+        '<span class="control"> Lima <i>/</i> Perú </span>'
+        # control after an intervening sibling (find_next_sibling)
+        '<span class="etiqueta">Estado:</span><em>al corte</em>'
+        '<span class="control">VIGENTE</span>'
+        # etiqueta with NO control before end of block → skipped
+        '<span class="etiqueta">Huérfana:</span>'
+        "</div>"
+        # ñ is NOT folded (the reference folds only óíéáú)
+        '<h5>Historial de Afiliaciones</h5><div class="content">'
+        '<span class="etiqueta">Año De Inscripción:</span>'
+        '<span class="control">1995</span></div>')
+    rows = affiliation_fields(_pages(spark, html)) \
+        .orderBy("seccion", "campo").collect()
+    got = {(r["seccion"], r["campo"]): r["valor"] for r in rows}
+    assert got == {
+        (0, "ubicacion_geografica_ve_i_u"): "Lima / Perú",
+        (0, "estado"): "VIGENTE",
+        (1, "año_de_inscripcion"): "1995",
+    }
+    # carry columns ride through the explode
+    assert all(r["id_persona"] == "PER9" for r in rows)
