@@ -49,6 +49,37 @@ def series_long(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def series_depth_profile(long_df: DataFrame,
+                         sort: bool = True) -> DataFrame:
+    """Series-depth pre-flight card for the per-series sequential
+    folds (ewma/holt/hw_seasonal exact twins, holt_winters): those run
+    ONE task per series and cannot chunk bit-exactly, so their wall
+    clock is bounded by the DEEPEST series — this card is the measured
+    answer to "is my corpus fold-safe?", the ev_skew_profile analog on
+    the series axis. Per code: observation count, share of all
+    observations (raw int/int — bit-identical cross-engine), and
+    depth_vs_max = n_obs / deepest (1.0 marks the straggler series),
+    plus the date span the fold will replay.
+
+    One partial-aggregated count shuffle on the series key; the 1-row
+    totals (sum + max) join back broadcast (the audited
+    q_market_share pattern). A 100-TB user reads this BEFORE
+    launching a fold: depth_vs_max ≈ 1 on a mega-series means split
+    the workload by series KEYS (more codes), never by history."""
+    counts = long_df.groupBy("code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.min("date").alias("first_date"),
+        F.max("date").alias("last_date"))
+    totals = counts.agg(
+        F.sum("n_obs").cast("bigint").alias("_total"),
+        F.max("n_obs").cast("bigint").alias("_deepest"))
+    out = counts.join(F.broadcast(totals)).select(
+        "code", "n_obs", "first_date", "last_date",
+        (F.col("n_obs") / F.col("_total")).alias("share"),
+        (F.col("n_obs") / F.col("_deepest")).alias("depth_vs_max"))
+    return out.orderBy(F.desc("n_obs"), F.asc("code")) if sort else out
+
+
 def pivot_wide(long_df: DataFrame, codes: tuple[str, ...] = SERIES_CODES,
                sort: bool = True) -> DataFrame:
     """Long → wide, one column per code (reference wide cache tables,
@@ -419,7 +450,15 @@ def ewma(long_df: DataFrame, alpha: float = 0.3,
     folds were rejected — ``aggregate`` copies its accumulator per
     element (O(n²) per series). Rows-only (no SQL oracle: the fold is
     orderless SQL's weak spot); property-tested against a plain-Python
-    recursion."""
+    recursion.
+
+    Straggler bound (100-TB posture): one series = ONE task. The
+    float recursion is order-dependent, so unlike sessionize/cusum it
+    cannot be chunked bit-exactly — wall clock is the DEEPEST series,
+    not the series count. Pre-flight with ``ts_series_depth_profile``
+    (the ev_skew_profile analog: rows-per-code card); a mega-series
+    corpus must split by adding series KEYS, never by splitting one
+    series' history."""
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
     import pandas as pd
@@ -462,7 +501,15 @@ def holt_exact(long_df: DataFrame, k: int = 2, m: int = 3,
     Spark SQL ``div`` share; see ewma_exact for the cents-grid
     recovery and the exact int→double shipping. Each row also
     carries the one-step forecast l_{t−1} + b_{t−1} (NULL on the
-    first row), the backtest-ready column."""
+    first row), the backtest-ready column.
+
+    Straggler bound (100-TB posture): one series = ONE task, and the
+    truncating-DIV recurrence CANNOT be chunked bit-exactly (integer
+    division does not re-associate across chunk boundaries — the
+    sessionize/cusum ghost/carry tricks need a summable state), so
+    wall clock is the DEEPEST series. Pre-flight with
+    ``ts_series_depth_profile``; split by adding series keys, never
+    by splitting one series' history."""
     import pandas as pd  # noqa: F401
 
     prep = long_df.select(
@@ -534,7 +581,12 @@ def hw_seasonal_exact(long_df: DataFrame, k: int = 2, m: int = 3,
     BIGINT[] seasonal ring rotated with ``list_concat(seas[2:],
     [s_new])`` — list-valued recursion state, exercised and
     supported in DuckDB. Same grouped-map execution shape as the
-    other exact twins; weekly period by default on the daily series."""
+    other exact twins; weekly period by default on the daily series.
+
+    Straggler bound (100-TB posture): one series = ONE task; the
+    truncating-DIV triple recurrence cannot chunk bit-exactly. Wall
+    clock is the deepest series — pre-flight with
+    ``ts_series_depth_profile`` and split by series keys only."""
     import pandas as pd  # noqa: F401
 
     prep = long_df.select(
@@ -601,7 +653,11 @@ def backtest_exact(long_df: DataFrame, k: int = 2, m: int = 3,
     RMSE as sqrt of one (only sqrt and arithmetic are correctly
     rounded cross-engine — the CLAUDE.md rule — so both land on
     identical bits). This is :func:`forecast_backtest`'s rows-only
-    evaluation made oracle-checkable for the α,β = 2^-k,2^-m family."""
+    evaluation made oracle-checkable for the α,β = 2^-k,2^-m family.
+
+    Inherits :func:`holt_exact`'s straggler bound: the underlying
+    fold runs one series per task and cannot chunk bit-exactly —
+    pre-flight deep series with ``ts_series_depth_profile``."""
     h = holt_exact(long_df, k=k, m=m, sort=False) \
         .where(F.col("forecast_cents").isNotNull())
     err = F.abs(F.round(F.col("value") * 100, 0).cast("bigint")
@@ -648,7 +704,12 @@ def ewma_exact(long_df: DataFrame, k: int = 2,
     Same execution shape as :func:`ewma`: one shuffle on the series
     key, each task folds its series in order (the documented
     grouped-map escape hatch); parallel across series, which is the
-    real-world layout (millions of series, each of bounded length)."""
+    real-world layout (millions of series, each of bounded length).
+
+    Straggler bound (100-TB posture): one series = ONE task; the
+    integer recurrence cannot chunk bit-exactly (DIV does not
+    re-associate). Wall clock is the deepest series — pre-flight with
+    ``ts_series_depth_profile`` and split by series keys only."""
     import pandas as pd  # noqa: F401
 
     prep = long_df.select(
@@ -697,7 +758,12 @@ def holt_winters(long_df: DataFrame, alpha: float = 0.3,
     series key, linear fold per task, series count bounds parallelism
     exactly as any per-series statistic does. Rows-only (orderless SQL
     cannot express the fold); property-tested against a plain-Python
-    recursion."""
+    recursion.
+
+    Straggler bound (100-TB posture): one series = ONE task; the
+    order-dependent float recursion cannot chunk bit-exactly. Wall
+    clock is the deepest series — pre-flight with
+    ``ts_series_depth_profile`` and split by series keys only."""
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
     if not (0.0 <= beta <= 1.0):
