@@ -405,13 +405,16 @@ def stream_user_topk_tws(events: DataFrame, k: int = 5) -> DataFrame:
                 vals = pdf["value"].nlargest(k)
                 cur.extend(float(v) for v in vals)
             cur = sorted(cur, reverse=True)[:k]
+            # cur can be empty: a batch of only null/NaN values for a
+            # key with no prior state (nlargest drops NaN) — emit a
+            # null card instead of dying on cur[-1]
             self.best.put([(v,) for v in cur])
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "n_kept": [len(cur)],
-                    "topk_sum": [sum(cur)],
-                    "kth_value": [cur[-1]],
+                    "topk_sum": [sum(cur) if cur else None],
+                    "kth_value": [cur[-1] if cur else None],
                 }
             )
 
@@ -423,6 +426,134 @@ def stream_user_topk_tws(events: DataFrame, k: int = 5) -> DataFrame:
         outputStructType=TOPK_OUTPUT,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+SESSION_TWS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+SESSION_TWS_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def stream_sessionize_tws(events: DataFrame, gap_minutes: int = 30,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Timer-driven gap sessionization on the arbitrary-state v2 API —
+    the transformWithStateInPandas twin of :func:`stream_sessionize`
+    (which lets the engine's ``session_window`` operator manage state).
+    Here the session lifecycle is EXPLICIT, the shape every custom
+    stateful operator with a timeout follows:
+
+    * ``handleInputRows`` folds the batch's events in timestamp order
+      into a per-user ValueState (start, last, n, sum). An in-batch
+      idle gap > *gap_minutes* closes the running session immediately
+      (emitted now — a later event proved it closed; no timer needed).
+    * the user's single EVENT-TIME timer is re-registered at
+      ``last_event + gap`` after every batch (previous timers deleted
+      — one live timer per key, state O(1)).
+    * ``handleExpiredTimer`` fires once the WATERMARK passes that
+      expiry: the session closed by silence, not by a successor event
+      — emit it and clear state. The guard re-checks the state's own
+      expiry so a stale timer racing a just-extended session is a
+      no-op.
+
+    Convergence contract (pinned in tests/test_streaming.py): on
+    ordered replay the union of both emission paths equals batch
+    ``operators.events.sessionize`` row-for-row. Sessions still open
+    when the input drains (watermark never passes their expiry) are
+    correctly NOT emitted — that is the append-mode streaming
+    semantics, and the test plants a watermark-flushing sentinel to
+    close them.
+
+    State per user is one 4-field record + one timer regardless of
+    history length — the bounded-state property that keeps a year of
+    stream replayable; timers live in the state store (RocksDB
+    provider required, see protobuf_compat.ROCKSDB_PROVIDER)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.sess = handle.getValueState("sess", SESSION_TWS_STATE)
+
+        def _emit(self, user_id, st):
+            start_us, last_us, n, s = st
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            batch = pd.concat(list(rows)).sort_values("ts")
+            st = list(self.sess.get()) if self.sess.exists() \
+                else None
+            for ts, v in zip(batch["ts"].astype("int64") // 1000,
+                             batch["value"]):
+                ts = int(ts)
+                v = float(v) if pd.notna(v) else 0.0
+                if st is None:
+                    st = [ts, ts, 1, v]
+                elif ts - st[1] > gap_us:
+                    yield self._emit(user_id, st)   # closed by successor
+                    st = [ts, ts, 1, v]
+                else:
+                    st[1] = max(st[1], ts)
+                    st[2] += 1
+                    st[3] += v
+            self.sess.update(tuple(st))
+            # one live timer per key: re-arm at last_event + gap
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(st[1] // 1000 + gap_minutes * 60_000)
+
+        # NOTE: the worker invokes this with KEYWORD arguments
+        # (timerValues=, expiredTimerInfo=) — the parameter names must
+        # match the StatefulProcessor base signature exactly
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self.sess.exists():
+                return
+            st = self.sess.get()
+            # stale-timer guard: only close if this user really idled
+            if expiredTimerInfo.getExpiryTimeInMs() \
+                    >= st[1] // 1000 + gap_minutes * 60_000:
+                yield self._emit(user_id, st)
+                self.sess.clear()
+
+        def close(self):
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Sessionizer(),
+            outputStructType=SESSION_TWS_OUTPUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
     )
 
 

@@ -691,3 +691,89 @@ def test_stream_append_ledger_matches_batch_build(spark, tables, tmp_path):
         assert led.seen_fingerprints().count() == len(expect_fps)
     finally:
         led.drop()
+
+
+@pytest.mark.skipif(
+    PROTOBUF_MODE is None,
+    reason="transformWithStateInPandas needs a working google.protobuf")
+def test_tws_timer_sessionizer_converges_with_batch(spark, tmp_path):
+    """The v2 timer-driven sessionizer (stream_sessionize_tws):
+    registered EVENT-TIME timers close idle sessions on gap expiry,
+    in-batch gaps close them via the successor-event path, and on
+    ordered replay the union of both emission paths equals batch
+    sessionize row-for-row. The watermark-flushing sentinel (a far-
+    future event for a throwaway user) makes the final no-data
+    micro-batch fire every pending timer; the sentinel's own session
+    correctly stays open and unemitted (append semantics)."""
+    import json as _json
+
+    from pyperustats_spark.operators import events as EVB
+    from pyperustats_spark.streaming.protobuf_compat import (
+        ROCKSDB_PROVIDER)
+
+    t0 = 1_700_000_000  # epoch seconds base
+    MIN = 60
+
+    def iso(sec):
+        import datetime as _dt
+        return _dt.datetime.fromtimestamp(
+            sec, _dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+    # file 1: u1 two sessions IN ONE BATCH (65-min gap → in-batch
+    # close), u2 session opens
+    f1 = [
+        {"user_id": 1, "ts": iso(t0), "value": 1.0},
+        {"user_id": 1, "ts": iso(t0 + 5 * MIN), "value": 2.0},
+        {"user_id": 1, "ts": iso(t0 + 70 * MIN), "value": 3.0},
+        {"user_id": 2, "ts": iso(t0 + 10 * MIN), "value": 10.0},
+    ]
+    # file 2: u2 extends across batches (within gap → timer re-armed),
+    # u1 starts a THIRD session 2h later (cross-batch successor close
+    # of session 2)
+    f2 = [
+        {"user_id": 2, "ts": iso(t0 + 30 * MIN), "value": 20.0},
+        {"user_id": 1, "ts": iso(t0 + 190 * MIN), "value": 4.0},
+    ]
+    # file 3: the watermark-flushing sentinel only
+    f3 = [{"user_id": 999, "ts": iso(t0 + 100_000 * MIN), "value": 0.0}]
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    for i, rows in enumerate((f1, f2, f3)):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            for rec in rows:
+                f.write(_json.dumps(rec) + "\n")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = (spark.readStream.schema(
+                      "user_id long, ts timestamp, value double")
+                  .option("maxFilesPerTrigger", 1).json(src))
+        sess = SEV.stream_sessionize_tws(stream, gap_minutes=30,
+                                         watermark="1 minute")
+        out = SEV.run_to_memory(
+            sess, "tws_sess_out", str(tmp_path / "ckpt_sess"),
+            output_mode="append")
+        got = sorted(
+            ((r["user_id"], r["session_start"], r["session_end"],
+              r["n_events"], round(r["sum_value"], 6))
+             for r in out.collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["value"]) for r in f1 + f2],
+        "user_id long, ts string, value double"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+    want = sorted(
+        ((r["user_id"], r["session_start"], r["session_end"],
+          r["n_events"], round(r["sum_value"], 6))
+         for r in EVB.sessionize(batch, gap_minutes=30,
+                                 tiebreak=None).collect()))
+    assert len(want) == 4          # u1 × 3 sessions + u2 × 1
+    assert got == want             # sentinel session absent from got
