@@ -1612,18 +1612,39 @@ def paragraph_dedup_incremental(batch: DataFrame, corpus: DataFrame,
     text shuffle is the batch-sized reassembly. Batch paragraphs hit
     corpus keys via an AQE-decided hash join (both sides
     SF-proportional — no hint)."""
-    plist = F.filter(
+    corpus_keys = (
+        corpus.select(F.explode(_paragraph_list(delim)).alias("para"))
+        .select(F.md5("para").alias("_pk")).distinct()
+    )
+    return _paragraph_dedup_from_keys(batch, corpus_keys, delim=delim,
+                                      joiner=joiner, sort=sort)
+
+
+def _paragraph_list(delim: str):
+    """Split-trim-drop-empties paragraph list expression (the shared
+    grain definition of the paragraph family)."""
+    return F.filter(
         F.transform(F.split(F.col("text"), delim),
                     lambda p: F.trim(p)),
         lambda p: p != "")
+
+
+def _paragraph_dedup_from_keys(batch: DataFrame, corpus_keys: DataFrame,
+                               delim: str = r"\n\s*\n",
+                               joiner: str = "\n\n",
+                               sort: bool = True) -> DataFrame:
+    """:func:`paragraph_dedup_incremental` body with the corpus
+    reduced to its distinct paragraph-md5 frame (column ``_pk``) —
+    the seam the ledger-backed variant plugs into
+    (:meth:`~pyperustats_spark.sources.ledger.CorpusLedger
+    .dedup_paragraphs` passes its bucketed paragraph table here, so
+    the corpus side contributes zero text scans and zero exchanges)."""
+    plist = _paragraph_list(delim)
     keyed = batch.select(
         "doc_id", F.posexplode(plist).alias("pos", "para")
     ).withColumn("_pk", F.md5("para"))
-    corpus_keys = (
-        corpus.select(F.explode(plist).alias("para"))
-        .select(F.md5("para").alias("_pk")).distinct()
+    corpus_keys = corpus_keys.select("_pk") \
         .withColumn("_in_corpus", F.lit(1))
-    )
     winners = keyed.groupBy("_pk").agg(
         F.min(F.struct("doc_id", "pos")).alias("_w"))
     occ = (

@@ -1448,7 +1448,14 @@ def perplexity_buckets(documents: DataFrame, k: float = 0.5,
     # persist: counts + ranked both reference this frame, and Catalyst
     # re-executes the whole scoring subtree (explode + unigram join +
     # per-doc agg) per reference (the histogram_ntile persist rule);
-    # ccnet_filter inherits the single execution
+    # ccnet_filter inherits the single execution.
+    # LIFETIME: the handle lives until session clearCache/LRU — the
+    # returned frame is lazy, so unpersisting here would defeat the
+    # point, and a restructure can't work (ranking JOINS the side
+    # table, so side must exist before rank — the references are
+    # inherently two). Callers that score repeatedly in one session
+    # (bench best-of-N does) should spark.catalog.clearCache()
+    # between calls; bench.py already does per query.
     scored = per.withColumn(
         "_vb", (-F.floor(F.col("avg_logprob") * 16)).cast("bigint")
     ).persist()

@@ -60,15 +60,18 @@ class CorpusLedger:
     def __init__(self, spark: SparkSession, prefix: str,
                  num_buckets: int = 16, prefix_chars: int | None = None,
                  n_tokens: int = 20, winnow: int = 5,
-                 hash_fn: str = "md5") -> None:
+                 hash_fn: str = "md5",
+                 paragraph_delim: str = r"\n\s*\n") -> None:
         self.spark = spark
         self.keys_table = f"{prefix}_keys"
         self.fps_table = f"{prefix}_fps"
+        self.paras_table = f"{prefix}_paras"
         self.num_buckets = num_buckets
         self.prefix_chars = prefix_chars
         self.n_tokens = n_tokens
         self.winnow = winnow
         self.hash_fn = hash_fn
+        self.paragraph_delim = paragraph_delim
 
     # -- write path -----------------------------------------------------
 
@@ -77,13 +80,21 @@ class CorpusLedger:
         keys and winnowed fingerprints append to their bucketed
         tables. Only md5s shuffle; the batch text is scanned once per
         artifact and never stored."""
+        from pyperustats_spark.operators.dedup import _paragraph_list
+
         keys = documents.select(
             content_key(self.prefix_chars).alias("fp")).distinct()
         fps = winnowed_fingerprints(
             documents, n_tokens=self.n_tokens, winnow=self.winnow,
             hash_fn=self.hash_fn).select("wh").distinct()
+        paras = (
+            documents.select(F.explode(
+                _paragraph_list(self.paragraph_delim)).alias("para"))
+            .select(F.md5("para").alias("_pk")).distinct()
+        )
         self._append(keys, self.keys_table, "fp")
         self._append(fps, self.fps_table, "wh")
+        self._append(paras, self.paras_table, "_pk")
 
     def _append(self, new: DataFrame, table: str, col: str) -> None:
         if self.spark.catalog.tableExists(table):
@@ -112,6 +123,28 @@ class CorpusLedger:
     def seen_fingerprints(self) -> DataFrame:
         """The released corpus' distinct winnowed fingerprints."""
         return self.spark.table(self.fps_table)
+
+    def seen_paragraphs(self) -> DataFrame:
+        """The released corpus' distinct paragraph md5 keys
+        (bucketed scan, column ``_pk``)."""
+        return self.spark.table(self.paras_table)
+
+    def dedup_paragraphs(self, batch: DataFrame, joiner: str = "\n\n",
+                         sort: bool = True) -> DataFrame:
+        """:func:`~pyperustats_spark.operators.dedup
+        .paragraph_dedup_incremental` with the corpus paragraph-key
+        set read from the ledger: the release path pays zero corpus
+        text scans and zero corpus-side exchanges — the bucketed
+        ``_paras`` table streams straight into the paragraph-key
+        join, its distinct pre-paid at append time (row-for-row
+        equality with the rescan form pinned in tests/test_ledger.py,
+        same contract as :meth:`dedup_incremental`)."""
+        from pyperustats_spark.operators.dedup import (
+            _paragraph_dedup_from_keys)
+
+        return _paragraph_dedup_from_keys(
+            batch, self.seen_paragraphs(), delim=self.paragraph_delim,
+            joiner=joiner, sort=sort)
 
     def dedup_incremental(self, batch: DataFrame,
                           sort: bool = True) -> DataFrame:
@@ -168,5 +201,5 @@ class CorpusLedger:
 
     def drop(self) -> None:
         """Remove both ledger tables (test teardown / rebuild)."""
-        for t in (self.keys_table, self.fps_table):
+        for t in (self.keys_table, self.fps_table, self.paras_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")

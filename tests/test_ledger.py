@@ -144,3 +144,57 @@ def test_ledger_decontaminate_corpus_side_exchange_free(spark, ledger,
         assert "test_corpus_ledger_fps" in txt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ledger_paragraph_dedup_equals_rescan(spark, ledger, split_docs):
+    """Row-for-row equality contract for the r11 paragraph ledger:
+    dedup_paragraphs against the appended paragraph-key table equals
+    paragraph_dedup_incremental re-deriving the keys from corpus
+    text."""
+    from pyperustats_spark.operators.dedup import (
+        paragraph_dedup_incremental)
+
+    rel_a, rel_b, batch = split_docs
+    corpus = rel_a.unionByName(rel_b)
+    led = ledger.dedup_paragraphs(batch).collect()
+    raw = paragraph_dedup_incremental(batch, corpus).collect()
+    assert led == raw
+    assert any(r["n_dropped"] > 0 for r in raw)   # real hits exercised
+
+
+def test_ledger_paragraph_keys_globally_distinct(spark, ledger,
+                                                 split_docs):
+    rel_a, rel_b, _ = split_docs
+    from pyperustats_spark.operators.dedup import _paragraph_list
+    n = ledger.seen_paragraphs().count()
+    assert n == ledger.seen_paragraphs().distinct().count()
+    want = (rel_a.unionByName(rel_b)
+            .select(F.explode(_paragraph_list(r"\n\s*\n")).alias("p"))
+            .select(F.md5("p")).distinct().count())
+    assert n == want
+
+
+def test_ledger_paragraph_dedup_corpus_side_exchange_free(
+        spark, ledger, split_docs):
+    """The paragraph release path inherits the ledger contract:
+    exchanges only on batch-derived frames (paragraph explode into
+    the key join + the per-doc reassembly); the bucketed _paras table
+    contributes none and is never re-aggregated. Pinned as strictly
+    fewer exchanges than the rescan form on identical inputs."""
+    from pyperustats_spark.operators.dedup import (
+        paragraph_dedup_incremental)
+
+    rel_a, rel_b, batch = split_docs
+    corpus = rel_a.unionByName(rel_b)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        led_n = P.count_exchanges(
+            ledger.dedup_paragraphs(batch, sort=False))
+        raw_n = P.count_exchanges(
+            paragraph_dedup_incremental(batch, corpus, sort=False))
+        assert led_n < raw_n, (led_n, raw_n)
+        txt = P.explain_str(ledger.dedup_paragraphs(batch, sort=False))
+        assert "test_corpus_ledger_paras" in txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
