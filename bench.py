@@ -54,21 +54,23 @@ BASELINE_TOTAL = 14.634
 # Cohort 2 (round 8): the heaviest operators that landed AFTER the
 # round-1 headline set froze — without a pin, a regression in the new
 # surface hides outside the gate. Same tighten-only rule as BASELINE.
-# Numbers measured round 8 at sf0.1, best-of-3, quiet machine.
+# Numbers measured round 8 at sf0.1, best-of-3, quiet machine;
+# round-11 ratchet tightened every pin both r10 and r11 beat to
+# max(r10, r11) (see BASELINE.md).
 COHORT2_BASELINE = {
     "dedup_jaccard_prefix": 6.966,
-    "ev_markov_attribution": 1.862,
+    "ev_markov_attribution": 1.728,
     "layout_zorder_files": 5.681,
-    "ann_ivf_pq_rerank": 3.833,
+    "ann_ivf_pq_rerank": 2.462,
     "release_rehearsal": 1.144,
-    "graph_supplier_pagerank": 3.675,
-    "dedup_exact_substring": 0.847,
-    "ev_rfm_scores": 1.601,
-    "text_quality_filter": 0.725,
-    "q_revenue_gini": 0.863,
+    "graph_supplier_pagerank": 3.187,
+    "dedup_exact_substring": 0.661,
+    "ev_rfm_scores": 1.492,
+    "text_quality_filter": 0.705,
+    "q_revenue_gini": 0.788,
     "graph_part_kcore": 4.804,
-    "ev_peak_concurrency": 1.363,
-    "text_decontaminate_bloom": 1.749,
+    "ev_peak_concurrency": 1.296,
+    "text_decontaminate_bloom": 1.338,
     "er_customer_name_pairs": 1.206,
     # multimodal decode gate (round 11): the r10 decode oracles had
     # BENCH_SCALING notes but no frozen pin — a decode regression was
@@ -79,7 +81,7 @@ COHORT2_BASELINE = {
     "multimodal_image_dims": 1.095,
 }
 COHORT2 = list(COHORT2_BASELINE)
-COHORT2_TOTAL = 41.166
+COHORT2_TOTAL = 38.305
 
 # Cohort 3 (round 9): the frozen 100× gate. BENCH_SCALING.md numbers
 # were regenerated per round on gitignored data and never gated — a
@@ -95,19 +97,19 @@ COHORT3_SF_DIR = os.environ.get(
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                  ".testdata", "sf10bd"))
 COHORT3_BASELINE = {
-    "dedup_paragraph": 4.879,
-    "graph_part_communities": 1.510,
-    "ev_sessionize_skew": 5.089,
+    "dedup_paragraph": 3.689,
+    "graph_part_communities": 1.394,
+    "ev_sessionize_skew": 3.712,
     "ev_burst_skew": 1.905,
-    "q_supplier_hhi": 1.348,
-    "q_supplier_skyline": 7.120,
+    "q_supplier_hhi": 1.256,
+    "q_supplier_skyline": 6.363,
     "ann_ivf_pq_rerank": 21.572,
-    "ann_lsh_cosine": 10.697,
-    "dedup_exact_substring": 18.735,
-    "text_temperature_mixture": 2.497,
+    "ann_lsh_cosine": 10.490,
+    "dedup_exact_substring": 15.556,
+    "text_temperature_mixture": 2.306,
 }
 COHORT3 = list(COHORT3_BASELINE)
-COHORT3_TOTAL = 75.352
+COHORT3_TOTAL = 68.243
 
 HEADLINE = [
     "q1_pricing_summary",

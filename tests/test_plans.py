@@ -109,6 +109,7 @@ BROADCAST_HINT_WHITELIST = {
     "q21_sole_blame_supplier",    # nation (25 rows)
     "q10_returned_items",         # nation (25 rows)
     "ev_skew_profile",            # 1-row grand total
+    "ts_series_depth_profile",    # 1-row (total, deepest) aggregate
     "ev_power_users",             # P-row ntile offset table
     "q15_top_supplier",           # 1-row global max
     "q22_rich_inactive",          # 1-row global average
@@ -493,6 +494,8 @@ PLAN_SMELL_WHITELIST = {
                                                 # #sources × k longs
     "ev_skew_profile": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
                                                 # (q_market_share class)
+    "ts_series_depth_profile": {"BNLJ", "SINGLE_PART"},  # 1-row
+                                                # (total, deepest) agg
     "q19_disjunctive_revenue": {"SINGLE_PART"},  # global 1-row aggregate
     "ev_power_users": {"BNLJ", "SINGLE_PART"},  # P×P ntile offsets +
                                                 # n_tiles-row share window
