@@ -1632,9 +1632,18 @@ def ts_hw_seasonal_exact(spark, sf_dir):
     """Exact-integer additive Holt-Winters (α=1/4, β=1/8, γ=1/4,
     weekly period) — three coupled recurrences incl. a rotating
     7-slot seasonal ring, replayed by a recursive CTE whose state
-    carries a BIGINT[] list."""
+    carries a BIGINT[] list.
+
+    The replay window is capped at the first 365 days per series
+    (both engines, VERDICT r10 item 6): the recursive oracle's cost
+    is superlinear in max series LENGTH (measured 6.6 s → 40 s →
+    ~3.5 min at sf0.001/0.01/0.1 uncapped — series length, not data
+    volume, drives it), and a 365-step triple recurrence cycling the
+    weekly ring 52 times pins the arithmetic exactly as hard as a
+    2,500-step one. The operator itself stays uncapped."""
     return TS.hw_seasonal_exact(
-        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+        TS.series_long(_lt(spark, sf_dir, "lineitem"))
+        .where(F.col("date") < "1996-01-02"))
 
 
 def ts_backtest_exact(spark, sf_dir):
@@ -3185,9 +3194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ev_attribution_first, ev_funnel_steps, ev_gap_stats,
 # ev_retention_cohorts, ev_top_paths, infogob_location_canonical.
 _WINDOW = [
-    # round-11 new oracles (never countersigned)
+    # round-11 new/changed oracles (never countersigned in this form;
+    # ts_hw_seasonal_exact re-enters because its replay cap changed
+    # the oracle semantics — now 365 steps, cheap at any SF)
     "infogob_candidate_affiliations", "infogob_affiliation_fields",
-    "ts_series_depth_profile",
+    "ts_series_depth_profile", "ts_hw_seasonal_exact",
     # oldest countersigns, rotated in per policy
     "dedup_stats_by_source",
     "embedding_norm_profile", "ev_active_users", "ev_attribution",
@@ -3207,7 +3218,7 @@ _WINDOW = [
     "text_tfidf_top_terms", "text_token_budget_sample",
     "text_unigram_logprob", "ts_acf", "ts_seasonal_index",
     "ts_trend_ma", "ts_xcorr", "catalog_coverage",
-    "catalog_series_summary", "corpus_summary",
+    "catalog_series_summary",
 ]
 
 
@@ -9188,7 +9199,7 @@ def oracle_sql() -> dict[str, str]:
     # (positive operands, so truncating and flooring division agree);
     # cents recovered from the double sum by the 2-decimal grid rule.
     sql["ts_ewma_exact"] = """
-        WITH RECURSIVE base AS (
+        WITH RECURSIVE base AS MATERIALIZED (
             SELECT date, code, cents,
                    row_number() OVER (PARTITION BY code
                                       ORDER BY date) AS rn
@@ -9225,7 +9236,7 @@ def oracle_sql() -> dict[str, str]:
     # test), so both engines truncate and the signed trend reconciles
     # bit-for-bit.
     sql["ts_holt_exact"] = """
-        WITH RECURSIVE base AS (
+        WITH RECURSIVE base AS MATERIALIZED (
             SELECT date, code, cents,
                    row_number() OVER (PARTITION BY code
                                       ORDER BY date) AS rn
@@ -9265,8 +9276,12 @@ def oracle_sql() -> dict[str, str]:
     # the recursion as a BIGINT[] rotated per step; lateral aliases
     # (fresh names) thread l_new/s_new through the coupled updates;
     # // truncation matches the fold's explicit tdiv.
+    # replay capped at the first 365 days per series (both engines —
+    # see the entry docstring: recursion cost is superlinear in max
+    # series length, and 365 steps pin the ring arithmetic just as
+    # hard)
     sql["ts_hw_seasonal_exact"] = """
-        WITH RECURSIVE base AS (
+        WITH RECURSIVE base AS MATERIALIZED (
             SELECT date, code, cents,
                    row_number() OVER (PARTITION BY code
                                       ORDER BY date) AS rn
@@ -9276,7 +9291,9 @@ def oracle_sql() -> dict[str, str]:
                        l_returnflag || l_linestatus AS code,
                        CAST(round(sum(l_extendedprice) * 100, 0)
                             AS BIGINT) AS cents
-                FROM lineitem GROUP BY 1, 2
+                FROM lineitem
+                WHERE l_shipdate < DATE '1996-01-02'
+                GROUP BY 1, 2
             )
         ), rec AS (
             SELECT code, rn, date, cents,
@@ -9312,7 +9329,7 @@ def oracle_sql() -> dict[str, str]:
     # aggregate; MAE = raw int/int quotient then /100, RMSE = sqrt of
     # one — correctly rounded ops only, identical bits.
     sql["ts_backtest_exact"] = """
-        WITH RECURSIVE base AS (
+        WITH RECURSIVE base AS MATERIALIZED (
             SELECT date, code, cents,
                    row_number() OVER (PARTITION BY code
                                       ORDER BY date) AS rn
