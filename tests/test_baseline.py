@@ -86,3 +86,50 @@ def test_latest_bench_within_2x_of_baseline():
     assert not over3, (
         f"cohort-3 queries exceeding 2x their pinned 100x time "
         f"(got, pinned): {over3}")
+
+
+def test_regate_retries_only_breaches_and_keeps_min():
+    """The re-measure-on-breach contract: non-breaching queries are
+    never re-timed; a breaching query is re-timed up to `retries`
+    times, keeps the min of every measurement, and stops retrying as
+    soon as it comes back under gate."""
+    calls = []
+
+    def time_one(name):
+        calls.append(name)
+        # the retry comes back quiet: under 2x the 1.0 pin
+        return 1.5
+
+    timings = {"ok": 1.9, "noisy": 2.5, "unpinned": 99.0}
+    out = bench.regate(timings, {"ok": 1.0, "noisy": 1.0},
+                       time_one, retries=2)
+    assert calls == ["noisy"]          # one retry cleared it; ok/unpinned untouched
+    assert out["ok"] == 1.9
+    assert out["noisy"] == 1.5         # min(2.5, 1.5)
+    assert out["unpinned"] == 99.0     # no pin -> never gated
+
+
+def test_regate_real_regression_survives_retries():
+    """A reproducible regression is NOT papered over: retries exhaust,
+    the breaching number stays, and the regression computation that
+    follows in main() would still book it."""
+    calls = []
+
+    def time_one(name):
+        calls.append(name)
+        return 2.6                     # reproduces every retry
+
+    out = bench.regate({"slow": 2.5}, {"slow": 1.0}, time_one, retries=2)
+    assert calls == ["slow", "slow"]   # both retries spent
+    assert out["slow"] == 2.5          # min kept, still > 2x pin
+
+
+def test_regate_keeps_minimum_across_noisy_retries():
+    vals = iter([3.0, 0.9])
+
+    def time_one(name):
+        return next(vals)
+
+    out = bench.regate({"q": 2.5}, {"q": 1.0}, time_one, retries=5)
+    # first retry worse (3.0), second clears the gate (0.9) and stops
+    assert out["q"] == 0.9
