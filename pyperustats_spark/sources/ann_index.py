@@ -116,6 +116,69 @@ def ivf_pq_index_append(embeddings: DataFrame, path: str) -> None:
         os.path.join(path, "data"))
 
 
+def ivf_pq_index_delete(vec_ids: DataFrame, path: str) -> None:
+    """Logical delete (the third index lifecycle verb, after write and
+    append): append the ids to a tombstone table — O(batch) work, no
+    index read, no partition rewrite. Searches anti-join the
+    tombstones after partition pruning (the tombstone set is
+    deletion-sized — tiny next to the corpus — so the anti-join rides
+    an AQE broadcast on the already-pruned scan), so a deleted vector
+    disappears from results immediately; the bytes are reclaimed
+    lazily by :func:`ivf_pq_index_compact`. Duplicate deletes and
+    ids the index never held are harmless (anti-join semantics)."""
+    vec_ids.select("vec_id").write.mode("append").parquet(
+        os.path.join(path, "tombstones"))
+
+
+def _tombstones(spark: SparkSession, path: str):
+    tdir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(tdir)):
+        return None
+    return spark.read.parquet(tdir).select("vec_id").distinct()
+
+
+def ivf_pq_index_compact(spark: SparkSession, path: str) -> int:
+    """Physically reclaim tombstoned rows; returns the number of cell
+    partitions rewritten. SELECTIVE by construction: a semi-join of
+    the (column-pruned) index against the tombstone set finds the
+    affected cells, only those partitions are rewritten (staged to a
+    sibling directory, then swapped per cell — rewriting through the
+    same path Spark is reading is an overwrite-source error), and a
+    cell left empty by its deletes is removed outright. Untouched
+    cells keep their files byte-for-byte (pinned in tests), so
+    compaction cost is proportional to the DELETED data's cell
+    footprint, never the corpus. The directory swap is the local-fs
+    stand-in for an object-store deployment's commit protocol /
+    catalog partition swap. Tombstones are cleared afterwards;
+    delete-then-search and compact-then-search are row-for-row equal
+    (pinned)."""
+    import shutil
+
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return 0
+    data_dir = os.path.join(path, "data")
+    data = spark.read.parquet(data_dir)
+    affected = sorted(
+        r["cell"] for r in data.join(tomb, "vec_id", "left_semi")
+        .select("cell").distinct().collect())
+    if affected:
+        staging = os.path.join(path, "data_compact_tmp")
+        keep = (data.where(F.col("cell").isin(list(affected)))
+                .join(tomb, "vec_id", "left_anti"))
+        keep.write.mode("overwrite").partitionBy("cell").parquet(staging)
+        for cell in affected:
+            old = os.path.join(data_dir, f"cell={cell}")
+            new = os.path.join(staging, f"cell={cell}")
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(new):          # absent = cell fully deleted
+                shutil.move(new, old)
+        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return len(affected)
+
+
 def ivf_pq_index_search(spark: SparkSession, path: str,
                         queries: DataFrame, k: int = 5,
                         nprobe: int = 4,
@@ -156,6 +219,11 @@ def ivf_pq_index_search(spark: SparkSession, path: str,
 
     data = (spark.read.parquet(os.path.join(path, "data"))
             .where(F.col("cell").isin(all_cells)))
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        # logical deletes: anti-join AFTER partition pruning — the
+        # tombstone side is deletion-sized, AQE broadcasts it
+        data = data.join(tomb, "vec_id", "left_anti")
     scored = (
         data.select("vec_id", "cell", "codes")
         .join(F.broadcast(qadc), "cell")

@@ -4559,6 +4559,80 @@ def test_ivf_pq_index_append_is_equivalent_to_bulk_write(spark, tables,
     assert any(v >= 200 for v in per_q[480])
 
 
+def test_ivf_pq_index_delete_and_compact(spark, tables, tmp_path):
+    """The index's delete lifecycle (r11): tombstoned ids vanish from
+    results immediately (logical delete, O(batch) append); compaction
+    rewrites ONLY the cells the deletes touched (untouched cell
+    directories keep their files byte-for-byte); delete-then-search
+    and compact-then-search are row-for-row equal; a fully-deleted
+    cell's directory is removed; double-deletes are harmless."""
+    import os
+
+    from pyperustats_spark.sources.ann_index import (
+        ivf_pq_index_compact, ivf_pq_index_delete, ivf_pq_index_search,
+        ivf_pq_index_write)
+
+    emb = tables["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    path = str(tmp_path / "ivfpq_del")
+    ivf_pq_index_write(emb, path, n_centroids=8, m=8,
+                       n_codewords=16, dim=64)
+    data_dir = os.path.join(path, "data")
+
+    q = S.make_queries(emb, [0, 7, 42])
+    key = lambda rows: [(r["query_id"], r["rank"], r["vec_id"],
+                         r["dist"]) for r in rows]
+    before = key(ivf_pq_index_search(spark, path, q, k=5, nprobe=8,
+                                     shortlist=100).collect())
+    # delete the current rank-1 neighbor of query 0, twice (idempotent)
+    victim = next(v for qid, rank, v, d in before
+                  if qid == 0 and rank == 1)
+    dels = spark.createDataFrame([(victim,)], "vec_id long")
+    ivf_pq_index_delete(dels, path)
+    ivf_pq_index_delete(dels, path)
+
+    logical = key(ivf_pq_index_search(spark, path, q, k=5, nprobe=8,
+                                      shortlist=100).collect())
+    assert all(v != victim for _, _, v, _ in logical)
+    # query 0's list re-ranked; untouched queries keep their lists
+    assert [r for r in logical if r[0] != 0] != [] and \
+        [(qid, rank, v, d) for qid, rank, v, d in before
+         if qid != 0 and v != victim] == \
+        [(qid, rank, v, d) for qid, rank, v, d in logical if qid != 0]
+
+    listing = {c: sorted(os.listdir(os.path.join(data_dir, c)))
+               for c in os.listdir(data_dir) if c.startswith("cell=")}
+    n_rows_before = spark.read.parquet(data_dir).count()
+    n_rewritten = ivf_pq_index_compact(spark, path)
+    assert n_rewritten == 1                      # one victim, one cell
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    assert spark.read.parquet(data_dir).count() == n_rows_before - 1
+    after_listing = {c: sorted(os.listdir(os.path.join(data_dir, c)))
+                     for c in os.listdir(data_dir)
+                     if c.startswith("cell=")}
+    unchanged = [c for c in listing if listing[c] == after_listing.get(c)]
+    assert len(unchanged) == len(listing) - 1    # only one cell rewritten
+
+    compacted = key(ivf_pq_index_search(spark, path, q, k=5, nprobe=8,
+                                        shortlist=100).collect())
+    assert compacted == logical                  # physical == logical
+
+    # fully-deleted cell: tombstone every remaining vector of the
+    # victim's cell and compact — its directory must disappear
+    cell_rows = spark.read.parquet(data_dir)
+    victim_cell = [c for c in listing
+                   if listing[c] != after_listing.get(c)][0]
+    cell_id = int(victim_cell.split("=")[1])
+    ivf_pq_index_delete(
+        cell_rows.where(F.col("cell") == cell_id).select("vec_id"), path)
+    assert ivf_pq_index_compact(spark, path) == 1
+    assert not os.path.isdir(os.path.join(data_dir, victim_cell))
+    # searches still run green against the shrunken index
+    assert ivf_pq_index_search(spark, path, q, k=5, nprobe=8,
+                               shortlist=100).count() == 15
+
+
 def test_ppr_concentrates_mass_near_seeds(spark):
     from pyperustats_spark.operators.graph import ppr_fixed_point
     # chain 1 -> 2 -> 3, island 9 -> 10; seed = {1}
