@@ -702,3 +702,36 @@ def test_sample_per_group_hist_equals_plain_random(spark, rows):
                 for r in sample_per_group_hist(
                     df, ["lang"], "doc_id", k=k, nibbles=1).collect()}
         assert hist == plain
+
+
+def _py_fold_key(label: str) -> str:
+    # the reference's exact chain (41_candidatos_historial.py:37-46):
+    # colon strip, lower, spaces->_, fold exactly óíéáú (ñ kept)
+    key = label.replace(":", "").lower().replace(" ", "_")
+    for src, dst in (("ó", "o"), ("í", "i"), ("é", "e"),
+                     ("á", "a"), ("ú", "u")):
+        key = key.replace(src, dst)
+    return key
+
+
+LABEL = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126,
+        # regex-special chars aside, fold_key treats input literally;
+        # include the accented vowels + ñ explicitly
+    ) | st.sampled_from(list("óíéáúñÓÁÉ ::")),
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(LABEL, min_size=1, max_size=20))
+def test_affiliation_fold_key_matches_reference_chain(spark, xs):
+    from pyperustats_spark.sources.infogob_historial import fold_key
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "i int, s string")
+    got = {r["i"]: r["v"] for r in
+           df.select("i", fold_key(F.col("s")).alias("v")).collect()}
+    for i, x in enumerate(xs):
+        assert got[i] == _py_fold_key(x), repr(x)
