@@ -557,6 +557,128 @@ def stream_sessionize_tws(events: DataFrame, gap_minutes: int = 30,
     )
 
 
+FUNNEL_TIMEOUT_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("outcome", T.StringType()),
+        T.StructField("steps_completed", T.LongType()),
+        T.StructField("attempt_end_ts", T.TimestampType()),
+    ]
+)
+
+FUNNEL_TIMEOUT_STATE = T.StructType(
+    [
+        T.StructField("idx", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def stream_funnel_timeout_tws(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    timeout_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Deadline-driven funnel on the arbitrary-state v2 API — the
+    abandonment analytics THE timer primitive exists for (cart
+    abandonment: "emit when a user who clicked never purchased within
+    the hour"). Completes the v2 family: ValueState totals, MapState
+    profile, ListState top-k, session timers, and now per-key
+    DEADLINES.
+
+    Attempt semantics (mirrored exactly by the test's plain-Python
+    model): an in-order *steps[0]* event opens an attempt; each next
+    event advances it only if it is the next step AND arrives within
+    *timeout_minutes* of the previous step. Reaching the last step
+    emits ``converted`` and clears state; a gap > timeout emits
+    ``abandoned`` — via the successor-event path when the user's own
+    later event proves the gap, via the registered EVENT-TIME timer
+    when only the watermark does. After either outcome the funnel
+    re-arms: later events may open a fresh attempt (one user can
+    convert twice, or abandon then convert). Non-next-step events
+    never reset an attempt.
+
+    State is one (idx, last_us) record + one live timer per user —
+    bounded at any history length. The stale-timer guard (expiry
+    re-checked against the state's own deadline) makes a timer racing
+    a same-batch advance a no-op."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    timeout_us = timeout_minutes * 60 * 1_000_000
+    timeout_ms = timeout_minutes * 60_000
+    n_steps = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    class FunnelTimeout(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.st = handle.getValueState("funnel", FUNNEL_TIMEOUT_STATE)
+
+        def _row(self, user_id, outcome, idx, end_us):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "outcome": [outcome],
+                    "steps_completed": [idx],
+                    "attempt_end_ts": [pd.Timestamp(end_us, unit="us")],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            batch = pd.concat(list(rows)).sort_values("ts")
+            st = list(self.st.get()) if self.st.exists() else None
+            for ts, et in zip(batch["ts"].astype("int64") // 1000,
+                              batch["event_type"]):
+                ts = int(ts)
+                if st is not None and ts - st[1] > timeout_us:
+                    yield self._row(user_id, "abandoned", st[0], st[1])
+                    st = None                      # terminal; may re-open
+                if st is None:
+                    if step_idx.get(et) == 0:
+                        st = [1, ts]
+                elif step_idx.get(et) == st[0]:
+                    st = [st[0] + 1, ts]
+                if st is not None and st[0] == n_steps:
+                    yield self._row(user_id, "converted", n_steps, ts)
+                    st = None
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            if st is None:
+                self.st.clear()
+            else:
+                self.st.update(tuple(st))
+                self.handle.registerTimer(st[1] // 1000 + timeout_ms)
+
+        # keyword-named params: the worker calls with timerValues=/
+        # expiredTimerInfo= (the stream_sessionize_tws rule)
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self.st.exists():
+                return
+            idx, last_us = self.st.get()
+            if expiredTimerInfo.getExpiryTimeInMs() \
+                    >= last_us // 1000 + timeout_ms:
+                yield self._row(user_id, "abandoned", idx, last_us)
+                self.st.clear()
+
+        def close(self):
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=FunnelTimeout(),
+            outputStructType=FUNNEL_TIMEOUT_OUTPUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 FUNNEL_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

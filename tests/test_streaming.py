@@ -777,3 +777,117 @@ def test_tws_timer_sessionizer_converges_with_batch(spark, tmp_path):
                                  tiebreak=None).collect()))
     assert len(want) == 4          # u1 × 3 sessions + u2 × 1
     assert got == want             # sentinel session absent from got
+
+
+@pytest.mark.skipif(
+    PROTOBUF_MODE is None,
+    reason="transformWithStateInPandas needs a working google.protobuf")
+def test_tws_funnel_timeout_converges_with_python_model(spark, tmp_path):
+    """Deadline funnel (stream_funnel_timeout_tws): conversions emit
+    on the last step, abandonments emit via the successor-event path
+    (the user's own later event proves the gap) or the event-time
+    timer (only the watermark does), and re-opened attempts work.
+    Pinned against a plain-Python replay of the same semantics."""
+    import json as _json
+    import datetime as _dt
+
+    from pyperustats_spark.streaming.protobuf_compat import (
+        ROCKSDB_PROVIDER)
+
+    t0 = 1_700_000_000
+    MIN = 60
+
+    def iso(sec):
+        return _dt.datetime.fromtimestamp(
+            sec, _dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+    # u1 converts cleanly; u2 abandons at step 2 via its own later
+    # event (which re-opens and converts a second attempt); u3
+    # abandons via TIMER only (no later events); u4's non-next-step
+    # events never advance or reset; u5 converts twice.
+    raw = [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+        (2, 0, "view"), (2, 10, "click"),
+        (2, 200, "view"), (2, 210, "click"), (2, 220, "purchase"),
+        (3, 5, "view"), (3, 15, "click"),
+        (4, 0, "view"), (4, 10, "purchase"), (4, 30, "click"),
+        (4, 40, "purchase"),
+        (5, 0, "view"), (5, 5, "click"), (5, 10, "purchase"),
+        (5, 30, "view"), (5, 35, "click"), (5, 40, "purchase"),
+    ]
+    events = [{"user_id": u, "ts": iso(t0 + m * MIN), "value": 1.0,
+               "event_type": et} for u, m, et in raw]
+    sentinel = {"user_id": 999, "ts": iso(t0 + 100_000 * MIN),
+                "value": 0.0, "event_type": "view"}
+
+    # python model: ordered replay, same semantics as the docstring
+    def model(rows, steps=("view", "click", "purchase"), timeout=60):
+        out = []
+        by_user = {}
+        for u, m, et in sorted(rows):
+            by_user.setdefault(u, []).append((m, et))
+        sidx = {s: i for i, s in enumerate(steps)}
+        for u, evs in by_user.items():
+            st = None
+            for m, et in evs:
+                if st is not None and m - st[1] > timeout:
+                    out.append((u, "abandoned", st[0], st[1]))
+                    st = None
+                if st is None:
+                    if sidx.get(et) == 0:
+                        st = [1, m]
+                elif sidx.get(et) == st[0]:
+                    st = [st[0] + 1, m]
+                if st is not None and st[0] == len(steps):
+                    out.append((u, "converted", len(steps), m))
+                    st = None
+            if st is not None:          # sentinel watermark times it out
+                out.append((u, "abandoned", st[0], st[1]))
+        return sorted(out)
+
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+    # ordered replay: files chunk a GLOBALLY ts-sorted feed (a batch
+    # with out-of-order cross-user timestamps would watermark-drop
+    # mid-funnel events in later batches) — still splits u2/u5
+    # attempts across micro-batches
+    events = sorted(events, key=lambda r: r["ts"])
+    chunks = [events[:8], events[8:16], events[16:] + [sentinel]]
+    for i, rows in enumerate(chunks):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            for rec in rows:
+                f.write(_json.dumps(rec) + "\n")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = (spark.readStream.schema(
+                      "user_id long, ts timestamp, value double, "
+                      "event_type string")
+                  .option("maxFilesPerTrigger", 1).json(src))
+        out = SEV.run_to_memory(
+            SEV.stream_funnel_timeout_tws(
+                stream, timeout_minutes=60, watermark="1 minute"),
+            "tws_funnel_out", str(tmp_path / "ckpt_funnel"),
+            output_mode="append")
+        got = sorted(
+            (r["user_id"], r["outcome"], r["steps_completed"],
+             int((r["attempt_end_ts"]
+                  - _dt.datetime(1970, 1, 1)).total_seconds()
+                 - t0) // MIN)
+            for r in out.collect() if r["user_id"] != 999)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    assert got == model(raw)
+    # the timer-only abandonment (u3) is present
+    assert (3, "abandoned", 2, 15) in got
+    # re-opened attempts: u2 abandoned then converted, u5 twice
+    assert (2, "abandoned", 2, 10) in got and \
+        (2, "converted", 3, 220) in got
+    assert [r for r in got if r[0] == 5] == \
+        [(5, "converted", 3, 10), (5, "converted", 3, 40)]
