@@ -1827,6 +1827,16 @@ def ann_mips_dot(spark, sf_dir):
     return _round(S.mips_bruteforce(emb, q, k=5), {"ip": 6})
 
 
+def ann_hamming_topk(spark, sf_dir):
+    """Binary-quantized Hamming top-k (r11): sign-bit signatures in
+    32-bit words, popcount-of-xor distance — every value integer, so
+    unlike the float-distance ANN family this one carries a FULL
+    DuckDB value oracle."""
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return S.ann_hamming(emb, q, k=5)
+
+
 def ann_mips_ivf(spark, sf_dir):
     """Rows-only: norm-augmented IVF MIPS (reduction to cosine cells;
     exhaustive-probe==exact and partial-probe recall pinned in pytest)."""
@@ -3003,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_radius_search": emb_radius_search,
         "emb_radius_search_ivf": emb_radius_search_ivf,
         "ann_mips_dot": ann_mips_dot,
+        "ann_hamming_topk": ann_hamming_topk,
         "ann_mips_ivf": ann_mips_ivf,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3199,6 +3210,7 @@ _WINDOW = [
     # the oracle semantics — now 365 steps, cheap at any SF)
     "infogob_candidate_affiliations", "infogob_affiliation_fields",
     "ts_series_depth_profile", "ts_hw_seasonal_exact",
+    "ann_hamming_topk",
     # oldest countersigns, rotated in per policy
     "dedup_stats_by_source",
     "embedding_norm_profile", "ev_active_users", "ev_attribution",
@@ -3218,7 +3230,6 @@ _WINDOW = [
     "text_tfidf_top_terms", "text_token_budget_sample",
     "text_unigram_logprob", "ts_acf", "ts_seasonal_index",
     "ts_trend_ma", "ts_xcorr", "catalog_coverage",
-    "catalog_series_summary",
 ]
 
 
@@ -9553,6 +9564,41 @@ def oracle_sql() -> dict[str, str]:
                END AS istr
         FROM nation
         ORDER BY id_proceso, id_eleccion
+    """
+
+    # Binary-quantized Hamming top-k: sign-bit signatures in 32-bit
+    # words (1 << 63 is a range error in DuckDB — the word size is
+    # part of the cross-engine contract), popcount-of-xor distance.
+    # Sign tests involve no arithmetic, so the bits — and therefore
+    # every output value — are integer-exact in both engines.
+    sql["ann_hamming_topk"] = """
+        WITH sig AS (
+            SELECT vec_id,
+                   list_transform(range(2), w ->
+                       CAST(list_sum(list_transform(range(32), i ->
+                           CASE WHEN embedding[CAST(w*32 + i + 1 AS INT)]
+                                     >= 0
+                                THEN (1::BIGINT << CAST(i AS INT))
+                                ELSE 0::BIGINT END)) AS BIGINT)) AS sg
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, sg AS qsg FROM sig
+            WHERE vec_id IN (0, 7, 42, 99, 123)
+        ), p AS (
+            SELECT q.query_id, s.vec_id,
+                   CAST(list_sum(list_transform(range(2), w ->
+                       CAST(bit_count(xor(s.sg[CAST(w+1 AS INT)],
+                                          q.qsg[CAST(w+1 AS INT)]))
+                            AS BIGINT))) AS BIGINT) AS hamming
+            FROM sig s, q WHERE s.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY hamming, vec_id) AS BIGINT) AS rank
+        FROM p
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
     """
 
     # Round-trip oracles for the affiliation-history normalizer

@@ -772,6 +772,90 @@ def quantize_embeddings_int8(embeddings: DataFrame,
     )
 
 
+def binary_signature(vec_col, dim: int = 64, word: int = 32):
+    """Sign-bit binary quantization of an embedding to an array of
+    *word*-bit integer words (bit i of word w = 1 iff
+    vec[w·word + i] ≥ 0) — the 32×-smaller representation modern
+    vector stores rerank from (1 bit/dim vs float32). Words are
+    capped at 32 bits deliberately: DuckDB range-checks ``1 << 63``,
+    so 32-bit words keep the signature EXACTLY reproducible by a SQL
+    oracle in both engines (sign tests involve no arithmetic — the
+    bits are deterministic for any float data). Pure array
+    expressions, no shuffle, no Python."""
+    if word > 62:
+        raise ValueError("word must stay <= 62 bits (cross-engine "
+                         f"shift range), got {word}")
+    n_words = (dim + word - 1) // word
+    zero = F.lit(0).cast("long")
+    # shiftleft() takes a literal int, not the transform's index
+    # column — ship the powers of two as ONE parsed literal array
+    # (the lit_longs rule) and index it at runtime
+    pow2 = lit_longs([1 << i for i in range(word)])
+    words = [
+        F.aggregate(
+            F.transform(
+                F.slice(vec_col, w * word + 1, min(word, dim - w * word)),
+                lambda x, i: F.when(x >= 0,
+                                    F.element_at(pow2, i + 1))
+                .otherwise(zero)),
+            zero, lambda acc, v: acc + v)
+        for w in range(n_words)
+    ]
+    return F.array(*words)
+
+
+def hamming_distance(sig_a, sig_b):
+    """Bit-level Hamming distance between two signature word arrays:
+    popcount of the per-word XOR, summed — integer-exact in Spark and
+    DuckDB (bit_count + xor exist in both)."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b,
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def ann_hamming(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                dim: int = 64, word: int = 32,
+                sort: bool = True) -> DataFrame:
+    """Top-k nearest neighbors under binary-quantized HAMMING distance
+    — the brute-force scan over 1-bit/dim signatures (query and corpus
+    both sign-quantized; Hamming over sign bits is the standard proxy
+    for angular distance). Returns (query_id, vec_id, hamming, rank),
+    rank tie-broken by vec_id — every value integer, so the whole
+    operator is DuckDB-oracle-backed exactly (unique among the ANN
+    family, whose float distances are rows-only by necessity).
+
+    Scale shape: signatures are computed in the scan projection
+    (corpus bytes touched once, 1 bit/dim carried forward), the query
+    side is an O(queries) broadcast, ranking is a per-query window —
+    scan-proportional like knn_bruteforce but moving 32× less data;
+    the LSH/IVF operators remain the sublinear path. Production note:
+    a real deployment reranks the Hamming shortlist with exact
+    distances (compose with knn_bruteforce on the shortlist); this
+    operator is the quantized scan itself."""
+    e = ensure_parallelism(embeddings).select(
+        "vec_id",
+        binary_signature(F.col("embedding"), dim=dim, word=word)
+        .alias("sig"))
+    q = queries.select(
+        "query_id",
+        binary_signature(F.col("q_embedding"), dim=dim, word=word)
+        .alias("q_sig"))
+    pairs = (
+        e.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                hamming_distance(F.col("sig"), F.col("q_sig"))
+                .alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id"))
+    out = (pairs.withColumn("rank",
+                            F.row_number().over(w).cast("bigint"))
+           .where(F.col("rank") <= k))
+    return out.orderBy("query_id", "rank") if sort else out
+
+
 def dequantize_embeddings_int8(df: DataFrame,
                                q_col: str = "q_embedding",
                                scale_col: str = "q_scale") -> DataFrame:

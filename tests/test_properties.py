@@ -735,3 +735,42 @@ def test_affiliation_fold_key_matches_reference_chain(spark, xs):
            df.select("i", fold_key(F.col("s")).alias("v")).collect()}
     for i, x in enumerate(xs):
         assert got[i] == _py_fold_key(x), repr(x)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(st.floats(min_value=-10, max_value=10,
+                                   allow_nan=False, allow_infinity=False),
+                         min_size=64, max_size=64),
+                min_size=2, max_size=6))
+def test_binary_signature_hamming_matches_python(spark, vecs):
+    """binary_signature packs sign bits into 32-bit words exactly, and
+    hamming_distance equals the plain-Python bit-diff count."""
+    from pyperustats_spark.operators.similarity import (
+        binary_signature, hamming_distance)
+
+    def py_sig(v):
+        return [sum(1 << i for i in range(32) if v[w * 32 + i] >= 0)
+                for w in range(2)]
+
+    def py_ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "i int, embedding array<double>")
+    ref = df.where(F.col("i") == 0).select(
+        binary_signature(F.col("embedding")).alias("ref_sig"))
+    got = (
+        df.crossJoin(F.broadcast(ref))
+        .select(
+            "i",
+            binary_signature(F.col("embedding")).alias("sig"),
+            hamming_distance(
+                binary_signature(F.col("embedding")),
+                F.col("ref_sig")).alias("h"))
+        .collect()
+    )
+    sig0 = py_sig(vecs[0])
+    for r in got:
+        assert list(r["sig"]) == py_sig(vecs[r["i"]]), r["i"]
+        assert r["h"] == py_ham(py_sig(vecs[r["i"]]), sig0), r["i"]
