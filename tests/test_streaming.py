@@ -685,10 +685,18 @@ def test_stream_append_ledger_matches_batch_build(spark, tables, tmp_path):
                       .select("wh").distinct().collect()}
         assert keys == expect_keys
         assert fps == expect_fps
+        # r11: the paragraph-key table rides the same streaming ingest
+        from pyperustats_spark.operators.dedup import _paragraph_list
+        paras = {r["_pk"] for r in led.seen_paragraphs().collect()}
+        expect_paras = {r["_pk"] for r in docs.select(F.explode(
+            _paragraph_list(r"\n\s*\n")).alias("p"))
+            .select(F.md5("p").alias("_pk")).distinct().collect()}
+        assert paras == expect_paras
         # replay: appending the same docs adds nothing
         led.append_release(docs)
         assert led.seen_keys().count() == len(expect_keys)
         assert led.seen_fingerprints().count() == len(expect_fps)
+        assert led.seen_paragraphs().count() == len(expect_paras)
     finally:
         led.drop()
 
