@@ -76,6 +76,7 @@ BROADCAST_HINT_WHITELIST = {
     "q_top_customers",            # nation (25 rows)
     "catalog_validate_codes",     # user-requested code list (O(request))
     "knn_bruteforce_cosine",      # query vectors (O(queries))
+    "ann_hamming_topk",           # query signatures (O(queries))
     "knn_label_vote",             # query vectors
     "mef_find_row_by_text",       # 1-row distributed-min result
     "cache_missing_codes",        # requested code list
@@ -479,6 +480,7 @@ PLAN_SMELL_WHITELIST = {
     "q_market_share": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
     "corpus_summary": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
     "knn_bruteforce_cosine": {"BNLJ"},          # broadcast query set
+    "ann_hamming_topk": {"BNLJ"},               # broadcast query sigs
     "knn_label_vote": {"BNLJ"},                 # broadcast query set
     "mef_find_row_by_text": {"SINGLE_PART"},    # distributed-min, 1 row
     "profile_orders": {"SINGLE_PART"},          # whole-table profile row
