@@ -1827,6 +1827,18 @@ def ann_mips_dot(spark, sf_dir):
     return _round(S.mips_bruteforce(emb, q, k=5), {"ip": 6})
 
 
+def ann_hamming_rerank(spark, sf_dir):
+    """Rows-only: Hamming-shortlist -> exact-cosine rerank (the stored-
+    signature deployment composition; exhaustive-shortlist == knn and
+    a recall floor pinned in pytest)."""
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = S.make_queries(emb, KNN_QUERY_IDS)
+    return _round(S.ann_hamming_rerank(emb, q, k=5, shortlist=50),
+                  {"cos": 6})
+
+
 def ann_hamming_topk(spark, sf_dir):
     """Binary-quantized Hamming top-k (r11): sign-bit signatures in
     32-bit words, popcount-of-xor distance — every value integer, so
@@ -3015,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mips_dot": ann_mips_dot,
         "ann_hamming_topk": ann_hamming_topk,
         "ann_mips_ivf": ann_mips_ivf,
+        "ann_hamming_rerank": ann_hamming_rerank,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
