@@ -1940,6 +1940,27 @@ def multimodal_png_pixel_stats(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def multimodal_gif_pixel_stats(spark, sf_dir):
+    """FULL stdlib GIF decode, oracle-backed (r11): synthesize one
+    spec-conformant GIF89a per document id — genuine variable-width
+    LZW stream with dictionary growth, palette/index recurrences on
+    doc_id, a truncated payload planted every 31st id — then decode
+    the binary column for real (descriptor walk + LZW decompress,
+    binary_ops.decode_gif_pixels, whose code-width rule is pinned
+    against a hand-computed spec vector) and aggregate palette-mapped
+    RGB sums + peak index in Arrow mapInPandas. The oracle recomputes
+    everything from the same arithmetic — a bug anywhere in the LZW
+    encoder, the decoder's width counters, or the palette mapping
+    breaks parity."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.gif_pixel_stats(MM.synthesize_corpus_gifs(docs)) \
+        .orderBy("doc_id")
+
+
 def multimodal_mp4_meta(spark, sf_dir):
     """REAL stdlib video-container decode, oracle-backed: synthesize
     one minimal ISO BMFF (MP4) payload per document id — ftyp brand,
@@ -3088,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dims": multimodal_image_dims,
         "multimodal_wav_stats": multimodal_wav_stats,
         "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
+        "multimodal_gif_pixel_stats": multimodal_gif_pixel_stats,
         "multimodal_mp4_meta": multimodal_mp4_meta,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
@@ -3223,7 +3245,7 @@ _WINDOW = [
     # the oracle semantics — now 365 steps, cheap at any SF)
     "infogob_candidate_affiliations", "infogob_affiliation_fields",
     "ts_series_depth_profile", "ts_hw_seasonal_exact",
-    "ann_hamming_topk",
+    "ann_hamming_topk", "multimodal_gif_pixel_stats",
     # oldest countersigns, rotated in per policy
     "dedup_stats_by_source",
     "embedding_norm_profile", "ev_active_users", "ev_attribution",
@@ -3242,7 +3264,7 @@ _WINDOW = [
     "text_quality_by_source", "text_source_mix_sample",
     "text_tfidf_top_terms", "text_token_budget_sample",
     "text_unigram_logprob", "ts_acf", "ts_seasonal_index",
-    "ts_trend_ma", "ts_xcorr", "catalog_coverage",
+    "ts_trend_ma", "ts_xcorr",
 ]
 
 
@@ -9459,6 +9481,44 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
         FROM documents WHERE doc_id % 29 = 0
+        ORDER BY doc_id
+    """
+
+    # Round-trip oracle for the FULL GIF (LZW) pixel decode: widths,
+    # palette and index recurrences restated arithmetically; the
+    # palette lookup folds into pure mod arithmetic (palette entry i
+    # = ((i*41+7)%256, ...) with i = (doc_id*5 + p*7 + 3) % ps), so
+    # no palette table is needed. Truncated payloads (every 31st id)
+    # must decode to NULLs.
+    sql["multimodal_gif_pixel_stats"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(3 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(2 + doc_id % 7 AS BIGINT) AS height,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                        ELSE 16 END AS BIGINT) AS ps
+            FROM documents WHERE doc_id % 31 != 0
+        ), exploded AS (
+            SELECT doc_id, width, height, ps,
+                   (doc_id*5 + unnest(range(0, width*height))*7 + 3)
+                       % ps AS ix
+            FROM base
+        ), stats AS (
+            SELECT doc_id, width, height, ps,
+                   CAST(sum((ix*41 + 7) % 256) AS BIGINT) AS sum_r,
+                   CAST(sum((ix*59 + 3) % 256) AS BIGINT) AS sum_g,
+                   CAST(sum((ix*83 + 11) % 256) AS BIGINT) AS sum_b,
+                   CAST(max(ix) AS BIGINT) AS max_index
+            FROM exploded
+            GROUP BY doc_id, width, height, ps
+        )
+        SELECT doc_id, width, height,
+               CAST(width * height AS BIGINT) AS n_pixels,
+               ps AS palette_size, sum_r, sum_g, sum_b, max_index
+        FROM stats
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 31 = 0
         ORDER BY doc_id
     """
 

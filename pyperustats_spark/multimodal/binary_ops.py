@@ -464,6 +464,201 @@ def encode_png(width: int, height: int, pixels: bytes,
             + chunk(b"IEND", b""))
 
 
+def decode_gif_pixels(payload: bytes):
+    """FULL stdlib GIF decode — not just the logical screen
+    descriptor: global color table read, extension blocks skipped,
+    image descriptor parsed, and the LZW-compressed index stream
+    DECOMPRESSED (variable-width codes, LSB-first bit packing,
+    clear/EOI handling, the KwKwK code==next case, and the giflib
+    code-width rule: the width counter advances per code READ, which
+    is what keeps a decoder in sync with an encoder that assigns one
+    table entry per code written — pinned against a hand-computed
+    spec vector in tests). Returns ``(width, height, palette,
+    indices)`` with *palette* a list of (r, g, b) and *indices* the
+    row-major palette indices, or ``None`` for anything truncated,
+    out-of-range-coded, interlaced, or outside the shapes
+    :func:`encode_gif` produces (single image, global table only,
+    no transparency)."""
+    n = len(payload)
+    if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    if not packed & 0x80:
+        return None                      # need a global color table
+    ps = 2 << (packed & 0x7)
+    i = 13
+    if i + 3 * ps > n:
+        return None
+    palette = [(payload[i + 3 * j], payload[i + 3 * j + 1],
+                payload[i + 3 * j + 2]) for j in range(ps)]
+    i += 3 * ps
+    # skip extension blocks (0x21 label, then sub-blocks)
+    while i < n and payload[i] == 0x21:
+        i += 2
+        while i < n and payload[i] != 0:
+            i += 1 + payload[i]
+        i += 1
+    if i + 10 > n or payload[i] != 0x2C:
+        return None                      # image descriptor required
+    iw = int.from_bytes(payload[i + 5:i + 7], "little")
+    ih = int.from_bytes(payload[i + 7:i + 9], "little")
+    ipacked = payload[i + 9]
+    if ipacked & 0xC0:
+        return None                      # local table/interlace: out of scope
+    if (iw, ih) != (w, h):
+        return None
+    i += 10
+    if i >= n:
+        return None
+    mcs = payload[i]
+    if not 2 <= mcs <= 8:
+        return None
+    i += 1
+    data = bytearray()                   # concatenate sub-blocks
+    while True:
+        if i >= n:
+            return None                  # truncated before terminator
+        ln = payload[i]
+        i += 1
+        if ln == 0:
+            break
+        if i + ln > n:
+            return None
+        data += payload[i:i + ln]
+        i += ln
+    if i >= n or payload[i] != 0x3B:
+        return None                      # trailer required
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = [bytes([j]) for j in range(1 << mcs)] + [b"", b""]
+    bits = mcs + 1
+    counter = eoi + 1                    # giflib RunningCode
+    acc = nbits = pos = 0
+    prev = None
+    out = bytearray()
+    while True:
+        while nbits < bits:
+            if pos >= len(data):
+                return None              # ran out mid-stream
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << bits) - 1)
+        acc >>= bits
+        nbits -= bits
+        if code == eoi:
+            break
+        if code == clear:
+            table = table[:eoi + 1]
+            bits = mcs + 1
+            counter = eoi + 1
+            prev = None
+            continue
+        # width counter advances per code read (giflib sync rule)
+        counter += 1
+        if prev is None:
+            if code >= len(table):
+                return None
+            out += table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):     # KwKwK
+                entry = table[prev] + table[prev][:1]
+            else:
+                return None              # corrupt code
+            out += entry
+            table.append(table[prev] + entry[:1])
+        if counter > (1 << bits) and bits < 12:
+            bits += 1
+        prev = code
+    if len(out) != w * h:
+        return None
+    return (w, h, palette, bytes(out))
+
+
+def encode_gif(width: int, height: int, indices: bytes,
+               palette: list) -> bytes:
+    """Build a real, fully-conformant GIF89a (synthesis half of the
+    pixel-decode round trip): logical screen descriptor + global
+    color table + image descriptor + a genuine variable-width LZW
+    stream (dictionary growth, width bumps on the giflib counter
+    rule, clear-on-full at 4095, LSB-first packing, 255-byte
+    sub-blocks) + trailer. *palette* length must be a power of two
+    in [4, 256]; *indices* are row-major, one byte per pixel."""
+    ps = len(palette)
+    mcs = max(2, (ps - 1).bit_length())
+    if ps != 1 << mcs or not all(0 <= ix < ps for ix in indices):
+        raise ValueError("palette must be a power of two >= 4 and "
+                         "cover every index")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    codes = []                           # (code, bits) pairs
+    bits = mcs + 1
+    counter = eoi + 1                    # next assignable
+
+    def emit(c):
+        nonlocal bits
+        codes.append((c, bits))
+        # giflib EGifCompressOutput: check AFTER writing, with the
+        # entry for this code not yet assigned
+        if counter >= (1 << bits) and bits < 12:
+            bits += 1
+
+    emit(clear)
+    table = {}
+    w_seq = indices[:1]
+    for k in indices[1:]:
+        wk = w_seq + bytes([k])
+        if wk in table:
+            w_seq = wk
+            continue
+        emit(table[w_seq] if len(w_seq) > 1 else w_seq[0])
+        if counter < 4095:
+            table[wk] = counter
+            counter += 1
+        else:                            # table full: clear + restart
+            emit(clear)
+            table = {}
+            bits = mcs + 1
+            counter = eoi + 1
+        w_seq = bytes([k])
+    if w_seq:
+        emit(table[w_seq] if len(w_seq) > 1 else w_seq[0])
+    emit(eoi)
+
+    acc = nbits = 0
+    packed = bytearray()
+    for c, b in codes:
+        acc |= c << nbits
+        nbits += b
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x80 | ((mcs - 1) << 4) | (mcs - 1))
+    out += b"\x00\x00"                   # background, aspect
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x2c\x00\x00\x00\x00"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0)                        # no local table, sequential
+    out.append(mcs)
+    for j in range(0, len(packed), 255):
+        block = packed[j:j + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def parse_mp4(payload: bytes):
     """Real stdlib VIDEO-CONTAINER decode: an ISO BMFF (MP4) box walk
     — ``ftyp`` gate, recursive descent into ``moov``, ``mvhd`` v0
@@ -757,6 +952,104 @@ PNG_STATS_SCHEMA = T.StructType(
         T.StructField("peak", T.LongType()),
     ]
 )
+
+
+GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("palette_size", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("max_index", T.LongType()),
+    ]
+)
+
+
+def _corpus_gif_spec(doc_id: int):
+    """Deterministic (width, height, palette_size) per doc id — the
+    arithmetic contract shared with the DuckDB oracle. Palette entry
+    i is ((i·41+7)%256, (i·59+3)%256, (i·83+11)%256); pixel index p
+    (row-major, 0-based) is (doc_id·5 + p·7 + 3) mod palette_size.
+    None for the planted-corrupt ids (doc_id % 31 == 0): those get a
+    valid GIF TRUNCATED mid-stream, which the decoder must reject
+    (GIF has no CRC — truncation is the honest corruption analog)."""
+    if doc_id % 31 == 0:
+        return None
+    return (3 + doc_id % 9, 2 + doc_id % 7, 4 << (doc_id % 3))
+
+
+def _gif_palette(ps: int):
+    return [((i * 41 + 7) % 256, (i * 59 + 3) % 256,
+             (i * 83 + 11) % 256) for i in range(ps)]
+
+
+def synthesize_corpus_gifs(docs, id_col: str = "doc_id"):
+    """One REAL fully-conformant GIF89a per document id (LZW stream
+    with genuine dictionary growth and width bumps, indices/palette
+    from `_corpus_gif_spec`'s recurrence). The planted-corrupt ids
+    get a valid gif with its last 4 bytes cut — mid-stream
+    truncation the decoder's structural checks must catch."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_gif_spec(doc_id)
+                if spec is None:
+                    good = encode_gif(3, 2, bytes(
+                        (doc_id + p) % 4 for p in range(6)),
+                        _gif_palette(4))
+                    payloads.append(good[:-4])
+                    continue
+                w, h, ps = spec
+                idx = bytes((doc_id * 5 + p * 7 + 3) % ps
+                            for p in range(w * h))
+                payloads.append(encode_gif(w, h, idx, _gif_palette(ps)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def gif_pixel_stats(media, id_col: str = "doc_id",
+                    payload_col: str = "payload"):
+    """FULL GIF decode over a binary column: LZW-decompress the index
+    stream (:func:`decode_gif_pixels`) and aggregate palette-mapped
+    RGB sums + the peak index per row. NULLs for undecodable
+    payloads. Arrow-batched `mapInPandas`, narrow, zero shuffles —
+    the same 100-TB posture as the PNG decode stage."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in ("width", "height", "n_pixels",
+                                    "palette_size", "sum_r", "sum_g",
+                                    "sum_b", "max_index")}
+            for p in pdf[payload_col]:
+                dec = decode_gif_pixels(p)
+                if dec is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                w, h, palette, idx = dec
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_pixels"].append(w * h)
+                cols["palette_size"].append(len(palette))
+                for c, k in enumerate(("sum_r", "sum_g", "sum_b")):
+                    cols[k].append(sum(palette[i][c] for i in idx))
+                cols["max_index"].append(max(idx))
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for k, v in cols.items():
+                out[k] = pd.array(v, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, GIF_STATS_SCHEMA)
 
 
 def _corpus_png_spec(doc_id: int):

@@ -325,3 +325,89 @@ def test_image_dims_operator_matches_local_parse(spark):
             assert got == (None, None, None, None)
         else:
             assert got == spec
+
+
+def test_gif_lzw_hand_computed_spec_vector():
+    """Pin the LZW code-width/packing rules against bytes computed BY
+    HAND from the GIF89a spec (no reference codec exists in this
+    container): mcs=2, pixels [1,1] -> codes CLEAR(4),1,1,EOI(5) at 3
+    bits, LSB-first => exactly 0x4C 0x0A."""
+    pal = [((i * 41 + 7) % 256, (i * 59 + 3) % 256,
+            (i * 83 + 11) % 256) for i in range(4)]
+    g = MM.encode_gif(2, 1, bytes([1, 1]), pal)
+    i = 13 + 12 + 10 + 1                  # header+palette+imgdesc+mcs
+    assert g[i - 1] == 2                  # min code size
+    assert g[i] == 2 and g[i + 1:i + 3] == bytes([0x4C, 0x0A])
+    assert MM.decode_gif_pixels(g) == (2, 1, pal, bytes([1, 1]))
+
+
+def test_gif_round_trip_growth_runs_and_palettes():
+    """decode(encode(x)) == x across palette sizes (4/8/16/256),
+    pure runs (the KwKwK code==next case), step patterns, randoms,
+    and an image large enough to force many code-width bumps."""
+    import random
+
+    rng = random.Random(7)
+
+    def pal(ps):
+        return [((i * 41 + 7) % 256, (i * 59 + 3) % 256,
+                 (i * 83 + 11) % 256) for i in range(ps)]
+
+    for ps in (4, 8, 16, 256):
+        for w, h in [(3, 2), (16, 15), (1, 1)]:
+            n = w * h
+            for idx in (bytes(rng.randrange(ps) for _ in range(n)),
+                        bytes([1 % ps]) * n,
+                        bytes((p // 3) % ps for p in range(n))):
+                g = MM.encode_gif(w, h, idx, pal(ps))
+                assert MM.decode_gif_pixels(g) == (w, h, pal(ps), idx)
+    big = bytes((p * p * 31 + p * 7) % 4 for p in range(120 * 90))
+    g = MM.encode_gif(120, 90, big, pal(4))
+    assert MM.decode_gif_pixels(g) == (120, 90, pal(4), big)
+
+
+def test_gif_decode_rejects_corruption():
+    import random
+
+    rng = random.Random(3)
+    pal = [((i * 41 + 7) % 256, (i * 59 + 3) % 256,
+            (i * 83 + 11) % 256) for i in range(16)]
+    g = MM.encode_gif(16, 15, bytes(rng.randrange(16)
+                                    for _ in range(240)), pal)
+    # truncation anywhere -> None, never wrong pixels
+    for cut in (20, len(g) // 2, len(g) - 3, len(g) - 1):
+        assert MM.decode_gif_pixels(g[:cut]) is None, cut
+    # out-of-range LZW code -> None
+    pal4 = pal[:4]
+    bad = bytearray(MM.encode_gif(2, 1, bytes([1, 1]), pal4))
+    bad[36] = 0xFF
+    bad[37] = 0x0F
+    assert MM.decode_gif_pixels(bytes(bad)) is None
+    assert MM.decode_gif_pixels(b"GIF89a" + b"\x00" * 5) is None
+    # wrong pixel count (descriptor/stream mismatch) -> None
+    short = MM.encode_gif(2, 1, bytes([1, 1]), pal4)
+    grown = bytearray(short)
+    grown[8:10] = (2).to_bytes(2, "little")   # claim 2x2, stream has 2
+    grown[25:27] = (2).to_bytes(2, "little")  # image descriptor too
+    assert MM.decode_gif_pixels(bytes(grown)) is None
+
+
+def test_gif_pixel_stats_operator_matches_local_decode(spark):
+    ids = spark.range(0, 70).selectExpr("id AS doc_id")
+    out = {r["doc_id"]: r for r in MM.gif_pixel_stats(
+        MM.synthesize_corpus_gifs(ids)).collect()}
+    assert len(out) == 70
+    for d in range(70):
+        spec = MM._corpus_gif_spec(d)
+        r = out[d]
+        if spec is None:
+            assert r["width"] is None and r["sum_r"] is None
+            continue
+        w, h, ps = spec
+        pal = MM._gif_palette(ps)
+        idx = bytes((d * 5 + p * 7 + 3) % ps for p in range(w * h))
+        assert (r["width"], r["height"], r["palette_size"]) == (w, h, ps)
+        assert r["sum_r"] == sum(pal[i][0] for i in idx)
+        assert r["sum_g"] == sum(pal[i][1] for i in idx)
+        assert r["sum_b"] == sum(pal[i][2] for i in idx)
+        assert r["max_index"] == max(idx)
