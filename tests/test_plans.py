@@ -77,6 +77,7 @@ BROADCAST_HINT_WHITELIST = {
     "catalog_validate_codes",     # user-requested code list (O(request))
     "knn_bruteforce_cosine",      # query vectors (O(queries))
     "ann_hamming_topk",           # query signatures (O(queries))
+    "ann_hamming_rerank",         # query signatures + query vectors
     "knn_label_vote",             # query vectors
     "mef_find_row_by_text",       # 1-row distributed-min result
     "cache_missing_codes",        # requested code list
@@ -481,6 +482,7 @@ PLAN_SMELL_WHITELIST = {
     "corpus_summary": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
     "knn_bruteforce_cosine": {"BNLJ"},          # broadcast query set
     "ann_hamming_topk": {"BNLJ"},               # broadcast query sigs
+    "ann_hamming_rerank": {"BNLJ"},             # broadcast query sigs
     "knn_label_vote": {"BNLJ"},                 # broadcast query set
     "mef_find_row_by_text": {"SINGLE_PART"},    # distributed-min, 1 row
     "profile_orders": {"SINGLE_PART"},          # whole-table profile row
