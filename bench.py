@@ -79,9 +79,10 @@ COHORT2_BASELINE = {
     "multimodal_wav_stats": 1.173,
     "multimodal_mp4_meta": 1.139,
     "multimodal_image_dims": 1.095,
+    "multimodal_gif_pixel_stats": 1.344,   # pinned r11 (full LZW decode)
 }
 COHORT2 = list(COHORT2_BASELINE)
-COHORT2_TOTAL = 38.305
+COHORT2_TOTAL = 39.649
 
 # Cohort 3 (round 9): the frozen 100× gate. BENCH_SCALING.md numbers
 # were regenerated per round on gitignored data and never gated — a
