@@ -1176,6 +1176,18 @@ def graph_part_degrees(spark, sf_dir):
         G.copurchase_edges(_lt(spark, sf_dir, "lineitem")))
 
 
+def graph_part_adamic_adar(spark, sf_dir):
+    """Link prediction on the min_support=3 co-purchase graph: top-100
+    non-adjacent part pairs by Adamic-Adar (with common-neighbour and
+    Resource-Allocation scores), every score an exact integer sum —
+    Σ 1000000 div deg and Σ floor(1e6/round(ln deg, 6)) — so the
+    oracle reproduces the cut bit-for-bit (no double is ever summed)."""
+    from pyperustats_spark.operators import graph as G
+    return G.adamic_adar_topk(
+        G.copurchase_edges(_lt(spark, sf_dir, "lineitem"),
+                           min_support=3))
+
+
 def graph_part_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (4 rounds,
     smallest-label tiebreak) on the min_support=3 co-purchase graph;
@@ -1267,6 +1279,23 @@ def ev_kaplan_meier(spark, sf_dir):
     right-censoring at the corpus horizon; survival shipped in LOG
     space (ln-grid + ordered cumsum)."""
     return E.kaplan_meier_sessions(_lt(spark, sf_dir, "events"))
+
+
+def ev_conversion_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase survival (hours from each
+    user's first activity, never-converters right-censored at the
+    corpus horizon); survival shipped in LOG space (ln-grid terms +
+    ordered cumsum) — the conversion twin of ev_kaplan_meier's
+    session-duration curve."""
+    return E.kaplan_meier_conversion(_lt(spark, sf_dir, "events"))
+
+
+def ev_hazard_cumulative(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of time-to-first-purchase
+    (+ Poisson-type variance): every increment an int/int IEEE
+    division, accumulated by an ORDERED window — raw doubles,
+    bit-deterministic, no ln anywhere."""
+    return E.nelson_aalen_conversion(_lt(spark, sf_dir, "events"))
 
 
 def q_revenue_gini(spark, sf_dir):
@@ -1958,6 +1987,27 @@ def multimodal_gif_pixel_stats(spark, sf_dir):
     docs = ensure_parallelism(
         _lt(spark, sf_dir, "documents").select("doc_id"))
     return MM.gif_pixel_stats(MM.synthesize_corpus_gifs(docs)) \
+        .orderBy("doc_id")
+
+
+def multimodal_bmp_pixel_stats(spark, sf_dir):
+    """FULL BMP decode, oracle-backed (r11): synthesize one REAL BMP
+    per document id — 8-bit palettized and 24-bit BI_RGB alternating,
+    BOTH row orders (odd ids top-down/negative height, even ids the
+    bottom-up default), stride padding exercised by the width
+    recurrence, a length-truncated payload planted every 27th id —
+    then decode the binary column for real (header walk + palette
+    load + row reorder, binary_ops.decode_bmp_pixels) and aggregate
+    per-channel sums, the TOP-LEFT pixel's red (fails if row order is
+    ignored: sums are orientation-invariant, first_r is not) and the
+    peak byte in Arrow mapInPandas. The DuckDB oracle recomputes
+    everything from the same integer recurrences."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.bmp_pixel_stats(MM.synthesize_corpus_bmps(docs)) \
         .orderBy("doc_id")
 
 
@@ -3011,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "graph_part_kcore": graph_part_kcore,
         "graph_part_communities": graph_part_communities,
+        "graph_part_adamic_adar": graph_part_adamic_adar,
         "graph_part_degrees": graph_part_degrees,
         "graph_part_modularity": graph_part_modularity,
         "graph_supplier_ppr": graph_supplier_ppr,
@@ -3024,6 +3075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_weekday_profile": ev_weekday_profile,
         "ev_markov_attribution": ev_markov_attribution,
         "ev_kaplan_meier": ev_kaplan_meier,
+        "ev_conversion_survival": ev_conversion_survival,
+        "ev_hazard_cumulative": ev_hazard_cumulative,
         "ev_cuped_ab": ev_cuped_ab,
         "embedding_separation": embedding_separation,
         "emb_kcenter_sample": emb_kcenter_sample,
@@ -3110,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_stats": multimodal_wav_stats,
         "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
         "multimodal_gif_pixel_stats": multimodal_gif_pixel_stats,
+        "multimodal_bmp_pixel_stats": multimodal_bmp_pixel_stats,
         "multimodal_mp4_meta": multimodal_mp4_meta,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
@@ -7039,6 +7093,74 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY t_minutes
     """
 
+    # Time-to-first-purchase KM twin: hour buckets via integer-micros
+    # floor division (CLAUDE.md — DuckDB date_diff counts boundary
+    # crossings, so neither engine uses it), ln terms snap to the
+    # 1e-6 grid, the running sum is an ordered window (deterministic
+    # accumulation), shipped raw. Never-converters are censored at
+    # the corpus horizon.
+    _KM_CONV_OBS = """
+        hz AS (SELECT max(ts) AS h FROM events),
+        users AS (
+            SELECT user_id, min(ts) AS f,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS conv
+            FROM events GROUP BY user_id),
+        obs AS (
+            SELECT CAST((epoch_us(coalesce(conv, hz.h)) - epoch_us(f))
+                        // 3600000000 AS BIGINT) AS t_hours,
+                   CAST(conv IS NOT NULL AS INT) AS converted
+            FROM users, hz),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),
+        per_t AS (
+            SELECT t_hours,
+                   CAST(sum(converted) AS BIGINT) AS n_converted,
+                   CAST(count(*) AS BIGINT) AS ended
+            FROM obs GROUP BY t_hours),
+        curve AS (
+            SELECT t_hours, n_converted,
+                   nt.n - CAST(coalesce(sum(ended) OVER (
+                       ORDER BY t_hours
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_at_risk
+            FROM per_t, nt)
+    """
+    sql["ev_conversion_survival"] = ("""
+        WITH """ + _KM_CONV_OBS + """,
+        terms AS (
+            SELECT t_hours, n_at_risk, n_converted,
+                   CASE WHEN n_converted > 0
+                        AND n_converted < n_at_risk THEN
+                       round(ln(1.0 - n_converted / n_at_risk), 6)
+                   END AS term
+            FROM curve)
+        SELECT t_hours, n_at_risk, n_converted,
+               CASE WHEN n_converted < n_at_risk THEN
+                   sum(term) OVER (ORDER BY t_hours
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               END AS log_survival
+        FROM terms
+        WHERE n_converted > 0
+        ORDER BY t_hours
+    """)
+
+    # Nelson-Aalen: increments are int/int IEEE divisions (no ln at
+    # all), ordered-window cumsum both engines accumulate identically;
+    # zero-conversion rows contribute exact 0.0 so the WHERE (applied
+    # before window functions in both engines) cannot shift the sums.
+    sql["ev_hazard_cumulative"] = ("""
+        WITH """ + _KM_CONV_OBS + """
+        SELECT t_hours, n_at_risk, n_converted,
+               sum(n_converted / n_at_risk) OVER cum AS cum_hazard,
+               sum(n_converted / (n_at_risk * n_at_risk)) OVER cum
+                   AS cum_hazard_var
+        FROM curve
+        WHERE n_converted > 0
+        WINDOW cum AS (ORDER BY t_hours
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY t_hours
+    """)
+
     sql["q_revenue_gini"] = """
         WITH cents AS (
             SELECT o_custkey,
@@ -8246,6 +8368,48 @@ def oracle_sql() -> dict[str, str]:
                    AS community_size
         FROM l4 ORDER BY part
     """)
+
+    # Link prediction twin of the communities CTE chain: witness-node
+    # degree capped at 64 (same df-cap semantics as the Spark side),
+    # RA = integer division (DuckDB // truncates, operands positive ==
+    # Spark div), AA = floor(1e6/round(ln d, 6)) per the ln grid
+    # recipe — every summed term is an integer, so the top-k cut is
+    # bit-deterministic. Sums CAST to BIGINT (HUGEINT comparator rule).
+    sql["graph_part_adamic_adar"] = """
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM items GROUP BY l_orderkey
+               HAVING count(*) BETWEEN 2 AND 50),
+        it AS (SELECT i.l_orderkey, i.l_partkey
+               FROM items i JOIN ok USING (l_orderkey)),
+        e AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
+               FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+        nbr AS MATERIALIZED (
+            SELECT a AS node, b AS nb FROM e
+            UNION ALL SELECT b AS node, a AS nb FROM e),
+        dg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+               FROM nbr GROUP BY node
+               HAVING count(*) BETWEEN 2 AND 64),
+        pairs AS (
+            SELECT n1.nbr_v AS x, n2.nbr_v AS y, k.d
+            FROM (SELECT node, nb AS nbr_v FROM nbr) n1
+            JOIN (SELECT node, nb AS nbr_v FROM nbr) n2
+              ON n1.node = n2.node AND n1.nbr_v < n2.nbr_v
+            JOIN dg k ON k.node = n1.node),
+        scored AS (
+            SELECT x, y,
+                   CAST(count(*) AS BIGINT) AS common_neighbors,
+                   CAST(sum(1000000 // d) AS BIGINT) AS ra_micro,
+                   CAST(sum(CAST(floor(1000000.0 / round(ln(d), 6))
+                                 AS BIGINT)) AS BIGINT) AS aa_micro
+            FROM pairs GROUP BY x, y)
+        SELECT s.x AS part_a, s.y AS part_b,
+               s.common_neighbors, s.ra_micro, s.aa_micro
+        FROM scored s LEFT JOIN e ON s.x = e.a AND s.y = e.b
+        WHERE e.a IS NULL
+        ORDER BY s.aa_micro DESC, part_a, part_b LIMIT 100
+    """
 
     # the histogram-rank decile formula IS SQL ntile, so the oracle
     # can use the plain window; everything else integer + raw share
@@ -9519,6 +9683,59 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
         FROM documents WHERE doc_id % 31 = 0
+        ORDER BY doc_id
+    """
+
+    # Round-trip oracle for the REAL BMP pixel decode: recomputes the
+    # per-pixel recurrence (8-bit via the palette map, 24-bit direct)
+    # arithmetically — positive-operand integer mod, identical bits.
+    # first_r is p = 0 in TOP-DOWN image order: the encoder stores
+    # even ids bottom-up, so a decoder that ignores biHeight's sign
+    # passes the sums and fails exactly this column.
+    sql["multimodal_bmp_pixel_stats"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(2 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(1 + doc_id % 6 AS BIGINT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 24 END
+                        AS BIGINT) AS bpp
+            FROM documents WHERE doc_id % 27 != 0
+        ), exploded AS (
+            SELECT doc_id, width, height, bpp,
+                   unnest(range(0, width*height)) AS p
+            FROM base
+        ), px AS (
+            SELECT doc_id, width, height, bpp,
+                   CASE WHEN bpp = 8
+                        THEN (((doc_id + p*3) % 16)*19 + 5) % 256
+                        ELSE (doc_id*3 + p*7 + 1) % 256 END AS r,
+                   CASE WHEN bpp = 8
+                        THEN (((doc_id + p*3) % 16)*37 + 9) % 256
+                        ELSE (doc_id*5 + p*11 + 2) % 256 END AS g,
+                   CASE WHEN bpp = 8
+                        THEN (((doc_id + p*3) % 16)*53 + 13) % 256
+                        ELSE (doc_id*7 + p*13 + 3) % 256 END AS b
+            FROM exploded
+        ), stats AS (
+            SELECT doc_id, width, height, bpp,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   CAST(max(greatest(r, g, b)) AS BIGINT) AS peak
+            FROM px GROUP BY doc_id, width, height, bpp
+        )
+        SELECT doc_id, width, height,
+               CAST(width * height AS BIGINT) AS n_pixels, bpp,
+               sum_r, sum_g, sum_b,
+               CAST(CASE WHEN bpp = 8
+                    THEN ((doc_id % 16)*19 + 5) % 256
+                    ELSE (doc_id*3 + 1) % 256 END AS BIGINT) AS first_r,
+               peak
+        FROM stats
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL
+        FROM documents WHERE doc_id % 27 = 0
         ORDER BY doc_id
     """
 

@@ -1378,3 +1378,240 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# BMP: full pixel decode (BITMAPINFOHEADER, BI_RGB, 8-bit palettized and
+# 24-bit truecolor, both row orders). Third raster format with REAL pixel
+# decode after PNG and GIF — BMP is the one Windows-lineage format a
+# scraped-web corpus always contains, and its bottom-up default row order
+# is exactly the decode subtlety a "just read the bytes" pipeline gets
+# wrong (the first_r column exists to catch that: byte sums are
+# orientation-invariant, the top-left pixel is not).
+# Public spec: Windows BITMAPFILEHEADER/BITMAPINFOHEADER (MSDN), same
+# public-knowledge basis as encode_image_header's BMP branch above.
+# ---------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, pixels_rgb: bytes,
+               top_down: bool = False, palette=None,
+               indices: bytes | None = None) -> bytes:
+    """Build a REAL, spec-conformant BMP. Two modes:
+
+    * 24-bit BI_RGB: *pixels_rgb* = row-major top-down RGB bytes
+      (stored as BGR, rows padded to 4 bytes).
+    * 8-bit palettized: *palette* = list of (r, g, b), *indices* =
+      row-major top-down index bytes.
+
+    ``top_down=False`` stores rows bottom-up with positive biHeight
+    (the BMP default); ``top_down=True`` stores them in image order
+    with NEGATIVE biHeight — both forms are valid and the decoder
+    must handle both."""
+    if palette is not None:
+        bpp, n_colors = 8, len(palette)
+        stride = (width + 3) & ~3
+        rows = [indices[r * width:(r + 1) * width].ljust(stride, b"\0")
+                for r in range(height)]
+        pal_bytes = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    else:
+        bpp, n_colors = 24, 0
+        stride = (width * 3 + 3) & ~3
+        rows = []
+        for r in range(height):
+            row = bytearray()
+            for c in range(width):
+                p = (r * width + c) * 3
+                row += bytes((pixels_rgb[p + 2], pixels_rgb[p + 1],
+                              pixels_rgb[p]))          # RGB -> BGR
+            rows.append(bytes(row).ljust(stride, b"\0"))
+        pal_bytes = b""
+    if not top_down:
+        rows = rows[::-1]
+    data = b"".join(rows)
+    offset = 14 + 40 + len(pal_bytes)
+    bi_height = -height if top_down else height
+    info = ((40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + bi_height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + bpp.to_bytes(2, "little")
+            + (0).to_bytes(4, "little")                # BI_RGB
+            + len(data).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little")
+            + n_colors.to_bytes(4, "little")
+            + (0).to_bytes(4, "little"))
+    header = (b"BM" + (offset + len(data)).to_bytes(4, "little")
+              + bytes(4) + offset.to_bytes(4, "little"))
+    return header + info + pal_bytes + data
+
+
+def decode_bmp_pixels(payload: bytes):
+    """FULL BMP decode: header walk + palette load + row reorder.
+    Returns ``(width, height, bpp, rgb)`` with *rgb* the row-major
+    TOP-DOWN interleaved RGB bytes (bottom-up storage is reordered,
+    8-bit indices are palette-mapped), or None if the payload is not
+    a decodable BI_RGB 8/24-bit BMP — including a pixel array shorter
+    than the header promises (BMP has no CRC; the length check is the
+    honest integrity gate, same stance as the GIF truncation check)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    offset = int.from_bytes(payload[10:14], "little")
+    if int.from_bytes(payload[14:18], "little") != 40:
+        return None                                    # not BITMAPINFOHEADER
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    bi_height = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    n_colors = int.from_bytes(payload[46:50], "little")
+    if (width <= 0 or bi_height == 0 or planes != 1
+            or compression != 0 or bpp not in (8, 24)):
+        return None
+    height, top_down = abs(bi_height), bi_height < 0
+    if bpp == 8:
+        if n_colors == 0:
+            n_colors = 256
+        pal_off = 54
+        if len(payload) < pal_off + 4 * n_colors:
+            return None
+        palette = [
+            (payload[pal_off + 4 * i + 2], payload[pal_off + 4 * i + 1],
+             payload[pal_off + 4 * i])                 # BGRx -> (r, g, b)
+            for i in range(n_colors)]
+        stride = (width + 3) & ~3
+    else:
+        palette = None
+        stride = (width * 3 + 3) & ~3
+    if len(payload) < offset + stride * height:
+        return None                                    # truncated pixel array
+    rgb = bytearray()
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        row = payload[offset + src * stride:
+                      offset + src * stride + stride]
+        if bpp == 8:
+            for c in range(width):
+                ix = row[c]
+                if ix >= len(palette):
+                    return None                        # index out of palette
+                rgb += bytes(palette[ix])
+        else:
+            for c in range(width):
+                rgb += bytes((row[c * 3 + 2], row[c * 3 + 1],
+                              row[c * 3]))             # BGR -> RGB
+    return width, height, bpp, bytes(rgb)
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("bpp", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("first_r", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def _corpus_bmp_spec(doc_id: int):
+    """Deterministic (width, height, bpp, top_down) per doc id — the
+    arithmetic contract shared with the DuckDB oracle. 24-bit pixel p
+    (row-major TOP-DOWN image order): r = (doc_id·3 + p·7 + 1) % 256,
+    g = (doc_id·5 + p·11 + 2) % 256, b = (doc_id·7 + p·13 + 3) % 256.
+    8-bit (doc_id % 3 == 0): 16-entry palette i ↦ ((i·19+5)%256,
+    (i·37+9)%256, (i·53+13)%256), index p = (doc_id + p·3) % 16.
+    Odd ids store TOP-DOWN (negative height), even ids bottom-up —
+    the sums are orientation-invariant but first_r is not, so a
+    decoder that ignores row order fails parity. None for the
+    planted-corrupt ids (doc_id % 27 == 0): a valid BMP with its
+    last 3 pixel bytes cut, which the length gate must reject."""
+    if doc_id % 27 == 0:
+        return None
+    return (2 + doc_id % 9, 1 + doc_id % 6,
+            8 if doc_id % 3 == 0 else 24, doc_id % 2 == 1)
+
+
+def _bmp_palette():
+    return [((i * 19 + 5) % 256, (i * 37 + 9) % 256,
+             (i * 53 + 13) % 256) for i in range(16)]
+
+
+def synthesize_corpus_bmps(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """One REAL BMP per document id (mode/dimensions/pixels from
+    `_corpus_bmp_spec`'s recurrence, 8-bit palettized and 24-bit
+    truecolor alternating, BOTH row orders exercised). The planted-
+    corrupt ids get a valid BMP with its last 3 bytes cut — the pixel
+    array ends short of what the header promises."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_bmp_spec(doc_id)
+                if spec is None:
+                    pix = bytes((doc_id + p) % 256 for p in range(18))
+                    payloads.append(encode_bmp(2, 3, pix)[:-3])
+                    continue
+                w, h, bpp, top_down = spec
+                if bpp == 8:
+                    idx = bytes((doc_id + p * 3) % 16
+                                for p in range(w * h))
+                    payloads.append(encode_bmp(
+                        w, h, b"", top_down=top_down,
+                        palette=_bmp_palette(), indices=idx))
+                else:
+                    pix = bytearray()
+                    for p in range(w * h):
+                        pix += bytes(((doc_id * 3 + p * 7 + 1) % 256,
+                                      (doc_id * 5 + p * 11 + 2) % 256,
+                                      (doc_id * 7 + p * 13 + 3) % 256))
+                    payloads.append(encode_bmp(w, h, bytes(pix),
+                                               top_down=top_down))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def bmp_pixel_stats(media: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """FULL BMP decode over a binary column (:func:`decode_bmp_pixels`)
+    aggregated per row: per-channel sums, the TOP-LEFT pixel's red
+    (orientation witness) and the peak channel byte. NULLs for
+    undecodable payloads. Arrow-batched `mapInPandas`, narrow, zero
+    shuffles — the same 100-TB posture as the PNG/GIF decode stages."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("width", "height", "n_pixels", "bpp", "sum_r",
+                    "sum_g", "sum_b", "first_r", "peak")
+            rows = {k: [] for k in cols}
+            for p in pdf[payload_col]:
+                dec = decode_bmp_pixels(p)
+                if dec is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                w, h, bpp, rgb = dec
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["bpp"].append(bpp)
+                for c, k in enumerate(("sum_r", "sum_g", "sum_b")):
+                    rows[k].append(sum(rgb[c::3]))
+                rows["first_r"].append(rgb[0])
+                rows["peak"].append(max(rgb))
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for k, v in rows.items():
+                out[k] = pd.array(v, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, BMP_STATS_SCHEMA)

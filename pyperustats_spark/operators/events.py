@@ -1564,62 +1564,131 @@ def markov_removal_attribution(events: DataFrame,
             .orderBy("channel"))
 
 
-def kaplan_meier_churn(events: DataFrame, censor_days: int = 14,
-                       sort: bool = True) -> DataFrame:
-    """Kaplan–Meier survival curve of user lifetime (days from first
-    to last activity), with right-censoring: users still active within
-    *censor_days* of the corpus horizon are censored (their true
-    lifetime is unknown, not ended) — THE estimator for "how long do
-    users stay", because naive mean-lifetime silently treats every
-    still-active user as churned. Returns one row per observed churn
-    time: (t_days, n_at_risk, n_churned, log_survival).
+def _conversion_observations(events: DataFrame,
+                             event_type: str = "purchase"):
+    """Shared observation model for the survival estimators below:
+    per user, T = whole hours from FIRST activity to FIRST
+    *event_type* event; users who never emit one are right-censored
+    at the corpus horizon. The hour index is integer-micros floor
+    division in BOTH engines (CLAUDE.md: the cross-engine-safe time
+    bucket — DuckDB's date_diff counts boundary crossings, not
+    truncated spans, so neither side uses it). Returns
+    (t_hours, _converted) rows — one per user."""
+    span = events.agg(F.max("ts").alias("_hz"))
+    users = (events.groupBy("user_id")
+             .agg(F.min("ts").alias("_first"),
+                  F.min(F.when(F.col("event_type") == event_type,
+                               F.col("ts"))).alias("_conv")))
+    return users.crossJoin(F.broadcast(span)).select(
+        F.floor(
+            (F.unix_micros(F.coalesce(F.col("_conv"), F.col("_hz")))
+             - F.unix_micros(F.col("_first"))) / 3600000000
+        ).cast("bigint").alias("t_hours"),
+        F.col("_conv").isNotNull().cast("int").alias("_converted"),
+    )
+
+
+def kaplan_meier_conversion(events: DataFrame,
+                            event_type: str = "purchase",
+                            sort: bool = True) -> DataFrame:
+    """Kaplan–Meier survival curve of time-to-first-*event_type*
+    (hours from a user's first activity), with right-censoring: users
+    who never convert are censored at the corpus horizon — THE
+    estimator for "how long until users buy", because a naive mean
+    silently treats never-converters as converting at the horizon.
+    One row per observed conversion time:
+    (t_hours, n_at_risk, n_converted, log_survival).
 
     Survival is shipped in LOG space: S(t) = Π(1 − dᵢ/nᵢ) is a product
     of rationals whose float exp differs by ulps cross-engine, but
     log S(t) = Σ ln(1 − dᵢ/nᵢ) follows the CLAUDE.md ln recipe exactly
     — each ln of a bit-identical int/int ratio snaps to the 1e-6 grid,
-    and the running sum is an ORDERED cumulative window over churn
+    and the running sum is an ORDERED cumulative window over event
     times (deterministic accumulation) shipped raw. Consumers exp()
-    it locally. One shuffle per-user, one tiny per-time frame."""
-    span = events.agg(F.max(F.date_trunc("day", F.col("ts")))
-                      .alias("_hz"))
-    users = (events.groupBy("user_id")
-             .agg(F.date_trunc("day", F.min("ts")).alias("_first"),
-                  F.date_trunc("day", F.max("ts")).alias("_last")))
-    obs = users.crossJoin(F.broadcast(span)).select(
-        F.datediff(F.col("_last"), F.col("_first")).alias("t_days"),
-        (F.datediff(F.col("_hz"), F.col("_last")) >= censor_days)
-        .cast("int").alias("_churned"),
-    )
+    it locally. One per-user shuffle, then a tiny per-time frame
+    (|distinct hours| rows) — the global window is bounded, not a
+    straggler risk."""
+    obs = _conversion_observations(events, event_type)
     n_total = obs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
-    per_t = (obs.groupBy("t_days")
-             .agg(F.sum("_churned").alias("n_churned"),
+    per_t = (obs.groupBy("t_hours")
+             .agg(F.sum("_converted").alias("n_converted"),
                   F.count(F.lit(1)).alias("_ended")))
-    w = Window.orderBy("t_days").rowsBetween(
+    w = Window.orderBy("t_hours").rowsBetween(
         Window.unboundedPreceding, -1)
-    wc = Window.orderBy("t_days").rowsBetween(
+    wc = Window.orderBy("t_hours").rowsBetween(
         Window.unboundedPreceding, 0)
     curve = (per_t.crossJoin(F.broadcast(n_total))
              .select(
-                 "t_days", "n_churned", "_ended",
+                 "t_hours",
+                 F.col("n_converted").cast("bigint")
+                 .alias("n_converted"), "_ended",
                  (F.col("_n") - F.coalesce(F.sum("_ended").over(w),
                                            F.lit(0)))
-                 .cast("bigint").alias("n_at_risk"))
-             .where(F.col("n_churned") > 0))
+                 .cast("bigint").alias("n_at_risk")))
     # d == n_at_risk means the curve hits S = 0 (ln 0): Spark's log
     # NULLs there while DuckDB returns -inf — both sides spell the
     # same CASE instead: the term is NULL and the row's log_survival
     # is NULL (curve terminated), never a silent engine divergence
     term = F.when(
-        F.col("n_churned") < F.col("n_at_risk"),
-        F.round(F.log(F.lit(1.0) - F.col("n_churned")
+        (F.col("n_converted") > 0)
+        & (F.col("n_converted") < F.col("n_at_risk")),
+        F.round(F.log(F.lit(1.0) - F.col("n_converted")
                       / F.col("n_at_risk")), 6))
+    out = (curve.select(
+               "t_hours", "n_at_risk", "n_converted",
+               F.when(F.col("n_converted") < F.col("n_at_risk"),
+                      F.sum(term).over(wc)).alias("log_survival"))
+           .where(F.col("n_converted") > 0))
+    return out.orderBy("t_hours") if sort else out
+
+
+def nelson_aalen_conversion(events: DataFrame,
+                            event_type: str = "purchase",
+                            sort: bool = True) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve of time-to-first-
+    *event_type* — the estimator sibling of
+    :func:`kaplan_meier_conversion` (same observation model). Where
+    KM multiplies survival factors, Nelson–Aalen SUMS hazard
+    increments — H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ — which is both the better
+    small-sample cumulative-hazard estimator (Aalen 1978) and the
+    cross-engine-friendlier one: every increment is an int/int IEEE
+    division (bit-identical by the CLAUDE.md ratio rule, NO ln
+    involved), and the running sum is an ORDERED cumulative window,
+    so both engines accumulate the same bits in the same order —
+    shipped raw, no rounding anywhere. Also ships the Poisson-type
+    variance Σ dᵢ/nᵢ² under the same contract. One row per observed
+    conversion time:
+    (t_hours, n_at_risk, n_converted, cum_hazard, cum_hazard_var).
+
+    Scale shape = kaplan_meier_conversion's: one per-user shuffle,
+    then a per-time frame that is tiny (|distinct hours| rows)."""
+    obs = _conversion_observations(events, event_type)
+    n_total = obs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    per_t = (obs.groupBy("t_hours")
+             .agg(F.sum("_converted").alias("n_converted"),
+                  F.count(F.lit(1)).alias("_ended")))
+    w = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, 0)
+    curve = (per_t.crossJoin(F.broadcast(n_total))
+             .select(
+                 "t_hours",
+                 F.col("n_converted").cast("bigint")
+                 .alias("n_converted"), "_ended",
+                 (F.col("_n") - F.coalesce(F.sum("_ended").over(w),
+                                           F.lit(0)))
+                 .cast("bigint").alias("n_at_risk"))
+             .where(F.col("n_converted") > 0))
     out = curve.select(
-        "t_days", "n_at_risk", "n_churned",
-        F.when(F.col("n_churned") < F.col("n_at_risk"),
-               F.sum(term).over(wc)).alias("log_survival"),
+        "t_hours", "n_at_risk", "n_converted",
+        F.sum(F.col("n_converted") / F.col("n_at_risk")).over(wc)
+        .alias("cum_hazard"),
+        F.sum(F.col("n_converted")
+              / (F.col("n_at_risk") * F.col("n_at_risk"))).over(wc)
+        .alias("cum_hazard_var"),
     )
-    return out.orderBy("t_days") if sort else out
+    return out.orderBy("t_hours") if sort else out
 
 
 def cuped_ab_readout(events: DataFrame, event_type: str = "purchase",

@@ -777,3 +777,91 @@ def degree_distribution(edges: DataFrame, sort: bool = True) -> DataFrame:
                 .alias("share"))
     )
     return out.orderBy("degree") if sort else out
+
+
+def adamic_adar_topk(edges: DataFrame, k: int = 100,
+                     max_deg: int = 64) -> DataFrame:
+    """Link prediction over an undirected edge list ``(a, b)`` (a < b,
+    distinct): score every NON-adjacent pair that shares at least one
+    neighbour by the classic triad-closure indices (Liben-Nowell &
+    Kleinberg 2003) and return the top *k* — "parts that are not yet
+    bought together but plausibly will be", the predictive face of
+    :func:`copurchase_triangle_stats`' descriptive census. One row per
+    predicted pair: (part_a, part_b, common_neighbors, ra_micro,
+    aa_micro) — common-neighbour count, Resource Allocation Σ 1/deg(z)
+    and Adamic–Adar Σ 1/ln(deg(z)), both in integer micro-units.
+
+    Exactness contract (CLAUDE.md cross-engine rules): a plain double
+    sum is merge-order-nondeterministic, so NO double is ever summed.
+    RA terms are ``1000000 div deg`` (integer division, truncating,
+    positive operands — Spark ``div`` == DuckDB ``//`` here); AA terms
+    are ``floor(1e6 / round(ln(deg), 6))`` — ln snapped to the 1e-6
+    grid per the ln recipe, the division of two bit-identical doubles
+    is correctly rounded IEEE, and floor lands it in bigint. Both
+    scores then accumulate as exact integer sums. deg(z) ≥ 2 for any
+    common neighbour by construction, so ln is never 0.
+
+    Scale shape:
+    * Candidate generation is the bucketed collect_list gather +
+      in-array pair idiom (never a self-join): one shuffle gathers
+      each witness node's full neighbour list, ordered pairs emit
+      from chained explodes, so a pair (x, y) is scored once per
+      shared neighbour z and the groupBy below folds them map-side.
+    * *max_deg* caps the witness fan-out: a hub node's O(deg²) pair
+      emission is the one quadratic in this shape, and hubs carry the
+      LEAST per-witness signal (1/ln deg, 1/deg → 0), so dropping
+      witnesses above the cap is the standard df-cap semantics
+      (documented, mirrored exactly in the oracle) — the same guard
+      class as the LSH max-bucket and inverted-index df caps.
+    * Only (x, y, deg) integer triples ride the pair shuffle; the
+      anti-join back onto ``edges`` removes already-adjacent pairs
+      (predicting the present is not prediction). ``edges`` is
+      referenced twice (neighbour build + anti-join) and therefore
+      persisted (Catalyst re-runs common subtrees per reference).
+    * The final orderBy(desc aa, x, y).limit(k) is a
+      TakeOrderedAndProject — no global sort materializes; the full
+      (x, y) tiebreak makes the cut deterministic cross-engine.
+
+    Reference analog: the reference's frequency rollups
+    (perustats/BCRP/metadata.py) count what co-occurs; this scores
+    what is MISSING from the co-occurrence structure."""
+    edges = edges.persist()
+    nbr = (
+        edges.select(F.explode(F.array(
+            F.struct(F.col("a").alias("node"), F.col("b").alias("nb")),
+            F.struct(F.col("b").alias("node"), F.col("a").alias("nb")),
+        )).alias("_e"))
+        .select("_e.node", "_e.nb")
+    )
+    adj = (
+        nbr.groupBy("node")
+        .agg(F.array_sort(F.collect_list("nb")).alias("vs"))
+        .where((F.size("vs") >= 2) & (F.size("vs") <= max_deg))
+        .select("vs", F.size("vs").cast("bigint").alias("_d"))
+    )
+    pairs = (
+        adj.select(F.explode("vs").alias("x"), F.col("vs"), F.col("_d"))
+        .select("x", F.explode("vs").alias("y"), F.col("_d"))
+        .where(F.col("x") < F.col("y"))
+    )
+    scored = (
+        pairs.groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(F.expr("1000000 div _d")).cast("bigint")
+            .alias("ra_micro"),
+            F.sum(F.floor(F.lit(1000000.0)
+                          / F.round(F.log(F.col("_d")), 6))
+                  .cast("bigint")).cast("bigint").alias("aa_micro"),
+        )
+    )
+    out = (
+        scored.join(
+            edges.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"], "left_anti")
+        .select(F.col("x").alias("part_a"), F.col("y").alias("part_b"),
+                "common_neighbors", "ra_micro", "aa_micro")
+        .orderBy(F.desc("aa_micro"), "part_a", "part_b")
+        .limit(k)
+    )
+    return out

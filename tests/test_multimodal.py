@@ -411,3 +411,91 @@ def test_gif_pixel_stats_operator_matches_local_decode(spark):
         assert r["sum_g"] == sum(pal[i][1] for i in idx)
         assert r["sum_b"] == sum(pal[i][2] for i in idx)
         assert r["max_index"] == max(idx)
+
+
+def test_bmp_round_trip_all_modes():
+    """decode(encode(x)) == x for 24-bit and 8-bit palettized BMPs,
+    both row orders, widths that exercise every stride padding
+    (w*3 % 4 and w % 4 over 0..3)."""
+    import random
+
+    rng = random.Random(11)
+    pal = MM._bmp_palette()
+    for w in (1, 2, 3, 4, 5, 7, 8):
+        for h in (1, 2, 3):
+            for td in (False, True):
+                pix = bytes(rng.randrange(256) for _ in range(w * h * 3))
+                assert MM.decode_bmp_pixels(
+                    MM.encode_bmp(w, h, pix, top_down=td)
+                ) == (w, h, 24, pix)
+                idx = bytes(rng.randrange(16) for _ in range(w * h))
+                exp = b"".join(bytes(pal[i]) for i in idx)
+                assert MM.decode_bmp_pixels(
+                    MM.encode_bmp(w, h, b"", top_down=td,
+                                  palette=pal, indices=idx)
+                ) == (w, h, 8, exp)
+
+
+def test_bmp_orientation_changes_pixel_order_not_sums():
+    """The bottom-up and top-down encodings of the same image decode
+    to the SAME rgb bytes (the decoder normalizes to image order) —
+    and a bottom-up file really does store rows reversed on disk."""
+    w, h = 2, 3
+    pix = bytes(range(w * h * 3))
+    up = MM.encode_bmp(w, h, pix, top_down=False)
+    down = MM.encode_bmp(w, h, pix, top_down=True)
+    assert up != down
+    assert MM.decode_bmp_pixels(up) == MM.decode_bmp_pixels(down)
+    # raw pixel area differs: first stored row of the bottom-up file
+    # is the LAST image row
+    off = 54
+    stride = (w * 3 + 3) & ~3
+    assert up[off:off + stride] == down[off + 2 * stride:
+                                        off + 3 * stride]
+
+
+def test_bmp_decode_rejects_corruption():
+    good = MM.encode_bmp(3, 2, bytes(18))
+    for cut in (10, 53, len(good) - 1):
+        assert MM.decode_bmp_pixels(good[:cut]) is None, cut
+    assert MM.decode_bmp_pixels(b"XX" + good[2:]) is None
+    # non-BI_RGB compression rejected
+    bad = bytearray(good)
+    bad[30] = 1
+    assert MM.decode_bmp_pixels(bytes(bad)) is None
+    # unsupported bpp rejected
+    bad = bytearray(good)
+    bad[28] = 16
+    assert MM.decode_bmp_pixels(bytes(bad)) is None
+    # palette index beyond the declared color table -> None
+    pal4 = MM._bmp_palette()[:4]
+    p8 = bytearray(MM.encode_bmp(2, 1, b"", palette=pal4,
+                                 indices=bytes([1, 3])))
+    p8[54 + 16 + 1] = 9          # second index now >= n_colors
+    assert MM.decode_bmp_pixels(bytes(p8)) is None
+
+
+def test_bmp_pixel_stats_operator_matches_local_decode(spark):
+    ids = spark.range(0, 60).selectExpr("id AS doc_id")
+    out = {r["doc_id"]: r for r in MM.bmp_pixel_stats(
+        MM.synthesize_corpus_bmps(ids)).collect()}
+    assert len(out) == 60
+    pal = MM._bmp_palette()
+    for d in range(60):
+        spec = MM._corpus_bmp_spec(d)
+        r = out[d]
+        if spec is None:
+            assert r["width"] is None and r["first_r"] is None
+            continue
+        w, h, bpp, _ = spec
+        if bpp == 8:
+            rgb = [pal[(d + p * 3) % 16] for p in range(w * h)]
+        else:
+            rgb = [((d * 3 + p * 7 + 1) % 256, (d * 5 + p * 11 + 2) % 256,
+                    (d * 7 + p * 13 + 3) % 256) for p in range(w * h)]
+        assert (r["width"], r["height"], r["bpp"]) == (w, h, bpp)
+        assert r["sum_r"] == sum(c[0] for c in rgb)
+        assert r["sum_g"] == sum(c[1] for c in rgb)
+        assert r["sum_b"] == sum(c[2] for c in rgb)
+        assert r["first_r"] == rgb[0][0]
+        assert r["peak"] == max(max(c) for c in rgb)

@@ -5123,3 +5123,89 @@ def test_ann_hamming_rerank_exhaustive_equals_knn_and_recall(spark, tables):
     got = {(r["query_id"], r["vec_id"]) for r in small}
     recall = len(got & want) / len(want)
     assert recall >= 0.8, recall     # floor: measured 0.93
+
+
+def test_adamic_adar_scores_on_known_graph(spark):
+    """Path a-b-c plus a square 1-2-3-4: hand-computed AA/RA/CN.
+    In the square (edges 12, 23, 34, 14) the diagonals (1,3) and
+    (2,4) each have TWO common neighbours of degree 2; the path's
+    (10,12) has one. All adjacent pairs must be absent."""
+    import math
+    from pyperustats_spark.operators.graph import adamic_adar_topk
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12),                 # path 10-11-12
+         (1, 2), (2, 3), (3, 4), (1, 4)],    # 4-cycle
+        ["a", "b"])
+    rows = {(r["part_a"], r["part_b"]): r
+            for r in adamic_adar_topk(edges).collect()}
+    aa2 = int(math.floor(1e6 / round(math.log(2), 6)))
+    assert set(rows) == {(10, 12), (1, 3), (2, 4)}
+    assert rows[(10, 12)]["common_neighbors"] == 1
+    assert rows[(10, 12)]["ra_micro"] == 500000
+    assert rows[(10, 12)]["aa_micro"] == aa2
+    for pair in [(1, 3), (2, 4)]:
+        assert rows[pair]["common_neighbors"] == 2
+        assert rows[pair]["ra_micro"] == 1000000
+        assert rows[pair]["aa_micro"] == 2 * aa2
+
+
+def test_adamic_adar_max_deg_cap_drops_hub_witnesses(spark):
+    """A hub joined to 5 leaves with max_deg=4: the hub is the only
+    shared neighbour, so capping it empties the prediction set; the
+    leaves (deg 1) are never witnesses."""
+    from pyperustats_spark.operators.graph import adamic_adar_topk
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["a", "b"])
+    assert adamic_adar_topk(edges, max_deg=4).count() == 0
+    # raising the cap brings the 10 leaf pairs back
+    assert adamic_adar_topk(edges, max_deg=8).count() == 10
+
+
+def test_nelson_aalen_conversion_hand_computed(spark):
+    """Three users: u1 converts in hour 0, u2 in hour 2, u3 never
+    (censored at the horizon, hour 2). H(0) = 1/3; H(2) = 1/3 + 1/2.
+    Variance: 1/9 then 1/9 + 1/4."""
+    import datetime as dt
+    from pyperustats_spark.operators.events import nelson_aalen_conversion
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    ev = spark.createDataFrame(
+        [(1, "u1", "view", ts(0)), (2, "u1", "purchase", ts(30)),
+         (3, "u2", "view", ts(0)), (4, "u2", "purchase", ts(125)),
+         (5, "u3", "view", ts(0)), (6, "u3", "click", ts(125))],
+        ["event_id", "user_id", "event_type", "ts"])
+    out = nelson_aalen_conversion(ev).collect()
+    assert [(r["t_hours"], r["n_at_risk"], r["n_converted"])
+            for r in out] == [(0, 3, 1), (2, 2, 1)]
+    assert abs(out[0]["cum_hazard"] - 1 / 3) < 1e-15
+    assert abs(out[1]["cum_hazard"] - (1 / 3 + 1 / 2)) < 1e-15
+    assert abs(out[1]["cum_hazard_var"] - (1 / 9 + 1 / 4)) < 1e-15
+
+
+def test_km_conversion_censoring_shapes_risk_set(spark):
+    """Same fixture: KM log-survival at t=0 is ln(2/3); at t=2 the
+    censored user still counts in the risk set (n=2, d=1) so the
+    cumulative is ln(2/3) + ln(1/2), both on the 1e-6 grid."""
+    import datetime as dt
+    import math
+    from pyperustats_spark.operators.events import kaplan_meier_conversion
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    ev = spark.createDataFrame(
+        [(1, "u1", "view", ts(0)), (2, "u1", "purchase", ts(30)),
+         (3, "u2", "view", ts(0)), (4, "u2", "purchase", ts(125)),
+         (5, "u3", "view", ts(0)), (6, "u3", "click", ts(125))],
+        ["event_id", "user_id", "event_type", "ts"])
+    out = kaplan_meier_conversion(ev).collect()
+    exp0 = round(math.log(1 - 1 / 3), 6)
+    exp2 = exp0 + round(math.log(1 - 1 / 2), 6)
+    assert [(r["t_hours"], r["n_at_risk"], r["n_converted"])
+            for r in out] == [(0, 3, 1), (2, 2, 1)]
+    assert abs(out[0]["log_survival"] - exp0) < 1e-12
+    assert abs(out[1]["log_survival"] - exp2) < 1e-12

@@ -123,6 +123,8 @@ BROADCAST_HINT_WHITELIST = {
                                   # vocabulary-bounded
     "ev_decay_value",             # 1-row global max-timestamp
     "ev_kaplan_meier",            # 1-row horizon + 1-row session total
+    "ev_conversion_survival",     # 1-row horizon + 1-row user total
+    "ev_hazard_cumulative",       # 1-row horizon + 1-row user total
     "q_benford_digits",           # 1-row chi-square scalar
     "ev_kll_quantiles",           # (type x quantile) estimate rows —
                                   # bounded by type cardinality
@@ -550,6 +552,10 @@ PLAN_SMELL_WHITELIST = {
                                                 # 1-row session total;
                                                 # curve windows ordered
                                                 # over per-duration rows
+    "ev_conversion_survival": {"BNLJ", "SINGLE_PART"},  # same shape:
+                                                # 1-row horizon/total,
+                                                # per-hour curve frame
+    "ev_hazard_cumulative": {"BNLJ", "SINGLE_PART"},    # same shape
                                                 # (bounded by distinct
                                                 # durations)
     "q_revenue_gini": {"BNLJ", "SINGLE_PART"},  # 1-row bounds cross
