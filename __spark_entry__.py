@@ -1274,6 +1274,15 @@ def ev_cuped_ab(spark, sf_dir):
     return E.cuped_ab_readout(_lt(spark, sf_dir, "events"))
 
 
+def ev_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences readout on the shared hash-assigned
+    experiment frame (same md5 split + midpoint pre/post as
+    ev_cuped_ab): DiD = (post-pre)_treatment - (post-pre)_control,
+    all means DOUBLE(exact cents)/(100*DOUBLE(n)) — bit-identical
+    quotients, shipped raw."""
+    return E.diff_in_diff_readout(_lt(spark, sf_dir, "events"))
+
+
 def ev_kaplan_meier(spark, sf_dir):
     """Kaplan-Meier session-duration survival curve with
     right-censoring at the corpus horizon; survival shipped in LOG
@@ -1638,6 +1647,15 @@ def ts_ewma_exact(spark, sf_dir):
 
 def ts_holt_winters(spark, sf_dir):
     return TS.holt_winters(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def ts_hp_filter(spark, sf_dir):
+    """Hodrick-Prescott trend/cycle decomposition per series (λ=1600):
+    pentadiagonal normal equations solved in O(n) with a banded LDLT
+    factorization inside applyInPandas — rows-only (float linear
+    system), pytest-pinned against a dense np.linalg.solve oracle,
+    the λ=0 identity and the linear-series exact-fit property."""
+    return TS.hp_filter(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
 def ts_series_depth_profile(spark, sf_dir):
@@ -2008,6 +2026,26 @@ def multimodal_bmp_pixel_stats(spark, sf_dir):
     docs = ensure_parallelism(
         _lt(spark, sf_dir, "documents").select("doc_id"))
     return MM.bmp_pixel_stats(MM.synthesize_corpus_bmps(docs)) \
+        .orderBy("doc_id")
+
+
+def multimodal_tiff_meta(spark, sf_dir):
+    """REAL TIFF metadata decode, oracle-backed (r11): synthesize one
+    multi-page TIFF per document id — byte order FLIPS per id (II
+    little-endian / MM big-endian are equally valid TIFF), page count
+    1-3 via a genuine IFD linked-list chain, LONG and SHORT tag types
+    both exercised, a first-IFD offset pointing past EOF planted every
+    37th id — then walk the binary column back with
+    binary_ops.parse_tiff inside Arrow mapInPandas (endian, page
+    count, first-page dims + bit depth, total pixels across pages).
+    The DuckDB oracle recomputes every field arithmetically, the
+    cross-page pixel total via unnest(range(n_pages))."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.tiff_meta(MM.synthesize_corpus_tiffs(docs)) \
         .orderBy("doc_id")
 
 
@@ -3075,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_weekday_profile": ev_weekday_profile,
         "ev_markov_attribution": ev_markov_attribution,
         "ev_kaplan_meier": ev_kaplan_meier,
+        "ev_diff_in_diff": ev_diff_in_diff,
         "ev_conversion_survival": ev_conversion_survival,
         "ev_hazard_cumulative": ev_hazard_cumulative,
         "ev_cuped_ab": ev_cuped_ab,
@@ -3164,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
         "multimodal_gif_pixel_stats": multimodal_gif_pixel_stats,
         "multimodal_bmp_pixel_stats": multimodal_bmp_pixel_stats,
+        "multimodal_tiff_meta": multimodal_tiff_meta,
         "multimodal_mp4_meta": multimodal_mp4_meta,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
@@ -3193,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_gap_stats_approx": ev_gap_stats_approx,
         "ts_ewma": ts_ewma,
         "ts_holt_winters": ts_holt_winters,
+        "ts_hp_filter": ts_hp_filter,
         "ts_forecast_backtest": ts_forecast_backtest,
         "dedup_incremental": dedup_incremental,
         "dedup_incremental_bloom": dedup_incremental_bloom,
@@ -3294,31 +3335,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ev_attribution_first, ev_funnel_steps, ev_gap_stats,
 # ev_retention_cohorts, ev_top_paths, infogob_location_canonical.
 _WINDOW = [
-    # round-11 new/changed oracles (never countersigned in this form;
-    # ts_hw_seasonal_exact re-enters because its replay cap changed
-    # the oracle semantics — now 365 steps, cheap at any SF)
-    "infogob_candidate_affiliations", "infogob_affiliation_fields",
-    "ts_series_depth_profile", "ts_hw_seasonal_exact",
-    "ann_hamming_topk", "multimodal_gif_pixel_stats",
-    # oldest countersigns, rotated in per policy
-    "dedup_stats_by_source",
-    "embedding_norm_profile", "ev_active_users", "ev_attribution",
-    "ev_burst_profile", "ev_funnel_within", "ev_power_users",
-    "ev_session_stats", "ev_skew_profile", "ev_transitions",
-    "inei_stage_plan", "infogob_candidate_detail_counts",
-    "infogob_candidates_by_election", "infogob_candidates_pending",
-    "infogob_location_hierarchy", "infogob_org_pending",
-    "infogob_results_by_region", "q10_returned_items",
-    "q12_flag_priority", "q13_order_distribution", "q14_promo_share",
-    "q15_top_supplier", "q19_disjunctive_revenue", "q22_rich_inactive",
-    "q4_order_priority", "q7_nation_volume", "q_customer_quartiles",
-    "q_orphan_check", "split_leakage_safe", "stats_mad_outliers",
-    "stats_winsorize", "text_bigram_logprob", "text_decontaminate",
-    "text_drop_short_tail", "text_length_histogram",
-    "text_quality_by_source", "text_source_mix_sample",
-    "text_tfidf_top_terms", "text_token_budget_sample",
-    "text_unigram_logprob", "ts_acf", "ts_seasonal_index",
-    "ts_trend_ma", "ts_xcorr",
+    "graph_part_adamic_adar", "multimodal_bmp_pixel_stats",
+    "multimodal_tiff_meta", "ev_conversion_survival",
+    "ev_hazard_cumulative", "ev_diff_in_diff", "ann_hamming_topk",
+    "infogob_affiliation_fields", "infogob_candidate_affiliations",
+    "multimodal_gif_pixel_stats", "ts_series_depth_profile",
+    "dedup_stats_by_source", "embedding_norm_profile",
+    "ev_active_users", "ev_attribution", "ev_burst_profile",
+    "ev_funnel_within", "ev_power_users", "ev_session_stats",
+    "ev_skew_profile", "ev_transitions", "inei_stage_plan",
+    "infogob_candidate_detail_counts", "infogob_candidates_by_election",
+    "infogob_candidates_pending", "infogob_location_hierarchy",
+    "infogob_org_pending", "infogob_results_by_region",
+    "q10_returned_items", "q12_flag_priority", "q13_order_distribution",
+    "q14_promo_share", "q15_top_supplier", "q19_disjunctive_revenue",
+    "q22_rich_inactive", "q4_order_priority", "q7_nation_volume",
+    "q_customer_quartiles", "q_orphan_check", "split_leakage_safe",
+    "stats_mad_outliers", "stats_winsorize", "text_bigram_logprob",
+    "text_decontaminate", "text_drop_short_tail",
+    "text_length_histogram", "text_quality_by_source",
+    "text_source_mix_sample", "text_tfidf_top_terms",
+    "text_token_budget_sample",
 ]
 
 
@@ -7031,6 +7068,84 @@ def oracle_sql() -> dict[str, str]:
         FROM calc ORDER BY variant
     """.replace("pooled_src", "pv")
 
+    # DiD twin of the CUPED oracle: same span/assignment CTEs, only
+    # first moments needed; means are DOUBLE(exact-int)/(100·DOUBLE(n))
+    # guarded by the same CASE as Spark (empty variant -> NULL, not inf)
+    sql["ev_diff_in_diff"] = """
+        WITH span AS (
+            SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+                   CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+            FROM events
+        ),
+        ev AS (
+            SELECT user_id,
+                   datediff('day', span.d0,
+                            CAST(date_trunc('day', ts) AS TIMESTAMP))
+                       < floor(datediff('day', span.d0, span.d1) / 2) + 1
+                       AS pre,
+                   round(value, 2) AS v
+            FROM events, span WHERE event_type = 'purchase'
+        ),
+        pu AS (
+            SELECT user_id,
+                   CAST(round(sum(CASE WHEN pre THEN v ELSE 0.0 END)
+                              * 100) AS BIGINT) AS x,
+                   CAST(round(sum(CASE WHEN NOT pre THEN v ELSE 0.0 END)
+                              * 100) AS BIGINT) AS y
+            FROM ev GROUP BY user_id
+        ),
+        pv0 AS (
+            SELECT CASE WHEN CAST('0x' || substring(
+                           md5('exp1:' || CAST(user_id AS VARCHAR)),
+                           1, 4) AS INT) % 2 = 0
+                        THEN 'control' ELSE 'treatment' END AS variant,
+                   x, y
+            FROM pu
+        ),
+        pv AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy
+            FROM pv0 GROUP BY variant
+        ),
+        one AS (
+            SELECT
+                CAST(coalesce(max(CASE WHEN variant = 'control'
+                                  THEN n_users END), 0) AS BIGINT)
+                    AS n_control,
+                CAST(coalesce(max(CASE WHEN variant = 'treatment'
+                                  THEN n_users END), 0) AS BIGINT)
+                    AS n_treatment,
+                max(CASE WHEN variant = 'control' THEN sx END) AS cx,
+                max(CASE WHEN variant = 'control' THEN sy END) AS cy,
+                max(CASE WHEN variant = 'treatment' THEN sx END) AS tx,
+                max(CASE WHEN variant = 'treatment' THEN sy END) AS ty
+            FROM pv
+        ),
+        means AS (
+            SELECT n_control, n_treatment,
+                   CASE WHEN n_control > 0 THEN CAST(cx AS DOUBLE)
+                        / (100.0 * CAST(n_control AS DOUBLE)) END
+                       AS mean_pre_control,
+                   CASE WHEN n_control > 0 THEN CAST(cy AS DOUBLE)
+                        / (100.0 * CAST(n_control AS DOUBLE)) END
+                       AS mean_post_control,
+                   CASE WHEN n_treatment > 0 THEN CAST(tx AS DOUBLE)
+                        / (100.0 * CAST(n_treatment AS DOUBLE)) END
+                       AS mean_pre_treatment,
+                   CASE WHEN n_treatment > 0 THEN CAST(ty AS DOUBLE)
+                        / (100.0 * CAST(n_treatment AS DOUBLE)) END
+                       AS mean_post_treatment
+            FROM one
+        )
+        SELECT n_control, n_treatment, mean_pre_control,
+               mean_post_control, mean_pre_treatment,
+               mean_post_treatment,
+               (mean_post_treatment - mean_pre_treatment)
+                   - (mean_post_control - mean_pre_control) AS did
+        FROM means
+    """
+
     sql["ev_kaplan_meier"] = """
         WITH flagged AS (
             SELECT user_id, ts, event_id,
@@ -9736,6 +9851,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                NULL, NULL
         FROM documents WHERE doc_id % 27 = 0
+        ORDER BY doc_id
+    """
+
+    # Round-trip oracle for the REAL TIFF metadata decode: endian /
+    # page count / dims / bit depth all pure integer arithmetic on
+    # doc_id; total_pixels sums page products via unnest(range()).
+    sql["multimodal_tiff_meta"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                       AS endian,
+                   CAST(1 + doc_id % 3 AS BIGINT) AS n_pages,
+                   CAST([8, 16, 32][CAST(doc_id % 3 AS INT) + 1]
+                        AS BIGINT) AS bits
+            FROM documents WHERE doc_id % 37 != 0
+        ), exploded AS (
+            SELECT doc_id, unnest(range(0, n_pages)) AS k
+            FROM base
+        ), totals AS (
+            SELECT doc_id,
+                   CAST(sum((8 + (doc_id*5 + k*7) % 120)
+                            * (4 + (doc_id*3 + k*11) % 80))
+                        AS BIGINT) AS total_pixels
+            FROM exploded GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.endian, b.n_pages,
+               CAST(8 + (b.doc_id*5) % 120 AS BIGINT) AS width,
+               CAST(4 + (b.doc_id*3) % 80 AS BIGINT) AS height,
+               b.bits, t.total_pixels
+        FROM base b JOIN totals t USING (doc_id)
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 37 = 0
         ORDER BY doc_id
     """
 

@@ -1615,3 +1615,196 @@ def bmp_pixel_stats(media: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_batches, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF: REAL metadata decode via the IFD chain walk — the one mainstream
+# image container that is BYTE-ORDER POLYMORPHIC (II little-endian and MM
+# big-endian files are equally valid), and the one whose page count is a
+# linked-list traversal rather than a header field. Public spec: TIFF 6.0
+# (Adobe, 1992). Sibling of parse_mp4's box walk: container metadata a
+# routing/stats pipeline needs, with pixel codecs (LZW/JPEG-in-TIFF)
+# correctly out of scope behind the codec gate.
+# ---------------------------------------------------------------------------
+
+_TIFF_MAX_PAGES = 64      # cycle/self-link guard for the IFD chain walk
+
+
+def encode_tiff(pages, endian: str = "II") -> bytes:
+    """Build a REAL multi-page TIFF: 8-byte header + one IFD per
+    (width, height, bits) page, chained by next-IFD offsets. Each IFD
+    carries ImageWidth(256, LONG), ImageLength(257, LONG),
+    BitsPerSample(258, SHORT), Compression(259, SHORT, =1 none) and
+    PhotometricInterpretation(262, SHORT, =1) — all values inline
+    (left-justified in the 4-byte value field per the spec)."""
+    bo = "little" if endian == "II" else "big"
+
+    def _entry(tag, typ, value):
+        # type 3 = SHORT (2 bytes, left-justified), 4 = LONG
+        v = (value.to_bytes(2, bo) + b"\0\0" if typ == 3
+             else value.to_bytes(4, bo))
+        return (tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                + (1).to_bytes(4, bo) + v)
+
+    ifds = []
+    off = 8
+    offsets = []
+    for w, h, bits in pages:
+        entries = [_entry(256, 4, w), _entry(257, 4, h),
+                   _entry(258, 3, bits), _entry(259, 3, 1),
+                   _entry(262, 3, 1)]
+        body = (len(entries).to_bytes(2, bo) + b"".join(entries))
+        offsets.append(off)
+        ifds.append(body)
+        off += len(body) + 4
+    out = bytearray()
+    out += (b"II" if endian == "II" else b"MM")
+    out += (42).to_bytes(2, bo)
+    out += (offsets[0] if offsets else 0).to_bytes(4, bo)
+    for i, body in enumerate(ifds):
+        out += body
+        nxt = offsets[i + 1] if i + 1 < len(offsets) else 0
+        out += nxt.to_bytes(4, bo)
+    return bytes(out)
+
+
+def parse_tiff(payload: bytes):
+    """REAL TIFF metadata decode: detect byte order, verify the magic,
+    walk the IFD chain collecting (width, height, bits) per page.
+    Returns ``(endian, [(w, h, bits), ...])`` or None for anything
+    structurally broken — bad magic, an IFD offset outside the file,
+    a truncated entry table, a missing dimension tag, or a chain
+    longer than the cycle guard (a self-linking IFD must not hang a
+    worker)."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        return None
+    endian = payload[:2].decode()
+    bo = "little" if endian == "II" else "big"
+    if int.from_bytes(payload[2:4], bo) != 42:
+        return None
+    off = int.from_bytes(payload[4:8], bo)
+    pages = []
+    while off != 0:
+        if len(pages) >= _TIFF_MAX_PAGES:
+            return None
+        if off + 2 > len(payload):
+            return None
+        n = int.from_bytes(payload[off:off + 2], bo)
+        end = off + 2 + 12 * n
+        if end + 4 > len(payload):
+            return None
+        w = h = bits = None
+        for i in range(n):
+            e = off + 2 + 12 * i
+            tag = int.from_bytes(payload[e:e + 2], bo)
+            typ = int.from_bytes(payload[e + 2:e + 4], bo)
+            if typ == 3:
+                val = int.from_bytes(payload[e + 8:e + 10], bo)
+            else:
+                val = int.from_bytes(payload[e + 8:e + 12], bo)
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+            elif tag == 258:
+                bits = val
+        if w is None or h is None or bits is None:
+            return None
+        pages.append((w, h, bits))
+        off = int.from_bytes(payload[end:end + 4], bo)
+    if not pages:
+        return None
+    return endian, pages
+
+
+TIFF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("endian", T.StringType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("total_pixels", T.LongType()),
+    ]
+)
+
+
+def _corpus_tiff_spec(doc_id: int):
+    """Deterministic (endian, n_pages, bits) per doc id — the
+    arithmetic contract shared with the DuckDB oracle. Page k has
+    width 8 + (doc_id·5 + k·7) % 120 and height
+    4 + (doc_id·3 + k·11) % 80. None for the planted-corrupt ids
+    (doc_id % 37 == 0): those get a valid TIFF whose first-IFD offset
+    points past EOF — the bounds check, not just the signature check,
+    must catch it."""
+    if doc_id % 37 == 0:
+        return None
+    return ("II" if doc_id % 2 == 0 else "MM",
+            1 + doc_id % 3, (8, 16, 32)[doc_id % 3])
+
+
+def synthesize_corpus_tiffs(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """One REAL multi-page TIFF per document id (endianness flips per
+    id, page dims from `_corpus_tiff_spec`'s recurrence). The planted-
+    corrupt ids get a structurally valid header whose first IFD
+    offset points beyond the file."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_tiff_spec(doc_id)
+                if spec is None:
+                    good = bytearray(encode_tiff([(8, 4, 8)], "II"))
+                    good[4:8] = (len(good) + 100).to_bytes(4, "little")
+                    payloads.append(bytes(good))
+                    continue
+                endian, n_pages, bits = spec
+                pages = [(8 + (doc_id * 5 + k * 7) % 120,
+                          4 + (doc_id * 3 + k * 11) % 80, bits)
+                         for k in range(n_pages)]
+                payloads.append(encode_tiff(pages, endian))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def tiff_meta(media: DataFrame, id_col: str = "doc_id",
+              payload_col: str = "payload") -> DataFrame:
+    """TIFF metadata card over a binary column (:func:`parse_tiff`):
+    byte order, page count from the IFD chain walk, first-page dims +
+    bit depth, total pixels across pages. NULLs for undecodable
+    payloads. Arrow-batched `mapInPandas`, narrow, zero shuffles."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            endians = []
+            rows = {k: [] for k in ("n_pages", "width", "height",
+                                    "bits", "total_pixels")}
+            for p in pdf[payload_col]:
+                dec = parse_tiff(p)
+                if dec is None:
+                    endians.append(None)
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                endian, pages = dec
+                endians.append(endian)
+                rows["n_pages"].append(len(pages))
+                rows["width"].append(pages[0][0])
+                rows["height"].append(pages[0][1])
+                rows["bits"].append(pages[0][2])
+                rows["total_pixels"].append(
+                    sum(w * h for w, h, _ in pages))
+            out = {"doc_id": pdf[id_col].astype("int64"),
+                   "endian": pd.array(endians, dtype="string")}
+            for k, v in rows.items():
+                out[k] = pd.array(v, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, TIFF_META_SCHEMA)

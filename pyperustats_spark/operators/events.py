@@ -1691,6 +1691,43 @@ def nelson_aalen_conversion(events: DataFrame,
     return out.orderBy("t_hours") if sort else out
 
 
+def _ab_per_user(events: DataFrame, event_type: str = "purchase",
+                 salt: str = "exp1") -> DataFrame:
+    """Shared experiment frame for the A/B readouts (CUPED, DiD):
+    deterministic md5 50/50 user assignment, pre/post split at the
+    midpoint of the corpus' day span, per-user *event_type* value
+    sums in integer CENTS — one row per user: (_x = pre cents,
+    _y = post cents, variant). Every downstream moment accumulates
+    from these exact integers, so no per-user double ever enters a
+    merge-order-dependent sum."""
+    span = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("_d0"),
+        F.date_trunc("day", F.max("ts")).alias("_d1"))
+    ev = (events.where(F.col("event_type") == event_type)
+          .crossJoin(F.broadcast(span))
+          .select(
+              "user_id",
+              (F.datediff(F.date_trunc("day", F.col("ts")), F.col("_d0"))
+               < F.floor(F.datediff(F.col("_d1"), F.col("_d0")) / 2) + 1)
+              .alias("_pre"),
+              F.round(F.col("value"), 2).alias("_v")))
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum(F.when(F.col("_pre"), F.col("_v"))
+                      .otherwise(F.lit(0.0))) * 100)
+        .cast("bigint").alias("_x"),
+        F.round(F.sum(F.when(~F.col("_pre"), F.col("_v"))
+                      .otherwise(F.lit(0.0))) * 100)
+        .cast("bigint").alias("_y"),
+    ).select(
+        "_x", "_y",
+        F.when(F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(salt), F.col("user_id").cast("string"))), 1, 4),
+            16, 10).cast("int") % 2 == 0,
+            F.lit("control")).otherwise(F.lit("treatment"))
+        .alias("variant"),
+    )
+
+
 def cuped_ab_readout(events: DataFrame, event_type: str = "purchase",
                      salt: str = "exp1") -> DataFrame:
     """CUPED-adjusted A/B readout (Deng et al. 2013): deterministic
@@ -1712,32 +1749,7 @@ def cuped_ab_readout(events: DataFrame, event_type: str = "purchase",
     double ever enters a nondeterministic sum. var_reduction = ρ²
     (pooled), the exact CUPED variance saving. All derived doubles
     ship raw from identical integer bits."""
-    span = events.agg(
-        F.date_trunc("day", F.min("ts")).alias("_d0"),
-        F.date_trunc("day", F.max("ts")).alias("_d1"))
-    ev = (events.where(F.col("event_type") == event_type)
-          .crossJoin(F.broadcast(span))
-          .select(
-              "user_id",
-              (F.datediff(F.date_trunc("day", F.col("ts")), F.col("_d0"))
-               < F.floor(F.datediff(F.col("_d1"), F.col("_d0")) / 2) + 1)
-              .alias("_pre"),
-              F.round(F.col("value"), 2).alias("_v")))
-    per_user = ev.groupBy("user_id").agg(
-        F.round(F.sum(F.when(F.col("_pre"), F.col("_v"))
-                      .otherwise(F.lit(0.0))) * 100)
-        .cast("bigint").alias("_x"),
-        F.round(F.sum(F.when(~F.col("_pre"), F.col("_v"))
-                      .otherwise(F.lit(0.0))) * 100)
-        .cast("bigint").alias("_y"),
-    ).select(
-        "_x", "_y",
-        F.when(F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.lit(salt), F.col("user_id").cast("string"))), 1, 4),
-            16, 10).cast("int") % 2 == 0,
-            F.lit("control")).otherwise(F.lit("treatment"))
-        .alias("variant"),
-    )
+    per_user = _ab_per_user(events, event_type, salt)
 
     def dec(c):
         return c.cast("decimal(38,0)")
@@ -1783,6 +1795,69 @@ def cuped_ab_readout(events: DataFrame, event_type: str = "purchase",
                num * num / (denx * deny)).alias("var_reduction"),
     )
     return out.orderBy("variant")
+
+
+def diff_in_diff_readout(events: DataFrame,
+                         event_type: str = "purchase",
+                         salt: str = "exp1") -> DataFrame:
+    """Difference-in-differences readout over the shared experiment
+    frame (:func:`_ab_per_user` — same md5 assignment and midpoint
+    pre/post split as :func:`cuped_ab_readout`): the parallel-trends
+    estimator DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the
+    standard causal readout when assignment correlates with baseline
+    level (CUPED adjusts variance; DiD removes additive group bias).
+    ONE row: (n_control, n_treatment, the four means, did).
+
+    Exactness: per-variant Σpre / Σpost accumulate as DECIMAL(38,0)
+    cents (merge-order-free), every mean is DOUBLE(Σcents) /
+    (100 · DOUBLE(n)) — exact-integer→double conversion is correctly
+    rounded in both engines, so the quotients and the final linear
+    combination are bit-identical, shipped raw. Empty variants yield
+    NULL means via the same CASE in both engines (never inf).
+
+    Scale: one per-user shuffle + a 2-row pivot — nothing else."""
+    per_user = _ab_per_user(events, event_type, salt)
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    pv = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+    )
+
+    def pick(variant, col):
+        return F.max(F.when(F.col("variant") == variant, F.col(col)))
+
+    one = pv.agg(
+        F.coalesce(pick("control", "n_users"), F.lit(0))
+        .cast("bigint").alias("n_control"),
+        F.coalesce(pick("treatment", "n_users"), F.lit(0))
+        .cast("bigint").alias("n_treatment"),
+        pick("control", "_sx").alias("_cx"),
+        pick("control", "_sy").alias("_cy"),
+        pick("treatment", "_sx").alias("_tx"),
+        pick("treatment", "_sy").alias("_ty"),
+    )
+
+    def mean(s, n):
+        return F.when(
+            F.col(n) > 0,
+            F.col(s).cast("double")
+            / (F.lit(100.0) * F.col(n).cast("double")))
+
+    out = one.select(
+        "n_control", "n_treatment",
+        mean("_cx", "n_control").alias("mean_pre_control"),
+        mean("_cy", "n_control").alias("mean_post_control"),
+        mean("_tx", "n_treatment").alias("mean_pre_treatment"),
+        mean("_ty", "n_treatment").alias("mean_post_treatment"),
+        ((mean("_ty", "n_treatment") - mean("_tx", "n_treatment"))
+         - (mean("_cy", "n_control") - mean("_cx", "n_control")))
+        .alias("did"),
+    )
+    return out
 
 
 def bounce_rate_daily(events: DataFrame, gap_minutes: int = 30,

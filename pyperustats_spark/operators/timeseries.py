@@ -1567,3 +1567,100 @@ def seasonal_anomalies(long_df: DataFrame, half_window: int = 6,
         )
     )
     return out.orderBy("code", "date") if sort else out
+
+
+def hp_filter(long_df: DataFrame, lam: float = 1600.0,
+              sort: bool = True) -> DataFrame:
+    """Hodrick–Prescott trend/cycle decomposition per series — THE
+    macroeconomic detrending filter (Hodrick & Prescott 1997; the
+    BCRP-series analog of everything the reference's time-series
+    consumers do with economic indicators): trend τ minimizes
+    Σ(y_t − τ_t)² + λ·Σ(Δ²τ_t)², i.e. τ = (I + λKᵀK)⁻¹y with K the
+    second-difference operator. Emits (date, code, value, trend,
+    cycle = value − trend).
+
+    The normal-equation matrix is symmetric positive-definite
+    PENTADIAGONAL, so each series solves in O(n) with a banded LDLᵀ
+    factorization (no scipy needed, no O(n³) dense solve) inside the
+    documented grouped-map escape hatch (``applyInPandas``, Arrow
+    batches) — same class as ewma/holt_winters. λ defaults to the
+    canonical quarterly 1600; 129600 for monthly (Ravn–Uhlig).
+
+    Rows-only (no SQL oracle: the solve is a float linear system —
+    orderless SQL's weak spot); pytest pins the banded solve against
+    a dense ``np.linalg.solve`` oracle, the λ=0 identity (trend == y)
+    and the exact-reproduction property on linear series (Δ²y = 0 ⇒
+    penalty-free perfect fit, cycle ≡ 0 at any λ).
+
+    Straggler bound (100-TB posture): one series = ONE task (the
+    solve couples every row of a series — it cannot be chunked), but
+    the per-task cost is O(n) with tiny constants, so the bound is
+    milder than the exact-integer folds'. Pre-flight with
+    ``ts_series_depth_profile``; split by adding series keys, never
+    by splitting one series' history. NULL/NaN values are dropped
+    from the solve (the filter is defined on the observed points);
+    series shorter than 3 points have no curvature to penalize —
+    trend = value, cycle = 0."""
+    if lam < 0:
+        raise ValueError("lam must be >= 0")
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ("date timestamp, code string, value double, "
+                  "trend double, cycle double")
+
+    def _hp_solve(y: "np.ndarray", lam: float) -> "np.ndarray":
+        n = len(y)
+        if n < 3 or lam == 0.0:
+            return y.copy()
+        # bands of A = I + lam * K'K (pentadiagonal, SPD)
+        a = np.full(n, 1.0 + 6.0 * lam)
+        a[0] = a[-1] = 1.0 + lam
+        a[1] = a[-2] = 1.0 + 5.0 * lam
+        if n == 3:
+            # the two edge-adjacent entries are the SAME cell: K is a
+            # single row [1, -2, 1], so the middle diagonal is 1 + 4λ
+            a[1] = 1.0 + 4.0 * lam
+        b = np.full(n, -4.0 * lam)          # A[i, i-1], valid i >= 1
+        b[1] = b[-1] = -2.0 * lam
+        # LDL': unit-lower bands e (sub1), f (sub2), pivots d
+        d = np.empty(n)
+        e = np.zeros(n)
+        f = np.zeros(n)
+        d[0] = a[0]
+        e[1] = b[1] / d[0]
+        d[1] = a[1] - e[1] * e[1] * d[0]
+        for i in range(2, n):
+            f[i] = lam / d[i - 2]
+            e[i] = (b[i] - f[i] * d[i - 2] * e[i - 1]) / d[i - 1]
+            d[i] = (a[i] - f[i] * f[i] * d[i - 2]
+                    - e[i] * e[i] * d[i - 1])
+        # forward: L z = y
+        z = np.empty(n)
+        z[0] = y[0]
+        z[1] = y[1] - e[1] * z[0]
+        for i in range(2, n):
+            z[i] = y[i] - e[i] * z[i - 1] - f[i] * z[i - 2]
+        # diagonal + back-substitution: L' tau = z / d
+        z /= d
+        tau = np.empty(n)
+        tau[-1] = z[-1]
+        tau[-2] = z[-2] - e[-1] * tau[-1]
+        for i in range(n - 3, -1, -1):
+            tau[i] = z[i] - e[i + 1] * tau[i + 1] - f[i + 2] * tau[i + 2]
+        return tau
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        mask = pdf["value"].notna().to_numpy()
+        trend = np.full(len(pdf), np.nan)
+        if mask.any():
+            trend[mask] = _hp_solve(
+                pdf["value"].to_numpy(dtype="float64")[mask], lam)
+        pdf = pdf.assign(trend=trend,
+                         cycle=pdf["value"].to_numpy() - trend)
+        return pdf[["date", "code", "value", "trend", "cycle"]]
+
+    out = long_df.select("date", "code", "value") \
+        .groupBy("code").applyInPandas(fold, out_schema)
+    return out.orderBy("code", "date") if sort else out

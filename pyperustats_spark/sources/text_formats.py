@@ -75,3 +75,32 @@ def corrupt_rows(df: DataFrame) -> DataFrame:
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"frame has no {CORRUPT_COL}; read with keep_corrupt=True")
     return df.where(F.col(CORRUPT_COL).isNotNull())
+
+
+def read_orc_table(spark: SparkSession, path: str,
+                   schema: str | None = None) -> DataFrame:
+    """ORC scan — the columnar warehouse format Hive-lineage pipelines
+    feed us alongside parquet. ORC embeds its schema (no inference
+    scan to forbid), but callers MAY pass a DDL string to fail fast on
+    drift: the declared schema is applied to the scan, and Spark's ORC
+    reader errors on incompatible types instead of silently casting.
+    Predicate pushdown and column pruning work as with parquet —
+    filters reach the ORC stripe/row-group indexes (PushedFilters in
+    the scan node), so a filtered read never scans full stripes."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc_table(df: DataFrame, path: str,
+                    partition_by: list[str] | None = None,
+                    compression: str = "zstd") -> None:
+    """ORC sink with zstd compression (the parquet writer's warehouse
+    sibling; snappy and zlib also valid). Partitioning column list is
+    passed straight through — the same layout rules as the parquet
+    exporter apply (partition by LOW-cardinality columns only)."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

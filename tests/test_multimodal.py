@@ -499,3 +499,54 @@ def test_bmp_pixel_stats_operator_matches_local_decode(spark):
         assert r["sum_b"] == sum(c[2] for c in rgb)
         assert r["first_r"] == rgb[0][0]
         assert r["peak"] == max(max(c) for c in rgb)
+
+
+def test_tiff_round_trip_both_endians_and_chain():
+    for e in ("II", "MM"):
+        for pages in ([(100, 50, 8)], [(3, 2, 16), (7, 5, 32)],
+                      [(1, 1, 8), (2, 2, 8), (3, 3, 8)]):
+            assert MM.parse_tiff(MM.encode_tiff(pages, e)) == (e, pages)
+
+
+def test_tiff_parse_rejects_structural_breakage():
+    full = MM.encode_tiff([(8, 4, 8), (9, 5, 16)], "MM")
+    for cut in (3, 7, 20, len(full) - 2):
+        assert MM.parse_tiff(full[:cut]) is None, cut
+    # wrong magic
+    bad = bytearray(MM.encode_tiff([(8, 4, 8)], "II"))
+    bad[2] = 43
+    assert MM.parse_tiff(bytes(bad)) is None
+    # first-IFD offset beyond EOF
+    bad = bytearray(MM.encode_tiff([(8, 4, 8)], "II"))
+    bad[4:8] = (len(bad) + 100).to_bytes(4, "little")
+    assert MM.parse_tiff(bytes(bad)) is None
+    # self-linking IFD chain must hit the cycle guard, not hang
+    loop = bytearray(MM.encode_tiff([(8, 4, 8)], "II"))
+    loop[-4:] = (8).to_bytes(4, "little")
+    assert MM.parse_tiff(bytes(loop)) is None
+    # a page missing its ImageLength tag -> None (tag 257 overwritten)
+    one = bytearray(MM.encode_tiff([(8, 4, 8)], "II"))
+    off = 8 + 2 + 12          # second entry (tag 257) of the first IFD
+    one[off:off + 2] = (999).to_bytes(2, "little")
+    assert MM.parse_tiff(bytes(one)) is None
+
+
+def test_tiff_meta_operator_matches_local_parse(spark):
+    ids = spark.range(0, 80).selectExpr("id AS doc_id")
+    out = {r["doc_id"]: r for r in MM.tiff_meta(
+        MM.synthesize_corpus_tiffs(ids)).collect()}
+    assert len(out) == 80
+    for d in range(80):
+        spec = MM._corpus_tiff_spec(d)
+        r = out[d]
+        if spec is None:
+            assert r["endian"] is None and r["n_pages"] is None
+            continue
+        endian, n_pages, bits = spec
+        pages = [(8 + (d * 5 + k * 7) % 120, 4 + (d * 3 + k * 11) % 80)
+                 for k in range(n_pages)]
+        assert r["endian"] == endian
+        assert r["n_pages"] == n_pages
+        assert (r["width"], r["height"]) == pages[0]
+        assert r["bits"] == bits
+        assert r["total_pixels"] == sum(w * h for w, h in pages)

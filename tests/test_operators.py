@@ -5209,3 +5209,117 @@ def test_km_conversion_censoring_shapes_risk_set(spark):
             for r in out] == [(0, 3, 1), (2, 2, 1)]
     assert abs(out[0]["log_survival"] - exp0) < 1e-12
     assert abs(out[1]["log_survival"] - exp2) < 1e-12
+
+
+def test_hp_filter_matches_dense_solve(spark):
+    """The banded LDLT solve inside hp_filter must equal the dense
+    normal-equation solve (I + λKᵀK)τ = y for every series length
+    class (n=3 edge collision, n=4 edge-adjacent, interior rows)."""
+    import datetime as dt
+    import numpy as np
+    from pyperustats_spark.operators.timeseries import hp_filter
+    rng = np.random.default_rng(3)
+    rows = []
+    series = {}
+    for code, n in [("s3", 3), ("s4", 4), ("s12", 12), ("s60", 60)]:
+        y = np.round(np.cumsum(rng.normal(size=n)) + 20.0, 4)
+        series[code] = y
+        for i, v in enumerate(y):
+            rows.append((dt.datetime(2024, 1, 1)
+                         + dt.timedelta(days=i), code, float(v)))
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = hp_filter(df, lam=1600.0).collect()
+    by_code = {}
+    for r in out:
+        by_code.setdefault(r["code"], []).append(r)
+    for code, y in series.items():
+        n = len(y)
+        K = np.zeros((n - 2, n))
+        for i in range(n - 2):
+            K[i, i], K[i, i + 1], K[i, i + 2] = 1.0, -2.0, 1.0
+        tau = np.linalg.solve(np.eye(n) + 1600.0 * K.T @ K, y)
+        got = np.array([r["trend"] for r in by_code[code]])
+        assert np.allclose(got, tau, atol=1e-8), code
+        cyc = np.array([r["cycle"] for r in by_code[code]])
+        assert np.allclose(cyc, y - tau, atol=1e-8), code
+
+
+def test_hp_filter_properties(spark):
+    """λ=0 ⇒ trend == value; a perfectly linear series is reproduced
+    exactly at ANY λ (Δ²y = 0 ⇒ zero penalty at the perfect fit);
+    n < 3 passes through; NaN gaps solve on observed points only."""
+    import datetime as dt
+    import math
+    from pyperustats_spark.operators.timeseries import hp_filter
+    d0 = dt.datetime(2024, 1, 1)
+    lin = [(d0 + dt.timedelta(days=i), "lin", 5.0 + 0.25 * i)
+           for i in range(30)]
+    two = [(d0, "two", 7.0), (d0 + dt.timedelta(days=1), "two", 9.0)]
+    gap = [(d0 + dt.timedelta(days=i), "gap",
+            None if i == 2 else 1.0 + i) for i in range(6)]
+    df = spark.createDataFrame(lin + two + gap,
+                               ["date", "code", "value"])
+    for lam in (0.0, 1600.0, 1e7):
+        out = {(r["code"], r["date"]): r
+               for r in hp_filter(df, lam=lam).collect()}
+        for (code, _), r in out.items():
+            if r["value"] is None:
+                assert r["trend"] is None and r["cycle"] is None
+            elif code in ("lin", "two") or lam == 0.0:
+                assert abs(r["trend"] - r["value"]) < 1e-6, (code, lam)
+                assert abs(r["cycle"]) < 1e-6
+            else:   # gap series: observed points still get a trend
+                assert r["trend"] is not None and not math.isnan(
+                    r["trend"])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hp_filter(df, lam=-1.0)
+
+
+def test_diff_in_diff_hand_computed(spark):
+    """Planted two-user frame where the hash assignment is known:
+    verify the four means and the DiD linear combination exactly."""
+    import datetime as dt
+    from pyperustats_spark.operators.events import (
+        _ab_per_user, diff_in_diff_readout)
+    d0 = dt.datetime(2024, 1, 1)
+    # 10-day span, midpoint split: days 0..5 pre, 6..9 post
+    users = ["u1", "u2", "u3", "u4"]
+    rows = []
+    eid = 0
+    for u in users:
+        for day, val in [(0, 10.0), (9, 30.0)]:
+            eid += 1
+            rows.append((eid, u, "purchase",
+                         d0 + dt.timedelta(days=day), val))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"])
+    assign = {r["variant"] for r in _ab_per_user(ev).collect()}
+    out = diff_in_diff_readout(ev).collect()[0]
+    assert out["n_control"] + out["n_treatment"] == 4
+    if assign == {"control", "treatment"}:
+        # every user has pre=10, post=30 -> all means fixed, did = 0
+        assert out["mean_pre_control"] == 10.0
+        assert out["mean_post_treatment"] == 30.0
+        assert out["did"] == 0.0
+    # now give treatment users a +5 post lift via a value shift
+    rows2 = []
+    eid = 0
+    variant_of = {}
+    # recover each user's variant through the same md5 rule
+    import hashlib
+    for u in users:
+        h = int(hashlib.md5(f"exp1:{u}".encode()).hexdigest()[:4], 16)
+        variant_of[u] = "control" if h % 2 == 0 else "treatment"
+    for u in users:
+        lift = 5.0 if variant_of[u] == "treatment" else 0.0
+        for day, val in [(0, 10.0), (9, 30.0 + lift)]:
+            eid += 1
+            rows2.append((eid, u, "purchase",
+                          d0 + dt.timedelta(days=day), val))
+    ev2 = spark.createDataFrame(
+        rows2, ["event_id", "user_id", "event_type", "ts", "value"])
+    out2 = diff_in_diff_readout(ev2).collect()[0]
+    if out2["n_control"] > 0 and out2["n_treatment"] > 0:
+        assert abs(out2["did"] - 5.0) < 1e-12

@@ -129,6 +129,7 @@ BROADCAST_HINT_WHITELIST = {
     "ev_kll_quantiles",           # (type x quantile) estimate rows —
                                   # bounded by type cardinality
     "ev_cuped_ab",                # 1-row corpus day-span
+    "ev_diff_in_diff",            # same 1-row corpus day-span
     "q_revenue_gini",             # 1-row cents bounds + <=2^12-row
                                   # histogram-rank offset table
     "embedding_separation",       # L-row centroid frame (label
@@ -567,6 +568,8 @@ PLAN_SMELL_WHITELIST = {
     "ev_cuped_ab": {"BNLJ", "SINGLE_PART"},     # 1-row span cross join;
                                                 # pooled window over the
                                                 # 2-row variant frame
+    "ev_diff_in_diff": {"BNLJ", "SINGLE_PART"},  # same span cross join;
+                                                # 2-row variant pivot
     "embedding_separation": {"BNLJ"},           # L x L centroid cross
                                                 # join (label-bounded)
     "ev_conversion_lag_approx": {"BNLJ", "SINGLE_PART"},  # same shape,
