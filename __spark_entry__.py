@@ -1307,6 +1307,31 @@ def ev_hazard_cumulative(spark, sf_dir):
     return E.nelson_aalen_conversion(_lt(spark, sf_dir, "events"))
 
 
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between urgent and non-urgent
+    order-value distributions: integer-cents ECDFs, exact global
+    cumulative counts via histogram_cumsum (bucket windows + bounded
+    offset table — no partition-less sort), int/int gaps, TakeOrdered
+    argmax; the exact statistic ships, p-value stays client-side."""
+    return R.ks_two_sample(_lt(spark, sf_dir, "orders"))
+
+
+def stats_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence of priority x status: every
+    cell term the exact rational (O*N - r*c)^2/(N*r*c) in DECIMAL/
+    HUGEINT (the square overflows bigint near N~55k) divided once as
+    DOUBLE/DOUBLE; cell-bounded ordered cumsum — bit-deterministic."""
+    return R.chi2_independence(_lt(spark, sf_dir, "orders"))
+
+
+def stats_mann_whitney(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U between urgent/non-urgent order
+    values: 2-R1 and the t^3 tie sums in exact DECIMAL(38,0), variance
+    an exact rational cast to DOUBLE, z from arithmetic + sqrt only
+    (the correctly-rounded-IEEE subset) — bit-deterministic."""
+    return R.mann_whitney_u(_lt(spark, sf_dir, "orders"))
+
+
 def q_revenue_gini(spark, sf_dir):
     """Gini coefficient of customer revenue (exact integer cents,
     rank-weighted sum in DECIMAL, one raw division)."""
@@ -3114,6 +3139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_markov_attribution": ev_markov_attribution,
         "ev_kaplan_meier": ev_kaplan_meier,
         "ev_diff_in_diff": ev_diff_in_diff,
+        "stats_ks_two_sample": stats_ks_two_sample,
+        "stats_mann_whitney": stats_mann_whitney,
+        "stats_chi2_independence": stats_chi2_independence,
         "ev_conversion_survival": ev_conversion_survival,
         "ev_hazard_cumulative": ev_hazard_cumulative,
         "ev_cuped_ab": ev_cuped_ab,
@@ -3335,27 +3363,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ev_attribution_first, ev_funnel_steps, ev_gap_stats,
 # ev_retention_cohorts, ev_top_paths, infogob_location_canonical.
 _WINDOW = [
-    "graph_part_adamic_adar", "multimodal_bmp_pixel_stats",
-    "multimodal_tiff_meta", "ev_conversion_survival",
-    "ev_hazard_cumulative", "ev_diff_in_diff", "ann_hamming_topk",
-    "infogob_affiliation_fields", "infogob_candidate_affiliations",
-    "multimodal_gif_pixel_stats", "ts_series_depth_profile",
-    "dedup_stats_by_source", "embedding_norm_profile",
-    "ev_active_users", "ev_attribution", "ev_burst_profile",
-    "ev_funnel_within", "ev_power_users", "ev_session_stats",
-    "ev_skew_profile", "ev_transitions", "inei_stage_plan",
-    "infogob_candidate_detail_counts", "infogob_candidates_by_election",
-    "infogob_candidates_pending", "infogob_location_hierarchy",
-    "infogob_org_pending", "infogob_results_by_region",
-    "q10_returned_items", "q12_flag_priority", "q13_order_distribution",
-    "q14_promo_share", "q15_top_supplier", "q19_disjunctive_revenue",
-    "q22_rich_inactive", "q4_order_priority", "q7_nation_volume",
-    "q_customer_quartiles", "q_orphan_check", "split_leakage_safe",
-    "stats_mad_outliers", "stats_winsorize", "text_bigram_logprob",
-    "text_decontaminate", "text_drop_short_tail",
-    "text_length_histogram", "text_quality_by_source",
-    "text_source_mix_sample", "text_tfidf_top_terms",
-    "text_token_budget_sample",
+    "stats_ks_two_sample", "stats_mann_whitney",
+    "stats_chi2_independence", "ann_hamming_topk",
+    "ev_conversion_survival", "ev_diff_in_diff", "ev_hazard_cumulative",
+    "graph_part_adamic_adar", "infogob_affiliation_fields",
+    "infogob_candidate_affiliations", "multimodal_bmp_pixel_stats",
+    "multimodal_gif_pixel_stats", "multimodal_tiff_meta",
+    "ts_series_depth_profile", "dedup_stats_by_source",
+    "embedding_norm_profile", "ev_active_users", "ev_attribution",
+    "ev_burst_profile", "ev_funnel_within", "ev_power_users",
+    "ev_session_stats", "ev_skew_profile", "ev_transitions",
+    "inei_stage_plan", "infogob_candidate_detail_counts",
+    "infogob_candidates_by_election", "infogob_candidates_pending",
+    "infogob_location_hierarchy", "infogob_org_pending",
+    "infogob_results_by_region", "q10_returned_items",
+    "q12_flag_priority", "q13_order_distribution", "q14_promo_share",
+    "q15_top_supplier", "q19_disjunctive_revenue", "q22_rich_inactive",
+    "q4_order_priority", "q7_nation_volume", "q_customer_quartiles",
+    "q_orphan_check", "split_leakage_safe", "stats_mad_outliers",
+    "stats_winsorize", "text_bigram_logprob", "text_decontaminate",
+    "text_drop_short_tail", "text_length_histogram",
+    "text_quality_by_source",
 ]
 
 
@@ -7275,6 +7303,124 @@ def oracle_sql() -> dict[str, str]:
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY t_hours
     """)
+
+    # KS oracle: single-node DuckDB can afford the plain ordered
+    # window the Spark side replaces with histogram_cumsum; window
+    # sums of BIGINT return HUGEINT -> CAST before they reach the
+    # divisions (comparator rule). Every emitted double is an int/int
+    # quotient of identical bits.
+    sql["stats_ks_two_sample"] = """
+        WITH vals AS (
+            SELECT CAST(round(round(o_totalprice, 2) * 100) AS BIGINT)
+                       AS cents,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS f
+            FROM orders),
+        per_v AS (
+            SELECT cents, CAST(sum(f) AS BIGINT) AS n1_v,
+                   CAST(sum(1 - f) AS BIGINT) AS n2_v
+            FROM vals GROUP BY cents),
+        tot AS (
+            SELECT CAST(sum(n1_v) AS BIGINT) AS n1,
+                   CAST(sum(n2_v) AS BIGINT) AS n2
+            FROM per_v),
+        cum AS (
+            SELECT cents,
+                   CAST(sum(n1_v) OVER w AS BIGINT) AS c1,
+                   CAST(sum(n2_v) OVER w AS BIGINT) AS c2
+            FROM per_v
+            WINDOW w AS (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        d AS (
+            SELECT cents, tot.n1, tot.n2,
+                   CASE WHEN tot.n1 > 0 AND tot.n2 > 0 THEN
+                       abs(c1 / tot.n1 - c2 / tot.n2) END AS dv
+            FROM cum, tot)
+        SELECT n1, n2, dv AS d_stat, cents AS at_cents,
+               CASE WHEN n1 > 0 AND n2 > 0
+                    THEN (n1 * n2) / (n1 + n2) END AS n_eff
+        FROM d ORDER BY dv DESC, cents LIMIT 1
+    """
+
+    # Chi-square oracle: the cell terms are exact HUGEINT rationals
+    # divided once as DOUBLE/DOUBLE, summed by an ordered window over
+    # the bounded cell frame; the last ordered row carries the total.
+    sql["stats_chi2_independence"] = """
+        WITH cells AS (
+            SELECT o_orderpriority AS p, o_orderstatus AS s,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM orders GROUP BY 1, 2),
+        t AS (
+            SELECT p, s, o,
+                   CAST(sum(o) OVER (PARTITION BY p) AS BIGINT) AS r,
+                   CAST(sum(o) OVER (PARTITION BY s) AS BIGINT) AS c,
+                   CAST(sum(o) OVER () AS BIGINT) AS n,
+                   CAST(count(DISTINCT p) OVER () AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT s) OVER () AS BIGINT) AS n_cols
+            FROM cells),
+        terms AS (
+            SELECT p, s, n, n_rows, n_cols,
+                   CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                        * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                        AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)
+                       AS term
+            FROM t),
+        cum AS (
+            SELECT p, s, n, n_rows, n_cols,
+                   sum(term) OVER (ORDER BY p, s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS chi2
+            FROM terms)
+        SELECT n, n_rows, n_cols,
+               CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+               chi2
+        FROM cum ORDER BY p DESC, s DESC LIMIT 1
+    """
+
+    # Mann-Whitney oracle: tie-averaged rank sums in HUGEINT (the
+    # DuckDB twin of Spark's DECIMAL(38,0) — the t^3 term overflows
+    # BIGINT near n ~ 3e6), variance as an exact rational cast to
+    # DOUBLE, z via arithmetic + sqrt only.
+    sql["stats_mann_whitney"] = """
+        WITH vals AS (
+            SELECT CAST(round(round(o_totalprice, 2) * 100) AS BIGINT)
+                       AS cents,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS f
+            FROM orders),
+        per_v AS (
+            SELECT cents, CAST(sum(f) AS BIGINT) AS n1_v,
+                   CAST(count(*) AS BIGINT) AS t_v
+            FROM vals GROUP BY cents),
+        cum AS (
+            SELECT cents, n1_v, t_v,
+                   CAST(sum(t_v) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS HUGEINT) AS ct
+            FROM per_v),
+        agg AS (
+            SELECT CAST(sum(n1_v) AS HUGEINT) AS n1,
+                   CAST(sum(t_v) AS HUGEINT) AS n,
+                   sum(CAST(n1_v AS HUGEINT)
+                       * (2 * (ct - t_v) + t_v + 1)) AS r1x2,
+                   sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v) AS st
+            FROM cum),
+        calc AS (
+            SELECT n1, n - n1 AS n2,
+                   r1x2 - n1 * (n1 + 1) AS u1x2,
+                   CAST(n1 * (n - n1)
+                        * ((n + 1) * n * (n - 1) - st) AS DOUBLE)
+                       AS vnum,
+                   CAST(12 * n * (n - 1) AS DOUBLE) AS vden
+            FROM agg)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(u1x2 AS DOUBLE) / 2.0 AS u_stat,
+               CASE WHEN n1 > 0 AND n2 > 0 AND vnum > 0 THEN
+                   (CAST(u1x2 AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+                       / (2.0 * sqrt(vnum / vden)) END AS z_score
+        FROM calc
+    """
 
     sql["q_revenue_gini"] = """
         WITH cents AS (

@@ -157,6 +157,48 @@ def histogram_ntile(df: DataFrame, bucket: Column, order,
     )
 
 
+def histogram_cumsum(df: DataFrame, bucket: Column, order,
+                     cols: list[str], prefix: str = "_cum_") -> DataFrame:
+    """Exact global RUNNING SUMS of the integer columns *cols* over
+    the total order (bucket, *order*) — :func:`histogram_rank`'s
+    generalization from row_number to arbitrary cumulative sums, and
+    the repo's replacement for a partition-less ``sum().over(orderBy)``
+    window (the single-task global sort the plan sweep rejects).
+    Adds ``prefix + col`` (bigint) per input column.
+
+    Same contract as histogram_rank: *bucket* must be a deterministic
+    row-local expression, (bucket, *order*) a total order, the bucket
+    space bounded (the side table's partition-less prefix window runs
+    over |buckets| rows, never data-sized), and the largest bucket is
+    one task's worth of rows — pick granularity accordingly. Sums are
+    integer, so re-association across the bucket boundary is exact."""
+    z = df.withColumn("_hb", bucket)
+    totals = z.groupBy("_hb").agg(
+        *[F.sum(c).alias(f"_t{i}") for i, c in enumerate(cols)])
+    ws = Window.orderBy("_hb")
+    side = totals.select(
+        "_hb",
+        *[F.coalesce(
+            F.sum(f"_t{i}").over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).cast("bigint").alias(f"_off{i}")
+          for i in range(len(cols))])
+    wp = Window.partitionBy("_hb").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    out = z
+    for i, c in enumerate(cols):
+        out = out.withColumn(f"_in{i}",
+                             F.sum(c).over(wp).cast("bigint"))
+    out = out.join(F.broadcast(side), "_hb")
+    for i, c in enumerate(cols):
+        out = out.withColumn(prefix + c,
+                             (F.col(f"_off{i}") + F.col(f"_in{i}"))
+                             .cast("bigint"))
+    return out.drop("_hb",
+                    *[f"_in{i}" for i in range(len(cols))],
+                    *[f"_off{i}" for i in range(len(cols))])
+
+
 def zorder_fileplan(df: DataFrame, cols: list[str], n_files: int = 32,
                     bits: int = 8, tiebreak: tuple = ()) -> DataFrame:
     """Assign each row the file it would land in under a Z-ordered

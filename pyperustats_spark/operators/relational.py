@@ -2540,3 +2540,201 @@ def price_index_monthly(lineitem: DataFrame) -> DataFrame:
         .orderBy("month")
     )
     return out
+
+
+def ks_two_sample(orders: DataFrame,
+                  priority: str = "1-URGENT") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the order-value
+    distributions of *priority* orders and all others — D = max over
+    pooled values of |ECDF₁(v) − ECDF₂(v)|, the standard
+    distribution-shift check (does urgency change what people spend?
+    the same statistic a drift monitor runs between two corpus
+    snapshots). ONE row: (n1, n2, d_stat, at_cents, n_eff) with
+    at_cents the value where the gap peaks (smallest such value on
+    ties) and n_eff = n1·n2/(n1+n2) the effective sample size
+    consumers feed to the KS p-value formula (the asymptotic series
+    needs exp(), which is ulp-loose cross-engine — CLAUDE.md — so the
+    exact statistic ships and the p-value stays client-side).
+
+    Exactness: values are integer CENTS; both ECDFs are integer
+    cumulative counts divided by integer totals — int/int IEEE
+    divisions of identical bits, so every gap, the max, and the
+    argmax tiebreak are bit-deterministic cross-engine. No rounding
+    anywhere.
+
+    Scale shape: ONE partial-aggregated shuffle to (cents, n1_v,
+    n2_v) — the curve is value-space-bounded, never row-count-sized —
+    then the global cumulative counts come from
+    :func:`~pyperustats_spark.operators.layout.histogram_cumsum`
+    (per-bucket window + bounded bucket-offset side table), NOT a
+    partition-less ordered window: the plan-sweep-rejected global
+    sort never appears, and the bucket key ``cents >> 20`` bounds the
+    side table by the value domain (~10 MUSD ceiling → < 2¹³
+    buckets). The final argmax is a TakeOrdered over the bounded
+    curve."""
+    from pyperustats_spark.operators.layout import histogram_cumsum
+
+    vals = orders.select(
+        F.round(F.round(F.col("o_totalprice"), 2) * 100)
+        .cast("bigint").alias("cents"),
+        (F.col("o_orderpriority") == priority).cast("int").alias("_f"))
+    per_v = vals.groupBy("cents").agg(
+        F.sum("_f").cast("bigint").alias("n1_v"),
+        F.sum(F.lit(1) - F.col("_f")).cast("bigint").alias("n2_v"))
+    cum = histogram_cumsum(per_v, F.shiftright(F.col("cents"), 20),
+                           [F.col("cents")], ["n1_v", "n2_v"])
+    tot = per_v.agg(F.sum("n1_v").cast("bigint").alias("n1"),
+                    F.sum("n2_v").cast("bigint").alias("n2"))
+    d = (cum.crossJoin(F.broadcast(tot))
+         .select(
+             "cents", "n1", "n2",
+             F.when((F.col("n1") > 0) & (F.col("n2") > 0),
+                    F.abs(F.col("_cum_n1_v") / F.col("n1")
+                          - F.col("_cum_n2_v") / F.col("n2")))
+             .alias("dv")))
+    out = (d.orderBy(F.desc("dv"), "cents").limit(1)
+           .select(
+               "n1", "n2",
+               F.col("dv").alias("d_stat"),
+               F.col("cents").alias("at_cents"),
+               F.when((F.col("n1") > 0) & (F.col("n2") > 0),
+                      (F.col("n1") * F.col("n2"))
+                      / (F.col("n1") + F.col("n2"))).alias("n_eff")))
+    return out
+
+
+def mann_whitney_u(orders: DataFrame,
+                   priority: str = "1-URGENT") -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) between urgent
+    and non-urgent order values — the rank-based location test that
+    complements :func:`ks_two_sample`'s shape test (KS asks "same
+    distribution?", U asks "is one stochastically larger?"). ONE row:
+    (n1, n2, u_stat, z_score) with the tie-corrected normal
+    approximation.
+
+    Exactness — NO double is ever summed (CLAUDE.md): with per-value
+    counts (n1_v, t_v) and C_before the exclusive cumulative count of
+    smaller values, tied ranks average to C_before + (t_v+1)/2, so
+
+        2·R1 = Σ_v n1_v · (2·C_before + t_v + 1)
+
+    accumulates as DECIMAL(38,0) (exact at any scale; bigint would
+    overflow near n ~ 3·10⁶ because the tie term needs n³), and
+    2·U1 = 2·R1 − n1(n1+1). The tie-corrected variance is the exact
+    rational  n1·n2·((n+1)n(n−1) − Σ(t³−t)) / (12·n(n−1)); numerator
+    and denominator are exact DECIMAL integers cast to DOUBLE
+    (correctly rounded in both engines even past 2^53 — the
+    q_price_index rule), and z = (2U1 − n1·n2) / (2·√var) uses only
+    arithmetic and sqrt — the two operations that ARE correctly
+    rounded IEEE cross-engine. u_stat ships as DOUBLE(2U1)/2 (an
+    exact half-integer grid point). All-tied input → var = 0 →
+    z NULL via the same CASE in both engines.
+
+    Scale shape: identical to ks_two_sample — one partial-aggregated
+    shuffle to the value-bounded (cents, counts) curve, global
+    cumulative counts via histogram_cumsum (no partition-less sort),
+    then a one-row DECIMAL aggregate."""
+    from pyperustats_spark.operators.layout import histogram_cumsum
+
+    vals = orders.select(
+        F.round(F.round(F.col("o_totalprice"), 2) * 100)
+        .cast("bigint").alias("cents"),
+        (F.col("o_orderpriority") == priority).cast("int").alias("_f"))
+    per_v = vals.groupBy("cents").agg(
+        F.sum("_f").cast("bigint").alias("n1_v"),
+        F.count(F.lit(1)).cast("bigint").alias("t_v"))
+    cum = histogram_cumsum(per_v, F.shiftright(F.col("cents"), 20),
+                           [F.col("cents")], ["t_v"])
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    agg = cum.agg(
+        F.sum(dec(F.col("n1_v"))).alias("_n1"),
+        F.sum(dec(F.col("t_v"))).alias("_n"),
+        F.sum(dec(F.col("n1_v"))
+              * (2 * (F.col("_cum_t_v") - F.col("t_v"))
+                 + F.col("t_v") + 1)).alias("_r1x2"),
+        F.sum(dec(F.col("t_v")) * F.col("t_v") * F.col("t_v")
+              - F.col("t_v")).alias("_sum_t3_t"),
+    )
+    n1 = F.col("_n1")
+    n2 = F.col("_n") - n1
+    u1x2 = F.col("_r1x2") - n1 * (n1 + 1)
+    var_num = (n1 * n2
+               * ((F.col("_n") + 1) * F.col("_n") * (F.col("_n") - 1)
+                  - F.col("_sum_t3_t"))).cast("double")
+    var_den = (F.lit(12) * F.col("_n")
+               * (F.col("_n") - 1)).cast("double")
+    var = var_num / var_den
+    out = agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        (u1x2.cast("double") / F.lit(2.0)).alias("u_stat"),
+        F.when((n1 > 0) & (n2 > 0) & (var_num > 0),
+               (u1x2.cast("double") - (n1 * n2).cast("double"))
+               / (F.lit(2.0) * F.sqrt(var))).alias("z_score"),
+    )
+    return out
+
+
+def chi2_independence(orders: DataFrame) -> DataFrame:
+    """Pearson chi-square test of independence between order PRIORITY
+    and order STATUS — the contingency-table member of the stats-test
+    trio (:func:`ks_two_sample` tests shape, :func:`mann_whitney_u`
+    location, this tests association between two categoricals). ONE
+    row: (n, n_rows, n_cols, dof, chi2).
+
+    Exactness — the whole statistic is exact integer rationals: with
+    observed O, row total r, column total c and grand total N, each
+    cell's term is
+
+        (O·N − r·c)² / (N·r·c)
+
+    where numerator and denominator are exact DECIMAL(38,0)/HUGEINT
+    integers ((O·N − r·c)² ≤ N⁴ overflows bigint near N ~ 55k, so
+    decimals are load-bearing, not defensive). Each term is one
+    DOUBLE(int)/DOUBLE(int) division — bit-identical cross-engine —
+    and the sum over the CELL-BOUNDED frame (|priorities|×|statuses|
+    rows, never data-sized) is an ORDERED cumulative window, so both
+    engines accumulate identical bits in the same order. Shipped raw.
+
+    Scale shape: one partial-aggregated shuffle to the contingency
+    cells; row/column/grand totals are window sums over the bounded
+    cell frame; the ordered final sum runs on ≤ |R×C| rows."""
+    cells = (orders.groupBy("o_orderpriority", "o_orderstatus")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wn = Window.partitionBy()
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    t = cells.select(
+        "o_orderpriority", "o_orderstatus", "o",
+        F.sum("o").over(wr).cast("bigint").alias("r"),
+        F.sum("o").over(wc).cast("bigint").alias("c"),
+        F.sum("o").over(wn).cast("bigint").alias("n"),
+        F.size(F.collect_set("o_orderpriority").over(wn))
+        .cast("bigint").alias("n_rows"),
+        F.size(F.collect_set("o_orderstatus").over(wn))
+        .cast("bigint").alias("n_cols"),
+    )
+    diff = dec(F.col("o")) * F.col("n") - dec(F.col("r")) * F.col("c")
+    term = ((diff * diff).cast("double")
+            / (dec(F.col("n")) * F.col("r") * F.col("c"))
+            .cast("double"))
+    wcum = Window.orderBy("o_orderpriority", "o_orderstatus") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    out = (t.select(
+               "o_orderpriority", "o_orderstatus", "n", "n_rows",
+               "n_cols", F.sum(term).over(wcum).alias("_chi2"))
+           .orderBy(F.desc("o_orderpriority"), F.desc("o_orderstatus"))
+           .limit(1)
+           .select(
+               "n", "n_rows", "n_cols",
+               ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+               .cast("bigint").alias("dof"),
+               F.col("_chi2").alias("chi2")))
+    return out

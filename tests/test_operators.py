@@ -5323,3 +5323,123 @@ def test_diff_in_diff_hand_computed(spark):
     out2 = diff_in_diff_readout(ev2).collect()[0]
     if out2["n_control"] > 0 and out2["n_treatment"] > 0:
         assert abs(out2["did"] - 5.0) < 1e-12
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """Interleaved values 1,3 (urgent) vs 2,4 (other): the ECDF gap
+    is 1/2 at cents 1 and 3 — the argmax tiebreak must pick the
+    SMALLEST value; n_eff = 2*2/4 = 1."""
+    from pyperustats_spark.operators.relational import ks_two_sample
+    rows = [(1, "1-URGENT", 0.01), (2, "1-URGENT", 0.03),
+            (3, "5-LOW", 0.02), (4, "5-LOW", 0.04)]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    r = ks_two_sample(orders).collect()[0]
+    assert (r["n1"], r["n2"]) == (2, 2)
+    assert r["d_stat"] == 0.5
+    assert r["at_cents"] == 1
+    assert r["n_eff"] == 1.0
+
+
+def test_ks_two_sample_disjoint_distributions(spark):
+    """Completely separated samples -> D = 1 at the last value of the
+    lower group; one-group-only input -> NULL statistic, not inf."""
+    from pyperustats_spark.operators.relational import ks_two_sample
+    rows = ([(i, "1-URGENT", 0.01 * i) for i in range(1, 6)]
+            + [(10 + i, "5-LOW", 1.0 + 0.01 * i) for i in range(1, 6)])
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    r = ks_two_sample(orders).collect()[0]
+    assert r["d_stat"] == 1.0
+    assert r["at_cents"] == 5
+    only = spark.createDataFrame(
+        [(1, "5-LOW", 2.0), (2, "5-LOW", 3.0)],
+        ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    r2 = ks_two_sample(only).collect()[0]
+    assert r2["d_stat"] is None and r2["n_eff"] is None
+
+
+def test_histogram_cumsum_equals_global_window(spark):
+    """histogram_cumsum (bucket windows + offset table) must equal the
+    plain partition-less cumulative sum on any total order."""
+    import random
+    from pyspark.sql import Window, functions as F
+    from pyperustats_spark.operators.layout import histogram_cumsum
+    rng = random.Random(5)
+    rows = [(rng.randrange(10_000), rng.randrange(100),
+             rng.randrange(100)) for _ in range(500)]
+    # make keys unique so (bucket, key) is a total order
+    rows = [(i * 100_000 + k, a, b) for i, (k, a, b) in enumerate(rows)]
+    df = spark.createDataFrame(rows, ["k", "a", "b"])
+    got = histogram_cumsum(df, F.shiftright(F.col("k"), 18),
+                           [F.col("k")], ["a", "b"])
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.select("k", F.sum("a").over(w).alias("ea"),
+                    F.sum("b").over(w).alias("eb"))
+    joined = got.join(exp, "k")
+    bad = joined.where((F.col("_cum_a") != F.col("ea"))
+                       | (F.col("_cum_b") != F.col("eb"))).count()
+    assert bad == 0
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    """Urgent {1, 2, 2} vs other {2, 3}: ranks 1, 2+3+4 tie-average
+    to 3 each, 5. R1 = 1+3+3 = 7, U1 = 7 - 6 = 1; scipy-free
+    closed-form check of the tie-corrected variance:
+    var = n1 n2 ((n+1)n(n-1) - sum(t^3 - t)) / (12 n (n-1))
+        = 6*(4*5*6 - 24)/(12*5*4) = 2.4; z = (1 - 3)/sqrt(2.4)."""
+    import math
+    from pyperustats_spark.operators.relational import mann_whitney_u
+    rows = [(1, "1-URGENT", 0.01), (2, "1-URGENT", 0.02),
+            (3, "1-URGENT", 0.02), (4, "5-LOW", 0.02),
+            (5, "5-LOW", 0.03)]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    r = mann_whitney_u(orders).collect()[0]
+    assert (r["n1"], r["n2"]) == (3, 2)
+    assert r["u_stat"] == 1.0
+    assert abs(r["z_score"] - (1.0 - 3.0) / math.sqrt(2.4)) < 1e-12
+
+
+def test_mann_whitney_degenerate_all_tied(spark):
+    """Every value identical -> variance 0 -> z NULL (never inf);
+    u_stat is still the exact tie-averaged value."""
+    from pyperustats_spark.operators.relational import mann_whitney_u
+    rows = [(1, "1-URGENT", 1.0), (2, "5-LOW", 1.0), (3, "5-LOW", 1.0)]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    r = mann_whitney_u(orders).collect()[0]
+    assert r["z_score"] is None
+    # single tied group of 3: rank avg 2, R1 = 2, U1 = 2 - 1 = 1
+    assert r["u_stat"] == 1.0
+
+
+def test_chi2_independence_hand_computed(spark):
+    """2x2 table [[10, 20], [20, 10]]: N=60, all margins 30,
+    E=15 everywhere, chi2 = 4*(25/15) = 20/3; dof = 1."""
+    from pyperustats_spark.operators.relational import chi2_independence
+    rows = ([(i, "1-URGENT", "F") for i in range(10)]
+            + [(100 + i, "1-URGENT", "O") for i in range(20)]
+            + [(200 + i, "5-LOW", "F") for i in range(20)]
+            + [(300 + i, "5-LOW", "O") for i in range(10)])
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    r = chi2_independence(orders).collect()[0]
+    assert (r["n"], r["n_rows"], r["n_cols"], r["dof"]) == (60, 2, 2, 1)
+    assert abs(r["chi2"] - 20.0 / 3.0) < 1e-12
+
+
+def test_chi2_independence_perfectly_independent(spark):
+    """Proportional table -> every O == E exactly -> chi2 == 0.0."""
+    from pyperustats_spark.operators.relational import chi2_independence
+    rows = []
+    k = 0
+    for p, mult in [("1-URGENT", 1), ("5-LOW", 2)]:
+        for s, base in [("F", 3), ("O", 5)]:
+            for _ in range(mult * base):
+                rows.append((k, p, s))
+                k += 1
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    r = chi2_independence(orders).collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1

@@ -82,6 +82,9 @@ BROADCAST_HINT_WHITELIST = {
     "mef_find_row_by_text",       # 1-row distributed-min result
     "cache_missing_codes",        # requested code list
     "q_customer_quartiles",       # n_tiles boundary rows
+    "stats_ks_two_sample",        # value-bounded bucket offsets +
+                                  # 1-row totals
+    "stats_mann_whitney",         # same bucket-offset side table
     "text_pack_sequences",        # per-partition offset rows (O(parts))
     "ann_lsh_cosine",             # hyperplanes + query signatures
     "ann_ivf_cosine",             # k centroid rows
@@ -541,6 +544,12 @@ PLAN_SMELL_WHITELIST = {
                                                 # bounded rate window +
                                                 # 1-row denominator
     "q_revenue_lorenz": {"BNLJ", "SINGLE_PART"},  # bucket-space prefix
+    "stats_ks_two_sample": {"BNLJ", "SINGLE_PART"},  # value-bounded
+                                                # bucket prefix + 1-row
+                                                # totals cross join
+    "stats_mann_whitney": {"BNLJ", "SINGLE_PART"},   # same shape
+    "stats_chi2_independence": {"SINGLE_PART"},  # cell-bounded frame
+                                                # (|R x C| rows) windows
                                                 # table + n_tiles-row
                                                 # cum frame (gini class)
     "graph_part_degrees": {"BNLJ", "SINGLE_PART"},  # 1-row node total
