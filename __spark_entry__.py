@@ -1796,6 +1796,14 @@ def dedup_paragraph_stats(spark, sf_dir):
                                  delim=" a ", by="source")
 
 
+def dedup_cdc_chunks(spark, sf_dir):
+    return D.cdc_chunk_stats(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_cdc_profile(spark, sf_dir):
+    return D.cdc_chunk_profile(_lt(spark, sf_dir, "documents"))
+
+
 def dedup_paragraph_incremental(spark, sf_dir):
     # same recurring-release split as dedup_incremental: odd doc_ids =
     # new batch, even = released corpus; same ' a ' paragraph split as
@@ -3208,6 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": dedup_paragraph,
         "dedup_paragraph_stats": dedup_paragraph_stats,
         "dedup_paragraph_incremental": dedup_paragraph_incremental,
+        "dedup_cdc_chunks": dedup_cdc_chunks,
+        "dedup_cdc_profile": dedup_cdc_profile,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -4651,6 +4661,79 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         LEFT JOIN agg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id
+    """
+
+    # content-defined chunking: cut after position i+7 wherever the
+    # 8-gram's first md5 nibble is '0' (p=1/16, ~16-char chunks); the
+    # cut list reproduces the Spark operator's boundary-for-boundary
+    _CDC_CHUNKS = """
+        docs AS (
+            SELECT doc_id, source, text, length(text) AS n
+            FROM documents WHERE text IS NOT NULL
+        ),
+        cut AS (
+            SELECT doc_id, source, text,
+                list_sort(list_distinct(list_concat(list_concat(
+                    [CAST(0 AS BIGINT)],
+                    [CAST(i + 7 AS BIGINT) FOR i IN
+                        (CASE WHEN n >= 8 THEN generate_series(1, n - 7)
+                              ELSE [] END)
+                     IF substr(md5(substr(text, i, 8)), 1, 1) = '0']),
+                    [CAST(n AS BIGINT)]))) AS cuts
+            FROM docs
+        ),
+        chunks AS (
+            SELECT doc_id, source,
+                   md5(substr(text, CAST(cuts[j] + 1 AS INT),
+                              CAST(cuts[j + 1] - cuts[j] AS INT))) AS ck,
+                   cuts[j + 1] - cuts[j] AS clen
+            FROM cut,
+                 unnest(CASE WHEN len(cuts) >= 2
+                             THEN generate_series(1, len(cuts) - 1)
+                             ELSE [] END) AS t(j)
+        ),
+        keys AS (
+            SELECT ck, count(DISTINCT doc_id) AS nd
+            FROM chunks GROUP BY ck
+        )
+    """
+
+    sql["dedup_cdc_chunks"] = f"""
+        WITH {_CDC_CHUNKS},
+        card AS (
+            SELECT c.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_chunks,
+                   CAST(sum(CASE WHEN k.nd >= 2 THEN c.clen ELSE 0 END)
+                        AS BIGINT)
+                       / CAST(sum(c.clen) AS BIGINT) AS dup_char_share
+            FROM chunks c JOIN keys k USING (ck)
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_chunks, 0) AS n_chunks,
+               coalesce(a.n_dup_chunks, 0) AS n_dup_chunks,
+               a.dup_char_share
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN card a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+    """
+
+    sql["dedup_cdc_profile"] = f"""
+        WITH {_CDC_CHUNKS}
+        SELECT c.source,
+               CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               CAST(sum(CASE WHEN k.nd >= 2 THEN c.clen ELSE 0 END)
+                    AS BIGINT)
+                   / CAST(sum(c.clen) AS BIGINT) AS dup_char_share,
+               CAST(sum(c.clen) AS BIGINT)
+                   / CAST(count(*) AS BIGINT) AS avg_chunk_len
+        FROM chunks c JOIN keys k USING (ck)
+        GROUP BY c.source ORDER BY c.source
     """
 
     sql["dedup_substring_profile"] = """

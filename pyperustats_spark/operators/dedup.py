@@ -1680,3 +1680,137 @@ def _paragraph_dedup_from_keys(batch: DataFrame, corpus_keys: DataFrame,
         )
     )
     return out.orderBy("doc_id") if sort else out
+
+
+def _cdc_chunk_rows(documents: DataFrame, w: int = 8) -> DataFrame:
+    """Content-defined chunk occurrences: (doc_id, source, ck, clen).
+
+    Every position ``i`` whose *w*-byte gram hashes into the marked
+    1/16 slice (first md5 nibble ``'0'``) ends a chunk at ``i + w - 1``
+    — the Rabin/LBFS content-defined cut rule, so two documents sharing
+    a run longer than one expected chunk (~16 chars at w=8) produce
+    IDENTICAL interior chunks regardless of where the run starts
+    (no fixed-stride phase fragility — same guarantee class as the
+    winnowed fingerprints in :func:`winnowed_fingerprints`). Production
+    CDC (FastCDC) adds min/max chunk normalization; the pure cut rule
+    is kept here so a DuckDB oracle reproduces every boundary exactly.
+
+    Scale shape: the boundary scan and chunk hashing are ONE row-local
+    projection (cut array let-bound so CollapseProject can't replay the
+    O(n) md5 scan per reference); the exploded stream carries only
+    (16-byte chunk hash, length) — chunk text never rides a shuffle.
+    """
+    cuts_expr = (
+        "array_sort(array_distinct(concat("
+        "  array(CAST(0 AS BIGINT)),"
+        "  transform("
+        "    filter("
+        f"      CASE WHEN length(text) >= {w}"
+        f"           THEN sequence(1, length(text) - {w - 1})"
+        "           ELSE CAST(array() AS ARRAY<INT>) END,"
+        f"      i -> substring(md5(substring(text, i, {w})), 1, 1) = '0'),"
+        f"    i -> CAST(i + {w - 1} AS BIGINT)),"
+        "  array(CAST(length(text) AS BIGINT)))))"
+    )
+
+    def _chunks(cuts: Column) -> Column:
+        idx = F.when(
+            F.size(cuts) >= 2, F.sequence(F.lit(1), F.size(cuts) - 1)
+        ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+        return F.transform(
+            idx,
+            lambda j: F.struct(
+                F.md5(
+                    F.col("text").substr(
+                        (F.element_at(cuts, j) + 1).cast("int"),
+                        (F.element_at(cuts, j + 1)
+                         - F.element_at(cuts, j)).cast("int"))
+                ).alias("ck"),
+                (F.element_at(cuts, j + 1)
+                 - F.element_at(cuts, j)).alias("clen"),
+            ),
+        )
+
+    chunked = documents.where(F.col("text").isNotNull()).select(
+        "doc_id", "source",
+        let(F.expr(cuts_expr), _chunks).alias("_ch"),
+    )
+    return chunked.select(
+        "doc_id", "source", F.explode("_ch").alias("c")
+    ).select("doc_id", "source", F.col("c.ck").alias("ck"),
+             F.col("c.clen").alias("clen"))
+
+
+def cdc_chunk_stats(documents: DataFrame, w: int = 8,
+                    sort: bool = True) -> DataFrame:
+    """Per-document content-defined-chunk duplication card:
+    (doc_id, n_chunks, n_dup_chunks, dup_char_share) where a chunk is
+    duplicated when its hash occurs in ≥ 2 DISTINCT documents — the
+    chunk-grain storage-dedup view of corpus redundancy (what a CDC
+    store would actually share), complementing paragraph_dedup's
+    delimiter-grain and exact_substring_pairs' fingerprint-grain views.
+    dup_char_share ships as raw bigint/bigint division (bit-identical
+    cross-engine); NULL for docs with no chunks (null/empty text).
+
+    Scale shape: occurrences are (hash, doc_id, length) end-to-end;
+    the distinct-doc count per hash partial-aggregates map-side; the
+    count join back is unhinted AQE (#distinct-chunks side is
+    SF-proportional). The occurrence stream references the chunking
+    scan twice (count branch prunes to hashes only) — the same bounded
+    2x trade paragraph_dedup documents, chosen over persisting a
+    corpus-scale exploded intermediate."""
+    keyed = _cdc_chunk_rows(documents, w)
+    counts = keyed.groupBy("ck").agg(
+        F.countDistinct("doc_id").alias("_nd"))
+    occ = keyed.join(counts, "ck")
+    card = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+        .cast("bigint").alias("n_dup_chunks"),
+        F.try_divide(
+            F.sum(F.when(F.col("_nd") >= 2, F.col("clen")).otherwise(0))
+            .cast("bigint"),
+            F.sum("clen").cast("bigint")).alias("dup_char_share"),
+    )
+    out = (
+        documents.select("doc_id")
+        .join(card, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .cast("bigint").alias("n_chunks"),
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0))
+            .cast("bigint").alias("n_dup_chunks"),
+            F.col("dup_char_share"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def cdc_chunk_profile(documents: DataFrame, by: str = "source",
+                      w: int = 8, sort: bool = True) -> DataFrame:
+    """Per-*by* CDC redundancy card — the mixture-designer twin of
+    :func:`cdc_chunk_stats`: for each source, how many chunk
+    occurrences it contributes, how many are corpus-duplicated
+    (hash in ≥ 2 distinct docs anywhere), and the share of its BYTES
+    a CDC store would dedupe away. (by, n_docs, n_chunks,
+    n_dup_chunks, dup_char_share, avg_chunk_len); both ratios raw
+    int/int doubles."""
+    keyed = _cdc_chunk_rows(documents, w)
+    counts = keyed.groupBy("ck").agg(
+        F.countDistinct("doc_id").alias("_nd"))
+    occ = keyed.join(counts, "ck")
+    out = occ.groupBy(F.col(by).alias(by)).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+        .cast("bigint").alias("n_dup_chunks"),
+        F.try_divide(
+            F.sum(F.when(F.col("_nd") >= 2, F.col("clen")).otherwise(0))
+            .cast("bigint"),
+            F.sum("clen").cast("bigint")).alias("dup_char_share"),
+        F.try_divide(F.sum("clen").cast("bigint"),
+                     F.count(F.lit(1)).cast("bigint"))
+        .alias("avg_chunk_len"),
+    )
+    return out.orderBy(by) if sort else out

@@ -5443,3 +5443,80 @@ def test_chi2_independence_perfectly_independent(spark):
         rows, ["o_orderkey", "o_orderpriority", "o_orderstatus"])
     r = chi2_independence(orders).collect()[0]
     assert r["chi2"] == 0.0 and r["dof"] == 1
+
+
+def _py_cdc_chunks(text, w=8):
+    # independent Python model of the CDC cut rule (md5-nibble '0'
+    # after each w-gram → cut at gram end)
+    import hashlib
+
+    n = len(text)
+    cuts = {0, n}
+    for i in range(1, n - w + 2):
+        g = text[i - 1:i - 1 + w]
+        if len(g) == w and hashlib.md5(
+                g.encode()).hexdigest()[0] == "0":
+            cuts.add(i + w - 2 + 1)  # 1-based gram start i ends at i+w-1
+    cs = sorted(cuts)
+    return [text[a:b] for a, b in zip(cs, cs[1:])]
+
+
+def test_cdc_chunks_match_python_model(spark):
+    from pyperustats_spark.operators.dedup import _cdc_chunk_rows
+    import hashlib
+
+    t1 = "".join(chr(97 + (i * 7 + i * i) % 26) for i in range(300))
+    t2 = "zq9 " * 40 + t1[:150]
+    docs = spark.createDataFrame(
+        [(1, t1, "en", "s", len(t1)), (2, t2, "en", "s", len(t2)),
+         (3, "abc", "en", "s", 3), (4, "", "en", "s", 0),
+         (5, None, "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    rows = _cdc_chunk_rows(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["ck"], r["clen"]))
+    for doc_id, text in [(1, t1), (2, t2), (3, "abc")]:
+        exp = [(hashlib.md5(c.encode()).hexdigest(), len(c))
+               for c in _py_cdc_chunks(text)]
+        assert sorted(got[doc_id]) == sorted(exp), doc_id
+    assert 3 in got and got[3] == [(hashlib.md5(b"abc").hexdigest(), 3)]
+    assert 4 not in got and 5 not in got  # empty/null → no chunks
+
+
+def test_cdc_chunking_is_phase_invariant(spark):
+    # the content-defined guarantee fixed-stride sampling lacks: a run
+    # shared at DIFFERENT offsets still yields identical interior
+    # chunks, so every phase of the planted run is detected
+    from pyperustats_spark.operators.dedup import cdc_chunk_stats
+
+    run = "".join(chr(97 + (i * 11 + 3) % 26) for i in range(400))
+    docs = spark.createDataFrame(
+        [(i, ("x%d " % i) * (3 * i + 1) + run, "en", "s", 0)
+         for i in range(5)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in cdc_chunk_stats(docs).collect()}
+    assert len(out) == 5
+    for i in range(5):
+        assert out[i]["n_dup_chunks"] >= 10, (i, out[i])
+        assert 0.0 < out[i]["dup_char_share"] <= 1.0
+
+
+def test_cdc_profile_sums_match_per_doc_card(spark):
+    from pyperustats_spark.operators.dedup import (
+        cdc_chunk_profile, cdc_chunk_stats)
+
+    t = "".join(chr(97 + (i * 5 + 1) % 26) for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, t, "en", "sa", 0), (2, t, "en", "sb", 0),
+         (3, "unrelated text entirely different", "en", "sb", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    prof = {r["source"]: r for r in cdc_chunk_profile(docs).collect()}
+    card = {r["doc_id"]: r for r in cdc_chunk_stats(docs).collect()}
+    # identical docs 1/2 are fully chunk-duplicated
+    assert card[1]["dup_char_share"] == 1.0
+    assert card[2]["dup_char_share"] == 1.0
+    assert prof["sa"]["n_chunks"] == card[1]["n_chunks"]
+    assert (prof["sb"]["n_chunks"]
+            == card[2]["n_chunks"] + card[3]["n_chunks"])
+    assert prof["sa"]["dup_char_share"] == 1.0
