@@ -1796,12 +1796,36 @@ def dedup_paragraph_stats(spark, sf_dir):
                                  delim=" a ", by="source")
 
 
+def ts_spearman(spark, sf_dir):
+    return TS.spearman_matrix(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def ts_pettitt(spark, sf_dir):
+    return TS.pettitt_test(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
+def dedup_tfidf_cosine(spark, sf_dir):
+    return D.tfidf_cosine_pairs(_lt(spark, sf_dir, "documents"))
+
+
 def dedup_cdc_chunks(spark, sf_dir):
     return D.cdc_chunk_stats(_lt(spark, sf_dir, "documents"))
 
 
 def dedup_cdc_profile(spark, sf_dir):
     return D.cdc_chunk_profile(_lt(spark, sf_dir, "documents"))
+
+
+def dedup_cdc_incremental(spark, sf_dir):
+    # recurring-release split shared with dedup_incremental /
+    # dedup_paragraph_incremental: odd doc_ids = new batch, even =
+    # released corpus
+    docs = _lt(spark, sf_dir, "documents")
+    return D.cdc_dedup_incremental(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0))
 
 
 def dedup_paragraph_incremental(spark, sf_dir):
@@ -3218,6 +3242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph_incremental": dedup_paragraph_incremental,
         "dedup_cdc_chunks": dedup_cdc_chunks,
         "dedup_cdc_profile": dedup_cdc_profile,
+        "dedup_cdc_incremental": dedup_cdc_incremental,
+        "dedup_tfidf_cosine": dedup_tfidf_cosine,
+        "ts_spearman": ts_spearman,
+        "ts_pettitt": ts_pettitt,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -4698,6 +4726,140 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    # Spearman: cents grid → integer doubled average ranks → Pearson
+    # form in HUGEINT (Spark DECIMAL(38,0)) → sqrt/divide as the only
+    # double ops; zero-variance pairs NULL to match try_divide
+    sql["ts_spearman"] = f"""
+        WITH long AS ({_LONG}),
+        g AS (SELECT date, code, round(value, 2) AS v FROM long),
+        j AS (
+            SELECT a.code AS code_a, b.code AS code_b,
+                   a.v AS va, b.v AS vb
+            FROM g a JOIN g b ON a.date = b.date AND a.code < b.code
+        ),
+        r AS (
+            SELECT code_a, code_b,
+                   CAST(2 * rank() OVER (PARTITION BY code_a, code_b
+                                         ORDER BY va)
+                        + count(*) OVER (PARTITION BY code_a, code_b,
+                                         va) - 1 AS BIGINT) AS ra,
+                   CAST(2 * rank() OVER (PARTITION BY code_a, code_b
+                                         ORDER BY vb)
+                        + count(*) OVER (PARTITION BY code_a, code_b,
+                                         vb) - 1 AS BIGINT) AS rb
+            FROM j
+        ),
+        s AS (
+            SELECT code_a, code_b, CAST(count(*) AS BIGINT) AS n_obs,
+                   sum(CAST(ra AS HUGEINT)) AS sa,
+                   sum(CAST(rb AS HUGEINT)) AS sb,
+                   sum(CAST(ra AS HUGEINT) * rb) AS sab,
+                   sum(CAST(ra AS HUGEINT) * ra) AS saa,
+                   sum(CAST(rb AS HUGEINT) * rb) AS sbb
+            FROM r GROUP BY 1, 2
+        )
+        SELECT code_a, code_b, n_obs,
+               CASE WHEN n_obs * saa - sa * sa = 0
+                      OR n_obs * sbb - sb * sb = 0 THEN NULL
+                    ELSE CAST(n_obs * sab - sa * sb AS DOUBLE)
+                         / (sqrt(CAST(n_obs * saa - sa * sa AS DOUBLE))
+                            * sqrt(CAST(n_obs * sbb - sb * sb
+                                        AS DOUBLE)))
+               END AS spearman
+        FROM s ORDER BY code_a, code_b
+    """
+
+    # Pettitt: integer doubled ranks → ordered cumsum U_t → bigint
+    # argmax (|U| desc, date asc); window sum CAST off HUGEINT early
+    sql["ts_pettitt"] = f"""
+        WITH long AS ({_LONG}),
+        g AS (SELECT date, code, round(value, 2) AS v FROM long),
+        r AS (
+            SELECT code, date,
+                   CAST(2 * rank() OVER (PARTITION BY code ORDER BY v)
+                        + count(*) OVER (PARTITION BY code, v) - 1
+                        AS BIGINT) AS r2
+            FROM g
+        ),
+        c AS (
+            SELECT code, date,
+                   CAST(sum(r2) OVER (PARTITION BY code ORDER BY date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW) AS BIGINT) AS w2,
+                   CAST(row_number() OVER (PARTITION BY code
+                                           ORDER BY date) AS BIGINT)
+                       AS t,
+                   CAST(count(*) OVER (PARTITION BY code) AS BIGINT)
+                       AS n
+            FROM r
+        ),
+        u AS (
+            SELECT code, date, n, w2 - t * (n + 1) AS u
+            FROM c WHERE t < n
+        ),
+        k AS (
+            SELECT code, date, n, abs(u) AS au,
+                   row_number() OVER (PARTITION BY code
+                                      ORDER BY abs(u) DESC, date)
+                       AS rk
+            FROM u
+        )
+        SELECT code, n AS n_obs, date AS change_date,
+               au AS k_stat,
+               au / CAST(n * (n + 1) AS BIGINT) AS k_norm
+        FROM k WHERE rk = 1 ORDER BY code
+    """
+
+    # exact-integer TF-IDF cosine: idf in micro-units (ln 1e-6 grid),
+    # dot/norms as HUGEINT (Spark DECIMAL(38,0)), sqrt/divide as the
+    # only double ops (correctly rounded → identical bits, safe τ cut)
+    sql["dedup_tfidf_cosine"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest({tok}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, token
+        ),
+        dfc AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS dfreq
+            FROM tf GROUP BY token
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        w AS (
+            SELECT t.doc_id, t.token, d.dfreq,
+                   t.tf * CAST(round(
+                       ln(CAST(nd.nd AS DOUBLE) / d.dfreq) * 1000000,
+                       0) AS BIGINT) AS w
+            FROM tf t JOIN dfc d USING (token), nd
+            WHERE d.dfreq <= nd.nd * 0.2
+        ),
+        norms AS (
+            SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+            FROM w GROUP BY doc_id
+        ),
+        dot AS (
+            SELECT w1.doc_id AS a, w2.doc_id AS b,
+                   sum(CAST(w1.w AS HUGEINT) * w2.w) AS d,
+                   CAST(count(*) AS BIGINT) AS n_shared_terms
+            FROM w w1 JOIN w w2
+              ON w1.token = w2.token AND w1.doc_id < w2.doc_id
+            WHERE w1.dfreq <= 256 AND w2.dfreq <= 256
+            GROUP BY 1, 2
+        )
+        SELECT d.a AS doc_id_a, d.b AS doc_id_b, d.n_shared_terms,
+               CAST(d.d AS DOUBLE)
+                   / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        FROM dot d
+        JOIN norms na ON d.a = na.doc_id
+        JOIN norms nb ON d.b = nb.doc_id
+        WHERE CAST(d.d AS DOUBLE)
+                  / (sqrt(CAST(na.n2 AS DOUBLE))
+                     * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
+        ORDER BY doc_id_a, doc_id_b
+    """.format(tok=_TOKENS)
+
     sql["dedup_cdc_chunks"] = f"""
         WITH {_CDC_CHUNKS},
         card AS (
@@ -4716,6 +4878,33 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.n_dup_chunks, 0) AS n_dup_chunks,
                a.dup_char_share
         FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN card a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+    """
+
+    # chunking is row-local, so chunk-all-then-split-by-parity equals
+    # the operator's split-then-chunk; unused `keys` CTE is never run
+    sql["dedup_cdc_incremental"] = f"""
+        WITH {_CDC_CHUNKS},
+        ckk AS (SELECT DISTINCT ck FROM chunks WHERE doc_id % 2 = 0),
+        b AS (SELECT * FROM chunks WHERE doc_id % 2 = 1),
+        card AS (
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN k.ck IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_known_chunks,
+                   CAST(sum(CASE WHEN k.ck IS NULL THEN b.clen ELSE 0
+                            END) AS BIGINT)
+                       / CAST(sum(b.clen) AS BIGINT)
+                       AS novel_char_share
+            FROM b LEFT JOIN ckk k ON b.ck = k.ck
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_chunks, 0) AS n_chunks,
+               coalesce(a.n_known_chunks, 0) AS n_known_chunks,
+               a.novel_char_share
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         LEFT JOIN card a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id
     """

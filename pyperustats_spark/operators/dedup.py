@@ -1731,7 +1731,12 @@ def _cdc_chunk_rows(documents: DataFrame, w: int = 8) -> DataFrame:
             ),
         )
 
-    chunked = documents.where(F.col("text").isNotNull()).select(
+    # the boundary scan is n·w md5 work per row on a possibly
+    # single-row-group parquet input — spread it first
+    chunked = ensure_parallelism(
+        documents.where(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+    ).select(
         "doc_id", "source",
         let(F.expr(cuts_expr), _chunks).alias("_ch"),
     )
@@ -1814,3 +1819,135 @@ def cdc_chunk_profile(documents: DataFrame, by: str = "source",
         .alias("avg_chunk_len"),
     )
     return out.orderBy(by) if sort else out
+
+
+def tfidf_cosine_pairs(documents: DataFrame, tau: float = 0.5,
+                       max_df_frac: float = 0.2, max_gather: int = 256,
+                       sort: bool = True) -> DataFrame:
+    """Lexical near-dup pairs by EXACT sparse TF-IDF cosine — the
+    soft-dedup complement of :func:`ngram_jaccard_pairs` (set overlap)
+    and :func:`semantic_dedup_pairs` (dense embeddings): weighted
+    bag-of-words similarity, robust to reordering and length deltas.
+    Returns (doc_id_a, doc_id_b, n_shared_terms, cosine) for pairs
+    with cosine ≥ *tau* over the discriminative vocabulary
+    (document frequency ≤ *max_df_frac* × N — idf-weighting AND
+    stopword cut in one rule).
+
+    Cross-engine-exact by integer arithmetic end-to-end: idf is
+    grid-rounded to integer MICRO-units (the ln 1e-6 recipe), weights
+    w = tf · idf_micro are bigint, dot products and norms² accumulate
+    in DECIMAL(38,0) (DuckDB HUGEINT), and only the final
+    sqrt/divide run in doubles — sqrt and single arithmetic ops are
+    correctly rounded IEEE in both engines, so the cosine BITS match
+    and the τ cut is deterministic (no merge-order float drift).
+
+    Scale shape: candidate generation is the repo's bucketed gather —
+    per-term collect_list of (doc_id, w, norm²) triples, in-array
+    ordered pairs, NEVER a self-join. Terms with df > *max_gather*
+    are excluded from pair generation only (they still count toward
+    norms): a hot term's bucket is quadratic in df, while its idf —
+    hence its cosine contribution — is already near zero; the oracle
+    applies the identical rule, so parity is exact at every SF. Norms
+    ride the gather as one decimal per occurrence, so the pair
+    aggregation needs NO join back. The weights frame is persisted:
+    norms + the gather would otherwise re-run the tokenize+tf chain
+    per reference (Catalyst never dedupes common subplans); lifetime
+    caveat as perplexity_buckets — callers timing repeatedly should
+    clearCache between calls."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    nd = documents.agg(F.count(F.lit(1)).alias("_nd"))
+    idf_micro = F.round(
+        F.log(F.col("_nd") / F.col("_df")) * F.lit(1000000.0), 0
+    ).cast("bigint")
+    w = (
+        tf.join(dfc, "token")
+        .join(F.broadcast(nd))
+        .where(F.col("_df") <= F.col("_nd") * F.lit(max_df_frac))
+        .select("token", "doc_id", "_df",
+                (F.col("tf") * idf_micro).alias("w"))
+    ).persist()
+    norms = w.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)"))
+        .alias("_n2"))
+    wn = w.where(F.col("_df") <= max_gather).join(norms, "doc_id")
+    gather = wn.groupBy("token").agg(
+        F.collect_list(F.struct("doc_id", "w", "_n2")).alias("lst")
+    ).where(F.size("lst") >= 2)
+
+    def _pairs(ps: Column) -> Column:
+        return F.flatten(F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("a"), y["doc_id"].alias("b"),
+                    (x["w"] * y["w"]).alias("prod"),
+                    x["_n2"].alias("na"), y["_n2"].alias("nb")))))
+
+    pairs = gather.select(
+        F.explode(let(F.sort_array(F.col("lst")), _pairs)).alias("p")
+    ).select("p.a", "p.b", "p.prod", "p.na", "p.nb")
+    agg = pairs.groupBy("a", "b").agg(
+        F.sum(F.col("prod").cast("decimal(38,0)")).alias("_dot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+        F.min("na").alias("_na"), F.min("nb").alias("_nb"))
+    out = agg.select(
+        F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"),
+        "n_shared_terms",
+        (F.col("_dot").cast("double")
+         / (F.sqrt(F.col("_na").cast("double"))
+            * F.sqrt(F.col("_nb").cast("double")))).alias("cosine"),
+    ).where(F.col("cosine") >= tau)
+    return out.orderBy("doc_id_a", "doc_id_b") if sort else out
+
+
+def cdc_dedup_incremental(batch: DataFrame, corpus: DataFrame,
+                          w: int = 8, sort: bool = True) -> DataFrame:
+    """Recurring-release form of :func:`cdc_chunk_stats` (the
+    chunk-grain sibling of ``dedup_incremental``): score each
+    NEW-batch document against the RELEASED corpus by content-defined
+    chunks — the corpus is never re-chunked into pairs, it reduces to
+    its DISTINCT chunk-hash set. Per batch doc: (doc_id, n_chunks,
+    n_known_chunks, novel_char_share) where a known chunk already
+    exists ANYWHERE in the corpus and novel_char_share is the byte
+    share a CDC-grained release would actually add (raw bigint/bigint
+    division; NULL when the doc has no chunks). Because the cut rule
+    is content-defined, a batch doc embedding a corpus passage at ANY
+    offset still hits the corpus keys on the passage's interior
+    chunks — the same phase-proof guarantee the winnowed release
+    chain relies on.
+
+    Scale shape: corpus side is one projection + DISTINCT on 16-byte
+    hashes (its text never rides a shuffle); the membership test is a
+    left join + null flag (counts must survive, so not an anti-join);
+    both sides SF-proportional → unhinted AQE."""
+    corpus_keys = _cdc_chunk_rows(corpus, w).select("ck").distinct()
+    keyed = _cdc_chunk_rows(batch, w)
+    occ = keyed.join(
+        corpus_keys.withColumn("_known", F.lit(1)), "ck", "left")
+    card = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("_known").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_known_chunks"),
+        F.try_divide(
+            F.sum(F.when(F.col("_known").isNull(), F.col("clen"))
+                  .otherwise(0)).cast("bigint"),
+            F.sum("clen").cast("bigint")).alias("novel_char_share"),
+    )
+    out = (
+        batch.select("doc_id")
+        .join(card, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .cast("bigint").alias("n_chunks"),
+            F.coalesce(F.col("n_known_chunks"), F.lit(0))
+            .cast("bigint").alias("n_known_chunks"),
+            F.col("novel_char_share"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out

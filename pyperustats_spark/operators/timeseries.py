@@ -1664,3 +1664,129 @@ def hp_filter(long_df: DataFrame, lam: float = 1600.0,
     out = long_df.select("date", "code", "value") \
         .groupBy("code").applyInPandas(fold, out_schema)
     return out.orderBy("code", "date") if sort else out
+
+
+def spearman_matrix(long_df: DataFrame, sort: bool = True) -> DataFrame:
+    """All-pairs Spearman rank correlation between series — the
+    robust (monotone-invariant, outlier-insensitive) complement of
+    the Pearson probes (:func:`cross_correlation`, :func:`series_beta`)
+    for the "which indicators co-move" triage across a catalogue.
+    Returns (code_a, code_b, n_obs, spearman) for every unordered code
+    pair over their COMMON dates, code_a < code_b.
+
+    Cross-engine-exact by construction: values are grid-recovered to
+    cents first (round-2, the max_drawdown recipe) so ties agree
+    bit-for-bit; ranks enter as integer DOUBLED average ranks
+    (2·rank_min + ties − 1 — average fractional ranks with no .5
+    floats); the Pearson form on those integers (tie-correct, unlike
+    the 6Σd² shortcut) accumulates every sum in DECIMAL(38,0)
+    (DuckDB HUGEINT), and only the final sqrt/divide run in doubles —
+    correctly rounded IEEE ops, identical bits.
+
+    Scale shape: the date-spine pairing join has per-date multiplicity
+    ≤ |codes|² (codes are a fixed catalogue dimension, not a growing
+    key — the audited |types|² class); rank windows partition by the
+    PAIR, so depth is bounded by the joint series length, and the
+    final reduction is one partial-aggregated groupBy per pair."""
+    v = F.round(F.col("value"), 2)
+    base = long_df.select("date", "code", v.alias("_v"))
+    a = base.select("date", F.col("code").alias("code_a"),
+                    F.col("_v").alias("_va"))
+    b = base.select("date", F.col("code").alias("code_b"),
+                    F.col("_v").alias("_vb"))
+    joint = a.join(b, "date").where(F.col("code_a") < F.col("code_b"))
+    pair = ["code_a", "code_b"]
+    wa = Window.partitionBy(*pair).orderBy("_va")
+    wb = Window.partitionBy(*pair).orderBy("_vb")
+    ta = Window.partitionBy(*pair, "_va")
+    tb = Window.partitionBy(*pair, "_vb")
+    ranked = joint.select(
+        *pair,
+        (2 * F.rank().over(wa) + F.count(F.lit(1)).over(ta) - 1)
+        .cast("bigint").alias("_ra"),
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(tb) - 1)
+        .cast("bigint").alias("_rb"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    sums = ranked.groupBy(*pair).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(dec(F.col("_ra"))).alias("_sa"),
+        F.sum(dec(F.col("_rb"))).alias("_sb"),
+        F.sum(dec(F.col("_ra")) * F.col("_rb")).alias("_sab"),
+        F.sum(dec(F.col("_ra")) * F.col("_ra")).alias("_saa"),
+        F.sum(dec(F.col("_rb")) * F.col("_rb")).alias("_sbb"),
+    )
+    n = dec(F.col("n_obs"))
+    num = (n * F.col("_sab") - F.col("_sa") * F.col("_sb"))
+    da = (n * F.col("_saa") - F.col("_sa") * F.col("_sa"))
+    db = (n * F.col("_sbb") - F.col("_sb") * F.col("_sb"))
+    out = sums.select(
+        *pair, "n_obs",
+        F.try_divide(
+            num.cast("double"),
+            F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))
+        ).alias("spearman"),
+    )
+    return out.orderBy(*pair) if sort else out
+
+
+def pettitt_test(long_df: DataFrame, sort: bool = True) -> DataFrame:
+    """Pettitt rank changepoint per series: the nonparametric
+    single-changepoint locator — K = max_t |U_t|,
+    U_t = Σ_{i≤t} R2_i − t(n+1) with R2 the DOUBLED average ranks of
+    the full series — robust to outliers and any monotone transform,
+    the rank-based complement of the mean-shift CUSUM locator
+    (:func:`cusum_changepoint`). Returns (code, n_obs, change_date,
+    k_stat, k_norm): change_date = last point of the first segment
+    (earliest date on K ties), k_norm = K / (n(n+1)) ∈ [0, 1] shipped
+    as a raw bigint/bigint divide (bit-identical cross-engine; the
+    classic exp() p-value approximation is deliberately NOT computed
+    here — exp differs by ulps across engines, and k_norm orders
+    series for triage just as well).
+
+    Cross-engine-exact: cents grid first, integer doubled ranks, U_t
+    an ordered integer cumsum, |U| argmax tie-broken on date — every
+    compared quantity is a bigint. Scale: two windows on the SAME
+    series partitioning (rank, then date-ordered running sum), one
+    groupBy for n, one min-struct argmax — no global sort, no
+    count-over-window on an unbounded key."""
+    v = F.round(F.col("value"), 2)
+    base = long_df.select("date", "code", v.alias("_v"))
+    wr = Window.partitionBy("code").orderBy("_v")
+    wt = Window.partitionBy("code", "_v")
+    wc = Window.partitionBy("code").orderBy("date") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wi = Window.partitionBy("code").orderBy("date")
+    ranked = base.select(
+        "code", "date",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("bigint").alias("_r2"),
+    ).select(
+        "code", "date",
+        F.sum("_r2").over(wc).alias("_w2"),
+        F.row_number().over(wi).cast("bigint").alias("_t"),
+    )
+    ns = long_df.groupBy("code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    u = ranked.join(ns, "code").where(F.col("_t") < F.col("n_obs")) \
+        .select(
+            "code", "date", "n_obs",
+            (F.col("_w2") - F.col("_t") * (F.col("n_obs") + 1))
+            .alias("_u"))
+    best = u.groupBy("code").agg(
+        F.min("n_obs").alias("n_obs"),
+        F.min(F.struct(
+            (-F.abs(F.col("_u"))).alias("_negk"),
+            F.col("date").alias("date"))).alias("_w"))
+    out = best.select(
+        "code", "n_obs",
+        F.col("_w.date").alias("change_date"),
+        (-F.col("_w._negk")).alias("k_stat"),
+        F.try_divide(-F.col("_w._negk"),
+                     F.col("n_obs") * (F.col("n_obs") + 1))
+        .alias("k_norm"),
+    )
+    return out.orderBy("code") if sort else out

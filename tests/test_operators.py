@@ -5520,3 +5520,188 @@ def test_cdc_profile_sums_match_per_doc_card(spark):
     assert (prof["sb"]["n_chunks"]
             == card[2]["n_chunks"] + card[3]["n_chunks"])
     assert prof["sa"]["dup_char_share"] == 1.0
+
+
+def test_tfidf_cosine_matches_python_model(spark):
+    from pyperustats_spark.operators.dedup import tfidf_cosine_pairs
+    import math
+
+    docs = [
+        (1, "apple banana cherry durian elderberry fig"),
+        (2, "apple banana cherry durian elderberry grape"),
+        (3, "zebra yak xenops walrus vulture"),
+        (4, "zebra yak xenops walrus vulture"),
+        (5, "totally disjoint vocabulary here now"),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {(r["doc_id_a"], r["doc_id_b"]): r
+           for r in tfidf_cosine_pairs(
+               sdf, tau=0.1, max_df_frac=0.5).collect()}
+
+    # independent model with the same integer-micro idf grid
+    n = len(docs)
+    tf, dfc = {}, {}
+    for i, t in docs:
+        for tok in t.lower().split():
+            tf[(i, tok)] = tf.get((i, tok), 0) + 1
+    for (i, tok) in tf:
+        dfc[tok] = dfc.get(tok, 0) + 1
+    vocab = {t for t, d in dfc.items() if d <= 0.5 * n}
+    w = {(i, t): c * int(round(math.log(n / dfc[t]) * 1e6))
+         for (i, t), c in tf.items() if t in vocab}
+    import itertools
+    exp = {}
+    for a, b in itertools.combinations([i for i, _ in docs], 2):
+        shared = [t for t in vocab
+                  if (a, t) in w and (b, t) in w]
+        if not shared:
+            continue
+        dot = sum(w[(a, t)] * w[(b, t)] for t in shared)
+        na = sum(v * v for (i, t), v in w.items() if i == a)
+        nb = sum(v * v for (i, t), v in w.items() if i == b)
+        cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        if cos >= 0.1:
+            exp[(a, b)] = (len(shared), cos)
+    assert set(out) == set(exp)
+    for k, (ns, cos) in exp.items():
+        assert out[k]["n_shared_terms"] == ns
+        assert abs(out[k]["cosine"] - cos) < 1e-12, k
+    # identical rare-vocab docs: cosine 1 up to the sqrt(x)*sqrt(x)
+    # rounding of the denominator (can land one ulp ABOVE 1.0)
+    assert abs(out[(3, 4)]["cosine"] - 1.0) < 1e-12
+
+
+def test_tfidf_cosine_hot_terms_skip_pair_generation(spark):
+    # a term above max_gather still contributes to norms but not to
+    # candidate generation — pairs sharing ONLY hot terms disappear
+    from pyperustats_spark.operators.dedup import tfidf_cosine_pairs
+
+    sdf = spark.createDataFrame(
+        [(i, "common rare%d" % (i % 2), "en", "s", 10)
+         for i in range(10)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    # 'common' has df=10 > max_gather=1: no pairs from it; 'rare0/1'
+    # have df=5 > 1 too → nothing pairs at all
+    none = tfidf_cosine_pairs(sdf, tau=0.0, max_df_frac=1.0,
+                              max_gather=1).collect()
+    assert none == []
+    # with the cap lifted the rare halves pair up within each parity
+    some = tfidf_cosine_pairs(sdf, tau=0.0, max_df_frac=0.7,
+                              max_gather=256).collect()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in some}
+    assert pairs == {(a, b) for a in range(10) for b in range(10)
+                     if a < b and a % 2 == b % 2}
+
+
+def _avg_rank2(vals):
+    # doubled average ranks (integers even under ties)
+    out = []
+    for v in vals:
+        lt = sum(1 for x in vals if x < v)
+        eq = sum(1 for x in vals if x == v)
+        out.append(2 * lt + eq + 1)
+    return out
+
+
+def test_spearman_matrix_matches_python_model(spark):
+    from pyperustats_spark.operators.timeseries import spearman_matrix
+    import datetime as dt
+    import math
+
+    d0 = dt.datetime(2020, 1, 1)
+    # A and B co-move monotonically (rho 1 despite nonlinearity);
+    # C anti-moves; ties planted in B
+    rows = []
+    va = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    vb = [1.0, 5.0, 5.0, 7.0, 20.0, 21.0]
+    vc = [9.0, 8.0, 7.0, 6.0, 5.0, 4.0]
+    for i in range(6):
+        for code, v in [("A", va[i]), ("B", vb[i]), ("C", vc[i])]:
+            rows.append((d0 + dt.timedelta(days=i), code, v))
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {(r["code_a"], r["code_b"]): r
+           for r in spearman_matrix(df).collect()}
+
+    def rho(x, y):
+        ra, rb = _avg_rank2(x), _avg_rank2(y)
+        n = len(x)
+        sa, sb = sum(ra), sum(rb)
+        sab = sum(a * b for a, b in zip(ra, rb))
+        saa = sum(a * a for a in ra)
+        sbb = sum(b * b for b in rb)
+        return ((n * sab - sa * sb)
+                / (math.sqrt(n * saa - sa * sa)
+                   * math.sqrt(n * sbb - sb * sb)))
+
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    for (ca, cb), (x, y) in {("A", "B"): (va, vb),
+                             ("A", "C"): (va, vc),
+                             ("B", "C"): (vb, vc)}.items():
+        assert out[(ca, cb)]["n_obs"] == 6
+        assert abs(out[(ca, cb)]["spearman"] - rho(x, y)) < 1e-12
+    assert abs(out[("A", "C")]["spearman"] + 1.0) < 1e-12  # strict anti
+
+
+def test_pettitt_locates_planted_level_shift(spark):
+    from pyperustats_spark.operators.timeseries import pettitt_test
+    import datetime as dt
+
+    d0 = dt.datetime(2021, 1, 1)
+    # 20 low values then 20 high: change point at the last low day
+    rows = [(d0 + dt.timedelta(days=i), "S",
+             10.0 + (i % 3) + (50.0 if i >= 20 else 0.0))
+            for i in range(40)]
+    # a no-shift control series
+    rows += [(d0 + dt.timedelta(days=i), "F", 5.0 + (i % 5))
+             for i in range(40)]
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {r["code"]: r for r in pettitt_test(df).collect()}
+
+    # brute-force U_t model on the shifted series
+    vals = [10.0 + (i % 3) + (50.0 if i >= 20 else 0.0)
+            for i in range(40)]
+    r2 = _avg_rank2(vals)
+    n = len(vals)
+    us = [sum(r2[:t]) - t * (n + 1) for t in range(1, n)]
+    k_exp = max(abs(u) for u in us)
+    t_star = max(range(len(us)), key=lambda i: (abs(us[i]), -i)) + 1
+
+    assert out["S"]["k_stat"] == k_exp
+    assert out["S"]["change_date"] == d0 + dt.timedelta(days=t_star - 1)
+    assert out["S"]["change_date"] == d0 + dt.timedelta(days=19)
+    assert out["S"]["k_norm"] == k_exp / (n * (n + 1))
+    # the flat-cycle control has far weaker evidence
+    assert out["F"]["k_stat"] < 0.3 * out["S"]["k_stat"]
+
+
+def test_cdc_incremental_embedded_corpus_passage_is_known(spark):
+    # a batch doc embedding a corpus passage at an arbitrary offset
+    # still hits the corpus chunk set on the passage interior
+    from pyperustats_spark.operators.dedup import cdc_dedup_incremental
+
+    # LCG text: short-period formulas can miss every 1/16 cut mark
+    # (measured: a period-26 string had ZERO boundaries) — this one
+    # has 26 cuts over 400 chars
+    _x, _chars = 42, []
+    for _ in range(400):
+        _x = (_x * 1103515245 + 12345) % (2 ** 31)
+        _chars.append(chr(97 + _x % 26))
+    passage = "".join(_chars)
+    corpus = spark.createDataFrame(
+        [(100, passage, "en", "s", len(passage))],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    batch = spark.createDataFrame(
+        [(1, "PREFIX-" * 11 + passage + "-SUFFIX", "en", "s", 0),
+         (2, "completely novel content with no overlap at all",
+          "en", "s", 0),
+         (3, "", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r
+           for r in cdc_dedup_incremental(batch, corpus).collect()}
+    assert out[1]["n_known_chunks"] >= 10
+    assert out[1]["novel_char_share"] < 0.5
+    assert out[2]["n_known_chunks"] == 0
+    assert out[2]["novel_char_share"] == 1.0
+    assert out[3]["n_chunks"] == 0 and out[3]["novel_char_share"] is None

@@ -108,6 +108,8 @@ BROADCAST_HINT_WHITELIST = {
                                   # audited pattern as q_market_share)
     "text_unigram_logprob",       # 1-row (N, V) corpus totals
     "text_tfidf_top_terms",       # 1-row doc-count aggregate
+    "dedup_tfidf_cosine",         # 1-row doc-count aggregate (idf
+                                  # denominator; same audited class)
     "text_bigram_logprob",        # 1-row vocab-size aggregate
     "q7_nation_volume",           # nation (25 rows), pre-filtered pair
     "q8_national_market_share",   # nation x2 + region (25/5 rows)
@@ -673,6 +675,22 @@ PLAN_SMELL_WHITELIST = {
     "emb_matryoshka_eval": {"BNLJ", "SINGLE_PART"},  # broadcast query
                                                 # set + |dims|-row
                                                 # spine/fixpoint window
+    "dedup_tfidf_cosine": {"BNLJ", "SINGLE_PART"},  # 1-row doc-count
+                                                # idf denominator
+                                                # (tfidf_top_terms
+                                                # class)
+    "ts_spearman": {"GROUP_SIZE_WINDOW"},       # tie counts on the
+                                                # SAME (pair, value)
+                                                # partitioning the rank
+                                                # window already sorts;
+                                                # codes are a fixed
+                                                # catalogue dimension
+    "ts_pettitt": {"GROUP_SIZE_WINDOW"},        # tie counts share the
+                                                # per-series rank
+                                                # partition (ts_decompose
+                                                # class); n via
+                                                # groupBy+join, not a
+                                                # count window
 }
 
 
