@@ -1796,6 +1796,23 @@ def dedup_paragraph_stats(spark, sf_dir):
                                  delim=" a ", by="source")
 
 
+def stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F of order-value cents across priorities:
+    exact integer group sums, each S_g^2/n_g term a fixed
+    correctly-rounded double tree, terms accumulated through an
+    ORDERED k-row cum window (merge-order-proof), p-value
+    client-side like the rest of the stats suite."""
+    return R.anova_oneway(_lt(spark, sf_dir, "orders"))
+
+
+def q_abc_pareto(spark, sf_dir):
+    return R.abc_classification(_lt(spark, sf_dir, "lineitem"))
+
+
+def ev_dispersion(spark, sf_dir):
+    return E.dispersion_profile(_lt(spark, sf_dir, "events"))
+
+
 def ts_spearman(spark, sf_dir):
     return TS.spearman_matrix(
         TS.series_long(_lt(spark, sf_dir, "lineitem")))
@@ -3246,6 +3263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tfidf_cosine": dedup_tfidf_cosine,
         "ts_spearman": ts_spearman,
         "ts_pettitt": ts_pettitt,
+        "q_abc_pareto": q_abc_pareto,
+        "ev_dispersion": ev_dispersion,
+        "stats_anova_oneway": stats_anova_oneway,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -4724,6 +4744,151 @@ def oracle_sql() -> dict[str, str]:
             SELECT ck, count(DISTINCT doc_id) AS nd
             FROM chunks GROUP BY ck
         )
+    """
+
+    # ANOVA: integer (n, Σx, Σx²) per group, S²/n terms as fixed
+    # correctly-rounded double trees, ORDERED cum over the k-row group
+    # table (merge-order-proof), last cum via max_by
+    sql["stats_anova_oneway"] = """
+        WITH per AS (
+            SELECT o_orderpriority AS g,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(round(o_totalprice, 2) * 100)
+                                 AS BIGINT)) AS BIGINT) AS s,
+                   sum(CAST(CAST(round(round(o_totalprice, 2) * 100)
+                                 AS BIGINT) AS HUGEINT)
+                       * CAST(round(round(o_totalprice, 2) * 100)
+                              AS BIGINT)) AS q
+            FROM orders GROUP BY 1
+        ),
+        c AS (
+            SELECT g, n, s, q,
+                   sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                       OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum
+            FROM per
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                   CAST(sum(n) AS BIGINT) AS n_total,
+                   CAST(sum(s) AS BIGINT) AS stot,
+                   sum(q) AS qtot,
+                   max_by(cum, g) AS lastcum
+            FROM c
+        )
+        SELECT k_groups, n_total,
+               k_groups - 1 AS df1,
+               n_total - k_groups AS df2,
+               lastcum - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                         / CAST(n_total AS DOUBLE) AS ss_between,
+               CAST(qtot AS DOUBLE) - lastcum AS ss_within,
+               ((lastcum - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                           / CAST(n_total AS DOUBLE))
+                / CAST(k_groups - 1 AS DOUBLE))
+               / ((CAST(qtot AS DOUBLE) - lastcum)
+                  / CAST(n_total - k_groups AS DOUBLE)) AS f_stat,
+               (lastcum - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                          / CAST(n_total AS DOUBLE))
+               / ((lastcum - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                             / CAST(n_total AS DOUBLE))
+                  + (CAST(qtot AS DOUBLE) - lastcum)) AS eta_sq
+        FROM a
+    """
+
+    sql["q_abc_pareto"] = """
+        WITH pc AS (
+            SELECT l_partkey AS part,
+                   CAST(round(round(sum(l_extendedprice), 2) * 100)
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        c AS (
+            SELECT part, cents,
+                   CAST(sum(cents) OVER (ORDER BY cents DESC, part
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW) AS BIGINT) AS cum,
+                   CAST(sum(cents) OVER () AS BIGINT) AS total
+            FROM pc
+        )
+        SELECT part, cents AS revenue_cents,
+               cum / total AS cum_share,
+               CASE WHEN cum / total <= 0.8 THEN 'A'
+                    WHEN cum / total <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c ORDER BY revenue_cents DESC, part
+    """
+
+    # dispersion: hourly-count Fano over the full hour spine (zeros
+    # included) + second-gap burstiness; every accumulator integer
+    # (HUGEINT for the n·Σd² products), mean/var/sqrt compositions
+    # are fixed correctly-rounded trees; degenerate spans NULL
+    sql["ev_dispersion"] = """
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1
+            FROM hc GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type, unnest(generate_series(h0, h1)) AS h
+            FROM span
+        ),
+        fullh AS (
+            SELECT s.event_type, coalesce(hc.c, 0) AS c
+            FROM spine s LEFT JOIN hc
+              ON s.event_type = hc.event_type AND s.h = hc.h
+        ),
+        fano AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_hours,
+                   CAST(sum(c) AS BIGINT) AS sc,
+                   sum(CAST(c AS HUGEINT) * c) AS sc2
+            FROM fullh GROUP BY 1
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) AS BIGINT) // 1000000
+                   - lag(CAST(epoch_us(ts) AS BIGINT) // 1000000)
+                     OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS d
+            FROM events
+        ),
+        burst AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   sum(CAST(d AS HUGEINT) * d) AS sd2
+            FROM g WHERE d IS NOT NULL GROUP BY 1
+        ),
+        sig AS (
+            SELECT event_type, n_gaps,
+                   CASE WHEN n_gaps > 1 THEN
+                       sqrt(CAST(n_gaps * sd2 - CAST(sd AS HUGEINT)
+                                 * sd AS DOUBLE)
+                            / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+                   END AS sigma,
+                   CAST(sd AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu
+            FROM burst
+        )
+        SELECT f.event_type, f.n_hours,
+               CASE WHEN f.n_hours > 1 THEN
+                   (CAST(f.n_hours * f.sc2 - CAST(f.sc AS HUGEINT)
+                         * f.sc AS DOUBLE)
+                    / CAST(f.n_hours * (f.n_hours - 1) AS DOUBLE))
+                   / (CAST(f.sc AS DOUBLE) / CAST(f.n_hours AS DOUBLE))
+               END AS fano_hourly,
+               s.n_gaps,
+               CASE WHEN s.sigma IS NOT NULL
+                      AND s.sigma + s.mu != 0 THEN
+                   (s.sigma - s.mu) / (s.sigma + s.mu)
+               END AS burstiness
+        FROM fano f LEFT JOIN sig s ON f.event_type = s.event_type
+        ORDER BY f.event_type
     """
 
     # Spearman: cents grid → integer doubled average ranks → Pearson

@@ -1964,3 +1964,98 @@ def stickiness(events: DataFrame, sort: bool = True) -> DataFrame:
         F.try_divide(F.col("dau"), F.col("mau")).alias("stickiness"),
     )
     return out.orderBy("day") if sort else out
+
+
+def dispersion_profile(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Overdispersion card per event type: the two standard "is this
+    stream Poisson-like or bursty?" statistics, both exact. Fano
+    factor = var/mean of HOURLY event counts over the type's full
+    hour span (empty hours count as zeros — dropping them would bias
+    Fano toward 1), and Goh-Barabási burstiness
+    B = (σ−μ)/(σ+μ) of the within-user inter-event gaps in integer
+    SECONDS (both endpoints truncated first — the cross-engine-safe
+    second grid; micro gaps would overflow bigint in the square sum
+    anyway, and the DECIMAL(38,0)/HUGEINT accumulators cover the
+    n·Σd² products). B ∈ (−1, 1): −1 ≈ perfectly periodic (a
+    scheduler), 0 ≈ Poisson, → 1 ≈ extreme bursts.
+
+    Cross-engine determinism: every sum is integer (counts, second
+    gaps, their squares in DECIMAL), and the final mean/variance/
+    sqrt/ratio compositions are fixed expression trees of correctly
+    rounded IEEE ops on exact integers — identical bits, no
+    merge-order drift. Degenerate spans (1 hour, <2 gaps) yield NULL
+    via try_divide, mirrored by CASE in the oracle.
+
+    Scale shape: hourly counts partial-aggregate map-side; the hour
+    spine explodes |span| rows per TYPE (types are a bounded
+    dimension); gaps ride the same (user, type) lag window as
+    inter_event_gap_stats — no new shuffle class, no percentile
+    funnel (this card is all algebraic aggregates, so unlike the
+    exact gap percentiles it needs no approx twin at 100 TB)."""
+    hc = events.select("event_type",
+                       F.expr("unix_micros(ts) div 3600000000")
+                       .alias("_h")) \
+        .groupBy("event_type", "_h") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    span = hc.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1"))
+    spine = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("_h0"), F.col("_h1"))).alias("_h"))
+    full = spine.join(hc, ["event_type", "_h"], "left") \
+        .select("event_type", F.coalesce(F.col("_c"), F.lit(0))
+                .cast("bigint").alias("_c"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    fano = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("_c").cast("bigint").alias("_sc"),
+        F.sum(dec(F.col("_c")) * F.col("_c")).alias("_sc2"),
+    ).select(
+        "event_type", "n_hours",
+        F.try_divide(
+            F.try_divide(
+                (dec(F.col("n_hours")) * F.col("_sc2")
+                 - dec(F.col("_sc")) * F.col("_sc")).cast("double"),
+                (F.col("n_hours") * (F.col("n_hours") - 1))
+                .cast("double")),
+            F.try_divide(F.col("_sc").cast("double"),
+                         F.col("n_hours").cast("double")))
+        .alias("fano_hourly"),
+    )
+
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    prev = F.lag(F.col("_s")).over(w)
+    gaps = events.select("user_id", "event_type", "ts", "event_id",
+                         sec.alias("_s")) \
+        .select("event_type", (F.col("_s") - prev).alias("_d")) \
+        .where(F.col("_d").isNotNull())
+    # compute sqrt(v) and m as named columns FIRST (one reference
+    # each), then B — keeps the expression tree identical to the
+    # oracle's and avoids CollapseProject double-evaluating the sqrt
+    burst = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("_d").cast("bigint").alias("_sd"),
+        F.sum(dec(F.col("_d")) * F.col("_d")).alias("_sd2"),
+    )
+    sig = burst.select(
+        "event_type", "n_gaps",
+        F.sqrt(F.try_divide(
+            (dec(F.col("n_gaps")) * F.col("_sd2")
+             - dec(F.col("_sd")) * F.col("_sd")).cast("double"),
+            (F.col("n_gaps") * (F.col("n_gaps") - 1)).cast("double"))
+        ).alias("_sig"),
+        F.try_divide(F.col("_sd").cast("double"),
+                     F.col("n_gaps").cast("double")).alias("_mu"),
+    )
+    bout = sig.select(
+        "event_type", "n_gaps",
+        F.try_divide(F.col("_sig") - F.col("_mu"),
+                     F.col("_sig") + F.col("_mu")).alias("burstiness"),
+    )
+    out = fano.join(bout, "event_type", "left")
+    return out.orderBy("event_type") if sort else out

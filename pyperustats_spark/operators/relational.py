@@ -2738,3 +2738,116 @@ def chi2_independence(orders: DataFrame) -> DataFrame:
                .cast("bigint").alias("dof"),
                F.col("_chi2").alias("chi2")))
     return out
+
+
+def abc_classification(lineitem: DataFrame, a_cut: float = 0.8,
+                       b_cut: float = 0.95,
+                       sort: bool = True) -> DataFrame:
+    """ABC / Pareto inventory classification of parts by revenue:
+    rank parts by exact revenue cents descending, take the global
+    running revenue share, and label A (first *a_cut* of revenue),
+    B (to *b_cut*), C (tail) — the classic "20 % of SKUs carry 80 %
+    of revenue" cut that drives stocking policy. Returns
+    (part, revenue_cents, cum_share, abc_class) in rank order;
+    cum_share is a raw bigint/bigint divide (bit-identical
+    cross-engine, so the class boundaries are deterministic).
+
+    Scale shape: the global descending-revenue running sum comes from
+    :func:`~pyperustats_spark.operators.layout.histogram_cumsum` on
+    NEGATED cents (value buckets + per-bucket windows + a bounded
+    offset table — no partition-less data-sized sort window, the
+    revenue_lorenz/gini machinery); the per-part aggregate is
+    persisted because the histogram core references it twice (the
+    histogram_ntile persist rule); the 1-row grand total broadcasts
+    (q_market_share class)."""
+    from pyperustats_spark.operators.layout import (
+        _bounds, _bucket, histogram_cumsum)
+
+    cents = (
+        lineitem.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.round(F.round(F.sum("l_extendedprice"), 2) * 100)
+             .cast("bigint").alias("_c"))
+        .withColumn("_nc", -F.col("_c"))
+        .persist()
+    )
+    b = cents.crossJoin(F.broadcast(_bounds(cents, ["_nc"])))
+    cum = histogram_cumsum(
+        b, _bucket(F.col("_nc"), F.col("_lo__nc"), F.col("_hi__nc"), 12),
+        order=[F.col("_nc"), F.col("part")], cols=["_c"])
+    total = cents.agg(F.sum("_c").cast("bigint").alias("_total"))
+    share = F.try_divide(F.col("_cum__c"), F.col("_total"))
+    out = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "part", F.col("_c").alias("revenue_cents"),
+            share.alias("cum_share"),
+            F.when(share <= a_cut, "A")
+            .when(share <= b_cut, "B")
+            .otherwise("C").alias("abc_class"),
+        )
+    )
+    return out.orderBy(F.desc("revenue_cents"), "part") if sort else out
+
+
+def anova_oneway(orders: DataFrame,
+                 group_col: str = "o_orderpriority") -> DataFrame:
+    """One-way ANOVA F across *group_col* on order-value cents — the
+    parametric member of the distribution-comparison suite
+    (:func:`ks_two_sample` distribution shape, :func:`mann_whitney_u`
+    rank shift, chi-square independence): does mean spend differ
+    across groups? ONE row: (k_groups, n_total, df1, df2, ss_between,
+    ss_within, f_stat, eta_sq). The p-value (incomplete beta) stays
+    client-side, same policy as the rest of the suite.
+
+    Determinism recipe: per-group n, Σx, Σx² are exact integers
+    (cents in bigint, squares in DECIMAL(38,0)/HUGEINT); each
+    between-group term S_g²/n_g is a fixed tree of correctly rounded
+    double ops on exactly-converted integers, and the k terms sum
+    through an ORDERED cumulative window over the group key (both
+    engines accumulate in the same order → identical bits — the
+    CLAUDE.md ordered-cumsum rule; a plain 5-row groupBy sum of
+    doubles would be merge-order-flaky). The last cum row is read
+    with a map-side max(struct(group, cum)) — no second pass.
+
+    Scale shape: one partial-aggregated shuffle to k group rows; the
+    partition-less cum window runs over k rows (a bounded priority
+    dimension — audited SINGLE_PART class), then one 1-row final
+    aggregate."""
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100) \
+        .cast("bigint")
+    per = orders.select(F.col(group_col).alias("_g"),
+                        cents.alias("_c")) \
+        .groupBy("_g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_c").cast("bigint").alias("_s"),
+            F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c"))
+            .alias("_q"))
+    term = (F.col("_s").cast("double") * F.col("_s").cast("double")
+            / F.col("_n").cast("double"))
+    wc = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("_g", "_n", "_s", "_q",
+                     F.sum(term).over(wc).alias("_cum"))
+    agg = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum("_s").cast("bigint").alias("_stot"),
+        F.sum("_q").alias("_qtot"),
+        F.max(F.struct("_g", "_cum")).alias("_last"))
+    ssb = (F.col("_last._cum")
+           - F.col("_stot").cast("double") * F.col("_stot").cast("double")
+           / F.col("n_total").cast("double"))
+    ssw = F.col("_qtot").cast("double") - F.col("_last._cum")
+    out = agg.select(
+        "k_groups", "n_total",
+        (F.col("k_groups") - 1).cast("bigint").alias("df1"),
+        (F.col("n_total") - F.col("k_groups")).cast("bigint")
+        .alias("df2"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.try_divide(
+            F.try_divide(ssb, (F.col("k_groups") - 1).cast("double")),
+            F.try_divide(ssw, (F.col("n_total") - F.col("k_groups"))
+                         .cast("double"))).alias("f_stat"),
+        F.try_divide(ssb, ssb + ssw).alias("eta_sq"),
+    )
+    return out

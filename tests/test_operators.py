@@ -5705,3 +5705,92 @@ def test_cdc_incremental_embedded_corpus_passage_is_known(spark):
     assert out[2]["n_known_chunks"] == 0
     assert out[2]["novel_char_share"] == 1.0
     assert out[3]["n_chunks"] == 0 and out[3]["novel_char_share"] is None
+
+
+def test_abc_classification_boundaries(spark):
+    from pyperustats_spark.operators.relational import abc_classification
+
+    # revenues 50, 30, 15, 4, 1 → cumulative shares .5, .8, .95, .99, 1
+    rows = []
+    for pk, total in [(1, 50.0), (2, 30.0), (3, 15.0), (4, 4.0),
+                      (5, 1.0)]:
+        rows.append((pk, total))
+    df = spark.createDataFrame(rows, ["l_partkey", "l_extendedprice"])
+    out = [r.asDict() for r in abc_classification(df).collect()]
+    assert [r["part"] for r in out] == [1, 2, 3, 4, 5]
+    assert [r["abc_class"] for r in out] == ["A", "A", "B", "C", "C"]
+    assert out[0]["cum_share"] == 0.5
+    assert out[1]["cum_share"] == 0.8      # boundary INCLUSIVE → A
+    assert out[2]["cum_share"] == 0.95     # boundary INCLUSIVE → B
+    assert out[4]["cum_share"] == 1.0
+    assert out[0]["revenue_cents"] == 5000
+
+
+def test_dispersion_profile_separates_scheduler_from_bursts(spark):
+    from pyperustats_spark.operators.events import dispersion_profile
+    import datetime as dt
+
+    d0 = dt.datetime(2022, 1, 1)
+    rows = []
+    # 'cron': one event exactly every 600 s → burstiness -1 (σ=0),
+    # hourly counts constant 6 → Fano 0
+    for i in range(600):
+        rows.append((i, d0 + dt.timedelta(seconds=600 * i), 1, "cron",
+                     1.0, "{}"))
+    # 'bursty': 50-event spikes separated by 10-hour silences
+    eid = 10000
+    for b in range(12):
+        for j in range(50):
+            rows.append((eid, d0 + dt.timedelta(hours=10 * b,
+                                                seconds=j), 2,
+                         "bursty", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    out = {r["event_type"]: r for r in dispersion_profile(df).collect()}
+    assert out["cron"]["fano_hourly"] == 0.0
+    assert out["cron"]["burstiness"] == -1.0
+    assert out["bursty"]["fano_hourly"] > 10
+    assert out["bursty"]["burstiness"] > 0.7
+    assert out["cron"]["n_gaps"] == 599
+
+
+def test_anova_oneway_matches_python_model(spark):
+    from pyperustats_spark.operators.relational import anova_oneway
+
+    # three groups with clearly different means + one tie-heavy group
+    data = {"1-A": [10.0, 11.0, 12.0, 11.0],
+            "2-B": [20.0, 21.0, 19.0, 20.0],
+            "3-C": [10.0, 20.0, 30.0, 40.0]}
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    df = spark.createDataFrame(rows, ["o_orderpriority", "o_totalprice"])
+    out = anova_oneway(df).collect()[0].asDict()
+
+    cents = {g: [int(round(v * 100)) for v in vs]
+             for g, vs in data.items()}
+    allv = [c for vs in cents.values() for c in vs]
+    n, k = len(allv), len(cents)
+    grand = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2
+              for vs in cents.values())
+    ssw = sum((c - sum(vs) / len(vs)) ** 2
+              for vs in cents.values() for c in vs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["k_groups"] == 3 and out["n_total"] == 12
+    assert out["df1"] == 2 and out["df2"] == 9
+    assert abs(out["ss_between"] - ssb) < 1e-6 * ssb
+    assert abs(out["ss_within"] - ssw) < 1e-6 * ssw
+    assert abs(out["f_stat"] - f) < 1e-9 * f
+    assert 0.0 < out["eta_sq"] < 1.0
+    assert abs(out["eta_sq"] - ssb / (ssb + ssw)) < 1e-12
+
+
+def test_anova_oneway_equal_groups_f_near_zero(spark):
+    from pyperustats_spark.operators.relational import anova_oneway
+
+    rows = [(g, v) for g in ["A", "B"] for v in [5.0, 6.0, 7.0]]
+    df = spark.createDataFrame(rows, ["o_orderpriority", "o_totalprice"])
+    out = anova_oneway(df).collect()[0].asDict()
+    assert abs(out["ss_between"]) < 1e-6
+    assert abs(out["f_stat"]) < 1e-9

@@ -94,6 +94,8 @@ BROADCAST_HINT_WHITELIST = {
     "text_temperature_mixture",   # #sources-row rate table + 1-row denom
     "q_revenue_lorenz",           # cents bounds row + bucket prefix
                                   # table + 1-row total (gini class)
+    "q_abc_pareto",               # cents bounds row + bucket prefix
+                                  # table + 1-row total (lorenz class)
     "graph_part_degrees",         # 1-row node total
     "ann_ivf_recall_eval",        # query probe rows (O(queries x nprobe))
     "ann_pq_rerank_l2",           # query vectors (O(queries))
@@ -685,6 +687,15 @@ PLAN_SMELL_WHITELIST = {
                                                 # window already sorts;
                                                 # codes are a fixed
                                                 # catalogue dimension
+    "stats_anova_oneway": {"SINGLE_PART"},      # k-row ordered cum
+                                                # window (bounded group
+                                                # dimension) + 1-row
+                                                # final aggregate
+    "q_abc_pareto": {"BNLJ", "SINGLE_PART"},    # 1-row bounds + 1-row
+                                                # grand total + bounded
+                                                # bucket prefix window
+                                                # (q_revenue_lorenz
+                                                # class)
     "ts_pettitt": {"GROUP_SIZE_WINDOW"},        # tie counts share the
                                                 # per-series rank
                                                 # partition (ts_decompose
