@@ -3401,47 +3401,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in [*window, *rest]}
 
 
-# The driver-verified 50-slot window (round-11 rotation,
-# tools/rotate_window.py): exactly the 50 entries the driver checks.
-# Leads: the three r11 new oracles (the affiliation-history
-# normalizer round trips closing the last reference parser gap, and
-# the series-depth pre-flight card) — none driver-countersigned; then
-# the OLDEST-countersigned oracles fill the remaining 47 slots
-# (computed mechanically from CORRECTNESS_r*.json latest-green
-# rounds, sorted (round, key)). The r10 leads (multimodal decodes,
-# source normalizers, exact smoothing twins) were countersigned 50/50
-# green in CORRECTNESS_r10.json and rotate out — which also drops the
-# window's single heaviest oracle (ts_hw_seasonal_exact's recursive
-# list-state CTE, the marginal wall-time driver flagged in VERDICT
-# r10 item 6) without weakening any pin: every oracle-backed query
-# stays under the local parity gate (tools/parity.py,
-# tests/test_oracle_parity.py) each run.
-# Queued next (oldest 10 beyond slot 50): dedup_filter_apply,
-# dedup_keep_latest, dedup_threshold_sweep, doc_epoch_shards,
-# ev_attribution_first, ev_funnel_steps, ev_gap_stats,
-# ev_retention_cohorts, ev_top_paths, infogob_location_canonical.
+# lead: 9 changed + 14 never-signed; then oldest countersigns
 _WINDOW = [
-    "stats_ks_two_sample", "stats_mann_whitney",
-    "stats_chi2_independence", "ann_hamming_topk",
+    "dedup_cdc_chunks", "dedup_cdc_profile", "dedup_cdc_incremental",
+    "dedup_tfidf_cosine", "ts_spearman", "ts_pettitt", "q_abc_pareto",
+    "ev_dispersion", "stats_anova_oneway", "ann_hamming_topk",
     "ev_conversion_survival", "ev_diff_in_diff", "ev_hazard_cumulative",
     "graph_part_adamic_adar", "infogob_affiliation_fields",
     "infogob_candidate_affiliations", "multimodal_bmp_pixel_stats",
     "multimodal_gif_pixel_stats", "multimodal_tiff_meta",
-    "ts_series_depth_profile", "dedup_stats_by_source",
-    "embedding_norm_profile", "ev_active_users", "ev_attribution",
-    "ev_burst_profile", "ev_funnel_within", "ev_power_users",
-    "ev_session_stats", "ev_skew_profile", "ev_transitions",
-    "inei_stage_plan", "infogob_candidate_detail_counts",
-    "infogob_candidates_by_election", "infogob_candidates_pending",
-    "infogob_location_hierarchy", "infogob_org_pending",
-    "infogob_results_by_region", "q10_returned_items",
-    "q12_flag_priority", "q13_order_distribution", "q14_promo_share",
-    "q15_top_supplier", "q19_disjunctive_revenue", "q22_rich_inactive",
-    "q4_order_priority", "q7_nation_volume", "q_customer_quartiles",
-    "q_orphan_check", "split_leakage_safe", "stats_mad_outliers",
-    "stats_winsorize", "text_bigram_logprob", "text_decontaminate",
-    "text_drop_short_tail", "text_length_histogram",
-    "text_quality_by_source",
+    "stats_chi2_independence", "stats_ks_two_sample",
+    "stats_mann_whitney", "ts_series_depth_profile",
+    "dedup_stats_by_source", "embedding_norm_profile",
+    "ev_active_users", "ev_attribution", "ev_burst_profile",
+    "ev_funnel_within", "ev_power_users", "ev_session_stats",
+    "ev_skew_profile", "ev_transitions", "inei_stage_plan",
+    "infogob_candidate_detail_counts", "infogob_candidates_by_election",
+    "infogob_candidates_pending", "infogob_location_hierarchy",
+    "infogob_org_pending", "infogob_results_by_region",
+    "q10_returned_items", "q12_flag_priority", "q13_order_distribution",
+    "q14_promo_share", "q15_top_supplier", "q19_disjunctive_revenue",
+    "q22_rich_inactive", "q4_order_priority", "q7_nation_volume",
+    "q_customer_quartiles",
 ]
 
 

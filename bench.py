@@ -80,9 +80,16 @@ COHORT2_BASELINE = {
     "multimodal_mp4_meta": 1.139,
     "multimodal_image_dims": 1.095,
     "multimodal_gif_pixel_stats": 1.344,   # pinned r11 (full LZW decode)
+    # r11 third wave: CDC chunking trio + integer TF-IDF cosine +
+    # Spearman (best-of-3, quiet, sf0.1)
+    "dedup_cdc_chunks": 5.603,
+    "dedup_cdc_profile": 4.378,
+    "dedup_cdc_incremental": 4.997,
+    "dedup_tfidf_cosine": 1.281,
+    "ts_spearman": 2.232,
 }
 COHORT2 = list(COHORT2_BASELINE)
-COHORT2_TOTAL = 39.649
+COHORT2_TOTAL = 58.14
 
 # Cohort 3 (round 9): the frozen 100× gate. BENCH_SCALING.md numbers
 # were regenerated per round on gitignored data and never gated — a

@@ -1926,6 +1926,16 @@ def cdc_dedup_incremental(batch: DataFrame, corpus: DataFrame,
     left join + null flag (counts must survive, so not an anti-join);
     both sides SF-proportional → unhinted AQE."""
     corpus_keys = _cdc_chunk_rows(corpus, w).select("ck").distinct()
+    return _cdc_novelty_from_keys(batch, corpus_keys, w=w, sort=sort)
+
+
+def _cdc_novelty_from_keys(batch: DataFrame, corpus_keys: DataFrame,
+                           w: int = 8, sort: bool = True) -> DataFrame:
+    """Core of :func:`cdc_dedup_incremental` against an
+    already-materialized corpus chunk-key set (column ``ck``) — the
+    entry point :class:`~pyperustats_spark.sources.ledger.CorpusLedger`
+    uses so the release path reads bucketed keys instead of
+    re-chunking corpus text."""
     keyed = _cdc_chunk_rows(batch, w)
     occ = keyed.join(
         corpus_keys.withColumn("_known", F.lit(1)), "ck", "left")

@@ -61,17 +61,20 @@ class CorpusLedger:
                  num_buckets: int = 16, prefix_chars: int | None = None,
                  n_tokens: int = 20, winnow: int = 5,
                  hash_fn: str = "md5",
-                 paragraph_delim: str = r"\n\s*\n") -> None:
+                 paragraph_delim: str = r"\n\s*\n",
+                 cdc_w: int = 8) -> None:
         self.spark = spark
         self.keys_table = f"{prefix}_keys"
         self.fps_table = f"{prefix}_fps"
         self.paras_table = f"{prefix}_paras"
+        self.chunks_table = f"{prefix}_chunks"
         self.num_buckets = num_buckets
         self.prefix_chars = prefix_chars
         self.n_tokens = n_tokens
         self.winnow = winnow
         self.hash_fn = hash_fn
         self.paragraph_delim = paragraph_delim
+        self.cdc_w = cdc_w
 
     # -- write path -----------------------------------------------------
 
@@ -80,7 +83,8 @@ class CorpusLedger:
         keys and winnowed fingerprints append to their bucketed
         tables. Only md5s shuffle; the batch text is scanned once per
         artifact and never stored."""
-        from pyperustats_spark.operators.dedup import _paragraph_list
+        from pyperustats_spark.operators.dedup import (
+            _cdc_chunk_rows, _paragraph_list)
 
         keys = documents.select(
             content_key(self.prefix_chars).alias("fp")).distinct()
@@ -94,7 +98,10 @@ class CorpusLedger:
         )
         self._append(keys, self.keys_table, "fp")
         self._append(fps, self.fps_table, "wh")
+        chunks = _cdc_chunk_rows(documents, self.cdc_w) \
+            .select("ck").distinct()
         self._append(paras, self.paras_table, "_pk")
+        self._append(chunks, self.chunks_table, "ck")
 
     def _append(self, new: DataFrame, table: str, col: str) -> None:
         if self.spark.catalog.tableExists(table):
@@ -128,6 +135,26 @@ class CorpusLedger:
         """The released corpus' distinct paragraph md5 keys
         (bucketed scan, column ``_pk``)."""
         return self.spark.table(self.paras_table)
+
+    def seen_chunks(self) -> DataFrame:
+        """The released corpus' distinct content-defined chunk hashes
+        (bucketed scan, column ``ck``)."""
+        return self.spark.table(self.chunks_table)
+
+    def cdc_novelty(self, batch: DataFrame,
+                    sort: bool = True) -> DataFrame:
+        """:func:`~pyperustats_spark.operators.dedup
+        .cdc_dedup_incremental` with the corpus chunk-key set read
+        from the ledger: the release-time novelty card pays zero
+        corpus text scans — the bucketed ``_chunks`` table streams
+        straight into the membership join, its distinct pre-paid at
+        append time (row-for-row equality with the rescan form pinned
+        in tests/test_ledger.py)."""
+        from pyperustats_spark.operators.dedup import (
+            _cdc_novelty_from_keys)
+
+        return _cdc_novelty_from_keys(
+            batch, self.seen_chunks(), w=self.cdc_w, sort=sort)
 
     def dedup_paragraphs(self, batch: DataFrame, joiner: str = "\n\n",
                          sort: bool = True) -> DataFrame:
@@ -200,6 +227,7 @@ class CorpusLedger:
                                  sort)
 
     def drop(self) -> None:
-        """Remove both ledger tables (test teardown / rebuild)."""
-        for t in (self.keys_table, self.fps_table, self.paras_table):
+        """Remove all ledger tables (test teardown / rebuild)."""
+        for t in (self.keys_table, self.fps_table, self.paras_table,
+                  self.chunks_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")

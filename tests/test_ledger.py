@@ -198,3 +198,28 @@ def test_ledger_paragraph_dedup_corpus_side_exchange_free(
         assert "test_corpus_ledger_paras" in txt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ledger_cdc_novelty_equals_rescan(spark, ledger, split_docs):
+    """Row-for-row equality contract for the r11 CDC chunk ledger:
+    cdc_novelty against the appended chunk-key table equals
+    cdc_dedup_incremental re-deriving the keys from corpus text."""
+    from pyperustats_spark.operators.dedup import cdc_dedup_incremental
+
+    rel_a, rel_b, batch = split_docs
+    corpus = rel_a.unionByName(rel_b)
+    led = ledger.cdc_novelty(batch).collect()
+    raw = cdc_dedup_incremental(batch, corpus).collect()
+    assert led == raw
+    assert any(r["n_known_chunks"] > 0 for r in raw)  # real hits
+
+
+def test_ledger_cdc_chunk_keys_globally_distinct(spark, ledger,
+                                                 split_docs):
+    rel_a, rel_b, _ = split_docs
+    from pyperustats_spark.operators.dedup import _cdc_chunk_rows
+    n = ledger.seen_chunks().count()
+    assert n == ledger.seen_chunks().distinct().count()
+    want = (_cdc_chunk_rows(rel_a.unionByName(rel_b))
+            .select("ck").distinct().count())
+    assert n == want
