@@ -692,11 +692,18 @@ def test_stream_append_ledger_matches_batch_build(spark, tables, tmp_path):
             _paragraph_list(r"\n\s*\n")).alias("p"))
             .select(F.md5("p").alias("_pk")).distinct().collect()}
         assert paras == expect_paras
+        # r11: the CDC chunk-key table rides the same streaming ingest
+        from pyperustats_spark.operators.dedup import _cdc_chunk_rows
+        chunks = {r["ck"] for r in led.seen_chunks().collect()}
+        expect_chunks = {r["ck"] for r in _cdc_chunk_rows(docs)
+                         .select("ck").distinct().collect()}
+        assert chunks == expect_chunks
         # replay: appending the same docs adds nothing
         led.append_release(docs)
         assert led.seen_keys().count() == len(expect_keys)
         assert led.seen_fingerprints().count() == len(expect_fps)
         assert led.seen_paragraphs().count() == len(expect_paras)
+        assert led.seen_chunks().count() == len(expect_chunks)
     finally:
         led.drop()
 
