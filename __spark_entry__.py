@@ -1796,6 +1796,10 @@ def dedup_paragraph_stats(spark, sf_dir):
                                  delim=" a ", by="source")
 
 
+def ev_logrank_ab(spark, sf_dir):
+    return E.logrank_ab(_lt(spark, sf_dir, "events"))
+
+
 def stats_anova_oneway(spark, sf_dir):
     """One-way ANOVA F of order-value cents across priorities:
     exact integer group sums, each S_g^2/n_g term a fixed
@@ -3266,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abc_pareto": q_abc_pareto,
         "ev_dispersion": ev_dispersion,
         "stats_anova_oneway": stats_anova_oneway,
+        "ev_logrank_ab": ev_logrank_ab,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -4725,6 +4730,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT ck, count(DISTINCT doc_id) AS nd
             FROM chunks GROUP BY ck
         )
+    """
+
+    # log-rank: exact integer risk sets (KM machinery) split by the
+    # md5 arm assignment; hypergeometric E/V terms as fixed
+    # correctly-rounded double trees (factors cast to double FIRST —
+    # the V product overflows bigint near n~3M), running sums through
+    # ORDERED windows; last row via lexicographic max on unique t
+    sql["ev_logrank_ab"] = """
+        WITH hz AS (SELECT max(ts) AS h FROM events),
+        users AS (
+            SELECT user_id, min(ts) AS f,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS conv
+            FROM events GROUP BY user_id),
+        obs AS (
+            SELECT CAST((epoch_us(coalesce(conv, hz.h)) - epoch_us(f))
+                        // 3600000000 AS BIGINT) AS t,
+                   CAST(conv IS NOT NULL AS INT) AS cv,
+                   CASE WHEN CAST('0x' || substring(
+                           md5('exp1:' || CAST(user_id AS VARCHAR)),
+                           1, 4) AS INT) % 2 = 1
+                        THEN 1 ELSE 0 END AS tr
+            FROM users, hz),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(tr) AS BIGINT) AS n1
+            FROM obs),
+        per_t AS (
+            SELECT t, CAST(sum(cv) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS e,
+                   CAST(sum(cv * tr) AS BIGINT) AS d1,
+                   CAST(sum(tr) AS BIGINT) AS e1
+            FROM obs GROUP BY t),
+        risk AS (
+            SELECT t, d, d1,
+                   tot.n - CAST(coalesce(sum(e) OVER wp, 0) AS BIGINT)
+                       AS nt,
+                   tot.n1 - CAST(coalesce(sum(e1) OVER wp, 0)
+                                 AS BIGINT) AS n1t,
+                   tot.n AS n, tot.n1 AS n1
+            FROM per_t, tot
+            WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING)),
+        cum AS (
+            SELECT t, n, n1,
+                   CAST(sum(d1) OVER wc AS BIGINT) AS o1,
+                   sum(CASE WHEN d > 0 THEN
+                       CAST(d AS DOUBLE) * CAST(n1t AS DOUBLE)
+                       / CAST(nt AS DOUBLE) END) OVER wc AS ecum,
+                   sum(CASE WHEN d > 0 AND nt > 1 THEN
+                       CAST(d AS DOUBLE)
+                       * (CAST(nt AS DOUBLE) - CAST(d AS DOUBLE))
+                       * CAST(n1t AS DOUBLE)
+                       * (CAST(nt AS DOUBLE) - CAST(n1t AS DOUBLE))
+                       / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                          * (CAST(nt AS DOUBLE) - 1)) END) OVER wc
+                       AS vcum
+            FROM risk
+            WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW))
+        SELECT n AS n_total, n1 AS n_treatment, o1, ecum AS e1,
+               vcum AS v,
+               CASE WHEN vcum > 0 THEN
+                   (CAST(o1 AS DOUBLE) - ecum) / sqrt(vcum)
+               END AS z_stat
+        FROM cum ORDER BY t DESC LIMIT 1
     """
 
     # ANOVA: integer (n, Σx, Σx²) per group, S²/n terms as fixed

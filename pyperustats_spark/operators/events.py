@@ -2059,3 +2059,89 @@ def dispersion_profile(events: DataFrame, sort: bool = True) -> DataFrame:
     )
     out = fano.join(bout, "event_type", "left")
     return out.orderBy("event_type") if sort else out
+
+
+def logrank_ab(events: DataFrame, event_type: str = "purchase",
+               salt: str = "exp1") -> DataFrame:
+    """Log-rank test between the experiment's two arms on
+    time-to-first-*event_type* — the censoring-correct "did treatment
+    change conversion SPEED?" companion to the KM/Nelson-Aalen curves
+    (:func:`kaplan_meier_conversion`) and the value readouts
+    (:func:`cuped_ab_readout`, :func:`diff_in_diff_readout`; same
+    deterministic md5 user assignment). ONE row: (n_total,
+    n_treatment, o1, e1, v, z_stat) where o1/e1 are the treatment
+    arm's observed/expected conversions and z = (O1−E1)/√V; the
+    normal p-value stays client-side (erf is ulp-loose cross-engine,
+    the stats-suite policy).
+
+    Determinism: the risk sets are exact integer cumulative counts
+    (KM machinery); each time's E and V hypergeometric terms are
+    fixed correctly-rounded double trees on those integers (the V
+    products exceed bigint near n~3M users, so every factor casts to
+    double FIRST), and both running sums accumulate through ORDERED
+    windows over event times — the ANOVA/KM ordered-cumsum rule, no
+    merge-order drift. Censored users leave the risk set at the
+    corpus horizon exactly as in the curves.
+
+    Scale: one per-user shuffle, then a |distinct hours|-row bounded
+    frame for the windows (KM's audited SINGLE_PART class)."""
+    span = events.agg(F.max("ts").alias("_hz"))
+    users = (events.groupBy("user_id")
+             .agg(F.min("ts").alias("_first"),
+                  F.min(F.when(F.col("event_type") == event_type,
+                               F.col("ts"))).alias("_conv")))
+    treat = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col("user_id").cast("string"))), 1, 4),
+        16, 10).cast("int") % 2 == 1).cast("int")
+    obs = users.crossJoin(F.broadcast(span)).select(
+        F.floor(
+            (F.unix_micros(F.coalesce(F.col("_conv"), F.col("_hz")))
+             - F.unix_micros(F.col("_first"))) / 3600000000
+        ).cast("bigint").alias("_t"),
+        F.col("_conv").isNotNull().cast("int").alias("_cv"),
+        treat.alias("_tr"),
+    )
+    totals = obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_tr").cast("bigint").alias("_n1"))
+    per_t = obs.groupBy("_t").agg(
+        F.sum("_cv").cast("bigint").alias("_d"),
+        F.count(F.lit(1)).cast("bigint").alias("_e"),
+        F.sum(F.col("_cv") * F.col("_tr")).cast("bigint").alias("_d1"),
+        F.sum("_tr").cast("bigint").alias("_e1"),
+    )
+    wp = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(totals)).select(
+        "_t", "_d", "_d1",
+        (F.col("_n") - F.coalesce(F.sum("_e").over(wp), F.lit(0)))
+        .cast("bigint").alias("_nt"),
+        (F.col("_n1") - F.coalesce(F.sum("_e1").over(wp), F.lit(0)))
+        .cast("bigint").alias("_n1t"),
+        "_n", "_n1",
+    )
+    ntd = F.col("_nt").cast("double")
+    n1d = F.col("_n1t").cast("double")
+    dd = F.col("_d").cast("double")
+    e_term = F.when(F.col("_d") > 0, dd * n1d / ntd)
+    v_term = F.when((F.col("_d") > 0) & (F.col("_nt") > 1),
+                    dd * (ntd - dd) * n1d * (ntd - n1d)
+                    / (ntd * ntd * (ntd - 1)))
+    cum = risk.select(
+        "_t", "_n", "_n1",
+        F.sum("_d1").over(wc).cast("bigint").alias("_o1"),
+        F.sum(e_term).over(wc).alias("_ecum"),
+        F.sum(v_term).over(wc).alias("_vcum"),
+    )
+    last = cum.agg(F.max(F.struct(
+        "_t", "_n", "_n1", "_o1", "_ecum", "_vcum")).alias("_w"))
+    return last.select(
+        F.col("_w._n").alias("n_total"),
+        F.col("_w._n1").alias("n_treatment"),
+        F.col("_w._o1").alias("o1"),
+        F.col("_w._ecum").alias("e1"),
+        F.col("_w._vcum").alias("v"),
+        F.try_divide(
+            F.col("_w._o1").cast("double") - F.col("_w._ecum"),
+            F.sqrt(F.col("_w._vcum"))).alias("z_stat"),
+    )

@@ -5794,3 +5794,61 @@ def test_anova_oneway_equal_groups_f_near_zero(spark):
     out = anova_oneway(df).collect()[0].asDict()
     assert abs(out["ss_between"]) < 1e-6
     assert abs(out["f_stat"]) < 1e-9
+
+
+def test_logrank_ab_matches_python_model(spark):
+    from pyperustats_spark.operators.events import logrank_ab
+    import datetime as dt
+    import hashlib
+    import math
+
+    d0 = dt.datetime(2022, 3, 1)
+    rows, eid = [], 0
+    # every user starts with a 'view' at d0; a subset converts via a
+    # 'purchase' h hours later (treatment converts faster); the rest
+    # are censored at the horizon (a late control purchase fixes it)
+    for uid in range(40):
+        rows.append((eid, d0, uid, "view", 1.0, "{}")); eid += 1
+        if uid % 3 != 0:   # converters
+            h = 2 + (uid % 5)
+            rows.append((eid, d0 + dt.timedelta(hours=h), uid,
+                         "purchase", 9.9, "{}")); eid += 1
+    rows.append((eid, d0 + dt.timedelta(hours=100), 0,
+                 "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    out = logrank_ab(df).collect()[0].asDict()
+
+    def arm(uid):
+        return int(hashlib.md5(f"exp1:{uid}".encode())
+                   .hexdigest()[:4], 16) % 2
+
+    horizon = 100  # hours (the late purchase is the corpus max ts)
+    obs = []
+    for uid in range(40):
+        if uid == 0:
+            obs.append((100, 1, arm(0)))
+        elif uid % 3 != 0:
+            obs.append((2 + (uid % 5), 1, arm(uid)))
+        else:
+            obs.append((horizon, 0, arm(uid)))
+    n = len(obs); n1 = sum(a for _, _, a in obs)
+    o1 = e1 = v = 0.0
+    for t in sorted({t for t, _, _ in obs}):
+        at = [(tt, c, a) for tt, c, a in obs if tt >= t]
+        nt = len(at); n1t = sum(a for _, _, a in at)
+        d = sum(c for tt, c, _ in at if tt == t)
+        d1 = sum(c * a for tt, c, a in at if tt == t)
+        if d > 0:
+            o1 += d1
+            e1 += d * n1t / nt
+            if nt > 1:
+                v += (d * (nt - d) * n1t * (nt - n1t)
+                      / (nt * nt * (nt - 1)))
+    z = (o1 - e1) / math.sqrt(v)
+    assert out["n_total"] == n and out["n_treatment"] == n1
+    assert out["o1"] == o1
+    assert abs(out["e1"] - e1) < 1e-9
+    assert abs(out["v"] - v) < 1e-9
+    assert abs(out["z_stat"] - z) < 1e-9

@@ -131,6 +131,7 @@ BROADCAST_HINT_WHITELIST = {
     "ev_decay_value",             # 1-row global max-timestamp
     "ev_kaplan_meier",            # 1-row horizon + 1-row session total
     "ev_conversion_survival",     # 1-row horizon + 1-row user total
+    "ev_logrank_ab",              # 1-row horizon + 1-row arm totals
     "ev_hazard_cumulative",       # 1-row horizon + 1-row user total
     "q_benford_digits",           # 1-row chi-square scalar
     "ev_kll_quantiles",           # (type x quantile) estimate rows —
@@ -566,6 +567,9 @@ PLAN_SMELL_WHITELIST = {
                                                 # 1-row session total;
                                                 # curve windows ordered
                                                 # over per-duration rows
+    "ev_logrank_ab": {"BNLJ", "SINGLE_PART"},  # KM shape: 1-row
+                                                # totals + bounded
+                                                # hour windows
     "ev_conversion_survival": {"BNLJ", "SINGLE_PART"},  # same shape:
                                                 # 1-row horizon/total,
                                                 # per-hour curve frame
