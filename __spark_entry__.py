@@ -1800,6 +1800,10 @@ def ev_logrank_ab(spark, sf_dir):
     return E.logrank_ab(_lt(spark, sf_dir, "events"))
 
 
+def ev_periodicity(spark, sf_dir):
+    return E.periodicity(_lt(spark, sf_dir, "events"))
+
+
 def stats_anova_oneway(spark, sf_dir):
     """One-way ANOVA F of order-value cents across priorities:
     exact integer group sums, each S_g^2/n_g term a fixed
@@ -3271,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_dispersion": ev_dispersion,
         "stats_anova_oneway": stats_anova_oneway,
         "ev_logrank_ab": ev_logrank_ab,
+        "ev_periodicity": ev_periodicity,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -4730,6 +4735,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT ck, count(DISTINCT doc_id) AS nd
             FROM chunks GROUP BY ck
         )
+    """
+
+    # periodicity: integer hourly counts on the zero-kept spine,
+    # six DECIMAL/HUGEINT correlation sums, r as one fixed
+    # correctly-rounded tree; constant series NULL both sides
+    sql["ev_periodicity"] = """
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1
+            FROM hc GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type, unnest(generate_series(h0, h1)) AS h
+            FROM span
+        ),
+        fullh AS (
+            SELECT s.event_type, s.h, coalesce(hc.c, 0) AS c
+            FROM spine s LEFT JOIN hc
+              ON s.event_type = hc.event_type AND s.h = hc.h
+        ),
+        lagged AS (
+            SELECT event_type, c AS a,
+                   lag(c, 1) OVER w AS s0,
+                   lag(c, 24) OVER w AS s1,
+                   lag(c, 168) OVER w AS s2
+            FROM fullh
+            WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ),
+        pairs AS (
+            SELECT event_type, lag_hours, a, b FROM (
+                SELECT event_type, 1 AS lag_hours, a, s0 AS b
+                FROM lagged
+                UNION ALL
+                SELECT event_type, 24, a, s1 FROM lagged
+                UNION ALL
+                SELECT event_type, 168, a, s2 FROM lagged
+            ) WHERE b IS NOT NULL
+        ),
+        s AS (
+            SELECT event_type, CAST(lag_hours AS BIGINT) AS lag_hours,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   sum(CAST(a AS HUGEINT)) AS sa,
+                   sum(CAST(b AS HUGEINT)) AS sb,
+                   sum(CAST(a AS HUGEINT) * b) AS sab,
+                   sum(CAST(a AS HUGEINT) * a) AS saa,
+                   sum(CAST(b AS HUGEINT) * b) AS sbb
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT event_type, lag_hours, n_pairs,
+               CASE WHEN n_pairs * saa - sa * sa > 0
+                     AND n_pairs * sbb - sb * sb > 0 THEN
+                   CAST(n_pairs * sab - sa * sb AS DOUBLE)
+                   / (sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE))
+                      * sqrt(CAST(n_pairs * sbb - sb * sb AS DOUBLE)))
+               END AS autocorr
+        FROM s ORDER BY event_type, lag_hours
     """
 
     # log-rank: exact integer risk sets (KM machinery) split by the

@@ -1966,6 +1966,27 @@ def stickiness(events: DataFrame, sort: bool = True) -> DataFrame:
     return out.orderBy("day") if sort else out
 
 
+def _hourly_count_spine(events: DataFrame) -> DataFrame:
+    """(event_type, _h, _c): integer hourly event counts over each
+    type's FULL hour span — empty hours materialize as zeros (the
+    spine explode is |span| rows per type, a bounded dimension).
+    Shared by :func:`dispersion_profile` and :func:`periodicity`."""
+    hc = events.select("event_type",
+                       F.expr("unix_micros(ts) div 3600000000")
+                       .alias("_h")) \
+        .groupBy("event_type", "_h") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    span = hc.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1"))
+    spine = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("_h0"), F.col("_h1"))).alias("_h"))
+    return spine.join(hc, ["event_type", "_h"], "left") \
+        .select("event_type", "_h",
+                F.coalesce(F.col("_c"), F.lit(0))
+                .cast("bigint").alias("_c"))
+
+
 def dispersion_profile(events: DataFrame, sort: bool = True) -> DataFrame:
     """Overdispersion card per event type: the two standard "is this
     stream Poisson-like or bursty?" statistics, both exact. Fano
@@ -1992,19 +2013,7 @@ def dispersion_profile(events: DataFrame, sort: bool = True) -> DataFrame:
     inter_event_gap_stats — no new shuffle class, no percentile
     funnel (this card is all algebraic aggregates, so unlike the
     exact gap percentiles it needs no approx twin at 100 TB)."""
-    hc = events.select("event_type",
-                       F.expr("unix_micros(ts) div 3600000000")
-                       .alias("_h")) \
-        .groupBy("event_type", "_h") \
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-    span = hc.groupBy("event_type").agg(
-        F.min("_h").alias("_h0"), F.max("_h").alias("_h1"))
-    spine = span.select(
-        "event_type",
-        F.explode(F.sequence(F.col("_h0"), F.col("_h1"))).alias("_h"))
-    full = spine.join(hc, ["event_type", "_h"], "left") \
-        .select("event_type", F.coalesce(F.col("_c"), F.lit(0))
-                .cast("bigint").alias("_c"))
+    full = _hourly_count_spine(events).select("event_type", "_c")
 
     def dec(c):
         return c.cast("decimal(38,0)")
@@ -2145,3 +2154,62 @@ def logrank_ab(events: DataFrame, event_type: str = "purchase",
             F.col("_w._o1").cast("double") - F.col("_w._ecum"),
             F.sqrt(F.col("_w._vcum"))).alias("z_stat"),
     )
+
+
+def periodicity(events: DataFrame, lags: tuple[int, ...] = (1, 24, 168),
+                sort: bool = True) -> DataFrame:
+    """Seasonality detector per event type: Pearson autocorrelation of
+    the HOURLY count series at each candidate lag (1 h persistence,
+    24 h daily cycle, 168 h weekly cycle) over the full zero-kept hour
+    spine — high r at 24/168 is the standard "this stream has a
+    clock" signal that picks the resample grain and window size for
+    everything downstream. Returns (event_type, lag_hours, n_pairs,
+    autocorr).
+
+    Determinism: counts are integers, all six correlation sums
+    accumulate in DECIMAL(38,0)/HUGEINT, and r is one fixed
+    correctly-rounded tree (exact-int casts → multiply/subtract →
+    sqrt → divide) — identical bits cross-engine; constant series
+    yield NULL via try_divide, CASE in the oracle.
+
+    Scale shape: one lag window pass per candidate on the
+    (type)-partitioned spine (bounded by the hour span, not row
+    count), stack-unpivot, then a partial-aggregated groupBy — the
+    cross_correlation machinery generalized to hourly counts."""
+    full = _hourly_count_spine(events)
+    w = Window.partitionBy("event_type").orderBy("_h")
+    shifted = full.select(
+        "event_type", F.col("_c").alias("_a"),
+        *[F.lag("_c", k).over(w).alias(f"_s{i}")
+          for i, k in enumerate(lags)],
+    )
+    stack_expr = "stack({}, {}) as (lag_hours, _b)".format(
+        len(lags), ", ".join(f"{k}, _s{i}" for i, k in enumerate(lags)))
+    pairs = shifted.selectExpr("event_type", "_a", stack_expr) \
+        .where(F.col("_b").isNotNull())
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    sums = pairs.groupBy("event_type", "lag_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(dec(F.col("_a"))).alias("_sa"),
+        F.sum(dec(F.col("_b"))).alias("_sb"),
+        F.sum(dec(F.col("_a")) * F.col("_b")).alias("_sab"),
+        F.sum(dec(F.col("_a")) * F.col("_a")).alias("_saa"),
+        F.sum(dec(F.col("_b")) * F.col("_b")).alias("_sbb"),
+    )
+    n = dec(F.col("n_pairs"))
+    num = (n * F.col("_sab") - F.col("_sa") * F.col("_sb"))
+    da = (n * F.col("_saa") - F.col("_sa") * F.col("_sa"))
+    db = (n * F.col("_sbb") - F.col("_sb") * F.col("_sb"))
+    out = sums.select(
+        "event_type",
+        F.col("lag_hours").cast("bigint").alias("lag_hours"),
+        "n_pairs",
+        F.try_divide(
+            num.cast("double"),
+            F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))
+        ).alias("autocorr"),
+    )
+    return out.orderBy("event_type", "lag_hours") if sort else out

@@ -5852,3 +5852,33 @@ def test_logrank_ab_matches_python_model(spark):
     assert abs(out["e1"] - e1) < 1e-9
     assert abs(out["v"] - v) < 1e-9
     assert abs(out["z_stat"] - z) < 1e-9
+
+
+def test_periodicity_finds_planted_daily_cycle(spark):
+    from pyperustats_spark.operators.events import periodicity
+    import datetime as dt
+
+    d0 = dt.datetime(2022, 5, 1)
+    rows, eid = [], 0
+    # 'daily': count pattern repeats every 24 h (3 events at hour 9,
+    # 1 at hour 15, else 0) for 21 days
+    for day in range(21):
+        for _ in range(3):
+            rows.append((eid, d0 + dt.timedelta(days=day, hours=9),
+                         1, "daily", 1.0, "{}")); eid += 1
+        rows.append((eid, d0 + dt.timedelta(days=day, hours=15),
+                     1, "daily", 1.0, "{}")); eid += 1
+    # 'drift': one event every 7 hours — no 24 h alignment
+    for i in range(72):
+        rows.append((eid, d0 + dt.timedelta(hours=7 * i), 2,
+                     "drift", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    out = {(r["event_type"], r["lag_hours"]): r["autocorr"]
+           for r in periodicity(df).collect()}
+    assert out[("daily", 24)] > 0.95          # clean daily clock
+    assert out[("daily", 1)] < 0.3            # no hour persistence
+    # 7-hour stride: lag-168 (= 24*7) realigns, lag-24 does not
+    assert out[("drift", 24)] < 0.5
+    assert out[("drift", 168)] > 0.9
