@@ -2111,6 +2111,26 @@ def multimodal_bmp_pixel_stats(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def multimodal_flac_meta(spark, sf_dir):
+    """REAL FLAC metadata decode, oracle-backed: synthesize one FLAC
+    metadata stream per document id (STREAMINFO's bit-packed 20/3/5/36
+    field layout genuinely packed and unpacked, a PADDING block every
+    5th id so the chain walk is exercised, a PADDING length overrun
+    planted every 31st id), then parse the binary column back with
+    binary_ops.parse_flac_meta inside Arrow mapInPandas. The stored
+    raw-audio MD5 is md5(str(doc_id)), so the DuckDB oracle
+    recomputes every field — including the hex digest — without
+    touching the binary; duration is integer division (exact both
+    engines on positive operands)."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.flac_meta(MM.synthesize_corpus_flacs(docs)) \
+        .orderBy("doc_id")
+
+
 def multimodal_tiff_meta(spark, sf_dir):
     """REAL TIFF metadata decode, oracle-backed (r11): synthesize one
     multi-page TIFF per document id — byte order FLIPS per id (II
@@ -3300,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_pixel_stats": multimodal_gif_pixel_stats,
         "multimodal_bmp_pixel_stats": multimodal_bmp_pixel_stats,
         "multimodal_tiff_meta": multimodal_tiff_meta,
+        "multimodal_flac_meta": multimodal_flac_meta,
         "multimodal_mp4_meta": multimodal_mp4_meta,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
@@ -10558,6 +10579,35 @@ def oracle_sql() -> dict[str, str]:
     # Round-trip oracle for the REAL TIFF metadata decode: endian /
     # page count / dims / bit depth all pure integer arithmetic on
     # doc_id; total_pixels sums page products via unnest(range()).
+    # FLAC: every STREAMINFO bit field recomputed from the doc_id
+    # recurrence; the hex digest via md5(doc_id string) in BOTH
+    # engines; duration = integer division (positive operands)
+    sql["multimodal_flac_meta"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST([8000,16000,44100,48000]
+                        [CAST(doc_id % 4 AS INT) + 1] AS BIGINT)
+                       AS sample_rate,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+                   CAST([8,16,24][CAST(doc_id % 3 AS INT) + 1]
+                        AS BIGINT) AS bits_per_sample,
+                   CAST(1000 + (doc_id * 77) % 100000 AS BIGINT)
+                       AS total_samples,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_blocks
+            FROM documents WHERE doc_id % 31 != 0
+        )
+        SELECT doc_id, sample_rate, channels, bits_per_sample,
+               total_samples, n_blocks,
+               total_samples * 1000 // sample_rate AS duration_ms,
+               md5(CAST(doc_id AS VARCHAR)) AS audio_md5
+        FROM base
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 31 = 0
+        ORDER BY doc_id
+    """
+
     sql["multimodal_tiff_meta"] = """
         WITH base AS (
             SELECT doc_id,

@@ -1808,3 +1808,185 @@ def tiff_meta(media: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_batches, TIFF_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO (real bit-level metadata decode)
+# ---------------------------------------------------------------------------
+
+_FLAC_MAX_BLOCKS = 64
+
+
+def encode_flac_meta(rate: int, channels: int, bps: int, total: int,
+                     md5_digest: bytes, padding: int = 0) -> bytes:
+    """Minimal spec-conformant FLAC metadata stream: the ``fLaC``
+    magic, one STREAMINFO block (the bit-packed 34-byte layout:
+    16+16 blocksizes, 24+24 framesizes, then 20 bits sample rate,
+    3 bits channels−1, 5 bits bps−1, 36 bits total samples, 16-byte
+    raw-audio MD5), optionally followed by a PADDING block of
+    *padding* zero bytes. No audio frames — this is the metadata
+    surface a corpus card reads."""
+    si = bytearray()
+    si += (4096).to_bytes(2, "big")             # min blocksize
+    si += (4096).to_bytes(2, "big")             # max blocksize
+    si += (1024).to_bytes(3, "big")             # min framesize
+    si += (8192).to_bytes(3, "big")             # max framesize
+    packed = (rate << 44) | ((channels - 1) << 41) \
+        | ((bps - 1) << 36) | total
+    si += packed.to_bytes(8, "big")
+    si += md5_digest
+    assert len(si) == 34
+    last = 0x00 if padding else 0x80
+    out = b"fLaC" + bytes([last]) + (34).to_bytes(3, "big") + bytes(si)
+    if padding:
+        out += bytes([0x81]) + padding.to_bytes(3, "big") \
+            + bytes(padding)
+    return out
+
+
+def parse_flac_meta(payload: bytes):
+    """REAL FLAC metadata decode: verify the magic, walk the metadata
+    block chain (last-block flag, 7-bit type, 24-bit big-endian
+    length, bounds-checked), unpack STREAMINFO's bit fields. Returns
+    (sample_rate, channels, bits_per_sample, total_samples, n_blocks,
+    md5_hex) or None for anything structurally broken — bad magic, a
+    block overrunning EOF, a stream whose first block is not
+    STREAMINFO, or a chain past the cycle guard."""
+    if len(payload) < 4 or payload[:4] != b"fLaC":
+        return None
+    off = 4
+    n_blocks = 0
+    info = None
+    while True:
+        if off + 4 > len(payload):
+            return None
+        hdr = payload[off]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[off + 1:off + 4], "big")
+        body = payload[off + 4:off + 4 + blen]
+        if len(body) != blen:
+            return None
+        if n_blocks == 0:
+            if btype != 0 or blen != 34:
+                return None
+            packed = int.from_bytes(body[10:18], "big")
+            info = (
+                packed >> 44,                      # sample rate
+                ((packed >> 41) & 0x7) + 1,        # channels
+                ((packed >> 36) & 0x1F) + 1,       # bits per sample
+                packed & ((1 << 36) - 1),          # total samples
+                body[18:34].hex(),                 # raw-audio md5
+            )
+        n_blocks += 1
+        if n_blocks > _FLAC_MAX_BLOCKS:
+            return None
+        off += 4 + blen
+        if hdr & 0x80:
+            break
+    rate, channels, bps, total, md5_hex = info
+    return rate, channels, bps, total, n_blocks, md5_hex
+
+
+FLAC_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bits_per_sample", T.LongType()),
+        T.StructField("total_samples", T.LongType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("audio_md5", T.StringType()),
+    ]
+)
+
+
+def _corpus_flac_spec(doc_id: int):
+    """Deterministic STREAMINFO fields per doc id — the arithmetic
+    contract shared with the DuckDB oracle. The stored raw-audio MD5
+    is md5(str(doc_id)) so BOTH engines can recompute the hex without
+    touching the binary. None for the planted-corrupt ids
+    (doc_id % 31 == 0): those get a STREAMINFO whose following
+    PADDING block length overruns EOF — the bounds check, not the
+    signature check, must catch it."""
+    if doc_id % 31 == 0:
+        return None
+    return ((8000, 16000, 44100, 48000)[doc_id % 4],
+            1 + doc_id % 2,
+            (8, 16, 24)[doc_id % 3],
+            1000 + (doc_id * 77) % 100000,
+            1 + (1 if doc_id % 5 == 0 else 0))   # n_blocks
+
+
+def synthesize_corpus_flacs(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """One REAL FLAC metadata stream per document id (fields from
+    `_corpus_flac_spec`, every 5th id carrying a PADDING block so the
+    chain walk is exercised). Corrupt-planted ids get a valid
+    STREAMINFO followed by a PADDING header whose length points past
+    EOF."""
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                digest = hashlib.md5(str(doc_id).encode()).digest()
+                spec = _corpus_flac_spec(doc_id)
+                if spec is None:
+                    # valid STREAMINFO, then a PADDING header whose
+                    # 24-bit length claims more bytes than remain
+                    good = bytearray(encode_flac_meta(
+                        8000, 1, 8, 1000, digest, padding=8))
+                    good[43:46] = (10000).to_bytes(3, "big")
+                    payloads.append(bytes(good))
+                    continue
+                rate, channels, bps, total, n_blocks = spec
+                payloads.append(encode_flac_meta(
+                    rate, channels, bps, total, digest,
+                    padding=16 if n_blocks == 2 else 0))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def flac_meta(media: DataFrame, id_col: str = "doc_id",
+              payload_col: str = "payload") -> DataFrame:
+    """FLAC metadata card over a binary column
+    (:func:`parse_flac_meta`): STREAMINFO bit fields, block-chain
+    length, integer-division duration in ms (exact in both engines),
+    and the stored raw-audio MD5 as hex. NULLs for undecodable
+    payloads. Arrow-batched `mapInPandas`, narrow, zero shuffles."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "bits_per_sample",
+                     "total_samples", "n_blocks", "duration_ms")}
+            md5s = []
+            for p in pdf[payload_col]:
+                dec = parse_flac_meta(p)
+                if dec is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    md5s.append(None)
+                    continue
+                rate, channels, bps, total, n_blocks, md5_hex = dec
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(channels)
+                cols["bits_per_sample"].append(bps)
+                cols["total_samples"].append(total)
+                cols["n_blocks"].append(n_blocks)
+                cols["duration_ms"].append(
+                    total * 1000 // rate if rate else None)
+                md5s.append(md5_hex)
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for k, v in cols.items():
+                out[k] = pd.array(v, dtype="Int64")
+            out["audio_md5"] = pd.array(md5s, dtype="string")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, FLAC_META_SCHEMA)

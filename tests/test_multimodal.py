@@ -550,3 +550,35 @@ def test_tiff_meta_operator_matches_local_parse(spark):
         assert (r["width"], r["height"]) == pages[0]
         assert r["bits"] == bits
         assert r["total_pixels"] == sum(w * h for w, h in pages)
+
+
+def test_flac_meta_round_trip_and_corruption(spark):
+    from pyperustats_spark.multimodal.binary_ops import (
+        encode_flac_meta, flac_meta, parse_flac_meta,
+        synthesize_corpus_flacs)
+    import hashlib
+
+    # direct round trip incl. the PADDING chain walk
+    d = hashlib.md5(b"42").digest()
+    p = encode_flac_meta(48000, 2, 24, 123456, d, padding=32)
+    assert parse_flac_meta(p) == (48000, 2, 24, 123456, 2, d.hex())
+    # structural breakage classes → None, never an exception
+    assert parse_flac_meta(b"") is None
+    assert parse_flac_meta(b"fLaC") is None
+    assert parse_flac_meta(p[:30]) is None          # truncated body
+    bad = bytearray(p); bad[5:8] = (33).to_bytes(3, "big")
+    assert parse_flac_meta(bytes(bad)) is None      # wrong SI length
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in
+           flac_meta(synthesize_corpus_flacs(docs)).collect()}
+    assert len(out) == 64
+    assert out[0]["sample_rate"] is None            # planted corrupt
+    assert out[31]["sample_rate"] is None
+    r = out[7]
+    assert r["sample_rate"] == 48000 and r["channels"] == 2
+    assert r["bits_per_sample"] == 16
+    assert r["total_samples"] == 1000 + 7 * 77
+    assert r["duration_ms"] == r["total_samples"] * 1000 // 48000
+    assert r["audio_md5"] == hashlib.md5(b"7").hexdigest()
+    assert out[5]["n_blocks"] == 2 and out[7]["n_blocks"] == 1
