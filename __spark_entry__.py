@@ -1821,6 +1821,11 @@ def ev_dispersion(spark, sf_dir):
     return E.dispersion_profile(_lt(spark, sf_dir, "events"))
 
 
+def ts_cusum_binary_seg(spark, sf_dir):
+    return TS.cusum_binary_segmentation(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_spearman(spark, sf_dir):
     return TS.spearman_matrix(
         TS.series_long(_lt(spark, sf_dir, "lineitem")))
@@ -3290,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_incremental": dedup_cdc_incremental,
         "dedup_tfidf_cosine": dedup_tfidf_cosine,
         "ts_spearman": ts_spearman,
+        "ts_cusum_binary_seg": ts_cusum_binary_seg,
         "ts_pettitt": ts_pettitt,
         "q_abc_pareto": q_abc_pareto,
         "ev_dispersion": ev_dispersion,
@@ -7493,6 +7499,85 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY p.code, p.n, p.change_date, p.abs_s
         ORDER BY p.code
     """
+    # binary segmentation: the SAME wide-integer statistic, second
+    # round re-keyed by the level-1 winner's side flag; integer
+    # argmaxes make the recursion boundaries bit-deterministic
+    sql["ts_cusum_binary_seg"] = f"""
+        WITH long AS ({_LONG}),
+        v AS (
+            SELECT date, code,
+                   CAST(round(round(value, 2) * 100) AS BIGINT) AS c
+            FROM long
+        ),
+        tot1 AS (
+            SELECT code, CAST(sum(c) AS HUGEINT) AS tc,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM v GROUP BY code
+        ),
+        cum1 AS (
+            SELECT date, code,
+                   CAST(sum(c) OVER (PARTITION BY code ORDER BY date
+                        ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumc,
+                   CAST(row_number() OVER (PARTITION BY code
+                        ORDER BY date) AS BIGINT) AS t
+            FROM v
+        ),
+        s1 AS (
+            SELECT cum1.date, cum1.code, tot1.n,
+                   abs(tot1.n * cum1.cumc - cum1.t * tot1.tc) AS abs_s
+            FROM cum1 JOIN tot1 USING (code)
+        ),
+        p1 AS (
+            SELECT code, date AS change_date, abs_s, n,
+                   row_number() OVER (PARTITION BY code
+                       ORDER BY abs_s DESC, date ASC) AS rk
+            FROM s1
+        ),
+        w1 AS (SELECT * FROM p1 WHERE rk = 1),
+        v2 AS (
+            SELECT v.code,
+                   CASE WHEN v.date <= w1.change_date THEN 'L'
+                        ELSE 'R' END AS side,
+                   v.date, v.c
+            FROM v JOIN w1 ON v.code = w1.code
+        ),
+        tot2 AS (
+            SELECT code, side, CAST(sum(c) AS HUGEINT) AS tc,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM v2 GROUP BY code, side
+        ),
+        cum2 AS (
+            SELECT date, code, side,
+                   CAST(sum(c) OVER (PARTITION BY code, side
+                        ORDER BY date
+                        ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumc,
+                   CAST(row_number() OVER (PARTITION BY code, side
+                        ORDER BY date) AS BIGINT) AS t
+            FROM v2
+        ),
+        s2 AS (
+            SELECT cum2.date, cum2.code, cum2.side, tot2.n,
+                   abs(tot2.n * cum2.cumc - cum2.t * tot2.tc) AS abs_s
+            FROM cum2 JOIN tot2 USING (code, side)
+        ),
+        p2 AS (
+            SELECT code, side, date AS change_date, abs_s, n,
+                   row_number() OVER (PARTITION BY code, side
+                       ORDER BY abs_s DESC, date ASC) AS rk
+            FROM s2
+        ),
+        w2 AS (SELECT * FROM p2 WHERE rk = 1 AND n >= 4)
+        SELECT code, 1 AS level, 'all' AS segment, n AS n_seg,
+               change_date,
+               CAST(abs_s AS DOUBLE) / (100.0 * n) AS cusum_stat
+        FROM w1
+        UNION ALL
+        SELECT code, 2, side, n, change_date,
+               CAST(abs_s AS DOUBLE) / (100.0 * n)
+        FROM w2
+        ORDER BY code, level, segment
+    """
+
     # the depth-skew twins reproduce their plain siblings bit-for-bit
     sql["ts_cusum_skew"] = sql["ts_cusum_changepoint"]
 

@@ -1790,3 +1790,82 @@ def pettitt_test(long_df: DataFrame, sort: bool = True) -> DataFrame:
         .alias("k_norm"),
     )
     return out.orderBy("code") if sort else out
+
+
+def cusum_binary_segmentation(long_df: DataFrame, min_seg: int = 4,
+                              sort: bool = True) -> DataFrame:
+    """Two-level binary segmentation per series — the MULTIPLE-
+    changepoint extension of :func:`cusum_changepoint`: split at the
+    level-1 CUSUM argmax, then locate a second candidate INSIDE each
+    side segment with the identical statistic. One row per (series,
+    segment): (code, level, segment, n_seg, change_date, cusum_stat)
+    — level 1 is the full-series split ('all'), level 2 the 'L'/'R'
+    side candidates (segments shorter than *min_seg* are dropped —
+    their statistic is noise). Consumers iterate: the level-2 stats
+    ARE the next round's split decisions, so a fixed-depth plan keeps
+    the whole recursion in two window passes instead of a
+    driver-side loop.
+
+    Exactness: the same fixed-point wide-integer statistic as the
+    single-split locator (S_num = n·cumsum − t·total in
+    DECIMAL(38,0), cents grid, earliest-date tiebreak), recomputed
+    per segment — every argmax is pure integer arithmetic, so the
+    SEGMENT BOUNDARIES are bit-deterministic cross-engine, which is
+    what makes the level-2 recursion oracle-checkable at all.
+
+    Scale shape: level 2 reuses the level-1 partitioning with a
+    side-flag sub-key (no new shuffle class); the cents frame and the
+    |codes|-row level-1 winners are persisted (each feeds two
+    references — the CLAUDE.md re-execution rule); winners are
+    map-side min-struct argmaxes, never ranked windows."""
+    vals = long_df.select("date", "code",
+                          _cents().alias("_c")).persist()
+
+    def _pick(frame: DataFrame, keys: list) -> DataFrame:
+        wc = (Window.partitionBy(*keys).orderBy("date")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wn = Window.partitionBy(*keys).orderBy("date")
+        cum = frame.select(
+            *keys, "date",
+            F.sum("_c").over(wc).alias("_cum"),
+            F.row_number().over(wn).cast("bigint").alias("_t"))
+        tot = frame.groupBy(*keys).agg(
+            F.sum("_c").alias("_tc"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"))
+        c = cum.join(tot, keys).select(
+            *keys, "date", "_n",
+            F.abs(F.col("_n").cast("decimal(19,0)") * F.col("_cum")
+                  - F.col("_t").cast("decimal(19,0)") * F.col("_tc"))
+            .cast("decimal(38,0)").alias("_abs_s"))
+        return (c.groupBy(*keys)
+                .agg(F.min(F.struct(
+                    (-F.col("_abs_s")).alias("ns"),
+                    F.col("date").alias("change_date"),
+                    F.col("_n").alias("n"))).alias("_m"))
+                .select(*keys,
+                        F.col("_m.change_date").alias("change_date"),
+                        F.try_divide((-F.col("_m.ns")).cast("double"),
+                                     F.lit(100.0) * F.col("_m.n"))
+                        .alias("cusum_stat"),
+                        F.col("_m.n").alias("n_seg")))
+
+    l1 = _pick(vals, ["code"]).persist()
+    sides = vals.join(
+        l1.select("code", F.col("change_date").alias("_cp")), "code"
+    ).select(
+        "code",
+        F.when(F.col("date") <= F.col("_cp"), "L").otherwise("R")
+        .alias("_side"),
+        "date", "_c")
+    l2 = _pick(sides, ["code", "_side"]) \
+        .where(F.col("n_seg") >= min_seg)
+    out = (
+        l1.select("code", F.lit(1).alias("level"),
+                  F.lit("all").alias("segment"), "n_seg",
+                  "change_date", "cusum_stat")
+        .unionByName(
+            l2.select("code", F.lit(2).alias("level"),
+                      F.col("_side").alias("segment"), "n_seg",
+                      "change_date", "cusum_stat"))
+    )
+    return out.orderBy("code", "level", "segment") if sort else out

@@ -5882,3 +5882,30 @@ def test_periodicity_finds_planted_daily_cycle(spark):
     # 7-hour stride: lag-168 (= 24*7) realigns, lag-24 does not
     assert out[("drift", 24)] < 0.5
     assert out[("drift", 168)] > 0.9
+
+
+def test_cusum_binary_segmentation_finds_both_shifts(spark):
+    from pyperustats_spark.operators.timeseries import (
+        cusum_binary_segmentation)
+    import datetime as dt
+
+    d0 = dt.datetime(2020, 1, 1)
+    # three planted levels: 10 (days 0-19), 50 (20-39), 90 (40-59) —
+    # level-1 split lands at one boundary, the level-2 recursion must
+    # surface the other
+    rows = [(d0 + dt.timedelta(days=i), "S",
+             10.0 + 40.0 * (i >= 20) + 40.0 * (i >= 40))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {(r["level"], r["segment"]): r
+           for r in cusum_binary_segmentation(df).collect()}
+    assert set(out) == {(1, "all"), (2, "L"), (2, "R")}
+    cut1 = out[(1, "all")]["change_date"]
+    boundaries = {d0 + dt.timedelta(days=19), d0 + dt.timedelta(days=39)}
+    assert cut1 in boundaries
+    # the sibling boundary appears at level 2 on the matching side
+    other = (boundaries - {cut1}).pop()
+    side = "L" if other < cut1 else "R"
+    assert out[(2, side)]["change_date"] == other
+    assert out[(1, "all")]["n_seg"] == 60
+    assert out[(2, "L")]["n_seg"] + out[(2, "R")]["n_seg"] == 60
