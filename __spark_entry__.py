@@ -3438,11 +3438,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in [*window, *rest]}
 
 
-# lead: 10 changed + 14 never-signed; then oldest countersigns
+# lead: 13 changed + 14 never-signed; then oldest countersigns
 _WINDOW = [
     "dedup_cdc_chunks", "dedup_cdc_profile", "dedup_cdc_incremental",
     "dedup_tfidf_cosine", "ts_spearman", "ts_pettitt", "q_abc_pareto",
     "ev_dispersion", "stats_anova_oneway", "ev_logrank_ab",
+    "ev_periodicity", "multimodal_flac_meta", "ts_cusum_binary_seg",
     "ann_hamming_topk", "ev_conversion_survival", "ev_diff_in_diff",
     "ev_hazard_cumulative", "graph_part_adamic_adar",
     "infogob_affiliation_fields", "infogob_candidate_affiliations",
@@ -3458,8 +3459,7 @@ _WINDOW = [
     "infogob_location_hierarchy", "infogob_org_pending",
     "infogob_results_by_region", "q10_returned_items",
     "q12_flag_priority", "q13_order_distribution", "q14_promo_share",
-    "q15_top_supplier", "q19_disjunctive_revenue", "q22_rich_inactive",
-    "q4_order_priority", "q7_nation_volume",
+    "q15_top_supplier", "q19_disjunctive_revenue",
 ]
 
 
