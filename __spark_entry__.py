@@ -1813,6 +1813,22 @@ def stats_anova_oneway(spark, sf_dir):
     return R.anova_oneway(_lt(spark, sf_dir, "orders"))
 
 
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t between urgent and other orders:
+    one conditional-aggregate pass to exact integer (n, S, Q) per
+    arm, then a single correctly-rounded double tree (mean, s^2,
+    t, Welch-Satterthwaite df) — bit-identical cross-engine."""
+    return R.welch_ttest(_lt(spark, sf_dir, "orders"))
+
+
+def stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across priorities: tied ranks from the
+    value-bounded cents curve (histogram_cumsum, no global sort),
+    2x rank sums exact in DECIMAL(38,0), k group terms through an
+    ORDERED cum window, tie correction on exact integer ratios."""
+    return R.kruskal_wallis(_lt(spark, sf_dir, "orders"))
+
+
 def q_abc_pareto(spark, sf_dir):
     return R.abc_classification(_lt(spark, sf_dir, "lineitem"))
 
@@ -3300,6 +3316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abc_pareto": q_abc_pareto,
         "ev_dispersion": ev_dispersion,
         "stats_anova_oneway": stats_anova_oneway,
+        "stats_welch_ttest": stats_welch_ttest,
+        "stats_kruskal_wallis": stats_kruskal_wallis,
         "ev_logrank_ab": ev_logrank_ab,
         "ev_periodicity": ev_periodicity,
         "org_slugify_rename": org_slugify_rename,
@@ -4939,6 +4957,128 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_total AS DOUBLE))
                   + (CAST(qtot AS DOUBLE) - lastcum)) AS eta_sq
         FROM a
+    """
+
+    # Welch t: exact integer (n, S, Q) per arm, then ONE fixed
+    # correctly-rounded double tree (only +,-,*,/,sqrt — the
+    # cross-engine-safe ops); HUGEINT sums cast to double directly
+    # (int->double correctly rounded past 2^53, q_price_index rule)
+    sql["stats_welch_ttest"] = """
+        WITH src AS (
+            SELECT CAST(round(round(o_totalprice, 2) * 100)
+                        AS BIGINT) AS c,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS f
+            FROM orders
+        ),
+        a AS (
+            SELECT CAST(sum(f) AS BIGINT) AS n1,
+                   CAST(sum(1 - f) AS BIGINT) AS n2,
+                   CAST(sum(f * c) AS BIGINT) AS s1,
+                   CAST(sum((1 - f) * c) AS BIGINT) AS s2,
+                   sum(CAST(f * c AS HUGEINT) * c) AS q1,
+                   sum(CAST((1 - f) * c AS HUGEINT) * c) AS q2
+            FROM src
+        ),
+        t AS (
+            SELECT n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   (CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE))
+                   / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       AS se1,
+                   (CAST(q2 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      / CAST(n2 AS DOUBLE))
+                   / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                       AS se2
+            FROM a
+        )
+        SELECT n1, n2,
+               CASE WHEN n1 > 0 THEN m1 END AS mean1_cents,
+               CASE WHEN n2 > 0 THEN m2 END AS mean2_cents,
+               CASE WHEN n1 > 1 AND n2 > 1 AND se1 + se2 > 0 THEN
+                   (m1 - m2) / sqrt(se1 + se2) END AS t_stat,
+               CASE WHEN n1 > 1 AND n2 > 1 AND se1 + se2 > 0 THEN
+                   (se1 + se2) * (se1 + se2)
+                   / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+                      + se2 * se2 / CAST(n2 - 1 AS DOUBLE))
+               END AS df_welch
+        FROM t
+    """
+
+    # Kruskal-Wallis: 2x tied-rank sums exact in HUGEINT from the
+    # value-bounded cents curve; k group terms through an ORDERED
+    # cum window (anova idiom); tie correction exact-int ratio
+    sql["stats_kruskal_wallis"] = """
+        WITH src AS (
+            SELECT o_orderpriority AS g,
+                   CAST(round(round(o_totalprice, 2) * 100)
+                        AS BIGINT) AS c
+            FROM orders
+        ),
+        per_gv AS (
+            SELECT g, c, CAST(count(*) AS BIGINT) AS n_gv
+            FROM src GROUP BY 1, 2
+        ),
+        per_v AS (
+            SELECT c, CAST(sum(n_gv) AS BIGINT) AS t_v
+            FROM per_gv GROUP BY 1
+        ),
+        cum AS (
+            SELECT c, t_v,
+                   CAST(sum(t_v) OVER (ORDER BY c ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_t
+            FROM per_v
+        ),
+        perg AS (
+            SELECT g, CAST(sum(n_gv) AS BIGINT) AS n_g,
+                   sum(CAST(n_gv AS HUGEINT)
+                       * (2 * (cum_t - t_v) + t_v + 1)) AS r2_g
+            FROM per_gv JOIN cum USING (c) GROUP BY 1
+        ),
+        cg AS (
+            SELECT g, n_g, r2_g,
+                   sum(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                       / CAST(n_g AS DOUBLE))
+                       OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum_term
+            FROM perg
+        ),
+        ties AS (
+            SELECT sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v)
+                       AS s33
+            FROM per_v
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                   CAST(sum(n_g) AS BIGINT) AS n_total,
+                   max_by(cum_term, g) AS lastc
+            FROM cg
+        )
+        SELECT k_groups, n_total,
+               CASE WHEN k_groups > 1 AND n_total > 2 THEN
+                   3.0 * lastc / (CAST(n_total AS DOUBLE)
+                                  * CAST(n_total + 1 AS DOUBLE))
+                   - 3.0 * CAST(n_total + 1 AS DOUBLE)
+               END AS h_stat,
+               CASE WHEN k_groups > 1 AND n_total > 2
+                     AND 1.0 - CAST(s33 AS DOUBLE)
+                         / CAST(CAST(n_total AS HUGEINT) * n_total
+                                * n_total - n_total AS DOUBLE) > 0
+               THEN
+                   (3.0 * lastc / (CAST(n_total AS DOUBLE)
+                                   * CAST(n_total + 1 AS DOUBLE))
+                    - 3.0 * CAST(n_total + 1 AS DOUBLE))
+                   / (1.0 - CAST(s33 AS DOUBLE)
+                      / CAST(CAST(n_total AS HUGEINT) * n_total
+                             * n_total - n_total AS DOUBLE))
+               END AS h_tie_corrected,
+               k_groups - 1 AS df
+        FROM a, ties
     """
 
     sql["q_abc_pareto"] = """

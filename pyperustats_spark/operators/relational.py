@@ -2851,3 +2851,177 @@ def anova_oneway(orders: DataFrame,
         F.try_divide(ssb, ssb + ssw).alias("eta_sq"),
     )
     return out
+
+
+def welch_ttest(orders: DataFrame,
+                priority: str = "1-URGENT") -> DataFrame:
+    """Welch's unequal-variance t-test between urgent and non-urgent
+    order values — the parametric two-sample member of the
+    distribution-comparison suite (:func:`ks_two_sample` shape,
+    :func:`mann_whitney_u` rank shift, :func:`anova_oneway` k-group
+    means): does MEAN spend differ between the two arms when the
+    variances are allowed to differ? ONE row: (n1, n2, mean1_cents,
+    mean2_cents, t_stat, df_welch). The p-value (Student-t CDF needs
+    the incomplete beta) stays client-side, same policy as the rest
+    of the suite.
+
+    Determinism recipe: per-arm n, Σx, Σx² are exact integers (cents
+    in bigint, squares in DECIMAL(38,0)/HUGEINT); every downstream
+    quantity is ONE fixed tree of correctly rounded double ops on
+    exactly-converted integers — mean = S/n, s² = (Q − S·S/n)/(n−1),
+    se = s₁²/n₁ + s₂²/n₂, t = (m₁−m₂)/√se, and the Welch–
+    Satterthwaite df = se²/((s₁²/n₁)²/(n₁−1) + (s₂²/n₂)²/(n₂−1)).
+    Only +,−,×,÷,√ appear — the operations that ARE correctly
+    rounded IEEE cross-engine (CLAUDE.md) — so Spark and the DuckDB
+    oracle agree bit-for-bit. The double form of s² (rather than the
+    exact DECIMAL nQ−S²) is deliberate: nQ overflows DECIMAL(38,0)
+    near n ~ 10¹², while the double tree has no scale ceiling, and
+    cents have (σ/μ)² ≫ ulp so the Q − S²/n subtraction is far from
+    catastrophic cancellation. Degenerate arms (n ≤ 1 or zero
+    variance in both) yield NULL t/df via the same guards in both
+    engines.
+
+    Scale shape: ONE conditional-aggregate pass over orders →
+    literally one row; no joins, no windows, no value-space blowup.
+    The cheapest member of the suite at any scale."""
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100) \
+        .cast("bigint")
+    flag = (F.col("o_orderpriority") == priority).cast("int")
+    src = orders.select(cents.alias("_c"), flag.alias("_f"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    agg = src.agg(
+        F.sum("_f").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("_f")).cast("bigint").alias("n2"),
+        F.sum(F.col("_f") * F.col("_c")).cast("bigint").alias("_s1"),
+        F.sum((F.lit(1) - F.col("_f")) * F.col("_c")).cast("bigint")
+        .alias("_s2"),
+        F.sum(dec(F.col("_f") * F.col("_c")) * F.col("_c"))
+        .alias("_q1"),
+        F.sum(dec((F.lit(1) - F.col("_f")) * F.col("_c"))
+              * F.col("_c")).alias("_q2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("_s1").cast("double") / n1d
+    m2 = F.col("_s2").cast("double") / n2d
+    v1 = (F.col("_q1").cast("double")
+          - F.col("_s1").cast("double") * F.col("_s1").cast("double")
+          / n1d) / (F.col("n1") - 1).cast("double")
+    v2 = (F.col("_q2").cast("double")
+          - F.col("_s2").cast("double") * F.col("_s2").cast("double")
+          / n2d) / (F.col("n2") - 1).cast("double")
+    se1 = v1 / n1d
+    se2 = v2 / n2d
+    se = se1 + se2
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    out = agg.select(
+        "n1", "n2",
+        F.when(F.col("n1") > 0, m1).alias("mean1_cents"),
+        F.when(F.col("n2") > 0, m2).alias("mean2_cents"),
+        F.when(ok & (se > 0),
+               (m1 - m2) / F.sqrt(se)).alias("t_stat"),
+        F.when(ok & (se > 0),
+               se * se / (se1 * se1 / (F.col("n1") - 1).cast("double")
+                          + se2 * se2
+                          / (F.col("n2") - 1).cast("double")))
+        .alias("df_welch"),
+    )
+    return out
+
+
+def kruskal_wallis(orders: DataFrame,
+                   group_col: str = "o_orderpriority") -> DataFrame:
+    """Kruskal–Wallis H across *group_col* on order-value cents — the
+    k-sample generalization of :func:`mann_whitney_u` and the
+    rank-based (distribution-free) complement of
+    :func:`anova_oneway`: do the k groups share a location, without
+    assuming normality? ONE row: (k_groups, n_total, h_stat,
+    h_tie_corrected, df). Chi-square p-value stays client-side, same
+    policy as the whole stats suite.
+
+    Exactness — NO double is ever summed across an unbounded key set
+    (CLAUDE.md): with per-(group, value) counts n_gv, per-value
+    totals t_v and C_before the exclusive global cumulative count,
+    tied ranks average to C_before + (t_v+1)/2, so TWICE the group
+    rank sum
+
+        R2_g = Σ_v n_gv · (2·C_before(v) + t_v + 1)
+
+    accumulates exactly in DECIMAL(38,0). Each group term
+    R2_g²/n_g is then a fixed correctly-rounded double tree, and the
+    k terms sum through an ORDERED cumulative window over the group
+    key (bounded k, both engines accumulate in the same order — the
+    anova_oneway idiom). Since R_g = R2_g/2,
+    Σ R_g²/n_g = (Σ R2_g²/n_g)/4 and
+
+        H = 3·T/(N(N+1)) − 3·(N+1),  T = Σ_g R2_g²/n_g,
+
+    a pure arithmetic tree. The tie correction divides by
+    1 − Σ(t³−t)/(N³−N) with both sides exact DECIMAL integers cast
+    to double (correctly rounded past 2^53 — the q_price_index
+    rule). All-tied input → correction 0 → NULL via the same CASE.
+
+    Scale shape: one partial-aggregated shuffle to the value-bounded
+    (group, cents) grid plus the (cents) curve; global cumulative
+    counts via :func:`~pyperustats_spark.operators.layout.
+    histogram_cumsum` (per-bucket window + bounded bucket-offset
+    side table — no partition-less sort); then a k-row window and a
+    1-row aggregate. Value-space-bounded throughout, never
+    row-count-sized."""
+    from pyperustats_spark.operators.layout import histogram_cumsum
+
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100) \
+        .cast("bigint")
+    src = orders.select(F.col(group_col).alias("_g"),
+                        cents.alias("_c"))
+    per_gv = src.groupBy("_g", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_gv"))
+    per_v = per_gv.groupBy("_c").agg(
+        F.sum("_n_gv").cast("bigint").alias("_t_v"))
+    cum = histogram_cumsum(per_v, F.shiftright(F.col("_c"), 20),
+                           [F.col("_c")], ["_t_v"])
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    # rank2 = 2*C_before + t_v + 1  (twice the average tied rank)
+    joined = per_gv.join(cum, "_c")
+    per_g = joined.groupBy("_g").agg(
+        F.sum("_n_gv").cast("bigint").alias("_n_g"),
+        F.sum(dec(F.col("_n_gv"))
+              * (2 * (F.col("_cum__t_v") - F.col("_t_v"))
+                 + F.col("_t_v") + 1)).alias("_r2_g"))
+    term = (F.col("_r2_g").cast("double")
+            * F.col("_r2_g").cast("double")
+            / F.col("_n_g").cast("double"))
+    wc = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+    cumg = per_g.select("_g", "_n_g", "_r2_g",
+                        F.sum(term).over(wc).alias("_cum_t"))
+    ties = cum.agg(
+        F.sum(dec(F.col("_t_v")) * F.col("_t_v") * F.col("_t_v")
+              - F.col("_t_v")).alias("_sum_t3_t"))
+    agg = cumg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n_g").cast("bigint").alias("n_total"),
+        F.max(F.struct("_g", "_cum_t")).alias("_last"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n_total").cast("double")
+    t_sum = F.col("_last._cum_t")
+    h = (F.lit(3.0) * t_sum
+         / (nd * (F.col("n_total") + 1).cast("double"))
+         - F.lit(3.0) * (F.col("n_total") + 1).cast("double"))
+    corr = (F.lit(1.0)
+            - F.col("_sum_t3_t").cast("double")
+            / (dec(F.col("n_total")) * F.col("n_total")
+               * F.col("n_total") - F.col("n_total")).cast("double"))
+    ok = (F.col("k_groups") > 1) & (F.col("n_total") > 2)
+    out = agg.select(
+        "k_groups", "n_total",
+        F.when(ok, h).alias("h_stat"),
+        F.when(ok & (corr > 0), h / corr).alias("h_tie_corrected"),
+        (F.col("k_groups") - 1).cast("bigint").alias("df"),
+    )
+    return out

@@ -5909,3 +5909,95 @@ def test_cusum_binary_segmentation_finds_both_shifts(spark):
     assert out[(2, side)]["change_date"] == other
     assert out[(1, "all")]["n_seg"] == 60
     assert out[(2, "L")]["n_seg"] + out[(2, "R")]["n_seg"] == 60
+
+
+def test_welch_ttest_matches_python_model(spark):
+    from pyperustats_spark.operators.relational import welch_ttest
+
+    urgent = [10.0, 12.0, 11.0, 13.0, 9.0]
+    other = [20.0, 25.0, 15.0, 30.0, 22.0, 18.0]
+    rows = ([("1-URGENT", v) for v in urgent]
+            + [("3-MEDIUM", v) for v in other])
+    df = spark.createDataFrame(rows, ["o_orderpriority", "o_totalprice"])
+    out = welch_ttest(df).collect()[0].asDict()
+
+    import math
+    c1 = [int(round(v * 100)) for v in urgent]
+    c2 = [int(round(v * 100)) for v in other]
+    n1, n2 = len(c1), len(c2)
+    m1, m2 = sum(c1) / n1, sum(c2) / n2
+    v1 = sum((x - m1) ** 2 for x in c1) / (n1 - 1)
+    v2 = sum((x - m2) ** 2 for x in c2) / (n2 - 1)
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    dfw = (se1 + se2) ** 2 / (se1 ** 2 / (n1 - 1)
+                              + se2 ** 2 / (n2 - 1))
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert abs(out["mean1_cents"] - m1) < 1e-9
+    assert abs(out["mean2_cents"] - m2) < 1e-9
+    assert abs(out["t_stat"] - t) < 1e-9 * abs(t)
+    assert abs(out["df_welch"] - dfw) < 1e-9 * dfw
+    # scipy cross-check value (ttest_ind equal_var=False on these
+    # cents): t = -4.30292..., df = 6.725... — pin loosely
+    assert out["t_stat"] < 0 and 5.0 < out["df_welch"] < n1 + n2 - 2
+
+
+def test_welch_ttest_degenerate_single_row_arm(spark):
+    from pyperustats_spark.operators.relational import welch_ttest
+
+    rows = [("1-URGENT", 10.0), ("3-MEDIUM", 20.0),
+            ("3-MEDIUM", 21.0)]
+    df = spark.createDataFrame(rows, ["o_orderpriority", "o_totalprice"])
+    out = welch_ttest(df).collect()[0].asDict()
+    assert out["n1"] == 1
+    assert out["t_stat"] is None and out["df_welch"] is None
+    assert abs(out["mean1_cents"] - 1000.0) < 1e-12
+
+
+def test_kruskal_wallis_matches_python_model(spark):
+    from pyperustats_spark.operators.relational import kruskal_wallis
+
+    data = {"A": [1.0, 2.0, 3.0, 2.0],
+            "B": [4.0, 5.0, 6.0, 5.0],
+            "C": [1.0, 5.0, 9.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["o_orderpriority", "o_totalprice"])
+    out = kruskal_wallis(df).collect()[0].asDict()
+
+    # Python model: average ranks with ties over pooled cents
+    pooled = sorted(c for vs in data.values()
+                    for c in [int(round(v * 100)) for v in vs])
+    n = len(pooled)
+
+    def avg_rank(c):
+        lo = sum(1 for x in pooled if x < c)
+        t = sum(1 for x in pooled if x == c)
+        return lo + (t + 1) / 2
+
+    h = 0.0
+    for vs in data.values():
+        cs = [int(round(v * 100)) for v in vs]
+        r = sum(avg_rank(c) for c in cs)
+        h += r * r / len(cs)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    from collections import Counter
+    tie = sum(t ** 3 - t for t in Counter(pooled).values())
+    h_c = h / (1 - tie / (n ** 3 - n))
+    assert out["k_groups"] == 3 and out["n_total"] == n
+    assert out["df"] == 2
+    assert abs(out["h_stat"] - h) < 1e-9 * max(1.0, abs(h))
+    assert abs(out["h_tie_corrected"] - h_c) < 1e-9 * max(1.0, abs(h_c))
+    # ties present -> correction strictly inflates H
+    assert out["h_tie_corrected"] > out["h_stat"]
+
+
+def test_kruskal_wallis_all_tied_null(spark):
+    from pyperustats_spark.operators.relational import kruskal_wallis
+
+    rows = [(g, 5.0) for g in ["A", "B", "A", "B", "A"]]
+    df = spark.createDataFrame(rows, ["o_orderpriority", "o_totalprice"])
+    out = kruskal_wallis(df).collect()[0].asDict()
+    assert out["k_groups"] == 2 and out["n_total"] == 5
+    assert out["h_tie_corrected"] is None
+    # untied H is defined (it is exactly 0 shifted by the formula)
+    assert abs(out["h_stat"]) < 1e-9
