@@ -1804,6 +1804,22 @@ def ev_periodicity(spark, sf_dir):
     return E.periodicity(_lt(spark, sf_dir, "events"))
 
 
+def ev_permutation_entropy(spark, sf_dir):
+    """Bandt-Pompe ordinal-pattern entropy of hourly counts per event
+    type: tie-aware trit encoding (pure integer comparisons), then
+    the micro-nat ln-grid entropy recipe — bit-identical
+    cross-engine; windows bounded by the hour span."""
+    return E.permutation_entropy(_lt(spark, sf_dir, "events"))
+
+
+def ts_seasonal_naive_eval(spark, sf_dir):
+    """Seasonal-naive vs one-step-naive MAE per series (the MASE
+    denominator logic as a seasonality-value card): exact integer
+    cents errors, int/int IEEE divisions, constant series NULL."""
+    return TS.seasonal_naive_eval(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def stats_anova_oneway(spark, sf_dir):
     """One-way ANOVA F of order-value cents across priorities:
     exact integer group sums, each S_g^2/n_g term a fixed
@@ -3320,6 +3336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kruskal_wallis": stats_kruskal_wallis,
         "ev_logrank_ab": ev_logrank_ab,
         "ev_periodicity": ev_periodicity,
+        "ev_permutation_entropy": ev_permutation_entropy,
+        "ts_seasonal_naive_eval": ts_seasonal_naive_eval,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -4958,6 +4976,107 @@ def oracle_sql() -> dict[str, str]:
                   + (CAST(qtot AS DOUBLE) - lastcum)) AS eta_sq
         FROM a
     """
+
+    # ordinal-pattern entropy: the periodicity hour spine + lead
+    # pairs -> pure-integer trit codes; entropy via the
+    # ev_user_entropy micro-nat grid (exact bigint sums)
+    sql["ev_permutation_entropy"] = """
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1
+            FROM hc GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type, unnest(generate_series(h0, h1)) AS h
+            FROM span
+        ),
+        fullh AS (
+            SELECT s.event_type, s.h, coalesce(hc.c, 0) AS c
+            FROM spine s LEFT JOIN hc
+              ON s.event_type = hc.event_type AND s.h = hc.h
+        ),
+        tri AS (
+            SELECT event_type, c AS x0,
+                   lead(c, 1) OVER w AS x1,
+                   lead(c, 2) OVER w AS x2
+            FROM fullh
+            WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ),
+        coded AS (
+            SELECT event_type,
+                   (CASE WHEN x0 < x1 THEN 0 WHEN x0 = x1 THEN 1
+                         ELSE 2 END) * 9
+                   + (CASE WHEN x1 < x2 THEN 0 WHEN x1 = x2 THEN 1
+                           ELSE 2 END) * 3
+                   + (CASE WHEN x0 < x2 THEN 0 WHEN x0 = x2 THEN 1
+                           ELSE 2 END) AS code
+            FROM tri WHERE x2 IS NOT NULL
+        ),
+        pc AS (
+            SELECT event_type, code, CAST(count(*) AS BIGINT) AS c
+            FROM coded GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT event_type,
+                   CAST(sum(c) AS BIGINT) AS n_windows,
+                   CAST(count(*) AS BIGINT) AS n_codes,
+                   CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                        AS BIGINT) AS slc
+            FROM pc GROUP BY 1
+        )
+        SELECT event_type, n_windows, n_codes,
+               round(ln(n_windows), 6) - (slc / n_windows) / 1000000.0
+                   AS perm_entropy,
+               CASE WHEN n_codes > 1 THEN
+                   (round(ln(n_windows), 6)
+                    - (slc / n_windows) / 1000000.0)
+                   / round(ln(n_codes), 6) END AS evenness
+        FROM per ORDER BY event_type
+    """
+
+    # seasonal-naive benchmark: index lags over the observed per-code
+    # sequence, exact bigint |e| sums, int/int MAEs, ratio of two
+    # identical-bit doubles
+    sql["ts_seasonal_naive_eval"] = """
+        WITH long AS ({long}),
+        lagged AS (
+            SELECT code,
+                   CAST(round(round(value, 2) * 100) AS BIGINT) AS c,
+                   lag(CAST(round(round(value, 2) * 100) AS BIGINT),
+                       1) OVER w AS l1,
+                   lag(CAST(round(round(value, 2) * 100) AS BIGINT),
+                       7) OVER w AS lm
+            FROM long
+            WINDOW w AS (PARTITION BY code ORDER BY date)
+        ),
+        per AS (
+            SELECT code, CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_naive_pairs,
+                   CAST(sum(CASE WHEN lm IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_seasonal_pairs,
+                   CAST(sum(abs(c - l1)) AS BIGINT) AS ae1,
+                   CAST(sum(abs(c - lm)) AS BIGINT) AS aem
+            FROM lagged GROUP BY 1
+        )
+        SELECT code, n_obs, n_naive_pairs, n_seasonal_pairs,
+               CASE WHEN n_naive_pairs > 0
+                    THEN ae1 / n_naive_pairs END AS mae_naive_cents,
+               CASE WHEN n_seasonal_pairs > 0
+                    THEN aem / n_seasonal_pairs
+               END AS mae_seasonal_cents,
+               CASE WHEN n_seasonal_pairs > 0 AND n_naive_pairs > 0
+                         AND ae1 / n_naive_pairs <> 0
+                    THEN (aem / n_seasonal_pairs)
+                         / (ae1 / n_naive_pairs)
+               END AS mase_ratio
+        FROM per ORDER BY code
+    """.format(long=_LONG)
 
     # Welch t: exact integer (n, S, Q) per arm, then ONE fixed
     # correctly-rounded double tree (only +,-,*,/,sqrt — the

@@ -2213,3 +2213,66 @@ def periodicity(events: DataFrame, lags: tuple[int, ...] = (1, 24, 168),
         ).alias("autocorr"),
     )
     return out.orderBy("event_type", "lag_hours") if sort else out
+
+
+def permutation_entropy(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Ordinal-pattern (permutation) entropy per event type — Bandt &
+    Pompe's complexity measure (PRL 88:174102, 2002) on the zero-kept
+    HOURLY count series: slide an order-3 window over the counts,
+    encode each window's ORDINAL pattern, and take the Shannon
+    entropy of the pattern distribution. A metronomic stream repeats
+    one or two patterns (entropy → 0), white noise uses all of them
+    (evenness → 1) — the complexity-domain complement of
+    :func:`periodicity`'s autocorrelation clock test.
+
+    Tie-aware encoding: integer counts tie often, and the classic
+    rank-vector encoding is ambiguous under ties, so each window
+    (x0, x1, x2) maps to the TRIT vector of its three pairwise
+    comparisons — code = 9·T(x0,x1) + 3·T(x1,x2) + T(x0,x2) with
+    T ∈ {0,1,2} for <,=,> — a deterministic pure-integer expression
+    (13 achievable codes; transitivity kills the rest).
+
+    Cross-engine determinism: the code is integer comparisons only;
+    the entropy uses the ev_user_entropy micro-nat recipe — each
+    ln(count) snapped to the 1e-6 grid AS AN INTEGER, Σ c·ln_micro(c)
+    an exact bigint (merge-order-proof), division before de-scaling
+    so a single-pattern type lands on a hard 0.0.
+
+    Scale shape: the spine and the order-3 window partition by
+    event_type and are bounded by the HOUR SPAN, not row count (the
+    periodicity class); then two partial-aggregated shuffles to
+    (type, code) counts and the per-type rollup. Types with fewer
+    than 3 spanned hours emit no row (no window exists)."""
+    full = _hourly_count_spine(events)
+    w = Window.partitionBy("event_type").orderBy("_h")
+    tri = full.select(
+        "event_type", F.col("_c").alias("_x0"),
+        F.lead("_c", 1).over(w).alias("_x1"),
+        F.lead("_c", 2).over(w).alias("_x2"),
+    ).where(F.col("_x2").isNotNull())
+
+    def trit(a, b):
+        return (F.when(F.col(a) < F.col(b), 0)
+                .when(F.col(a) == F.col(b), 1)
+                .otherwise(2))
+
+    coded = tri.select(
+        "event_type",
+        (trit("_x0", "_x1") * 9 + trit("_x1", "_x2") * 3
+         + trit("_x0", "_x2")).cast("bigint").alias("_code"))
+    pc = coded.groupBy("event_type", "_code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    lnc_micro = F.round(F.log("_c") * 1e6).cast("bigint")
+    per = pc.groupBy("event_type").agg(
+        F.sum("_c").cast("bigint").alias("n_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_codes"),
+        F.sum(F.col("_c") * lnc_micro).cast("bigint").alias("_slc"),
+    )
+    h = (F.round(F.log("n_windows"), 6)
+         - (F.col("_slc") / F.col("n_windows")) / F.lit(1e6))
+    out = per.select(
+        "event_type", "n_windows", "n_codes",
+        h.alias("perm_entropy"),
+        F.try_divide(h, F.round(F.log("n_codes"), 6)).alias("evenness"),
+    )
+    return out.orderBy("event_type") if sort else out

@@ -1869,3 +1869,57 @@ def cusum_binary_segmentation(long_df: DataFrame, min_seg: int = 4,
                       "change_date", "cusum_stat"))
     )
     return out.orderBy("code", "level", "segment") if sort else out
+
+
+def seasonal_naive_eval(long_df: DataFrame, season: int = 7,
+                        sort: bool = True) -> DataFrame:
+    """Forecast-benchmark card per series: how much better is the
+    SEASONAL naive forecast (x̂_t = x_{t−m}, m = *season* observations
+    back) than the one-step naive (x̂_t = x_{t−1})? Ships both MAEs
+    and their ratio — Hyndman & Koehler's MASE denominator logic
+    (IJF 22:679, 2006) turned into a per-series seasonality-value
+    readout: ratio < 1 means the season carries real signal, ≈ 1
+    means last-observation-carried-forward is just as good, and the
+    downstream forecaster (ts_holt_winters, ts_backtest_exact) should
+    beat BOTH maes to justify itself.
+
+    Lags are INDEX lags over the observed per-code sequence (the
+    standard in-sample MASE convention), not calendar offsets — gap
+    days simply don't contribute pairs.
+
+    Cross-engine determinism: values snap to integer cents (the
+    series_long 2-decimal grid), absolute errors are exact bigints,
+    each MAE is one int/int IEEE division, and the ratio divides two
+    such doubles — identical bits everywhere; a constant series makes
+    the denominator 0 → NULL via try_divide/CASE.
+
+    Scale shape: one ordered window per code (bounded by series
+    depth, the standard ts class) computing both lags in a single
+    pass, then one partial-aggregated per-code rollup. Series with
+    ≤ *season* observations emit n_seasonal_pairs = 0 and NULL maes."""
+    cents = F.round(F.round(F.col("value"), 2) * 100).cast("bigint")
+    w = Window.partitionBy("code").orderBy("date")
+    lagged = long_df.select(
+        "code", cents.alias("_c"),
+        F.lag(cents, 1).over(w).alias("_l1"),
+        F.lag(cents, season).over(w).alias("_lm"))
+    per = lagged.groupBy("code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.when(F.col("_l1").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_naive_pairs"),
+        F.sum(F.when(F.col("_lm").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_seasonal_pairs"),
+        F.sum(F.abs(F.col("_c") - F.col("_l1"))).cast("bigint")
+        .alias("_ae1"),
+        F.sum(F.abs(F.col("_c") - F.col("_lm"))).cast("bigint")
+        .alias("_aem"),
+    )
+    mae1 = F.try_divide(F.col("_ae1"), F.col("n_naive_pairs"))
+    maem = F.try_divide(F.col("_aem"), F.col("n_seasonal_pairs"))
+    out = per.select(
+        "code", "n_obs", "n_naive_pairs", "n_seasonal_pairs",
+        mae1.alias("mae_naive_cents"),
+        maem.alias("mae_seasonal_cents"),
+        F.try_divide(maem, mae1).alias("mase_ratio"),
+    )
+    return out.orderBy("code") if sort else out

@@ -6001,3 +6001,92 @@ def test_kruskal_wallis_all_tied_null(spark):
     assert out["h_tie_corrected"] is None
     # untied H is defined (it is exactly 0 shifted by the formula)
     assert abs(out["h_stat"]) < 1e-9
+
+
+def test_permutation_entropy_metronome_vs_noise(spark):
+    from pyperustats_spark.operators.events import permutation_entropy
+    import datetime as dt
+
+    # metronome: strictly alternating hourly counts 1,3,1,3...
+    # -> only two ordinal patterns (up-down, down-up)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        n = 1 if h % 2 == 0 else 3
+        for i in range(n):
+            rows.append(("metro", f"u{i}", base + dt.timedelta(hours=h)))
+    # noisy: pseudo-random counts from a fixed md5 scramble (an
+    # integer multiplier mod 7 would itself be periodic)
+    import hashlib
+    for h in range(48):
+        n = 1 + int(hashlib.md5(f"n{h}".encode()).hexdigest(), 16) % 7
+        for i in range(n):
+            rows.append(("noise", f"u{i}", base + dt.timedelta(hours=h)))
+    df = spark.createDataFrame(rows, ["event_type", "user_id", "ts"])
+    out = {r["event_type"]: r for r in permutation_entropy(df).collect()}
+
+    import math
+    assert out["metro"]["n_windows"] == 46
+    assert out["metro"]["n_codes"] == 2
+    # two equiprobable patterns -> exactly ln 2
+    assert abs(out["metro"]["perm_entropy"] - math.log(2)) < 1e-5
+    assert abs(out["metro"]["evenness"] - 1.0) < 1e-5
+    assert out["noise"]["n_codes"] > 4
+    assert out["noise"]["perm_entropy"] > out["metro"]["perm_entropy"]
+
+
+def test_permutation_entropy_matches_python_model(spark):
+    from pyperustats_spark.operators.events import permutation_entropy
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    base = dt.datetime(2024, 3, 1)
+    counts = [2, 2, 5, 1, 4, 4, 4, 7, 1, 2, 9, 3]
+    rows = []
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append(("t", f"u{i}", base + dt.timedelta(hours=h)))
+    df = spark.createDataFrame(rows, ["event_type", "user_id", "ts"])
+    r = permutation_entropy(df).collect()[0]
+
+    def trit(a, b):
+        return 0 if a < b else (1 if a == b else 2)
+
+    codes = [trit(counts[i], counts[i + 1]) * 9
+             + trit(counts[i + 1], counts[i + 2]) * 3
+             + trit(counts[i], counts[i + 2])
+             for i in range(len(counts) - 2)]
+    c = Counter(codes)
+    n = len(codes)
+    h = (round(math.log(n), 6)
+         - sum(v * round(math.log(v) * 1e6) for v in c.values())
+         / n / 1e6)
+    assert r["n_windows"] == n and r["n_codes"] == len(c)
+    assert abs(r["perm_entropy"] - h) < 1e-12
+
+
+def test_seasonal_naive_eval_weekly_signal(spark):
+    from pyperustats_spark.operators.timeseries import seasonal_naive_eval
+    import datetime as dt
+
+    # strong weekly cycle: value depends only on weekday -> seasonal
+    # naive is PERFECT (mae 0), one-step naive is not
+    rows = []
+    for d in range(35):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        rows.append((day, "W", float(10 + (d % 7) * 5)))
+        rows.append((day, "C", 42.0))  # constant series
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {r["code"]: r for r in seasonal_naive_eval(df).collect()}
+
+    w = out["W"]
+    assert w["n_obs"] == 35
+    assert w["n_naive_pairs"] == 34 and w["n_seasonal_pairs"] == 28
+    assert w["mae_seasonal_cents"] == 0.0
+    assert w["mae_naive_cents"] > 0
+    assert w["mase_ratio"] == 0.0
+    c = out["C"]
+    # constant: both maes 0, ratio undefined -> NULL
+    assert c["mae_naive_cents"] == 0.0
+    assert c["mase_ratio"] is None
