@@ -1160,6 +1160,15 @@ def graph_part_triangles(spark, sf_dir):
     return G.copurchase_triangle_stats(_lt(spark, sf_dir, "lineitem"))
 
 
+def graph_part_clustering(spark, sf_dir):
+    """Per-node clustering coefficient (Watts-Strogatz) of the part
+    co-purchase graph: apex-retaining degree-ordered triangle
+    iterator, 3-row explode per triangle into a partial-aggregated
+    count, cc = 2T/(d(d-1)) as a raw int/int division."""
+    from pyperustats_spark.operators import graph as G
+    return G.copurchase_node_clustering(_lt(spark, sf_dir, "lineitem"))
+
+
 def graph_part_kcore(spark, sf_dir):
     """R-round k-core peeling of the co-purchase graph at k =
     ceil(avg degree); oracle unrolls the same R rounds, convergence
@@ -3234,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_supplier_pagerank": graph_supplier_pagerank,
         "graph_supplier_salsa": graph_supplier_salsa,
         "graph_part_triangles": graph_part_triangles,
+        "graph_part_clustering": graph_part_clustering,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "dedup_keep_best": dedup_keep_best,
         "graph_part_kcore": graph_part_kcore,
@@ -10174,6 +10184,63 @@ def oracle_sql() -> dict[str, str]:
                    / (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) FROM deg)
                    AS global_clustering
         FROM tri
+    """
+
+    # per-node clustering: same edge/orientation CTEs as the census;
+    # triangles kept as 3-corner rows, unioned into per-node counts
+    sql["graph_part_clustering"] = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        ok AS (
+            SELECT l_orderkey FROM items GROUP BY l_orderkey
+            HAVING count(*) BETWEEN 2 AND 50
+        ),
+        it AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN ok USING (l_orderkey)
+        ),
+        edges AS (
+            SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM it a JOIN it b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 1
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS node FROM edges
+                  UNION ALL SELECT b AS node FROM edges)
+            GROUP BY node
+        ),
+        ori AS (
+            SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS u,
+                   CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS v
+            FROM edges e
+            JOIN deg da ON e.a = da.node
+            JOIN deg db ON e.b = db.node
+        ),
+        tri AS (
+            SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+            FROM ori e1
+            JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
+            JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        tn AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS t
+            FROM (SELECT n1 AS node FROM tri
+                  UNION ALL SELECT n2 FROM tri
+                  UNION ALL SELECT n3 FROM tri)
+            GROUP BY node
+        )
+        SELECT deg.node AS part, deg.d AS degree,
+               CAST(coalesce(tn.t, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN deg.d >= 2 THEN
+                   2 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1))
+               END AS clustering_coef
+        FROM deg LEFT JOIN tn ON deg.node = tn.node
+        ORDER BY part
     """
 
     sql["er_customer_name_pairs"] = """

@@ -6090,3 +6090,32 @@ def test_seasonal_naive_eval_weekly_signal(spark):
     # constant: both maes 0, ratio undefined -> NULL
     assert c["mae_naive_cents"] == 0.0
     assert c["mase_ratio"] is None
+
+
+def test_node_clustering_hand_graph(spark):
+    from pyperustats_spark.operators.graph import copurchase_node_clustering
+
+    # order 1 -> triangle {1,2,3}; order 2 -> pendant edge {3,4}
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = {r["part"]: r for r in copurchase_node_clustering(df).collect()}
+    assert out[1]["degree"] == 2 and out[1]["n_triangles"] == 1
+    assert out[1]["clustering_coef"] == 1.0
+    assert out[2]["clustering_coef"] == 1.0
+    assert out[3]["degree"] == 3 and out[3]["n_triangles"] == 1
+    assert abs(out[3]["clustering_coef"] - 1 / 3) < 1e-15
+    assert out[4]["degree"] == 1 and out[4]["n_triangles"] == 0
+    assert out[4]["clustering_coef"] is None
+
+
+def test_node_clustering_consistent_with_census(spark):
+    from pyperustats_spark.operators.graph import (
+        copurchase_node_clustering, copurchase_triangle_stats)
+    from pyperustats_spark.sources.registry import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    per = copurchase_node_clustering(li, sort=False)
+    tot = per.groupBy().sum("n_triangles").collect()[0][0]
+    census = copurchase_triangle_stats(li).collect()[0]
+    # each triangle contributes one count to each of its 3 corners
+    assert tot == 3 * census["n_triangles"]
