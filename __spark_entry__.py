@@ -1982,6 +1982,16 @@ def emb_radius_search(spark, sf_dir):
     return _round(S.radius_search(emb, q, threshold=0.2), {"cos": 6})
 
 
+def emb_two_nn_id(spark, sf_dir):
+    """Two-NN intrinsic-dimension MLE (Facco et al. 2017) on a
+    md5-sampled anchor set: exact 2-NN squared-L2 via the brute-force
+    baseline fold, ln(d2/d1) snapped to integer micro-log-units
+    (exact bigint sum), id = 2e6*n/sum as an int/int division."""
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    return S.two_nn_intrinsic_dim(emb)
+
+
 def emb_radius_search_ivf(spark, sf_dir):
     """IVF-probed radius search (scale path): same contract, corpus
     restricted to the query's nprobe cells; recall pinned in pytest."""
@@ -3288,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_fill": ts_gap_fill,
         "knn_bruteforce_cosine": knn_bruteforce_cosine,
         "emb_radius_search": emb_radius_search,
+        "emb_two_nn_id": emb_two_nn_id,
         "emb_radius_search_ivf": emb_radius_search_ivf,
         "ann_mips_dot": ann_mips_dot,
         "ann_hamming_topk": ann_hamming_topk,
@@ -5749,6 +5760,49 @@ def oracle_sql() -> dict[str, str]:
               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) >= 0.2
         ORDER BY q.query_id, e.vec_id
+    """
+
+    # Two-NN intrinsic dimension: same DOUBLE[] fold as the cosine
+    # family, md5 anchor sample, ln ratio on the 1e-6 integer grid
+    sql["emb_two_nn_id"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE md5('twonn:' || CAST(vec_id AS VARCHAR)) < '2'),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(range(1, len(e.v) + 1),
+                       i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])))
+                       AS dsq
+            FROM e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, dsq,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dsq, vec_id) AS rn
+            FROM scored
+        ),
+        per AS (
+            SELECT query_id,
+                   min(CASE WHEN rn = 1 THEN dsq END) AS d1,
+                   min(CASE WHEN rn = 2 THEN dsq END) AS d2
+            FROM ranked WHERE rn <= 2 GROUP BY 1
+        ),
+        v AS (
+            SELECT CAST(round(ln(d2 / d1) * 1000000) AS BIGINT)
+                       AS lnr
+            FROM per WHERE d1 > 0 AND d2 IS NOT NULL
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM per)
+                   AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               CAST(sum(lnr) AS BIGINT) AS sum_ln_ratio_micro,
+               CASE WHEN sum(lnr) > 0 THEN
+                   CAST(count(*) * 2000000 AS DOUBLE)
+                   / CAST(sum(lnr) AS DOUBLE)
+               END AS id_mle
+        FROM v
     """
 
     sql["knn_bruteforce_cosine"] = f"""

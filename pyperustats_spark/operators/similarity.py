@@ -2032,3 +2032,83 @@ def centroid_drift(embeddings: DataFrame,
         )
     )
     return out.orderBy("label") if sort else out
+
+
+def two_nn_intrinsic_dim(embeddings: DataFrame,
+                         sample_hex_lt: str = "2") -> DataFrame:
+    """Facco et al.'s Two-NN intrinsic-dimension estimator (Sci. Rep.
+    7:12140, 2017) over the embedding corpus: for a sampled set of
+    points, take the ratio mu = d2/d1 of the exact 2nd- to 1st-
+    nearest-neighbor distances; under a locally uniform density the
+    mu are Pareto(id) and the MLE is  id = n / SUM ln mu. A 768-dim
+    embedding column with id ~ 15 lives on a low-dimensional
+    manifold — the number that says how aggressively Matryoshka/PQ
+    truncation (emb_matryoshka_eval, embedding_pq_profile) can
+    compress before recall falls off. ONE row: (n_queries, n_valid,
+    sum_ln_ratio_micro, id_mle).
+
+    Sampling: the estimator needs a SAMPLE of anchor points, not all
+    of them — queries are the md5('twonn:' || vec_id) < *sample_hex_lt*
+    slice (default 2/16 = 12.5%; shrink the prefix at scale). The
+    hash filter is row-local and reproduced verbatim by the oracle.
+
+    Cross-engine determinism: squared L2 distances come from the
+    same sequential fold both engines use for the cosine family
+    (zip_with + ordered aggregate == list_sum of list_transform);
+    the ratio d2sq/d1sq divides identical bits, and ln — ulp-loose
+    cross-engine — is snapped to the 1e-6 grid AS AN INTEGER of
+    micro-log-units, so the sum is an exact bigint
+    (merge-order-proof). ln mu = ln(d2sq/d1sq)/2, so
+    id_mle = 2e6·n_valid / sum_ln_ratio_micro — an exact-int
+    division. Duplicate vectors (d1 = 0) are excluded from n_valid
+    in both engines.
+
+    Scale shape: the knn_bruteforce exact-baseline class — sampled
+    queries broadcast against the distributed corpus, per-query rank
+    window for the two smallest. At 100 TB swap the corpus side for
+    the IVF-probed candidate set (ann_ivf_cosine) exactly as
+    emb_radius_search_ivf does for radius search; the estimator only
+    needs d1/d2, which IVF with enough probes preserves."""
+    e = ensure_parallelism(embeddings)
+    qn = e.where(
+        F.md5(F.concat(F.lit("twonn:"),
+                       F.col("vec_id").cast("string")))
+        < F.lit(sample_hex_lt)) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"))
+    dsq = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("q_embedding"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (
+        e.crossJoin(F.broadcast(qn))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dsq.alias("_dsq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dsq").asc(), F.col("vec_id").asc())
+    top2 = scored.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") <= 2)
+    per = top2.groupBy("query_id").agg(
+        F.min(F.when(F.col("_rn") == 1, F.col("_dsq"))).alias("_d1"),
+        F.min(F.when(F.col("_rn") == 2, F.col("_dsq"))).alias("_d2"))
+    lnr = F.round(F.log(F.col("_d2") / F.col("_d1")) * 1e6) \
+        .cast("bigint")
+    valid = per.where((F.col("_d1") > 0) & F.col("_d2").isNotNull()) \
+        .select(lnr.alias("_lnr"))
+    nq = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    out = (
+        valid.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_valid"),
+            F.sum("_lnr").cast("bigint").alias("sum_ln_ratio_micro"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "n_queries", "n_valid", "sum_ln_ratio_micro",
+            F.when(
+                F.col("sum_ln_ratio_micro") > 0,
+                (F.col("n_valid") * F.lit(2000000)).cast("double")
+                / F.col("sum_ln_ratio_micro").cast("double"))
+            .alias("id_mle"),
+        )
+    )
+    return out

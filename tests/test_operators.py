@@ -6119,3 +6119,40 @@ def test_node_clustering_consistent_with_census(spark):
     census = copurchase_triangle_stats(li).collect()[0]
     # each triangle contributes one count to each of its 3 corners
     assert tot == 3 * census["n_triangles"]
+
+
+def test_two_nn_id_recovers_planar_dimension(spark):
+    from pyperustats_spark.operators.similarity import two_nn_intrinsic_dim
+    import hashlib
+
+    # 300 points on a 2-D plane embedded in 8-D: intrinsic dim = 2
+    def coord(i, axis):
+        h = int(hashlib.md5(f"p{i}a{axis}".encode()).hexdigest(), 16)
+        return (h % 10_000) / 100.0
+
+    rows = []
+    for i in range(300):
+        u, v = coord(i, 0), coord(i, 1)
+        # fixed linear embedding of the (u, v) plane into 8-D
+        vec = [u, v, u + v, u - v, 2 * u, 2 * v, 0.5 * u + v, 0.0]
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    r = two_nn_intrinsic_dim(df).collect()[0]
+    assert r["n_queries"] > 15
+    assert r["n_valid"] == r["n_queries"]
+    assert 1.2 < r["id_mle"] < 3.2, r["id_mle"]
+
+
+def test_two_nn_id_duplicates_excluded(spark):
+    from pyperustats_spark.operators.similarity import two_nn_intrinsic_dim
+
+    # vec 1 and 2 identical -> any sampled anchor among them has d1=0
+    rows = [(i, [float(i), 1.0]) for i in range(40)]
+    rows += [(100, [7.5, 1.0]), (101, [7.5, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    r = two_nn_intrinsic_dim(df, sample_hex_lt="g").collect()[0]
+    # full sample: every point is an anchor; the two duplicates are
+    # each other's 1-NN at distance 0 and must be dropped
+    assert r["n_queries"] == 42
+    assert r["n_valid"] == 40
+    assert r["id_mle"] is not None
