@@ -1813,6 +1813,15 @@ def ev_periodicity(spark, sf_dir):
     return E.periodicity(_lt(spark, sf_dir, "events"))
 
 
+def ev_ols_weekend(spark, sf_dir):
+    """Two-regressor OLS per event type (trend + weekend dummy) on
+    zero-kept daily counts: exact integer normal-equation sums in
+    DECIMAL(38,0), 3x3 Cramer solve on double-cast-first sums (one
+    fixed correctly-rounded tree per coefficient), singular design
+    NULL via the same det=0 CASE."""
+    return E.ols_trend_weekend(_lt(spark, sf_dir, "events"))
+
+
 def ev_permutation_entropy(spark, sf_dir):
     """Bandt-Pompe ordinal-pattern entropy of hourly counts per event
     type: tie-aware trit encoding (pure integer comparisons), then
@@ -3358,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_logrank_ab": ev_logrank_ab,
         "ev_periodicity": ev_periodicity,
         "ev_permutation_entropy": ev_permutation_entropy,
+        "ev_ols_weekend": ev_ols_weekend,
         "ts_seasonal_naive_eval": ts_seasonal_naive_eval,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
@@ -4996,6 +5006,90 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_total AS DOUBLE))
                   + (CAST(qtot AS DOUBLE) - lastcum)) AS eta_sq
         FROM a
+    """
+
+    # two-regressor OLS: exact HUGEINT normal-equation sums over the
+    # zero-kept day spine, double-cast-first Cramer trees (logrank
+    # rule), weekend via the dayofweek integer map
+    sql["ev_ols_weekend"] = """
+        WITH dc AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, min(d) AS d0, max(d) AS d1
+            FROM dc GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type, d0,
+                   CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                        CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY))
+                        AS DATE) AS d
+            FROM span
+        ),
+        fl AS (
+            SELECT s.event_type,
+                   CAST(date_diff('day', s.d0, s.d) AS BIGINT) AS t,
+                   CASE WHEN dayofweek(s.d) IN (0, 6)
+                        THEN 1 ELSE 0 END AS w,
+                   coalesce(dc.y, 0) AS y
+            FROM spine s LEFT JOIN dc
+              ON s.event_type = dc.event_type AND s.d = dc.d
+        ),
+        per AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   sum(CAST(t AS HUGEINT)) AS st,
+                   sum(CAST(w AS HUGEINT)) AS sw,
+                   sum(CAST(t AS HUGEINT) * t) AS stt,
+                   sum(CAST(t AS HUGEINT) * w) AS stw,
+                   sum(CAST(w AS HUGEINT) * w) AS sww,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(t AS HUGEINT) * y) AS sty,
+                   sum(CAST(w AS HUGEINT) * y) AS swy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM fl GROUP BY 1
+        ),
+        dbl AS (
+            SELECT event_type, n_days,
+                   CAST(n_days AS DOUBLE) AS n,
+                   CAST(st AS DOUBLE) AS st, CAST(sw AS DOUBLE) AS sw,
+                   CAST(stt AS DOUBLE) AS stt,
+                   CAST(stw AS DOUBLE) AS stw,
+                   CAST(sww AS DOUBLE) AS sww,
+                   CAST(sy AS DOUBLE) AS sy,
+                   CAST(sty AS DOUBLE) AS sty,
+                   CAST(swy AS DOUBLE) AS swy,
+                   CAST(syy AS DOUBLE) AS syy
+            FROM per
+        ),
+        sol AS (
+            SELECT event_type, n_days, n, sy, sty, swy, syy,
+                   n * (stt * sww - stw * stw)
+                   - st * (st * sww - stw * sw)
+                   + sw * (st * stw - stt * sw) AS det,
+                   sy * (stt * sww - stw * stw)
+                   - st * (sty * sww - stw * swy)
+                   + sw * (sty * stw - stt * swy) AS dd0,
+                   n * (sty * sww - stw * swy)
+                   - sy * (st * sww - stw * sw)
+                   + sw * (st * swy - sty * sw) AS dd1,
+                   n * (stt * swy - sty * stw)
+                   - st * (st * swy - sty * sw)
+                   + sy * (st * stw - stt * sw) AS dd2
+            FROM dbl
+        )
+        SELECT event_type, n_days,
+               CASE WHEN det <> 0 THEN dd0 / det END AS intercept,
+               CASE WHEN det <> 0 THEN dd1 / det END AS trend_per_day,
+               CASE WHEN det <> 0 THEN dd2 / det END AS weekend_lift,
+               CASE WHEN det <> 0 AND syy - sy * sy / n > 0 THEN
+                   1.0 - (syy - (dd0 / det) * sy - (dd1 / det) * sty
+                          - (dd2 / det) * swy)
+                         / (syy - sy * sy / n)
+               END AS r2
+        FROM sol ORDER BY event_type
     """
 
     # ordinal-pattern entropy: the periodicity hour spine + lead

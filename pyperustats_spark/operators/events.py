@@ -2276,3 +2276,103 @@ def permutation_entropy(events: DataFrame, sort: bool = True) -> DataFrame:
         F.try_divide(h, F.round(F.log("n_codes"), 6)).alias("evenness"),
     )
     return out.orderBy("event_type") if sort else out
+
+
+def ols_trend_weekend(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Two-regressor OLS per event type: daily counts over the
+    zero-kept calendar-day spine regressed on a linear trend AND a
+    weekend dummy —  y_d = b0 + b1·t + b2·weekend(d).  Separating the
+    two answers "is traffic growing, or does it just look like it
+    because the window starts on a weekend?" — the multivariate step
+    up from :func:`~pyperustats_spark.operators.timeseries.ols_trend`
+    (single regressor), and the design-matrix pattern any further
+    dummy (holiday, launch flag) follows.
+
+    Exactness: every normal-equation sum (n, Σt, Σw, Σt², Σtw, Σw²,
+    Σy, Σty, Σwy, Σy²) is an exact integer in DECIMAL(38,0) — t is
+    the day index, w ∈ {0,1}, y an integer count. The 3×3 Cramer
+    solve then runs on double-cast-first sums (the logrank rule:
+    products would overflow DECIMAL at extreme scale, and int→double
+    is correctly rounded in both engines), giving ONE fixed
+    correctly-rounded tree per coefficient — bit-identical
+    cross-engine. A singular design (no weekend in span, constant
+    trend column, < 3 days) yields det = 0 exactly while the
+    products stay under 2^53 and the same NULL CASE in both engines.
+    SSE = Σy² − b0·Σy − b1·Σty − b2·Σwy (the standard normal-
+    equation identity), r² = 1 − SSE/(Σy² − (Σy)²/n).
+
+    Weekend = Saturday/Sunday — Spark ``dayofweek IN (1,7)``
+    (1=Sunday) == DuckDB ``dayofweek IN (0,6)`` (0=Sunday); both
+    pure integer calendar maps.
+
+    Scale shape: one (type, day) partial aggregate, a bounded spine
+    explode per type (day span, not row count), min-day via
+    groupBy+join (never a count window), then a k_types-row
+    aggregate. No ordered windows at all."""
+    dc = events.select("event_type", F.to_date("ts").alias("_d")) \
+        .groupBy("event_type", "_d") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_y"))
+    span = dc.groupBy("event_type").agg(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    spine = span.select(
+        "event_type", "_d0",
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("_d"))
+    full = spine.join(dc, ["event_type", "_d"], "left").select(
+        "event_type",
+        F.datediff(F.col("_d"), F.col("_d0")).cast("bigint").alias("_t"),
+        F.dayofweek("_d").isin(1, 7).cast("bigint").alias("_w"),
+        F.coalesce(F.col("_y"), F.lit(0)).cast("bigint").alias("_y"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    per = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(dec(F.col("_t"))).alias("_st"),
+        F.sum(dec(F.col("_w"))).alias("_sw"),
+        F.sum(dec(F.col("_t")) * F.col("_t")).alias("_stt"),
+        F.sum(dec(F.col("_t")) * F.col("_w")).alias("_stw"),
+        F.sum(dec(F.col("_w")) * F.col("_w")).alias("_sww"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_t")) * F.col("_y")).alias("_sty"),
+        F.sum(dec(F.col("_w")) * F.col("_y")).alias("_swy"),
+        F.sum(dec(F.col("_y")) * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_days").cast("double")
+    st = F.col("_st").cast("double")
+    sw = F.col("_sw").cast("double")
+    stt = F.col("_stt").cast("double")
+    stw = F.col("_stw").cast("double")
+    sww = F.col("_sww").cast("double")
+    sy = F.col("_sy").cast("double")
+    sty = F.col("_sty").cast("double")
+    swy = F.col("_swy").cast("double")
+    syy = F.col("_syy").cast("double")
+    det = (n * (stt * sww - stw * stw)
+           - st * (st * sww - stw * sw)
+           + sw * (st * stw - stt * sw))
+    # Cramer numerators: replace the matching column with X'y
+    d0 = (sy * (stt * sww - stw * stw)
+          - st * (sty * sww - stw * swy)
+          + sw * (sty * stw - stt * swy))
+    d1 = (n * (sty * sww - stw * swy)
+          - sy * (st * sww - stw * sw)
+          + sw * (st * swy - sty * sw))
+    d2 = (n * (stt * swy - sty * stw)
+          - st * (st * swy - sty * sw)
+          + sy * (st * stw - stt * sw))
+    b0 = d0 / det
+    b1 = d1 / det
+    b2 = d2 / det
+    sse = syy - b0 * sy - b1 * sty - b2 * swy
+    sst = syy - sy * sy / n
+    ok = det != F.lit(0.0)
+    out = per.select(
+        "event_type", "n_days",
+        F.when(ok, b0).alias("intercept"),
+        F.when(ok, b1).alias("trend_per_day"),
+        F.when(ok, b2).alias("weekend_lift"),
+        F.when(ok & (sst > 0),
+               F.lit(1.0) - sse / sst).alias("r2"),
+    )
+    return out.orderBy("event_type") if sort else out

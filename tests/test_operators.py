@@ -6156,3 +6156,37 @@ def test_two_nn_id_duplicates_excluded(spark):
     assert r["n_queries"] == 42
     assert r["n_valid"] == 40
     assert r["id_mle"] is not None
+
+
+def test_ols_trend_weekend_recovers_planted_model(spark):
+    from pyperustats_spark.operators.events import ols_trend_weekend
+    import datetime as dt
+
+    # plant y = 20 + 3t + 40*weekend exactly (counts are integers)
+    base = dt.datetime(2024, 1, 1, 12, 0)  # Monday
+    rows = []
+    for d in range(28):
+        day = base + dt.timedelta(days=d)
+        weekend = 1 if day.weekday() >= 5 else 0
+        y = 20 + 3 * d + 40 * weekend
+        for i in range(y):
+            rows.append(("t", f"u{i}", day))
+    df = spark.createDataFrame(rows, ["event_type", "user_id", "ts"])
+    r = ols_trend_weekend(df).collect()[0]
+    assert r["n_days"] == 28
+    assert abs(r["intercept"] - 20.0) < 1e-6
+    assert abs(r["trend_per_day"] - 3.0) < 1e-8
+    assert abs(r["weekend_lift"] - 40.0) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-12
+
+
+def test_ols_trend_weekend_singular_design_null(spark):
+    from pyperustats_spark.operators.events import ols_trend_weekend
+    import datetime as dt
+
+    # 3 weekdays only -> weekend column all zero -> singular
+    base = dt.datetime(2024, 1, 2, 9, 0)  # Tue..Thu
+    rows = [("t", "u", base + dt.timedelta(days=d)) for d in range(3)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id", "ts"])
+    r = ols_trend_weekend(df).collect()[0]
+    assert r["intercept"] is None and r["weekend_lift"] is None
