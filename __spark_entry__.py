@@ -2196,6 +2196,57 @@ def multimodal_flac_meta(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def multimodal_mp3_meta(spark, sf_dir):
+    """REAL MPEG-1 Layer III stream walk, oracle-backed: synthesize
+    one CBR mp3 per document id (genuine frame headers, the real
+    144000*kbps/rate frame-size formula, variable padding, ID3v2
+    syncsafe tags every 4th id, a truncated final frame planted
+    every 29th id) and walk it back with binary_ops.parse_mp3 inside
+    Arrow mapInPandas. The DuckDB oracle recomputes every field
+    arithmetically (bitrate/rate tables as list literals, padding
+    count via list_filter over range)."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.mp3_meta(MM.synthesize_corpus_mp3s(docs)) \
+        .orderBy("doc_id")
+
+
+def multimodal_zip_meta(spark, sf_dir):
+    """REAL ZIP central-directory walk, oracle-backed: synthesize one
+    STORED-entry archive per document id (real CRC-32s, local +
+    central headers + EOCD; EOCD signature zeroed every 41st id so
+    the tail anchor scan must fail) and walk it back with
+    binary_ops.parse_zip inside Arrow mapInPandas. The oracle
+    recomputes entry/byte totals from the deterministic name/content
+    grammar via list_transform sums."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.zip_meta(MM.synthesize_corpus_zips(docs)) \
+        .orderBy("doc_id")
+
+
+def multimodal_webp_meta(spark, sf_dir):
+    """REAL WebP container decode, oracle-backed: synthesize one RIFF
+    container per document id — VP8L lossless headers (bit-packed
+    14-bit dims) for odd ids, VP8X extended (24-bit LE canvas) for
+    even, dummy EXIF chunks exercising the RIFF pad rule, an
+    inflated RIFF size planted every 43rd id — and decode it back
+    with binary_ops.parse_webp inside Arrow mapInPandas."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.webp_meta(MM.synthesize_corpus_webps(docs)) \
+        .orderBy("doc_id")
+
+
 def multimodal_tiff_meta(spark, sf_dir):
     """REAL TIFF metadata decode, oracle-backed (r11): synthesize one
     multi-page TIFF per document id — byte order FLIPS per id (II
@@ -3394,6 +3445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_pixel_stats": multimodal_bmp_pixel_stats,
         "multimodal_tiff_meta": multimodal_tiff_meta,
         "multimodal_flac_meta": multimodal_flac_meta,
+        "multimodal_mp3_meta": multimodal_mp3_meta,
+        "multimodal_zip_meta": multimodal_zip_meta,
+        "multimodal_webp_meta": multimodal_webp_meta,
         "multimodal_mp4_meta": multimodal_mp4_meta,
         "bcrp_catalog_listing": bcrp_catalog_listing,
         "infogob_proceso_elections": infogob_proceso_elections,
@@ -11164,6 +11218,107 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
         FROM documents WHERE doc_id % 31 = 0
+        ORDER BY doc_id
+    """
+
+    # mp3: bitrate/rate tables as list literals; padding count via
+    # list_filter over range; all byte math integer
+    sql["multimodal_mp3_meta"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST([32,40,48,56,64,80,96,112,128,160,192,224,
+                         256,320][CAST(doc_id % 14 AS INT) + 1]
+                        AS BIGINT) AS kbps,
+                   CAST([44100,48000,32000]
+                        [CAST(doc_id % 3 AS INT) + 1] AS BIGINT)
+                       AS rate,
+                   CAST(3 + doc_id % 5 AS BIGINT) AS nf,
+                   CASE WHEN doc_id % 4 = 0 THEN 74 ELSE 0 END
+                       AS id3_bytes
+            FROM documents WHERE doc_id % 29 != 0
+        ),
+        ext AS (
+            SELECT doc_id, kbps, rate, nf, id3_bytes,
+                   CAST(len(list_filter(range(nf),
+                        i -> (doc_id + i) % 3 = 0)) AS BIGINT)
+                       AS n_padded
+            FROM base
+        )
+        SELECT doc_id, rate AS sample_rate, kbps AS bitrate_kbps,
+               nf AS n_frames, n_padded,
+               CAST(CASE WHEN id3_bytes > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS has_id3,
+               nf * (144000 * kbps // rate) + n_padded + id3_bytes
+                   AS total_bytes,
+               nf * 1152 * 1000 // rate AS duration_ms
+        FROM ext
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 29 = 0
+        ORDER BY doc_id
+    """
+
+    # zip: entry/byte totals from the deterministic name/content
+    # grammar, list_transform sums over range(n)
+    sql["multimodal_zip_meta"] = """
+        WITH base AS (
+            SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS n
+            FROM documents WHERE doc_id % 41 != 0
+        ),
+        sums AS (
+            SELECT doc_id, n,
+                   CAST(list_sum(list_transform(range(n),
+                        i -> (1 + (doc_id + i) % 3)
+                             * length('doc' || CAST(doc_id AS VARCHAR)
+                                      || 'entry'
+                                      || CAST(i AS VARCHAR))))
+                        AS BIGINT) AS tot_u,
+                   CAST(list_sum(list_transform(range(n),
+                        i -> length('f' || CAST(i AS VARCHAR)
+                                    || '.txt')))
+                        AS BIGINT) AS names_len
+            FROM base
+        )
+        SELECT doc_id, n AS n_entries,
+               tot_u AS total_uncompressed,
+               tot_u AS total_compressed,
+               names_len AS names_len_sum,
+               46 * n + names_len AS cd_size,
+               30 * n + names_len + tot_u
+                   + (46 * n + names_len) + 22 AS total_bytes
+        FROM sums
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 41 = 0
+        ORDER BY doc_id
+    """
+
+    # webp: variant by parity, dims/alpha/exif arithmetic, riff size
+    # from the exact chunk byte layout (incl. the odd-size pad rule)
+    sql["multimodal_webp_meta"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 1 THEN 'VP8L'
+                        ELSE 'VP8X' END AS format,
+                   CAST(16 + (doc_id * 7) % 300 AS BIGINT) AS width,
+                   CAST(16 + (doc_id * 13) % 200 AS BIGINT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS has_alpha,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 8 + doc_id % 5 ELSE 0 END AS exif
+            FROM documents WHERE doc_id % 43 != 0
+        )
+        SELECT doc_id, format, width, height, has_alpha,
+               CAST(CASE WHEN exif > 0 THEN 2 ELSE 1 END AS BIGINT)
+                   AS n_chunks,
+               4 + CASE WHEN format = 'VP8L' THEN 14 ELSE 18 END
+                 + CASE WHEN exif > 0
+                        THEN 8 + exif + exif % 2 ELSE 0 END
+                   AS riff_size
+        FROM base
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 43 = 0
         ORDER BY doc_id
     """
 

@@ -1990,3 +1990,558 @@ def flac_meta(media: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_batches, FLAC_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# MP3 (MPEG-1 Layer III) frame-chain walk
+# --------------------------------------------------------------------------
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)               # kbps, MPEG-1 Layer III
+_MP3_RATES = (44100, 48000, 32000)            # sample-rate index 0..2
+_MP3_MAX_FRAMES = 64
+
+
+def encode_mp3(bitrate_idx: int, rate_idx: int, paddings,
+               id3_len: int = 0) -> bytes:
+    """Minimal spec-conformant CBR MPEG-1 Layer III stream: an
+    optional ID3v2.3 tag (syncsafe length, zero body), then one
+    4-byte frame header + zero filler per frame. Frame i is
+    *paddings[i]*-padded; size = 144000·bitrate_kbps/sample_rate
+    (integer division) + padding — the real Layer III formula."""
+    out = bytearray()
+    if id3_len:
+        ss = ((id3_len >> 21 & 0x7F) << 24) | ((id3_len >> 14 & 0x7F) << 16) \
+            | ((id3_len >> 7 & 0x7F) << 8) | (id3_len & 0x7F)
+        out += b"ID3" + bytes([3, 0, 0]) + ss.to_bytes(4, "big")
+        out += bytes(id3_len)
+    kbps = _MP3_BITRATES[bitrate_idx]
+    rate = _MP3_RATES[rate_idx]
+    for pad in paddings:
+        size = 144000 * kbps // rate + (1 if pad else 0)
+        hdr = bytes([
+            0xFF, 0xFB,                        # sync + MPEG1 + L3 + no CRC
+            (bitrate_idx << 4) | (rate_idx << 2)
+            | ((1 if pad else 0) << 1),
+            0x40,                              # joint stereo
+        ])
+        out += hdr + bytes(size - 4)
+    return bytes(out)
+
+
+def parse_mp3(payload: bytes):
+    """REAL MPEG-1 Layer III stream walk: skip a leading ID3v2 tag
+    (syncsafe 28-bit length), then verify every frame header (11-bit
+    sync, MPEG-1 version bits, Layer III bits, legal bitrate/rate
+    indices), advance by the computed frame size, and require the
+    chain to land EXACTLY on EOF. Returns (sample_rate, bitrate_kbps,
+    n_frames, n_padded, has_id3, total_bytes) or None for anything
+    structurally broken — lost sync, free/bad bitrate, reserved rate
+    index, a frame overrunning EOF, trailing garbage, VBR (a frame
+    whose bitrate differs from the first — this card is CBR-only),
+    or a chain past the cycle guard."""
+    off = 0
+    has_id3 = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            return None
+        b = payload[6:10]
+        if any(x & 0x80 for x in b):
+            return None
+        tag = (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+        off = 10 + tag
+        if off > len(payload):
+            return None
+        has_id3 = 1
+    n_frames = n_padded = 0
+    kbps0 = rate0 = None
+    while off < len(payload):
+        if off + 4 > len(payload):
+            return None
+        h0, h1, h2, _ = payload[off:off + 4]
+        if h0 != 0xFF or (h1 & 0xFE) != 0xFA:   # sync + MPEG1 + L3
+            return None
+        br_idx = (h2 >> 4) & 0xF
+        r_idx = (h2 >> 2) & 0x3
+        pad = (h2 >> 1) & 0x1
+        if br_idx in (0, 15) or r_idx == 3:
+            return None
+        kbps = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[r_idx]
+        if kbps0 is None:
+            kbps0, rate0 = kbps, rate
+        elif kbps != kbps0 or rate != rate0:
+            return None
+        size = 144000 * kbps // rate + pad
+        if off + size > len(payload):
+            return None
+        n_frames += 1
+        n_padded += pad
+        if n_frames > _MP3_MAX_FRAMES:
+            return None
+        off += size
+    if n_frames == 0:
+        return None
+    return rate0, kbps0, n_frames, n_padded, has_id3, len(payload)
+
+
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("bitrate_kbps", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_padded", T.LongType()),
+        T.StructField("has_id3", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def _corpus_mp3_spec(doc_id: int):
+    """Deterministic CBR stream shape per doc id — the arithmetic
+    contract shared with the DuckDB oracle. None for the
+    planted-corrupt ids (doc_id % 29 == 0): those get a truncated
+    final frame, so the bounds check (not the sync check) fails."""
+    if doc_id % 29 == 0:
+        return None
+    return (1 + doc_id % 14,                   # bitrate index 1..14
+            doc_id % 3,                        # sample-rate index
+            3 + doc_id % 5,                    # n_frames
+            64 if doc_id % 4 == 0 else 0)      # ID3v2 tag length
+
+
+def synthesize_corpus_mp3s(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """One REAL CBR MPEG-1 Layer III stream per document id (fields
+    from `_corpus_mp3_spec`; frame i is padded iff
+    (doc_id + i) % 3 == 0, every 4th id carries an ID3v2 tag so the
+    syncsafe skip is exercised). Corrupt-planted ids get a valid
+    chain whose FINAL frame is truncated by one byte."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_mp3_spec(doc_id)
+                if spec is None:
+                    good = encode_mp3(2, 0, [0, 0, 1])
+                    payloads.append(good[:-1])
+                    continue
+                br, ri, nf, id3 = spec
+                pads = [1 if (doc_id + i) % 3 == 0 else 0
+                        for i in range(nf)]
+                payloads.append(encode_mp3(br, ri, pads, id3_len=id3))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def mp3_meta(media: DataFrame, id_col: str = "doc_id",
+             payload_col: str = "payload") -> DataFrame:
+    """MP3 stream card over a binary column (:func:`parse_mp3`):
+    CBR header fields, frame/padding counts, ID3 presence, byte
+    length, and integer-division duration (1152 samples per MPEG-1
+    Layer III frame — exact in both engines). NULLs for undecodable
+    payloads. Arrow-batched `mapInPandas`, narrow, zero shuffles."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in
+                    ("sample_rate", "bitrate_kbps", "n_frames",
+                     "n_padded", "has_id3", "total_bytes",
+                     "duration_ms")}
+            for p in pdf[payload_col]:
+                dec = parse_mp3(p)
+                if dec is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                rate, kbps, nf, npad, id3, nbytes = dec
+                cols["sample_rate"].append(rate)
+                cols["bitrate_kbps"].append(kbps)
+                cols["n_frames"].append(nf)
+                cols["n_padded"].append(npad)
+                cols["has_id3"].append(id3)
+                cols["total_bytes"].append(nbytes)
+                cols["duration_ms"].append(nf * 1152 * 1000 // rate)
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for k, v in cols.items():
+                out[k] = pd.array(v, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, MP3_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ZIP central-directory walk
+# --------------------------------------------------------------------------
+
+_ZIP_MAX_ENTRIES = 256
+
+
+def encode_zip(entries) -> bytes:
+    """Minimal spec-conformant ZIP archive with STORED entries:
+    local file headers + contents, then the central directory, then
+    the end-of-central-directory record. *entries* is a list of
+    (name: str, content: bytes); CRC-32 is REAL (zlib)."""
+    import zlib
+
+    out = bytearray()
+    centrals = []
+    for name, content in entries:
+        nb = name.encode()
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        local_off = len(out)
+        out += b"PK\x03\x04" + (20).to_bytes(2, "little") \
+            + bytes(2) + (0).to_bytes(2, "little") + bytes(4) \
+            + crc.to_bytes(4, "little") \
+            + len(content).to_bytes(4, "little") \
+            + len(content).to_bytes(4, "little") \
+            + len(nb).to_bytes(2, "little") + bytes(2) + nb
+        out += content
+        centrals.append((nb, crc, len(content), local_off))
+    cd_off = len(out)
+    for nb, crc, clen, local_off in centrals:
+        out += b"PK\x01\x02" + (20).to_bytes(2, "little") \
+            + (20).to_bytes(2, "little") + bytes(2) \
+            + (0).to_bytes(2, "little") + bytes(4) \
+            + crc.to_bytes(4, "little") \
+            + clen.to_bytes(4, "little") \
+            + clen.to_bytes(4, "little") \
+            + len(nb).to_bytes(2, "little") + bytes(2) + bytes(2) \
+            + bytes(2) + bytes(2) + bytes(4) \
+            + local_off.to_bytes(4, "little") + nb
+    cd_size = len(out) - cd_off
+    out += b"PK\x05\x06" + bytes(2) + bytes(2) \
+        + len(entries).to_bytes(2, "little") \
+        + len(entries).to_bytes(2, "little") \
+        + cd_size.to_bytes(4, "little") \
+        + cd_off.to_bytes(4, "little") + bytes(2)
+    return bytes(out)
+
+
+def parse_zip(payload: bytes):
+    """REAL ZIP central-directory walk: locate the EOCD record by
+    scanning back from the tail (validating that the comment length
+    reaches EOF exactly — the spec's only unambiguous anchor), then
+    walk the central directory, bounds-checking every entry header,
+    verifying each entry's LOCAL header signature at its recorded
+    offset, and requiring the walk to consume exactly cd_size bytes
+    and n_total entries. Returns (n_entries, total_uncompressed,
+    total_compressed, names_len_sum, cd_size, total_bytes) or None
+    for anything structurally broken."""
+    n = len(payload)
+    if n < 22:
+        return None
+    eocd = None
+    lo = max(0, n - 22 - 0xFFFF)
+    for i in range(n - 22, lo - 1, -1):
+        if payload[i:i + 4] == b"PK\x05\x06":
+            clen = int.from_bytes(payload[i + 20:i + 22], "little")
+            if i + 22 + clen == n:
+                eocd = i
+                break
+    if eocd is None:
+        return None
+    n_total = int.from_bytes(payload[eocd + 10:eocd + 12], "little")
+    cd_size = int.from_bytes(payload[eocd + 12:eocd + 16], "little")
+    cd_off = int.from_bytes(payload[eocd + 16:eocd + 20], "little")
+    if cd_off + cd_size > eocd or n_total > _ZIP_MAX_ENTRIES:
+        return None
+    off = cd_off
+    count = tot_u = tot_c = names_len = 0
+    while count < n_total:
+        if off + 46 > cd_off + cd_size:
+            return None
+        if payload[off:off + 4] != b"PK\x01\x02":
+            return None
+        csize = int.from_bytes(payload[off + 20:off + 24], "little")
+        usize = int.from_bytes(payload[off + 24:off + 28], "little")
+        nlen = int.from_bytes(payload[off + 28:off + 30], "little")
+        elen = int.from_bytes(payload[off + 30:off + 32], "little")
+        clen = int.from_bytes(payload[off + 32:off + 34], "little")
+        local_off = int.from_bytes(payload[off + 42:off + 46],
+                                   "little")
+        if local_off + 4 > cd_off or \
+                payload[local_off:local_off + 4] != b"PK\x03\x04":
+            return None
+        tot_c += csize
+        tot_u += usize
+        names_len += nlen
+        count += 1
+        off += 46 + nlen + elen + clen
+    if off != cd_off + cd_size:
+        return None
+    return count, tot_u, tot_c, names_len, cd_size, n
+
+
+ZIP_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_entries", T.LongType()),
+        T.StructField("total_uncompressed", T.LongType()),
+        T.StructField("total_compressed", T.LongType()),
+        T.StructField("names_len_sum", T.LongType()),
+        T.StructField("cd_size", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+)
+
+
+def _corpus_zip_spec(doc_id: int):
+    """Deterministic archive shape per doc id — the arithmetic
+    contract shared with the DuckDB oracle: entry i of
+    n = 1 + doc_id % 4 is named ``f{i}.txt`` and stores the ASCII
+    string ``doc{doc_id}entry{i}`` repeated 1 + (doc_id + i) % 3
+    times. None for the planted-corrupt ids (doc_id % 41 == 0):
+    their EOCD signature is overwritten, so the tail scan finds no
+    anchor."""
+    if doc_id % 41 == 0:
+        return None
+    return 1 + doc_id % 4
+
+
+def synthesize_corpus_zips(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """One REAL ZIP archive per document id (STORED entries with real
+    CRC-32s, shape from `_corpus_zip_spec`). Corrupt-planted ids get
+    a valid archive whose EOCD signature bytes are zeroed."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                n = _corpus_zip_spec(doc_id)
+                if n is None:
+                    good = bytearray(encode_zip(
+                        [("f0.txt", b"doc0entry0")]))
+                    good[-22:-18] = bytes(4)
+                    payloads.append(bytes(good))
+                    continue
+                entries = []
+                for i in range(n):
+                    content = (f"doc{doc_id}entry{i}"
+                               * (1 + (doc_id + i) % 3)).encode()
+                    entries.append((f"f{i}.txt", content))
+                payloads.append(encode_zip(entries))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def zip_meta(media: DataFrame, id_col: str = "doc_id",
+             payload_col: str = "payload") -> DataFrame:
+    """ZIP archive card over a binary column (:func:`parse_zip`):
+    entry count, stored/compressed byte totals, name-length sum,
+    central-directory size, archive size. NULLs for undecodable
+    payloads. Arrow-batched `mapInPandas`, narrow, zero shuffles."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in
+                    ("n_entries", "total_uncompressed",
+                     "total_compressed", "names_len_sum", "cd_size",
+                     "total_bytes")}
+            for p in pdf[payload_col]:
+                dec = parse_zip(p)
+                if dec is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                for k, v in zip(cols, dec):
+                    cols[k].append(v)
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for k, v in cols.items():
+                out[k] = pd.array(v, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, ZIP_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WebP (RIFF container; VP8L lossless + VP8X extended headers)
+# --------------------------------------------------------------------------
+
+_WEBP_MAX_CHUNKS = 32
+
+
+def encode_webp(fmt: str, width: int, height: int, alpha: bool,
+                extra_exif: int = 0) -> bytes:
+    """Minimal spec-conformant WebP: RIFF/WEBP container holding one
+    VP8L chunk (the lossless bitstream header: 0x2F signature, then
+    14-bit width−1, 14-bit height−1, alpha bit, 3 version bits —
+    genuinely little-endian bit-packed) or one VP8X chunk (extended
+    header: flag byte with the alpha bit, 24-bit little-endian
+    canvas dimensions −1), optionally followed by a dummy EXIF chunk
+    of *extra_exif* bytes (odd sizes exercise the RIFF pad rule)."""
+    if fmt == "VP8L":
+        v = (width - 1) | ((height - 1) << 14) \
+            | ((1 if alpha else 0) << 28)
+        body = bytes([0x2F]) + v.to_bytes(4, "little")
+    else:
+        body = bytes([0x10 if alpha else 0x00]) + bytes(3) \
+            + (width - 1).to_bytes(3, "little") \
+            + (height - 1).to_bytes(3, "little")
+    chunks = fmt.encode().ljust(4) + len(body).to_bytes(4, "little") \
+        + body + (b"\x00" if len(body) % 2 else b"")
+    if extra_exif:
+        chunks += b"EXIF" + extra_exif.to_bytes(4, "little") \
+            + bytes(extra_exif) \
+            + (b"\x00" if extra_exif % 2 else b"")
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") \
+        + b"WEBP" + chunks
+
+
+def parse_webp(payload: bytes):
+    """REAL WebP decode: verify the RIFF magic and that the declared
+    RIFF size reaches EOF exactly, walk the chunk list (fourcc +
+    little-endian size + even-byte padding, every chunk
+    bounds-checked), and unpack the first chunk's header — VP8L's
+    bit-packed dimensions (0x2F signature required) or VP8X's flag
+    byte + 24-bit canvas. Returns (format, width, height, has_alpha,
+    n_chunks, riff_size) or None for anything structurally broken."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        return None
+    riff_size = int.from_bytes(payload[4:8], "little")
+    if 8 + riff_size != len(payload):
+        return None
+    off = 12
+    first = None
+    n_chunks = 0
+    while off < len(payload):
+        if off + 8 > len(payload):
+            return None
+        fourcc = payload[off:off + 4]
+        clen = int.from_bytes(payload[off + 4:off + 8], "little")
+        body = payload[off + 8:off + 8 + clen]
+        if len(body) != clen:
+            return None
+        if first is None:
+            first = (fourcc, body)
+        n_chunks += 1
+        if n_chunks > _WEBP_MAX_CHUNKS:
+            return None
+        off += 8 + clen + (clen % 2)
+    if first is None:
+        return None
+    fourcc, body = first
+    if fourcc == b"VP8L":
+        if len(body) < 5 or body[0] != 0x2F:
+            return None
+        v = int.from_bytes(body[1:5], "little")
+        if (v >> 29) & 0x7:                    # version must be 0
+            return None
+        return ("VP8L", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1,
+                (v >> 28) & 0x1, n_chunks, riff_size)
+    if fourcc == b"VP8X":
+        if len(body) < 10:
+            return None
+        return ("VP8X",
+                int.from_bytes(body[4:7], "little") + 1,
+                int.from_bytes(body[7:10], "little") + 1,
+                1 if body[0] & 0x10 else 0, n_chunks, riff_size)
+    return None
+
+
+WEBP_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("has_alpha", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("riff_size", T.LongType()),
+    ]
+)
+
+
+def _corpus_webp_spec(doc_id: int):
+    """Deterministic WebP shape per doc id — the arithmetic contract
+    shared with the DuckDB oracle: VP8L for odd ids, VP8X for even;
+    width 16 + (id·7) % 300, height 16 + (id·13) % 200, alpha iff
+    id % 3 == 0, a dummy EXIF chunk of 8 + id % 5 bytes iff
+    id % 5 == 0. None for the planted-corrupt ids (doc_id % 43 == 0):
+    their RIFF size field overshoots EOF by 5."""
+    if doc_id % 43 == 0:
+        return None
+    return ("VP8L" if doc_id % 2 else "VP8X",
+            16 + (doc_id * 7) % 300,
+            16 + (doc_id * 13) % 200,
+            doc_id % 3 == 0,
+            8 + doc_id % 5 if doc_id % 5 == 0 else 0)
+
+
+def synthesize_corpus_webps(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """One REAL WebP container per document id (shape from
+    `_corpus_webp_spec`; odd EXIF sizes exercise the RIFF pad rule).
+    Corrupt-planted ids get a valid container whose RIFF size field
+    is inflated by 5 — the EOF-exactness check, not the magic check,
+    must catch it."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_webp_spec(doc_id)
+                if spec is None:
+                    good = bytearray(encode_webp("VP8L", 16, 16, False))
+                    size = int.from_bytes(good[4:8], "little") + 5
+                    good[4:8] = size.to_bytes(4, "little")
+                    payloads.append(bytes(good))
+                    continue
+                fmt, w, h, alpha, exif = spec
+                payloads.append(
+                    encode_webp(fmt, w, h, alpha, extra_exif=exif))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def webp_meta(media: DataFrame, id_col: str = "doc_id",
+              payload_col: str = "payload") -> DataFrame:
+    """WebP container card over a binary column (:func:`parse_webp`):
+    variant, bit-unpacked dimensions, alpha flag, chunk count, RIFF
+    size. NULLs for undecodable payloads. Arrow-batched
+    `mapInPandas`, narrow, zero shuffles."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fmts = []
+            cols = {k: [] for k in
+                    ("width", "height", "has_alpha", "n_chunks",
+                     "riff_size")}
+            for p in pdf[payload_col]:
+                dec = parse_webp(p)
+                if dec is None:
+                    fmts.append(None)
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                fmt, w, h, alpha, nc, rs = dec
+                fmts.append(fmt)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["has_alpha"].append(alpha)
+                cols["n_chunks"].append(nc)
+                cols["riff_size"].append(rs)
+            out = {"doc_id": pdf[id_col].astype("int64"),
+                   "format": pd.array(fmts, dtype="string")}
+            for k, v in cols.items():
+                out[k] = pd.array(v, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, WEBP_META_SCHEMA)

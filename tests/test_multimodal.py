@@ -582,3 +582,112 @@ def test_flac_meta_round_trip_and_corruption(spark):
     assert r["duration_ms"] == r["total_samples"] * 1000 // 48000
     assert r["audio_md5"] == hashlib.md5(b"7").hexdigest()
     assert out[5]["n_blocks"] == 2 and out[7]["n_blocks"] == 1
+
+
+def test_mp3_meta_round_trip_and_corruption(spark):
+    from pyperustats_spark.multimodal.binary_ops import (
+        encode_mp3, mp3_meta, parse_mp3, synthesize_corpus_mp3s)
+
+    # direct round trip: 128 kbps (idx 9) @ 44100, 3 frames, middle
+    # frame padded, with an ID3v2 tag
+    p = encode_mp3(9, 0, [0, 1, 0], id3_len=100)
+    assert parse_mp3(p) == (44100, 128, 3, 1, 1, len(p))
+    # frame size matches the real Layer III formula
+    assert len(p) == 110 + 3 * (144000 * 128 // 44100) + 1
+    # structural breakage classes → None, never an exception
+    assert parse_mp3(b"") is None
+    assert parse_mp3(p[:-1]) is None                # truncated frame
+    assert parse_mp3(p + b"\x00") is None           # trailing garbage
+    bad = bytearray(p); bad[110] = 0xFE             # lost sync
+    assert parse_mp3(bytes(bad)) is None
+    bad = bytearray(p); bad[112] = 0xF0             # bitrate idx 15
+    assert parse_mp3(bytes(bad)) is None
+    # VBR rejection: second frame at a different bitrate
+    vbr = encode_mp3(9, 0, [0]) + encode_mp3(10, 0, [0])
+    assert parse_mp3(vbr) is None
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in
+           mp3_meta(synthesize_corpus_mp3s(docs)).collect()}
+    assert len(out) == 64
+    assert out[0]["sample_rate"] is None            # planted corrupt
+    assert out[29]["sample_rate"] is None
+    r = out[7]
+    assert r["bitrate_kbps"] == 112                 # idx 1 + 7%14 = 8
+    assert r["sample_rate"] == 48000                # idx 7%3 = 1
+    assert r["n_frames"] == 3 + 7 % 5
+    assert r["n_padded"] == sum(1 for i in range(r["n_frames"])
+                                if (7 + i) % 3 == 0)
+    assert r["has_id3"] == 0 and out[8]["has_id3"] == 1
+    assert r["duration_ms"] == r["n_frames"] * 1152 * 1000 // 48000
+
+
+def test_zip_meta_round_trip_and_corruption(spark):
+    from pyperustats_spark.multimodal.binary_ops import (
+        encode_zip, parse_zip, synthesize_corpus_zips, zip_meta)
+    import io
+    import zipfile
+
+    entries = [("a.txt", b"hello"), ("dir/b.bin", b"x" * 100)]
+    p = encode_zip(entries)
+    # the archive is REAL: Python's zipfile reads it back verbatim
+    zf = zipfile.ZipFile(io.BytesIO(p))
+    assert [i.filename for i in zf.infolist()] == ["a.txt", "dir/b.bin"]
+    assert zf.read("a.txt") == b"hello"
+    ne, tu, tc, nl, cds, tb = parse_zip(p)
+    assert ne == 2 and tu == 105 and tc == 105 and tb == len(p)
+    assert nl == len("a.txt") + len("dir/b.bin")
+    # structural breakage classes → None, never an exception
+    assert parse_zip(b"") is None
+    assert parse_zip(p[:-1]) is None                # EOCD comment len
+    bad = bytearray(p); bad[-22:-18] = bytes(4)     # EOCD sig gone
+    assert parse_zip(bytes(bad)) is None
+    bad = bytearray(p); bad[0] = 0                  # local sig gone
+    assert parse_zip(bytes(bad)) is None
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in
+           zip_meta(synthesize_corpus_zips(docs)).collect()}
+    assert len(out) == 64
+    assert out[0]["n_entries"] is None              # planted corrupt
+    assert out[41]["n_entries"] is None
+    r = out[7]
+    assert r["n_entries"] == 4                      # 1 + 7%4
+    exp_u = sum((1 + (7 + i) % 3) * len(f"doc7entry{i}")
+                for i in range(4))
+    assert r["total_uncompressed"] == exp_u
+    assert r["total_compressed"] == exp_u           # STORED
+    assert r["cd_size"] == 46 * 4 + r["names_len_sum"]
+
+
+def test_webp_meta_round_trip_and_corruption(spark):
+    from pyperustats_spark.multimodal.binary_ops import (
+        encode_webp, parse_webp, synthesize_corpus_webps, webp_meta)
+
+    # VP8L bit packing: dims straddle the 14-bit boundary fields
+    p = encode_webp("VP8L", 16383, 300, True)
+    assert parse_webp(p) == ("VP8L", 16383, 300, 1, 1, len(p) - 8)
+    # VP8X 24-bit canvas + odd-size EXIF chunk (pad rule)
+    p = encode_webp("VP8X", 70000, 4096, False, extra_exif=9)
+    assert parse_webp(p) == ("VP8X", 70000, 4096, 0, 2, len(p) - 8)
+    # structural breakage classes → None, never an exception
+    assert parse_webp(b"") is None
+    assert parse_webp(p[:-1]) is None               # RIFF size != EOF
+    bad = bytearray(p); bad[12:16] = b"VP8 "        # lossy variant:
+    assert parse_webp(bytes(bad)) is None           # not supported
+    bad = bytearray(encode_webp("VP8L", 10, 10, False))
+    bad[20] = 0x30                                  # VP8L sig byte
+    assert parse_webp(bytes(bad)) is None
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in
+           webp_meta(synthesize_corpus_webps(docs)).collect()}
+    assert len(out) == 64
+    assert out[0]["format"] is None                 # planted corrupt
+    assert out[43]["format"] is None
+    r = out[7]
+    assert r["format"] == "VP8L" and r["width"] == 16 + 49 % 300
+    assert r["height"] == 16 + 91 % 200
+    assert out[6]["format"] == "VP8X"
+    assert out[6]["has_alpha"] == 1                 # 6 % 3 == 0
+    assert out[10]["n_chunks"] == 2                 # EXIF planted
