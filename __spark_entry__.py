@@ -1847,6 +1847,29 @@ def stats_anova_oneway(spark, sf_dir):
     return R.anova_oneway(_lt(spark, sf_dir, "orders"))
 
 
+def stats_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe (median-based Levene) variance-homogeneity F
+    across priorities: exact integer group medians from the
+    value-bounded cents curve (2*median = lo+hi), ANOVA on integer
+    half-cent |x - med| via the anova_oneway recipe."""
+    return R.brown_forsythe(_lt(spark, sf_dir, "orders"))
+
+
+def graph_part_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the part co-purchase graph:
+    exact DECIMAL sums over the symmetrized edge list, r as one
+    exact-int ratio (no sqrt); regular graph -> NULL."""
+    from pyperustats_spark.operators import graph as G
+    return G.copurchase_assortativity(_lt(spark, sf_dir, "lineitem"))
+
+
+def text_simpson_diversity(spark, sf_dir):
+    """Simpson diversity / effective vocabulary per language: exact
+    integer sum c(c-1) in DECIMAL(38,0), D and 1/D as exact-int-cast
+    double divisions; no ln anywhere."""
+    return T.simpson_diversity(_lt(spark, sf_dir, "documents"))
+
+
 def stats_welch_ttest(spark, sf_dir):
     """Welch's unequal-variance t between urgent and other orders:
     one conditional-aggregate pass to exact integer (n, S, Q) per
@@ -3414,6 +3437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_dispersion": ev_dispersion,
         "stats_anova_oneway": stats_anova_oneway,
         "stats_welch_ttest": stats_welch_ttest,
+        "stats_brown_forsythe": stats_brown_forsythe,
+        "graph_part_assortativity": graph_part_assortativity,
+        "text_simpson_diversity": text_simpson_diversity,
         "stats_kruskal_wallis": stats_kruskal_wallis,
         "ev_logrank_ab": ev_logrank_ab,
         "ev_periodicity": ev_periodicity,
@@ -5246,6 +5272,155 @@ def oracle_sql() -> dict[str, str]:
                END AS mase_ratio
         FROM per ORDER BY code
     """.format(long=_LONG)
+
+    # Brown-Forsythe: exact integer medians from the per-group
+    # value-curve cumsum (2*med = lo+hi), then the anova_oneway
+    # recipe verbatim on integer half-cent deviations
+    sql["stats_brown_forsythe"] = """
+        WITH src AS (
+            SELECT o_orderpriority AS g,
+                   CAST(round(round(o_totalprice, 2) * 100)
+                        AS BIGINT) AS c
+            FROM orders
+        ),
+        curve AS (
+            SELECT g, c, CAST(count(*) AS BIGINT) AS t
+            FROM src GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT g, c, t,
+                   CAST(sum(t) OVER (PARTITION BY g ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW) AS BIGINT) AS cm,
+                   CAST(sum(t) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM curve
+        ),
+        med AS (
+            SELECT g,
+                   min(CASE WHEN cm >= (n + 1) // 2 THEN c END)
+                   + min(CASE WHEN cm >= n // 2 + 1 THEN c END)
+                       AS m2
+            FROM cum GROUP BY 1
+        ),
+        z AS (
+            SELECT src.g, abs(2 * src.c - med.m2) AS zv
+            FROM src JOIN med ON src.g = med.g
+        ),
+        per AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(zv) AS BIGINT) AS s,
+                   sum(CAST(zv AS HUGEINT) * zv) AS q
+            FROM z GROUP BY 1
+        ),
+        cg AS (
+            SELECT g, n, s, q,
+                   sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                       OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cumt
+            FROM per
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                   CAST(sum(n) AS BIGINT) AS n_total,
+                   CAST(sum(s) AS BIGINT) AS stot,
+                   sum(q) AS qtot,
+                   max_by(cumt, g) AS lastcum
+            FROM cg
+        )
+        SELECT k_groups, n_total,
+               k_groups - 1 AS df1,
+               n_total - k_groups AS df2,
+               ((lastcum - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                           / CAST(n_total AS DOUBLE))
+                / CAST(k_groups - 1 AS DOUBLE))
+               / ((CAST(qtot AS DOUBLE) - lastcum)
+                  / CAST(n_total - k_groups AS DOUBLE)) AS f_stat
+        FROM a
+    """
+
+    # assortativity: symmetrized edge list -> exact HUGEINT sums,
+    # r = (M*Sxy - Sx^2)/(M*Sxx - Sx^2), no sqrt
+    sql["graph_part_assortativity"] = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        ok AS (
+            SELECT l_orderkey FROM items GROUP BY l_orderkey
+            HAVING count(*) BETWEEN 2 AND 50
+        ),
+        it AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN ok USING (l_orderkey)
+        ),
+        edges AS (
+            SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM it a JOIN it b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 1
+        ),
+        und AS (
+            SELECT a AS x, b AS y FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        deg AS (
+            SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY 1
+        ),
+        pr AS (
+            SELECT dx.d AS ddx, dy.d AS ddy
+            FROM und
+            JOIN deg dx ON und.x = dx.node
+            JOIN deg dy ON und.y = dy.node
+        ),
+        ag AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   sum(CAST(ddx AS HUGEINT)) AS sx,
+                   sum(CAST(ddx AS HUGEINT) * ddy) AS sxy,
+                   sum(CAST(ddx AS HUGEINT) * ddx) AS sxx
+            FROM pr
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               m // 2 AS n_edges,
+               CASE WHEN CAST(m AS HUGEINT) * sxx - sx * sx <> 0 THEN
+                   CAST(CAST(m AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+                   / CAST(CAST(m AS HUGEINT) * sxx - sx * sx
+                          AS DOUBLE)
+               END AS assortativity
+        FROM ag
+    """
+
+    # Simpson diversity: the shared token grammar, exact HUGEINT
+    # sum c(c-1), one int-cast double division, no ln
+    sql["text_simpson_diversity"] = f"""
+        WITH toks AS (
+            SELECT lang, unnest({_TOKENS}) AS t FROM documents
+        ),
+        tc AS (
+            SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   sum(CAST(c AS HUGEINT) * (c - 1)) AS s2
+            FROM tc GROUP BY 1
+        )
+        SELECT lang, n_tokens, vocab_size,
+               CASE WHEN n_tokens > 1 THEN
+                   CAST(s2 AS DOUBLE)
+                   / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)
+                          AS DOUBLE)
+               END AS simpson,
+               CASE WHEN n_tokens > 1 AND s2 > 0 THEN
+                   1.0 / (CAST(s2 AS DOUBLE)
+                          / CAST(CAST(n_tokens AS HUGEINT)
+                                 * (n_tokens - 1) AS DOUBLE))
+               END AS inv_simpson
+        FROM per ORDER BY lang
+    """
 
     # Welch t: exact integer (n, S, Q) per arm, then ONE fixed
     # correctly-rounded double tree (only +,-,*,/,sqrt — the

@@ -957,3 +957,71 @@ def copurchase_node_clustering(lineitem: DataFrame, max_basket: int = 50,
         )
     )
     return out.orderBy("part") if sort else out
+
+
+def copurchase_assortativity(lineitem: DataFrame, max_basket: int = 50,
+                             min_support: int = 1) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — Newman's
+    r (PRL 89:208701, 2002): the Pearson correlation of endpoint
+    degrees over edges. r > 0 means hubs link to hubs (rich-club
+    catalogue), r < 0 means hubs fan out to leaves (hub-and-spoke
+    accessories) — the one-number structural summary that decides
+    whether degree-targeted sampling or mitigation is worth it.
+    ONE row: (n_nodes, n_edges, assortativity).
+
+    Exactness: on the SYMMETRIZED edge list (each undirected edge
+    contributes (du,dv) and (dv,du)), Σx = Σy and Σx² = Σy², so
+
+        r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²),   M = 2·|E|
+
+    an exact ratio of DECIMAL(38,0) integers — NO sqrt, no double
+    sum anywhere; both sides cast to double once and divided
+    (int→double correctly rounded past 2^53). A degree-regular graph
+    makes the denominator exactly 0 → NULL via the same CASE.
+
+    Scale shape: edges via the capped basket gather (never a
+    lineitem self-join); the symmetrized list is built ONCE and
+    persisted (degree count + the two degree joins would otherwise
+    re-execute the basket build — CLAUDE.md common-subtree rule);
+    degrees persist too (joined twice). Everything else is one
+    partial-aggregated 1-row pass."""
+    par = lineitem.sparkSession.sparkContext.defaultParallelism
+    edges = copurchase_edges(lineitem, max_basket=max_basket,
+                             min_support=min_support)
+    und = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(edges.select(F.col("b").alias("x"),
+                            F.col("a").alias("y")))
+        .repartition(par, "x")
+        .persist()
+    )
+    deg = und.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")) \
+        .withColumnRenamed("x", "node").persist()
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    pairs = (
+        und.join(deg.select(F.col("node").alias("x"),
+                            F.col("d").alias("_dx")), "x")
+        .join(deg.select(F.col("node").alias("y"),
+                         F.col("d").alias("_dy")), "y")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m"),
+        F.sum(dec(F.col("_dx"))).alias("_sx"),
+        F.sum(dec(F.col("_dx")) * F.col("_dy")).alias("_sxy"),
+        F.sum(dec(F.col("_dx")) * F.col("_dx")).alias("_sxx"),
+    ).crossJoin(F.broadcast(deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"))))
+    num = dec(F.col("_m")) * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = dec(F.col("_m")) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    out = agg.select(
+        "n_nodes",
+        F.expr("_m div 2").cast("bigint").alias("n_edges"),
+        F.when(den != 0,
+               num.cast("double") / den.cast("double"))
+        .alias("assortativity"),
+    )
+    return out

@@ -3025,3 +3025,95 @@ def kruskal_wallis(orders: DataFrame,
         (F.col("k_groups") - 1).cast("bigint").alias("df"),
     )
     return out
+
+
+def brown_forsythe(orders: DataFrame,
+                   group_col: str = "o_orderpriority") -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across *group_col* on
+    order-value cents — the robust Levene variant: one-way ANOVA on
+    z = |x − median(group)|. The missing assumption check for
+    :func:`anova_oneway` (whose F presumes equal variances) and the
+    spread-shift complement of :func:`kruskal_wallis`'s location
+    test. ONE row: (k_groups, n_total, df1, df2, f_stat). F(df1,df2)
+    p-value stays client-side, suite policy.
+
+    Exactness: group medians come from the VALUE-BOUNDED cents curve
+    — per-(group, cents) counts with a per-group cumulative window
+    over the value domain (never row-count-sized), lo/hi = the
+    values where the cumulative count crosses ⌈n/2⌉ and ⌊n/2⌋+1, so
+    TWICE the median (lo+hi) is an exact integer and
+    z₂ = |2x − 2·med| is exact integer HALF-cents. The ANOVA on z₂
+    then reuses the anova_oneway recipe verbatim (integer (n, Σz₂,
+    Σz₂²) per group, S²/n terms as fixed correctly-rounded double
+    trees through an ORDERED k-row cum window) — and F is invariant
+    under the ×2 scaling, so half-cents change nothing.
+
+    Scale shape: one partial-aggregated shuffle to the (group,
+    cents) curve, a value-bounded per-group window, a k-row
+    median table BROADCAST back onto the rows, one more
+    partial-aggregated pass to k group rows, a k-row window, one
+    1-row aggregate."""
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100) \
+        .cast("bigint")
+    src = orders.select(F.col(group_col).alias("_g"),
+                        cents.alias("_c"))
+    curve = src.groupBy("_g", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t"))
+    wv = Window.partitionBy("_g").orderBy("_c") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    # n per group rides the SAME value-bounded partitioning as the
+    # cumsum window (no second reference to curve -> no re-executed
+    # aggregate; the frame is the value curve, never row-sized)
+    wg = Window.partitionBy("_g")
+    cum = curve.select("_g", "_c", "_t",
+                       F.sum("_t").over(wv).alias("_cum"),
+                       F.sum("_t").over(wg).cast("bigint").alias("_n"))
+    med = (
+        cum
+        .groupBy("_g")
+        .agg(
+            F.min(F.when(
+                F.col("_cum") >= F.expr("(_n + 1) div 2"),
+                F.col("_c"))).alias("_lo"),
+            F.min(F.when(
+                F.col("_cum") >= F.expr("_n div 2 + 1"),
+                F.col("_c"))).alias("_hi"),
+        )
+        .select("_g", (F.col("_lo") + F.col("_hi")).alias("_m2"))
+    )
+    z = src.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(2 * F.col("_c") - F.col("_m2")).alias("_z"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    per = z.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_z").cast("bigint").alias("_s"),
+        F.sum(dec(F.col("_z")) * F.col("_z")).alias("_q"))
+    term = (F.col("_s").cast("double") * F.col("_s").cast("double")
+            / F.col("_n").cast("double"))
+    wc = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+    cumg = per.select("_g", "_n", "_s", "_q",
+                      F.sum(term).over(wc).alias("_cumt"))
+    agg = cumg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum("_s").cast("bigint").alias("_stot"),
+        F.sum("_q").alias("_qtot"),
+        F.max(F.struct("_g", "_cumt")).alias("_last"))
+    ssb = (F.col("_last._cumt")
+           - F.col("_stot").cast("double") * F.col("_stot").cast("double")
+           / F.col("n_total").cast("double"))
+    ssw = F.col("_qtot").cast("double") - F.col("_last._cumt")
+    out = agg.select(
+        "k_groups", "n_total",
+        (F.col("k_groups") - 1).cast("bigint").alias("df1"),
+        (F.col("n_total") - F.col("k_groups")).cast("bigint")
+        .alias("df2"),
+        F.try_divide(
+            F.try_divide(ssb, (F.col("k_groups") - 1).cast("double")),
+            F.try_divide(ssw, (F.col("n_total") - F.col("k_groups"))
+                         .cast("double"))).alias("f_stat"),
+    )
+    return out

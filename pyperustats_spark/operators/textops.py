@@ -1915,3 +1915,49 @@ def script_mix(documents: DataFrame, sort: bool = True) -> DataFrame:
             F.col("n_chars")).alias("letter_share"),
     )
     return out.orderBy("doc_id") if sort else out
+
+
+def simpson_diversity(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Simpson diversity card per language: the probability that two
+    tokens drawn WITHOUT replacement from the language's corpus are
+    the same type —  D = Σ c(c−1) / (N(N−1))  — plus its inverse
+    (the "effective vocabulary size"). The unbiased finite-sample
+    companion of :func:`~pyperustats_spark.operators.events.
+    user_entropy`-style Shannon cards: a template-spam language slice
+    (one type dominating) pushes D toward 1 and 1/D toward 1, a
+    healthy natural-language slice keeps 1/D in the hundreds —
+    complementary to Zipf/Heaps fits for mixture QA.
+
+    Exactness: token counts are integers; Σ c(c−1) and N(N−1)
+    accumulate in DECIMAL(38,0) (c² would overflow bigint on a
+    boilerplate token near c ~ 3·10⁹), and D is one exact-int-cast
+    double division — bit-identical cross-engine, no ln anywhere.
+    Slices with N ≤ 1 yield NULLs via the same guard.
+
+    Scale shape: one explode + one (lang, token) partial-aggregated
+    shuffle, then a per-lang rollup — the unigram-model class; no
+    windows, nothing data-sized on one task."""
+    toks = documents.select(
+        "lang", F.explode_outer(tokens(F.col("text"))).alias("_t"))
+    tc = toks.where(F.col("_t").isNotNull()) \
+        .groupBy("lang", "_t") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    per = tc.groupBy("lang").agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(dec(F.col("_c")) * (F.col("_c") - 1)).alias("_s2"),
+    )
+    d = (F.col("_s2").cast("double")
+         / (dec(F.col("n_tokens")) * (F.col("n_tokens") - 1))
+         .cast("double"))
+    out = per.select(
+        "lang", "n_tokens", "vocab_size",
+        F.when(F.col("n_tokens") > 1, d).alias("simpson"),
+        F.when((F.col("n_tokens") > 1) & (F.col("_s2") > 0),
+               F.lit(1.0) / d).alias("inv_simpson"),
+    )
+    return out.orderBy("lang") if sort else out

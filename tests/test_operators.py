@@ -6190,3 +6190,85 @@ def test_ols_trend_weekend_singular_design_null(spark):
     df = spark.createDataFrame(rows, ["event_type", "user_id", "ts"])
     r = ols_trend_weekend(df).collect()[0]
     assert r["intercept"] is None and r["weekend_lift"] is None
+
+
+def test_brown_forsythe_matches_python_model(spark):
+    from pyperustats_spark.operators.relational import brown_forsythe
+
+    data = {"A": [1.0, 2.0, 3.0, 4.0, 10.0],
+            "B": [5.0, 5.1, 5.2, 5.0, 5.1],
+            "C": [0.0, 10.0, 20.0, 5.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["o_orderpriority", "o_totalprice"])
+    out = brown_forsythe(df).collect()[0].asDict()
+
+    import statistics
+    z = {}
+    for g, vs in data.items():
+        cents = sorted(int(round(v * 100)) for v in vs)
+        med = statistics.median(cents)
+        z[g] = [abs(c - med) for c in cents]
+    allz = [x for vs in z.values() for x in vs]
+    n, k = len(allz), len(z)
+    grand = sum(allz) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2
+              for vs in z.values())
+    ssw = sum((x - sum(vs) / len(vs)) ** 2
+              for vs in z.values() for x in vs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["k_groups"] == 3 and out["n_total"] == 14
+    assert out["df1"] == 2 and out["df2"] == 11
+    # operator works in half-cents; F is scale-invariant
+    assert abs(out["f_stat"] - f) < 1e-9 * f
+
+
+def test_brown_forsythe_equal_spreads_small_f(spark):
+    from pyperustats_spark.operators.relational import brown_forsythe
+
+    rows = [(g, v + off) for g, off in [("A", 0.0), ("B", 100.0)]
+            for v in [1.0, 2.0, 3.0, 4.0, 5.0]]
+    df = spark.createDataFrame(rows, ["o_orderpriority", "o_totalprice"])
+    out = brown_forsythe(df).collect()[0].asDict()
+    # identical shapes shifted by a constant -> identical deviations
+    assert abs(out["f_stat"]) < 1e-9
+
+
+def test_assortativity_star_is_negative(spark):
+    from pyperustats_spark.operators.graph import copurchase_assortativity
+
+    # star graph: hub part 1 in 4 two-item orders -> r = -1
+    rows = [(o, p) for o, pair in enumerate(
+        [(1, 2), (1, 3), (1, 4), (1, 5)]) for p in pair]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    r = copurchase_assortativity(df).collect()[0]
+    assert r["n_nodes"] == 5 and r["n_edges"] == 4
+    assert abs(r["assortativity"] - (-1.0)) < 1e-12
+
+
+def test_assortativity_regular_graph_null(spark):
+    from pyperustats_spark.operators.graph import copurchase_assortativity
+
+    # 4-cycle: every degree 2 -> denominator exactly 0 -> NULL
+    rows = [(o, p) for o, pair in enumerate(
+        [(1, 2), (2, 3), (3, 4), (1, 4)]) for p in pair]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    r = copurchase_assortativity(df).collect()[0]
+    assert r["assortativity"] is None
+
+
+def test_simpson_diversity_hand_counts(spark):
+    from pyperustats_spark.operators.textops import simpson_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa", "en"), (2, "aa cc", "en"),
+         (3, "zz zz zz zz", "de")],
+        ["doc_id", "text", "lang"])
+    out = {r["lang"]: r for r in simpson_diversity(docs).collect()}
+    en = out["en"]
+    # en counts: aa=3, bb=1, cc=1 -> n=5, sum c(c-1) = 6
+    assert en["n_tokens"] == 5 and en["vocab_size"] == 3
+    assert abs(en["simpson"] - 6 / 20) < 1e-15
+    assert abs(en["inv_simpson"] - 20 / 6) < 1e-12
+    de = out["de"]
+    # single type: D = 1 exactly, effective vocab 1
+    assert de["simpson"] == 1.0 and de["inv_simpson"] == 1.0
