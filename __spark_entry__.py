@@ -1830,6 +1830,14 @@ def ev_permutation_entropy(spark, sf_dir):
     return E.permutation_entropy(_lt(spark, sf_dir, "events"))
 
 
+def ts_hurst(spark, sf_dir):
+    """Rescaled-range Hurst exponent per series: integer cumulative
+    deviations W_j = s*CC_j - j*S per block (exact), R/S one
+    correctly-rounded tree, ln on the 1e-6 integer grid, log-log
+    slope through an ordered k-scale window."""
+    return TS.hurst_rs(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_seasonal_naive_eval(spark, sf_dir):
     """Seasonal-naive vs one-step-naive MAE per series (the MASE
     denominator logic as a seasonality-value card): exact integer
@@ -3446,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_permutation_entropy": ev_permutation_entropy,
         "ev_ols_weekend": ev_ols_weekend,
         "ts_seasonal_naive_eval": ts_seasonal_naive_eval,
+        "ts_hurst": ts_hurst,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -5233,6 +5242,98 @@ def oracle_sql() -> dict[str, str]:
                    / round(ln(n_codes), 6) END AS evenness
         FROM per ORDER BY event_type
     """
+
+    # Hurst R/S: integer W_j = s*CC_j - j*S per block, R/S one
+    # correctly-rounded tree, micro-ln grid, ordered k-scale slope
+    sql["ts_hurst"] = """
+        WITH long AS ({long}),
+        base AS (
+            SELECT code,
+                   CAST(round(round(value, 2) * 100) AS BIGINT) AS c,
+                   CAST(row_number() OVER (PARTITION BY code
+                        ORDER BY date) AS BIGINT) AS rn
+            FROM long
+        ),
+        ex AS (
+            SELECT code, c, rn, CAST(sc.s AS BIGINT) AS s,
+                   (rn - 1) // CAST(sc.s AS BIGINT) AS b
+            FROM base, (SELECT unnest([16, 32, 64, 128]) AS s) sc
+        ),
+        roww AS (
+            SELECT code, s, b,
+                   CAST(row_number() OVER wo AS BIGINT) AS j,
+                   CAST(sum(c) OVER (wo ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+                   CAST(sum(c) OVER wp AS BIGINT) AS bs,
+                   sum(CAST(c AS HUGEINT) * c) OVER wp AS bq
+            FROM ex
+            WINDOW wo AS (PARTITION BY code, s, b ORDER BY rn),
+                   wp AS (PARTITION BY code, s, b)
+        ),
+        ww AS (
+            SELECT code, s, b, j, bs, bq,
+                   s * cc - j * bs AS w
+            FROM roww
+        ),
+        blocks AS (
+            SELECT code, s, b, max(j) AS nb,
+                   max(w) AS wmax, min(w) AS wmin,
+                   min(bs) AS bs, min(bq) AS bq
+            FROM ww GROUP BY 1, 2, 3
+            HAVING max(j) = s
+        ),
+        rs AS (
+            SELECT code, s,
+                   CAST(round(ln(CAST(wmax - wmin AS DOUBLE)
+                        / sqrt(CAST(CAST(s AS HUGEINT) * bq
+                               - CAST(bs AS HUGEINT) * bs
+                               AS DOUBLE))) * 1000000) AS BIGINT)
+                       AS lnrs
+            FROM blocks
+            WHERE CAST(s AS HUGEINT) * bq
+                  - CAST(bs AS HUGEINT) * bs > 0
+        ),
+        per AS (
+            SELECT code, s, CAST(count(*) AS BIGINT) AS nblk,
+                   CAST(sum(lnrs) AS BIGINT) AS slnrs
+            FROM rs GROUP BY 1, 2
+        ),
+        cums AS (
+            SELECT code, s, nblk,
+                   CAST(round(ln(CAST(s AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS x,
+                   sum(CAST(slnrs AS DOUBLE) / CAST(nblk AS DOUBLE))
+                       OVER wsc AS cy,
+                   sum(CAST(CAST(round(ln(CAST(s AS DOUBLE))
+                            * 1000000) AS BIGINT) AS DOUBLE)
+                       * (CAST(slnrs AS DOUBLE)
+                          / CAST(nblk AS DOUBLE))) OVER wsc AS cxy
+            FROM per
+            WINDOW wsc AS (PARTITION BY code ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+        ),
+        ag AS (
+            SELECT code, CAST(count(*) AS BIGINT) AS n_scales,
+                   CAST(sum(nblk) AS BIGINT) AS n_blocks,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   max_by(cy, s) AS lcy, max_by(cxy, s) AS lcxy
+            FROM cums GROUP BY 1
+        )
+        SELECT code, n_scales, n_blocks,
+               CASE WHEN n_scales >= 2
+                     AND CAST(n_scales AS DOUBLE)
+                         * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         <> 0
+               THEN (CAST(n_scales AS DOUBLE) * lcxy
+                     - CAST(sx AS DOUBLE) * lcy)
+                    / (CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               END AS hurst
+        FROM ag ORDER BY code
+    """.format(long=_LONG)
 
     # seasonal-naive benchmark: index lags over the observed per-code
     # sequence, exact bigint |e| sums, int/int MAEs, ratio of two

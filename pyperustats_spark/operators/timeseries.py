@@ -1923,3 +1923,111 @@ def seasonal_naive_eval(long_df: DataFrame, season: int = 7,
         F.try_divide(maem, mae1).alias("mase_ratio"),
     )
     return out.orderBy("code") if sort else out
+
+
+def hurst_rs(long_df: DataFrame, scales: tuple[int, ...] = (16, 32, 64, 128),
+             sort: bool = True) -> DataFrame:
+    """Hurst exponent per series by classic rescaled-range (R/S)
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969): chop the series
+    into non-overlapping blocks of s observations for each scale s,
+    compute each block's R/S = (range of cumulative mean deviations)
+    / (population std), and read H as the log–log slope of the
+    block-averaged R/S against s. H ≈ 0.5 is a random walk, > 0.5
+    long-range persistence (trends compound), < 0.5 mean reversion —
+    the memory diagnostic that says whether ts_holt-style level
+    models or differencing is the right default for a series family.
+
+    Exactness recipe: with integer cents c, block sums S = ΣC and
+    positions j, the cumulative deviation is the INTEGER
+    W_j = s·CC_j − j·S (×s-scaled; W_s = 0 lands the classic
+    include-zero convention automatically), so R_scaled = max W −
+    min W and the variance term s·Q − S² are exact integers and
+    R/S = R_scaled / √(sQ − S²) is one correctly-rounded tree.
+    ln(R/S) — ulp-loose — snaps to the 1e-6 integer grid (exact
+    bigint per-scale sums); the log–log slope then runs on k ≤ 4
+    scale rows through an ORDERED cumulative window (the anova
+    idiom) with x = round(ln s·10⁶) — integer grid points whose
+    fractional parts sit far from every rounding midpoint for the
+    default scales, so both engines agree bit-for-bit. Zero-variance
+    blocks drop in both engines; < 2 usable scales → NULL H.
+
+    Scale shape: ONE per-code row_number window (standard ts class),
+    a fixed |scales|× explode, ONE exchange per (code, scale, block)
+    partition carrying a cumsum + three unbounded-frame sums over
+    ≤ max(scales) rows (bounded groups — never row-count-sized),
+    then value-bounded rollups. No joins anywhere."""
+    cents = F.round(F.round(F.col("value"), 2) * 100).cast("bigint")
+    wrn = Window.partitionBy("code").orderBy("date")
+    base = long_df.select(
+        "code", cents.alias("_c"),
+        F.row_number().over(wrn).cast("bigint").alias("_rn"))
+    stack_expr = "stack({}, {}) as (_s0)".format(
+        len(scales), ", ".join(str(s) for s in scales))
+    ex = base.selectExpr("code", "_c", "_rn", stack_expr) \
+        .select("code", "_c", "_rn",
+                F.col("_s0").cast("bigint").alias("_s"),
+                F.expr("(_rn - 1) div cast(_s0 as bigint)").alias("_b"))
+    wb = Window.partitionBy("code", "_s", "_b")
+    wbo = wb.orderBy("_rn").rowsBetween(Window.unboundedPreceding, 0)
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    rowsw = ex.select(
+        "code", "_s", "_b",
+        F.row_number().over(wb.orderBy("_rn")).cast("bigint").alias("_j"),
+        F.sum("_c").over(wbo).alias("_cc"),
+        F.sum("_c").over(wb).cast("bigint").alias("_bsum"),
+        F.sum(dec(F.col("_c")) * F.col("_c")).over(wb).alias("_bq0"),
+    ).select(
+        "code", "_s", "_b", "_j", "_bsum", "_bq0",
+        (F.col("_s") * F.col("_cc")
+         - F.col("_j") * F.col("_bsum")).alias("_w"))
+    blocks = rowsw.groupBy("code", "_s", "_b").agg(
+        F.max("_j").alias("_nb"),
+        F.max("_w").alias("_wmax"),
+        F.min("_w").alias("_wmin"),
+        F.min("_bsum").alias("_bs"),
+        F.min("_bq0").alias("_bq"),
+    ).where(F.col("_nb") == F.col("_s"))
+    varn = (dec(F.col("_s")) * F.col("_bq")
+            - dec(F.col("_bs")) * F.col("_bs"))
+    rs = blocks.select(
+        "code", "_s",
+        varn.alias("_v"),
+        (F.col("_wmax") - F.col("_wmin")).alias("_r"),
+    ).where(F.col("_v") > 0).select(
+        "code", "_s",
+        F.round(F.log(F.col("_r").cast("double")
+                      / F.sqrt(F.col("_v").cast("double"))) * 1e6)
+        .cast("bigint").alias("_lnrs"))
+    per_scale = rs.groupBy("code", "_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nblk"),
+        F.sum("_lnrs").cast("bigint").alias("_slnrs"))
+    x = F.round(F.log(F.col("_s").cast("double")) * 1e6).cast("bigint")
+    y = F.col("_slnrs").cast("double") / F.col("_nblk").cast("double")
+    wsc = Window.partitionBy("code").orderBy("_s") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_scale.select(
+        "code", "_s", "_nblk", x.alias("_x"), y.alias("_y")
+    ).select(
+        "code", "_s", "_nblk", "_x",
+        F.sum("_y").over(wsc).alias("_cy"),
+        F.sum(F.col("_x").cast("double") * F.col("_y")).over(wsc)
+        .alias("_cxy"))
+    agg = cums.groupBy("code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scales"),
+        F.sum("_nblk").cast("bigint").alias("n_blocks"),
+        F.sum("_x").cast("bigint").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_sxx"),
+        F.max(F.struct("_s", "_cy", "_cxy")).alias("_last"))
+    kd = F.col("n_scales").cast("double")
+    sxd = F.col("_sx").cast("double")
+    num = kd * F.col("_last._cxy") - sxd * F.col("_last._cy")
+    den = (kd * F.col("_sxx").cast("double") - sxd * sxd)
+    out = agg.select(
+        "code", "n_scales", "n_blocks",
+        F.when((F.col("n_scales") >= 2) & (den != 0),
+               num / den).alias("hurst"),
+    )
+    return out.orderBy("code") if sort else out

@@ -6272,3 +6272,67 @@ def test_simpson_diversity_hand_counts(spark):
     de = out["de"]
     # single type: D = 1 exactly, effective vocab 1
     assert de["simpson"] == 1.0 and de["inv_simpson"] == 1.0
+
+
+def _hurst_python_model(values, scales=(16, 32, 64, 128)):
+    import math
+    per = []
+    for s in scales:
+        lnrs = []
+        for b0 in range(0, len(values) - s + 1, s):
+            blk = values[b0:b0 + s]
+            S, Q = sum(blk), sum(x * x for x in blk)
+            cc = 0
+            ws = []
+            for j, x in enumerate(blk, start=1):
+                cc += x
+                ws.append(s * cc - j * S)
+            var = s * Q - S * S
+            if var <= 0:
+                continue
+            rs = (max(ws) - min(ws)) / math.sqrt(float(var))
+            lnrs.append(round(math.log(rs) * 1e6))
+        if lnrs:
+            per.append((round(math.log(s) * 1e6),
+                        sum(lnrs) / len(lnrs)))
+    k = len(per)
+    sx = sum(x for x, _ in per)
+    sxx = sum(x * x for x, _ in per)
+    sy = sum(y for _, y in per)
+    sxy = sum(x * y for x, y in per)
+    return (k * sxy - sx * sy) / (k * sxx - sx * sx)
+
+
+def test_hurst_matches_python_model_and_orders_memory(spark):
+    from pyperustats_spark.operators.timeseries import hurst_rs
+    import datetime as dt
+    import hashlib
+
+    def bit(tag, i):
+        return int(hashlib.md5(f"{tag}{i}".encode()).hexdigest(), 16) % 2
+
+    n = 520
+    base = dt.datetime(2020, 1, 1)
+    # random walk (persistent cumulative) vs fresh coin flips
+    walk, level = [], 1000
+    for i in range(n):
+        level += 10 if bit("w", i) else -10
+        walk.append(level)
+    noise = [1000 + (10 if bit("n", i) else -10) for i in range(n)]
+    rows = []
+    for i in range(n):
+        d = base + dt.timedelta(days=i)
+        rows.append((d, "WALK", float(walk[i])))
+        rows.append((d, "NOISE", float(noise[i])))
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {r["code"]: r for r in hurst_rs(df).collect()}
+
+    for code, series in [("WALK", walk), ("NOISE", noise)]:
+        expect = _hurst_python_model([c * 100 for c in series])
+        got = out[code]["hurst"]
+        assert abs(got - expect) < 1e-9, (code, got, expect)
+    # a random walk has long memory; iid flips do not
+    assert out["WALK"]["hurst"] > out["NOISE"]["hurst"]
+    assert out["WALK"]["hurst"] > 0.8
+    assert out["NOISE"]["hurst"] < 0.75
+    assert out["WALK"]["n_scales"] == 4
