@@ -1855,6 +1855,22 @@ def stats_anova_oneway(spark, sf_dir):
     return R.anova_oneway(_lt(spark, sf_dir, "orders"))
 
 
+def stats_friedman(spark, sf_dir):
+    """Friedman rank test (priorities blocked by order year): exact
+    integer within-year ranks via rank() + equality count (half-rank
+    ties stay integer when doubled), DECIMAL rank-sum squares, one
+    correctly-rounded chi-square tree; complete blocks only."""
+    return R.friedman_test(_lt(spark, sf_dir, "orders"))
+
+
+def q_repeat_purchases(spark, sf_dir):
+    """Repeat-purchase pairs: same customer re-ordering the same
+    part within a year (chained lag adjacency per (customer, part),
+    never O(m^2)); pure integer output."""
+    return R.repeat_purchase_pairs(_lt(spark, sf_dir, "lineitem"),
+                                   _lt(spark, sf_dir, "orders"))
+
+
 def stats_brown_forsythe(spark, sf_dir):
     """Brown-Forsythe (median-based Levene) variance-homogeneity F
     across priorities: exact integer group medians from the
@@ -3446,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_anova_oneway": stats_anova_oneway,
         "stats_welch_ttest": stats_welch_ttest,
         "stats_brown_forsythe": stats_brown_forsythe,
+        "stats_friedman": stats_friedman,
+        "q_repeat_purchases": q_repeat_purchases,
         "graph_part_assortativity": graph_part_assortativity,
         "text_simpson_diversity": text_simpson_diversity,
         "stats_kruskal_wallis": stats_kruskal_wallis,
@@ -5373,6 +5391,90 @@ def oracle_sql() -> dict[str, str]:
                END AS mase_ratio
         FROM per ORDER BY code
     """.format(long=_LONG)
+
+    # Friedman: within-year ranks as exact doubled integers
+    # (2*rank + eq - 1), completeness via the global max block
+    # width over the bounded grid, one double tree at the end
+    sql["stats_friedman"] = """
+        WITH cells AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS b,
+                   o_orderpriority AS t,
+                   CAST(sum(CAST(round(round(o_totalprice, 2) * 100)
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT b, t,
+                   CAST(2 * rank() OVER (PARTITION BY b ORDER BY x)
+                        + count(*) OVER (PARTITION BY b, x) - 1
+                        AS BIGINT) AS r2,
+                   CAST(count(*) OVER (PARTITION BY b) AS BIGINT)
+                       AS kb
+            FROM cells
+        ),
+        fl AS (
+            SELECT b, t, r2, kb,
+                   CAST(max(kb) OVER () AS BIGINT) AS k
+            FROM ranked
+        ),
+        kept AS (SELECT * FROM fl WHERE kb = k),
+        per_t AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(r2 AS HUGEINT)) AS r2s
+            FROM kept GROUP BY 1
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_treatments,
+                   CAST(max(n) AS BIGINT) AS n_blocks,
+                   sum(r2s * r2s) AS sr2sq
+            FROM per_t
+        )
+        SELECT n_blocks, k_treatments,
+               k_treatments - 1 AS df,
+               CASE WHEN k_treatments > 1 AND n_blocks > 1 THEN
+                   3.0 * CAST(sr2sq AS DOUBLE)
+                   / (CAST(n_blocks AS DOUBLE)
+                      * CAST(k_treatments AS DOUBLE)
+                      * (CAST(k_treatments AS DOUBLE) + 1.0))
+                   - 3.0 * CAST(n_blocks AS DOUBLE)
+                     * (CAST(k_treatments AS DOUBLE) + 1.0)
+               END AS chi2_f
+        FROM a
+    """
+
+    # repeat-purchase pairs: chained lag adjacency per
+    # (customer, part), distinct-first, pure integer output
+    sql["q_repeat_purchases"] = """
+        WITH base AS (
+            SELECT o.o_custkey AS custkey,
+                   CAST(l.l_partkey AS BIGINT) AS partkey,
+                   o.o_orderdate AS d,
+                   CAST(o.o_orderkey AS BIGINT) AS k
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, 3, 4
+        ),
+        lagged AS (
+            SELECT custkey, partkey,
+                   lag(k) OVER w AS first_order,
+                   k AS second_order,
+                   lag(d) OVER w AS first_date,
+                   d AS second_date
+            FROM base
+            WINDOW w AS (PARTITION BY custkey, partkey
+                         ORDER BY d, k)
+        )
+        SELECT CAST(custkey AS BIGINT) AS custkey, partkey,
+               first_order, second_order,
+               CAST(date_diff('day', first_date, second_date)
+                    AS BIGINT) AS gap_days,
+               CAST(first_date AS DATE) AS first_date,
+               CAST(second_date AS DATE) AS second_date
+        FROM lagged
+        WHERE first_order IS NOT NULL
+          AND date_diff('day', first_date, second_date) <= 365
+        ORDER BY custkey, partkey, second_order
+    """
 
     # Brown-Forsythe: exact integer medians from the per-group
     # value-curve cumsum (2*med = lo+hi), then the anova_oneway

@@ -3117,3 +3117,133 @@ def brown_forsythe(orders: DataFrame,
                          .cast("double"))).alias("f_stat"),
     )
     return out
+
+
+def friedman_test(orders: DataFrame,
+                  group_col: str = "o_orderpriority") -> DataFrame:
+    """Friedman rank test across *group_col* treatments BLOCKED by
+    order year — the repeated-measures member of the nonparametric
+    suite (:func:`mann_whitney_u` two-sample, :func:`kruskal_wallis`
+    k-sample independent, Friedman k-sample blocked): do priorities
+    keep the same revenue ORDER year after year, or does the ranking
+    shuffle? Each (year, priority) cell is total order cents;
+    treatments are ranked WITHIN each year and
+
+        chi2_F = 3/(n·k(k+1)) · Σ_t R2_t² − 3·n·(k+1)
+
+    with R2_t twice the rank sum (ties carry half-ranks, so doubling
+    keeps every rank an exact integer: r2 = 2·rank() + cnt_eq − 1,
+    the counting identity). ONE row: (n_blocks, k_treatments, df,
+    chi2_f). Chi-square p-value client-side, suite policy.
+
+    Exactness: cell sums are exact bigint cents; ranks come from
+    rank() + a same-block equality count (two bounded windows over
+    k-row blocks — value ties across ~10⁷-cent sums are possible in
+    principle and handled exactly); R2 sums and Σ R2² accumulate in
+    DECIMAL(38,0); the final statistic is one fixed
+    correctly-rounded double tree. Blocks missing a treatment make
+    the design unbalanced — those blocks are DROPPED (complete-block
+    requirement, both engines; n_blocks reports the kept count).
+
+    Scale shape: one partial-aggregated shuffle to the (year,
+    priority) grid — a bounded dimension product — then k-row
+    windows and a 1-row aggregate. Nothing row-count-sized."""
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100) \
+        .cast("bigint")
+    cells = orders.select(
+        F.year("o_orderdate").cast("bigint").alias("_b"),
+        F.col(group_col).alias("_t"), cents.alias("_c")) \
+        .groupBy("_b", "_t") \
+        .agg(F.sum("_c").cast("bigint").alias("_x"))
+    wb = Window.partitionBy("_b")
+    wrank = wb.orderBy("_x")
+    weq = Window.partitionBy("_b", "_x")
+    ranked = cells.select(
+        "_b", "_t",
+        (2 * F.rank().over(wrank)
+         + F.count(F.lit(1)).over(weq) - 1).cast("bigint").alias("_r2"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("_kb"))
+    # complete blocks only: every treatment present in the year.
+    # k = the global max block width (a block can never exceed the
+    # treatment count, and any complete block reaches it) — read via
+    # a partition-less window over the BOUNDED (year x priority)
+    # grid so `cells` is referenced exactly once (no re-executed
+    # aggregate, the anova SINGLE_PART class).
+    full = ranked.withColumn(
+        "_k", F.max("_kb").over(Window.partitionBy())) \
+        .where(F.col("_kb") == F.col("_k"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    per_t = full.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(dec(F.col("_r2"))).alias("_r2s"),
+        F.max("_k").alias("_k"))
+    agg = per_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
+        F.max("_n").cast("bigint").alias("n_blocks"),
+        F.sum(dec(F.col("_r2s")) * F.col("_r2s")).alias("_sr2sq"),
+    )
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k_treatments").cast("double")
+    chi2 = (F.lit(3.0) * F.col("_sr2sq").cast("double")
+            / (n * k * (k + F.lit(1.0)))
+            - F.lit(3.0) * n * (k + F.lit(1.0)))
+    ok = (F.col("k_treatments") > 1) & (F.col("n_blocks") > 1)
+    out = agg.select(
+        "n_blocks", "k_treatments",
+        (F.col("k_treatments") - 1).cast("bigint").alias("df"),
+        F.when(ok, chi2).alias("chi2_f"),
+    )
+    return out
+
+
+def repeat_purchase_pairs(lineitem: DataFrame, orders: DataFrame,
+                          max_gap_days: int = 365,
+                          sort: bool = True) -> DataFrame:
+    """Repeat-purchase audit: adjacent orders where the SAME customer
+    re-orders the SAME part within *max_gap_days* — the repurchase-
+    cycle screen feeding replenishment-lag models (and the
+    double-submission flag when the gap is days, not months). One row
+    per adjacent pair: (custkey, partkey, first_order, second_order,
+    gap_days, first_date, second_date).
+
+    Adjacency is per (customer, part) in (date, orderkey) order, so a
+    chain of m repurchases emits m−1 pairs, never O(m²); the window
+    groups are per-(customer, part) multiplicity — bounded by one
+    customer's own appetite for one part, naturally tiny at any
+    corpus scale. The lineitem→orders join is the q3-class keyed
+    shuffle (AQE-decided); (custkey, partkey, date, orderkey) is
+    DISTINCT first so multi-lineitem orders contribute one row.
+
+    Exactness: keys, dates, datediff — all integers; no doubles."""
+    items = lineitem.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_partkey").cast("bigint").alias("partkey")).distinct()
+    base = items.join(
+        orders.select(F.col("o_orderkey").alias("_ok"),
+                      F.col("o_custkey").cast("bigint").alias("custkey"),
+                      F.col("o_orderdate").alias("_d")),
+        "_ok") \
+        .select("custkey", "partkey", "_d",
+                F.col("_ok").cast("bigint").alias("_k"))
+    w = Window.partitionBy("custkey", "partkey").orderBy("_d", "_k")
+    lagged = base.select(
+        "custkey", "partkey",
+        F.lag("_k").over(w).alias("first_order"),
+        F.col("_k").alias("second_order"),
+        F.lag("_d").over(w).alias("first_date"),
+        F.col("_d").alias("second_date"))
+    out = lagged.where(
+        F.col("first_order").isNotNull()
+        & (F.datediff(F.col("second_date"), F.col("first_date"))
+           <= max_gap_days)) \
+        .select(
+            "custkey", "partkey", "first_order", "second_order",
+            F.datediff(F.col("second_date"), F.col("first_date"))
+            .cast("bigint").alias("gap_days"),
+            F.col("first_date").cast("date").alias("first_date"),
+            F.col("second_date").cast("date").alias("second_date"))
+    return out.orderBy("custkey", "partkey", "second_order") if sort \
+        else out

@@ -6336,3 +6336,67 @@ def test_hurst_matches_python_model_and_orders_memory(spark):
     assert out["WALK"]["hurst"] > 0.8
     assert out["NOISE"]["hurst"] < 0.75
     assert out["WALK"]["n_scales"] == 4
+
+
+def test_friedman_matches_python_model(spark):
+    from pyperustats_spark.operators.relational import friedman_test
+    import datetime as dt
+
+    # 4 years x 3 priorities; values chosen so rankings mostly agree
+    vals = {(y, t): float(100 * (t + 1) + (y * 7 + t * 3) % 5)
+            for y in range(4) for t in range(3)}
+    rows = []
+    for (y, t), v in vals.items():
+        rows.append((f"P{t}", v, dt.date(2000 + y, 6, 1)))
+    df = spark.createDataFrame(
+        rows, ["o_orderpriority", "o_totalprice", "o_orderdate"])
+    out = friedman_test(df).collect()[0].asDict()
+
+    # Python model on cents cell sums (one order per cell here)
+    ranks = {}
+    for y in range(4):
+        cells = sorted(range(3), key=lambda t: vals[(y, t)])
+        for r, t in enumerate(cells, start=1):
+            ranks.setdefault(t, []).append(r)
+    n, k = 4, 3
+    chi2 = (12.0 / (n * k * (k + 1))
+            * sum(sum(rs) ** 2 for rs in ranks.values())
+            - 3 * n * (k + 1))
+    assert out["n_blocks"] == 4 and out["k_treatments"] == 3
+    assert out["df"] == 2
+    assert abs(out["chi2_f"] - chi2) < 1e-9
+
+
+def test_friedman_drops_incomplete_blocks(spark):
+    from pyperustats_spark.operators.relational import friedman_test
+    import datetime as dt
+
+    rows = [("A", 10.0, dt.date(2000, 1, 1)),
+            ("B", 20.0, dt.date(2000, 1, 2)),
+            ("A", 30.0, dt.date(2001, 1, 1)),
+            ("B", 10.0, dt.date(2001, 1, 2)),
+            ("A", 5.0, dt.date(2002, 1, 1))]   # 2002 misses B
+    df = spark.createDataFrame(
+        rows, ["o_orderpriority", "o_totalprice", "o_orderdate"])
+    out = friedman_test(df).collect()[0].asDict()
+    assert out["n_blocks"] == 2 and out["k_treatments"] == 2
+
+
+def test_repeat_purchase_pairs_chain(spark):
+    from pyperustats_spark.operators.relational import repeat_purchase_pairs
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [(1, 7, dt.date(2024, 1, 1)), (2, 7, dt.date(2024, 2, 1)),
+         (3, 7, dt.date(2024, 8, 1)), (4, 9, dt.date(2024, 1, 5))],
+        ["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem = spark.createDataFrame(
+        [(1, 100), (1, 100), (2, 100), (3, 100), (4, 100)],
+        ["l_orderkey", "l_partkey"])
+    out = repeat_purchase_pairs(lineitem, orders).collect()
+    # customer 7 buys part 100 three times -> 2 chained pairs;
+    # customer 9's single purchase pairs with nothing
+    assert len(out) == 2
+    assert (out[0]["first_order"], out[0]["second_order"]) == (1, 2)
+    assert out[0]["gap_days"] == 31
+    assert (out[1]["first_order"], out[1]["second_order"]) == (2, 3)
