@@ -1887,6 +1887,15 @@ def graph_part_assortativity(spark, sf_dir):
     return G.copurchase_assortativity(_lt(spark, sf_dir, "lineitem"))
 
 
+def text_log_odds_terms(spark, sf_dir):
+    """Monroe et al. smoothed log-odds keywords per language vs the
+    rest of the corpus: +1 prior keeps every odds ratio an exact
+    integer ratio, ln on the 1e-6 grid, delta an exact integer
+    difference (pure integer+string ranking), z a correctly-rounded
+    tree."""
+    return T.log_odds_terms(_lt(spark, sf_dir, "documents"))
+
+
 def text_simpson_diversity(spark, sf_dir):
     """Simpson diversity / effective vocabulary per language: exact
     integer sum c(c-1) in DECIMAL(38,0), D and 1/D as exact-int-cast
@@ -3466,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeat_purchases": q_repeat_purchases,
         "graph_part_assortativity": graph_part_assortativity,
         "text_simpson_diversity": text_simpson_diversity,
+        "text_log_odds_terms": text_log_odds_terms,
         "stats_kruskal_wallis": stats_kruskal_wallis,
         "ev_logrank_ab": ev_logrank_ab,
         "ev_periodicity": ev_periodicity,
@@ -5593,6 +5603,59 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE)
                END AS assortativity
         FROM ag
+    """
+
+    # log-odds keywords: +1 prior -> exact integer odds ratios,
+    # micro-ln grid, integer delta ranking, z a double tree
+    sql["text_log_odds_terms"] = f"""
+        WITH toks AS (
+            SELECT lang, unnest({_TOKENS}) AS t FROM documents
+        ),
+        cnt AS (
+            SELECT lang, t, CAST(count(*) AS BIGINT) AS y
+            FROM toks GROUP BY 1, 2
+        ),
+        tw AS (SELECT t, CAST(sum(y) AS BIGINT) AS tw
+               FROM cnt GROUP BY 1),
+        nl AS (SELECT lang, CAST(sum(y) AS BIGINT) AS nl
+               FROM cnt GROUP BY 1),
+        gl AS (SELECT CAST(sum(y) AS BIGINT) AS n,
+                      CAST(count(DISTINCT t) AS BIGINT) AS v
+               FROM cnt),
+        cand AS (
+            SELECT c.lang, c.t, c.y, tw.tw - c.y AS yr,
+                   nl.nl AS nl, gl.n - nl.nl AS nr, gl.v AS v
+            FROM cnt c
+            JOIN tw ON c.t = tw.t
+            JOIN nl ON c.lang = nl.lang
+            CROSS JOIN gl
+            WHERE c.y >= 3
+        ),
+        scored AS (
+            SELECT lang, t AS term, y AS lang_count,
+                   yr AS rest_count,
+                   CAST(round(ln(CAST(y + 1 AS DOUBLE)
+                        / CAST(nl + v - y - 1 AS DOUBLE)) * 1000000)
+                        AS BIGINT)
+                   - CAST(round(ln(CAST(yr + 1 AS DOUBLE)
+                          / CAST(nr + v - yr - 1 AS DOUBLE))
+                          * 1000000) AS BIGINT) AS dm,
+                   1.0 / CAST(y + 1 AS DOUBLE)
+                   + 1.0 / CAST(yr + 1 AS DOUBLE) AS vr
+            FROM cand
+        ),
+        ranked AS (
+            SELECT lang, term, lang_count, rest_count, dm, vr,
+                   CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY dm DESC, term) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT lang, rank, term, lang_count, rest_count,
+               CAST(dm AS DOUBLE) / 1000000.0 AS log_odds,
+               (CAST(dm AS DOUBLE) / 1000000.0) / sqrt(vr)
+                   AS z_score
+        FROM ranked WHERE rank <= 10
+        ORDER BY lang, rank
     """
 
     # Simpson diversity: the shared token grammar, exact HUGEINT

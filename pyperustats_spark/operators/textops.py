@@ -1961,3 +1961,80 @@ def simpson_diversity(documents: DataFrame, sort: bool = True) -> DataFrame:
                F.lit(1.0) / d).alias("inv_simpson"),
     )
     return out.orderBy("lang") if sort else out
+
+
+def log_odds_terms(documents: DataFrame, k: int = 10,
+                   min_count: int = 3, sort: bool = True) -> DataFrame:
+    """"Fightin' Words" keyword extraction per language — Monroe,
+    Colaresi & Quinn's smoothed log-odds-ratio (Political Analysis
+    16(4), 2008) with a symmetric +1 Dirichlet prior: for each
+    language slice vs the REST of the corpus,
+
+        delta_w = ln[(y+1)/(n+V−y−1)] − ln[(y'+1)/(n'+V−y'−1)]
+        z_w = delta_w / sqrt(1/(y+1) + 1/(y'+1))
+
+    and the top-*k* terms by delta are the words that mark the slice.
+    Unlike tf-idf (which rewards rarity anywhere), log-odds
+    explicitly contrasts against the complement with
+    variance-stabilized smoothing — the standard corpus-comparison
+    tool for mixture QA ("what vocabulary does this source/language
+    over-contribute?").
+
+    Cross-engine determinism: with the +1 prior every odds ratio is
+    a ratio of EXACT INTEGERS, so each ln((y+1)/(den)) divides
+    identical bits and snaps to the 1e-6 grid; delta is then an
+    exact INTEGER difference of micro-lns (ranking and tiebreaks are
+    pure integer+string comparisons), and z divides the de-scaled
+    delta by a sqrt-of-sums tree — correctly rounded ops on
+    identical bits throughout. min_count prunes the long tail BEFORE
+    ranking in both engines.
+
+    Scale shape: one explode into the (lang, token) count grid
+    (persisted — the token-marginal groupBy and the per-lang join
+    both reference it; the textops vocab-persist precedent), a
+    token-marginal join keyed on token, broadcast lang totals, then
+    a top-k window over the pruned vocab-bounded candidate set."""
+    tc = documents.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("_t")) \
+        .groupBy("lang", "_t") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_y")) \
+        .persist()
+    tot_w = tc.groupBy("_t").agg(
+        F.sum("_y").cast("bigint").alias("_tw"))
+    tot_l = tc.groupBy("lang").agg(
+        F.sum("_y").cast("bigint").alias("_nl"))
+    glob = tc.agg(
+        F.sum("_y").cast("bigint").alias("_n"),
+        F.countDistinct("_t").cast("bigint").alias("_v"))
+    cand = tc.where(F.col("_y") >= min_count) \
+        .join(tot_w, "_t") \
+        .join(F.broadcast(tot_l), "lang") \
+        .crossJoin(F.broadcast(glob))
+    yr = F.col("_tw") - F.col("_y")
+    nr = F.col("_n") - F.col("_nl")
+    ln_micro = (
+        F.round(F.log((F.col("_y") + 1).cast("double")
+                      / (F.col("_nl") + F.col("_v") - F.col("_y") - 1)
+                      .cast("double")) * 1e6).cast("bigint")
+        - F.round(F.log((yr + 1).cast("double")
+                        / (nr + F.col("_v") - yr - 1).cast("double"))
+                  * 1e6).cast("bigint"))
+    scored = cand.select(
+        "lang", F.col("_t").alias("term"),
+        F.col("_y").alias("lang_count"),
+        yr.alias("rest_count"),
+        ln_micro.alias("_dm"),
+        (F.lit(1.0) / (F.col("_y") + 1).cast("double")
+         + F.lit(1.0) / (yr + 1).cast("double")).alias("_var"))
+    wr = Window.partitionBy("lang").orderBy(
+        F.desc("_dm"), F.col("term").asc())
+    out = scored.withColumn("rank", F.row_number().over(wr)) \
+        .where(F.col("rank") <= k) \
+        .select(
+            "lang", F.col("rank").cast("bigint").alias("rank"),
+            "term", "lang_count", "rest_count",
+            (F.col("_dm").cast("double") / F.lit(1e6))
+            .alias("log_odds"),
+            ((F.col("_dm").cast("double") / F.lit(1e6))
+             / F.sqrt(F.col("_var"))).alias("z_score"))
+    return out.orderBy("lang", "rank") if sort else out

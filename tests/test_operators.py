@@ -6400,3 +6400,25 @@ def test_repeat_purchase_pairs_chain(spark):
     assert (out[0]["first_order"], out[0]["second_order"]) == (1, 2)
     assert out[0]["gap_days"] == 31
     assert (out[1]["first_order"], out[1]["second_order"]) == (2, 3)
+
+
+def test_log_odds_terms_separates_planted_vocab(spark):
+    from pyperustats_spark.operators.textops import log_odds_terms
+
+    # 'en' over-uses "widget", 'de' over-uses "kessel"; shared filler
+    rows = []
+    for i in range(30):
+        rows.append((i, "widget widget common filler words here", "en"))
+        rows.append((100 + i, "kessel kessel common filler words here", "de"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = log_odds_terms(docs, k=3).collect()
+    top = {(r["lang"], r["rank"]): r for r in out}
+    assert top[("en", 1)]["term"] == "widget"
+    assert top[("de", 1)]["term"] == "kessel"
+    # the marker term is absent from the complement
+    assert top[("en", 1)]["rest_count"] == 0
+    assert top[("en", 1)]["log_odds"] > 0
+    assert top[("en", 1)]["z_score"] > 2
+    # shared filler terms score near zero, strictly below the marker
+    filler = [r for r in out if r["lang"] == "en" and r["term"] != "widget"]
+    assert all(r["log_odds"] < top[("en", 1)]["log_odds"] for r in filler)
