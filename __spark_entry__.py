@@ -1838,6 +1838,14 @@ def ts_hurst(spark, sf_dir):
     return TS.hurst_rs(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance ratio per series at horizons 2/4/8:
+    exact integer change moments (DECIMAL sums), VR and the iid z
+    as fixed correctly-rounded trees; one window pass + stack."""
+    return TS.variance_ratio(
+        TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_seasonal_naive_eval(spark, sf_dir):
     """Seasonal-naive vs one-step-naive MAE per series (the MASE
     denominator logic as a seasonality-value card): exact integer
@@ -1861,6 +1869,15 @@ def stats_friedman(spark, sf_dir):
     ties stay integer when doubled), DECIMAL rank-sum squares, one
     correctly-rounded chi-square tree; complete blocks only."""
     return R.friedman_test(_lt(spark, sf_dir, "orders"))
+
+
+def q_fulfillment_lag(spark, sf_dir):
+    """Per-priority fulfillment-lag card: integer day lags off the
+    q3-class join, int/int slow share and mean, exact median off the
+    value-bounded lag curve (lo/hi crossing, half-integer grid) —
+    stats and median in ONE aggregate over the curve."""
+    return R.fulfillment_lag_profile(_lt(spark, sf_dir, "lineitem"),
+                                     _lt(spark, sf_dir, "orders"))
 
 
 def q_repeat_purchases(spark, sf_dir):
@@ -3473,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_brown_forsythe": stats_brown_forsythe,
         "stats_friedman": stats_friedman,
         "q_repeat_purchases": q_repeat_purchases,
+        "q_fulfillment_lag": q_fulfillment_lag,
         "graph_part_assortativity": graph_part_assortativity,
         "text_simpson_diversity": text_simpson_diversity,
         "text_log_odds_terms": text_log_odds_terms,
@@ -3483,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_ols_weekend": ev_ols_weekend,
         "ts_seasonal_naive_eval": ts_seasonal_naive_eval,
         "ts_hurst": ts_hurst,
+        "ts_variance_ratio": ts_variance_ratio,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -5271,6 +5290,65 @@ def oracle_sql() -> dict[str, str]:
         FROM per ORDER BY event_type
     """
 
+    # variance ratio: exact integer change moments, VR and z as
+    # fixed double trees; base-lag moments ride the stack rows
+    sql["ts_variance_ratio"] = """
+        WITH long AS ({long}),
+        base AS (
+            SELECT code, date,
+                   CAST(round(round(value, 2) * 100) AS BIGINT) AS c
+            FROM long
+        ),
+        lagged AS (
+            SELECT code, c,
+                   lag(c, 1) OVER w AS l1,
+                   lag(c, 2) OVER w AS l2,
+                   lag(c, 4) OVER w AS l4,
+                   lag(c, 8) OVER w AS l8
+            FROM base
+            WINDOW w AS (PARTITION BY code ORDER BY date)
+        ),
+        pairs AS (
+            SELECT code, q, c - lq AS dq, c - l1 AS d1 FROM (
+                SELECT code, c, l1, 2 AS q, l2 AS lq FROM lagged
+                UNION ALL
+                SELECT code, c, l1, 4, l4 FROM lagged
+                UNION ALL
+                SELECT code, c, l1, 8, l8 FROM lagged
+            )
+        ),
+        per AS (
+            SELECT code, CAST(q AS BIGINT) AS q,
+                   CAST(count(dq) AS BIGINT) AS nq,
+                   sum(CAST(dq AS HUGEINT)) AS sq,
+                   sum(CAST(dq AS HUGEINT) * dq) AS qq,
+                   CAST(count(d1) AS BIGINT) AS n1,
+                   sum(CAST(d1 AS HUGEINT)) AS s1,
+                   sum(CAST(d1 AS HUGEINT) * d1) AS q1
+            FROM pairs GROUP BY 1, 2
+        ),
+        v AS (
+            SELECT code, q, nq, n1,
+                   CAST(CAST(nq AS HUGEINT) * qq - sq * sq AS DOUBLE)
+                   / (CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE)) AS vq,
+                   CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS v1
+            FROM per
+        )
+        SELECT code, q, nq AS n_diffs,
+               CASE WHEN nq > 0 AND n1 > 1 AND v1 > 0 THEN
+                   vq / (CAST(q AS DOUBLE) * v1) END
+                   AS variance_ratio,
+               CASE WHEN nq > 0 AND n1 > 1 AND v1 > 0 THEN
+                   (vq / (CAST(q AS DOUBLE) * v1) - 1.0)
+                   / sqrt(2.0 * (2.0 * CAST(q AS DOUBLE) - 1)
+                          * (CAST(q AS DOUBLE) - 1)
+                          / (3.0 * CAST(q AS DOUBLE)
+                             * CAST(nq AS DOUBLE)))
+               END AS z_iid
+        FROM v ORDER BY code, q
+    """.format(long=_LONG)
+
     # Hurst R/S: integer W_j = s*CC_j - j*S per block, R/S one
     # correctly-rounded tree, micro-ln grid, ordered k-scale slope
     sql["ts_hurst"] = """
@@ -5450,6 +5528,48 @@ def oracle_sql() -> dict[str, str]:
                      * (CAST(k_treatments AS DOUBLE) + 1.0)
                END AS chi2_f
         FROM a
+    """
+
+    # fulfillment lag card: integer day lags, value-bounded curve
+    # median (brown_forsythe lo/hi rule), int/int shares — stats and
+    # median in one aggregate over the curve
+    sql["q_fulfillment_lag"] = """
+        WITH src AS (
+            SELECT o.o_orderpriority AS priority,
+                   CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                        AS BIGINT) AS d
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        curve AS (
+            SELECT priority, d, CAST(count(*) AS BIGINT) AS t
+            FROM src GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT priority, d, t,
+                   CAST(sum(t) OVER (PARTITION BY priority ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW) AS BIGINT) AS cm,
+                   CAST(sum(t) OVER (PARTITION BY priority)
+                        AS BIGINT) AS n
+            FROM curve
+        ),
+        agg AS (
+            SELECT priority,
+                   CAST(max(n) AS BIGINT) AS n_items,
+                   CAST(sum(CASE WHEN d > 90 THEN t ELSE 0 END)
+                        AS BIGINT) AS slow_n,
+                   CAST(sum(t * d) AS BIGINT) AS sd,
+                   min(CASE WHEN cm >= (n + 1) // 2 THEN d END)
+                       AS lo,
+                   min(CASE WHEN cm >= n // 2 + 1 THEN d END) AS hi
+            FROM cum GROUP BY 1
+        )
+        SELECT priority, n_items, slow_n,
+               slow_n / n_items AS slow_share,
+               sd / n_items AS mean_lag_days,
+               CAST(lo + hi AS DOUBLE) / 2.0 AS median_lag_days
+        FROM agg ORDER BY priority
     """
 
     # repeat-purchase pairs: chained lag adjacency per

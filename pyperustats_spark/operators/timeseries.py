@@ -2031,3 +2031,78 @@ def hurst_rs(long_df: DataFrame, scales: tuple[int, ...] = (16, 32, 64, 128),
                num / den).alias("hurst"),
     )
     return out.orderBy("code") if sort else out
+
+
+def variance_ratio(long_df: DataFrame, qs: tuple[int, ...] = (2, 4, 8),
+                   sort: bool = True) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test per series (Rev. Financial
+    Studies 1:41, 1988): VR(q) = Var(q-period change) / (q · Var(1-
+    period change)). A random walk has VR = 1 at every horizon;
+    VR > 1 means momentum (changes compound), VR < 1 mean reversion —
+    the parametric cousin of :func:`hurst_rs` with a classical
+    asymptotic z under homoskedastic iid increments,
+    z = (VR−1)/√(2(2q−1)(q−1)/(3q·n)). Returns one row per
+    (code, q): (code, q, n_diffs, variance_ratio, z_iid).
+
+    Exactness: changes are exact integer cents (c_t − c_{t−q} via
+    index lags over the observed sequence, the seasonal_naive_eval
+    convention); each variance is the fixed tree
+    (n·Q − S²)/n² on DECIMAL(38,0)-exact sums cast to double
+    (correctly rounded past 2^53), VR divides two such trees, and z
+    uses only arithmetic + sqrt — bit-identical cross-engine.
+    Degenerate series (zero base variance, n ≤ q) yield NULL via the
+    same guards.
+
+    Scale shape: ONE ordered window pass per code computing all
+    |qs|+1 lags, a stack unpivot, one partial-aggregated rollup per
+    (code, q) — the periodicity shape on value diffs; base-lag
+    moments ride every (code, q) row via the stack (no second pass,
+    no join)."""
+    cents = F.round(F.round(F.col("value"), 2) * 100).cast("bigint")
+    w = Window.partitionBy("code").orderBy("date")
+    lag_cols = [F.lag(cents, 1).over(w).alias("_l1")]
+    lag_cols += [F.lag(cents, q).over(w).alias(f"_l{q}") for q in qs]
+    lagged = long_df.select("code", cents.alias("_c"), *lag_cols)
+    # every (code, q) row also carries the base 1-diff so ONE rollup
+    # yields both numerator and denominator moments
+    stack_expr = "stack({}, {}) as (_q, _lq)".format(
+        len(qs), ", ".join(f"{q}, _l{q}" for q in qs))
+    pairs = lagged.selectExpr("code", "_c", "_l1", stack_expr) \
+        .select("code", F.col("_q").cast("bigint").alias("_q"),
+                (F.col("_c") - F.col("_lq")).alias("_dq"),
+                (F.col("_c") - F.col("_l1")).alias("_d1"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    per = pairs.groupBy("code", "_q").agg(
+        F.count(F.when(F.col("_dq").isNotNull(), 1)).cast("bigint")
+        .alias("_nq"),
+        F.sum(dec(F.col("_dq"))).alias("_sq"),
+        F.sum(dec(F.col("_dq")) * F.col("_dq")).alias("_qq"),
+        F.count(F.when(F.col("_d1").isNotNull(), 1)).cast("bigint")
+        .alias("_n1"),
+        F.sum(dec(F.col("_d1"))).alias("_s1"),
+        F.sum(dec(F.col("_d1")) * F.col("_d1")).alias("_q1"),
+    )
+
+    def var(n, s, q2):
+        nd = n.cast("double")
+        return ((dec(n) * q2 - s * s).cast("double")) / (nd * nd)
+
+    vq = var(F.col("_nq"), F.col("_sq"), F.col("_qq"))
+    v1 = var(F.col("_n1"), F.col("_s1"), F.col("_q1"))
+    qd = F.col("_q").cast("double")
+    nd = F.col("_nq").cast("double")
+    vr = vq / (qd * v1)
+    zden = F.sqrt(F.lit(2.0) * (F.lit(2.0) * qd - 1)
+                  * (qd - 1) / (F.lit(3.0) * qd * nd))
+    ok = (F.col("_nq") > 0) & (F.col("_n1") > 1)
+    out = per.select(
+        "code", F.col("_q").alias("q"),
+        F.col("_nq").alias("n_diffs"),
+        F.when(ok & (v1 > 0), vr).alias("variance_ratio"),
+        F.when(ok & (v1 > 0),
+               (vr - F.lit(1.0)) / zden).alias("z_iid"),
+    )
+    return out.orderBy("code", "q") if sort else out

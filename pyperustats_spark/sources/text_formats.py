@@ -104,3 +104,40 @@ def write_orc_table(df: DataFrame, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_xml_table(spark: SparkSession, path: str, row_tag: str,
+                   schema: str, keep_corrupt: bool = False) -> DataFrame:
+    """XML scan with a declared schema (Spark 4's built-in ``xml``
+    source — the spark-xml package merged upstream; the reference's
+    scraped portals serve exactly this shape of row-tagged XML
+    alongside HTML). Same contract as :func:`read_csv_table`: schema
+    REQUIRED (inference = an extra full scan), PERMISSIVE mode with an
+    explicit corrupt-record column so one malformed element never
+    aborts a 1000-executor job, and callers either inspect or drop the
+    quarantined rows. ``row_tag`` names the repeated element that
+    becomes one row; attributes surface with the default ``_`` prefix."""
+    full_schema = schema + f", {CORRUPT_COL} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .format("xml")
+        .load(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def write_xml_table(df: DataFrame, path: str, row_tag: str = "row",
+                    root_tag: str = "rows") -> None:
+    """XML sink (round-trip partner of :func:`read_xml_table`) — used
+    by tests and by export paths feeding XML-only consumers. One file
+    per partition, standard distributed write."""
+    (df.write.mode("overwrite")
+     .option("rowTag", row_tag)
+     .option("rootTag", root_tag)
+     .format("xml")
+     .save(path))

@@ -6422,3 +6422,64 @@ def test_log_odds_terms_separates_planted_vocab(spark):
     # shared filler terms score near zero, strictly below the marker
     filler = [r for r in out if r["lang"] == "en" and r["term"] != "widget"]
     assert all(r["log_odds"] < top[("en", 1)]["log_odds"] for r in filler)
+
+
+def test_variance_ratio_random_walk_near_one(spark):
+    from pyperustats_spark.operators.timeseries import variance_ratio
+    import datetime as dt
+    import hashlib
+
+    def bit(tag, i):
+        return int(hashlib.md5(f"{tag}{i}".encode()).hexdigest(), 16) % 2
+
+    n, base = 600, dt.datetime(2020, 1, 1)
+    rows, level, trend = [], 1000.0, []
+    for i in range(n):
+        level += 1.0 if bit("v", i) else -1.0
+        rows.append((base + dt.timedelta(days=i), "RW", level))
+        # strongly trending series: changes all same sign -> momentum
+        rows.append((base + dt.timedelta(days=i), "TR",
+                     1000.0 + 2.0 * i))
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {(r["code"], r["q"]): r for r in variance_ratio(df).collect()}
+    for q in (2, 4, 8):
+        assert abs(out[("RW", q)]["variance_ratio"] - 1.0) < 0.35
+        assert abs(out[("RW", q)]["z_iid"]) < 4.0
+        # deterministic trend: VR(q) = q exactly (changes constant
+        # -> var_1 = 0? no: constant changes have zero variance)
+    # constant-change series: var_1 = 0 -> NULL in both engines
+    assert out[("TR", 2)]["variance_ratio"] is None
+
+
+def test_variance_ratio_mean_reverting_below_one(spark):
+    from pyperustats_spark.operators.timeseries import variance_ratio
+    import datetime as dt
+
+    # strict alternation reverts every step: VR(2) ~ 0
+    base = dt.datetime(2021, 1, 1)
+    rows = [(base + dt.timedelta(days=i), "ALT",
+             100.0 if i % 2 == 0 else 110.0) for i in range(400)]
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {r["q"]: r for r in variance_ratio(df).collect()}
+    assert out[2]["variance_ratio"] < 0.05
+    assert out[2]["z_iid"] < -5
+
+
+def test_fulfillment_lag_profile_hand_data(spark):
+    from pyperustats_spark.operators.relational import fulfillment_lag_profile
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, d0, "1-URGENT"), (2, d0, "1-URGENT"), (3, d0, "1-URGENT")],
+        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lineitem = spark.createDataFrame(
+        [(1, d0 + dt.timedelta(days=10)),
+         (2, d0 + dt.timedelta(days=20)),
+         (3, d0 + dt.timedelta(days=120))],
+        ["l_orderkey", "l_shipdate"])
+    r = fulfillment_lag_profile(lineitem, orders).collect()[0]
+    assert r["n_items"] == 3 and r["slow_n"] == 1
+    assert abs(r["slow_share"] - 1 / 3) < 1e-15
+    assert r["mean_lag_days"] == 50.0
+    assert r["median_lag_days"] == 20.0

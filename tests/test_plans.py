@@ -118,6 +118,15 @@ BROADCAST_HINT_WHITELIST = {
     "q21_sole_blame_supplier",    # nation (25 rows)
     "q10_returned_items",         # nation (25 rows)
     "ev_skew_profile",            # 1-row grand total
+    "stats_kruskal_wallis",       # value-bounded bucket offsets +
+                                  # 1-row tie-sum total (KS/MW class)
+    "stats_brown_forsythe",       # k-row group-median table +
+                                  # bucket-offset side (KS/MW class)
+    "emb_two_nn_id",              # md5-sampled anchor vectors
+                                  # (O(sample)) + 1-row query total
+    "graph_part_assortativity",   # 1-row node-count aggregate
+    "text_log_odds_terms",        # |langs|-row totals + 1-row (N, V)
+                                  # corpus totals (logprob class)
     "ts_series_depth_profile",    # 1-row (total, deepest) aggregate
     "ev_power_users",             # P-row ntile offset table
     "q15_top_supplier",           # 1-row global max
@@ -489,6 +498,22 @@ def test_participation_pushes_date_filter_to_scan(spark, tables):
 # single partition is a scale regression and fails here.
 PLAN_SMELL_WHITELIST = {
     "q6_revenue_delta": {"SINGLE_PART"},        # global 1-row aggregate
+    "stats_welch_ttest": {"SINGLE_PART"},       # 1-row two-arm aggregate
+    "stats_kruskal_wallis": {"BNLJ", "SINGLE_PART"},  # 1-row tie total
+                                  # cross-joined onto the 1-row stat
+    "stats_brown_forsythe": {"SINGLE_PART"},    # k-row ordered ANOVA
+                                  # window + 1-row final (anova class)
+    "stats_friedman": {"GROUP_SIZE_WINDOW", "SINGLE_PART"},
+                                  # block width counted over YEAR
+                                  # blocks (bounded cardinality) and a
+                                  # global max over the bounded
+                                  # (year x priority) grid + 1-row stat
+    "graph_part_assortativity": {"BNLJ", "SINGLE_PART"},
+                                  # 1-row node count onto 1-row sums
+    "emb_two_nn_id": {"BNLJ", "SINGLE_PART"},   # 1-row anchor count
+                                  # onto the 1-row MLE aggregate
+    "text_log_odds_terms": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
+                                  # corpus totals (logprob class)
     "q_market_share": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
     "corpus_summary": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
     "knn_bruteforce_cosine": {"BNLJ"},          # broadcast query set

@@ -118,3 +118,43 @@ def test_orc_partitioned_layout(spark, tmp_path):
     # partition pruning: only one directory scanned for grp='a'
     pruned = back.where(back.grp == "a")
     assert pruned.count() == 2
+
+
+def test_xml_round_trip_with_schema(spark, tmp_path):
+    from pyperustats_spark.sources.text_formats import (
+        read_xml_table, write_xml_table)
+
+    src = spark.createDataFrame(
+        [(1, "alpha", 3.5), (2, "beta <&> escaped", -1.25),
+         (3, None, 0.0)],
+        ["id", "name", "score"])
+    path = str(tmp_path / "xmlset")
+    write_xml_table(src, path, row_tag="doc", root_tag="docs")
+    back = read_xml_table(
+        spark, path, row_tag="doc",
+        schema="id bigint, name string, score double")
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == [(1, "alpha", 3.5), (2, "beta <&> escaped", -1.25),
+                   (3, None, 0.0)]
+
+
+def test_xml_corrupt_rows_quarantined(spark, tmp_path):
+    from pyperustats_spark.sources.text_formats import (
+        CORRUPT_COL, read_xml_table)
+
+    p = tmp_path / "bad.xml"
+    p.write_text(
+        "<rows>"
+        "<doc><id>1</id><name>ok</name></doc>"
+        "<doc><id>not_a_number</id><name>bad</name></doc>"
+        "</rows>")
+    clean = read_xml_table(spark, str(p), row_tag="doc",
+                           schema="id bigint, name string")
+    rows = sorted([tuple(r) for r in clean.collect()])
+    # strict schema: the unparseable id lands in quarantine, not NULL
+    assert (1, "ok") in rows
+    kept = read_xml_table(spark, str(p), row_tag="doc",
+                          schema="id bigint, name string",
+                          keep_corrupt=True)
+    bad = kept.where(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(bad) == 1
