@@ -3661,28 +3661,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in [*window, *rest]}
 
 
-# lead: 13 changed + 14 never-signed; then oldest countersigns
+# lead: 20 changed + 27 never-signed; then oldest countersigns
 _WINDOW = [
-    "dedup_cdc_chunks", "dedup_cdc_profile", "dedup_cdc_incremental",
-    "dedup_tfidf_cosine", "ts_spearman", "ts_pettitt", "q_abc_pareto",
-    "ev_dispersion", "stats_anova_oneway", "ev_logrank_ab",
-    "ev_periodicity", "multimodal_flac_meta", "ts_cusum_binary_seg",
-    "ann_hamming_topk", "ev_conversion_survival", "ev_diff_in_diff",
-    "ev_hazard_cumulative", "graph_part_adamic_adar",
+    "stats_welch_ttest", "stats_kruskal_wallis",
+    "ev_permutation_entropy", "ts_seasonal_naive_eval",
+    "graph_part_clustering", "emb_two_nn_id", "ev_ols_weekend",
+    "multimodal_mp3_meta", "multimodal_zip_meta",
+    "multimodal_webp_meta", "stats_brown_forsythe",
+    "graph_part_assortativity", "text_simpson_diversity", "ts_hurst",
+    "stats_friedman", "q_repeat_purchases", "text_log_odds_terms",
+    "ts_variance_ratio", "q_fulfillment_lag", "multimodal_pdf_meta",
+    "ann_hamming_topk", "dedup_cdc_chunks", "dedup_cdc_incremental",
+    "dedup_cdc_profile", "dedup_tfidf_cosine", "ev_conversion_survival",
+    "ev_diff_in_diff", "ev_dispersion", "ev_hazard_cumulative",
+    "ev_logrank_ab", "ev_periodicity", "graph_part_adamic_adar",
     "infogob_affiliation_fields", "infogob_candidate_affiliations",
-    "multimodal_bmp_pixel_stats", "multimodal_gif_pixel_stats",
-    "multimodal_tiff_meta", "stats_chi2_independence",
-    "stats_ks_two_sample", "stats_mann_whitney",
-    "ts_series_depth_profile", "dedup_stats_by_source",
-    "embedding_norm_profile", "ev_active_users", "ev_attribution",
-    "ev_burst_profile", "ev_funnel_within", "ev_power_users",
-    "ev_session_stats", "ev_skew_profile", "ev_transitions",
-    "inei_stage_plan", "infogob_candidate_detail_counts",
-    "infogob_candidates_by_election", "infogob_candidates_pending",
-    "infogob_location_hierarchy", "infogob_org_pending",
-    "infogob_results_by_region", "q10_returned_items",
-    "q12_flag_priority", "q13_order_distribution", "q14_promo_share",
-    "q15_top_supplier", "q19_disjunctive_revenue",
+    "multimodal_bmp_pixel_stats", "multimodal_flac_meta",
+    "multimodal_gif_pixel_stats", "multimodal_tiff_meta",
+    "q_abc_pareto", "stats_anova_oneway", "stats_chi2_independence",
+    "stats_ks_two_sample", "stats_mann_whitney", "ts_cusum_binary_seg",
+    "ts_pettitt", "ts_series_depth_profile", "ts_spearman",
+    "dedup_stats_by_source", "embedding_norm_profile", "ev_active_users",
 ]
 
 
