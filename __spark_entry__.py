@@ -1838,6 +1838,13 @@ def ts_hurst(spark, sf_dir):
     return TS.hurst_rs(TS.series_long(_lt(spark, sf_dir, "lineitem")))
 
 
+def ts_ljung_box(spark, sf_dir):
+    """Ljung-Box whiteness Q per series (K=8): r_k from exact
+    integer centered products (n-scaled, DECIMAL), per-lag terms
+    through an ordered K-row window, Q one fixed tree."""
+    return TS.ljung_box(TS.series_long(_lt(spark, sf_dir, "lineitem")))
+
+
 def ts_variance_ratio(spark, sf_dir):
     """Lo-MacKinlay variance ratio per series at horizons 2/4/8:
     exact integer change moments (DECIMAL sums), VR and the iid z
@@ -1869,6 +1876,14 @@ def stats_friedman(spark, sf_dir):
     ties stay integer when doubled), DECIMAL rank-sum squares, one
     correctly-rounded chi-square tree; complete blocks only."""
     return R.friedman_test(_lt(spark, sf_dir, "orders"))
+
+
+def q_price_elasticity(spark, sf_dir):
+    """Log-log demand slope per brand: micro-ln-grid integer inputs,
+    DECIMAL moment sums, slope/r2 on double-cast-first sums
+    (logrank rule); constant-price groups NULL."""
+    return R.price_elasticity(_lt(spark, sf_dir, "lineitem"),
+                              _lt(spark, sf_dir, "part"))
 
 
 def q_fulfillment_lag(spark, sf_dir):
@@ -3510,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_friedman": stats_friedman,
         "q_repeat_purchases": q_repeat_purchases,
         "q_fulfillment_lag": q_fulfillment_lag,
+        "q_price_elasticity": q_price_elasticity,
         "graph_part_assortativity": graph_part_assortativity,
         "text_simpson_diversity": text_simpson_diversity,
         "text_log_odds_terms": text_log_odds_terms,
@@ -3521,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_naive_eval": ts_seasonal_naive_eval,
         "ts_hurst": ts_hurst,
         "ts_variance_ratio": ts_variance_ratio,
+        "ts_ljung_box": ts_ljung_box,
         "org_slugify_rename": org_slugify_rename,
         "org_inventory_by_group": org_inventory_by_group,
         "org_content_dedup_map": org_content_dedup_map,
@@ -5309,6 +5326,73 @@ def oracle_sql() -> dict[str, str]:
         FROM per ORDER BY event_type
     """
 
+    # Ljung-Box: n-scaled exact integer centered products, ordered
+    # K-row cum window, Q one fixed tree; constant series drop
+    sql["ts_ljung_box"] = """
+        WITH long AS ({long}),
+        base AS (
+            SELECT code, date,
+                   CAST(round(round(value, 2) * 100) AS BIGINT) AS c
+            FROM long
+        ),
+        lagged AS (
+            SELECT code, c,
+                   CAST(sum(c) OVER wp AS BIGINT) AS stot,
+                   CAST(count(*) OVER wp AS BIGINT) AS n,
+                   lag(c, 1) OVER wo AS g1, lag(c, 2) OVER wo AS g2,
+                   lag(c, 3) OVER wo AS g3, lag(c, 4) OVER wo AS g4,
+                   lag(c, 5) OVER wo AS g5, lag(c, 6) OVER wo AS g6,
+                   lag(c, 7) OVER wo AS g7, lag(c, 8) OVER wo AS g8
+            FROM base
+            WINDOW wo AS (PARTITION BY code ORDER BY date),
+                   wp AS (PARTITION BY code)
+        ),
+        pairs AS (
+            SELECT code, k, n,
+                   CAST(n AS HUGEINT) * c - stot AS dv,
+                   CASE WHEN p IS NOT NULL THEN
+                       CAST(n AS HUGEINT) * p - stot END AS dp
+            FROM (
+                SELECT code, c, stot, n, 1 AS k, g1 AS p FROM lagged
+                UNION ALL SELECT code, c, stot, n, 2, g2 FROM lagged
+                UNION ALL SELECT code, c, stot, n, 3, g3 FROM lagged
+                UNION ALL SELECT code, c, stot, n, 4, g4 FROM lagged
+                UNION ALL SELECT code, c, stot, n, 5, g5 FROM lagged
+                UNION ALL SELECT code, c, stot, n, 6, g6 FROM lagged
+                UNION ALL SELECT code, c, stot, n, 7, g7 FROM lagged
+                UNION ALL SELECT code, c, stot, n, 8, g8 FROM lagged
+            )
+        ),
+        per_k AS (
+            SELECT code, CAST(k AS BIGINT) AS k,
+                   CAST(max(n) AS BIGINT) AS n,
+                   sum(CASE WHEN dp IS NOT NULL THEN dv * dp END)
+                       AS num,
+                   sum(dv * dv) AS den
+            FROM pairs GROUP BY 1, 2
+        ),
+        cums AS (
+            SELECT code, k, n,
+                   sum(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                       * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                       / CAST(n - k AS DOUBLE))
+                       OVER (PARTITION BY code ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                             CURRENT ROW) AS ct
+            FROM per_k WHERE den > 0
+        ),
+        ag AS (
+            SELECT code, CAST(max(n) AS BIGINT) AS n_obs,
+                   CAST(count(*) AS BIGINT) AS lags_used,
+                   max_by(ct, k) AS lct
+            FROM cums GROUP BY 1
+        )
+        SELECT code, n_obs, lags_used,
+               CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) + 2.0)
+               * lct AS q_lb
+        FROM ag ORDER BY code
+    """.format(long=_LONG)
+
     # variance ratio: exact integer change moments, VR and z as
     # fixed double trees; base-lag moments ride the stack rows
     sql["ts_variance_ratio"] = """
@@ -5547,6 +5631,45 @@ def oracle_sql() -> dict[str, str]:
                      * (CAST(k_treatments AS DOUBLE) + 1.0)
                END AS chi2_f
         FROM a
+    """
+
+    # elasticity: micro-ln integer inputs, HUGEINT moments,
+    # double-cast-first slope/r2 trees
+    sql["q_price_elasticity"] = """
+        WITH base AS (
+            SELECT p.p_brand AS g,
+                   CAST(round(ln(CAST(CAST(round(round(p.p_retailprice,
+                        2) * 100) AS BIGINT) AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS x,
+                   CAST(round(ln(CAST(CAST(l.l_quantity AS BIGINT)
+                        AS DOUBLE)) * 1000000) AS BIGINT) AS y
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        per AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_items,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM base GROUP BY 1
+        ),
+        d AS (
+            SELECT g, n_items,
+                   CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                   CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                   CAST(n_items AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+            FROM per
+        )
+        SELECT g AS p_brand, n_items,
+               CASE WHEN vx <> 0 THEN cov / vx END AS elasticity,
+               CASE WHEN vx <> 0 AND vy <> 0 THEN
+                   cov * cov / (vx * vy) END AS r2
+        FROM d ORDER BY p_brand
     """
 
     # fulfillment lag card: integer day lags, value-bounded curve

@@ -3308,3 +3308,71 @@ def fulfillment_lag_profile(lineitem: DataFrame, orders: DataFrame,
         .alias("median_lag_days"),
     )
     return out.orderBy("priority") if sort else out
+
+
+def price_elasticity(lineitem: DataFrame, part: DataFrame,
+                     group_col: str = "p_brand",
+                     sort: bool = True) -> DataFrame:
+    """Log–log demand-curve card per *group_col*: regress
+    ln(quantity) on ln(retail price) across line items — the OLS
+    slope IS the price elasticity of demand for the group (−0.8:
+    inelastic staple; −3: luxury), with r² saying whether a constant-
+    elasticity model fits at all. The econometric reading of the q9
+    join family. One row per group: (group, n_items, elasticity,
+    r2).
+
+    Cross-engine determinism: price cents and quantities are exact
+    integers, so both regression inputs are ln-of-integer values
+    snapped to the 1e-6 grid AS INTEGERS (x = micro-ln price,
+    y = micro-ln qty); all five moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    accumulate exactly in DECIMAL(38,0), and the slope/r² trees run
+    on DOUBLE-CAST-FIRST sums (the logrank rule: cross-products of
+    sums would overflow 38 digits near n ~ 10¹²; int→double is
+    correctly rounded). The micro-ln grid cancels in the slope's
+    units: micro/micro = nats per nat. Degenerate groups (constant
+    price) → NULL via the same zero-denominator CASE.
+
+    Scale shape: one q9-class keyed join (part side is partkey-
+    bounded — AQE broadcasts when it fits), one partial-aggregated
+    pass to k group rows, no windows."""
+    price_cents = F.round(F.round(F.col("p_retailprice"), 2) * 100) \
+        .cast("bigint")
+    joined = lineitem.select(
+        F.col("l_partkey").alias("_pk"),
+        F.col("l_quantity").cast("bigint").alias("_q")) \
+        .join(part.select(F.col("p_partkey").alias("_pk"),
+                          F.col(group_col).alias("_g"),
+                          price_cents.alias("_pc")), "_pk")
+    x = F.round(F.log(F.col("_pc").cast("double")) * 1e6) \
+        .cast("bigint")
+    y = F.round(F.log(F.col("_q").cast("double")) * 1e6) \
+        .cast("bigint")
+    base = joined.select("_g", x.alias("_x"), y.alias("_y"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x")) * F.col("_y")).alias("_sxy"),
+        F.sum(dec(F.col("_x")) * F.col("_x")).alias("_sxx"),
+        F.sum(dec(F.col("_y")) * F.col("_y")).alias("_syy"),
+    )
+    nd = F.col("n_items").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    out = per.select(
+        F.col("_g").alias(group_col), "n_items",
+        F.when(vx != 0, cov / vx).alias("elasticity"),
+        F.when((vx != 0) & (vy != 0),
+               cov * cov / (vx * vy)).alias("r2"),
+    )
+    return out.orderBy(group_col) if sort else out

@@ -2106,3 +2106,74 @@ def variance_ratio(long_df: DataFrame, qs: tuple[int, ...] = (2, 4, 8),
                (vr - F.lit(1.0)) / zden).alias("z_iid"),
     )
     return out.orderBy("code", "q") if sort else out
+
+
+def ljung_box(long_df: DataFrame, max_lag: int = 8,
+              sort: bool = True) -> DataFrame:
+    """Ljung–Box portmanteau test per series (Biometrika 65:297,
+    1978): Q = n(n+2) Σ_{k≤K} r_k²/(n−k) against chi-square(K) — "is
+    there ANY autocorrelation left?" — the standard residual
+    whiteness check after de-trending/forecasting, complementing
+    :func:`acf`'s per-lag view with one decision number. One row per
+    series: (code, n_obs, lags_used, q_lb). P-value client-side,
+    suite policy.
+
+    Exactness: the classic estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄) /
+    Σ(x_t−x̄)² multiplies through by n² into EXACT integers —
+    N_k = Σ (n·x_t − S)(n·x_{t−k} − S) and D = Σ (n·x_t − S)² in
+    DECIMAL(38,0) — so each r_k is one exact-int-cast double
+    division; the K ≤ 8 per-lag terms r_k²/(n−k) then accumulate
+    through an ORDERED window over k (the anova idiom — a plain
+    groupBy sum of doubles would be merge-order-flaky), and
+    Q = n(n+2)·Σ is a fixed tree. Constant series (D = 0) → NULL.
+
+    Scale shape: ONE per-code window pass produces every lag column
+    PLUS the per-series S and n (same-partitioning unbounded-frame
+    sums — bounded by series depth, the standard ts class), a stack
+    unpivot, one partial-aggregated (code, k) rollup, a K-row
+    ordered window, and a per-code final aggregate. The series
+    shuffles once."""
+    cents = F.round(F.round(F.col("value"), 2) * 100).cast("bigint")
+    w = Window.partitionBy("code").orderBy("date")
+    wg = Window.partitionBy("code")
+    lags = tuple(range(1, max_lag + 1))
+    lagged = long_df.select(
+        "code", cents.alias("_c"),
+        F.sum(cents).over(wg).cast("bigint").alias("_stot"),
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("_n"),
+        *[F.lag(cents, k).over(w).alias(f"_g{k}") for k in lags])
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    dev = dec(F.col("_n")) * F.col("_c") - F.col("_stot")
+    stack_expr = "stack({}, {}) as (_k, _p)".format(
+        len(lags), ", ".join(f"{k}, _g{k}" for k in lags))
+    pairs = lagged.selectExpr("code", "_c", "_stot", "_n", stack_expr) \
+        .select(
+            "code", F.col("_k").cast("bigint").alias("_k"), "_n",
+            dev.alias("_dv"),
+            (dec(F.col("_n")) * F.col("_p") - F.col("_stot"))
+            .alias("_dp"),
+            F.col("_p").isNotNull().alias("_ok"))
+    per_k = pairs.groupBy("code", "_k").agg(
+        F.max("_n").alias("_n"),
+        F.sum(F.when(F.col("_ok"), F.col("_dv") * F.col("_dp")))
+        .alias("_num"),
+        F.sum(F.col("_dv") * F.col("_dv")).alias("_den"))
+    rk = F.col("_num").cast("double") / F.col("_den").cast("double")
+    term = rk * rk / (F.col("_n") - F.col("_k")).cast("double")
+    wk = Window.partitionBy("code").orderBy("_k") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_k.where(F.col("_den") > 0) \
+        .select("code", "_k", "_n", F.sum(term).over(wk).alias("_ct"))
+    agg = cums.groupBy("code").agg(
+        F.max("_n").cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("lags_used"),
+        F.max(F.struct("_k", "_ct")).alias("_last"))
+    nd = F.col("n_obs").cast("double")
+    out = agg.select(
+        "code", "n_obs", "lags_used",
+        (nd * (nd + F.lit(2.0)) * F.col("_last._ct")).alias("q_lb"),
+    )
+    return out.orderBy("code") if sort else out

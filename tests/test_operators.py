@@ -6483,3 +6483,62 @@ def test_fulfillment_lag_profile_hand_data(spark):
     assert abs(r["slow_share"] - 1 / 3) < 1e-15
     assert r["mean_lag_days"] == 50.0
     assert r["median_lag_days"] == 20.0
+
+
+def test_ljung_box_white_vs_autocorrelated(spark):
+    from pyperustats_spark.operators.timeseries import ljung_box
+    import datetime as dt
+    import hashlib
+
+    base = dt.datetime(2022, 1, 1)
+    rows = []
+    level = 0.0
+    for i in range(400):
+        white = 100.0 + (int(hashlib.md5(f"w{i}".encode())
+                             .hexdigest(), 16) % 41) - 20
+        level = 0.9 * level + ((int(hashlib.md5(f"a{i}".encode())
+                                    .hexdigest(), 16) % 21) - 10)
+        rows.append((base + dt.timedelta(days=i), "WHITE", white))
+        rows.append((base + dt.timedelta(days=i), "AR",
+                     round(100.0 + level, 2)))
+        rows.append((base + dt.timedelta(days=i), "CONST", 5.0))
+    df = spark.createDataFrame(rows, ["date", "code", "value"])
+    out = {r["code"]: r for r in ljung_box(df).collect()}
+    # chi2(8) 99th percentile ~ 20.1: AR(1) blows past, white doesn't
+    assert out["AR"]["q_lb"] > 100
+    assert out["WHITE"]["q_lb"] < 25
+    assert out["WHITE"]["lags_used"] == 8
+    # constant series: zero variance -> no row at all
+    assert "CONST" not in out
+
+
+def test_price_elasticity_planted_slope(spark):
+    from pyperustats_spark.operators.relational import price_elasticity
+    import math
+
+    # plant qty = round(K / price): elasticity ~ -1 on the ln grid
+    parts, items = [], []
+    for i in range(60):
+        price = 10.0 + i * 5.0
+        parts.append((i, "B#1", price))
+        qty = max(1, round(3000.0 / price))
+        items.append((i, qty))
+    part = spark.createDataFrame(parts,
+                                 ["p_partkey", "p_brand", "p_retailprice"])
+    li = spark.createDataFrame(items, ["l_partkey", "l_quantity"])
+    r = price_elasticity(li, part).collect()[0]
+    assert r["n_items"] == 60
+    assert -1.1 < r["elasticity"] < -0.9
+    assert r["r2"] > 0.98
+
+
+def test_price_elasticity_constant_price_null(spark):
+    from pyperustats_spark.operators.relational import price_elasticity
+
+    part = spark.createDataFrame(
+        [(1, "B", 20.0), (2, "B", 20.0)],
+        ["p_partkey", "p_brand", "p_retailprice"])
+    li = spark.createDataFrame([(1, 5), (2, 9)],
+                               ["l_partkey", "l_quantity"])
+    r = price_elasticity(li, part).collect()[0]
+    assert r["elasticity"] is None and r["r2"] is None
