@@ -1878,6 +1878,21 @@ def stats_friedman(spark, sf_dir):
     return R.friedman_test(_lt(spark, sf_dir, "orders"))
 
 
+def ev_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting (new/retained/resurrected/churned):
+    one per-user window pass over distinct (user, week), integer
+    classification, churn closed only against contiguous weeks."""
+    return E.growth_accounting(_lt(spark, sf_dir, "events"))
+
+
+def q_basket_rules(spark, sf_dir):
+    """Association rules (support/confidence/lift) over order
+    baskets: part_affinity's capped inverted-index idiom, both
+    directions, exact DECIMAL lift products, top-k via TakeOrdered
+    on the total (lift, ids) order."""
+    return R.basket_rules(_lt(spark, sf_dir, "lineitem"))
+
+
 def q_price_elasticity(spark, sf_dir):
     """Log-log demand slope per brand: micro-ln-grid integer inputs,
     DECIMAL moment sums, slope/r2 on double-cast-first sums
@@ -3526,6 +3541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeat_purchases": q_repeat_purchases,
         "q_fulfillment_lag": q_fulfillment_lag,
         "q_price_elasticity": q_price_elasticity,
+        "ev_growth_accounting": ev_growth_accounting,
+        "q_basket_rules": q_basket_rules,
         "graph_part_assortativity": graph_part_assortativity,
         "text_simpson_diversity": text_simpson_diversity,
         "text_log_odds_terms": text_log_odds_terms,
@@ -5631,6 +5648,94 @@ def oracle_sql() -> dict[str, str]:
                      * (CAST(k_treatments AS DOUBLE) + 1.0)
                END AS chi2_f
         FROM a
+    """
+
+    # growth accounting: integer week buckets, per-user lag/min in
+    # one window pass, contiguous-week churn
+    sql["ev_growth_accounting"] = """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) // 604800000000
+                       AS wk
+            FROM events
+        ),
+        flagged AS (
+            SELECT wk,
+                   lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                       AS prev,
+                   min(wk) OVER (PARTITION BY user_id) AS fw
+            FROM uw
+        ),
+        per AS (
+            SELECT wk, CAST(count(*) AS BIGINT) AS active,
+                   CAST(sum(CASE WHEN wk = fw THEN 1 ELSE 0 END)
+                        AS BIGINT) AS new_users,
+                   CAST(sum(CASE WHEN prev = wk - 1 THEN 1 ELSE 0
+                            END) AS BIGINT) AS retained,
+                   CAST(sum(CASE WHEN wk != fw
+                                  AND coalesce(prev, -10) < wk - 1
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS resurrected
+            FROM flagged GROUP BY 1
+        )
+        SELECT wk AS week, active, new_users, retained, resurrected,
+               CAST(CASE WHEN lag(wk) OVER (ORDER BY wk) = wk - 1
+                    THEN lag(active) OVER (ORDER BY wk) - retained
+                    ELSE 0 END AS BIGINT) AS churned_from_prev
+        FROM per ORDER BY week
+    """
+
+    # basket rules: capped inverted-index pairs, both directions,
+    # exact HUGEINT lift products, TakeOrdered-equivalent LIMIT on
+    # the total (lift, ids) order
+    sql["q_basket_rules"] = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        ok AS (
+            SELECT l_orderkey FROM items GROUP BY l_orderkey
+            HAVING count(*) BETWEEN 2 AND 50
+        ),
+        it AS (
+            SELECT i.l_orderkey, i.l_partkey
+            FROM items i JOIN ok USING (l_orderkey)
+        ),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ok),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM it a JOIN it b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        pc AS (
+            SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n
+            FROM it GROUP BY 1
+        ),
+        bth AS (
+            SELECT p.pa, p.pb, p.n_both, ca.n AS na, cb.n AS nbc
+            FROM pairs p
+            JOIN pc ca ON p.pa = ca.pk
+            JOIN pc cb ON p.pb = cb.pk
+        ),
+        directional AS (
+            SELECT pa AS antecedent, pb AS consequent, n_both,
+                   na AS n_ant, nbc AS n_con FROM bth
+            UNION ALL
+            SELECT pb, pa, n_both, nbc, na FROM bth
+        )
+        SELECT CAST(antecedent AS BIGINT) AS antecedent,
+               CAST(consequent AS BIGINT) AS consequent, n_both,
+               n_both / nb.n AS support,
+               n_both / n_ant AS confidence,
+               CAST(CAST(nb.n AS HUGEINT) * n_both AS DOUBLE)
+               / CAST(CAST(n_ant AS HUGEINT) * n_con AS DOUBLE)
+                   AS lift
+        FROM directional, nb
+        ORDER BY lift DESC, antecedent, consequent
+        LIMIT 50
     """
 
     # elasticity: micro-ln integer inputs, HUGEINT moments,

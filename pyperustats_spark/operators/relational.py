@@ -3376,3 +3376,83 @@ def price_elasticity(lineitem: DataFrame, part: DataFrame,
                cov * cov / (vx * vy)).alias("r2"),
     )
     return out.orderBy(group_col) if sort else out
+
+
+def basket_rules(lineitem: DataFrame, max_basket: int = 50,
+                 min_both: int = 2, k: int = 50,
+                 sort: bool = True) -> DataFrame:
+    """Directional association rules over order baskets — the
+    support / confidence / lift triple (Agrawal–Imieliński–Swami,
+    SIGMOD '93) that :func:`part_affinity`'s symmetric Jaccard view
+    deliberately isn't: confidence(A→B) = P(B|A) ranks what to
+    RECOMMEND given A in the basket, lift > 1 says the pair beats
+    independence. Top-*k* rules by lift (ties broken on the part
+    ids), both directions emitted. Columns: (antecedent, consequent,
+    n_both, support, confidence, lift).
+
+    Exactness: all counts are integers off the SAME capped basket
+    set (numerators match denominators by construction); support and
+    confidence are int/int IEEE divisions; lift = (N·n_both)/(n_a·n_b)
+    divides two exact DECIMAL products cast to double — every output
+    and the lift ORDERING are bit-identical cross-engine (identical
+    double bits order identically). *min_both* prunes noise pairs
+    before ranking in both engines.
+
+    Scale shape: the part_affinity inverted-index idiom verbatim
+    (distinct items → capped basket gather → chained-explode pairs,
+    never a self-join), per-part counts from the same item set, a
+    1-row basket total broadcast (audited q_market_share class), and
+    one top-k window over the pruned pair set."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        items.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("parts"))
+        .where((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
+        .select("l_orderkey", F.array_sort("parts").alias("parts"))
+    ).persist()
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("_nb"))
+    it = baskets.select("l_orderkey", F.explode("parts").alias("pk"))
+    pairs = (
+        baskets.select(F.explode("parts").alias("pa"), F.col("parts"))
+        .select("pa", F.explode("parts").alias("pb"))
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= min_both)
+    )
+    pc = it.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    both = (
+        pairs.join(pc.select(F.col("pk").alias("pa"),
+                             F.col("n").alias("_na")), "pa")
+        .join(pc.select(F.col("pk").alias("pb"),
+                        F.col("n").alias("_nb2")), "pb")
+    )
+    # emit both directions: A->B and B->A share n_both and lift
+    directional = both.selectExpr(
+        "pa as antecedent", "pb as consequent", "n_both",
+        "_na as n_ant", "_nb2 as n_con"
+    ).union(both.selectExpr(
+        "pb as antecedent", "pa as consequent", "n_both",
+        "_nb2 as n_ant", "_na as n_con"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    scored = directional.crossJoin(F.broadcast(nb)).select(
+        F.col("antecedent").cast("bigint").alias("antecedent"),
+        F.col("consequent").cast("bigint").alias("consequent"),
+        "n_both",
+        (F.col("n_both") / F.col("_nb")).alias("support"),
+        (F.col("n_both") / F.col("n_ant")).alias("confidence"),
+        ((dec(F.col("_nb")) * F.col("n_both")).cast("double")
+         / (dec(F.col("n_ant")) * F.col("n_con")).cast("double"))
+        .alias("lift"),
+    )
+    # top-k via TakeOrdered on the (lift, ids) TOTAL order — a
+    # distributed heap, NOT a partition-less rank window over the
+    # pair set (identical double bits order identically, so the cut
+    # is cross-engine deterministic)
+    out = scored.orderBy(F.desc("lift"), "antecedent", "consequent") \
+        .limit(k)
+    return out

@@ -6542,3 +6542,55 @@ def test_price_elasticity_constant_price_null(spark):
                                ["l_partkey", "l_quantity"])
     r = price_elasticity(li, part).collect()[0]
     assert r["elasticity"] is None and r["r2"] is None
+
+
+def test_growth_accounting_ledger_balances(spark):
+    from pyperustats_spark.operators.events import growth_accounting
+    import datetime as dt
+
+    def ts(week, user):
+        return (f"u{user}",
+                dt.datetime(2024, 1, 1) + dt.timedelta(weeks=week,
+                                                       hours=user))
+
+    # w0: u1 u2 u3 | w1: u1 u2 | w2: u2 u4 u1(resurrect? no: u1 in w1)
+    rows = [ts(0, 1), ts(0, 2), ts(0, 3),
+            ts(1, 1), ts(1, 2),
+            ts(2, 2), ts(2, 4), ts(2, 3)]   # u3 resurrects in w2
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sorted([r.asDict() for r in growth_accounting(df).collect()],
+                 key=lambda r: r["week"])
+    w0, w1, w2 = out
+    assert (w0["active"], w0["new_users"]) == (3, 3)
+    assert w0["churned_from_prev"] == 0
+    assert (w1["active"], w1["new_users"], w1["retained"]) == (2, 0, 2)
+    assert w1["churned_from_prev"] == 1          # u3 left
+    assert (w2["active"], w2["new_users"], w2["retained"],
+            w2["resurrected"]) == (3, 1, 1, 1)   # u4 new, u2 ret, u3 res
+    assert w2["churned_from_prev"] == 1          # u1 left
+    # the ledger identity: active = new + retained + resurrected
+    for w in out:
+        assert w["active"] == (w["new_users"] + w["retained"]
+                               + w["resurrected"])
+
+
+def test_basket_rules_planted_lift(spark):
+    from pyperustats_spark.operators.relational import basket_rules
+
+    # parts 1,2 always co-occur; part 3 floats everywhere
+    rows = []
+    for o in range(10):
+        rows += [(o, 1), (o, 2), (o, 3)]
+    for o in range(10, 20):
+        rows += [(o, 3), (o, 4)]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = basket_rules(df, k=20).collect()
+    top = out[0]
+    # the 1<->2 pair beats independence hardest: lift = 20*10/(10*10)
+    assert {top["antecedent"], top["consequent"]} == {1, 2}
+    assert abs(top["lift"] - 2.0) < 1e-15
+    assert top["confidence"] == 1.0
+    assert abs(top["support"] - 0.5) < 1e-15
+    # part 3 is in every basket: lift vs anything = 1
+    r34 = [r for r in out if {r["antecedent"], r["consequent"]} == {3, 4}]
+    assert all(abs(r["lift"] - 1.0) < 1e-15 for r in r34)
