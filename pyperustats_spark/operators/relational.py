@@ -3403,12 +3403,19 @@ def basket_rules(lineitem: DataFrame, max_basket: int = 50,
     never a self-join), per-part counts from the same item set, a
     1-row basket total broadcast (audited q_market_share class), and
     one top-k window over the pruned pair set."""
+    # bounded-parallelism repartition on the persisted frame: a plain
+    # session leaves every downstream explode/groupBy at
+    # spark.sql.shuffle.partitions (200) of tiny tasks off a cached
+    # frame (the copurchase_triangle_stats rule; measured there
+    # 54s -> 21s at sf0.01 driver posture)
+    par = lineitem.sparkSession.sparkContext.defaultParallelism
     items = lineitem.select("l_orderkey", "l_partkey").distinct()
     baskets = (
         items.groupBy("l_orderkey")
         .agg(F.collect_list("l_partkey").alias("parts"))
         .where((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
         .select("l_orderkey", F.array_sort("parts").alias("parts"))
+        .repartition(par)
     ).persist()
     nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("_nb"))
     it = baskets.select("l_orderkey", F.explode("parts").alias("pk"))
