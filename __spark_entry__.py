@@ -3695,7 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in [*window, *rest]}
 
 
-# lead: 20 changed + 27 never-signed; then oldest countersigns
+# lead: 24 changed + 27 never-signed; then oldest countersigns
 _WINDOW = [
     "stats_welch_ttest", "stats_kruskal_wallis",
     "ev_permutation_entropy", "ts_seasonal_naive_eval",
@@ -3705,17 +3705,18 @@ _WINDOW = [
     "graph_part_assortativity", "text_simpson_diversity", "ts_hurst",
     "stats_friedman", "q_repeat_purchases", "text_log_odds_terms",
     "ts_variance_ratio", "q_fulfillment_lag", "multimodal_pdf_meta",
-    "ann_hamming_topk", "dedup_cdc_chunks", "dedup_cdc_incremental",
-    "dedup_cdc_profile", "dedup_tfidf_cosine", "ev_conversion_survival",
-    "ev_diff_in_diff", "ev_dispersion", "ev_hazard_cumulative",
-    "ev_logrank_ab", "ev_periodicity", "graph_part_adamic_adar",
-    "infogob_affiliation_fields", "infogob_candidate_affiliations",
-    "multimodal_bmp_pixel_stats", "multimodal_flac_meta",
-    "multimodal_gif_pixel_stats", "multimodal_tiff_meta",
-    "q_abc_pareto", "stats_anova_oneway", "stats_chi2_independence",
-    "stats_ks_two_sample", "stats_mann_whitney", "ts_cusum_binary_seg",
-    "ts_pettitt", "ts_series_depth_profile", "ts_spearman",
-    "dedup_stats_by_source", "embedding_norm_profile", "ev_active_users",
+    "ts_ljung_box", "q_price_elasticity", "ev_growth_accounting",
+    "q_basket_rules", "ann_hamming_topk", "dedup_cdc_chunks",
+    "dedup_cdc_incremental", "dedup_cdc_profile", "dedup_tfidf_cosine",
+    "ev_conversion_survival", "ev_diff_in_diff", "ev_dispersion",
+    "ev_hazard_cumulative", "ev_logrank_ab", "ev_periodicity",
+    "graph_part_adamic_adar", "infogob_affiliation_fields",
+    "infogob_candidate_affiliations", "multimodal_bmp_pixel_stats",
+    "multimodal_flac_meta", "multimodal_gif_pixel_stats",
+    "multimodal_tiff_meta", "q_abc_pareto", "stats_anova_oneway",
+    "stats_chi2_independence", "stats_ks_two_sample",
+    "stats_mann_whitney", "ts_cusum_binary_seg", "ts_pettitt",
+    "ts_series_depth_profile",
 ]
 
 
