@@ -1878,6 +1878,14 @@ def stats_friedman(spark, sf_dir):
     return R.friedman_test(_lt(spark, sf_dir, "orders"))
 
 
+def ev_funnel_timing(spark, sf_dir):
+    """Funnel timing table (view->click->purchase + end-to-end):
+    one conditional-min per-user aggregate, fixed pair stack, exact
+    integer-microsecond lags with interpolated p50/p90 (the
+    conversion_lag class)."""
+    return E.funnel_timing(_lt(spark, sf_dir, "events"))
+
+
 def ev_growth_accounting(spark, sf_dir):
     """Weekly growth accounting (new/retained/resurrected/churned):
     one per-user window pass over distinct (user, week), integer
@@ -3542,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fulfillment_lag": q_fulfillment_lag,
         "q_price_elasticity": q_price_elasticity,
         "ev_growth_accounting": ev_growth_accounting,
+        "ev_funnel_timing": ev_funnel_timing,
         "q_basket_rules": q_basket_rules,
         "graph_part_assortativity": graph_part_assortativity,
         "text_simpson_diversity": text_simpson_diversity,
@@ -5649,6 +5658,49 @@ def oracle_sql() -> dict[str, str]:
                      * (CAST(k_treatments AS DOUBLE) + 1.0)
                END AS chi2_f
         FROM a
+    """
+
+    # funnel timing: one conditional-min aggregate, pair stack,
+    # integer-us lags, quantile_cont == Spark exact percentile
+    sql["ev_funnel_timing"] = """
+        WITH mins AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       AS t0,
+                   min(CASE WHEN event_type = 'click' THEN ts END)
+                       AS t1,
+                   min(CASE WHEN event_type = 'purchase' THEN ts
+                       END) AS t2
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+            GROUP BY user_id
+        ),
+        pairs AS (
+            SELECT 'view' AS sf, 'click' AS st, t0 AS tf, t1 AS tt
+            FROM mins
+            UNION ALL
+            SELECT 'click', 'purchase', t1, t2 FROM mins
+            UNION ALL
+            SELECT 'view', 'purchase', t0, t2 FROM mins
+        ),
+        lags AS (
+            SELECT sf, st, tf IS NOT NULL AS hf,
+                   CASE WHEN tt >= tf THEN
+                       date_diff('microsecond', tf, tt) END AS lag_us
+            FROM pairs
+        )
+        SELECT sf AS step_from, st AS step_to,
+               CAST(sum(CASE WHEN hf THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_from,
+               CAST(count(lag_us) AS BIGINT) AS n_converted,
+               CASE WHEN sum(CASE WHEN hf THEN 1 ELSE 0 END) > 0
+                    THEN count(lag_us)
+                         / CAST(sum(CASE WHEN hf THEN 1 ELSE 0 END)
+                                AS BIGINT)
+               END AS conversion_rate,
+               quantile_cont(lag_us, 0.5) AS p50_lag_us,
+               quantile_cont(lag_us, 0.9) AS p90_lag_us
+        FROM lags GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     # growth accounting: integer week buckets, per-user lag/min in

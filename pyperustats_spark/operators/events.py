@@ -2431,3 +2431,64 @@ def growth_accounting(events: DataFrame, sort: bool = True) -> DataFrame:
         .otherwise(F.lit(0)).cast("bigint").alias("churned_from_prev"),
     )
     return out.orderBy("week") if sort else out
+
+
+def funnel_timing(events: DataFrame,
+                  steps: tuple[str, ...] = ("view", "click",
+                                            "purchase"),
+                  sort: bool = True) -> DataFrame:
+    """Funnel TIMING table — :func:`conversion_lag_stats` generalized
+    to every step pair of the funnel (consecutive pairs plus the
+    end-to-end pair): for each (from, to), the users whose first
+    FIRST-EVER *to* falls at-or-after their first *from* convert
+    (strict funnel order — an out-of-order user is a
+    non-conversion), with exact p50/p90 lags.
+    funnel_steps says how many survive each step; this says how long
+    each hop takes — together they are the complete funnel card.
+    One row per pair: (step_from, step_to, n_from, n_converted,
+    conversion_rate, p50_lag_us, p90_lag_us).
+
+    Exactness: per-user first-timestamps come from ONE partial
+    aggregate over the steps-filtered events (conditional mins — the
+    funnel_steps idiom, no per-pair scans); lags are integer
+    microseconds; exact percentile interpolation over integers is
+    bit-identical cross-engine (the conversion_lag_stats class, with
+    the same documented single-buffer caveat and approx_percentile
+    swap at 100 TB); conversion_rate ships as the raw int/int
+    quotient.
+
+    Scale shape: one filtered scan → one per-user aggregate with a
+    conditional min per step (k columns, not k passes), then a fixed
+    |pairs|-row stack and a per-pair 1-row aggregate (audited
+    bounded-dimension class)."""
+    mins = events.where(F.col("event_type").isin(*steps)) \
+        .groupBy("user_id").agg(*[
+            F.min(F.when(F.col("event_type") == s, F.col("ts")))
+            .alias(f"_t{i}") for i, s in enumerate(steps)])
+    pair_idx = [(i, i + 1) for i in range(len(steps) - 1)]
+    if len(steps) > 2:
+        pair_idx.append((0, len(steps) - 1))
+    stack_rows = ", ".join(
+        f"'{steps[a]}', '{steps[b]}', _t{a}, _t{b}"
+        for a, b in pair_idx)
+    pairs = mins.selectExpr(
+        "user_id",
+        f"stack({len(pair_idx)}, {stack_rows}) as "
+        "(step_from, step_to, _tf, _tt)")
+    lags = pairs.select(
+        "step_from", "step_to",
+        F.col("_tf").isNotNull().alias("_has_from"),
+        F.when(F.col("_tt") >= F.col("_tf"),
+               F.unix_micros(F.col("_tt"))
+               - F.unix_micros(F.col("_tf"))).alias("_lag_us"))
+    out = lags.groupBy("step_from", "step_to").agg(
+        F.sum(F.col("_has_from").cast("int")).cast("bigint")
+        .alias("n_from"),
+        F.count("_lag_us").cast("bigint").alias("n_converted"),
+        F.try_divide(F.count("_lag_us"),
+                     F.sum(F.col("_has_from").cast("int")))
+        .alias("conversion_rate"),
+        F.percentile("_lag_us", F.lit(0.5)).alias("p50_lag_us"),
+        F.percentile("_lag_us", F.lit(0.9)).alias("p90_lag_us"),
+    )
+    return out.orderBy("step_from", "step_to") if sort else out

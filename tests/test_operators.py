@@ -6594,3 +6594,36 @@ def test_basket_rules_planted_lift(spark):
     # part 3 is in every basket: lift vs anything = 1
     r34 = [r for r in out if {r["antecedent"], r["consequent"]} == {3, 4}]
     assert all(abs(r["lift"] - 1.0) < 1e-15 for r in r34)
+
+
+def test_funnel_timing_hand_sequence(spark):
+    from pyperustats_spark.operators.events import funnel_timing
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, ty, minutes):
+        return (u, ty, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: full funnel, 10 min then 20 min
+        ev("u1", "view", 0), ev("u1", "click", 10),
+        ev("u1", "purchase", 30),
+        # u2: views, clicks at 60, never buys
+        ev("u2", "view", 0), ev("u2", "click", 60),
+        # u3: buys BEFORE viewing -> out-of-order, not a conversion
+        ev("u3", "purchase", 0), ev("u3", "view", 5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {(r["step_from"], r["step_to"]): r
+           for r in funnel_timing(df).collect()}
+    vc = out[("view", "click")]
+    assert vc["n_from"] == 3 and vc["n_converted"] == 2
+    assert vc["p50_lag_us"] == (10 + 60) / 2 * 60 * 1e6
+    cp = out[("click", "purchase")]
+    assert cp["n_from"] == 2 and cp["n_converted"] == 1
+    assert cp["p50_lag_us"] == 20 * 60 * 1e6
+    vp = out[("view", "purchase")]
+    # u3's first purchase precedes the first view: non-conversion
+    assert vp["n_from"] == 3 and vp["n_converted"] == 1
+    assert vp["p90_lag_us"] == 30 * 60 * 1e6
