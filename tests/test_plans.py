@@ -201,6 +201,9 @@ BROADCAST_HINT_WHITELIST = {
     "q_price_index",              # 1-row base-month aggregate; the
                                   # parts-sized basket join is
                                   # deliberately UNhinted (AQE)
+    "q_basket_rules",             # 1-row basket-total aggregate (the
+                                  # audited q_market_share class); the
+                                  # part-count joins stay UNhinted
 }
 
 
@@ -731,6 +734,22 @@ PLAN_SMELL_WHITELIST = {
                                                 # class); n via
                                                 # groupBy+join, not a
                                                 # count window
+    "ts_ljung_box": {"GROUP_SIZE_WINDOW"},      # per-code (S, n) count
+                                                # window shares the lag
+                                                # window's partitioning
+                                                # (ts_spearman class —
+                                                # the series already
+                                                # sits on one task for
+                                                # the ordered lags)
+    "ev_growth_accounting": {"SINGLE_PART"},    # week-bounded summary
+                                                # lag: partition-less
+                                                # window over |weeks|
+                                                # rows only (audited
+                                                # bounded-dimension
+                                                # class)
+    "q_basket_rules": {"BNLJ", "SINGLE_PART"},  # 1-row basket-total
+                                                # broadcast cross join
+                                                # (q_market_share class)
 }
 
 
