@@ -906,3 +906,24 @@ def test_release_rehearsal_chain_plan(spark, tables):
         f"release chain grew to {n_exchanges} executed exchanges — a "
         "stage is re-referencing its upstream (the 66-exchange bug "
         "class this test exists to catch):\n" + executed)
+
+
+def test_cdc_chunk_stats_runs_md5_scan_once(spark, tables):
+    """cdc_chunk_stats references its chunk stream twice (corpus-wide
+    count branch + per-doc rollup). The O(n·w) md5 boundary scan must
+    appear ONCE in the plan — the doc-grain chunk frame is persisted
+    and exploded per reference (optimization r11: 6.0→2.0 s at sf0.1,
+    55→16.2 s at 100× depth vs the lazy double-scan form). A second
+    md5 projection means someone dropped the persist and Catalyst is
+    replaying the scan per reference."""
+    from pyperustats_spark.operators import dedup as D
+
+    docs = tables["documents"]
+    out = D.cdc_chunk_stats(docs, sort=False)
+    txt = P.explain_str(out, mode="formatted")
+    md5_lines = sum(1 for ln in txt.splitlines() if "md5" in ln)
+    assert md5_lines <= 1, (
+        "cdc_chunk_stats plan evaluates the md5 boundary scan in "
+        f"{md5_lines} projections — the doc-grain persist was lost:\n"
+        + txt)
+    spark.catalog.clearCache()  # drop the doc-grain persist handle
