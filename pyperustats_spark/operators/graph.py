@@ -277,14 +277,17 @@ def copurchase_edges(lineitem: DataFrame, max_basket: int = 50,
     parts are linked when they appear together in ≥ *min_support*
     orders. The basket gather idiom of
     :func:`~pyperustats_spark.operators.relational.part_affinity`:
-    distinct (order, part) is the only wide payload, singleton skip +
-    *max_basket* cap (a degenerate mega-order cannot go O(n²)), pairs
-    from chained explodes — never a lineitem self-join. Shared edge
-    builder for the graph kernels (triangles, k-core)."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    ONE shuffle builds the per-order part sets — collect_set
+    deduplicates map-side in the partial aggregate, so the separate
+    distinct-then-gather form's extra exchange of the item stream is
+    gone (optimization r11 A/B at sf0.1: 1.8-3.8 s → 1.3-1.7 s,
+    identical edge set) — then singleton skip + *max_basket* cap (a
+    degenerate mega-order cannot go O(n²)), pairs from chained
+    explodes — never a lineitem self-join. Shared edge builder for
+    the graph kernels (triangles, k-core)."""
     baskets = (
-        items.groupBy("l_orderkey")
-        .agg(F.collect_list("l_partkey").alias("parts"))
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
         .where((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
         .select(F.array_sort("parts").alias("parts"))
     )
@@ -445,14 +448,28 @@ def kcore_peel(edges: DataFrame, k: int | None = None,
 
     Iteration discipline (the connected_components pattern): each
     round references the previous edge set THREE times (degree count
-    + both endpoint semi-joins), so the plan would grow 3^rounds —
+    + both endpoint filters), so the plan would grow 3^rounds —
     every round's edge table has its lineage truncated (reliable
     checkpoint when a checkpoint dir is configured, localCheckpoint
-    otherwise), the per-round alive set is persisted for its two
-    semi-join references, and superseded tables are unpersisted.
-    Early-exits once stable (one count per round, which the
-    truncation materializes anyway). Only (a, b) pairs ever
-    shuffle."""
+    otherwise) and superseded tables are unpersisted.
+
+    Peeling filters by the DEAD set (degree < k, anti-join), not the
+    alive set (optimization r11): the alive set is SF-proportional
+    every round (a semi-join against it is two full shuffles of the
+    edge set), while the peel front shrinks round over round — AQE
+    turns the anti-join into a broadcast as soon as the dead set is
+    small, and the edge set then never re-shuffles (guide §2.4/§3.1);
+    when an early round peels massively the anti-join degrades to the
+    same sort-merge the semi-join form always paid, so shuffle bytes
+    are never worse. Convergence is the dead set counting ZERO —
+    checked BEFORE the rebuild, so the stable round costs one tiny
+    aggregate instead of a full checkpoint+count (the semi-join form
+    rebuilt an identical edge table just to observe m unchanged).
+    Dead-empty ⟺ m stable: every dead node carries ≥ 1 edge by
+    construction, so a non-empty dead set strictly shrinks m.
+    Local A/B at sf0.1 is a wash (~7 s both, broadcast build ≈ saved
+    shuffle at 1M edges); the rewrite is for the 100-TB shape. Only
+    (a, b) pairs ever shuffle."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     sc = edges.sparkSession.sparkContext
@@ -481,18 +498,17 @@ def kcore_peel(edges: DataFrame, k: int | None = None,
             .union(e.select(F.col("b").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
         )
-        alive = deg.where(F.col("d") >= k).select("node").persist()
-        e_next = _truncate(
-            e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi"))
-        m_next = e_next.count()
-        alive.unpersist()
-        e.unpersist()
-        e = e_next
-        if m_next == m:
+        dead = deg.where(F.col("d") < k).select("node").persist()
+        if dead.count() == 0:
+            dead.unpersist()
             converged = True
             break
-        m = m_next
+        e_next = _truncate(
+            e.join(dead.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(dead.withColumnRenamed("node", "b"), "b", "left_anti"))
+        dead.unpersist()
+        e.unpersist()
+        e = e_next
     out = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))

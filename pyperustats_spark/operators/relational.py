@@ -1837,8 +1837,9 @@ def part_affinity(lineitem: DataFrame, max_basket: int = 50,
 
     Scale shape — the inverted-index bucket idiom
     (:func:`~pyperustats_spark.operators.dedup.ngram_jaccard_pairs`):
-    distinct (order, part) pairs are the only shuffle payload;
-    baskets gather per order with collect_list, singletons skipped
+    ONE shuffle builds the per-order part sets (collect_set
+    deduplicates map-side — the separate distinct pass's exchange is
+    gone, optimization r11); baskets gather per order, singletons skipped
     and oversized baskets dropped (*max_basket* — a degenerate
     mega-order cannot go O(n²)); pairs emit from two chained
     explodes, never a self-join. The affinity ratio is int/int IEEE
@@ -1846,10 +1847,9 @@ def part_affinity(lineitem: DataFrame, max_basket: int = 50,
     cross-engine (CLAUDE.md). Per-part counts come from the SAME
     capped item set so the denominator matches what generated the
     pairs."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
     baskets = (
-        items.groupBy("l_orderkey")
-        .agg(F.collect_list("l_partkey").alias("parts"))
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
         .where((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
         .select("l_orderkey", F.array_sort("parts").alias("parts"))
     )
@@ -3399,7 +3399,7 @@ def basket_rules(lineitem: DataFrame, max_basket: int = 50,
     before ranking in both engines.
 
     Scale shape: the part_affinity inverted-index idiom verbatim
-    (distinct items → capped basket gather → chained-explode pairs,
+    (one-shuffle collect_set basket gather → chained-explode pairs,
     never a self-join), per-part counts from the same item set, a
     1-row basket total broadcast (audited q_market_share class), and
     one top-k window over the pruned pair set."""
@@ -3409,10 +3409,9 @@ def basket_rules(lineitem: DataFrame, max_basket: int = 50,
     # frame (the copurchase_triangle_stats rule; measured there
     # 54s -> 21s at sf0.01 driver posture)
     par = lineitem.sparkSession.sparkContext.defaultParallelism
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
     baskets = (
-        items.groupBy("l_orderkey")
-        .agg(F.collect_list("l_partkey").alias("parts"))
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
         .where((F.size("parts") >= 2) & (F.size("parts") <= max_basket))
         .select("l_orderkey", F.array_sort("parts").alias("parts"))
         .repartition(par)

@@ -43,6 +43,10 @@ def main() -> int:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
+        # bench.py parity: leftover persisted frames from a previous
+        # query otherwise contaminate this one's timing (measured:
+        # q_supplier_hhi 2.5x its isolated time in a shared session)
+        spark.catalog.clearCache()
         best = None
         for _ in range(runs):
             t0 = time.time()
