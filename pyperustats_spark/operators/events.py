@@ -913,13 +913,20 @@ def rfm_scores(events: DataFrame, event_type: str = "purchase",
         .persist()
     )
     # buckets are monotone coarsenings of each tile's leading sort key
-    # (recency/frequency: the bounded integer itself; cents: $100 bins)
+    # (recency/frequency: the bounded integer itself; cents: $100 bins).
+    # Each intermediate is persisted (optimization r11): histogram_
+    # ntile references its input twice (counts side + ranked join),
+    # so chaining three passes re-executed pass 1's window+join 4×
+    # and pass 2's 2× off the cached per_user (7 window executions
+    # for 3 passes); persisting the narrow per-user intermediates
+    # makes it 3 (A/B at sf0.1: 8.9→5.2 s cold, 3.6→3.3 s warm,
+    # rows identical). Same lifetime caveat as per_user above.
     t = histogram_ntile(per_user, F.col("_negr"),
                         [F.col("_negr"), F.col("user_id")],
-                        n_tiles, out_col="r_score")
+                        n_tiles, out_col="r_score").persist()
     t = histogram_ntile(t, F.col("frequency"),
                         [F.col("frequency"), F.col("user_id")],
-                        n_tiles, out_col="f_score")
+                        n_tiles, out_col="f_score").persist()
     t = histogram_ntile(t, F.floor(F.col("_mc") / 10000),
                         [F.col("_mc"), F.col("user_id")],
                         n_tiles, out_col="m_score")
@@ -1490,28 +1497,45 @@ def markov_removal_attribution(events: DataFrame,
     sess = assign_sessions(events, gap_minutes=gap_minutes)
     wsess = Window.partitionBy("user_id", "session_seq") \
         .orderBy("ts", "event_id")
-    rows = sess.select("user_id", "session_seq", "ts", "event_id",
-                       "event_type",
-                       F.row_number().over(wsess).alias("rn"))
-    convpos = (rows.where(F.col("event_type") == conv_type)
-               .groupBy("user_id", "session_seq")
-               .agg(F.min("rn").alias("_cp")))
-    r2 = (rows.join(convpos, ["user_id", "session_seq"], "left")
-          .where(F.col("_cp").isNull() | (F.col("rn") <= F.col("_cp"))))
-    wl = Window.partitionBy("user_id", "session_seq").orderBy("rn")
-    inner = r2.select(
-        F.coalesce(F.lag("event_type").over(wl), F.lit("__START__"))
-        .alias("src"),
-        F.col("event_type").alias("dst"))
-    last = (r2.withColumn("_mx", F.max("rn").over(
-                Window.partitionBy("user_id", "session_seq")))
-            .where(F.col("rn") == F.col("_mx"))
-            .select(F.col("event_type").alias("src"),
-                    F.when(F.col("event_type") == conv_type,
-                           F.lit("__CONV__"))
-                    .otherwise(F.lit("__NULL__")).alias("dst")))
-    edges = (inner.union(last).groupBy("src", "dst")
-             .agg(F.count(F.lit(1)).alias("c")))
+    wp = Window.partitionBy("user_id", "session_seq")
+    # ONE pass over the sessionized frame (optimization r11): the
+    # first cut derived the conversion cutoff as a groupBy+join and
+    # the inner/terminal edges as two branches — four references to
+    # the sessionize+row_number subtree, each re-executed (Catalyst
+    # never dedupes common subplans). The cutoff (_cp) and terminal
+    # position (_mx) are whole-partition windows on the partitioning
+    # the row_number already established (no extra exchange), the
+    # truncated path is a PREFIX of the session so lag computed
+    # pre-filter equals lag post-filter on kept rows, and each kept
+    # row emits its inbound edge (+ the absorbing edge when it is
+    # the terminal row) from a conditional-array explode — edge
+    # multiset identical (A/B exceptAll = 0), 1.8 s → 0.8 s at sf0.1.
+    rows = sess.select(
+        "user_id", "session_seq", "event_type",
+        F.row_number().over(wsess).alias("rn"),
+        F.coalesce(F.lag("event_type").over(wsess), F.lit("__START__"))
+        .alias("_prev"),
+    ).select(
+        "event_type", "rn", "_prev",
+        F.min(F.when(F.col("event_type") == conv_type, F.col("rn")))
+        .over(wp).alias("_cp"),
+        F.max("rn").over(wp).alias("_mx"),
+    )
+    kept = rows.where(F.col("_cp").isNull() | (F.col("rn") <= F.col("_cp")))
+    is_last = F.col("rn") == F.coalesce(F.col("_cp"), F.col("_mx"))
+    e_in = F.struct(F.col("_prev").alias("s"),
+                    F.col("event_type").alias("d"))
+    e_abs = F.struct(
+        F.col("event_type").alias("s"),
+        F.when(F.col("event_type") == conv_type, F.lit("__CONV__"))
+        .otherwise(F.lit("__NULL__")).alias("d"))
+    edges = (
+        kept.select(F.explode(
+            F.when(is_last, F.array(e_in, e_abs))
+            .otherwise(F.array(e_in))).alias("e"))
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c")))
     # the chain itself is O(|event types|2) rows — an O(small) driver
     # transfer (the IVF-centroid / CMS-sketch budget class); solving
     # the absorption recurrence in exact Python integers is bit-equal
