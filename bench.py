@@ -196,6 +196,9 @@ def main() -> None:
             # 14.6 s after 44 predecessors). Each query now measures
             # against a clean cache, reproducing its standalone number.
             spark.catalog.clearCache()
+            # label the jobs so the SQL/Stages UI maps back to the
+            # query being timed (optimization guide §1.5)
+            spark.sparkContext.setJobDescription(f"bench: {name}")
             best = None
             for _ in range(n_runs):
                 t0 = time.time()
@@ -203,6 +206,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.time() - t0
                 best = elapsed if best is None else min(best, elapsed)
+            spark.sparkContext.setJobDescription(None)
             out[name] = round(best, 3)
         return out
 
