@@ -918,6 +918,13 @@ def test_cdc_chunk_stats_runs_md5_scan_once(spark, tables):
     replaying the scan per reference."""
     from pyperustats_spark.operators import dedup as D
 
+    # a WARM cache of the doc-grain frame (left by any earlier test that
+    # materialized cdc_chunk_stats on the same tables) changes how the
+    # plan prints: each InMemoryTableScan reference then echoes the
+    # cached relation's output expression — md5 appears once PER
+    # REFERENCE even though the scan runs zero times. Count from a cold
+    # cache so the assertion measures plan shape, not suite order.
+    spark.catalog.clearCache()
     docs = tables["documents"]
     out = D.cdc_chunk_stats(docs, sort=False)
     txt = P.explain_str(out, mode="formatted")
