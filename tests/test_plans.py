@@ -934,3 +934,26 @@ def test_cdc_chunk_stats_runs_md5_scan_once(spark, tables):
         f"{md5_lines} projections — the doc-grain persist was lost:\n"
         + txt)
     spark.catalog.clearCache()  # drop the doc-grain persist handle
+
+
+def test_rank_stats_tests_scan_orders_once(spark, tables):
+    """ks_two_sample / mann_whitney_u / kruskal_wallis persist their
+    value-bounded grids because histogram_cumsum references its input
+    twice (bucket totals + window side) and the totals/rank branches
+    add more references — unpersisted, the orders scan + partial
+    aggregate executed 2-5x (optimization r11: KS 4.3→2.9 s,
+    MW 3.6→2.1 s, KW 5.6→4.2 s at the 100x depth set; plan scans
+    KW 5→1, KS 3→1, MW 2→1). One parquet scan each or the persist was
+    lost. Cold cache first: a warm cache changes how the plan prints
+    (see the cdc test above)."""
+    spark.catalog.clearCache()
+    orders = tables["orders"]
+    for fn in (R.ks_two_sample, R.mann_whitney_u, R.kruskal_wallis):
+        out = fn(orders)
+        txt = P.explain_str(out, mode="formatted")
+        scans = sum(1 for ln in txt.splitlines()
+                    if ln.startswith("(") and ") Scan parquet" in ln)
+        assert scans <= 1, (
+            f"{fn.__name__} plan re-scans orders ({scans} parquet "
+            "scans) — the grid persist was lost:\n" + txt)
+        spark.catalog.clearCache()  # drop the grid persist handles
