@@ -387,10 +387,16 @@ def copurchase_triangle_stats(lineitem: DataFrame, max_basket: int = 50,
         .where(F.size("vs") >= 2)
         .select("vs")
     )
+    # each unordered out-neighbour pair emits ONCE, id-sorted (x < y):
+    # the closing edge then matches against the id-normalized ``edges``
+    # set (a < b by construction) instead of the degree-oriented one —
+    # same triangle multiset, HALF the wedge rows through the closing
+    # exchange (optimization r11; an ordered x != y stream shuffled 2×
+    # the bytes for the same matches)
     wedges = (
         adj.select(F.explode("vs").alias("x"), F.col("vs"))
         .select("x", F.explode("vs").alias("y"))
-        .where(F.col("x") != F.col("y"))
+        .where(F.col("x") < F.col("y"))
         .select(F.col("x").alias("u"), F.col("y").alias("v"))
     )
     # the closing join is explicitly SHUFFLE_HASH: the probe side is a
@@ -399,7 +405,9 @@ def copurchase_triangle_stats(lineitem: DataFrame, max_basket: int = 50,
     # die building it (observed at sf0.01 on a 1 GB plain driver); both
     # sides are SF-proportional, so never broadcast either at scale
     n_tri = (
-        wedges.join(oriented.hint("shuffle_hash"), ["u", "v"])
+        wedges.join(
+            edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .hint("shuffle_hash"), ["u", "v"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     summary = (
@@ -946,13 +954,16 @@ def copurchase_node_clustering(lineitem: DataFrame, max_basket: int = 50,
         .where(F.size("vs") >= 2)
         .select(F.col("u").alias("_apex"), "vs")
     )
+    # unordered pairs, id-sorted (the census rewrite): half the wedge
+    # rows through the closing exchange, matched against the
+    # id-normalized ``edges`` (a < b) instead of the degree-oriented set
     wedges = (
         adj.select("_apex", F.explode("vs").alias("_x"), F.col("vs"))
         .select("_apex", "_x", F.explode("vs").alias("_y"))
-        .where(F.col("_x") != F.col("_y"))
+        .where(F.col("_x") < F.col("_y"))
     )
-    closing = oriented.select(F.col("u").alias("_x"),
-                              F.col("v").alias("_y"))
+    closing = edges.select(F.col("a").alias("_x"),
+                           F.col("b").alias("_y"))
     tri = wedges.join(closing.hint("shuffle_hash"), ["_x", "_y"])
     tcount = (
         tri.select(F.explode(F.array("_apex", "_x", "_y")).alias("node"))
