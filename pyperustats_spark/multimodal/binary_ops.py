@@ -2631,8 +2631,9 @@ def parse_pdf(payload: bytes):
             return None
         if em.group(3) == b"n":
             off = int(em.group(1))
-            if not payload[off:].startswith(
-                    f"{num} 0 obj".encode()):
+            # startswith with a start offset — payload[off:] would COPY
+            # the remaining tail per object (O(objects x bytes))
+            if not payload.startswith(f"{num} 0 obj".encode(), off):
                 return None
             offsets[num] = off
         pos += 20
@@ -2652,12 +2653,14 @@ def parse_pdf(payload: bytes):
     pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", cat)
     if pm is None or int(pm.group(1)) not in offsets:
         return None
-    pages_obj = payload[offsets[int(pm.group(1))]:][:512]
+    po = offsets[int(pm.group(1))]
+    pages_obj = payload[po:po + 512]
     cm = re.search(rb"/Count\s+(\d+)", pages_obj)
     km = re.search(rb"/Kids\s*\[\s*(\d+)\s+0\s+R", pages_obj)
     if cm is None or km is None or int(km.group(1)) not in offsets:
         return None
-    page = payload[offsets[int(km.group(1))]:][:256]
+    ko = offsets[int(km.group(1))]
+    page = payload[ko:ko + 256]
     bm = re.search(rb"/MediaBox\s*\[\s*0\s+0\s+(\d+)\s+(\d+)\s*\]",
                    page)
     if bm is None:
