@@ -1402,6 +1402,12 @@ def ev_markov_stationary(spark, sf_dir):
     steps = (ev.select(F.lag("event_type").over(w).alias("src"),
                        F.col("event_type").alias("dst"))
              .where(F.col("src").isNotNull()))
+    # NOT persisted (A/B'd r11): caching the |types|² frame here hides
+    # its size statistics behind an unmaterialized InMemoryRelation and
+    # six downstream joins flip broadcast -> sort-merge (1.9 s -> 6.3 s
+    # at sf0.1). The kernel's nodes-from-e rewrite already cut the
+    # events-window re-executions from 4 to 2; the remaining second
+    # pass is cheaper than losing broadcast planning.
     edges = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     return (G.markov_stationary_fixed_point(edges, iters=6)
             .withColumnRenamed("node", "event_type")

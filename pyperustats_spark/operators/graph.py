@@ -74,9 +74,15 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 6,
     e = (edges.join(out_w, "src")
          .select("src", "dst", "w", "w_out")
          .persist())
-    # likewise: the no-in-edge left join references nodes every round
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
+    # likewise: the no-in-edge left join references nodes every round.
+    # Derived from the CACHED e, not the raw edges: the inner join on
+    # src preserves every edge row (every src has an out-weight by
+    # construction), so the node set is identical — and the raw edge
+    # subtree is referenced 2x instead of 4x (optimization r11: the
+    # supplier callers re-ran their lineitem⋈orders build per
+    # reference; plan parquet scans 6 -> 2 per base table).
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
              .distinct()
              .persist())
     ranks = nodes.select(
@@ -168,6 +174,14 @@ def markov_stationary_fixed_point(edges: DataFrame,
     e = (edges.join(out_w, "src")
          .select("src", "dst", "w", "w_out")
          .persist())
+    # nodes deliberately from the RAW edges, not the cached e (A/B'd
+    # r11, the opposite of pagerank/ppr): this kernel's graphs are
+    # TYPE-bounded (|states|² edges), so the re-executed edge build is
+    # two cheap windows — while deriving nodes from the unmaterialized
+    # InMemoryRelation hides its size statistics and the six per-round
+    # joins flip broadcast -> sort-merge (8.7 s -> 13.1 s at the 100x
+    # depth set). pagerank/ppr keep nodes-from-e: their node sets are
+    # SF-proportional and never broadcast-planned anyway.
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct()
@@ -213,6 +227,10 @@ def supplier_authority(lineitem: DataFrame, orders: DataFrame,
         .agg(F.count(F.lit(1)).alias("w"))
         .select(F.col("o_custkey").alias("hub"),
                 F.col("l_suppkey").alias("auth"), "w")
+        # persisted: the SALSA kernel references its input three times
+        # (w_out, w_in, e build) and Catalyst re-runs the
+        # lineitem⋈orders aggregate per reference
+        .persist()
     )
     scores = salsa_fixed_point(edges, iters=iters)
     out = (
@@ -254,6 +272,12 @@ def supplier_importance(lineitem: DataFrame, orders: DataFrame,
         .select((F.col("o_custkey") * 2).alias("c_node"),
                 (F.col("l_suppkey") * 2 + 1).alias("s_node"), "w")
     )
+    # persisted: the union references pairs twice and the kernel's
+    # e/out_w build references the union twice more — unpersisted, the
+    # lineitem⋈orders aggregate executed 4x (plan: 6 lineitem + 6
+    # orders parquet scans -> 1 each). Aggregated narrow rows;
+    # lifetime caveat as perplexity_buckets (bench clears per query).
+    pairs = pairs.persist()
     edges = pairs.select(F.col("c_node").alias("src"),
                          F.col("s_node").alias("dst"), "w") \
         .union(pairs.select(F.col("s_node").alias("src"),
@@ -702,9 +726,11 @@ def ppr_fixed_point(edges: DataFrame, seeds: DataFrame,
          .persist())
     sd = seeds.select("node").distinct().withColumn(
         "_seed", F.lit(1))
+    # nodes from the CACHED e (row-preserving join — every src has an
+    # out-weight), so the caller's edge build runs 2x, not 4x
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .join(sd, "node", "left")
         .select("node",
@@ -754,6 +780,9 @@ def supplier_ppr(lineitem: DataFrame, orders: DataFrame,
         .select((F.col("o_custkey") * 2).alias("c_node"),
                 (F.col("l_suppkey") * 2 + 1).alias("s_node"), "w")
     )
+    # persisted: same rationale as supplier_importance (4x edge-build
+    # re-execution otherwise)
+    pairs = pairs.persist()
     edges = pairs.select(F.col("c_node").alias("src"),
                          F.col("s_node").alias("dst"), "w") \
         .union(pairs.select(F.col("s_node").alias("src"),
