@@ -955,10 +955,16 @@ def minhash_eval_vs_exact(documents: DataFrame, n: int = 3,
 
     Raw int/int quotients; rows-only (the MinHash side has no SQL
     oracle by design)."""
+    # both pair sets persisted: each is referenced twice (its own count
+    # + the hit join) and Catalyst re-runs the ENTIRE bucketed pair
+    # pipeline per reference — only (id_a, id_b) rows are cached.
+    # Lifetime caveat as perplexity_buckets (bench clears per query).
     exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold,
-                                sort=False).select("id_a", "id_b")
+                                sort=False).select("id_a", "id_b") \
+        .persist()
     cand = minhash_lsh_pairs(documents, n=n, threshold=threshold,
-                             sort=False).select("id_a", "id_b")
+                             sort=False).select("id_a", "id_b") \
+        .persist()
     hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
     counts = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -988,10 +994,14 @@ def simhash_eval_vs_exact(documents: DataFrame, n: int = 3,
 
     Raw int/int quotients; rows-only (the SimHash side has no SQL
     oracle by design)."""
+    # persisted for the same double-reference reason as
+    # minhash_eval_vs_exact (full pair pipeline re-ran per reference)
     exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold,
-                                sort=False).select("id_a", "id_b")
+                                sort=False).select("id_a", "id_b") \
+        .persist()
     cand = simhash_pairs(documents, max_hamming=max_hamming,
-                         sort=False).select("id_a", "id_b")
+                         sort=False).select("id_a", "id_b") \
+        .persist()
     hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
     counts = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -521,12 +521,15 @@ def ivf_recall_eval(
     if kmeans_iters > 0:
         cents = kmeans_refine_centroids(embeddings, cents,
                                         iterations=kmeans_iters)
+    # persisted: referenced by the truth join AND the cell-size rollup,
+    # and each reference re-ran the embeddings scan + per-row centroid
+    # assignment. Narrow (vec_id, cell) rows only — vectors never cache.
     e_cells = ensure_parallelism(embeddings).select(
         "vec_id",
         F.element_at(
             ivf_assign(F.col("embedding"), cents, nprobe=1), 1
         ).alias("cell"),
-    )
+    ).persist()
     probes = queries.select(
         "query_id",
         F.posexplode(
