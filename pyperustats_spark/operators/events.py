@@ -382,12 +382,20 @@ def funnel_steps(events: DataFrame,
     cross-user state."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    # every non-final survivor frame is referenced twice (the next
+    # step's join + its own count row) and Catalyst re-runs the whole
+    # upstream chain per reference — unpersisted, step i's aggregate
+    # executed (len(steps) - i) times (optimization r11: 6 -> 3
+    # pruned events scans for the 3-step funnel). Narrow
+    # (user_id, min ts) rows only; lifetime caveat as
+    # perplexity_buckets (bench clears per query).
     cur = (
         events.where(F.col("event_type") == steps[0])
         .groupBy("user_id").agg(F.min("ts").alias("_t"))
+        .persist()
     )
     reached = [cur]
-    for step in steps[1:]:
+    for i, step in enumerate(steps[1:], start=1):
         gate = F.col("ts") > F.col("_t")
         if within_minutes is not None:
             gate = gate & (
@@ -399,6 +407,8 @@ def funnel_steps(events: DataFrame,
             .where(gate)
             .groupBy("user_id").agg(F.min("ts").alias("_t"))
         )
+        if i < len(steps) - 1:
+            nxt = nxt.persist()
         reached.append(nxt)
         cur = nxt
     counts = None
@@ -662,6 +672,14 @@ def power_user_concentration(events: DataFrame, n_tiles: int = 10,
     rollup — an audited tiny-frame single partition."""
     from pyperustats_spark.operators.relational import global_ntile
 
+    # deliberately NOT persisted (A/B'd r11): caching the per-user
+    # aggregate for global_ntile's two references measured SLOWER at
+    # both sf0.1 (1.2 -> 1.8 s) and the 100x depth set (1.9 -> 2.7 s)
+    # — the events scan prunes to user_id only and the partial
+    # aggregate is map-side, so re-execution is cheaper than the
+    # materialization barrier. global_ntile's identical-subtree
+    # condition holds because every column is a sort key (the
+    # q_customer_quartiles case).
     per_user = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"))
     tiled = global_ntile(per_user,
@@ -1431,7 +1449,6 @@ def kaplan_meier_sessions(events: DataFrame, gap_minutes: int = 30,
           - F.unix_micros(F.col("session_end")))
          >= gap_minutes * 60_000_000).cast("int").alias("_completed"),
     )
-    n_total = obs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     per_t = (obs.groupBy("t_minutes")
              .agg(F.sum("_completed").alias("n_ended"),
                   F.count(F.lit(1)).alias("_left")))
@@ -1439,12 +1456,19 @@ def kaplan_meier_sessions(events: DataFrame, gap_minutes: int = 30,
         Window.unboundedPreceding, -1)
     wc = Window.orderBy("t_minutes").rowsBetween(
         Window.unboundedPreceding, 0)
-    curve = (per_t.crossJoin(F.broadcast(n_total))
-             .select(
-                 "t_minutes", "n_ended", "_left",
-                 (F.col("_n") - F.coalesce(F.sum("_left").over(w),
-                                           F.lit(0)))
-                 .cast("bigint").alias("n_at_risk")))
+    # n_total as a FULL-FRAME window sum over the tiny per-duration
+    # frame, not a second aggregate over obs: the separate count
+    # branch re-ran the whole sessionize + observation build
+    # (Catalyst re-executes common subplans per reference) for one
+    # integer the window already has in hand (optimization r11:
+    # events scans 8 -> 4). Same bigint, same n_at_risk bits.
+    w_all = Window.orderBy("t_minutes").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    curve = per_t.select(
+        "t_minutes", "n_ended", "_left",
+        (F.sum("_left").over(w_all)
+         - F.coalesce(F.sum("_left").over(w), F.lit(0)))
+        .cast("bigint").alias("n_at_risk"))
     # the cumsum must see EVERY duration's term (censored-only rows
     # shrink the risk set), so filter to ended>0 only at the end
     term = F.when(
@@ -1633,7 +1657,6 @@ def kaplan_meier_conversion(events: DataFrame,
     (|distinct hours| rows) — the global window is bounded, not a
     straggler risk."""
     obs = _conversion_observations(events, event_type)
-    n_total = obs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     per_t = (obs.groupBy("t_hours")
              .agg(F.sum("_converted").alias("n_converted"),
                   F.count(F.lit(1)).alias("_ended")))
@@ -1641,14 +1664,19 @@ def kaplan_meier_conversion(events: DataFrame,
         Window.unboundedPreceding, -1)
     wc = Window.orderBy("t_hours").rowsBetween(
         Window.unboundedPreceding, 0)
-    curve = (per_t.crossJoin(F.broadcast(n_total))
-             .select(
-                 "t_hours",
-                 F.col("n_converted").cast("bigint")
-                 .alias("n_converted"), "_ended",
-                 (F.col("_n") - F.coalesce(F.sum("_ended").over(w),
-                                           F.lit(0)))
-                 .cast("bigint").alias("n_at_risk")))
+    # n_total from a full-frame window sum over the tiny per-time
+    # frame (the kaplan_meier_sessions r11 rewrite): the separate
+    # count branch re-ran the per-user observation build per
+    # reference. Same bigint, same n_at_risk bits.
+    w_all = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    curve = per_t.select(
+        "t_hours",
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        "_ended",
+        (F.sum("_ended").over(w_all)
+         - F.coalesce(F.sum("_ended").over(w), F.lit(0)))
+        .cast("bigint").alias("n_at_risk"))
     # d == n_at_risk means the curve hits S = 0 (ln 0): Spark's log
     # NULLs there while DuckDB returns -inf — both sides spell the
     # same CASE instead: the term is NULL and the row's log_survival
@@ -1687,7 +1715,6 @@ def nelson_aalen_conversion(events: DataFrame,
     Scale shape = kaplan_meier_conversion's: one per-user shuffle,
     then a per-time frame that is tiny (|distinct hours| rows)."""
     obs = _conversion_observations(events, event_type)
-    n_total = obs.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     per_t = (obs.groupBy("t_hours")
              .agg(F.sum("_converted").alias("n_converted"),
                   F.count(F.lit(1)).alias("_ended")))
@@ -1695,13 +1722,18 @@ def nelson_aalen_conversion(events: DataFrame,
         Window.unboundedPreceding, -1)
     wc = Window.orderBy("t_hours").rowsBetween(
         Window.unboundedPreceding, 0)
-    curve = (per_t.crossJoin(F.broadcast(n_total))
-             .select(
+    # n_total from a full-frame window sum over the tiny per-time
+    # frame (the kaplan_meier_sessions r11 rewrite): the separate
+    # count branch re-ran the per-user observation build per
+    # reference. Same bigint, same n_at_risk bits.
+    w_all = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    curve = (per_t.select(
                  "t_hours",
                  F.col("n_converted").cast("bigint")
                  .alias("n_converted"), "_ended",
-                 (F.col("_n") - F.coalesce(F.sum("_ended").over(w),
-                                           F.lit(0)))
+                 (F.sum("_ended").over(w_all)
+                  - F.coalesce(F.sum("_ended").over(w), F.lit(0)))
                  .cast("bigint").alias("n_at_risk"))
              .where(F.col("n_converted") > 0))
     out = curve.select(
@@ -2134,9 +2166,6 @@ def logrank_ab(events: DataFrame, event_type: str = "purchase",
         F.col("_conv").isNotNull().cast("int").alias("_cv"),
         treat.alias("_tr"),
     )
-    totals = obs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum("_tr").cast("bigint").alias("_n1"))
     per_t = obs.groupBy("_t").agg(
         F.sum("_cv").cast("bigint").alias("_d"),
         F.count(F.lit(1)).cast("bigint").alias("_e"),
@@ -2145,13 +2174,22 @@ def logrank_ab(events: DataFrame, event_type: str = "purchase",
     )
     wp = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
     wc = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
-    risk = per_t.crossJoin(F.broadcast(totals)).select(
+    # _n/_n1 as full-frame window sums over the tiny per-time frame
+    # (the kaplan_meier_sessions r11 rewrite): the separate totals
+    # branch re-ran the per-user observation build per reference.
+    # Same bigints, same risk-set bits.
+    w_all = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    risk = per_t.select(
         "_t", "_d", "_d1",
-        (F.col("_n") - F.coalesce(F.sum("_e").over(wp), F.lit(0)))
+        (F.sum("_e").over(w_all)
+         - F.coalesce(F.sum("_e").over(wp), F.lit(0)))
         .cast("bigint").alias("_nt"),
-        (F.col("_n1") - F.coalesce(F.sum("_e1").over(wp), F.lit(0)))
+        (F.sum("_e1").over(w_all)
+         - F.coalesce(F.sum("_e1").over(wp), F.lit(0)))
         .cast("bigint").alias("_n1t"),
-        "_n", "_n1",
+        F.sum("_e").over(w_all).cast("bigint").alias("_n"),
+        F.sum("_e1").over(w_all).cast("bigint").alias("_n1"),
     )
     ntd = F.col("_nt").cast("double")
     n1d = F.col("_n1t").cast("double")

@@ -200,12 +200,19 @@ def histogram_cumsum(df: DataFrame, bucket: Column, order,
 
 
 def zorder_fileplan(df: DataFrame, cols: list[str], n_files: int = 32,
-                    bits: int = 8, tiebreak: tuple = ()) -> DataFrame:
+                    bits: int = 8, tiebreak: tuple = (),
+                    bounds: DataFrame | None = None) -> DataFrame:
     """Assign each row the file it would land in under a Z-ordered
     equal-count write: adds ``_zkey`` (the Morton key) and ``_file``
     (1..n_files). *tiebreak* must complete a total order within a
-    Morton bucket or file assignment is nondeterministic."""
-    b = df.crossJoin(F.broadcast(_bounds(df, cols)))
+    Morton bucket or file assignment is nondeterministic. *bounds*
+    lets a caller share one precomputed (and persisted) min/max frame
+    across several planners instead of each re-aggregating its own;
+    self-computed bounds are persisted (1 row — histogram_rank's two
+    references would otherwise re-run the min/max scan)."""
+    if bounds is None:
+        bounds = _bounds(df, cols).persist()
+    b = df.crossJoin(F.broadcast(bounds))
     buckets = [
         _bucket(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
         for c in cols
@@ -216,11 +223,16 @@ def zorder_fileplan(df: DataFrame, cols: list[str], n_files: int = 32,
 
 
 def fileplan_linear(df: DataFrame, sort_col: str, tiebreak: tuple,
-                    n_files: int = 32, bits: int = 8) -> DataFrame:
+                    n_files: int = 32, bits: int = 8,
+                    bounds: DataFrame | None = None) -> DataFrame:
     """File assignment for the single-column sorted layout (ORDER BY
     *sort_col*): bucket is the min/max-scaled bucket of *sort_col*
-    (monotone, so (bucket, sort_col, tiebreak) IS the linear order)."""
-    b = df.crossJoin(F.broadcast(_bounds(df, [sort_col])))
+    (monotone, so (bucket, sort_col, tiebreak) IS the linear order).
+    *bounds* shares a precomputed min/max frame (see zorder_fileplan);
+    self-computed bounds are persisted (1 row)."""
+    if bounds is None:
+        bounds = _bounds(df, [sort_col]).persist()
+    b = df.crossJoin(F.broadcast(bounds))
     z = b.select(*df.columns, _bucket(
         F.col(sort_col), F.col(f"_lo_{sort_col}"),
         F.col(f"_hi_{sort_col}"), bits).alias("_lb"))
@@ -231,12 +243,13 @@ def fileplan_linear(df: DataFrame, sort_col: str, tiebreak: tuple,
 
 
 def fileplan_natural(df: DataFrame, tiebreak: tuple,
-                     n_files: int = 32, bits: int = 8) -> DataFrame:
+                     n_files: int = 32, bits: int = 8,
+                     bounds: DataFrame | None = None) -> DataFrame:
     """File assignment for insertion order (= the *tiebreak* total
     order, e.g. (orderkey, linenumber)): the linear plan on the
     leading tiebreak column."""
     return fileplan_linear(df, tiebreak[0], tuple(tiebreak[1:]),
-                           n_files=n_files, bits=bits)
+                           n_files=n_files, bits=bits, bounds=bounds)
 
 
 def file_stats(plan: DataFrame, cols: list[str],
@@ -306,7 +319,15 @@ def layout_pruning_compare(df: DataFrame, cols: list[str],
     column's per-file ranges simultaneously tight, so each
     single-column predicate prunes most files and the conjunction
     prunes hardest of all."""
-    bounds = _bounds(df, cols)
+    # ONE persisted 1-row min/max frame covering every column any of
+    # the three planners or the scorer needs: unshared, each fileplan
+    # ran its own _bounds aggregate and histogram_rank's double
+    # reference re-ran it again — eight-ish full-column scans for the
+    # same single row (optimization r11: plan scans 24 -> 9). Always
+    # consumed through an explicit F.broadcast hint, so caching it
+    # cannot flip any join strategy.
+    bcols = list(dict.fromkeys([*cols, tiebreak[0]]))
+    bounds = _bounds(df, bcols).persist()
     preds = [(c, [c]) for c in cols] + [("all", cols)]
 
     def scanned(stats: DataFrame, layout: str) -> DataFrame:
@@ -334,13 +355,16 @@ def layout_pruning_compare(df: DataFrame, cols: list[str],
                  F.col("p.rows_scanned").alias("rows_scanned"))
 
     natural = file_stats(
-        fileplan_natural(df, tiebreak, n_files, bits), cols, sort=False)
+        fileplan_natural(df, tiebreak, n_files, bits, bounds=bounds),
+        cols, sort=False)
     linear = file_stats(
-        fileplan_linear(df, cols[0], tiebreak, n_files, bits),
+        fileplan_linear(df, cols[0], tiebreak, n_files, bits,
+                        bounds=bounds),
         cols, sort=False)
     zplan = file_stats(
         zorder_fileplan(df, cols, n_files=n_files, bits=bits,
-                        tiebreak=tiebreak), cols, sort=False)
+                        tiebreak=tiebreak, bounds=bounds), cols,
+        sort=False)
     out = (
         scanned(natural, "natural")
         .unionByName(scanned(linear, "linear"))

@@ -137,42 +137,50 @@ def ingest_integrity_card(items: DataFrame, manifest: DataFrame,
     (``n_missing``) — the report a recurring 100 TB ingest publishes
     before any downstream stage trusts the batch.
 
-    Counts come from ONE pass over :func:`manifest_quarantine`'s
-    verdicts (conditional sums combine map-side) full-outer-joined
-    with the missing-entry counts (manifest anti-join items, key-only
-    — content never shuffles). corrupt_share is a RAW int/int quotient
-    (bit-identical cross-engine; in-engine rounding would split exact
-    p/2^k midpoints)."""
-    verdicts = manifest_quarantine(items, manifest, id_col=id_col,
-                                   content_col=content_col, sort=False)
-    arrived = verdicts.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum((F.col("status") == "ok").cast("bigint")).alias("n_ok"),
-        F.sum((F.col("status") == "corrupt").cast("bigint"))
-        .alias("n_corrupt"),
-        F.sum((F.col("status") == "unlisted").cast("bigint"))
-        .alias("n_unlisted"),
-    )
-    # same duplicate-id collapse as manifest_quarantine (the
-    # min-expected_hash row wins, carrying ITS source) so a doubled
-    # manifest entry can't double-count n_missing either
-    missing = (
+    Counts come from ONE full-outer join of the hashed items with the
+    duplicate-collapsed manifest (the min-(expected_hash, source)
+    entry wins, as in :func:`manifest_quarantine`) and ONE per-source
+    aggregate: an arrived row counts under the ITEM's source, a
+    never-arrived manifest entry under the MANIFEST's — exactly the
+    arrived⟗missing card, but the verdict branch and the anti-join
+    branch no longer each re-run the manifest build + full-text hash
+    (optimization r11: 6 documents scans / 3 md5-over-text passes →
+    3 scans / 2 passes; only keys, hashes and sources shuffle).
+    corrupt_share is a RAW int/int quotient (bit-identical
+    cross-engine; in-engine rounding would split exact p/2^k
+    midpoints)."""
+    hashed = items.select(
+        id_col, F.col(source_col).alias("_i_src"),
+        F.md5(F.col(content_col)).alias("_h"), F.lit(1).alias("_arr"))
+    m = (
         manifest.groupBy(id_col)
         .agg(F.min(F.struct("expected_hash", source_col)).alias("_w"))
-        .select(id_col, F.col(f"_w.{source_col}").alias(source_col))
-        .join(items.select(id_col), id_col, "left_anti")
-        .groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("n_missing"))
+        .select(id_col, F.col("_w.expected_hash").alias("_exp"),
+                F.col(f"_w.{source_col}").alias("_m_src"))
     )
+    # the exact CASE ladder of manifest_quarantine (including the
+    # null-hash ELSE-corrupt branch); null for never-arrived entries
+    status = F.when(
+        F.col("_arr") == 1,
+        F.when(F.col("_exp").isNull(), F.lit("unlisted"))
+        .when(F.col("_h") == F.col("_exp"), F.lit("ok"))
+        .otherwise(F.lit("corrupt")))
+    j = hashed.join(m, id_col, "full_outer").select(
+        F.coalesce("_i_src", "_m_src").alias(source_col),
+        F.col("_arr"), status.alias("_st"))
     out = (
-        arrived.join(missing, source_col, "full_outer")
-        .select(
-            source_col,
-            F.coalesce("n_items", F.lit(0)).alias("n_items"),
-            F.coalesce("n_ok", F.lit(0)).alias("n_ok"),
-            F.coalesce("n_corrupt", F.lit(0)).alias("n_corrupt"),
-            F.coalesce("n_unlisted", F.lit(0)).alias("n_unlisted"),
-            F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+        j.groupBy(source_col)
+        .agg(
+            F.coalesce(F.sum("_arr"), F.lit(0)).cast("bigint")
+            .alias("n_items"),
+            F.coalesce(F.sum((F.col("_st") == "ok").cast("bigint")),
+                       F.lit(0)).alias("n_ok"),
+            F.coalesce(F.sum((F.col("_st") == "corrupt").cast("bigint")),
+                       F.lit(0)).alias("n_corrupt"),
+            F.coalesce(F.sum((F.col("_st") == "unlisted").cast("bigint")),
+                       F.lit(0)).alias("n_unlisted"),
+            F.coalesce(F.sum(F.col("_arr").isNull().cast("bigint")),
+                       F.lit(0)).alias("n_missing"),
         )
         .withColumn("corrupt_share",
                     F.try_divide(F.col("n_corrupt"), F.col("n_items")))

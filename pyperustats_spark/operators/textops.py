@@ -348,8 +348,15 @@ def pack_sequences(documents: DataFrame, budget: int = 256,
     trillion-token corpus never funnels through one task."""
     from pyperustats_spark.operators.relational import global_running_sum
 
+    # persisted: global_running_sum references its input twice
+    # (range-partitioned sum + physical-partition offset table) and
+    # each reference re-ran the corpus tokenize (optimization r11:
+    # 6 -> 1 documents scans). Narrow (doc_id, n_tokens) integer
+    # rows — text never caches; the cache also pins both references
+    # to identical bits (the global_ntile identical-subtree
+    # condition).
     with_counts = documents.select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+        "doc_id", token_count(F.col("text")).alias("n_tokens")).persist()
     laid_out = global_running_sum(
         with_counts, [F.col("doc_id").asc()], "n_tokens",
         out_col="start_offset", exclusive=True)
@@ -837,8 +844,13 @@ def unigram_logprob(documents: DataFrame, k: float = 0.5,
     bit then matches the oracle without midpoint exposure."""
     toks = documents.select(
         "doc_id", F.explode_outer(tokens(F.col("text"))).alias("token"))
+    # persisted: the totals aggregate AND the scoring join both
+    # reference the vocab table, and each reference re-ran the full
+    # corpus tokenize (optimization r11: 3 -> 2 tokenize passes; the
+    # textops vocab-persist precedent, vocab-bounded rows)
     uni = toks.where(F.col("token").isNotNull()) \
-              .groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("_c")) \
+              .persist()
     totals = uni.agg(
         F.sum("_c").cast("bigint").alias("_n"),
         F.count(F.lit(1)).cast("bigint").alias("_v"))
@@ -900,29 +912,32 @@ def bigram_logprob(documents: DataFrame, k: float = 0.5,
     (shuffled text, concatenation artifacts, wrong-language spans)
     score low even when every unigram is common.
 
-    Scale: the model is two count shuffles (bigram, unigram) joined on
-    the first word; scoring joins doc pairs against the model on the
-    raw (w1, w2) strings — tokens are short, so hashing the key would
-    not slim the shuffle. V is a 1-row aggregate (audited pattern).
+    Scale: ONE tokenize pass builds the model — each token emits
+    (w1 = token, w2 = successor-or-null), so the (w1, w2) count table
+    carries BOTH grams: bigram counts are the w2-non-null rows and
+    unigram counts the per-w1 sums (every token appears exactly once
+    as w1, the last token of a doc with w2 = null). That table is
+    vocab-bounded and persisted (the textops vocab-persist precedent)
+    because v/c1/c2 all derive from it; unpersisted/two-branch, the
+    corpus was tokenized 4x (optimization r11: 9 -> 3 scans). Scoring
+    joins doc pairs against the model on the raw (w1, w2) strings —
+    tokens are short, so hashing the key would not slim the shuffle.
     Same cross-engine grid recipe as unigram_logprob: per-pair ln
     rounded to the 1e-6 grid, per-doc sum rounded back, mean raw."""
-    pair_t = "array<struct<w1:string,w2:string>>"
-    pairs_expr = let(tokens(F.col("text")), lambda tk: F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.struct(
-                F.element_at(tk, i).alias("w1"),
-                F.element_at(tk, i + 1).alias("w2"))),
-    ).otherwise(F.array().cast(pair_t)))
-    pw = documents.select(
-        "doc_id", F.explode(pairs_expr).alias("p")
+    # F.get (0-based, null past the end) rather than element_at: ANSI
+    # element_at errors on index == size + 1
+    succ_expr = let(tokens(F.col("text")), lambda tk: F.transform(
+        tk, lambda x, i: F.struct(
+            x.alias("w1"), F.get(tk, i + F.lit(1)).alias("w2"))))
+    base = documents.select(
+        "doc_id", F.explode(succ_expr).alias("p")
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    c2 = pw.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
-    uni = documents.select(
-        F.explode(tokens(F.col("text"))).alias("w1"))
-    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    c12 = base.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c")).persist()
+    c1 = c12.groupBy("w1").agg(F.sum("_c").alias("_c1"))
     v = c1.agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    c2 = (c12.where(F.col("w2").isNotNull())
+          .select("w1", "w2", F.col("_c").alias("_c2")))
     model = (
         c2.join(c1, "w1")
         .join(F.broadcast(v))
@@ -932,7 +947,8 @@ def bigram_logprob(documents: DataFrame, k: float = 0.5,
             .alias("_lp"))
     )
     per = (
-        pw.join(model, ["w1", "w2"])
+        base.where(F.col("w2").isNotNull())
+        .join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -1182,8 +1198,13 @@ def source_unigram_jsd(documents: DataFrame,
     nondeterministic), and the ½-weights combine raw."""
     tok = documents.select(
         "source", F.explode(tokens(F.col("text"))).alias("t"))
+    # persisted: src_tot, the global vocab rollup and the spine join
+    # all reference this frame, and each reference re-ran the corpus
+    # tokenize (optimization r11: 7 -> 1 documents scans). Bounded
+    # |sources| x |vocab| integer rows — the textops vocab-persist
+    # precedent.
     per_src = tok.groupBy("source", "t").agg(
-        F.count(F.lit(1)).alias("c"))
+        F.count(F.lit(1)).alias("c")).persist()
     src_tot = per_src.groupBy("source").agg(
         F.sum("c").alias("n_tokens"))
     vocab = per_src.groupBy("t").agg(F.sum("c").alias("gc"))
@@ -1246,27 +1267,29 @@ def pmi_collocations(documents: DataFrame, min_count: int = 5,
     with N = total tokens, B = total bigrams — no integer products
     that could overflow at corpus scale.
 
-    Scale: two partial-aggregated count shuffles (unigrams, bigrams),
-    the *min_count* filter prunes the bigram table BEFORE its two
-    unigram joins, N/B are 1-row aggregates (audited crossJoin
-    class), TakeOrderedAndProject for the top-k — no global sort."""
-    pair_t = "array<struct<w1:string,w2:string>>"
-    pairs_expr = let(tokens(F.col("text")), lambda tk: F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.struct(
-                F.element_at(tk, i).alias("w1"),
-                F.element_at(tk, i + 1).alias("w2"))),
-    ).otherwise(F.array().cast(pair_t)))
-    pw = documents.select(F.explode(pairs_expr).alias("p")).select(
+    Scale: ONE tokenize pass — each token emits (w1 = token,
+    w2 = successor-or-null), so the persisted (w1, w2) count table
+    carries BOTH grams (the bigram_logprob r11 one-pass idiom):
+    unigram counts are per-w1 sums, N their total, B the sum of the
+    w2-non-null rows, and the *min_count* filter prunes the bigram
+    table BEFORE its two unigram joins. Unpersisted/two-branch, the
+    corpus was tokenized 4x (optimization r11: 10 -> 1 scans). N/B
+    stay 1-row aggregates (audited crossJoin class),
+    TakeOrderedAndProject for the top-k — no global sort."""
+    succ_expr = let(tokens(F.col("text")), lambda tk: F.transform(
+        tk, lambda x, i: F.struct(
+            x.alias("w1"), F.get(tk, i + F.lit(1)).alias("w2"))))
+    base = documents.select(F.explode(succ_expr).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    c2 = (pw.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    c12 = base.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c")).persist()
+    c1 = c12.groupBy("w1").agg(F.sum("_c").alias("_c1")) \
+        .withColumnRenamed("w1", "w")
+    totals = c1.agg(F.sum("_c1").cast("bigint").alias("_n"))
+    pairs_only = c12.where(F.col("w2").isNotNull())
+    btot = pairs_only.agg(F.sum("_c").cast("bigint").alias("_b"))
+    c2 = (pairs_only.select("w1", "w2", F.col("_c").alias("n_pair"))
           .where(F.col("n_pair") >= min_count))
-    uni = documents.select(F.explode(tokens(F.col("text"))).alias("w"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("_c1"))
-    totals = uni.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    btot = pw.agg(F.count(F.lit(1)).cast("bigint").alias("_b"))
     scored = (
         c2.join(c1.select(F.col("w").alias("w1"),
                           F.col("_c1").alias("_ca")), "w1")
@@ -1671,11 +1694,15 @@ def dsir_importance_sample(documents: DataFrame, target_lang: str = "en",
         "_b",
         F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
         .cast("bigint") % n_feat)
+    # persisted: the totals aggregate and the weight table both
+    # reference this frame, and each reference re-ran the corpus
+    # tokenize (optimization r11: 3 -> 2 tokenize passes). Bounded
+    # n_feat integer rows.
     raw = toks.groupBy("_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("_cr"),
         F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
         .cast("bigint").alias("_ct"),
-    )
+    ).persist()
     tot = raw.agg(
         F.sum("_cr").cast("bigint").alias("_nr"),
         F.sum("_ct").cast("bigint").alias("_nt"))
@@ -1758,6 +1785,11 @@ def length_drift_by_source(documents: DataFrame,
     cell = F.when(b_digits >= 2, b_digits * 100 + f2) \
             .otherwise(F.lit(100) + F.col("n_chars")).cast("bigint")
     base = documents.select("source", cell.alias("_cell"))
+    # four downstream branches reference this frame and each re-runs
+    # the scan — but the scan is column-pruned to ONE int (n_chars),
+    # so persisting the grid was A/B'd SLOWER at sf0.1 (1.26 -> 1.57 s)
+    # and flat at the 100x depth set (r11): the materialization
+    # barrier costs more than four integer-column scans. Left lazy.
     counts = base.groupBy("source", "_cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c"))
     src_tot = counts.groupBy("source").agg(
