@@ -57,10 +57,11 @@ def test_market_share_and_top_customers_hint_only_fixed_dims(spark, tables):
     ms = R.market_share(
         tables["region"], tables["nation"], tables["customer"],
         tables["orders"])
-    # region + nation + the 1-row grand total — never customer. The
-    # analyzed TREE duplicates the shared agg subtree under the
-    # crossJoin (region+nation appear in both branches): 2 + 2 + 1.
-    assert P.broadcast_hint_count(ms) == 5
+    # region + nation — never customer. The r11 rewrite replaced the
+    # 1-row grand-total crossJoin (which duplicated the shared agg
+    # subtree, so hints counted 2 + 2 + 1) with a full-frame window
+    # over the <= 25-row nation aggregate: one branch, 2 hints.
+    assert P.broadcast_hint_count(ms) == 2
     tc = R.top_customers(
         tables["customer"], tables["orders"], tables["nation"])
     # nation only — the per-customer agg has customer's own cardinality
@@ -72,7 +73,7 @@ def test_market_share_and_top_customers_hint_only_fixed_dims(spark, tables):
 # docstring). Anything NOT listed here must carry zero broadcast hints.
 BROADCAST_HINT_WHITELIST = {
     "q5_local_supplier_volume",   # region (5 rows) + nation (25 rows)
-    "q_market_share",             # region + nation + 1-row grand total
+    "q_market_share",             # region + nation (r11: window total)
     "q_top_customers",            # nation (25 rows)
     "catalog_validate_codes",     # user-requested code list (O(request))
     "knn_bruteforce_cosine",      # query vectors (O(queries))
