@@ -136,8 +136,7 @@ def radius_search_ivf(
     e = ensure_parallelism(embeddings).select(
         "vec_id",
         "embedding",
-        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
-                     1).alias("cell"),
+        ivf_cell(F.col("embedding"), cents).alias("cell"),
     )
     q = queries.select(
         "query_id",
@@ -246,8 +245,7 @@ def mips_ivf(
     e = aug.select(
         "vec_id",
         "embedding",
-        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
-                     1).alias("cell"),
+        ivf_cell(F.col("embedding"), cents).alias("cell"),
     )
     # two-step select: the one-select form made the cell expression a
     # LATERAL alias reference to the augmented q_embedding, which
@@ -433,6 +431,24 @@ def ivf_assign(vec_col, centroids: list[tuple[int, list[float]]], nprobe: int = 
     )
 
 
+def ivf_cell(vec_col, centroids: list[tuple[int, list[float]]]):
+    """The vector's single (nprobe=1) cell id as a NON-NULLABLE column
+    for use as a JOIN KEY. ivf_assign can never actually return a null
+    cell (the centroid list is a literal, element_at(.., 1) of a
+    non-empty slice always hits), but its element_at is *declared*
+    nullable — so a join on the aliased column makes Catalyst infer
+    ``IsNotNull(cell)`` and push it below the aliasing Project, where
+    the ENTIRE K-centroid assignment expression is substituted into
+    the Filter and evaluated a second time per corpus row (the
+    filter-on-computed-column trap; observed in every IVF plan:
+    Filter(isnotnull(<full assignment>)) under the scan). Coalescing
+    with a never-taken -1 makes the column non-nullable, the inferred
+    constraint trivially true, and the assignment evaluate ONCE."""
+    return F.coalesce(
+        F.element_at(ivf_assign(vec_col, centroids, nprobe=1), 1),
+        F.lit(-1))
+
+
 def ann_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -460,7 +476,7 @@ def ann_ivf(
     e = ensure_parallelism(embeddings).select(
         "vec_id",
         "embedding",
-        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1), 1).alias("cell"),
+        ivf_cell(F.col("embedding"), cents).alias("cell"),
     )
     q = queries.select(
         "query_id",
@@ -1399,8 +1415,7 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     d = dim // m
     base = ensure_parallelism(embeddings).select(
         "vec_id", "embedding",
-        F.element_at(ivf_assign(F.col("embedding"), cents, nprobe=1),
-                     1).alias("cell"))
+        ivf_cell(F.col("embedding"), cents).alias("cell"))
     center_of = {int(cid): c for cid, c in cents}
     if residual:
         # residual = vector − its cell's centroid, via a literal
@@ -1693,9 +1708,17 @@ def ann_opq_rerank(embeddings: DataFrame, queries: DataFrame,
     whole index)."""
     mdl = model if model is not None else \
         pca_model(embeddings, dim=dim, k=dim)
+    # persist the rotated corpus: the dim×dim matrix-multiply
+    # projection is O(dim²) FLOPs per row and downstream it is
+    # executed FOUR times otherwise (codebook count + seed collect,
+    # the ADC encode scan, and the exact re-rank vector join — r11
+    # measured 4.8 s → 2.9 s at sf0.1). At 100 TB this cache IS the
+    # documented index layout ("the rotated codes persist once"):
+    # rotation happens at write time, never per query.
     rot = (
         pca_project(embeddings, dim=dim, k=dim, model=mdl)
         .withColumnRenamed("pca", "embedding")
+        .persist()
     )
     qrot = (
         pca_project(

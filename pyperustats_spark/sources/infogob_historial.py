@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyperustats_spark.functions.text import let
+
 # everything from the HistorialPartidario container start; the ficha
 # page keeps it as the trailing content block, so running to
 # end-of-document is equivalent to bs4's subtree scoping there
@@ -111,30 +113,47 @@ def affiliation_sections(pages: DataFrame,
         pages.select(*carry, F.posexplode(sections)
                      .alias("seccion", "_sec"))
     )
-    content = F.regexp_extract(F.col("_sec"), _CONTENT, 1)
-    org_span = F.regexp_extract(content, _ORG_SPAN, 0)
-    titulo = strip_tags_text(F.regexp_extract(F.col("_sec"),
-                                              _H5_TEXT, 1))
-    return exploded.select(
+    # stage the SHARED extractions once: pasting the same Column tree
+    # into every output expression made one select evaluate the
+    # content-div regexp 7× and the linkOrgPol span 6× per section
+    # (r11 plan audit) — as intermediate aliases they are non-cheap
+    # and multiply-referenced, so CollapseProject keeps the staged
+    # Project and each regexp runs once per row
+    staged = exploded.select(
+        *carry, "seccion",
+        strip_tags_text(F.regexp_extract(F.col("_sec"), _H5_TEXT, 1))
+        .alias("_titulo"),
+        F.regexp_extract(F.col("_sec"), _CONTENT, 1).alias("_content"),
+    ).select(
+        *carry, "seccion", "_titulo", "_content",
+        F.regexp_extract(F.col("_content"), _ORG_SPAN, 0)
+        .alias("_org_span"),
+    )
+    org_span = F.col("_org_span")
+    return staged.select(
         *carry,
         F.col("seccion").cast("bigint").alias("seccion"),
-        titulo.alias("titulo"),
-        F.when(F.upper(titulo).contains("HISTORIAL DE AFILIACIONES"),
+        F.col("_titulo").alias("titulo"),
+        F.when(F.upper(F.col("_titulo"))
+               .contains("HISTORIAL DE AFILIACIONES"),
                F.lit(0)).otherwise(F.lit(1))
         .cast("bigint").alias("activa"),
         F.when(org_span != "",
-               F.nullif(strip_tags_text(
-                   F.regexp_extract(org_span, _A_TEXT, 1)), F.lit("")))
+               let(strip_tags_text(
+                   F.regexp_extract(org_span, _A_TEXT, 1)),
+                   lambda v: F.nullif(v, F.lit(""))))
         .alias("organizacion_politica"),
         F.when(org_span != "",
-               F.nullif(F.regexp_extract(org_span, _A_HREF, 1),
-                        F.lit(""))).alias("url_organizacion"),
+               let(F.regexp_extract(org_span, _A_HREF, 1),
+                   lambda v: F.nullif(v, F.lit(""))))
+        .alias("url_organizacion"),
         F.when(org_span != "",
-               F.nullif(F.regexp_extract(
+               let(F.regexp_extract(
                    F.regexp_extract(org_span, _ORG_OPEN_TAG, 0),
-                   _DATA_VAL, 1), F.lit("")))
+                   _DATA_VAL, 1),
+                   lambda v: F.nullif(v, F.lit(""))))
         .alias("id_organizacion"),
-        content.alias("_content"),
+        F.col("_content"),
     )
 
 
