@@ -254,11 +254,15 @@ def conversion_lag_stats(events: DataFrame, from_type: str = "view",
     )
     n_from = first_from.agg(
         F.count(F.lit(1)).alias("n_users_from"))
+    # one percentile buffer for both cuts (array form) — two separate
+    # percentile() aggregates each materialize the full lag multiset
     conv = lags.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.percentile("_lag_us", F.lit(0.5)).alias("p50_lag_us"),
-        F.percentile("_lag_us", F.lit(0.9)).alias("p90_lag_us"),
-    )
+        F.percentile("_lag_us", F.array(F.lit(0.5), F.lit(0.9)))
+        .alias("_p"),
+    ).select("n_converted",
+             F.element_at("_p", 1).alias("p50_lag_us"),
+             F.element_at("_p", 2).alias("p90_lag_us"))
     return n_from.join(conv).select(
         "n_users_from", "n_converted",
         F.try_divide(F.col("n_converted"), F.col("n_users_from"))
@@ -1015,11 +1019,14 @@ def inter_event_gap_stats(events: DataFrame,
         "event_type",
         (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("_gap"),
     ).where(F.col("_gap").isNotNull())
+    # array-of-fractions percentile: one value buffer for both cuts
     out = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.percentile("_gap", F.lit(0.5)).alias("p50_gap_us"),
-        F.percentile("_gap", F.lit(0.9)).alias("p90_gap_us"),
-    )
+        F.percentile("_gap", F.array(F.lit(0.5), F.lit(0.9)))
+        .alias("_p"),
+    ).select("event_type", "n_gaps",
+             F.element_at("_p", 1).alias("p50_gap_us"),
+             F.element_at("_p", 2).alias("p90_gap_us"))
     return out.orderBy("event_type") if sort else out
 
 
@@ -2543,6 +2550,7 @@ def funnel_timing(events: DataFrame,
         F.when(F.col("_tt") >= F.col("_tf"),
                F.unix_micros(F.col("_tt"))
                - F.unix_micros(F.col("_tf"))).alias("_lag_us"))
+    # array-of-fractions percentile: one value buffer for both cuts
     out = lags.groupBy("step_from", "step_to").agg(
         F.sum(F.col("_has_from").cast("int")).cast("bigint")
         .alias("n_from"),
@@ -2550,7 +2558,10 @@ def funnel_timing(events: DataFrame,
         F.try_divide(F.count("_lag_us"),
                      F.sum(F.col("_has_from").cast("int")))
         .alias("conversion_rate"),
-        F.percentile("_lag_us", F.lit(0.5)).alias("p50_lag_us"),
-        F.percentile("_lag_us", F.lit(0.9)).alias("p90_lag_us"),
-    )
+        F.percentile("_lag_us", F.array(F.lit(0.5), F.lit(0.9)))
+        .alias("_p"),
+    ).select("step_from", "step_to", "n_from", "n_converted",
+             "conversion_rate",
+             F.element_at("_p", 1).alias("p50_lag_us"),
+             F.element_at("_p", 2).alias("p90_lag_us"))
     return out.orderBy("step_from", "step_to") if sort else out

@@ -518,16 +518,28 @@ def stats_profile(lineitem: DataFrame) -> DataFrame:
     At 100 TB swap `percentile` for `approx_percentile` (Greenwald-Khanna quantile summary
     sketch, mergeable map-side) — exact percentiles materialize each
     group's values; the profile below is the oracle-checkable form."""
+    # ONE percentile aggregate with an array of fractions: three
+    # separate percentile() calls each buffer the group's full value
+    # multiset independently (3x the ObjectHashAggregate memory and
+    # update CPU — r11 plan audit); the array form fills one buffer
+    # and interpolates all three cuts from it, bit-identically
+    pcts = F.percentile("l_extendedprice",
+                        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+            pcts.alias("_p"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        )
+        .select(
+            "l_returnflag", "n", "avg_qty", "sd_qty",
+            F.round(F.element_at("_p", 1), 4).alias("p50_price"),
+            F.round(F.element_at("_p", 2), 4).alias("p90_price"),
+            F.round(F.element_at("_p", 3), 4).alias("p99_price"),
+            "corr_qty_price",
         )
         .orderBy("l_returnflag")
     )
@@ -1007,10 +1019,13 @@ def winsorize_summary(df: DataFrame, group_col: str, value_col: str,
     :func:`winsorize_summary_approx` (same profile, Greenwald-Khanna
     summary bounds)."""
     g, v = group_col, value_col
+    # one percentile buffer for both cuts (array-of-fractions form) —
+    # two separate percentile() aggregates would each materialize the
+    # group's full value multiset (see stats_profile)
     bounds = df.groupBy(g).agg(
-        F.percentile(v, F.lit(lo)).alias("p_lo"),
-        F.percentile(v, F.lit(hi)).alias("p_hi"),
-    )
+        F.percentile(v, F.array(F.lit(lo), F.lit(hi))).alias("_b"),
+    ).select(g, F.element_at("_b", 1).alias("p_lo"),
+             F.element_at("_b", 2).alias("p_hi"))
     out = (
         df.join(bounds, g)
         .groupBy(g)
