@@ -346,8 +346,16 @@ def embedding_cosine_pairs(
     arithmetic is unchanged (same dot, same norm values, same
     try_divide), so results — and the DuckDB oracle — are
     bit-identical."""
+    # coalesce makes _nrm NON-NULLABLE (never taken: the fold only
+    # yields null for a null embedding, whose pairs are filtered by
+    # the cos threshold either way) so the `cos >= threshold`
+    # constraint cannot infer IsNotNull(_nrm) and push the whole norm
+    # fold into a Filter under the scan — that substitution evaluated
+    # the O(dim) fold TWICE per row (r11 plan audit; the ivf_cell
+    # class)
     e = ensure_parallelism(embeddings).select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("_nrm"))
+        "vec_id", "embedding",
+        F.coalesce(norm(F.col("embedding")), F.lit(0.0)).alias("_nrm"))
     e = e.withColumn("_g", F.pmod(F.col("vec_id"), F.lit(block)).cast("int"))
     left = e.withColumn(
         "_j", F.explode(F.sequence(F.col("_g"), F.lit(block - 1))))

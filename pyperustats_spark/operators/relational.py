@@ -2479,12 +2479,18 @@ def revenue_lorenz(orders: DataFrame, n_tiles: int = 10) -> DataFrame:
         "decile", "n_customers", "tile_cents",
         F.sum("tile_cents").over(wc).cast("bigint").alias("cum_cents"),
     )
-    total = cum.agg(F.max("cum_cents").alias("_total"))
+    # grand total as a full-frame window over the n_tiles-row frame
+    # (audited bounded SINGLE_PART class): the separate 1-row
+    # aggregate + crossJoin referenced cum twice and Catalyst re-ran
+    # the entire histogram-ntile subtree for the total branch
+    # (r11: 97-node plan -> ~half, one ntile execution)
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        cum.crossJoin(F.broadcast(total))
-        .select("decile", "n_customers", "tile_cents", "cum_cents",
-                F.try_divide(F.col("cum_cents"), F.col("_total"))
-                .alias("cum_share"))
+        cum.select("decile", "n_customers", "tile_cents", "cum_cents",
+                   F.try_divide(F.col("cum_cents"),
+                                F.max("cum_cents").over(w_all))
+                   .alias("cum_share"))
         .orderBy("decile")
     )
 

@@ -144,13 +144,19 @@ def radius_search_ivf(
         F.explode(ivf_assign(F.col("q_embedding"), cents,
                              nprobe=nprobe)).alias("cell"),
     )
+    # hoist norms to one column per SIDE (same folds, same sqrt —
+    # bit-identical to per-pair cosine()) and null-guard the band so
+    # the pushed predicate doesn't re-fold the dot per comparison
     out = (
-        e.join(F.broadcast(q), "cell")
+        e.withColumn("_nv", norm(F.col("embedding")))
+        .join(F.broadcast(q.withColumn("_nq", norm(F.col("q_embedding")))),
+              "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+            F.try_divide(dot(F.col("embedding"), F.col("q_embedding")),
+                         F.col("_nv") * F.col("_nq")).alias("cos"),
         )
         .where((F.col("cos") >= F.lit(float(threshold)))
                & (F.col("cos") <= 1.0001))
@@ -483,21 +489,25 @@ def ann_ivf(
         "q_embedding",
         F.explode(ivf_assign(F.col("q_embedding"), cents, nprobe=nprobe)).alias("cell"),
     )
+    # a corrupt (NaN/Inf) embedding yields a non-finite score, and Spark
+    # orders NaN as LARGEST — without this bound one bad vector becomes
+    # the top neighbor of every query. Valid cosines live in [-1, 1];
+    # out-of-band/NaN scores null out in the guard and drop below.
+    # Norms hoisted per SIDE (same folds/sqrt as per-pair cosine() —
+    # bit-identical) so the pair projection is one dot fold.
     scored = (
-        e.join(F.broadcast(q), "cell")
+        e.withColumn("_nv", norm(F.col("embedding")))
+        .join(F.broadcast(q.withColumn("_nq", norm(F.col("q_embedding")))),
+              "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+            F.try_divide(dot(F.col("embedding"), F.col("q_embedding")),
+                         F.col("_nv") * F.col("_nq")).alias("cos"),
         )
+        .where((F.col("cos") >= -1.0001) & (F.col("cos") <= 1.0001))
     )
-    # a corrupt (NaN/Inf) embedding yields a non-finite score, and Spark
-    # orders NaN as LARGEST — without this bound one bad vector becomes
-    # the top neighbor of every query. Valid cosines live in [-1, 1];
-    # the predicate is false for NaN/±Inf, so they drop here.
-    scored = scored.where(
-        (F.col("cos") >= -1.0001) & (F.col("cos") <= 1.0001))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
