@@ -1037,10 +1037,14 @@ def copurchase_assortativity(lineitem: DataFrame, max_basket: int = 50,
 
     Scale shape: edges via the capped basket gather (never a
     lineitem self-join); the symmetrized list is built ONCE and
-    persisted (degree count + the two degree joins would otherwise
-    re-execute the basket build — CLAUDE.md common-subtree rule);
-    degrees persist too (joined twice). Everything else is one
-    partial-aggregated 1-row pass."""
+    persisted (degree count + the neighbour-degree join would
+    otherwise re-execute the basket build — CLAUDE.md common-subtree
+    rule); degrees persist too (two references). The moments come
+    from ONE edge-sized join: M/Σx/Σx² are pure degree-table sums
+    (node x is the left endpoint exactly d_x times) and Σxy folds as
+    Σ d_x·s_x over the node-grain neighbour-degree sums — the
+    original two-degree-join edge-sized aggregate re-associated the
+    same exact integers (bit-identical r)."""
     par = lineitem.sparkSession.sparkContext.defaultParallelism
     edges = copurchase_edges(lineitem, max_basket=max_basket,
                              min_support=min_support)
@@ -1058,19 +1062,28 @@ def copurchase_assortativity(lineitem: DataFrame, max_basket: int = 50,
     def dec(c):
         return c.cast("decimal(38,0)")
 
-    pairs = (
-        und.join(deg.select(F.col("node").alias("x"),
-                            F.col("d").alias("_dx")), "x")
-        .join(deg.select(F.col("node").alias("y"),
-                         F.col("d").alias("_dy")), "y")
+    # endpoint-degree moments WITHOUT per-edge degree pairs: on the
+    # symmetrized list node x appears as left endpoint exactly d_x
+    # times, so M = Σd, Σx = Σd², Σx² = Σd³ come from the degree
+    # table alone, and Σxy = Σ_x d_x·s_x with s_x = Σ_{y∈N(x)} d_y —
+    # ONE edge-sized join (y side) + a node-grain rollup instead of
+    # TWO edge-sized degree joins feeding an edge-sized aggregate
+    # (r11: 100× depth 44 s single-run → see OPTIMIZATION_r11.md).
+    # Every summand is the same exact integer multiset re-associated,
+    # so the DECIMAL sums — and the oracle — are bit-identical.
+    nbr_sum = (
+        und.join(deg.select(F.col("node").alias("y"),
+                            F.col("d").alias("_dy")), "y")
+        .groupBy("x")
+        .agg(F.sum(dec(F.col("_dy"))).alias("_sy"))
     )
-    agg = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("_m"),
-        F.sum(dec(F.col("_dx"))).alias("_sx"),
-        F.sum(dec(F.col("_dx")) * F.col("_dy")).alias("_sxy"),
-        F.sum(dec(F.col("_dx")) * F.col("_dx")).alias("_sxx"),
-    ).crossJoin(F.broadcast(deg.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nodes"))))
+    agg = deg.join(nbr_sum, deg.node == nbr_sum.x).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(dec(F.col("d"))).cast("bigint").alias("_m"),
+        F.sum(dec(F.col("d")) * F.col("d")).alias("_sx"),
+        F.sum(dec(F.col("d")) * F.col("_sy")).alias("_sxy"),
+        F.sum(dec(F.col("d")) * F.col("d") * F.col("d")).alias("_sxx"),
+    )
     num = dec(F.col("_m")) * F.col("_sxy") - F.col("_sx") * F.col("_sx")
     den = dec(F.col("_m")) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     out = agg.select(
