@@ -125,7 +125,6 @@ BROADCAST_HINT_WHITELIST = {
                                   # bucket-offset side (KS/MW class)
     "emb_two_nn_id",              # md5-sampled anchor vectors
                                   # (O(sample)) + 1-row query total
-    "graph_part_assortativity",   # 1-row node-count aggregate
     "text_log_odds_terms",        # |langs|-row totals + 1-row (N, V)
                                   # corpus totals (logprob class)
     "ts_series_depth_profile",    # 1-row (total, deepest) aggregate
@@ -512,8 +511,10 @@ PLAN_SMELL_WHITELIST = {
                                   # blocks (bounded cardinality) and a
                                   # global max over the bounded
                                   # (year x priority) grid + 1-row stat
-    "graph_part_assortativity": {"BNLJ", "SINGLE_PART"},
-                                  # 1-row node count onto 1-row sums
+    "graph_part_assortativity": {"SINGLE_PART"},
+                                  # 1-row moment aggregate (the r11
+                                  # rewrite removed the node-count
+                                  # crossJoin and its BNLJ/hint)
     "emb_two_nn_id": {"BNLJ", "SINGLE_PART"},   # 1-row anchor count
                                   # onto the 1-row MLE aggregate
     "text_log_odds_terms": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
