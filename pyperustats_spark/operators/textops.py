@@ -884,6 +884,14 @@ def tfidf_top_terms(documents: DataFrame, top: int = 3,
     the term text."""
     toks = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    # NOT persisted (A/B'd r11): tf is referenced twice (df table +
+    # scoring join) so the tokenize+aggregate runs twice — but tf is
+    # DOC-GRAIN-times-vocab rows with string tokens, and caching it
+    # measured 23.2 → 88.1 s at 100× depth and 1.3 → 5.5 s at sf0.1
+    # (materialization + memory pressure ≫ the second column-pruned
+    # tokenize pass). The doc_length_drift/power_users rejected class,
+    # NOT the vocab-persist precedent (those tables are vocab-bounded;
+    # this one is corpus-sized).
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
