@@ -227,6 +227,13 @@ def main() -> None:
         "cohort2": c2,
         "cohort2_total": c2_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # record the core count the artifact was measured at: every pin
+        # is a 32-core quantity, and the driver ALSO runs bench.py at a
+        # lower core count to measure scaling — r11's low-core pass
+        # overwrote BENCH_LATEST.json and its cohort-3 rows then read
+        # as 2x "regressions" against 32-core pins (inherited red this
+        # round). test_baseline only applies pin gates at PIN_CPUS.
+        "cpus": spark.sparkContext.defaultParallelism,
     }
     # diff against the frozen BASELINE.md numbers (only meaningful at
     # the baseline's own scale factor): per-query 2× gate + total ratio

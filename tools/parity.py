@@ -48,8 +48,13 @@ def main():
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Spark-written scaled sets (tools/gen_sf.py) are DIRECTORIES
+        # of part files; the driver's /root/testdata tables are single
+        # files — glob the former so oracle parity runs on both
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -59,6 +64,11 @@ def main():
             continue
         t0 = time.time()
         try:
+            # operators persist internal frames and (by design) rarely
+            # unpersist — across 349 queries the leftovers accumulate
+            # until LRU eviction churn perturbs later queries (bench.py
+            # clears per query for the same reason; VERDICT r11 item 5)
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
