@@ -2112,7 +2112,11 @@ def emb_two_nn_id(spark, sf_dir):
     """Two-NN intrinsic-dimension MLE (Facco et al. 2017) on a
     md5-sampled anchor set: exact 2-NN squared-L2 via the brute-force
     baseline fold, ln(d2/d1) snapped to integer micro-log-units
-    (exact bigint sum), id = 2e6*n/sum as an int/int division."""
+    (exact bigint sum), id = 2e6*n/sum as an int/int division.
+    Anchor slice is depth-adaptive (12.5% below 16384 corpus rows —
+    bit-identical at every gate SF — then pinned at ~2048 anchors so
+    the exact scan stays linear in depth); oracle reproduces the
+    threshold formula verbatim."""
     emb = _lt(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     return S.two_nn_intrinsic_dim(emb)
@@ -6783,7 +6787,15 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e
-              WHERE md5('twonn:' || CAST(vec_id AS VARCHAR)) < '2'),
+              -- depth-adaptive anchor slice (two_nn_anchor_threshold):
+              -- 12.5% ('2') up to 16384 corpus rows, then a 4-hex
+              -- prefix pinning ~2048 anchors — same integer formula
+              -- as the Spark side, bit-identical threshold string
+              WHERE md5('twonn:' || CAST(vec_id AS VARCHAR)) <
+                    (SELECT CASE WHEN count(*) <= 16384 THEN '2'
+                            ELSE printf('%04x', greatest(1,
+                                 (2048 * 65536) // count(*)))
+                            END FROM e)),
         scored AS (
             SELECT q.query_id, e.vec_id,
                    list_sum(list_transform(range(1, len(e.v) + 1),

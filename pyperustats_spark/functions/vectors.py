@@ -24,6 +24,23 @@ def norm(a: Column) -> Column:
     )
 
 
+def norm_nn(a: Column) -> Column:
+    """Non-NULLABLE hoisted norm for score columns that feed a filter.
+
+    A band/threshold predicate on a computed cosine makes Catalyst
+    infer ``IsNotNull`` constraints and push them below the join —
+    substituting the WHOLE O(dim) norm fold into a Filter under each
+    scan, so every corpus row pays the fold twice (the ivf_cell /
+    dedup ``_nrm`` class). Coalescing the norm with 0.0 makes the
+    column provably non-null and the inferred constraint vanishes.
+
+    Semantics unchanged: norm() is NULL only for a NULL array / NULL
+    element, in which case the dot fold is NULL too and
+    ``try_divide(NULL, 0.0 * nq)`` still yields a NULL cosine that the
+    band filter drops exactly as before."""
+    return F.coalesce(norm(a), F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL for zero-norm vectors.
 

@@ -1079,7 +1079,14 @@ def copurchase_assortativity(lineitem: DataFrame, max_basket: int = 50,
     )
     agg = deg.join(nbr_sum, deg.node == nbr_sum.x).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.sum(dec(F.col("d"))).cast("bigint").alias("_m"),
+        # coalesce: sum over ZERO edge rows (e.g. min_support filters
+        # everything) is NULL where the pre-r11 edge-row count returned
+        # 0 — n_edges must stay 0 on the degenerate input (the moment
+        # sums stay bare: a NULL den and a zero den both yield NULL
+        # assortativity through the when())
+        F.coalesce(F.sum(dec(F.col("d"))),
+                   F.lit(0).cast("decimal(38,0)"))
+        .cast("bigint").alias("_m"),
         F.sum(dec(F.col("d")) * F.col("d")).alias("_sx"),
         F.sum(dec(F.col("d")) * F.col("_sy")).alias("_sxy"),
         F.sum(dec(F.col("d")) * F.col("d") * F.col("d")).alias("_sxx"),

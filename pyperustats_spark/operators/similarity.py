@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from pyperustats_spark.functions.layout import ensure_parallelism
 from pyperustats_spark.functions.vectors import (
-    cosine, dot, lit_double_matrix, lit_doubles, lit_longs, norm)
+    cosine, dot, lit_double_matrix, lit_doubles, lit_longs, norm, norm_nn)
 
 
 def knn_bruteforce(
@@ -35,8 +35,8 @@ def knn_bruteforce(
     once per query) — same arithmetic as per-pair cosine(), so results
     and the oracle are bit-identical."""
     e = ensure_parallelism(embeddings).withColumn(
-        "_nv", norm(F.col("embedding")))
-    qn = queries.withColumn("_nq", norm(F.col("q_embedding")))
+        "_nv", norm_nn(F.col("embedding")))
+    qn = queries.withColumn("_nq", norm_nn(F.col("q_embedding")))
     scored = (
         e.crossJoin(F.broadcast(qn))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -83,8 +83,8 @@ def radius_search(
     bit-identical; the [-1.0001, 1.0001] band drops NaN/Inf scores
     from corrupt vectors (predicate false for non-finite)."""
     e = ensure_parallelism(embeddings).withColumn(
-        "_nv", norm(F.col("embedding")))
-    qn = queries.withColumn("_nq", norm(F.col("q_embedding")))
+        "_nv", norm_nn(F.col("embedding")))
+    qn = queries.withColumn("_nq", norm_nn(F.col("q_embedding")))
     out = (
         e.crossJoin(F.broadcast(qn))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -145,11 +145,12 @@ def radius_search_ivf(
                              nprobe=nprobe)).alias("cell"),
     )
     # hoist norms to one column per SIDE (same folds, same sqrt —
-    # bit-identical to per-pair cosine()) and null-guard the band so
-    # the pushed predicate doesn't re-fold the dot per comparison
+    # bit-identical to per-pair cosine()); norm_nn's coalesce makes
+    # them non-nullable so the band's inferred IsNotNull doesn't
+    # substitute the norm fold into a Filter under each scan
     out = (
-        e.withColumn("_nv", norm(F.col("embedding")))
-        .join(F.broadcast(q.withColumn("_nq", norm(F.col("q_embedding")))),
+        e.withColumn("_nv", norm_nn(F.col("embedding")))
+        .join(F.broadcast(q.withColumn("_nq", norm_nn(F.col("q_embedding")))),
               "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -370,11 +371,11 @@ def ann_lsh(
         for t in range(num_tables)
     ]
     e = ensure_parallelism(embeddings).select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("_nv"),
+        "vec_id", "embedding", norm_nn(F.col("embedding")).alias("_nv"),
         F.explode(_bucket_array(F.col("embedding"), tables)).alias("bk"),
     ).select("vec_id", "embedding", "_nv", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
     q = queries.select(
-        "query_id", "q_embedding", norm(F.col("q_embedding")).alias("_nq"),
+        "query_id", "q_embedding", norm_nn(F.col("q_embedding")).alias("_nq"),
         F.explode(_bucket_array(F.col("q_embedding"), tables)).alias("bk"),
     ).select("query_id", "q_embedding", "_nq", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
     # score INSIDE the bucket join and dedup on the (query, vec, cos)
@@ -496,8 +497,8 @@ def ann_ivf(
     # Norms hoisted per SIDE (same folds/sqrt as per-pair cosine() —
     # bit-identical) so the pair projection is one dot fold.
     scored = (
-        e.withColumn("_nv", norm(F.col("embedding")))
-        .join(F.broadcast(q.withColumn("_nq", norm(F.col("q_embedding")))),
+        e.withColumn("_nv", norm_nn(F.col("embedding")))
+        .join(F.broadcast(q.withColumn("_nq", norm_nn(F.col("q_embedding")))),
               "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -1725,6 +1726,13 @@ def ann_opq_rerank(embeddings: DataFrame, queries: DataFrame,
     # measured 4.8 s → 2.9 s at sf0.1). At 100 TB this cache IS the
     # documented index layout ("the rotated codes persist once"):
     # rotation happens at write time, never per query.
+    # Cache lifetime: the returned frame still references rot (the
+    # exact re-rank join), so the operator cannot unpersist before
+    # return. The block is corpus×dim-sized and lives until the
+    # caller's session clears it — bench.py and tools/parity.py both
+    # clearCache() between queries (r12), and a long-lived caller
+    # should treat rot as the index it would otherwise write: rotate
+    # once at ingest, not per query (then this persist never recurs).
     rot = (
         pca_project(embeddings, dim=dim, k=dim, model=mdl)
         .withColumnRenamed("pca", "embedding")
@@ -2070,8 +2078,26 @@ def centroid_drift(embeddings: DataFrame,
     return out.orderBy("label") if sort else out
 
 
+def two_nn_anchor_threshold(n: int, max_anchors: int = 2048) -> str:
+    """md5-hex prefix bounding the Two-NN anchor sample to ~max_anchors.
+
+    Below 8·max_anchors corpus rows the classic 12.5 % slice ('2')
+    stays — the declared query's results at every gate SF are
+    bit-identical to the uncapped form. Past that, the slice narrows
+    to a 4-hex-digit prefix so the expected anchor count is pinned at
+    ~max_anchors and the anchors×corpus exact 2-NN scan is LINEAR in
+    depth, not quadratic (r11 VERDICT item 1: the 12.5 % slice at 100×
+    depth meant 25k × 200k × dim interpreted fold ops — killed at
+    25 min). Integer arithmetic only, reproduced verbatim by the
+    DuckDB oracle (printf('%04x', greatest(1, (cap·65536) // n)))."""
+    if n <= 8 * max_anchors:
+        return "2"
+    return format(max(1, (max_anchors * 65536) // n), "04x")
+
+
 def two_nn_intrinsic_dim(embeddings: DataFrame,
-                         sample_hex_lt: str = "2") -> DataFrame:
+                         sample_hex_lt: str | None = None,
+                         max_anchors: int = 2048) -> DataFrame:
     """Facco et al.'s Two-NN intrinsic-dimension estimator (Sci. Rep.
     7:12140, 2017) over the embedding corpus: for a sampled set of
     points, take the ratio mu = d2/d1 of the exact 2nd- to 1st-
@@ -2084,9 +2110,16 @@ def two_nn_intrinsic_dim(embeddings: DataFrame,
     sum_ln_ratio_micro, id_mle).
 
     Sampling: the estimator needs a SAMPLE of anchor points, not all
-    of them — queries are the md5('twonn:' || vec_id) < *sample_hex_lt*
-    slice (default 2/16 = 12.5%; shrink the prefix at scale). The
-    hash filter is row-local and reproduced verbatim by the oracle.
+    of them — queries are the md5('twonn:' || vec_id) <
+    *sample_hex_lt* slice. When *sample_hex_lt* is None (the declared
+    query), the threshold is DEPTH-ADAPTIVE via
+    :func:`two_nn_anchor_threshold`: the classic 12.5 % slice ('2')
+    up to 8·max_anchors corpus rows — bit-identical results at every
+    gate SF — then a narrower 4-hex prefix pinning the expected
+    anchor count at ~*max_anchors*, so the exact anchors×corpus scan
+    is linear in depth (one cheap count-star action derives the
+    threshold; the filter itself stays row-local and is reproduced
+    verbatim by the oracle, count subquery included).
 
     Cross-engine determinism: squared L2 distances come from the
     same sequential fold both engines use for the cosine family
@@ -2106,6 +2139,11 @@ def two_nn_intrinsic_dim(embeddings: DataFrame,
     emb_radius_search_ivf does for radius search; the estimator only
     needs d1/d2, which IVF with enough probes preserves."""
     e = ensure_parallelism(embeddings)
+    if sample_hex_lt is None:
+        # count-star over the parquet scan (metadata-cheap, O(1)
+        # driver transfer — the IVF seed-collect class of action)
+        sample_hex_lt = two_nn_anchor_threshold(
+            embeddings.count(), max_anchors)
     qn = e.where(
         F.md5(F.concat(F.lit("twonn:"),
                        F.col("vec_id").cast("string")))

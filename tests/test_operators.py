@@ -6143,6 +6143,35 @@ def test_two_nn_id_recovers_planar_dimension(spark):
     assert 1.2 < r["id_mle"] < 3.2, r["id_mle"]
 
 
+def test_two_nn_anchor_threshold_formula():
+    from pyperustats_spark.operators.similarity import (
+        two_nn_anchor_threshold)
+
+    # below 8x the cap: the classic 12.5% slice, results bit-identical
+    # to the pre-r12 uncapped form at every gate SF (500/2000 rows)
+    assert two_nn_anchor_threshold(500) == "2"
+    assert two_nn_anchor_threshold(2000) == "2"
+    assert two_nn_anchor_threshold(16384) == "2"
+    # past it: a 4-hex prefix pinning ~2048 expected anchors
+    assert two_nn_anchor_threshold(16385) == "1fff"
+    assert two_nn_anchor_threshold(200_000) == "029f"   # 100x depth set
+    assert two_nn_anchor_threshold(10**9) == "0001"
+    # floor'd fraction: expected anchors in (cap - n/65536, cap]
+    n = 200_000
+    frac = int(two_nn_anchor_threshold(n), 16) / 65536
+    assert 0 <= 2048 - frac * n <= n / 65536 + 1e-9
+
+
+def test_two_nn_id_adaptive_matches_default_below_cap(spark):
+    from pyperustats_spark.operators.similarity import two_nn_intrinsic_dim
+
+    rows = [(i, [float(i % 13), float(i % 7), float(i)]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = two_nn_intrinsic_dim(df).collect()              # adaptive (None)
+    b = two_nn_intrinsic_dim(df, sample_hex_lt="2").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_two_nn_id_duplicates_excluded(spark):
     from pyperustats_spark.operators.similarity import two_nn_intrinsic_dim
 
@@ -6253,6 +6282,20 @@ def test_assortativity_regular_graph_null(spark):
         [(1, 2), (2, 3), (3, 4), (1, 4)]) for p in pair]
     df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
     r = copurchase_assortativity(df).collect()[0]
+    assert r["assortativity"] is None
+
+
+def test_assortativity_empty_edge_set_zero_edges(spark):
+    from pyperustats_spark.operators.graph import copurchase_assortativity
+
+    # single-item orders -> zero co-purchase edges. n_edges must be 0
+    # (the pre-r11 edge-row count), not NULL from sum() over zero rows
+    # (ADVICE r11: the moment rewrite silently NULLed it).
+    rows = [(1, 10), (2, 20), (3, 30)]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    r = copurchase_assortativity(df).collect()[0]
+    assert r["n_nodes"] == 0
+    assert r["n_edges"] == 0
     assert r["assortativity"] is None
 
 

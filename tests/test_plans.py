@@ -519,7 +519,10 @@ PLAN_SMELL_WHITELIST = {
                                   # onto the 1-row MLE aggregate
     "text_log_odds_terms": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
                                   # corpus totals (logprob class)
-    "q_market_share": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
+    "q_market_share": {"SINGLE_PART"},          # bounded full-frame
+                                  # window over the ≤25-row nation agg
+                                  # (the r11 window-total rewrite
+                                  # removed the crossJoin and its BNLJ)
     "corpus_summary": {"BNLJ", "SINGLE_PART"},  # 1-row grand total
     "knn_bruteforce_cosine": {"BNLJ"},          # broadcast query set
     "ann_hamming_topk": {"BNLJ"},               # broadcast query sigs
