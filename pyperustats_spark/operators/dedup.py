@@ -1065,7 +1065,18 @@ def winnowed_fingerprints(documents: DataFrame, n_tokens: int = 20,
     one row-local projection, zero shuffles. Streaming-safe: the
     parallelism guard needs the batch RDD layout, so streams (whose
     micro-batches inherit the source's file-split parallelism) pass
-    through untouched."""
+    through untouched.
+
+    Sliding-min form (r12): the per-window ``array_min(slice(g, j, w))``
+    scan evaluated an interpreted slice ALLOCATION + w string compares
+    per gram position — O(grams·w) lambda dispatches dominated the 100×
+    wall (the whole fingerprint stage, not the pair explosion; measured
+    ~15 s of dedup_exact_substring's 20 s). The sparse-table identity
+    min(g[j..j+w−1]) = min(m_P[j], m_P[j+w−P]) with m_P the let-bound
+    power-of-two prefix mins (m_{2p} = zip_with(m_p, m_p shifted p,
+    least)) computes every window in O(log w) whole-array passes —
+    same mins, same fingerprints, bit-identical output (interleaved
+    A/B at 100×: 15.2 → 10.0 s for the stage)."""
     toks = tokens(F.col("text"))
     if hash_fn == "md5":
         elem_t, _hash = "array<string>", F.md5
@@ -1074,14 +1085,31 @@ def winnowed_fingerprints(documents: DataFrame, n_tokens: int = 20,
     else:  # fail loud: a typo here would silently change fingerprints
         raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
 
+    def _drop(a, k):
+        # a[k:] (0-based), empty when k >= size — zip_with null-pads
+        # the shorter side and least() skips nulls, so the padded tail
+        # holds partial mins that the final valid-prefix slice drops
+        return F.slice(a, k + 1, F.greatest(F.size(a) - k, F.lit(0)))
+
+    def _mn(a, b):
+        return F.zip_with(a, b, lambda x, y: F.least(x, y))
+
     def _fingerprints(t):
         def _sel(g):
-            return F.when(
-                F.size(g) >= winnow,
-                F.array_distinct(F.transform(
-                    F.sequence(F.lit(0), F.size(g) - winnow),
-                    lambda j: F.array_min(F.slice(g, j + 1, winnow)))),
-            ).otherwise(F.array().cast(elem_t))
+            def step(mp, p):
+                # invariant: mp[j] = min(g[j .. j+p-1]) for the valid
+                # prefix; each doubling is ONE let-bound array pass
+                if p * 2 <= winnow:
+                    return let(_mn(mp, _drop(mp, p)),
+                               lambda m2p: step(m2p, p * 2))
+                win = mp if p == winnow else _mn(mp, _drop(mp, winnow - p))
+                return F.when(
+                    F.size(g) >= winnow,
+                    F.array_distinct(
+                        F.slice(win, 1, F.size(g) - (winnow - 1))),
+                ).otherwise(F.array().cast(elem_t))
+
+            return step(g, 1)
 
         grams = F.when(
             F.size(t) >= n_tokens,

@@ -1049,8 +1049,7 @@ def pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
         .orderBy("vec_id").limit(k)
         .select("vec_id", "embedding").collect()
     )
-    books: list[list[list[float]]] = []
-    for s_idx in range(m):
+    def one_book(s_idx: int) -> list[list[float]]:
         cents = [
             (int(r["vec_id"]),
              [float(x) for x in r["embedding"]][s_idx * d:(s_idx + 1) * d])
@@ -1062,9 +1061,23 @@ def pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
                 F.slice("embedding", s_idx * d + 1, d).alias("embedding"))
             cents = kmeans_refine_centroids(sub, cents,
                                             iterations=kmeans_iters)
-        books.append([c for _, c in cents])
+        return [c for _, c in cents]
+
     if kmeans_iters > 0:
+        # the m per-subspace refinements are INDEPENDENT identical
+        # plans whose cost is driver job latency, not cluster work —
+        # sequentially they serialize m×iterations collect() round
+        # trips (r11 VERDICT item 6: ~10 s of the sf0.1 wall was this
+        # serial chain). Submitting them from a thread pool overlaps
+        # the jobs in the scheduler; each job's plan, partitioning and
+        # fold order are byte-identical to the sequential form, so the
+        # learned codebooks are the same bits.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            books = list(pool.map(one_book, range(m)))
         embeddings.unpersist()
+    else:
+        books = [one_book(s_idx) for s_idx in range(m)]
     return books
 
 
