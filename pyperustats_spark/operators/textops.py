@@ -877,28 +877,35 @@ def tfidf_top_terms(documents: DataFrame, top: int = 3,
     classic salience ranking) — what a catalogue search surfaces as
     per-document keywords.
 
-    Scale: document frequency is a distinct+count on (doc_id, token);
-    the ranking window is PARTITIONED by doc_id (per-doc top-k, no
-    global funnel). idf is rounded to the 1e-6 grid so tf×idf is a
+    Scale: document frequency is a count window over the (doc_id,
+    token) tf grain PARTITIONED by token — ONE tokenize pass; the
+    ranking window is PARTITIONED by doc_id (per-doc top-k, no global
+    funnel). idf is rounded to the 1e-6 grid so tf×idf is a
     bit-identical int×grid-double product cross-engine; ties break on
-    the term text."""
+    the term text.
+
+    Why a window and not the tf→df_tbl groupBy+join (r12): tf is
+    referenced twice in that shape (df build + scoring join) and
+    Catalyst re-executes the tokenize+aggregate per reference — and
+    persisting tf is the REJECTED r11 A/B (corpus-sized string rows,
+    23 → 88 s at 100×). The count window reads the tf stream once:
+    measured 15–59 s → 9 s at 100× (the 59 s tail was the df join
+    flipping to a shuffle join on the 100×-vocab table). Straggler
+    honesty: the window partition for a token holds one row per
+    DISTINCT DOC containing it — bounded by corpus breadth, not by
+    occurrences. On a corpus with ~10⁹ docs the stopword partition is
+    the straggler and the two-pass groupBy+join form (tokenize twice,
+    tiny vocab shuffle) becomes the right trade again; at any depth
+    and moderate breadth the single-pass window wins."""
     toks = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    # NOT persisted (A/B'd r11): tf is referenced twice (df table +
-    # scoring join) so the tokenize+aggregate runs twice — but tf is
-    # DOC-GRAIN-times-vocab rows with string tokens, and caching it
-    # measured 23.2 → 88.1 s at 100× depth and 1.3 → 5.5 s at sf0.1
-    # (materialization + memory pressure ≫ the second column-pruned
-    # tokenize pass). The doc_length_drift/power_users rejected class,
-    # NOT the vocab-persist precedent (those tables are vocab-bounded;
-    # this one is corpus-sized).
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("_nd"))
     idf = F.round(F.log(F.col("_nd") / F.col("_df")), 6)
     scored = (
-        tf.join(df_tbl, "token")
+        tf.withColumn("_df", F.count(F.lit(1)).over(
+            Window.partitionBy("token")))
         .join(F.broadcast(n_docs))
         .select("doc_id", "token", "tf",
                 (F.col("tf") * idf).alias("tfidf"))

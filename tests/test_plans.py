@@ -533,7 +533,8 @@ PLAN_SMELL_WHITELIST = {
     "ev_funnel_steps": {"SINGLE_PART"},         # k 1-row step totals
     "ev_funnel_within": {"SINGLE_PART"},        # k 1-row step totals
     "text_unigram_logprob": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
-    "text_tfidf_top_terms": {"BNLJ", "SINGLE_PART"},  # 1-row doc count
+    # (text_tfidf_top_terms merged into the GROUP_SIZE_WINDOW section
+    # below — BNLJ/SINGLE_PART for the 1-row doc count stay allowed)
     "text_bigram_logprob": {"BNLJ", "SINGLE_PART"},   # 1-row vocab size
     "q_customer_quartiles": {"BNLJ"},           # P×P offset prefix table
     "text_pack_sequences": {"BNLJ"},            # P×P offset prefix table
@@ -672,6 +673,22 @@ PLAN_SMELL_WHITELIST = {
     # scale route for mega-series). dedup_keep_best was the one
     # data-sized-key case and is rewritten to a map-side argmin agg.
     "text_drop_short_tail": {"GROUP_SIZE_WINDOW"},   # lang (~4 values)
+    "text_tfidf_top_terms": {"BNLJ", "SINGLE_PART",  # 1-row doc count
+                             "GROUP_SIZE_WINDOW"},   # df count over the
+                                                # tf grain by token: one
+                                                # row per DISTINCT doc
+                                                # containing the token
+                                                # (breadth-bounded, not
+                                                # occurrence-bounded);
+                                                # the single-pass window
+                                                # replaces a 2nd
+                                                # tokenize of the corpus
+                                                # (r12: 15-59s -> 9s at
+                                                # 100x; persisting tf is
+                                                # the rejected r11 A/B).
+                                                # Docstring names the
+                                                # two-pass form as the
+                                                # 10^9-doc fallback.
     "ts_seasonal_strength": {"GROUP_SIZE_WINDOW"},   # per (code, month)
     "ts_decompose": {"GROUP_SIZE_WINDOW"},           # per (code, month)
     "text_perplexity_buckets": {"BNLJ", "SINGLE_PART"},  # 1-row (N, V)
