@@ -1867,7 +1867,16 @@ def part_affinity(lineitem: DataFrame, max_basket: int = 50,
     division of identical counts — shipped raw, bit-identical
     cross-engine (CLAUDE.md). Per-part counts come from the SAME
     capped item set so the denominator matches what generated the
-    pairs."""
+    pairs.
+
+    NOT persisted (r12 A/B): baskets is referenced twice (pairs + per-
+    part counts), but BOTH references prune the gather to the identical
+    subtree, so AQE's runtime stage reuse already executes it once —
+    a persist+repartition variant measured FLAT at 100× (28.4 vs
+    28.7 s) while adding a 13.6M-array cache block. This is the
+    exception to the reference-once rule, not a license: the rule's
+    measured failures are all differently-pruned references (the
+    static plan here shows two scans, the reuse is runtime-only)."""
     baskets = (
         lineitem.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
@@ -3482,13 +3491,23 @@ def basket_rules(lineitem: DataFrame, max_basket: int = 50,
         .join(pc.select(F.col("pk").alias("pb"),
                         F.col("n").alias("_nb2")), "pb")
     )
-    # emit both directions: A->B and B->A share n_both and lift
-    directional = both.selectExpr(
-        "pa as antecedent", "pb as consequent", "n_both",
-        "_na as n_ant", "_nb2 as n_con"
-    ).union(both.selectExpr(
-        "pb as antecedent", "pa as consequent", "n_both",
-        "_nb2 as n_ant", "_na as n_con"))
+    # emit both directions (A->B and B->A share n_both and lift) from
+    # ONE pass: a union references `both` twice and Catalyst re-executes
+    # the whole pair aggregation + joins per branch (measured at 100x:
+    # the tail doubled from ~12 s to 24 s) — explode a 2-struct array
+    # instead, same multiset of rows, upstream runs once
+    directional = both.select(F.explode(F.array(
+        F.struct(F.col("pa").alias("antecedent"),
+                 F.col("pb").alias("consequent"),
+                 F.col("n_both").alias("n_both"),
+                 F.col("_na").alias("n_ant"),
+                 F.col("_nb2").alias("n_con")),
+        F.struct(F.col("pb").alias("antecedent"),
+                 F.col("pa").alias("consequent"),
+                 F.col("n_both").alias("n_both"),
+                 F.col("_nb2").alias("n_ant"),
+                 F.col("_na").alias("n_con")),
+    )).alias("_r")).select("_r.*")
 
     def dec(c):
         return c.cast("decimal(38,0)")
