@@ -119,6 +119,54 @@ COHORT3_BASELINE = {
 COHORT3 = list(COHORT3_BASELINE)
 COHORT3_TOTAL = 68.243
 
+# Cold pins (round 12): run 1 of each best-of-N is the only COLD
+# execution — the per-QUERY cache clear means runs 2..N are served
+# from run 1's operator-internal persists (canonicalized-plan cache
+# matching), so a best-of-N pin on a self-persisting operator is a
+# warm-path quantity (r11 VERDICT item 3: assortativity 35.7 s
+# best-of-1 vs 2.2 s best-of-2 at 100×). The cold maps below pin the
+# run-1 numbers under the same tighten-only 2× rule; the warm
+# best-of-N pins above keep their protocol so every artifact stays
+# comparable round-over-round. Measured round 12, quiet box, 32 cores.
+COHORT2_COLD_BASELINE = {
+    "dedup_jaccard_prefix": 7.589,
+    "ev_markov_attribution": 1.209,
+    "layout_zorder_files": 5.378,
+    "ann_ivf_pq_rerank": 2.637,
+    "release_rehearsal": 1.344,
+    "graph_supplier_pagerank": 6.395,
+    "dedup_exact_substring": 1.092,
+    "ev_rfm_scores": 1.646,
+    "text_quality_filter": 0.786,
+    "q_revenue_gini": 1.261,
+    "graph_part_kcore": 6.303,
+    "ev_peak_concurrency": 1.904,
+    "text_decontaminate_bloom": 1.474,
+    "er_customer_name_pairs": 1.169,
+    "multimodal_png_pixel_stats": 1.362,
+    "multimodal_wav_stats": 1.454,
+    "multimodal_mp4_meta": 1.414,
+    "multimodal_image_dims": 1.368,
+    "multimodal_gif_pixel_stats": 1.329,
+    "dedup_cdc_chunks": 2.313,
+    "dedup_cdc_profile": 2.635,
+    "dedup_cdc_incremental": 4.222,
+    "dedup_tfidf_cosine": 1.278,
+    "ts_spearman": 1.811,
+}
+COHORT3_COLD_BASELINE = {
+    "dedup_paragraph": 5.286,
+    "graph_part_communities": 1.848,
+    "ev_sessionize_skew": 5.030,
+    "ev_burst_skew": 2.714,
+    "q_supplier_hhi": 2.387,
+    "q_supplier_skyline": 8.223,
+    "ann_ivf_pq_rerank": 7.484,
+    "ann_lsh_cosine": 9.643,
+    "dedup_exact_substring": 20.236,
+    "text_temperature_mixture": 2.560,
+}
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -184,7 +232,7 @@ def main() -> None:
     # run tightens the min at ~7s/round cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    def _time(names, data_dir, n_runs):
+    def _time(names, data_dir, n_runs, cold_out=None):
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
@@ -200,31 +248,69 @@ def main() -> None:
             # query being timed (optimization guide §1.5)
             spark.sparkContext.setJobDescription(f"bench: {name}")
             best = None
-            for _ in range(n_runs):
+            for i in range(n_runs):
                 t0 = time.time()
                 df = fn(spark, data_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.time() - t0
+                if i == 0 and cold_out is not None:
+                    # run 1 is the only COLD execution: the cache was
+                    # just cleared, so it builds every operator-internal
+                    # persist that runs 2..N are then served from. The
+                    # best-of-N min is a warm-path number for
+                    # self-persisting operators (r11 VERDICT item 3);
+                    # report both so neither protocol hides the other.
+                    v = round(elapsed, 3)
+                    cold_out[name] = min(cold_out.get(name, v), v)
                 best = elapsed if best is None else min(best, elapsed)
             spark.sparkContext.setJobDescription(None)
             out[name] = round(best, 3)
         return out
 
-    def _regate(timings, pins, data_dir, n_runs):
-        return regate(timings, pins,
-                      lambda name: _time([name], data_dir, n_runs)[name])
+    # every pin (warm and cold, all cohorts) is a 32-core quantity:
+    # at another core count the regate retries would burn minutes
+    # re-measuring "breaches" that are just core scaling, and the
+    # regression lists would flag healthy parallelism (r11: the 8-core
+    # scaling pass read as cohort-3 regressions). Time everything,
+    # gate nothing, stamp "cpus" so consumers know.
+    at_pin_cpus = spark.sparkContext.defaultParallelism == 32
 
-    timings = _regate(_time(HEADLINE, sf_dir, runs), BASELINE, sf_dir, runs)
+    def _cold_one(name, data_dir):
+        # one fresh single-run pass: cleared cache, so the elapsed time
+        # IS a cold execution (regate retry for the cold pins)
+        out: dict[str, float] = {}
+        _time([name], data_dir, 1, out)
+        return out[name]
+
+    def _regate(timings, pins, data_dir, n_runs, cold_out=None):
+        if not at_pin_cpus:
+            return timings
+        return regate(timings, pins,
+                      lambda name: _time([name], data_dir, n_runs,
+                                         cold_out)[name])
+
+    def _regate_cold(cold_map, pins, data_dir):
+        if not at_pin_cpus:
+            return cold_map
+        return regate(cold_map, pins, lambda name: _cold_one(name, data_dir))
+
+    cold: dict[str, float] = {}
+    timings = _regate(_time(HEADLINE, sf_dir, runs, cold), BASELINE,
+                      sf_dir, runs, cold)
     total = round(sum(timings.values()), 3)
-    c2 = _regate(_time(COHORT2, sf_dir, runs), COHORT2_BASELINE,
-                 sf_dir, runs)
+    c2_cold: dict[str, float] = {}
+    c2 = _regate(_time(COHORT2, sf_dir, runs, c2_cold), COHORT2_BASELINE,
+                 sf_dir, runs, c2_cold)
+    c2_cold = _regate_cold(c2_cold, COHORT2_COLD_BASELINE, sf_dir)
     c2_total = round(sum(c2.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "cohort2": c2,
+        "cohort2_cold": c2_cold,
         "cohort2_total": c2_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # record the core count the artifact was measured at: every pin
@@ -236,8 +322,9 @@ def main() -> None:
         "cpus": spark.sparkContext.defaultParallelism,
     }
     # diff against the frozen BASELINE.md numbers (only meaningful at
-    # the baseline's own scale factor): per-query 2× gate + total ratio
-    if result["sf"] == BASELINE_SF:
+    # the baseline's own scale factor AND core count): per-query 2×
+    # gate + total ratio
+    if result["sf"] == BASELINE_SF and at_pin_cpus:
         result["vs_baseline_total"] = round(total / BASELINE_TOTAL, 3)
         result["regressions"] = sorted(
             q for q, t in timings.items()
@@ -248,20 +335,43 @@ def main() -> None:
                 q for q, t in c2.items()
                 if COHORT2_BASELINE.get(q) is not None
                 and t > 2.0 * COHORT2_BASELINE[q])
+            result["cohort2_cold_regressions"] = sorted(
+                q for q, t in c2_cold.items()
+                if COHORT2_COLD_BASELINE.get(q) is not None
+                and t > 2.0 * COHORT2_COLD_BASELINE[q])
     # cohort-3: the frozen 100× gate — runs against its own pinned
     # scaled dir (independent of this invocation's sf) when it exists;
     # best-of-2 caps the added wall cost (~90 s single-run set)
     if os.path.isdir(COHORT3_SF_DIR):
-        c3 = _regate(_time(COHORT3, COHORT3_SF_DIR, min(runs, 2)),
-                     COHORT3_BASELINE, COHORT3_SF_DIR, min(runs, 2))
+        c3_cold: dict[str, float] = {}
+        c3 = _regate(_time(COHORT3, COHORT3_SF_DIR, min(runs, 2), c3_cold),
+                     COHORT3_BASELINE, COHORT3_SF_DIR, min(runs, 2), c3_cold)
+        c3_cold = _regate_cold(c3_cold, COHORT3_COLD_BASELINE,
+                               COHORT3_SF_DIR)
         c3_total = round(sum(c3.values()), 3)
         result["cohort3"] = c3
+        result["cohort3_cold"] = c3_cold
         result["cohort3_total"] = c3_total
-        result["vs_cohort3_total"] = round(c3_total / COHORT3_TOTAL, 3)
-        result["cohort3_regressions"] = sorted(
-            q for q, t in c3.items()
-            if COHORT3_BASELINE.get(q) is not None
-            and t > 2.0 * COHORT3_BASELINE[q])
+        # surface the depth rows in the top-level queries map under
+        # distinct ADDED keys: the driver's core-count scaling probe
+        # reads "queries" per-name, and the sf0.1 headline rows are
+        # 0.3-2 s overhead-bound (8c/32c ratios ≈1 — the r11
+        # suspect_cpus_ignored false positive). The 100× rows are where
+        # parallelism is measurable (r11: ann_lsh 3.9×, pq_rerank 3.4×
+        # for 4× cores). Keys are new, never renamed/removed; the
+        # headline "value" stays the sum of the 20 headline rows.
+        for q, t in c3.items():
+            timings[f"{q}@100x"] = t
+        if at_pin_cpus:
+            result["vs_cohort3_total"] = round(c3_total / COHORT3_TOTAL, 3)
+            result["cohort3_regressions"] = sorted(
+                q for q, t in c3.items()
+                if COHORT3_BASELINE.get(q) is not None
+                and t > 2.0 * COHORT3_BASELINE[q])
+            result["cohort3_cold_regressions"] = sorted(
+                q for q, t in c3_cold.items()
+                if COHORT3_COLD_BASELINE.get(q) is not None
+                and t > 2.0 * COHORT3_COLD_BASELINE[q])
     # side artifact for tests/test_baseline.py's regression gate (only
     # meaningful when the headline/cohort-2 sets ran at the gate SF)
     if result["sf"] == BASELINE_SF:
